@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship word-frequency query (the
+reference's core pipeline, demo-etl-2a-notebook.py:53-59) at sf0.001.
+``queries()`` exposes every implemented operator from SURVEY.md §2;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for the correctness
+gate. Column names are aliased identically on both sides; all float
+aggregates are rounded; every LIMIT is fully tie-broken.
 """
 
 from __future__ import annotations
@@ -13,26 +14,183 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from training_etl_demo_2_spark.io import load_tables
+from training_etl_demo_2_spark.operators import relational, wordcount
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    t = load_tables(spark, "/root/testdata/sf0.001")
+    return wordcount.word_counts(t["documents"])
+
+
+def _q(fn) -> Callable[[SparkSession, str], DataFrame]:
+    return lambda spark, sf_dir: fn(load_tables(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {
+        # --- reference core: word-frequency pipeline (§2 P1,F1,F2,A1,O1,O2)
+        "word_count": _q(lambda t: wordcount.word_counts(t["documents"])),
+        "top10_words": _q(lambda t: wordcount.top_k_words(t["documents"], 10)),
+        # --- relational breadth (§2.2-2.8 + Athena phase)
+        "q1_pricing_summary": _q(relational.q1_pricing_summary),
+        "q6_forecast_revenue": _q(relational.q6_forecast_revenue),
+        "q3_shipping_priority": _q(relational.q3_shipping_priority),
+        "q5_region_revenue": _q(relational.q5_region_revenue),
+        "customers_per_region": _q(relational.customers_per_region),
+        "distinct_customers_by_priority": _q(
+            relational.distinct_customers_by_priority
+        ),
+        "top_orders_per_customer": _q(relational.top_orders_per_customer),
+        "customer_set_ops": _q(relational.customer_set_ops),
+        "orders_rollup": _q(relational.orders_rollup),
+        "lineitem_summary_stats": _q(relational.lineitem_summary_stats),
+        "events_hourly": _q(relational.events_hourly),
+        "sessionize_events": _q(relational.sessionize_events),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI SQL twin for each query."""
+    word_count_core = """
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
     """
-    return {}
+    return {
+        "word_count": f"{word_count_core}",
+        "top10_words": f"{word_count_core} ORDER BY cnt DESC, word ASC LIMIT 10",
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q3_shipping_priority": """
+            SELECT o_orderkey, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-03-15'
+              AND l_shipdate > TIMESTAMP '1998-03-15'
+            GROUP BY o_orderkey, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT r_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY r_name
+        """,
+        "customers_per_region": """
+            SELECT r_name, count(*) AS n_customers,
+                   round(avg(c_acctbal), 4) AS avg_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "distinct_customers_by_priority": """
+            SELECT o_orderpriority,
+                   count(DISTINCT o_custkey) AS n_customers,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rnk
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rnk
+                FROM orders
+            ) WHERE rnk <= 3
+        """,
+        "customer_set_ops": """
+            (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+             INTERSECT
+             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        """,
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_totalprice
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "lineitem_summary_stats": """
+            SELECT count(*) AS n_rows,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(stddev_samp(l_quantity), 4) AS std_qty,
+                   round(min(l_quantity), 2) AS min_qty,
+                   round(max(l_quantity), 2) AS max_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(median(l_extendedprice)::DOUBLE, 4) AS median_price
+            FROM lineitem
+        """,
+        "events_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "sessionize_events": """
+            WITH lagged AS (
+                SELECT user_id, event_id, ts, value,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT *,
+                       CASE WHEN prev_ts IS NULL
+                                 OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM lagged
+            ), sess AS (
+                SELECT *,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       )::BIGINT AS session_seq
+                FROM flagged
+            )
+            SELECT user_id, session_seq, count(*) AS n_events,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   round(sum(value), 2) AS sum_value
+            FROM sess
+            GROUP BY user_id, session_seq
+        """,
+    }

@@ -1,0 +1,184 @@
+"""Sources and sinks: portable re-expression of the reference's IO layer.
+
+Reference behaviors re-expressed (see SURVEY.md §2.1):
+
+* S1 TSV/CSV scan      — ``demo-etl-2a-notebook.py:25-35`` (Glue
+  ``create_dynamic_frame.from_options`` with sep="\\t", header) →
+  ``read_tsv``/``read_csv`` below (plain ``spark.read``; the
+  DynamicFrame->DataFrame bridge S2 becomes a no-op).
+* S3/S4 parquet sink/scan — ``demo-etl-2a-notebook.py:86``,
+  ``process_tsv.py:62-64`` → ``write_parquet``/``read_parquet``.
+* S5 JSON metadata sidecar — ``demo-etl-2a-notebook.py:68-82`` (json +
+  boto3 upload) → ``write_run`` writes ``metadata.json`` beside the data
+  on any Hadoop-visible filesystem (local path here, s3a:// on a cluster).
+* S6 latest-run discovery — ``process_tsv.py:33-59`` (list_objects_v2 +
+  LastModified sort) → ``latest_run`` (lexicographic run-id sort: run ids
+  are zero-padded UTC timestamps, so name order == time order, which is
+  cheaper and race-free vs mtime on object stores).
+
+Scale notes: the run directory convention (``<root>/<run_id>/data`` +
+``metadata.json``) is object-store friendly — one LIST of the root prefix
+discovers runs; no per-object metadata reads are needed until the chosen
+run's single ``metadata.json`` is fetched.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from datetime import datetime, timezone
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    sep: str = ",",
+    header: bool = True,
+) -> DataFrame:
+    """CSV/TSV scan (S1). Explicit schema preferred: schema inference costs
+    an extra pass over the data — unacceptable at 100 TB."""
+    reader = spark.read.options(sep=sep, header=header)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", False)  # all-string, like Glue's reader
+    return reader.csv(path)
+
+
+def read_tsv(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    return read_csv(spark, path, schema=schema, sep="\t")
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Run-directory convention (replaces S5/S6's boto3 code)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class RunInfo:
+    run_id: str
+    data_path: str
+    metadata: dict
+
+
+def new_run_id(now: datetime | None = None) -> str:
+    now = now or datetime.now(timezone.utc)
+    return now.strftime("%Y%m%d_%H%M%S")  # zero-padded: lexicographic == chronological
+
+
+def write_run(
+    df: DataFrame,
+    root: str,
+    run_id: str | None = None,
+    input_files: list[str] | None = None,
+    extra_metadata: dict | None = None,
+) -> RunInfo:
+    """Write ``df`` under ``<root>/<run_id>/data`` with a ``metadata.json``
+    sidecar — the reference's analysis_results layout
+    (``demo-etl-2a-notebook.py:63-82``) minus S3-specific plumbing."""
+    run_id = run_id or new_run_id()
+    run_dir = Path(root) / run_id
+    data_path = str(run_dir / "data")
+    df.write.mode("overwrite").parquet(data_path)
+    metadata = {
+        "timestamp": run_id,
+        "input_files": input_files or [],
+        **(extra_metadata or {}),
+    }
+    run_dir.mkdir(parents=True, exist_ok=True)
+    with open(run_dir / "metadata.json", "w") as f:
+        json.dump(metadata, f, indent=2)
+    return RunInfo(run_id=run_id, data_path=data_path, metadata=metadata)
+
+
+def latest_run(root: str) -> RunInfo | None:
+    """Latest-run discovery (S6): newest run id whose metadata.json exists.
+
+    Sorts run ids lexicographically (they are zero-padded timestamps), the
+    portable equivalent of the reference's LastModified sort
+    (``process_tsv.py:45``)."""
+    rootp = Path(root)
+    if not rootp.is_dir():
+        return None
+    for run_dir in sorted(rootp.iterdir(), reverse=True):
+        meta_file = run_dir / "metadata.json"
+        if meta_file.is_file():
+            with open(meta_file) as f:
+                metadata = json.load(f)
+            return RunInfo(
+                run_id=run_dir.name,
+                data_path=str(run_dir / "data"),
+                metadata=metadata,
+            )
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Test-data catalog
+# ---------------------------------------------------------------------------
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns stored as TIMESTAMP(NANOS) in the fixtures: Spark reads them as
+# long (spark.sql.legacy.parquet.nanosAsLong) and we convert to timestamp
+# at microsecond precision (matching DuckDB/ANSI TIMESTAMP).
+_NANOS_TS_COLS = {"events": ("ts",)}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the star-schema test tables from a scale-factor directory."""
+    from pyspark.sql import functions as F
+
+    # The caller's session may not come from our factory (e.g. the test
+    # driver passes its own); nanosAsLong is runtime-settable, so enforce
+    # it here — without it the events.parquet TIMESTAMP(NANOS) column is
+    # unreadable (PARQUET_TYPE_ILLEGAL).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    dfs = {}
+    for name in TABLES:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        for col in _NANOS_TS_COLS.get(name, ()):
+            if dict(df.dtypes).get(col) == "bigint":
+                df = df.withColumn(
+                    col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+                )
+        dfs[name] = df
+    return dfs
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view — the engine's SQL surface
+    (replaces the reference's Athena-over-parquet phase, reqdef.yaml:69-73)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
