@@ -14,14 +14,36 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from training_etl_demo_2_spark.io import load_tables
-from training_etl_demo_2_spark.operators import relational, wordcount
+from training_etl_demo_2_spark.operators import (
+    dedup,
+    multimodal,
+    oracle,
+    oracle_text,
+    relational,
+    similarity,
+    text,
+    wordcount,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     t = load_tables(spark, "/root/testdata/sf0.001")
     return wordcount.word_counts(t["documents"])
+
+
+def _sink_items(t) -> DataFrame:
+    """Job-B enrichment projection (process_tsv.py:81-87) minus the
+    run timestamp (non-deterministic columns stay out of compared
+    outputs)."""
+    return wordcount.word_counts(t["documents"]).select(
+        F.concat(F.lit("word_"), F.col("word")).alias("id"),
+        "word",
+        F.col("cnt").cast("long").alias("count"),
+    )
 
 
 def _q(fn) -> Callable[[SparkSession, str], DataFrame]:
@@ -49,6 +71,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_summary_stats": _q(relational.lineitem_summary_stats),
         "events_hourly": _q(relational.events_hourly),
         "sessionize_events": _q(relational.sessionize_events),
+        # --- reference job B enrichment (§2.1 S7, F3-F5)
+        "sink_word_items": _q(_sink_items),
+        # --- north-star: text analysis (§2.12)
+        "language_id": _q(lambda t: text.language_id(t["documents"])),
+        "text_quality": _q(lambda t: text.text_quality(t["documents"])),
+        "token_stats": _q(lambda t: text.token_stats(t["documents"])),
+        "doc_fingerprints": _q(lambda t: text.doc_fingerprints(t["documents"])),
+        # --- north-star: dedup (§2.12)
+        "dedup_exact": _q(lambda t: dedup.exact_dedup_groups(t["documents"])),
+        "dedup_ngram_jaccard": _q(
+            lambda t: dedup.ngram_jaccard_pairs(t["documents"], threshold=0.5)
+        ),
+        "dedup_minhash_lsh": _q(
+            lambda t: dedup.minhash_lsh_pairs(t["documents"], threshold=0.8)
+        ),
+        "simhash_fingerprints": _q(
+            lambda t: dedup.simhash_fingerprints(t["documents"])
+        ),
+        "simhash_near_pairs": _q(lambda t: dedup.simhash_near_pairs(t["documents"])),
+        # --- north-star: similarity search (§2.12)
+        "ann_brute_topk": _q(lambda t: similarity.brute_topk(t["embeddings"], k=5)),
+        "ann_brute_topk_pandas": _q(
+            lambda t: similarity.brute_topk_pandas(t["embeddings"], k=5)
+        ),
+        "ann_lsh_topk": _q(lambda t: similarity.lsh_topk(t["embeddings"], k=5)),
+        "embedding_near_pairs": _q(
+            lambda t: similarity.cosine_near_pairs(t["embeddings"], threshold=0.45)
+        ),
+        # --- north-star: multimodal plumbing (§2.12)
+        "multimodal_metadata": _q(lambda t: multimodal.media_metadata(t["documents"])),
+        "multimodal_features": _q(
+            lambda t: multimodal.extract_features(
+                multimodal.attach_fake_payload(t["documents"])
+            ).select("doc_id", "media_type", "nbytes", "width", "height")
+        ),
     }
 
 
@@ -192,5 +249,33 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM sess
             GROUP BY user_id, session_seq
+        """,
+        "sink_word_items": f"""
+            SELECT 'word_' || word AS id, word, count(*) AS count
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word
+        """,
+        # text analysis
+        "language_id": oracle_text.language_id_sql(),
+        "text_quality": oracle_text.text_quality_sql(),
+        "token_stats": oracle_text.token_stats_sql(),
+        "doc_fingerprints": oracle_text.doc_fingerprints_sql(),
+        # dedup (SQL generated from the same LSH constants as the engine)
+        "dedup_exact": oracle.exact_dedup_sql(),
+        "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(threshold=0.5),
+        "dedup_minhash_lsh": oracle.minhash_lsh_sql(threshold=0.8),
+        "simhash_fingerprints": oracle.simhash_sql(),
+        "simhash_near_pairs": oracle.simhash_pairs_sql(max_hamming=3),
+        # similarity (ann_lsh_topk is rows-only: hyperplane buckets are
+        # numpy-seeded, not SQL-expressible)
+        "ann_brute_topk": oracle_text.brute_topk_sql(k=5),
+        "ann_brute_topk_pandas": oracle_text.brute_topk_sql(k=5),
+        "embedding_near_pairs": oracle_text.cosine_near_pairs_sql(threshold=0.45),
+        # multimodal (features query is rows-only: numpy fake decode)
+        "multimodal_metadata": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS nbytes,
+                   upper(substring(hex(encode(text)), 1, 8)) AS magic_hex
+            FROM documents
         """,
     }

@@ -1,0 +1,81 @@
+"""Multimodal plumbing + Structured Streaming tests."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from training_etl_demo_2_spark.operators import multimodal
+from training_etl_demo_2_spark.streaming import windowed
+
+
+def test_payload_roundtrip(tables):
+    media = multimodal.attach_fake_payload(tables["documents"])
+    r = media.limit(1).collect()[0]
+    assert isinstance(r.payload, (bytes, bytearray))
+    assert r.nbytes == len(r.payload)
+    assert r.media_type == "image/fake"
+
+
+def test_feature_extraction_batch_shape(tables):
+    media = multimodal.attach_fake_payload(tables["documents"].limit(50))
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 50
+    for r in feats:
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-5  # normalized histogram
+        assert r.width * r.height <= r.nbytes
+
+
+def test_real_decode_is_stubbed(tables):
+    media = multimodal.attach_fake_payload(tables["documents"])
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(media, decode_fn=lambda b: None)
+
+
+def test_streaming_windowed_matches_batch(spark, sf_dir, tmp_path):
+    """File-source stream over the events table == batch events_hourly."""
+    from training_etl_demo_2_spark.io import load_tables
+    from training_etl_demo_2_spark.operators.relational import events_hourly
+
+    events_dir = tmp_path / "events_in"
+    events_dir.mkdir()
+    # materialize micro-batch-friendly copies (nanos ts already converted)
+    events = load_tables(spark, sf_dir)["events"]
+    events.repartition(3).write.mode("overwrite").parquet(str(events_dir / "p"))
+
+    stream = windowed.read_events_stream(spark, str(events_dir / "p"))
+    assert stream.isStreaming
+    result = windowed.events_windowed(stream)
+    q = windowed.run_stream_to_memory(result, "ev_hourly_test")
+    try:
+        got = {
+            (r.hour, r.event_type): (r.n_events, r.sum_value)
+            for r in spark.sql("SELECT * FROM ev_hourly_test").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.hour, r.event_type): (r.n_events, r.sum_value)
+        for r in events_hourly({"events": events}).collect()
+    }
+    assert got == want
+
+
+def test_streaming_session_window(spark, sf_dir, tmp_path):
+    from training_etl_demo_2_spark.io import load_tables
+
+    events_dir = tmp_path / "sess_in"
+    events_dir.mkdir()
+    events = load_tables(spark, sf_dir)["events"]
+    events.write.mode("overwrite").parquet(str(events_dir / "p"))
+    stream = windowed.read_events_stream(spark, str(events_dir / "p"))
+    result = windowed.events_sessions(stream)
+    q = windowed.run_stream_to_memory(result, "ev_sessions_test")
+    try:
+        rows = spark.sql("SELECT * FROM ev_sessions_test").collect()
+    finally:
+        q.stop()
+    assert len(rows) > 0
+    assert all(r.session_start <= r.session_end for r in rows)

@@ -1,0 +1,50 @@
+"""Similarity search tests: pandas == relational brute force, LSH
+recall vs exact, near-pair symmetry bounds."""
+
+from __future__ import annotations
+
+from training_etl_demo_2_spark.operators import similarity
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, []).append((r.rnk, r.neighbor_id, r.sim))
+    return out
+
+
+def test_pandas_equals_relational(tables):
+    a = _topk_sets(similarity.brute_topk(tables["embeddings"], k=5))
+    b = _topk_sets(similarity.brute_topk_pandas(tables["embeddings"], k=5))
+    assert a == b
+
+
+def test_topk_shape_and_order(tables):
+    got = _topk_sets(similarity.brute_topk(tables["embeddings"], k=3))
+    assert len(got) == 20  # vec_id < 20 queries
+    for q, rows in got.items():
+        ranks = [r[0] for r in sorted(rows)]
+        sims = [r[2] for r in sorted(rows)]
+        assert ranks == [1, 2, 3]
+        assert sims == sorted(sims, reverse=True)
+        assert all(n != q for _, n, _ in rows)
+
+
+def test_lsh_recall_against_brute(tables):
+    """ANN tier must find most true top-5 neighbors (fixture: 500 vecs,
+    12-bit x 4-table hyperplane LSH). Recall floor is deliberately
+    conservative — determinism is seeded."""
+    exact = _topk_sets(similarity.brute_topk(tables["embeddings"], k=5))
+    approx = _topk_sets(similarity.lsh_topk(tables["embeddings"], k=5))
+    hits = total = 0
+    for q, rows in exact.items():
+        truth = {n for _, n, _ in rows}
+        got = {n for _, n, _ in approx.get(q, [])}
+        hits += len(truth & got)
+        total += len(truth)
+    assert hits / total >= 0.5, f"LSH recall {hits}/{total}"
+
+
+def test_near_pairs_threshold(tables):
+    pairs = similarity.cosine_near_pairs(tables["embeddings"], threshold=0.45).collect()
+    assert all(p.sim >= 0.45 and p.vec_a < p.vec_b for p in pairs)

@@ -1,0 +1,308 @@
+"""Deduplication operators for training-data pipelines (north-star,
+SURVEY §2.12): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All four are expressed RELATIONALLY — shingle→hash→join→aggregate on
+DataFrames, no Python UDFs and no driver-side loops — so Catalyst
+plans them as shuffle joins + partial aggregates that scale linearly
+with data and cluster size. The hash functions are plain integer
+arithmetic (polynomial rolling hash mod 2^31-ish prime), reproducible
+in ANSI SQL: the DuckDB oracle twins are generated from the SAME
+constants by ``oracle.py`` in this package.
+
+Scale design (100 TB):
+* Shingles are joined BY 8-BYTE HASH, never by string — shuffle volume
+  drops ~3× vs raw shingle keys; collisions (p ≈ n²/2·1e-9 per doc
+  pair) only perturb a Jaccard estimate identically in engine and
+  oracle.
+* MinHash+LSH replaces the O(n²) shingle self-join with band-bucket
+  joins: only documents sharing a (band, key) bucket meet — the
+  classic banding scheme (Broder 1997; Leskovec/Rajaraman/Ullman ch.3).
+  NUM_PERM=32, 8 bands × 4 rows → P(candidate | j=0.9) ≈ 0.9998,
+  P(candidate | j=0.07) ≈ 2e-7 on the fixture's background pairs.
+* SimHash 32-bit + 4 bands × 8 bits: by pigeonhole, hamming ≤ 3 ⇒ at
+  least one band identical, so the banded join finds EVERY pair with
+  hamming ≤ 3 (it is exact, not approximate, for that predicate).
+* Exact dedup is a single groupBy on the normalized-text hash; at
+  100 TB group on the 8-byte fingerprint, not the document body.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import normalize_text, rolling_hash, word_ngrams
+
+# ---- shared constants (oracle.py generates matching SQL from these) ----
+P = 1_000_000_007
+NUM_PERM = 32
+BANDS = 8
+ROWS_PER_BAND = NUM_PERM // BANDS
+# Deterministic hash-family coefficients: a_i odd-ish, b_i offset.
+MINHASH_A = [((i + 1) * 2_654_435_761) % P for i in range(NUM_PERM)]
+MINHASH_B = [((i + 1) * 40_503 + 12_345) % P for i in range(NUM_PERM)]
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+DEFAULT_NGRAM = 3
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized text: one representative (min doc_id)
+    per distinct content, with the copy count. Single hash-agg shuffle
+    keyed on the 8-byte fingerprint of the normalized text."""
+    return (
+        df.select("doc_id", rolling_hash(normalize_text(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep-first exact dedup returning surviving full rows (the
+    dropDuplicates-with-deterministic-winner variant)."""
+    w_fp = rolling_hash(normalize_text(text_col)).alias("fp")
+    keep = (
+        df.select("doc_id", w_fp)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return df.join(keep, "doc_id", "semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+
+def shingle_hashes(
+    df: DataFrame, text_col: str = "text", n: int = DEFAULT_NGRAM
+) -> DataFrame:
+    """(doc_id, h): distinct word-n-gram shingles as 8-byte hashes."""
+    tokens = F.split(F.col(text_col), " ")
+    return (
+        df.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_ngrams(tokens, n))).alias("shingle"),
+        )
+        .select("doc_id", rolling_hash(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+
+
+def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard per doc pair from a (doc_id, h) shingle relation.
+    If ``pairs`` (doc_a, doc_b) is given, only those pairs are scored
+    (candidate verification); else all co-shingled pairs."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    shared = (
+        a.join(b, ["h"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    if pairs is not None:
+        shared = shared.join(pairs, ["doc_a", "doc_b"], "semi")
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact near-dup pairs: word-n-gram Jaccard ≥ threshold via a
+    shingle-hash self-join. Exact but O(pairs sharing a shingle); at
+    100 TB prefer ``minhash_lsh_pairs`` (adds banding so only bucket
+    collisions meet) — this one is the ground-truth/verify path."""
+    sh = shingle_hashes(df, text_col, n)
+    return (
+        _pair_jaccard(sh)
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n: int = DEFAULT_NGRAM
+) -> DataFrame:
+    """32-perm MinHash signature per doc: min over shingles of
+    (a_i·h + b_i) mod P for each i — one groupBy with 32 min-aggs
+    (single shuffle, partials map-side)."""
+    sh = shingle_hashes(df, text_col, n)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % P).alias(
+                f"m{i}"
+            )
+            for i in range(NUM_PERM)
+        ]
+    )
+
+
+def _band_key(cols: list[Column]) -> Column:
+    key = cols[0]
+    for c in cols[1:]:
+        key = (key * 31 + c) % P
+    return key
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, exact-Jaccard verified.
+
+    sig → 8 band keys → posexplode to (band, key) → self-join on the
+    bucket → distinct candidates → verify with exact Jaccard ≥
+    threshold. The candidate join touches only same-bucket rows, the
+    scale path for n² dedup.
+    """
+    sig = minhash_signatures(df, text_col, n)
+    band_cols = [
+        _band_key(
+            [F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"bk{b}")
+        for b in range(BANDS)
+    ]
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band", "bk"),
+    )
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bk")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bk")
+    candidates = (
+        left.join(right, ["band", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = shingle_hashes(df, text_col, n)
+    return (
+        _pair_jaccard(sh, pairs=candidates)
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over word tokens (Charikar 2002): per bit, sum
+    ±weight over token hashes; bit = 1 iff the sum is positive.
+
+    Fully relational: tokens → (doc, token-hash, weight) → explode 32
+    bit positions → two hash-aggs. Everything stays in codegen.
+    """
+    tokens = (
+        df.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select("doc_id", rolling_hash(F.col("tok")).alias("h"), "w")
+    )
+    bits = tokens.select(
+        "doc_id",
+        "w",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+    ).select(
+        "doc_id",
+        "bit",
+        (
+            F.when(
+                (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))).cast("long") % 2)
+                == 1,
+                F.col("w"),
+            ).otherwise(-F.col("w"))
+        ).alias("contrib"),
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
+                ).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """All pairs with SimHash hamming distance ≤ max_hamming, found via
+    4 × 8-bit band buckets. For max_hamming ≤ 3 this is EXACT (pigeonhole:
+    ≤3 differing bits cannot hit all 4 bands), yet joins only bucket
+    collisions instead of n² pairs."""
+    fp = simhash_fingerprints(df, text_col)
+    band_cols = [
+        (
+            F.floor(
+                F.col("simhash") / F.pow(F.lit(2.0), F.lit(b * SIMHASH_BAND_BITS))
+            ).cast("long")
+            % (2**SIMHASH_BAND_BITS)
+        ).alias(f"bk{b}")
+        for b in range(SIMHASH_BANDS)
+    ]
+    bands = fp.select(
+        "doc_id", "simhash", F.posexplode(F.array(*band_cols)).alias("band", "bk")
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "band", "bk"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "band", "bk"
+    )
+    return (
+        left.join(right, ["band", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,111 @@
+"""Multimodal column plumbing (north-star, SURVEY §2.12).
+
+Images/audio/video are carried as opaque ``binary`` payload columns
+with a typed metadata struct alongside. The Spark-side plumbing —
+schema, partition-friendly batch shape, Arrow transfer through
+``mapInPandas`` — is real and tested; the actual codec step is stubbed
+(this container ships no image/audio libs) behind
+``decode_fn=None`` → deterministic fake features, or raises
+``NotImplementedError`` when a real decode is requested.
+
+At 100 TB: binary payloads dominate row size, so the pattern is
+(1) keep payloads OUT of shuffles — derive features first, then drop
+the blob; (2) size ``spark.sql.files.maxPartitionBytes`` so a task's
+Arrow batch of blobs fits executor memory; (3) pushdown-friendly
+metadata columns (width/height/codec) live beside the blob, so
+filters never touch bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, payload binary, media_type string, nbytes long"
+)
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, nbytes long, width int, height int, "
+    "feature array<float>"
+)
+
+
+def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic fake media: UTF-8 bytes of the text as the payload
+    (stands in for image bytes; same schema and flow as real media)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+        F.length(payload).cast("long").alias("nbytes"),
+    )
+
+
+def media_metadata(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Pure-JVM metadata extraction over the payload: byte length and a
+    hex magic prefix — the filter columns that let 100 TB queries prune
+    without touching blobs."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        "doc_id",
+        F.length(payload).cast("long").alias("nbytes"),
+        F.upper(F.hex(F.substring(payload, 1, 4))).alias("magic_hex"),
+    ).orderBy("doc_id")
+
+
+DecodeFn = Callable[[bytes], np.ndarray]
+
+
+def extract_features(
+    media: DataFrame,
+    decode_fn: DecodeFn | None = None,
+    feature_dim: int = 8,
+) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    ``decode_fn=None`` → deterministic fake decode (byte-histogram
+    moments), which exercises the full distributed path: binary Arrow
+    transfer, per-batch numpy work, typed struct-ish output. Passing a
+    real decoder requires codec libs → NotImplementedError here so the
+    stub boundary is explicit.
+    """
+    if decode_fn is not None:
+        raise NotImplementedError(
+            "real media decoding needs codec libraries not present in this "
+            "environment; pass decode_fn=None for the deterministic fake path"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            feats, widths, heights = [], [], []
+            for blob in pdf["payload"]:
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.float64)
+                # fake "image": pretend bytes are a wxh grid
+                w = int(max(1, np.floor(np.sqrt(arr.size))))
+                h = int(arr.size // w)
+                hist = np.histogram(arr, bins=feature_dim, range=(0, 256))[0]
+                total = hist.sum() or 1
+                feats.append((hist / total).astype(np.float32))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "nbytes": pdf["nbytes"],
+                    "width": widths,
+                    "height": heights,
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,169 @@
+"""DuckDB oracle-SQL generators for the dedup/similarity operators.
+
+The Spark implementations in ``dedup.py``/``similarity.py`` use pure
+integer/double arithmetic precisely so these SQL twins can reproduce
+them bit-for-bit; the LSH coefficients are imported from dedup.py, so
+engine and oracle can never drift apart.
+"""
+
+from __future__ import annotations
+
+from .dedup import (
+    BANDS,
+    DEFAULT_NGRAM,
+    MINHASH_A,
+    MINHASH_B,
+    NUM_PERM,
+    P,
+    ROWS_PER_BAND,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+)
+
+# polynomial rolling hash of a string s (matches functions.rolling_hash)
+ROLLING_HASH = (
+    "list_reduce(list_prepend(0::BIGINT, "
+    "list_transform(string_split({s}, ''), c -> ascii(c)::BIGINT)), "
+    f"(a, b) -> (a * 31 + b) % {P})"
+)
+
+NORMALIZE = "trim(regexp_replace(lower({s}), '\\s+', ' ', 'g'))"
+
+
+def _shingles_cte(n: int = DEFAULT_NGRAM, table: str = "documents") -> str:
+    """(doc_id, h): distinct word n-gram shingle hashes — twin of
+    dedup.shingle_hashes."""
+    return f"""
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM {table}),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(w) - {n - 1}, 0) + 1),
+                   i -> array_to_string(w[i:i+{n - 1}], ' ')))) AS s
+        FROM toks
+    ),
+    sh AS (SELECT DISTINCT doc_id, {ROLLING_HASH.format(s="s")} AS h FROM grams)
+    """
+
+
+def exact_dedup_sql() -> str:
+    fp = ROLLING_HASH.format(s=NORMALIZE.format(s="text"))
+    return f"""
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM (SELECT doc_id, {fp} AS fp FROM documents)
+    GROUP BY fp
+    """
+
+
+def _jaccard_sql(pairs_filter: str, threshold: float) -> str:
+    return f"""
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT s.doc_a, s.doc_b,
+               round(s.c * 1.0 / (za.n + zb.n - s.c), 6) AS jaccard
+        FROM shared s
+        JOIN sizes za ON za.doc_id = s.doc_a
+        JOIN sizes zb ON zb.doc_id = s.doc_b
+        {pairs_filter}
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {threshold}
+    """
+
+
+def ngram_jaccard_sql(n: int = DEFAULT_NGRAM, threshold: float = 0.5) -> str:
+    return f"WITH {_shingles_cte(n)}, {_jaccard_sql('', threshold)}"
+
+
+def _signature_exprs() -> str:
+    return ",\n               ".join(
+        f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {P}) AS m{i}"
+        for i in range(NUM_PERM)
+    )
+
+
+def _band_key_expr(b: int) -> str:
+    cols = [f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+    expr = cols[0]
+    for c in cols[1:]:
+        expr = f"(({expr}) * 31 + {c}) % {P}"
+    return expr
+
+
+def minhash_lsh_sql(n: int = DEFAULT_NGRAM, threshold: float = 0.8) -> str:
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_expr(b)} AS bk FROM sig"
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH {_shingles_cte(n)},
+    sig AS (
+        SELECT doc_id,
+               {_signature_exprs()}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+        WHERE a.doc_id < b.doc_id
+    ),
+    {_jaccard_sql('JOIN cand c ON c.doc_a = s.doc_a AND c.doc_b = s.doc_b', threshold)}
+    """
+
+
+def _simhash_cte(table: str = "documents") -> str:
+    return f"""
+    tok AS (
+        SELECT doc_id, tok, count(*) AS w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {table})
+        GROUP BY doc_id, tok
+    ),
+    tokh AS (SELECT doc_id, {ROLLING_HASH.format(s="tok")} AS h, w FROM tok),
+    bits AS (
+        SELECT doc_id, bit,
+               sum(CASE WHEN (floor(h / power(2, bit))::BIGINT % 2) = 1
+                        THEN w ELSE -w END) AS s
+        FROM tokh, range({SIMHASH_BITS}) r(bit)
+        GROUP BY doc_id, bit
+    ),
+    fp AS (
+        SELECT doc_id,
+               sum(CASE WHEN s > 0 THEN power(2, bit)::BIGINT ELSE 0 END)::BIGINT
+                   AS simhash
+        FROM bits GROUP BY doc_id
+    )
+    """
+
+
+def simhash_sql() -> str:
+    return f"WITH {_simhash_cte()} SELECT doc_id, simhash FROM fp"
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"floor(simhash / power(2, {b * SIMHASH_BAND_BITS}))::BIGINT "
+        f"% {2 ** SIMHASH_BAND_BITS} AS bk FROM fp"
+        for b in range(SIMHASH_BANDS)
+    )
+    return f"""
+    WITH {_simhash_cte()},
+    bands AS (
+        {band_rows}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+    """

@@ -1,0 +1,131 @@
+"""DuckDB oracle-SQL twins for text.py and similarity.py operators.
+Generated from the same constants as the Spark implementations."""
+
+from __future__ import annotations
+
+from .oracle import NORMALIZE, ROLLING_HASH
+from .text import LANG_MARKERS, STOPWORDS_EN
+
+
+def _in_list(words: list[str]) -> str:
+    inner = ", ".join(f"'{w}'" for w in words)
+    return f"[{inner}]"
+
+
+def language_id_sql() -> str:
+    score_cols = ",\n               ".join(
+        f"len(list_filter(toks, x -> list_contains({_in_list(m)}, x))) "
+        f"AS score_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    score_names = [f"score_{lang}" for lang in LANG_MARKERS]
+    best = f"greatest({', '.join(score_names)})"
+    case = f"CASE WHEN {best} <= 0 THEN 'unknown'"
+    for lang in LANG_MARKERS:
+        case += f" WHEN score_{lang} = {best} THEN '{lang}'"
+    case += " END"
+    return f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               {score_cols},
+               lang AS lang_actual
+        FROM t
+    )
+    SELECT doc_id, {', '.join(score_names)}, lang_actual, {case} AS lang_pred
+    FROM s
+    """
+
+
+def text_quality_sql() -> str:
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+               length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> list_contains({_in_list(STOPWORDS_EN)}, x))) AS n_stop
+        FROM documents
+    ),
+    ratios AS (
+        SELECT doc_id, n_chars, n_tokens,
+               CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END AS alpha_ratio,
+               CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
+               CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END AS stop_ratio
+        FROM base
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(0.4 * least(n_tokens * 1.0 / 20.0, 1.0)
+                 + 0.3 * alpha_ratio
+                 + 0.2 * (1.0 - punct_ratio)
+                 + 0.1 * least(stop_ratio * 5.0, 1.0), 6) AS quality_score
+    FROM ratios
+    """
+
+
+def token_stats_sql() -> str:
+    return r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS regex_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """
+
+
+def doc_fingerprints_sql() -> str:
+    fp_raw = ROLLING_HASH.format(s="text")
+    fp_norm = ROLLING_HASH.format(s=NORMALIZE.format(s="text"))
+    return f"""
+    SELECT doc_id, {fp_raw} AS fp_raw, {fp_norm} AS fp_norm
+    FROM documents
+    """
+
+
+# --- similarity -----------------------------------------------------------
+
+
+def _cosine_pairs_cte(left_filter: str = "") -> str:
+    return f"""
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    """
+
+
+def brute_topk_sql(k: int = 5, query_pred: str = "vec_id < 20") -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.e, c.e), 6) AS sim
+        FROM (SELECT * FROM v WHERE {query_pred}) q
+        JOIN v c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {k}
+    """
+
+
+def cosine_near_pairs_sql(threshold: float = 0.45) -> str:
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_cosine_similarity(a.e, b.e), 6) AS sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, sim FROM pairs WHERE sim >= {threshold}
+    """

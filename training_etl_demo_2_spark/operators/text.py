@@ -1,0 +1,111 @@
+"""Text-analysis kit for training-data pipelines (north-star ops,
+SURVEY §2.12): language ID, quality scoring, token counting, document
+fingerprinting. All pure ``F.*`` column expressions — no Python UDFs —
+so they run inside whole-stage codegen and scale as narrow,
+shuffle-free per-row transforms (embarrassingly parallel at 100 TB; the
+only cost is the scan).
+
+Each op is deterministic and reproducible in ANSI SQL (the DuckDB
+oracle twins live in __spark_entry__.py). Regex patterns stick to
+constructs with identical semantics in Java regex and RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import normalize_text, rolling_hash, tokens_regex
+
+# Marker stopwords per language for the n-gram/stopword-count heuristic.
+# Deterministic tie-break: preference order en > de > fr > es.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in"],
+    "de": ["der", "die", "und", "das", "ist", "nicht"],
+    "fr": ["le", "les", "et", "des", "est", "une"],
+    "es": ["el", "los", "que", "por", "una", "para"],
+}
+
+STOPWORDS_EN = ["the", "a", "and", "of", "to", "is", "in", "it", "on", "for"]
+
+
+def _tokens(col: str = "text") -> Column:
+    return F.split(F.lower(F.col(col)), " ")
+
+
+def _marker_score(tokens: Column, markers: list[str]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(arr, t)))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: count per-language marker tokens, argmax
+    with a fixed preference order (unknown if no marker hits)."""
+    tokens = _tokens(text_col)
+    scored = df.select(
+        "doc_id",
+        *[
+            _marker_score(tokens, m).alias(f"score_{lang}")
+            for lang, m in LANG_MARKERS.items()
+        ],
+        F.col("lang").alias("lang_actual"),
+    )
+    s = {lang: F.col(f"score_{lang}") for lang in LANG_MARKERS}
+    best = F.greatest(*s.values())
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in LANG_MARKERS:  # dict order == preference order
+        pred = pred.when(s[lang] == best, F.lit(lang))
+    return scored.withColumn("lang_pred", pred).orderBy("doc_id")
+
+
+def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality features: char/token counts, alpha & punctuation ratios,
+    stopword ratio, and a composite score in [0,1]."""
+    text = F.col(text_col)
+    tokens = _tokens(text_col)
+    n_chars = F.length(text)
+    n_tokens = F.size(tokens)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(sw, t)))
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(0.0)
+    alpha_ratio = safe(n_alpha, n_chars)
+    punct_ratio = safe(n_punct, n_chars)
+    stop_ratio = safe(n_stop, n_tokens)
+    score = (
+        0.4 * F.least(n_tokens.cast("double") / 20.0, F.lit(1.0))
+        + 0.3 * alpha_ratio
+        + 0.2 * (1.0 - punct_ratio)
+        + 0.1 * F.least(stop_ratio * 5.0, F.lit(1.0))
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish regex
+    tokens (letter runs / digit runs / single punctuation)."""
+    return df.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
+        F.size(tokens_regex(text_col)).alias("regex_tokens"),
+        F.length(text_col).alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprints: polynomial rolling hash of
+    the raw and the normalized text (the dedup-key primitive)."""
+    return df.select(
+        "doc_id",
+        rolling_hash(text_col).alias("fp_raw"),
+        rolling_hash(normalize_text(text_col)).alias("fp_norm"),
+    ).orderBy("doc_id")
