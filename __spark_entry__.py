@@ -23,6 +23,7 @@ from training_etl_demo_2_spark.operators import (
     oracle,
     oracle_text,
     relational,
+    relational_ext,
     similarity,
     text,
     wordcount,
@@ -71,6 +72,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_summary_stats": _q(relational.lineitem_summary_stats),
         "events_hourly": _q(relational.events_hourly),
         "sessionize_events": _q(relational.sessionize_events),
+        # --- relational breadth 2: correlated predicates, pivot/cube,
+        #     percentiles, moving windows (§2.2-2.6)
+        "q4_order_priority": _q(relational_ext.q4_order_priority),
+        "idle_customers": _q(relational_ext.idle_customers),
+        "q17_small_quantity_revenue": _q(relational_ext.q17_small_quantity_revenue),
+        "q14_promo_revenue": _q(relational_ext.q14_promo_revenue),
+        "q18_large_orders": _q(relational_ext.q18_large_orders),
+        "priority_mix_by_year": _q(relational_ext.priority_mix_by_year),
+        "status_by_segment_pivot": _q(relational_ext.status_by_segment_pivot),
+        "orders_cube_by_year": _q(relational_ext.orders_cube_by_year),
+        "event_value_percentiles": _q(relational_ext.event_value_percentiles),
+        "daily_revenue_trend": _q(relational_ext.daily_revenue_trend),
         # --- reference job B enrichment (§2.1 S7, F3-F5)
         "sink_word_items": _q(_sink_items),
         # --- north-star: text analysis (§2.12)
@@ -249,6 +262,122 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS sum_value
             FROM sess
             GROUP BY user_id, session_seq
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            )
+            GROUP BY o_orderpriority
+        """,
+        "idle_customers": """
+            WITH thr AS (
+                SELECT avg(c_acctbal) AS thr_bal FROM customer WHERE c_acctbal > 0
+            )
+            SELECT n_name, count(*) AS n_customers,
+                   round(sum(c_acctbal), 2) AS sum_acctbal
+            FROM customer
+            CROSS JOIN thr
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > thr.thr_bal
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+              )
+            GROUP BY n_name
+        """,
+        "q17_small_quantity_revenue": """
+            WITH bl AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_brand = 'Brand#1'
+            ), pa AS (
+                SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg
+                FROM bl GROUP BY l_partkey
+            )
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                   count(*) AS n_rows
+            FROM bl JOIN pa USING (l_partkey)
+            WHERE l_quantity < half_avg
+        """,
+        "q14_promo_revenue": """
+            SELECT round(
+                       100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                        THEN l_extendedprice * (1 - l_discount)
+                                        ELSE 0.0 END)
+                       / sum(l_extendedprice * (1 - l_discount)), 4
+                   ) AS promo_share_pct,
+                   count(*) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-02-01'
+        """,
+        "q18_large_orders": """
+            SELECT c_custkey, c_name, o_orderkey,
+                   round(o_totalprice, 2) AS totalprice,
+                   round(sum_qty, 2) AS sum_qty
+            FROM (
+                SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+            ) big
+            JOIN orders ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY totalprice DESC, o_orderkey ASC
+            LIMIT 20
+        """,
+        "priority_mix_by_year": """
+            SELECT year(o_orderdate) AS order_year,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS n_urgent_high,
+                   count(*) AS n_orders,
+                   round(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                  THEN 1 ELSE 0 END) * 1.0 / count(*), 4
+                   ) AS urgent_share
+            FROM orders
+            GROUP BY year(o_orderdate)
+        """,
+        "status_by_segment_pivot": """
+            SELECT c_mktsegment,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "orders_cube_by_year": """
+            SELECT o_orderstatus, year(o_orderdate) AS order_year,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_totalprice
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, year(o_orderdate))
+        """,
+        "event_value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 4) AS p25,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.75), 4) AS p75,
+                   round(max(value), 2) AS max_value,
+                   count(*) AS n
+            FROM events
+            GROUP BY event_type
+        """,
+        "daily_revenue_trend": """
+            WITH daily0 AS (
+                SELECT date_trunc('day', l_shipdate) AS day,
+                       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+                            AS BIGINT) AS cents
+                FROM lineitem GROUP BY 1
+            ), daily AS (
+                SELECT day, cents, round(cents / 100.0, 2) AS revenue FROM daily0
+            )
+            SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
+                   round(sum(cents) OVER w / count(cents) OVER w / 100.0, 4) AS mavg7
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
         "sink_word_items": f"""
             SELECT 'word_' || word AS id, word, count(*) AS count

@@ -1,0 +1,256 @@
+"""Relational breadth, part 2: correlated predicates (EXISTS / NOT
+EXISTS as semi/anti joins), scalar subqueries, conditional aggregation,
+pivot, cube, exact percentiles, and moving-window frames.
+
+Extends ``relational.py`` toward full ad-hoc-SQL parity for the
+reference's Athena analysis phase (``/root/reference/reqdef.yaml:69-73``)
+— every shape a user could type against the parquet tables should have
+a first-class, Catalyst-planned equivalent here.
+
+Scale notes inline; determinism rules identical to ``relational.py``
+(floats rounded, limits tie-broken, timestamps emitted as strings).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def q4_order_priority(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS(correlated inequality) → left-semi join.
+
+    The semi join carries only the join keys through the shuffle (no
+    lineitem payload columns); Catalyst rewrites the duplicate-free
+    probe automatically. At 100 TB the shuffle is orderkey-keyed on
+    both sides — the same co-partitioning every fact⋈orders query
+    uses, so a bucketed layout amortizes it.
+    """
+    o, li = t["orders"], t["lineitem"]
+    late = li.select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(late, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def idle_customers(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (avg balance of in-credit
+    customers) + NOT EXISTS (no recent orders) → broadcast of a 1-row
+    aggregate + left-anti join, grouped per nation.
+
+    The 1-row threshold is broadcast (never a shuffle); the anti join
+    shuffles only (custkey) pairs.
+    """
+    c, o, n = t["customer"], t["orders"], t["nation"]
+    thr = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("thr_bal"))
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def q17_small_quantity_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q17 shape: correlated avg-quantity subquery, decorrelated
+    into a per-part aggregate joined back to the fact rows.
+
+    Brand filter first (broadcast semi join) so both the aggregate and
+    the re-join touch ~1/|brands| of lineitem; the per-part avg table
+    is tiny → broadcast, leaving ONE shuffle (the brand filter's none —
+    it's a broadcast) in the whole plan.
+    """
+    li, p = t["lineitem"], t["part"]
+    bparts = p.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    li_b = li.join(
+        F.broadcast(bparts), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    half_avg = li_b.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")
+    )
+    return (
+        li_b.join(F.broadcast(half_avg), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q14_promo_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (CASE inside SUM) over a
+    fact⋈dim join for one ship-month. part is broadcast; the single
+    output row needs no final shuffle beyond the global agg."""
+    li, p = t["lineitem"], t["part"]
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0)))
+                / F.sum(disc),
+                4,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q18_large_orders(t: dict[str, DataFrame], min_qty: float = 250.0) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact aggregate, joined back to
+    orders+customer, top-20.
+
+    The HAVING aggregate reduces lineitem to qualifying orderkeys
+    BEFORE any wide join — the qualifying set is small, so both
+    subsequent joins broadcast it. Top-20 fuses into
+    TakeOrderedAndProject.
+    """
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > min_qty)
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def priority_mix_by_year(t: dict[str, DataFrame]) -> DataFrame:
+    """Conditional aggregation by derived key: urgent/high order share
+    per order year. One shuffle on ~7 year groups, partials map-side."""
+    o = t["orders"]
+    urgent = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        o.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.sum(urgent).alias("n_urgent_high"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(urgent) / F.count(F.lit(1)), 4).alias("urgent_share"),
+        )
+        .orderBy("order_year")
+    )
+
+
+def status_by_segment_pivot(t: dict[str, DataFrame]) -> DataFrame:
+    """Pivot: order counts per market segment × order status. Explicit
+    pivot values keep the plan single-pass (no distinct-values pre-job)
+    — at 100 TB always enumerate pivot columns."""
+    o, c = t["orders"], t["customer"]
+    piv = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "c_mktsegment",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    ).orderBy("c_mktsegment")
+
+
+def orders_cube_by_year(t: dict[str, DataFrame]) -> DataFrame:
+    """CUBE over (status, order year): all 4 grouping combinations in a
+    single Expand + one shuffle (vs 4 separate scans)."""
+    o = t["orders"]
+    return (
+        o.cube("o_orderstatus", F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_totalprice"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("order_year").asc_nulls_first(),
+        )
+    )
+
+
+def event_value_percentiles(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact percentiles (linear interpolation) per event type.
+
+    Exact percentile is a sort-based aggregate — fine per small group
+    domain. At 100 TB with huge groups switch to
+    ``approx_percentile(value, p, accuracy)`` (t-digest-style sketch,
+    mergeable map-side) and accept bounded error.
+    """
+    e = t["events"]
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.75)), 4).alias("p75"),
+            F.round(F.max("value"), 2).alias("max_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def daily_revenue_trend(t: dict[str, DataFrame]) -> DataFrame:
+    """Moving-window frame: daily revenue + trailing 7-day average.
+
+    Two-level plan: big shuffle to ~thousands of day groups, then a
+    single-partition window over the (tiny) daily series. The window
+    accumulates integer CENTS, not doubles: floating sums depend on
+    accumulation order (sliding-frame implementations differ across
+    engines), while integer sums are exact — the only way a moving
+    aggregate hashes identically everywhere.
+    """
+    li = t["lineitem"]
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # floor(x*100 + 0.5), not round(): round()'s half-way behavior on
+    # doubles is engine-specific (decimal-string vs binary); floor is a
+    # pure binary op, so identical doubles give identical cents.
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        F.floor(rev * 100 + F.lit(0.5)).cast("long").alias("cents")
+    ).withColumn("revenue", F.round(F.col("cents") / 100.0, 2))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    mavg7 = F.round(
+        F.sum("cents").over(w) / F.count("cents").over(w) / 100.0, 4
+    )
+    return (
+        daily.withColumn("mavg7", mavg7)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "revenue",
+            "mavg7",
+        )
+        .orderBy("day")
+    )
