@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda t: similarity.brute_topk_pandas(t["embeddings"], k=5)
         ),
         "ann_lsh_topk": _q(lambda t: similarity.lsh_topk(t["embeddings"], k=5)),
+        "ann_ivf_topk": _q(lambda t: similarity.ivf_topk(t["embeddings"], k=5)),
         "embedding_near_pairs": _q(
             lambda t: similarity.cosine_near_pairs(t["embeddings"], threshold=0.45)
         ),

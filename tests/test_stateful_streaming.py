@@ -1,0 +1,82 @@
+"""Custom stateful streaming: applyInPandasWithState accumulators and
+watermark-bounded streaming dedup, verified against batch equivalents."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from training_etl_demo_2_spark.streaming import stateful, windowed
+
+
+def _write_batches(events, out_dir, n_files):
+    events.repartition(n_files).write.mode("overwrite").parquet(str(out_dir))
+
+
+def test_running_totals_accumulate_across_batches(spark, tables, tmp_path):
+    """maxFilesPerTrigger=1 over 3 files → 3 micro-batches; the final
+    emission per user must equal the batch groupBy totals."""
+    events = tables["events"]
+    in_dir = tmp_path / "ev_state"
+    _write_batches(events, in_dir, 3)
+
+    stream = windowed.read_events_stream(spark, str(in_dir))
+    result = stateful.running_user_totals(stream)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("user_totals_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        emitted = spark.sql("SELECT * FROM user_totals_test").collect()
+    finally:
+        q.stop()
+
+    # totals are monotone per user: the max n_events row is the final state
+    final = {}
+    for r in emitted:
+        if r.user_id not in final or r.n_events > final[r.user_id][0]:
+            final[r.user_id] = (r.n_events, r.sum_value)
+
+    want = {
+        r.user_id: (r.n, r.s)
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert set(final) == set(want)
+    for uid, (n, s) in want.items():
+        assert final[uid][0] == n
+        assert abs(final[uid][1] - s) < 0.05
+    # state really accumulated across batches: some user updated more than once
+    assert len(emitted) > len(want)
+
+
+def test_dedup_stream_drops_replayed_batch(spark, tables, tmp_path):
+    """Write the same events twice (replay) → streaming dedup must emit
+    each event_id once."""
+    events = tables["events"].limit(200).cache()
+    in_dir = tmp_path / "ev_dedup"
+    # same rows appended twice into one source dir = a replayed batch
+    events.coalesce(1).write.mode("append").parquet(str(in_dir))
+    events.coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    stream = windowed.read_events_stream(spark, str(in_dir))
+    result = stateful.dedup_stream(stream)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = spark.sql("SELECT event_id FROM dedup_stream_test").collect()
+    finally:
+        q.stop()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids))
+    assert set(ids) == {r.event_id for r in events.select("event_id").collect()}

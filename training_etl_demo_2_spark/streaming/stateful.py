@@ -1,0 +1,69 @@
+"""Custom stateful streaming operators (north-star §2.12 / SURVEY §2.9).
+
+Where ``windowed.py`` uses built-in windowed aggregation, these are the
+ARBITRARY-state path: ``applyInPandasWithState`` keeps a typed state row
+per group key across micro-batches — the Spark idiom for operators whose
+state machine the built-ins can't express (running counters, CDC-style
+accumulators, custom sessionization policies).
+
+Scale notes: state lives in the executor state store partitioned by the
+group key (one shuffle per batch on that key); watermarks bound state for
+the event-time operators. On a real cluster back the store with RocksDB
+(``spark.sql.streaming.stateStore.providerClass``) so state >> heap is
+fine. Arrow batches move rows executor↔Python, same as the batch
+Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTALS_SCHEMA = "user_id long, n_events long, sum_value double"
+RUNNING_TOTALS_STATE = "n long, s double"
+
+
+def running_user_totals(stream: DataFrame) -> DataFrame:
+    """Per-user lifetime totals, updated each micro-batch.
+
+    State: one (n, s) row per user, merged with every arriving batch;
+    emits the new running total for users seen in the batch ("update"
+    semantics). This is the minimal template for any
+    accumulate-forever stateful operator.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 2)]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        RUNNING_TOTALS_SCHEMA,
+        RUNNING_TOTALS_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps a keyed state entry only
+    until the watermark passes it — bounded state, unlike plain
+    ``dropDuplicates`` on a stream which grows forever. The streaming
+    twin of the batch ``dedup.drop_exact_duplicates``.
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
