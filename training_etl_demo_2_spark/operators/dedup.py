@@ -84,35 +84,55 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingle_hashes(
-    df: DataFrame, text_col: str = "text", n: int = DEFAULT_NGRAM
+    df: DataFrame, text_col: str = "text", n: int = DEFAULT_NGRAM, distinct: bool = True
 ) -> DataFrame:
-    """(doc_id, h): distinct word-n-gram shingles as 8-byte hashes."""
+    """(doc_id, h): word-n-gram shingles as 8-byte hashes.
+
+    ``distinct=True`` (set semantics, one shuffle) is required for
+    Jaccard set sizes; MinHash callers pass ``distinct=False`` — min()
+    is duplicate-insensitive, so they skip that shuffle entirely
+    (array_distinct already dedups within a doc; the global distinct
+    only guards cross-partition doc splits, impossible here)."""
     tokens = F.split(F.col(text_col), " ")
-    return (
-        df.select(
-            "doc_id",
-            F.explode(F.array_distinct(word_ngrams(tokens, n))).alias("shingle"),
-        )
-        .select("doc_id", rolling_hash(F.col("shingle")).alias("h"))
-        .distinct()
-    )
+    sh = df.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_ngrams(tokens, n))).alias("shingle"),
+    ).select("doc_id", rolling_hash(F.col("shingle")).alias("h"))
+    return sh.distinct() if distinct else sh
 
 
 def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard per doc pair from a (doc_id, h) shingle relation.
-    If ``pairs`` (doc_a, doc_b) is given, only those pairs are scored
-    (candidate verification); else all co-shingled pairs."""
+
+    Without ``pairs``: all co-shingled pairs via the h-keyed self-join —
+    the ground-truth path, O(pairs sharing a shingle).
+
+    With ``pairs`` (candidate verification): the intersection is
+    computed FROM the candidates — pairs ⋈ shingles(doc_a) ⋈ shingles
+    (doc_b, h) — so cost is O(Σ_candidates |shingles(doc_a)|), not the
+    full self-join. This is what makes LSH banding actually pay off:
+    the verify stage must scale with the candidate count, never with
+    the corpus pair count.
+    """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
-    shared = (
-        a.join(b, ["h"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
     if pairs is not None:
-        shared = shared.join(pairs, ["doc_a", "doc_b"], "semi")
+        a_sh = sh.select(F.col("doc_id").alias("doc_a"), "h")
+        b_sh = sh.select(F.col("doc_id").alias("doc_b"), "h")
+        shared = (
+            pairs.join(a_sh, "doc_a")
+            .join(b_sh, ["doc_b", "h"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+        shared = (
+            a.join(b, ["h"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
     return (
         shared.join(
             sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
@@ -160,8 +180,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """32-perm MinHash signature per doc: min over shingles of
     (a_i·h + b_i) mod P for each i — one groupBy with 32 min-aggs
-    (single shuffle, partials map-side)."""
-    sh = shingle_hashes(df, text_col, n)
+    (single shuffle, partials map-side; no distinct — min() is
+    duplicate-insensitive)."""
+    sh = shingle_hashes(df, text_col, n, distinct=False)
     return sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % P).alias(
@@ -228,8 +249,11 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """32-bit SimHash over word tokens (Charikar 2002): per bit, sum
     ±weight over token hashes; bit = 1 iff the sum is positive.
 
-    Fully relational: tokens → (doc, token-hash, weight) → explode 32
-    bit positions → two hash-aggs. Everything stays in codegen.
+    Physical shape: tokens → (doc, token-hash, weight) → ONE groupBy
+    with 32 conditional-sum aggregates (bit b of h via shiftright).
+    Columnar bit-sums replace the naive explode-32-rows-per-token plan:
+    32× less shuffled data and one aggregation instead of two, all
+    inside whole-stage codegen.
     """
     tokens = (
         df.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
@@ -237,35 +261,22 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
         .select("doc_id", rolling_hash(F.col("tok")).alias("h"), "w")
     )
-    bits = tokens.select(
-        "doc_id",
-        "w",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-    ).select(
-        "doc_id",
-        "bit",
-        (
-            F.when(
-                (F.floor(F.col("h") / F.pow(F.lit(2.0), F.col("bit"))).cast("long") % 2)
-                == 1,
-                F.col("w"),
-            ).otherwise(-F.col("w"))
-        ).alias("contrib"),
-    )
-    return (
-        bits.groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0, F.pow(F.lit(2.0), F.col("bit")).cast("long")
-                ).otherwise(F.lit(0))
-            ).alias("simhash")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
+                -F.col("w")
+            )
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    per_doc = tokens.groupBy("doc_id").agg(*bit_sums)
+    simhash = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .orderBy("doc_id")
-    )
+        simhash = term if simhash is None else simhash + term
+    return per_doc.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
 
 
 def simhash_near_pairs(
@@ -277,12 +288,9 @@ def simhash_near_pairs(
     collisions instead of n² pairs."""
     fp = simhash_fingerprints(df, text_col)
     band_cols = [
-        (
-            F.floor(
-                F.col("simhash") / F.pow(F.lit(2.0), F.lit(b * SIMHASH_BAND_BITS))
-            ).cast("long")
-            % (2**SIMHASH_BAND_BITS)
-        ).alias(f"bk{b}")
+        F.shiftright("simhash", b * SIMHASH_BAND_BITS)
+        .bitwiseAND(F.lit(2**SIMHASH_BAND_BITS - 1))
+        .alias(f"bk{b}")
         for b in range(SIMHASH_BANDS)
     ]
     bands = fp.select(
@@ -302,7 +310,9 @@ def simhash_near_pairs(
             "doc_b",
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)  # before distinct: the
+        # dedup shuffle then carries only matching pairs, not every
+        # band-bucket collision
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
