@@ -51,12 +51,38 @@ def _q(fn) -> Callable[[SparkSession, str], DataFrame]:
     return lambda spark, sf_dir: fn(load_tables(spark, sf_dir))
 
 
+# One SQL text, two engines: runs verbatim on spark.sql AND on DuckDB.
+ADHOC_NATION_REVENUE_SQL = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
+
+
+def _sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from training_etl_demo_2_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(ADHOC_NATION_REVENUE_SQL)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
         # --- reference core: word-frequency pipeline (§2 P1,F1,F2,A1,O1,O2)
         "word_count": _q(lambda t: wordcount.word_counts(t["documents"])),
         "top10_words": _q(lambda t: wordcount.top_k_words(t["documents"], 10)),
+        "word_count_salted": _q(
+            lambda t: wordcount.word_counts_salted(t["documents"])
+        ),
+        # --- SQL surface (the Athena phase, reqdef.yaml:69-73): the exact
+        #     same SQL text runs on spark.sql and on the DuckDB oracle
+        "sql_nation_revenue": _sql_passthrough,
         # --- relational breadth (§2.2-2.8 + Athena phase)
         "q1_pricing_summary": _q(relational.q1_pricing_summary),
         "q6_forecast_revenue": _q(relational.q6_forecast_revenue),
@@ -91,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q(lambda t: text.text_quality(t["documents"])),
         "token_stats": _q(lambda t: text.token_stats(t["documents"])),
         "doc_fingerprints": _q(lambda t: text.doc_fingerprints(t["documents"])),
+        "bigram_counts": _q(lambda t: text.ngram_counts(t["documents"], n=2)),
         # --- north-star: dedup (§2.12)
         "dedup_exact": _q(lambda t: dedup.exact_dedup_groups(t["documents"])),
         "dedup_ngram_jaccard": _q(
@@ -133,6 +160,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         "word_count": f"{word_count_core}",
         "top10_words": f"{word_count_core} ORDER BY cnt DESC, word ASC LIMIT 10",
+        "word_count_salted": f"{word_count_core}",
+        "sql_nation_revenue": ADHOC_NATION_REVENUE_SQL,
+        "bigram_counts": """
+            SELECT ngram, count(*) AS cnt FROM (
+                SELECT unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS ngram
+                FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+            )
+            GROUP BY ngram HAVING count(*) >= 2
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

@@ -54,6 +54,37 @@ def test_running_totals_accumulate_across_batches(spark, tables, tmp_path):
     assert len(emitted) > len(want)
 
 
+def test_stream_to_keyvalue_sink(spark, tables, tmp_path):
+    """Streamed events land in the batched key-value sink exactly once
+    per event_id (dedup upstream, keyed last-write-wins in the sink)."""
+    import json
+
+    events = tables["events"].limit(100).cache()
+    in_dir = tmp_path / "ev_kv"
+    events.coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    out_file = tmp_path / "kv_items.jsonl"
+
+    def factory():
+        def put(items):
+            with open(out_file, "a") as f:
+                for it in items:
+                    f.write(json.dumps({"event_id": it["event_id"]}) + "\n")
+
+        return put
+
+    stream = windowed.read_events_stream(spark, str(in_dir))
+    deduped = stateful.dedup_stream(stream).select("event_id", "ts", "value")
+    q = stateful.stream_to_keyvalue(
+        deduped, factory, str(tmp_path / "ckpt"), batch_size=7, num_partitions=2
+    )
+    q.awaitTermination(120)
+    q.stop()
+
+    ids = [json.loads(l)["event_id"] for l in out_file.read_text().splitlines()]
+    assert sorted(ids) == sorted(r.event_id for r in events.collect())
+
+
 def test_dedup_stream_drops_replayed_batch(spark, tables, tmp_path):
     """Write the same events twice (replay) → streaming dedup must emit
     each event_id once."""

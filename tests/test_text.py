@@ -49,3 +49,18 @@ def test_fingerprints_normalization(spark):
     rows = {r.doc_id: r for r in text.doc_fingerprints(df).collect()}
     assert rows[1].fp_raw != rows[2].fp_raw
     assert rows[1].fp_norm == rows[2].fp_norm
+
+
+def test_ngram_counts_bigrams(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a b x")], "doc_id long, text string"
+    )
+    rows = {r.ngram: r.cnt for r in text.ngram_counts(df, n=2, min_count=1).collect()}
+    assert rows["a b"] == 3  # twice in doc 1, once in doc 2
+    assert rows["b c"] == 1
+    assert "b x" in rows
+
+
+def test_ngram_counts_short_docs_empty(spark):
+    df = spark.createDataFrame([(1, "one")], "doc_id long, text string")
+    assert text.ngram_counts(df, n=2, min_count=1).count() == 0

@@ -41,3 +41,13 @@ def test_on_documents_table(tables):
     rows = wc.collect()
     assert len(rows) > 0
     assert rows[0].cnt == max(r.cnt for r in rows)
+
+
+def test_salted_equals_plain(tables):
+    from training_etl_demo_2_spark.operators.wordcount import word_counts_salted
+
+    plain = {(r.word, r.cnt) for r in word_counts(tables["documents"]).collect()}
+    salted = {
+        (r.word, r.cnt) for r in word_counts_salted(tables["documents"]).collect()
+    }
+    assert plain == salted

@@ -53,21 +53,28 @@ def word_ngrams(tokens: Column, n: int) -> Column:
     """Word n-gram shingles from a token array, JVM-side.
 
     ``transform`` over indices + ``slice`` — no Python UDF; scales as a
-    narrow per-row transform. Empty result for docs with < n tokens.
+    narrow per-row transform. Docs with < n tokens yield an empty array
+    via the guard: ``sequence(1, 0)`` would otherwise DESCEND ([1, 0])
+    and feed slice an illegal start of 0.
     """
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(0))),
+    make = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
         lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+    return F.when(F.size(tokens) >= n, make).otherwise(
+        F.array().cast("array<string>")
     )
 
 
 def char_shingles(col: str | Column, k: int = 5) -> Column:
-    """Character k-gram shingles of normalized text (distinct not applied)."""
+    """Character k-gram shingles of normalized text (distinct not
+    applied). Same short-input guard as word_ngrams."""
     c = normalize_text(col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(c) - (k - 1), F.lit(0))),
+    make = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (k - 1)),
         lambda i: F.substring(c, i, k),
     )
+    return F.when(F.length(c) >= k, make).otherwise(F.array().cast("array<string>"))
 
 
 def rolling_hash(col: str | Column, base: int = 31, mod: int = FNV_MOD) -> Column:

@@ -101,6 +101,26 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).orderBy("doc_id")
 
 
+def ngram_counts(
+    df: DataFrame, n: int = 2, text_col: str = "text", min_count: int = 2
+) -> DataFrame:
+    """Corpus-level n-gram frequency (vocabulary building / contamination
+    checks). Same physical shape as word_counts — narrow shingle
+    generation, partial agg, one shuffle on the n-gram key. At 100 TB
+    hash the n-gram (``rolling_hash``) before the shuffle and join the
+    strings back only for the surviving rows."""
+    from ..functions import word_ngrams
+
+    tokens = F.split(F.col(text_col), " ")
+    return (
+        df.select(F.explode(word_ngrams(tokens, n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .orderBy(F.desc("cnt"), F.asc("ngram"))
+    )
+
+
 def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprints: polynomial rolling hash of
     the raw and the normalized text (the dedup-key primitive)."""

@@ -56,6 +56,38 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_to_keyvalue(
+    result: DataFrame,
+    put_batch_factory,
+    checkpoint_dir: str,
+    batch_size: int = 25,
+    num_partitions: int = 4,
+):
+    """Bridge a streaming result into the batched key-value sink: each
+    micro-batch runs the same ``repartition(n).foreachPartition`` writer
+    the batch path uses (sinks/keyvalue.py), so one sink implementation
+    serves both. The checkpoint gives exactly-once *batch tracking*;
+    end-to-end idempotence still relies on keyed last-write-wins at the
+    endpoint (same contract as the reference's DynamoDB loader).
+    """
+    from ..sinks.keyvalue import write_keyvalue
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        write_keyvalue(
+            batch_df,
+            put_batch_factory,
+            batch_size=batch_size,
+            num_partitions=num_partitions,
+        )
+
+    return (
+        result.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon.
 
