@@ -147,6 +147,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 multimodal.attach_fake_payload(t["documents"])
             ).select("doc_id", "media_type", "nbytes", "width", "height")
         ),
+        "multimodal_resize": _q(
+            lambda t: multimodal.resize_images(
+                multimodal.attach_fake_payload(t["documents"]), out_w=8, out_h=8
+            ).select("doc_id", "media_type", "width", "height")
+        ),
+        "multimodal_frames": _q(
+            lambda t: multimodal.sample_frames(
+                multimodal.attach_fake_payload(t["documents"]), every_n=4
+            ).select("doc_id", "frame_idx", "n_frames")
+        ),
+        "multimodal_audio": _q(
+            lambda t: multimodal.audio_features(
+                multimodal.attach_fake_payload(t["documents"])
+            )
+        ),
     }
 
 
@@ -438,7 +453,19 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": oracle_text.brute_topk_sql(k=5),
         "ann_brute_topk_pandas": oracle_text.brute_topk_sql(k=5),
         "embedding_near_pairs": oracle_text.cosine_near_pairs_sql(threshold=0.45),
-        # multimodal (features query is rows-only: numpy fake decode)
+        # multimodal (features/resize/audio are rows-only: numpy fake
+        # decode kernels; frames sampling IS pure arithmetic over byte
+        # lengths, so it gets a real oracle)
+        "multimodal_frames": """
+            SELECT doc_id,
+                   CAST(unnest(range(0, nf, 4)) AS INT) AS frame_idx,
+                   CAST(nf AS INT) AS n_frames
+            FROM (
+                SELECT doc_id,
+                       greatest(1, octet_length(encode(text)) // 64) AS nf
+                FROM documents
+            )
+        """,
         "multimodal_metadata": """
             SELECT doc_id,
                    octet_length(encode(text)) AS nbytes,

@@ -79,3 +79,45 @@ def test_streaming_session_window(spark, sf_dir, tmp_path):
         q.stop()
     assert len(rows) > 0
     assert all(r.session_start <= r.session_end for r in rows)
+
+
+def test_resize_images_shape(tables):
+    media = multimodal.attach_fake_payload(tables["documents"].limit(20))
+    rows = multimodal.resize_images(media, out_w=4, out_h=4).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert (r.width, r.height) == (4, 4)
+        assert len(r.payload) == 16  # 4x4 grayscale bytes
+
+
+def test_resize_real_decode_stubbed(tables):
+    import pytest as _pytest
+
+    media = multimodal.attach_fake_payload(tables["documents"].limit(1))
+    with _pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, decode_fn=lambda b: None)
+
+
+def test_sample_frames_stride(tables):
+    media = multimodal.attach_fake_payload(tables["documents"].limit(10))
+    rows = multimodal.sample_frames(media, every_n=3).collect()
+    assert len(rows) > 0
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert r.frame_idx % 3 == 0
+        assert len(r.frame) <= multimodal.FRAME_BYTES
+    for doc_rows in by_doc.values():
+        n_frames = doc_rows[0].n_frames
+        want = len(range(0, n_frames, 3))
+        assert len(doc_rows) == want
+
+
+def test_audio_features_deterministic(tables):
+    media = multimodal.attach_fake_payload(tables["documents"].limit(15))
+    a = {r.doc_id: tuple(r) for r in multimodal.audio_features(media).collect()}
+    b = {r.doc_id: tuple(r) for r in multimodal.audio_features(media).collect()}
+    assert a == b
+    for r in a.values():
+        assert r[1] > 0  # n_samples
+        assert r[3] >= 0  # std

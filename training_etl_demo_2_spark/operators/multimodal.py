@@ -58,6 +58,128 @@ def media_metadata(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).orderBy("doc_id")
 
 
+RESIZED_SCHEMA = "doc_id long, media_type string, width int, height int, payload binary"
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, n_frames int, frame binary"
+
+AUDIO_SCHEMA = (
+    "doc_id long, n_samples long, mean double, std double, zero_crossings long"
+)
+
+FRAME_BYTES = 64  # fake codec: fixed-size frames inside the payload
+
+
+def resize_images(
+    media: DataFrame, out_w: int = 8, out_h: int = 8, decode_fn=None
+) -> DataFrame:
+    """Resize plumbing: payload → decode → nearest-neighbor resample →
+    re-encoded payload. Fake decode = interpret bytes as a √n×√n
+    grayscale grid (same convention as extract_features); real decode
+    needs codec libs → NotImplementedError.
+
+    Scale shape: narrow 1→1 transform, blobs never shuffle — the
+    resized (smaller) payload replaces the original in the projection.
+    """
+    if decode_fn is not None:
+        raise NotImplementedError(
+            "real image decoding needs codec libraries not present here; "
+            "use decode_fn=None for the deterministic fake path"
+        )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for blob in pdf["payload"]:
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                w = int(max(1, np.floor(np.sqrt(arr.size))))
+                h = int(arr.size // w) or 1
+                img = arr[: w * h].reshape(h, w)
+                yy = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xx = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                out.append(img[np.ix_(yy, xx)].tobytes())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": out_w,
+                    "height": out_h,
+                    "payload": out,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling (video path): payload → fixed-size fake frames →
+    keep every ``every_n``-th. A 1→N expansion done inside the Arrow
+    batch (rows stay bounded by batch size × frames/doc; at 100 TB
+    bound the blow-up with maxRecordsPerBatch and sample BEFORE any
+    shuffle so only kept frames move)."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            doc_ids, idxs, totals, frames = [], [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(blob)
+                n_frames = max(1, len(buf) // FRAME_BYTES)
+                for i in range(0, n_frames, every_n):
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    totals.append(n_frames)
+                    frames.append(buf[i * FRAME_BYTES : (i + 1) * FRAME_BYTES])
+            yield pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": idxs,
+                    "n_frames": totals,
+                    "frame": frames,
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Audio-feature plumbing: payload bytes as a fake PCM signal →
+    vectorized moments + zero-crossing count per doc. Real decode is
+    the same stub boundary as images."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            means, stds, zcs, ns = [], [], [], []
+            for blob in pdf["payload"]:
+                sig = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.float64)
+                sig -= 128.0
+                ns.append(len(sig))
+                means.append(float(sig.mean()) if len(sig) else 0.0)
+                stds.append(float(sig.std()) if len(sig) else 0.0)
+                zcs.append(int(np.sum(np.signbit(sig[1:]) != np.signbit(sig[:-1]))))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_samples": ns,
+                    "mean": np.round(means, 6),
+                    "std": np.round(stds, 6),
+                    "zero_crossings": zcs,
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_SCHEMA)
+
+
 DecodeFn = Callable[[bytes], np.ndarray]
 
 
