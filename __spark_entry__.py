@@ -110,6 +110,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube_by_year": _q(relational_ext.orders_cube_by_year),
         "event_value_percentiles": _q(relational_ext.event_value_percentiles),
         "daily_revenue_trend": _q(relational_ext.daily_revenue_trend),
+        "q7_nation_volume": _q(relational_ext.q7_nation_volume),
+        "q10_returned_items": _q(relational_ext.q10_returned_items),
+        "suppliers_per_brand": _q(relational_ext.suppliers_per_brand),
+        "top_part_per_brand": _q(relational_ext.top_part_per_brand),
+        "promo_heavy_suppliers": _q(relational_ext.promo_heavy_suppliers),
         # --- reference job B enrichment (§2.1 S7, F3-F5)
         "sink_word_items": _q(_sink_items),
         # --- north-star: text analysis (§2.12)
@@ -431,6 +436,64 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(cents) OVER w / count(cents) OVER w / 100.0, 4) AS mavg7
             FROM daily
             WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS ship_year,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                                  + 0.5) AS BIGINT)) / 10000.0 AS volume,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name <> n2.n_name
+              AND year(l_shipdate) IN (1996, 1997)
+            GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_returns
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "suppliers_per_brand": """
+            SELECT p_brand,
+                   count(DISTINCT l_suppkey) AS n_suppliers,
+                   count(DISTINCT l_partkey) AS n_parts
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "top_part_per_brand": """
+            SELECT p_brand, p_partkey, p_name,
+                   round(p_retailprice, 2) AS retailprice
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY p_brand
+                    ORDER BY p_retailprice DESC, p_partkey ASC
+                ) AS rn
+                FROM part
+            ) WHERE rn = 1
+        """,
+        "promo_heavy_suppliers": """
+            SELECT s_suppkey, s_name, round(promo_qty, 2) AS promo_qty
+            FROM supplier
+            JOIN (
+                SELECT l_suppkey, sum(l_quantity) AS promo_qty
+                FROM lineitem
+                WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+                GROUP BY l_suppkey
+                HAVING sum(l_quantity) > 50
+            ) q ON s_suppkey = q.l_suppkey
         """,
         "sink_word_items": f"""
             SELECT 'word_' || word AS id, word, count(*) AS count

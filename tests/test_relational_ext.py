@@ -91,3 +91,41 @@ def test_priority_mix_share(tables):
     for r in rx.priority_mix_by_year(tables).collect():
         assert 0.0 <= r.urgent_share <= 1.0
         assert r.n_urgent_high <= r.n_orders
+
+
+def test_q7_no_domestic_trade(tables):
+    rows = rx.q7_nation_volume(tables).collect()
+    assert all(r.supp_nation != r.cust_nation for r in rows)
+    assert all(r.ship_year in (1996, 1997) for r in rows)
+
+
+def test_q10_topk_ordered(tables):
+    rows = rx.q10_returned_items(tables).collect()
+    assert len(rows) <= 20
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_suppliers_per_brand_bounds(tables):
+    n_supp = tables["supplier"].count()
+    for r in rx.suppliers_per_brand(tables).collect():
+        assert 0 < r.n_suppliers <= n_supp
+
+
+def test_top_part_per_brand_is_max(tables):
+    from pyspark.sql import functions as F
+
+    got = {r.p_brand: r.retailprice for r in rx.top_part_per_brand(tables).collect()}
+    want = {
+        r.p_brand: round(r.mx, 2)
+        for r in tables["part"]
+        .groupBy("p_brand")
+        .agg(F.max("p_retailprice").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_promo_heavy_threshold(tables):
+    rows = rx.promo_heavy_suppliers(tables, min_qty=10.0).collect()
+    assert all(r.promo_qty > 10.0 for r in rows)

@@ -223,6 +223,150 @@ def event_value_percentiles(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
+def q7_nation_volume(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume — revenue between
+    (supplier nation, customer nation) pairs per year.
+
+    lineitem⋈orders is the one big shuffle; supplier, customer, and
+    both nation copies are broadcast. The n1≠n2 predicate prunes
+    after broadcast joins (cheap, no extra pass).
+    """
+    li, o, c, s, n = (
+        t["lineitem"],
+        t["orders"],
+        t["customer"],
+        t["supplier"],
+        t["nation"],
+    )
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        # price(2dp) × (1-discount)(2dp) terms are exact 4-decimal
+        # values, so group sums routinely land exactly on .xx5 — where
+        # double accumulation order and round() half-way semantics both
+        # diverge across engines. Sum exact integer ten-thousandths and
+        # emit the full 4-decimal value (no lossy final round).
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
+                / 10000.0
+            ).alias("volume"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .filter(F.col("ship_year").isin(1996, 1997))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def q10_returned_items(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+    Return-flag filter pushes to the lineitem scan; customer/nation
+    broadcast; top-20 fuses to TakeOrderedAndProject."""
+    li, o, c, n = t["lineitem"], t["orders"], t["customer"], t["nation"]
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_returns"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def suppliers_per_brand(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per brand via the fact
+    table (no partsupp table in this schema; lineitem carries the
+    part→supplier pairs). distinct-agg = two-phase expand+agg, keyed on
+    brand."""
+    li, p = t["lineitem"], t["part"]
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def top_part_per_brand(t: dict[str, DataFrame]) -> DataFrame:
+    """Min/max-per-group join (TPC-H Q2's correlated-min shape): the
+    priciest part within each brand, ties broken by partkey. Window
+    row_number over a brand-keyed shuffle — the decorrelated form of
+    ``WHERE price = (SELECT max(...) ... WHERE brand = outer.brand)``."""
+    p = t["part"]
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_brand",
+            "p_partkey",
+            "p_name",
+            F.round("p_retailprice", 2).alias("retailprice"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def promo_heavy_suppliers(t: dict[str, DataFrame], min_qty: float = 50.0) -> DataFrame:
+    """TPC-H Q20 shape: nested semi-join chain — suppliers that shipped
+    more than ``min_qty`` units of PROMO parts. PROMO partkeys broadcast
+    into a semi filter on lineitem; per-supplier qty agg; inner join back
+    to supplier (keys only through every shuffle)."""
+    li, p, s = t["lineitem"], t["part"], t["supplier"]
+    promo_parts = p.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    qty = (
+        li.join(
+            F.broadcast(promo_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("promo_qty"))
+        .filter(F.col("promo_qty") > min_qty)
+    )
+    return (
+        s.join(qty, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("promo_qty", 2).alias("promo_qty"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
 def daily_revenue_trend(t: dict[str, DataFrame]) -> DataFrame:
     """Moving-window frame: daily revenue + trailing 7-day average.
 
