@@ -153,9 +153,21 @@ TABLES = (
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
+# Plan cache: reading 10 parquet footers costs ~0.5 s of driver
+# round-trips per call, and every registered query calls load_tables.
+# DataFrames are immutable plans, so one dict per (session, dir) is safe
+# (the fixture dirs are read-only).
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the star-schema test tables from a scale-factor directory."""
     from pyspark.sql import functions as F
+
+    cache_key = (id(spark), sf_dir)
+    cached = _TABLE_CACHE.get(cache_key)
+    if cached is not None:
+        return dict(cached)
 
     # The caller's session may not come from our factory (e.g. the test
     # driver passes its own); nanosAsLong is runtime-settable, so enforce
@@ -172,7 +184,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                     col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
                 )
         dfs[name] = df
-    return dfs
+    _TABLE_CACHE[cache_key] = dfs
+    return dict(dfs)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

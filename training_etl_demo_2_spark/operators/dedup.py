@@ -28,6 +28,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -162,7 +163,7 @@ def ngram_jaccard_pairs(
     shingle-hash self-join. Exact but O(pairs sharing a shingle); at
     100 TB prefer ``minhash_lsh_pairs`` (adds banding so only bucket
     collisions meet) — this one is the ground-truth/verify path."""
-    sh = shingle_hashes(df, text_col, n)
+    sh = shingle_hashes(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     return (
         _pair_jaccard(sh)
         .filter(F.col("jaccard") >= threshold)
@@ -213,7 +214,22 @@ def minhash_lsh_pairs(
     threshold. The candidate join touches only same-bucket rows, the
     scale path for n² dedup.
     """
-    sig = minhash_signatures(df, text_col, n)
+    # The shingle relation feeds the signatures AND the exact-Jaccard
+    # verification (3 consumers there). Column renames above the
+    # distinct collapse into its aggregate, so Spark's exchange-reuse
+    # can't unify the subtrees — persist instead: the explode +
+    # rolling-hash scan (the dominant cost) runs once. MEMORY_AND_DISK:
+    # the shingle table is ~|corpus shingles| × 16 B, disk-spillable at
+    # 100 TB — persisting the derived relation, never the corpus.
+    sh = shingle_hashes(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % P).alias(
+                f"m{i}"
+            )
+            for i in range(NUM_PERM)
+        ]
+    )
     band_cols = [
         _band_key(
             [F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
@@ -232,7 +248,6 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh = shingle_hashes(df, text_col, n)
     return (
         _pair_jaccard(sh, pairs=candidates)
         .filter(F.col("jaccard") >= threshold)
