@@ -22,6 +22,7 @@ from training_etl_demo_2_spark.operators import (
     multimodal,
     oracle,
     oracle_text,
+    pipeline,
     relational,
     relational_ext,
     similarity,
@@ -125,6 +126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_counts": _q(lambda t: text.ngram_counts(t["documents"], n=2)),
         # --- north-star: dedup (§2.12)
         "dedup_exact": _q(lambda t: dedup.exact_dedup_groups(t["documents"])),
+        "clean_corpus": _q(pipeline.clean_corpus),
         "dedup_ngram_jaccard": _q(
             lambda t: dedup.ngram_jaccard_pairs(t["documents"], threshold=0.5)
         ),
@@ -507,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": oracle_text.doc_fingerprints_sql(),
         # dedup (SQL generated from the same LSH constants as the engine)
         "dedup_exact": oracle.exact_dedup_sql(),
+        "clean_corpus": pipeline.clean_corpus_sql(),
         "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(threshold=0.5),
         "dedup_minhash_lsh": oracle.minhash_lsh_sql(threshold=0.8),
         "simhash_fingerprints": oracle.simhash_sql(),

@@ -6,8 +6,16 @@ from training_etl_demo_2_spark.session import get_spark
 
 
 @pytest.fixture(scope="session")
-def spark():
-    spark = get_spark(app_name="tests", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    spark = get_spark(
+        app_name="tests",
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.sql.warehouse.dir": str(
+                tmp_path_factory.mktemp("spark-warehouse")
+            )
+        },
+    )
     yield spark
 
 

@@ -1,0 +1,34 @@
+"""clean_corpus composition: quality filter + keep-first dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from training_etl_demo_2_spark.operators import dedup, pipeline, text
+
+
+def test_clean_corpus_subset_and_dedup(tables):
+    out = pipeline.clean_corpus(tables, min_quality=0.85)
+    rows = out.collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    # every survivor passes the quality bar
+    q = {
+        r.doc_id: r.quality_score
+        for r in text.text_quality(tables["documents"]).collect()
+    }
+    assert all(q[i] >= 0.85 for i in ids)
+    # survivors contain no exact duplicates among themselves
+    survivors = tables["documents"].join(
+        out.select("doc_id"), "doc_id", "semi"
+    )
+    fps = dedup.exact_dedup_groups(survivors).collect()
+    assert all(r.n_copies == 1 for r in fps)
+
+
+def test_clean_corpus_keeps_min_doc_id(tables):
+    """The representative of each dup group is its smallest doc_id."""
+    out = {r.doc_id for r in pipeline.clean_corpus(tables, min_quality=0.0).collect()}
+    groups = dedup.exact_dedup_groups(tables["documents"]).collect()
+    for g in groups:
+        assert g.keep_id in out
