@@ -111,3 +111,40 @@ def test_dedup_stream_drops_replayed_batch(spark, tables, tmp_path):
     ids = [r.event_id for r in got]
     assert len(ids) == len(set(ids))
     assert set(ids) == {r.event_id for r in events.select("event_id").collect()}
+
+
+def test_enrich_stream_static_join(spark, tables, tmp_path):
+    """Stream-static broadcast join == the equivalent batch join."""
+    events = tables["events"].limit(300).cache()
+    in_dir = tmp_path / "ev_enrich"
+    events.coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    dim = tables["customer"].select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = windowed.read_events_stream(spark, str(in_dir))
+    enriched = stateful.enrich_stream(stream, dim, "user_id").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {
+            (r.event_id, r.c_mktsegment)
+            for r in spark.sql("SELECT * FROM enrich_test").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.event_id, r.c_mktsegment)
+        for r in events.join(dim, "user_id", "left")
+        .select("event_id", "c_mktsegment")
+        .collect()
+    }
+    assert got == want

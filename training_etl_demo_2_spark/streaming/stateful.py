@@ -56,6 +56,19 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def enrich_stream(stream: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
+    """Stream-static join: enrich a stream with a dimension table.
+
+    Spark plans the static side as a broadcast re-read per micro-batch
+    (no stream-state); at 100 TB keep dimensions broadcastable or
+    pre-bucket them — stream-static joins never shuffle the stream on
+    the join key when the static side broadcasts.
+    """
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), on, how)
+
+
 def stream_to_keyvalue(
     result: DataFrame,
     put_batch_factory,
