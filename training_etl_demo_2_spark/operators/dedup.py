@@ -62,7 +62,6 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
         .select("keep_id", "n_copies")
-        .orderBy("keep_id")
     )
 
 
@@ -167,7 +166,6 @@ def ngram_jaccard_pairs(
     return (
         _pair_jaccard(sh)
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -251,7 +249,6 @@ def minhash_lsh_pairs(
     return (
         _pair_jaccard(sh, pairs=candidates)
         .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -291,7 +288,7 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.lit(0).cast("long")
         )
         simhash = term if simhash is None else simhash + term
-    return per_doc.select("doc_id", simhash.alias("simhash")).orderBy("doc_id")
+    return per_doc.select("doc_id", simhash.alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -329,5 +326,4 @@ def simhash_near_pairs(
         # dedup shuffle then carries only matching pairs, not every
         # band-bucket collision
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )

@@ -55,7 +55,7 @@ def media_metadata(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         F.length(payload).cast("long").alias("nbytes"),
         F.upper(F.hex(F.substring(payload, 1, 4))).alias("magic_hex"),
-    ).orderBy("doc_id")
+    )
 
 
 RESIZED_SCHEMA = "doc_id long, media_type string, width int, height int, payload binary"

@@ -52,7 +52,6 @@ def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "sim", "rnk")
-        .orderBy("query_id", "rnk")
     )
 
 
@@ -354,5 +353,4 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     return (
         emb.select("vec_id", "embedding")
         .mapInPandas(score, out_schema)
-        .orderBy("vec_a", "vec_b")
     )

@@ -55,7 +55,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     pred = F.when(best <= 0, F.lit("unknown"))
     for lang in LANG_MARKERS:  # dict order == preference order
         pred = pred.when(s[lang] == best, F.lit(lang))
-    return scored.withColumn("lang_pred", pred).orderBy("doc_id")
+    return scored.withColumn("lang_pred", pred)
 
 
 def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -87,7 +87,7 @@ def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(score, 6).alias("quality_score"),
-    ).orderBy("doc_id")
+    )
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -98,7 +98,7 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.split(F.col(text_col), " ")).alias("ws_tokens"),
         F.size(tokens_regex(text_col)).alias("regex_tokens"),
         F.length(text_col).alias("n_chars"),
-    ).orderBy("doc_id")
+    )
 
 
 def ngram_counts(
@@ -117,7 +117,6 @@ def ngram_counts(
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_count)
-        .orderBy(F.desc("cnt"), F.asc("ngram"))
     )
 
 
@@ -128,4 +127,4 @@ def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         rolling_hash(text_col).alias("fp_raw"),
         rolling_hash(normalize_text(text_col)).alias("fp_norm"),
-    ).orderBy("doc_id")
+    )
