@@ -148,3 +148,54 @@ def test_enrich_stream_static_join(spark, tables, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_attribution(spark, tables, tmp_path):
+    """Watermarked stream-stream join == the equivalent batch join."""
+    events = tables["events"].cache()
+    clicks_dir = tmp_path / "ss_clicks"
+    purch_dir = tmp_path / "ss_purch"
+    clicks_b = events.filter(F.col("event_type") == "click")
+    purch_b = events.filter(F.col("event_type") == "purchase")
+    clicks_b.coalesce(1).write.mode("append").parquet(str(clicks_dir))
+    purch_b.coalesce(1).write.mode("append").parquet(str(purch_dir))
+
+    joined = stateful.correlate_streams(
+        windowed.read_events_stream(spark, str(clicks_dir)),
+        windowed.read_events_stream(spark, str(purch_dir)),
+        max_gap="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {
+            (r.click_id, r.purchase_id)
+            for r in spark.sql("SELECT * FROM ss_join_test").collect()
+        }
+    finally:
+        q.stop()
+
+    want = {
+        (r.click_id, r.purchase_id)
+        for r in clicks_b.alias("c")
+        .join(
+            purch_b.alias("p"),
+            F.expr(
+                "c.user_id = p.user_id AND p.ts > c.ts "
+                "AND p.ts <= c.ts + INTERVAL 1 HOUR"
+            ),
+        )
+        .select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0

@@ -56,6 +56,53 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def correlate_streams(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to a prior click
+    by the same user within ``max_gap``.
+
+    Both sides are watermarked and the join carries a time-range
+    predicate — the two conditions Spark needs to BOUND the join state
+    (each side buffers only rows younger than watermark+gap). Without
+    them a stream-stream join grows state forever; with them this is
+    the standard attribution/correlation shape at any scale.
+    """
+    from pyspark.sql import functions as F
+
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts > click_ts AND
+            purchase_ts <= click_ts + INTERVAL {max_gap}
+            """
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def enrich_stream(stream: DataFrame, dim: DataFrame, on, how: str = "left") -> DataFrame:
     """Stream-static join: enrich a stream with a dimension table.
 
