@@ -72,6 +72,14 @@ def _sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(ADHOC_NATION_REVENUE_SQL)
 
 
+def _sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from training_etl_demo_2_spark.io import register_views
+    from training_etl_demo_2_spark.operators.relational_ext import GROUPING_SETS_SQL
+
+    register_views(spark, sf_dir)
+    return spark.sql(GROUPING_SETS_SQL)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     return {
@@ -111,6 +119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube_by_year": _q(relational_ext.orders_cube_by_year),
         "event_value_percentiles": _q(relational_ext.event_value_percentiles),
         "daily_revenue_trend": _q(relational_ext.daily_revenue_trend),
+        "events_props_stats": _q(relational_ext.events_props_stats),
+        "priorities_per_status": _q(relational_ext.priorities_per_status),
+        "sql_grouping_sets": _sql_grouping_sets,
         "q7_nation_volume": _q(relational_ext.q7_nation_volume),
         "q10_returned_items": _q(relational_ext.q10_returned_items),
         "suppliers_per_brand": _q(relational_ext.suppliers_per_brand),
@@ -439,6 +450,23 @@ def oracle_sql() -> dict[str, str]:
             FROM daily
             WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         """,
+        "events_props_stats": """
+            SELECT event_type,
+                   sum(k) AS sum_k,
+                   round(avg(k), 4) AS avg_k,
+                   max(k) AS max_k,
+                   count(*) AS n
+            FROM (SELECT event_type, (props->>'k')::INT AS k FROM events)
+            GROUP BY event_type
+        """,
+        "priorities_per_status": """
+            SELECT o_orderstatus,
+                   list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+                   count(*) AS n_orders
+            FROM orders
+            GROUP BY o_orderstatus
+        """,
+        "sql_grouping_sets": relational_ext.GROUPING_SETS_SQL,
         "q7_nation_volume": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    year(l_shipdate) AS ship_year,

@@ -129,3 +129,17 @@ def test_top_part_per_brand_is_max(tables):
 def test_promo_heavy_threshold(tables):
     rows = rx.promo_heavy_suppliers(tables, min_qty=10.0).collect()
     assert all(r.promo_qty > 10.0 for r in rows)
+
+
+def test_events_props_parsed(tables):
+    rows = rx.events_props_stats(tables).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.max_k >= r.avg_k >= 0
+        assert r.sum_k <= r.max_k * r.n
+
+
+def test_priorities_per_status_sorted_sets(tables):
+    for r in rx.priorities_per_status(tables).collect():
+        assert list(r.priorities) == sorted(set(r.priorities))
+        assert len(r.priorities) >= 1

@@ -367,6 +367,56 @@ def promo_heavy_suppliers(t: dict[str, DataFrame], min_qty: float = 50.0) -> Dat
     )
 
 
+def events_props_stats(t: dict[str, DataFrame]) -> DataFrame:
+    """Semi-structured path: parse the JSON ``props`` column with an
+    explicit schema and aggregate an extracted field.
+
+    ``from_json`` with a declared schema is codegen-friendly and cheap;
+    at 100 TB never infer JSON schemas and never store JSON you can
+    store as columns — this op exists for the ingest boundary.
+    """
+    e = t["events"]
+    k = F.from_json("props", "k int")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def priorities_per_status(t: dict[str, DataFrame]) -> DataFrame:
+    """Non-algebraic aggregate: the distinct priority set per order
+    status, sorted for determinism. collect_set state grows with group
+    cardinality — bounded here (5 values); for unbounded domains use
+    approx sketches or the salted two-stage template instead."""
+    return (
+        t["orders"]
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# GROUPING SETS is exercised through the SQL surface: one ANSI text for
+# both spark.sql and DuckDB (like sql_nation_revenue).
+GROUPING_SETS_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_totalprice
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def daily_revenue_trend(t: dict[str, DataFrame]) -> DataFrame:
     """Moving-window frame: daily revenue + trailing 7-day average.
 
