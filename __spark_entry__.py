@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube_by_year": _q(relational_ext.orders_cube_by_year),
         "event_value_percentiles": _q(relational_ext.event_value_percentiles),
         "daily_revenue_trend": _q(relational_ext.daily_revenue_trend),
+        "customer_value_deciles": _q(relational_ext.customer_value_deciles),
+        "user_event_gaps": _q(relational_ext.user_event_gaps),
         "events_props_stats": _q(relational_ext.events_props_stats),
         "priorities_per_status": _q(relational_ext.priorities_per_status),
         "sql_grouping_sets": _sql_grouping_sets,
@@ -449,6 +451,32 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(cents) OVER w / count(cents) OVER w / 100.0, 4) AS mavg7
             FROM daily
             WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "customer_value_deciles": """
+            SELECT decile, count(*) AS n_customers,
+                   round(min(c_acctbal), 2) AS min_bal,
+                   round(max(c_acctbal), 2) AS max_bal,
+                   round(avg(c_acctbal), 4) AS avg_bal
+            FROM (
+                SELECT c_acctbal,
+                       ntile(10) OVER (ORDER BY c_acctbal ASC, c_custkey ASC)
+                           AS decile
+                FROM customer
+            )
+            GROUP BY decile
+        """,
+        "user_event_gaps": """
+            SELECT user_id, count(*) AS n_gaps,
+                   sum(gap_s) AS sum_gap_s, max(gap_s) AS max_gap_s
+            FROM (
+                SELECT user_id,
+                       floor(epoch(lead(ts) OVER w))::BIGINT
+                           - floor(epoch(ts))::BIGINT AS gap_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            WHERE gap_s IS NOT NULL
+            GROUP BY user_id
         """,
         "events_props_stats": """
             SELECT event_type,

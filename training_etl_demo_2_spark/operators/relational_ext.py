@@ -367,6 +367,45 @@ def promo_heavy_suppliers(t: dict[str, DataFrame], min_qty: float = 50.0) -> Dat
     )
 
 
+def customer_value_deciles(t: dict[str, DataFrame]) -> DataFrame:
+    """ntile decile stats over customer balances: rank-based windows
+    need a global order — one range-partition shuffle — then the
+    per-decile agg is cheap. At 100 TB prefer approx_percentile cuts
+    over exact ntile when the global sort becomes the bottleneck."""
+    c = t["customer"]
+    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        c.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        )
+        .orderBy("decile")
+    )
+
+
+def user_event_gaps(t: dict[str, DataFrame]) -> DataFrame:
+    """lead() window: per-user gap to the next event, averaged per
+    user. Single user-keyed shuffle; lead/lag pipeline in one window
+    stage. Gap math in integer seconds (exact)."""
+    e = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.lead("ts").over(w).cast("long") - F.col("ts").cast("long")
+    return (
+        e.withColumn("gap_s", gap)
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.sum("gap_s").alias("sum_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+    )
+
+
 def events_props_stats(t: dict[str, DataFrame]) -> DataFrame:
     """Semi-structured path: parse the JSON ``props`` column with an
     explicit schema and aggregate an extracted field.

@@ -87,12 +87,15 @@ def brute_topk_pandas(
 ) -> DataFrame:
     """Same semantics as brute_topk, executed as an Arrow-batched numpy
     matmul per partition (the high-throughput scan pattern)."""
+    out_schema = "query_id long, neighbor_id long, sim double"
     queries = emb.filter(query_pred).select("vec_id", "embedding").collect()
+    if not queries:  # empty query set: a 0-row result, not a numpy error
+        return _ranked_topk(
+            emb.sparkSession.createDataFrame([], out_schema), k
+        )
     q_ids = np.array([r.vec_id for r in queries], dtype=np.int64)
     q_mat = np.array([r.embedding for r in queries], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
-
-    out_schema = "query_id long, neighbor_id long, sim double"
 
     def score(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -209,6 +212,8 @@ def _ivf_centroids(emb: DataFrame, dim: int, n_centroids: int) -> np.ndarray:
         .limit(IVF_SAMPLE)
         .collect()
     )
+    if not sample:
+        return np.zeros((n_centroids, dim))
     x = np.array([r.embedding for r in sample], dtype=np.float64)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.RandomState(IVF_SEED)
@@ -322,6 +327,10 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
     """
     sc = emb.sparkSession.sparkContext
     pdf = emb.select("vec_id", "embedding").toPandas()
+    if pdf.empty:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_a long, vec_b long, sim double"
+        )
     all_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     all_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
     all_mat /= np.linalg.norm(all_mat, axis=1, keepdims=True)
