@@ -52,6 +52,8 @@ def _q(fn) -> Callable[[SparkSession, str], DataFrame]:
     return lambda spark, sf_dir: fn(load_tables(spark, sf_dir))
 
 
+_STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS_EN) + "]"
+
 # One SQL text, two engines: runs verbatim on spark.sql AND on DuckDB.
 ADHOC_NATION_REVENUE_SQL = """
     SELECT n_name,
@@ -119,6 +121,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube_by_year": _q(relational_ext.orders_cube_by_year),
         "event_value_percentiles": _q(relational_ext.event_value_percentiles),
         "daily_revenue_trend": _q(relational_ext.daily_revenue_trend),
+        "q19_disjunctive_revenue": _q(relational_ext.q19_disjunctive_revenue),
+        "sessionize_events_window": _q(relational_ext.sessionize_events_window),
+        "stopword_filtered": _q(
+            lambda t: text.remove_stopwords(t["documents"]).select(
+                "doc_id", "clean_text", "n_tokens"
+            )
+        ),
         "customer_value_deciles": _q(relational_ext.customer_value_deciles),
         "user_event_gaps": _q(relational_ext.user_event_gaps),
         "events_props_stats": _q(relational_ext.events_props_stats),
@@ -451,6 +460,52 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(cents) OVER w / count(cents) OVER w / 100.0, 4) AS mavg7
             FROM daily
             WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "sessionize_events_window": """
+            WITH lagged AS (
+                SELECT user_id, event_id, ts, value,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT *,
+                       CASE WHEN prev_ts IS NULL
+                                 OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1800
+                            THEN 1 ELSE 0 END AS new_session
+                FROM lagged
+            ), sess AS (
+                SELECT *,
+                       sum(new_session) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       )::BIGINT AS session_seq
+                FROM flagged
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM sess
+            GROUP BY user_id, session_seq
+        """,
+        "stopword_filtered": f"""
+            SELECT doc_id,
+                   array_to_string(list_filter(string_split(lower(text), ' '),
+                       x -> NOT list_contains({_STOPWORDS_SQL}, x)), ' ') AS clean_text,
+                   len(list_filter(string_split(lower(text), ' '),
+                       x -> NOT list_contains({_STOPWORDS_SQL}, x))) AS n_tokens
+            FROM documents
         """,
         "customer_value_deciles": """
             SELECT decile, count(*) AS n_customers,

@@ -143,3 +143,22 @@ def test_priorities_per_status_sorted_sets(tables):
     for r in rx.priorities_per_status(tables).collect():
         assert list(r.priorities) == sorted(set(r.priorities))
         assert len(r.priorities) >= 1
+
+
+def test_q19_disjunction(tables):
+    rows = rx.q19_disjunctive_revenue(tables).collect()
+    assert len(rows) == 1
+
+
+def test_session_window_equals_lag_based(tables):
+    from training_etl_demo_2_spark.operators.relational import sessionize_events
+
+    lag = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in sessionize_events(tables).collect()
+    }
+    sw = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in rx.sessionize_events_window(tables).collect()
+    }
+    assert lag == sw

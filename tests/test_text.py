@@ -64,3 +64,13 @@ def test_ngram_counts_bigrams(spark):
 def test_ngram_counts_short_docs_empty(spark):
     df = spark.createDataFrame([(1, "one")], "doc_id long, text string")
     assert text.ngram_counts(df, n=2, min_count=1).count() == 0
+
+
+def test_remove_stopwords(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the hat")], "doc_id long, text string"
+    )
+    r = text.remove_stopwords(df).collect()[0]
+    assert list(r.tokens) == ["cat", "hat"]
+    assert r.clean_text == "cat hat"
+    assert r.n_tokens == 2

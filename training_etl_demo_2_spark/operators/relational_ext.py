@@ -367,6 +367,64 @@ def promo_heavy_suppliers(t: dict[str, DataFrame], min_qty: float = 50.0) -> Dat
     )
 
 
+def sessionize_events_window(
+    t: dict[str, DataFrame], gap_minutes: int = 30
+) -> DataFrame:
+    """Sessionization via ``session_window`` — the built-in alternative
+    to the lag+running-sum formulation in ``relational.sessionize_events``
+    (also the form that ports directly to streaming). One shuffle on
+    (user_id, merged window); must produce EXACTLY the same sessions as
+    the lag-based plan, which the shared oracle enforces."""
+    e = t["events"]
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window("ts", f"{gap_minutes} minutes").alias("win"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+    )
+
+
+def q19_disjunctive_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive (brand, size,
+    quantity) clauses over a fact⋈dim join.
+
+    Catalyst extracts the common l_quantity/p_size bounds from the OR
+    for pushdown and broadcasts part; the residual disjunction
+    evaluates post-join in codegen. The shape that tests predicate
+    handling beyond simple AND chains.
+    """
+    li, p = t["lineitem"], t["part"]
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    clause1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    clause2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 25))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    clause3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 35))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(clause1 | clause2 | clause3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 def customer_value_deciles(t: dict[str, DataFrame]) -> DataFrame:
     """ntile decile stats over customer balances: rank-based windows
     need a global order — one range-partition shuffle — then the

@@ -120,6 +120,25 @@ def ngram_counts(
     )
 
 
+def remove_stopwords(
+    df: DataFrame, text_col: str = "text", stopwords: list[str] | None = None
+) -> DataFrame:
+    """Stopword filter (SURVEY §2.12): tokenize, drop stopwords, emit
+    both the surviving token array and the re-joined cleaned text.
+    Narrow per-row array ops — no shuffle, no UDF."""
+    sw = stopwords if stopwords is not None else STOPWORDS_EN
+    arr = F.array(*[F.lit(w) for w in sw])
+    kept = F.filter(
+        _tokens(text_col), lambda tok: ~F.array_contains(arr, tok)
+    )
+    return df.select(
+        "doc_id",
+        kept.alias("tokens"),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size(kept).alias("n_tokens"),
+    )
+
+
 def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprints: polynomial rolling hash of
     the raw and the normalized text (the dedup-key primitive)."""
