@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube_by_year": _q(relational_ext.orders_cube_by_year),
         "event_value_percentiles": _q(relational_ext.event_value_percentiles),
         "daily_revenue_trend": _q(relational_ext.daily_revenue_trend),
+        "q8_market_share": _q(relational_ext.q8_market_share),
         "q19_disjunctive_revenue": _q(relational_ext.q19_disjunctive_revenue),
         "sessionize_events_window": _q(relational_ext.sessionize_events_window),
         "stopword_filtered": _q(
@@ -460,6 +461,25 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(cents) OVER w / count(cents) OVER w / 100.0, 4) AS mavg7
             FROM daily
             WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "q8_market_share": """
+            WITH grouped AS (
+                SELECT year(o_orderdate) AS order_year, n_name AS nation,
+                       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                                      + 0.5) AS BIGINT)) AS rev_t4
+                FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+                GROUP BY 1, 2
+            )
+            SELECT order_year, nation,
+                   rev_t4 / 10000.0 AS revenue,
+                   round(rev_t4 / sum(rev_t4) OVER (PARTITION BY order_year), 6)
+                       AS mkt_share
+            FROM grouped
         """,
         "q19_disjunctive_revenue": """
             SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -162,3 +162,14 @@ def test_session_window_equals_lag_based(tables):
         for r in rx.sessionize_events_window(tables).collect()
     }
     assert lag == sw
+
+
+def test_q8_shares_sum_to_one(tables):
+    from collections import defaultdict
+
+    by_year = defaultdict(float)
+    for r in rx.q8_market_share(tables).collect():
+        assert 0.0 <= r.mkt_share <= 1.0
+        by_year[r.order_year] += r.mkt_share
+    for year, total in by_year.items():
+        assert abs(total - 1.0) < 1e-4, (year, total)

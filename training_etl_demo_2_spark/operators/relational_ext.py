@@ -367,6 +367,50 @@ def promo_heavy_suppliers(t: dict[str, DataFrame], min_qty: float = 50.0) -> Dat
     )
 
 
+def q8_market_share(
+    t: dict[str, DataFrame], region: str = "EUROPE"
+) -> DataFrame:
+    """TPC-H Q8 shape: each nation's share of its region's revenue per
+    order year — a ratio of aggregates, computed as a window over the
+    grouped result (decorrelating the per-year total without a self
+    join).
+
+    Revenue accumulates as exact integer ten-thousandths (see
+    q7_nation_volume) so the shares are bit-identical across engines;
+    the share window repartitions only the tiny (year, nation) grouped
+    relation.
+    """
+    li, o, c, n, r = (
+        t["lineitem"],
+        t["orders"],
+        t["customer"],
+        t["nation"],
+        t["region"],
+    )
+    reg = r.filter(F.col("r_name") == region)
+    term_t4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    grouped = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(F.sum(term_t4).alias("rev_t4"))
+    )
+    w = Window.partitionBy("order_year")
+    return grouped.select(
+        "order_year",
+        "nation",
+        (F.col("rev_t4") / 10000.0).alias("revenue"),
+        F.round(F.col("rev_t4") / F.sum("rev_t4").over(w), 6).alias("mkt_share"),
+    )
+
+
 def sessionize_events_window(
     t: dict[str, DataFrame], gap_minutes: int = 30
 ) -> DataFrame:
