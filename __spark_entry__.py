@@ -122,6 +122,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_value_percentiles": _q(relational_ext.event_value_percentiles),
         "daily_revenue_trend": _q(relational_ext.daily_revenue_trend),
         "q8_market_share": _q(relational_ext.q8_market_share),
+        "q11_important_parts": _q(relational_ext.q11_important_parts),
+        "q15_top_suppliers": _q(relational_ext.q15_top_suppliers),
+        "nation_participation": _q(relational_ext.nation_participation),
         "q19_disjunctive_revenue": _q(relational_ext.q19_disjunctive_revenue),
         "sessionize_events_window": _q(relational_ext.sessionize_events_window),
         "stopword_filtered": _q(
@@ -480,6 +483,46 @@ def oracle_sql() -> dict[str, str]:
                    round(rev_t4 / sum(rev_t4) OVER (PARTITION BY order_year), 6)
                        AS mkt_share
             FROM grouped
+        """,
+        "q11_important_parts": """
+            WITH per_part AS (
+                SELECT l_partkey,
+                       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                                      + 0.5) AS BIGINT)) AS val_t4
+                FROM lineitem GROUP BY l_partkey
+            ), total AS (SELECT sum(val_t4) AS total_t4 FROM per_part)
+            SELECT l_partkey,
+                   val_t4 / 10000.0 AS part_value,
+                   round(val_t4 * 1.0 / total_t4, 6) AS value_share
+            FROM per_part CROSS JOIN total
+            WHERE val_t4 > total_t4 * 0.00075
+        """,
+        "q15_top_suppliers": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                                      + 0.5) AS BIGINT)) AS rev_t4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            ), ranked AS (
+                SELECT *, rank() OVER (ORDER BY rev_t4 DESC) AS rnk FROM rev
+            )
+            SELECT s_suppkey, s_name, rev_t4 / 10000.0 AS revenue
+            FROM supplier JOIN ranked ON s_suppkey = l_suppkey
+            WHERE rnk = 1
+        """,
+        "nation_participation": """
+            SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+                   coalesce(c.n_customers, 0) AS n_customers,
+                   coalesce(s.n_suppliers, 0) AS n_suppliers
+            FROM (SELECT c_nationkey, count(*) AS n_customers
+                  FROM customer GROUP BY c_nationkey) c
+            FULL OUTER JOIN
+                 (SELECT s_nationkey, count(*) AS n_suppliers
+                  FROM supplier GROUP BY s_nationkey) s
+            ON c.c_nationkey = s.s_nationkey
         """,
         "q19_disjunctive_revenue": """
             SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

@@ -173,3 +173,22 @@ def test_q8_shares_sum_to_one(tables):
         by_year[r.order_year] += r.mkt_share
     for year, total in by_year.items():
         assert abs(total - 1.0) < 1e-4, (year, total)
+
+
+def test_q11_share_threshold(tables):
+    rows = rx.q11_important_parts(tables, fraction=0.0005).collect()
+    assert all(r.value_share > 0.0005 for r in rows)
+
+
+def test_q15_top_is_max(tables):
+    rows = rx.q15_top_suppliers(tables).collect()
+    assert len(rows) >= 1
+    revs = {r.revenue for r in rows}
+    assert len(revs) == 1  # ties all share the max revenue
+
+
+def test_nation_participation_full_outer(tables):
+    rows = rx.nation_participation(tables).collect()
+    assert sum(r.n_customers for r in rows) == tables["customer"].count()
+    assert sum(r.n_suppliers for r in rows) == tables["supplier"].count()
+    assert all(r.nationkey is not None for r in rows)

@@ -367,6 +367,80 @@ def promo_heavy_suppliers(t: dict[str, DataFrame], min_qty: float = 50.0) -> Dat
     )
 
 
+def q11_important_parts(
+    t: dict[str, DataFrame], fraction: float = 0.00075
+) -> DataFrame:
+    """TPC-H Q11 shape: HAVING against a scalar subquery — parts whose
+    total lineitem value exceeds ``fraction`` of the global total.
+
+    The global total (1 row) is broadcast against the per-part
+    aggregate; both aggregates sum exact integer ten-thousandths so the
+    threshold comparison cannot flip on accumulation order.
+    """
+    li = t["lineitem"]
+    term_t4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    per_part = li.groupBy("l_partkey").agg(F.sum(term_t4).alias("val_t4"))
+    total = per_part.agg(F.sum("val_t4").alias("total_t4"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("val_t4") > F.col("total_t4") * fraction)
+        .select(
+            "l_partkey",
+            (F.col("val_t4") / 10000.0).alias("part_value"),
+            F.round(F.col("val_t4") / F.col("total_t4"), 6).alias("value_share"),
+        )
+    )
+
+
+def q15_top_suppliers(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q15 shape: suppliers achieving the MAX quarterly revenue —
+    max-over-aggregate via a rank window (keeps ties, unlike a LIMIT),
+    the decorrelated form of ``WHERE rev = (SELECT max(rev) ...)``."""
+    li, s = t["lineitem"], t["supplier"]
+    term_t4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(term_t4).alias("rev_t4"))
+    )
+    w = Window.orderBy(F.desc("rev_t4"))
+    top = rev.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") == 1)
+    return (
+        s.join(F.broadcast(top), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", (F.col("rev_t4") / 10000.0).alias("revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+def nation_participation(t: dict[str, DataFrame]) -> DataFrame:
+    """Full outer join: customer and supplier counts per nation key,
+    keeping nations present on only one side (coalesced key, zero
+    counts). The join-type matrix completer — both sides are small
+    aggregates, so this is a cheap shuffle join at any scale."""
+    c = t["customer"].groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    s = t["supplier"].groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    return (
+        c.join(s, F.col("c_nationkey") == F.col("s_nationkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("c_nationkey"), F.col("s_nationkey")).alias("nationkey"),
+            F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+            F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 def q8_market_share(
     t: dict[str, DataFrame], region: str = "EUROPE"
 ) -> DataFrame:
