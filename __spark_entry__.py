@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_trend": _q(relational_ext.daily_revenue_trend),
         "q8_market_share": _q(relational_ext.q8_market_share),
         "q11_important_parts": _q(relational_ext.q11_important_parts),
+        "q13_customer_distribution": _q(relational_ext.q13_customer_distribution),
         "q15_top_suppliers": _q(relational_ext.q15_top_suppliers),
         "nation_participation": _q(relational_ext.nation_participation),
         "q19_disjunctive_revenue": _q(relational_ext.q19_disjunctive_revenue),
@@ -483,6 +484,15 @@ def oracle_sql() -> dict[str, str]:
                    round(rev_t4 / sum(rev_t4) OVER (PARTITION BY order_year), 6)
                        AS mkt_share
             FROM grouped
+        """,
+        "q13_customer_distribution": """
+            SELECT n_orders, count(*) AS n_customers
+            FROM (
+                SELECT c_custkey, count(o_orderkey) AS n_orders
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey
+            )
+            GROUP BY n_orders
         """,
         "q11_important_parts": """
             WITH per_part AS (

@@ -192,3 +192,8 @@ def test_nation_participation_full_outer(tables):
     assert sum(r.n_customers for r in rows) == tables["customer"].count()
     assert sum(r.n_suppliers for r in rows) == tables["supplier"].count()
     assert all(r.nationkey is not None for r in rows)
+
+
+def test_q13_covers_all_customers(tables):
+    rows = rx.q13_customer_distribution(tables).collect()
+    assert sum(r.n_customers for r in rows) == tables["customer"].count()

@@ -367,6 +367,25 @@ def promo_heavy_suppliers(t: dict[str, DataFrame], min_qty: float = 50.0) -> Dat
     )
 
 
+def q13_customer_distribution(t: dict[str, DataFrame]) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts — how many
+    customers placed exactly N orders, INCLUDING zero-order customers
+    (left join, count of non-null keys). Two cascaded aggregations:
+    custkey-keyed then count-keyed; the second groups a relation no
+    larger than |customers|."""
+    c, o = t["customer"], t["orders"]
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))  # count skips nulls
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
 def q11_important_parts(
     t: dict[str, DataFrame], fraction: float = 0.00075
 ) -> DataFrame:
