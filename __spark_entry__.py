@@ -418,8 +418,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "priority_mix_by_year": """
             SELECT year(o_orderdate) AS order_year,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS n_urgent_high,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent_high,
                    count(*) AS n_orders,
                    round(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                                   THEN 1 ELSE 0 END) * 1.0 / count(*), 4
@@ -455,11 +455,13 @@ def oracle_sql() -> dict[str, str]:
         "daily_revenue_trend": """
             WITH daily0 AS (
                 SELECT date_trunc('day', l_shipdate) AS day,
-                       CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
-                            AS BIGINT) AS cents
+                       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                                      + 0.5) AS BIGINT)) AS BIGINT) AS t4
                 FROM lineitem GROUP BY 1
             ), daily AS (
-                SELECT day, cents, round(cents / 100.0, 2) AS revenue FROM daily0
+                SELECT day, (t4 + 50) // 100 AS cents,
+                       round(((t4 + 50) // 100) / 100.0, 2) AS revenue
+                FROM daily0
             )
             SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
                    round(sum(cents) OVER w / count(cents) OVER w / 100.0, 4) AS mavg7
@@ -546,6 +548,9 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 20 AND 30)
         """,
         "sessionize_events_window": """
+            -- NB: >= 1800, not > 1800 — session_window ranges are
+            -- half-open [start, start+gap), so an event landing exactly
+            -- `gap` after the previous one opens a NEW session.
             WITH lagged AS (
                 SELECT user_id, event_id, ts, value,
                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
@@ -553,7 +558,7 @@ def oracle_sql() -> dict[str, str]:
             ), flagged AS (
                 SELECT *,
                        CASE WHEN prev_ts IS NULL
-                                 OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > 1800
+                                 OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT >= 1800
                             THEN 1 ELSE 0 END AS new_session
                 FROM lagged
             ), sess AS (
@@ -595,7 +600,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "user_event_gaps": """
             SELECT user_id, count(*) AS n_gaps,
-                   sum(gap_s) AS sum_gap_s, max(gap_s) AS max_gap_s
+                   CAST(sum(gap_s) AS BIGINT) AS sum_gap_s, max(gap_s) AS max_gap_s
             FROM (
                 SELECT user_id,
                        floor(epoch(lead(ts) OVER w))::BIGINT
@@ -608,7 +613,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_props_stats": """
             SELECT event_type,
-                   sum(k) AS sum_k,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
                    round(avg(k), 4) AS avg_k,
                    max(k) AS max_k,
                    count(*) AS n
@@ -617,7 +622,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "priorities_per_status": """
             SELECT o_orderstatus,
-                   list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+                   array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+                       AS priorities,
                    count(*) AS n_orders
             FROM orders
             GROUP BY o_orderstatus

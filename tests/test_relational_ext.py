@@ -141,8 +141,9 @@ def test_events_props_parsed(tables):
 
 def test_priorities_per_status_sorted_sets(tables):
     for r in rx.priorities_per_status(tables).collect():
-        assert list(r.priorities) == sorted(set(r.priorities))
-        assert len(r.priorities) >= 1
+        parts = r.priorities.split(",")
+        assert parts == sorted(set(parts))
+        assert len(parts) >= 1
 
 
 def test_q19_disjunction(tables):

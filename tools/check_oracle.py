@@ -66,9 +66,13 @@ def main() -> int:
         if name not in oracles:
             print(f"  {name:32s} rows={len(srows):6d}  (no oracle: rows-only)")
             continue
-        orel = con.sql(oracles[name])
-        ocols = orel.columns
-        orows = orel.fetchall()
+        # Materialize through pandas (.df()), NOT fetchall(): the driver
+        # gate hashes pandas frames, where DuckDB HUGEINT (e.g. an uncast
+        # sum(INT)) degrades to float64 and hashes as `123.0` vs Spark's
+        # `123`. fetchall() yields Python ints and masks exactly that.
+        odf = con.sql(oracles[name]).df()
+        ocols = list(odf.columns)
+        orows = list(odf.itertuples(index=False, name=None))
         problems = []
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")

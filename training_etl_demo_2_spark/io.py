@@ -156,15 +156,18 @@ _NANOS_TS_COLS = {"events": ("ts",)}
 # Plan cache: reading 10 parquet footers costs ~0.5 s of driver
 # round-trips per call, and every registered query calls load_tables.
 # DataFrames are immutable plans, so one dict per (session, dir) is safe
-# (the fixture dirs are read-only).
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# (the fixture dirs are read-only). Keyed on applicationId — stable for
+# a session's lifetime and never reused by a new session (unlike id(),
+# which CPython can recycle after GC, leaving plans bound to a dead
+# SparkContext).
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the star-schema test tables from a scale-factor directory."""
     from pyspark.sql import functions as F
 
-    cache_key = (id(spark), sf_dir)
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _TABLE_CACHE.get(cache_key)
     if cached is not None:
         return dict(cached)
@@ -180,8 +183,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         for col in _NANOS_TS_COLS.get(name, ()):
             if dict(df.dtypes).get(col) == "bigint":
+                # Integer division: ns epochs (~1.8e18) exceed double's
+                # 53-bit mantissa, so `/ 1000` could land 1µs off.
                 df = df.withColumn(
-                    col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+                    col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
                 )
         dfs[name] = df
     _TABLE_CACHE[cache_key] = dfs

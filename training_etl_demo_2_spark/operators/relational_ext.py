@@ -510,8 +510,13 @@ def sessionize_events_window(
     """Sessionization via ``session_window`` — the built-in alternative
     to the lag+running-sum formulation in ``relational.sessionize_events``
     (also the form that ports directly to streaming). One shuffle on
-    (user_id, merged window); must produce EXACTLY the same sessions as
-    the lag-based plan, which the shared oracle enforces."""
+    (user_id, merged window).
+
+    Boundary semantics differ from the lag formulation by design:
+    ``session_window`` ranges are half-open ``[start, start+gap)``, so
+    an event arriving EXACTLY ``gap`` after the previous one opens a new
+    session (lag predicate ``>= gap``), while ``sessionize_events`` uses
+    ``> gap``. Each query's oracle encodes its own boundary."""
     e = t["events"]
     return (
         e.groupBy(
@@ -628,12 +633,17 @@ def priorities_per_status(t: dict[str, DataFrame]) -> DataFrame:
     """Non-algebraic aggregate: the distinct priority set per order
     status, sorted for determinism. collect_set state grows with group
     cardinality — bounded here (5 values); for unbounded domains use
-    approx sketches or the salted two-stage template instead."""
+    approx sketches or the salted two-stage template instead.
+
+    The set is emitted as a comma-joined string (not array) so the
+    result is hashable by order-insensitive comparers on any engine."""
     return (
         t["orders"]
         .groupBy("o_orderstatus")
         .agg(
-            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .orderBy("o_orderstatus")
@@ -655,20 +665,27 @@ def daily_revenue_trend(t: dict[str, DataFrame]) -> DataFrame:
     """Moving-window frame: daily revenue + trailing 7-day average.
 
     Two-level plan: big shuffle to ~thousands of day groups, then a
-    single-partition window over the (tiny) daily series. The window
-    accumulates integer CENTS, not doubles: floating sums depend on
-    accumulation order (sliding-frame implementations differ across
-    engines), while integer sums are exact — the only way a moving
-    aggregate hashes identically everywhere.
+    single-partition window over the (tiny) daily series. Revenue is
+    summed as exact integer ten-thousandths PER ROW (the q7/q11/q15
+    term_t4 pattern), never as a double sum: floating sums depend on
+    accumulation order (Spark partial-agg order differs from DuckDB's
+    and between runs), while integer sums are exact — the only way a
+    grouped + moving aggregate hashes identically everywhere.
     """
     li = t["lineitem"]
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-    # floor(x*100 + 0.5), not round(): round()'s half-way behavior on
+    # floor(x*10000 + 0.5), not round(): round()'s half-way behavior on
     # doubles is engine-specific (decimal-string vs binary); floor is a
-    # pure binary op, so identical doubles give identical cents.
-    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
-        F.floor(rev * 100 + F.lit(0.5)).cast("long").alias("cents")
-    ).withColumn("revenue", F.round(F.col("cents") / 100.0, 2))
+    # pure binary op, so identical doubles give identical units.
+    term_t4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    daily = (
+        li.groupBy(F.date_trunc("day", "l_shipdate").alias("day"))
+        .agg(F.sum(term_t4).alias("t4"))
+        # cents from exact t4 units via pure integer arithmetic
+        .withColumn("cents", F.expr("(t4 + 50) div 100"))
+        .withColumn("revenue", F.round(F.col("cents") / 100.0, 2))
+    )
     w = Window.orderBy("day").rowsBetween(-6, 0)
     mavg7 = F.round(
         F.sum("cents").over(w) / F.count("cents").over(w) / 100.0, 4
