@@ -46,9 +46,10 @@ def test_lsh_recall_against_brute(tables):
 
 
 def test_ivf_recall_against_brute(tables):
-    """IVF tier: probing 4/16 cells (25% of the corpus) must still find
-    most true neighbors. Seeded codebook → the measured recall (0.66 on
-    this fixture) is exactly reproducible; floor left conservative."""
+    """IVF tier: probing 4/16 cells with 3-way spilled assignment
+    (~25% of the corpus scanned, index ×3) must find nearly all true
+    neighbors. Seeded codebook → the measured recall (0.96 on this
+    fixture) is exactly reproducible; floor left slightly conservative."""
     exact = _topk_sets(similarity.brute_topk(tables["embeddings"], k=5))
     approx = _topk_sets(similarity.ivf_topk(tables["embeddings"], k=5))
     hits = total = 0
@@ -57,7 +58,7 @@ def test_ivf_recall_against_brute(tables):
         got = {n for _, n, _ in approx.get(q, [])}
         hits += len(truth & got)
         total += len(truth)
-    assert hits / total >= 0.55, f"IVF recall {hits}/{total}"
+    assert hits / total >= 0.9, f"IVF recall {hits}/{total}"
 
 
 def test_ivf_assignment_partitions_corpus(tables):
@@ -73,3 +74,46 @@ def test_ivf_assignment_partitions_corpus(tables):
 def test_near_pairs_threshold(tables):
     pairs = similarity.cosine_near_pairs(tables["embeddings"], threshold=0.45).collect()
     assert all(p.sim >= 0.45 and p.vec_a < p.vec_b for p in pairs)
+
+
+def test_near_pairs_strategies_agree(tables):
+    """The exact block-pair default must equal the broadcast kernel
+    pair-for-pair (both are exact); the LSH blocking tier may only MISS
+    pairs, never invent or mis-score them."""
+    emb = tables["embeddings"]
+    exact = {
+        (p.vec_a, p.vec_b): p.sim
+        for p in similarity.cosine_near_pairs(emb, threshold=0.4).collect()
+    }
+    bcast = {
+        (p.vec_a, p.vec_b): p.sim
+        for p in similarity.cosine_near_pairs(
+            emb, threshold=0.4, strategy="broadcast"
+        ).collect()
+    }
+    assert exact == bcast
+    lsh = {
+        (p.vec_a, p.vec_b): p.sim
+        for p in similarity.cosine_near_pairs(
+            emb, threshold=0.4, strategy="lsh"
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(exact[k] == v for k, v in lsh.items())
+
+
+def test_near_pairs_exact_multi_block(tables):
+    """Force many blocks so the block-pair plan (not a single diagonal
+    group) is what's exercised; result must be block-count invariant."""
+    emb = tables["embeddings"]
+    one = {
+        (p.vec_a, p.vec_b)
+        for p in similarity.cosine_near_pairs(emb, threshold=0.45).collect()
+    }
+    many = {
+        (p.vec_a, p.vec_b)
+        for p in similarity.cosine_near_pairs(
+            emb, threshold=0.45, block_rows=16
+        ).collect()
+    }
+    assert one == many

@@ -195,6 +195,7 @@ def lsh_topk(
 IVF_SEED = 7
 IVF_CENTROIDS = 16
 IVF_NPROBE = 4
+IVF_MULTI_ASSIGN = 3
 IVF_SAMPLE = 2048
 IVF_ITERS = 10
 
@@ -228,10 +229,20 @@ def _ivf_centroids(emb: DataFrame, dim: int, n_centroids: int) -> np.ndarray:
     return cent
 
 
-def ivf_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
-    """(vec_id, cell): nearest-centroid assignment, vectorized per Arrow
-    batch. The codebook ships in the task closure (it is tiny)."""
+def ivf_assign(
+    emb: DataFrame, centroids: np.ndarray, multi: int = 1
+) -> DataFrame:
+    """(vec_id, cell): top-``multi`` nearest-centroid assignment,
+    vectorized per Arrow batch. The codebook ships in the task closure
+    (it is tiny).
+
+    ``multi`` > 1 is spilled assignment: each vector is indexed under
+    its ``multi`` nearest cells, so boundary vectors (the dominant
+    recall loss on weakly-clustered embeddings) are findable from
+    either side. Index size grows ×multi — the standard recall/space
+    knob alongside nprobe."""
     out_schema = "vec_id long, cell int"
+    m = max(1, min(multi, len(centroids)))
 
     def assign(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -242,8 +253,15 @@ def ivf_assign(emb: DataFrame, centroids: np.ndarray) -> DataFrame:
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            cell = np.argmax(mat @ centroids.T, axis=1).astype(np.int32)
-            yield pd.DataFrame({"vec_id": ids, "cell": cell})
+            sims = mat @ centroids.T
+            if m == 1:
+                cell = np.argmax(sims, axis=1).astype(np.int32)
+                yield pd.DataFrame({"vec_id": ids, "cell": cell})
+            else:
+                top = np.argsort(-sims, axis=1)[:, :m].astype(np.int32)
+                yield pd.DataFrame(
+                    {"vec_id": np.repeat(ids, m), "cell": top.ravel()}
+                )
 
     return emb.select("vec_id", "embedding").mapInPandas(assign, out_schema)
 
@@ -255,17 +273,20 @@ def ivf_topk(
     dim: int = 64,
     n_centroids: int = IVF_CENTROIDS,
     nprobe: int = IVF_NPROBE,
+    multi_assign: int = IVF_MULTI_ASSIGN,
 ) -> DataFrame:
-    """IVF ANN top-k: coarse-quantize the corpus into cells, probe each
-    query's ``nprobe`` nearest cells, exact-cosine re-rank the union.
+    """IVF ANN top-k: coarse-quantize the corpus into cells (each vector
+    spilled into its ``multi_assign`` nearest), probe each query's
+    ``nprobe`` nearest cells, exact-cosine re-rank the union.
 
     The scale path beside ``lsh_topk``: candidates per query shrink to
-    ~nprobe/n_centroids of the corpus, and the candidate join is
-    cell-keyed (shuffle on a small int key). Recall is the
-    nprobe/n_centroids knob; verified against ``brute_topk`` in tests.
+    ~nprobe·multi_assign/n_centroids of the corpus, and the candidate
+    join is cell-keyed (shuffle on a small int key). Recall is the
+    (nprobe, multi_assign)/n_centroids knob; verified against
+    ``brute_topk`` in tests.
     """
     centroids = _ivf_centroids(emb, dim, n_centroids)
-    cells = ivf_assign(emb, centroids)
+    cells = ivf_assign(emb, centroids, multi=multi_assign)
 
     # Each query probes its nprobe nearest cells: a tiny (query, cell)
     # relation built the same vectorized way, then broadcast.
@@ -313,31 +334,118 @@ def ivf_topk(
     return _ranked_topk(pairs, k)
 
 
-def cosine_near_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
+NEAR_PAIRS_BLOCK_ROWS = 2048
+
+
+def cosine_near_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    strategy: str = "exact",
+    block_rows: int = NEAR_PAIRS_BLOCK_ROWS,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim ≥
     threshold).
 
-    Physical strategy: broadcast the (normalized) full matrix, stream
-    partitions of the other side through a numpy block-matmul in
-    mapInPandas, emit only above-threshold pairs. One pass, no shuffle,
-    BLAS throughput — ~20× faster than a crossJoin with a per-pair
-    fold. At 100 TB the broadcast side no longer fits: swap candidate
-    generation to ``lsh_buckets`` blocking (bucket-join instead of
-    broadcast) and keep this kernel as the within-block scorer.
+    Strategies:
+
+    * ``"exact"`` (default) — distributed block-nested-loop: vectors
+      are hashed into B blocks, every block PAIR (i ≤ j) becomes an
+      ``applyInPandas`` group, and each group scores its two blocks
+      with one numpy matmul. Nothing is collected to the driver and
+      nothing corpus-sized is broadcast; each row is replicated B×
+      through one shuffle, so cost is O(n·B) rows moved + O(n²) flops
+      spread over B(B+1)/2 independent tasks. Exact — it is the
+      oracle-checked path.
+    * ``"broadcast"`` — the single-pass kernel for corpora that fit in
+      a task broadcast: driver collects the (normalized) matrix and
+      streams partitions against it. Fastest below ~1M rows; refuse it
+      above driver memory, which is why it is opt-in.
+    * ``"lsh"`` — approximate at extreme scale: candidates from
+      ``lsh_buckets`` co-occurrence (bucket join), exact cosine
+      re-score. Recall < 1 (tunable via LSH_NBITS/LSH_TABLES), so it
+      is NOT oracle-exact; use when even n·B replication is too much.
     """
-    sc = emb.sparkSession.sparkContext
-    pdf = emb.select("vec_id", "embedding").toPandas()
-    if pdf.empty:
-        return emb.sparkSession.createDataFrame(
-            [], "vec_a long, vec_b long, sim double"
+    out_schema = "vec_a long, vec_b long, sim double"
+    spark = emb.sparkSession
+    v = emb.select("vec_id", "embedding")
+
+    if strategy == "broadcast":
+        return _near_pairs_broadcast(v, threshold, out_schema)
+    if strategy == "lsh":
+        return _near_pairs_lsh(v, threshold)
+    if strategy != "exact":
+        raise ValueError(f"unknown strategy: {strategy!r}")
+
+    n = v.count()
+    if n == 0:
+        return spark.createDataFrame([], out_schema)
+    nb = max(1, -(-n // block_rows))  # ceil div
+    pair_ids = [(i, j) for i in range(nb) for j in range(i, nb)]
+    pairs_df = spark.createDataFrame(pair_ids, "ga int, gb int")
+
+    tagged = v.withColumn(
+        "bid", F.pmod(F.xxhash64("vec_id"), F.lit(nb)).cast("int")
+    )
+    # A row in block b joins every pair where b is the left (ga) or the
+    # right (gb) block; for the diagonal pair (b, b) it appears on both
+    # sides, and the kernel's vec_a < vec_b guard kills self/dup pairs.
+    rep = (
+        tagged.join(F.broadcast(pairs_df), F.col("bid") == F.col("ga"))
+        .select("ga", "gb", F.lit("a").alias("side"), "vec_id", "embedding")
+        .unionAll(
+            tagged.join(F.broadcast(pairs_df), F.col("bid") == F.col("gb"))
+            .select("ga", "gb", F.lit("b").alias("side"), "vec_id", "embedding")
         )
+    )
+
+    def score_block(key, pdf) -> "pd.DataFrame":
+        import pandas as pd
+
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "sim": np.float64}
+            )
+        a_ids = a["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = b["vec_id"].to_numpy(dtype=np.int64)
+        a_mat = np.array(list(a["embedding"]), dtype=np.float64)
+        b_mat = np.array(list(b["embedding"]), dtype=np.float64)
+        a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+        b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+        sims = np.round(a_mat @ b_mat.T, ROUND)
+        if key[0] == key[1]:
+            # Diagonal group: both sides are the same block, every
+            # unordered pair shows up in both orders — keep one.
+            mask = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            aa, bb = np.nonzero(mask)
+            lo, hi = a_ids[aa], b_ids[bb]
+        else:
+            # Off-diagonal: each unordered pair appears exactly once
+            # (sides are disjoint blocks); normalize to (min, max) —
+            # id order need not agree with block-side assignment.
+            aa, bb = np.nonzero(sims >= threshold)
+            x, y = a_ids[aa], b_ids[bb]
+            lo, hi = np.minimum(x, y), np.maximum(x, y)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "sim": sims[aa, bb]})
+
+    return rep.groupBy("ga", "gb").applyInPandas(score_block, out_schema)
+
+
+def _near_pairs_broadcast(
+    v: DataFrame, threshold: float, out_schema: str
+) -> DataFrame:
+    """Broadcast-kernel near-pairs: only for corpora that fit in driver
+    memory (opt-in via strategy='broadcast')."""
+    sc = v.sparkSession.sparkContext
+    pdf = v.toPandas()
+    if pdf.empty:
+        return v.sparkSession.createDataFrame([], out_schema)
     all_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     all_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
     all_mat /= np.linalg.norm(all_mat, axis=1, keepdims=True)
     b_ids = sc.broadcast(all_ids)
     b_mat = sc.broadcast(all_mat)
-
-    out_schema = "vec_a long, vec_b long, sim double"
 
     def score(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -350,16 +458,41 @@ def cosine_near_pairs(emb: DataFrame, threshold: float = 0.45) -> DataFrame:
             part_mat = np.array(list(pdf_part["embedding"]), dtype=np.float64)
             part_mat /= np.linalg.norm(part_mat, axis=1, keepdims=True)
             sims = np.round(part_mat @ mat.T, ROUND)
-            aa, bb = np.nonzero((sims >= threshold) & (part_ids[:, None] < ids[None, :]))
+            aa, bb = np.nonzero(
+                (sims >= threshold) & (part_ids[:, None] < ids[None, :])
+            )
             yield pd.DataFrame(
-                {
-                    "vec_a": part_ids[aa],
-                    "vec_b": ids[bb],
-                    "sim": sims[aa, bb],
-                }
+                {"vec_a": part_ids[aa], "vec_b": ids[bb], "sim": sims[aa, bb]}
             )
 
+    return v.mapInPandas(score, out_schema)
+
+
+def _near_pairs_lsh(v: DataFrame, threshold: float) -> DataFrame:
+    """LSH-blocked near-pairs: same-bucket candidate pairs over L
+    tables, exact cosine re-score. Approximate (recall < 1)."""
+    buckets = lsh_buckets(v)
+    a = buckets.select(
+        F.col("vec_id").alias("vec_a"), "table", "bucket"
+    )
+    b = buckets.select(
+        F.col("vec_id").alias("vec_b"), "table", "bucket"
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = v.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = v.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     return (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(score, out_schema)
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), ROUND).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
     )
