@@ -61,15 +61,17 @@ def main() -> int:
         if only and name not in only:
             continue
         sdf = fn(spark, sf_dir)
-        srows = sdf.collect()
-        scols = sdf.columns
+        # Materialize BOTH engines through pandas, like the driver gate.
+        # Symmetry matters: a nullable BIGINT (e.g. CUBE rollup keys)
+        # degrades to float64 on BOTH sides and still matches, while a
+        # one-sided promotion (DuckDB HUGEINT from an uncast sum) only
+        # degrades the oracle side and correctly fails.
+        spdf = sdf.toPandas()
+        srows = list(spdf.itertuples(index=False, name=None))
+        scols = list(spdf.columns)
         if name not in oracles:
             print(f"  {name:32s} rows={len(srows):6d}  (no oracle: rows-only)")
             continue
-        # Materialize through pandas (.df()), NOT fetchall(): the driver
-        # gate hashes pandas frames, where DuckDB HUGEINT (e.g. an uncast
-        # sum(INT)) degrades to float64 and hashes as `123.0` vs Spark's
-        # `123`. fetchall() yields Python ints and masks exactly that.
         odf = con.sql(oracles[name]).df()
         ocols = list(odf.columns)
         orows = list(odf.itertuples(index=False, name=None))
