@@ -98,3 +98,87 @@ def test_reference_pipeline_end_to_end(spark, tmp_path, sf_dir):
     runs2 = wf.run(spark)
     assert [r.state for r in runs2] == ["SUCCEEDED", "SUCCEEDED"]
     assert spark.read.parquet(str(tmp_path / "kv_table")).count() == len(rows)
+
+
+def test_workflow_timeout_kills_hung_job(spark):
+    """W1 timeout is enforced DURING the run (reference: Glue kills the
+    job at 60 min, demo2a-stack.ts:119), not checked after it returns."""
+    import time as _time
+
+    def hung(s, a):
+        _time.sleep(30)
+        return "never"
+
+    t0 = _time.monotonic()
+    runs = Workflow("t", [Job("hung", hung, timeout_s=1.0), Job("b", lambda s, a: 1)]).run(spark)
+    elapsed = _time.monotonic() - t0
+    assert runs[0].state == "TIMEOUT"
+    assert "exceeded" in runs[0].error
+    assert elapsed < 10  # did not wait for the 30s sleep
+    assert runs[1].state == "SKIPPED"  # W4: downstream gated on success
+
+
+def test_workflow_timeout_bounds_retries(spark):
+    """A job that keeps failing stops retrying once the deadline passes."""
+    import time as _time
+
+    calls = {"n": 0}
+
+    def slow_fail(s, a):
+        calls["n"] += 1
+        _time.sleep(0.6)
+        raise RuntimeError("always")
+
+    runs = Workflow(
+        "t", [Job("sf", slow_fail, max_retries=50, timeout_s=1.0)]
+    ).run(spark)
+    # deadline mid-attempt -> TIMEOUT; between attempts -> FAILED
+    assert runs[0].state in ("TIMEOUT", "FAILED")
+    assert calls["n"] < 5  # deadline cut the retry loop, not max_retries
+
+
+def test_anomaly_hook_notifies_and_stays_silent(spark):
+    """reqdef.yaml:11,15 — anomaly detection notifies (SNS analog) on
+    trigger and stays silent otherwise; hook only sees SUCCEEDED jobs."""
+    from training_etl_demo_2_spark.plans.workflow import AnomalyHook
+
+    notes = []
+
+    def notifier(msg, result):
+        notes.append((msg, result))
+
+    def job_ok(s, a):
+        return {"error_rows": 0}
+
+    def job_bad(s, a):
+        return {"error_rows": 7}
+
+    hook = AnomalyHook(
+        predicate=lambda res: res["error_rows"] > 0, notifier=notifier
+    )
+    runs = Workflow(
+        "wf", [Job("clean", job_ok), Job("dirty", job_bad)], anomaly_hook=hook
+    ).run(spark)
+    assert [r.state for r in runs] == ["SUCCEEDED", "SUCCEEDED"]
+    assert [r.anomaly for r in runs] == [False, True]
+    assert len(notes) == 1
+    assert "dirty" in notes[0][0] and notes[0][1] == {"error_rows": 7}
+
+
+def test_anomaly_hook_job_scoping(spark):
+    """jobs= restricts the hook; anomalies in unlisted jobs are ignored."""
+    from training_etl_demo_2_spark.plans.workflow import AnomalyHook
+
+    notes = []
+    hook = AnomalyHook(
+        predicate=lambda res: True,
+        notifier=lambda m, r: notes.append(m),
+        jobs={"watched"},
+    )
+    runs = Workflow(
+        "wf",
+        [Job("unwatched", lambda s, a: 1), Job("watched", lambda s, a: 2)],
+        anomaly_hook=hook,
+    ).run(spark)
+    assert len(notes) == 1 and "watched" in notes[0]
+    assert [r.anomaly for r in runs] == [False, True]

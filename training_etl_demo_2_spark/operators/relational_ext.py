@@ -568,15 +568,82 @@ def q19_disjunctive_revenue(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def customer_value_deciles(t: dict[str, DataFrame]) -> DataFrame:
-    """ntile decile stats over customer balances: rank-based windows
-    need a global order — one range-partition shuffle — then the
-    per-decile agg is cheap. At 100 TB prefer approx_percentile cuts
-    over exact ntile when the global sort becomes the bottleneck."""
-    c = t["customer"]
-    w = Window.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    """Decile stats over customer balances via EXACT DISTRIBUTED ntile.
+
+    ``ntile(10) OVER (ORDER BY ...)`` forces every row through one task
+    (unpartitioned window) — a scale-killer. This plan keeps ntile's
+    exact semantics (equal-depth buckets, ties split by rank order, so
+    it matches the ntile SQL oracle bit-for-bit — which value-binning
+    on approx_percentile cut points cannot) while staying parallel:
+
+    1. range-repartition + in-partition sort on (c_acctbal, c_custkey)
+       — the same one shuffle the window would need, but into P tasks;
+    2. collect per-partition COUNTS (P integers of partition metadata,
+       not rows) and prefix-sum them into rank offsets on the driver;
+    3. per-partition vectorized ranking in mapInPandas: global rank =
+       offset + local position, decile = ntile's uneven-division rule.
+
+    The per-decile agg afterwards is an ordinary 10-group groupBy.
+    """
+    import numpy as np
+
+    c = t["customer"].select("c_acctbal", "c_custkey")
+    spark = c.sparkSession
+    out_cols_schema = (
+        "decile int, n_customers long, min_bal double, "
+        "max_bal double, avg_bal double"
+    )
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    ranged = (
+        c.repartitionByRange(nparts, F.asc("c_acctbal"), F.asc("c_custkey"))
+        .sortWithinPartitions(F.asc("c_acctbal"), F.asc("c_custkey"))
+        .withColumn("pid", F.spark_partition_id())
+    )
+    # One shuffle, two passes (counts, then rank+agg) — persist so the
+    # second pass reuses the sorted partitions instead of re-shuffling.
+    ranged.persist()
+    counts = dict(
+        (int(r["pid"]), int(r["count"]))
+        for r in ranged.groupBy("pid").count().collect()
+    )
+    n = sum(counts.values())
+    if n == 0:
+        ranged.unpersist()
+        return spark.createDataFrame([], out_cols_schema)
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    base, rem = divmod(n, 10)
+    cut = rem * (base + 1)
+
+    def rank_partition(batches):
+        import pandas as pd
+
+        seen = 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pid = int(pdf["pid"].iloc[0])
+            start = offsets[pid] + seen
+            seen += len(pdf)
+            r = np.arange(start, start + len(pdf), dtype=np.int64)  # 0-based rank
+            if base == 0:
+                dec = r + 1  # n < 10: first n buckets of size 1
+            else:
+                dec = np.where(
+                    r < cut, r // (base + 1), rem + (r - cut) // base
+                ) + 1
+            yield pd.DataFrame(
+                {
+                    "decile": dec.astype(np.int32),
+                    "c_acctbal": pdf["c_acctbal"].to_numpy(dtype=np.float64),
+                }
+            )
+
+    tiled = ranged.mapInPandas(rank_partition, "decile int, c_acctbal double")
     return (
-        c.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
+        tiled.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),

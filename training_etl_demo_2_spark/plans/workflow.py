@@ -20,6 +20,7 @@ Spark stages inside each job is where the distribution happens.
 
 from __future__ import annotations
 
+import threading
 import time
 import traceback
 from collections.abc import Callable
@@ -50,14 +51,40 @@ class JobRun:
     elapsed_s: float
     result: Any = None
     error: str | None = None
+    anomaly: bool = False  # set by the workflow's anomaly hook
+
+
+@dataclass
+class AnomalyHook:
+    """Post-job anomaly detection + notification (reqdef.yaml:11,15:
+    Step Functions detects anomalies, notifies via SNS, saves to S3).
+
+    ``predicate`` inspects a SUCCEEDED job's result (typically a
+    DataFrame — aggregate it down before deciding; never collect a big
+    relation just to test it) and returns True on anomaly; ``notifier``
+    is the SNS-analog callable invoked with a human-readable message
+    and the offending result. Persisting the result (the S3-save leg)
+    belongs in the notifier — ``io.write_run`` is the natural fit.
+    ``jobs`` restricts the hook to specific job names (None = all).
+    """
+
+    predicate: Callable[[Any], bool]
+    notifier: Callable[[str, Any], None]
+    jobs: set[str] | None = None
 
 
 class Workflow:
     """W2-W4: ordered jobs; each runs iff all previous SUCCEEDED."""
 
-    def __init__(self, name: str, jobs: list[Job]):
+    def __init__(
+        self,
+        name: str,
+        jobs: list[Job],
+        anomaly_hook: AnomalyHook | None = None,
+    ):
         self.name = name
         self.jobs = jobs
+        self.anomaly_hook = anomaly_hook
 
     def run(self, spark: SparkSession) -> list[JobRun]:
         runs: list[JobRun] = []
@@ -66,28 +93,85 @@ class Workflow:
             if not healthy:  # W4: conditional trigger not satisfied
                 runs.append(JobRun(job.name, "SKIPPED", 0, 0.0))
                 continue
-            runs.append(self._run_job(spark, job))
-            healthy = runs[-1].state == "SUCCEEDED"
+            run = self._run_job(spark, job)
+            self._apply_anomaly_hook(job, run)
+            runs.append(run)
+            healthy = run.state == "SUCCEEDED"
         return runs
 
+    def _apply_anomaly_hook(self, job: Job, run: JobRun) -> None:
+        hook = self.anomaly_hook
+        if (
+            hook is None
+            or run.state != "SUCCEEDED"
+            or (hook.jobs is not None and job.name not in hook.jobs)
+        ):
+            return
+        if hook.predicate(run.result):
+            run.anomaly = True
+            hook.notifier(
+                f"workflow {self.name}: anomaly detected in job {job.name}",
+                run.result,
+            )
+
     def _run_job(self, spark: SparkSession, job: Job) -> JobRun:
+        """Run ``job.fn`` under a REAL wall-clock timeout.
+
+        The fn runs in a daemon worker thread; on deadline we cancel its
+        Spark job group (``interruptOnCancel``) so cluster resources are
+        reclaimed — the reference's 60-min Glue timeout kills the job,
+        not just flags it (demo2a-stack.ts:119). PySpark pins Python
+        threads to JVM threads (PYSPARK_PIN_THREAD default), so the job
+        group set in the worker thread scopes exactly this job's stages.
+        """
         start = time.monotonic()
+        deadline = start + job.timeout_s
         last_err = None
         for attempt in range(1, job.max_retries + 2):  # initial + retries
-            try:
-                result = job.fn(spark, job.args)
-                elapsed = time.monotonic() - start
-                if elapsed > job.timeout_s:
-                    return JobRun(
-                        job.name, "TIMEOUT", attempt, elapsed,
-                        error=f"exceeded {job.timeout_s}s",
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            group = f"{self.name}.{job.name}.{attempt}"
+            outcome: dict[str, Any] = {}
+
+            def target(group_id: str = group, out: dict[str, Any] = outcome) -> None:
+                try:
+                    spark.sparkContext.setJobGroup(
+                        group_id,
+                        f"workflow {self.name} job {job.name}",
+                        interruptOnCancel=True,
                     )
-                return JobRun(job.name, "SUCCEEDED", attempt, elapsed, result=result)
-            except Exception:
-                last_err = traceback.format_exc()
-                if time.monotonic() - start > job.timeout_s:
-                    break
+                    out["result"] = job.fn(spark, job.args)
+                except BaseException:
+                    out["error"] = traceback.format_exc()
+
+            worker = threading.Thread(
+                target=target, name=group, daemon=True
+            )
+            worker.start()
+            worker.join(remaining)
+            if worker.is_alive():
+                # Hung past the deadline: kill its Spark stages; the
+                # (daemon) thread is abandoned.
+                try:
+                    spark.sparkContext.cancelJobGroup(group)
+                except Exception:
+                    pass
+                return JobRun(
+                    job.name, "TIMEOUT", attempt,
+                    time.monotonic() - start,
+                    error=f"exceeded {job.timeout_s}s",
+                )
+            if "error" not in outcome:
+                return JobRun(
+                    job.name, "SUCCEEDED", attempt,
+                    time.monotonic() - start, result=outcome.get("result"),
+                )
+            last_err = outcome["error"]
         return JobRun(
-            job.name, "FAILED", job.max_retries + 1,
-            time.monotonic() - start, error=last_err,
+            job.name,
+            "TIMEOUT" if last_err is None else "FAILED",
+            job.max_retries + 1,
+            time.monotonic() - start,
+            error=last_err or f"exceeded {job.timeout_s}s",
         )
