@@ -26,6 +26,7 @@ from training_etl_demo_2_spark.operators import (
     relational,
     relational_ext,
     similarity,
+    temporal,
     text,
     wordcount,
 )
@@ -186,6 +187,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_stats": _q(relational_ext.events_props_stats),
         "priorities_per_status": _q(relational_ext.priorities_per_status),
         "customer_value_deciles": _q(relational_ext.customer_value_deciles),
+        # --- temporal joins (as-of, banded range) — §2 beyond-reference
+        "asof_last_order": _q(temporal.asof_last_order),
+        "events_followups_1h": _q(temporal.events_followups_within),
         # ------------------------------------------------------------------
         # Entries below this line sit past the gate's 50-entry window:
         # oracle-sharing twins and family-covered relational variants.
@@ -706,6 +710,11 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             GROUP BY word
         """,
+        # temporal joins: DuckDB's native ASOF JOIN / theta self-join are
+        # the independent formulations of the engine's union-window and
+        # banded-equi-join plans
+        "asof_last_order": temporal.ASOF_LAST_ORDER_ORACLE,
+        "events_followups_1h": temporal.EVENTS_FOLLOWUPS_ORACLE,
         # text analysis
         "language_id": oracle_text.language_id_sql(),
         "text_quality": oracle_text.text_quality_sql(),

@@ -1,0 +1,150 @@
+"""As-of join and banded range join: semantics on hand-built frames plus
+a differential check against a naive theta-join formulation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from training_etl_demo_2_spark.operators import temporal
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 10:00:00"), 100.0, None),
+            ("A", _ts("2024-01-01 10:00:05"), None, "stale"),  # null col rides along
+            ("A", _ts("2024-01-01 10:00:10"), 102.0, "fresh"),
+            ("B", _ts("2024-01-01 10:00:03"), 50.0, "only"),
+        ],
+        "sym string, qts timestamp, px double, note string",
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 09:59:59"), 1),  # before any quote
+            ("A", _ts("2024-01-01 10:00:05"), 2),  # exact tie with quote 2
+            ("A", _ts("2024-01-01 10:00:07"), 3),  # between quotes 2 and 3
+            ("A", _ts("2024-01-01 10:01:00"), 4),  # after all quotes
+            ("B", _ts("2024-01-01 10:00:02"), 5),  # before B's only quote
+            ("C", _ts("2024-01-01 10:00:00"), 6),  # key with no right side
+        ],
+        "sym string, ts timestamp, trade_id int",
+    )
+
+
+def test_asof_backward(spark, trades, quotes):
+    out = {
+        r["trade_id"]: (r["px"], r["note"])
+        for r in temporal.asof_join(
+            trades, quotes, on="sym", left_ts="ts", right_ts="qts"
+        ).collect()
+    }
+    assert out[1] == (None, None)  # nothing at-or-before
+    # tie is inclusive AND the whole right row is carried atomically:
+    # quote at 10:00:05 has px=NULL, note='stale' — no stitching of the
+    # older px=100.0 into it.
+    assert out[2] == (None, "stale")
+    assert out[3] == (None, "stale")
+    assert out[4] == (102.0, "fresh")
+    assert out[5] == (None, None)
+    assert out[6] == (None, None)
+    assert len(out) == 6
+
+
+def test_asof_forward(spark, trades, quotes):
+    out = {
+        r["trade_id"]: (r["px"], r["note"])
+        for r in temporal.asof_join(
+            trades, quotes, on="sym", left_ts="ts", right_ts="qts",
+            direction="forward",
+        ).collect()
+    }
+    assert out[1] == (100.0, None)
+    assert out[2] == (None, "stale")  # tie inclusive forward too
+    assert out[3] == (102.0, "fresh")
+    assert out[4] == (None, None)  # nothing at-or-after
+    assert out[5] == (50.0, "only")
+    assert out[6] == (None, None)
+
+
+def test_asof_column_collision_raises(trades, quotes):
+    with pytest.raises(ValueError, match="collision"):
+        temporal.asof_join(
+            trades.withColumnRenamed("trade_id", "px"),
+            quotes,
+            on="sym",
+            left_ts="ts",
+            right_ts="qts",
+        )
+
+
+def test_asof_bad_direction(trades, quotes):
+    with pytest.raises(ValueError, match="direction"):
+        temporal.asof_join(trades, quotes, on="sym", direction="nearest")
+
+
+def test_banded_range_join_matches_naive(spark, tables):
+    """Banded plan == naive theta-join on the fixture events table."""
+    e = tables["events"].select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    ivs = e.select(
+        "user_id",
+        F.col("t").alias("lo"),
+        (F.col("t") + 600 * 1_000_000).alias("hi"),
+        F.col("event_id").alias("iv_id"),
+    )
+    pts = e.select("user_id", F.col("t").alias("pt"), "event_id")
+    banded = temporal.banded_range_join(
+        pts, ivs, on="user_id", point_ts="pt",
+        interval_lo="lo", interval_hi="hi", max_span=600 * 1_000_000,
+    ).select("event_id", "iv_id")
+    naive = pts.join(ivs, on="user_id").filter(
+        (F.col("pt") >= F.col("lo")) & (F.col("pt") <= F.col("hi"))
+    ).select("event_id", "iv_id")
+    assert sorted(map(tuple, banded.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    assert banded.count() > 0
+
+
+def test_banded_range_join_infers_span(spark):
+    ivs = spark.createDataFrame(
+        [(1, 0, 10, "a"), (1, 5, 25, "b")], "k int, lo long, hi long, iv string"
+    )
+    pts = spark.createDataFrame(
+        [(1, 0), (1, 5), (1, 10), (1, 11), (1, 25), (1, 26), (2, 5)],
+        "k int, p long",
+    )
+    got = sorted(
+        (r["p"], r["iv"])
+        for r in temporal.banded_range_join(
+            pts, ivs, on="k", point_ts="p", interval_lo="lo", interval_hi="hi"
+        ).collect()
+    )
+    assert got == [(0, "a"), (5, "a"), (5, "b"), (10, "a"), (10, "b"),
+                   (11, "b"), (25, "b")]
+
+
+def test_registered_temporal_queries(spark, tables):
+    asof = temporal.asof_last_order(tables)
+    assert asof.count() == tables["events"].count()  # left-outer: no row loss
+    # any matched row must satisfy the as-of predicate
+    bad = asof.filter(
+        F.col("last_order_ts").isNotNull()
+        & (F.col("last_order_ts") > F.col("ts"))
+    ).count()
+    assert bad == 0
+    pairs = temporal.events_followups_within(tables, gap_s=3600)
+    assert pairs.filter(F.col("n_pairs") <= 0).count() == 0

@@ -1,0 +1,252 @@
+"""Temporal joins: as-of join and banded range join.
+
+Neither exists as a built-in Spark operator (the reference engine has no
+counterpart either — these are the time-series operators a training-data
+pipeline needs when aligning event streams with slowly-changing facts).
+Both are expressed as compositions of existing DataFrame ops so Catalyst
+keeps optimizing them — no Python in the hot path.
+
+As-of join (backward): for each left row, attach the right row with the
+greatest ``right_ts <= left_ts`` for the same key.  Implementation is the
+classic union + ordered-window carry-forward:
+
+  1. project both sides onto a common layout (key, ts, side-tag, payload
+     struct, right-payload struct),
+  2. union — ONE relation, ONE shuffle on the key (the window's
+     partitionBy), no join node at all,
+  3. ``last(right_struct, ignorenulls=True)`` over
+     ``(key) ORDER BY ts, tag ROWS UNBOUNDED PRECEDING..CURRENT`` carries
+     the most recent right row onto every left row,
+  4. keep left rows, unpack the struct.
+
+The right payload rides in a single struct so a right row whose
+individual columns contain NULLs is still carried atomically (per-column
+``last(ignorenulls)`` would stitch values from different rows).
+
+Scale notes: cost is one hash exchange of |L|+|R| rows plus an
+in-partition sort — the same price as a sort-merge join, with no
+candidate blow-up on dense right sides (contrast the naive
+``left join .. on key and rts <= lts`` + max() approach, which is
+O(|L| x matching |R|)).  Skewed keys behave like any skewed window:
+pre-aggregate the right side per (key, ts) — as `asof_last_order` does —
+and let AQE handle residual imbalance.
+
+Banded range join: match points to intervals (``lo <= pt < hi`` — or
+pairs within a max gap) by quantizing time into buckets of width ~= the
+maximum interval span, equi-joining on (key, bucket) with intervals
+exploded to every bucket they overlap, then re-applying the exact range
+predicate.  This turns an unbounded theta-join (which Spark executes as
+BroadcastNestedLoop or a full cartesian per key) into an equi shuffle
+join whose candidate count is O(points x avg-intervals-per-bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_TAG = "__asof_tag"
+_TS = "__asof_ts"
+_LEFT = "__asof_left"
+_RIGHT = "__asof_right"
+_BUCKET = "__range_bucket"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join (left outer): each left row gains the right row's
+    columns for the nearest ``right_ts <= left_ts`` (backward, ties
+    inclusive) or ``right_ts >= left_ts`` (forward) within the same key.
+
+    Right-side column names must not collide with left-side ones (rename
+    before calling — the result carries both payloads unprefixed).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    left_payload = [c for c in left.columns if c not in keys]
+    right_payload = [c for c in right.columns if c not in keys]
+    collide = set(left_payload) & set(right_payload)
+    if collide:
+        raise ValueError(f"column collision between sides: {sorted(collide)}")
+
+    # Common layout. Right rows sort BEFORE left rows at equal ts for
+    # backward (tag 0 < 1: an exactly-simultaneous fact is visible), and
+    # AFTER for forward (symmetric inclusivity).
+    l_norm = left.select(
+        *keys,
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_TAG),
+        F.struct(*left_payload).alias(_LEFT),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{t}" for c, t in right.select(*right_payload).dtypes) + ">"
+        ).alias(_RIGHT),
+    )
+    r_norm = right.select(
+        *keys,
+        F.col(right_ts).alias(_TS),
+        F.lit(0).alias(_TAG),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{t}" for c, t in left.select(*left_payload).dtypes) + ">"
+        ).alias(_LEFT),
+        F.struct(*right_payload).alias(_RIGHT),
+    )
+    unioned = l_norm.unionByName(r_norm)
+
+    if direction == "backward":
+        order = [F.col(_TS).asc(), F.col(_TAG).asc()]
+        frame = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        carried = F.last(_RIGHT, ignorenulls=True).over(frame)
+    else:
+        # forward: nearest right at or after the left ts — scan from the
+        # end; at equal ts the right row (tag 0) must sit AFTER the left
+        # row in ascending order so the following-frame still sees it.
+        order = [F.col(_TS).asc(), F.col(_TAG).desc()]
+        frame = Window.partitionBy(*keys).orderBy(*order).rowsBetween(
+            Window.currentRow, Window.unboundedFollowing
+        )
+        carried = F.first(_RIGHT, ignorenulls=True).over(frame)
+
+    matched = unioned.withColumn(_RIGHT, carried).filter(F.col(_TAG) == 1)
+    out_cols: list[Column] = [F.col(k) for k in keys]
+    out_cols += [F.col(f"{_LEFT}.{c}").alias(c) for c in left_payload]
+    out_cols += [F.col(f"{_RIGHT}.{c}").alias(c) for c in right_payload]
+    return matched.select(*out_cols)
+
+
+def banded_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str],
+    point_ts: str,
+    interval_lo: str,
+    interval_hi: str,
+    max_span: int | None = None,
+) -> DataFrame:
+    """Point-in-interval join: rows of ``points`` matched to every row of
+    ``intervals`` with the same key and ``lo <= pt <= hi``, as an
+    equi-join on (key, bucket) instead of a theta-join.
+
+    ``point_ts`` / ``interval_lo`` / ``interval_hi`` are integer-typed
+    columns (e.g. ``unix_micros``) so bucketing is exact.  ``max_span``
+    is the bucket width; defaults to the largest interval span (computed
+    with one cheap agg) — pass it explicitly when you know the bound, to
+    save the extra job.  Intervals are exploded to every bucket they
+    overlap (span/width + 1 rows, ~2 for spans <= width), so candidate
+    fan-out stays bounded; the exact predicate re-filters after the join.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if max_span is None:
+        row = intervals.select(
+            F.max(F.col(interval_hi) - F.col(interval_lo)).alias("s")
+        ).first()
+        max_span = int(row["s"]) if row["s"] is not None else 1
+    width = max(int(max_span), 1)
+
+    pts = points.withColumn(_BUCKET, F.floor(F.col(point_ts) / width))
+    ivs = intervals.withColumn(
+        _BUCKET,
+        F.explode(
+            F.sequence(
+                F.floor(F.col(interval_lo) / width),
+                F.floor(F.col(interval_hi) / width),
+            )
+        ),
+    )
+    joined = pts.join(ivs, on=keys + [_BUCKET]).filter(
+        (F.col(point_ts) >= F.col(interval_lo))
+        & (F.col(point_ts) <= F.col(interval_hi))
+    )
+    return joined.drop(_BUCKET)
+
+
+# ---------------------------------------------------------------------------
+# Registered queries over the fixture tables
+# ---------------------------------------------------------------------------
+
+
+def asof_last_order(t: dict[str, DataFrame]) -> DataFrame:
+    """For every event, the user's most recent order activity at or
+    before the event time: as-of(backward) events -> per-(custkey, day)
+    order rollup.  The right side is pre-aggregated to one row per
+    (key, ts) — both the determinism requirement (ASOF is ambiguous on
+    duplicate timestamps) and the skew mitigation (window partitions
+    carry |days|, not |orders|).
+    """
+    od = (
+        t["orders"]
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").alias("last_order_ts"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            # exact cents: totalprice is a 2-dp decimal stored as double
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("spend_c"),
+        )
+    )
+    ev = t["events"].select("user_id", "ts", "event_id")
+    res = asof_join(ev, od, on="user_id", left_ts="ts", right_ts="last_order_ts")
+    return res.select("event_id", "user_id", "ts", "last_order_ts", "n_orders", "spend_c")
+
+
+def events_followups_within(
+    t: dict[str, DataFrame], gap_s: int = 3600
+) -> DataFrame:
+    """Per user: how many ordered event pairs fall within ``gap_s``
+    seconds (0 < t_b - t_a <= gap) — a time-range self-join executed as
+    a banded range join (bucket width == gap, so each 'interval'
+    [t_a, t_a+gap] spans <= 2 buckets of candidates).
+    """
+    gap_us = gap_s * 1_000_000
+    e = t["events"].select("user_id", F.unix_micros("ts").alias("t"))
+    pts = e.withColumnRenamed("t", "t_b")
+    ivs = e.select(
+        "user_id",
+        F.col("t").alias("lo"),
+        (F.col("t") + gap_us).alias("hi"),
+    )
+    pairs = banded_range_join(
+        pts, ivs, on="user_id", point_ts="t_b",
+        interval_lo="lo", interval_hi="hi", max_span=gap_us,
+    ).filter(F.col("t_b") > F.col("lo"))
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+ASOF_LAST_ORDER_ORACLE = """
+    WITH od AS (
+        SELECT o_custkey AS user_id,
+               o_orderdate AS last_order_ts,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS spend_c
+        FROM orders
+        GROUP BY 1, 2
+    )
+    SELECT e.event_id, e.user_id, e.ts, od.last_order_ts, od.n_orders, od.spend_c
+    FROM events e
+    ASOF LEFT JOIN od
+      ON e.user_id = od.user_id AND e.ts >= od.last_order_ts
+"""
+
+EVENTS_FOLLOWUPS_ORACLE = """
+    SELECT a.user_id, count(*) AS n_pairs
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND epoch_us(b.ts) > epoch_us(a.ts)
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+    GROUP BY a.user_id
+"""
