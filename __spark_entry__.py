@@ -28,8 +28,10 @@ from training_etl_demo_2_spark.operators import (
     similarity,
     temporal,
     text,
+    udfs,
     wordcount,
 )
+from training_etl_demo_2_spark.streaming import fixture_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -190,6 +192,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- temporal joins (as-of, banded range) — §2 beyond-reference
         "asof_last_order": _q(temporal.asof_last_order),
         "events_followups_1h": _q(temporal.events_followups_within),
+        # --- streaming replayed to completion (§2.9): incremental plan
+        #     must equal the batch answer on a bounded source
+        "stream_hourly_stats": fixture_queries.stream_hourly_stats,
+        "stream_user_nation_stats": fixture_queries.stream_user_nation_stats,
+        # --- UDF surface (§2.10): grouped-map pandas UDF, exact output
+        "udf_minmax_norm": _q(udfs.minmax_norm_by_type),
         # ------------------------------------------------------------------
         # Entries below this line sit past the gate's 50-entry window:
         # oracle-sharing twins and family-covered relational variants.
@@ -715,6 +723,10 @@ def oracle_sql() -> dict[str, str]:
         # banded-equi-join plans
         "asof_last_order": temporal.ASOF_LAST_ORDER_ORACLE,
         "events_followups_1h": temporal.EVENTS_FOLLOWUPS_ORACLE,
+        # streaming: the batch SQL the incremental plan must reproduce
+        "stream_hourly_stats": fixture_queries.STREAM_HOURLY_STATS_ORACLE,
+        "stream_user_nation_stats": fixture_queries.STREAM_USER_NATION_ORACLE,
+        "udf_minmax_norm": udfs.MINMAX_NORM_ORACLE,
         # text analysis
         "language_id": oracle_text.language_id_sql(),
         "text_quality": oracle_text.text_quality_sql(),

@@ -1,0 +1,56 @@
+"""Gate-facing streaming queries: the incremental plan replayed with
+availableNow must equal the batch aggregation over the same fixture."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from training_etl_demo_2_spark.streaming import fixture_queries
+
+
+def test_stream_hourly_equals_batch(spark, sf_dir, tables):
+    got = fixture_queries.stream_hourly_stats(spark, sf_dir)
+    batch = (
+        tables["events"]
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("value_t4"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    assert got.count() > 0
+
+
+def test_stream_user_nation_equals_batch(spark, sf_dir, tables):
+    got = fixture_queries.stream_user_nation_stats(spark, sf_dir)
+    dim = (
+        tables["customer"]
+        .join(
+            tables["nation"], F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    batch = (
+        tables["events"]
+        .join(dim, on="user_id")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("value_t4"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    assert got.count() > 0

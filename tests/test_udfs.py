@@ -47,3 +47,37 @@ def test_sentence_split_lateral_join(spark, tables):
     ).collect()
     assert len(rows) >= 10
     assert all(r.n_words > 0 for r in rows)
+
+
+def test_minmax_norm_matches_window_formulation(spark, tables):
+    """applyInPandas result == the pure-SQL window min/max formulation
+    (same expression tree, no Python) on the same session."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    got = udfs.minmax_norm_by_type(tables)
+    w = Window.partitionBy("event_type")
+    e = tables["events"].filter(F.col("value").isNotNull())
+    ref = (
+        e.withColumn("mn", F.min("value").over(w))
+        .withColumn("mx", F.max("value").over(w))
+        .select(
+            "event_id",
+            "event_type",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                F.floor(
+                    (F.col("value") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * 10000
+                    + F.lit(0.5)
+                )
+            )
+            .cast("long")
+            .alias("norm_bp"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    assert got.count() == e.count()
+    # bounds: basis points live in [0, 10000]
+    assert got.filter((F.col("norm_bp") < 0) | (F.col("norm_bp") > 10000)).count() == 0

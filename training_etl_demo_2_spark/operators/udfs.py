@@ -20,6 +20,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 
 
@@ -62,3 +64,59 @@ class SentenceSplit:
 def register_udtfs(spark) -> None:
     """Expose the table functions to the SQL surface."""
     spark.udtf.register("sentence_split", SentenceSplit)
+
+
+def minmax_norm_by_type(t: dict[str, DataFrame]) -> DataFrame:
+    """Grouped-map pandas UDF (``applyInPandas``): per-event_type min-max
+    feature scaling to integer basis points — the canonical 'normalize
+    features per group' step of a training-data pipeline, where the
+    whole group must be visible at once (group min/max live in Python).
+
+    Exactness: every step — subtract, divide, scale, +0.5, floor — is a
+    single IEEE-754 double op, deterministically rounded, so the result
+    is bit-identical to any engine evaluating the same expression tree
+    (the gate's DuckDB twin uses window MIN/MAX). No float ever reaches
+    the output: the final value is a BIGINT.
+
+    Scale: one shuffle on event_type; each group streams through Arrow
+    in batches. Low-cardinality group keys cap parallelism at |groups| —
+    fine for bounded type vocabularies; for high-skew grouping keys
+    compute min/max via window functions instead (no Python needed).
+    """
+    e = t["events"].filter(F.col("value").isNotNull()).select(
+        "event_id", "event_type", "value"
+    )
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        lo, hi = v.min(), v.max()
+        if hi == lo:
+            bp = np.zeros(len(v), dtype=np.int64)
+        else:
+            bp = np.floor((v - lo) / (hi - lo) * 10000 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "norm_bp": bp,
+            }
+        )
+
+    return e.groupBy("event_type").applyInPandas(
+        norm, "event_id long, event_type string, norm_bp long"
+    )
+
+
+MINMAX_NORM_ORACLE = """
+    SELECT event_id, event_type,
+           CAST(CASE WHEN mx = mn THEN 0
+                ELSE floor((value - mn) / (mx - mn) * 10000 + 0.5)
+           END AS BIGINT) AS norm_bp
+    FROM (
+        SELECT event_id, event_type, value,
+               min(value) OVER (PARTITION BY event_type) AS mn,
+               max(value) OVER (PARTITION BY event_type) AS mx
+        FROM events
+        WHERE value IS NOT NULL
+    )
+"""

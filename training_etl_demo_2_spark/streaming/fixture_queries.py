@@ -1,0 +1,153 @@
+"""Driver-gate streaming queries: Structured Streaming plans replayed
+over the fixture parquet with ``availableNow`` and compared — by the
+external oracle gate — against plain batch SQL on the same rows.
+
+This is the strongest correctness statement the streaming layer can
+make: the watermarked incremental plan, run to completion on a bounded
+source, must produce EXACTLY the batch answer (Structured Streaming's
+core guarantee).  The generic operators live in ``windowed.py`` /
+``stateful.py``; this module only binds them to the fixture layout and
+drives them to a queryable memory sink.
+
+Determinism notes:
+* aggregates use exact integer units (``floor(value*10^4 + 0.5)`` per
+  row, summed as BIGINT) — float accumulation order can differ between
+  micro-batch partial aggs and DuckDB and must never reach the hash;
+* the fixture ``events.parquet`` stores ``ts`` as TIMESTAMP(NANOS): the
+  file-source schema declares it LONG (``nanosAsLong``) and converts via
+  integer division, bit-identical to ``io.load_tables``;
+* ``complete`` output mode so every window is emitted at end-of-input
+  (append mode would hold back windows newer than the final watermark).
+
+Scale notes: on a real cluster the source swaps for Kafka and the sink
+for a Delta/parquet table — the aggregation plan (shuffle on
+(window, key), partial aggs, watermark-bounded state) is unchanged.
+The memory sink holds only the aggregated result (|windows| x |keys|
+rows), never raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from training_etl_demo_2_spark.io import load_tables
+
+# events.parquet on disk: ts is TIMESTAMP(NANOS) -> read as long.
+_EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the fixture events table (the local
+    stand-in for a Kafka topic), with the nanos->micros conversion
+    applied identically to the batch reader (io.load_tables)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The fixture is a single file, and the file stream source requires a
+    # directory path: stream the sf_dir with a glob filter selecting just
+    # the events table.
+    stream = (
+        spark.readStream.schema(_EVENTS_FILE_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+
+
+def _replay_to_table(result: DataFrame, name: str, timeout_s: float = 300.0) -> None:
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            raise TimeoutError(f"stream {name} did not drain in {timeout_s}s")
+    finally:
+        q.stop()
+
+
+def stream_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate (1h windows per event_type),
+    replayed to completion — must equal the batch GROUP BY."""
+    src = read_events_stream_fixture(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("value_t4"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "value_t4",
+        )
+    )
+    _replay_to_table(agg, "gate_stream_hourly")
+    return spark.table("gate_stream_hourly")
+
+
+def stream_user_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer->nation dimension (broadcast — the dimension is re-read per
+    micro-batch, so keeping it broadcastable is the scale-critical
+    choice), aggregated per nation."""
+    src = read_events_stream_fixture(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    dim = (
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    joined = src.join(F.broadcast(dim), on="user_id")
+    agg = joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("value_t4"),
+    )
+    _replay_to_table(agg, "gate_stream_user_nation")
+    return spark.table("gate_stream_user_nation")
+
+
+STREAM_HOURLY_STATS_ORACLE = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_t4
+    FROM events
+    GROUP BY 1, 2
+"""
+
+STREAM_USER_NATION_ORACLE = """
+    SELECT n_name,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_t4
+    FROM events
+    JOIN customer ON user_id = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+"""
