@@ -90,13 +90,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING CONTRACT: the external correctness gate checks the FIRST 50
     entries in declaration order. The dict is therefore ordered so that
-    every north-star query (text / dedup / similarity / multimodal) and
-    one representative per relational operator family sit inside the
-    window; entries past position 50 are either oracle-sharing twins of
-    a checked sibling (word_count_salted, sessionize_events_window,
-    ann_brute_topk_pandas) or relational variants whose operator family
-    already has a checked representative (all remain pytest-covered and
-    benchmarked).
+    every north-star query (text / dedup / similarity / multimodal /
+    temporal / streaming / UDF) and one representative per relational
+    operator family sit inside the window; entries past position 50 are
+    either oracle-sharing twins of a checked sibling (word_count_salted,
+    sessionize_events_window, ann_brute_topk_pandas) or relational
+    variants whose operator family already has a checked representative
+    (all remain pytest-covered, locally oracle-checked via
+    tools/check_oracle.py, and benchmarked).
+    tests/test_entry_contract.py enforces this window composition.
     """
     return {
         # --- reference core: word-frequency pipeline (§2 P1,F1,F2,A1,O1,O2)
@@ -160,36 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 multimodal.attach_fake_payload(t["documents"])
             )
         ),
-        # --- relational breadth (§2.2-2.8 + Athena phase): one checked
-        #     representative per operator family inside the window
-        "q1_pricing_summary": _q(relational.q1_pricing_summary),
-        "q3_shipping_priority": _q(relational.q3_shipping_priority),
-        "q5_region_revenue": _q(relational.q5_region_revenue),
-        "q7_nation_volume": _q(relational_ext.q7_nation_volume),
-        "q8_market_share": _q(relational_ext.q8_market_share),
-        "q13_customer_distribution": _q(relational_ext.q13_customer_distribution),
-        "q15_top_suppliers": _q(relational_ext.q15_top_suppliers),
-        "q4_order_priority": _q(relational_ext.q4_order_priority),
-        "idle_customers": _q(relational_ext.idle_customers),
-        "nation_participation": _q(relational_ext.nation_participation),
-        "distinct_customers_by_priority": _q(
-            relational.distinct_customers_by_priority
-        ),
-        "top_orders_per_customer": _q(relational.top_orders_per_customer),
-        "customer_set_ops": _q(relational.customer_set_ops),
-        "orders_rollup": _q(relational.orders_rollup),
-        "sql_grouping_sets": _sql_grouping_sets,
-        "status_by_segment_pivot": _q(relational_ext.status_by_segment_pivot),
-        "priority_mix_by_year": _q(relational_ext.priority_mix_by_year),
-        "lineitem_summary_stats": _q(relational.lineitem_summary_stats),
-        "event_value_percentiles": _q(relational_ext.event_value_percentiles),
-        "daily_revenue_trend": _q(relational_ext.daily_revenue_trend),
-        "sessionize_events": _q(relational.sessionize_events),
-        "user_event_gaps": _q(relational_ext.user_event_gaps),
-        "events_props_stats": _q(relational_ext.events_props_stats),
-        "priorities_per_status": _q(relational_ext.priorities_per_status),
-        "customer_value_deciles": _q(relational_ext.customer_value_deciles),
-        # --- temporal joins (as-of, banded range) — §2 beyond-reference
+        # --- temporal joins (as-of, banded range) — beyond-reference
         "asof_last_order": _q(temporal.asof_last_order),
         "events_followups_1h": _q(temporal.events_followups_within),
         # --- streaming replayed to completion (§2.9): incremental plan
@@ -198,10 +171,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_user_nation_stats": fixture_queries.stream_user_nation_stats,
         # --- UDF surface (§2.10): grouped-map pandas UDF, exact output
         "udf_minmax_norm": _q(udfs.minmax_norm_by_type),
+        # --- relational breadth (§2.2-2.8 + Athena phase): one checked
+        #     representative per operator family inside the window
+        "q1_pricing_summary": _q(relational.q1_pricing_summary),
+        "q3_shipping_priority": _q(relational.q3_shipping_priority),
+        "q5_region_revenue": _q(relational.q5_region_revenue),
+        "q7_nation_volume": _q(relational_ext.q7_nation_volume),
+        "q13_customer_distribution": _q(relational_ext.q13_customer_distribution),
+        "q4_order_priority": _q(relational_ext.q4_order_priority),
+        "idle_customers": _q(relational_ext.idle_customers),
+        "nation_participation": _q(relational_ext.nation_participation),
+        "top_orders_per_customer": _q(relational.top_orders_per_customer),
+        "customer_set_ops": _q(relational.customer_set_ops),
+        "orders_rollup": _q(relational.orders_rollup),
+        "status_by_segment_pivot": _q(relational_ext.status_by_segment_pivot),
+        "priority_mix_by_year": _q(relational_ext.priority_mix_by_year),
+        "lineitem_summary_stats": _q(relational.lineitem_summary_stats),
+        "daily_revenue_trend": _q(relational_ext.daily_revenue_trend),
+        "sessionize_events": _q(relational.sessionize_events),
+        "user_event_gaps": _q(relational_ext.user_event_gaps),
+        "events_props_stats": _q(relational_ext.events_props_stats),
+        "priorities_per_status": _q(relational_ext.priorities_per_status),
+        "customer_value_deciles": _q(relational_ext.customer_value_deciles),
         # ------------------------------------------------------------------
         # Entries below this line sit past the gate's 50-entry window:
         # oracle-sharing twins and family-covered relational variants.
         # ------------------------------------------------------------------
+        "q8_market_share": _q(relational_ext.q8_market_share),
+        "q15_top_suppliers": _q(relational_ext.q15_top_suppliers),
+        "sql_grouping_sets": _sql_grouping_sets,
+        "event_value_percentiles": _q(relational_ext.event_value_percentiles),
+        "distinct_customers_by_priority": _q(
+            relational.distinct_customers_by_priority
+        ),
         "word_count_salted": _q(
             lambda t: wordcount.word_counts_salted(t["documents"])
         ),

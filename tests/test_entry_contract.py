@@ -1,0 +1,73 @@
+"""Driver-contract regression guards: the external gate verifies only
+the first 50 ``queries()`` entries, so window composition is load-bearing
+— a reorder that drops a north-star query below position 50 silently
+un-verifies it."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+GATE_WINDOW = 50
+
+# Every query that MUST have a driver CORRECTNESS row: the north-star
+# layers, the operators newly added this round, and the queries that were
+# red in round 1 (their green rows prove the fixes).
+MUST_BE_IN_WINDOW = {
+    # reference core
+    "word_count", "top10_words", "sql_nation_revenue", "sink_word_items",
+    # text analysis
+    "language_id", "text_quality", "token_stats", "doc_fingerprints",
+    "bigram_counts", "stopword_filtered",
+    # dedup
+    "dedup_exact", "clean_corpus", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "simhash_fingerprints", "simhash_near_pairs",
+    # similarity
+    "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "embedding_near_pairs",
+    # multimodal
+    "multimodal_metadata", "multimodal_features", "multimodal_resize",
+    "multimodal_frames", "multimodal_audio",
+    # temporal joins
+    "asof_last_order", "events_followups_1h",
+    # streaming replay
+    "stream_hourly_stats", "stream_user_nation_stats",
+    # UDF surface
+    "udf_minmax_norm",
+    # round-1 reds (fixed; must show green)
+    "priority_mix_by_year", "user_event_gaps", "events_props_stats",
+    "priorities_per_status",
+}
+
+
+def test_window_contains_all_must_have_queries():
+    names = list(entrymod.queries().keys())
+    window = set(names[:GATE_WINDOW])
+    missing = MUST_BE_IN_WINDOW - window
+    assert not missing, f"queries fell out of the gate window: {sorted(missing)}"
+
+
+def test_every_query_has_unique_name_and_callable():
+    qs = entrymod.queries()
+    assert len(qs) == len(set(qs.keys()))
+    assert all(callable(fn) for fn in qs.values())
+
+
+def test_oracles_reference_registered_queries_only():
+    qs = set(entrymod.queries().keys())
+    orphans = set(entrymod.oracle_sql().keys()) - qs
+    assert not orphans, f"oracle_sql entries with no query: {sorted(orphans)}"
+
+
+def test_window_entries_all_have_oracles():
+    """Inside the gate window, rows-only entries waste a checked slot —
+    every windowed query should carry a SQL oracle unless its semantics
+    are genuinely not SQL-expressible (declared below)."""
+    rows_only_allowed = {
+        # numpy-seeded hyperplanes / trained codebook / fake codec kernels
+        "ann_lsh_topk", "ann_ivf_topk",
+        "multimodal_metadata", "multimodal_features", "multimodal_resize",
+        "multimodal_audio",
+    }
+    names = list(entrymod.queries().keys())[:GATE_WINDOW]
+    oracles = set(entrymod.oracle_sql().keys())
+    missing = [n for n in names if n not in oracles and n not in rows_only_allowed]
+    assert not missing, f"windowed queries without oracle: {missing}"
