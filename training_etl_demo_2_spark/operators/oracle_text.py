@@ -81,6 +81,54 @@ def token_stats_sql() -> str:
     """
 
 
+def repetition_stats_sql() -> str:
+    """Twin of text.repetition_stats: duplicate-word / duplicate-bigram
+    ratios in exact basis points (both engines: count arithmetic +
+    one exactly-rounded double division + floor)."""
+    dup = (
+        "CAST(CASE WHEN len({a}) <= 0 THEN 0 ELSE "
+        "floor((len({a}) - len(list_distinct({a}))) * 10000 / len({a})) "
+        "END AS BIGINT)"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           {dup.format(a='toks')} AS word_dup_bp,
+           {dup.format(a='bgs')} AS bigram_dup_bp
+    FROM (
+        SELECT doc_id, toks,
+               list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1]) AS bgs
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS toks
+              FROM documents)
+    )
+    """
+
+
+def scrub_pii_sql() -> str:
+    """Twin of text.scrub_pii — same RE2-compatible patterns, same
+    fixed replacement order."""
+    from .text import _PII_ORDER, PII_PATTERNS
+
+    scrub = "text"
+    for kind in _PII_ORDER:
+        scrub = (
+            f"regexp_replace({scrub}, '{PII_PATTERNS[kind]}', "
+            f"'<{kind.upper()}>', 'g')"
+        )
+    counts = ",\n           ".join(
+        f"CAST(len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS BIGINT)"
+        f" AS n_{k}"
+        for k in _PII_ORDER
+    )
+    return f"""
+    SELECT doc_id,
+           {scrub} AS clean_text,
+           {counts}
+    FROM documents
+    """
+
+
 def doc_fingerprints_sql() -> str:
     fp_raw = ROLLING_HASH.format(s="text")
     fp_norm = ROLLING_HASH.format(s=NORMALIZE.format(s="text"))

@@ -576,17 +576,17 @@ def customer_value_deciles(t: dict[str, DataFrame]) -> DataFrame:
     it matches the ntile SQL oracle bit-for-bit — which value-binning
     on approx_percentile cut points cannot) while staying parallel:
 
-    1. range-repartition + in-partition sort on (c_acctbal, c_custkey)
-       — the same one shuffle the window would need, but into P tasks;
+    1. range-repartition on (c_acctbal, c_custkey) — the same one
+       shuffle the window would need, but into P tasks;
     2. collect per-partition COUNTS (P integers of partition metadata,
        not rows) and prefix-sum them into rank offsets on the driver;
-    3. per-partition vectorized ranking in mapInPandas: global rank =
-       offset + local position, decile = ntile's uneven-division rule.
+    3. global rank = offset[pid] + row_number() OVER (PARTITION BY pid)
+       — a pid-partitioned window, so the rank stage is parallel AND
+       stays inside whole-stage codegen (no Python, no Arrow transfer);
+       decile = ntile's uneven-division rule as integer arithmetic.
 
     The per-decile agg afterwards is an ordinary 10-group groupBy.
     """
-    import numpy as np
-
     c = t["customer"].select("c_acctbal", "c_custkey")
     spark = c.sparkSession
     out_cols_schema = (
@@ -594,13 +594,11 @@ def customer_value_deciles(t: dict[str, DataFrame]) -> DataFrame:
         "max_bal double, avg_bal double"
     )
     nparts = max(1, spark.sparkContext.defaultParallelism)
-    ranged = (
-        c.repartitionByRange(nparts, F.asc("c_acctbal"), F.asc("c_custkey"))
-        .sortWithinPartitions(F.asc("c_acctbal"), F.asc("c_custkey"))
-        .withColumn("pid", F.spark_partition_id())
-    )
+    ranged = c.repartitionByRange(
+        nparts, F.asc("c_acctbal"), F.asc("c_custkey")
+    ).withColumn("pid", F.spark_partition_id())
     # One shuffle, two passes (counts, then rank+agg) — persist so the
-    # second pass reuses the sorted partitions instead of re-shuffling.
+    # second pass reuses the exchanged partitions instead of re-shuffling.
     ranged.persist()
     counts = dict(
         (int(r["pid"]), int(r["count"]))
@@ -617,31 +615,26 @@ def customer_value_deciles(t: dict[str, DataFrame]) -> DataFrame:
     base, rem = divmod(n, 10)
     cut = rem * (base + 1)
 
-    def rank_partition(batches):
-        import pandas as pd
+    offset_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("pid").orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+    r = (offset_map[F.col("pid")] + F.row_number().over(w) - 1).cast("long")
+    def _idiv(col, m: int):
+        # exact integer division on long columns (no double quotient)
+        return ((col - col % m) / m).cast("long")
 
-        seen = 0
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            pid = int(pdf["pid"].iloc[0])
-            start = offsets[pid] + seen
-            seen += len(pdf)
-            r = np.arange(start, start + len(pdf), dtype=np.int64)  # 0-based rank
-            if base == 0:
-                dec = r + 1  # n < 10: first n buckets of size 1
-            else:
-                dec = np.where(
-                    r < cut, r // (base + 1), rem + (r - cut) // base
-                ) + 1
-            yield pd.DataFrame(
-                {
-                    "decile": dec.astype(np.int32),
-                    "c_acctbal": pdf["c_acctbal"].to_numpy(dtype=np.float64),
-                }
-            )
-
-    tiled = ranged.mapInPandas(rank_partition, "decile int, c_acctbal double")
+    if base == 0:
+        dec = r + 1  # n < 10: first n buckets of size 1
+    else:
+        dec = (
+            F.when(r < cut, _idiv(r, base + 1))
+            .otherwise(rem + _idiv(r - cut, base))
+            + 1
+        )
+    tiled = ranged.select(
+        dec.cast("int").alias("decile"), F.col("c_acctbal")
+    )
     return (
         tiled.groupBy("decile")
         .agg(

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import normalize_text, rolling_hash, tokens_regex
+from ..functions import normalize_text, rolling_hash, tokens_regex, word_ngrams
 
 # Marker stopwords per language for the n-gram/stopword-count heuristic.
 # Deterministic tie-break: preference order en > de > fr > es.
@@ -146,4 +146,71 @@ def doc_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         rolling_hash(text_col).alias("fp_raw"),
         rolling_hash(normalize_text(text_col)).alias("fp_norm"),
+    )
+
+
+# PII patterns — the common Java-regex/RE2 subset (no backrefs, no
+# lookaround), so the DuckDB oracle applies the exact same automaton.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9][0-9()\- ]{6,}[0-9]",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+_PII_ORDER = ("email", "phone", "ipv4")
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora: emails, phone numbers and
+    IPv4 addresses replaced with typed placeholders, with per-category
+    match counts kept for audit/filter decisions downstream.
+
+    Pure regexp_replace / regexp_extract_all column expressions —
+    narrow, shuffle-free, codegen'd; at 100 TB the cost is the scan.
+    Patterns are applied in a fixed order (email before phone before
+    ip) so replacement composition is deterministic.
+    """
+    scrubbed = F.col(text_col)
+    for kind in _PII_ORDER:
+        scrubbed = F.regexp_replace(
+            scrubbed, PII_PATTERNS[kind], f"<{kind.upper()}>"
+        )
+    return df.select(
+        "doc_id",
+        scrubbed.alias("clean_text"),
+        *[
+            F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(PII_PATTERNS[k]), 0)
+            )
+            .cast("long")
+            .alias(f"n_{k}")
+            for k in _PII_ORDER
+        ],
+    )
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/boilerplate signals per document: the
+    fraction of duplicate words and duplicate word-bigrams, in exact
+    basis points (integer — no float reaches the output).
+
+    dup_bp = floor((n_total - n_distinct) * 10000 / n_total): heavily
+    repetitive documents (boilerplate, keyword stuffing, template spam)
+    score high and get filtered before training. Array-native
+    (split / array_distinct / size) — shuffle-free per-row transform.
+    """
+    toks = _tokens(text_col)
+    bigrams = word_ngrams(toks, 2)
+
+    def dup_bp(arr: Column) -> Column:
+        n = F.size(arr)
+        nd = F.size(F.array_distinct(arr))
+        return F.when(n <= 0, F.lit(0).cast("long")).otherwise(
+            F.floor((n - nd) * F.lit(10000) / n).cast("long")
+        )
+
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        dup_bp(toks).alias("word_dup_bp"),
+        dup_bp(bigrams).alias("bigram_dup_bp"),
     )
