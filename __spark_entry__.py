@@ -28,6 +28,7 @@ from training_etl_demo_2_spark.operators import (
     similarity,
     temporal,
     text,
+    tpch_gap,
     udfs,
     wordcount,
 )
@@ -226,6 +227,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suppliers_per_brand": _q(relational_ext.suppliers_per_brand),
         "top_part_per_brand": _q(relational_ext.top_part_per_brand),
         "promo_heavy_suppliers": _q(relational_ext.promo_heavy_suppliers),
+        # --- TPC-H gap queries (q2/q9/q12/q16/q20/q21/q22 shapes adapted
+        #     to the fixture schema) + hypertable-style rollup: with
+        #     these, all 22 TPC-H access patterns are implemented
+        "q2_min_cost_supplier": _q(tpch_gap.q2_min_cost_supplier),
+        "q9_profit_by_nation": _q(tpch_gap.q9_profit_by_nation),
+        "q12_late_shipments": _q(tpch_gap.q12_late_shipments),
+        "q16_supplier_part_counts": _q(tpch_gap.q16_supplier_part_counts),
+        "q20_excess_shippers": _q(tpch_gap.q20_excess_shippers),
+        "q21_sole_late_supplier": _q(tpch_gap.q21_sole_late_supplier),
+        "q22_idle_rich_customers": _q(tpch_gap.q22_idle_rich_customers),
+        "events_multires_rollup": _q(tpch_gap.events_multires_rollup),
     }
 
 
@@ -722,6 +734,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             GROUP BY word
         """,
+        # TPC-H gap queries + multires rollup
+        "q2_min_cost_supplier": tpch_gap.Q2_ORACLE,
+        "q9_profit_by_nation": tpch_gap.Q9_ORACLE,
+        "q12_late_shipments": tpch_gap.Q12_ORACLE,
+        "q16_supplier_part_counts": tpch_gap.Q16_ORACLE,
+        "q20_excess_shippers": tpch_gap.Q20_ORACLE,
+        "q21_sole_late_supplier": tpch_gap.Q21_ORACLE,
+        "q22_idle_rich_customers": tpch_gap.Q22_ORACLE,
+        "events_multires_rollup": tpch_gap.MULTIRES_ORACLE,
         # temporal joins: DuckDB's native ASOF JOIN / theta self-join are
         # the independent formulations of the engine's union-window and
         # banded-equi-join plans
