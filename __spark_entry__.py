@@ -26,6 +26,7 @@ from training_etl_demo_2_spark.operators import (
     relational,
     relational_ext,
     similarity,
+    sketches,
     temporal,
     text,
     tpch_gap,
@@ -238,6 +239,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sole_late_supplier": _q(tpch_gap.q21_sole_late_supplier),
         "q22_idle_rich_customers": _q(tpch_gap.q22_idle_rich_customers),
         "events_multires_rollup": _q(tpch_gap.events_multires_rollup),
+        # --- sketch aggregates (rows-only: estimates are engine-specific;
+        #     pytest pins error vs exact + merge consistency)
+        "sketch_user_stats": _q(sketches.approx_user_stats),
     }
 
 
