@@ -148,3 +148,82 @@ def test_registered_temporal_queries(spark, tables):
     assert bad == 0
     pairs = temporal.events_followups_within(tables, gap_s=3600)
     assert pairs.filter(F.col("n_pairs") <= 0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Property-based differential: asof_join vs pandas.merge_asof
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+if HAVE_HYPOTHESIS:
+    _key = st.integers(min_value=0, max_value=3)
+    _t = st.integers(min_value=0, max_value=50)
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        left=st.lists(st.tuples(_key, _t), min_size=0, max_size=25),
+        right=st.lists(st.tuples(_key, _t), min_size=0, max_size=25),
+    )
+    def test_asof_backward_matches_pandas_merge_asof(spark, left, right):
+        import pandas as pd
+
+        # dedup right on (key, t): as-of is ambiguous on duplicate
+        # timestamps (pandas keeps the LAST dup; engines may differ) —
+        # the operator's contract (see asof_last_order) requires a
+        # pre-aggregated right side.
+        rdict = {}
+        for i, (k, t) in enumerate(right):
+            rdict[(k, t)] = i
+        right_rows = [(k, t, v) for (k, t), v in rdict.items()]
+        left_rows = [(k, t, i) for i, (k, t) in enumerate(left)]
+
+        ldf = spark.createDataFrame(
+            left_rows, "k int, ts int, lid int"
+        ) if left_rows else spark.createDataFrame([], "k int, ts int, lid int")
+        rdf = spark.createDataFrame(
+            right_rows, "k int, ts int, rval int"
+        ) if right_rows else spark.createDataFrame([], "k int, ts int, rval int")
+
+        from training_etl_demo_2_spark.operators import temporal as tmp
+
+        got = {
+            r["lid"]: r["rval"]
+            for r in tmp.asof_join(
+                ldf, rdf.withColumnRenamed("ts", "rts"),
+                on="k", left_ts="ts", right_ts="rts",
+            ).collect()
+        }
+
+        lp = (
+            pd.DataFrame(left_rows, columns=["k", "ts", "lid"])
+            .astype({"k": "int64", "ts": "int64", "lid": "int64"})
+            .sort_values(["ts", "lid"])
+        )
+        rp = (
+            pd.DataFrame(right_rows, columns=["k", "ts", "rval"])
+            .astype({"k": "int64", "ts": "int64", "rval": "int64"})
+            .sort_values(["ts", "rval"])
+        )
+        if lp.empty:
+            assert got == {}
+            return
+        merged = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction="backward",
+            allow_exact_matches=True,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.rval) else int(r.rval))
+            for r in merged.itertuples()
+        }
+        assert got == want
