@@ -1,0 +1,125 @@
+"""Physical-plan regression guards over every registered query.
+
+Correctness gates catch wrong answers; these catch *scale* regressions —
+a lost broadcast hint, a predicate that stopped pushing down, or an
+accidental cartesian would still produce right answers at sf0.001 while
+being catastrophic at 100 TB. Asserting on plan text pins the shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+# Streaming entries EXECUTE their stream when called (replay-to-sink),
+# so their returned table has no interesting plan to audit here (the
+# incremental plans are pytest-covered in test_fixture_streaming.py).
+STREAMING = {"stream_hourly_stats", "stream_user_nation_stats"}
+
+# Bounded-side nested-loop joins that are the documented design:
+# brute-force ANN broadcasts the (small, filtered) query side against
+# the corpus — the correctness tier that LSH/IVF recall is tested
+# against; the others broadcast a ONE-ROW scalar-threshold relation
+# (the scalar-subquery pattern: avg balance, revenue total), which is
+# size-invariant at any SF.
+NESTED_LOOP_OK = {
+    "ann_brute_topk",
+    "ann_brute_topk_pandas",
+    "embedding_near_pairs",
+    "q22_idle_rich_customers",
+    "idle_customers",
+    "q11_important_parts",
+}
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    out = {}
+    for name, fn in entrymod.queries().items():
+        if name in STREAMING:
+            continue
+        out[name] = _plan(fn(spark, sf_dir))
+    return out
+
+
+def test_no_cartesian_product_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert not offenders, f"cartesian product in: {offenders}"
+
+
+def test_nested_loop_joins_only_where_designed(plans):
+    offenders = [
+        n
+        for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in NESTED_LOOP_OK
+    ]
+    assert not offenders, f"undeclared nested-loop join in: {offenders}"
+
+
+def test_dimension_joins_broadcast(plans):
+    # queries whose dimension joins must stay broadcast, not sort-merge
+    for name in (
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "customers_per_region",
+        "q2_min_cost_supplier",
+        "q9_profit_by_nation",
+        "q16_supplier_part_counts",
+        "stream_user_nation_stats",
+    ):
+        if name in STREAMING or name not in plans:
+            continue
+        assert "BroadcastHashJoin" in plans[name], f"{name} lost its broadcast"
+
+
+def test_scans_prune_columns(plans):
+    # the flagship wordcount reads ONE column of documents
+    p = plans["word_count"]
+    assert "ReadSchema: struct<text:string>" in p
+    # q6 reads only the filter/agg columns of lineitem
+    p6 = plans["q6_forecast_revenue"]
+    assert "l_comment" not in p6
+    for col in ("l_returnflag", "l_linestatus", "l_orderkey"):
+        assert col not in p6.split("ReadSchema")[-1]
+
+
+def test_filters_push_down(plans):
+    assert "PushedFilters: [" in plans["q6_forecast_revenue"]
+    # at least one non-empty pushdown across the TPC-H set
+    assert any(
+        "PushedFilters: [Is" in p or "PushedFilters: [In" in p
+        or "PushedFilters: [GreaterThan" in p or "PushedFilters: [EqualTo" in p
+        for p in plans.values()
+    )
+
+
+def test_aggregates_are_partial(plans):
+    # map-side combine before every shuffle in the core aggregation path
+    for name in ("word_count", "q1_pricing_summary", "events_hourly"):
+        assert "partial_" in plans[name], f"{name} lost map-side partial aggs"
+
+
+def test_topk_uses_take_ordered(plans):
+    for name in ("top10_words", "q3_shipping_priority", "q18_large_orders"):
+        assert "TakeOrderedAndProject" in plans[name], (
+            f"{name} does a global sort for a top-k"
+        )
+
+
+def test_asof_plan_is_single_exchange_window(plans):
+    p = plans["asof_last_order"]
+    assert "Window" in p and "Union" in p
+    # no join node at all: the as-of is the union+window carry
+    assert "Join" not in p
+
+
+def test_banded_range_join_is_equi_join(plans):
+    p = plans["events_followups_1h"]
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
