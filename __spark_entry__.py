@@ -775,9 +775,26 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": oracle_text.brute_topk_sql(k=5),
         "ann_brute_topk_pandas": oracle_text.brute_topk_sql(k=5),
         "embedding_near_pairs": oracle_text.cosine_near_pairs_sql(threshold=0.45),
-        # multimodal (features/resize/audio are rows-only: numpy fake
-        # decode kernels; frames sampling IS pure arithmetic over byte
-        # lengths, so it gets a real oracle)
+        # multimodal (audio is rows-only: float moments from the numpy
+        # fake-decode kernel; the registered projections of features,
+        # resize and frames ARE pure arithmetic over byte lengths, so
+        # they get real oracles)
+        "multimodal_features": """
+            SELECT doc_id,
+                   'image/fake' AS media_type,
+                   CAST(n AS BIGINT) AS nbytes,
+                   CAST(greatest(1, CAST(floor(sqrt(n)) AS BIGINT)) AS INT)
+                       AS width,
+                   CAST(n // greatest(1, CAST(floor(sqrt(n)) AS BIGINT)) AS INT)
+                       AS height
+            FROM (SELECT doc_id, octet_length(encode(text)) AS n
+                  FROM documents)
+        """,
+        "multimodal_resize": """
+            SELECT doc_id, 'image/fake' AS media_type,
+                   CAST(8 AS INT) AS width, CAST(8 AS INT) AS height
+            FROM documents
+        """,
         "multimodal_frames": """
             SELECT doc_id,
                    CAST(unnest(range(0, nf, 4)) AS INT) AS frame_idx,
