@@ -33,3 +33,53 @@ def test_tsv_all_string_without_schema(spark, tmp_path):
 def test_read_table_rejects_unknown_format(spark):
     with pytest.raises(ValueError, match="unsupported format"):
         sources.read_table(spark, "/tmp/x", fmt="avro")
+
+
+def test_write_partitioned_dynamic_overwrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark import io as io_mod
+
+    path = str(tmp_path / "part_tbl")
+    df = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 3)],
+        "day string, v int",
+    )
+    io_mod.write_partitioned(df, path, ["day"])
+    assert spark.read.parquet(path).count() == 3
+
+    # dynamic overwrite of ONE day must leave the other day intact
+    redo = spark.createDataFrame([("2024-01-02", 99)], "day string, v int")
+    io_mod.write_partitioned(redo, path, ["day"])
+    # hive partition values are type-inferred on read (day -> date)
+    got = {
+        (str(r["day"]), r["v"]) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {("2024-01-01", 1), ("2024-01-01", 2), ("2024-01-02", 99)}
+    # partition pruning works on the layout
+    pruned = spark.read.parquet(path).filter(F.col("day") == "2024-01-02")
+    assert pruned.count() == 1
+
+
+def test_compact_run_reduces_files_preserves_rows(spark, tmp_path):
+    from pathlib import Path
+
+    from training_etl_demo_2_spark import io as io_mod
+
+    root = str(tmp_path / "runs")
+    df = spark.range(1000).withColumnRenamed("id", "v")
+    io_mod.write_run(df.repartition(40), root, run_id="20240101_000000")
+    n_before = len(
+        [f for f in Path(io_mod.latest_run(root).data_path).rglob("*.parquet")]
+    )
+    assert n_before >= 40
+
+    out = io_mod.compact_run(spark, root, target_bytes=10 * 1024 * 1024)
+    n_after = len([f for f in Path(out.data_path).rglob("*.parquet")])
+    assert n_after < n_before
+    compacted = spark.read.parquet(out.data_path)
+    assert compacted.count() == 1000
+    assert {r["v"] for r in compacted.collect()} == set(range(1000))
+    # provenance recorded; latest_run now discovers the compacted run
+    assert out.metadata["compacted_from"] == "20240101_000000"
+    assert io_mod.latest_run(root).run_id == out.run_id

@@ -65,6 +65,74 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    dynamic: bool = True,
+) -> None:
+    """Hive-layout partitioned write (``path/col=value/...``) — the lake
+    layout that makes partition pruning free for every downstream scan.
+
+    ``dynamic=True`` sets dynamic partition-overwrite for this write:
+    an overwrite replaces ONLY the partitions present in ``df`` — the
+    idempotent-backfill semantics (re-running a day's job rewrites that
+    day, never truncating the table, which static overwrite would do).
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    try:
+        if dynamic:
+            spark.conf.set(key, "dynamic")
+        df.write.partitionBy(*partition_by).mode(mode).parquet(path)
+    finally:
+        if prev is not None:
+            spark.conf.set(key, prev)
+
+
+def compact_run(
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    run: "RunInfo | None" = None,
+) -> "RunInfo":
+    """Small-files compaction: rewrite the latest (or given) run's data
+    as a NEW run with ~``target_bytes`` files.
+
+    The small-files problem is a first-order 100 TB concern: streaming
+    and fine-grained jobs leave thousands of KB-sized files whose
+    per-file open/footer costs dominate scans. Compaction = one job:
+    list sizes (driver metadata only), ``coalesce(ceil(total/target))``
+    (narrow — no shuffle), write a fresh immutable run directory, and
+    record provenance in its metadata. Readers keep using
+    ``latest_run``; the old run stays for time-travel/rollback, exactly
+    like a table-format OPTIMIZE.
+    """
+    import math
+
+    src = run or latest_run(root)
+    if src is None:
+        raise FileNotFoundError(f"no runs under {root}")
+    total = sum(
+        f.stat().st_size
+        for f in Path(src.data_path).rglob("*.parquet")
+        if f.is_file()
+    )
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(src.data_path)
+    return write_run(
+        df.coalesce(n_files),
+        root,
+        extra_metadata={
+            "compacted_from": src.run_id,
+            "target_bytes": target_bytes,
+            **{k: v for k, v in src.metadata.items() if k != "timestamp"},
+        },
+    )
+
+
 # ---------------------------------------------------------------------------
 # Run-directory convention (replaces S5/S6's boto3 code)
 # ---------------------------------------------------------------------------
