@@ -199,3 +199,44 @@ def test_stream_stream_join_attribution(spark, tables, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_to_partitioned_lake_idempotent(spark, tables, tmp_path):
+    """foreachBatch -> dynamic partition overwrite: replaying the same
+    input converges to the same lake state (partition-level
+    exactly-once), and the layout is day-partitioned."""
+    events = tables["events"]
+    in_dir = tmp_path / "ev_lake_in"
+    _write_batches(events, in_dir, 2)
+
+    out = str(tmp_path / "lake")
+
+    def run(ckpt: str):
+        stream = windowed.read_events_stream(spark, str(in_dir))
+        daily = stream.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_id",
+            "user_id",
+            "value",
+        )
+        q = stateful.stream_to_partitioned_lake(
+            daily, out, ckpt, partition_by=["day"]
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    run(str(tmp_path / "ckpt1"))
+    first = spark.read.parquet(out)
+    n_days = first.select("day").distinct().count()
+    assert first.count() == events.count()
+    assert n_days >= 1
+
+    # fresh checkpoint -> full replay of the same input: dynamic
+    # overwrite rewrites each day in place, no duplication
+    run(str(tmp_path / "ckpt2"))
+    again = spark.read.parquet(out)
+    assert again.count() == events.count()
+    assert again.select("day").distinct().count() == n_days
+    assert {r["event_id"] for r in again.select("event_id").collect()} == {
+        r["event_id"] for r in events.select("event_id").collect()
+    }

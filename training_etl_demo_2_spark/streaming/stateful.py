@@ -159,3 +159,44 @@ def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+def stream_to_partitioned_lake(
+    result: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    partition_by: list[str],
+):
+    """Continuously materialize a streaming result into the hive-layout
+    lake with partition-level exactly-once, no table format needed.
+
+    Layout: ``path/<partition_by...>/_batch_id=N/``. The batch id rides
+    as the INNERMOST partition column, so every micro-batch owns a
+    disjoint set of leaf partitions: a REPLAYED batch (the checkpoint's
+    failure mode) dynamically overwrites exactly its own leaves and
+    converges, while distinct batches that share an event-time
+    partition can never clobber each other (plain dynamic overwrite on
+    event-time alone fails exactly that way — batch 2 would replace a
+    day batch 1 already wrote). Readers prune on the event-time
+    partitions as usual and ignore ``_batch_id``.
+    """
+    from pyspark.sql import functions as F
+
+    from ..io import write_partitioned
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        write_partitioned(
+            batch_df.withColumn("_batch_id", F.lit(batch_id)),
+            path,
+            partition_by + ["_batch_id"],
+            dynamic=True,
+        )
+
+    return (
+        result.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
