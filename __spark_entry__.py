@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from training_etl_demo_2_spark.io import load_tables
 from training_etl_demo_2_spark.operators import (
+    curation,
     dedup,
     multimodal,
     oracle,
@@ -242,6 +243,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- sketch aggregates (rows-only: estimates are engine-specific;
         #     pytest pins error vs exact + merge consistency)
         "sketch_user_stats": _q(sketches.approx_user_stats),
+        # --- dataset curation (splits/sampling/contamination/packing)
+        "dataset_split": _q(lambda t: curation.dataset_split(t["documents"])),
+        "hash_sample_10pct": _q(
+            lambda t: curation.hash_sample(t["documents"], 10).select(
+                "doc_id", "lang", "source"
+            )
+        ),
+        "contamination_check": _q(
+            lambda t: curation.contamination_check(
+                t["documents"],
+                t["documents"].filter(curation.PROBE_PRED),
+            )
+        ),
+        "length_buckets": _q(lambda t: curation.length_buckets(t["documents"])),
+        "pack_sequences": _q(
+            lambda t: curation.pack_sequences(t["documents"], budget=256)
+        ),
     }
 
 
@@ -738,6 +756,12 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             GROUP BY word
         """,
+        # dataset curation (pack_sequences is rows-only: pack ids are
+        # partition-plan-dependent; invariants tested in pytest)
+        "dataset_split": curation.dataset_split_sql(),
+        "hash_sample_10pct": curation.hash_sample_sql(10),
+        "contamination_check": curation.contamination_sql(),
+        "length_buckets": curation.LENGTH_BUCKETS_SQL,
         # TPC-H gap queries + multires rollup
         "q2_min_cost_supplier": tpch_gap.Q2_ORACLE,
         "q9_profit_by_nation": tpch_gap.Q9_ORACLE,

@@ -1,0 +1,76 @@
+"""Dataset-curation operators: determinism, proportions, invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from training_etl_demo_2_spark.operators import curation
+
+
+def test_split_is_deterministic_and_total(tables):
+    docs = tables["documents"]
+    a = {r["doc_id"]: r["split"] for r in curation.dataset_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in curation.dataset_split(docs).collect()}
+    assert a == b
+    assert len(a) == docs.count()
+    # proportions roughly honor the 80/10/10 request
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.6 * n < c["train"] < 0.95 * n
+    assert c["val"] > 0 and c["test"] > 0
+
+
+def test_split_stable_under_append(spark, tables):
+    """Hash assignment of existing rows must not change when rows are
+    added — the property that makes eval sets trustworthy over time."""
+    docs = tables["documents"]
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full_assign = {
+        r["doc_id"]: r["split"]
+        for r in curation.dataset_split(docs).collect()
+    }
+    half_assign = {
+        r["doc_id"]: r["split"]
+        for r in curation.dataset_split(half).collect()
+    }
+    assert all(full_assign[k] == v for k, v in half_assign.items())
+
+
+def test_hash_sample_subset_semantics(tables):
+    docs = tables["documents"]
+    s10 = {r["doc_id"] for r in curation.hash_sample(docs, 10).collect()}
+    s20 = {r["doc_id"] for r in curation.hash_sample(docs, 20).collect()}
+    assert s10 <= s20  # rate increase only ADDS rows
+    assert 0 < len(s10) < len(s20) < docs.count()
+
+
+def test_contamination_excludes_probe_and_finds_overlap(spark, tables):
+    docs = tables["documents"]
+    probe = docs.filter(curation.PROBE_PRED)
+    out = curation.contamination_check(docs, probe)
+    probe_ids = {r["doc_id"] for r in probe.select("doc_id").collect()}
+    got_ids = {r["doc_id"] for r in out.collect()}
+    assert not (got_ids & probe_ids)  # probe docs never flag themselves
+    assert out.filter(F.col("n_shared_shingles") <= 0).count() == 0
+    # fixture vocabulary is tiny -> overlap must exist
+    assert len(got_ids) > 0
+
+
+def test_pack_sequences_invariants(tables):
+    budget = 256
+    docs = tables["documents"]
+    out = curation.pack_sequences(docs, budget=budget).collect()
+    assert len(out) == docs.count()  # every doc packed exactly once
+    assert len({r["doc_id"] for r in out}) == len(out)
+    from collections import defaultdict
+
+    per_pack = defaultdict(list)
+    for r in out:
+        per_pack[r["pack_id"]].append(r["n_tokens"])
+    for toks in per_pack.values():
+        assert sum(toks) <= budget or len(toks) == 1  # oversized doc solo
+    # packing should be reasonably tight: average fill > 50% of budget
+    fills = [sum(t) for t in per_pack.values()]
+    assert sum(fills) / (len(fills) * budget) > 0.5

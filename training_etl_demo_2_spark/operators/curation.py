@@ -1,0 +1,227 @@
+"""Dataset-curation operators: the steps between "cleaned corpus" and
+"training batches" in an LLM data pipeline.
+
+* **Deterministic hash splits / samples** — assignment is a pure
+  function of the row key (shared rolling hash), so train/val/test
+  membership is reproducible across runs, clusters and engines; no
+  RNG state, no ordering dependence, and adding rows never reshuffles
+  existing assignments (the property random splits lack).
+* **Benchmark contamination check** — documents sharing word-n-gram
+  shingles with a probe (benchmark) set, via a broadcast semi-ish join
+  on shingle hashes: cost O(|corpus shingles|), candidates bounded by
+  the probe set's shingle vocabulary.
+* **Length bucketing** — power-of-two token-length histogram, the
+  batch-shape planning input.
+* **Greedy sequence packing** — documents packed first-fit-sequentially
+  into fixed token budgets per partition (Arrow-batched, state is one
+  running sum). Packing is inherently a sequential scan, so it
+  parallelizes per partition: global pack ids are (partition, seq).
+
+All but packing are pure Catalyst expressions with DuckDB twins;
+packing registers rows-only (partition boundaries are
+plan-dependent) with invariant tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import rolling_hash
+from .dedup import DEFAULT_NGRAM, shingle_hashes
+from .oracle import ROLLING_HASH, _shingles_cte
+
+N_BUCKETS = 100  # hash-assignment resolution: percent granularity
+
+
+def _assign_bucket(key: Column) -> Column:
+    """Deterministic 0..99 bucket from the row key (engine-portable
+    rolling hash of the key's string form + a fixed salt so split
+    buckets are independent of any other hash use of the key)."""
+    return rolling_hash(F.concat(F.lit("split:"), key.cast("string"))) % N_BUCKETS
+
+
+def dataset_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """train/val/test assignment per row — stable under appends,
+    identical on any engine that reproduces the hash."""
+    b = _assign_bucket(F.col(key))
+    return df.select(
+        key,
+        b.cast("int").alias("bucket"),
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def hash_sample(df: DataFrame, rate_pct: int, key: str = "doc_id") -> DataFrame:
+    """Reproducible ~rate_pct% sample: keep rows whose bucket falls
+    below the rate. Same rows come back on every run/engine."""
+    return df.filter(_assign_bucket(F.col(key)) < rate_pct)
+
+
+def _split_bucket_sql(key_sql: str) -> str:
+    h = ROLLING_HASH.format(s=f"'split:' || CAST({key_sql} AS VARCHAR)")
+    return f"({h}) % {N_BUCKETS}"
+
+
+def dataset_split_sql(train_pct: int = 80, val_pct: int = 10) -> str:
+    b = _split_bucket_sql("doc_id")
+    return f"""
+    SELECT doc_id,
+           CAST({b} AS INT) AS bucket,
+           CASE WHEN {b} < {train_pct} THEN 'train'
+                WHEN {b} < {train_pct + val_pct} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """
+
+
+def hash_sample_sql(rate_pct: int) -> str:
+    return f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_split_bucket_sql("doc_id")} < {rate_pct}
+    """
+
+
+# ---------------------------------------------------------------------------
+# contamination
+# ---------------------------------------------------------------------------
+
+PROBE_PRED = "doc_id < 5"  # fixture probe set: stand-in benchmark docs
+
+
+def contamination_check(
+    df: DataFrame,
+    probe: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+) -> DataFrame:
+    """Docs sharing >= 1 word-n-gram shingle with the probe corpus:
+    (doc_id, n_shared_shingles), probe docs excluded from the output.
+
+    Scale shape: probe shingles are a bounded vocabulary (benchmarks
+    are small) — the join broadcasts them; corpus-side cost is the
+    shingle scan it already shares with dedup."""
+    probe_ids = probe.select("doc_id")
+    probe_sh = (
+        shingle_hashes(probe, text_col, n)
+        .select(F.col("h").alias("ph"))
+        .distinct()
+    )
+    corpus_sh = shingle_hashes(
+        df.join(probe_ids, "doc_id", "left_anti"), text_col, n
+    )
+    return (
+        corpus_sh.join(F.broadcast(probe_sh), F.col("h") == F.col("ph"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+def contamination_sql(n: int = DEFAULT_NGRAM) -> str:
+    return f"""
+    WITH {_shingles_cte(n=n, table="documents")},
+    probe AS (SELECT DISTINCT h FROM sh WHERE {PROBE_PRED}),
+    corpus AS (SELECT doc_id, h FROM sh WHERE NOT ({PROBE_PRED}))
+    SELECT doc_id, count(*) AS n_shared_shingles
+    FROM corpus JOIN probe USING (h)
+    GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# length bucketing
+# ---------------------------------------------------------------------------
+
+
+def length_buckets(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Power-of-two token-length histogram: (bucket_lo, n_docs,
+    total_tokens) where bucket_lo = 2^floor(log2(n_tokens)). The input
+    to batch-shape planning (how many packs of each context length)."""
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    lo = F.pow(F.lit(2.0), F.floor(F.log2(n_tok))).cast("long")
+    return (
+        df.filter(n_tok > 0)
+        .groupBy(lo.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok.cast("long")).cast("long").alias("total_tokens"),
+        )
+    )
+
+
+LENGTH_BUCKETS_SQL = """
+    SELECT CAST(pow(2, floor(log2(n_tok))) AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM (SELECT len(string_split(text, ' ')) AS n_tok FROM documents)
+    WHERE n_tok > 0
+    GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """First-fit-sequential packing of documents into token budgets.
+
+    Packing is a sequential scan (each decision depends on the running
+    sum), so it runs per partition: docs are hash-distributed, sorted by
+    doc_id within the partition, and greedily accumulated; a doc that
+    would overflow the budget starts a new pack. Pack ids are
+    "<partition>-<seq>" — globally unique, locally dense. An oversized
+    single doc gets its own pack (never split, never dropped).
+
+    Output: (doc_id, n_tokens, pack_id); invariants tested in
+    tests/test_curation.py.
+    """
+    src = df.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+
+    def pack(batches):
+        import pandas as pd
+
+        pid = None
+        rows_id, rows_tok = [], []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if pid is None:
+                pid = int(pdf["pid"].iloc[0])
+            rows_id.extend(int(x) for x in pdf["doc_id"])
+            rows_tok.extend(int(x) for x in pdf["n_tokens"])
+        if pid is None:
+            return
+        order = sorted(range(len(rows_id)), key=lambda i: rows_id[i])
+        packs, seq, acc = [], 0, 0
+        for i in order:
+            tok = rows_tok[i]
+            if acc > 0 and acc + tok > budget:
+                seq += 1
+                acc = 0
+            acc += tok
+            packs.append((rows_id[i], tok, f"{pid}-{seq}"))
+        yield pd.DataFrame(packs, columns=["doc_id", "n_tokens", "pack_id"])
+
+    return (
+        src.repartition(max(1, src.sparkSession.sparkContext.defaultParallelism // 4), "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .mapInPandas(pack, "doc_id long, n_tokens long, pack_id string")
+    )
