@@ -257,6 +257,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "length_buckets": _q(lambda t: curation.length_buckets(t["documents"])),
+        "balanced_sample_per_lang": _q(
+            lambda t: curation.balanced_sample(t["documents"], k=50).select(
+                "doc_id", "lang"
+            )
+        ),
+        "curated_corpus": _q(curation.curated_corpus),
         "pack_sequences": _q(
             lambda t: curation.pack_sequences(t["documents"], budget=256)
         ),
@@ -762,6 +768,8 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_10pct": curation.hash_sample_sql(10),
         "contamination_check": curation.contamination_sql(),
         "length_buckets": curation.LENGTH_BUCKETS_SQL,
+        "balanced_sample_per_lang": curation.balanced_sample_sql(k=50),
+        "curated_corpus": curation.curated_corpus_sql(),
         # TPC-H gap queries + multires rollup
         "q2_min_cost_supplier": tpch_gap.Q2_ORACLE,
         "q9_profit_by_nation": tpch_gap.Q9_ORACLE,

@@ -74,3 +74,30 @@ def test_pack_sequences_invariants(tables):
     # packing should be reasonably tight: average fill > 50% of budget
     fills = [sum(t) for t in per_pack.values()]
     assert sum(fills) / (len(fills) * budget) > 0.5
+
+
+def test_balanced_sample_caps_per_class(tables):
+    docs = tables["documents"]
+    out = curation.balanced_sample(docs, by="lang", k=10)
+    per = out.groupBy("lang").count().collect()
+    assert all(r["count"] <= 10 for r in per)
+    # deterministic across invocations
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"] for r in curation.balanced_sample(docs, by="lang", k=10).collect()
+    )
+    assert a == b
+
+
+def test_curated_corpus_composition(tables):
+    from training_etl_demo_2_spark.operators.pipeline import clean_corpus
+
+    out = curation.curated_corpus(tables)
+    rows = out.collect()
+    ids = {r["doc_id"] for r in rows}
+    # subset of clean_corpus survivors, minus probe docs
+    survivors = {r["doc_id"] for r in clean_corpus(tables).collect()}
+    assert ids <= survivors
+    assert not {i for i in ids if i < 5}
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert len(ids) > 0

@@ -91,6 +91,39 @@ def hash_sample_sql(rate_pct: int) -> str:
     """
 
 
+def balanced_sample(
+    df: DataFrame, by: str = "lang", k: int = 50, key: str = "doc_id"
+) -> DataFrame:
+    """Stratified sample: up to ``k`` rows per class, chosen by a
+    deterministic hash order (not arbitrary row order), so the sample is
+    reproducible and append-stable per class. One shuffle on the class
+    key; per-class state is the top-k window."""
+    from pyspark.sql.window import Window
+
+    h = rolling_hash(F.concat(F.lit("sample:"), F.col(key).cast("string")))
+    w = Window.partitionBy(by).orderBy(h.asc(), F.col(key).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def balanced_sample_sql(by: str = "lang", k: int = 50) -> str:
+    h = ROLLING_HASH.format(s="'sample:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    SELECT doc_id, {by}
+    FROM (
+        SELECT doc_id, {by},
+               row_number() OVER (
+                   PARTITION BY {by} ORDER BY {h} ASC, doc_id ASC
+               ) AS rn
+        FROM documents
+    )
+    WHERE rn <= {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # contamination
 # ---------------------------------------------------------------------------
@@ -134,6 +167,62 @@ def contamination_sql(n: int = DEFAULT_NGRAM) -> str:
     SELECT doc_id, count(*) AS n_shared_shingles
     FROM corpus JOIN probe USING (h)
     GROUP BY doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# full curation pipeline (the composition)
+# ---------------------------------------------------------------------------
+
+
+def curated_corpus(
+    t: dict[str, DataFrame], min_quality: float = 0.85
+) -> DataFrame:
+    """The end-to-end curation flow as ONE Catalyst plan:
+    quality filter → exact dedup keep-first → drop benchmark docs and
+    benchmark-contaminated docs → deterministic train/val/test split.
+
+    Returns (doc_id, lang, split). Composing proves the stages chain
+    without materialization barriers; only ids and 8-byte hashes ever
+    shuffle (text stays in the scan stage)."""
+    from .pipeline import clean_corpus
+
+    docs = t["documents"]
+    probe = docs.filter(PROBE_PRED)
+    survivors = clean_corpus(t, min_quality=min_quality)
+    contaminated = contamination_check(docs, probe).select("doc_id")
+    clean = (
+        survivors.join(probe.select("doc_id"), "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    b = _assign_bucket(F.col("doc_id"))
+    return clean.select(
+        "doc_id",
+        "lang",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+def curated_corpus_sql(min_quality: float = 0.85) -> str:
+    from .pipeline import clean_corpus_sql
+
+    b = _split_bucket_sql("doc_id")
+    return f"""
+    WITH base AS ({clean_corpus_sql(min_quality)}),
+    {_shingles_cte()},
+    probe_sh AS (SELECT DISTINCT h FROM sh WHERE {PROBE_PRED}),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM sh
+        WHERE NOT ({PROBE_PRED}) AND h IN (SELECT h FROM probe_sh)
+    )
+    SELECT doc_id, lang,
+           CASE WHEN {b} < 80 THEN 'train'
+                WHEN {b} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM base
+    WHERE NOT ({PROBE_PRED})
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
     """
 
 
