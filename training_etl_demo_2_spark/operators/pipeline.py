@@ -40,7 +40,9 @@ def clean_corpus(
     )
     good = docs.join(good_ids, "doc_id", "semi")
     survivors = dedup.drop_exact_duplicates(good)
-    return survivors.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    # no ORDER BY: the surviving-set contract is order-free, and a
+    # cosmetic global sort is a full range exchange at scale
+    return survivors.select("doc_id", "lang", "source", "n_chars")
 
 
 def clean_corpus_sql(min_quality: float = 0.85) -> str:
