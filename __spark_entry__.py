@@ -266,6 +266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q(
             lambda t: curation.pack_sequences(t["documents"], budget=256)
         ),
+        "near_dup_clusters": _q(
+            lambda t: dedup.near_dup_clusters(t["documents"], threshold=0.8)
+        ),
     }
 
 
@@ -800,6 +803,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": pipeline.clean_corpus_sql(),
         "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(threshold=0.5),
         "dedup_minhash_lsh": oracle.minhash_lsh_sql(threshold=0.8),
+        "near_dup_clusters": oracle.near_dup_clusters_sql(threshold=0.8),
         "simhash_fingerprints": oracle.simhash_sql(),
         "simhash_near_pairs": oracle.simhash_pairs_sql(max_hamming=3),
         # similarity (ann_lsh_topk is rows-only: hyperplane buckets are

@@ -69,3 +69,47 @@ def test_simhash_banding_is_exact_for_hamming_3(spark, tables):
         for p in dedup.simhash_near_pairs(docs, max_hamming=3).collect()
     }
     assert banded == brute
+
+
+def test_connected_components_shapes(spark):
+    # chain 1-2-3, cycle 10-11-12-10, isolated pair (20, 21)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # path graph of 12 nodes: worst-case diameter for label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    got = dedup.connected_components(pairs).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == 13
+
+
+def test_near_dup_clusters_consistent_with_pairs(tables):
+    docs = tables["documents"]
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.near_dup_clusters(docs, threshold=0.8).collect()
+    }
+    # every paired doc is clustered, both endpoints share a cluster
+    for p in pairs:
+        assert clusters[p["doc_a"]] == clusters[p["doc_b"]]
+    # cluster id is the min member
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for d, c in clusters.items():
+        members[c].append(d)
+    for c, ms in members.items():
+        assert c == min(ms)
+        assert len(ms) >= 2  # singletons never appear

@@ -327,3 +327,80 @@ def simhash_near_pairs(
         # band-bucket collision
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (pairs -> connected components -> keep-one)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair graph by iterative
+    min-label propagation: (node, cluster_id = min node id reachable).
+
+    Each round joins current labels across edges and takes the min —
+    one shuffle join + one agg per round, converging in O(diameter)
+    rounds (near-dup clusters are shallow: diameter is typically 2-3;
+    the large-star/small-star variant brings worst cases to O(log n)
+    with the same per-round plan). Every round is eagerly
+    local-checkpointed: iterative DataFrame algorithms MUST truncate
+    lineage, or round N's logical plan embeds rounds 1..N-1 and
+    Catalyst analysis time explodes (on a cluster with failure-tolerance
+    requirements, swap localCheckpoint for checkpoint + checkpointDir).
+    A convergence count is the only driver-side data.
+    """
+    edges = pairs.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    edges = (
+        edges.union(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("x").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges["y"] == labels["node"]).select(
+            F.col("x").alias("node"), "label"
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new")
+            .join(labels, "node")
+            .filter(F.col("new") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash-LSH pairs closed under
+    transitivity — (doc_id, cluster_id) for every doc in some near-dup
+    group. Pairs tell you who matches; clusters are what dedup actually
+    acts on (keep cluster_id, drop the rest)."""
+    pairs = minhash_lsh_pairs(df, text_col, n, threshold)
+    return connected_components(pairs)

@@ -119,6 +119,31 @@ def minhash_lsh_sql(n: int = DEFAULT_NGRAM, threshold: float = 0.8) -> str:
     """
 
 
+def near_dup_clusters_sql(
+    n: int = DEFAULT_NGRAM, threshold: float = 0.8
+) -> str:
+    """Twin of dedup.near_dup_clusters: transitive closure of the LSH
+    pair graph via a recursive CTE, cluster id = min reachable node.
+    The engine computes the same fixpoint by iterative min-label
+    propagation — two independent formulations of connectivity."""
+    return f"""
+    WITH RECURSIVE pairs AS ({minhash_lsh_sql(n, threshold)}),
+    edges AS (
+        SELECT doc_a AS x, doc_b AS y FROM pairs
+        UNION
+        SELECT doc_b AS x, doc_a AS y FROM pairs
+    ),
+    reach(x, y) AS (
+        SELECT x, y FROM edges
+        UNION
+        SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+    )
+    SELECT x AS doc_id, least(x, min(y)) AS cluster_id
+    FROM reach
+    GROUP BY x
+    """
+
+
 def _simhash_cte(table: str = "documents") -> str:
     return f"""
     tok AS (
