@@ -20,6 +20,7 @@ from training_etl_demo_2_spark.io import load_tables
 from training_etl_demo_2_spark.operators import (
     curation,
     dedup,
+    merge,
     multimodal,
     oracle,
     oracle_text,
@@ -32,6 +33,7 @@ from training_etl_demo_2_spark.operators import (
     text,
     tpch_gap,
     udfs,
+    validation,
     wordcount,
 )
 from training_etl_demo_2_spark.streaming import fixture_queries
@@ -137,6 +139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda t: dedup.simhash_fingerprints(t["documents"])
         ),
         "simhash_near_pairs": _q(lambda t: dedup.simhash_near_pairs(t["documents"])),
+        "near_dup_clusters": _q(
+            lambda t: dedup.near_dup_clusters(t["documents"], threshold=0.8)
+        ),
         # --- north-star: similarity search (§2.12)
         "ann_brute_topk": _q(lambda t: similarity.brute_topk(t["embeddings"], k=5)),
         "ann_lsh_topk": _q(lambda t: similarity.lsh_topk(t["embeddings"], k=5)),
@@ -166,6 +171,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 multimodal.attach_fake_payload(t["documents"])
             )
         ),
+        # --- north-star: curation contamination gate (§2.12)
+        "contamination_check": _q(
+            lambda t: curation.contamination_check(
+                t["documents"],
+                t["documents"].filter(curation.PROBE_PRED),
+            )
+        ),
+        # --- data-quality validation suite (Deequ-style, beyond-reference)
+        "data_profile_lineitem": _q(
+            lambda t: validation.profile_columns(t["lineitem"])
+        ),
+        "fk_integrity": _q(validation.fk_orphans),
+        "constraint_violations": _q(validation.rule_violations),
         # --- temporal joins (as-of, banded range) — beyond-reference
         "asof_last_order": _q(temporal.asof_last_order),
         "events_followups_1h": _q(temporal.events_followups_within),
@@ -179,18 +197,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     representative per operator family inside the window
         "q1_pricing_summary": _q(relational.q1_pricing_summary),
         "q3_shipping_priority": _q(relational.q3_shipping_priority),
-        "q5_region_revenue": _q(relational.q5_region_revenue),
         "q7_nation_volume": _q(relational_ext.q7_nation_volume),
         "q13_customer_distribution": _q(relational_ext.q13_customer_distribution),
         "q4_order_priority": _q(relational_ext.q4_order_priority),
         "idle_customers": _q(relational_ext.idle_customers),
         "nation_participation": _q(relational_ext.nation_participation),
         "customer_set_ops": _q(relational.customer_set_ops),
-        "orders_rollup": _q(relational.orders_rollup),
-        "status_by_segment_pivot": _q(relational_ext.status_by_segment_pivot),
         "priority_mix_by_year": _q(relational_ext.priority_mix_by_year),
-        "lineitem_summary_stats": _q(relational.lineitem_summary_stats),
-        "daily_revenue_trend": _q(relational_ext.daily_revenue_trend),
         "sessionize_events": _q(relational.sessionize_events),
         "user_event_gaps": _q(relational_ext.user_event_gaps),
         "events_props_stats": _q(relational_ext.events_props_stats),
@@ -201,6 +214,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-sharing twins and family-covered relational variants.
         # ------------------------------------------------------------------
         "top_orders_per_customer": _q(relational.top_orders_per_customer),
+        "q5_region_revenue": _q(relational.q5_region_revenue),
+        "orders_rollup": _q(relational.orders_rollup),
+        "status_by_segment_pivot": _q(relational_ext.status_by_segment_pivot),
+        "lineitem_summary_stats": _q(relational.lineitem_summary_stats),
+        "daily_revenue_trend": _q(relational_ext.daily_revenue_trend),
+        "pk_uniqueness": _q(validation.pk_duplicates),
+        "orders_merge_upsert": _q(merge.orders_merge_upsert),
         "scrub_pii": _q(lambda t: text.scrub_pii(t["documents"])),
         "q8_market_share": _q(relational_ext.q8_market_share),
         "q15_top_suppliers": _q(relational_ext.q15_top_suppliers),
@@ -250,12 +270,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id", "lang", "source"
             )
         ),
-        "contamination_check": _q(
-            lambda t: curation.contamination_check(
-                t["documents"],
-                t["documents"].filter(curation.PROBE_PRED),
-            )
-        ),
         "length_buckets": _q(lambda t: curation.length_buckets(t["documents"])),
         "balanced_sample_per_lang": _q(
             lambda t: curation.balanced_sample(t["documents"], k=50).select(
@@ -265,9 +279,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curated_corpus": _q(curation.curated_corpus),
         "pack_sequences": _q(
             lambda t: curation.pack_sequences(t["documents"], budget=256)
-        ),
-        "near_dup_clusters": _q(
-            lambda t: dedup.near_dup_clusters(t["documents"], threshold=0.8)
         ),
     }
 
@@ -765,6 +776,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             GROUP BY word
         """,
+        # data-quality validation suite + keyed merge
+        "data_profile_lineitem": validation.profile_sql(
+            "lineitem",
+            [
+                "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate",
+            ],
+            numeric={
+                "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            },
+        ),
+        "fk_integrity": validation.fk_orphans_sql(),
+        "constraint_violations": validation.rule_violations_sql(),
+        "pk_uniqueness": validation.pk_duplicates_sql(),
+        "orders_merge_upsert": merge.ORDERS_MERGE_UPSERT_ORACLE,
         # dataset curation (pack_sequences is rows-only: pack ids are
         # partition-plan-dependent; invariants tested in pytest)
         "dataset_split": curation.dataset_split_sql(),

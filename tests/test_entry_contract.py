@@ -21,6 +21,11 @@ MUST_BE_IN_WINDOW = {
     # dedup
     "dedup_exact", "clean_corpus", "dedup_ngram_jaccard",
     "dedup_minhash_lsh", "simhash_fingerprints", "simhash_near_pairs",
+    "near_dup_clusters",
+    # curation contamination gate
+    "contamination_check",
+    # data-quality validation suite (round-2 additions)
+    "data_profile_lineitem", "fk_integrity", "constraint_violations",
     # similarity
     "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk", "embedding_near_pairs",
     # multimodal

@@ -1,0 +1,134 @@
+"""Unit tests for the data-quality validation suite and keyed merge."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_df_equal
+from training_etl_demo_2_spark.operators import merge, validation
+
+
+def test_profile_counts_nulls_distincts_minmax(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, None, "a"), (3, 30.0, None), (3, 30.0, "b")],
+        "id long, x double, s string",
+    )
+    prof = {r.col_name: r for r in validation.profile_columns(df).collect()}
+    assert prof["id"].n_rows == 4
+    assert prof["id"].n_nulls == 0
+    assert prof["id"].n_distinct == 3
+    assert prof["id"].min_num == 1.0 and prof["id"].max_num == 3.0
+    assert prof["x"].n_nulls == 1
+    assert prof["x"].n_distinct == 2  # NULL not counted as a distinct value
+    # non-numeric column: no min/max
+    assert prof["s"].min_num is None and prof["s"].max_num is None
+    assert prof["s"].n_nulls == 1
+
+
+def test_profile_approx_mode_runs(spark):
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 7).alias("m"))
+    prof = {r.col_name: r for r in validation.profile_columns(df, approx=True).collect()}
+    # HLL estimate of 7 distinct values at this cardinality is exact
+    assert prof["m"].n_distinct == 7
+
+
+def test_fk_orphans_counts_only_nonnull_misses(spark):
+    t = {
+        name: df
+        for name, df in {
+            "customer": spark.createDataFrame([(1, 10), (2, 99)], "c_custkey long, c_nationkey int"),
+            "orders": spark.createDataFrame(
+                [(100, 1), (101, 7), (102, None)], "o_orderkey long, o_custkey long"
+            ),
+            "lineitem": spark.createDataFrame(
+                [(100, 1, 1), (999, 1, 1)],
+                "l_orderkey long, l_partkey long, l_suppkey long",
+            ),
+            "part": spark.createDataFrame([(1,)], "p_partkey long"),
+            "supplier": spark.createDataFrame([(1, 10)], "s_suppkey long, s_nationkey int"),
+            "nation": spark.createDataFrame([(10, 0)], "n_nationkey int, n_regionkey int"),
+            "region": spark.createDataFrame([(0,)], "r_regionkey int"),
+        }.items()
+    }
+    out = {r.edge: r for r in validation.fk_orphans(t).collect()}
+    # o_custkey=7 has no customer; NULL o_custkey is NOT an orphan
+    assert out["orders.o_custkey->customer.c_custkey"].n_orphans == 1
+    assert out["orders.o_custkey->customer.c_custkey"].n_child_rows == 3
+    # lineitem 999 has no order
+    assert out["lineitem.l_orderkey->orders.o_orderkey"].n_orphans == 1
+    # customer nationkey 99 missing
+    assert out["customer.c_nationkey->nation.n_nationkey"].n_orphans == 1
+    assert out["nation.n_regionkey->region.r_regionkey"].n_orphans == 0
+    assert len(out) == len(validation.FK_EDGES)
+
+
+def test_rule_violations_null_is_violation(spark):
+    t = {
+        "lineitem": spark.createDataFrame(
+            [
+                (1.0, 0.1, 0.0, 5.0, "A", "2020-01-01"),
+                (-2.0, 1.5, -0.1, 0.0, "X", None),
+                (None, None, None, None, None, "2020-01-01"),
+            ],
+            "l_quantity double, l_discount double, l_tax double, "
+            "l_extendedprice double, l_returnflag string, l_shipdate string",
+        ).withColumn("l_shipdate", F.to_timestamp("l_shipdate")),
+        "orders": spark.createDataFrame(
+            [(1.0, "F", "2020-01-01", "1-URGENT")],
+            "o_totalprice double, o_orderstatus string, o_orderdate string, "
+            "o_orderpriority string",
+        ).withColumn("o_orderdate", F.to_timestamp("o_orderdate")),
+    }
+    out = {r.rule: r for r in validation.rule_violations(t).collect()}
+    assert out["lineitem_quantity_positive"].n_violations == 2  # -2 and NULL
+    assert out["lineitem_discount_unit_range"].n_violations == 2  # 1.5 and NULL
+    assert out["lineitem_returnflag_domain"].n_violations == 2  # X and NULL
+    assert out["lineitem_shipdate_present"].n_violations == 1
+    assert out["orders_totalprice_positive"].n_violations == 0
+    assert all(r.n_rows == 3 for r in out.values() if r.rule.startswith("lineitem"))
+
+
+def test_pk_duplicates_composite_key(spark):
+    t = {
+        name: spark.createDataFrame([(1,)], f"{k} long")
+        for name, (k,) in [
+            (n, ks) for n, ks in validation.PK_KEYS if len(ks) == 1
+        ]
+    }
+    t["lineitem"] = spark.createDataFrame(
+        [(1, 1), (1, 2), (1, 2), (2, 1)], "l_orderkey long, l_linenumber int"
+    )
+    out = {r.table_name: r for r in validation.pk_duplicates(t).collect()}
+    assert out["lineitem"].n_rows == 4
+    assert out["lineitem"].n_distinct_keys == 3
+    assert out["lineitem"].n_dups == 1
+    assert out["orders"].n_dups == 0
+
+
+def test_merge_upsert_update_insert_keep(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, s string, v double",
+    )
+    updates = spark.createDataFrame(
+        [(2, None, 99.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    out = merge.merge_upsert(target, updates, "k")
+    # update replaces the WHOLE row (s becomes NULL, not coalesced back)
+    assert_df_equal(
+        out,
+        [(1, "a", 10.0), (2, None, 99.0), (3, "c", 30.0), (4, "d", 40.0)],
+    )
+
+
+def test_merge_upsert_broadcast_path_same_result(spark):
+    target = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
+    updates = spark.createDataFrame([(2, 9.0)], "k long, v double")
+    a = sorted(tuple(r) for r in merge.merge_upsert(target, updates, "k").collect())
+    b = sorted(
+        tuple(r)
+        for r in merge.merge_upsert(
+            target, updates, "k", broadcast_updates=True
+        ).collect()
+    )
+    assert a == b == [(1, 1.0), (2, 9.0)]

@@ -1,0 +1,309 @@
+"""Data-quality validation operators (Deequ-style, north-star layer).
+
+A 100 TB training-data pipeline ingests from many upstream feeds; the
+checks below are the standard pre-training gate: column profiles,
+referential integrity, declarative constraint rules, and key
+uniqueness. The reference has no counterpart (its only validation is
+eyeballing ``show(5)`` — ``demo-etl-2a-notebook.py:44-46``); this
+module fills SURVEY §5's "correctness by eyeball" vacuum with
+machine-checkable relations, each with a DuckDB oracle twin.
+
+Scale shapes:
+
+* ``profile_columns`` — ONE aggregation pass; the multiple exact
+  ``count_distinct`` aggregates plan as a single Expand + partial agg
+  (k× row expansion through one shuffle of (col-tag, value) pairs).
+  Exact distincts are the oracle-checkable tier; at 100 TB pass
+  ``approx=True`` to swap in ``approx_count_distinct`` (HLL, no
+  expansion, one map-side pass).
+* ``fk_orphans`` — one pass per child table covering ALL its FK edges:
+  left-join the (distinct-key) parents, count null-matches per edge in
+  the same aggregate. Dimension parents broadcast; fact-sized parents
+  (lineitem→orders) shuffle on the join key, which AQE handles.
+* ``rule_violations`` — pure map-side conditional aggregation (one
+  pass, no expansion): each rule is a ``sum(rule is not true)``.
+* ``pk_duplicates`` — per-table distinct-vs-count, the classic
+  partial-agg pattern.
+
+All counts are cast to long on both engines (DuckDB ``sum(INT)``
+otherwise promotes to HUGEINT → float64 in pandas, the round-1 hash
+trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double")
+
+ROUND = 2
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str] | None = None, approx: bool = False
+) -> DataFrame:
+    """Per-column profile: (col_name, n_rows, n_nulls, n_distinct,
+    min_num, max_num) — min/max populated for numeric columns only
+    (rounded doubles), NULL otherwise.
+
+    One aggregation job; the single result row is unpivoted driver-free
+    via ``inline`` (it is 1 row — unpivot cost is nil)."""
+    cols = cols or df.columns
+    dtypes = dict(df.dtypes)
+    distinct = F.approx_count_distinct if approx else F.count_distinct
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"__nulls_{c}")
+        )
+        aggs.append(distinct(F.col(c)).cast("long").alias(f"__dist_{c}"))
+        if dtypes.get(c) in _NUMERIC_TYPES:
+            aggs.append(
+                F.round(F.min(F.col(c)).cast("double"), ROUND).alias(f"__min_{c}")
+            )
+            aggs.append(
+                F.round(F.max(F.col(c)).cast("double"), ROUND).alias(f"__max_{c}")
+            )
+
+    row = df.agg(*aggs)
+    structs = []
+    for c in cols:
+        is_num = dtypes.get(c) in _NUMERIC_TYPES
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                F.col(f"__dist_{c}").alias("n_distinct"),
+                (F.col(f"__min_{c}") if is_num else F.lit(None).cast("double")).alias(
+                    "min_num"
+                ),
+                (F.col(f"__max_{c}") if is_num else F.lit(None).cast("double")).alias(
+                    "max_num"
+                ),
+            )
+        )
+    return row.select(F.inline(F.array(*structs)))
+
+
+def profile_sql(table: str, cols: list[str], numeric: set[str]) -> str:
+    """UNION-ALL oracle twin of ``profile_columns`` for DuckDB."""
+    parts = []
+    for c in cols:
+        mn = f"round(CAST(min({c}) AS DOUBLE), {ROUND})" if c in numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"round(CAST(max({c}) AS DOUBLE), {ROUND})" if c in numeric else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+            f"{mn} AS min_num, {mx} AS max_num FROM {table}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# referential integrity
+# ---------------------------------------------------------------------------
+
+# (child table, fk column, parent table, pk column, parent is broadcastable dim)
+FK_EDGES = (
+    ("orders", "o_custkey", "customer", "c_custkey", False),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem", "l_partkey", "part", "p_partkey", True),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey", True),
+    ("customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("supplier", "s_nationkey", "nation", "n_nationkey", True),
+    ("nation", "n_regionkey", "region", "r_regionkey", True),
+)
+
+
+def fk_orphans(t: dict[str, DataFrame]) -> DataFrame:
+    """Orphan counts for every FK edge of the star schema:
+    (edge, n_child_rows, n_orphans). An orphan is a NON-NULL child key
+    with no parent row (NULL FKs are absent-by-design, not violations —
+    ANSI MATCH SIMPLE semantics).
+
+    One pass per child table: all of its parents are left-joined in a
+    single plan and every edge's orphan count comes out of one
+    aggregate, so lineitem is scanned once for its three edges."""
+    by_child: dict[str, list] = {}
+    for child, fk, parent, pk, is_dim in FK_EDGES:
+        by_child.setdefault(child, []).append((fk, parent, pk, is_dim))
+
+    outs = []
+    for child, edges in by_child.items():
+        cur = t[child]
+        aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+        for fk, parent, pk, is_dim in edges:
+            marker = f"__hit_{fk}"
+            par = t[parent].select(
+                F.col(pk).alias(f"__pk_{fk}"), F.lit(1).alias(marker)
+            ).distinct()
+            if is_dim:
+                par = F.broadcast(par)
+            cur = cur.join(par, F.col(fk) == F.col(f"__pk_{fk}"), "left")
+            aggs.append(
+                F.sum(
+                    (F.col(fk).isNotNull() & F.col(marker).isNull()).cast("long")
+                )
+                .cast("long")
+                .alias(f"__orph_{fk}")
+            )
+        row = cur.agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("edge"),
+                F.col("__n").alias("n_child_rows"),
+                F.col(f"__orph_{fk}").alias("n_orphans"),
+            )
+            for fk, parent, pk, _ in edges
+        ]
+        outs.append(row.select(F.inline(F.array(*structs))))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def fk_orphans_sql() -> str:
+    parts = []
+    for child, fk, parent, pk, _ in FK_EDGES:
+        parts.append(
+            f"SELECT '{child}.{fk}->{parent}.{pk}' AS edge, "
+            f"count(*) AS n_child_rows, "
+            f"CAST(sum(CASE WHEN c.{fk} IS NOT NULL AND p.{pk} IS NULL "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans "
+            f"FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p "
+            f"ON c.{fk} = p.{pk}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# declarative constraint rules
+# ---------------------------------------------------------------------------
+
+# rule name -> (table, SQL predicate that must hold). The predicate text
+# is ANSI and runs verbatim on BOTH engines — one source of truth.
+RULES = (
+    ("lineitem_quantity_positive", "lineitem", "l_quantity > 0"),
+    ("lineitem_discount_unit_range", "lineitem", "l_discount BETWEEN 0 AND 1"),
+    ("lineitem_tax_nonnegative", "lineitem", "l_tax >= 0"),
+    ("lineitem_price_positive", "lineitem", "l_extendedprice > 0"),
+    ("lineitem_returnflag_domain", "lineitem", "l_returnflag IN ('A','N','R')"),
+    ("lineitem_shipdate_present", "lineitem", "l_shipdate IS NOT NULL"),
+    ("orders_totalprice_positive", "orders", "o_totalprice > 0"),
+    ("orders_status_domain", "orders", "o_orderstatus IN ('F','O','P')"),
+    ("orders_orderdate_present", "orders", "o_orderdate IS NOT NULL"),
+    ("orders_priority_present", "orders", "o_orderpriority IS NOT NULL"),
+)
+
+
+def rule_violations(t: dict[str, DataFrame]) -> DataFrame:
+    """Violation counts for the declarative rule set: (rule, n_rows,
+    n_violations). A row violates when its predicate is not TRUE (NULL
+    counts as a violation — three-valued logic made strict, as a data
+    gate should be). Pure conditional aggregation: one map-side pass
+    per table regardless of rule count."""
+    by_table: dict[str, list] = {}
+    for rule, table, pred in RULES:
+        by_table.setdefault(table, []).append((rule, pred))
+
+    outs = []
+    for table, rules in by_table.items():
+        aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+        for rule, pred in rules:
+            ok = F.expr(pred)
+            aggs.append(
+                F.sum((~F.coalesce(ok, F.lit(False))).cast("long"))
+                .cast("long")
+                .alias(f"__viol_{rule}")
+            )
+        row = t[table].agg(*aggs)
+        structs = [
+            F.struct(
+                F.lit(rule).alias("rule"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__viol_{rule}").alias("n_violations"),
+            )
+            for rule, _ in rules
+        ]
+        outs.append(row.select(F.inline(F.array(*structs))))
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def rule_violations_sql() -> str:
+    parts = []
+    by_table: dict[str, list] = {}
+    for rule, table, pred in RULES:
+        by_table.setdefault(table, []).append((rule, pred))
+    for table, rules in by_table.items():
+        for rule, pred in rules:
+            parts.append(
+                f"SELECT '{rule}' AS rule, count(*) AS n_rows, "
+                f"CAST(sum(CASE WHEN NOT coalesce(({pred}), FALSE) "
+                f"THEN 1 ELSE 0 END) AS BIGINT) AS n_violations "
+                f"FROM {table}"
+            )
+    return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# primary-key uniqueness
+# ---------------------------------------------------------------------------
+
+# table -> PK columns (lineitem's is composite)
+PK_KEYS = (
+    ("region", ("r_regionkey",)),
+    ("nation", ("n_nationkey",)),
+    ("customer", ("c_custkey",)),
+    ("supplier", ("s_suppkey",)),
+    ("part", ("p_partkey",)),
+    ("orders", ("o_orderkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("events", ("event_id",)),
+    ("documents", ("doc_id",)),
+    ("embeddings", ("vec_id",)),
+)
+
+
+def pk_duplicates(t: dict[str, DataFrame]) -> DataFrame:
+    """Uniqueness check per declared key: (table_name, n_rows,
+    n_distinct_keys, n_dups). n_dups = rows beyond one per key."""
+    outs = []
+    for table, keys in PK_KEYS:
+        n = F.count(F.lit(1)).cast("long")
+        nd = F.count_distinct(*[F.col(k) for k in keys]).cast("long")
+        outs.append(
+            t[table].agg(
+                F.lit(table).alias("table_name"),
+                n.alias("n_rows"),
+                nd.alias("n_distinct_keys"),
+                (n - nd).cast("long").alias("n_dups"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def pk_duplicates_sql() -> str:
+    parts = []
+    for table, keys in PK_KEYS:
+        key_list = ", ".join(keys)
+        parts.append(
+            f"SELECT '{table}' AS table_name, "
+            f"(SELECT count(*) FROM {table}) AS n_rows, "
+            f"(SELECT count(*) FROM (SELECT DISTINCT {key_list} FROM {table})) "
+            f"AS n_distinct_keys, "
+            f"(SELECT count(*) FROM {table}) - "
+            f"(SELECT count(*) FROM (SELECT DISTINCT {key_list} FROM {table})) "
+            f"AS n_dups"
+        )
+    return " UNION ALL ".join(parts)
