@@ -221,6 +221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_trend": _q(relational_ext.daily_revenue_trend),
         "pk_uniqueness": _q(validation.pk_duplicates),
         "orders_merge_upsert": _q(merge.orders_merge_upsert),
+        "event_anomalies": _q(lambda t: validation.value_anomalies(t["events"])),
+        "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "scrub_pii": _q(lambda t: text.scrub_pii(t["documents"])),
         "q8_market_share": _q(relational_ext.q8_market_share),
         "q15_top_suppliers": _q(relational_ext.q15_top_suppliers),
@@ -793,6 +795,8 @@ def oracle_sql() -> dict[str, str]:
         "constraint_violations": validation.rule_violations_sql(),
         "pk_uniqueness": validation.pk_duplicates_sql(),
         "orders_merge_upsert": merge.ORDERS_MERGE_UPSERT_ORACLE,
+        "event_anomalies": validation.value_anomalies_sql(),
+        "tfidf_top_terms": oracle_text.tfidf_top_terms_sql(),
         # dataset curation (pack_sequences is rows-only: pack ids are
         # partition-plan-dependent; invariants tested in pytest)
         "dataset_split": curation.dataset_split_sql(),

@@ -105,6 +105,38 @@ def test_pk_duplicates_composite_key(spark):
     assert out["orders"].n_dups == 0
 
 
+def test_value_anomalies_flags_outlier_only(spark):
+    rows = [(i, 1, "click", 10.0 + (i % 3)) for i in range(20)]
+    rows.append((99, 2, "click", 500.0))  # the outlier
+    rows.append((100, 3, "view", 1.0))  # lone type: stddev undefined -> no flag
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double"
+    )
+    out = validation.value_anomalies(events).collect()
+    assert [r.event_id for r in out] == [99]
+    assert out[0].z > 3
+
+
+def test_tfidf_rare_term_beats_ubiquitous(spark):
+    from training_etl_demo_2_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common zebra"),
+            (2, "common common common"),
+            (3, "common word word"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text_ops.tfidf_top_terms(docs, k=1).collect()
+    top = {r.doc_id: r.term for r in out}
+    # 'common' appears in every doc -> low idf; rare terms win
+    assert top[1] == "zebra"
+    assert top[3] == "word"
+    # doc 2 only has 'common': still emitted (top-k of what exists)
+    assert top[2] == "common"
+
+
 def test_merge_upsert_update_insert_keep(spark):
     target = spark.createDataFrame(
         [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],

@@ -138,6 +138,38 @@ def doc_fingerprints_sql() -> str:
     """
 
 
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    """Twin of text.tfidf_top_terms: same score, same deterministic
+    per-doc ranking."""
+    return f"""
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM terms WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+               tf.tf * ln((n.n_docs + 1) * 1.0 / (dfreq.df + 1)) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, df, tfidf,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+               ) AS rnk
+        FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round(tfidf, 4) AS tfidf, rnk
+    FROM ranked WHERE rnk <= {k}
+    """
+
+
 # --- similarity -----------------------------------------------------------
 
 

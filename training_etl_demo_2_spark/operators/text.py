@@ -120,6 +120,49 @@ def ngram_counts(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k characteristic terms by TF-IDF:
+    (doc_id, term, tf, df, tfidf, rnk).
+
+    score = tf * ln((N+1)/(df+1)), ranked per doc on (score desc,
+    term asc). Empty tokens (multi-space runs) are dropped — they are
+    separators here, not vocabulary.
+
+    Physical shape: one shuffle on (doc_id, term) for TF, one on term
+    for DF, a term-keyed join of the two, and the per-doc top-k window.
+    The corpus size N joins in as a broadcast 1-row aggregate (no
+    driver-side count action — the whole thing is ONE Catalyst plan).
+    At 100 TB the df relation is vocabulary-sized (≪ corpus) and the
+    top-k window partitions by doc_id — no global sort anywhere."""
+    from pyspark.sql import Window
+
+    terms = df.select(
+        "doc_id", F.explode(_tokens(text_col)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tf", "df", F.round("tfidf", 4).alias("tfidf"), "rnk")
+    )
+
+
 def remove_stopwords(
     df: DataFrame, text_col: str = "text", stopwords: list[str] | None = None
 ) -> DataFrame:

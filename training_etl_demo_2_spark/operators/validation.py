@@ -254,6 +254,54 @@ def rule_violations_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# statistical anomaly detection
+# ---------------------------------------------------------------------------
+
+
+def value_anomalies(
+    events: DataFrame, z_threshold: float = 3.0
+) -> DataFrame:
+    """Per-type z-score outliers in the events stream: rows whose value
+    sits more than ``z_threshold`` sample standard deviations from the
+    type mean — the batch form of the reqdef anomaly-notification
+    scenario (``reqdef.yaml:11,15``), and the predicate the workflow
+    anomaly hook evaluates.
+
+    One shuffle: the per-type mean/stddev come from an UNORDERED window
+    over event_type (whole-partition aggregate, no sort), so stats and
+    scoring happen in a single pass after one exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    return (
+        events.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > z_threshold)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round("z", 4).alias("z"),
+        )
+    )
+
+
+def value_anomalies_sql(z_threshold: float = 3.0) -> str:
+    return f"""
+    SELECT event_id, user_id, event_type,
+           round(value, 2) AS value, round(z, 4) AS z
+    FROM (
+        SELECT event_id, user_id, event_type, value,
+               (value - avg(value) OVER (PARTITION BY event_type))
+                   / stddev_samp(value) OVER (PARTITION BY event_type) AS z
+        FROM events
+    )
+    WHERE abs(z) > {z_threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
 # primary-key uniqueness
 # ---------------------------------------------------------------------------
 
