@@ -142,15 +142,19 @@ def contamination_check(
 
     Scale shape: probe shingles are a bounded vocabulary (benchmarks
     are small) — the join broadcasts them; corpus-side cost is the
-    shingle scan it already shares with dedup."""
+    shingle scan it already shares with dedup. The probe anti-join sits
+    ABOVE the corpus shingling, not below it, so the shingle subtree is
+    plan-identical to dedup's persisted relation and the cache manager
+    substitutes it — in a session that already deduped, contamination
+    costs one broadcast join, not a second corpus scan."""
     probe_ids = probe.select("doc_id")
     probe_sh = (
         shingle_hashes(probe, text_col, n)
         .select(F.col("h").alias("ph"))
         .distinct()
     )
-    corpus_sh = shingle_hashes(
-        df.join(probe_ids, "doc_id", "left_anti"), text_col, n
+    corpus_sh = shingle_hashes(df, text_col, n).join(
+        probe_ids, "doc_id", "left_anti"
     )
     return (
         corpus_sh.join(F.broadcast(probe_sh), F.col("h") == F.col("ph"))

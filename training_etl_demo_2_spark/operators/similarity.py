@@ -162,8 +162,15 @@ def lsh_topk(
 ) -> DataFrame:
     """ANN top-k: same-bucket candidates over L tables → exact cosine
     re-rank. The candidate join is (table, bucket)-keyed, so at scale
-    each query only meets ~|N| / 2^nbits · L candidates."""
-    buckets = lsh_buckets(emb, dim)
+    each query only meets ~|N| / 2^nbits · L candidates.
+
+    The bucket relation feeds BOTH sides of the candidate join (query
+    semi-join + corpus side); the two subtrees differ by projection so
+    exchange reuse can't unify them — persist so the mapInPandas
+    hyperplane pass over the corpus runs once, not twice."""
+    from pyspark import StorageLevel
+
+    buckets = lsh_buckets(emb, dim).persist(StorageLevel.MEMORY_AND_DISK)
     q_buckets = buckets.join(
         emb.filter(query_pred).select("vec_id"), "vec_id", "semi"
     ).select(F.col("vec_id").alias("query_id"), "table", "bucket")
