@@ -28,6 +28,7 @@ from training_etl_demo_2_spark.operators import (
     relational,
     relational_ext,
     similarity,
+    skew,
     sketches,
     temporal,
     text,
@@ -223,6 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_upsert": _q(merge.orders_merge_upsert),
         "event_anomalies": _q(lambda t: validation.value_anomalies(t["events"])),
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
+        "skewed_user_revenue": _q(skew.skewed_user_revenue),
         "scrub_pii": _q(lambda t: text.scrub_pii(t["documents"])),
         "q8_market_share": _q(relational_ext.q8_market_share),
         "q15_top_suppliers": _q(relational_ext.q15_top_suppliers),
@@ -797,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_merge_upsert": merge.ORDERS_MERGE_UPSERT_ORACLE,
         "event_anomalies": validation.value_anomalies_sql(),
         "tfidf_top_terms": oracle_text.tfidf_top_terms_sql(),
+        "skewed_user_revenue": skew.SKEWED_USER_REVENUE_ORACLE,
         # dataset curation (pack_sequences is rows-only: pack ids are
         # partition-plan-dependent; invariants tested in pytest)
         "dataset_split": curation.dataset_split_sql(),

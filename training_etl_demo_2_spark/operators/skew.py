@@ -1,0 +1,153 @@
+"""Skew-resistant join: the salted-replication template, generalized.
+
+AQE's skew-join splitting (on in ``session.py``) handles sort-merge
+skew at runtime by splitting oversized partitions, and it is the right
+FIRST answer. Salting remains necessary when (a) the skewed side feeds
+a non-splittable plan (e.g. a bucketed/co-located join AQE won't touch),
+(b) the hot keys are known a priori and the dimension side is too big
+to broadcast whole but its hot slice is not, or (c) deterministic plan
+shape matters more than adaptivity (benchmark reproducibility).
+
+``skew_join`` implements the classic two-path plan:
+
+* **hot keys** (detected from a bounded sample, or caller-supplied):
+  fact rows get a random-ish but DETERMINISTIC salt in [0, buckets);
+  the dim side's hot rows are replicated ``buckets`` times; the join
+  key becomes (key, salt) — each hot key's rows spread over ``buckets``
+  reducers instead of one straggler.
+* **cold keys** join normally (salt 0 on both sides — same plan, no
+  replication).
+
+The result is exactly ``fact ⋈ dim`` for any 1:N equi-join. Dim-side
+replication is hot-keys-only, so the blow-up is |hot| × buckets rows,
+not |dim| × buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_BUCKETS = 16
+# Hot-key detection: keys holding more than this fraction of a bounded
+# sample are salted. 1/buckets is the natural threshold — beyond it a
+# key overflows its "fair share" of one reducer.
+HOT_FRACTION = 1.0 / 32.0
+DETECT_SAMPLE = 100_000
+
+
+def detect_hot_keys(
+    df: DataFrame,
+    key: str,
+    sample_rows: int = DETECT_SAMPLE,
+    hot_fraction: float = HOT_FRACTION,
+) -> list:
+    """Keys that dominate a bounded deterministic sample of ``df``.
+
+    The sample is the first ``sample_rows`` rows in storage order via
+    ``limit`` — one narrow job, no full scan, no RNG. Heavy hitters by
+    definition cannot hide from a uniform-ish prefix at these
+    thresholds; borderline keys cost only harmless extra salting."""
+    sample = df.select(key).limit(sample_rows)
+    counts = (
+        sample.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= F.lit(int(sample_rows * hot_fraction)))
+        .collect()
+    )
+    return [r[0] for r in counts if r[0] is not None]
+
+
+def skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "inner",
+    buckets: int = DEFAULT_BUCKETS,
+    hot_keys: list | None = None,
+) -> DataFrame:
+    """Equi-join ``fact ⋈ dim`` on ``key`` with hot-key salting.
+
+    ``dim`` must be key-unique (a dimension); ``how`` supports inner /
+    left. Hot keys: caller-supplied, else detected from a bounded
+    sample of the fact side. With no hot keys this degenerates to the
+    plain join (zero overhead)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"skew_join supports inner/left, got {how!r}")
+    if hot_keys is None:
+        hot_keys = detect_hot_keys(fact, key)
+    if not hot_keys:
+        return fact.join(dim, key, how)
+
+    hot_arr = F.array(*[F.lit(k) for k in hot_keys])
+    is_hot = F.array_contains(hot_arr, F.col(key))
+
+    # Fact side: hot rows get salt = pmod(hash(whole row id-ish), b).
+    # monotonically_increasing_id is partition-deterministic and never
+    # shuffles; any even spread works — correctness needs only that the
+    # dim side covers all salts, which replication guarantees.
+    f = fact.withColumn(
+        "__salt",
+        F.when(
+            is_hot,
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)),
+        ).otherwise(F.lit(0)).cast("int"),
+    )
+
+    # Dim side: replicate hot rows across every salt, cold rows salt 0.
+    d = dim.withColumn(
+        "__salts",
+        F.when(
+            is_hot, F.sequence(F.lit(0), F.lit(buckets - 1))
+        ).otherwise(F.array(F.lit(0))),
+    ).withColumn("__salt", F.explode("__salts")).drop("__salts")
+
+    return f.join(d, [key, "__salt"], how).drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# registered query: skewed events ⋈ user dimension
+# ---------------------------------------------------------------------------
+
+
+def skewed_user_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Join the (Zipf-skewed) events fact to a derived user dimension
+    with explicit hot-key salting, then aggregate — result identical to
+    the plain join, which is exactly what the oracle checks.
+
+    The user dim is derived deterministically from customers (user_id =
+    c_custkey % 1000 tiers), so the query is closed over the fixtures."""
+    events = t["events"]
+    users = (
+        t["customer"]
+        .select((F.col("c_custkey") % 1000).alias("user_id"), "c_mktsegment")
+        .groupBy("user_id")
+        .agg(F.min("c_mktsegment").alias("segment"))
+    )
+    # Hot keys pinned (not auto-detected) so the SALTED plan is the one
+    # the oracle verifies at every scale factor — auto-detection on the
+    # mildly-skewed fixture would legitimately fall back to a plain join.
+    joined = skew_join(
+        events, users, "user_id", how="inner", buckets=8,
+        hot_keys=list(range(8)),
+    )
+    # exact integer ten-thousandths: accumulation-order-proof (the q7/t4
+    # pattern — large groups make round(sum(double)) flip-prone)
+    t4 = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.sum(t4) / 10000.0, 2).alias("sum_value"),
+    )
+
+
+SKEWED_USER_REVENUE_ORACLE = """
+    WITH users AS (
+        SELECT c_custkey % 1000 AS user_id, min(c_mktsegment) AS segment
+        FROM customer GROUP BY c_custkey % 1000
+    )
+    SELECT segment, count(*) AS n_events,
+           round(CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                 / 10000.0, 2) AS sum_value
+    FROM events JOIN users USING (user_id)
+    GROUP BY segment
+"""
