@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_revenue_trend": _q(relational_ext.daily_revenue_trend),
         "pk_uniqueness": _q(validation.pk_duplicates),
         "orders_merge_upsert": _q(merge.orders_merge_upsert),
+        "orders_scd2_history": _q(merge.orders_scd2_history),
         "event_anomalies": _q(lambda t: validation.value_anomalies(t["events"])),
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
@@ -797,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
         "constraint_violations": validation.rule_violations_sql(),
         "pk_uniqueness": validation.pk_duplicates_sql(),
         "orders_merge_upsert": merge.ORDERS_MERGE_UPSERT_ORACLE,
+        "orders_scd2_history": merge.ORDERS_SCD2_ORACLE,
         "event_anomalies": validation.value_anomalies_sql(),
         "tfidf_top_terms": oracle_text.tfidf_top_terms_sql(),
         "skewed_user_revenue": skew.SKEWED_USER_REVENUE_ORACLE,

@@ -153,6 +153,56 @@ def test_merge_upsert_update_insert_keep(spark):
     )
 
 
+def test_merge_scd2_close_open_insert_noop(spark):
+    import datetime as dt
+
+    ts = lambda s: dt.datetime.fromisoformat(s)
+    hist = spark.createDataFrame(
+        [
+            (1, "a", ts("2020-01-01"), None),     # will change -> close+open
+            (2, "b", ts("2020-01-01"), None),     # unchanged -> no-op
+            (3, "c", ts("2019-01-01"), ts("2020-01-01")),  # past version
+            (3, "c2", ts("2020-01-01"), None),    # current, no update
+        ],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, "a9", ts("2021-06-01")),
+            (2, "b", ts("2021-06-01")),   # identical attr: must NOT version
+            (4, "new", ts("2021-06-01")),  # brand-new key
+        ],
+        "k long, attr string, eff_ts timestamp",
+    )
+    out = merge.merge_scd2(hist, upd, "k")
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == sorted(
+        [
+            (1, "a", ts("2020-01-01"), ts("2021-06-01")),  # closed
+            (1, "a9", ts("2021-06-01"), None),             # opened
+            (2, "b", ts("2020-01-01"), None),              # untouched
+            (3, "c", ts("2019-01-01"), ts("2020-01-01")),  # past kept
+            (3, "c2", ts("2020-01-01"), None),             # current kept
+            (4, "new", ts("2021-06-01"), None),            # inserted
+        ]
+    )
+
+
+def test_merge_scd2_null_attr_is_a_change(spark):
+    import datetime as dt
+
+    ts = dt.datetime.fromisoformat
+    hist = spark.createDataFrame(
+        [(1, "x", ts("2020-01-01"), None)],
+        "k long, attr string, valid_from timestamp, valid_to timestamp",
+    )
+    upd = spark.createDataFrame(
+        [(1, None, ts("2021-01-01"))], "k long, attr string, eff_ts timestamp"
+    )
+    out = merge.merge_scd2(hist, upd, "k").collect()
+    assert len(out) == 2  # closed + opened-with-null
+
+
 def test_merge_upsert_broadcast_path_same_result(spark):
     target = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double")
     updates = spark.createDataFrame([(2, 9.0)], "k long, v double")

@@ -56,6 +56,65 @@ def merge_upsert(
     )
 
 
+def merge_scd2(
+    hist: DataFrame,
+    updates: DataFrame,
+    key: str,
+    eff_col: str = "eff_ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Type-2 history merge: versioned rows with [valid_from, valid_to)
+    intervals, ``valid_to IS NULL`` marking the current version.
+
+    For each update row at effective time ``eff_col``:
+
+    * key exists and any attribute differs -> the current version is
+      CLOSED (valid_to = eff) and a new current version opens
+    * key exists, no attribute differs      -> no-op (no empty versions)
+    * new key                               -> first version opens
+
+    Attribute comparison is null-safe (NULL -> value IS a change).
+    One shuffle on the key (full-outer, like SCD1); closed/kept/insert
+    branches are projections of the same join. ``updates`` must be
+    key-unique per batch (compact CDC upstream)."""
+    attrs = [c for c in hist.columns if c not in (key, valid_from, valid_to)]
+    cur = hist.filter(F.col(valid_to).isNull()).withColumn(
+        "__has_c", F.lit(True)
+    )
+    past = hist.filter(F.col(valid_to).isNotNull())
+    u = updates.select(
+        F.col(key),
+        F.col(eff_col).alias("__eff"),
+        F.lit(True).alias("__has_u"),
+        *[F.col(c).alias(f"__u_{c}") for c in attrs],
+    )
+    j = cur.join(u, key, "full_outer")
+    has_c = F.coalesce(F.col("__has_c"), F.lit(False))
+    has_u = F.coalesce(F.col("__has_u"), F.lit(False))
+    differs = None
+    for c in attrs:
+        d = ~F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+        differs = d if differs is None else (differs | d)
+    changed = has_c & has_u & differs
+
+    kept = j.filter(has_c & ~changed).select(
+        key, *attrs, valid_from, F.col(valid_to)
+    )
+    closed = j.filter(changed).select(
+        key, *attrs, valid_from, F.col("__eff").alias(valid_to)
+    )
+    opened = j.filter(has_u & (changed | ~has_c)).select(
+        key,
+        *[F.col(f"__u_{c}").alias(c) for c in attrs],
+        F.col("__eff").alias(valid_from),
+        F.lit(None).cast(hist.schema[valid_to].dataType).alias(valid_to),
+    )
+    return past.select(key, *attrs, valid_from, valid_to).unionAll(
+        kept
+    ).unionAll(closed).unionAll(opened)
+
+
 # ---------------------------------------------------------------------------
 # registered query: deterministic CDC delta merged into orders
 # ---------------------------------------------------------------------------
@@ -103,6 +162,80 @@ def orders_merge_upsert(t: dict[str, DataFrame]) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.round(F.sum(cents) / 100.0, 2).alias("sum_price"),
     )
+
+
+def orders_scd2_history(t: dict[str, DataFrame]) -> DataFrame:
+    """Apply the synthetic CDC delta as a type-2 merge over an initial
+    orders history (every order one open version since its order date;
+    delta effective 30 days later), then summarize: versions per status
+    × currency flag with exact integer-cent sums. Proves closes, opens
+    and inserts all landed with the right validity intervals."""
+    orders = t["orders"]
+    hist = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = _delta(orders).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("eff_ts"),
+    )
+    merged = merge_scd2(hist, upd, "o_orderkey")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return merged.groupBy(
+        "o_orderstatus",
+        F.col("valid_to").isNull().cast("int").alias("is_current"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions"),
+        F.round(F.sum(cents) / 100.0, 2).alias("sum_price"),
+    )
+
+
+ORDERS_SCD2_ORACLE = f"""
+    WITH hist AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               o_orderdate AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM orders
+    ), delta AS (
+        SELECT o_orderkey, 'U' AS o_orderstatus,
+               floor(o_totalprice * 110 + 0.5) / 100.0 AS o_totalprice,
+               o_orderdate + INTERVAL 30 DAY AS eff_ts
+        FROM orders WHERE {_DELTA_PRED}
+        UNION ALL
+        SELECT o_orderkey + {_NEW_KEY_OFFSET}, 'U',
+               floor(o_totalprice * 110 + 0.5) / 100.0,
+               o_orderdate + INTERVAL 30 DAY
+        FROM orders WHERE {_DELTA_PRED}
+    ),
+    -- every matched delta row changes the status (to 'U'), so matched
+    -- current versions all close; new keys open their first version
+    closed AS (
+        SELECT h.o_orderkey, h.o_orderstatus, h.o_totalprice,
+               h.valid_from, d.eff_ts AS valid_to
+        FROM hist h JOIN delta d USING (o_orderkey)
+    ), opened AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               eff_ts AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+        FROM delta
+    ), untouched AS (
+        SELECT * FROM hist
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+    ), merged AS (
+        SELECT * FROM closed UNION ALL SELECT * FROM opened
+        UNION ALL SELECT * FROM untouched
+    )
+    SELECT o_orderstatus,
+           CAST(valid_to IS NULL AS INT) AS is_current,
+           count(*) AS n_versions,
+           round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) / 100.0, 2) AS sum_price
+    FROM merged
+    GROUP BY o_orderstatus, CAST(valid_to IS NULL AS INT)
+"""
 
 
 ORDERS_MERGE_UPSERT_ORACLE = f"""
