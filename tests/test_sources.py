@@ -83,3 +83,44 @@ def test_compact_run_reduces_files_preserves_rows(spark, tmp_path):
     # provenance recorded; latest_run now discovers the compacted run
     assert out.metadata["compacted_from"] == "20240101_000000"
     assert io_mod.latest_run(root).run_id == out.run_id
+
+
+def test_write_clustered_layout(spark, tables, tmp_path):
+    """Clustered write: partition dirs exist, files within a partition
+    cover non-overlapping sorted bands of the cluster key, and a
+    partition predicate prunes at plan level."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark.io import write_clustered
+
+    out = str(tmp_path / "events_clustered")
+    write_clustered(
+        tables["events"], out,
+        partition_by=["event_type"], cluster_by=["ts"],
+        max_records_per_file=200,
+    )
+    part_dirs = sorted(p.name for p in Path(out).iterdir() if p.is_dir())
+    assert all(d.startswith("event_type=") for d in part_dirs)
+    assert len(part_dirs) >= 2
+
+    # per-file (min,max) bands of ts must not interleave within a partition
+    one = Path(out) / part_dirs[0]
+    bands = []
+    for f in sorted(one.glob("*.parquet")):
+        pdf = spark.read.parquet(str(f)).select("ts").toPandas()
+        # file content itself sorted
+        assert list(pdf["ts"]) == sorted(pdf["ts"])
+        bands.append((pdf["ts"].min(), pdf["ts"].max()))
+    bands.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(bands, bands[1:]):
+        assert hi1 <= lo2  # non-overlapping bands -> min/max stats prune
+
+    # partition pruning reaches the scan
+    plan = (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") == part_dirs[0].split("=", 1)[1])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters: [" in plan and "event_type" in plan
