@@ -226,6 +226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomalies": _q(lambda t: validation.value_anomalies(t["events"])),
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
+        "fuzzy_part_pairs": _q(
+            lambda t: dedup.fuzzy_name_pairs(t["part"], "p_name", max_dist=2)
+        ),
         "scrub_pii": _q(lambda t: text.scrub_pii(t["documents"])),
         "q8_market_share": _q(relational_ext.q8_market_share),
         "q15_top_suppliers": _q(relational_ext.q15_top_suppliers),
@@ -802,6 +805,7 @@ def oracle_sql() -> dict[str, str]:
         "event_anomalies": validation.value_anomalies_sql(),
         "tfidf_top_terms": oracle_text.tfidf_top_terms_sql(),
         "skewed_user_revenue": skew.SKEWED_USER_REVENUE_ORACLE,
+        "fuzzy_part_pairs": dedup.fuzzy_name_pairs_sql("part", "p_name", 2),
         # dataset curation (pack_sequences is rows-only: pack ids are
         # partition-plan-dependent; invariants tested in pytest)
         "dataset_split": curation.dataset_split_sql(),

@@ -113,3 +113,15 @@ def test_near_dup_clusters_consistent_with_pairs(tables):
     for c, ms in members.items():
         assert c == min(ms)
         assert len(ms) >= 2  # singletons never appear
+
+
+def test_fuzzy_name_pairs_blocking_and_verify(spark):
+    from training_etl_demo_2_spark.operators.dedup import fuzzy_name_pairs
+
+    df = spark.createDataFrame(
+        [(1, "cold gear"), (2, "old gear"), (3, "red bolt"), (4, "cold gear")],
+        "id long, name string",
+    )
+    out = {(r.name_a, r.name_b): r.dist for r in fuzzy_name_pairs(df, "name").collect()}
+    # distinct-value space: the duplicate 'cold gear' collapses first
+    assert out == {("cold gear", "old gear"): 1}

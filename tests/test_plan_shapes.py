@@ -30,6 +30,8 @@ NESTED_LOOP_OK = {
     "q22_idle_rich_customers",
     "idle_customers",
     "q11_important_parts",
+    # broadcasts the ONE-ROW corpus-size aggregate (N for the idf term)
+    "tfidf_top_terms",
 }
 
 
