@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_pairs": _q(
             lambda t: dedup.fuzzy_name_pairs(t["part"], "p_name", max_dist=2)
         ),
+        "stream_value_anomalies": fixture_queries.stream_value_anomalies,
         "scrub_pii": _q(lambda t: text.scrub_pii(t["documents"])),
         "q8_market_share": _q(relational_ext.q8_market_share),
         "q15_top_suppliers": _q(relational_ext.q15_top_suppliers),
@@ -831,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
         # streaming: the batch SQL the incremental plan must reproduce
         "stream_hourly_stats": fixture_queries.STREAM_HOURLY_STATS_ORACLE,
         "stream_user_nation_stats": fixture_queries.STREAM_USER_NATION_ORACLE,
+        "stream_value_anomalies": fixture_queries.STREAM_ANOMALIES_ORACLE,
         "udf_minmax_norm": udfs.MINMAX_NORM_ORACLE,
         # text analysis
         "language_id": oracle_text.language_id_sql(),

@@ -15,7 +15,11 @@ import __spark_entry__ as entrymod
 # Streaming entries EXECUTE their stream when called (replay-to-sink),
 # so their returned table has no interesting plan to audit here (the
 # incremental plans are pytest-covered in test_fixture_streaming.py).
-STREAMING = {"stream_hourly_stats", "stream_user_nation_stats"}
+STREAMING = {
+    "stream_hourly_stats",
+    "stream_user_nation_stats",
+    "stream_value_anomalies",
+}
 
 # Bounded-side nested-loop joins that are the documented design:
 # brute-force ANN broadcasts the (small, filtered) query side against

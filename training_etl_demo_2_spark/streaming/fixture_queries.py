@@ -131,6 +131,51 @@ def stream_user_nation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("gate_stream_user_nation")
 
 
+def stream_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful prefix-z-score anomaly stream replayed to completion.
+    Its exact batch twin is a prefix window (rows unbounded-preceding to
+    1-preceding) — what the oracle runs. The flagged-row set must match
+    row for row; only the integer prefix count rides along (no float
+    statistic reaches the compared output)."""
+    from .stateful import anomaly_stream
+
+    src = read_events_stream_fixture(spark, sf_dir)
+    out = anomaly_stream(src, z_threshold=3.0, min_history=30)
+    # applyInPandasWithState(update) requires Update output mode; each
+    # flagged row is emitted exactly once, so the memory table is the
+    # plain union of alerts.
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gate_stream_anomalies")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300.0):
+            raise TimeoutError("anomaly stream did not drain")
+    finally:
+        q.stop()
+    return spark.table("gate_stream_anomalies")
+
+
+STREAM_ANOMALIES_ORACLE = """
+    SELECT event_id, user_id, event_type, round(value, 2) AS value, n_prev
+    FROM (
+        SELECT event_id, user_id, event_type, value,
+               count(*) OVER w AS n_prev,
+               avg(value) OVER w AS m,
+               stddev_samp(value) OVER w AS sd
+        FROM events
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        )
+    )
+    WHERE n_prev >= 30 AND sd > 0 AND abs(value - m) > 3 * sd
+"""
+
+
 STREAM_HOURLY_STATS_ORACLE = """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type,

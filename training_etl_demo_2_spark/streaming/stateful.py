@@ -56,6 +56,66 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+ANOMALY_SCHEMA = (
+    "event_id long, user_id long, event_type string, value double, n_prev long"
+)
+ANOMALY_STATE = "n long, s double, s2 double"
+
+
+def anomaly_stream(
+    stream: DataFrame, z_threshold: float = 3.0, min_history: int = 30
+) -> DataFrame:
+    """Streaming anomaly detection: flag events whose value deviates
+    more than ``z_threshold`` sample stddevs from the PREFIX statistics
+    of their event_type — the online form of the batch
+    ``validation.value_anomalies`` (which scores against global stats).
+
+    State per type is three numbers (n, Σv, Σv²) — O(1) regardless of
+    stream length; each row is scored against history STRICTLY BEFORE
+    it (so the answer is replay-deterministic given time-ordered input)
+    and then folded into the state. Rows are sorted (ts, event_id)
+    within each batch; across batches determinism holds whenever the
+    source replays in time order — true for log replay and the fixture.
+    Emits only flagged rows: the alert stream the reqdef anomaly
+    scenario (reqdef.yaml:11,15) notifies on."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        flagged = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for row in pdf.itertuples():
+                v = float(row.value)
+                if n >= min_history:
+                    mean = s / n
+                    var = (s2 - n * mean * mean) / (n - 1)
+                    sd = var**0.5 if var > 0 else 0.0
+                    if sd > 0 and abs(v - mean) > z_threshold * sd:
+                        flagged.append(
+                            (int(row.event_id), int(row.user_id), key[0],
+                             round(v, 2), n)
+                        )
+                n += 1
+                s += v
+                s2 += v * v
+        state.update((n, s, s2))
+        if flagged:
+            yield pd.DataFrame(
+                flagged,
+                columns=["event_id", "user_id", "event_type", "value", "n_prev"],
+            )
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        ANOMALY_SCHEMA,
+        ANOMALY_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def correlate_streams(
     clicks: DataFrame,
     purchases: DataFrame,
