@@ -272,6 +272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- sketch aggregates (rows-only: estimates are engine-specific;
         #     pytest pins error vs exact + merge consistency)
         "sketch_user_stats": _q(sketches.approx_user_stats),
+        "histogram_quantiles": _q(sketches.events_histogram_quantiles),
         # --- dataset curation (splits/sampling/contamination/packing)
         "dataset_split": _q(lambda t: curation.dataset_split(t["documents"])),
         "hash_sample_10pct": _q(
@@ -807,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": oracle_text.tfidf_top_terms_sql(),
         "skewed_user_revenue": skew.SKEWED_USER_REVENUE_ORACLE,
         "fuzzy_part_pairs": dedup.fuzzy_name_pairs_sql("part", "p_name", 2),
+        "histogram_quantiles": sketches.events_histogram_quantiles_sql(),
         # dataset curation (pack_sequences is rows-only: pack ids are
         # partition-plan-dependent; invariants tested in pytest)
         "dataset_split": curation.dataset_split_sql(),

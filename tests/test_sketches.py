@@ -36,3 +36,56 @@ def test_daily_sketch_union_consistency(tables):
         "approx_users_total"
     ]
     assert some <= est + max(3, 0.05 * est)
+
+
+def test_histogram_quantiles_within_one_bin_of_exact(spark, tables):
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark.operators import sketches
+
+    est = {
+        (r.event_type, r.q): r.q_est
+        for r in sketches.events_histogram_quantiles(tables).collect()
+    }
+    exact = {
+        r.event_type: dict(zip((0.25, 0.5, 0.75, 0.95), r.qv))
+        for r in tables["events"]
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value", [0.25, 0.5, 0.75, 0.95], 10000
+            ).alias("qv")
+        )
+        .collect()
+    }
+    assert est, "no estimates produced"
+    for (etype, q), v in est.items():
+        assert abs(v - exact[etype][q]) <= sketches.HIST_BIN_WIDTH, (
+            etype, q, v, exact[etype][q]
+        )
+
+
+def test_histogram_blocks_merge_like_full_scan(spark, tables):
+    """Quantiles from per-day blocks == quantiles from one global
+    histogram: the mergeability contract."""
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark.operators import sketches
+
+    daily = sketches.daily_value_histograms(tables["events"])
+    from_blocks = sketches.histogram_quantiles(daily)
+    global_hist = (
+        tables["events"]
+        .groupBy(
+            F.lit("all").alias("day"),
+            "event_type",
+            F.floor(F.col("value") / sketches.HIST_BIN_WIDTH)
+            .cast("long")
+            .alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from_global = sketches.histogram_quantiles(global_hist)
+    a = sorted(tuple(r) for r in from_blocks.collect())
+    b = sorted(tuple(r) for r in from_global.collect())
+    assert a == b

@@ -60,3 +60,119 @@ def union_user_estimate(daily: DataFrame) -> DataFrame:
             "approx_users_total"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable fixed-bin histograms -> approximate quantiles
+# ---------------------------------------------------------------------------
+
+# Bin width for event values: fine enough that the quantile estimate
+# (bin lower edge) sits within one width of the exact answer, coarse
+# enough that |bins| stays metadata-sized. DETERMINISTIC — unlike
+# t-digest/KLL, a fixed-bin histogram has no data-dependent layout, so
+# an ANSI-SQL oracle reproduces it bit-for-bit.
+HIST_BIN_WIDTH = 5.0
+
+
+def daily_value_histograms(
+    events: DataFrame, bin_width: float = HIST_BIN_WIDTH
+) -> DataFrame:
+    """Materialized per-(day, type) value histograms:
+    (day, event_type, bin, n) with bin = floor(value / width).
+
+    The quantile analogue of ``daily_user_sketches``: a new day appends
+    rows; any date-range quantile is a SUM of bin counts over covered
+    rows — mergeable by construction, no rescan of events. State per
+    (day, type) is |occupied bins|, bounded by range/width."""
+    return (
+        events.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.floor(F.col("value") / bin_width).cast("long").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: tuple = (0.25, 0.5, 0.75, 0.95),
+    bin_width: float = HIST_BIN_WIDTH,
+) -> DataFrame:
+    """Approximate quantiles per event_type from merged histogram
+    blocks: merge (sum bins across days), cumulative-sum, and for each
+    q report the LOWER EDGE of the first bin whose cumulative count
+    reaches ceil(q·n) — pure integer selection, so engine and oracle
+    agree exactly; the approximation error is < bin_width by
+    construction (pytest pins it against exact percentiles).
+
+    Merge is one small shuffle over (type, bin); the window runs over
+    |occupied bins| rows per type — metadata scale."""
+    from pyspark.sql import Window
+
+    merged = hist.groupBy("event_type", "bin").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "bin",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(tot).alias("total"),
+    )
+    out = None
+    for q in qs:
+        need = F.ceil(F.lit(q) * F.col("total")).cast("long")
+        first = (
+            cum.filter(F.col("cum") >= need)
+            .groupBy("event_type")
+            .agg(F.min("bin").alias("bin"))
+            .select(
+                "event_type",
+                F.lit(q).alias("q"),
+                F.round(F.col("bin") * bin_width, 2).alias("q_est"),
+            )
+        )
+        out = first if out is None else out.unionAll(first)
+    return out
+
+
+def events_histogram_quantiles(t: dict[str, DataFrame]) -> DataFrame:
+    """Registered query: quantile estimates per type reconstructed from
+    the mergeable daily blocks (never from raw events)."""
+    return histogram_quantiles(daily_value_histograms(t["events"]))
+
+
+def events_histogram_quantiles_sql(
+    qs: tuple = (0.25, 0.5, 0.75, 0.95), bin_width: float = HIST_BIN_WIDTH
+) -> str:
+    """Oracle twin: same daily blocks, same merge, same integer
+    selection rule."""
+    q_rows = ", ".join(f"(CAST({q} AS DOUBLE))" for q in qs)
+    return f"""
+    WITH hist AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type,
+               CAST(floor(value / {bin_width}) AS BIGINT) AS bin,
+               count(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    ), merged AS (
+        SELECT event_type, bin, CAST(sum(n) AS BIGINT) AS n
+        FROM hist GROUP BY event_type, bin
+    ), cum AS (
+        SELECT event_type, bin,
+               sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS c,
+               sum(n) OVER (PARTITION BY event_type) AS total
+        FROM merged
+    ), qs(q) AS (VALUES {q_rows})
+    SELECT event_type, q, round(min(bin) * {bin_width}, 2) AS q_est
+    FROM cum CROSS JOIN qs
+    WHERE c >= ceil(q * total)
+    GROUP BY event_type, q
+    """
