@@ -30,8 +30,31 @@ def main() -> None:
         sf_val = sf
 
     spark = get_spark(app_name="bench")
-    # Warmup: run the flagship once to JIT/codegen-warm the executors.
+    # Host calibration: the bench box is time-shared and its effective
+    # CPU speed swings ~4-10x between runs (measured). A fixed
+    # single-thread BLAS burst taken before and after the sweep gives
+    # the reader a normalization denominator for cross-run comparisons.
+    import numpy as np
+
+    def calib() -> float:
+        a = np.random.RandomState(0).rand(1200, 1200)
+        t0 = time.perf_counter()
+        for _ in range(4):
+            a = 0.5 * (a @ a) / np.linalg.norm(a)
+        return round(time.perf_counter() - t0, 3)
+
+    calib_before = calib()
+
+    # Warmup: JIT/codegen-warm the hot expression families (explode/agg,
+    # shingle hashing, window ranking) at sf0.001 so first-timed queries
+    # measure steady state, not C2 compilation.
     entrymod.entry(spark).count()
+    warm = entrymod.queries()
+    for wq in ("doc_fingerprints", "bigram_counts", "top_orders_per_customer"):
+        try:
+            warm[wq](spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
@@ -50,6 +73,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                # single-thread matmul seconds before/after the sweep:
+                # normalize cross-run comparisons on a noisy shared host
+                "calib_matmul_s": [calib_before, calib()],
             }
         )
     )

@@ -82,30 +82,50 @@ def anomaly_stream(
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         n, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
-        flagged = []
+        outs = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
-            for row in pdf.itertuples():
-                v = float(row.value)
-                if n >= min_history:
-                    mean = s / n
-                    var = (s2 - n * mean * mean) / (n - 1)
-                    sd = var**0.5 if var > 0 else 0.0
-                    if sd > 0 and abs(v - mean) > z_threshold * sd:
-                        flagged.append(
-                            (int(row.event_id), int(row.user_id), key[0],
-                             round(v, 2), n)
-                        )
-                n += 1
-                s += v
-                s2 += v * v
-        state.update((n, s, s2))
-        if flagged:
-            yield pd.DataFrame(
-                flagged,
-                columns=["event_id", "user_id", "event_type", "value", "n_prev"],
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            if not len(v):
+                continue
+            # prefix stats STRICTLY BEFORE each row, vectorized; cumsum
+            # accumulates left-to-right like the scalar loop would, so
+            # results are bit-identical to row-at-a-time processing
+            cs, css = np.cumsum(v), np.cumsum(v * v)
+            s_prev = s + cs - v
+            s2_prev = s2 + css - v * v
+            n_prev = n + np.arange(len(v), dtype=np.int64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean = s_prev / n_prev
+                var = (s2_prev - n_prev * mean * mean) / (n_prev - 1)
+                sd = np.sqrt(np.where(var > 0, var, 0.0))
+            hit = (
+                (n_prev >= min_history)
+                & (sd > 0)
+                & (np.abs(v - mean) > z_threshold * sd)
             )
+            if hit.any():
+                sel = pdf.iloc[np.nonzero(hit)[0]]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "event_id": sel["event_id"].astype("int64"),
+                            "user_id": sel["user_id"].astype("int64"),
+                            "event_type": key[0],
+                            "value": np.round(v[hit], 2),
+                            "n_prev": n_prev[hit],
+                        }
+                    )
+                )
+            n += len(v)
+            s += float(cs[-1])
+            s2 += float(css[-1])
+        state.update((n, s, s2))
+        for out in outs:
+            yield out
 
     return stream.groupBy("event_type").applyInPandasWithState(
         update,
