@@ -124,3 +124,12 @@ def test_write_clustered_layout(spark, tables, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters: [" in plan and "event_type" in plan
+
+
+def test_orc_roundtrip(spark, tables, tmp_path):
+    out = str(tmp_path / "region_orc")
+    tables["region"].write.mode("overwrite").orc(out)
+    df = sources.read_table(spark, out, fmt="orc")
+    assert sorted(tuple(r) for r in df.collect()) == sorted(
+        tuple(r) for r in tables["region"].collect()
+    )

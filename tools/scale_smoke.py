@@ -1,0 +1,82 @@
+"""Scale smoke: run the heaviest operator families at N× the largest
+fixture to catch scaling cliffs (candidate blow-ups, state growth,
+driver collects) that sf0.1 cannot reveal.
+
+The fixture documents are replicated ``N`` times with doc_ids offset
+per replica — near-dup structure EXPLODES by construction (every doc
+gains N-1 exact copies), which is precisely the stress: candidate
+generation, verification, and clustering must scale with true
+duplicates, and the cluster count must come back exactly
+|distinct docs|.
+
+Usage: python tools/scale_smoke.py [N] [sf_dir]   (default 10× sf0.1)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark.io import load_tables
+    from training_etl_demo_2_spark.operators import dedup, text, validation
+    from training_etl_demo_2_spark.session import get_spark
+
+    n_rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    spark = get_spark(app_name="scale-smoke")
+    t = load_tables(spark, sf_dir)
+    docs = t["documents"]
+    n_docs = docs.count()
+
+    reps = spark.range(n_rep).select(F.col("id").alias("rep"))
+    big = (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * F.lit(10_000_000)).alias("doc_id"),
+            "text",
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    print(f"scaled corpus: {n_docs} docs x {n_rep} = {n_docs * n_rep}")
+
+    def tm(label, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        print(f"  {label}: {time.perf_counter() - t0:.1f}s -> {out}", flush=True)
+        return out
+
+    tm("token_stats (narrow scan)", lambda: big.transform(text.token_stats).count())
+    n_groups = tm(
+        "exact_dedup_groups", lambda: dedup.exact_dedup_groups(big).count()
+    )
+    # every distinct text appears >= n_rep times; group count must equal
+    # the ORIGINAL distinct count (replication adds no new content)
+    base_groups = dedup.exact_dedup_groups(docs).count()
+    assert n_groups == base_groups, (n_groups, base_groups)
+
+    n_clusters = tm(
+        "near_dup_clusters (LSH + CC)",
+        lambda: dedup.near_dup_clusters(big, threshold=0.8).count(),
+    )
+    # the pair graph covers at least all exact-duplicate replicas
+    assert n_clusters >= n_docs, (n_clusters, n_docs)
+
+    tm(
+        "profile_columns approx (HLL tier)",
+        lambda: validation.profile_columns(big, approx=True).count(),
+    )
+    print("scale smoke OK")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
