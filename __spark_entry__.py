@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from training_etl_demo_2_spark.io import load_tables
 from training_etl_demo_2_spark.operators import (
+    behavior,
     curation,
     dedup,
     merge,
@@ -230,6 +231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda t: dedup.fuzzy_name_pairs(t["part"], "p_name", max_dist=2)
         ),
         "stream_value_anomalies": fixture_queries.stream_value_anomalies,
+        "cohort_retention": _q(lambda t: behavior.cohort_retention(t["events"])),
+        "event_funnel": _q(lambda t: behavior.event_funnel(t["events"])),
         "scrub_pii": _q(lambda t: text.scrub_pii(t["documents"])),
         "q8_market_share": _q(relational_ext.q8_market_share),
         "q15_top_suppliers": _q(relational_ext.q15_top_suppliers),
@@ -809,6 +812,8 @@ def oracle_sql() -> dict[str, str]:
         "skewed_user_revenue": skew.SKEWED_USER_REVENUE_ORACLE,
         "fuzzy_part_pairs": dedup.fuzzy_name_pairs_sql("part", "p_name", 2),
         "histogram_quantiles": sketches.events_histogram_quantiles_sql(),
+        "cohort_retention": behavior.cohort_retention_sql(),
+        "event_funnel": behavior.event_funnel_sql(),
         # dataset curation (pack_sequences is rows-only: pack ids are
         # partition-plan-dependent; invariants tested in pytest)
         "dataset_split": curation.dataset_split_sql(),

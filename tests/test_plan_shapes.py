@@ -36,6 +36,8 @@ NESTED_LOOP_OK = {
     "q11_important_parts",
     # broadcasts the ONE-ROW corpus-size aggregate (N for the idf term)
     "tfidf_top_terms",
+    # broadcasts the |quantiles|-row q relation across cumulative bins
+    "histogram_quantiles",
 }
 
 

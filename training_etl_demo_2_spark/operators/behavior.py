@@ -1,0 +1,128 @@
+"""Behavioral event analytics: cohort retention and ordered funnels.
+
+The classic product-analytics pair over the events table — both pure
+relational plans (no UDF, no driver loop) with exact-integer outputs,
+so their DuckDB twins match bit-for-bit.
+
+Scale shapes:
+
+* ``cohort_retention`` — one shuffle on user_id to find each user's
+  cohort (first-activity day, a min-aggregate), one shuffle to join
+  activity back to cohorts, then a (cohort, offset)-keyed count of
+  distinct users. The distinct shuffles user ids once; output size is
+  |cohorts| × horizon, metadata scale.
+* ``event_funnel`` — per-user ordered stage timestamps via conditional
+  MIN aggregates in ONE groupBy pass: the first A, the first B after
+  first-A, and the first C after that cannot be expressed as three
+  independent mins, so the plan finds first-A in pass 1 and resolves
+  later stages with min(CASE) over a self-join-free second aggregate
+  per stage (each stage adds one join of per-user scalars — tiny
+  relations, broadcastable at any scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RETENTION_HORIZON_DAYS = 7
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def cohort_retention(
+    events: DataFrame, horizon_days: int = RETENTION_HORIZON_DAYS
+) -> DataFrame:
+    """(cohort_day, day_offset, n_users): how many of a cohort's users
+    were active again ``day_offset`` days after their first activity."""
+    day = F.date_trunc("day", F.col("ts"))
+    activity = events.select("user_id", day.alias("day")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+        .withColumn("day_offset", F.datediff("day", "cohort_day").cast("int"))
+        .filter(F.col("day_offset") <= horizon_days)
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+def cohort_retention_sql(horizon_days: int = RETENTION_HORIZON_DAYS) -> str:
+    return f"""
+    WITH activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), cohorts AS (
+        SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(datediff('day', cohort_day, day) AS INT) AS day_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM activity JOIN cohorts USING (user_id)
+    WHERE datediff('day', cohort_day, day) <= {horizon_days}
+    GROUP BY 1, 2
+    """
+
+
+def event_funnel(
+    events: DataFrame, stages: tuple = FUNNEL_STAGES
+) -> DataFrame:
+    """Ordered-funnel counts: n_users reaching each stage IN ORDER
+    (stage k counts users whose first stage-k event follows their
+    first-in-order stage-(k-1) event).
+
+    Output: (stage_idx, stage, n_users). Per-user stage timestamps are
+    tiny scalar relations joined stage by stage — each join is
+    user-keyed and the relations only shrink."""
+    base = events.select("user_id", "event_type", "ts")
+    reached = None  # (user_id, t_k): first in-order time of stage k
+    out_rows = []
+    for i, stage in enumerate(stages):
+        ev = base.filter(F.col("event_type") == stage)
+        if reached is None:
+            reached = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            reached = (
+                ev.join(reached.select("user_id", F.col("t").alias("t_prev")),
+                        "user_id")
+                .filter(F.col("ts") > F.col("t_prev"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        out_rows.append(
+            reached.agg(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+            )
+        )
+    res = out_rows[0]
+    for o in out_rows[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def event_funnel_sql(stages: tuple = FUNNEL_STAGES) -> str:
+    ctes = []
+    prev = None
+    for i, stage in enumerate(stages):
+        name = f"s{i}"
+        if prev is None:
+            ctes.append(
+                f"{name} AS (SELECT user_id, min(ts) AS t FROM events "
+                f"WHERE event_type = '{stage}' GROUP BY user_id)"
+            )
+        else:
+            ctes.append(
+                f"{name} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+                f"JOIN {prev} p ON e.user_id = p.user_id AND e.ts > p.t "
+                f"WHERE e.event_type = '{stage}' GROUP BY e.user_id)"
+            )
+        prev = name
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS stage_idx, '{stage}' AS stage, "
+        f"count(*) AS n_users FROM s{i}"
+        for i, stage in enumerate(stages)
+    )
+    return "WITH " + ", ".join(ctes) + " " + selects

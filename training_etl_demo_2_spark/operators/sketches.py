@@ -125,21 +125,23 @@ def histogram_quantiles(
         F.sum("n").over(w).alias("cum"),
         F.sum("n").over(tot).alias("total"),
     )
-    out = None
-    for q in qs:
-        need = F.ceil(F.lit(q) * F.col("total")).cast("long")
-        first = (
-            cum.filter(F.col("cum") >= need)
-            .groupBy("event_type")
-            .agg(F.min("bin").alias("bin"))
-            .select(
-                "event_type",
-                F.lit(q).alias("q"),
-                F.round(F.col("bin") * bin_width, 2).alias("q_est"),
-            )
+    # ONE pass for all quantiles: broadcast the tiny q relation across
+    # the cumulative bins and take min(bin) per (type, q) — a per-q
+    # union would recompute the merge+window once per quantile.
+    qdf = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("total")).cast("long"))
+        .groupBy("event_type", "q")
+        .agg(F.min("bin").alias("bin"))
+        .select(
+            "event_type",
+            "q",
+            F.round(F.col("bin") * bin_width, 2).alias("q_est"),
         )
-        out = first if out is None else out.unionAll(first)
-    return out
+    )
 
 
 def events_histogram_quantiles(t: dict[str, DataFrame]) -> DataFrame:
