@@ -63,3 +63,32 @@ def test_multimodal_empty(empty_docs):
     assert multimodal.resize_images(media).count() == 0
     assert multimodal.sample_frames(media).count() == 0
     assert multimodal.audio_features(media).count() == 0
+
+
+def test_validation_and_behavior_empty(spark):
+    from training_etl_demo_2_spark.operators import behavior, merge, validation
+
+    empty_events = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    assert validation.value_anomalies(empty_events).count() == 0
+    assert behavior.cohort_retention(empty_events).count() == 0
+    funnel = {r.stage: r.n_users for r in behavior.event_funnel(empty_events).collect()}
+    assert funnel == {"view": 0, "click": 0, "purchase": 0}
+
+    empty_kv = spark.createDataFrame([], "k long, v double")
+    assert merge.merge_upsert(empty_kv, empty_kv, "k").count() == 0
+    prof = validation.profile_columns(empty_kv).collect()
+    assert {r.col_name: r.n_rows for r in prof} == {"k": 0, "v": 0}
+
+
+def test_fuzzy_and_histogram_empty(spark):
+    from training_etl_demo_2_spark.operators import dedup, sketches
+
+    empty_named = spark.createDataFrame([], "id long, name string")
+    assert dedup.fuzzy_name_pairs(empty_named, "name").count() == 0
+
+    empty_hist = spark.createDataFrame([], "day string, event_type string, bin long, n long")
+    assert sketches.histogram_quantiles(empty_hist).count() == 0
