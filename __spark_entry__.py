@@ -233,6 +233,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_value_anomalies": fixture_queries.stream_value_anomalies,
         "cohort_retention": _q(lambda t: behavior.cohort_retention(t["events"])),
         "event_funnel": _q(lambda t: behavior.event_funnel(t["events"])),
+        # rows-only: byte-level perceptual hash has no tractable SQL twin
+        "media_near_dups": _q(
+            lambda t: multimodal.media_near_dups(
+                multimodal.attach_fake_payload(t["documents"])
+            )
+        ),
         "scrub_pii": _q(lambda t: text.scrub_pii(t["documents"])),
         "q8_market_share": _q(relational_ext.q8_market_share),
         "q15_top_suppliers": _q(relational_ext.q15_top_suppliers),

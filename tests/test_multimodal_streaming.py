@@ -121,3 +121,41 @@ def test_audio_features_deterministic(tables):
     for r in a.values():
         assert r[1] > 0  # n_samples
         assert r[3] >= 0  # std
+
+
+def test_perceptual_hash_duplicates_collide(spark):
+    from training_etl_demo_2_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again"),  # dup
+            (3, "completely different payload bytes with other content"),
+        ],
+        "doc_id long, text string",
+    )
+    media = multimodal.attach_fake_payload(docs)
+    hashes = {r.doc_id: r.phash for r in multimodal.perceptual_hashes(media).collect()}
+    assert hashes[1] == hashes[2]
+    assert hashes[1] != hashes[3]
+    pairs = [
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in multimodal.media_near_dups(media).collect()
+    ]
+    assert pairs == [(1, 2, 0)]
+
+
+def test_perceptual_hash_small_perturbation_stays_close(spark):
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark.operators import multimodal
+
+    base = "word " * 60
+    docs = spark.createDataFrame(
+        [(1, base + "alpha beta gamma"), (2, base + "alpha beta gamm")],
+        "doc_id long, text string",
+    )
+    media = multimodal.attach_fake_payload(docs)
+    h = {r.doc_id: r.phash for r in multimodal.perceptual_hashes(media).collect()}
+    hamming = bin(h[1] ^ h[2]).count("1")
+    assert hamming <= 6  # one-character edit moves few bits

@@ -291,28 +291,36 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     return per_doc.select("doc_id", simhash.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+def hamming_band_pairs(
+    fp: DataFrame,
+    id_col: str,
+    hash_col: str,
+    n_bands: int = SIMHASH_BANDS,
+    band_bits: int = SIMHASH_BAND_BITS,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """All pairs with SimHash hamming distance ≤ max_hamming, found via
-    4 × 8-bit band buckets. For max_hamming ≤ 3 this is EXACT (pigeonhole:
-    ≤3 differing bits cannot hit all 4 bands), yet joins only bucket
-    collisions instead of n² pairs."""
-    fp = simhash_fingerprints(df, text_col)
+    """Generic banded hamming join: all id pairs whose ``hash_col``
+    fingerprints differ in ≤ ``max_hamming`` bits, via ``n_bands`` ×
+    ``band_bits`` bucket joins. EXACT whenever max_hamming < n_bands
+    (pigeonhole: that few flipped bits cannot touch every band), while
+    joining only bucket collisions instead of n² pairs. Shared by text
+    SimHash and media perceptual hashing."""
     band_cols = [
-        F.shiftright("simhash", b * SIMHASH_BAND_BITS)
-        .bitwiseAND(F.lit(2**SIMHASH_BAND_BITS - 1))
+        F.shiftright(hash_col, b * band_bits)
+        .bitwiseAND(F.lit(2**band_bits - 1))
         .alias(f"bk{b}")
-        for b in range(SIMHASH_BANDS)
+        for b in range(n_bands)
     ]
     bands = fp.select(
-        "doc_id", "simhash", F.posexplode(F.array(*band_cols)).alias("band", "bk")
+        F.col(id_col).alias("id"),
+        F.col(hash_col).alias("fpv"),
+        F.posexplode(F.array(*band_cols)).alias("band", "bk"),
     )
     left = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "band", "bk"
+        F.col("id").alias("doc_a"), F.col("fpv").alias("fp_a"), "band", "bk"
     )
     right = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "band", "bk"
+        F.col("id").alias("doc_b"), F.col("fpv").alias("fp_b"), "band", "bk"
     )
     return (
         left.join(right, ["band", "bk"])
@@ -326,6 +334,19 @@ def simhash_near_pairs(
         # dedup shuffle then carries only matching pairs, not every
         # band-bucket collision
         .distinct()
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """All pairs with SimHash hamming distance ≤ max_hamming, found via
+    4 × 8-bit band buckets. For max_hamming ≤ 3 this is EXACT (pigeonhole:
+    ≤3 differing bits cannot hit all 4 bands), yet joins only bucket
+    collisions instead of n² pairs."""
+    fp = simhash_fingerprints(df, text_col)
+    return hamming_band_pairs(
+        fp, "doc_id", "simhash", SIMHASH_BANDS, SIMHASH_BAND_BITS, max_hamming
     )
 
 

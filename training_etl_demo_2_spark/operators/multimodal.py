@@ -180,6 +180,66 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, AUDIO_SCHEMA)
 
 
+PHASH_BITS = 32
+_PHASH_NGRAM = 4
+_PHASH_BASE = np.int64(257)
+_PHASH_MOD = np.int64(1_000_000_007)
+
+
+def perceptual_hashes(media: DataFrame) -> DataFrame:
+    """(doc_id, phash): 32-bit SimHash over byte 4-grams of the payload
+    — a codec-free perceptual fingerprint (real perceptual hashing
+    would decode + DCT first; the byte-shingle form is the honest
+    stand-in with identical plumbing and the SAME downstream banding).
+
+    Vectorized per blob: sliding byte windows → polynomial hashes →
+    unique+counts as weights → signed bit sums. Narrow 1→1 transform;
+    blobs never shuffle — only the 8-byte hash does."""
+    out_schema = "doc_id long, phash long"
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        bit_idx = np.arange(PHASH_BITS, dtype=np.int64)
+
+        def one(blob: bytes) -> int:
+            arr = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
+            if arr.size < _PHASH_NGRAM:
+                arr = np.pad(arr, (0, _PHASH_NGRAM - arr.size))
+            win = np.lib.stride_tricks.sliding_window_view(arr, _PHASH_NGRAM)
+            h = np.zeros(len(win), dtype=np.int64)
+            for j in range(_PHASH_NGRAM):
+                h = (h * _PHASH_BASE + win[:, j]) % _PHASH_MOD
+            uniq, w = np.unique(h, return_counts=True)
+            bits = (uniq[:, None] >> bit_idx[None, :]) & 1
+            sums = np.where(bits == 1, w[:, None], -w[:, None]).sum(axis=0)
+            return int(((sums > 0).astype(np.int64) << bit_idx).sum())
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [one(b) for b in pdf["payload"]],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(run, out_schema)
+
+
+def media_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate media pairs by perceptual-hash banding — the
+    multimodal twin of text SimHash dedup, sharing the exact banded
+    hamming join (pigeonhole-exact for max_hamming ≤ 3). Payload bytes
+    stay map-side; only (doc_id, 8-byte hash) enters the join."""
+    from .dedup import hamming_band_pairs
+
+    return hamming_band_pairs(
+        perceptual_hashes(media), "doc_id", "phash", max_hamming=max_hamming
+    )
+
+
 DecodeFn = Callable[[bytes], np.ndarray]
 
 
