@@ -246,9 +246,14 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
+    # Persist the (tiny) verified pair relation: it has two consumers in
+    # a typical session — the pairs query itself and the clustering pass
+    # built on it — and plan-identical calls cache-hit, so clustering
+    # never re-runs banding + verification.
     return (
         _pair_jaccard(sh, pairs=candidates)
         .filter(F.col("jaccard") >= threshold)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
