@@ -182,3 +182,16 @@ def test_anomaly_hook_job_scoping(spark):
     ).run(spark)
     assert len(notes) == 1 and "watched" in notes[0]
     assert [r.anomaly for r in runs] == [False, True]
+
+
+def test_prune_runs_keeps_newest(spark, tables, tmp_path):
+    from training_etl_demo_2_spark.io import latest_run, prune_runs, write_run
+
+    root = str(tmp_path / "runs")
+    for i in range(5):
+        write_run(tables["region"], root, run_id=f"2024010{i}_000000")
+    removed = prune_runs(root, keep_n=2)
+    assert removed == ["20240100_000000", "20240101_000000", "20240102_000000"]  # ascending
+    assert latest_run(root).run_id == "20240104_000000"
+    # idempotent
+    assert prune_runs(root, keep_n=2) == []

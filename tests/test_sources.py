@@ -133,3 +133,41 @@ def test_orc_roundtrip(spark, tables, tmp_path):
     assert sorted(tuple(r) for r in df.collect()) == sorted(
         tuple(r) for r in tables["region"].collect()
     )
+
+
+def test_zorder_key_interleaves_and_localizes(spark, tables, tmp_path):
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark.io import write_clustered, zorder_key
+
+    # bit-level unit check: (a=0b11, b=0b00) -> 0b0101; (a=0, b=0b11) -> 0b1010
+    row = spark.range(1).select(
+        zorder_key(F.lit(3), F.lit(0), bits=4).alias("z1"),
+        zorder_key(F.lit(0), F.lit(3), bits=4).alias("z2"),
+        zorder_key(F.lit(3), F.lit(3), bits=4).alias("z3"),
+    ).collect()[0]
+    assert (row.z1, row.z2, row.z3) == (0b0101, 0b1010, 0b1111)
+
+    # layout check: z-ordered files bound BOTH dimensions' per-file spans
+    # (a 1-D sort on t would leave u spans at the full global range)
+    ev = tables["events"].select(
+        "event_id",
+        (F.col("user_id") % 16).alias("u"),
+        (F.unix_timestamp("ts") % 16).alias("t"),
+    ).withColumn("z", zorder_key("u", "t", bits=4))
+    out = str(tmp_path / "zordered")
+    write_clustered(ev, out, partition_by=[], cluster_by=["z"],
+                    max_records_per_file=200)
+    files = sorted(Path(out).glob("*.parquet"))
+    assert len(files) >= 4
+    for dim in ("u", "t"):
+        global_span = (
+            ev.agg(F.max(dim) - F.min(dim)).collect()[0][0]
+        )
+        spans = []
+        for f in files:
+            pdf = spark.read.parquet(str(f)).toPandas()
+            spans.append(pdf[dim].max() - pdf[dim].min())
+        assert sum(spans) / len(spans) < 0.8 * global_span, (dim, spans)

@@ -122,6 +122,58 @@ def write_clustered(
     )
 
 
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Interleave the low ``bits`` of two non-negative integer columns
+    into a Z-order (Morton) key — the 2-D clustering key for
+    ``write_clustered(cluster_by=[...])`` when range queries hit EITHER
+    dimension.
+
+    Sorting by the interleaved key gives each output file a bounded
+    min/max band on BOTH inputs (locality degrades gracefully instead
+    of perfectly on one dim and not at all on the other). Pure bit
+    arithmetic — whole-stage codegen, no UDF. Inputs must be
+    pre-bucketed to non-negative ints (e.g. seconds, id buckets);
+    callers clamp/scale upstream."""
+    from pyspark.sql import functions as F
+
+    a = F.col(col_a) if isinstance(col_a, str) else col_a
+    b = F.col(col_b) if isinstance(col_b, str) else col_b
+    a = a.cast("long")
+    b = b.cast("long")
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        key = (
+            key
+            + F.shiftleft(bit_a, 2 * i)
+            + F.shiftleft(bit_b, 2 * i + 1)
+        )
+    return key
+
+
+def prune_runs(root: str, keep_n: int = 3) -> list[str]:
+    """Retention for the run-directory convention: delete all but the
+    newest ``keep_n`` runs (the VACUUM of this lake layout). Returns
+    the removed run ids. Driver-side metadata operation — one listing,
+    no Spark job."""
+    import shutil
+
+    rootp = Path(root)
+    if not rootp.is_dir():
+        return []
+    runs = sorted(
+        (d for d in rootp.iterdir() if (d / "metadata.json").is_file()),
+        key=lambda d: d.name,
+        reverse=True,
+    )
+    removed = []
+    for d in runs[keep_n:]:
+        shutil.rmtree(d)
+        removed.append(d.name)
+    return sorted(removed)
+
+
 def compact_run(
     spark: SparkSession,
     root: str,
