@@ -51,7 +51,8 @@ def test_simhash_identical_docs_same_fp(spark):
     )
     fp = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(df).collect()}
     assert fp[1] == fp[2] != fp[3]
-    assert all(0 <= v < 2**32 for v in fp.values())
+    # signed 64-bit fingerprints (bit 63 carries the two's-complement sign)
+    assert all(-(2**63) <= v < 2**63 for v in fp.values())
 
 
 def test_simhash_banding_is_exact_for_hamming_3(spark, tables):
@@ -62,13 +63,25 @@ def test_simhash_banding_is_exact_for_hamming_3(spark, tables):
     ids = sorted(fps)
     for i, a in enumerate(ids):
         for b in ids[i + 1 :]:
-            if bin(fps[a] ^ fps[b]).count("1") <= 3:
+            # mask to the 64-bit pattern: fingerprints are signed
+            if bin((fps[a] ^ fps[b]) & (2**64 - 1)).count("1") <= 3:
                 brute.add((a, b))
     banded = {
         (p.doc_a, p.doc_b)
         for p in dedup.simhash_near_pairs(docs, max_hamming=3).collect()
     }
     assert banded == brute
+
+
+def test_simhash_pair_density_stays_near_dup_sized(tables):
+    """Round-2 regression guard: a degenerate fingerprint (too-narrow
+    bands / biased bits) makes the 'near-dup' pair set quadratic. With
+    64-bit hashes + 16-bit bands, hamming<=3 pairs must stay a small
+    multiple of the corpus size, never a fraction of n^2."""
+    docs = tables["documents"]
+    n = docs.count()
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3).count()
+    assert pairs <= 2 * n, f"{pairs} pairs from {n} docs: fingerprint degenerated"
 
 
 def test_connected_components_shapes(spark):

@@ -157,5 +157,15 @@ def test_perceptual_hash_small_perturbation_stays_close(spark):
     )
     media = multimodal.attach_fake_payload(docs)
     h = {r.doc_id: r.phash for r in multimodal.perceptual_hashes(media).collect()}
-    hamming = bin(h[1] ^ h[2]).count("1")
-    assert hamming <= 6  # one-character edit moves few bits
+    hamming = bin((h[1] ^ h[2]) & (2**64 - 1)).count("1")
+    assert hamming <= 12  # one-character edit moves few of the 64 bits
+
+
+def test_media_near_dups_density_bounded(tables):
+    """Round-2 regression guard: at sf0.001 the banded phash join must
+    return a near-dup-sized pair set (the 32-bit/8-bit-band version
+    returned ~28% of ALL pairs — quadratic noise)."""
+    media = multimodal.attach_fake_payload(tables["documents"])
+    n = media.count()
+    pairs = multimodal.media_near_dups(media).count()
+    assert pairs <= 2 * n, f"{pairs} pairs from {n} docs: phash degenerated"

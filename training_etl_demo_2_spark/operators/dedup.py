@@ -19,9 +19,16 @@ Scale design (100 TB):
   classic banding scheme (Broder 1997; Leskovec/Rajaraman/Ullman ch.3).
   NUM_PERM=32, 8 bands × 4 rows → P(candidate | j=0.9) ≈ 0.9998,
   P(candidate | j=0.07) ≈ 2e-7 on the fixture's background pairs.
-* SimHash 32-bit + 4 bands × 8 bits: by pigeonhole, hamming ≤ 3 ⇒ at
+* SimHash 64-bit + 4 bands × 16 bits: by pigeonhole, hamming ≤ 3 ⇒ at
   least one band identical, so the banded join finds EVERY pair with
   hamming ≤ 3 (it is exact, not approximate, for that predicate).
+  Band width is the discrimination knob: 16-bit bands give 65,536
+  buckets per band, so random-pair collisions per band are ~n²/2/65,536
+  instead of n²/2/256 — the difference between a near-dup set and a
+  quadratic pair blow-up (round-2 lesson). Each fingerprint bit comes
+  from an independent universal hash of the token hash
+  (((a_b·h + b_b) mod P) mod 2), so all 64 bits are unbiased even
+  though the token hash itself only carries ~30 bits (mod P).
 * Exact dedup is a single groupBy on the normalized-text hash; at
   100 TB group on the 8-byte fingerprint, not the document body.
 """
@@ -42,9 +49,16 @@ ROWS_PER_BAND = NUM_PERM // BANDS
 # Deterministic hash-family coefficients: a_i odd-ish, b_i offset.
 MINHASH_A = [((i + 1) * 2_654_435_761) % P for i in range(NUM_PERM)]
 MINHASH_B = [((i + 1) * 40_503 + 12_345) % P for i in range(NUM_PERM)]
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+# Per-bit universal-hash coefficients: bit b of a token's SimHash
+# contribution is ((SIMHASH_A[b]*h + SIMHASH_B[b]) % P) % 2. The token
+# hash h < P carries only ~30 bits, so bits must be DERIVED hashes, not
+# raw bit positions (positions ≥ 30 would be constant-zero). Products
+# stay < P² < 2^63, exact in BIGINT on both engines.
+SIMHASH_A = [((i + 1) * 2_654_435_761) % P for i in range(SIMHASH_BITS)]
+SIMHASH_B = [((i + 1) * 97_673 + 11) % P for i in range(SIMHASH_BITS)]
 DEFAULT_NGRAM = 3
 
 
@@ -263,14 +277,20 @@ def minhash_lsh_pairs(
 
 
 def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """32-bit SimHash over word tokens (Charikar 2002): per bit, sum
+    """64-bit SimHash over word tokens (Charikar 2002): per bit, sum
     ±weight over token hashes; bit = 1 iff the sum is positive.
 
     Physical shape: tokens → (doc, token-hash, weight) → ONE groupBy
-    with 32 conditional-sum aggregates (bit b of h via shiftright).
-    Columnar bit-sums replace the naive explode-32-rows-per-token plan:
-    32× less shuffled data and one aggregation instead of two, all
-    inside whole-stage codegen.
+    with 64 conditional-sum aggregates. Bit b is an independent
+    universal hash of the token hash (((a_b·h + b_b) % P) % 2), so all
+    64 fingerprint bits are unbiased. Columnar bit-sums replace the
+    naive explode-64-rows-per-token plan: 64× less shuffled data and
+    one aggregation instead of two, all inside whole-stage codegen.
+
+    The fingerprint is a signed BIGINT: bit 63 contributes -2^63 (the
+    two's-complement weight), so engine and oracle agree exactly with
+    no unsigned arithmetic anywhere. Distinct powers of two never
+    overflow the accumulator.
     """
     tokens = (
         df.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
@@ -280,16 +300,19 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     bit_sums = [
         F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(
-                -F.col("w")
-            )
+            F.when(
+                ((F.lit(SIMHASH_A[b]) * F.col("h") + F.lit(SIMHASH_B[b])) % P) % 2
+                == 1,
+                F.col("w"),
+            ).otherwise(-F.col("w"))
         ).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
     per_doc = tokens.groupBy("doc_id").agg(*bit_sums)
     simhash = None
     for b in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(2**b).cast("long")).otherwise(
+        weight = -(2**63) if b == SIMHASH_BITS - 1 else 2**b
+        term = F.when(F.col(f"s{b}") > 0, F.lit(weight).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
         simhash = term if simhash is None else simhash + term
@@ -309,7 +332,11 @@ def hamming_band_pairs(
     ``band_bits`` bucket joins. EXACT whenever max_hamming < n_bands
     (pigeonhole: that few flipped bits cannot touch every band), while
     joining only bucket collisions instead of n² pairs. Shared by text
-    SimHash and media perceptual hashing."""
+    SimHash and media perceptual hashing.
+
+    Signed fingerprints are fine: arithmetic shiftright + mask extracts
+    band b's bits identically to a logical shift (the mask discards any
+    sign-extension), matching the oracle's ``(h >> s) & mask``."""
     band_cols = [
         F.shiftright(hash_col, b * band_bits)
         .bitwiseAND(F.lit(2**band_bits - 1))
@@ -346,9 +373,10 @@ def simhash_near_pairs(
     df: DataFrame, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
     """All pairs with SimHash hamming distance ≤ max_hamming, found via
-    4 × 8-bit band buckets. For max_hamming ≤ 3 this is EXACT (pigeonhole:
+    4 × 16-bit band buckets. For max_hamming ≤ 3 this is EXACT (pigeonhole:
     ≤3 differing bits cannot hit all 4 bands), yet joins only bucket
-    collisions instead of n² pairs."""
+    collisions instead of n² pairs — 65,536 buckets per band keeps the
+    candidate set near-dup-sized, not quadratic."""
     fp = simhash_fingerprints(df, text_col)
     return hamming_band_pairs(
         fp, "doc_id", "simhash", SIMHASH_BANDS, SIMHASH_BAND_BITS, max_hamming

@@ -180,27 +180,39 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, AUDIO_SCHEMA)
 
 
-PHASH_BITS = 32
+PHASH_BITS = 64
 _PHASH_NGRAM = 4
 _PHASH_BASE = np.int64(257)
 _PHASH_MOD = np.int64(1_000_000_007)
 
 
 def perceptual_hashes(media: DataFrame) -> DataFrame:
-    """(doc_id, phash): 32-bit SimHash over byte 4-grams of the payload
+    """(doc_id, phash): 64-bit SimHash over byte 4-grams of the payload
     — a codec-free perceptual fingerprint (real perceptual hashing
     would decode + DCT first; the byte-shingle form is the honest
     stand-in with identical plumbing and the SAME downstream banding).
 
+    Each bit is an independent universal hash of the shingle hash
+    (((a_b·h + b_b) mod P) mod 2, same family as text SimHash) — the
+    shingle hash itself carries only ~30 bits mod P, so raw bit
+    positions above that would be constant and the fingerprint would
+    degenerate (the round-2 density failure: text-like payloads
+    clustered into a handful of 256-way band buckets). The value is a
+    signed int64 (bit 63 weighted -2^63, two's complement).
+
     Vectorized per blob: sliding byte windows → polynomial hashes →
     unique+counts as weights → signed bit sums. Narrow 1→1 transform;
     blobs never shuffle — only the 8-byte hash does."""
+    from .dedup import SIMHASH_A, SIMHASH_B
+
     out_schema = "doc_id long, phash long"
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        bit_idx = np.arange(PHASH_BITS, dtype=np.int64)
+        coef_a = np.array(SIMHASH_A, dtype=np.int64)
+        coef_b = np.array(SIMHASH_B, dtype=np.int64)
+        bit_idx = np.arange(PHASH_BITS, dtype=np.uint64)
 
         def one(blob: bytes) -> int:
             arr = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
@@ -211,9 +223,11 @@ def perceptual_hashes(media: DataFrame) -> DataFrame:
             for j in range(_PHASH_NGRAM):
                 h = (h * _PHASH_BASE + win[:, j]) % _PHASH_MOD
             uniq, w = np.unique(h, return_counts=True)
-            bits = (uniq[:, None] >> bit_idx[None, :]) & 1
+            # (a_b*h + b_b) < P^2 < 2^63: exact in int64
+            bits = ((uniq[:, None] * coef_a[None, :] + coef_b[None, :]) % _PHASH_MOD) % 2
             sums = np.where(bits == 1, w[:, None], -w[:, None]).sum(axis=0)
-            return int(((sums > 0).astype(np.int64) << bit_idx).sum())
+            val = ((sums > 0).astype(np.uint64) << bit_idx).sum(dtype=np.uint64)
+            return int(np.uint64(val).astype(np.int64))
 
         for pdf in batches:
             if pdf.empty:
@@ -231,8 +245,9 @@ def perceptual_hashes(media: DataFrame) -> DataFrame:
 def media_near_dups(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-duplicate media pairs by perceptual-hash banding — the
     multimodal twin of text SimHash dedup, sharing the exact banded
-    hamming join (pigeonhole-exact for max_hamming ≤ 3). Payload bytes
-    stay map-side; only (doc_id, 8-byte hash) enters the join."""
+    hamming join (4 × 16-bit bands, pigeonhole-exact for max_hamming
+    ≤ 3). Payload bytes stay map-side; only (doc_id, 8-byte hash)
+    enters the join."""
     from .dedup import hamming_band_pairs
 
     return hamming_band_pairs(

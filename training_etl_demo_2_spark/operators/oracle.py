@@ -16,6 +16,8 @@ from .dedup import (
     NUM_PERM,
     P,
     ROWS_PER_BAND,
+    SIMHASH_A,
+    SIMHASH_B,
     SIMHASH_BAND_BITS,
     SIMHASH_BANDS,
     SIMHASH_BITS,
@@ -145,6 +147,17 @@ def near_dup_clusters_sql(
 
 
 def _simhash_cte(table: str = "documents") -> str:
+    """Twin of dedup.simhash_fingerprints: 64-bit, per-bit universal
+    hashes, signed BIGINT (bit 63's weight is -2^63 — written as
+    ``-9223372036854775807 - 1`` because the bare literal would parse
+    as HUGEINT). Coefficients come from the shared SIMHASH_A/B lists,
+    so engine and oracle can never drift."""
+    coef_rows = ", ".join(
+        f"({b}, {SIMHASH_A[b]}, {SIMHASH_B[b]}, "
+        + ("-9223372036854775807 - 1" if b == SIMHASH_BITS - 1 else str(2**b))
+        + ")"
+        for b in range(SIMHASH_BITS)
+    )
     return f"""
     tok AS (
         SELECT doc_id, tok, count(*) AS w
@@ -152,17 +165,17 @@ def _simhash_cte(table: str = "documents") -> str:
         GROUP BY doc_id, tok
     ),
     tokh AS (SELECT doc_id, {ROLLING_HASH.format(s="tok")} AS h, w FROM tok),
+    coef AS (SELECT * FROM (VALUES {coef_rows}) c(bit, ca, cb, wt)),
     bits AS (
-        SELECT doc_id, bit,
-               sum(CASE WHEN (floor(h / power(2, bit))::BIGINT % 2) = 1
+        SELECT doc_id, bit, any_value(wt) AS wt,
+               sum(CASE WHEN ((ca * h + cb) % {P}) % 2 = 1
                         THEN w ELSE -w END) AS s
-        FROM tokh, range({SIMHASH_BITS}) r(bit)
+        FROM tokh, coef
         GROUP BY doc_id, bit
     ),
     fp AS (
         SELECT doc_id,
-               sum(CASE WHEN s > 0 THEN power(2, bit)::BIGINT ELSE 0 END)::BIGINT
-                   AS simhash
+               sum(CASE WHEN s > 0 THEN wt ELSE 0 END)::BIGINT AS simhash
         FROM bits GROUP BY doc_id
     )
     """
@@ -173,10 +186,12 @@ def simhash_sql() -> str:
 
 
 def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    # (h >> s) & mask: DuckDB's >> is arithmetic, but the mask discards
+    # sign-extension, so this extracts band bits exactly as the engine.
     band_rows = "\n        UNION ALL\n        ".join(
         f"SELECT doc_id, simhash, {b} AS band, "
-        f"floor(simhash / power(2, {b * SIMHASH_BAND_BITS}))::BIGINT "
-        f"% {2 ** SIMHASH_BAND_BITS} AS bk FROM fp"
+        f"(simhash >> {b * SIMHASH_BAND_BITS}) & {2 ** SIMHASH_BAND_BITS - 1} "
+        f"AS bk FROM fp"
         for b in range(SIMHASH_BANDS)
     )
     return f"""
