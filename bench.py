@@ -1,7 +1,13 @@
 """Benchmark harness: times every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output is truncation-proof (round-2 lesson: the per-query JSON line
+outgrew the driver's stdout tail window and the round lost its
+machine-readable total): stdout carries the COMPACT summary line LAST
+(totals + calibration, guaranteed to fit any tail window) after the
+full per-query line, and both lines are also written to BENCH.json in
+the repo root so the numbers survive regardless of how stdout is
+captured.
 
 Each query is timed end-to-end (plan build + execution to a count-style
 materialization). A warmup query first JIT-warms the session so timings
@@ -65,20 +71,27 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                # single-thread matmul seconds before/after the sweep:
-                # normalize cross-run comparisons on a noisy shared host
-                "calib_matmul_s": [calib_before, calib()],
-            }
-        )
-    )
+    compact = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "sf": sf_val,
+        # single-thread matmul seconds before/after the sweep:
+        # normalize cross-run comparisons on a noisy shared host
+        "calib_matmul_s": [calib_before, calib()],
+    }
+    full = {**compact, "queries": timings}
+    # Compact line FIRST and LAST, full per-query line in between: a
+    # stdout tail window that clips the (large) per-query line still
+    # ends with a complete, parseable summary line, and a head-biased
+    # parser finds one up front too.
+    print(json.dumps(compact))
+    print(json.dumps(full))
+    print(json.dumps(compact))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH.json"), "w") as f:
+        f.write(json.dumps(full) + "\n")
 
 
 if __name__ == "__main__":
