@@ -120,6 +120,38 @@ def test_near_pairs_strategies_agree(tables):
     assert all(exact[k] == v for k, v in lsh.items())
 
 
+def test_near_pairs_auto_dispatch(tables):
+    """auto = exact at fixture scale (oracle tier); above the row
+    ceiling it must run the LSH tier — i.e. the n²/B block replication
+    is never built for big corpora. Both asserted by result identity
+    with the explicitly-chosen strategy."""
+    emb = tables["embeddings"]
+    exact = {
+        (p.vec_a, p.vec_b): p.sim
+        for p in similarity.cosine_near_pairs(
+            emb, threshold=0.4, strategy="exact"
+        ).collect()
+    }
+    auto_small = {
+        (p.vec_a, p.vec_b): p.sim
+        for p in similarity.cosine_near_pairs(emb, threshold=0.4).collect()
+    }
+    assert auto_small == exact
+    lsh = {
+        (p.vec_a, p.vec_b): p.sim
+        for p in similarity.cosine_near_pairs(
+            emb, threshold=0.4, strategy="lsh"
+        ).collect()
+    }
+    auto_big = {
+        (p.vec_a, p.vec_b): p.sim
+        for p in similarity.cosine_near_pairs(
+            emb, threshold=0.4, auto_lsh_rows=10
+        ).collect()
+    }
+    assert auto_big == lsh
+
+
 def test_near_pairs_exact_multi_block(tables):
     """Force many blocks so the block-pair plan (not a single diagonal
     group) is what's exercised; result must be block-count invariant."""

@@ -367,21 +367,35 @@ def ivf_topk(
 
 
 NEAR_PAIRS_BLOCK_ROWS = 2048
+# auto-dispatch ceiling for the exact tier: above this corpus size the
+# O(n·B) row replication + O(n²) flops of block-nested-loop stop being
+# the right default and the LSH tier takes over. At 200k rows × 64
+# dims the exact tier is ~98 block-pair tasks and 2·10^10 flops —
+# around a minute of cluster time; past that, quadratic cost grows
+# faster than anyone's patience.
+NEAR_PAIRS_AUTO_LSH_ROWS = 200_000
 
 
 def cosine_near_pairs(
     emb: DataFrame,
     threshold: float = 0.45,
-    strategy: str = "exact",
+    strategy: str = "auto",
     block_rows: int = NEAR_PAIRS_BLOCK_ROWS,
+    auto_lsh_rows: int = NEAR_PAIRS_AUTO_LSH_ROWS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, sim ≥
     threshold).
 
     Strategies:
 
-    * ``"exact"`` (default) — distributed block-nested-loop: vectors
-      are hashed into B blocks, every block PAIR (i ≤ j) becomes an
+    * ``"auto"`` (default) — runtime-stat dispatch (the AQE idea one
+      level up, same as ``connected_components``): count the corpus
+      once; at or below ``auto_lsh_rows`` run the exact tier, above it
+      the LSH tier — so the registered fixture-scale query stays
+      oracle-exact while a 100 TB corpus never builds the n²/B
+      replication.
+    * ``"exact"`` — distributed block-nested-loop: vectors are hashed
+      into B blocks, every block PAIR (i ≤ j) becomes an
       ``applyInPandas`` group, and each group scores its two blocks
       with one numpy matmul. Nothing is collected to the driver and
       nothing corpus-sized is broadcast; each row is replicated B×
@@ -395,7 +409,8 @@ def cosine_near_pairs(
     * ``"lsh"`` — approximate at extreme scale: candidates from
       ``lsh_buckets`` co-occurrence (bucket join), exact cosine
       re-score. Recall < 1 (tunable via LSH_NBITS/LSH_TABLES), so it
-      is NOT oracle-exact; use when even n·B replication is too much.
+      is NOT oracle-exact; the auto path accepts that trade only past
+      ``auto_lsh_rows``, where exactness would mean quadratic work.
     """
     out_schema = "vec_a long, vec_b long, sim double"
     spark = emb.sparkSession
@@ -405,10 +420,12 @@ def cosine_near_pairs(
         return _near_pairs_broadcast(v, threshold, out_schema)
     if strategy == "lsh":
         return _near_pairs_lsh(v, threshold)
-    if strategy != "exact":
+    if strategy not in ("auto", "exact"):
         raise ValueError(f"unknown strategy: {strategy!r}")
 
     n = v.count()
+    if strategy == "auto" and n > auto_lsh_rows:
+        return _near_pairs_lsh(v, threshold)
     if n == 0:
         return spark.createDataFrame([], out_schema)
     nb = max(1, -(-n // block_rows))  # ceil div
