@@ -102,7 +102,43 @@ def test_pk_duplicates_composite_key(spark):
     assert out["lineitem"].n_rows == 4
     assert out["lineitem"].n_distinct_keys == 3
     assert out["lineitem"].n_dups == 1
+    assert out["lineitem"].n_null_keys == 0
     assert out["orders"].n_dups == 0
+
+
+def test_pk_duplicates_null_keys_match_oracle(spark):
+    """NULL-keyed rows: GROUP BY semantics on both engines — 3 NULL
+    rows form one group (2 dups), all surfaced in n_null_keys. This is
+    exactly the case where the old count_distinct formulation diverged
+    from the SQL twin."""
+    import duckdb
+
+    rows = [(None,), (None,), (None,), (5,), (5,), (7,)]
+    t = {
+        name: spark.createDataFrame([(1,)], f"{ks[0]} long")
+        for name, ks in validation.PK_KEYS
+        if len(ks) == 1
+    }
+    t["lineitem"] = spark.createDataFrame(
+        [(1, 1)], "l_orderkey long, l_linenumber int"
+    )
+    t["orders"] = spark.createDataFrame(rows, "o_orderkey long")
+    out = {r.table_name: r for r in validation.pk_duplicates(t).collect()}
+    assert out["orders"].n_rows == 6
+    assert out["orders"].n_distinct_keys == 3  # {NULL}, {5}, {7}
+    assert out["orders"].n_dups == 3  # 2 extra NULLs + 1 extra 5
+    assert out["orders"].n_null_keys == 3
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders (o_orderkey BIGINT)")
+    con.executemany("INSERT INTO orders VALUES (?)", rows)
+    sql = next(
+        part
+        for part in validation.pk_duplicates_sql().split(" UNION ALL ")
+        if "'orders'" in part
+    )
+    oracle = con.sql(sql).fetchone()
+    assert oracle == ("orders", 6, 3, 3, 3)
 
 
 def test_value_anomalies_flags_outlier_only(spark):

@@ -322,17 +322,44 @@ PK_KEYS = (
 
 def pk_duplicates(t: dict[str, DataFrame]) -> DataFrame:
     """Uniqueness check per declared key: (table_name, n_rows,
-    n_distinct_keys, n_dups). n_dups = rows beyond one per key."""
+    n_distinct_keys, n_dups, n_null_keys).
+
+    NULL-safe by construction: everything derives from ONE
+    groupBy(keys) per table, and GROUP BY places NULL keys in their own
+    group with identical semantics in Spark and ANSI SQL — unlike
+    count_distinct, which silently drops rows with any NULL key and
+    made engine and oracle disagree exactly when the data was bad.
+    n_dups counts rows beyond one per key group (NULL-keyed rows
+    included); n_null_keys surfaces rows with any NULL key column so a
+    PK violated by NULLs is visible on its own axis.
+
+    One scan + one partial-agg shuffle per table; grand totals are
+    group-count-sized aggregates."""
     outs = []
     for table, keys in PK_KEYS:
-        n = F.count(F.lit(1)).cast("long")
-        nd = F.count_distinct(*[F.col(k) for k in keys]).cast("long")
+        null_pred = F.lit(False)
+        for k in keys:
+            null_pred = null_pred | F.col(k).isNull()
+        per_key = (
+            t[table]
+            .groupBy(*[F.col(k) for k in keys])
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select("c", null_pred.alias("has_null"))
+        )
         outs.append(
-            t[table].agg(
+            per_key.agg(
                 F.lit(table).alias("table_name"),
-                n.alias("n_rows"),
-                nd.alias("n_distinct_keys"),
-                (n - nd).cast("long").alias("n_dups"),
+                F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_rows"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct_keys"),
+                F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+                .cast("long")
+                .alias("n_dups"),
+                F.coalesce(
+                    F.sum(F.when(F.col("has_null"), F.col("c")).otherwise(0)),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_null_keys"),
             )
         )
     res = outs[0]
@@ -342,16 +369,20 @@ def pk_duplicates(t: dict[str, DataFrame]) -> DataFrame:
 
 
 def pk_duplicates_sql() -> str:
+    """Twin of pk_duplicates — the same single GROUP BY formulation, so
+    NULL-key groups count identically on both engines."""
     parts = []
     for table, keys in PK_KEYS:
         key_list = ", ".join(keys)
+        null_pred = " OR ".join(f"{k} IS NULL" for k in keys)
         parts.append(
             f"SELECT '{table}' AS table_name, "
-            f"(SELECT count(*) FROM {table}) AS n_rows, "
-            f"(SELECT count(*) FROM (SELECT DISTINCT {key_list} FROM {table})) "
-            f"AS n_distinct_keys, "
-            f"(SELECT count(*) FROM {table}) - "
-            f"(SELECT count(*) FROM (SELECT DISTINCT {key_list} FROM {table})) "
-            f"AS n_dups"
+            f"COALESCE(sum(c), 0)::BIGINT AS n_rows, "
+            f"count(*)::BIGINT AS n_distinct_keys, "
+            f"COALESCE(sum(c - 1), 0)::BIGINT AS n_dups, "
+            f"COALESCE(sum(CASE WHEN has_null THEN c ELSE 0 END), 0)::BIGINT "
+            f"AS n_null_keys "
+            f"FROM (SELECT count(*) AS c, ({null_pred}) AS has_null "
+            f"FROM {table} GROUP BY {key_list}) g"
         )
     return " UNION ALL ".join(parts)
