@@ -49,8 +49,28 @@ def test_no_hot_keys_degenerates_to_plain_join(spark, fact_dim):
 
 def test_detect_hot_keys_finds_the_heavy_hitter(spark, fact_dim):
     fact, _ = fact_dim
-    hot = skew.detect_hot_keys(fact, "k", sample_rows=503, hot_fraction=0.25)
+    hot = skew.detect_hot_keys(fact, "k", hot_fraction=0.25)
     assert hot == [1]
+
+
+def test_detect_hot_keys_immune_to_storage_order(spark):
+    """Hot keys clustered at the END of input order (time-ordered
+    ingest with a newly-hot key) must still be detected — the failure
+    mode of prefix-limit sampling."""
+    rows = [(i, 0.0) for i in range(400)] + [(777, 1.0)] * 600
+    fact = spark.createDataFrame(rows, "k long, v double").coalesce(1)
+    hot = skew.detect_hot_keys(fact, "k", hot_fraction=0.25)
+    assert hot == [777]
+
+
+def test_detect_hot_keys_small_table_uses_actual_total(spark):
+    """Threshold must scale with the ACTUAL row count: on a 40-row
+    table a key with 30 rows is hot at fraction 0.5 even though any
+    fixed requested-sample bar (e.g. 3,125) dwarfs the table."""
+    fact = spark.createDataFrame(
+        [(8, 1.0)] * 30 + [(i, 0.0) for i in range(10)], "k long, v double"
+    )
+    assert skew.detect_hot_keys(fact, "k", hot_fraction=0.5) == [8]
 
 
 def test_auto_detection_path_is_equivalent(spark, fact_dim):
@@ -65,7 +85,7 @@ def test_hot_fact_rows_spread_over_salts(spark, fact_dim):
     fact, _ = fact_dim
     f = fact.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(4)),
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(4)),
     )
     n_salts = (
         f.filter(F.col("k") == 1).select("__salt").distinct().count()

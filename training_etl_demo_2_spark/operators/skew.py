@@ -29,33 +29,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 16
-# Hot-key detection: keys holding more than this fraction of a bounded
-# sample are salted. 1/buckets is the natural threshold — beyond it a
-# key overflows its "fair share" of one reducer.
+# Hot-key detection: keys holding more than this fraction of the
+# counted rows are salted. 1/buckets is the natural threshold — beyond
+# it a key overflows its "fair share" of one reducer.
 HOT_FRACTION = 1.0 / 32.0
-DETECT_SAMPLE = 100_000
 
 
 def detect_hot_keys(
     df: DataFrame,
     key: str,
-    sample_rows: int = DETECT_SAMPLE,
     hot_fraction: float = HOT_FRACTION,
+    sample_fraction: float | None = None,
 ) -> list:
-    """Keys that dominate a bounded deterministic sample of ``df``.
+    """Keys holding ≥ ``hot_fraction`` of ``df``'s rows.
 
-    The sample is the first ``sample_rows`` rows in storage order via
-    ``limit`` — one narrow job, no full scan, no RNG. Heavy hitters by
-    definition cannot hide from a uniform-ish prefix at these
-    thresholds; borderline keys cost only harmless extra salting."""
-    sample = df.select(key).limit(sample_rows)
-    counts = (
-        sample.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= F.lit(int(sample_rows * hot_fraction)))
-        .collect()
-    )
-    return [r[0] for r in counts if r[0] is not None]
+    Default is an EXACT per-key count: one map-side-combined shuffle of
+    |distinct keys| rows — the same cost class as the join being
+    planned, and immune to storage order (a prefix ``limit`` sample,
+    the round-2 version, hides hot keys clustered late in file order —
+    e.g. a newly-hot key in time-ordered ingest). The threshold is
+    computed against the ACTUAL counted total, never a requested sample
+    size, so small tables don't silently raise the bar.
+
+    ``sample_fraction`` opts into a seeded Bernoulli row sample first
+    (cheaper on very wide scans; the threshold still uses the actual
+    sampled total). Caveat: Spark's sample is deterministic only for a
+    fixed partition layout."""
+    base = df.select(key)
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=42)
+    counts = base.groupBy(key).agg(F.count(F.lit(1)).alias("c")).persist()
+    try:
+        total = counts.agg(F.sum("c")).collect()[0][0] or 0
+        hot = (
+            counts.filter(F.col("c") >= F.lit(float(total) * hot_fraction))
+            .collect()
+        )
+        return [r[0] for r in hot if r[0] is not None]
+    finally:
+        counts.unpersist()
 
 
 def skew_join(
@@ -82,15 +94,20 @@ def skew_join(
     hot_arr = F.array(*[F.lit(k) for k in hot_keys])
     is_hot = F.array_contains(hot_arr, F.col(key))
 
-    # Fact side: hot rows get salt = pmod(hash(whole row id-ish), b).
-    # monotonically_increasing_id is partition-deterministic and never
-    # shuffles; any even spread works — correctness needs only that the
-    # dim side covers all salts, which replication guarantees.
+    # Fact side: hot rows get salt = pmod(xxhash64(whole row), b) —
+    # derived from ROW CONTENT, so it is stable across runs, partition
+    # layouts, and stage retries. A nondeterministic salt (e.g. from
+    # monotonically_increasing_id) feeding the join shuffle is the
+    # classic lost/duplicated-rows hazard when a map stage is recomputed
+    # (SPARK-23207 class). Trade-off: byte-identical duplicate rows of a
+    # hot key share a salt; a hot key made of ONE repeated row would
+    # still skew — real fact tables carry a unique id column, which the
+    # hash covers.
     f = fact.withColumn(
         "__salt",
         F.when(
             is_hot,
-            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)),
+            F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(buckets)),
         ).otherwise(F.lit(0)).cast("int"),
     )
 
