@@ -54,6 +54,85 @@ def test_running_totals_accumulate_across_batches(spark, tables, tmp_path):
     assert len(emitted) > len(want)
 
 
+def test_anomaly_stream_stable_at_large_offset(spark, tmp_path):
+    """Welford-state regression guard: values at offset 1e8 with unit
+    spread. The old (n, Σv, Σv²) state computed variance as
+    (Σv² - n·mean²)/(n-1) — at this magnitude the subtraction loses
+    ~16 significant digits and borderline |z|>3 flags flip vs the
+    engine-native prefix stddev_samp the oracle uses. The streamed
+    flag set must equal the batch prefix-window answer exactly."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    offset = 1.0e8
+    rows = []
+    for i in range(80):
+        # deterministic unit-spread noise, plus two clear outliers
+        noise = ((i * 37) % 7) - 3.0
+        v = offset + noise + (40.0 if i in (50, 70) else 0.0)
+        rows.append(
+            (i, base + datetime.timedelta(seconds=i), i % 5, "click", v, "{}")
+        )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    # Replay determinism requires TIME-ORDERED micro-batches (the
+    # operator's documented precondition — true for log replay): write
+    # three time-slice files sequentially so the file source, which
+    # orders by modification time, feeds them in event-time order.
+    import time
+
+    in_dir = tmp_path / "ev_offset"
+    for lo, hi in ((0, 30), (30, 60), (60, 80)):
+        events.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+        time.sleep(1.1)  # distinct mtimes at fs timestamp granularity
+
+    stream = windowed.read_events_stream(spark, str(in_dir))
+    result = stateful.anomaly_stream(stream, z_threshold=3.0, min_history=30)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("anomaly_offset_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {r.event_id for r in spark.sql(
+            "SELECT * FROM anomaly_offset_test").collect()}
+    finally:
+        q.stop()
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    batch = (
+        events.select(
+            "event_id",
+            "value",
+            F.count(F.lit(1)).over(w).alias("n_prev"),
+            F.avg("value").over(w).alias("m"),
+            F.stddev_samp("value").over(w).alias("sd"),
+        )
+        .filter(
+            (F.col("n_prev") >= 30)
+            & (F.col("sd") > 0)
+            & (F.abs(F.col("value") - F.col("m")) > 3 * F.col("sd"))
+        )
+    )
+    want = {r.event_id for r in batch.collect()}
+    assert 50 in want and 70 in want  # the planted outliers
+    assert got == want
+
+
 def test_stream_to_keyvalue_sink(spark, tables, tmp_path):
     """Streamed events land in the batched key-value sink exactly once
     per event_id (dedup upstream, keyed last-write-wins in the sink)."""

@@ -59,7 +59,7 @@ def running_user_totals(stream: DataFrame) -> DataFrame:
 ANOMALY_SCHEMA = (
     "event_id long, user_id long, event_type string, value double, n_prev long"
 )
-ANOMALY_STATE = "n long, s double, s2 double"
+ANOMALY_STATE = "n long, mean double, m2 double"
 
 
 def anomaly_stream(
@@ -70,42 +70,51 @@ def anomaly_stream(
     of their event_type — the online form of the batch
     ``validation.value_anomalies`` (which scores against global stats).
 
-    State per type is three numbers (n, Σv, Σv²) — O(1) regardless of
-    stream length; each row is scored against history STRICTLY BEFORE
+    State per type is three numbers (n, mean, M2) maintained by
+    Welford's update — O(1) regardless of stream length and numerically
+    stable: the earlier (n, Σv, Σv²) state computed variance as
+    (Σv² - n·mean²)/(n-1), which catastrophically cancels when value
+    magnitudes dwarf the spread and can flip borderline |z|>threshold
+    decisions against the oracle's native stddev_samp (itself
+    Welford-style). Each row is scored against history STRICTLY BEFORE
     it (so the answer is replay-deterministic given time-ordered input)
     and then folded into the state. Rows are sorted (ts, event_id)
     within each batch; across batches determinism holds whenever the
     source replays in time order — true for log replay and the fixture.
-    Emits only flagged rows: the alert stream the reqdef anomaly
-    scenario (reqdef.yaml:11,15) notifies on."""
+    The per-row state fold is a scalar loop (Welford is inherently
+    sequential); the scoring arithmetic on the recorded prefixes stays
+    vectorized. Emits only flagged rows: the alert stream the reqdef
+    anomaly scenario (reqdef.yaml:11,15) notifies on."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        n, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         outs = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
             v = pdf["value"].to_numpy(dtype=np.float64)
             if not len(v):
                 continue
-            # prefix stats STRICTLY BEFORE each row, vectorized; cumsum
-            # accumulates left-to-right like the scalar loop would, so
-            # results are bit-identical to row-at-a-time processing
-            cs, css = np.cumsum(v), np.cumsum(v * v)
-            s_prev = s + cs - v
-            s2_prev = s2 + css - v * v
             n_prev = n + np.arange(len(v), dtype=np.int64)
+            mean_prev = np.empty(len(v))
+            m2_prev = np.empty(len(v))
+            for i, x in enumerate(v):
+                mean_prev[i] = mean
+                m2_prev[i] = m2
+                d = x - mean
+                mean += d / (n + i + 1)
+                m2 += d * (x - mean)
+            n += len(v)
             with np.errstate(divide="ignore", invalid="ignore"):
-                mean = s_prev / n_prev
-                var = (s2_prev - n_prev * mean * mean) / (n_prev - 1)
+                var = m2_prev / (n_prev - 1)
                 sd = np.sqrt(np.where(var > 0, var, 0.0))
             hit = (
                 (n_prev >= min_history)
                 & (sd > 0)
-                & (np.abs(v - mean) > z_threshold * sd)
+                & (np.abs(v - mean_prev) > z_threshold * sd)
             )
             if hit.any():
                 sel = pdf.iloc[np.nonzero(hit)[0]]
@@ -120,10 +129,7 @@ def anomaly_stream(
                         }
                     )
                 )
-            n += len(v)
-            s += float(cs[-1])
-            s2 += float(css[-1])
-        state.update((n, s, s2))
+        state.update((n, float(mean), float(m2)))
         for out in outs:
             yield out
 
