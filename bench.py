@@ -62,11 +62,21 @@ def main() -> None:
         except Exception:
             pass
 
+    # Error-isolated sweep (round-3 lesson: one AnalysisException aborted
+    # the whole run before any summary printed, zeroing the round's bench
+    # artifact): a failing query records an error entry and the sweep
+    # keeps timing the rest.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as exc:  # noqa: BLE001 — sweep must survive
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
@@ -76,12 +86,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n_queries": len(timings),
+        "n_errors": len(errors),
         "sf": sf_val,
         # single-thread matmul seconds before/after the sweep:
         # normalize cross-run comparisons on a noisy shared host
         "calib_matmul_s": [calib_before, calib()],
     }
-    full = {**compact, "queries": timings}
+    full = {**compact, "queries": timings, "errors": errors}
     # Compact line FIRST and LAST, full per-query line in between: a
     # stdout tail window that clips the (large) per-query line still
     # ends with a complete, parseable summary line, and a head-biased

@@ -60,19 +60,33 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
-        sdf = fn(spark, sf_dir)
-        # Materialize BOTH engines through pandas, like the driver gate.
-        # Symmetry matters: a nullable BIGINT (e.g. CUBE rollup keys)
-        # degrades to float64 on BOTH sides and still matches, while a
-        # one-sided promotion (DuckDB HUGEINT from an uncast sum) only
-        # degrades the oracle side and correctly fails.
-        spdf = sdf.toPandas()
+        # Error-isolated (round-3 lesson: one broken query killed the
+        # whole sweep exactly when the rest of the report mattered most).
+        try:
+            sdf = fn(spark, sf_dir)
+            # Materialize BOTH engines through pandas, like the driver
+            # gate. Symmetry matters: a nullable BIGINT (e.g. CUBE rollup
+            # keys) degrades to float64 on BOTH sides and still matches,
+            # while a one-sided promotion (DuckDB HUGEINT from an uncast
+            # sum) only degrades the oracle side and correctly fails.
+            spdf = sdf.toPandas()
+        except Exception as exc:  # noqa: BLE001 — sweep must survive
+            print(f"  {name:32s} ERROR {type(exc).__name__}: "
+                  f"{str(exc)[:200]}")
+            failures.append(name)
+            continue
         srows = list(spdf.itertuples(index=False, name=None))
         scols = list(spdf.columns)
         if name not in oracles:
             print(f"  {name:32s} rows={len(srows):6d}  (no oracle: rows-only)")
             continue
-        odf = con.sql(oracles[name]).df()
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"  {name:32s} ORACLE-ERROR {type(exc).__name__}: "
+                  f"{str(exc)[:200]}")
+            failures.append(name)
+            continue
         ocols = list(odf.columns)
         orows = list(odf.itertuples(index=False, name=None))
         problems = []

@@ -297,10 +297,29 @@ TABLES = (
 )
 
 
-# Columns stored as TIMESTAMP(NANOS) in the fixtures: Spark reads them as
-# long (spark.sql.legacy.parquet.nanosAsLong) and we convert to timestamp
-# at microsecond precision (matching DuckDB/ANSI TIMESTAMP).
-_NANOS_TS_COLS = {"events": ("ts",)}
+# Timestamp columns whose on-disk parquet encoding has varied across
+# fixture generations; normalize every encoding to session-TZ TIMESTAMP:
+#   * TIMESTAMP(NANOS): Spark reads as long (nanosAsLong) -> integer-div
+#     to micros (matching DuckDB/ANSI TIMESTAMP precision);
+#   * timestamp[us] (isAdjustedToUTC=false): Spark reads as
+#     TIMESTAMP_NTZ -> cast to TIMESTAMP. The session TZ is pinned UTC
+#     (session.py), so the naive->local reinterpretation is
+#     value-preserving and agrees with DuckDB's naive TIMESTAMP.
+#   * timestamp[us, UTC]: already TIMESTAMP — no-op.
+_NORMALIZED_TS_COLS = {"events": ("ts",)}
+
+
+def _normalize_ts(df: DataFrame, col: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        # Integer division: ns epochs (~1.8e18) exceed double's 53-bit
+        # mantissa, so `/ 1000` could land 1µs off.
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 # Plan cache: reading 10 parquet footers costs ~0.5 s of driver
@@ -315,8 +334,6 @@ _TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the star-schema test tables from a scale-factor directory."""
-    from pyspark.sql import functions as F
-
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _TABLE_CACHE.get(cache_key)
     if cached is not None:
@@ -331,13 +348,8 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     dfs = {}
     for name in TABLES:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-        for col in _NANOS_TS_COLS.get(name, ()):
-            if dict(df.dtypes).get(col) == "bigint":
-                # Integer division: ns epochs (~1.8e18) exceed double's
-                # 53-bit mantissa, so `/ 1000` could land 1µs off.
-                df = df.withColumn(
-                    col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
-                )
+        for col in _NORMALIZED_TS_COLS.get(name, ()):
+            df = _normalize_ts(df, col)
         dfs[name] = df
     _TABLE_CACHE[cache_key] = dfs
     return dict(dfs)

@@ -28,45 +28,46 @@ rows), never raw events.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
-from training_etl_demo_2_spark.io import load_tables
+from training_etl_demo_2_spark.io import _normalize_ts, load_tables
 
-# events.parquet on disk: ts is TIMESTAMP(NANOS) -> read as long.
-_EVENTS_FILE_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# Probed file-source schemas per (appId, sf_dir): the on-disk encoding of
+# events.ts has varied across fixture generations (TIMESTAMP(NANOS) read
+# as long via nanosAsLong, vs timestamp[us] read as TIMESTAMP_NTZ), so
+# the stream source schema is derived from a one-time batch read of the
+# same file instead of being hard-coded.
+_SCHEMA_CACHE: dict[tuple[str, str], "object"] = {}
 
 
 def read_events_stream_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the fixture events table (the local
-    stand-in for a Kafka topic), with the nanos->micros conversion
-    applied identically to the batch reader (io.load_tables)."""
+    stand-in for a Kafka topic), with the timestamp normalization
+    applied identically to the batch reader (io.load_tables /
+    io._normalize_ts) — whichever encoding the fixture ships."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    schema = _SCHEMA_CACHE.get(cache_key)
+    if schema is None:
+        # The stream source requires a declared schema; probe the batch
+        # reader's view of the file so the declared types match the
+        # physical encoding exactly (a LONG declaration over a
+        # timestamp[us] file silently mis-scales every value).
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[cache_key] = schema
     # The fixture is a single file, and the file stream source requires a
     # directory path: stream the sf_dir with a glob filter selecting just
     # the events table.
     stream = (
-        spark.readStream.schema(_EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("`ts` div 1000")))
+    return _normalize_ts(stream, "ts")
 
 
 def _replay_to_table(result: DataFrame, name: str, timeout_s: float = 300.0) -> None:
