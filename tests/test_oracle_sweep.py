@@ -1,0 +1,42 @@
+"""CI oracle sweep: every oracle-backed query vs DuckDB at sf0.001.
+
+This is the in-repo mirror of the driver's correctness gate — the test
+that turns a silent fixture/environment drift (e.g. the round-3
+events.ts encoding change from TIMESTAMP(NANOS) to timestamp[us]) into
+a red test run instead of a red round. Any hash-level divergence between
+a registered Spark query and its declared oracle SQL fails here first.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tools.check_oracle import sweep
+
+
+@pytest.mark.slow
+def test_all_oracle_queries_match(spark, sf_dir):
+    report = sweep(spark, sf_dir)
+    failures = {n: p for n, p in report.items() if p}
+    rows_only = [n for n, p in report.items() if p is None]
+    assert not failures, (
+        f"{len(failures)} oracle mismatches: "
+        + "; ".join(f"{n}: {p}" for n, p in failures.items())
+    )
+    # The rows-only set is declared-by-design; growth means an operator
+    # shipped without its oracle twin — keep the list explicit so adding
+    # a query forces a conscious decision here.
+    assert sorted(rows_only) == sorted(ROWS_ONLY_DECLARED), (
+        f"rows-only set drifted: {sorted(rows_only)} vs declared "
+        f"{sorted(ROWS_ONLY_DECLARED)}"
+    )
+
+
+ROWS_ONLY_DECLARED = [
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "multimodal_audio",
+    "media_near_dups",
+    "sketch_user_stats",
+    "pack_sequences",
+]

@@ -5,15 +5,26 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and the matching
 row count, column-name set, and order-insensitive values (columns sorted
 by name, rows sorted, cell-wise exact equality on the normalized form).
 
+Importable: ``sweep(spark, sf_dir, only=...)`` returns the per-query
+report so ``tests/test_oracle_sweep.py`` can run the same comparison
+inside CI (the test that turns a silent fixture/encoding drift into a
+red test run instead of a red round).
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ORACLE_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
 
 
 def normalize_cell(v):
@@ -34,85 +45,102 @@ def rows_to_canonical(columns, rows):
     return sorted(tuple(normalize_cell(r[i]) for i in order) for r in rows)
 
 
-def main() -> int:
+def duck_connect(sf_dir: str):
+    """DuckDB connection with the fixture tables registered as views,
+    mirroring the driver gate's pre-registered view names."""
     import duckdb
 
+    con = duckdb.connect()
+    for tbl in ORACLE_TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {tbl} AS "
+            f"SELECT * FROM '{sf_dir}/{tbl}.parquet'"
+        )
+    return con
+
+
+def compare_one(spark, con, name, fn, oracle, sf_dir):
+    """Run one query on both engines; return a list of problem strings
+    (empty = match, ``None`` = rows-only query with no oracle)."""
+    # Error-isolated (round-3 lesson: one broken query killed the whole
+    # sweep exactly when the rest of the report mattered most).
+    try:
+        sdf = fn(spark, sf_dir)
+        # Materialize BOTH engines through pandas, like the driver gate.
+        # Symmetry matters: a nullable BIGINT (e.g. CUBE rollup keys)
+        # degrades to float64 on BOTH sides and still matches, while a
+        # one-sided promotion (DuckDB HUGEINT from an uncast sum) only
+        # degrades the oracle side and correctly fails.
+        spdf = sdf.toPandas()
+    except Exception as exc:  # noqa: BLE001 — sweep must survive
+        return [f"spark error {type(exc).__name__}: {str(exc)[:300]}"]
+    srows = list(spdf.itertuples(index=False, name=None))
+    scols = list(spdf.columns)
+    if oracle is None:
+        return None
+    try:
+        odf = con.sql(oracle).df()
+    except Exception as exc:  # noqa: BLE001
+        return [f"oracle error {type(exc).__name__}: {str(exc)[:300]}"]
+    ocols = list(odf.columns)
+    orows = list(odf.itertuples(index=False, name=None))
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
+    else:
+        a = rows_to_canonical(scols, [tuple(r) for r in srows])
+        b = rows_to_canonical(ocols, orows)
+        if a != b:
+            diff = next(
+                (i for i, (x, y) in enumerate(zip(a, b)) if x != y), None
+            )
+            problems.append(
+                f"values differ (first at sorted-row {diff}):\n"
+                f"    spark={a[diff] if diff is not None else a[:2]}\n"
+                f"    duck ={b[diff] if diff is not None else b[:2]}"
+            )
+    return problems
+
+
+def sweep(spark, sf_dir, only=None, verbose=False):
+    """Compare every registered query against its oracle at ``sf_dir``.
+
+    Returns ``{name: problems}`` where ``problems`` is ``[]`` for a
+    match, ``None`` for a rows-only query, and a non-empty list of
+    diagnostics for a mismatch or error.
+    """
     import __spark_entry__ as entrymod
+
+    con = duck_connect(sf_dir)
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    report = {}
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        problems = compare_one(spark, con, name, fn, oracles.get(name), sf_dir)
+        report[name] = problems
+        if verbose:
+            if problems is None:
+                print(f"  {name:32s} (no oracle: rows-only)")
+            else:
+                print(f"  {name:32s} {'OK' if not problems else 'FAIL'}")
+                for p in problems:
+                    print(f"    !! {p}")
+    return report
+
+
+def main() -> int:
     from training_etl_demo_2_spark.session import get_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
     spark = get_spark(app_name="oracle-check")
-    con = duckdb.connect()
-    for tbl in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings".split()
-    ):
-        con.execute(
-            f"CREATE OR REPLACE VIEW {tbl} AS "
-            f"SELECT * FROM '{sf_dir}/{tbl}.parquet'"
-        )
-
-    queries = entrymod.queries()
-    oracles = entrymod.oracle_sql()
-    failures = []
-    for name, fn in queries.items():
-        if only and name not in only:
-            continue
-        # Error-isolated (round-3 lesson: one broken query killed the
-        # whole sweep exactly when the rest of the report mattered most).
-        try:
-            sdf = fn(spark, sf_dir)
-            # Materialize BOTH engines through pandas, like the driver
-            # gate. Symmetry matters: a nullable BIGINT (e.g. CUBE rollup
-            # keys) degrades to float64 on BOTH sides and still matches,
-            # while a one-sided promotion (DuckDB HUGEINT from an uncast
-            # sum) only degrades the oracle side and correctly fails.
-            spdf = sdf.toPandas()
-        except Exception as exc:  # noqa: BLE001 — sweep must survive
-            print(f"  {name:32s} ERROR {type(exc).__name__}: "
-                  f"{str(exc)[:200]}")
-            failures.append(name)
-            continue
-        srows = list(spdf.itertuples(index=False, name=None))
-        scols = list(spdf.columns)
-        if name not in oracles:
-            print(f"  {name:32s} rows={len(srows):6d}  (no oracle: rows-only)")
-            continue
-        try:
-            odf = con.sql(oracles[name]).df()
-        except Exception as exc:  # noqa: BLE001
-            print(f"  {name:32s} ORACLE-ERROR {type(exc).__name__}: "
-                  f"{str(exc)[:200]}")
-            failures.append(name)
-            continue
-        ocols = list(odf.columns)
-        orows = list(odf.itertuples(index=False, name=None))
-        problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(ocols)}")
-        else:
-            a = rows_to_canonical(scols, [tuple(r) for r in srows])
-            b = rows_to_canonical(ocols, orows)
-            if a != b:
-                diff = next(
-                    (i for i, (x, y) in enumerate(zip(a, b)) if x != y), None
-                )
-                problems.append(
-                    f"values differ (first at sorted-row {diff}):\n"
-                    f"    spark={a[diff] if diff is not None else a[:2]}\n"
-                    f"    duck ={b[diff] if diff is not None else b[:2]}"
-                )
-        status = "OK " if not problems else "FAIL"
-        print(f"  {name:32s} rows={len(srows):6d}  {status}")
-        for p in problems:
-            print(f"    !! {p}")
-        if problems:
-            failures.append(name)
-
+    report = sweep(spark, sf_dir, only=only or None, verbose=True)
+    failures = [n for n, p in report.items() if p]
     print()
     if failures:
         print(f"FAILED: {failures}")
