@@ -867,10 +867,50 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": oracle_text.brute_topk_sql(k=5),
         "ann_brute_topk_pandas": oracle_text.brute_topk_sql(k=5),
         "embedding_near_pairs": oracle_text.cosine_near_pairs_sql(threshold=0.45),
-        # multimodal (audio is rows-only: float moments from the numpy
-        # fake-decode kernel; the registered projections of features,
-        # resize and frames ARE pure arithmetic over byte lengths, so
-        # they get real oracles)
+        # multimodal: every entry oracle-backed. Audio moments come from
+        # EXACT integer byte sums (S1, S2) pushed through the same IEEE
+        # op sequence on both engines (see multimodal.audio_features), so
+        # the doubles are bitwise identical — no rounding tolerance.
+        "multimodal_audio": """
+            WITH hx AS (
+                SELECT doc_id, hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n
+                FROM documents
+            ),
+            b AS (
+                SELECT doc_id, unnest(generate_series(1, n)) AS i, h
+                FROM hx
+            ),
+            c AS (
+                SELECT doc_id, i,
+                    (strpos('0123456789ABCDEF',
+                            substr(h, (2*i-1)::INT, 1)) - 1) * 16
+                    + (strpos('0123456789ABCDEF',
+                              substr(h, (2*i)::INT, 1)) - 1) - 128 AS c
+                FROM b
+            ),
+            w AS (
+                SELECT doc_id, c,
+                    CASE WHEN (c < 0) != (lag(c < 0) OVER
+                        (PARTITION BY doc_id ORDER BY i))
+                    THEN 1 ELSE 0 END AS flip
+                FROM c
+            ),
+            s AS (
+                SELECT doc_id, count(*) AS n_samples,
+                       sum(c) AS s1, sum(c*c) AS s2,
+                       coalesce(sum(flip), 0) AS zero_crossings
+                FROM w GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   CAST(n_samples AS BIGINT) AS n_samples,
+                   s1 / n_samples AS mean,
+                   sqrt(greatest(
+                       s2 / n_samples
+                       - (s1 / n_samples) * (s1 / n_samples), 0)) AS std,
+                   CAST(zero_crossings AS BIGINT) AS zero_crossings
+            FROM s
+        """,
         "multimodal_features": """
             SELECT doc_id,
                    'image/fake' AS media_type,

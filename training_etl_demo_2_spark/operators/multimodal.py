@@ -18,6 +18,7 @@ filters never touch bytes.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable, Iterator
 
 import numpy as np
@@ -150,8 +151,16 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
 
 def audio_features(media: DataFrame) -> DataFrame:
     """Audio-feature plumbing: payload bytes as a fake PCM signal →
-    vectorized moments + zero-crossing count per doc. Real decode is
-    the same stub boundary as images."""
+    moments + zero-crossing count per doc. Real decode is the same
+    stub boundary as images.
+
+    Moments are derived from EXACT integer sums (S1=Σc, S2=Σc², c in
+    [-128,127], both exact in int64) followed by a fixed IEEE op
+    sequence (S1/n; sqrt(max(S2/n − mean², 0))) — the same sequence the
+    DuckDB oracle twin runs on the same integers, so the doubles are
+    bitwise identical across engines and the oracle diff needs no
+    rounding tolerance. Zero crossing = adjacent sign(c<0) flip,
+    matching the SQL lag() formulation (0 counts as non-negative)."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -161,18 +170,27 @@ def audio_features(media: DataFrame) -> DataFrame:
                 continue
             means, stds, zcs, ns = [], [], [], []
             for blob in pdf["payload"]:
-                sig = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.float64)
-                sig -= 128.0
-                ns.append(len(sig))
-                means.append(float(sig.mean()) if len(sig) else 0.0)
-                stds.append(float(sig.std()) if len(sig) else 0.0)
-                zcs.append(int(np.sum(np.signbit(sig[1:]) != np.signbit(sig[:-1]))))
+                c = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
+                c -= 128
+                n = len(c)
+                ns.append(n)
+                if n == 0:
+                    means.append(0.0)
+                    stds.append(0.0)
+                    zcs.append(0)
+                    continue
+                s1 = int(c.sum())
+                s2 = int((c * c).sum())
+                mean = s1 / n
+                means.append(mean)
+                stds.append(math.sqrt(max(s2 / n - mean * mean, 0.0)))
+                zcs.append(int(np.sum((c[1:] < 0) != (c[:-1] < 0))))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_samples": ns,
-                    "mean": np.round(means, 6),
-                    "std": np.round(stds, 6),
+                    "mean": means,
+                    "std": stds,
                     "zero_crossings": zcs,
                 }
             )
