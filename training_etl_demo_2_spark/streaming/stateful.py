@@ -81,10 +81,18 @@ def anomaly_stream(
     and then folded into the state. Rows are sorted (ts, event_id)
     within each batch; across batches determinism holds whenever the
     source replays in time order — true for log replay and the fixture.
-    The per-row state fold is a scalar loop (Welford is inherently
-    sequential); the scoring arithmetic on the recorded prefixes stays
-    vectorized. Emits only flagged rows: the alert stream the reqdef
-    anomaly scenario (reqdef.yaml:11,15) notifies on."""
+
+    The per-row prefix stats are fully VECTORIZED while keeping the
+    stability property that motivated Welford state: center the batch
+    on the carried mean (first batch: on its own first value) so the
+    cumsum runs over O(spread)-magnitude deviations, then apply Chan's
+    parallel merge per prefix — mean_k = μc + S_k/(n0+k) and
+    M2_k = M2_0 + Q_k − S_k²/(n0+k) with S/Q the centered (co)cumsums.
+    The centering removes the catastrophic cancellation of the naive
+    (Σv² − n·mean²) form at large value offsets (the regression case:
+    offset 1e8, unit spread — test_anomaly_stream_stable_at_large_offset)
+    without a per-row Python loop. Emits only flagged rows: the alert
+    stream the reqdef anomaly scenario (reqdef.yaml:11,15) notifies on."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -98,16 +106,30 @@ def anomaly_stream(
             v = pdf["value"].to_numpy(dtype=np.float64)
             if not len(v):
                 continue
-            n_prev = n + np.arange(len(v), dtype=np.int64)
-            mean_prev = np.empty(len(v))
-            m2_prev = np.empty(len(v))
-            for i, x in enumerate(v):
-                mean_prev[i] = mean
-                m2_prev[i] = m2
-                d = x - mean
-                mean += d / (n + i + 1)
-                m2 += d * (x - mean)
-            n += len(v)
+            k = len(v)
+            n_prev = n + np.arange(k, dtype=np.int64)
+            mu_c = mean if n > 0 else float(v[0])
+            c = v - mu_c
+            # Prefix sums STRICTLY BEFORE each row (S_prev[0] = 0).
+            s_cum = np.cumsum(c)
+            q_cum = np.cumsum(c * c)
+            s_prev = np.concatenate(([0.0], s_cum[:-1]))
+            q_prev = np.concatenate(([0.0], q_cum[:-1]))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean_prev = np.where(
+                    n_prev > 0, mu_c + s_prev / n_prev, 0.0
+                )
+                m2_prev = np.where(
+                    n_prev > 0,
+                    m2 + q_prev - (s_prev * s_prev) / n_prev,
+                    0.0,
+                )
+            n_new = n + k
+            mean = mu_c + float(s_cum[-1]) / n_new
+            m2 = max(
+                m2 + float(q_cum[-1]) - float(s_cum[-1]) ** 2 / n_new, 0.0
+            )
+            n = n_new
             with np.errstate(divide="ignore", invalid="ignore"):
                 var = m2_prev / (n_prev - 1)
                 sd = np.sqrt(np.where(var > 0, var, 0.0))
