@@ -225,6 +225,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_upsert": _q(merge.orders_merge_upsert),
         "orders_scd2_history": _q(merge.orders_scd2_history),
         "event_anomalies": _q(lambda t: validation.value_anomalies(t["events"])),
+        # rows-only scale sibling of data_profile_lineitem:
+        # approx_count_distinct (HLL) replaces the Expand-based exact
+        # distincts — the tier actually run at 100 TB (one map-side
+        # pass, no k-times row expansion). Estimates are seed-stable but
+        # not SQL-reproducible, hence no oracle; test_validation.py
+        # bounds them against the exact profile.
+        "data_profile_lineitem_approx": _q(
+            lambda t: validation.profile_columns(t["lineitem"], approx=True)
+        ),
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
         "fuzzy_part_pairs": _q(

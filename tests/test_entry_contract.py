@@ -67,9 +67,8 @@ def test_window_entries_all_have_oracles():
     every windowed query should carry a SQL oracle unless its semantics
     are genuinely not SQL-expressible (declared below)."""
     rows_only_allowed = {
-        # numpy-seeded hyperplanes / trained codebook / float moments
-        # from the fake-decode kernel
-        "ann_lsh_topk", "ann_ivf_topk", "multimodal_audio",
+        # numpy-seeded hyperplanes / trained codebook
+        "ann_lsh_topk", "ann_ivf_topk",
     }
     names = list(entrymod.queries().keys())[:GATE_WINDOW]
     oracles = set(entrymod.oracle_sql().keys())

@@ -38,4 +38,5 @@ ROWS_ONLY_DECLARED = [
     "media_near_dups",
     "sketch_user_stats",
     "pack_sequences",
+    "data_profile_lineitem_approx",
 ]

@@ -133,6 +133,85 @@ def test_anomaly_stream_stable_at_large_offset(spark, tmp_path):
     assert got == want
 
 
+def test_anomaly_stream_submillisecond_ties(spark, tmp_path):
+    """Tie-proof fold ordering: events sharing the same MILLISECOND but
+    differing at microsecond resolution — plus exact-microsecond ties
+    broken only by event_id — must fold in (ts, event_id) order, the
+    same total order the batch prefix-window oracle uses. A reader that
+    compresses ts to ms (the round-3 fixture drift) or a fold sorted on
+    a truncated column would permute the prefix and flip borderline
+    flags."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(80):
+        noise = ((i * 37) % 7) - 3.0
+        v = noise + (40.0 if i in (45, 65) else 0.0)
+        # Groups of 4 share one millisecond; pairs inside share one
+        # exact microsecond (ordering falls through to event_id).
+        ts = base + datetime.timedelta(
+            seconds=i // 4, milliseconds=0, microseconds=250 * ((i % 4) // 2)
+        )
+        rows.append((i, ts, i % 5, "click", v, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import time
+
+    in_dir = tmp_path / "ev_ties"
+    for lo, hi in ((0, 40), (40, 80)):
+        events.filter(
+            (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(str(in_dir))
+        time.sleep(1.1)
+
+    stream = windowed.read_events_stream(spark, str(in_dir))
+    result = stateful.anomaly_stream(stream, z_threshold=3.0, min_history=30)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("anomaly_ties_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {
+            (r.event_id, r.n_prev)
+            for r in spark.sql("SELECT * FROM anomaly_ties_test").collect()
+        }
+    finally:
+        q.stop()
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    batch = (
+        events.select(
+            "event_id",
+            "value",
+            F.count(F.lit(1)).over(w).alias("n_prev"),
+            F.avg("value").over(w).alias("m"),
+            F.stddev_samp("value").over(w).alias("sd"),
+        )
+        .filter(
+            (F.col("n_prev") >= 30)
+            & (F.col("sd") > 0)
+            & (F.abs(F.col("value") - F.col("m")) > 3 * F.col("sd"))
+        )
+    )
+    want = {(r.event_id, r.n_prev) for r in batch.collect()}
+    assert 45 in {e for e, _ in want} and 65 in {e for e, _ in want}
+    assert got == want
+
+
 def test_stream_to_keyvalue_sink(spark, tables, tmp_path):
     """Streamed events land in the batched key-value sink exactly once
     per event_id (dedup upstream, keyed last-write-wins in the sink)."""

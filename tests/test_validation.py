@@ -32,6 +32,33 @@ def test_profile_approx_mode_runs(spark):
     assert prof["m"].n_distinct == 7
 
 
+def test_profile_approx_within_hll_bounds(tables):
+    """The registered 100 TB tier (data_profile_lineitem_approx) must
+    track the exact profile: identical everywhere except n_distinct,
+    which stays inside generous HLL bounds (default rsd 0.05 → assert
+    ±15%, 3 sigma)."""
+    li = tables["lineitem"]
+    exact = {r.col_name: r for r in validation.profile_columns(li).collect()}
+    approx = {
+        r.col_name: r
+        for r in validation.profile_columns(li, approx=True).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for c, e in exact.items():
+        a = approx[c]
+        assert (a.n_rows, a.n_nulls, a.min_num, a.max_num) == (
+            e.n_rows,
+            e.n_nulls,
+            e.min_num,
+            e.max_num,
+        ), c
+        assert abs(a.n_distinct - e.n_distinct) <= max(1, 0.15 * e.n_distinct), (
+            c,
+            a.n_distinct,
+            e.n_distinct,
+        )
+
+
 def test_fk_orphans_counts_only_nonnull_misses(spark):
     t = {
         name: df
