@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_profile_lineitem_approx": _q(
             lambda t: validation.profile_columns(t["lineitem"], approx=True)
         ),
+        # weighted mixture downsampling (DoReMi-style static domain
+        # weights): map-side hash filter with broadcast per-group rates
+        "corpus_mix": _q(lambda t: curation.corpus_mix(t["documents"])),
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
         "fuzzy_part_pairs": _q(
@@ -834,6 +837,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": curation.dataset_split_sql(),
         "hash_sample_10pct": curation.hash_sample_sql(10),
         "contamination_check": curation.contamination_sql(),
+        "corpus_mix": curation.corpus_mix_sql(),
         "length_buckets": curation.LENGTH_BUCKETS_SQL,
         "balanced_sample_per_lang": curation.balanced_sample_sql(k=50),
         "curated_corpus": curation.curated_corpus_sql(),

@@ -101,3 +101,29 @@ def test_curated_corpus_composition(tables):
     assert not {i for i in ids if i < 5}
     assert {r["split"] for r in rows} <= {"train", "val", "test"}
     assert len(ids) > 0
+
+
+def test_corpus_mix_tracks_target_weights(tables):
+    import collections
+
+    docs = tables["documents"]
+    n_by = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    out = curation.corpus_mix(docs)
+    mix = collections.Counter(r["lang"] for r in out.collect())
+    tot = sum(mix.values())
+    # the limiting group (max n_g/w_g ratio binds at min) is kept ~whole
+    t_cap = min(n_by[g] / w for g, w in curation.DEFAULT_MIX.items() if g in n_by)
+    assert tot >= 0.8 * t_cap
+    # achieved proportions within hash-uniformity noise of the targets
+    for g, w in curation.DEFAULT_MIX.items():
+        assert abs(mix[g] / tot - w) < 0.05, (g, mix[g] / tot, w)
+
+
+def test_corpus_mix_deterministic_and_drops_unweighted(tables):
+    docs = tables["documents"]
+    weights = {"en": 0.7, "de": 0.3}  # es/fr/zh unweighted -> dropped
+    a = sorted(r["doc_id"] for r in curation.corpus_mix(docs, weights).collect())
+    b = sorted(r["doc_id"] for r in curation.corpus_mix(docs, weights).collect())
+    assert a == b and len(a) > 0
+    langs = {r["lang"] for r in curation.corpus_mix(docs, weights).collect()}
+    assert langs <= {"en", "de"}

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import rolling_hash
+from ..functions import FNV_MOD, rolling_hash
 from .dedup import DEFAULT_NGRAM, shingle_hashes
 from .oracle import ROLLING_HASH, _shingles_cte
 
@@ -227,6 +227,124 @@ def curated_corpus_sql(min_quality: float = 0.85) -> str:
     FROM base
     WHERE NOT ({PROBE_PRED})
       AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    """
+
+
+# ---------------------------------------------------------------------------
+# corpus mixing
+# ---------------------------------------------------------------------------
+
+MIX_RESOLUTION = 1_000_000  # hash-rate granularity (~1e-6 rate steps)
+
+# Multiplicative avalanche finish (Knuth constant) applied after the
+# polynomial fold: sequential row keys give near-consecutive polynomial
+# hashes (~10k spread for 4-digit ids), which collapse under a large
+# modulus like 1e6 — the % 100 split buckets survive that by wrapping,
+# a fine-grained rate threshold does not. One exact int64 multiply
+# (h < 1e9+7, so h * KNUTH < 2^63) keeps the finish engine-portable.
+_MIX_KNUTH = 2654435761
+
+DEFAULT_MIX = {"en": 0.4, "zh": 0.05, "es": 0.2, "de": 0.2, "fr": 0.15}
+
+
+def _mix_weight(by: str, weights: dict[str, float]):
+    wt = F.lit(0.0)
+    for g in sorted(weights):
+        wt = F.when(F.col(by) == g, F.lit(float(weights[g]))).otherwise(wt)
+    return wt
+
+
+def corpus_mix(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    by: str = "lang",
+    key: str = "doc_id",
+    resolution: int = MIX_RESOLUTION,
+) -> DataFrame:
+    """Deterministic weighted mixture downsampling: keep a subset whose
+    ``by``-group proportions match ``weights`` (DoReMi-style static
+    domain weights), selecting the LARGEST total the weights allow
+    without replication (T = min over groups of n_g / w_g; group g keeps
+    ~T*w_g rows). Groups with no (or zero) weight are dropped.
+
+    Scale shape: one tiny groupBy for the group counts, per-group keep
+    rates broadcast back, then a MAP-SIDE hash filter — no per-group
+    sort or window over the corpus, so a billion-row dominant domain
+    costs the same per row as a small one (contrast balanced_sample's
+    row_number, which funnels each group through one task). Selection is
+    a content hash of the row key, so it is append-stable and
+    reproducible on any engine with the same rolling hash; achieved
+    counts approximate n_g*rate to within hash-uniformity noise.
+
+    Cross-engine exactness: the rate arithmetic is a fixed IEEE op
+    sequence over (count, weight-literal) pairs — the DuckDB twin casts
+    its weight literals to DOUBLE (decimal literals would otherwise
+    change the division) and runs the same expression, so thresholds
+    are bitwise identical and the kept set matches exactly.
+    """
+    from pyspark.sql.window import Window
+
+    weights = DEFAULT_MIX if weights is None else weights
+    counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("__n"))
+    rates = (
+        counts.withColumn("__wt", _mix_weight(by, weights))
+        .filter(F.col("__wt") > 0)
+        .withColumn(
+            "__T",
+            F.min(F.col("__n") / F.col("__wt")).over(
+                Window.partitionBy()
+            ),
+        )
+        .withColumn(
+            "__thr",
+            F.floor(
+                F.lit(resolution) * F.col("__wt") * F.col("__T") / F.col("__n")
+            ).cast("long"),
+        )
+        .select(by, "__thr")
+    )
+    h = (
+        rolling_hash(F.concat(F.lit("mix:"), F.col(key).cast("string")))
+        * F.lit(_MIX_KNUTH)
+    ) % F.lit(FNV_MOD) % resolution
+    return (
+        df.join(F.broadcast(rates), by, "inner")
+        .filter(h < F.col("__thr"))
+        .select(key, by)
+    )
+
+
+def corpus_mix_sql(
+    weights: dict[str, float] | None = None,
+    by: str = "lang",
+    resolution: int = MIX_RESOLUTION,
+) -> str:
+    weights = DEFAULT_MIX if weights is None else weights
+    case = " ".join(
+        f"WHEN '{g}' THEN CAST({float(weights[g])!r} AS DOUBLE)"
+        for g in sorted(weights)
+    )
+    poly = ROLLING_HASH.format(s="'mix:' || CAST(doc_id AS VARCHAR)")
+    h = f"(({poly}) * {_MIX_KNUTH}) % {FNV_MOD}"
+    return f"""
+    WITH counts AS (
+        SELECT {by} AS g, count(*) AS n FROM documents GROUP BY {by}
+    ),
+    weighted AS (
+        SELECT g, n, CASE g {case} ELSE CAST(0.0 AS DOUBLE) END AS wt
+        FROM counts
+    ),
+    feasible AS (
+        SELECT g, n, wt, min(n / wt) OVER () AS t
+        FROM weighted WHERE wt > 0
+    ),
+    thr AS (
+        SELECT g, CAST(floor({resolution} * wt * t / n) AS BIGINT) AS thr
+        FROM feasible
+    )
+    SELECT d.doc_id, d.{by}
+    FROM documents d JOIN thr ON d.{by} = thr.g
+    WHERE ({h}) % {resolution} < thr.thr
     """
 
 
