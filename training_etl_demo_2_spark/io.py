@@ -306,6 +306,10 @@ TABLES = (
 #     (session.py), so the naive->local reinterpretation is
 #     value-preserving and agrees with DuckDB's naive TIMESTAMP.
 #   * timestamp[us, UTC]: already TIMESTAMP — no-op.
+# The nanos-as-long reinterpretation is only safe where we KNOW the
+# column is a timestamp (a plain bigint column must stay bigint), hence
+# the explicit allowlist; the NTZ cast is type-driven and applied to
+# every timestamp_ntz column of every table (_normalize_all_ntz).
 _NORMALIZED_TS_COLS = {"events": ("ts",)}
 
 
@@ -319,6 +323,19 @@ def _normalize_ts(df: DataFrame, col: str) -> DataFrame:
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     elif dtype == "timestamp_ntz":
         df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
+def _normalize_all_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to session-TZ TIMESTAMP (UTC
+    session → value-preserving), so a future fixture regeneration that
+    flips another table's timestamp encoding cannot break operators the
+    way events.ts did in round 3."""
+    from pyspark.sql import functions as F
+
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
@@ -350,7 +367,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         for col in _NORMALIZED_TS_COLS.get(name, ()):
             df = _normalize_ts(df, col)
-        dfs[name] = df
+        dfs[name] = _normalize_all_ntz(df)
     _TABLE_CACHE[cache_key] = dfs
     return dict(dfs)
 
