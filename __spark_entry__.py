@@ -923,6 +923,12 @@ def oracle_sql() -> dict[str, str]:
                        - (s1 / n_samples) * (s1 / n_samples), 0)) AS std,
                    CAST(zero_crossings AS BIGINT) AS zero_crossings
             FROM s
+            UNION ALL
+            -- zero-length payloads never enter the unnest; mirror the
+            -- Spark kernel's explicit empty-signal row
+            SELECT doc_id, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE),
+                   CAST(0.0 AS DOUBLE), CAST(0 AS BIGINT)
+            FROM hx WHERE n = 0 OR n IS NULL
         """,
         "multimodal_features": """
             SELECT doc_id,

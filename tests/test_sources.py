@@ -171,3 +171,19 @@ def test_zorder_key_interleaves_and_localizes(spark, tables, tmp_path):
             pdf = spark.read.parquet(str(f)).toPandas()
             spans.append(pdf[dim].max() - pdf[dim].min())
         assert sum(spans) / len(spans) < 0.8 * global_span, (dim, spans)
+
+
+def test_load_tables_enforces_utc_session(spark, sf_dir):
+    """The naive<->instant timestamp normalization is only
+    value-preserving under a UTC session; load_tables must correct a
+    caller session that drifted (and on every call, not just the first
+    — the plan cache is checked after the conf enforcement)."""
+    from training_etl_demo_2_spark.io import load_tables
+
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        load_tables(spark, sf_dir)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)

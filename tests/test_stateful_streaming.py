@@ -398,3 +398,79 @@ def test_stream_to_partitioned_lake_idempotent(spark, tables, tmp_path):
     assert {r["event_id"] for r in again.select("event_id").collect()} == {
         r["event_id"] for r in events.select("event_id").collect()
     }
+
+
+def test_anomaly_stream_multichunk_group(spark, tmp_path):
+    """A key whose micro-batch slice spans MULTIPLE Arrow chunks
+    (arrow.maxRecordsPerBatch below the group size) must still fold in
+    global (ts, event_id) order — the fold sorts the key's whole slice,
+    not each chunk."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(80):
+        noise = ((i * 37) % 7) - 3.0
+        v = noise + (40.0 if i in (45, 65) else 0.0)
+        rows.append(
+            (i, base + datetime.timedelta(seconds=i), i % 5, "click", v, "{}")
+        )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    in_dir = tmp_path / "ev_chunks"
+    events.coalesce(1).write.parquet(str(in_dir))
+
+    orig = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        stream = windowed.read_events_stream(spark, str(in_dir))
+        result = stateful.anomaly_stream(
+            stream, z_threshold=3.0, min_history=30
+        )
+        q = (
+            result.writeStream.format("memory")
+            .queryName("anomaly_chunks_test")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            got = {
+                r.event_id
+                for r in spark.sql(
+                    "SELECT * FROM anomaly_chunks_test"
+                ).collect()
+            }
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", orig)
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    batch = (
+        events.select(
+            "event_id",
+            "value",
+            F.count(F.lit(1)).over(w).alias("n_prev"),
+            F.avg("value").over(w).alias("m"),
+            F.stddev_samp("value").over(w).alias("sd"),
+        )
+        .filter(
+            (F.col("n_prev") >= 30)
+            & (F.col("sd") > 0)
+            & (F.abs(F.col("value") - F.col("m")) > 3 * F.col("sd"))
+        )
+    )
+    want = {r.event_id for r in batch.collect()}
+    assert 45 in want and 65 in want
+    assert got == want

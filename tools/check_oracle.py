@@ -66,6 +66,11 @@ def compare_one(spark, con, name, fn, oracle, sf_dir):
     # sweep exactly when the rest of the report mattered most).
     try:
         sdf = fn(spark, sf_dir)
+        if oracle is None:
+            # rows-only query: execute it (the smoke property we want)
+            # without paying the full-result Arrow transfer
+            sdf.count()
+            return None
         # Materialize BOTH engines through pandas, like the driver gate.
         # Symmetry matters: a nullable BIGINT (e.g. CUBE rollup keys)
         # degrades to float64 on BOTH sides and still matches, while a
@@ -76,8 +81,6 @@ def compare_one(spark, con, name, fn, oracle, sf_dir):
         return [f"spark error {type(exc).__name__}: {str(exc)[:300]}"]
     srows = list(spdf.itertuples(index=False, name=None))
     scols = list(spdf.columns)
-    if oracle is None:
-        return None
     try:
         odf = con.sql(oracle).df()
     except Exception as exc:  # noqa: BLE001

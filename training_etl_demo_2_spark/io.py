@@ -351,16 +351,23 @@ _TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load the star-schema test tables from a scale-factor directory."""
+    # The caller's session may not come from our factory (e.g. the test
+    # driver passes its own); nanosAsLong is runtime-settable, so enforce
+    # it here — without it the events.parquet TIMESTAMP(NANOS) column is
+    # unreadable (PARQUET_TYPE_ILLEGAL). The UTC session timezone is
+    # equally load-bearing: the NTZ->TIMESTAMP cast and every
+    # date_format/window rendering must agree with the naive DuckDB
+    # oracle regardless of the host timezone, and both normalization
+    # paths are only value-preserving under UTC. Enforced BEFORE the
+    # plan-cache check so a caller that flips the timezone between
+    # calls is corrected on every load, not just the first.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _TABLE_CACHE.get(cache_key)
     if cached is not None:
         return dict(cached)
-
-    # The caller's session may not come from our factory (e.g. the test
-    # driver passes its own); nanosAsLong is runtime-settable, so enforce
-    # it here — without it the events.parquet TIMESTAMP(NANOS) column is
-    # unreadable (PARQUET_TYPE_ILLEGAL).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     dfs = {}
     for name in TABLES:

@@ -170,7 +170,8 @@ def audio_features(media: DataFrame) -> DataFrame:
                 continue
             means, stds, zcs, ns = [], [], [], []
             for blob in pdf["payload"]:
-                c = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.int64)
+                raw = b"" if blob is None else bytes(blob)
+                c = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
                 c -= 128
                 n = len(c)
                 ns.append(n)

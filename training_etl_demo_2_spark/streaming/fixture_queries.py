@@ -49,6 +49,7 @@ def read_events_stream_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied identically to the batch reader (io.load_tables /
     io._normalize_ts) — whichever encoding the fixture ships."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
     cache_key = (spark.sparkContext.applicationId, sf_dir)
     schema = _SCHEMA_CACHE.get(cache_key)

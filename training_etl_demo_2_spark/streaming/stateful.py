@@ -101,8 +101,19 @@ def anomaly_stream(
 
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
         outs = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # applyInPandasWithState splits a key's micro-batch slice into
+        # multiple Arrow chunks (arrow.maxRecordsPerBatch, default 10k)
+        # with no cross-chunk ordering guarantee — sort the key's WHOLE
+        # slice, not each chunk, or rows score against a permuted prefix.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            chunks = [whole.sort_values(["ts", "event_id"])]
+        for pdf in chunks:
             v = pdf["value"].to_numpy(dtype=np.float64)
             if not len(v):
                 continue
