@@ -237,6 +237,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # weighted mixture downsampling (DoReMi-style static domain
         # weights): map-side hash filter with broadcast per-group rates
         "corpus_mix": _q(lambda t: curation.corpus_mix(t["documents"])),
+        # reproducible per-epoch training order: exact distributed rank
+        # over an avalanched (seed, key) hash
+        "corpus_shuffle": _q(lambda t: curation.corpus_shuffle(t["documents"])),
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
         "fuzzy_part_pairs": _q(
@@ -838,6 +841,7 @@ def oracle_sql() -> dict[str, str]:
         "hash_sample_10pct": curation.hash_sample_sql(10),
         "contamination_check": curation.contamination_sql(),
         "corpus_mix": curation.corpus_mix_sql(),
+        "corpus_shuffle": curation.corpus_shuffle_sql(),
         "length_buckets": curation.LENGTH_BUCKETS_SQL,
         "balanced_sample_per_lang": curation.balanced_sample_sql(k=50),
         "curated_corpus": curation.curated_corpus_sql(),

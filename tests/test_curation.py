@@ -127,3 +127,16 @@ def test_corpus_mix_deterministic_and_drops_unweighted(tables):
     assert a == b and len(a) > 0
     langs = {r["lang"] for r in curation.corpus_mix(docs, weights).collect()}
     assert langs <= {"en", "de"}
+
+
+def test_corpus_shuffle_is_seeded_permutation(tables):
+    docs = tables["documents"]
+    n = docs.count()
+    a = {r["doc_id"]: r["shuffle_rank"] for r in curation.corpus_shuffle(docs).collect()}
+    b = {r["doc_id"]: r["shuffle_rank"] for r in curation.corpus_shuffle(docs).collect()}
+    assert a == b  # reproducible
+    assert sorted(a.values()) == list(range(1, n + 1))  # exact permutation
+    c = {r["doc_id"]: r["shuffle_rank"] for r in
+         curation.corpus_shuffle(docs, seed="epoch1").collect()}
+    assert c != a  # independent permutation per seed
+    assert sorted(c.values()) == list(range(1, n + 1))

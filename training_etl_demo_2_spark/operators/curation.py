@@ -349,6 +349,88 @@ def corpus_mix_sql(
 
 
 # ---------------------------------------------------------------------------
+# deterministic corpus shuffle
+# ---------------------------------------------------------------------------
+
+
+def _shuffle_hash(key: Column, seed: str):
+    h = rolling_hash(
+        F.concat(F.lit(f"shuffle:{seed}:"), key.cast("string"))
+    )
+    # Knuth finish: sequential keys give near-consecutive polynomial
+    # hashes; ordering by the raw fold would preserve much of the
+    # original id order instead of permuting it.
+    return (h * F.lit(_MIX_KNUTH)) % F.lit(FNV_MOD)
+
+
+def corpus_shuffle(
+    df: DataFrame, seed: str = "epoch0", key: str = "doc_id"
+) -> DataFrame:
+    """Reproducible global training order: rank every row by an
+    avalanched content hash of (seed, key). Each ``seed`` yields an
+    independent permutation — the per-epoch shuffle of a training run,
+    identical across engines, runs, and cluster sizes (no RNG state,
+    no partition dependence).
+
+    Scale shape: the rank is EXACT and DISTRIBUTED — range-repartition
+    on the hash (the one shuffle a global sort needs, into P parallel
+    tasks), then global rank = per-partition row_number + broadcast
+    prefix-sum of the P partition counts (partition METADATA, not
+    rows). Same pattern as customer_value_deciles; a naive
+    ``row_number() OVER (ORDER BY hash)`` funnels the corpus through
+    one task.
+    """
+    spark = df.sparkSession
+    h = _shuffle_hash(F.col(key), seed)
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    ranged = (
+        df.select(F.col(key), h.alias("__h"))
+        .repartitionByRange(nparts, F.asc("__h"), F.asc(key))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    ranged.persist()
+    try:
+        counts = {
+            int(r["__pid"]): int(r["count"])
+            for r in ranged.groupBy("__pid").count().collect()
+        }
+        offsets = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        from pyspark.sql.window import Window
+
+        off = F.lit(0)
+        for pid, o in offsets.items():
+            off = F.when(F.col("__pid") == pid, F.lit(o)).otherwise(off)
+        w = Window.partitionBy("__pid").orderBy(F.asc("__h"), F.asc(key))
+        out = ranged.select(
+            key,
+            (off + F.row_number().over(w)).cast("long").alias("shuffle_rank"),
+        )
+        # Materialization happens downstream; the persist only needs to
+        # live through the counts pass above, and the plan re-reads the
+        # exchanged partitions while cached.
+        return out
+    finally:
+        ranged.unpersist(blocking=False)
+
+
+def corpus_shuffle_sql(seed: str = "epoch0") -> str:
+    poly = ROLLING_HASH.format(
+        s=f"'shuffle:{seed}:' || CAST(doc_id AS VARCHAR)"
+    )
+    h = f"(({poly}) * {_MIX_KNUTH}) % {FNV_MOD}"
+    return f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY {h} ASC, doc_id ASC) AS BIGINT)
+               AS shuffle_rank
+    FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
 # length bucketing
 # ---------------------------------------------------------------------------
 
