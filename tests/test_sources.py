@@ -187,3 +187,35 @@ def test_load_tables_enforces_utc_session(spark, sf_dir):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+def test_read_csv_with_quarantine_splits_good_and_bad(spark, tmp_path):
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from training_etl_demo_2_spark.io import read_csv_with_quarantine
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "word,count\n"
+        "alpha,3\n"
+        "beta,not_a_number\n"   # type mismatch -> quarantine
+        "gamma,7\n"
+    )
+    schema = StructType(
+        [
+            StructField("word", StringType()),
+            StructField("count", IntegerType()),
+        ]
+    )
+    good, bad = read_csv_with_quarantine(spark, str(p), schema)
+    assert {(r["word"], r["count"]) for r in good.collect()} == {
+        ("alpha", 3),
+        ("gamma", 7),
+    }
+    bad_rows = [r.raw_record for r in bad.collect()]
+    assert len(bad_rows) == 1 and "not_a_number" in bad_rows[0]

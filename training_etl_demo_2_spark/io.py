@@ -57,6 +57,50 @@ def read_tsv(
     return read_csv(spark, path, schema=schema, sep="\t")
 
 
+def read_csv_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    sep: str = ",",
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV/TSV scan with a dead-letter path: returns ``(good, bad)``
+    where ``bad`` carries the raw text of rows that failed to parse
+    against ``schema`` (type mismatch, wrong column count).
+
+    PERMISSIVE mode + ``columnNameOfCorruptRecord`` keeps the scan a
+    single pass — malformed rows land in the corrupt column instead of
+    failing the job (FAILFAST) or silently vanishing (DROPMALFORMED),
+    the production posture for 100 TB ingest where a 1e-8 corruption
+    rate is still thousands of rows someone must triage. Both returned
+    frames filter one shared scan; Spark requires the corrupt column
+    to be materialized before filtering on it, hence the cache hint on
+    the parsed frame rather than two independent scans.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    corrupt = "_corrupt_record"
+    full_schema = StructType(
+        list(schema.fields) + [StructField(corrupt, StringType(), True)]
+    )
+    parsed = (
+        spark.read.options(sep=sep, header=header, mode="PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .schema(full_schema)
+        .csv(path)
+        # Spark disallows filtering on the corrupt column of a raw CSV
+        # scan (SPARK-21610): referencing it requires the parsed rows
+        # to be materialized first.
+        .cache()
+    )
+    good = parsed.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = parsed.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_record")
+    )
+    return good, bad
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
