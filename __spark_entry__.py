@@ -240,6 +240,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reproducible per-epoch training order: exact distributed rank
         # over an avalanched (seed, key) hash
         "corpus_shuffle": _q(lambda t: curation.corpus_shuffle(t["documents"])),
+        # batch-vs-corpus dedup (how a corpus grows): incoming = odd
+        # doc_ids checked against the even-doc_id corpus fingerprints
+        "incremental_dedup": _q(
+            lambda t: dedup.incremental_dedup(
+                t["documents"].filter(F.col("doc_id") % 2 == 1),
+                t["documents"].filter(F.col("doc_id") % 2 == 0),
+            )
+        ),
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
         "fuzzy_part_pairs": _q(
@@ -873,6 +881,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": oracle_text.scrub_pii_sql(),
         # dedup (SQL generated from the same LSH constants as the engine)
         "dedup_exact": oracle.exact_dedup_sql(),
+        "incremental_dedup": oracle.incremental_dedup_sql(),
         "clean_corpus": pipeline.clean_corpus_sql(),
         "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(threshold=0.5),
         "dedup_minhash_lsh": oracle.minhash_lsh_sql(threshold=0.8),

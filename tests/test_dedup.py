@@ -138,3 +138,23 @@ def test_fuzzy_name_pairs_blocking_and_verify(spark):
     out = {(r.name_a, r.name_b): r.dist for r in fuzzy_name_pairs(df, "name").collect()}
     # distinct-value space: the duplicate 'cold gear' collapses first
     assert out == {("cold gear", "old gear"): 1}
+
+
+def test_incremental_dedup_against_corpus(tables):
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark.functions import normalize_text, rolling_hash
+
+    docs = tables["documents"]
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    out = dedup.incremental_dedup(incoming, corpus)
+    got_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert got_ids and all(i % 2 == 1 for i in got_ids)
+    # no surviving incoming doc's normalized fingerprint exists in corpus
+    fp = rolling_hash(normalize_text("text")).alias("fp")
+    corpus_fps = {r["fp"] for r in corpus.select(fp).collect()}
+    out_fps = [r["fp"] for r in out.select(fp).collect()]
+    assert not (set(out_fps) & corpus_fps)
+    # and within the surviving batch, fingerprints are unique
+    assert len(out_fps) == len(set(out_fps))

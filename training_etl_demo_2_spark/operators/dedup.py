@@ -92,6 +92,35 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.join(keep, "doc_id", "semi")
 
 
+def incremental_dedup(
+    incoming: DataFrame, corpus: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Dedup an INCOMING batch against an existing corpus: drop incoming
+    rows whose normalized-content fingerprint already exists in the
+    corpus, then keep-first within the batch itself. This is how a
+    100 TB corpus actually grows — per-delivery batches checked against
+    the accumulated collection, never a full re-dedup.
+
+    Scale shape: the corpus side reduces to its DISTINCT 8-byte
+    fingerprints before the anti-join (a semi-structure orders of
+    magnitude smaller than the corpus, amortizable as a stored
+    fingerprint table); the anti-join shuffles on the fingerprint. The
+    within-batch pass is the standard fingerprint groupBy over the
+    (much smaller) surviving batch."""
+    fp = rolling_hash(normalize_text(text_col)).alias("fp")
+    seen = corpus.select(fp).distinct()
+    fresh = (
+        incoming.withColumn("fp", rolling_hash(normalize_text(text_col)))
+        .join(seen, "fp", "anti")
+    )
+    keep = (
+        fresh.groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return fresh.drop("fp").join(keep, "doc_id", "semi")
+
+
 # ---------------------------------------------------------------------------
 # shingling (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------

@@ -58,6 +58,26 @@ def exact_dedup_sql() -> str:
     """
 
 
+def incremental_dedup_sql() -> str:
+    """Twin of dedup.incremental_dedup over the parity-split registered
+    query (scale-invariant: meaningful at every sf): corpus = even
+    doc_id, incoming = odd doc_id."""
+    fp = ROLLING_HASH.format(s=NORMALIZE.format(s="text"))
+    return f"""
+    WITH fps AS (SELECT doc_id, lang, source, n_chars, text,
+                        {fp} AS fp FROM documents),
+    corpus AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+    fresh AS (
+        SELECT f.* FROM fps f
+        WHERE f.doc_id % 2 = 1
+          AND NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = f.fp)
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM fresh GROUP BY fp)
+    SELECT f.doc_id, f.text, f.lang, f.source, f.n_chars
+    FROM fresh f JOIN keep k ON f.doc_id = k.doc_id
+    """
+
+
 def _jaccard_sql(pairs_filter: str, threshold: float) -> str:
     return f"""
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
