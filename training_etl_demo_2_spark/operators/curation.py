@@ -373,12 +373,14 @@ def corpus_shuffle(
     no partition dependence).
 
     Scale shape: the rank is EXACT and DISTRIBUTED — range-repartition
-    on the hash (the one shuffle a global sort needs, into P parallel
-    tasks), then global rank = per-partition row_number + broadcast
-    prefix-sum of the P partition counts (partition METADATA, not
-    rows). Same pattern as customer_value_deciles; a naive
+    on the hash (the shuffle any global sort needs, into P parallel
+    tasks), then global rank = per-partition row_number + prefix-sum of
+    the P partition counts (partition METADATA, not rows). A naive
     ``row_number() OVER (ORDER BY hash)`` funnels the corpus through
-    one task.
+    one task. Plan honesty: the pid-partitioned rank window costs a
+    second exchange (Catalyst cannot see that spark_partition_id
+    already co-locates it), but both exchanges move only (key, hash)
+    pairs — 16 bytes/row — and every stage is P-parallel.
     """
     spark = df.sparkSession
     h = _shuffle_hash(F.col(key), seed)
