@@ -248,6 +248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 t["documents"].filter(F.col("doc_id") % 2 == 0),
             )
         ),
+        # streaming distinct: watermarked dedup -> windowed count (the
+        # canonical chain; countDistinct is unsupported on streams)
+        "stream_hourly_users": fixture_queries.stream_hourly_users,
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
         "fuzzy_part_pairs": _q(
@@ -870,6 +873,7 @@ def oracle_sql() -> dict[str, str]:
         # streaming: the batch SQL the incremental plan must reproduce
         "stream_hourly_stats": fixture_queries.STREAM_HOURLY_STATS_ORACLE,
         "stream_user_nation_stats": fixture_queries.STREAM_USER_NATION_ORACLE,
+        "stream_hourly_users": fixture_queries.STREAM_HOURLY_USERS_ORACLE,
         "stream_value_anomalies": fixture_queries.STREAM_ANOMALIES_ORACLE,
         "udf_minmax_norm": udfs.MINMAX_NORM_ORACLE,
         # text analysis

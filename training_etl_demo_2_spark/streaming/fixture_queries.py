@@ -161,6 +161,37 @@ def stream_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("gate_stream_anomalies")
 
 
+def stream_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hour on a stream. ``countDistinct`` is
+    unsupported in streaming aggregations, so this is the canonical
+    two-stage chain: watermarked ``dropDuplicates`` keyed on
+    (user_id, hour) — state bounded by the watermark — feeding a
+    windowed count. Replayed to completion it must equal the batch
+    COUNT(DISTINCT)."""
+    src = read_events_stream_fixture(spark, sf_dir)
+    hourly = (
+        src.withColumn("hour_ts", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("hour_ts", "2 hours")
+        .dropDuplicates(["user_id", "hour_ts"])
+        .groupBy("hour_ts")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "n_users",
+        )
+    )
+    _replay_to_table(hourly, "gate_stream_hourly_users")
+    return spark.table("gate_stream_hourly_users")
+
+
+STREAM_HOURLY_USERS_ORACLE = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1
+"""
+
+
 STREAM_ANOMALIES_ORACLE = """
     SELECT event_id, user_id, event_type, round(value, 2) AS value, n_prev
     FROM (
