@@ -140,3 +140,25 @@ def test_corpus_shuffle_is_seeded_permutation(tables):
          curation.corpus_shuffle(docs, seed="epoch1").collect()}
     assert c != a  # independent permutation per seed
     assert sorted(c.values()) == list(range(1, n + 1))
+
+
+def test_corpus_shuffle_permutation_at_scale(spark):
+    """Regression for the repartitionByRange formulation: sampled range
+    boundaries recomputed between the counts pass and the rank pass made
+    ranks a non-permutation at sizes where the sampler is partial. The
+    value-derived bucketing must give exactly 1..N twice over."""
+    df = spark.range(150_000).selectExpr("id AS doc_id")
+    out = curation.corpus_shuffle(df)
+    stats = out.selectExpr(
+        "min(shuffle_rank)", "max(shuffle_rank)",
+        "count(DISTINCT shuffle_rank)", "count(*)"
+    ).collect()[0]
+    assert tuple(stats) == (1, 150_000, 150_000, 150_000)
+    again = curation.corpus_shuffle(df)
+    assert (
+        out.alias("a")
+        .join(again.alias("b"), "doc_id")
+        .filter("a.shuffle_rank != b.shuffle_rank")
+        .count()
+        == 0
+    )

@@ -212,10 +212,13 @@ def test_read_csv_with_quarantine_splits_good_and_bad(spark, tmp_path):
             StructField("count", IntegerType()),
         ]
     )
-    good, bad = read_csv_with_quarantine(spark, str(p), schema)
+    result = read_csv_with_quarantine(spark, str(p), schema)
+    good, bad = result  # tuple-style unpacking supported
     assert {(r["word"], r["count"]) for r in good.collect()} == {
         ("alpha", 3),
         ("gamma", 7),
     }
     bad_rows = [r.raw_record for r in bad.collect()]
     assert len(bad_rows) == 1 and "not_a_number" in bad_rows[0]
+    result.unpersist()
+    assert not result._parsed.is_cached

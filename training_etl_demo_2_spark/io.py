@@ -57,25 +57,43 @@ def read_tsv(
     return read_csv(spark, path, schema=schema, sep="\t")
 
 
+@dataclass
+class QuarantinedRead:
+    """Result of a quarantine scan. Call :meth:`unpersist` after both
+    frames are drained — the shared parsed scan is cached (Spark
+    requires the corrupt column to be materialized before filtering on
+    it, SPARK-21610), and without an explicit release a long-lived
+    ingest loop would pin every delivery batch in executor storage."""
+
+    good: DataFrame
+    bad: DataFrame
+    _parsed: DataFrame
+
+    def unpersist(self, blocking: bool = False) -> None:
+        self._parsed.unpersist(blocking=blocking)
+
+    def __iter__(self):  # tuple-style unpacking: good, bad = read_...
+        return iter((self.good, self.bad))
+
+
 def read_csv_with_quarantine(
     spark: SparkSession,
     path: str,
     schema: StructType,
     sep: str = ",",
     header: bool = True,
-) -> tuple[DataFrame, DataFrame]:
-    """CSV/TSV scan with a dead-letter path: returns ``(good, bad)``
-    where ``bad`` carries the raw text of rows that failed to parse
-    against ``schema`` (type mismatch, wrong column count).
+) -> QuarantinedRead:
+    """CSV/TSV scan with a dead-letter path: ``good`` holds rows that
+    parsed against ``schema``; ``bad`` carries the raw text of rows
+    that failed (type mismatch, wrong column count).
 
     PERMISSIVE mode + ``columnNameOfCorruptRecord`` keeps the scan a
     single pass — malformed rows land in the corrupt column instead of
     failing the job (FAILFAST) or silently vanishing (DROPMALFORMED),
     the production posture for 100 TB ingest where a 1e-8 corruption
-    rate is still thousands of rows someone must triage. Both returned
-    frames filter one shared scan; Spark requires the corrupt column
-    to be materialized before filtering on it, hence the cache hint on
-    the parsed frame rather than two independent scans.
+    rate is still thousands of rows someone must triage. Both frames
+    filter one shared cached scan; the caller releases it via
+    :meth:`QuarantinedRead.unpersist` once both are drained.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType, StructField
@@ -89,16 +107,13 @@ def read_csv_with_quarantine(
         .option("columnNameOfCorruptRecord", corrupt)
         .schema(full_schema)
         .csv(path)
-        # Spark disallows filtering on the corrupt column of a raw CSV
-        # scan (SPARK-21610): referencing it requires the parsed rows
-        # to be materialized first.
         .cache()
     )
     good = parsed.filter(F.col(corrupt).isNull()).drop(corrupt)
     bad = parsed.filter(F.col(corrupt).isNotNull()).select(
         F.col(corrupt).alias("raw_record")
     )
-    return good, bad
+    return QuarantinedRead(good, bad, parsed)
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

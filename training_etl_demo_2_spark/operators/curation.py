@@ -363,60 +363,63 @@ def _shuffle_hash(key: Column, seed: str):
     return (h * F.lit(_MIX_KNUTH)) % F.lit(FNV_MOD)
 
 
+SHUFFLE_BUCKETS = 256
+
+
 def corpus_shuffle(
-    df: DataFrame, seed: str = "epoch0", key: str = "doc_id"
+    df: DataFrame,
+    seed: str = "epoch0",
+    key: str = "doc_id",
+    buckets: int = SHUFFLE_BUCKETS,
 ) -> DataFrame:
     """Reproducible global training order: rank every row by an
     avalanched content hash of (seed, key). Each ``seed`` yields an
     independent permutation — the per-epoch shuffle of a training run,
-    identical across engines, runs, and cluster sizes (no RNG state,
-    no partition dependence).
+    identical across engines, runs, and cluster sizes.
 
-    Scale shape: the rank is EXACT and DISTRIBUTED — range-repartition
-    on the hash (the shuffle any global sort needs, into P parallel
-    tasks), then global rank = per-partition row_number + prefix-sum of
-    the P partition counts (partition METADATA, not rows). A naive
-    ``row_number() OVER (ORDER BY hash)`` funnels the corpus through
-    one task. Plan honesty: the pid-partitioned rank window costs a
-    second exchange (Catalyst cannot see that spark_partition_id
-    already co-locates it), but both exchanges move only (key, hash)
-    pairs — 16 bytes/row — and every stage is P-parallel.
+    Scale shape: the rank is EXACT, DISTRIBUTED, and — critically —
+    VALUE-derived. The hash space [0, P) is cut into ``buckets`` fixed
+    equal spans; global rank = (prefix-sum of bucket counts, a
+    ``buckets``-row relation joined back by broadcast) + row_number
+    within the bucket. Nothing depends on physical partitioning: an
+    earlier formulation used repartitionByRange + spark_partition_id,
+    whose RangePartitioner SAMPLES boundaries — recomputing the plan
+    resampled different boundaries than the collected counts, yielding
+    non-permutation, nondeterministic ranks at corpus sizes where the
+    sample is partial (caught at 2M rows). Fixed spans have no sampled
+    state, so both passes over the source agree by construction. The
+    hash is avalanched (Knuth finish), so bucket loads are uniform; a
+    naive ``row_number() OVER (ORDER BY hash)`` funnels the corpus
+    through one task, while each bucket here ranks in parallel.
     """
-    spark = df.sparkSession
-    h = _shuffle_hash(F.col(key), seed)
-    nparts = max(1, spark.sparkContext.defaultParallelism)
-    ranged = (
-        df.select(F.col(key), h.alias("__h"))
-        .repartitionByRange(nparts, F.asc("__h"), F.asc(key))
-        .withColumn("__pid", F.spark_partition_id())
-    )
-    ranged.persist()
-    try:
-        counts = {
-            int(r["__pid"]): int(r["count"])
-            for r in ranged.groupBy("__pid").count().collect()
-        }
-        offsets = {}
-        acc = 0
-        for pid in sorted(counts):
-            offsets[pid] = acc
-            acc += counts[pid]
-        from pyspark.sql.window import Window
+    from pyspark.sql.window import Window
 
-        off = F.lit(0)
-        for pid, o in offsets.items():
-            off = F.when(F.col("__pid") == pid, F.lit(o)).otherwise(off)
-        w = Window.partitionBy("__pid").orderBy(F.asc("__h"), F.asc(key))
-        out = ranged.select(
+    h = _shuffle_hash(F.col(key), seed)
+    span = (FNV_MOD + buckets - 1) // buckets
+    hashed = df.select(F.col(key), h.alias("__h")).withColumn(
+        "__b", F.expr(f"__h div {span}")
+    )
+    counts = hashed.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+    # Prefix-sum over <= ``buckets`` rows: a single-task window over
+    # metadata-sized input, then broadcast back.
+    w_off = (
+        Window.orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__b",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias("__off"),
+    )
+    w_rank = Window.partitionBy("__b").orderBy(F.asc("__h"), F.asc(key))
+    return (
+        hashed.join(F.broadcast(offsets), "__b")
+        .select(
             key,
-            (off + F.row_number().over(w)).cast("long").alias("shuffle_rank"),
+            (F.col("__off") + F.row_number().over(w_rank))
+            .cast("long")
+            .alias("shuffle_rank"),
         )
-        # Materialization happens downstream; the persist only needs to
-        # live through the counts pass above, and the plan re-reads the
-        # exchanged partitions while cached.
-        return out
-    finally:
-        ranged.unpersist(blocking=False)
+    )
 
 
 def corpus_shuffle_sql(seed: str = "epoch0") -> str:

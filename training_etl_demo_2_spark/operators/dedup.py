@@ -79,17 +79,25 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def drop_exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Keep-first exact dedup returning surviving full rows (the
-    dropDuplicates-with-deterministic-winner variant)."""
-    w_fp = rolling_hash(normalize_text(text_col)).alias("fp")
+def _keep_first_by_fp(df_with_fp: DataFrame) -> DataFrame:
+    """Deterministic-winner selection shared by every keep-first exact
+    dedup: min doc_id per fingerprint, semi-joined back. One helper so
+    the winner rule can never drift between the batch and incremental
+    variants (both must keep matching their oracle twins)."""
     keep = (
-        df.select("doc_id", w_fp)
-        .groupBy("fp")
+        df_with_fp.groupBy("fp")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    return df.join(keep, "doc_id", "semi")
+    return df_with_fp.drop("fp").join(keep, "doc_id", "semi")
+
+
+def drop_exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep-first exact dedup returning surviving full rows (the
+    dropDuplicates-with-deterministic-winner variant)."""
+    return _keep_first_by_fp(
+        df.withColumn("fp", rolling_hash(normalize_text(text_col)))
+    )
 
 
 def incremental_dedup(
@@ -113,12 +121,7 @@ def incremental_dedup(
         incoming.withColumn("fp", rolling_hash(normalize_text(text_col)))
         .join(seen, "fp", "anti")
     )
-    keep = (
-        fresh.groupBy("fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    return fresh.drop("fp").join(keep, "doc_id", "semi")
+    return _keep_first_by_fp(fresh)
 
 
 # ---------------------------------------------------------------------------
