@@ -224,6 +224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pk_uniqueness": _q(validation.pk_duplicates),
         "orders_merge_upsert": _q(merge.orders_merge_upsert),
         "orders_scd2_history": _q(merge.orders_scd2_history),
+        # table-version diff (CDC generation / audit): delta-sized output
+        "orders_snapshot_diff": _q(merge.orders_snapshot_diff),
         "event_anomalies": _q(lambda t: validation.value_anomalies(t["events"])),
         # rows-only scale sibling of data_profile_lineitem:
         # approx_count_distinct (HLL) replaces the Expand-based exact
@@ -247,6 +249,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 t["documents"].filter(F.col("doc_id") % 2 == 1),
                 t["documents"].filter(F.col("doc_id") % 2 == 0),
             )
+        ),
+        # CCNet-style segment ("line") dedup: drop segments shared by
+        # >= 2 documents, reassemble survivors in original order
+        "line_dedup": _q(lambda t: dedup.line_dedup(t["documents"])),
+        # unigram-LM perplexity proxy (CCNet-style LM quality ranking)
+        "unigram_logprob": _q(lambda t: text.unigram_logprob(t["documents"])),
+        # fixed-weight logistic quality filter (fasttext-classifier shape)
+        "quality_classifier": _q(
+            lambda t: text.quality_classifier(t["documents"])
         ),
         # streaming distinct: watermarked dedup -> windowed count (the
         # canonical chain; countDistinct is unsupported on streams)
@@ -839,6 +850,7 @@ def oracle_sql() -> dict[str, str]:
         "pk_uniqueness": validation.pk_duplicates_sql(),
         "orders_merge_upsert": merge.ORDERS_MERGE_UPSERT_ORACLE,
         "orders_scd2_history": merge.ORDERS_SCD2_ORACLE,
+        "orders_snapshot_diff": merge.ORDERS_SNAPSHOT_DIFF_ORACLE,
         "event_anomalies": validation.value_anomalies_sql(),
         "tfidf_top_terms": oracle_text.tfidf_top_terms_sql(),
         "skewed_user_revenue": skew.SKEWED_USER_REVENUE_ORACLE,
@@ -886,6 +898,9 @@ def oracle_sql() -> dict[str, str]:
         # dedup (SQL generated from the same LSH constants as the engine)
         "dedup_exact": oracle.exact_dedup_sql(),
         "incremental_dedup": oracle.incremental_dedup_sql(),
+        "line_dedup": oracle.line_dedup_sql(),
+        "unigram_logprob": text.UNIGRAM_LOGPROB_SQL,
+        "quality_classifier": text.quality_classifier_sql(),
         "clean_corpus": pipeline.clean_corpus_sql(),
         "dedup_ngram_jaccard": oracle.ngram_jaccard_sql(threshold=0.5),
         "dedup_minhash_lsh": oracle.minhash_lsh_sql(threshold=0.8),

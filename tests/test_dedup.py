@@ -158,3 +158,48 @@ def test_incremental_dedup_against_corpus(tables):
     assert not (set(out_fps) & corpus_fps)
     # and within the surviving batch, fingerprints are unique
     assert len(out_fps) == len(set(out_fps))
+
+
+def test_line_dedup_drops_shared_segments(spark):
+    """A 10-word segment shared verbatim by two docs is boilerplate and
+    must vanish from both; unique segments survive in original order."""
+    boiler = " ".join(f"b{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"c{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq_a}"),
+            (2, f"{boiler} {uniq_b}"),
+            (3, uniq_a[::-1]),  # unrelated content
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.line_dedup(df).collect()}
+    assert out[1].clean_text == uniq_a
+    assert out[1].n_kept == 1 and out[1].n_dropped == 1
+    assert out[2].clean_text == uniq_b
+    assert out[3].n_dropped == 0
+
+
+def test_line_dedup_fully_boilerplate_doc_survives_empty(spark):
+    seg = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, seg), (2, seg)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in dedup.line_dedup(df).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].clean_text == "" and rows[1].n_kept == 0
+
+
+def test_line_dedup_preserves_segment_order(spark):
+    """Survivor segments must reassemble in original positional order
+    even when the dropped segment sits between them."""
+    boiler = " ".join(f"b{i}" for i in range(10))
+    first = " ".join(f"p{i}" for i in range(10))
+    last = " ".join(f"q{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, f"{first} {boiler} {last}"), (2, boiler)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.line_dedup(df).collect()}
+    assert out[1].clean_text == f"{first} {last}"

@@ -68,3 +68,27 @@ def test_sessionize_gap(spark):
     out = relational.sessionize_events({"events": df}).collect()
     sess = {(r.user_id, r.session_seq): r.n_events for r in out}
     assert sess == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    from training_etl_demo_2_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0)],
+        "k long, status string, price double",
+    )
+    new = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 25.0), (4, "D", 40.0)],
+        "k long, status string, price double",
+    )
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, "k").collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}  # 1 unchanged -> absent
+
+
+def test_snapshot_diff_null_safe(spark):
+    from training_etl_demo_2_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "x")], "k long, v string")
+    new = spark.createDataFrame([(1, "y"), (2, None)], "k long, v string")
+    out = {r.k: r.change_type for r in snapshot_diff(old, new, "k").collect()}
+    assert out == {1: "changed", 2: "changed"}

@@ -115,3 +115,27 @@ def test_repetition_stats_bounds_and_signal(spark):
     assert out[1]["bigram_dup_bp"] == 6666  # 3 bigrams, 1 distinct
     assert out[2]["word_dup_bp"] == 0 and out[2]["bigram_dup_bp"] == 0
     assert out[3]["n_words"] == 1 and out[3]["bigram_dup_bp"] == 0
+
+
+def test_unigram_logprob_ranks_common_below_rare(spark):
+    """Docs made of corpus-frequent tokens score higher (closer to 0)
+    than docs of rare tokens; scores are <= 0 and finite."""
+    from training_etl_demo_2_spark.operators.text import unigram_logprob
+
+    rows = [(i, "the the the common words") for i in range(5)]
+    rows.append((99, "zyzzyva qwerty plugh"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.avg_logprob for r in unigram_logprob(df).collect()}
+    assert all(v <= 0 for v in out.values())
+    assert out[0] > out[99]  # frequent vocabulary beats rare
+
+
+def test_quality_classifier_label_matches_prob(tables):
+    from training_etl_demo_2_spark.operators.text import quality_classifier
+
+    out = quality_classifier(tables["documents"]).collect()
+    assert len(out) == tables["documents"].count()
+    for r in out:
+        assert 0.0 <= r.quality_prob <= 1.0
+        if abs(r.quality_prob - 0.5) > 1e-5:  # off the rounding boundary
+            assert r.keep == (1 if r.quality_prob > 0.5 else 0)

@@ -125,6 +125,84 @@ def incremental_dedup(
 
 
 # ---------------------------------------------------------------------------
+# segment-level (CCNet-style "line") dedup
+# ---------------------------------------------------------------------------
+
+LINE_SEG_WORDS = 10  # fixture segmenter: fixed word-count chunks
+
+
+def _fixed_segments(text_col: str, seg_words: int) -> Column:
+    """Chunk the token stream into consecutive ``seg_words``-word
+    segments (last one may be shorter). The fixture documents carry no
+    newlines, so the segmenter is positional; on a real corpus swap
+    this one expression for ``F.split(text, "\\n")`` and everything
+    downstream — counting, filtering, reassembly — is unchanged."""
+    toks = F.split(F.col(text_col), " ")
+    n_seg = F.ceil(F.size(toks) / F.lit(float(seg_words))).cast("int")
+    make = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * seg_words + 1, seg_words), " "
+        ),
+    )
+    return F.when(n_seg >= 1, make).otherwise(F.array().cast("array<string>"))
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    seg_words: int = LINE_SEG_WORDS,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-wide segment dedup (the CCNet/RefinedWeb "line dedup"
+    pass): drop every text segment that appears in >= ``min_docs``
+    DISTINCT documents — boilerplate headers, navigation chrome,
+    license blocks — and reassemble each document from its surviving
+    segments in original order.
+
+    Returns (doc_id, clean_text, n_kept, n_dropped); documents whose
+    every segment is boilerplate survive with empty clean_text (the
+    caller decides whether to drop empties).
+
+    Scale shape: segments explode narrowly from the scan; the
+    boilerplate relation is ``count(DISTINCT doc) >= min_docs`` grouped
+    ON THE 8-BYTE SEGMENT HASH (never the string), so the counting
+    shuffle moves (hash, doc_id) pairs only. The flagging join is
+    hash-keyed against that (vocabulary-sized, heavily filtered)
+    relation — AQE broadcasts it when small. The only corpus-sized
+    shuffle is the unavoidable reassembly groupBy(doc_id), which moves
+    each surviving segment string exactly once.
+    """
+    segs = df.select(
+        "doc_id",
+        F.posexplode(_fixed_segments(text_col, seg_words)).alias("pos", "seg"),
+    ).withColumn("h", rolling_hash(F.col("seg")))
+    boiler = (
+        segs.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+        .withColumn("__dup", F.lit(1))
+    )
+    flagged = segs.join(boiler, "h", "left").withColumn(
+        "dup", F.coalesce(F.col("__dup"), F.lit(0))
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("dup"), F.col("seg")))
+    )
+    kept = F.filter(ordered, lambda s: s["dup"] == 0)
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(kept, lambda s: s["seg"]), " "
+        ).alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.size(kept)).cast("long").alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # shingling (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------
 

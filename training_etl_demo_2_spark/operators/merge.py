@@ -115,6 +115,116 @@ def merge_scd2(
     ).unionAll(closed).unionAll(opened)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Table-version diff (the CDC-generation / audit primitive): given
+    two snapshots of a keyed table, emit one row per difference —
+    change_type in ('added', 'removed', 'changed') — with the old and
+    new values of the compared columns. Unchanged rows are absent, so
+    the output is delta-sized, not table-sized.
+
+    Comparison is null-safe per column (NULL -> non-NULL counts as a
+    change). One shuffle: the full-outer join on the key; at 100 TB
+    both snapshots partition on the key, and if the snapshots share a
+    bucketed layout (io.write_clustered) the join is exchange-free.
+    """
+    cols = compare_cols or [c for c in old.columns if c != key]
+    o = old.select(
+        F.col(key), F.lit(True).alias("__has_o"),
+        *[F.col(c).alias(f"__o_{c}") for c in cols],
+    )
+    n = new.select(
+        F.col(key), F.lit(True).alias("__has_n"),
+        *[F.col(c).alias(f"__n_{c}") for c in cols],
+    )
+    j = o.join(n, key, "full_outer")
+    has_o = F.coalesce(F.col("__has_o"), F.lit(False))
+    has_n = F.coalesce(F.col("__has_n"), F.lit(False))
+    differs = None
+    for c in cols:
+        d = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        differs = d if differs is None else (differs | d)
+    ctype = (
+        F.when(~has_o, F.lit("added"))
+        .when(~has_n, F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change_type", ctype)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            key,
+            "change_type",
+            *[F.col(f"__o_{c}").alias(f"old_{c}") for c in cols],
+            *[F.col(f"__n_{c}").alias(f"new_{c}") for c in cols],
+        )
+    )
+
+
+# Deterministic snapshot pair derived from orders: the old snapshot is
+# missing keys % 7 == 3 (they appear only in new -> 'added'), the new
+# snapshot is missing keys % 7 == 5 ('removed') and reprices keys
+# % 5 == 0 by +10.00 ('changed'; one IEEE add, bit-identical on both
+# engines).
+_DIFF_OLD_PRED = "o_orderkey % 7 != 3"
+_DIFF_NEW_PRED = "o_orderkey % 7 != 5"
+_DIFF_BUMP_PRED = "o_orderkey % 5 = 0"
+
+
+def orders_snapshot_diff(t: dict[str, DataFrame]) -> DataFrame:
+    orders = t["orders"]
+    old = orders.filter(_DIFF_OLD_PRED).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(_DIFF_NEW_PRED).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(F.expr(_DIFF_BUMP_PRED), F.col("o_totalprice") + 10.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    d = snapshot_diff(old, new, "o_orderkey",
+                      ["o_orderstatus", "o_totalprice"])
+    return d.select(
+        "o_orderkey",
+        "change_type",
+        "old_o_orderstatus",
+        F.round("old_o_totalprice", 2).alias("old_price"),
+        "new_o_orderstatus",
+        F.round("new_o_totalprice", 2).alias("new_price"),
+    )
+
+
+ORDERS_SNAPSHOT_DIFF_ORACLE = f"""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE {_DIFF_OLD_PRED}
+    ), new AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN {_DIFF_BUMP_PRED} THEN o_totalprice + 10.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE {_DIFF_NEW_PRED}
+    )
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type,
+           o.o_orderstatus AS old_o_orderstatus,
+           round(o.o_totalprice, 2) AS old_price,
+           n.o_orderstatus AS new_o_orderstatus,
+           round(n.o_totalprice, 2) AS new_price
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL
+       OR n.o_orderkey IS NULL
+       OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+       OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+"""
+
+
 # ---------------------------------------------------------------------------
 # registered query: deterministic CDC delta merged into orders
 # ---------------------------------------------------------------------------

@@ -78,6 +78,50 @@ def incremental_dedup_sql() -> str:
     """
 
 
+def line_dedup_sql(seg_words: int = 10, min_docs: int = 2) -> str:
+    """Twin of dedup.line_dedup: positional word-chunk segments, the
+    boilerplate set counted by DISTINCT documents per segment hash,
+    order-preserving reassembly via string_agg ORDER BY pos."""
+    k = seg_words
+    h = ROLLING_HASH.format(s="seg")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, w,
+               CAST(ceil(len(w) / CAST({k} AS DOUBLE)) AS BIGINT) AS nseg
+        FROM toks
+    ),
+    segs AS (
+        SELECT doc_id,
+               unnest(range(0, nseg)) AS pos,
+               unnest(list_transform(
+                   range(0, nseg),
+                   i -> array_to_string(w[i*{k}+1 : i*{k}+{k}], ' ')
+               )) AS seg
+        FROM sized
+    ),
+    hashed AS (SELECT doc_id, pos, seg, {h} AS h FROM segs),
+    boiler AS (
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM hashed)
+        GROUP BY h HAVING count(*) >= {min_docs}
+    ),
+    flagged AS (
+        SELECT s.doc_id, s.pos, s.seg,
+               CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END AS dup
+        FROM hashed s LEFT JOIN boiler b USING (h)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN dup = 0 THEN seg END, ' '
+                               ORDER BY pos), '') AS clean_text,
+           CAST(sum(1 - dup) AS BIGINT) AS n_kept,
+           CAST(sum(dup) AS BIGINT) AS n_dropped
+    FROM flagged
+    GROUP BY doc_id
+    """
+
+
 def _jaccard_sql(pairs_filter: str, threshold: float) -> str:
     return f"""
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

@@ -163,6 +163,161 @@ def tfidf_top_terms(
     )
 
 
+def unigram_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram-LM document scoring — the perplexity-proxy quality
+    signal of LLM data pipelines (CCNet ranks documents by LM score;
+    here the LM is the corpus's own unigram distribution, so the score
+    is self-contained and oracle-reproducible).
+
+    avg_logprob = sum_t tf_t * (ln cnt_t - ln N) / n_d  — the mean log
+    probability of the document's tokens under the corpus unigram
+    distribution. Low scores = rare/garbled vocabulary; high scores =
+    generic text. No smoothing needed: every scored token exists in
+    the corpus by construction (cnt >= tf >= 1).
+
+    Scale shape: one shuffle on (doc_id, term) for TF, one on term for
+    the corpus counts (vocabulary-sized output), a term-keyed join
+    back, and the per-doc aggregate. The corpus total N rides in as a
+    broadcast 1-row aggregate — one Catalyst plan, no driver action.
+    Float note: the per-doc sum is order-nondeterministic double
+    accumulation; its error (~1e-13 relative) sits far inside the
+    round-6 output grid, the same argument as text_quality's ratios.
+    """
+    tf = (
+        df.select("doc_id", F.explode(_tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cnt = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cnt"))
+    tot = cnt.agg(F.sum("cnt").cast("long").alias("n_total"))
+    return (
+        tf.join(cnt, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("tf") * (F.log("cnt") - F.log("n_total"))
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks WHERE term != '' GROUP BY doc_id, term
+    ),
+    cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnt)
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(sum(tf * (ln(cnt) - ln(n_total))) / sum(tf), 6) AS avg_logprob
+    FROM tf JOIN cnt USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
+
+# Fixed public classifier weights (logistic over the text_quality /
+# repetition feature set) — the shape of a fasttext-style quality
+# filter with the learned weights replaced by documented constants, so
+# the whole stage is deterministic and SQL-reproducible.
+QC_WEIGHTS = {
+    "bias": -2.0,
+    "len": 3.0,  # * min(n_tokens/50, 1)
+    "alpha": 2.0,  # * alpha_ratio
+    "stop": 1.5,  # * min(stop_ratio*5, 1)
+    "punct": -4.0,  # * punct_ratio
+    "dup": -2.0,  # * word-duplicate fraction
+}
+
+
+def quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Linear quality classifier: logistic score over the quality and
+    repetition features, with a hard keep/drop label — the
+    classifier-filter stage of an LLM pipeline with fixed, auditable
+    weights (``QC_WEIGHTS``).
+
+    keep = (z >= 0): the label compares the raw logit, which is the
+    same per-row IEEE op sequence on both engines — bit-identical, no
+    rounding boundary. Narrow per-row transform; the cost is the scan.
+    """
+    text = F.col(text_col)
+    toks = _tokens(text_col)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    n_alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(0.0)
+    dup_frac = safe(
+        (n_tokens - F.size(F.array_distinct(toks))), n_tokens
+    )
+    w = QC_WEIGHTS
+    z = (
+        F.lit(w["bias"])
+        + w["len"] * F.least(n_tokens.cast("double") / 50.0, F.lit(1.0))
+        + w["alpha"] * safe(n_alpha, n_chars)
+        + w["stop"] * F.least(safe(n_stop, n_tokens) * 5.0, F.lit(1.0))
+        + w["punct"] * safe(n_punct, n_chars)
+        + w["dup"] * dup_frac
+    )
+    return df.select(
+        "doc_id",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality_prob"),
+        F.when(z >= 0, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("keep"),
+    )
+
+
+def quality_classifier_sql() -> str:
+    w = QC_WEIGHTS
+    z = (
+        f"{w['bias']} "
+        f"+ {w['len']} * least(n_tokens * 1.0 / 50.0, 1.0) "
+        f"+ {w['alpha']} * alpha_ratio "
+        f"+ {w['stop']} * least(stop_ratio * 5.0, 1.0) "
+        f"+ {w['punct']} * punct_ratio "
+        f"+ {w['dup']} * dup_frac"
+    )
+    sw = ", ".join(f"'{x}'" for x in STOPWORDS_EN)
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(string_split(lower(text), ' ')) AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+               length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+               len(list_filter(string_split(lower(text), ' '),
+                   x -> list_contains([{sw}], x))) AS n_stop,
+               len(string_split(lower(text), ' '))
+                   - len(list_distinct(string_split(lower(text), ' '))) AS n_dup
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END AS alpha_ratio,
+               CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END AS punct_ratio,
+               CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens ELSE 0.0 END AS stop_ratio,
+               CASE WHEN n_tokens > 0 THEN n_dup * 1.0 / n_tokens ELSE 0.0 END AS dup_frac
+        FROM base
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-({z}))), 6) AS quality_prob,
+           CAST(CASE WHEN ({z}) >= 0 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM feats
+    """
+
+
 def remove_stopwords(
     df: DataFrame, text_col: str = "text", stopwords: list[str] | None = None
 ) -> DataFrame:
