@@ -262,6 +262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming distinct: watermarked dedup -> windowed count (the
         # canonical chain; countDistinct is unsupported on streams)
         "stream_hourly_users": fixture_queries.stream_hourly_users,
+        # sliding windows (2h every 1h): each event in exactly 2 windows
+        "stream_sliding_stats": fixture_queries.stream_sliding_stats,
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
         "fuzzy_part_pairs": _q(
@@ -289,6 +291,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "ann_brute_topk_pandas": _q(
             lambda t: similarity.brute_topk_pandas(t["embeddings"], k=5)
+        ),
+        # rows-only: SemDeDup-style semantic dedup (k-means cells +
+        # within-cell greedy cosine pruning); the trained codebook is
+        # not SQL-expressible — invariants pinned in test_similarity.py
+        "semantic_dedup": _q(
+            lambda t: similarity.semantic_dedup(t["embeddings"])
         ),
         "sessionize_events_window": _q(relational_ext.sessionize_events_window),
         "q6_forecast_revenue": _q(relational.q6_forecast_revenue),
@@ -886,6 +894,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_hourly_stats": fixture_queries.STREAM_HOURLY_STATS_ORACLE,
         "stream_user_nation_stats": fixture_queries.STREAM_USER_NATION_ORACLE,
         "stream_hourly_users": fixture_queries.STREAM_HOURLY_USERS_ORACLE,
+        "stream_sliding_stats": fixture_queries.STREAM_SLIDING_STATS_ORACLE,
         "stream_value_anomalies": fixture_queries.STREAM_ANOMALIES_ORACLE,
         "udf_minmax_norm": udfs.MINMAX_NORM_ORACLE,
         # text analysis

@@ -39,4 +39,5 @@ ROWS_ONLY_DECLARED = [
     "sketch_user_stats",
     "pack_sequences",
     "data_profile_lineitem_approx",
+    "semantic_dedup",
 ]

@@ -167,3 +167,44 @@ def test_near_pairs_exact_multi_block(tables):
         ).collect()
     }
     assert one == many
+
+
+def test_semantic_dedup_invariants(tables):
+    """SemDeDup invariants: (a) kept vectors within a cell are pairwise
+    below the threshold; (b) every dropped vector has a kept
+    representative in its cell at >= threshold with a smaller id
+    (greedy order is ascending vec_id)."""
+    import numpy as np
+
+    from training_etl_demo_2_spark.operators.similarity import semantic_dedup
+
+    thr = 0.45
+    out = semantic_dedup(tables["embeddings"], threshold=thr).collect()
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in tables["embeddings"].collect()
+    }
+    for k, v in emb.items():
+        n = np.linalg.norm(v)
+        if n > 0:
+            emb[k] = v / n
+    assert len(out) == len(emb)  # total partition: every vector labeled
+    by_cell: dict[int, list] = {}
+    for r in out:
+        by_cell.setdefault(r.cell, []).append(r)
+    n_dropped = 0
+    for cell, rows in by_cell.items():
+        kept = [r.vec_id for r in rows if r.is_kept == 1]
+        for i, a in enumerate(kept):
+            for b in kept[i + 1:]:
+                assert float(emb[a] @ emb[b]) < thr, (a, b)
+        kept_set = set(kept)
+        for r in rows:
+            if r.is_kept == 0:
+                n_dropped += 1
+                assert r.rep_id in kept_set
+                assert r.rep_id < r.vec_id
+                assert float(emb[r.vec_id] @ emb[r.rep_id]) >= thr
+            else:
+                assert r.rep_id == r.vec_id
+    assert n_dropped > 0  # the fixture embeddings contain semantic dups

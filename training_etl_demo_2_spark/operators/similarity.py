@@ -545,3 +545,76 @@ def _near_pairs_lsh(v: DataFrame, threshold: float) -> DataFrame:
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.45
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    dim: int = 64,
+    n_centroids: int = IVF_CENTROIDS,
+) -> DataFrame:
+    """Semantic deduplication over embeddings (the SemDeDup recipe,
+    Abbas et al. 2023): k-means-cluster the corpus, then WITHIN each
+    cluster greedily keep one representative per group of
+    cosine-similar vectors — semantically redundant documents (same
+    content, different words) collapse even when no lexical dedup
+    fires.
+
+    Output: (vec_id, cell, rep_id, is_kept) — ``rep_id`` is the kept
+    representative the row was folded into (itself iff ``is_kept``).
+    The greedy order is ascending vec_id, so the winner rule is
+    deterministic and append-stable per cluster.
+
+    Scale shape: the codebook is trained on a driver-sized sample and
+    broadcast (same quantizer as IVF); assignment is one Arrow-batched
+    pass; the only shuffle is groupBy(cell). Per-cell work is
+    O(|cell|²) flops in one numpy kernel — the SemDeDup scaling knob
+    is n_centroids ∝ corpus size, which keeps cells bounded (the
+    paper runs 50k clusters for LAION-scale); cross-cell near-dups
+    are accepted misses exactly as in the paper. Rows-only: k-means
+    fixpoints are not SQL-expressible; invariants are pytest-pinned
+    (kept sets are pairwise < threshold, every dropped row has a kept
+    representative at >= threshold).
+    """
+    centroids = _ivf_centroids(emb, dim, n_centroids)
+    cells = ivf_assign(emb, centroids, multi=1)
+    v = emb.select("vec_id", "embedding").join(cells, "vec_id")
+    out_schema = "vec_id long, cell int, rep_id long, is_kept int"
+
+    def prune(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        mat /= norms
+        kept_rows: list[int] = []
+        rep = np.empty(len(ids), dtype=np.int64)
+        for i in range(len(ids)):
+            if kept_rows:
+                sims = mat[kept_rows] @ mat[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= threshold:
+                    rep[i] = ids[kept_rows[j]]
+                    continue
+            kept_rows.append(i)
+            rep[i] = ids[i]
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": np.full(len(ids), key[0], dtype=np.int32),
+                "rep_id": rep,
+                "is_kept": (rep == ids).astype(np.int32),
+            }
+        )
+
+    return v.groupBy("cell").applyInPandas(prune, out_schema)

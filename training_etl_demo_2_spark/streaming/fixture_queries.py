@@ -161,6 +161,55 @@ def stream_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("gate_stream_anomalies")
 
 
+def stream_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SLIDING-window aggregate (2 h windows every 1 h per
+    event_type) — each event lands in exactly two overlapping windows.
+    Completes the window-family coverage next to the tumbling
+    (stream_hourly_stats) and session (windowed.events_sessions)
+    variants; replayed to completion it must equal the batch answer
+    where each event is expanded into both of its windows."""
+    src = read_events_stream_fixture(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "3 hours")
+        .groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("value_t4"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n_events",
+            "value_t4",
+        )
+    )
+    _replay_to_table(agg, "gate_stream_sliding")
+    return spark.table("gate_stream_sliding")
+
+
+# Each event belongs to the two 2h/1h-slide windows starting at
+# trunc_hour(ts)-1h and trunc_hour(ts) (Spark windows are epoch-aligned);
+# the batch twin expands every event into both windows explicitly.
+STREAM_SLIDING_STATS_ORACLE = """
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_t4
+    FROM (
+        SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                       date_trunc('hour', ts)]) AS ws,
+               event_type, value
+        FROM events
+    )
+    GROUP BY 1, 2
+"""
+
+
 def stream_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per hour on a stream. ``countDistinct`` is
     unsupported in streaming aggregations, so this is the canonical
