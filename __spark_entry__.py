@@ -264,6 +264,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly_users": fixture_queries.stream_hourly_users,
         # sliding windows (2h every 1h): each event in exactly 2 windows
         "stream_sliding_stats": fixture_queries.stream_sliding_stats,
+        # stream-stream inner join (watermarked, time-range-bounded state)
+        "stream_click_attribution": fixture_queries.stream_click_attribution,
+        # outlier-robust winsorized per-type stats (discrete-rank clips)
+        "winsorized_value_stats": _q(
+            lambda t: validation.winsorized_stats(t["events"])
+        ),
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
         "fuzzy_part_pairs": _q(
@@ -895,6 +901,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_user_nation_stats": fixture_queries.STREAM_USER_NATION_ORACLE,
         "stream_hourly_users": fixture_queries.STREAM_HOURLY_USERS_ORACLE,
         "stream_sliding_stats": fixture_queries.STREAM_SLIDING_STATS_ORACLE,
+        "stream_click_attribution": fixture_queries.STREAM_ATTRIBUTION_ORACLE,
+        "winsorized_value_stats": validation.winsorized_stats_sql(),
         "stream_value_anomalies": fixture_queries.STREAM_ANOMALIES_ORACLE,
         "udf_minmax_norm": udfs.MINMAX_NORM_ORACLE,
         # text analysis

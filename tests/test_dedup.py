@@ -203,3 +203,16 @@ def test_line_dedup_preserves_segment_order(spark):
     )
     out = {r.doc_id: r for r in dedup.line_dedup(df).collect()}
     assert out[1].clean_text == f"{first} {last}"
+
+
+def test_line_dedup_identity_without_boilerplate(tables):
+    """With an unreachable min_docs, nothing is boilerplate and every
+    document must reassemble to its exact original text (segmentation
+    and reassembly are lossless inverses)."""
+    out = {
+        r.doc_id: r
+        for r in dedup.line_dedup(tables["documents"], min_docs=10**9).collect()
+    }
+    for r in tables["documents"].select("doc_id", "text").collect():
+        assert out[r.doc_id].clean_text == r.text
+        assert out[r.doc_id].n_dropped == 0

@@ -19,6 +19,9 @@ STREAMING = {
     "stream_hourly_stats",
     "stream_user_nation_stats",
     "stream_value_anomalies",
+    "stream_hourly_users",
+    "stream_sliding_stats",
+    "stream_click_attribution",
 }
 
 # Bounded-side nested-loop joins that are the documented design:
@@ -36,6 +39,8 @@ NESTED_LOOP_OK = {
     "q11_important_parts",
     # broadcasts the ONE-ROW corpus-size aggregate (N for the idf term)
     "tfidf_top_terms",
+    # broadcasts the ONE-ROW corpus-token-total aggregate (ln N term)
+    "unigram_logprob",
     # broadcasts the |quantiles|-row q relation across cumulative bins
     "histogram_quantiles",
 }

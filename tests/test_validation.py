@@ -277,3 +277,18 @@ def test_merge_upsert_broadcast_path_same_result(spark):
         ).collect()
     )
     assert a == b == [(1, 1.0), (2, 9.0)]
+
+
+def test_winsorized_stats_clips_outliers(spark):
+    from training_etl_demo_2_spark.operators.validation import winsorized_stats
+
+    rows = [(i, "t", float(i)) for i in range(1, 100)]  # 1..99
+    rows.append((100, "t", 1e9))  # the outlier that must be clipped
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    r = winsorized_stats(df).collect()[0]
+    assert r.n_events == 100
+    assert r.n_clipped_hi == 1  # only the outlier exceeds p99
+    # hi threshold is the rank-ceil(0.99*100)=99 value: 99.0
+    assert r.hi_t4 == 99_0000
+    # winsorized sum is bounded by n * hi (the outlier cannot dominate)
+    assert r.winsorized_sum_t4 <= 100 * r.hi_t4

@@ -386,3 +386,113 @@ def pk_duplicates_sql() -> str:
             f"FROM {table} GROUP BY {key_list}) g"
         )
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# winsorized statistics (outlier-robust aggregates)
+# ---------------------------------------------------------------------------
+
+WINSOR_LO = 0.01
+WINSOR_HI = 0.99
+
+
+def winsorized_stats(
+    events: DataFrame, lo: float = WINSOR_LO, hi: float = WINSOR_HI
+) -> DataFrame:
+    """Winsorized per-type value statistics: clip each value to its
+    type's [p_lo, p_hi] band before aggregating — the outlier-robust
+    summary feeding threshold decisions (a heavy tail or sensor glitch
+    cannot drag the mean). Emits the clip thresholds, the winsorized
+    sum (exact integer 1e-4 units) and how many rows each side clipped.
+
+    Percentiles are DISCRETE rank statistics (value at
+    rank ceil(p*n) in (value, event_id) order), not interpolated —
+    interpolation arithmetic differs across engines
+    (a+(b-a)*f vs a*(1-f)+b*f round differently), while a picked value
+    is bitwise identical everywhere. Values are only COMPARED for
+    clipping, and the t4 integerization happens after the pick, so the
+    whole output is exact.
+
+    Scale shape: one rank window per type (the exact tier, same shape
+    as customer_value_deciles — a per-type sort); the 5-row threshold
+    relation broadcast-joins back for the clip pass. At 100 TB swap
+    the rank window for approx_percentile thresholds (one map-side
+    pass, no sort) and keep everything downstream unchanged — the
+    documented approx sibling pattern of profile_columns.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda p: F.max(
+        F.when(
+            F.col("rn") <= F.ceil(F.lit(p) * F.col("n")).cast("long"),
+            F.col("value"),
+        )
+    )
+    thr = ranked.groupBy("event_type").agg(
+        pick(lo).alias("lo_val"),
+        pick(hi).alias("hi_val"),
+        F.max("n").cast("long").alias("n_events"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("value"), F.col("lo_val")), F.col("hi_val")
+    )
+    t4 = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("long")
+    return (
+        events.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            t4(F.max("lo_val")).alias("lo_t4"),
+            t4(F.max("hi_val")).alias("hi_t4"),
+            F.sum(t4(clipped)).cast("long").alias("winsorized_sum_t4"),
+            F.sum(
+                F.when(F.col("value") < F.col("lo_val"), 1).otherwise(0)
+            ).cast("long").alias("n_clipped_lo"),
+            F.sum(
+                F.when(F.col("value") > F.col("hi_val"), 1).otherwise(0)
+            ).cast("long").alias("n_clipped_hi"),
+        )
+    )
+
+
+def winsorized_stats_sql(lo: float = WINSOR_LO, hi: float = WINSOR_HI) -> str:
+    return f"""
+    WITH ranked AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    thr AS (
+        SELECT event_type,
+               max(CASE WHEN rn <= CAST(ceil({lo} * n) AS BIGINT)
+                        THEN value END) AS lo_val,
+               max(CASE WHEN rn <= CAST(ceil({hi} * n) AS BIGINT)
+                        THEN value END) AS hi_val,
+               CAST(max(n) AS BIGINT) AS n_events
+        FROM ranked GROUP BY event_type
+    )
+    SELECT e.event_type,
+           max(t.n_events) AS n_events,
+           CAST(floor(max(t.lo_val) * 10000 + 0.5) AS BIGINT) AS lo_t4,
+           CAST(floor(max(t.hi_val) * 10000 + 0.5) AS BIGINT) AS hi_t4,
+           CAST(sum(CAST(floor(
+               least(greatest(e.value, t.lo_val), t.hi_val) * 10000 + 0.5
+           ) AS BIGINT)) AS BIGINT) AS winsorized_sum_t4,
+           CAST(sum(CASE WHEN e.value < t.lo_val THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clipped_lo,
+           CAST(sum(CASE WHEN e.value > t.hi_val THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clipped_hi
+    FROM events e JOIN thr t USING (event_type)
+    GROUP BY e.event_type
+    """

@@ -210,6 +210,57 @@ STREAM_SLIDING_STATS_ORACLE = """
 """
 
 
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join replayed to completion: purchases
+    attributed to a prior click by the same user within 1 hour
+    (streaming.stateful.correlate_streams — both sides watermarked,
+    time-range predicate bounding state). Inner-join matches emit as
+    found, so append-mode replay must equal the batch theta join."""
+    from .stateful import correlate_streams
+
+    src = read_events_stream_fixture(spark, sf_dir)
+    joined = correlate_streams(
+        src.filter(F.col("event_type") == "click"),
+        src.filter(F.col("event_type") == "purchase"),
+        max_gap="1 hour",
+    )
+    out = joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        F.floor(F.col("purchase_value") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("purchase_t4"),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gate_stream_attribution")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300.0):
+            raise TimeoutError("attribution stream did not drain")
+    finally:
+        q.stop()
+    return spark.table("gate_stream_attribution")
+
+
+STREAM_ATTRIBUTION_ORACLE = """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(floor(p.value * 10000 + 0.5) AS BIGINT) AS purchase_t4
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+"""
+
+
 def stream_hourly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per hour on a stream. ``countDistinct`` is
     unsupported in streaming aggregations, so this is the canonical
