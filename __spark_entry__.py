@@ -33,6 +33,7 @@ from training_etl_demo_2_spark.operators import (
     sketches,
     temporal,
     text,
+    tokenizer,
     tpch_gap,
     udfs,
     validation,
@@ -266,9 +267,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sliding_stats": fixture_queries.stream_sliding_stats,
         # stream-stream inner join (watermarked, time-range-bounded state)
         "stream_click_attribution": fixture_queries.stream_click_attribution,
+        # gap-based session windows on a stream (== batch lag/cumsum twin)
+        "stream_session_stats": fixture_queries.stream_session_stats,
         # outlier-robust winsorized per-type stats (discrete-rank clips)
         "winsorized_value_stats": _q(
             lambda t: validation.winsorized_stats(t["events"])
+        ),
+        # rows-only: BPE tokenizer trained on the corpus word-frequency
+        # table (iterative trainer is not SQL-expressible); deterministic
+        # merge table, invariants in test_tokenizer.py
+        "bpe_token_counts": _q(
+            lambda t: tokenizer.bpe_token_counts(t["documents"])
         ),
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
@@ -902,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_hourly_users": fixture_queries.STREAM_HOURLY_USERS_ORACLE,
         "stream_sliding_stats": fixture_queries.STREAM_SLIDING_STATS_ORACLE,
         "stream_click_attribution": fixture_queries.STREAM_ATTRIBUTION_ORACLE,
+        "stream_session_stats": fixture_queries.STREAM_SESSION_STATS_ORACLE,
         "winsorized_value_stats": validation.winsorized_stats_sql(),
         "stream_value_anomalies": fixture_queries.STREAM_ANOMALIES_ORACLE,
         "udf_minmax_norm": udfs.MINMAX_NORM_ORACLE,

@@ -40,4 +40,5 @@ ROWS_ONLY_DECLARED = [
     "pack_sequences",
     "data_profile_lineitem_approx",
     "semantic_dedup",
+    "bpe_token_counts",
 ]

@@ -22,6 +22,7 @@ STREAMING = {
     "stream_hourly_users",
     "stream_sliding_stats",
     "stream_click_attribution",
+    "stream_session_stats",
 }
 
 # Bounded-side nested-loop joins that are the documented design:

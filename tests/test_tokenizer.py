@@ -1,0 +1,54 @@
+"""BPE tokenizer invariants: deterministic merges, lossless encoding,
+compression over plain characters, and distributed==local agreement."""
+
+from __future__ import annotations
+
+from training_etl_demo_2_spark.operators import tokenizer
+from training_etl_demo_2_spark.operators.tokenizer import (
+    END_OF_WORD,
+    _encode_word,
+    train_bpe,
+)
+
+
+def test_train_bpe_deterministic(tables):
+    docs = tables["documents"]
+    m1 = train_bpe(docs, n_merges=15)
+    m2 = train_bpe(docs, n_merges=15)
+    assert m1 == m2
+    assert len(m1) == 15
+
+
+def test_encode_word_is_lossless_and_merges_compress():
+    merges = [("t", "h"), ("th", "e"), ("the", END_OF_WORD)]
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = _encode_word("the", ranks)
+    assert toks == ["the</w>"]
+    # an unseen word falls back to characters + terminator, losslessly
+    toks = _encode_word("xyz", ranks)
+    assert toks == ["x", "y", "z", END_OF_WORD]
+    assert "".join(toks) == "xyz" + END_OF_WORD
+
+
+def test_bpe_token_counts_mass_conservation(tables):
+    """Total encoded symbol mass equals what a local re-encode of every
+    word occurrence produces, and learned merges strictly compress the
+    corpus below the raw character count."""
+    docs = tables["documents"]
+    merges = train_bpe(docs, n_merges=20)
+    ranks = {p: i for i, p in enumerate(merges)}
+    out = tokenizer.bpe_token_counts(docs, merges=merges).collect()
+    spark_total = sum(r.cnt for r in out)
+
+    local_total = 0
+    char_total = 0
+    for r in docs.select("text").collect():
+        for w in r.text.lower().split(" "):
+            if not w:
+                continue
+            local_total += len(_encode_word(w, ranks))
+            char_total += len(w) + 1  # chars + terminator
+    assert spark_total == local_total
+    assert spark_total < char_total  # merges actually compressed
+    # every emitted token is non-empty and reconstructible
+    assert all(r.token for r in out)

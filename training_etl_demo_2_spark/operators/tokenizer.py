@@ -1,0 +1,147 @@
+"""BPE tokenizer training + application — the tokenizer stage of an
+LLM data pipeline, Spark-first.
+
+Training follows the classic byte-pair-encoding recipe (Sennrich et
+al. 2016; the HF/SentencePiece shape): merge rules are learned from the
+WORD-FREQUENCY table, not the raw corpus. That factorization is the
+whole scale story — the corpus-sized work is one distributed
+``groupBy(word).count()`` (the word_count plan, partial aggs + one
+shuffle), after which the vocabulary (≪ corpus; bounded by distinct
+words) is collected and the greedy merge loop runs driver-side exactly
+as every production tokenizer trainer does. Application is distributed
+again: the learned merge table ships in the task closure and each doc
+is tokenized in Arrow-batched ``mapInPandas``.
+
+Determinism: merge selection ties break on the lexicographically
+smallest pair, so the same corpus always yields the same merge table
+on any cluster layout. Rows-only at the gate (an iterative trainer is
+not SQL-expressible); invariants are pytest-pinned.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+END_OF_WORD = "</w>"
+DEFAULT_MERGES = 30
+
+
+def _word_counts(df: DataFrame, text_col: str) -> list[tuple[str, int]]:
+    """Distributed (word, count) — the only corpus-sized pass."""
+    rows = (
+        df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    return [(r.w, int(r.cnt)) for r in rows]
+
+
+def train_bpe(
+    df: DataFrame, n_merges: int = DEFAULT_MERGES, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merge rules from the corpus.
+
+    Words are symbol sequences (chars + a ``</w>`` terminator so
+    merges cannot cross word boundaries); each round merges the
+    most-frequent adjacent symbol pair (ties -> lexicographically
+    smallest pair). Runs on the collected word-frequency table —
+    vocabulary-sized, the standard trainer design."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, c in _word_counts(df, text_col):
+        vocab[tuple(w) + (END_OF_WORD,)] = (
+            vocab.get(tuple(w) + (END_OF_WORD,), 0) + c
+        )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, cnt in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += cnt
+        if not pairs:
+            break
+        best_cnt = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == best_cnt)
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, cnt in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if (
+                    i < len(sym) - 1
+                    and sym[i] == best[0]
+                    and sym[i + 1] == best[1]
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    return merges
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    sym = list(word) + [END_OF_WORD]
+    while len(sym) > 1:
+        best_rank, best_i = None, -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def bpe_token_counts(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    n_merges: int = DEFAULT_MERGES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus BPE token frequencies: (token, cnt) after applying the
+    learned merge table, lowest-rank merge first per word (the standard
+    BPE encoder). The merge table ships in the closure (tiny); encoding
+    is an Arrow-batched narrow pass + one shuffle on the token key —
+    the word_count plan over learned subword units."""
+    if merges is None:
+        merges = train_bpe(df, n_merges, text_col)
+    ranks = {p: i for i, p in enumerate(merges)}
+    out_schema = "token string, n long"
+
+    def encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+        for pdf in batches:
+            counts: Counter = Counter()
+            for text in pdf["text"]:
+                for w in str(text).lower().split(" "):
+                    if not w:
+                        continue
+                    toks = cache.get(w)
+                    if toks is None:
+                        toks = _encode_word(w, ranks)
+                        cache[w] = toks
+                    counts.update(toks)
+            if counts:
+                yield pd.DataFrame(
+                    {"token": list(counts), "n": list(counts.values())}
+                )
+
+    return (
+        df.select(F.col(text_col).alias("text"))
+        .mapInPandas(encode, out_schema)
+        .groupBy("token")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+    )

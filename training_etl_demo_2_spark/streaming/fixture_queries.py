@@ -247,6 +247,78 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("gate_stream_attribution")
 
 
+def stream_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows on a stream (30 min inactivity closes
+    a session), replayed to completion. The batch twin is the classic
+    lag/cumsum sessionizer with the SAME boundary rule — Spark session
+    windows are [start, last_event + gap), so an event exactly ``gap``
+    after its predecessor starts a NEW session (>= comparison, exact
+    microseconds, no second-flooring). Value sums ride in exact 1e-4
+    integer units so micro-batch partial-agg order cannot reach the
+    hash."""
+    src = read_events_stream_fixture(spark, sf_dir)
+    agg = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("value_t4"),
+        )
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "value_t4",
+        )
+    )
+    _replay_to_table(agg, "gate_stream_sessions")
+    return spark.table("gate_stream_sessions")
+
+
+STREAM_SESSION_STATS_ORACLE = """
+    WITH lagged AS (
+        SELECT user_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN prev_ts IS NULL
+                         OR epoch_us(ts) - epoch_us(prev_ts)
+                            >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM lagged
+    ),
+    sess AS (
+        SELECT *,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+               AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_t4
+    FROM sess
+    GROUP BY user_id, session_seq
+"""
+
+
 STREAM_ATTRIBUTION_ORACLE = """
     SELECT c.user_id,
            c.event_id AS click_id,
