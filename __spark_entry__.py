@@ -279,6 +279,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts": _q(
             lambda t: tokenizer.bpe_token_counts(t["documents"])
         ),
+        # hypertable-style gap filling: dense per-type hourly grid
+        "events_hourly_gapfilled": _q(relational_ext.events_hourly_gapfilled),
+        # algebraic MV maintenance: stored + delta partials == full agg
+        "mv_incremental_update": _q(relational_ext.mv_incremental_update),
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
         "fuzzy_part_pairs": _q(
@@ -913,6 +917,8 @@ def oracle_sql() -> dict[str, str]:
         "stream_click_attribution": fixture_queries.STREAM_ATTRIBUTION_ORACLE,
         "stream_session_stats": fixture_queries.STREAM_SESSION_STATS_ORACLE,
         "winsorized_value_stats": validation.winsorized_stats_sql(),
+        "events_hourly_gapfilled": relational_ext.EVENTS_GAPFILL_ORACLE,
+        "mv_incremental_update": relational_ext.MV_INCREMENTAL_ORACLE,
         "stream_value_anomalies": fixture_queries.STREAM_ANOMALIES_ORACLE,
         "udf_minmax_norm": udfs.MINMAX_NORM_ORACLE,
         # text analysis

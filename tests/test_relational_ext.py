@@ -198,3 +198,33 @@ def test_nation_participation_full_outer(tables):
 def test_q13_covers_all_customers(tables):
     rows = rx.q13_customer_distribution(tables).collect()
     assert sum(r.n_customers for r in rows) == tables["customer"].count()
+
+
+def test_events_hourly_gapfilled_zero_fills(spark):
+    """A type with a 3-hour hole gets explicit zero rows for the
+    missing hours; the dense grid spans exactly [min, max] per type."""
+    import datetime as dt
+
+    from training_etl_demo_2_spark.operators.relational_ext import (
+        events_hourly_gapfilled,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 1, "click", 1.0, "{}"),
+        (2, t0 + dt.timedelta(hours=4), 1, "click", 2.0, "{}"),
+        (3, t0, 2, "view", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = events_hourly_gapfilled({"events": df}).collect()
+    clicks = sorted(
+        (r.hour, r.n_events) for r in out if r.event_type == "click"
+    )
+    assert len(clicks) == 5  # 00:00 .. 04:00 dense
+    assert [n for _, n in clicks] == [1, 0, 0, 0, 1]
+    views = [r for r in out if r.event_type == "view"]
+    assert len(views) == 1  # single-hour range: no padding beyond it

@@ -759,3 +759,122 @@ def daily_revenue_trend(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def events_hourly_gapfilled(t: dict[str, DataFrame]) -> DataFrame:
+    """Time-series gap filling (the hypertable ``time_bucket_gapfill``
+    shape): a dense hourly grid per event_type over that type's
+    observed [min_hour, max_hour] range, with zero-filled counts/sums
+    for hours that saw no events — what downstream charting and
+    anomaly baselines need (a missing hour IS a signal, not an absent
+    row).
+
+    Scale shape: the grid derives from a per-type min/max aggregate
+    (5-row relation) whose hour range EXPLODES NARROWLY per type — no
+    cartesian product, no driver loop; the left join back to the
+    hourly aggregate is keyed on (event_type, hour). Sums in exact
+    1e-4 integer units."""
+    e = t["events"]
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = e.groupBy(
+        hour.alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("value_t4"),
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    return grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("value_t4", F.lit(0)).cast("long").alias("value_t4"),
+    )
+
+
+EVENTS_GAPFILL_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS value_t4
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT event_type, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY 1
+    ),
+    grid AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+    )
+    SELECT g.event_type,
+           strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           coalesce(hourly.n_events, 0) AS n_events,
+           coalesce(hourly.value_t4, 0) AS value_t4
+    FROM grid g LEFT JOIN hourly USING (event_type, h)
+"""
+
+
+def mv_incremental_update(t: dict[str, DataFrame]) -> DataFrame:
+    """Incremental materialized-view maintenance: a stored aggregate
+    (orders revenue per priority over the even-orderkey "existing"
+    partition) is brought up to date by MERGING the delta batch's
+    partial aggregate — count and integer-cent sums are algebraic, so
+    update cost is O(|delta| + |groups|), never a recompute of the
+    base table. The registered query folds stored + delta and must
+    equal the full-table aggregate (the oracle).
+
+    At 100 TB this is the continuous-aggregate pattern: partial aggs
+    stream in, the group-keyed merge touches only affected groups, and
+    derived measures (avg) are recomputed from the mergeable ones at
+    read time."""
+    orders = t["orders"]
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+        )
+
+    stored = partial(orders.filter(F.col("o_orderkey") % 2 == 0))
+    delta = partial(orders.filter(F.col("o_orderkey") % 2 == 1))
+    return (
+        stored.unionAll(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round(F.col("sum_cents") / 100.0, 2).alias("sum_price"),
+            F.round(F.col("sum_cents") / F.col("n_orders") / 100.0, 4)
+            .alias("avg_price"),
+        )
+    )
+
+
+MV_INCREMENTAL_ORACLE = """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) / 100.0, 2) AS sum_price,
+           round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) * 1.0
+                 / count(*) / 100.0, 4) AS avg_price
+    FROM orders
+    GROUP BY o_orderpriority
+"""
