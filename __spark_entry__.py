@@ -283,6 +283,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_gapfilled": _q(relational_ext.events_hourly_gapfilled),
         # algebraic MV maintenance: stored + delta partials == full agg
         "mv_incremental_update": _q(relational_ext.mv_incremental_update),
+        # exact sliding distinct: trailing-24h active users per hour
+        "rolling_active_users": _q(relational_ext.rolling_active_users),
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
         "fuzzy_part_pairs": _q(
@@ -919,6 +921,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorized_value_stats": validation.winsorized_stats_sql(),
         "events_hourly_gapfilled": relational_ext.EVENTS_GAPFILL_ORACLE,
         "mv_incremental_update": relational_ext.MV_INCREMENTAL_ORACLE,
+        "rolling_active_users": relational_ext.ROLLING_ACTIVE_USERS_ORACLE,
         "stream_value_anomalies": fixture_queries.STREAM_ANOMALIES_ORACLE,
         "udf_minmax_norm": udfs.MINMAX_NORM_ORACLE,
         # text analysis

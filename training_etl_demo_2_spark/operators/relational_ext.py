@@ -878,3 +878,61 @@ MV_INCREMENTAL_ORACLE = """
     FROM orders
     GROUP BY o_orderpriority
 """
+
+
+def rolling_active_users(t: dict[str, DataFrame]) -> DataFrame:
+    """Sliding-window distinct: users active in the trailing 24 hours,
+    reported at every observed hour — the rolling DAU/"active in last
+    day" metric, computed EXACTLY.
+
+    Shape: distinct (hour, user) pairs (one dedup shuffle, pairs ≪
+    events) are each expanded into the 24 window-hours they fund (a
+    narrow sequence explode), then count(DISTINCT user) per window.
+    The 24× expansion of the deduped pair relation is the classic
+    exact-sliding-distinct trade; at 100 TB the approximate tier
+    merges the daily HLL blocks in ``sketches.py`` instead (union of
+    24 hourly sketches per window, no expansion) — this exact tier is
+    the oracle-checkable ground truth the sketch path is tested
+    against."""
+    e = t["events"]
+    hour = F.date_trunc("hour", F.col("ts"))
+    pairs = e.select(hour.alias("h"), "user_id").distinct()
+    observed = e.select(hour.alias("obs_h")).distinct()
+    expanded = pairs.select(
+        F.explode(
+            F.sequence(
+                "h",
+                F.col("h") + F.expr("INTERVAL 23 HOURS"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("w"),
+        "user_id",
+    )
+    return (
+        expanded.join(observed, F.col("w") == F.col("obs_h"), "semi")
+        .groupBy("w")
+        .agg(F.countDistinct("user_id").cast("long").alias("active_users_24h"))
+        .select(
+            F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "active_users_24h",
+        )
+    )
+
+
+ROLLING_ACTIVE_USERS_ORACLE = """
+    WITH pairs AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS h, user_id FROM events
+    ),
+    observed AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events),
+    expanded AS (
+        SELECT unnest(generate_series(
+                   h, h + INTERVAL 23 HOUR, INTERVAL 1 HOUR)) AS w,
+               user_id
+        FROM pairs
+    )
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS active_users_24h
+    FROM expanded
+    WHERE w IN (SELECT h FROM observed)
+    GROUP BY w
+"""
