@@ -74,6 +74,39 @@ def main() -> int:
         "profile_columns approx (HLL tier)",
         lambda: validation.profile_columns(big, approx=True).count(),
     )
+
+    # Round-5 families. line_dedup: replication makes EVERY segment
+    # appear in >= n_rep docs, so the whole corpus is boilerplate and
+    # every doc must come back fully stripped (n_kept == 0) — the
+    # stress is the segment-count aggregate + reassembly shuffle at
+    # n_rep x volume, with a degenerate 100%-duplicate distribution.
+    out = tm(
+        "line_dedup (all-boilerplate corpus)",
+        lambda: dedup.line_dedup(big)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_kept")).alias("kept"),
+        )
+        .collect()[0],
+    )
+    assert out.n == n_docs * n_rep and out.kept == 0, out
+
+    # unigram_logprob: scores are replication-INVARIANT (every token
+    # count and the total scale by n_rep, so cnt/N is unchanged) —
+    # replica docs must score identically to their originals.
+    base = {
+        r.doc_id: r.avg_logprob
+        for r in text.unigram_logprob(docs).collect()
+    }
+    big_scores = text.unigram_logprob(big).collect()
+    tm(
+        "unigram_logprob (replication-invariant)",
+        lambda: len(big_scores),
+    )
+    for r in big_scores:
+        orig = base[r.doc_id % 10_000_000]
+        assert abs(r.avg_logprob - orig) <= 1e-6, (r.doc_id, r.avg_logprob, orig)
+
     print("scale smoke OK")
     return 0
 
