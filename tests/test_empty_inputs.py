@@ -92,3 +92,17 @@ def test_fuzzy_and_histogram_empty(spark):
 
     empty_hist = spark.createDataFrame([], "day string, event_type string, bin long, n long")
     assert sketches.histogram_quantiles(empty_hist).count() == 0
+
+
+def test_round5_ops_empty(spark, empty_docs, empty_emb):
+    from training_etl_demo_2_spark.operators import tokenizer
+    from training_etl_demo_2_spark.operators.merge import snapshot_diff
+
+    assert dedup.line_dedup(empty_docs).count() == 0
+    assert text.unigram_logprob(empty_docs).count() == 0
+    assert text.quality_classifier(empty_docs).count() == 0
+    assert similarity.semantic_dedup(empty_emb).count() == 0
+    assert tokenizer.train_bpe(empty_docs, n_merges=5) == []
+    assert tokenizer.bpe_token_counts(empty_docs, merges=[]).count() == 0
+    e = spark.createDataFrame([], "k long, v string")
+    assert snapshot_diff(e, e, "k").count() == 0
