@@ -40,6 +40,9 @@ MUST_BE_IN_WINDOW = {
     # round-1 reds (fixed; must show green)
     "priority_mix_by_year", "user_event_gaps", "events_props_stats",
     "priorities_per_status",
+    # round-5 north-star promotions
+    "line_dedup", "unigram_logprob", "quality_classifier",
+    "winsorized_value_stats",
 }
 
 
