@@ -286,6 +286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mv_incremental_update": _q(relational_ext.mv_incremental_update),
         # exact sliding distinct: trailing-24h active users per hour
         "rolling_active_users": _q(relational_ext.rolling_active_users),
+        # overlapping fixed-token chunking (RAG / context-window prep)
+        "chunk_documents": _q(lambda t: curation.chunk_documents(t["documents"])),
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
         "fuzzy_part_pairs": _q(
@@ -923,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_gapfilled": relational_ext.EVENTS_GAPFILL_ORACLE,
         "mv_incremental_update": relational_ext.MV_INCREMENTAL_ORACLE,
         "rolling_active_users": relational_ext.ROLLING_ACTIVE_USERS_ORACLE,
+        "chunk_documents": curation.chunk_documents_sql(),
         "stream_value_anomalies": fixture_queries.STREAM_ANOMALIES_ORACLE,
         "udf_minmax_norm": udfs.MINMAX_NORM_ORACLE,
         # text analysis

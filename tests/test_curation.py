@@ -162,3 +162,28 @@ def test_corpus_shuffle_permutation_at_scale(spark):
         .count()
         == 0
     )
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token appears in at least one chunk; consecutive chunks
+    share exactly `overlap` tokens; short docs yield one short chunk."""
+    from training_etl_demo_2_spark.operators.curation import chunk_documents
+
+    words = [f"w{i}" for i in range(100)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b c")], "doc_id long, text string"
+    )
+    out = sorted(
+        (r for r in chunk_documents(df, chunk_tokens=64, overlap=16).collect()),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    doc1 = [r for r in out if r.doc_id == 1]
+    assert [r.chunk_idx for r in doc1] == [0, 1]
+    c0, c1 = doc1[0].chunk_text.split(" "), doc1[1].chunk_text.split(" ")
+    assert c0 == words[:64]
+    assert c1 == words[48:100]  # stride 48
+    assert c0[-16:] == c1[:16]  # exact overlap
+    assert set(c0) | set(c1) == set(words)  # full coverage
+    doc2 = [r for r in out if r.doc_id == 2]
+    assert len(doc2) == 1 and doc2[0].chunk_text == "a b c"
+    assert doc2[0].n_tokens == 3

@@ -523,3 +523,78 @@ def pack_sequences(
         .withColumn("pid", F.spark_partition_id())
         .mapInPandas(pack, "doc_id long, n_tokens long, pack_id string")
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (context-window preparation)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 16
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token chunks — the
+    context-window preparation step before embedding or training
+    (RAG chunking, long-doc packing). Chunk i covers tokens
+    [i*stride, i*stride + chunk_tokens) with stride =
+    chunk_tokens - overlap; the final chunk may be short, and every
+    token lands in at least one chunk.
+
+    Output: (doc_id, chunk_idx, chunk_text, n_tokens). Narrow per-row
+    transform (sequence + slice + array_join) — shuffle-free, the cost
+    is the scan; the downstream embed/pack stages key on
+    (doc_id, chunk_idx)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.col(text_col), " ")
+    n_tok = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n_tok - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+    )
+    chunk = F.posexplode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+        )
+    )
+    return df.select("doc_id", chunk.alias("chunk_idx", "c")).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join("c", " ").alias("chunk_text"),
+        F.size("c").cast("long").alias("n_tokens"),
+    )
+
+
+def chunk_documents_sql(
+    chunk_tokens: int = CHUNK_TOKENS, overlap: int = CHUNK_OVERLAP
+) -> str:
+    stride = chunk_tokens - overlap
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, w,
+               greatest(1, CAST(ceil((len(w) - {overlap})
+                   / CAST({stride} AS DOUBLE)) AS BIGINT)) AS nc
+        FROM toks
+    )
+    SELECT doc_id,
+           unnest(range(0, nc)) AS chunk_idx,
+           unnest(list_transform(range(0, nc),
+               i -> array_to_string(
+                   w[i*{stride}+1 : i*{stride}+{chunk_tokens}], ' ')))
+               AS chunk_text,
+           unnest(list_transform(range(0, nc),
+               i -> CAST(len(w[i*{stride}+1 : i*{stride}+{chunk_tokens}])
+                    AS BIGINT))) AS n_tokens
+    FROM sized
+    """
