@@ -288,6 +288,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": _q(relational_ext.rolling_active_users),
         # overlapping fixed-token chunking (RAG / context-window prep)
         "chunk_documents": _q(lambda t: curation.chunk_documents(t["documents"])),
+        # round-5 cleaning composition: line dedup -> classifier ->
+        # exact dedup on cleaned text -> deterministic split, ONE plan
+        "clean_corpus_v2": _q(pipeline.clean_corpus_v2),
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
         "fuzzy_part_pairs": _q(
@@ -926,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
         "mv_incremental_update": relational_ext.MV_INCREMENTAL_ORACLE,
         "rolling_active_users": relational_ext.ROLLING_ACTIVE_USERS_ORACLE,
         "chunk_documents": curation.chunk_documents_sql(),
+        "clean_corpus_v2": pipeline.clean_corpus_v2_sql(),
         "stream_value_anomalies": fixture_queries.STREAM_ANOMALIES_ORACLE,
         "udf_minmax_norm": udfs.MINMAX_NORM_ORACLE,
         # text analysis

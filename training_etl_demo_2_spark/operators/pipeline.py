@@ -63,3 +63,69 @@ def clean_corpus_sql(min_quality: float = 0.85) -> str:
     SELECT g.doc_id, g.lang, g.source, g.n_chars
     FROM good g JOIN keep USING (doc_id)
     """
+
+
+def clean_corpus_v2(t: dict[str, DataFrame]) -> DataFrame:
+    """The round-5 cleaning flow as ONE Catalyst plan: corpus-wide
+    segment (line) dedup strips cross-document boilerplate, the
+    fixed-weight logistic classifier gates on quality, exact dedup
+    keeps one representative per surviving CLEANED text, and the
+    deterministic hash split assigns train/val/test.
+
+    Returns (doc_id, split, n_kept, n_dropped). Composing the round-5
+    stages proves they chain without materialization barriers: the
+    boilerplate relation and classifier features derive from the same
+    scan, and after reassembly only (doc_id, fingerprint) pairs
+    shuffle for the dedup stage.
+    """
+    from .curation import _assign_bucket
+    from ..functions import normalize_text, rolling_hash
+
+    docs = t["documents"]
+    stripped = dedup.line_dedup(docs)
+    keep_ids = (
+        text.quality_classifier(docs).filter(F.col("keep") == 1).select("doc_id")
+    )
+    survivors = (
+        stripped.filter(F.col("n_kept") > 0)
+        .join(keep_ids, "doc_id", "semi")
+        .withColumn("fp", rolling_hash(normalize_text("clean_text")))
+    )
+    first = survivors.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    b = _assign_bucket(F.col("doc_id"))
+    return (
+        survivors.join(first.select("doc_id"), "doc_id", "semi")
+        .select(
+            "doc_id",
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+            .alias("split"),
+            "n_kept",
+            "n_dropped",
+        )
+    )
+
+
+def clean_corpus_v2_sql() -> str:
+    from .curation import _split_bucket_sql
+    from .oracle import NORMALIZE, ROLLING_HASH, line_dedup_sql
+    from .text import quality_classifier_sql
+
+    fp = ROLLING_HASH.format(s=NORMALIZE.format(s="clean_text"))
+    b = _split_bucket_sql("s.doc_id")
+    return f"""
+    WITH ld AS ({line_dedup_sql()}),
+    qc AS ({quality_classifier_sql()}),
+    survivors AS (
+        SELECT ld.doc_id, ld.clean_text, ld.n_kept, ld.n_dropped,
+               {fp} AS fp
+        FROM ld JOIN qc ON ld.doc_id = qc.doc_id
+        WHERE ld.n_kept > 0 AND qc.keep = 1
+    ),
+    first AS (SELECT min(doc_id) AS keep_id FROM survivors GROUP BY fp)
+    SELECT s.doc_id,
+           CASE WHEN {b} < 80 THEN 'train'
+                WHEN {b} < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           s.n_kept, s.n_dropped
+    FROM survivors s JOIN first f ON s.doc_id = f.keep_id
+    """
