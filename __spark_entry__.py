@@ -291,6 +291,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 cleaning composition: line dedup -> classifier ->
         # exact dedup on cleaned text -> deterministic split, ONE plan
         "clean_corpus_v2": _q(pipeline.clean_corpus_v2),
+        # int8 symmetric per-vector quantization (index compression)
+        "embedding_quantize": _q(
+            lambda t: similarity.quantize_embeddings(t["embeddings"])
+        ),
+        # first-order Markov transition counts over user event streams
+        "event_transitions": _q(
+            lambda t: behavior.event_transitions(t["events"])
+        ),
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
         "fuzzy_part_pairs": _q(
@@ -930,6 +938,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_active_users": relational_ext.ROLLING_ACTIVE_USERS_ORACLE,
         "chunk_documents": curation.chunk_documents_sql(),
         "clean_corpus_v2": pipeline.clean_corpus_v2_sql(),
+        "embedding_quantize": similarity.QUANTIZE_EMBEDDINGS_SQL,
+        "event_transitions": behavior.EVENT_TRANSITIONS_ORACLE,
         "stream_value_anomalies": fixture_queries.STREAM_ANOMALIES_ORACLE,
         "udf_minmax_norm": udfs.MINMAX_NORM_ORACLE,
         # text analysis

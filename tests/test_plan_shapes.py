@@ -42,6 +42,8 @@ NESTED_LOOP_OK = {
     "tfidf_top_terms",
     # broadcasts the ONE-ROW corpus-token-total aggregate (ln N term)
     "unigram_logprob",
+    # broadcasts the ONE-ROW transition-total aggregate (share_bp)
+    "event_transitions",
     # broadcasts the |quantiles|-row q relation across cumulative bins
     "histogram_quantiles",
 }

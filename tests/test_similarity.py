@@ -208,3 +208,26 @@ def test_semantic_dedup_invariants(tables):
             else:
                 assert r.rep_id == r.vec_id
     assert n_dropped > 0  # the fixture embeddings contain semantic dups
+
+
+def test_quantize_embeddings_roundtrip_error(tables):
+    """Dequantized vectors are within half a quantization step of the
+    originals, codes fit int8 range, and zero-max vectors emit zeros."""
+    import numpy as np
+
+    from training_etl_demo_2_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    emb = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+           for r in tables["embeddings"].collect()}
+    out = quantize_embeddings(tables["embeddings"]).collect()
+    assert len(out) == len(emb)
+    for r in out:
+        x = emb[r.vec_id]
+        q = np.asarray(r.q, dtype=np.float64)
+        assert np.abs(q).max() <= 127
+        if r.scale > 0:
+            deq = q / r.scale
+            step = 1.0 / r.scale
+            assert np.abs(deq - x).max() <= 0.5 * step + 1e-9

@@ -126,3 +126,56 @@ def event_funnel_sql(stages: tuple = FUNNEL_STAGES) -> str:
         for i, stage in enumerate(stages)
     )
     return "WITH " + ", ".join(ctes) + " " + selects
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Next-event transition counts (the first-order Markov view of
+    user behavior): for each user's time-ordered event stream, count
+    (event_type -> next event_type) pairs across the corpus, with each
+    pair's share of all transitions in exact basis points.
+
+    One window shuffle on user_id (the same partitioning every
+    sessionize/funnel op uses — co-partitioned at scale) + one small
+    groupBy on the 25-cell pair grid."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = events.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = nxt.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("tot"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.floor(F.col("n") * 10000 / F.col("tot")).cast("long")
+            .alias("share_bp"),
+        )
+    )
+
+
+EVENT_TRANSITIONS_ORACLE = """
+    WITH nxt AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    counts AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM nxt WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    ),
+    total AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM counts)
+    SELECT from_type, to_type, n,
+           CAST(floor(n * 10000 / tot) AS BIGINT) AS share_bp
+    FROM counts CROSS JOIN total
+"""

@@ -618,3 +618,62 @@ def semantic_dedup(
         )
 
     return v.groupBy("cell").applyInPandas(prune, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# embedding quantization (storage compression)
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(emb: DataFrame, bits: int = 8) -> DataFrame:
+    """Symmetric per-vector int quantization — the storage-compression
+    step before a billion-vector index ships (4x smaller than float32
+    at int8, with the per-vector scale kept for dequantization).
+
+    q_i = floor(x_i * scale + 0.5), scale = (2^(bits-1) - 1) / max|x|;
+    all arithmetic is the same per-row IEEE op sequence on both
+    engines, and the emitted codes are integers, so the oracle match
+    is exact. Pure array expressions (aggregate + transform) — narrow,
+    shuffle-free, codegen'd; the cost is the scan. Zero vectors emit
+    scale = 0 and all-zero codes.
+    """
+    qmax = float(2 ** (bits - 1) - 1)
+    x = F.col("embedding")
+    absmax = F.aggregate(
+        x,
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+    )
+    scale = F.when(absmax > 0, F.lit(qmax) / absmax).otherwise(F.lit(0.0))
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.transform(
+            x,
+            lambda v: F.floor(v.cast("double") * scale + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("q"),
+    )
+
+
+QUANTIZE_EMBEDDINGS_SQL = """
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * scale + 0.5) AS BIGINT))
+               AS q
+    FROM (
+        SELECT vec_id, embedding,
+               CASE WHEN absmax > 0 THEN 127.0 / absmax ELSE 0.0 END AS scale
+        FROM (
+            SELECT vec_id, embedding,
+                   list_reduce(
+                       list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(embedding,
+                               v -> abs(CAST(v AS DOUBLE)))),
+                       (a, b) -> greatest(a, b)) AS absmax
+            FROM embeddings
+        )
+    )
+"""
