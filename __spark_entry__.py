@@ -299,6 +299,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": _q(
             lambda t: behavior.event_transitions(t["events"])
         ),
+        # interval x interval overlap join (banded, emit-once)
+        "session_error_overlaps": _q(temporal.session_error_overlaps),
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
         "fuzzy_part_pairs": _q(
@@ -940,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus_v2": pipeline.clean_corpus_v2_sql(),
         "embedding_quantize": similarity.QUANTIZE_EMBEDDINGS_SQL,
         "event_transitions": behavior.EVENT_TRANSITIONS_ORACLE,
+        "session_error_overlaps": temporal.SESSION_ERROR_OVERLAPS_ORACLE,
         "stream_value_anomalies": fixture_queries.STREAM_ANOMALIES_ORACLE,
         "udf_minmax_norm": udfs.MINMAX_NORM_ORACLE,
         # text analysis

@@ -227,3 +227,29 @@ if HAVE_HYPOTHESIS:
             for r in merged.itertuples()
         }
         assert got == want
+
+
+def test_interval_overlap_join_emit_once(spark):
+    """A pair overlapping across several shared buckets must surface
+    exactly once; touching-at-endpoint counts as overlap; disjoint
+    intervals never pair."""
+    from training_etl_demo_2_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, "a", 0, 100)],  # long interval spans many buckets
+        "k long, lid long, tag string, l_lo long, l_hi long",
+    ).select("k", "lid", "l_lo", "l_hi")
+    right = spark.createDataFrame(
+        [(1, 20, 50, 150),   # overlaps [0,100] across buckets
+         (1, 21, 100, 120),  # touches at exactly 100 -> overlap
+         (1, 22, 101, 200),  # disjoint
+         (2, 23, 0, 100)],   # wrong key
+        "k long, rid long, r_lo long, r_hi long",
+    )
+    out = interval_overlap_join(
+        left, right, on="k", max_span=20  # small buckets force multi-bucket pairs
+    ).collect()
+    assert sorted(r.rid for r in out) == [20, 21]
+    assert len(out) == 2  # emit-once despite many shared buckets

@@ -250,3 +250,119 @@ EVENTS_FOLLOWUPS_ORACLE = """
      AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
     GROUP BY a.user_id
 """
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_lo: str = "l_lo",
+    left_hi: str = "l_hi",
+    right_lo: str = "r_lo",
+    right_hi: str = "r_hi",
+    max_span: int | None = None,
+) -> DataFrame:
+    """Interval × interval OVERLAP join (the temporal primitive beside
+    as-of and point-in-band): key-equal pairs whose intervals satisfy
+    l_lo <= r_hi AND r_lo <= l_hi, executed as a banded equi-join.
+
+    Both sides explode to every bucket their interval touches; a pair
+    overlapping several shared buckets would surface once per bucket,
+    so the join keeps only the bucket holding the OVERLAP START
+    (max(l_lo, r_lo)) — each true pair is emitted exactly once with no
+    dedup shuffle (the emit-once trick, cheaper than ``distinct`` over
+    the candidate set). Bucket width defaults to the larger side's max
+    span so fan-out stays <= 2 rows per interval per side; candidates
+    per bucket scale with interval density, never |left| × |right|.
+    Bounds are integer-typed (e.g. unix_micros) so bucketing is exact.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if max_span is None:
+        s1 = left.select(
+            F.max(F.col(left_hi) - F.col(left_lo)).alias("s")
+        ).first()["s"]
+        s2 = right.select(
+            F.max(F.col(right_hi) - F.col(right_lo)).alias("s")
+        ).first()["s"]
+        max_span = max(int(s1 or 1), int(s2 or 1))
+    width = max(int(max_span), 1)
+
+    def banded(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            _BUCKET,
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / width), F.floor(F.col(hi) / width)
+                )
+            ),
+        )
+
+    l = banded(left, left_lo, left_hi)
+    r = banded(right, right_lo, right_hi)
+    overlap_start = F.greatest(F.col(left_lo), F.col(right_lo))
+    return (
+        l.join(r, on=keys + [_BUCKET])
+        .filter(
+            (F.col(left_lo) <= F.col(right_hi))
+            & (F.col(right_lo) <= F.col(left_hi))
+            & (F.col(_BUCKET) == F.floor(overlap_start / width))
+        )
+        .drop(_BUCKET)
+    )
+
+
+def session_error_overlaps(t: dict[str, DataFrame]) -> DataFrame:
+    """Registered overlap-join query: per user, click activity windows
+    ([ts, ts+30min] around each click) that OVERLAP error windows
+    ([ts, ts+10min] around each error) — the "which sessions saw an
+    incident" correlation. Output: one row per overlapping pair with
+    the overlap length in seconds (exact integer micros arithmetic)."""
+    e = t["events"]
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("c_lo"),
+        (F.unix_micros("ts") + 1800 * 1_000_000).alias("c_hi"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        F.unix_micros("ts").alias("e_lo"),
+        (F.unix_micros("ts") + 600 * 1_000_000).alias("e_hi"),
+    )
+    pairs = interval_overlap_join(
+        clicks, errors, on="user_id",
+        left_lo="c_lo", left_hi="c_hi",
+        right_lo="e_lo", right_hi="e_hi",
+        max_span=1800 * 1_000_000,
+    )
+    overlap_us = F.least(F.col("c_hi"), F.col("e_hi")) - F.greatest(
+        F.col("c_lo"), F.col("e_lo")
+    )
+    return pairs.select(
+        "user_id",
+        "click_id",
+        "error_id",
+        F.floor(overlap_us / F.lit(1_000_000)).cast("long").alias("overlap_s"),
+    )
+
+
+SESSION_ERROR_OVERLAPS_ORACLE = """
+    WITH clicks AS (
+        SELECT user_id, event_id AS click_id,
+               epoch_us(ts) AS c_lo, epoch_us(ts) + 1800000000 AS c_hi
+        FROM events WHERE event_type = 'click'
+    ),
+    errors AS (
+        SELECT user_id, event_id AS error_id,
+               epoch_us(ts) AS e_lo, epoch_us(ts) + 600000000 AS e_hi
+        FROM events WHERE event_type = 'error'
+    )
+    SELECT c.user_id, c.click_id, e.error_id,
+           CAST(floor((least(c.c_hi, e.e_hi) - greatest(c.c_lo, e.e_lo))
+                / 1000000) AS BIGINT) AS overlap_s
+    FROM clicks c
+    JOIN errors e
+      ON c.user_id = e.user_id
+     AND c.c_lo <= e.e_hi AND e.e_lo <= c.c_hi
+"""
