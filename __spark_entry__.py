@@ -301,6 +301,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # interval x interval overlap join (banded, emit-once)
         "session_error_overlaps": _q(temporal.session_error_overlaps),
+        # count-min sketch heavy hitters (integer grid, exact oracle)
+        "heavy_hitters_cms": _q(
+            lambda t: sketches.cms_word_estimates(t["documents"])
+        ),
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
         "fuzzy_part_pairs": _q(
@@ -943,6 +947,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": similarity.QUANTIZE_EMBEDDINGS_SQL,
         "event_transitions": behavior.EVENT_TRANSITIONS_ORACLE,
         "session_error_overlaps": temporal.SESSION_ERROR_OVERLAPS_ORACLE,
+        "heavy_hitters_cms": sketches.cms_word_estimates_sql(),
         "stream_value_anomalies": fixture_queries.STREAM_ANOMALIES_ORACLE,
         "udf_minmax_norm": udfs.MINMAX_NORM_ORACLE,
         # text analysis

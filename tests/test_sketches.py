@@ -89,3 +89,17 @@ def test_histogram_blocks_merge_like_full_scan(spark, tables):
     a = sorted(tuple(r) for r in from_blocks.collect())
     b = sorted(tuple(r) for r in from_global.collect())
     assert a == b
+
+
+def test_cms_estimate_upper_bounds_true_count(spark):
+    """CMS guarantee: est >= true for every queried item; with planted
+    collisions (vocab >> width would be needed to break exactness here,
+    so instead check the bound survives a skewed stream)."""
+    from training_etl_demo_2_spark.operators.sketches import cms_word_estimates
+
+    rows = [(i, "alpha " * 50 + "beta " * 5 + f"rare{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.word: r for r in cms_word_estimates(df, k=10).collect()}
+    assert "alpha" in out and out["alpha"].true_cnt == 40 * 50
+    for r in out.values():
+        assert r.cms_est >= r.true_cnt  # the one-sided CMS error bound
