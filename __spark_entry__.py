@@ -305,6 +305,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_cms": _q(
             lambda t: sketches.cms_word_estimates(t["documents"])
         ),
+        # PSI distribution-drift alarm: even-id reference vs odd-id current
+        "value_drift_psi": _q(
+            lambda t: validation.value_drift_psi(
+                t["events"].filter(F.col("event_id") % 2 == 0),
+                t["events"].filter(F.col("event_id") % 2 == 1),
+            )
+        ),
         "tfidf_top_terms": _q(lambda t: text.tfidf_top_terms(t["documents"])),
         "skewed_user_revenue": _q(skew.skewed_user_revenue),
         "fuzzy_part_pairs": _q(
@@ -948,6 +955,9 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": behavior.EVENT_TRANSITIONS_ORACLE,
         "session_error_overlaps": temporal.SESSION_ERROR_OVERLAPS_ORACLE,
         "heavy_hitters_cms": sketches.cms_word_estimates_sql(),
+        "value_drift_psi": validation.value_drift_psi_sql(
+            "event_id % 2 = 0", "event_id % 2 = 1"
+        ),
         "stream_value_anomalies": fixture_queries.STREAM_ANOMALIES_ORACLE,
         "udf_minmax_norm": udfs.MINMAX_NORM_ORACLE,
         # text analysis

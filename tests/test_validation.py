@@ -292,3 +292,17 @@ def test_winsorized_stats_clips_outliers(spark):
     assert r.hi_t4 == 99_0000
     # winsorized sum is bounded by n * hi (the outlier cannot dominate)
     assert r.winsorized_sum_t4 <= 100 * r.hi_t4
+
+
+def test_psi_zero_for_identical_and_large_for_shifted(spark):
+    from training_etl_demo_2_spark.operators.validation import value_drift_psi
+
+    base = [(i, "t", float(i % 50)) for i in range(1000)]
+    shifted = [(i, "t", float(i % 50) + 200.0) for i in range(1000)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    same = value_drift_psi(mk(base), mk(base)).collect()[0]
+    assert abs(same.psi) < 1e-9  # identical distributions -> PSI 0
+    moved = value_drift_psi(mk(base), mk(shifted)).collect()[0]
+    assert moved.psi > 0.25  # fully disjoint support -> loud alarm

@@ -496,3 +496,114 @@ def winsorized_stats_sql(lo: float = WINSOR_LO, hi: float = WINSOR_HI) -> str:
     FROM events e JOIN thr t USING (event_type)
     GROUP BY e.event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# distribution drift (PSI)
+# ---------------------------------------------------------------------------
+
+PSI_BIN_WIDTH = 10.0
+PSI_EPS = 1e-6
+
+
+def value_drift_psi(
+    reference: DataFrame,
+    current: DataFrame,
+    bin_width: float = PSI_BIN_WIDTH,
+    eps: float = PSI_EPS,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    snapshot of the events stream, per event_type — the standard
+    drift alarm in front of a training pipeline (PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 drifted).
+
+    Values bucket into fixed-width bins (the same mergeable layout as
+    sketches.daily_value_histograms); per-type bin probabilities are
+    floored at ``eps`` (one-sided smoothing for empty bins) and
+    PSI = sum((p_cur - p_ref) * ln(p_cur / p_ref)) over the union of
+    occupied bins. Two tiny groupBys + a full-outer join on
+    (type, bin) — each side's bin relation is |types| x |occupied
+    bins|, metadata-sized at any corpus scale.
+
+    Float note: ln + division per bin, summed over a BOUNDED bin set
+    (|occupied bins| <= range/width), rounded to 6 — the same
+    error-margin argument as unigram_logprob.
+    """
+    def binned(df: DataFrame, side: str) -> DataFrame:
+        counts = df.groupBy(
+            "event_type",
+            F.floor(F.col("value") / bin_width).cast("long").alias("bin"),
+        ).agg(F.count(F.lit(1)).cast("long").alias(f"n_{side}"))
+        totals = counts.groupBy("event_type").agg(
+            F.sum(f"n_{side}").cast("long").alias(f"tot_{side}")
+        )
+        return counts.join(totals, "event_type")
+
+    r = binned(reference, "ref")
+    c = binned(current, "cur")
+    j = r.join(c, ["event_type", "bin"], "full_outer")
+    # A bin absent on one side keeps that side's total from the other
+    # rows of its type; re-derive totals with a window to survive the
+    # outer join's NULLs.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type")
+    tot_r = F.max("tot_ref").over(w)
+    tot_c = F.max("tot_cur").over(w)
+    p_r = F.greatest(
+        F.coalesce(F.col("n_ref"), F.lit(0)) / tot_r, F.lit(eps)
+    )
+    p_c = F.greatest(
+        F.coalesce(F.col("n_cur"), F.lit(0)) / tot_c, F.lit(eps)
+    )
+    term = (p_c - p_r) * F.log(p_c / p_r)
+    return (
+        j.select("event_type", term.alias("term"))
+        .groupBy("event_type")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+    )
+
+
+def value_drift_psi_sql(
+    ref_pred: str,
+    cur_pred: str,
+    bin_width: float = PSI_BIN_WIDTH,
+    eps: float = PSI_EPS,
+) -> str:
+    return f"""
+    WITH ref_counts AS (
+        SELECT event_type,
+               CAST(floor(value / {bin_width}) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_ref
+        FROM events WHERE {ref_pred} GROUP BY 1, 2
+    ),
+    cur_counts AS (
+        SELECT event_type,
+               CAST(floor(value / {bin_width}) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_cur
+        FROM events WHERE {cur_pred} GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT coalesce(r.event_type, c.event_type) AS event_type,
+               coalesce(r.bin, c.bin) AS bin,
+               coalesce(n_ref, 0) AS n_ref,
+               coalesce(n_cur, 0) AS n_cur
+        FROM ref_counts r FULL OUTER JOIN cur_counts c
+          ON r.event_type = c.event_type AND r.bin = c.bin
+    ),
+    t AS (
+        SELECT event_type, bin, n_ref, n_cur,
+               sum(n_ref) OVER (PARTITION BY event_type) AS tot_ref,
+               sum(n_cur) OVER (PARTITION BY event_type) AS tot_cur
+        FROM j
+    )
+    SELECT event_type,
+           round(sum(
+               (greatest(n_cur * 1.0 / tot_cur, {eps})
+                - greatest(n_ref * 1.0 / tot_ref, {eps}))
+               * ln(greatest(n_cur * 1.0 / tot_cur, {eps})
+                    / greatest(n_ref * 1.0 / tot_ref, {eps}))
+           ), 6) AS psi
+    FROM t
+    GROUP BY event_type
+    """
