@@ -392,6 +392,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q(
             lambda t: curation.pack_sequences(t["documents"], budget=256)
         ),
+        # --- round-6 additions (past the gate window; oracle-checked by
+        #     tools/check_oracle.py + tests/test_oracle_sweep.py)
+        "substring_dup_stats": _q(
+            lambda t: dedup.substring_dup_stats(t["documents"])
+        ),
     }
 
 
@@ -1066,4 +1071,6 @@ def oracle_sql() -> dict[str, str]:
                    upper(substring(hex(encode(text)), 1, 8)) AS magic_hex
             FROM documents
         """,
+        # --- round-6 additions
+        "substring_dup_stats": oracle.substring_dup_stats_sql(),
     }

@@ -216,3 +216,36 @@ def test_line_dedup_identity_without_boilerplate(tables):
     for r in tables["documents"].select("doc_id", "text").collect():
         assert out[r.doc_id].clean_text == r.text
         assert out[r.doc_id].n_dropped == 0
+
+
+def test_substring_dup_stats_planted_span(spark):
+    """A 6-word span shared by two docs at DIFFERENT offsets is caught
+    (sliding grams are offset-invariant, unlike line_dedup's fixed
+    chunks); unique docs and short docs report zero."""
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, f"{shared} tail one two three"),
+            (2, f"lead-in words here {shared}"),  # offset 3, not 0
+            (3, "completely different content with many words here ok"),
+            (4, "tiny doc"),  # < k tokens -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.substring_dup_stats(df, k=5).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # a 6-word shared span yields 2 shared 5-grams in each doc
+    assert out[1].n_dup_grams == 2 and out[2].n_dup_grams == 2
+    assert out[3].n_dup_grams == 0
+    assert out[4].n_grams == 0 and out[4].dup_gram_bp == 0
+    assert out[1].dup_gram_bp == 10000 * 2 // out[1].n_grams
+
+
+def test_substring_dup_stats_fixture_density(tables):
+    """Corpus-level sanity at sf0.001: every doc is covered, bp bounded,
+    and the planted near-dup docs carry duplicated grams."""
+    docs = tables["documents"]
+    out = dedup.substring_dup_stats(docs).collect()
+    assert len(out) == docs.count()
+    assert all(0 <= r.dup_gram_bp <= 10000 for r in out)
+    assert any(r.n_dup_grams > 0 for r in out)

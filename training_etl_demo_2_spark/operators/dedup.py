@@ -677,3 +677,86 @@ def near_dup_clusters(
     acts on (keep cluster_id, drop the rest)."""
     pairs = minhash_lsh_pairs(df, text_col, n, threshold)
     return connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# exact substring-duplication statistics (sliding k-gram tier)
+# ---------------------------------------------------------------------------
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document exact substring-duplication statistics: the fraction
+    of each document's SLIDING k-word grams that also occur in at least
+    ``min_docs - 1`` OTHER documents — the corpus-level signal behind
+    suffix-array substring dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022). Sliding grams (stride 1)
+    catch duplicated spans at ANY offset, unlike ``line_dedup``'s fixed
+    chunks which only catch alignment-preserving boilerplate.
+
+    Returns (doc_id, n_grams, n_dup_grams, dup_gram_bp):
+      * n_grams      — sliding k-grams in the doc (0 if < k tokens)
+      * n_dup_grams  — gram occurrences whose hash appears in >= min_docs
+                       DISTINCT docs
+      * dup_gram_bp  — 10000 * n_dup_grams / n_grams, integer division
+                       (exact basis points; no float anywhere)
+
+    Scale shape (100 TB): grams explode narrowly from the scan (k rows
+    per token — bounded blow-up, no shuffle); the duplicated-gram
+    relation groups ON THE 8-BYTE GRAM HASH, so the counting shuffle
+    moves (hash, doc_id) pairs only, and the flagging join is hash-keyed
+    against that heavily-filtered relation (AQE broadcasts it when
+    small). Downstream span REMOVAL is a per-doc interval merge over the
+    flagged positions; the stats tier is the corpus-wide (and
+    oracle-checkable) part. Left-join + conditional count keeps docs
+    with zero duplicated grams and docs shorter than k tokens in the
+    output (n_grams = 0, bp = 0).
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = df.select(
+        "doc_id",
+        F.explode(word_ngrams(toks, k)).alias("gram"),
+    ).withColumn("h", rolling_hash(F.col("gram")))
+    dup = (
+        grams.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h", F.lit(1).alias("__dup"))
+    )
+    flagged = grams.join(dup, "h", "left")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.coalesce(F.col("__dup"), F.lit(0))).cast("long").alias("n_dup_grams"),
+    )
+    # Docs with < k tokens produce no gram rows at all: restore them
+    # with zero counts so the output covers every input document.
+    base = df.select("doc_id")
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0)).cast("long").alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_gram_bp",
+            F.when(
+                F.col("n_grams") > 0,
+                # floor() explicitly: both engines floor the same exact
+                # double (values < 1e8, exact in float64); a bare
+                # cast-to-long TRUNCATES on Spark but ROUNDS on DuckDB.
+                F.floor(
+                    F.lit(10000) * F.col("n_dup_grams") / F.col("n_grams")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_gram_bp"),
+        )
+    )

@@ -271,3 +271,45 @@ def simhash_pairs_sql(max_hamming: int = 3) -> str:
     )
     SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
     """
+
+
+def substring_dup_stats_sql(k: int = 5, min_docs: int = 2) -> str:
+    """Twin of dedup.substring_dup_stats: SLIDING k-word grams (stride
+    1, the substring-dedup signal) hashed with the shared rolling hash;
+    duplicated grams counted by DISTINCT documents per hash; per-doc
+    occurrence counts with explicit floor() basis points (cast-to-int
+    ROUNDS in DuckDB but TRUNCATES in Spark, so both sides floor)."""
+    h = ROLLING_HASH.format(s="gram")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, greatest(len(w) - {k} + 1, 0)),
+                   i -> array_to_string(w[i+1 : i+{k}], ' ')
+               )) AS gram
+        FROM toks
+    ),
+    hashed AS (SELECT doc_id, {h} AS h FROM grams),
+    dup AS (
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM hashed)
+        GROUP BY h HAVING count(*) >= {min_docs}
+    ),
+    per_doc AS (
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_grams
+        FROM hashed s LEFT JOIN dup d USING (h)
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id,
+           coalesce(n_grams, 0) AS n_grams,
+           coalesce(n_dup_grams, 0) AS n_dup_grams,
+           CASE WHEN coalesce(n_grams, 0) > 0
+                THEN CAST(floor(10000 * n_dup_grams / n_grams) AS BIGINT)
+                ELSE 0 END AS dup_gram_bp
+    FROM documents LEFT JOIN per_doc USING (doc_id)
+    """
