@@ -397,6 +397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_stats": _q(
             lambda t: dedup.substring_dup_stats(t["documents"])
         ),
+        "dsir_selection": _q(
+            lambda t: curation.dsir_importance(t["documents"])
+        ),
     }
 
 
@@ -1073,4 +1076,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         # --- round-6 additions
         "substring_dup_stats": oracle.substring_dup_stats_sql(),
+        "dsir_selection": curation.DSIR_IMPORTANCE_SQL,
     }

@@ -187,3 +187,41 @@ def test_chunk_documents_coverage_and_overlap(spark):
     doc2 = [r for r in out if r.doc_id == 2]
     assert len(doc2) == 1 and doc2[0].chunk_text == "a b c"
     assert doc2[0].n_tokens == 3
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """Docs sharing the target (en) slice's vocabulary score higher
+    than docs full of off-target terms; every doc is covered."""
+    rows = [
+        (1, "alpha beta gamma alpha beta", "en"),
+        (2, "alpha beta gamma gamma beta", "en"),
+        (3, "alpha beta gamma beta alpha", "zh"),  # en-like content, zh label
+        (4, "zeta eta theta iota kappa", "zh"),  # off-target vocabulary
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in curation.dsir_importance(df).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # target-vocab docs (regardless of their own label) beat off-target
+    assert out[3].avg_logw > out[4].avg_logw
+    assert out[1].avg_logw > out[4].avg_logw
+    assert out[1].keep and not out[4].keep
+    assert out[4].n_tokens == 5
+
+
+def test_dsir_importance_fixture_separation(tables):
+    """At sf0.001 the mean score of en docs exceeds the mean score of
+    non-en docs (the selection signal actually separates the target
+    domain on the fixture corpus)."""
+    docs = tables["documents"]
+    out = curation.dsir_importance(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    from pyspark.sql import functions as F
+
+    m = {
+        r.is_en: r.mean_logw
+        for r in out.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("avg_logw").alias("mean_logw"))
+        .collect()
+    }
+    assert m[True] > m[False]

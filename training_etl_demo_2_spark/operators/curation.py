@@ -598,3 +598,137 @@ def chunk_documents_sql(
                     AS BIGINT))) AS n_tokens
     FROM sized
     """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance-weighted data selection
+# ---------------------------------------------------------------------------
+
+DSIR_TARGET_PRED_SPARK = "lang = 'en'"  # fixture target domain proxy
+
+
+def dsir_importance(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al. 2023),
+    unigram-feature tier: score every document by the log importance
+    weight of its tokens under a TARGET domain's unigram distribution
+    versus the RAW corpus distribution, with add-one smoothing over the
+    raw vocabulary. High-scoring docs "look like" the target domain —
+    the selection signal for domain-matched pretraining subsets. The
+    target here is the corpus's own ``lang = 'en'`` slice (a
+    self-contained proxy; swap the predicate for a real target corpus).
+
+        avg_logw = (1/n_d) * sum_t tf_t * [ ln((ct_t+1)/(Nt+V))
+                                          - ln((cr_t+1)/(Nr+V)) ]
+
+    keep = round(avg_logw, 6) > 0 — the label compares the ROUNDED
+    score, so both engines decide from the identical value (the raw sum
+    is order-nondeterministic double accumulation; its ~1e-13 relative
+    error sits far inside the round-6 grid — unigram_logprob's
+    argument).
+
+    Scale shape: one (doc, term) shuffle for TF, one term-keyed shuffle
+    for each distribution (vocabulary-sized outputs), a term join back,
+    and the per-doc aggregate. The three scalar totals (Nt, Nr, V) ride
+    in as one broadcast 1-row aggregate — a single Catalyst plan, no
+    driver action. At 100 TB the distributions are vocabulary-sized
+    relations (MB, not TB) and everything else is the TF pipeline
+    every text op already pays.
+    """
+    tf = (
+        df.select(
+            "doc_id",
+            F.col("lang"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    raw = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cr"))
+    tgt = (
+        tf.filter(F.expr(DSIR_TARGET_PRED_SPARK))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("ct"))
+    )
+    dist = raw.join(tgt, "term", "left").select(
+        "term", "cr", F.coalesce(F.col("ct"), F.lit(0)).cast("long").alias("ct")
+    )
+    totals = dist.agg(
+        F.sum("cr").cast("long").alias("nr"),
+        F.sum("ct").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    scored = (
+        tf.join(dist, "term")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * (
+                        F.log(F.col("ct") + 1)
+                        - F.log(F.col("nt") + F.col("v"))
+                        - F.log(F.col("cr") + 1)
+                        + F.log(F.col("nr") + F.col("v"))
+                    )
+                )
+                / F.sum("tf"),
+                6,
+            ).alias("avg_logw"),
+        )
+    )
+    return (
+        df.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("avg_logw"), F.lit(0.0)).alias("avg_logw"),
+            (F.coalesce(F.col("avg_logw"), F.lit(0.0)) > 0).alias("keep"),
+        )
+    )
+
+
+DSIR_IMPORTANCE_SQL = """
+    WITH tf AS (
+        SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        )
+        WHERE term != ''
+        GROUP BY doc_id, lang, term
+    ),
+    raw AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cr FROM tf GROUP BY term),
+    tgt AS (
+        SELECT term, CAST(sum(tf) AS BIGINT) AS ct
+        FROM tf WHERE lang = 'en' GROUP BY term
+    ),
+    dist AS (
+        SELECT r.term, r.cr, CAST(coalesce(t.ct, 0) AS BIGINT) AS ct
+        FROM raw r LEFT JOIN tgt t USING (term)
+    ),
+    totals AS (
+        SELECT CAST(sum(cr) AS BIGINT) AS nr,
+               CAST(sum(ct) AS BIGINT) AS nt,
+               CAST(count(*) AS BIGINT) AS v
+        FROM dist
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(sum(tf) AS BIGINT) AS n_tokens,
+               round(sum(tf * (ln(ct + 1) - ln(nt + v)
+                               - ln(cr + 1) + ln(nr + v))) / sum(tf),
+                     6) AS avg_logw
+        FROM tf JOIN dist USING (term) CROSS JOIN totals
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.avg_logw, 0.0) AS avg_logw,
+           coalesce(s.avg_logw, 0.0) > 0 AS keep
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
