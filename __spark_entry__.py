@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from training_etl_demo_2_spark.io import load_tables
 from training_etl_demo_2_spark.operators import (
     behavior,
+    bloom,
     curation,
     dedup,
     merge,
@@ -400,6 +401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selection": _q(
             lambda t: curation.dsir_importance(t["documents"])
         ),
+        "bloom_pruned_join": _q(bloom.delinquent_order_revenue),
     }
 
 
@@ -1077,4 +1079,5 @@ def oracle_sql() -> dict[str, str]:
         # --- round-6 additions
         "substring_dup_stats": oracle.substring_dup_stats_sql(),
         "dsir_selection": curation.DSIR_IMPORTANCE_SQL,
+        "bloom_pruned_join": bloom.DELINQUENT_ORDER_REVENUE_SQL,
     }
