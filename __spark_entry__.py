@@ -402,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda t: curation.dsir_importance(t["documents"])
         ),
         "bloom_pruned_join": _q(bloom.delinquent_order_revenue),
+        "bm25_topk": _q(lambda t: text.bm25_topk(t["documents"])),
     }
 
 
@@ -1080,4 +1081,5 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_stats": oracle.substring_dup_stats_sql(),
         "dsir_selection": curation.DSIR_IMPORTANCE_SQL,
         "bloom_pruned_join": bloom.DELINQUENT_ORDER_REVENUE_SQL,
+        "bm25_topk": text.bm25_topk_sql(),
     }

@@ -139,3 +139,32 @@ def test_quality_classifier_label_matches_prob(tables):
         assert 0.0 <= r.quality_prob <= 1.0
         if abs(r.quality_prob - 0.5) > 1e-5:  # off the rounding boundary
             assert r.keep == (1 if r.quality_prob > 0.5 else 0)
+
+
+def test_bm25_ranks_term_dense_doc_first(spark):
+    """A doc dense in query terms outranks one with a single hit; docs
+    with no query terms don't appear; scores are positive."""
+    from training_etl_demo_2_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark join stream spark join stream"),
+            (2, "spark is mentioned once in this much longer document body here"),
+            (3, "nothing relevant lives in this document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(df, k=10).collect()
+    assert [r.doc_id for r in out] == [1, 2]
+    assert out[0].bm25 > out[1].bm25 > 0
+
+
+def test_bm25_fixture_topk_shape(tables):
+    """Fixture run: exactly k rows, strictly ordered by (score desc,
+    doc_id asc)."""
+    from training_etl_demo_2_spark.operators.text import bm25_topk
+
+    out = bm25_topk(tables["documents"], k=20).collect()
+    assert len(out) == 20
+    keys = [(-r.bm25, r.doc_id) for r in out]
+    assert keys == sorted(keys)

@@ -412,3 +412,115 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         dup_bp(toks).alias("word_dup_bp"),
         dup_bp(bigrams).alias("bigram_dup_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "join", "stream")  # fixture query terms
+BM25_TOPK = 20
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOPK,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k lexical retrieval for a fixed query — the sparse
+    complement to the embedding ANN operators (hybrid retrieval runs
+    both and fuses). Okapi BM25 (Robertson et al.), idf in the
+    +1 form so scores stay positive:
+
+        idf_t  = ln((N - df_t + 0.5) / (df_t + 0.5) + 1)
+        s(d,t) = idf_t * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Ranking uses the ROUNDED score (round 6) with doc_id tiebreak, so
+    both engines order by identical values.
+
+    Scale shape: the token stream is filtered to the query terms BEFORE
+    the (doc, term) aggregate, so the tf relation is |query|-bounded per
+    doc; df and the (N, sum dl) totals are one vocabulary-row and one
+    1-row broadcast aggregate; the final top-k is a
+    TakeOrderedAndProject, never a global sort. avgdl is written as
+    sum/count (one IEEE division) rather than avg() so both engines
+    produce the identical double.
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = _tokens(text_col)
+    dl = df.select("doc_id", F.size(toks).cast("long").alias("dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    )
+    tf = (
+        df.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.array_contains(terms, F.col("term")))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * (
+        F.col("tf") * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def bm25_topk_sql(
+    query_terms: tuple[str, ...] = BM25_QUERY,
+    k: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> str:
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+    WITH dl AS (
+        SELECT doc_id,
+               CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+        FROM documents
+    ),
+    totals AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(dl) AS BIGINT) AS sum_dl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS term
+              FROM documents)
+        WHERE term IN ({terms})
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+           round(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * ({k1} + 1)
+                  / (tf + {k1} * (1.0 - {b}
+                                  + {b} * dl / (CAST(sum_dl AS DOUBLE) / n_docs))))
+           ), 6) AS bm25
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN totals
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT {k}
+    """
