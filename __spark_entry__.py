@@ -403,6 +403,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bloom_pruned_join": _q(bloom.delinquent_order_revenue),
         "bm25_topk": _q(lambda t: text.bm25_topk(t["documents"])),
+        "hybrid_rrf_topk": _q(
+            lambda t: similarity.hybrid_rrf_topk(t["documents"], t["embeddings"])
+        ),
     }
 
 
@@ -1082,4 +1085,5 @@ def oracle_sql() -> dict[str, str]:
         "dsir_selection": curation.DSIR_IMPORTANCE_SQL,
         "bloom_pruned_join": bloom.DELINQUENT_ORDER_REVENUE_SQL,
         "bm25_topk": text.bm25_topk_sql(),
+        "hybrid_rrf_topk": similarity.hybrid_rrf_topk_sql(),
     }

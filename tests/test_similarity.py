@@ -231,3 +231,22 @@ def test_quantize_embeddings_roundtrip_error(tables):
             deq = q / r.scale
             step = 1.0 / r.scale
             assert np.abs(deq - x).max() <= 0.5 * step + 1e-9
+
+
+def test_hybrid_rrf_fuses_both_rankings(tables):
+    """RRF output: k rows, ordered, and contains docs from BOTH input
+    lists (a doc ranked #1 on either side lands in the fused top-k when
+    the other list is disjoint enough)."""
+    from training_etl_demo_2_spark.operators.similarity import hybrid_rrf_topk
+
+    out = hybrid_rrf_topk(tables["documents"], tables["embeddings"]).collect()
+    assert len(out) == 10
+    keys = [(-r.rrf, r.doc_id) for r in out]
+    assert keys == sorted(keys)
+    assert any(r.rnk_dense > 0 for r in out)
+    assert any(r.rnk_sparse > 0 for r in out)
+    # a doc present in both lists must outscore one present in neither list
+    both = [r for r in out if r.rnk_dense > 0 and r.rnk_sparse > 0]
+    only = [r for r in out if (r.rnk_dense > 0) != (r.rnk_sparse > 0)]
+    if both and only:
+        assert max(b.rrf for b in both) > min(o.rrf for o in only)

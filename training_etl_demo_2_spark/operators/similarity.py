@@ -677,3 +677,109 @@ QUANTIZE_EMBEDDINGS_SQL = """
         )
     )
 """
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of dense (cosine) + sparse (BM25)
+# ---------------------------------------------------------------------------
+
+RRF_C = 60  # the standard RRF constant (Cormack et al. 2009)
+RRF_LIST_K = 50  # depth of each input ranking
+RRF_TOPK = 10
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    k: int = RRF_TOPK,
+    list_k: int = RRF_LIST_K,
+    c: int = RRF_C,
+) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the dense
+    (brute-force cosine, query vector vec_id = 0) and sparse (BM25,
+    fixed query terms) rankings over the same document ids (the fixture
+    convention: ``vec_id`` is the embedding of ``doc_id``).
+
+        rrf(d) = sum_lists 1 / (c + rank_list(d))
+
+    Both input lists are fully tie-broken (score desc, id asc), so the
+    ranks — and therefore the fused scores — are engine-identical; the
+    final order uses the rounded rrf with doc_id tiebreak. The fusion
+    itself is a full-outer join of two k-row relations: driver-free,
+    broadcast-sized, trivially parallel. At scale the inputs are the
+    operators' own top-k outputs (TakeOrderedAndProject on the dense
+    side, query-term-bounded tf on the sparse side) — fusion cost never
+    grows with the corpus.
+    """
+    from .text import bm25_topk
+
+    dense = brute_topk(emb, k=list_k, query_pred="vec_id = 0").select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rnk").alias("rnk_dense")
+    )
+    sparse = bm25_topk(docs, k=list_k).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .alias("rnk_sparse"),
+    )
+    fused = dense.join(sparse, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (F.lit(c) + F.col("rnk_dense")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(c) + F.col("rnk_sparse")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+        F.coalesce(F.col("rnk_dense"), F.lit(0)).cast("int").alias("rnk_dense"),
+        F.coalesce(F.col("rnk_sparse"), F.lit(0)).cast("int").alias("rnk_sparse"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def hybrid_rrf_topk_sql(
+    k: int = RRF_TOPK, list_k: int = RRF_LIST_K, c: int = RRF_C
+) -> str:
+    from .text import bm25_topk_sql
+
+    return f"""
+    WITH dense AS (
+        SELECT neighbor_id AS doc_id, rnk AS rnk_dense
+        FROM ({ORACLE_BRUTE_TOPK_TEMPLATE.format(k=list_k, query_pred="vec_id = 0")})
+    ),
+    sparse0 AS ({bm25_topk_sql(k=list_k)}),
+    sparse AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rnk_sparse
+        FROM sparse0
+    ),
+    fused AS (
+        SELECT coalesce(d.doc_id, s.doc_id) AS doc_id,
+               round(coalesce(1.0 / ({c} + d.rnk_dense), 0.0)
+                     + coalesce(1.0 / ({c} + s.rnk_sparse), 0.0), 6) AS rrf,
+               CAST(coalesce(d.rnk_dense, 0) AS INT) AS rnk_dense,
+               CAST(coalesce(s.rnk_sparse, 0) AS INT) AS rnk_sparse
+        FROM dense d FULL OUTER JOIN sparse s ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id, rrf, rnk_dense, rnk_sparse
+    FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT {k}
+    """
+
+
+# the brute-topk oracle body, parameterized (mirrors
+# oracle_text.brute_topk_sql but inlinable as a subquery)
+ORACLE_BRUTE_TOPK_TEMPLATE = """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.e, c.e), 6) AS sim
+        FROM (SELECT * FROM v WHERE {query_pred}) q
+        JOIN v c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {k}
+"""
