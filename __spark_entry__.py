@@ -406,6 +406,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": _q(
             lambda t: similarity.hybrid_rrf_topk(t["documents"], t["embeddings"])
         ),
+        "k_anonymity_audit": _q(
+            lambda t: validation.k_anonymity_audit(t["customer"])
+        ),
+        "vocab_stats_by_source": _q(
+            lambda t: text.vocab_stats_by_source(t["documents"])
+        ),
     }
 
 
@@ -1086,4 +1092,6 @@ def oracle_sql() -> dict[str, str]:
         "bloom_pruned_join": bloom.DELINQUENT_ORDER_REVENUE_SQL,
         "bm25_topk": text.bm25_topk_sql(),
         "hybrid_rrf_topk": similarity.hybrid_rrf_topk_sql(),
+        "k_anonymity_audit": validation.k_anonymity_audit_sql(),
+        "vocab_stats_by_source": text.VOCAB_STATS_BY_SOURCE_SQL,
     }

@@ -168,3 +168,19 @@ def test_bm25_fixture_topk_shape(tables):
     assert len(out) == 20
     keys = [(-r.bm25, r.doc_id) for r in out]
     assert keys == sorted(keys)
+
+
+def test_vocab_stats_by_source(spark):
+    from training_etl_demo_2_spark.operators.text import vocab_stats_by_source
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b", "s1"),  # 4 tokens, 2 types, 1 hapax (b)
+            (2, "x y z", "s2"),  # 3 tokens, 3 types, 3 hapax
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in vocab_stats_by_source(df).collect()}
+    assert (out["s1"].n_tokens, out["s1"].n_types, out["s1"].n_hapax) == (4, 2, 1)
+    assert (out["s2"].n_tokens, out["s2"].n_types, out["s2"].n_hapax) == (3, 3, 3)
+    assert out["s2"].ttr == 1.0

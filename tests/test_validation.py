@@ -306,3 +306,18 @@ def test_psi_zero_for_identical_and_large_for_shifted(spark):
     assert abs(same.psi) < 1e-9  # identical distributions -> PSI 0
     moved = value_drift_psi(mk(base), mk(shifted)).collect()[0]
     assert moved.psi > 0.25  # fully disjoint support -> loud alarm
+
+
+def test_k_anonymity_audit_flags_small_groups(spark):
+    from training_etl_demo_2_spark.operators.validation import k_anonymity_audit
+
+    df = spark.createDataFrame(
+        [(1, "A")] * 6 + [(2, "B")] * 2 + [(3, "C")] * 4,
+        "c_nationkey long, c_mktsegment string",
+    )
+    out = {
+        (r.c_nationkey, r.c_mktsegment): r.group_size
+        for r in k_anonymity_audit(df, k=5).collect()
+    }
+    # only the groups below k appear
+    assert out == {(2, "B"): 2, (3, "C"): 4}

@@ -524,3 +524,52 @@ def bm25_topk_sql(
     ORDER BY bm25 DESC, doc_id ASC
     LIMIT {k}
     """
+
+
+def vocab_stats_by_source(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source vocabulary profile: token count, type count (distinct
+    terms), hapax count (terms appearing exactly once within the
+    source) and type-token ratio — the corpus-composition diagnostics
+    that drive mixture decisions (a source whose TTR collapses is
+    boilerplate; one that is all hapaxes is noise).
+
+    Scale shape: one (source, term) shuffle with map-side partial
+    counts; the output is |sources| rows. TTR is a single IEEE division
+    of two exact longs, identical on both engines.
+    """
+    tf = (
+        df.select("source", F.explode(_tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    return tf.groupBy("source").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum("tf").cast("double"), 6
+        ).alias("ttr"),
+    )
+
+
+VOCAB_STATS_BY_SOURCE_SQL = """
+    WITH tf AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        )
+        WHERE term != ''
+        GROUP BY source, term
+    )
+    SELECT source,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(CAST(count(*) AS DOUBLE) / CAST(sum(tf) AS DOUBLE), 6) AS ttr
+    FROM tf
+    GROUP BY source
+"""

@@ -607,3 +607,46 @@ def value_drift_psi_sql(
     FROM t
     GROUP BY event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+KANON_K = 5
+KANON_QI = ("c_nationkey", "c_mktsegment")  # fixture quasi-identifiers
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_identifiers: tuple[str, ...] = KANON_QI,
+    k: int = KANON_K,
+) -> DataFrame:
+    """Privacy-compliance audit: quasi-identifier combinations held by
+    FEWER than ``k`` rows — the groups where releasing the combination
+    re-identifies individuals (k-anonymity, Sweeney 2002). Release
+    pipelines suppress or generalize exactly these groups.
+
+    One hash-agg shuffle on the QI columns (partial aggregation
+    map-side), output bounded by the QI domain product — metadata-sized
+    at any corpus scale. NULL QI values group together (SQL GROUP BY
+    semantics, identical on both engines).
+    """
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_identifiers])
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .filter(F.col("group_size") < k)
+        .select(*quasi_identifiers, "group_size")
+    )
+
+
+def k_anonymity_audit_sql(
+    quasi_identifiers: tuple[str, ...] = KANON_QI, k: int = KANON_K
+) -> str:
+    qi = ", ".join(quasi_identifiers)
+    return f"""
+    SELECT {qi}, CAST(count(*) AS BIGINT) AS group_size
+    FROM customer
+    GROUP BY {qi}
+    HAVING count(*) < {k}
+    """
