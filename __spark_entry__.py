@@ -412,6 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats_by_source": _q(
             lambda t: text.vocab_stats_by_source(t["documents"])
         ),
+        "pagerank_near_dups": _q(
+            lambda t: dedup.pagerank_near_dup_graph(t["documents"])
+        ),
     }
 
 
@@ -1094,4 +1097,5 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_topk": similarity.hybrid_rrf_topk_sql(),
         "k_anonymity_audit": validation.k_anonymity_audit_sql(),
         "vocab_stats_by_source": text.VOCAB_STATS_BY_SOURCE_SQL,
+        "pagerank_near_dups": dedup.pagerank_near_dup_graph_sql(),
     }

@@ -249,3 +249,26 @@ def test_substring_dup_stats_fixture_density(tables):
     assert len(out) == docs.count()
     assert all(0 <= r.dup_gram_bp <= 10000 for r in out)
     assert any(r.n_dup_grams > 0 for r in out)
+
+
+def test_pagerank_star_center_wins(spark):
+    """On a star graph the hub must outrank every leaf, and leaves tie
+    exactly (identical recurrence)."""
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "doc_a long, doc_b long"
+    ).select("doc_a", "doc_b")
+    # drive the same superstep code through a monkeypatched pair source
+    import training_etl_demo_2_spark.operators.dedup as d
+
+    orig = d.minhash_lsh_pairs
+    try:
+        d.minhash_lsh_pairs = lambda df, *a, **k: pairs
+        out = {r.doc_id: r.pr for r in d.pagerank_near_dup_graph(pairs).collect()}
+    finally:
+        d.minhash_lsh_pairs = orig
+    assert set(out) == {0, 1, 2, 3, 4, 5}
+    leaves = {out[i] for i in range(1, 6)}
+    assert len(leaves) == 1  # exact tie
+    assert out[0] > max(leaves)

@@ -760,3 +760,101 @@ def substring_dup_stats(
             .alias("dup_gram_bp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality on the near-dup graph
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def pagerank_near_dup_graph(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+    iters: int = PAGERANK_ITERS,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank centrality over the undirected near-duplicate graph
+    (MinHash-LSH pairs): the canonical iterative join-agg algorithm on
+    DataFrames (Pregel-style supersteps), and a useful dedup signal —
+    the highest-rank node of a near-dup cluster is its most-connected
+    "canonical" representative, a principled alternative to min-id
+    winner rules.
+
+    Fixed ``iters`` supersteps; each is one edge⋈rank join + one
+    dst-keyed sum — 2 shuffles per superstep, the standard distributed
+    PageRank shape (at 100 TB: pre-partition edges by src so the join
+    side is co-located and only the rank relation moves). Nodes come
+    from pairs, so every node has degree >= 1 — no dangling-mass term.
+    Scores stay unnormalized against the induced-graph size (init 1.0,
+    teleport (1 - d)): ranks are comparable within the graph, and the
+    oracle unrolls the identical recurrence as a CTE chain. Per-node
+    contribution sums are order-nondeterministic double accumulation;
+    after ``iters`` rounds the drift is ~1e-13 — far inside the
+    round-6 output grid.
+    """
+    pairs = minhash_lsh_pairs(df, text_col, n, threshold)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # iterative plan reuse: the edge relation feeds every superstep
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    ranks = deg.select(F.col("src").alias("doc_id"), F.lit(1.0).alias("pr"))
+    for _ in range(iters):
+        contribs = (
+            edges.join(
+                ranks.withColumnRenamed("doc_id", "src"), "src"
+            )
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("doc_id"),
+            (F.lit(1.0 - damping) + F.lit(damping) * F.col("s")).alias("pr"),
+        )
+    return ranks.select("doc_id", F.round("pr", 6).alias("pr"))
+
+
+def pagerank_near_dup_graph_sql(
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+    iters: int = PAGERANK_ITERS,
+    damping: float = 0.85,
+) -> str:
+    """Unrolled-CTE twin of pagerank_near_dup_graph: the identical
+    recurrence materialized as it0..itN CTEs over the same LSH pairs."""
+    from .oracle import minhash_lsh_sql
+
+    steps = []
+    for i in range(iters):
+        prev = "it0" if i == 0 else f"it{i}"
+        steps.append(
+            f"""it{i + 1} AS (
+        SELECT e.dst AS doc_id,
+               {1.0 - damping} + {damping} * sum(r.pr / d.deg) AS pr
+        FROM edges e
+        JOIN {prev} r ON r.doc_id = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS ({minhash_lsh_sql(n, threshold)}),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    it0 AS (SELECT src AS doc_id, 1.0::DOUBLE AS pr FROM deg),
+    {chain}
+    SELECT doc_id, round(pr, 6) AS pr FROM it{iters}
+    """
