@@ -415,6 +415,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_near_dups": _q(
             lambda t: dedup.pagerank_near_dup_graph(t["documents"])
         ),
+        "source_overlap_matrix": _q(
+            lambda t: dedup.source_overlap_matrix(t["documents"])
+        ),
     }
 
 
@@ -1098,4 +1101,5 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_audit": validation.k_anonymity_audit_sql(),
         "vocab_stats_by_source": text.VOCAB_STATS_BY_SOURCE_SQL,
         "pagerank_near_dups": dedup.pagerank_near_dup_graph_sql(),
+        "source_overlap_matrix": dedup.source_overlap_matrix_sql(),
     }

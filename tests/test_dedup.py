@@ -272,3 +272,23 @@ def test_pagerank_star_center_wins(spark):
     leaves = {out[i] for i in range(1, 6)}
     assert len(leaves) == 1  # exact tie
     assert out[0] > max(leaves)
+
+
+def test_source_overlap_matrix_counts_distinct_content(spark):
+    from training_etl_demo_2_spark.operators.dedup import source_overlap_matrix
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared doc one", "s1"),
+            (2, "Shared   Doc one", "s2"),  # same normalized content
+            (3, "shared doc one", "s2"),  # duplicate copy: must not double count
+            (4, "only in s1", "s1"),
+            (5, "only in s3", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.source_a, r.source_b): r.n_shared
+        for r in source_overlap_matrix(df).collect()
+    }
+    assert out == {("s1", "s2"): 1}

@@ -858,3 +858,49 @@ def pagerank_near_dup_graph_sql(
     {chain}
     SELECT doc_id, round(pr, 6) AS pr FROM it{iters}
     """
+
+
+def source_overlap_matrix(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cross-source duplicate overlap: for every pair of sources, how
+    many DISTINCT normalized-content fingerprints they share — the
+    corpus diagnostic for "which feeds mirror each other" that decides
+    source-level dedup order and mixture double-counting corrections.
+
+    Scale shape: the corpus reduces to distinct (source, fp) — the
+    same 8-byte fingerprint relation exact dedup already builds — and
+    the pair join is fp-keyed; output is |sources|² rows at most. The
+    n_shared count is DISTINCT fps per pair, so multi-copy content
+    can't inflate overlap.
+    """
+    fps = df.select(
+        "source", rolling_hash(normalize_text(text_col)).alias("fp")
+    ).distinct()
+    a = fps.select(F.col("source").alias("source_a"), "fp")
+    b = fps.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count_distinct("fp").cast("long").alias("n_shared"))
+    )
+
+
+SOURCE_OVERLAP_MATRIX_SQL = f"""
+    WITH fps AS (
+        SELECT DISTINCT source,
+               {{fp}} AS fp
+        FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(DISTINCT a.fp) AS BIGINT) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+"""
+
+
+def source_overlap_matrix_sql() -> str:
+    from .oracle import NORMALIZE, ROLLING_HASH
+
+    return SOURCE_OVERLAP_MATRIX_SQL.format(
+        fp=ROLLING_HASH.format(s=NORMALIZE.format(s="text"))
+    )
