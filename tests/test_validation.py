@@ -317,7 +317,9 @@ def test_k_anonymity_audit_flags_small_groups(spark):
     )
     out = {
         (r.c_nationkey, r.c_mktsegment): r.group_size
-        for r in k_anonymity_audit(df, k=5).collect()
+        for r in k_anonymity_audit(
+            df, quasi_identifiers=("c_nationkey", "c_mktsegment"), k=5
+        ).collect()
     }
     # only the groups below k appear
     assert out == {(2, "B"): 2, (3, "C"): 4}

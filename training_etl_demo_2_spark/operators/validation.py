@@ -614,7 +614,11 @@ def value_drift_psi_sql(
 # ---------------------------------------------------------------------------
 
 KANON_K = 5
-KANON_QI = ("c_nationkey", "c_mktsegment")  # fixture quasi-identifiers
+# Fixture quasi-identifiers: nation × segment × account-balance band.
+# The derived k$-band keeps the audit non-trivial at every scale factor
+# (nation × segment alone saturates above ~1k rows and the violating
+# set collapses to empty — a trivially-green gate row).
+KANON_QI = ("c_nationkey", "c_mktsegment", "acctbal_kband")
 
 
 def k_anonymity_audit(
@@ -630,8 +634,14 @@ def k_anonymity_audit(
     One hash-agg shuffle on the QI columns (partial aggregation
     map-side), output bounded by the QI domain product — metadata-sized
     at any corpus scale. NULL QI values group together (SQL GROUP BY
-    semantics, identical on both engines).
+    semantics, identical on both engines). ``acctbal_kband`` (floor of
+    the balance in k$) is derived here when requested: floor of the
+    identical IEEE division on both engines, exact.
     """
+    if "acctbal_kband" in quasi_identifiers:
+        df = df.withColumn(
+            "acctbal_kband", F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+        )
     return (
         df.groupBy(*[F.col(c) for c in quasi_identifiers])
         .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
@@ -646,7 +656,8 @@ def k_anonymity_audit_sql(
     qi = ", ".join(quasi_identifiers)
     return f"""
     SELECT {qi}, CAST(count(*) AS BIGINT) AS group_size
-    FROM customer
+    FROM (SELECT *, CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_kband
+          FROM customer)
     GROUP BY {qi}
     HAVING count(*) < {k}
     """
