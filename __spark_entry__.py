@@ -418,6 +418,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_matrix": _q(
             lambda t: dedup.source_overlap_matrix(t["documents"])
         ),
+        "hard_negative_pairs": _q(
+            lambda t: dedup.hard_negative_pairs(t["documents"])
+        ),
     }
 
 
@@ -1102,4 +1105,5 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats_by_source": text.VOCAB_STATS_BY_SOURCE_SQL,
         "pagerank_near_dups": dedup.pagerank_near_dup_graph_sql(),
         "source_overlap_matrix": dedup.source_overlap_matrix_sql(),
+        "hard_negative_pairs": oracle.hard_negative_pairs_sql(),
     }

@@ -292,3 +292,23 @@ def test_source_overlap_matrix_counts_distinct_content(spark):
         for r in source_overlap_matrix(df).collect()
     }
     assert out == {("s1", "s2"): 1}
+
+
+def test_hard_negative_pairs_band(tables):
+    """Hard negatives sit strictly between background noise and
+    near-dups: every pair in [lo, hi), disjoint from the near-dup set,
+    and non-empty on the fixture corpus."""
+    from training_etl_demo_2_spark.operators.dedup import (
+        hard_negative_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = tables["documents"]
+    neg = hard_negative_pairs(docs).collect()
+    assert len(neg) > 0
+    assert all(0.03 <= p.jaccard < 0.5 for p in neg)
+    dups = {
+        (p.doc_a, p.doc_b)
+        for p in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert dups.isdisjoint({(p.doc_a, p.doc_b) for p in neg})

@@ -904,3 +904,32 @@ def source_overlap_matrix_sql() -> str:
     return SOURCE_OVERLAP_MATRIX_SQL.format(
         fp=ROLLING_HASH.format(s=NORMALIZE.format(s="text"))
     )
+
+
+def hard_negative_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    lo: float = 0.03,
+    hi: float = 0.5,
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: document
+    pairs that are lexically RELATED but NOT near-duplicates — exact
+    Jaccard in [lo, hi) over the LSH candidate set plus the shared-
+    shingle graph. These are the "confusable" pairs contrastive
+    training needs (easy negatives are random; near-dups are false
+    negatives and get excluded by the hi bound).
+
+    Candidate generation must cast a wider net than dedup: banding at
+    NUM_PERM=32 rarely fires below j≈0.5, so candidates come from the
+    shared-shingle join (any pair with >= 1 common shingle hash)
+    bounded the same way ngram-Jaccard dedup bounds it — the shuffle
+    is shingle-hash-keyed, and the verify is the same exact-Jaccard
+    aggregate. Output is symmetric-free (doc_a < doc_b) and fully
+    deterministic (round-6 jaccard, integer ids).
+    """
+    sh = shingle_hashes(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    return (
+        _pair_jaccard(sh, pairs=None)
+        .filter((F.col("jaccard") >= lo) & (F.col("jaccard") < hi))
+    )

@@ -313,3 +313,12 @@ def substring_dup_stats_sql(k: int = 5, min_docs: int = 2) -> str:
                 ELSE 0 END AS dup_gram_bp
     FROM documents LEFT JOIN per_doc USING (doc_id)
     """
+
+
+def hard_negative_pairs_sql(
+    n: int = DEFAULT_NGRAM, lo: float = 0.03, hi: float = 0.5
+) -> str:
+    """Twin of dedup.hard_negative_pairs: exact Jaccard over all
+    co-shingled pairs, banded to [lo, hi) — related-but-not-duplicate
+    pairs (the contrastive-training negatives)."""
+    return f"WITH {_shingles_cte(n)}, {_jaccard_sql('', lo)} AND jaccard < {hi}"
