@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_pairs": _q(
             lambda t: dedup.hard_negative_pairs(t["documents"])
         ),
+        "stream_exact_dedup": fixture_queries.stream_exact_dedup_groups,
     }
 
 
@@ -1106,4 +1107,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_near_dups": dedup.pagerank_near_dup_graph_sql(),
         "source_overlap_matrix": dedup.source_overlap_matrix_sql(),
         "hard_negative_pairs": oracle.hard_negative_pairs_sql(),
+        # streaming incremental dedup must equal the batch groups —
+        # the SAME oracle as dedup_exact by construction
+        "stream_exact_dedup": oracle.exact_dedup_sql(),
     }

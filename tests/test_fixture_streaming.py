@@ -54,3 +54,22 @@ def test_stream_user_nation_equals_batch(spark, sf_dir, tables):
         map(tuple, batch.collect())
     )
     assert got.count() > 0
+
+
+def test_stream_exact_dedup_equals_batch(spark, sf_dir):
+    """Replayed streaming fingerprint groups == batch exact dedup."""
+    from training_etl_demo_2_spark.operators.dedup import exact_dedup_groups
+    from training_etl_demo_2_spark.streaming.fixture_queries import (
+        stream_exact_dedup_groups,
+    )
+    from training_etl_demo_2_spark.io import load_tables
+
+    got = {
+        (r.keep_id, r.n_copies)
+        for r in stream_exact_dedup_groups(spark, sf_dir).collect()
+    }
+    want = {
+        (r.keep_id, r.n_copies)
+        for r in exact_dedup_groups(load_tables(spark, sf_dir)["documents"]).collect()
+    }
+    assert got == want and len(got) > 0

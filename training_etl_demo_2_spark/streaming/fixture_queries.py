@@ -401,3 +401,52 @@ STREAM_USER_NATION_ORACLE = """
     JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
 """
+
+
+def _read_documents_stream_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the fixture documents table (the
+    batch-arrival corpus feed); schema probed from the batch reader,
+    same pattern as the events stream source."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    cache_key = (spark.sparkContext.applicationId, sf_dir, "documents")
+    schema = _SCHEMA_CACHE.get(cache_key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[cache_key] = schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def stream_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: the incremental form of
+    ``dedup.exact_dedup_groups`` — documents arrive as a stream, state
+    is one (min doc_id, count) pair per content fingerprint, and the
+    replayed result must equal the batch groups exactly (shared oracle:
+    ``oracle.exact_dedup_sql``). This is the always-on ingest-dedup
+    service shape: new deliveries fold into fingerprint state instead
+    of re-running corpus dedup.
+
+    State is fingerprint-keyed (8 bytes + two longs per distinct
+    content) — the same relation incremental_dedup materializes
+    batch-wise; min/count are algebraic, so micro-batch partials merge
+    exactly and arrival order cannot change the result.
+    """
+    from ..functions import normalize_text, rolling_hash
+
+    docs = _read_documents_stream_fixture(spark, sf_dir)
+    agg = (
+        docs.select(
+            "doc_id", rolling_hash(normalize_text("text")).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )
+    _replay_to_table(agg, "gate_stream_exact_dedup")
+    return spark.table("gate_stream_exact_dedup")
