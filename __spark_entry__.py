@@ -422,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda t: dedup.hard_negative_pairs(t["documents"])
         ),
         "stream_exact_dedup": fixture_queries.stream_exact_dedup_groups,
+        "zipf_fit": _q(lambda t: text.zipf_fit(t["documents"])),
     }
 
 
@@ -1110,4 +1111,5 @@ def oracle_sql() -> dict[str, str]:
         # streaming incremental dedup must equal the batch groups —
         # the SAME oracle as dedup_exact by construction
         "stream_exact_dedup": oracle.exact_dedup_sql(),
+        "zipf_fit": text.zipf_fit_sql(),
     }

@@ -184,3 +184,16 @@ def test_vocab_stats_by_source(spark):
     assert (out["s1"].n_tokens, out["s1"].n_types, out["s1"].n_hapax) == (4, 2, 1)
     assert (out["s2"].n_tokens, out["s2"].n_types, out["s2"].n_hapax) == (3, 3, 3)
     assert out["s2"].ttr == 1.0
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    """A corpus built with exact freq = C / rank must fit slope = -1."""
+    from training_etl_demo_2_spark.operators.text import zipf_fit
+
+    words = []
+    for rank in range(1, 21):
+        words += [f"w{rank:02d}"] * (1200 // rank)  # freq ∝ 1/rank
+    df = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    row = zipf_fit(df, top_n=20).collect()[0]
+    assert row.n_terms == 20
+    assert abs(row.zipf_slope - (-1.0)) < 0.01

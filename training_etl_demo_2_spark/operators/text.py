@@ -573,3 +573,70 @@ VOCAB_STATS_BY_SOURCE_SQL = """
     FROM tf
     GROUP BY source
 """
+
+
+ZIPF_TOP_N = 100
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", top_n: int = ZIPF_TOP_N) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: OLS slope of
+    ln(freq) against ln(rank) for the top-N terms. Natural corpora run
+    slope ≈ -1; a collapsed slope means template/boilerplate text, a
+    flat one means shuffled/garbled tokens — a one-row corpus health
+    gauge.
+
+    Ranks are fully tie-broken (count desc, term asc), the top-N cut is
+    a TakeOrderedAndProject, and the OLS sums run over N=100 rows —
+    round-6 output, identical closed form on both engines.
+    """
+    cnt = (
+        df.select(F.explode(_tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    top = cnt.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(top_n)
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("term").asc()))
+        .alias("rnk"),
+        "cnt",
+    ).select(F.log("rnk").alias("x"), F.log("cnt").alias("y"))
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy, sxx = F.sum(F.col("x") * F.col("y")), F.sum(F.col("x") * F.col("x"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+    )
+
+
+def zipf_fit_sql(top_n: int = ZIPF_TOP_N) -> str:
+    return f"""
+    WITH cnt AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+              FROM documents)
+        WHERE term != ''
+        GROUP BY term
+    ),
+    top AS (
+        SELECT cnt FROM cnt ORDER BY cnt DESC, term ASC LIMIT {top_n}
+    ),
+    ranked AS (
+        SELECT ln(row_number() OVER (ORDER BY cnt DESC)) AS x,
+               ln(cnt) AS y
+        FROM top
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round((count(*) * sum(x*y) - sum(x) * sum(y))
+                 / (count(*) * sum(x*x) - sum(x) * sum(x)), 6) AS zipf_slope,
+           round((sum(y) - ((count(*) * sum(x*y) - sum(x) * sum(y))
+                 / (count(*) * sum(x*x) - sum(x) * sum(x))) * sum(x))
+                 / count(*), 6) AS zipf_intercept
+    FROM ranked
+    """
