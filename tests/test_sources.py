@@ -222,3 +222,38 @@ def test_read_csv_with_quarantine_splits_good_and_bad(spark, tmp_path):
     assert len(bad_rows) == 1 and "not_a_number" in bad_rows[0]
     result.unpersist()
     assert not result._parsed.is_cached
+
+
+def test_synthetic_docs_datasource_parallel_pushdown(spark):
+    """Custom Python DataSource (Spark 4 API): partition-parallel scan,
+    doc_id range pushdown reaching the source plan, deterministic rows."""
+    from training_etl_demo_2_spark.sources.synthetic_docs import (
+        SyntheticDocsDataSource,
+        _doc_row,
+    )
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (
+            spark.read.format("synthetic_docs")
+            .option("n_docs", 1000)
+            .option("rows_per_partition", 250)
+            .load()
+        )
+        assert df.count() == 1000
+        assert df.rdd.getNumPartitions() == 4
+        sliced = df.filter("doc_id >= 100 and doc_id < 120")
+        assert sliced.count() == 20
+        # the range predicates are absorbed by the source (only the
+        # residual isnotnull survives as a post-scan Filter)
+        plan = sliced._jdf.queryExecution().executedPlan().toString()
+        assert ">= 100" not in plan and "< 120" not in plan
+        assert "isnotnull" in plan
+        # retried/speculative tasks must regenerate identical rows
+        assert tuple(df.filter("doc_id = 7").collect()[0]) == _doc_row(7)
+        # equality pushdown narrows the planned range to one row
+        assert df.filter("doc_id = 999").count() == 1
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
