@@ -257,3 +257,35 @@ def test_synthetic_docs_datasource_parallel_pushdown(spark):
         assert df.filter("doc_id = 999").count() == 1
     finally:
         spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+def test_synthetic_docs_stream_resumes_exactly_once(spark, tmp_path):
+    """Streaming half of the custom DataSource: repeated availableNow
+    runs over one checkpoint drain the bounded feed with EXACTLY-ONCE
+    delivery — each restart resumes from the committed offset, no row
+    lost or duplicated."""
+    from training_etl_demo_2_spark.sources.synthetic_docs import (
+        SyntheticDocsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    for _ in range(6):
+        stream = (
+            spark.readStream.format("synthetic_docs")
+            .option("n_docs", 500)
+            .option("batch_rows", 100)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    df = spark.read.parquet(out)
+    assert df.count() == 500
+    assert df.select("doc_id").distinct().count() == 500

@@ -39,6 +39,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -124,3 +125,38 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SyntheticDocsReader:
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> "SyntheticDocsStreamReader":
+        return SyntheticDocsStreamReader(self.options)
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector template: a resumable
+    micro-batch feed over the same deterministic id space.
+
+    The offset is ``{"next_id": n}`` — the connector contract in
+    miniature: `initialOffset` anchors a new query, `read(start)`
+    advances by at most ``batch_rows`` ids and returns the planned end
+    offset, and `readBetweenOffsets(start, end)` regenerates EXACTLY
+    the rows of a committed-but-lost batch during recovery (possible
+    only because rows are a pure function of id — the same determinism
+    the batch reader guarantees). ``n_docs`` bounds the feed so
+    ``availableNow`` replays terminate.
+    """
+
+    def __init__(self, options):
+        self.n_docs = int(options.get("n_docs", 1000))
+        self.batch_rows = int(options.get("batch_rows", 100))
+
+    def initialOffset(self) -> dict:
+        return {"next_id": 0}
+
+    def read(self, start: dict):
+        lo = int(start["next_id"])
+        hi = min(lo + self.batch_rows, self.n_docs)
+        return (iter([_doc_row(i) for i in range(lo, hi)]), {"next_id": hi})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [_doc_row(i) for i in range(int(start["next_id"]), int(end["next_id"]))]
+        )
