@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "stream_exact_dedup": fixture_queries.stream_exact_dedup_groups,
         "zipf_fit": _q(lambda t: text.zipf_fit(t["documents"])),
+        "corpus_report": _q(pipeline.corpus_report),
     }
 
 
@@ -1112,4 +1113,5 @@ def oracle_sql() -> dict[str, str]:
         # the SAME oracle as dedup_exact by construction
         "stream_exact_dedup": oracle.exact_dedup_sql(),
         "zipf_fit": text.zipf_fit_sql(),
+        "corpus_report": pipeline.corpus_report_sql(),
     }

@@ -32,3 +32,21 @@ def test_clean_corpus_keeps_min_doc_id(tables):
     groups = dedup.exact_dedup_groups(tables["documents"]).collect()
     for g in groups:
         assert g.keep_id in out
+
+
+def test_corpus_report_metrics_consistent(tables):
+    """The data card's metrics must agree with the individual operators
+    they summarize (dup rate vs exact dedup, token totals vs tf)."""
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark.operators.dedup import exact_dedup_groups
+    from training_etl_demo_2_spark.operators.pipeline import corpus_report
+
+    docs = tables["documents"]
+    m = {r.metric: r.value for r in corpus_report(tables).collect()}
+    n_docs = docs.count()
+    assert m["n_docs"] == float(n_docs)
+    assert m["distinct_content"] == float(exact_dedup_groups(docs).count())
+    assert abs(m["dup_rate"] - (1 - m["distinct_content"] / n_docs)) < 1e-9
+    assert 0 <= m["pct_en"] <= 1
+    assert m["mean_doc_tokens"] > 0

@@ -129,3 +129,105 @@ def clean_corpus_v2_sql() -> str:
            s.n_kept, s.n_dropped
     FROM survivors s JOIN first f ON s.doc_id = f.keep_id
     """
+
+
+def corpus_report(t: dict[str, DataFrame]) -> DataFrame:
+    """One-query corpus data card: the headline metrics a dataset
+    release ships (counts, vocabulary, duplication, composition) as
+    (metric, value) rows — the summary every curation decision starts
+    from, composed from the same relations the individual operators
+    use so the report can never disagree with them.
+
+    All metrics are exact and engine-portable: integer counts cast to
+    double, ratios as single IEEE divisions of exact longs, round-6.
+    Scale shape: one token-explode aggregate (the TF pipeline), one
+    fingerprint distinct-count, two corpus-sized single-pass
+    aggregates; every output is O(1) rows, unioned driver-free.
+    """
+    from ..functions import normalize_text, rolling_hash
+
+    docs = t["documents"]
+    toks = F.split(F.lower(F.col("text")), " ")
+
+    base = docs.select(
+        F.size(F.filter(toks, lambda x: x != "")).cast("long").alias("n_toks"),
+        rolling_hash(normalize_text("text")).alias("fp"),
+        (F.col("lang") == "en").cast("long").alias("is_en"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.count_distinct("fp").cast("long").alias("n_distinct"),
+        F.sum("is_en").cast("long").alias("n_en"),
+    )
+    types = (
+        docs.select(F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .agg(F.count_distinct("term").cast("long").alias("n_types"))
+    )
+    m = base.crossJoin(F.broadcast(types))
+
+    def metric(name, expr):
+        return m.select(F.lit(name).alias("metric"), F.round(expr, 6).alias("value"))
+
+    rows = [
+        metric("n_docs", F.col("n_docs").cast("double")),
+        metric("n_tokens", F.col("n_tokens").cast("double")),
+        metric("n_types", F.col("n_types").cast("double")),
+        metric("distinct_content", F.col("n_distinct").cast("double")),
+        metric(
+            "dup_rate",
+            1.0 - F.col("n_distinct").cast("double") / F.col("n_docs"),
+        ),
+        metric(
+            "mean_doc_tokens",
+            F.col("n_tokens").cast("double") / F.col("n_docs"),
+        ),
+        metric("pct_en", F.col("n_en").cast("double") / F.col("n_docs")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+CORPUS_REPORT_SQL = """
+    WITH base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                                        x -> x != ''))) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT {fp}) AS BIGINT) AS n_distinct,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_en
+        FROM documents
+    ),
+    types AS (
+        SELECT CAST(count(DISTINCT term) AS BIGINT) AS n_types
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+              FROM documents)
+        WHERE term != ''
+    ),
+    m AS (SELECT * FROM base CROSS JOIN types)
+    SELECT 'n_docs' AS metric, round(CAST(n_docs AS DOUBLE), 6) AS value FROM m
+    UNION ALL
+    SELECT 'n_tokens', round(CAST(n_tokens AS DOUBLE), 6) FROM m
+    UNION ALL
+    SELECT 'n_types', round(CAST(n_types AS DOUBLE), 6) FROM m
+    UNION ALL
+    SELECT 'distinct_content', round(CAST(n_distinct AS DOUBLE), 6) FROM m
+    UNION ALL
+    SELECT 'dup_rate',
+           round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) FROM m
+    UNION ALL
+    SELECT 'mean_doc_tokens',
+           round(CAST(n_tokens AS DOUBLE) / n_docs, 6) FROM m
+    UNION ALL
+    SELECT 'pct_en', round(CAST(n_en AS DOUBLE) / n_docs, 6) FROM m
+"""
+
+
+def corpus_report_sql() -> str:
+    from .oracle import NORMALIZE, ROLLING_HASH
+
+    return CORPUS_REPORT_SQL.format(
+        fp=ROLLING_HASH.format(s=NORMALIZE.format(s="text"))
+    )
