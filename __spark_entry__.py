@@ -424,6 +424,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_exact_dedup": fixture_queries.stream_exact_dedup_groups,
         "zipf_fit": _q(lambda t: text.zipf_fit(t["documents"])),
         "corpus_report": _q(pipeline.corpus_report),
+        "negative_samples": _q(
+            lambda t: curation.negative_samples(t["documents"])
+        ),
     }
 
 
@@ -1114,4 +1117,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_exact_dedup": oracle.exact_dedup_sql(),
         "zipf_fit": text.zipf_fit_sql(),
         "corpus_report": pipeline.corpus_report_sql(),
+        "negative_samples": curation.negative_samples_sql(),
     }

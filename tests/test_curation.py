@@ -225,3 +225,24 @@ def test_dsir_importance_fixture_separation(tables):
         .collect()
     }
     assert m[True] > m[False]
+
+
+def test_negative_samples_never_self_and_uniform_ish(tables):
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark.operators.curation import negative_samples
+
+    docs = tables["documents"]
+    n = docs.count()
+    neg = negative_samples(docs, k=4)
+    assert neg.count() == 4 * n
+    assert neg.filter(F.col("neg_id") == F.col("doc_id")).count() == 0
+    assert neg.filter((F.col("neg_id") < 0) | (F.col("neg_id") >= n)).count() == 0
+    # seeds decorrelate epochs; same seed reproduces exactly
+    a = {tuple(r) for r in negative_samples(docs, k=2, seed="e1").collect()}
+    b = {tuple(r) for r in negative_samples(docs, k=2, seed="e2").collect()}
+    assert a != b
+    assert a == {tuple(r) for r in negative_samples(docs, k=2, seed="e1").collect()}
+    # coverage: negatives hit a large share of the id space
+    distinct_negs = neg.select("neg_id").distinct().count()
+    assert distinct_negs > 0.8 * min(4 * n, n) * 0.5

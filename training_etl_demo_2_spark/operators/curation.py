@@ -732,3 +732,68 @@ DSIR_IMPORTANCE_SQL = """
            coalesce(s.avg_logw, 0.0) > 0 AS keep
     FROM documents d LEFT JOIN scored s USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic negative sampling (contrastive batch construction)
+# ---------------------------------------------------------------------------
+
+NEG_PER_DOC = 4
+
+
+def negative_samples(
+    df: DataFrame, k: int = NEG_PER_DOC, seed: str = "neg0"
+) -> DataFrame:
+    """Uniform random-negative assignment for contrastive training,
+    with NO RNG state: negative j of doc d is
+
+        neg = (d + 1 + H(d, j, seed) mod (n - 1)) mod n
+
+    where H is the engine-portable avalanched rolling hash and n the
+    corpus size. The ``+1 ... mod (n-1)`` construction guarantees
+    ``neg != d`` while staying uniform over the other n-1 ids —
+    deterministic across engines, retries and epochs (change ``seed``
+    per epoch). Complements ``hard_negative_pairs``: training mixes
+    mined hard negatives with uniform ones.
+
+    Scale shape: a narrow k-row explode per doc plus one broadcast
+    1-row count — no shuffle at all (the assignment is pure
+    arithmetic). Assumes the contiguous 0..n-1 id space the fixture
+    ships; on sparse ids compose with ``corpus_shuffle``'s exact rank
+    to densify first.
+    """
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    pairs = df.select("doc_id").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+    )
+    h = _shuffle_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("j").cast("string")),
+        seed,
+    )
+    return pairs.select(
+        "doc_id",
+        F.col("j").cast("int").alias("j"),
+        ((F.col("doc_id") + 1 + h % (F.col("n") - 1)) % F.col("n"))
+        .cast("long")
+        .alias("neg_id"),
+    )
+
+
+def negative_samples_sql(k: int = NEG_PER_DOC, seed: str = "neg0") -> str:
+    h = ROLLING_HASH.format(
+        s=f"'shuffle:{seed}:' || CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)"
+    )
+    return f"""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    pairs AS (
+        SELECT doc_id, n, unnest(range(1, {k + 1})) AS j
+        FROM documents CROSS JOIN n
+    )
+    SELECT doc_id,
+           CAST(j AS INT) AS j,
+           CAST((doc_id + 1 + (({h}) * {_MIX_KNUTH} % {FNV_MOD}) % (n - 1)) % n
+                AS BIGINT) AS neg_id
+    FROM pairs
+    """
