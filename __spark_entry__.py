@@ -427,6 +427,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": _q(
             lambda t: curation.negative_samples(t["documents"])
         ),
+        "cms_join_estimate": _q(
+            lambda t: sketches.cms_join_size_estimate(
+                t["orders"],
+                t["customer"].filter(F.col("c_acctbal") < 0),
+                "o_custkey",
+                "c_custkey",
+            )
+        ),
     }
 
 
@@ -1118,4 +1126,10 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": text.zipf_fit_sql(),
         "corpus_report": pipeline.corpus_report_sql(),
         "negative_samples": curation.negative_samples_sql(),
+        "cms_join_estimate": sketches.cms_join_size_sql(
+            "SELECT o_custkey FROM orders",
+            "SELECT c_custkey FROM customer WHERE c_acctbal < 0",
+            "o_custkey",
+            "c_custkey",
+        ),
     }

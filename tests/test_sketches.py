@@ -103,3 +103,22 @@ def test_cms_estimate_upper_bounds_true_count(spark):
     assert "alpha" in out and out["alpha"].true_cnt == 40 * 50
     for r in out.values():
         assert r.cms_est >= r.true_cnt  # the one-sided CMS error bound
+
+
+def test_cms_join_estimate_upper_bounds_truth(tables):
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark.operators.sketches import (
+        cms_join_size_estimate,
+    )
+
+    row = cms_join_size_estimate(
+        tables["orders"],
+        tables["customer"].filter(F.col("c_acctbal") < 0),
+        "o_custkey",
+        "c_custkey",
+    ).collect()[0]
+    assert row.true_join_size > 0
+    assert row.est_join_size >= row.true_join_size  # CMS bound
+    # with W=1024 buckets vs a few hundred keys, inflation stays small
+    assert row.est_join_size <= 3 * row.true_join_size

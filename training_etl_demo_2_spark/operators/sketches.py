@@ -302,3 +302,99 @@ def cms_word_estimates_sql(k: int = 20) -> str:
     FROM ({probe_union}) p JOIN grid g USING (d, b)
     GROUP BY p.w, p.true_cnt
     """
+
+
+def cms_join_size_estimate(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """Equi-join cardinality estimation from two count-min sketches —
+    the optimizer-statistics primitive (AGMS/CMS inner product): for
+    each hash row d, sum_b gridA[d][b] * gridB[d][b] upper-bounds the
+    true join size; the estimate is the MIN over rows. Exact when no
+    buckets collide. Returns one row (est_join_size, true_join_size)
+    so the bound is visible in the output itself.
+
+    Why it matters at 100 TB: join-size estimates decide broadcast vs
+    shuffle vs skew handling BEFORE running the join; two 32 KB grids
+    (built with one groupBy each, mergeable per-partition/per-day)
+    answer it without touching either table again. Integer arithmetic
+    throughout (fixture counts keep products < 2^63; at trillion-row
+    scale switch the inner product to DOUBLE — the estimate is
+    approximate anyway).
+    """
+    def grid(df: DataFrame, key: str) -> DataFrame:
+        return (
+            df.select(F.col(key).cast("long").alias("h"))
+            .select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            (((F.lit(CMS_A[d]) * F.col("h") + F.lit(CMS_B[d]))
+                              % CMS_P) % CMS_W).alias("b"),
+                        )
+                        for d in range(CMS_D)
+                    ])
+                ).alias("cell")
+            )
+            .groupBy(F.col("cell.d").alias("d"), F.col("cell.b").alias("b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    ga = grid(fact, fact_key).withColumnRenamed("cnt", "ca")
+    gb = grid(dim, dim_key).withColumnRenamed("cnt", "cb")
+    est = (
+        ga.join(gb, ["d", "b"])
+        .groupBy("d")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("ip"))
+        .agg(F.min("ip").cast("long").alias("est_join_size"))
+    )
+    true_size = (
+        fact.select(F.col(fact_key).alias("k"))
+        .join(dim.select(F.col(dim_key).alias("k")), "k")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_join_size"))
+    )
+    return est.crossJoin(F.broadcast(true_size))
+
+
+def cms_join_size_sql(
+    fact_sql: str, dim_sql: str, fact_key: str, dim_key: str
+) -> str:
+    bucket = "((({a} * h + {b}) % {p}) % {w})"
+    rows_a = "\n            UNION ALL\n            ".join(
+        f"SELECT {d} AS d, "
+        + bucket.format(a=CMS_A[d], b=CMS_B[d], p=CMS_P, w=CMS_W)
+        + " AS b FROM ka"
+        for d in range(CMS_D)
+    )
+    rows_b = "\n            UNION ALL\n            ".join(
+        f"SELECT {d} AS d, "
+        + bucket.format(a=CMS_A[d], b=CMS_B[d], p=CMS_P, w=CMS_W)
+        + " AS b FROM kb"
+        for d in range(CMS_D)
+    )
+    return f"""
+    WITH ka AS (SELECT CAST({fact_key} AS BIGINT) AS h FROM ({fact_sql})),
+    kb AS (SELECT CAST({dim_key} AS BIGINT) AS h FROM ({dim_sql})),
+    ga AS (
+        SELECT d, b, CAST(count(*) AS BIGINT) AS ca
+        FROM ({rows_a}) GROUP BY d, b
+    ),
+    gb AS (
+        SELECT d, b, CAST(count(*) AS BIGINT) AS cb
+        FROM ({rows_b}) GROUP BY d, b
+    ),
+    est AS (
+        SELECT CAST(min(ip) AS BIGINT) AS est_join_size
+        FROM (SELECT d, sum(ca * cb) AS ip
+              FROM ga JOIN gb USING (d, b) GROUP BY d)
+    ),
+    tru AS (
+        SELECT CAST(count(*) AS BIGINT) AS true_join_size
+        FROM ka JOIN kb ON ka.h = kb.h
+    )
+    SELECT est_join_size, true_join_size FROM est CROSS JOIN tru
+    """
