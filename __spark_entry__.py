@@ -197,13 +197,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_user_nation_stats": fixture_queries.stream_user_nation_stats,
         # --- UDF surface (§2.10): grouped-map pandas UDF, exact output
         "udf_minmax_norm": _q(udfs.minmax_norm_by_type),
-        # --- relational breadth (§2.2-2.8 + Athena phase): one checked
-        #     representative per operator family inside the window
-        "q1_pricing_summary": _q(relational.q1_pricing_summary),
-        "q3_shipping_priority": _q(relational.q3_shipping_priority),
-        "q4_order_priority": _q(relational_ext.q4_order_priority),
-        "idle_customers": _q(relational_ext.idle_customers),
-        "customer_set_ops": _q(relational.customer_set_ops),
+        # --- round-6 north-star additions promoted into the window
+        #     (displacing TPC-H representatives q1/q3/q4/idle/set-ops,
+        #     whose green driver rows exist in CORRECTNESS_r01-r03 and
+        #     which remain locally oracle-checked + benchmarked below)
+        "substring_dup_stats": _q(
+            lambda t: dedup.substring_dup_stats(t["documents"])
+        ),
+        "dsir_selection": _q(
+            lambda t: curation.dsir_importance(t["documents"])
+        ),
+        "bm25_topk": _q(lambda t: text.bm25_topk(t["documents"])),
+        "pagerank_near_dups": _q(
+            lambda t: dedup.pagerank_near_dup_graph(t["documents"])
+        ),
+        "stream_exact_dedup": fixture_queries.stream_exact_dedup_groups,
         "priority_mix_by_year": _q(relational_ext.priority_mix_by_year),
         "sessionize_events": _q(relational.sessionize_events),
         "user_event_gaps": _q(relational_ext.user_event_gaps),
@@ -224,6 +232,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Entries below this line sit past the gate's 50-entry window:
         # oracle-sharing twins and family-covered relational variants.
         # ------------------------------------------------------------------
+        "q1_pricing_summary": _q(relational.q1_pricing_summary),
+        "q3_shipping_priority": _q(relational.q3_shipping_priority),
+        "q4_order_priority": _q(relational_ext.q4_order_priority),
+        "idle_customers": _q(relational_ext.idle_customers),
+        "customer_set_ops": _q(relational.customer_set_ops),
         "top_orders_per_customer": _q(relational.top_orders_per_customer),
         "q5_region_revenue": _q(relational.q5_region_revenue),
         "orders_rollup": _q(relational.orders_rollup),
@@ -394,15 +407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda t: curation.pack_sequences(t["documents"], budget=256)
         ),
         # --- round-6 additions (past the gate window; oracle-checked by
-        #     tools/check_oracle.py + tests/test_oracle_sweep.py)
-        "substring_dup_stats": _q(
-            lambda t: dedup.substring_dup_stats(t["documents"])
-        ),
-        "dsir_selection": _q(
-            lambda t: curation.dsir_importance(t["documents"])
-        ),
+        #     tools/check_oracle.py + tests/test_oracle_sweep.py; the
+        #     five strongest round-6 ops are promoted into the window
+        #     above instead)
         "bloom_pruned_join": _q(bloom.delinquent_order_revenue),
-        "bm25_topk": _q(lambda t: text.bm25_topk(t["documents"])),
         "hybrid_rrf_topk": _q(
             lambda t: similarity.hybrid_rrf_topk(t["documents"], t["embeddings"])
         ),
@@ -412,16 +420,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats_by_source": _q(
             lambda t: text.vocab_stats_by_source(t["documents"])
         ),
-        "pagerank_near_dups": _q(
-            lambda t: dedup.pagerank_near_dup_graph(t["documents"])
-        ),
         "source_overlap_matrix": _q(
             lambda t: dedup.source_overlap_matrix(t["documents"])
         ),
         "hard_negative_pairs": _q(
             lambda t: dedup.hard_negative_pairs(t["documents"])
         ),
-        "stream_exact_dedup": fixture_queries.stream_exact_dedup_groups,
         "zipf_fit": _q(lambda t: text.zipf_fit(t["documents"])),
         "corpus_report": _q(pipeline.corpus_report),
         "negative_samples": _q(

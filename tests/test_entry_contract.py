@@ -43,6 +43,10 @@ MUST_BE_IN_WINDOW = {
     # round-5 north-star promotions
     "line_dedup", "unigram_logprob", "quality_classifier",
     "winsorized_value_stats",
+    # round-6 north-star promotions (displacing q1/q3/q4/idle/set-ops,
+    # whose green driver rows exist in CORRECTNESS_r01-r03)
+    "substring_dup_stats", "dsir_selection", "bm25_topk",
+    "pagerank_near_dups", "stream_exact_dedup",
 }
 
 
