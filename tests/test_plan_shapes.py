@@ -46,6 +46,14 @@ NESTED_LOOP_OK = {
     "event_transitions",
     # broadcasts the |quantiles|-row q relation across cumulative bins
     "histogram_quantiles",
+    # round-6: all broadcast ONE-ROW scalar aggregates (totals/counts),
+    # the same designed pattern as unigram_logprob above
+    "dsir_selection",  # (Nt, Nr, V) totals
+    "bm25_topk",  # (N, sum dl) totals
+    "hybrid_rrf_topk",  # inherits bm25's totals crossJoin
+    "corpus_report",  # base metrics x types count
+    "negative_samples",  # corpus count n
+    "cms_join_estimate",  # est x true 1-row join
 }
 
 
