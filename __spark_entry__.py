@@ -79,6 +79,28 @@ ADHOC_NATION_REVENUE_SQL = """
 """
 
 
+# LATERAL correlated subquery (top-1-per-group without a window):
+# one SQL text, two engines — Spark's LateralJoin and DuckDB agree.
+ADHOC_LATERAL_TOP_CUSTOMER_SQL = """
+    SELECT n_name, top_cust, top_bal
+    FROM nation,
+    LATERAL (
+        SELECT c_name AS top_cust, c_acctbal AS top_bal
+        FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_name ASC
+        LIMIT 1
+    ) t
+"""
+
+
+def _sql_lateral_top_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from training_etl_demo_2_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(ADHOC_LATERAL_TOP_CUSTOMER_SQL)
+
+
 def _sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     from training_etl_demo_2_spark.io import register_views
 
@@ -431,6 +453,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": _q(
             lambda t: curation.negative_samples(t["documents"])
         ),
+        # Spark-4 VARIANT twin of events_props_stats (shared oracle):
+        # parse_json + variant_get vs from_json with declared schema
+        "events_props_variant": _q(relational_ext.events_props_variant),
+        "sql_lateral_top_customer": _sql_lateral_top_customer,
         "cms_join_estimate": _q(
             lambda t: sketches.cms_join_size_estimate(
                 t["orders"],
@@ -855,6 +881,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
         """,
         "events_props_stats": """
+            SELECT event_type,
+                   CAST(sum(k) AS BIGINT) AS sum_k,
+                   round(avg(k), 4) AS avg_k,
+                   max(k) AS max_k,
+                   count(*) AS n
+            FROM (SELECT event_type, (props->>'k')::INT AS k FROM events)
+            GROUP BY event_type
+        """,
+        "sql_lateral_top_customer": ADHOC_LATERAL_TOP_CUSTOMER_SQL,
+        "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,
                    round(avg(k), 4) AS avg_k,

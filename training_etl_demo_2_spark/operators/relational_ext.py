@@ -936,3 +936,31 @@ ROLLING_ACTIVE_USERS_ORACLE = """
     WHERE w IN (SELECT h FROM observed)
     GROUP BY w
 """
+
+
+def events_props_variant(t: dict[str, DataFrame]) -> DataFrame:
+    """Schema-on-read twin of ``events_props_stats`` on Spark 4's
+    VARIANT type: ``parse_json`` ingests the props column ONCE into the
+    binary variant encoding, ``variant_get`` extracts typed paths at
+    query time — the open-schema path for semi-structured ingest where
+    fields are not known up front (vs from_json's declared schema).
+
+    Same aggregate, same oracle as the from_json twin would produce —
+    proving the two ingestion modes agree. At 100 TB: variant columns
+    store parsed binary (cheaper repeated extraction than JSON strings)
+    and shredding pushes common paths into columns; extraction stays
+    codegen-friendly.
+    """
+    e = t["events"]
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("long").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
