@@ -457,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parse_json + variant_get vs from_json with declared schema
         "events_props_variant": _q(relational_ext.events_props_variant),
         "sql_lateral_top_customer": _sql_lateral_top_customer,
+        "stream_user_totals": fixture_queries.stream_user_totals,
         "cms_join_estimate": _q(
             lambda t: sketches.cms_join_size_estimate(
                 t["orders"],
@@ -890,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
         """,
         "sql_lateral_top_customer": ADHOC_LATERAL_TOP_CUSTOMER_SQL,
+        "stream_user_totals": fixture_queries.STREAM_USER_TOTALS_ORACLE,
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

@@ -450,3 +450,43 @@ def stream_exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _replay_to_table(agg, "gate_stream_exact_dedup")
     return spark.table("gate_stream_exact_dedup")
+
+
+def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate row for the custom-stateful layer (applyInPandasWithState):
+    per-user lifetime totals accumulated across micro-batches, final
+    state per user compared against plain batch GROUP BY. Update-mode
+    re-emits a user's running total every batch that touches them; the
+    final row per user is selected by max n_events (monotone in the
+    fold), making the comparison exactly "end state == batch answer" —
+    the stateful-operator correctness statement.
+    """
+    from .stateful import running_user_totals
+
+    out = running_user_totals(read_events_stream_fixture(spark, sf_dir))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gate_stream_user_totals")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    from pyspark.sql import Window
+
+    emitted = spark.table("gate_stream_user_totals")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        emitted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "sum_value")
+    )
+
+
+STREAM_USER_TOTALS_ORACLE = """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+"""
