@@ -107,6 +107,44 @@ def main() -> int:
         orig = base[r.doc_id % 10_000_000]
         assert abs(r.avg_logprob - orig) <= 1e-6, (r.doc_id, r.avg_logprob, orig)
 
+    # Round-6 families. substring_dup_stats: replication makes every
+    # gram shared across n_rep docs, so EVERY doc with >= k tokens must
+    # come back 100% duplicated (dup_gram_bp == 10000) — stressing the
+    # sliding-gram explode (k rows/token) and the gram-hash count at
+    # n_rep x volume with a degenerate all-duplicate distribution.
+    ss = tm(
+        "substring_dup_stats (all-duplicate grams)",
+        lambda: dedup.substring_dup_stats(big)
+        .filter(F.col("n_grams") > 0)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("dup_gram_bp").alias("min_bp"),
+        )
+        .collect()[0],
+    )
+    assert ss.min_bp == 10000, ss
+
+    # corpus_report: counts scale exactly by n_rep; distinct content,
+    # vocabulary and composition ratios are replication-invariant.
+    from training_etl_demo_2_spark.operators import pipeline
+
+    rep_small = {
+        r.metric: r.value
+        for r in pipeline.corpus_report({"documents": docs}).collect()
+    }
+    rep_big = tm(
+        "corpus_report (metric scaling laws)",
+        lambda: {
+            r.metric: r.value
+            for r in pipeline.corpus_report({"documents": big}).collect()
+        },
+    )
+    assert rep_big["n_docs"] == rep_small["n_docs"] * n_rep
+    assert rep_big["n_tokens"] == rep_small["n_tokens"] * n_rep
+    assert rep_big["distinct_content"] == rep_small["distinct_content"]
+    assert rep_big["n_types"] == rep_small["n_types"]
+    assert abs(rep_big["pct_en"] - rep_small["pct_en"]) <= 1e-6
+
     print("scale smoke OK")
     return 0
 
