@@ -466,6 +466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "c_custkey",
             )
         ),
+        "split_leakage": _q(
+            lambda t: curation.split_leakage(t["documents"])
+        ),
     }
 
 
@@ -892,6 +895,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sql_lateral_top_customer": ADHOC_LATERAL_TOP_CUSTOMER_SQL,
         "stream_user_totals": fixture_queries.STREAM_USER_TOTALS_ORACLE,
+        "split_leakage": curation.split_leakage_sql(),
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

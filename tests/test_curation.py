@@ -246,3 +246,18 @@ def test_negative_samples_never_self_and_uniform_ish(tables):
     # coverage: negatives hit a large share of the id space
     distinct_negs = neg.select("neg_id").distinct().count()
     assert distinct_negs > 0.8 * min(4 * n, n) * 0.5
+
+
+def test_split_leakage_detects_crossing_near_dups(tables):
+    """The fixture's planted near-dups land in different hash-split
+    buckets: the detector must report crossing pairs, and the total
+    over all split pairs must equal the LSH pair count."""
+    from training_etl_demo_2_spark.operators.curation import split_leakage
+    from training_etl_demo_2_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = tables["documents"]
+    out = split_leakage(docs).collect()
+    total = sum(r.n_pairs for r in out)
+    assert total == minhash_lsh_pairs(docs, threshold=0.8).count()
+    crossing = [r for r in out if r.split_a != r.split_b]
+    assert sum(r.n_pairs for r in crossing) > 0

@@ -797,3 +797,75 @@ def negative_samples_sql(k: int = NEG_PER_DOC, seed: str = "neg0") -> str:
                 AS BIGINT) AS neg_id
     FROM pairs
     """
+
+
+def split_leakage(
+    df: DataFrame,
+    text_col: str = "text",
+    key: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Train/eval leakage detector: NEAR-DUPLICATE documents straddling
+    a split boundary. Hash splits assign by doc id, so paraphrases and
+    near-copies routinely land in different splits — the classic silent
+    eval inflation (a test doc whose near-twin sits in train). Reports,
+    per split pair, how many verified near-dup pairs (MinHash-LSH,
+    exact-Jaccard >= threshold) cross the boundary, plus the
+    within-split pair counts for context.
+
+    Scale shape: the pair relation is the dedup tier's own banded
+    LSH output (candidates ~ true duplicates); the split labels join in
+    by doc id and the aggregate is |split|^2-bounded. Dedup-before-split
+    is the fix when the crossing rows are nonzero.
+    """
+    from .dedup import minhash_lsh_pairs
+
+    b = _assign_bucket(F.col(key))
+    split = (
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    labels = df.select(F.col(key).alias("doc"), split.alias("split"))
+    pairs = minhash_lsh_pairs(df, text_col, threshold=threshold)
+    lab = lambda side, name: labels.select(
+        F.col("doc").alias(side), F.col("split").alias(name)
+    )
+    both = (
+        pairs.join(lab("doc_a", "sa"), "doc_a")
+        .join(lab("doc_b", "sb"), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+    )
+    return both.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+def split_leakage_sql(
+    train_pct: int = 80, val_pct: int = 10, threshold: float = 0.8
+) -> str:
+    from .oracle import minhash_lsh_sql
+
+    b = _split_bucket_sql("doc_id")
+    return f"""
+    WITH pairs AS ({minhash_lsh_sql(threshold=threshold)}),
+    labels AS (
+        SELECT doc_id AS doc,
+               CASE WHEN {b} < {train_pct} THEN 'train'
+                    WHEN {b} < {train_pct + val_pct} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT least(la.split, lb.split) AS split_a,
+           greatest(la.split, lb.split) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN labels la ON la.doc = p.doc_a
+    JOIN labels lb ON lb.doc = p.doc_b
+    GROUP BY 1, 2
+    """
