@@ -469,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": _q(
             lambda t: curation.split_leakage(t["documents"])
         ),
+        "session_event_paths": _q(behavior.session_event_paths),
     }
 
 
@@ -896,6 +897,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_lateral_top_customer": ADHOC_LATERAL_TOP_CUSTOMER_SQL,
         "stream_user_totals": fixture_queries.STREAM_USER_TOTALS_ORACLE,
         "split_leakage": curation.split_leakage_sql(),
+        "session_event_paths": behavior.session_event_paths_sql(),
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

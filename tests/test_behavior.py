@@ -71,3 +71,36 @@ def test_cohort_retention_offsets(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-02", 0): 1,
     }
+
+
+def test_session_event_paths_respects_boundaries(spark):
+    """Paths never span a session gap; counts reflect order."""
+    import datetime as dt
+
+    from training_etl_demo_2_spark.operators.behavior import (
+        session_event_paths,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # user 1: a->b->c twice in one session, then a gap, then a->b->c again
+    ts = base
+    eid = 0
+    for seq in range(2):
+        for et in "abc":
+            rows.append((eid, ts, 1, et, 1.0, "{}")); eid += 1
+            ts += dt.timedelta(minutes=1)
+    ts += dt.timedelta(hours=2)  # session break
+    for et in "abc":
+        rows.append((eid, ts, 1, et, 1.0, "{}")); eid += 1
+        ts += dt.timedelta(minutes=1)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r.path: r.cnt for r in session_event_paths({"events": df}).collect()}
+    # session 1 types: a b c a b c -> 'a b c' twice... plus session 2 once
+    assert out["a b c"] == 3
+    # the gap kills the cross-boundary path 'b c a' would otherwise gain
+    assert out.get("c a b", 0) == 1  # only inside session 1

@@ -22,8 +22,10 @@ Scale shapes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions import word_ngrams
 
 RETENTION_HORIZON_DAYS = 7
 FUNNEL_STAGES = ("view", "click", "purchase")
@@ -179,3 +181,107 @@ EVENT_TRANSITIONS_ORACLE = """
            CAST(floor(n * 10000 / tot) AS BIGINT) AS share_bp
     FROM counts CROSS JOIN total
 """
+
+
+def session_event_paths(
+    t: dict[str, DataFrame],
+    gap_minutes: int = 30,
+    n: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Top event-type paths (order-preserving n-grams) WITHIN sessions:
+    the behavioral-mining step after sessionization — which click/
+    purchase/error sequences actually happen, ranked by frequency.
+    Generalizes ``event_transitions`` (first-order pairs) to n-step
+    paths with a session boundary (no path spans a 30-min gap).
+
+    Plan: the sessionize window pass (one user-keyed shuffle, two
+    windows sharing the exchange), a per-session ordered collect
+    (array_sort on the (ts, event_id) struct — deterministic total
+    order), a narrow n-gram transform, and a count + tie-broken top-k
+    (TakeOrderedAndProject). Path strings only exist after the
+    per-session collapse, so the shuffle carries (user, session)
+    groups, never n-gram rows.
+    """
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    e = t["events"]
+    flagged = e.withColumn(
+        "new_session",
+        (
+            F.col("ts").cast("long")
+            - F.coalesce(
+                F.lag("ts").over(w_user).cast("long"), F.lit(-gap_s - 1)
+            )
+            > gap_s
+        ).cast("int"),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    seqs = flagged.groupBy("user_id", "session_seq").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda s: s["event_type"],
+        ).alias("types")
+    )
+    paths = seqs.select(
+        F.explode(word_ngrams(F.col("types"), n)).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("path").asc())
+        .limit(k)
+    )
+
+
+def session_event_paths_sql(
+    gap_minutes: int = 30, n: int = 3, k: int = 20
+) -> str:
+    gap_s = gap_minutes * 60
+    return f"""
+    WITH lagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN prev_ts IS NULL
+                         OR floor(epoch(ts))::BIGINT
+                            - floor(epoch(prev_ts))::BIGINT > {gap_s}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM lagged
+    ),
+    sess AS (
+        SELECT *,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               )::BIGINT AS session_seq
+        FROM flagged
+    ),
+    seqs AS (
+        SELECT user_id, session_seq,
+               list(event_type ORDER BY ts, event_id) AS types
+        FROM sess GROUP BY user_id, session_seq
+    ),
+    paths AS (
+        SELECT unnest(list_transform(
+                   range(1, greatest(len(types) - {n - 1}, 0) + 1),
+                   i -> array_to_string(types[i:i+{n - 1}], ' ')
+               )) AS path
+        FROM seqs
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS cnt
+    FROM paths
+    GROUP BY path
+    ORDER BY cnt DESC, path ASC
+    LIMIT {k}
+    """
