@@ -470,6 +470,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda t: curation.split_leakage(t["documents"])
         ),
         "session_event_paths": _q(behavior.session_event_paths),
+        "label_centroid_stats": _q(
+            lambda t: similarity.label_centroid_stats(t["embeddings"])
+        ),
     }
 
 
@@ -898,6 +901,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_user_totals": fixture_queries.STREAM_USER_TOTALS_ORACLE,
         "split_leakage": curation.split_leakage_sql(),
         "session_event_paths": behavior.session_event_paths_sql(),
+        "label_centroid_stats": similarity.LABEL_CENTROID_STATS_SQL,
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

@@ -250,3 +250,31 @@ def test_hybrid_rrf_fuses_both_rankings(tables):
     only = [r for r in out if (r.rnk_dense > 0) != (r.rnk_sparse > 0)]
     if both and only:
         assert max(b.rrf for b in both) > min(o.rrf for o in only)
+
+
+def test_label_centroid_stats_identical_cluster(spark):
+    """A label whose members are all the same vector has cosine exactly
+    1 and centroid norm equal to the vector norm; a spread-out label
+    scores lower cosine."""
+    import math
+
+    from training_etl_demo_2_spark.operators.similarity import (
+        label_centroid_stats,
+    )
+
+    rows = [
+        (1, [3.0, 4.0], 0),
+        (2, [3.0, 4.0], 0),
+        (3, [1.0, 0.0], 1),
+        (4, [0.0, 1.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.label: r for r in label_centroid_stats(df).collect()}
+    assert out[0].n_vectors == 2
+    assert abs(out[0].mean_cos_to_centroid - 1.0) < 1e-6
+    assert abs(out[0].centroid_norm - 5.0) < 1e-6
+    # orthogonal pair: centroid (0.5, 0.5), cos(member, centroid)=1/sqrt(2)
+    assert abs(out[1].mean_cos_to_centroid - 1 / math.sqrt(2)) < 1e-6
+    assert out[1].mean_cos_to_centroid < out[0].mean_cos_to_centroid

@@ -783,3 +783,84 @@ ORACLE_BRUTE_TOPK_TEMPLATE = """
     )
     SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {k}
 """
+
+
+def label_centroid_stats(emb: DataFrame) -> DataFrame:
+    """Embedding-space health per label: cluster size, centroid norm,
+    and mean cosine of members to their centroid — the diagnostics that
+    catch collapsed embeddings (centroid norm ≈ member norms, cosine
+    ≈ 1) and mislabeled/noisy clusters (low mean cosine) before a
+    model trains on them.
+
+    Fully relational: vectors explode to (label, dim, val) — a narrow
+    64× blow-up — the centroid is one (label, dim) aggregate, and the
+    member-to-centroid cosine is a dim-keyed join + per-vector
+    aggregate, so nothing is ever driver-sized and the shuffles carry
+    scalar triples, not vectors. Per-vector double sums are
+    order-nondeterministic within the round-6 grid (the repo-wide
+    argument).
+    """
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = elems.groupBy("label", "dim").agg(F.avg("val").alias("c"))
+    per_vec = (
+        elems.join(cent, ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("val") * F.col("c")).alias("dot"),
+            F.sum(F.col("val") * F.col("val")).alias("vv"),
+            F.sum(F.col("c") * F.col("c")).alias("cc"),
+        )
+        .select(
+            "label",
+            (F.col("dot") / (F.sqrt("vv") * F.sqrt("cc"))).alias("cos"),
+        )
+    )
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("centroid_norm")
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.round(F.avg("cos"), 6).alias("mean_cos_to_centroid"),
+        )
+        .join(norms, "label")
+        .select(
+            "label",
+            "n_vectors",
+            F.round("centroid_norm", 6).alias("centroid_norm"),
+            "mean_cos_to_centroid",
+        )
+    )
+
+
+LABEL_CENTROID_STATS_SQL = """
+    WITH elems AS (
+        SELECT vec_id, label, t.i AS dim, embedding[t.i]::DOUBLE AS val
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+        SELECT label, dim, avg(val) AS c FROM elems GROUP BY label, dim
+    ),
+    per_vec AS (
+        SELECT e.vec_id, e.label,
+               sum(e.val * c.c) / (sqrt(sum(e.val * e.val))
+                                   * sqrt(sum(c.c * c.c))) AS cos
+        FROM elems e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+        GROUP BY e.vec_id, e.label
+    ),
+    norms AS (
+        SELECT label, sqrt(sum(c * c)) AS centroid_norm
+        FROM cent GROUP BY label
+    )
+    SELECT p.label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(any_value(n.centroid_norm), 6) AS centroid_norm,
+           round(avg(p.cos), 6) AS mean_cos_to_centroid
+    FROM per_vec p JOIN norms n ON p.label = n.label
+    GROUP BY p.label
+"""
