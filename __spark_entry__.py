@@ -473,6 +473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroid_stats": _q(
             lambda t: similarity.label_centroid_stats(t["embeddings"])
         ),
+        "kmeans_clusters": _q(
+            lambda t: similarity.distributed_kmeans(t["embeddings"])
+        ),
     }
 
 
@@ -902,6 +905,7 @@ def oracle_sql() -> dict[str, str]:
         "split_leakage": curation.split_leakage_sql(),
         "session_event_paths": behavior.session_event_paths_sql(),
         "label_centroid_stats": similarity.LABEL_CENTROID_STATS_SQL,
+        "kmeans_clusters": similarity.distributed_kmeans_sql(),
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

@@ -278,3 +278,23 @@ def test_label_centroid_stats_identical_cluster(spark):
     # orthogonal pair: centroid (0.5, 0.5), cos(member, centroid)=1/sqrt(2)
     assert abs(out[1].mean_cos_to_centroid - 1 / math.sqrt(2)) < 1e-6
     assert out[1].mean_cos_to_centroid < out[0].mean_cos_to_centroid
+
+
+def test_distributed_kmeans_recovers_planted_clusters(spark):
+    """Two well-separated blobs with k=2: every point lands with its
+    blob, inertia is the within-blob spread only."""
+    from training_etl_demo_2_spark.operators.similarity import (
+        distributed_kmeans,
+    )
+
+    rows = []
+    for i in range(10):  # blob A near (0, 0), ids 0/2/4..; B near (100, 100)
+        rows.append((2 * i, [0.0 + (i % 3) * 0.1, 0.0], 0))
+        rows.append((2 * i + 1, [100.0, 100.0 + (i % 3) * 0.1], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r.cluster_id: r for r in distributed_kmeans(df, k=2, iters=3).collect()}
+    # init = vec_ids 0 (blob A) and 1 (blob B): each blob keeps its 10
+    assert {r.n_members for r in out.values()} == {10}
+    assert all(r.inertia < 1.0 for r in out.values())

@@ -864,3 +864,116 @@ LABEL_CENTROID_STATS_SQL = """
     FROM per_vec p JOIN norms n ON p.label = n.label
     GROUP BY p.label
 """
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def distributed_kmeans(
+    emb: DataFrame, k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Lloyd's k-means as pure DataFrame supersteps — the distributed
+    ML-training loop (assignment join + mean update per iteration), the
+    batch counterpart of the IVF/SemDeDup codebooks which train on a
+    driver-side sample. Deterministic end to end: centroids initialize
+    from the ``k`` smallest vec_ids, assignment breaks distance ties by
+    lowest centroid id, and an emptied cluster keeps its previous
+    centroid. Returns the final per-cluster membership count and
+    within-cluster SSE (inertia).
+
+    Scale shape per superstep: the (vec, dim, val) element relation
+    joins the k×dim centroid relation on dim (centroids are metadata-
+    sized — broadcast), aggregates per (vec, cid), one argmin window
+    per vec, and a (cid, dim) mean — shuffles carry scalar triples.
+    Distance comparisons are double sums over dims; argmin flips only
+    on exact ties (broken by cid), the same determinism argument as the
+    ANN tier.
+    """
+    elems = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = (
+        emb.filter(F.col("vec_id") < k)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.posexplode("embedding").alias("dim", "c"),
+        )
+        .withColumn("c", F.col("c").cast("double"))
+    )
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        dists = (
+            elems.join(cent_df, "dim")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum((F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))).alias("d2"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d2").asc(), F.col("cid").asc()
+        )
+        return (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "d2")
+        )
+
+    for _ in range(iters):
+        a = assign(cent)
+        means = (
+            a.select("vec_id", "cid")
+            .join(elems, "vec_id")
+            .groupBy("cid", "dim")
+            .agg(F.avg("val").alias("m"))
+        )
+        cent = cent.join(means, ["cid", "dim"], "left").select(
+            "cid", "dim", F.coalesce(F.col("m"), F.col("c")).alias("c")
+        )
+
+    final = assign(cent)
+    return final.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.sum("d2"), 6).alias("inertia"),
+    )
+
+
+def distributed_kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Unrolled-CTE twin: the identical recurrence as cent0..centN."""
+    assign = (
+        "SELECT vec_id, cid, d2 FROM ("
+        "SELECT vec_id, cid, d2, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn "
+        "FROM (SELECT e.vec_id, c.cid, sum((e.val - c.c) * (e.val - c.c)) AS d2 "
+        "FROM elems e JOIN cent{i} c ON e.dim = c.dim "
+        "GROUP BY e.vec_id, c.cid)) WHERE rn = 1"
+    )
+    steps = []
+    for i in range(iters):
+        steps.append(f"a{i} AS ({assign.format(i=i)})")
+        steps.append(
+            f"""cent{i + 1} AS (
+        SELECT c.cid, c.dim, coalesce(m.m, c.c) AS c
+        FROM cent{i} c
+        LEFT JOIN (
+            SELECT a.cid, e.dim, avg(e.val) AS m
+            FROM a{i} a JOIN elems e ON a.vec_id = e.vec_id
+            GROUP BY a.cid, e.dim
+        ) m ON c.cid = m.cid AND c.dim = m.dim
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH elems AS (
+        SELECT vec_id, t.i - 1 AS dim, embedding[t.i]::DOUBLE AS val
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent0 AS (
+        SELECT vec_id AS cid, dim, val AS c FROM elems WHERE vec_id < {k}
+    ),
+    {chain},
+    final AS ({assign.format(i=iters)})
+    SELECT cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(sum(d2), 6) AS inertia
+    FROM final
+    GROUP BY cid
+    """
