@@ -106,3 +106,39 @@ def test_round5_ops_empty(spark, empty_docs, empty_emb):
     assert tokenizer.bpe_token_counts(empty_docs, merges=[]).count() == 0
     e = spark.createDataFrame([], "k long, v string")
     assert snapshot_diff(e, e, "k").count() == 0
+
+
+def test_round6_ops_empty(spark, empty_docs, empty_emb):
+    from training_etl_demo_2_spark.operators import (
+        curation,
+        pipeline,
+    )
+
+    assert dedup.substring_dup_stats(empty_docs).count() == 0
+    assert dedup.pagerank_near_dup_graph(empty_docs).count() == 0
+    assert dedup.hard_negative_pairs(empty_docs).count() == 0
+    assert dedup.source_overlap_matrix(empty_docs).count() == 0
+    assert curation.dsir_importance(empty_docs).count() == 0
+    assert curation.negative_samples(empty_docs).count() == 0
+    assert curation.split_leakage(empty_docs).count() == 0
+    assert text.bm25_topk(empty_docs).count() == 0
+    assert text.vocab_stats_by_source(empty_docs).count() == 0
+    assert similarity.distributed_kmeans(empty_emb).count() == 0
+    assert similarity.label_centroid_stats(empty_emb).count() == 0
+    report = {
+        r.metric: r.value
+        for r in pipeline.corpus_report({"documents": empty_docs}).collect()
+    }
+    assert report["n_docs"] == 0.0 and report["dup_rate"] == 0.0
+
+
+def test_negative_samples_single_doc_yields_nothing(spark):
+    """A 1-row corpus has no valid negatives: empty output, not a
+    divide-by-zero in the self-exclusion modulus."""
+    from training_etl_demo_2_spark.operators.curation import negative_samples
+
+    one = spark.createDataFrame(
+        [(0, "solo", "en", "s0", 4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    assert negative_samples(one).count() == 0

@@ -763,10 +763,17 @@ def negative_samples(
     to densify first.
     """
     n = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    pairs = df.select("doc_id").crossJoin(F.broadcast(n)).select(
-        "doc_id",
-        "n",
-        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+    pairs = (
+        df.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        # a 1-row corpus has no valid negatives (and n-1 = 0 would make
+        # the modulus divide by zero): emit nothing for it
+        .filter(F.col("n") > 1)
+        .select(
+            "doc_id",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("j"),
+        )
     )
     h = _shuffle_hash(
         F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("j").cast("string")),
@@ -789,7 +796,7 @@ def negative_samples_sql(k: int = NEG_PER_DOC, seed: str = "neg0") -> str:
     WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
     pairs AS (
         SELECT doc_id, n, unnest(range(1, {k + 1})) AS j
-        FROM documents CROSS JOIN n
+        FROM documents CROSS JOIN n WHERE n > 1
     )
     SELECT doc_id,
            CAST(j AS INT) AS j,

@@ -169,6 +169,10 @@ def corpus_report(t: dict[str, DataFrame]) -> DataFrame:
     def metric(name, expr):
         return m.select(F.lit(name).alias("metric"), F.round(expr, 6).alias("value"))
 
+    # ratios guard the empty corpus (n_docs = 0 -> 0.0, not a crash)
+    safe = lambda num: F.when(
+        F.col("n_docs") > 0, num / F.col("n_docs")
+    ).otherwise(F.lit(0.0))
     rows = [
         metric("n_docs", F.col("n_docs").cast("double")),
         metric("n_tokens", F.col("n_tokens").cast("double")),
@@ -176,13 +180,13 @@ def corpus_report(t: dict[str, DataFrame]) -> DataFrame:
         metric("distinct_content", F.col("n_distinct").cast("double")),
         metric(
             "dup_rate",
-            1.0 - F.col("n_distinct").cast("double") / F.col("n_docs"),
+            F.when(
+                F.col("n_docs") > 0,
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_docs"),
+            ).otherwise(F.lit(0.0)),
         ),
-        metric(
-            "mean_doc_tokens",
-            F.col("n_tokens").cast("double") / F.col("n_docs"),
-        ),
-        metric("pct_en", F.col("n_en").cast("double") / F.col("n_docs")),
+        metric("mean_doc_tokens", safe(F.col("n_tokens").cast("double"))),
+        metric("pct_en", safe(F.col("n_en").cast("double"))),
     ]
     out = rows[0]
     for r in rows[1:]:
@@ -216,12 +220,19 @@ CORPUS_REPORT_SQL = """
     SELECT 'distinct_content', round(CAST(n_distinct AS DOUBLE), 6) FROM m
     UNION ALL
     SELECT 'dup_rate',
-           round(1.0 - CAST(n_distinct AS DOUBLE) / n_docs, 6) FROM m
+           round(CASE WHEN n_docs > 0
+                      THEN 1.0 - CAST(n_distinct AS DOUBLE) / n_docs
+                      ELSE 0.0 END, 6) FROM m
     UNION ALL
     SELECT 'mean_doc_tokens',
-           round(CAST(n_tokens AS DOUBLE) / n_docs, 6) FROM m
+           round(CASE WHEN n_docs > 0
+                      THEN CAST(n_tokens AS DOUBLE) / n_docs
+                      ELSE 0.0 END, 6) FROM m
     UNION ALL
-    SELECT 'pct_en', round(CAST(n_en AS DOUBLE) / n_docs, 6) FROM m
+    SELECT 'pct_en',
+           round(CASE WHEN n_docs > 0
+                      THEN CAST(n_en AS DOUBLE) / n_docs
+                      ELSE 0.0 END, 6) FROM m
 """
 
 
