@@ -476,6 +476,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": _q(
             lambda t: similarity.distributed_kmeans(t["embeddings"])
         ),
+        "curriculum_phases": _q(
+            lambda t: curation.curriculum_phases(t["documents"])
+        ),
     }
 
 
@@ -906,6 +909,7 @@ def oracle_sql() -> dict[str, str]:
         "session_event_paths": behavior.session_event_paths_sql(),
         "label_centroid_stats": similarity.LABEL_CENTROID_STATS_SQL,
         "kmeans_clusters": similarity.distributed_kmeans_sql(),
+        "curriculum_phases": curation.curriculum_phases_sql(),
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

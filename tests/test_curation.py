@@ -261,3 +261,19 @@ def test_split_leakage_detects_crossing_near_dups(tables):
     assert total == minhash_lsh_pairs(docs, threshold=0.8).count()
     crossing = [r for r in out if r.split_a != r.split_b]
     assert sum(r.n_pairs for r in crossing) > 0
+
+
+def test_curriculum_phases_balanced_and_ordered(tables):
+    from training_etl_demo_2_spark.operators.curation import curriculum_phases
+
+    out = curriculum_phases(tables["documents"]).collect()
+    n = len(out)
+    sizes = {}
+    for r in out:
+        sizes[r.phase] = sizes.get(r.phase, 0) + 1
+    assert set(sizes) == {1, 2, 3, 4}
+    assert max(sizes.values()) - min(sizes.values()) <= 1  # ntile balance
+    # every phase-1 doc scores >= every phase-4 doc
+    p1_min = min(r.avg_logprob for r in out if r.phase == 1)
+    p4_max = max(r.avg_logprob for r in out if r.phase == 4)
+    assert p1_min >= p4_max

@@ -876,3 +876,47 @@ def split_leakage_sql(
     JOIN labels lb ON lb.doc = p.doc_b
     GROUP BY 1, 2
     """
+
+
+CURRICULUM_PHASES = 4
+
+
+def curriculum_phases(
+    df: DataFrame, phases: int = CURRICULUM_PHASES
+) -> DataFrame:
+    """Curriculum-learning phase assignment: rank documents easy→hard
+    by the corpus unigram-LM score (generic, high-probability text
+    first; rare-vocabulary text last — the CCNet-style proxy) and cut
+    into ``phases`` equal ntiles. Training consumes phase 1 first.
+
+    Ordering uses the ROUNDED score with doc_id tiebreak, so phases
+    are engine-identical. The fixture-scale ntile is one global
+    window; at 100 TB swap it for the range-partitioned exact-rank
+    pattern (`corpus_shuffle`) — the phase rule (rank * phases / n)
+    is unchanged.
+    """
+    from .text import unigram_logprob
+
+    scored = unigram_logprob(df)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id").asc())
+    return scored.select(
+        "doc_id",
+        "avg_logprob",
+        F.ntile(phases).over(w).cast("int").alias("phase"),
+    )
+
+
+def curriculum_phases_sql(phases: int = CURRICULUM_PHASES) -> str:
+    from .text import UNIGRAM_LOGPROB_SQL
+
+    # the unigram-LM oracle nests verbatim as a parenthesized CTE body
+    return f"""
+    WITH scored AS ({UNIGRAM_LOGPROB_SQL})
+    SELECT doc_id, avg_logprob,
+           CAST(ntile({phases}) OVER (
+               ORDER BY avg_logprob DESC, doc_id ASC
+           ) AS INT) AS phase
+    FROM scored
+    """
