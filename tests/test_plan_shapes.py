@@ -54,6 +54,7 @@ NESTED_LOOP_OK = {
     "corpus_report",  # base metrics x types count
     "negative_samples",  # corpus count n
     "cms_join_estimate",  # est x true 1-row join
+    "curriculum_phases",  # inherits unigram_logprob's totals crossJoin
 }
 
 
