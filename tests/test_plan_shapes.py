@@ -148,3 +148,27 @@ def test_asof_plan_is_single_exchange_window(plans):
 def test_banded_range_join_is_equi_join(plans):
     p = plans["events_followups_1h"]
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_aqe_runtime_broadcast_conversion(spark, tables):
+    """Runtime re-planning evidence: a join whose build side only
+    becomes provably small AFTER its filter runs must be converted by
+    AQE to a broadcast join at runtime (the final adaptive plan shows
+    BroadcastHashJoin + AQEShuffleRead), even though the static
+    optimizer cannot prove it."""
+    from pyspark.sql import functions as F
+
+    # negative-balance customers: selective, size unknown statically
+    dim = tables["customer"].filter(F.col("c_acctbal") < 0).select("c_custkey")
+    # block the static broadcast decision: hide sizes behind a shuffle
+    dim = dim.repartition(16, "c_custkey")
+    fact = tables["orders"].repartition(16, "o_custkey")
+    joined = fact.join(dim, fact["o_custkey"] == dim["c_custkey"]).groupBy(
+        "o_orderpriority"
+    ).count()
+    joined.collect()  # execute so AQE finalizes the plan
+    final_plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in final_plan
+    assert "BroadcastHashJoin" in final_plan or "BroadcastQueryStage" in (
+        final_plan
+    )
