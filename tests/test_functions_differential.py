@@ -80,3 +80,34 @@ def test_word_ngrams_matches_python_reference(spark):
         }
         for i, t in enumerate(EDGE_TEXTS):
             assert got[i] == ref(t, n), f"ngrams({n}) mismatch on {t!r}"
+
+
+def test_rolling_hash_property_random_ascii(spark, duck):
+    """Property check (hypothesis): on arbitrary printable-ASCII
+    strings — not just the curated edge list — the Spark fold and the
+    DuckDB list_reduce produce identical hashes. Examples are batched
+    into one DataFrame per draw so the property runs at Spark speed."""
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = st.characters(min_codepoint=32, max_codepoint=126)
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.lists(st.text(alphabet=alphabet, max_size=80), min_size=1, max_size=40))
+    def prop(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, t string"
+        )
+        got = {
+            r.i: r.h
+            for r in df.select(
+                "i", rolling_hash(F.col("t")).alias("h")
+            ).collect()
+        }
+        expr = ROLLING_HASH.format(s="t")
+        for i, t in enumerate(texts):
+            want = duck.execute(
+                f"SELECT {expr} FROM (SELECT ? AS t)", [t]
+            ).fetchone()[0]
+            assert got[i] == want, f"hash mismatch on {t!r}"
+
+    prop()
