@@ -145,6 +145,63 @@ def main() -> int:
     assert rep_big["n_types"] == rep_small["n_types"]
     assert abs(rep_big["pct_en"] - rep_small["pct_en"]) <= 1e-6
 
+    # Embedding ops under replication: replicate vectors n_rep times
+    # with offset ids. k-means is replication-INVARIANT in its centroids
+    # (means are unchanged), so cluster sizes scale exactly by n_rep and
+    # per-cluster inertia by n_rep (each copy contributes the same d2).
+    from training_etl_demo_2_spark.operators import similarity
+
+    emb = t["embeddings"]
+    n_emb = emb.count()
+    big_emb = (
+        emb.crossJoin(reps)
+        .select(
+            (F.col("vec_id") + F.col("rep") * F.lit(10_000_000)).alias(
+                "vec_id"
+            ),
+            "embedding",
+            "label",
+        )
+    )
+    # replica ids >= 10M keep the ORIGINAL k vectors as initial
+    # centroids (init = smallest vec_ids), so the recurrences match
+    small_k = {
+        r.cluster_id: r
+        for r in similarity.distributed_kmeans(emb).collect()
+    }
+    big_k = tm(
+        f"distributed_kmeans ({n_emb} x {n_rep} vectors)",
+        lambda: {
+            r.cluster_id: r
+            for r in similarity.distributed_kmeans(big_emb).collect()
+        },
+    )
+    assert set(big_k) == set(small_k)
+    for cid, r in big_k.items():
+        assert r.n_members == small_k[cid].n_members * n_rep, cid
+        assert (
+            abs(r.inertia - small_k[cid].inertia * n_rep)
+            <= 1e-3 * max(1.0, abs(r.inertia))
+        ), cid
+
+    cent = tm(
+        "label_centroid_stats (replication-invariant)",
+        lambda: {
+            r.label: r
+            for r in similarity.label_centroid_stats(big_emb).collect()
+        },
+    )
+    small_c = {
+        r.label: r for r in similarity.label_centroid_stats(emb).collect()
+    }
+    for lbl, r in cent.items():
+        assert r.n_vectors == small_c[lbl].n_vectors * n_rep
+        assert abs(r.centroid_norm - small_c[lbl].centroid_norm) <= 1e-5
+        assert (
+            abs(r.mean_cos_to_centroid - small_c[lbl].mean_cos_to_centroid)
+            <= 1e-5
+        )
+
     print("scale smoke OK")
     return 0
 
