@@ -479,6 +479,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_phases": _q(
             lambda t: curation.curriculum_phases(t["documents"])
         ),
+        "revenue_trailing_7d": _q(relational_ext.revenue_trailing_7d),
+        "events_hourly_forecast": _q(relational_ext.events_hourly_forecast),
     }
 
 
@@ -910,6 +912,8 @@ def oracle_sql() -> dict[str, str]:
         "label_centroid_stats": similarity.LABEL_CENTROID_STATS_SQL,
         "kmeans_clusters": similarity.distributed_kmeans_sql(),
         "curriculum_phases": curation.curriculum_phases_sql(),
+        "revenue_trailing_7d": relational_ext.REVENUE_TRAILING_7D_SQL,
+        "events_hourly_forecast": relational_ext.EVENTS_HOURLY_FORECAST_SQL,
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

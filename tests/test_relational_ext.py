@@ -228,3 +228,53 @@ def test_events_hourly_gapfilled_zero_fills(spark):
     assert [n for _, n in clicks] == [1, 0, 0, 0, 1]
     views = [r for r in out if r.event_type == "view"]
     assert len(views) == 1  # single-hour range: no padding beyond it
+
+
+def test_revenue_trailing_7d_window_math(spark):
+    """RANGE frame sums calendar days, not rows: a gap day must still
+    fall out of the frame after 7 calendar days."""
+    import datetime as dt
+
+    from training_etl_demo_2_spark.operators.relational_ext import (
+        revenue_trailing_7d,
+    )
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 100.0),
+        (2, dt.datetime(2024, 1, 2), 10.0),
+        (3, dt.datetime(2024, 1, 9), 1.0),  # day 1 is now out of range
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    out = {r.day: r.revenue_7d for r in revenue_trailing_7d({"orders": df}).collect()}
+    assert out["2024-01-01"] == 100.0
+    assert out["2024-01-02"] == 110.0
+    # Jan 9 frame covers Jan 3..9 -> only its own 1.0 (Jan 2 excluded)
+    assert out["2024-01-09"] == 1.0
+
+
+def test_events_hourly_forecast_mean_of_days(spark):
+    import datetime as dt
+
+    from training_etl_demo_2_spark.operators.relational_ext import (
+        events_hourly_forecast,
+    )
+
+    rows = []
+    eid = 0
+    # type 'a', hour 10: 2 events day1, 4 events day2 -> forecast 3.0
+    for day, n in ((1, 2), (2, 4)):
+        for _ in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 1, day, 10, 5), 1, "a", 1.0, "{}")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = events_hourly_forecast({"events": df}).collect()
+    assert len(out) == 1
+    assert out[0].hour == 10 and out[0].forecast == 3.0

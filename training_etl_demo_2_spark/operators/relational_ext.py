@@ -964,3 +964,117 @@ def events_props_variant(t: dict[str, DataFrame]) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def revenue_trailing_7d(t: dict[str, DataFrame]) -> DataFrame:
+    """Trailing-7-day order revenue per order date via a RANGE window
+    frame — the value-based frame (rows at ANY density per day), which
+    a ROWS frame cannot express. The order column is days-since-epoch
+    (exact integer), so `rangeBetween(-6, 0)` means "this date and the
+    6 calendar days before it" on both engines identically.
+
+    One date-keyed aggregate (map-side partial sums) then one
+    single-partition window over the ~|dates| relation — the window
+    input is pre-aggregated to day grain, so the global frame runs on
+    thousands of rows at any corpus size. Integer-cent sums keep it
+    exact.
+    """
+    o = t["orders"]
+    daily = (
+        o.select(
+            F.date_trunc("DAY", F.col("o_orderdate")).alias("day"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("day_cents"))
+        .withColumn("day_num", F.datediff(F.col("day"), F.lit("1970-01-01")))
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("day_cents") / 100.0).alias("revenue"),
+        (F.sum("day_cents").over(w) / 100.0).alias("revenue_7d"),
+    ).select(
+        "day",
+        F.round("revenue", 2).alias("revenue"),
+        F.round("revenue_7d", 2).alias("revenue_7d"),
+    )
+
+
+REVENUE_TRAILING_7D_SQL = """
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS day_cents
+        FROM orders
+        GROUP BY 1
+    ),
+    numbered AS (
+        SELECT day, day_cents,
+               datediff('day', DATE '1970-01-01', day) AS day_num
+        FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           round(day_cents / 100.0, 2) AS revenue,
+           round(sum(day_cents) OVER (
+               ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) / 100.0, 2) AS revenue_7d
+    FROM numbered
+"""
+
+
+def events_hourly_forecast(t: dict[str, DataFrame]) -> DataFrame:
+    """Seasonal-naive capacity forecast: predicted events per
+    (event_type, hour-of-day) for the day AFTER the observed window =
+    the mean count of that (type, hour) slot across observed days —
+    the baseline every capacity/anomaly system starts from (and the
+    yardstick fancier models must beat).
+
+    Exact arithmetic: per-slot totals are integer counts; the forecast
+    is one IEEE division (total / n_days) rounded — identical both
+    engines. Plan: one (type, day, hour) aggregate, one (type, hour)
+    rollup over it, broadcast 1-row day count.
+    """
+    e = t["events"]
+    slots = (
+        e.select(
+            "event_type",
+            F.date_trunc("DAY", F.col("ts")).alias("day"),
+            F.hour("ts").alias("hour"),
+        )
+        .groupBy("event_type", "day", "hour")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    days = e.select(
+        F.count_distinct(F.date_trunc("DAY", F.col("ts"))).alias("n_days")
+    )
+    return (
+        slots.groupBy("event_type", "hour")
+        .agg(F.sum("n").cast("long").alias("total"))
+        .crossJoin(F.broadcast(days))
+        .select(
+            "event_type",
+            F.col("hour").cast("int").alias("hour"),
+            F.round(F.col("total").cast("double") / F.col("n_days"), 6).alias(
+                "forecast"
+            ),
+        )
+    )
+
+
+EVENTS_HOURLY_FORECAST_SQL = """
+    WITH slots AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               CAST(hour(ts) AS INT) AS hour,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3
+    ),
+    days AS (
+        SELECT CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+        FROM events
+    )
+    SELECT event_type, hour,
+           round(CAST(sum(n) AS DOUBLE) / any_value(n_days), 6) AS forecast
+    FROM slots CROSS JOIN days
+    GROUP BY event_type, hour
+"""
