@@ -79,6 +79,43 @@ ADHOC_NATION_REVENUE_SQL = """
 """
 
 
+# Recursive CTE (Spark 4's WITH RECURSIVE): depth-bounded BFS through
+# the event-transition graph — min hops from 'click' to every other
+# event type. UNION ALL recursion (Spark does not yet support UNION
+# DISTINCT recursion) with an explicit depth bound, so the iteration
+# terminates even on cyclic transition graphs; min(depth) collapses
+# duplicate paths. One SQL text, two engines.
+ADHOC_RECURSIVE_REACH_SQL = """
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT event_type AS src, next_type AS dst
+        FROM (
+            SELECT event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        )
+        WHERE next_type IS NOT NULL AND next_type <> event_type
+    ),
+    reach(event_type, depth) AS (
+        SELECT 'click' AS event_type, 0 AS depth
+        UNION ALL
+        SELECT e.dst AS event_type, r.depth + 1 AS depth
+        FROM reach r JOIN edges e ON e.src = r.event_type
+        WHERE r.depth < 3
+    )
+    SELECT event_type, CAST(min(depth) AS BIGINT) AS min_depth
+    FROM reach GROUP BY event_type
+"""
+
+
+def _sql_recursive_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from training_etl_demo_2_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(ADHOC_RECURSIVE_REACH_SQL)
+
+
 # LATERAL correlated subquery (top-1-per-group without a window):
 # one SQL text, two engines — Spark's LateralJoin and DuckDB agree.
 ADHOC_LATERAL_TOP_CUSTOMER_SQL = """
@@ -479,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_phases": _q(
             lambda t: curation.curriculum_phases(t["documents"])
         ),
+        "sql_recursive_reachability": _sql_recursive_reach,
         "revenue_trailing_7d": _q(relational_ext.revenue_trailing_7d),
         "events_hourly_forecast": _q(relational_ext.events_hourly_forecast),
     }
@@ -912,6 +950,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroid_stats": similarity.LABEL_CENTROID_STATS_SQL,
         "kmeans_clusters": similarity.distributed_kmeans_sql(),
         "curriculum_phases": curation.curriculum_phases_sql(),
+        "sql_recursive_reachability": ADHOC_RECURSIVE_REACH_SQL,
         "revenue_trailing_7d": relational_ext.REVENUE_TRAILING_7D_SQL,
         "events_hourly_forecast": relational_ext.EVENTS_HOURLY_FORECAST_SQL,
         "events_props_variant": """
