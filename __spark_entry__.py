@@ -519,6 +519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_recursive_reachability": _sql_recursive_reach,
         "revenue_trailing_7d": _q(relational_ext.revenue_trailing_7d),
         "events_hourly_forecast": _q(relational_ext.events_hourly_forecast),
+        "orders_measures_unpivot": _q(relational_ext.orders_measures_unpivot),
     }
 
 
@@ -953,6 +954,7 @@ def oracle_sql() -> dict[str, str]:
         "sql_recursive_reachability": ADHOC_RECURSIVE_REACH_SQL,
         "revenue_trailing_7d": relational_ext.REVENUE_TRAILING_7D_SQL,
         "events_hourly_forecast": relational_ext.EVENTS_HOURLY_FORECAST_SQL,
+        "orders_measures_unpivot": relational_ext.ORDERS_MEASURES_UNPIVOT_SQL,
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

@@ -1078,3 +1078,48 @@ EVENTS_HOURLY_FORECAST_SQL = """
     FROM slots CROSS JOIN days
     GROUP BY event_type, hour
 """
+
+
+def orders_measures_unpivot(t: dict[str, DataFrame]) -> DataFrame:
+    """Wide→long reshaping via the UNPIVOT operator (the inverse of
+    `status_by_segment_pivot`): per-priority order measures melted to
+    (priority, measure, value) rows — the metric-table layout BI and
+    drift monitors consume. Integer-cent measures keep every cell
+    exact; the unpivot itself is a narrow per-row expansion (3 rows
+    out per input row, no shuffle beyond the feeding aggregate).
+    """
+    wide = (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("sum_cents"),
+            F.max(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("max_cents"),
+        )
+    )
+    return wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["n_orders", "sum_cents", "max_cents"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+ORDERS_MEASURES_UNPIVOT_SQL = """
+    WITH wide AS (
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents,
+               CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS max_cents
+        FROM orders
+        GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, measure, value
+    FROM wide UNPIVOT (value FOR measure IN (n_orders, sum_cents, max_cents))
+"""
