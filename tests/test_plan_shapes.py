@@ -55,6 +55,7 @@ NESTED_LOOP_OK = {
     "negative_samples",  # corpus count n
     "cms_join_estimate",  # est x true 1-row join
     "curriculum_phases",  # inherits unigram_logprob's totals crossJoin
+    "events_hourly_forecast",  # broadcast ONE-ROW observed-day count
 }
 
 
