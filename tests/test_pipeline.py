@@ -50,3 +50,25 @@ def test_corpus_report_metrics_consistent(tables):
     assert abs(m["dup_rate"] - (1 - m["distinct_content"] / n_docs)) < 1e-9
     assert 0 <= m["pct_en"] <= 1
     assert m["mean_doc_tokens"] > 0
+
+
+def test_clean_corpus_observed_metrics(tables):
+    """df.observe(): pipeline observability without a second pass —
+    the cleaning plan reports its own survivor count and quality mass
+    as accumulator-backed metrics on the SAME job that produces the
+    output (at 100 TB a separate metrics query would re-scan the
+    corpus)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark.operators.pipeline import clean_corpus
+
+    obs = Observation("clean_metrics")
+    cleaned = clean_corpus(tables).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_survivors"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    n = cleaned.count()  # one job: output + metrics together
+    assert obs.get["n_survivors"] == n
+    assert obs.get["total_chars"] > 0
