@@ -520,6 +520,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_trailing_7d": _q(relational_ext.revenue_trailing_7d),
         "events_hourly_forecast": _q(relational_ext.events_hourly_forecast),
         "orders_measures_unpivot": _q(relational_ext.orders_measures_unpivot),
+        "soft_quality_sample": _q(
+            lambda t: curation.soft_quality_sample(t["documents"])
+        ),
     }
 
 
@@ -955,6 +958,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_trailing_7d": relational_ext.REVENUE_TRAILING_7D_SQL,
         "events_hourly_forecast": relational_ext.EVENTS_HOURLY_FORECAST_SQL,
         "orders_measures_unpivot": relational_ext.ORDERS_MEASURES_UNPIVOT_SQL,
+        "soft_quality_sample": curation.soft_quality_sample_sql(),
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

@@ -277,3 +277,26 @@ def test_curriculum_phases_balanced_and_ordered(tables):
     p1_min = min(r.avg_logprob for r in out if r.phase == 1)
     p4_max = max(r.avg_logprob for r in out if r.phase == 4)
     assert p1_min >= p4_max
+
+
+def test_soft_quality_sample_rate_tracks_score(tables):
+    """Keep rate over the corpus ≈ mean quality prob (probability-
+    proportional), deterministic per seed, different across seeds."""
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark.operators.curation import (
+        soft_quality_sample,
+    )
+
+    docs = tables["documents"]
+    out = soft_quality_sample(docs)
+    row = out.agg(
+        F.avg(F.col("keep").cast("double")).alias("rate"),
+        F.avg("quality_prob").alias("mean_p"),
+    ).collect()[0]
+    # binomial-ish tolerance at n=500
+    assert abs(row.rate - row.mean_p) < 0.1
+    a = {(r.doc_id, r.keep) for r in out.collect()}
+    assert a == {(r.doc_id, r.keep) for r in soft_quality_sample(docs).collect()}
+    b = {(r.doc_id, r.keep) for r in soft_quality_sample(docs, seed="s2").collect()}
+    assert a != b

@@ -920,3 +920,44 @@ def curriculum_phases_sql(phases: int = CURRICULUM_PHASES) -> str:
            ) AS INT) AS phase
     FROM scored
     """
+
+
+def soft_quality_sample(df: DataFrame, seed: str = "soft0") -> DataFrame:
+    """Probability-proportional quality sampling: keep each document
+    with probability equal to its classifier quality score, instead of
+    a hard threshold — the soft filtering modern web-corpus pipelines
+    use to retain SOME low-quality mass (diversity) while biasing the
+    corpus toward quality. Deterministic: the coin flip is the
+    avalanched doc hash compared against the score in exact micro-units
+    (both engines compare the same integers; the score itself is the
+    oracle-matched round-6 sigmoid from ``quality_classifier``).
+    Change ``seed`` to redraw. Narrow per-row transform — no shuffle.
+    """
+    from .text import quality_classifier
+
+    qc = quality_classifier(df).select("doc_id", "quality_prob")
+    h = (
+        rolling_hash(
+            F.concat(F.lit(f"soft:{seed}:"), F.col("doc_id").cast("string"))
+        )
+        * F.lit(_MIX_KNUTH)
+        % F.lit(FNV_MOD)
+    ) % F.lit(MIX_RESOLUTION)
+    t = F.round(F.col("quality_prob") * MIX_RESOLUTION).cast("long")
+    return qc.select("doc_id", "quality_prob", (h < t).alias("keep"))
+
+
+def soft_quality_sample_sql(seed: str = "soft0") -> str:
+    from .text import quality_classifier_sql
+
+    h = ROLLING_HASH.format(
+        s=f"'soft:{seed}:' || CAST(doc_id AS VARCHAR)"
+    )
+    return f"""
+    WITH qc AS ({quality_classifier_sql()})
+    SELECT doc_id, quality_prob,
+           ((({h}) * {_MIX_KNUTH} % {FNV_MOD}) % {MIX_RESOLUTION})
+               < CAST(round(quality_prob * {MIX_RESOLUTION}) AS BIGINT)
+               AS keep
+    FROM qc
+    """
