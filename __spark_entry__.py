@@ -523,6 +523,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_quality_sample": _q(
             lambda t: curation.soft_quality_sample(t["documents"])
         ),
+        "language_confusion": _q(
+            lambda t: text.language_confusion(t["documents"])
+        ),
+        "lsh_recall_eval": _q(
+            lambda t: dedup.lsh_recall_eval(t["documents"])
+        ),
     }
 
 
@@ -959,6 +965,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_forecast": relational_ext.EVENTS_HOURLY_FORECAST_SQL,
         "orders_measures_unpivot": relational_ext.ORDERS_MEASURES_UNPIVOT_SQL,
         "soft_quality_sample": curation.soft_quality_sample_sql(),
+        "language_confusion": text.language_confusion_sql(),
+        "lsh_recall_eval": dedup.lsh_recall_eval_sql(),
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

@@ -312,3 +312,15 @@ def test_hard_negative_pairs_band(tables):
         for p in ngram_jaccard_pairs(docs, threshold=0.5).collect()
     }
     assert dups.isdisjoint({(p.doc_a, p.doc_b) for p in neg})
+
+
+def test_lsh_recall_eval_invariants(tables):
+    """Verified LSH can never produce false positives (the verify
+    stage applies the exact predicate), and fixture recall is total."""
+    from training_etl_demo_2_spark.operators.dedup import lsh_recall_eval
+
+    row = lsh_recall_eval(tables["documents"]).collect()[0]
+    assert row.fp == 0
+    assert row.tp + row.fn == row.n_exact
+    assert row.n_exact > 0
+    assert row.fn == 0  # banding recall is total on the fixture's j>=0.9 dups

@@ -197,3 +197,34 @@ def test_zipf_fit_recovers_planted_slope(spark):
     row = zipf_fit(df, top_n=20).collect()[0]
     assert row.n_terms == 20
     assert abs(row.zipf_slope - (-1.0)) < 0.01
+
+
+def test_language_confusion_structure(spark, tables):
+    """Matrix cells partition the corpus; predictions stay in the
+    classifier's label space. (The fixture's texts are synthetic
+    shared-vocabulary — the labels do NOT match the content, and the
+    confusion matrix is exactly the query that exposes that: on a
+    planted marker-bearing corpus the diagonal wins.)"""
+    from training_etl_demo_2_spark.operators.text import (
+        LANG_MARKERS,
+        language_confusion,
+    )
+
+    docs = tables["documents"]
+    cells = language_confusion(docs).collect()
+    assert sum(r.n for r in cells) == docs.count()
+    assert {r.lang_pred for r in cells} <= set(LANG_MARKERS) | {"unknown"}
+
+    planted = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is in town", "en"),
+            (2, "der hund und die katze ist nicht da", "de"),
+            (3, "le chat et les chiens est une idee", "fr"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    m = {
+        (r.lang_actual, r.lang_pred): r.n
+        for r in language_confusion(planted).collect()
+    }
+    assert m == {("en", "en"): 1, ("de", "de"): 1, ("fr", "fr"): 1}

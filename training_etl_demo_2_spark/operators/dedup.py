@@ -933,3 +933,74 @@ def hard_negative_pairs(
         _pair_jaccard(sh, pairs=None)
         .filter((F.col("jaccard") >= lo) & (F.col("jaccard") < hi))
     )
+
+
+def lsh_recall_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """LSH evaluation as a query: MinHash-banding candidate recall
+    against the exact shingle-join ground truth at the same Jaccard
+    threshold — one row (n_exact, n_lsh, tp, fp, fn). Verified LSH
+    pairs can never be false positives (the verify stage applies the
+    exact predicate), so fp == 0 is itself an assertable invariant;
+    fn counts pairs the banding missed. This is the recall harness
+    that runs corpus-side (set algebra over two pair relations, no
+    driver materialization) — at 100 TB you run it on a sampled slab
+    to monitor banding health after any parameter change.
+    """
+    exact = ngram_jaccard_pairs(df, text_col, n, threshold).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_exact")
+    )
+    lsh = minhash_lsh_pairs(df, text_col, n, threshold).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_lsh")
+    )
+    both = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
+    return both.agg(
+        F.sum(F.coalesce(F.col("in_exact"), F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(F.coalesce(F.col("in_lsh"), F.lit(0))).cast("long").alias("n_lsh"),
+        F.sum(
+            F.coalesce(F.col("in_exact"), F.lit(0))
+            * F.coalesce(F.col("in_lsh"), F.lit(0))
+        )
+        .cast("long")
+        .alias("tp"),
+        F.sum(
+            (F.lit(1) - F.coalesce(F.col("in_exact"), F.lit(0)))
+            * F.coalesce(F.col("in_lsh"), F.lit(0))
+        )
+        .cast("long")
+        .alias("fp"),
+        F.sum(
+            F.coalesce(F.col("in_exact"), F.lit(0))
+            * (F.lit(1) - F.coalesce(F.col("in_lsh"), F.lit(0)))
+        )
+        .cast("long")
+        .alias("fn"),
+    )
+
+
+def lsh_recall_eval_sql(n: int = DEFAULT_NGRAM, threshold: float = 0.8) -> str:
+    from .oracle import minhash_lsh_sql, ngram_jaccard_sql
+
+    return f"""
+    WITH exact_pairs AS ({ngram_jaccard_sql(n, threshold)}),
+    lsh_pairs AS ({minhash_lsh_sql(n, threshold)}),
+    paired AS (
+        SELECT coalesce(e.doc_a, l.doc_a) AS doc_a,
+               coalesce(e.doc_b, l.doc_b) AS doc_b,
+               CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_exact,
+               CASE WHEN l.doc_a IS NOT NULL THEN 1 ELSE 0 END AS in_lsh
+        FROM exact_pairs e
+        FULL OUTER JOIN lsh_pairs l
+          ON e.doc_a = l.doc_a AND e.doc_b = l.doc_b
+    )
+    SELECT CAST(sum(in_exact) AS BIGINT) AS n_exact,
+           CAST(sum(in_lsh) AS BIGINT) AS n_lsh,
+           CAST(sum(in_exact * in_lsh) AS BIGINT) AS tp,
+           CAST(sum((1 - in_exact) * in_lsh) AS BIGINT) AS fp,
+           CAST(sum(in_exact * (1 - in_lsh)) AS BIGINT) AS fn
+    FROM paired
+    """

@@ -640,3 +640,27 @@ def zipf_fit_sql(top_n: int = ZIPF_TOP_N) -> str:
                  / count(*), 6) AS zipf_intercept
     FROM ranked
     """
+
+
+def language_confusion(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID evaluation as a query: the (actual, predicted)
+    confusion matrix of the marker-token classifier against the
+    fixture's ground-truth ``lang`` labels — the accuracy harness any
+    lang-ID filter ships with, computed corpus-side (one metadata-sized
+    aggregate over the per-doc predictions; no collect)."""
+    preds = language_id(df, text_col)
+    return (
+        preds.groupBy("lang_actual", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def language_confusion_sql() -> str:
+    from .oracle_text import language_id_sql
+
+    return f"""
+    WITH preds AS ({language_id_sql()})
+    SELECT lang_actual, lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM preds
+    GROUP BY lang_actual, lang_pred
+    """
