@@ -529,6 +529,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall_eval": _q(
             lambda t: dedup.lsh_recall_eval(t["documents"])
         ),
+        # exact-integer gram matrix: the d^2-scalar sufficient statistic
+        # for distributed PCA / whitening (map-side numpy fold)
+        "embedding_gram_matrix": _q(
+            lambda t: similarity.embedding_gram_matrix(t["embeddings"])
+        ),
+        # two-phase distributed PCA projection (rows-only: driver eigh
+        # over the gram statistic is outside ANSI SQL)
+        "pca_projection": _q(
+            lambda t: similarity.pca_project(t["embeddings"])
+        ),
     }
 
 
@@ -967,6 +977,7 @@ def oracle_sql() -> dict[str, str]:
         "soft_quality_sample": curation.soft_quality_sample_sql(),
         "language_confusion": text.language_confusion_sql(),
         "lsh_recall_eval": dedup.lsh_recall_eval_sql(),
+        "embedding_gram_matrix": similarity.EMBEDDING_GRAM_SQL,
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

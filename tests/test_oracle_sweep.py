@@ -41,4 +41,5 @@ ROWS_ONLY_DECLARED = [
     "data_profile_lineitem_approx",
     "semantic_dedup",
     "bpe_token_counts",
+    "pca_projection",
 ]

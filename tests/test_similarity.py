@@ -298,3 +298,66 @@ def test_distributed_kmeans_recovers_planted_clusters(spark):
     # init = vec_ids 0 (blob A) and 1 (blob B): each blob keeps its 10
     assert {r.n_members for r in out.values()} == {10}
     assert all(r.inertia < 1.0 for r in out.values())
+
+
+def test_gram_matrix_matches_dense_numpy(spark, tables):
+    """The distributed integer gram fold equals the dense numpy
+    computation on the collected fixture, and is exactly invariant to
+    repartitioning (integer sums commute)."""
+    import numpy as np
+
+    from training_etl_demo_2_spark.operators.similarity import (
+        GRAM_SCALE,
+        embedding_gram_matrix,
+    )
+
+    emb = tables["embeddings"]
+    out = {
+        (r.i, r.j): r.gram_q
+        for r in embedding_gram_matrix(emb).collect()
+    }
+    x = np.stack(
+        [r.embedding for r in emb.orderBy("vec_id").collect()]
+    ).astype(np.float64)
+    q = np.floor(x * GRAM_SCALE).astype(np.int64)
+    want = q.T @ q
+    n, d = q.shape
+    assert out[(-1, -1)] == n
+    for i in range(d):
+        assert out[(i, -1)] == q[:, i].sum()
+    for i in range(0, d, 7):
+        for j in range(i, d, 11):
+            assert out[(i, j)] == want[i, j]
+    # exact partition invariance
+    out2 = {
+        (r.i, r.j): r.gram_q
+        for r in embedding_gram_matrix(emb.repartition(7)).collect()
+    }
+    assert out == out2
+
+
+def test_pca_projection_invariants(spark, tables):
+    """Driver-eigh PCA over the gram statistic: per-component variance
+    is the eigenvalue (descending), components decorrelate, and the
+    output is deterministic across partitionings (sign-fixed basis on
+    exact-integer input)."""
+    import numpy as np
+
+    from training_etl_demo_2_spark.operators.similarity import pca_project
+
+    emb = tables["embeddings"]
+    k = 4
+    rows = pca_project(emb, k=k).orderBy("vec_id").collect()
+    p = np.stack([r.pc for r in rows])
+    assert p.shape[1] == k
+    # centered: projections of mean-centered data have ~zero mean
+    assert np.all(np.abs(p.mean(axis=0)) < 1e-3)
+    var = p.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(k - 1))
+    # decorrelated: off-diagonal covariance ~ 0 relative to variances
+    cov = np.cov(p.T)
+    off = cov - np.diag(np.diag(cov))
+    assert np.all(np.abs(off) < 1e-4 * max(var))
+    rows2 = pca_project(emb.repartition(5), k=k).orderBy("vec_id").collect()
+    p2 = np.stack([r.pc for r in rows2])
+    assert np.array_equal(p, p2)

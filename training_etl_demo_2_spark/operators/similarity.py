@@ -977,3 +977,161 @@ def distributed_kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     FROM final
     GROUP BY cid
     """
+
+
+# ---------------------------------------------------------------------------
+# distributed PCA: exact-integer gram matrix + driver-side eigenbasis
+# ---------------------------------------------------------------------------
+
+GRAM_SCALE = 1 << 15  # integer quantization unit: floor(x_dbl * 2^15)
+PCA_K = 8
+
+
+def embedding_gram_matrix(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """Upper-triangular second-moment (gram) matrix of the embedding
+    corpus — X^T X plus the component sums and row count, the full
+    sufficient statistic behind distributed PCA, whitening, and
+    covariance-drift monitoring.
+
+    This is the reduce-to-tiny pattern for 100 TB linear algebra: each
+    partition folds its rows into ONE d x d integer block with numpy
+    (map-side — nothing row-sized ever shuffles), the partial blocks
+    meet in a single groupBy over d*(d+1)/2 + d + 1 = 2145 keys (d=64),
+    and the corpus never materializes as a matrix anywhere. Adding
+    executors scales the fold linearly; the shuffle stays ~2k rows per
+    partition regardless of corpus size.
+
+    Determinism: components are quantized to exact integer units
+    (floor(float64(x) * 2^15) per component) BEFORE any multiply, so
+    every partial block is integer and the final sums are
+    order-invariant — bit-equal across partitionings and engines (the
+    repo-wide no-float-accumulation rule). A unit-scale component maps
+    to |q| <= 2^15, a product to <= 2^30, so BIGINT cells overflow only
+    past ~2^33 rows; beyond that switch the final sum to DECIMAL(38,0)
+    (one-line change, documented instead of paid on every run).
+
+    Output rows: (i, j, gram_q) for 0 <= i <= j < d, plus the mean
+    statistic rows (i, -1, sum_q_i) and (-1, -1, n_rows) so one pass
+    yields everything ``pca_project`` needs.
+    """
+    import pandas as pd
+
+    iu = np.triu_indices(dim)
+
+    def fold(batches: Iterator) -> Iterator:
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        sums = np.zeros(dim, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * GRAM_SCALE).astype(np.int64)
+            acc += q.T @ q
+            sums += q.sum(axis=0)
+            n += len(pdf)
+        if n:
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate(
+                        [iu[0], np.arange(dim), np.array([-1])]
+                    ).astype(np.int32),
+                    "j": np.concatenate(
+                        [iu[1], np.full(dim, -1), np.array([-1])]
+                    ).astype(np.int32),
+                    "gram_q": np.concatenate(
+                        [acc[iu], sums, np.array([n], dtype=np.int64)]
+                    ),
+                }
+            )
+
+    partial = emb.select("embedding").mapInPandas(
+        fold, schema="i int, j int, gram_q long"
+    )
+    return partial.groupBy("i", "j").agg(
+        F.sum("gram_q").cast("long").alias("gram_q")
+    )
+
+
+EMBEDDING_GRAM_SQL = """
+    WITH q AS (
+        SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS dim,
+               CAST(floor(embedding[t.i]::DOUBLE * 32768.0) AS BIGINT) AS qv
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT a.dim AS i, b.dim AS j,
+           CAST(sum(a.qv * b.qv) AS BIGINT) AS gram_q
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+    GROUP BY 1, 2
+    UNION ALL
+    SELECT dim AS i, CAST(-1 AS INTEGER) AS j,
+           CAST(sum(qv) AS BIGINT) AS gram_q
+    FROM q GROUP BY dim
+    UNION ALL
+    SELECT CAST(-1 AS INTEGER) AS i, CAST(-1 AS INTEGER) AS j,
+           CAST(count(*) AS BIGINT) AS gram_q
+    FROM embeddings
+"""
+
+
+def pca_project(
+    emb: DataFrame, k: int = PCA_K, dim: int = 64
+) -> DataFrame:
+    """Project every embedding onto the corpus's top-k principal
+    components — the classic two-phase distributed PCA:
+
+    1. one pass reduces the corpus to the exact-integer sufficient
+       statistic (``embedding_gram_matrix``: d² + d + 1 scalars —
+       driver-sized BY CONSTRUCTION, not by sampling);
+    2. the covariance recovered from those integers is
+       eigendecomposed on the driver (d x d, microseconds);
+    3. the top-k eigenbasis is broadcast (closed over the Arrow UDF)
+       and rows project with one narrow numpy matmul — no shuffle at
+       all in phase 3.
+
+    Deterministic: the covariance is built from exact integers, so
+    eigh sees bit-identical input on every run/partitioning; each
+    eigenvector's sign is fixed by making its largest-|.|-magnitude
+    entry positive (first index wins ties). PCA is computed on the
+    2^-15-quantized data — a <0.01% perturbation on unit-scale
+    embeddings, the standard precision/determinism trade.
+
+    Registered rows-only: the projected coordinates are genuinely
+    iterative linear algebra (eigendecomposition), outside ANSI SQL.
+    """
+    import pandas as pd
+
+    stats = {
+        (r["i"], r["j"]): r["gram_q"]
+        for r in embedding_gram_matrix(emb, dim=dim).collect()
+    }
+    n = stats[(-1, -1)]
+    g = np.zeros((dim, dim), dtype=np.float64)
+    mu = np.zeros(dim, dtype=np.float64)
+    for i in range(dim):
+        mu[i] = stats[(i, -1)] / (GRAM_SCALE * n)
+        for j in range(i, dim):
+            g[i, j] = g[j, i] = stats[(i, j)] / (GRAM_SCALE**2)
+    cov = g / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(vals)[::-1][:k]
+    w = vecs[:, order]  # d x k
+    for c in range(w.shape[1]):
+        lead = int(np.argmax(np.abs(w[:, c])))
+        if w[lead, c] < 0:
+            w[:, c] = -w[:, c]
+
+    def project(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            qx = np.floor(x * GRAM_SCALE) / GRAM_SCALE
+            pc = np.round((qx - mu) @ w, ROUND)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "pc": list(pc)}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        project, schema="vec_id long, pc array<double>"
+    )
