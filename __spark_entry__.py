@@ -539,6 +539,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_projection": _q(
             lambda t: similarity.pca_project(t["embeddings"])
         ),
+        # A-ES exact-k weighted sampling without replacement
+        "weighted_sample_topk": _q(
+            lambda t: curation.weighted_sample_topk(t["documents"])
+        ),
+        # triangle census of the near-dup graph (dedup-threshold QA)
+        "near_dup_triangles": _q(
+            lambda t: dedup.near_dup_triangles(t["documents"])
+        ),
     }
 
 
@@ -978,6 +986,8 @@ def oracle_sql() -> dict[str, str]:
         "language_confusion": text.language_confusion_sql(),
         "lsh_recall_eval": dedup.lsh_recall_eval_sql(),
         "embedding_gram_matrix": similarity.EMBEDDING_GRAM_SQL,
+        "weighted_sample_topk": curation.weighted_sample_topk_sql(),
+        "near_dup_triangles": dedup.near_dup_triangles_sql(),
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

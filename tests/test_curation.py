@@ -300,3 +300,48 @@ def test_soft_quality_sample_rate_tracks_score(tables):
     assert a == {(r.doc_id, r.keep) for r in soft_quality_sample(docs).collect()}
     b = {(r.doc_id, r.keep) for r in soft_quality_sample(docs, seed="s2").collect()}
     assert a != b
+
+
+def test_weighted_sample_topk_aes(spark, tables):
+    """A-ES exact-k weighted sample: exactly k rows, ranks dense and
+    ordered by (key desc, doc_id), selection reproduces the brute-force
+    key computation, and the result is partition-invariant."""
+    import math
+
+    from training_etl_demo_2_spark.operators.curation import (
+        _MIX_KNUTH,
+        MIX_RESOLUTION,
+        weighted_sample_topk,
+    )
+    from training_etl_demo_2_spark.functions import FNV_MOD
+
+    def py_rolling_hash(s, base=31, mod=FNV_MOD):
+        acc = 0
+        for ch in s:
+            acc = (acc * base + ord(ch)) % mod
+        return acc
+
+    docs = tables["documents"]
+    k = 25
+    got = weighted_sample_topk(docs, k=k).orderBy("rk").collect()
+    assert len(got) == k
+    assert [r.rk for r in got] == list(range(1, k + 1))
+    keys = [r.aes_key for r in got]
+    assert keys == sorted(keys, reverse=True)
+
+    # brute-force replication of the selection rule on the driver
+    rows = docs.select("doc_id", "n_chars").collect()
+    brute = []
+    for r in rows:
+        h = (py_rolling_hash(f"aes:aes0:{r.doc_id}") * _MIX_KNUTH % FNV_MOD) % MIX_RESOLUTION
+        u = (h + 1.0) / MIX_RESOLUTION
+        key = round(math.log(u) / float(r.n_chars), 6) + 0.0
+        brute.append((-key, r.doc_id))
+    brute.sort()
+    want_ids = [d for _, d in brute[:k]]
+    assert [r.doc_id for r in got] == want_ids
+
+    got2 = weighted_sample_topk(docs.repartition(7), k=k).orderBy("rk").collect()
+    assert [(r.doc_id, r.aes_key) for r in got2] == [
+        (r.doc_id, r.aes_key) for r in got
+    ]

@@ -324,3 +324,43 @@ def test_lsh_recall_eval_invariants(tables):
     assert row.tp + row.fn == row.n_exact
     assert row.n_exact > 0
     assert row.fn == 0  # banding recall is total on the fixture's j>=0.9 dups
+
+
+def test_triangle_census_planted(spark):
+    """Three identical docs form one wedge + one closed triangle; an
+    isolated duplicate pair adds an edge but no wedge."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different content about distributed systems and parquet files here"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, base),
+            (4, other),
+            (5, other),
+            (6, "unrelated third text that matches nothing else in this corpus at all"),
+        ],
+        "doc_id long, text string",
+    )
+    row = dedup.near_dup_triangles(df).collect()[0]
+    assert row.n_edges == 4  # (1,2),(1,3),(2,3),(4,5)
+    assert row.n_wedges == 1  # 1-2-3 (ordered-id compact-forward)
+    assert row.n_triangles == 1
+
+
+def test_triangle_census_open_wedge(spark):
+    """A chain a~b, b~c without a~c: the wedge stays open — exactly the
+    accidental-chain shape the census exists to expose."""
+    w = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    a = w  # w1..w12
+    b = w + " nu xi omicron"  # jaccard(a,b) = 10/13
+    # c replaces the head: shares b's interior+tail (10/16 = 0.625)
+    # but too little of a (7/16 = 0.44 < 0.5)
+    c = "one two three " + " ".join(w.split()[3:]) + " nu xi omicron"
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    row = dedup.near_dup_triangles(df, threshold=0.5).collect()[0]
+    assert row.n_edges == 2  # (1,2), (2,3) — no (1,3)
+    assert row.n_wedges == 1  # the open chain 1-2-3
+    assert row.n_triangles == 0

@@ -56,6 +56,7 @@ NESTED_LOOP_OK = {
     "cms_join_estimate",  # est x true 1-row join
     "curriculum_phases",  # inherits unigram_logprob's totals crossJoin
     "events_hourly_forecast",  # broadcast ONE-ROW observed-day count
+    "near_dup_triangles",  # edge/wedge/triangle ONE-ROW count join
 }
 
 

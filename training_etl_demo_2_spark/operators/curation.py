@@ -961,3 +961,80 @@ def soft_quality_sample_sql(seed: str = "soft0") -> str:
                AS keep
     FROM qc
     """
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis-Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+AES_K = 50
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int = AES_K,
+    weight_col: str = "n_chars",
+    seed: str = "aes0",
+) -> DataFrame:
+    """Exact-k weighted sampling WITHOUT replacement — the
+    Efraimidis-Spirakis A-ES scheme: each row draws u ~ U(0,1] and the
+    k largest u^(1/w) win, which selects each subset with exactly the
+    probability weighted sampling without replacement assigns it. This
+    is the one-pass distributed answer to "give me 10k docs, longer
+    docs proportionally more likely, no duplicates, reproducible" —
+    sequential reservoir algorithms don't parallelize, A-ES is a
+    top-k (TakeOrderedAndProject: per-partition heaps of k, driver
+    merge of P*k candidates — no global sort, no per-group funnel).
+
+    Determinism across engines: u comes from the avalanched content
+    hash in exact 1e-6 units, ordering uses the MONOTONE equivalent
+    key ln(u)/w (avoids pow), rounded to 6 so a last-ulp ln()
+    divergence between libm and the JVM cannot reorder; round-6 key
+    ties break by doc_id. Change ``seed`` to redraw.
+    """
+    h = (
+        rolling_hash(
+            F.concat(F.lit(f"aes:{seed}:"), F.col("doc_id").cast("string"))
+        )
+        * F.lit(_MIX_KNUTH)
+        % F.lit(FNV_MOD)
+    ) % F.lit(MIX_RESOLUTION)
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float(MIX_RESOLUTION))
+    # + 0.0 normalizes IEEE -0.0 to +0.0 (engines disagree on the sign
+    # of a rounded-to-zero negative: BigDecimal has no signed zero)
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6) + F.lit(
+        0.0
+    )
+    out = (
+        df.select("doc_id", F.col(weight_col).alias("w"), key.alias("aes_key"))
+        .orderBy(F.desc("aes_key"), F.asc("doc_id"))
+        .limit(k)
+    )
+    from pyspark.sql.window import Window
+
+    # global rank over k rows only (post-limit: driver-sized relation)
+    wnd = Window.orderBy(F.desc("aes_key"), F.asc("doc_id"))
+    return out.withColumn("rk", F.row_number().over(wnd))
+
+
+def weighted_sample_topk_sql(
+    k: int = AES_K, weight_col: str = "n_chars", seed: str = "aes0"
+) -> str:
+    h = ROLLING_HASH.format(s=f"'aes:{seed}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, {weight_col} AS w,
+               round(
+                   ln((CAST((({h}) * {_MIX_KNUTH} % {FNV_MOD})
+                        % {MIX_RESOLUTION} AS DOUBLE) + 1.0)
+                      / {float(MIX_RESOLUTION)})
+                   / CAST({weight_col} AS DOUBLE), 6) + 0.0 AS aes_key
+        FROM documents
+    )
+    SELECT doc_id, w, aes_key,
+           CAST(row_number() OVER (ORDER BY aes_key DESC, doc_id ASC)
+                AS INTEGER) AS rk
+    FROM keyed
+    ORDER BY aes_key DESC, doc_id ASC
+    LIMIT {k}
+    """

@@ -1004,3 +1004,80 @@ def lsh_recall_eval_sql(n: int = DEFAULT_NGRAM, threshold: float = 0.8) -> str:
            CAST(sum(in_exact * (1 - in_lsh)) AS BIGINT) AS fn
     FROM paired
     """
+
+
+# ---------------------------------------------------------------------------
+# triangle census over the near-duplicate graph
+# ---------------------------------------------------------------------------
+
+
+def near_dup_triangles(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Triangle census of the near-duplicate graph: edges, open wedges
+    (a-b-c paths over ordered ids), and closed triangles — the global
+    clustering signal for dedup QA. Near-duplication is *approximately*
+    transitive, so a healthy LSH pair graph closes most of its wedges;
+    a wedge-heavy, triangle-poor graph means the threshold is admitting
+    accidental pairs (chains a~b~c where a,c share nothing).
+
+    The compact-forward algorithm on DataFrames: with edges oriented
+    id-ascending (doc_a < doc_b, exactly how ``minhash_lsh_pairs``
+    emits them), wedges are one self-join on the middle vertex and
+    triangles one more join probing the closing edge — each triangle
+    counted exactly once, no orientation dedup pass. At 100 TB scale
+    the joins shuffle on single vertex keys; the standard skew
+    mitigation (split high-degree vertices) applies unchanged.
+    Output is one row of exact BIGINT counts.
+    """
+    e = minhash_lsh_pairs(df, text_col, n, threshold).select(
+        "doc_a", "doc_b"
+    )
+    e.persist(StorageLevel.MEMORY_AND_DISK)
+    wedges = (
+        e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .join(
+            e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c")),
+            "b",
+        )
+        .select("a", "b", "c")
+    )
+    tri = wedges.join(
+        e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c")),
+        ["a", "c"],
+    )
+    counts = (
+        e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        .crossJoin(
+            wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges"))
+        )
+        .crossJoin(
+            tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+        )
+    )
+    return counts
+
+
+def near_dup_triangles_sql(
+    n: int = DEFAULT_NGRAM, threshold: float = 0.8
+) -> str:
+    from .oracle import minhash_lsh_sql
+
+    return f"""
+    WITH pairs AS ({minhash_lsh_sql(n, threshold)}),
+    e AS (SELECT doc_a, doc_b FROM pairs),
+    wedges AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+    ),
+    tri AS (
+        SELECT w.a, w.b, w.c
+        FROM wedges w JOIN e ON w.a = e.doc_a AND w.c = e.doc_b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles
+    """
