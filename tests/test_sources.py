@@ -289,3 +289,22 @@ def test_synthetic_docs_stream_resumes_exactly_once(spark, tmp_path):
     df = spark.read.parquet(out)
     assert df.count() == 500
     assert df.select("doc_id").distinct().count() == 500
+
+
+def test_read_text_corpus_line_and_wholefile(spark, tmp_path):
+    import gzip
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text("first line\nsecond line\n")
+    with gzip.open(d / "b.txt.gz", "wt") as f:
+        f.write("gzipped one\ngzipped two\n")
+
+    lines = sources.read_text_corpus(spark, str(d))
+    got = sorted(r.doc_text for r in lines.collect())
+    assert got == ["first line", "gzipped one", "gzipped two", "second line"]
+
+    docs = sources.read_text_corpus(spark, str(d), whole_files=True)
+    rows = {r.path.rsplit("/", 1)[-1]: r.doc_text for r in docs.collect()}
+    assert rows["a.txt"] == "first line\nsecond line\n"
+    assert rows["b.txt.gz"] == "gzipped one\ngzipped two\n"

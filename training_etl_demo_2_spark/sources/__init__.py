@@ -74,3 +74,34 @@ def read_table(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.format(fmt).load(path)
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    whole_files: bool = False,
+) -> DataFrame:
+    """Raw text ingestion — the front door for filesystem corpora
+    (.txt / .txt.gz dumps) before they become a ``documents`` table.
+
+    Line mode (default) splits by byte range exactly like CSV: a 100 TB
+    directory parallelizes to one task per ~128 MB split, each row one
+    line. ``whole_files=True`` emits one row per FILE (doc-per-file
+    corpora); whole-file reads cannot split, so pair it with many small
+    files, never few huge ones. Gzipped inputs are decompressed
+    transparently but are splittable in NEITHER mode — at scale,
+    recompress to zstd-parquet on first touch (``io.write_parquet``)
+    and do every downstream pass against that.
+
+    Output columns: (path, doc_text) in whole-file mode, (doc_text) in
+    line mode — stable names for downstream fingerprint/quality ops.
+    """
+    if whole_files:
+        df = spark.read.text(path, wholetext=True)
+        from pyspark.sql import functions as F
+
+        return df.select(
+            F.input_file_name().alias("path"),
+            F.col("value").alias("doc_text"),
+        )
+    return spark.read.text(path).withColumnRenamed("value", "doc_text")
