@@ -547,6 +547,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_triangles": _q(
             lambda t: dedup.near_dup_triangles(t["documents"])
         ),
+        # median/MAD robust anomaly tier (breakdown point 0.5)
+        "robust_value_anomalies": _q(
+            lambda t: validation.robust_value_anomalies(t["events"])
+        ),
     }
 
 
@@ -988,6 +992,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_gram_matrix": similarity.EMBEDDING_GRAM_SQL,
         "weighted_sample_topk": curation.weighted_sample_topk_sql(),
         "near_dup_triangles": dedup.near_dup_triangles_sql(),
+        "robust_value_anomalies": validation.robust_value_anomalies_sql(),
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

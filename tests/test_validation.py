@@ -323,3 +323,32 @@ def test_k_anonymity_audit_flags_small_groups(spark):
     }
     # only the groups below k appear
     assert out == {(2, "B"): 2, (3, "C"): 4}
+
+
+def test_robust_anomalies_flag_planted_outliers(spark):
+    """Median/MAD flags planted spikes and — unlike the z-score — does
+    not let a contamination burst mask itself."""
+    from training_etl_demo_2_spark.operators.validation import (
+        robust_value_anomalies,
+    )
+
+    rows = []
+    # 60 well-behaved values in [100, 101]
+    for i in range(60):
+        rows.append((i, "m", 100.0 + (i % 10) / 10.0))
+    # a 10-value outlier burst at 10x the level
+    for i in range(60, 70):
+        rows.append((i, "m", 1000.0 + i))
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    flagged = {r.event_id for r in robust_value_anomalies(df).collect()}
+    assert flagged == set(range(60, 70))
+
+
+def test_robust_anomalies_quiet_on_uniform_data(spark):
+    from training_etl_demo_2_spark.operators.validation import (
+        robust_value_anomalies,
+    )
+
+    rows = [(i, "m", 50.0 + (i % 7) / 10.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    assert robust_value_anomalies(df).count() == 0

@@ -661,3 +661,124 @@ def k_anonymity_audit_sql(
     GROUP BY {qi}
     HAVING count(*) < {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# robust (median/MAD) anomaly detection
+# ---------------------------------------------------------------------------
+
+# 3 sigma-equivalents: the 1.4826 MAD->sigma consistency constant x 3,
+# folded into ONE double literal so both engines multiply by the same
+# bits (repr() round-trips it into the SQL twin).
+ROBUST_Z = 3.0 * 1.4826
+
+
+def robust_value_anomalies(events: DataFrame) -> DataFrame:
+    """Median/MAD outlier detection per event type — the
+    breakdown-point-0.5 sibling of ``value_anomalies``' z-score. A
+    burst of extreme values inflates the stddev and masks itself
+    (z-scores shrink as the contamination grows); the median/MAD pair
+    is unmoved until half the data is bad, which is what a monitoring
+    gate actually wants during an incident.
+
+    Flag rule: |value - median| > 3 * 1.4826 * MAD (the MAD→σ
+    consistency constant, so thresholds are comparable to the 3σ
+    z-score tier).
+
+    Exactness: medians are DISCRETE rank picks (value at rank
+    ceil(n/2) in (value, event_id) order — the winsorized_stats
+    argument: a picked value is bitwise identical across engines,
+    interpolation is not), deviations subtract file doubles from
+    picked doubles (identical IEEE ops), and the flag comparison
+    multiplies the picked MAD by one shared literal — so the flagged
+    row SET is exact, no tolerance. Only integer 1e-4 units reach the
+    output.
+
+    Scale shape: two rank windows per type (the exact tier) + two
+    broadcast joins of |types|-row scalar relations. At 100 TB swap
+    the rank windows for approx_percentile(0.5) thresholds — one
+    map-side pass, no sort — and keep the flag pass unchanged (the
+    documented approx-sibling pattern of profile_columns).
+    """
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    half = lambda: F.ceil(F.lit(0.5) * F.col("n")).cast("long")
+    ranked = events.select(
+        "event_type",
+        "value",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") <= half(), F.col("value"))).alias("med")
+    )
+    dev = (
+        events.join(F.broadcast(med), "event_type")
+        .withColumn("dev", F.abs(F.col("value") - F.col("med")))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    ranked2 = dev.select(
+        "event_type",
+        "dev",
+        F.row_number().over(w2).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    mad = ranked2.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") <= half(), F.col("dev"))).alias("mad")
+    )
+    t4 = lambda c: F.floor(c * 10000 + F.lit(0.5)).cast("long")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dev") > F.lit(ROBUST_Z) * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            t4(F.col("value")).alias("value_t4"),
+            t4(F.col("med")).alias("med_t4"),
+        )
+    )
+
+
+def robust_value_anomalies_sql() -> str:
+    return f"""
+    WITH ranked AS (
+        SELECT event_type, event_id, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    med AS (
+        SELECT event_type,
+               max(CASE WHEN rn <= CAST(ceil(0.5 * n) AS BIGINT)
+                        THEN value END) AS med
+        FROM ranked GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS dev
+        FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    ranked2 AS (
+        SELECT event_type, dev,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY dev, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ),
+    mad AS (
+        SELECT event_type,
+               max(CASE WHEN rn <= CAST(ceil(0.5 * n) AS BIGINT)
+                        THEN dev END) AS mad
+        FROM ranked2 GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           CAST(floor(d.value * 10000 + 0.5) AS BIGINT) AS value_t4,
+           CAST(floor(d.med * 10000 + 0.5) AS BIGINT) AS med_t4
+    FROM dev d JOIN mad m ON d.event_type = m.event_type
+    WHERE d.dev > {ROBUST_Z!r} * m.mad
+    """
