@@ -551,6 +551,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_value_anomalies": _q(
             lambda t: validation.robust_value_anomalies(t["events"])
         ),
+        # per-type OLS value trend from integer sufficient statistics
+        "events_value_trend_ols": _q(relational_ext.events_value_trend_ols),
     }
 
 
@@ -993,6 +995,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_topk": curation.weighted_sample_topk_sql(),
         "near_dup_triangles": dedup.near_dup_triangles_sql(),
         "robust_value_anomalies": validation.robust_value_anomalies_sql(),
+        "events_value_trend_ols": relational_ext.EVENTS_VALUE_TREND_OLS,
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

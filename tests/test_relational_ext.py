@@ -278,3 +278,36 @@ def test_events_hourly_forecast_mean_of_days(spark):
     out = events_hourly_forecast({"events": df}).collect()
     assert len(out) == 1
     assert out[0].hour == 10 and out[0].forecast == 3.0
+
+
+def test_ols_trend_recovers_planted_slope(spark):
+    """A planted exact line y = 2.5*x + 10 (in value units) recovers
+    slope 25000 t4/hour and intercept 100000 t4 exactly."""
+    import datetime
+
+    from training_etl_demo_2_spark.operators.relational_ext import (
+        _OLS_EPOCH_S,
+        events_value_trend_ols,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for h in range(48):
+        rows.append(
+            (h, base + datetime.timedelta(hours=h), 1, "m",
+             2.5 * h + 10.0, "{}")
+        )
+    # a constant-x group: slope must be NULL (zero denominator guard)
+    rows.append((100, base, 1, "const", 5.0, "{}"))
+    rows.append((101, base, 2, "const", 7.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.event_type: r for r in events_value_trend_ols({"events": df}).collect()}
+    assert out["m"].n == 48
+    assert out["m"].slope_t4_per_hour == 25000.0
+    assert out["m"].intercept_t4 == 100000.0
+    assert out["const"].slope_t4_per_hour is None
+    assert out["const"].intercept_t4 is None

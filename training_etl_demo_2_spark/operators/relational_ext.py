@@ -1123,3 +1123,106 @@ ORDERS_MEASURES_UNPIVOT_SQL = """
     SELECT o_orderpriority, measure, value
     FROM wide UNPIVOT (value FOR measure IN (n_orders, sum_cents, max_cents))
 """
+
+
+# ---------------------------------------------------------------------------
+# per-type OLS value trend from integer sufficient statistics
+# ---------------------------------------------------------------------------
+
+# hours are counted from 2024-01-01 UTC so the x*y products stay far
+# inside BIGINT at any fixture scale (documented bound in the docstring)
+_OLS_EPOCH_S = 1_704_067_200
+
+
+def events_value_trend_ols(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-type linear value trend: OLS slope/intercept of value (1e-4
+    units) against event hour — the drift-direction gauge behind
+    "is this metric creeping?" alerts, and the regression instance of
+    the sufficient-statistic pattern (``embedding_gram_matrix``): the
+    corpus reduces to five integer sums per group in ONE map-side
+    partial aggregation, and the model solves from those scalars.
+
+    Exactness: x (hours since 2024-01-01, floored) and y (value in
+    1e-4 units) are exact integers, so the five sums are
+    order-invariant BIGINTs; slope/intercept derive from those
+    identical integers through one shared IEEE double sequence —
+    bit-equal across engines, no tolerance. |Sxy| ~ x·y·n stays under
+    2^63 through ~1e9 rows at fixture value ranges; past that, sums
+    switch to DECIMAL(38,0) (same note as the gram matrix).
+    Constant-x groups emit NULL slope/intercept via the zero
+    denominator guard.
+
+    Scale: one hash aggregate, partial-agg friendly, five scalars per
+    group — nothing else moves.
+    """
+    e = t["events"]
+    x = F.floor(
+        (F.unix_timestamp("ts") - F.lit(_OLS_EPOCH_S)) / F.lit(3600.0)
+    ).cast("long")
+    y = F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+    agg = (
+        e.select("event_type", x.alias("x"), y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    den = nd * sxxd - sxd * sxd
+    slope = (nd * sxyd - sxd * syd) / den
+    intercept = (syd - slope * sxd) / nd
+    guard = lambda c: F.when(den != 0.0, F.round(c, 6) + F.lit(0.0))
+    return agg.select(
+        "event_type",
+        "n",
+        guard(slope).alias("slope_t4_per_hour"),
+        guard(intercept).alias("intercept_t4"),
+    )
+
+
+EVENTS_VALUE_TREND_OLS = f"""
+    WITH s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM (
+            SELECT event_type,
+                   CAST(floor((CAST(floor(epoch(ts)) AS BIGINT)
+                               - {_OLS_EPOCH_S}) / 3600.0) AS BIGINT) AS x,
+                   CAST(floor(value * 10000 + 0.5) AS BIGINT) AS y
+            FROM events
+        )
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0.0
+                THEN round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                     + 0.0
+           END AS slope_t4_per_hour,
+           CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) != 0.0
+                THEN round((CAST(sy AS DOUBLE)
+                            - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                               / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                              * CAST(sx AS DOUBLE))
+                           / CAST(n AS DOUBLE), 6) + 0.0
+           END AS intercept_t4
+    FROM s
+"""
