@@ -553,6 +553,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # per-type OLS value trend from integer sufficient statistics
         "events_value_trend_ols": _q(relational_ext.events_value_trend_ols),
+        # attribute-disclosure complement of the k-anonymity gate
+        "l_diversity_audit": _q(
+            lambda t: validation.l_diversity_audit(t["customer"])
+        ),
     }
 
 
@@ -996,6 +1000,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_triangles": dedup.near_dup_triangles_sql(),
         "robust_value_anomalies": validation.robust_value_anomalies_sql(),
         "events_value_trend_ols": relational_ext.EVENTS_VALUE_TREND_OLS,
+        "l_diversity_audit": validation.l_diversity_audit_sql(),
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

@@ -352,3 +352,26 @@ def test_robust_anomalies_quiet_on_uniform_data(spark):
     rows = [(i, "m", 50.0 + (i % 7) / 10.0) for i in range(50)]
     df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
     assert robust_value_anomalies(df).count() == 0
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    from training_etl_demo_2_spark.operators.validation import (
+        l_diversity_audit,
+    )
+
+    rows = [
+        # group A: 4 members, all the same sensitive value -> flagged
+        (1, "A", 100.0), (2, "A", 100.0), (3, "A", 100.0), (4, "A", 100.0),
+        # group B: 3 members, 3 distinct values -> passes at l=3
+        (5, "B", 10.0), (6, "B", 20.0), (7, "B", 30.0),
+        # group C: 2 distinct values -> flagged
+        (8, "C", 1.0), (9, "C", 1.0), (10, "C", 2.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, seg string, c_acctbal double")
+    out = {
+        r.seg: (r.group_size, r.n_sensitive)
+        for r in l_diversity_audit(
+            df, quasi_identifiers=("seg",), sensitive="c_acctbal", l=3
+        ).collect()
+    }
+    assert out == {"A": (4, 1), "C": (3, 2)}

@@ -663,6 +663,61 @@ def k_anonymity_audit_sql(
     """
 
 
+LDIV_L = 3
+LDIV_SENSITIVE = "c_acctbal"
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_identifiers: tuple[str, ...] = KANON_QI,
+    sensitive: str = LDIV_SENSITIVE,
+    l: int = LDIV_L,
+) -> DataFrame:
+    """l-diversity audit — the attribute-disclosure complement of
+    ``k_anonymity_audit``: a QI group can be large (k-anonymous) yet
+    still leak if everyone in it shares the sensitive value, so flag
+    groups carrying FEWER than ``l`` distinct sensitive values
+    (Machanavajjhala et al. 2007).
+
+    Same shape as the k-audit: one hash aggregate on the QI columns —
+    count + exact count_distinct(sensitive) — with metadata-sized
+    output. Exact distincts are the auditable tier (a privacy gate
+    cannot act on an estimate); the HLL swap documented on
+    profile_columns does NOT apply here by design.
+    """
+    if "acctbal_kband" in quasi_identifiers:
+        df = df.withColumn(
+            "acctbal_kband", F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+        )
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_identifiers])
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("group_size"),
+            F.count_distinct(F.col(sensitive)).cast("long").alias(
+                "n_sensitive"
+            ),
+        )
+        .filter(F.col("n_sensitive") < l)
+        .select(*quasi_identifiers, "group_size", "n_sensitive")
+    )
+
+
+def l_diversity_audit_sql(
+    quasi_identifiers: tuple[str, ...] = KANON_QI,
+    sensitive: str = LDIV_SENSITIVE,
+    l: int = LDIV_L,
+) -> str:
+    qi = ", ".join(quasi_identifiers)
+    return f"""
+    SELECT {qi}, CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT {sensitive}) AS BIGINT) AS n_sensitive
+    FROM (SELECT *, CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_kband
+          FROM customer)
+    GROUP BY {qi}
+    HAVING count(DISTINCT {sensitive}) < {l}
+    """
+
+
 # ---------------------------------------------------------------------------
 # robust (median/MAD) anomaly detection
 # ---------------------------------------------------------------------------
