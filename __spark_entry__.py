@@ -557,6 +557,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "l_diversity_audit": _q(
             lambda t: validation.l_diversity_audit(t["customer"])
         ),
+        # MMR diversity-aware re-ranking of the dense candidate set
+        "mmr_diverse_topk": _q(
+            lambda t: similarity.mmr_diverse_topk(t["embeddings"])
+        ),
     }
 
 
@@ -1001,6 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         "robust_value_anomalies": validation.robust_value_anomalies_sql(),
         "events_value_trend_ols": relational_ext.EVENTS_VALUE_TREND_OLS,
         "l_diversity_audit": validation.l_diversity_audit_sql(),
+        "mmr_diverse_topk": similarity.mmr_diverse_topk_sql(),
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

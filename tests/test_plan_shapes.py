@@ -57,6 +57,7 @@ NESTED_LOOP_OK = {
     "curriculum_phases",  # inherits unigram_logprob's totals crossJoin
     "events_hourly_forecast",  # broadcast ONE-ROW observed-day count
     "near_dup_triangles",  # edge/wedge/triangle ONE-ROW count join
+    "mmr_diverse_topk",  # C x C candidate-pair sims, C re-rank constant
 }
 
 

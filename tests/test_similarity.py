@@ -361,3 +361,35 @@ def test_pca_projection_invariants(spark, tables):
     rows2 = pca_project(emb.repartition(5), k=k).orderBy("vec_id").collect()
     p2 = np.stack([r.pc for r in rows2])
     assert np.array_equal(p, p2)
+
+
+def test_mmr_interleaves_diverse_picks(spark):
+    """A redundant cluster of near-copies of direction A plus one
+    direction-B vector: plain top-2 is two A-copies, MMR picks A then
+    B (the redundancy penalty beats the relevance gap)."""
+    import math
+
+    from training_etl_demo_2_spark.operators.similarity import (
+        mmr_diverse_topk,
+    )
+
+    def vec(deg):
+        t = math.radians(deg)
+        return [math.cos(t), math.sin(t)] + [0.0] * 62
+
+    # query at 0 deg; a tight cluster at ~10 deg (mutual sim ~1.0,
+    # rel ~0.985); one diverse vector at -25 deg (rel ~0.906, sim to
+    # the cluster ~cos(35) = 0.819)
+    rows = [(0, vec(0.0), 0)]
+    for i in range(1, 4):
+        rows.append((i, vec(10.0 + 0.1 * i), 0))
+    rows.append((10, vec(-25.0), 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = mmr_diverse_topk(df, k=3, n_cand=4).orderBy("mmr_rank").collect()
+    assert [r.mmr_rank for r in out] == [1, 2, 3]
+    assert out[0].vec_id == 1  # most relevant cluster member
+    assert out[1].vec_id == 10  # MMR jumps to the diverse direction
+    # plain relevance order would have put another cluster copy second
+    assert out[2].vec_id in {2, 3}

@@ -202,6 +202,80 @@ def main() -> int:
             <= 1e-5
         )
 
+    # gram matrix: integer sums make replication EXACTLY multiplicative
+    # — big gram cell == n_rep * small gram cell, bit-for-bit, any N.
+    small_g = {
+        (r.i, r.j): r.gram_q
+        for r in similarity.embedding_gram_matrix(emb).collect()
+    }
+    big_g = tm(
+        f"embedding_gram_matrix ({n_emb} x {n_rep} vectors)",
+        lambda: {
+            (r.i, r.j): r.gram_q
+            for r in similarity.embedding_gram_matrix(big_emb).collect()
+        },
+    )
+    assert set(big_g) == set(small_g)
+    for k, v in big_g.items():
+        assert v == small_g[k] * n_rep, (k, v, small_g[k])
+
+    # OLS trend: replicating every event by a POWER OF TWO scales all
+    # five integer sums exactly, and 2^k scaling passes through IEEE
+    # multiply/subtract/divide losslessly — slope/intercept must be
+    # BIT-EQUAL, not merely close.
+    from training_etl_demo_2_spark.operators import relational_ext
+
+    ev = t["events"]
+    rep8 = spark.range(8).select(F.col("id").alias("rep"))
+    big_ev = ev.crossJoin(rep8).select(
+        (F.col("event_id") + F.col("rep") * F.lit(100_000_000)).alias(
+            "event_id"
+        ),
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    small_ols = {
+        r.event_type: r
+        for r in relational_ext.events_value_trend_ols({"events": ev}).collect()
+    }
+    big_ols = tm(
+        "events_value_trend_ols (8x events, bit-exact invariance)",
+        lambda: {
+            r.event_type: r
+            for r in relational_ext.events_value_trend_ols(
+                {"events": big_ev}
+            ).collect()
+        },
+    )
+    assert set(big_ols) == set(small_ols)
+    for ty, r in big_ols.items():
+        s = small_ols[ty]
+        assert r.n == s.n * 8
+        assert r.slope_t4_per_hour == s.slope_t4_per_hour, ty
+        assert r.intercept_t4 == s.intercept_t4, ty
+
+    # robust median/MAD: duplicating the multiset preserves discrete
+    # rank picks, so each flagged row is flagged in every replica —
+    # count scales exactly, the (type, value) flag pattern is unchanged.
+    small_rob = validation.robust_value_anomalies(ev)
+    small_rob_n = small_rob.count()
+    small_pat = {
+        (r.event_type, r.value_t4, r.med_t4)
+        for r in small_rob.collect()
+    }
+    big_rob = tm(
+        "robust_value_anomalies (8x events)",
+        lambda: validation.robust_value_anomalies(big_ev),
+    )
+    assert big_rob.count() == small_rob_n * 8
+    big_pat = {
+        (r.event_type, r.value_t4, r.med_t4) for r in big_rob.collect()
+    }
+    assert big_pat == small_pat
+
     print("scale smoke OK")
     return 0
 

@@ -1135,3 +1135,148 @@ def pca_project(
     return emb.select("vec_id", "embedding").mapInPandas(
         project, schema="vec_id long, pc array<double>"
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR: diversity-aware re-ranking of a retrieval candidate set
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.5
+MMR_CAND = 30
+MMR_K = 10
+
+
+def mmr_diverse_topk(
+    emb: DataFrame,
+    k: int = MMR_K,
+    n_cand: int = MMR_CAND,
+    lam: float = MMR_LAMBDA,
+    query_id: int = 0,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): re-rank
+    the top-``n_cand`` cosine candidates so each pick balances
+    relevance against redundancy with what is already picked —
+    score(c) = λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s). The
+    standard diversification step between ANN retrieval and a context
+    window: without it, near-duplicate passages crowd out coverage.
+
+    Scale split: retrieval (top-C) and the C×C candidate-pair sims are
+    distributed — the corpus-sized work; the greedy loop itself runs on
+    the driver over the collected C + C² scalar relation (k·C
+    comparisons over ~1k round-6 doubles — re-ranking is
+    metadata-sized BY DESIGN, the same boundary as pca_project's
+    eigh). Determinism: all inputs to the greedy are round-6 cosines,
+    scores combine them through one shared literal pair, ties break by
+    vec_id — the oracle's unrolled greedy CTE chain picks identically.
+    """
+    cand = (
+        brute_topk(emb, k=n_cand, query_pred=f"vec_id = {query_id}")
+        .select(F.col("neighbor_id").alias("vec_id"), F.col("sim").alias("rel"))
+    )
+    ce = cand.join(emb, "vec_id").select("vec_id", "rel", "embedding")
+    a = ce.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    b = ce.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    pair_rows = (
+        F.broadcast(a)
+        .crossJoin(F.broadcast(b))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(cosine(F.col("ea"), F.col("eb")), ROUND).alias("sim"),
+        )
+        .collect()
+    )
+    rel = {r.vec_id: r.rel for r in ce.select("vec_id", "rel").collect()}
+    sim = {(r.a, r.b): r.sim for r in pair_rows}
+
+    selected: list[int] = []
+    remaining = set(rel)
+    while remaining and len(selected) < k:
+        if not selected:
+            best = max(remaining, key=lambda c: (rel[c], -c))
+        else:
+            best = max(
+                remaining,
+                key=lambda c: (
+                    lam * rel[c]
+                    - (1.0 - lam)
+                    * max(sim[(c, s)] for s in selected),
+                    -c,
+                ),
+            )
+        selected.append(best)
+        remaining.discard(best)
+
+    rows = [
+        (rank + 1, int(vid), float(rel[vid]))
+        for rank, vid in enumerate(selected)
+    ]
+    return emb.sparkSession.createDataFrame(
+        rows, "mmr_rank int, vec_id long, rel double"
+    )
+
+
+def mmr_diverse_topk_sql(
+    k: int = MMR_K,
+    n_cand: int = MMR_CAND,
+    lam: float = MMR_LAMBDA,
+    query_id: int = 0,
+) -> str:
+    """Unrolled greedy twin: pick1..pickK as CTEs over the identical
+    round-6 candidate/pair relations (the kmeans/pagerank unrolling
+    pattern for iterative algorithms)."""
+    steps = [
+        """pick1 AS MATERIALIZED (
+        SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1
+    ),
+    sel1(vec_id) AS MATERIALIZED (SELECT vec_id FROM pick1)"""
+    ]
+    for i in range(2, k + 1):
+        steps.append(
+            f"""pick{i} AS MATERIALIZED (
+        SELECT c.vec_id, c.rel FROM cand c
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+        ORDER BY {lam!r} * c.rel - {1.0 - lam!r} * (
+            SELECT max(p.sim) FROM p
+            WHERE p.a = c.vec_id
+              AND p.b IN (SELECT vec_id FROM sel{i - 1})
+        ) DESC, c.vec_id ASC
+        LIMIT 1
+    ),
+    sel{i}(vec_id) AS MATERIALIZED (
+        SELECT vec_id FROM sel{i - 1} UNION ALL SELECT vec_id FROM pick{i}
+    )"""
+        )
+    picks = "\n        UNION ALL\n        ".join(
+        f"SELECT {i} AS mmr_rank, vec_id, rel FROM pick{i}"
+        for i in range(1, k + 1)
+    )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    cand AS MATERIALIZED (
+        SELECT c.vec_id, round(list_cosine_similarity(q.e, c.e), 6) AS rel
+        FROM (SELECT * FROM v WHERE vec_id = {query_id}) q
+        JOIN v c ON q.vec_id <> c.vec_id
+        ORDER BY rel DESC, c.vec_id ASC
+        LIMIT {n_cand}
+    ),
+    p AS MATERIALIZED (
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(
+                   av.e, bv.e), 6) AS sim
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+        JOIN v av ON av.vec_id = a.vec_id
+        JOIN v bv ON bv.vec_id = b.vec_id
+    ),
+    {chain}
+    SELECT CAST(mmr_rank AS INTEGER) AS mmr_rank, vec_id, rel
+    FROM ({picks})
+    """
