@@ -561,6 +561,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_diverse_topk": _q(
             lambda t: similarity.mmr_diverse_topk(t["embeddings"])
         ),
+        # banded-LSH sibling of incremental_dedup: incoming batch (odd
+        # ids) probed against the corpus (even ids) band index
+        "incremental_near_dup": _q(
+            lambda t: dedup.incremental_near_dup(
+                t["documents"].filter(F.col("doc_id") % 2 == 1),
+                t["documents"].filter(F.col("doc_id") % 2 == 0),
+            )
+        ),
     }
 
 
@@ -1006,6 +1014,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_trend_ols": relational_ext.EVENTS_VALUE_TREND_OLS,
         "l_diversity_audit": validation.l_diversity_audit_sql(),
         "mmr_diverse_topk": similarity.mmr_diverse_topk_sql(),
+        "incremental_near_dup": oracle.incremental_near_dup_sql(),
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

@@ -364,3 +364,26 @@ def test_triangle_census_open_wedge(spark):
     assert row.n_edges == 2  # (1,2), (2,3) — no (1,3)
     assert row.n_wedges == 1  # the open chain 1-2-3
     assert row.n_triangles == 0
+
+
+def test_incremental_near_dup_probes_corpus_only(spark):
+    """Cross-batch near-dups are reported; within-batch and
+    within-corpus pairs are NOT (those belong to the batch's own dedup
+    pass / the corpus's history)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different content about distributed systems and parquet files"
+    corpus = spark.createDataFrame(
+        [(2, base), (4, other), (6, other)], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(1, base), (3, base), (5, "fresh unseen text nothing like the rest of them here")],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_near_dup(incoming, corpus).collect()
+    pairs = {(r.doc_new, r.doc_old) for r in out}
+    # both incoming copies of `base` hit corpus doc 2...
+    assert (1, 2) in pairs and (3, 2) in pairs
+    # ...but the (1,3) within-batch pair and (4,6) corpus pair are absent
+    assert all(p[0] in {1, 3, 5} and p[1] in {2, 4, 6} for p in pairs)
+    assert len(pairs) == 2
+    assert all(r.jaccard >= 0.8 for r in out)

@@ -1081,3 +1081,69 @@ def near_dup_triangles_sql(
            (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
            (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles
     """
+
+
+def incremental_near_dup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup check of an INCOMING batch against the existing corpus —
+    the production shape of MinHash dedup at 100 TB: per-delivery
+    batches probe the accumulated band index, never an all-pairs
+    re-dedup. (``incremental_dedup`` is the exact-fingerprint tier of
+    the same idea; this is its banded-LSH sibling for near-misses.)
+
+    The candidate join is batch-bands ⋈ corpus-bands — cost scales
+    with the BATCH's bucket collisions, not the corpus pair count; the
+    corpus side of the join is the (doc, band, key) relation a real
+    deployment stores as the persistent LSH index and appends each
+    accepted batch to. Verification computes exact Jaccard only for
+    candidates (the bounded-verify property the whole family relies
+    on). Doc-id sets must be disjoint. Output: (doc_new, doc_old,
+    jaccard) — each incoming row's near-matches in the corpus.
+    """
+    cols = ["doc_id", text_col]
+    both = incoming.select(*cols).unionByName(corpus.select(*cols))
+    sh = shingle_hashes(both, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % P
+            ).alias(f"m{i}")
+            for i in range(NUM_PERM)
+        ]
+    )
+    band_cols = [
+        _band_key(
+            [F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"bk{b}")
+        for b in range(BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bk")
+    )
+    new_bands = bands.join(
+        incoming.select("doc_id"), "doc_id", "semi"
+    ).select(F.col("doc_id").alias("doc_a"), "band", "bk")
+    old_bands = bands.join(
+        corpus.select("doc_id"), "doc_id", "semi"
+    ).select(F.col("doc_id").alias("doc_b"), "band", "bk")
+    cand = (
+        new_bands.join(old_bands, ["band", "bk"])
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return (
+        _pair_jaccard(sh, pairs=cand)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("doc_a").alias("doc_new"),
+            F.col("doc_b").alias("doc_old"),
+            "jaccard",
+        )
+    )

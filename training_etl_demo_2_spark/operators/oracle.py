@@ -322,3 +322,45 @@ def hard_negative_pairs_sql(
     co-shingled pairs, banded to [lo, hi) — related-but-not-duplicate
     pairs (the contrastive-training negatives)."""
     return f"WITH {_shingles_cte(n)}, {_jaccard_sql('', lo)} AND jaccard < {hi}"
+
+
+def incremental_near_dup_sql(
+    n: int = DEFAULT_NGRAM, threshold: float = 0.8
+) -> str:
+    """Twin of dedup.incremental_near_dup over the parity-split
+    registered query: incoming = odd doc_ids probed against the
+    even-doc_id corpus band index."""
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_expr(b)} AS bk FROM sig"
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH {_shingles_cte(n)},
+    sig AS (
+        SELECT doc_id,
+               {_signature_exprs()}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+        WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT cd.doc_new, cd.doc_old, count(*) AS c
+        FROM cand cd
+        JOIN sh sa ON sa.doc_id = cd.doc_new
+        JOIN sh sb ON sb.doc_id = cd.doc_old AND sb.h = sa.h
+        GROUP BY 1, 2
+    )
+    SELECT s.doc_new, s.doc_old,
+           round(s.c * 1.0 / (za.n + zb.n - s.c), 6) AS jaccard
+    FROM shared s
+    JOIN sizes za ON za.doc_id = s.doc_new
+    JOIN sizes zb ON zb.doc_id = s.doc_old
+    WHERE round(s.c * 1.0 / (za.n + zb.n - s.c), 6) >= {threshold}
+    """
