@@ -569,6 +569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 t["documents"].filter(F.col("doc_id") % 2 == 0),
             )
         ),
+        # hashing-trick sparse features (fastText-style, no vocabulary)
+        "hashed_features": _q(
+            lambda t: text.hashed_features(t["documents"])
+        ),
     }
 
 
@@ -1015,6 +1019,7 @@ def oracle_sql() -> dict[str, str]:
         "l_diversity_audit": validation.l_diversity_audit_sql(),
         "mmr_diverse_topk": similarity.mmr_diverse_topk_sql(),
         "incremental_near_dup": oracle.incremental_near_dup_sql(),
+        "hashed_features": text.hashed_features_sql(),
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

@@ -228,3 +228,25 @@ def test_language_confusion_structure(spark, tables):
         for r in language_confusion(planted).collect()
     }
     assert m == {("en", "en"): 1, ("de", "de"): 1, ("fr", "fr"): 1}
+
+
+def test_hashed_features_sparse_exact(spark):
+    """Hashed TF cells: mass conservation (sum tf == token count),
+    bucket range, identical tokens share a bucket, determinism."""
+    from training_etl_demo_2_spark.operators.text import hashed_features
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a a a"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = hashed_features(df, dim=64).collect()
+    by_doc = {}
+    for r in rows:
+        assert 0 <= r.bucket < 64
+        by_doc.setdefault(r.doc_id, {})[r.bucket] = r.tf
+    assert sum(by_doc[1].values()) == 4
+    assert by_doc[2] and list(by_doc[2].values()) == [3]  # one bucket, tf 3
+    assert 3 not in by_doc  # empty doc emits nothing
+    # 'a' hashes identically in both docs
+    a_bucket = [b for b, tf in by_doc[2].items()][0]
+    assert by_doc[1][a_bucket] == 2

@@ -664,3 +664,54 @@ def language_confusion_sql() -> str:
     FROM preds
     GROUP BY lang_actual, lang_pred
     """
+
+
+# ---------------------------------------------------------------------------
+# hashing-trick featurization
+# ---------------------------------------------------------------------------
+
+HASHED_DIM = 1024
+
+
+def hashed_features(
+    df: DataFrame, text_col: str = "text", dim: int = HASHED_DIM
+) -> DataFrame:
+    """Hashing-trick featurization: sparse token-frequency features in
+    a FIXED ``dim``-bucket space (token → rolling_hash % dim) — how
+    fastText-class quality/lang classifiers featurize web corpora at
+    scale: no vocabulary build, no vocabulary shuffle, no OOV problem,
+    and the (doc, bucket, tf) relation feeds a linear model as-is.
+
+    Physical shape: narrow explode → one (doc, bucket) partial-agg
+    shuffle. Emits only non-zero cells (sparse by construction);
+    collisions are the accepted trade of the trick (dim controls the
+    collision rate, the model absorbs the rest). Buckets are the
+    engine-portable rolling hash, so features are reproducible
+    anywhere — and the whole relation is exact integers.
+    """
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.select(
+            "doc_id", (rolling_hash(F.col("tok")) % dim).alias("bucket")
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def hashed_features_sql(dim: int = HASHED_DIM) -> str:
+    from .oracle import ROLLING_HASH
+
+    h = ROLLING_HASH.format(s="tok")
+    return f"""
+    SELECT doc_id, ({h}) % {dim} AS bucket,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    )
+    WHERE tok <> ''
+    GROUP BY 1, 2
+    """
