@@ -142,3 +142,62 @@ def test_negative_samples_single_doc_yields_nothing(spark):
         "doc_id long, text string, lang string, source string, n_chars long",
     )
     assert negative_samples(one).count() == 0
+
+
+def test_session_final_ops_empty(spark, empty_docs, empty_emb):
+    from training_etl_demo_2_spark.operators import (
+        curation,
+        relational_ext,
+        validation,
+    )
+
+    # gram/PCA: zero vectors -> zero stat rows / zero projections
+    assert similarity.embedding_gram_matrix(empty_emb).count() == 0
+    # A-ES: k > n returns all n (= 0) rows
+    assert curation.weighted_sample_topk(empty_docs, k=5).count() == 0
+    # triangle census still emits its one row of zero counts
+    row = dedup.near_dup_triangles(empty_docs).collect()[0]
+    assert (row.n_edges, row.n_wedges, row.n_triangles) == (0, 0, 0)
+    # robust anomalies / OLS / hashed features on empty events/docs
+    empty_events = spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    assert validation.robust_value_anomalies(empty_events).count() == 0
+    assert (
+        relational_ext.events_value_trend_ols({"events": empty_events}).count()
+        == 0
+    )
+    assert text.hashed_features(empty_docs).count() == 0
+    # incremental near-dup with an empty corpus: no pairs
+    assert (
+        dedup.incremental_near_dup(empty_docs, empty_docs).count() == 0
+    )
+
+
+def test_ols_single_point_group_is_null_guarded(spark):
+    import datetime
+
+    from training_etl_demo_2_spark.operators import relational_ext
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1, "solo", 5.0, "{}")],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    rows = relational_ext.events_value_trend_ols({"events": df}).collect()
+    assert len(rows) == 1
+    assert rows[0].slope_t4_per_hour is None
+
+
+def test_robust_anomalies_single_row_type_not_flagged(spark):
+    from training_etl_demo_2_spark.operators.validation import (
+        robust_value_anomalies,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "solo", 42.0)], "event_id long, event_type string, value double"
+    )
+    # median == the value, dev == 0, MAD == 0: 0 > 0 is false
+    assert robust_value_anomalies(df).count() == 0
