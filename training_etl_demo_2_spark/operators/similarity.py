@@ -1105,6 +1105,10 @@ def pca_project(
         (r["i"], r["j"]): r["gram_q"]
         for r in embedding_gram_matrix(emb, dim=dim).collect()
     }
+    if (-1, -1) not in stats:  # empty corpus: no basis, no projections
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id long, pc array<double>"
+        )
     n = stats[(-1, -1)]
     g = np.zeros((dim, dim), dtype=np.float64)
     mu = np.zeros(dim, dtype=np.float64)
