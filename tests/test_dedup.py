@@ -344,8 +344,29 @@ def test_triangle_census_planted(spark):
     )
     row = dedup.near_dup_triangles(df).collect()[0]
     assert row.n_edges == 4  # (1,2),(1,3),(2,3),(4,5)
-    assert row.n_wedges == 1  # 1-2-3 (ordered-id compact-forward)
+    # the 3-clique holds one wedge per middle vertex (sum C(deg,2) = 3);
+    # the isolated pair holds none — so closure 3*tri/wedges == 1
+    assert row.n_wedges == 3
     assert row.n_triangles == 1
+
+
+def test_triangle_census_counts_hub_wedges(spark):
+    """A hub whose id is the minimum of its neighbors: the wedge 2-1-3
+    must still be counted (the id-ordered join would miss it)."""
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    # docs 2 and 3 are near-dups of 1 but not of each other
+    b2 = base + " first extra tail words here"
+    b3 = base + " second other ending tokens now"
+    df = spark.createDataFrame(
+        [(1, base), (2, b2), (3, b3)], "doc_id long, text string"
+    )
+    row = dedup.near_dup_triangles(df, threshold=0.5).collect()[0]
+    assert row.n_edges >= 2
+    # hub wedge(s) visible; if (2,3) also paired this is a closed clique
+    if row.n_edges == 2:
+        assert row.n_wedges == 1 and row.n_triangles == 0
+    else:
+        assert row.n_wedges == 3 and row.n_triangles == 1
 
 
 def test_triangle_census_open_wedge(spark):

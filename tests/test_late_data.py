@@ -59,8 +59,10 @@ def _run(spark, in_dir, watermark, sink_name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    drained = q.awaitTermination(120)
     q.stop()
+    if not drained:
+        raise TimeoutError(f"{sink_name} replay did not drain in 120s")
     dropped = sum(
         p["stateOperators"][0]["numRowsDroppedByWatermark"]
         for p in q.recentProgress

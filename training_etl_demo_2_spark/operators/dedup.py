@@ -323,6 +323,32 @@ def _band_key(cols: list[Column]) -> Column:
     return key
 
 
+def _band_relation(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, bk) LSH band keys from a shingle relation — the
+    MinHash signature aggregate + band-key fold shared by the self-join
+    (``minhash_lsh_pairs``) and batch-vs-index (``incremental_near_dup``)
+    paths; this relation IS the persistent-index format the incremental
+    path probes, so both must always derive it identically."""
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % P).alias(
+                f"m{i}"
+            )
+            for i in range(NUM_PERM)
+        ]
+    )
+    band_cols = [
+        _band_key(
+            [F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"bk{b}")
+        for b in range(BANDS)
+    ]
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band", "bk"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -344,24 +370,7 @@ def minhash_lsh_pairs(
     # the shingle table is ~|corpus shingles| × 16 B, disk-spillable at
     # 100 TB — persisting the derived relation, never the corpus.
     sh = shingle_hashes(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % P).alias(
-                f"m{i}"
-            )
-            for i in range(NUM_PERM)
-        ]
-    )
-    band_cols = [
-        _band_key(
-            [F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        ).alias(f"bk{b}")
-        for b in range(BANDS)
-    ]
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band", "bk"),
-    )
+    bands = _band_relation(sh)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bk")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bk")
     candidates = (
@@ -1017,35 +1026,48 @@ def near_dup_triangles(
     n: int = DEFAULT_NGRAM,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Triangle census of the near-duplicate graph: edges, open wedges
-    (a-b-c paths over ordered ids), and closed triangles — the global
-    clustering signal for dedup QA. Near-duplication is *approximately*
-    transitive, so a healthy LSH pair graph closes most of its wedges;
-    a wedge-heavy, triangle-poor graph means the threshold is admitting
+    """Triangle census of the near-duplicate graph: edges, open wedges,
+    and closed triangles — the global clustering signal for dedup QA.
+    Near-duplication is *approximately* transitive, so a healthy LSH
+    pair graph closes most of its wedges (3·triangles ≈ wedges); a
+    wedge-heavy, triangle-poor graph means the threshold is admitting
     accidental pairs (chains a~b~c where a,c share nothing).
 
-    The compact-forward algorithm on DataFrames: with edges oriented
-    id-ascending (doc_a < doc_b, exactly how ``minhash_lsh_pairs``
-    emits them), wedges are one self-join on the middle vertex and
-    triangles one more join probing the closing edge — each triangle
-    counted exactly once, no orientation dedup pass. At 100 TB scale
-    the joins shuffle on single vertex keys; the standard skew
-    mitigation (split high-degree vertices) applies unchanged.
-    Output is one row of exact BIGINT counts.
+    Wedges count EVERY unordered neighbor pair around every middle
+    vertex (Σ_v C(deg v, 2) — the symmetric adjacency join; an
+    id-ordered join would silently miss every wedge whose hub is the
+    min or max of its neighbors). Triangles use compact-forward on the
+    id-ascending edges ``minhash_lsh_pairs`` emits — each triangle
+    counted exactly once — so the closure ratio is 3·n_triangles /
+    n_wedges. At 100 TB the joins shuffle on single vertex keys; the
+    standard skew mitigation (split high-degree vertices) applies
+    unchanged. Output is one row of exact BIGINT counts. The pair
+    relation arrives persisted from ``minhash_lsh_pairs``; no second
+    copy is cached here.
     """
     e = minhash_lsh_pairs(df, text_col, n, threshold).select(
         "doc_a", "doc_b"
     )
-    e.persist(StorageLevel.MEMORY_AND_DISK)
+    adj = e.select(F.col("doc_a").alias("m"), F.col("doc_b").alias("x")).union(
+        e.select(F.col("doc_b").alias("m"), F.col("doc_a").alias("x"))
+    )
     wedges = (
+        adj.select("m", F.col("x").alias("a"))
+        .join(adj.select("m", F.col("x").alias("c")), "m")
+        .filter(F.col("a") < F.col("c"))
+        .select("a", "m", "c")
+    )
+    # triangles stay on the ORIENTED edges (a<b<c chains): each triangle
+    # closes exactly one such chain, so no /3 correction is needed
+    fwd = (
         e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .join(
             e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c")),
             "b",
         )
-        .select("a", "b", "c")
+        .select("a", "c")
     )
-    tri = wedges.join(
+    tri = fwd.join(
         e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c")),
         ["a", "c"],
     )
@@ -1067,15 +1089,24 @@ def near_dup_triangles_sql(
     from .oracle import minhash_lsh_sql
 
     return f"""
-    WITH pairs AS ({minhash_lsh_sql(n, threshold)}),
+    WITH pairs AS MATERIALIZED ({minhash_lsh_sql(n, threshold)}),
     e AS (SELECT doc_a, doc_b FROM pairs),
+    adj AS (
+        SELECT doc_a AS m, doc_b AS x FROM e
+        UNION ALL
+        SELECT doc_b AS m, doc_a AS x FROM e
+    ),
     wedges AS (
-        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        SELECT w1.x AS a, w1.m, w2.x AS c
+        FROM adj w1 JOIN adj w2 ON w1.m = w2.m AND w1.x < w2.x
+    ),
+    fwd AS (
+        SELECT e1.doc_a AS a, e2.doc_b AS c
         FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
     ),
     tri AS (
-        SELECT w.a, w.b, w.c
-        FROM wedges w JOIN e ON w.a = e.doc_a AND w.c = e.doc_b
+        SELECT f.a, f.c
+        FROM fwd f JOIN e ON f.a = e.doc_a AND f.c = e.doc_b
     )
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
            (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
@@ -1110,23 +1141,7 @@ def incremental_near_dup(
     sh = shingle_hashes(both, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                (F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % P
-            ).alias(f"m{i}")
-            for i in range(NUM_PERM)
-        ]
-    )
-    band_cols = [
-        _band_key(
-            [F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-        ).alias(f"bk{b}")
-        for b in range(BANDS)
-    ]
-    bands = sig.select(
-        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bk")
-    )
+    bands = _band_relation(sh)
     new_bands = bands.join(
         incoming.select("doc_id"), "doc_id", "semi"
     ).select(F.col("doc_id").alias("doc_a"), "band", "bk")

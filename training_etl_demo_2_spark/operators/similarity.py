@@ -1071,6 +1071,7 @@ EMBEDDING_GRAM_SQL = """
     SELECT CAST(-1 AS INTEGER) AS i, CAST(-1 AS INTEGER) AS j,
            CAST(count(*) AS BIGINT) AS gram_q
     FROM embeddings
+    HAVING count(*) > 0
 """
 
 
@@ -1173,11 +1174,19 @@ def mmr_diverse_topk(
     scores combine them through one shared literal pair, ties break by
     vec_id — the oracle's unrolled greedy CTE chain picks identically.
     """
+    from pyspark import StorageLevel
+
     cand = (
         brute_topk(emb, k=n_cand, query_pred=f"vec_id = {query_id}")
         .select(F.col("neighbor_id").alias("vec_id"), F.col("sim").alias("rel"))
     )
-    ce = cand.join(emb, "vec_id").select("vec_id", "rel", "embedding")
+    # C rows; persisted so the corpus-wide retrieval feeding it runs
+    # once across the two actions below (pair sims + rel collect)
+    ce = (
+        cand.join(emb, "vec_id")
+        .select("vec_id", "rel", "embedding")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = ce.select(
         F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
     )
@@ -1196,6 +1205,7 @@ def mmr_diverse_topk(
         .collect()
     )
     rel = {r.vec_id: r.rel for r in ce.select("vec_id", "rel").collect()}
+    ce.unpersist()
     sim = {(r.a, r.b): r.sim for r in pair_rows}
 
     selected: list[int] = []
