@@ -308,3 +308,28 @@ def test_read_text_corpus_line_and_wholefile(spark, tmp_path):
     rows = {r.path.rsplit("/", 1)[-1]: r.doc_text for r in docs.collect()}
     assert rows["a.txt"] == "first line\nsecond line\n"
     assert rows["b.txt.gz"] == "gzipped one\ngzipped two\n"
+
+
+def test_xml_roundtrip_via_read_table(spark, tmp_path):
+    xml = tmp_path / "rows.xml"
+    xml.write_text(
+        "<rows><row><id>1</id><name>alpha</name></row>"
+        "<row><id>2</id><name>beta</name></row></rows>"
+    )
+    df = sources.read_table(spark, str(xml), fmt="xml", rowTag="row")
+    got = {(r.id, r.name) for r in df.collect()}
+    assert got == {(1, "alpha"), (2, "beta")}
+
+
+def test_read_binary_files_feeds_multimodal_layout(spark, tmp_path):
+    payload_a = b"\x89PNG\r\n\x1a\n" + b"x" * 64
+    payload_b = b"RIFFxxxxWAVE" + b"y" * 32
+    (tmp_path / "a.png").write_bytes(payload_a)
+    (tmp_path / "b.wav").write_bytes(payload_b)
+    (tmp_path / "skip.txt").write_text("not media")
+
+    df = sources.read_binary_files(spark, str(tmp_path), glob="*.{png,wav}")
+    rows = {r.path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.png", "b.wav"}
+    assert bytes(rows["a.png"].content) == payload_a
+    assert rows["b.wav"].length == len(payload_b)

@@ -48,7 +48,7 @@ def read_jsonl(
     return reader.json(path)
 
 
-_FORMATS = {"parquet", "csv", "tsv", "json", "jsonl", "orc"}
+_FORMATS = {"parquet", "csv", "tsv", "json", "jsonl", "orc", "xml"}
 
 
 def read_table(
@@ -105,3 +105,29 @@ def read_text_corpus(
             F.col("value").alias("doc_text"),
         )
     return spark.read.text(path).withColumnRenamed("value", "doc_text")
+
+
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Raw-file ingestion for multimodal corpora: one row per file with
+    (path, modificationTime, length, content BINARY) — the front door
+    that turns an image/audio/video directory into the opaque-binary
+    column layout the ``multimodal`` operators consume.
+
+    Spark's built-in ``binaryFile`` source parallelizes per FILE (a
+    file never splits), so it pairs with many small-to-medium objects;
+    ``spark.sql.files.maxPartitionBytes`` packs small files per task.
+    Filter with ``glob`` (e.g. ``*.png``) BEFORE the scan — it prunes
+    the file listing, not rows. At 100 TB, ingest once into parquet
+    with the blob as a binary column (``io.write_parquet``) and run
+    every downstream pass on that: the parquet layout splits row
+    groups, prunes metadata columns, and avoids re-listing object
+    storage per query.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
