@@ -333,3 +333,35 @@ def test_read_binary_files_feeds_multimodal_layout(spark, tmp_path):
     assert set(rows) == {"a.png", "b.wav"}
     assert bytes(rows["a.png"].content) == payload_a
     assert rows["b.wav"].length == len(payload_b)
+
+
+def test_binary_ingest_to_multimodal_pipeline(spark, tmp_path):
+    """End-to-end multimodal front door: raw files -> binaryFile scan
+    -> parquet with a binary payload column -> metadata op over the
+    REAL payloads (not the text-derived fakes)."""
+    from pyspark.sql import functions as F
+
+    payload = b"\x89PNG\r\n\x1a\n" + bytes(range(64))
+    (tmp_path / "m1.png").write_bytes(payload)
+    (tmp_path / "m2.png").write_bytes(payload[:32])
+
+    lake = str(tmp_path / "media_lake")
+    (
+        sources.read_binary_files(spark, str(tmp_path), glob="*.png")
+        .select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("content").alias("payload"),
+            F.lit("image").alias("media_type"),
+            F.col("length").alias("nbytes"),
+        )
+        .write.mode("overwrite")
+        .parquet(lake)
+    )
+    media = spark.read.parquet(lake)
+    out = media.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("nbytes"),
+        F.upper(F.hex(F.substring("payload", 1, 4))).alias("magic_hex"),
+    ).collect()
+    assert {r.nbytes for r in out} == {72, 32}
+    assert all(r.magic_hex == "89504E47" for r in out)  # PNG magic
