@@ -408,3 +408,49 @@ def test_incremental_near_dup_probes_corpus_only(spark):
     assert all(p[0] in {1, 3, 5} and p[1] in {2, 4, 6} for p in pairs)
     assert len(pairs) == 2
     assert all(r.jaccard >= 0.8 for r in out)
+
+
+def test_ngram_jaccard_matches_python_reference(spark):
+    """Operator-level differential: LSH-free exact Jaccard pairs over a
+    fixed-seed random corpus must equal an independent pure-Python
+    computation of the same semantics (3-gram string sets)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (
+            i,
+            " ".join(
+                rng.choice(vocab) for _ in range(rng.randint(5, 25))
+            ),
+        )
+        for i in range(20)
+    ]
+
+    def shingles(t):
+        toks = t.split(" ")
+        if len(toks) < 3:
+            return set()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    want = {}
+    for idx, (a, ta) in enumerate(docs):
+        for b, tb in docs[idx + 1 :]:
+            sa, sb = shingles(ta), shingles(tb)
+            if not (sa | sb):
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.2:
+                want[(a, b)] = j
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            threshold=0.2,
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k, j in want.items():
+        assert abs(got[k] - j) < 1e-6, (k, got[k], j)
