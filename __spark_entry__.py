@@ -573,6 +573,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_features": _q(
             lambda t: text.hashed_features(t["documents"])
         ),
+        # per-source frequency signature (curator's-eye top terms)
+        "top_terms_by_source": _q(
+            lambda t: text.top_terms_by_source(t["documents"])
+        ),
+        # per-source unigram entropy in exact nano-nat units
+        "source_token_entropy": _q(
+            lambda t: text.source_token_entropy(t["documents"])
+        ),
     }
 
 
@@ -1020,6 +1028,8 @@ def oracle_sql() -> dict[str, str]:
         "mmr_diverse_topk": similarity.mmr_diverse_topk_sql(),
         "incremental_near_dup": oracle.incremental_near_dup_sql(),
         "hashed_features": text.hashed_features_sql(),
+        "top_terms_by_source": text.top_terms_by_source_sql(),
+        "source_token_entropy": text.SOURCE_TOKEN_ENTROPY_SQL,
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

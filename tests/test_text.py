@@ -250,3 +250,41 @@ def test_hashed_features_sparse_exact(spark):
     # 'a' hashes identically in both docs
     a_bucket = [b for b, tf in by_doc[2].items()][0]
     assert by_doc[1][a_bucket] == 2
+
+
+def test_top_terms_and_entropy_planted(spark):
+    from training_etl_demo_2_spark.operators.text import (
+        source_token_entropy,
+        top_terms_by_source,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b b c", "web"),
+            (2, "a b", "web"),
+            (3, "x x x x", "spam"),  # single type: entropy exactly 0
+        ],
+        "doc_id long, text string, source string",
+    )
+    top = {
+        (r.source, r.rk): (r.term, r.tf)
+        for r in top_terms_by_source(df, k=2).collect()
+    }
+    assert top[("web", 1)] == ("a", 4)
+    assert top[("web", 2)] == ("b", 3)
+    assert top[("spam", 1)] == ("x", 4)
+
+    ent = {r.source: r for r in source_token_entropy(df).collect()}
+    assert ent["spam"].entropy_nano == 0
+    assert ent["spam"].n_types == 1
+    # web: p = (4/8, 3/8, 1/8) -> H ~ 1.0136 nats
+    import math
+
+    want = -sum(p * math.log(p) for p in (0.5, 0.375, 0.125))
+    assert abs(ent["web"].entropy_nano / 1e9 - want) < 1e-6
+    # integer-sum order invariance
+    ent2 = {
+        r.source: r.entropy_nano
+        for r in source_token_entropy(df.repartition(5)).collect()
+    }
+    assert ent2 == {s: r.entropy_nano for s, r in ent.items()}

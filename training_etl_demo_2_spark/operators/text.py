@@ -715,3 +715,128 @@ def hashed_features_sql(dim: int = HASHED_DIM) -> str:
     WHERE tok <> ''
     GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# per-source top terms + token entropy
+# ---------------------------------------------------------------------------
+
+TOP_TERMS_K = 10
+
+
+def top_terms_by_source(
+    df: DataFrame, text_col: str = "text", k: int = TOP_TERMS_K
+) -> DataFrame:
+    """Frequency signature per source: the k most frequent tokens and
+    their counts — what a curator actually LOOKS at when a mixture
+    weight or dedup threshold misbehaves ("why is this source 40%
+    boilerplate tokens?"). Complements vocab_stats_by_source (which
+    gives totals, not the terms).
+
+    One (source, term) shuffle with map-side partial counts, then a
+    window over the AGGREGATED relation (|vocab x sources| rows —
+    orders of magnitude below the corpus, so a per-source window is
+    cheap at any corpus size). Ties break (count desc, term asc):
+    fully deterministic, exact integers only.
+    """
+    from pyspark.sql.window import Window
+
+    tf = (
+        df.select("source", F.explode(_tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("tf"), F.asc("term")
+    )
+    return (
+        tf.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("source", "rk", "term", "tf")
+    )
+
+
+def top_terms_by_source_sql(k: int = TOP_TERMS_K) -> str:
+    return f"""
+    WITH tf AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        )
+        WHERE term != ''
+        GROUP BY source, term
+    )
+    SELECT source, CAST(rk AS INTEGER) AS rk, term, tf
+    FROM (
+        SELECT source, term, tf,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY tf DESC, term ASC
+               ) AS rk
+        FROM tf
+    )
+    WHERE rk <= {k}
+    """
+
+
+def source_token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram entropy per source (nats, in exact 1e-9 units): the
+    diversity gauge behind mixture decisions — a source whose entropy
+    collapses is template spam regardless of its size.
+
+    Order-invariance trick for a float reduction: each term's
+    -p·ln(p) contribution is computed through one shared IEEE sequence
+    (p = tf/total, both exact longs) and ROUNDED TO INTEGER nano-nats
+    BEFORE the sum, so the aggregate is an integer sum — bit-equal
+    under any partitioning and on both engines (the same rule that
+    keeps every other float accumulation out of the gate hashes).
+    Per-term rounding error is ≤ 0.5e-9 x n_types — beneath any
+    decision this metric feeds.
+    """
+    tf = (
+        df.select("source", F.explode(_tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    totals = tf.groupBy("source").agg(
+        F.sum("tf").cast("long").alias("total")
+    )
+    p = F.col("tf").cast("double") / F.col("total").cast("double")
+    term_q = F.floor(-p * F.log(p) * 1e9 + F.lit(0.5)).cast("long")
+    return (
+        tf.join(totals, "source")
+        .groupBy("source")
+        .agg(
+            F.max("total").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum(term_q).cast("long").alias("entropy_nano"),
+        )
+    )
+
+
+SOURCE_TOKEN_ENTROPY_SQL = """
+    WITH tf AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        )
+        WHERE term != ''
+        GROUP BY source, term
+    ),
+    totals AS (
+        SELECT source, CAST(sum(tf) AS BIGINT) AS total FROM tf
+        GROUP BY source
+    )
+    SELECT t.source,
+           max(z.total) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CAST(floor(
+               -(CAST(t.tf AS DOUBLE) / CAST(z.total AS DOUBLE))
+               * ln(CAST(t.tf AS DOUBLE) / CAST(z.total AS DOUBLE))
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_nano
+    FROM tf t JOIN totals z ON t.source = z.source
+    GROUP BY t.source
+"""
