@@ -581,6 +581,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_entropy": _q(
             lambda t: text.source_token_entropy(t["documents"])
         ),
+        # HTML/XML markup stripping (web-scrape front door)
+        "strip_markup": _q(lambda t: text.strip_markup(t["documents"])),
+        # zlib compression-ratio quality proxy (rows-only: no SQL zlib)
+        "compression_ratio": _q(
+            lambda t: text.compression_ratio(t["documents"])
+        ),
     }
 
 
@@ -1030,6 +1036,7 @@ def oracle_sql() -> dict[str, str]:
         "hashed_features": text.hashed_features_sql(),
         "top_terms_by_source": text.top_terms_by_source_sql(),
         "source_token_entropy": text.SOURCE_TOKEN_ENTROPY_SQL,
+        "strip_markup": text.STRIP_MARKUP_SQL,
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

@@ -42,4 +42,5 @@ ROWS_ONLY_DECLARED = [
     "semantic_dedup",
     "bpe_token_counts",
     "pca_projection",
+    "compression_ratio",
 ]

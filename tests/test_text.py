@@ -288,3 +288,34 @@ def test_top_terms_and_entropy_planted(spark):
         for r in source_token_entropy(df.repartition(5)).collect()
     }
     assert ent2 == {s: r.entropy_nano for s, r in ent.items()}
+
+
+def test_strip_markup_and_compression_ratio(spark):
+    from training_etl_demo_2_spark.operators.text import (
+        compression_ratio,
+        strip_markup,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "<p>Hello &amp; welcome</p>  <b>friends</b>"),
+            (2, "plain text stays"),
+            (3, "ab " * 200),  # highly repetitive
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    clean = {r.doc_id: r.clean_text for r in strip_markup(df).collect()}
+    assert clean[1] == "Hello & welcome friends"
+    assert clean[2] == "plain text stays"
+
+    ratios = {r.doc_id: r.zlib_ratio for r in compression_ratio(df).collect()}
+    assert ratios[4] == 0.0
+    # repetitive text compresses far more than short plain text
+    assert ratios[3] < 0.1 < ratios[2]
+    # determinism across partitionings
+    ratios2 = {
+        r.doc_id: r.zlib_ratio
+        for r in compression_ratio(df.repartition(3)).collect()
+    }
+    assert ratios2 == ratios

@@ -840,3 +840,90 @@ SOURCE_TOKEN_ENTROPY_SQL = """
     FROM tf t JOIN totals z ON t.source = z.source
     GROUP BY t.source
 """
+
+
+# ---------------------------------------------------------------------------
+# compression-ratio quality proxy + markup stripping
+# ---------------------------------------------------------------------------
+
+
+def compression_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Compression-ratio quality proxy (Gopher / RefinedWeb rule):
+    zlib-compressed length / raw length per document. Highly
+    repetitive or templated text compresses far below natural prose,
+    making the ratio a cheap model-free redundancy signal; the
+    canonical filters drop documents below ~0.3 or above ~1.1.
+
+    Arrow-batched pandas UDF over Python's zlib (level 6) — the same
+    honest Python boundary as the BPE encoder: the computation is a
+    per-row codec, there is nothing relational to push down, and the
+    blob never shuffles (ratio computed in the scan stage).
+    Rows-only by design: DuckDB has no zlib twin; determinism and
+    direction invariants are pytest-pinned instead.
+    """
+    def ratio_batches(batches):
+        import zlib
+
+        def one(t):
+            if not t:
+                return 0.0
+            raw = t.encode("utf-8")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pdf.assign(
+                n_chars=pdf["txt"].str.len().astype("int64"),
+                zlib_ratio=pdf["txt"].map(one),
+            )[["doc_id", "n_chars", "zlib_ratio"]]
+
+    return df.select(
+        "doc_id", F.col(text_col).alias("txt")
+    ).mapInPandas(
+        ratio_batches, schema="doc_id long, n_chars long, zlib_ratio double"
+    )
+
+
+def strip_markup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Markup stripping — the first transform every web-scraped corpus
+    needs: remove HTML/XML tags, decode the common entities, collapse
+    the leftover whitespace. Pure JVM regex expressions (narrow,
+    codegen'd, shuffle-free); the tag pattern ``<[^>]*>`` and the
+    entity map behave identically under Java regex and RE2, so the
+    oracle match is exact.
+    """
+    c = F.col(text_col)
+    no_tags = F.regexp_replace(c, "<[^>]*>", " ")
+    for ent, ch in (
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&nbsp;", " "),
+    ):
+        no_tags = F.regexp_replace(no_tags, ent, ch)
+    cleaned = F.trim(F.regexp_replace(no_tags, "\\s+", " "))
+    return df.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length(cleaned).cast("long").alias("n_clean_chars"),
+    )
+
+
+STRIP_MARKUP_SQL = """
+    SELECT doc_id,
+           trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                   regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                   '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&nbsp;', ' '),
+               '\\s+', ' ', 'g')) AS clean_text,
+           CAST(length(trim(regexp_replace(
+               replace(replace(replace(replace(replace(
+                   regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                   '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+                   '&quot;', '"'), '&nbsp;', ' '),
+               '\\s+', ' ', 'g'))) AS BIGINT) AS n_clean_chars
+    FROM documents
+"""
