@@ -195,6 +195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q(
             lambda t: dedup.ngram_jaccard_pairs(t["documents"], threshold=0.5)
         ),
+        "dedup_containment": _q(
+            lambda t: dedup.ngram_containment_pairs(t["documents"], threshold=0.8)
+        ),
         "dedup_minhash_lsh": _q(
             lambda t: dedup.minhash_lsh_pairs(t["documents"], threshold=0.8)
         ),
@@ -586,6 +589,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # zlib compression-ratio quality proxy (rows-only: no SQL zlib)
         "compression_ratio": _q(
             lambda t: text.compression_ratio(t["documents"])
+        ),
+        # add-k bigram-LM perplexity proxy (word-order coherence)
+        "bigram_logprob": _q(lambda t: text.bigram_logprob(t["documents"])),
+        # temperature-scaled source sampling weights (data recipe)
+        "source_mixture_weights": _q(
+            lambda t: curation.source_mixture_weights(t["documents"])
         ),
     }
 
@@ -1037,6 +1046,9 @@ def oracle_sql() -> dict[str, str]:
         "top_terms_by_source": text.top_terms_by_source_sql(),
         "source_token_entropy": text.SOURCE_TOKEN_ENTROPY_SQL,
         "strip_markup": text.STRIP_MARKUP_SQL,
+        "bigram_logprob": text.BIGRAM_LOGPROB_SQL,
+        "source_mixture_weights": curation.source_mixture_weights_sql(),
+        "dedup_containment": oracle.ngram_containment_sql(threshold=0.8),
         "events_props_variant": """
             SELECT event_type,
                    CAST(sum(k) AS BIGINT) AS sum_k,

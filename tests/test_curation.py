@@ -345,3 +345,24 @@ def test_weighted_sample_topk_aes(spark, tables):
     assert [(r.doc_id, r.aes_key) for r in got2] == [
         (r.doc_id, r.aes_key) for r in got
     ]
+
+
+def test_source_mixture_weights_flatten(spark):
+    """alpha < 1 flattens: the small source's weight share strictly
+    exceeds its token share; weights normalize to ~10000 bp."""
+    from training_etl_demo_2_spark.operators.curation import source_mixture_weights
+
+    docs = [(i, "big", "tok " * 99 + "tok") for i in range(9)] + [
+        (100, "small", "tok " * 99 + "tok")
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    rows = {r.source: r for r in source_mixture_weights(df, alpha=0.7).collect()}
+    assert rows["big"].n_tokens == 900 and rows["small"].n_tokens == 100
+    total_bp = rows["big"].w_bp + rows["small"].w_bp
+    assert abs(total_bp - 10_000) <= 1  # integer rounding slack
+    # proportional share of small = 1000 bp; temperature must raise it
+    assert rows["small"].w_bp > 1000
+    assert rows["big"].w_bp < 9000
+    # alpha=1 degenerates to proportional shares
+    prop = {r.source: r for r in source_mixture_weights(df, alpha=1.0).collect()}
+    assert abs(prop["small"].w_bp - 1000) <= 1

@@ -454,3 +454,42 @@ def test_ngram_jaccard_matches_python_reference(spark):
     assert set(got) == set(want)
     for k, j in want.items():
         assert abs(got[k] - j) < 1e-6, (k, got[k], j)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short excerpt fully embedded in a long doc: containment ≈ 1.0
+    on the excerpt side while Jaccard stays far below any dedup
+    threshold — the asymmetric pair class this operator exists for."""
+    base = " ".join(f"w{i}" for i in range(200))
+    excerpt = " ".join(f"w{i}" for i in range(40, 60))  # 20 tokens inside base
+    df = spark.createDataFrame(
+        [(1, base), (2, excerpt), (3, "x y z q r s t u v")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.cont_a, r.cont_b)
+        for r in dedup.ngram_containment_pairs(df, threshold=0.8).collect()
+    }
+    assert set(got) == {(1, 2)}
+    cont_a, cont_b = got[(1, 2)]
+    # all 18 of the excerpt's 3-gram shingles appear in base
+    assert cont_b == 1.0
+    assert cont_a < 0.2  # base side is NOT contained in the excerpt
+    # symmetric Jaccard misses the same pair at any dedup-grade threshold
+    jac = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert (1, 2) not in {(r.doc_a, r.doc_b) for r in jac}
+
+
+def test_containment_direction_and_bounds(tables):
+    rows = dedup.ngram_containment_pairs(tables["documents"], threshold=0.8).collect()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0.0 <= r.cont_a <= 1.0 and 0.0 <= r.cont_b <= 1.0
+        assert max(r.cont_a, r.cont_b) >= 0.8
+    # the fixture's planted near-dups (high jaccard) are containment pairs too
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(tables["documents"], threshold=0.8).collect()
+    }
+    got = {(r.doc_a, r.doc_b) for r in rows}
+    assert jac <= got

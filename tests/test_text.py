@@ -319,3 +319,22 @@ def test_strip_markup_and_compression_ratio(spark):
         for r in compression_ratio(df.repartition(3)).collect()
     }
     assert ratios2 == ratios
+
+
+def test_bigram_logprob_rewards_word_order(spark):
+    """Same tokens, different order: the doc whose bigrams repeat
+    corpus-frequent transitions outscores the scrambled sibling — the
+    signal a unigram LM cannot produce (it scores both identically)."""
+    from training_etl_demo_2_spark.operators.text import bigram_logprob
+
+    coherent = "the cat sat on the mat"
+    docs = [(i, coherent) for i in range(10)] + [(100, "mat the on sat cat the")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert rows[0].n_bigrams == 5
+    avg = lambda r: r.logprob_nano / r.n_bigrams
+    assert avg(rows[0]) > avg(rows[100])
+    # single-token doc yields no bigrams and no row
+    df2 = spark.createDataFrame([(1, "hello"), (2, "a b")], "doc_id long, text string")
+    got = {r.doc_id for r in bigram_logprob(df2).collect()}
+    assert got == {2}

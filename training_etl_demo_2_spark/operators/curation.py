@@ -467,6 +467,83 @@ LENGTH_BUCKETS_SQL = """
 
 
 # ---------------------------------------------------------------------------
+# source mixture weights (temperature-scaled sampling recipe)
+# ---------------------------------------------------------------------------
+
+MIXTURE_ALPHA = 0.7  # the published multilingual-sampling exponent
+
+
+def source_mixture_weights(
+    df: DataFrame, alpha: float = MIXTURE_ALPHA, text_col: str = "text"
+) -> DataFrame:
+    """Temperature-scaled source sampling weights — the data-recipe
+    step that decides how often each source is drawn during training:
+    w_i ∝ p_i^alpha with p_i the source's token share. alpha < 1
+    flattens the mixture (upsamples small sources, the exponent rule
+    used for multilingual and multi-source corpora); alpha = 1 is
+    proportional sampling, alpha = 0 uniform.
+
+    Exact-integer discipline (the source_token_entropy rule): each
+    source's scaled weight p_i^alpha is rounded to integer NANO-UNITS
+    through one shared IEEE sequence BEFORE normalization, so the
+    normalizing sum and the final basis points are integer-based
+    arithmetic — order-invariant under any partitioning and agreeing
+    with the oracle bit-for-bit.
+
+    Physical shape: one corpus pass (narrow token count + groupBy
+    source, sources-sized output), then two broadcast one-row
+    cross-joins for the totals — a single Catalyst plan, no driver
+    action. Output: (source, n_tokens, w_nano, w_bp).
+    """
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    per_src = df.groupBy("source").agg(F.sum(n_tok).cast("long").alias("n_tokens"))
+    tot = per_src.agg(F.sum("n_tokens").cast("long").alias("n_total"))
+    w_nano = F.floor(
+        F.pow(
+            F.col("n_tokens").cast("double") / F.col("n_total").cast("double"),
+            F.lit(alpha),
+        )
+        * 1e9
+        + F.lit(0.5)
+    ).cast("long")
+    weighted = per_src.crossJoin(F.broadcast(tot)).select(
+        "source", "n_tokens", w_nano.alias("w_nano")
+    )
+    z = weighted.agg(F.sum("w_nano").cast("long").alias("z"))
+    return weighted.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        "w_nano",
+        F.floor(F.col("w_nano") * 1e4 / F.col("z") + F.lit(0.5))
+        .cast("long")
+        .alias("w_bp"),
+    )
+
+
+def source_mixture_weights_sql(alpha: float = MIXTURE_ALPHA) -> str:
+    """Twin of source_mixture_weights: identical nano-unit rounding
+    before normalization."""
+    return f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM per_src),
+    w AS (
+        SELECT source, n_tokens,
+               CAST(floor(pow(CAST(n_tokens AS DOUBLE) / CAST(n_total AS DOUBLE),
+                              {alpha}) * 1e9 + 0.5) AS BIGINT) AS w_nano
+        FROM per_src CROSS JOIN tot
+    ),
+    z AS (SELECT CAST(sum(w_nano) AS BIGINT) AS z FROM w)
+    SELECT source, n_tokens, w_nano,
+           CAST(floor(w_nano * 1e4 / z + 0.5) AS BIGINT) AS w_bp
+    FROM w CROSS JOIN z
+    """
+
+
+# ---------------------------------------------------------------------------
 # sequence packing
 # ---------------------------------------------------------------------------
 

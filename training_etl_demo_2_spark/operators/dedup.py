@@ -293,6 +293,65 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT (Broder 1997's
+    second resemblance measure): cont_a = |A∩B| / |A| — the fraction of
+    doc_a's shingles that also appear in doc_b — and cont_b likewise.
+    A pair survives when EITHER direction ≥ threshold.
+
+    This is the subset-duplication detector symmetric Jaccard
+    structurally misses: a 50-shingle excerpt fully embedded in a
+    2000-shingle page has containment 1.0 but Jaccard ≈ 0.025 — quotes,
+    syndicated fragments, and doc-in-doc concatenations all look like
+    that. LLM pipelines run it beside Jaccard dedup because partial
+    copies inflate memorization just like full copies.
+
+    Physical shape: identical to the exact-Jaccard tier — shingle-hash
+    self-join keyed on the 8-byte hash, then two size joins; only the
+    scoring expression differs. Exact but O(pairs sharing a shingle),
+    so this is the ground-truth/verify tier. The LSH banding shortcut
+    does NOT carry over at scale: a MinHash signature of a long doc is
+    dominated by its non-shared shingles, so banding under-recalls
+    exactly the asymmetric pairs this measure exists to find. At 100 TB
+    generate candidates from the SMALLER side instead — index each
+    doc's k smallest shingle hashes (a bottom-k sketch of A; containment
+    |A∩B|/|A| is estimable from bottom-k(A) ∩ B) and bucket-join on
+    those, verifying survivors through this exact scorer.
+    """
+    sh = shingle_hashes(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("shared") / F.col("na"), 6).alias("cont_a"),
+            F.round(F.col("shared") / F.col("nb"), 6).alias("cont_b"),
+        )
+        .filter(F.greatest(F.col("cont_a"), F.col("cont_b")) >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -146,6 +146,30 @@ def ngram_jaccard_sql(n: int = DEFAULT_NGRAM, threshold: float = 0.5) -> str:
     return f"WITH {_shingles_cte(n)}, {_jaccard_sql('', threshold)}"
 
 
+def ngram_containment_sql(n: int = DEFAULT_NGRAM, threshold: float = 0.8) -> str:
+    """Twin of dedup.ngram_containment_pairs: same shingle relation,
+    containment scoring in both directions, greatest() threshold."""
+    return f"""
+    WITH {_shingles_cte(n)},
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT s.doc_a, s.doc_b,
+               round(s.c * 1.0 / za.n, 6) AS cont_a,
+               round(s.c * 1.0 / zb.n, 6) AS cont_b
+        FROM shared s
+        JOIN sizes za ON za.doc_id = s.doc_a
+        JOIN sizes zb ON zb.doc_id = s.doc_b
+    )
+    SELECT doc_a, doc_b, cont_a, cont_b FROM scored
+    WHERE greatest(cont_a, cont_b) >= {threshold}
+    """
+
+
 def _signature_exprs() -> str:
     return ",\n               ".join(
         f"min(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {P}) AS m{i}"

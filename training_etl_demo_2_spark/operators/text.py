@@ -227,6 +227,120 @@ UNIGRAM_LOGPROB_SQL = """
 """
 
 
+BIGRAM_LM_K = 1  # add-k smoothing constant
+
+
+def bigram_logprob(df: DataFrame, text_col: str = "text", k: int = BIGRAM_LM_K) -> DataFrame:
+    """Smoothed bigram-LM document scoring — the perplexity proxy one
+    order above ``unigram_logprob`` (closer to what CCNet's KenLM
+    filter measures: word-order coherence, not just vocabulary):
+
+        P(w_i | w_{i-1}) = (c(w_{i-1} w_i) + k) / (c(w_{i-1} ·) + k·V)
+
+    with corpus bigram counts c(·,·), context counts c(w ·) = Σ over
+    bigrams starting with w, vocabulary size V (distinct corpus
+    tokens), add-k smoothing. Shuffled-word-salad documents score near
+    the smoothing floor even when every token is common — the failure
+    mode a unigram LM cannot see.
+
+    Exact-integer discipline: each bigram TYPE's log-probability is
+    rounded to integer NANO-NATS through one shared IEEE sequence
+    before being multiplied by its (exact long) per-doc frequency and
+    summed — the per-doc aggregate is pure integer arithmetic,
+    order-invariant and engine-agreeing (the source_token_entropy
+    rule). Documents with < 2 tokens have no bigrams and no row.
+
+    Physical shape: one shuffle on (doc_id, bigram) for per-doc TF,
+    one on the bigram for corpus counts, one on the context word
+    (bigram-vocabulary-sized input), a bigram-keyed join back, and the
+    per-doc aggregate; V and nothing else rides in as a broadcast
+    1-row relation. At 100 TB hash the bigram before every shuffle and
+    join strings back only if a human needs them.
+
+    Output: (doc_id, n_bigrams, logprob_nano) — consumers divide
+    logprob_nano / n_bigrams / 1e9 for the per-token average.
+    """
+    toks = _tokens(text_col)
+    bg = (
+        df.select("doc_id", F.explode(word_ngrams(toks, 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cnt = bg.groupBy("bg").agg(F.sum("tf").cast("long").alias("cnt"))
+    ctx = cnt.select(
+        F.element_at(F.split(F.col("bg"), " "), 1).alias("w1"), "cnt"
+    ).groupBy("w1").agg(F.sum("cnt").cast("long").alias("ctx_cnt"))
+    vocab = (
+        df.select(F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .agg(F.count_distinct("term").cast("long").alias("v"))
+    )
+    q = F.floor(
+        F.log(
+            (F.col("cnt") + F.lit(k)).cast("double")
+            / (F.col("ctx_cnt") + F.lit(k) * F.col("v")).cast("double")
+        )
+        * 1e9
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        cnt.withColumn("w1", F.element_at(F.split(F.col("bg"), " "), 1))
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("bg", q.alias("q"))
+    )
+    return (
+        bg.join(scored, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("q")).cast("long").alias("logprob_nano"),
+        )
+    )
+
+
+BIGRAM_LOGPROB_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(w) - 1, 0) + 1),
+                   i -> array_to_string(w[i:i+1], ' '))) AS bg
+        FROM toks
+    ),
+    tf AS (
+        SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf
+        FROM grams GROUP BY doc_id, bg
+    ),
+    cnt AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY bg),
+    ctx AS (
+        SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt
+        FROM cnt GROUP BY 1
+    ),
+    vocab AS (
+        SELECT CAST(count(DISTINCT term) AS BIGINT) AS v
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+        WHERE term != ''
+    ),
+    scored AS (
+        SELECT c.bg,
+               CAST(floor(ln(CAST(c.cnt + {BIGRAM_LM_K} AS DOUBLE)
+                             / CAST(x.ctx_cnt + {BIGRAM_LM_K} * v.v AS DOUBLE))
+                          * 1e9 + 0.5) AS BIGINT) AS q
+        FROM cnt c
+        JOIN ctx x ON x.w1 = string_split(c.bg, ' ')[1]
+        CROSS JOIN vocab v
+    )
+    SELECT t.doc_id,
+           CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+           CAST(sum(t.tf * s.q) AS BIGINT) AS logprob_nano
+    FROM tf t JOIN scored s ON s.bg = t.bg
+    GROUP BY t.doc_id
+"""
+
+
 # Fixed public classifier weights (logistic over the text_quality /
 # repetition feature set) — the shape of a fasttext-style quality
 # filter with the learned weights replaced by documented constants, so
