@@ -592,6 +592,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # add-k bigram-LM perplexity proxy (word-order coherence)
         "bigram_logprob": _q(lambda t: text.bigram_logprob(t["documents"])),
+        # top-k vocabulary coverage curve (tokenizer/vocab sizing)
+        "vocab_coverage_curve": _q(
+            lambda t: text.vocab_coverage_curve(t["documents"])
+        ),
+        # per-doc OOV rate vs the corpus top-k vocabulary
+        "oov_rate": _q(lambda t: text.oov_rate(t["documents"])),
         # temperature-scaled source sampling weights (data recipe)
         "source_mixture_weights": _q(
             lambda t: curation.source_mixture_weights(t["documents"])
@@ -1047,6 +1053,8 @@ def oracle_sql() -> dict[str, str]:
         "source_token_entropy": text.SOURCE_TOKEN_ENTROPY_SQL,
         "strip_markup": text.STRIP_MARKUP_SQL,
         "bigram_logprob": text.BIGRAM_LOGPROB_SQL,
+        "vocab_coverage_curve": text.vocab_coverage_curve_sql(),
+        "oov_rate": text.oov_rate_sql(),
         "source_mixture_weights": curation.source_mixture_weights_sql(),
         "dedup_containment": oracle.ngram_containment_sql(threshold=0.8),
         "events_props_variant": """

@@ -338,3 +338,22 @@ def test_bigram_logprob_rewards_word_order(spark):
     df2 = spark.createDataFrame([(1, "hello"), (2, "a b")], "doc_id long, text string")
     got = {r.doc_id for r in bigram_logprob(df2).collect()}
     assert got == {2}
+
+
+def test_vocab_coverage_and_oov_planted(spark):
+    """Zipf-ish planted corpus: top-1 term covers exactly its share;
+    OOV counts the non-vocab occurrences."""
+    from training_etl_demo_2_spark.operators.text import oov_rate, vocab_coverage_curve
+
+    # 'a' x 6, 'b' x 3, 'c' x 1 across two docs
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a a a b")], "doc_id long, text string"
+    )
+    curve = {r.k: r for r in vocab_coverage_curve(df, ks=(1, 2)).collect()}
+    assert curve[1].covered_tokens == 6 and curve[1].coverage_bp == 6000
+    assert curve[2].covered_tokens == 9 and curve[2].coverage_bp == 9000
+    assert curve[1].n_terms == 1 and curve[2].n_terms == 2
+    rates = {r.doc_id: r for r in oov_rate(df, vocab_k=2).collect()}
+    # vocab = {a, b}; doc 1 has one 'c' OOV of 6 tokens
+    assert rates[1].n_oov == 1 and rates[1].oov_bp == 1667
+    assert rates[2].n_oov == 0 and rates[2].oov_bp == 0

@@ -227,6 +227,179 @@ UNIGRAM_LOGPROB_SQL = """
 """
 
 
+VOCAB_CURVE_KS = (100, 1_000, 10_000)
+
+
+def vocab_coverage_curve(
+    df: DataFrame, ks: tuple[int, ...] = VOCAB_CURVE_KS, text_col: str = "text"
+) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab size k, the
+    fraction of ALL corpus token occurrences covered by the k most
+    frequent terms — the sizing curve behind every tokenizer/vocab
+    decision (where does coverage flatten?) and a skew gauge (a corpus
+    whose top-100 covers 80% is template-heavy).
+
+    Ranking is fully tie-broken (cnt desc, term asc) so each k's term
+    set — and therefore the coverage number — is deterministic on both
+    engines. coverage_bp is exact integer basis points
+    (floor(1e4·covered/total + 0.5) over exact longs).
+
+    Physical shape: one corpus pass to the (term, cnt) vocabulary
+    relation, a broadcast join against the tiny k-list, and a k-keyed
+    aggregate; the corpus total rides in as a broadcast 1-row
+    aggregate. The rank window sorts only the VOCABULARY relation —
+    fine to ~1e8 distinct terms; past that swap the global window for
+    a range-partitioned rank (the curriculum_phases swap) or cut the
+    curve at a count threshold instead of a rank.
+
+    Output: (k, n_terms, covered_tokens, coverage_bp).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.explode(_tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    tot = tf.agg(F.sum("cnt").cast("long").alias("total"))
+    ranked = tf.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term"))),
+    )
+    k_list = df.sparkSession.createDataFrame([(k,) for k in ks], "k long")
+    return (
+        ranked.join(F.broadcast(k_list), F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("cnt").cast("long").alias("covered_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_terms",
+            "covered_tokens",
+            F.floor(F.lit(1e4) * F.col("covered_tokens") / F.col("total") + F.lit(0.5))
+            .cast("long")
+            .alias("coverage_bp"),
+        )
+    )
+
+
+def vocab_coverage_curve_sql(ks: tuple[int, ...] = VOCAB_CURVE_KS) -> str:
+    values = ", ".join(f"({k})" for k in ks)
+    return f"""
+    WITH tf AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+        WHERE term != '' GROUP BY term
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tf),
+    ranked AS (
+        SELECT term, cnt,
+               row_number() OVER (ORDER BY cnt DESC, term ASC) AS rk
+        FROM tf
+    ),
+    ks(k) AS (VALUES {values})
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(cnt) AS BIGINT) AS covered_tokens,
+           CAST(floor(1e4 * sum(cnt) / total + 0.5) AS BIGINT) AS coverage_bp
+    FROM ranked JOIN ks ON rk <= k CROSS JOIN tot
+    GROUP BY k, total
+    """
+
+
+OOV_VOCAB_K = 1_000
+
+
+def oov_rate(
+    df: DataFrame, vocab_k: int = OOV_VOCAB_K, text_col: str = "text"
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_k`` vocabulary — the doc-level twin of
+    ``vocab_coverage_curve``: documents dense in tail terms fragment
+    into long subword sequences (wasted context window) or are plain
+    garbled; pipelines cap or downweight high-OOV docs before
+    tokenizer-expensive stages.
+
+    Same deterministic (cnt desc, term asc) vocabulary cut as the
+    curve; oov_bp is exact integer basis points. Physical shape: the
+    vocabulary relation reduces to ``vocab_k`` rows — broadcast to the
+    per-doc term join (AQE picks broadcast; the corpus-sized side
+    never reshuffles for it) — then one doc-keyed aggregate.
+
+    Output: (doc_id, n_tokens, n_oov, oov_bp).
+    """
+    from pyspark.sql import Window
+
+    doc_tf = (
+        df.select("doc_id", F.explode(_tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    vocab = (
+        doc_tf.groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("cnt"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term"))),
+        )
+        .filter(F.col("rk") <= vocab_k)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        doc_tf.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), F.col("tf")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.floor(F.lit(1e4) * F.col("n_oov") / F.col("n_tokens") + F.lit(0.5))
+            .cast("long")
+            .alias("oov_bp"),
+        )
+    )
+
+
+def oov_rate_sql(vocab_k: int = OOV_VOCAB_K) -> str:
+    return f"""
+    WITH doc_tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        )
+        WHERE term != '' GROUP BY doc_id, term
+    ),
+    vocab AS (
+        SELECT term FROM (
+            SELECT term,
+                   row_number() OVER (
+                       ORDER BY sum(tf) DESC, term ASC
+                   ) AS rk
+            FROM doc_tf GROUP BY term
+        ) WHERE rk <= {vocab_k}
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.tf) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN d.tf ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(floor(1e4 * sum(CASE WHEN v.term IS NULL THEN d.tf ELSE 0 END)
+                      / sum(d.tf) + 0.5) AS BIGINT) AS oov_bp
+    FROM doc_tf d LEFT JOIN vocab v ON v.term = d.term
+    GROUP BY d.doc_id
+    """
+
+
 BIGRAM_LM_K = 1  # add-k smoothing constant
 
 
