@@ -598,6 +598,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # per-doc OOV rate vs the corpus top-k vocabulary
         "oov_rate": _q(lambda t: text.oov_rate(t["documents"])),
+        # within-doc segment repetition (crawl-artifact detector)
+        "intra_doc_repetition": _q(
+            lambda t: dedup.intra_doc_repetition(t["documents"])
+        ),
+        # chunk-level language agreement (mixed-language detector)
+        "doc_lang_consistency": _q(
+            lambda t: text.doc_lang_consistency(t["documents"])
+        ),
         # temperature-scaled source sampling weights (data recipe)
         "source_mixture_weights": _q(
             lambda t: curation.source_mixture_weights(t["documents"])
@@ -1055,6 +1063,8 @@ def oracle_sql() -> dict[str, str]:
         "bigram_logprob": text.BIGRAM_LOGPROB_SQL,
         "vocab_coverage_curve": text.vocab_coverage_curve_sql(),
         "oov_rate": text.oov_rate_sql(),
+        "intra_doc_repetition": oracle.intra_doc_repetition_sql(),
+        "doc_lang_consistency": oracle_text.doc_lang_consistency_sql(),
         "source_mixture_weights": curation.source_mixture_weights_sql(),
         "dedup_containment": oracle.ngram_containment_sql(threshold=0.8),
         "events_props_variant": """

@@ -493,3 +493,18 @@ def test_containment_direction_and_bounds(tables):
     }
     got = {(r.doc_a, r.doc_b) for r in rows}
     assert jac <= got
+
+
+def test_intra_doc_repetition_planted(spark):
+    """A doc that repeats its own 10-word paragraph is flagged; a
+    non-repeating doc reports zero duplicate segments."""
+    para = " ".join(f"p{i}" for i in range(10))
+    other = " ".join(f"q{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, f"{para} {para} {para}"), (2, f"{para} {other}")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in dedup.intra_doc_repetition(df).collect()}
+    assert rows[1].n_segs == 3 and rows[1].n_distinct == 1
+    assert rows[1].max_mult == 3 and rows[1].dup_seg_bp == 6667
+    assert rows[2].n_segs == 2 and rows[2].dup_seg_bp == 0

@@ -357,3 +357,22 @@ def test_vocab_coverage_and_oov_planted(spark):
     # vocab = {a, b}; doc 1 has one 'c' OOV of 6 tokens
     assert rates[1].n_oov == 1 and rates[1].oov_bp == 1667
     assert rates[2].n_oov == 0 and rates[2].oov_bp == 0
+
+
+def test_doc_lang_consistency_mixed(spark):
+    """A half-English half-French concatenation scores ~50% agreement;
+    a monolingual doc scores 10000 bp."""
+    from training_etl_demo_2_spark.operators.text import (
+        LANG_MARKERS,
+        doc_lang_consistency,
+    )
+
+    en = " ".join((LANG_MARKERS["en"] * 10)[:20])
+    fr = " ".join((LANG_MARKERS["fr"] * 10)[:20])
+    df = spark.createDataFrame(
+        [(1, f"{en} {fr}"), (2, en)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in doc_lang_consistency(df).collect()}
+    assert rows[2].agree_bp == 10000
+    assert rows[1].n_chunks == 2 and rows[1].n_agree == 1
+    assert rows[1].agree_bp == 5000

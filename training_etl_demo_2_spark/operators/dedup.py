@@ -202,6 +202,43 @@ def line_dedup(
     )
 
 
+def intra_doc_repetition(
+    df: DataFrame, text_col: str = "text", seg_words: int = LINE_SEG_WORDS
+) -> DataFrame:
+    """WITHIN-document segment repetition — the crawl-artifact detector
+    for pages that repeat their own content (pagination echoes, infinite
+    -scroll duplication, template loops). ``line_dedup`` removes segments
+    repeated ACROSS documents; this flags documents whose segments
+    repeat INSIDE themselves — the complementary axis (Gopher's
+    repetition filters measure words/n-grams; this is the
+    segment-granularity version).
+
+    Per doc over the same positional segmenter as line_dedup:
+    n_segs, n_distinct, max_mult (the most-repeated segment's
+    multiplicity), dup_seg_bp = basis points of segments that are
+    repeats of an earlier one. All exact integers.
+
+    Physical shape: narrow segment explode → ONE groupBy(doc_id,
+    segment-hash) with map-side partials → per-doc aggregate; the
+    second groupBy re-uses the first's hash partitioning on the
+    doc_id prefix, so Catalyst plans a single exchange.
+    """
+    segs = df.select(
+        "doc_id", F.explode(_fixed_segments(text_col, seg_words)).alias("seg")
+    ).select("doc_id", rolling_hash(F.col("seg")).alias("h"))
+    per = segs.groupBy("doc_id", "h").agg(F.count(F.lit(1)).cast("long").alias("m"))
+    n_segs = F.sum("m").cast("long")
+    n_distinct = F.count(F.lit(1)).cast("long")
+    return per.groupBy("doc_id").agg(
+        n_segs.alias("n_segs"),
+        n_distinct.alias("n_distinct"),
+        F.max("m").cast("long").alias("max_mult"),
+        F.floor(F.lit(1e4) * (n_segs - n_distinct) / n_segs + F.lit(0.5))
+        .cast("long")
+        .alias("dup_seg_bp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingling (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------

@@ -122,6 +122,43 @@ def line_dedup_sql(seg_words: int = 10, min_docs: int = 2) -> str:
     """
 
 
+def intra_doc_repetition_sql(seg_words: int = 10) -> str:
+    """Twin of dedup.intra_doc_repetition: same positional segmenter as
+    line_dedup_sql, multiplicities per (doc, segment hash)."""
+    k = seg_words
+    h = ROLLING_HASH.format(s="seg")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, w,
+               CAST(ceil(len(w) / CAST({k} AS DOUBLE)) AS BIGINT) AS nseg
+        FROM toks
+    ),
+    segs AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, nseg),
+                   i -> array_to_string(w[i*{k}+1 : i*{k}+{k}], ' ')
+               )) AS seg
+        FROM sized
+    ),
+    per AS (
+        SELECT doc_id, {h} AS h, CAST(count(*) AS BIGINT) AS m
+        FROM segs GROUP BY doc_id, h
+    )
+    SELECT doc_id,
+           CAST(sum(m) AS BIGINT) AS n_segs,
+           CAST(count(*) AS BIGINT) AS n_distinct,
+           CAST(max(m) AS BIGINT) AS max_mult,
+           CAST(floor(1e4 * (sum(m) - count(*)) / sum(m) + 0.5) AS BIGINT)
+               AS dup_seg_bp
+    FROM per
+    GROUP BY doc_id
+    """
+
+
 def _jaccard_sql(pairs_filter: str, threshold: float) -> str:
     return f"""
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),

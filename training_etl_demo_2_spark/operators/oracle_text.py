@@ -40,6 +40,64 @@ def language_id_sql() -> str:
     """
 
 
+def doc_lang_consistency_sql(seg_words: int = 20) -> str:
+    """Twin of text.doc_lang_consistency: same positional chunker as
+    line_dedup_sql, same marker-argmax CASE at doc and chunk grain."""
+    k = seg_words
+
+    def score_cols(toks: str) -> str:
+        return ",\n               ".join(
+            f"len(list_filter({toks}, x -> list_contains({_in_list(m)}, x))) "
+            f"AS score_{lang}"
+            for lang, m in LANG_MARKERS.items()
+        )
+
+    score_names = [f"score_{lang}" for lang in LANG_MARKERS]
+    best = f"greatest({', '.join(score_names)})"
+    case = f"CASE WHEN {best} <= 0 THEN 'unknown'"
+    for lang in LANG_MARKERS:
+        case += f" WHEN score_{lang} = {best} THEN '{lang}'"
+    case += " END"
+    return f"""
+    WITH doc_scored AS (
+        SELECT doc_id,
+               {score_cols("string_split(lower(text), ' ')")}
+        FROM documents
+    ),
+    doc_pred AS (SELECT doc_id, {case} AS lang_doc FROM doc_scored),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sized AS (
+        SELECT doc_id, w,
+               CAST(ceil(len(w) / CAST({k} AS DOUBLE)) AS BIGINT) AS nseg
+        FROM toks
+    ),
+    segs AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, nseg),
+                   i -> array_to_string(w[i*{k}+1 : i*{k}+{k}], ' ')
+               )) AS seg
+        FROM sized
+    ),
+    chunk_scored AS (
+        SELECT doc_id,
+               {score_cols("string_split(lower(seg), ' ')")}
+        FROM segs
+    ),
+    chunk_pred AS (SELECT doc_id, {case} AS lang_chunk FROM chunk_scored)
+    SELECT c.doc_id,
+           d.lang_doc,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN c.lang_chunk = d.lang_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           CAST(floor(1e4 * sum(CASE WHEN c.lang_chunk = d.lang_doc
+                                     THEN 1 ELSE 0 END)
+                      / count(*) + 0.5) AS BIGINT) AS agree_bp
+    FROM chunk_pred c JOIN doc_pred d USING (doc_id)
+    GROUP BY c.doc_id, d.lang_doc
+    """
+
+
 def text_quality_sql() -> str:
     return f"""
     WITH base AS (

@@ -58,6 +58,69 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return scored.withColumn("lang_pred", pred)
 
 
+def _lang_pred(tokens: Column) -> Column:
+    """argmax-with-preference-order language prediction over a token
+    array — the same classifier rule as ``language_id`` (greatest
+    marker count, dict preference order, unknown on zero hits),
+    reusable over any token source (whole docs or chunks)."""
+    scores = {lang: _marker_score(tokens, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in LANG_MARKERS:  # dict order == preference order
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return pred
+
+
+LANG_CHUNK_WORDS = 20
+
+
+def doc_lang_consistency(
+    df: DataFrame, text_col: str = "text", seg_words: int = LANG_CHUNK_WORDS
+) -> DataFrame:
+    """Mixed-language detection: classify fixed word-count chunks with
+    the SAME marker rule as ``language_id`` and measure how many agree
+    with the whole-document prediction. Code-switched or concatenated
+    multi-language pages — which a doc-level classifier silently
+    averages over — surface as low agree_bp; monolingual docs sit at
+    10000. The standard curation gate before per-language routing.
+
+    Output: (doc_id, lang_doc, n_chunks, n_agree, agree_bp) — exact
+    integers, agree_bp = floor(1e4·n_agree/n_chunks + 0.5).
+
+    Physical shape: two narrow scans (doc-level predict; chunk explode
+    + predict — marker scoring is pure JVM array logic inside codegen),
+    a doc_id-keyed join, and one aggregate. The chunk relation never
+    carries text past its own scan stage — only (doc_id, lang_chunk).
+    """
+    from .dedup import _fixed_segments
+
+    doc_pred = df.select(
+        "doc_id", _lang_pred(_tokens(text_col)).alias("lang_doc")
+    )
+    chunk_pred = df.select(
+        "doc_id",
+        F.explode(_fixed_segments(text_col, seg_words)).alias("seg"),
+    ).select(
+        "doc_id",
+        _lang_pred(F.split(F.lower(F.col("seg")), " ")).alias("lang_chunk"),
+    )
+    n_chunks = F.count(F.lit(1)).cast("long")
+    n_agree = F.sum(
+        F.when(F.col("lang_chunk") == F.col("lang_doc"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        chunk_pred.join(doc_pred, "doc_id")
+        .groupBy("doc_id", "lang_doc")
+        .agg(
+            n_chunks.alias("n_chunks"),
+            n_agree.alias("n_agree"),
+            F.floor(F.lit(1e4) * n_agree / n_chunks + F.lit(0.5))
+            .cast("long")
+            .alias("agree_bp"),
+        )
+    )
+
+
 def text_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality features: char/token counts, alpha & punctuation ratios,
     stopword ratio, and a composite score in [0,1]."""
