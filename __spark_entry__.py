@@ -195,9 +195,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q(
             lambda t: dedup.ngram_jaccard_pairs(t["documents"], threshold=0.5)
         ),
-        "dedup_containment": _q(
-            lambda t: dedup.ngram_containment_pairs(t["documents"], threshold=0.8)
-        ),
         "dedup_minhash_lsh": _q(
             lambda t: dedup.minhash_lsh_pairs(t["documents"], threshold=0.8)
         ),
@@ -589,6 +586,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # zlib compression-ratio quality proxy (rows-only: no SQL zlib)
         "compression_ratio": _q(
             lambda t: text.compression_ratio(t["documents"])
+        ),
+        # asymmetric containment near-dup pairs (excerpt/subset copies)
+        "dedup_containment": _q(
+            lambda t: dedup.ngram_containment_pairs(t["documents"], threshold=0.8)
         ),
         # add-k bigram-LM perplexity proxy (word-order coherence)
         "bigram_logprob": _q(lambda t: text.bigram_logprob(t["documents"])),

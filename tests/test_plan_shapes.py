@@ -58,6 +58,12 @@ NESTED_LOOP_OK = {
     "events_hourly_forecast",  # broadcast ONE-ROW observed-day count
     "near_dup_triangles",  # edge/wedge/triangle ONE-ROW count join
     "mmr_diverse_topk",  # C x C candidate-pair sims, C re-rank constant
+    # round-4 second batch: all broadcast ONE-ROW scalar aggregates
+    "bigram_logprob",  # vocabulary-size (V) one-row crossJoin
+    "source_mixture_weights",  # corpus-total + weight-sum one-row joins
+    # |ks|-row (3-row literal) broadcast with a rank<=k theta join —
+    # size-invariant at any SF (same class as histogram_quantiles)
+    "vocab_coverage_curve",
 }
 
 
