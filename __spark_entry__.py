@@ -607,6 +607,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_consistency": _q(
             lambda t: text.doc_lang_consistency(t["documents"])
         ),
+        # near-dup graph degree histogram (hub/boilerplate gauge)
+        "near_dup_degree_hist": _q(
+            lambda t: dedup.near_dup_degree_hist(t["documents"], threshold=0.8)
+        ),
+        # exact-duplicate provenance (which sources mirror the content)
+        "duplicate_provenance": _q(
+            lambda t: dedup.duplicate_provenance(t["documents"])
+        ),
         # temperature-scaled source sampling weights (data recipe)
         "source_mixture_weights": _q(
             lambda t: curation.source_mixture_weights(t["documents"])
@@ -1066,6 +1074,8 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate": text.oov_rate_sql(),
         "intra_doc_repetition": oracle.intra_doc_repetition_sql(),
         "doc_lang_consistency": oracle_text.doc_lang_consistency_sql(),
+        "near_dup_degree_hist": oracle.near_dup_degree_hist_sql(),
+        "duplicate_provenance": oracle.duplicate_provenance_sql(),
         "source_mixture_weights": curation.source_mixture_weights_sql(),
         "dedup_containment": oracle.ngram_containment_sql(threshold=0.8),
         "events_props_variant": """

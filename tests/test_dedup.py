@@ -508,3 +508,35 @@ def test_intra_doc_repetition_planted(spark):
     assert rows[1].n_segs == 3 and rows[1].n_distinct == 1
     assert rows[1].max_mult == 3 and rows[1].dup_seg_bp == 6667
     assert rows[2].n_segs == 2 and rows[2].dup_seg_bp == 0
+
+
+def test_near_dup_degree_hist_star(spark):
+    """A planted star (one template near-dup'd by 3 pages) yields one
+    degree-3 hub and three degree-1 leaves."""
+    base = " ".join(f"t{i}" for i in range(40))
+    variants = [base.replace(f"t{i} ", f"x{i} ", 1) for i in (5, 15, 25)]
+    rows = [(0, base)] + [(i + 1, v) for i, v in enumerate(variants)] + [
+        (10, "entirely different content " + " ".join(f"z{i}" for i in range(30)))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hist = {r.degree: r.n_docs for r in
+            dedup.near_dup_degree_hist(df, threshold=0.8).collect()}
+    assert hist.get(3) == 1  # the template hub
+    assert hist.get(1, 0) >= 3  # leaves (variants may also pair up)
+
+
+def test_duplicate_provenance_sources(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "web", "same content here"),
+            (2, "books", "Same   Content here"),
+            (3, "web", "same content here"),
+            (4, "web", "unique text"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = dedup.duplicate_provenance(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.keep_id == 1 and r.n_copies == 3
+    assert r.n_sources == 2 and r.sources == "books,web"

@@ -968,6 +968,67 @@ def pagerank_near_dup_graph_sql(
     """
 
 
+def near_dup_degree_hist(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Degree histogram of the near-duplicate graph: how many documents
+    have exactly d near-dup neighbours. The dedup-QA gauge that
+    separates healthy pairwise duplication (degree 1-2) from hub
+    pathology — a boilerplate template matched by thousands of pages
+    shows up as a heavy-degree node long before clustering collapses
+    into one giant component (and predicts union-find/propagation cost:
+    max degree bounds the widest star).
+
+    Scale shape: the LSH pair relation (already persisted) reduces to
+    per-node degree counts (one shuffle on doc id) and a tiny
+    degree-keyed histogram aggregate. Output: (degree, n_docs),
+    exact longs.
+    """
+    pairs = minhash_lsh_pairs(df, text_col, n, threshold)
+    nodes = pairs.select(F.col("doc_a").alias("doc_id")).union(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = nodes.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def duplicate_provenance(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Provenance of exact duplicates: for every content fingerprint
+    appearing ≥ 2 times, the copy count and the SORTED set of sources
+    carrying it — the doc-grain evidence behind ``source_overlap_matrix``
+    ("which feeds mirror each other") that decides canonical-source
+    rules and licensing-sensitive drops (the same bytes arriving via a
+    permissive and a restricted feed is a policy event, not just a
+    dedup statistic).
+
+    Scale shape: one groupBy on the 8-byte fingerprint (the exact-dedup
+    shuffle) with a collect_set over the tiny source label; the sorted
+    comma-join makes the set column a deterministic STRING on both
+    engines. Output: (keep_id, n_copies, n_sources, sources).
+    """
+    fps = df.select(
+        "doc_id", "source", rolling_hash(normalize_text(text_col)).alias("fp")
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+                "sources"
+            ),
+        )
+        .filter(F.col("n_copies") >= 2)
+        .select("keep_id", "n_copies", "n_sources", "sources")
+    )
+
+
 def source_overlap_matrix(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Cross-source duplicate overlap: for every pair of sources, how
     many DISTINCT normalized-content fingerprints they share — the

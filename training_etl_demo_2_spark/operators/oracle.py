@@ -271,6 +271,41 @@ def near_dup_clusters_sql(
     """
 
 
+def near_dup_degree_hist_sql(
+    n: int = DEFAULT_NGRAM, threshold: float = 0.8
+) -> str:
+    """Twin of dedup.near_dup_degree_hist over the same LSH pairs."""
+    return f"""
+    WITH pairs AS ({minhash_lsh_sql(n, threshold)}),
+    nodes AS (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id FROM pairs
+    ),
+    deg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+        FROM nodes GROUP BY doc_id
+    )
+    SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+    """
+
+
+def duplicate_provenance_sql() -> str:
+    """Twin of dedup.duplicate_provenance: same fingerprint, sorted
+    comma-joined DISTINCT source set."""
+    fp = ROLLING_HASH.format(s=NORMALIZE.format(s="text"))
+    return f"""
+    SELECT min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+    FROM (SELECT doc_id, source, {fp} AS fp FROM documents)
+    GROUP BY fp
+    HAVING count(*) >= 2
+    """
+
+
 def _simhash_cte(table: str = "documents") -> str:
     """Twin of dedup.simhash_fingerprints: 64-bit, per-bit universal
     hashes, signed BIGINT (bit 63's weight is -2^63 — written as
