@@ -195,3 +195,78 @@ def test_prune_runs_keeps_newest(spark, tables, tmp_path):
     assert latest_run(root).run_id == "20240104_000000"
     # idempotent
     assert prune_runs(root, keep_n=2) == []
+
+
+def test_corpus_release_workflow(spark, tables, tmp_path):
+    """End-to-end training-data release through the Workflow layer:
+    clean → split → release stats, each stage persisted as a run
+    directory with a metadata sidecar and discovered by the next stage
+    via latest_run — the reference's job-A→job-B lineage pattern
+    (timestamped run dir + metadata.json, demo-etl-2a-notebook.py:63-82
+    / process_tsv.py:33-55) applied to the north-star curation DAG."""
+    from training_etl_demo_2_spark.io import latest_run, write_run
+    from training_etl_demo_2_spark.operators import curation, pipeline
+    from training_etl_demo_2_spark.plans.workflow import (
+        AnomalyHook,
+        Job,
+        Workflow,
+    )
+
+    root = tmp_path / "release"
+    notifications = []
+
+    def clean_job(spark, args):
+        cleaned = pipeline.clean_corpus(tables)
+        return write_run(
+            cleaned, str(root / "clean"), extra_metadata={"stage": "clean"}
+        )
+
+    def split_job(spark, args):
+        src = latest_run(str(root / "clean"))
+        assert src is not None and src.metadata["stage"] == "clean"
+        docs = spark.read.parquet(src.data_path)
+        split = curation.dataset_split(docs).join(docs, "doc_id")
+        return write_run(
+            split,
+            str(root / "split"),
+            input_files=[src.data_path],
+            extra_metadata={"stage": "split", "upstream_run": src.run_id},
+        )
+
+    def stats_job(spark, args):
+        src = latest_run(str(root / "split"))
+        return (
+            spark.read.parquet(src.data_path)
+            .groupBy("split")
+            .count()
+            .collect()
+        )
+
+    wf = Workflow(
+        "corpus-release",
+        [
+            Job("clean", clean_job),
+            Job("split", split_job),
+            Job("stats", stats_job),
+        ],
+        anomaly_hook=AnomalyHook(
+            predicate=lambda res: isinstance(res, list)
+            and (len(res) < 3 or any(r["count"] == 0 for r in res)),
+            notifier=lambda msg, res: notifications.append(msg),
+            jobs={"stats"},
+        ),
+    )
+    runs = wf.run(spark)
+    assert [r.state for r in runs] == ["SUCCEEDED"] * 3, [
+        (r.state, r.error) for r in runs
+    ]
+    # lineage: the split run records its upstream clean run id
+    split_run = latest_run(str(root / "split"))
+    assert split_run.metadata["upstream_run"] == latest_run(
+        str(root / "clean")
+    ).run_id
+    # all three splits populated at sf0.001 -> no anomaly notification
+    counts = {r["split"]: r["count"] for r in runs[2].result}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == pipeline.clean_corpus(tables).count()
+    assert not notifications and not runs[2].anomaly
