@@ -611,9 +611,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_degree_hist": _q(
             lambda t: dedup.near_dup_degree_hist(t["documents"], threshold=0.8)
         ),
-        # exact-duplicate provenance (which sources mirror the content)
+        # exact-duplicate provenance (which sources mirror the content;
+        # empty on this fixture — its near-dups are fuzzy, not byte-exact,
+        # so the gate row pins the empty-relation agreement)
         "duplicate_provenance": _q(
             lambda t: dedup.duplicate_provenance(t["documents"])
+        ),
+        # near-dup cluster provenance (the fuzzy tier that fires here)
+        "near_dup_provenance": _q(
+            lambda t: dedup.near_dup_provenance(t["documents"], threshold=0.8)
         ),
         # temperature-scaled source sampling weights (data recipe)
         "source_mixture_weights": _q(
@@ -1076,6 +1082,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_lang_consistency": oracle_text.doc_lang_consistency_sql(),
         "near_dup_degree_hist": oracle.near_dup_degree_hist_sql(),
         "duplicate_provenance": oracle.duplicate_provenance_sql(),
+        "near_dup_provenance": oracle.near_dup_provenance_sql(),
         "source_mixture_weights": curation.source_mixture_weights_sql(),
         "dedup_containment": oracle.ngram_containment_sql(threshold=0.8),
         "events_props_variant": """

@@ -540,3 +540,19 @@ def test_duplicate_provenance_sources(spark):
     r = rows[0]
     assert r.keep_id == 1 and r.n_copies == 3
     assert r.n_sources == 2 and r.sources == "books,web"
+
+
+def test_near_dup_provenance_cross_source(spark):
+    """Near-identical docs from two sources form one cluster whose
+    provenance lists both sources sorted."""
+    base = " ".join(f"t{i}" for i in range(40))
+    variant = base.replace("t5 ", "x5 ", 1)
+    df = spark.createDataFrame(
+        [(1, "web", base), (2, "books", variant), (3, "web", "unrelated " * 20)],
+        "doc_id long, source string, text string",
+    )
+    rows = dedup.near_dup_provenance(df, threshold=0.8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.cluster_id == 1 and r.n_docs == 2
+    assert r.n_sources == 2 and r.sources == "books,web"

@@ -1029,6 +1029,38 @@ def duplicate_provenance(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def near_dup_provenance(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Provenance at NEAR-dup granularity: for every near-duplicate
+    cluster, the member count and sorted source set — the fuzzy-tier
+    sibling of ``duplicate_provenance`` (exact fingerprints). On real
+    web corpora most mirroring is near-exact (tracking params, footer
+    swaps), so this is the view that actually catches cross-feed
+    mirroring; the exact tier catches byte-level re-deliveries.
+
+    Scale shape: cluster membership (already bounded by the LSH pair
+    relation) joins the corpus only on (doc_id, source) — two scalar
+    columns — then one cluster-keyed aggregate with the same
+    deterministic sorted-set string as the exact tier.
+    """
+    members = near_dup_clusters(df, text_col, n, threshold)
+    return (
+        members.join(df.select("doc_id", "source"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("source").cast("long").alias("n_sources"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+                "sources"
+            ),
+        )
+    )
+
+
 def source_overlap_matrix(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Cross-source duplicate overlap: for every pair of sources, how
     many DISTINCT normalized-content fingerprints they share — the

@@ -271,6 +271,22 @@ def near_dup_clusters_sql(
     """
 
 
+def near_dup_provenance_sql(
+    n: int = DEFAULT_NGRAM, threshold: float = 0.8
+) -> str:
+    """Twin of dedup.near_dup_provenance: cluster membership joined to
+    (doc_id, source), sorted comma-joined DISTINCT source set."""
+    return f"""
+    WITH members AS ({near_dup_clusters_sql(n, threshold)})
+    SELECT m.cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+           string_agg(DISTINCT d.source, ',' ORDER BY d.source) AS sources
+    FROM members m JOIN documents d ON d.doc_id = m.doc_id
+    GROUP BY m.cluster_id
+    """
+
+
 def near_dup_degree_hist_sql(
     n: int = DEFAULT_NGRAM, threshold: float = 0.8
 ) -> str:
