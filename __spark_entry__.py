@@ -621,6 +621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_provenance": _q(
             lambda t: dedup.near_dup_provenance(t["documents"], threshold=0.8)
         ),
+        # single-pass Pearson correlation matrix (profiling tier)
+        "lineitem_correlations": _q(validation.lineitem_correlations),
         # temperature-scaled source sampling weights (data recipe)
         "source_mixture_weights": _q(
             lambda t: curation.source_mixture_weights(t["documents"])
@@ -1083,6 +1085,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_degree_hist": oracle.near_dup_degree_hist_sql(),
         "duplicate_provenance": oracle.duplicate_provenance_sql(),
         "near_dup_provenance": oracle.near_dup_provenance_sql(),
+        "lineitem_correlations": validation.lineitem_correlations_sql(),
         "source_mixture_weights": curation.source_mixture_weights_sql(),
         "dedup_containment": oracle.ngram_containment_sql(threshold=0.8),
         "events_props_variant": """

@@ -375,3 +375,28 @@ def test_l_diversity_flags_homogeneous_groups(spark):
         ).collect()
     }
     assert out == {"A": (4, 1), "C": (3, 2)}
+
+
+def test_lineitem_correlations_planted(spark):
+    """Perfectly correlated, anti-correlated, and constant columns
+    recover r=1, r=-1, and NULL from the single-pass statistics."""
+    from training_etl_demo_2_spark.operators.validation import (
+        lineitem_correlations,
+    )
+
+    rows = [
+        # quantity q, price = 10q (r=1), discount = (0.10 - 0.01q)
+        # (r=-1 vs quantity), tax constant
+        (float(q), float(10 * q), 0.10 - 0.01 * q, 0.05)
+        for q in range(1, 9)
+    ]
+    li = spark.createDataFrame(
+        rows, "l_quantity double, l_extendedprice double, l_discount double, l_tax double"
+    )
+    out = {(r.col_a, r.col_b): r for r in
+           lineitem_correlations({"lineitem": li}).collect()}
+    assert out[("quantity", "price")].r == 1.0
+    assert out[("quantity", "discount")].r == -1.0
+    assert out[("quantity", "tax")].r is None  # zero-variance guard
+    assert all(r.n == 8 for r in out.values())
+    assert len(out) == 6

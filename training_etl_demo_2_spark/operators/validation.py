@@ -837,3 +837,122 @@ def robust_value_anomalies_sql() -> str:
     FROM dev d JOIN mad m ON d.event_type = m.event_type
     WHERE d.dev > {ROBUST_Z!r} * m.mad
     """
+
+
+# ---------------------------------------------------------------------------
+# single-pass correlation matrix (profiling tier)
+# ---------------------------------------------------------------------------
+
+# (label, integerizing expression) for the correlated measures: exact
+# integer inputs make every sufficient statistic an order-invariant
+# BIGINT (the events_value_trend_ols rule). quantity/price floor to
+# whole units; discount/tax to cents.
+_CORR_MEASURES = (
+    ("quantity", "floor(l_quantity)"),
+    ("price", "floor(l_extendedprice)"),
+    ("discount", "floor(l_discount * 100 + 0.5)"),
+    ("tax", "floor(l_tax * 100 + 0.5)"),
+)
+
+
+def lineitem_correlations(t) -> "DataFrame":
+    """Pairwise Pearson correlations of the lineitem measures from ONE
+    map-side pass — the correlation-screening stage of data profiling
+    (which measures move together?), and the bivariate instance of the
+    sufficient-statistic pattern (``embedding_gram_matrix`` /
+    ``events_value_trend_ols``): the table reduces to 14 integer sums
+    (4 firsts, 4 squares, 6 cross-products) in a single aggregate; the
+    6 correlations derive from those scalars.
+
+    Exactness: measures are integerized first (units/cents), so every
+    sum is an exact BIGINT — order-invariant under any partitioning —
+    and r follows through one shared IEEE double sequence, rounded to
+    6. Magnitudes: Σprice² ≤ n·1.1e10 — BIGINT-safe through ~1e8 rows;
+    past that the sums switch to DECIMAL(38,0) (the gram-matrix note).
+    Zero-variance columns yield NULL r via the denominator guard.
+
+    Scale: one hash aggregate over 14 scalars, then a 6-row constant
+    reshape. Nothing else moves.
+    """
+    from pyspark.sql import functions as F
+
+    li = t["lineitem"]
+    names = [n for n, _ in _CORR_MEASURES]
+    vals = li.select(
+        *[F.expr(e).cast("long").alias(n) for n, e in _CORR_MEASURES]
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, a in enumerate(names):
+        aggs.append(F.sum(F.col(a)).cast("long").alias(f"s_{a}"))
+        aggs.append(F.sum(F.col(a) * F.col(a)).cast("long").alias(f"ss_{a}"))
+        for b in names[i + 1 :]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).cast("long").alias(f"sp_{a}_{b}"))
+    stats = vals.agg(*aggs)
+
+    pair_rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            nd = F.col("n").cast("double")
+            num = nd * F.col(f"sp_{a}_{b}").cast("double") - F.col(
+                f"s_{a}"
+            ).cast("double") * F.col(f"s_{b}").cast("double")
+            va = nd * F.col(f"ss_{a}").cast("double") - F.col(f"s_{a}").cast(
+                "double"
+            ) * F.col(f"s_{a}").cast("double")
+            vb = nd * F.col(f"ss_{b}").cast("double") - F.col(f"s_{b}").cast(
+                "double"
+            ) * F.col(f"s_{b}").cast("double")
+            r = F.when(
+                (va > 0) & (vb > 0),
+                F.round(num / F.sqrt(va * vb), 6) + F.lit(0.0),
+            )
+            pair_rows.append(
+                stats.select(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col("n"),
+                    r.alias("r"),
+                )
+            )
+    out = pair_rows[0]
+    for p in pair_rows[1:]:
+        out = out.union(p)
+    return out
+
+
+def lineitem_correlations_sql() -> str:
+    names = [n for n, _ in _CORR_MEASURES]
+    exprs = [f"CAST({e} AS BIGINT) AS {n}" for n, e in _CORR_MEASURES]
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    for i, a in enumerate(names):
+        aggs.append(f"CAST(sum({a}) AS BIGINT) AS s_{a}")
+        aggs.append(f"CAST(sum({a} * {a}) AS BIGINT) AS ss_{a}")
+        for b in names[i + 1 :]:
+            aggs.append(f"CAST(sum({a} * {b}) AS BIGINT) AS sp_{a}_{b}")
+    selects = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            num = (
+                f"CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE)"
+            )
+            va = (
+                f"CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE)"
+            )
+            vb = (
+                f"CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)"
+            )
+            selects.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, n, "
+                f"CASE WHEN ({va}) > 0 AND ({vb}) > 0 THEN "
+                f"round(({num}) / sqrt(({va}) * ({vb})), 6) + 0.0 END AS r "
+                f"FROM stats"
+            )
+    union = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+    WITH vals AS (SELECT {", ".join(exprs)} FROM lineitem),
+    stats AS (SELECT {", ".join(aggs)} FROM vals)
+    {union}
+    """
