@@ -276,6 +276,105 @@ def main() -> int:
     }
     assert big_pat == small_pat
 
+    # Round-4 session-2 families.
+    # source_mixture_weights: shares are replication-INVARIANT (every
+    # source's token count scales by n_rep), so w_nano/w_bp must come
+    # back identical; n_tokens scales exactly.
+    from training_etl_demo_2_spark.operators import curation
+
+    small_mix = {
+        r.source: r for r in curation.source_mixture_weights(docs).collect()
+    }
+    big_mix = tm(
+        "source_mixture_weights (share-invariant)",
+        lambda: {
+            r.source: r
+            for r in curation.source_mixture_weights(big).collect()
+        },
+    )
+    assert set(big_mix) == set(small_mix)
+    for srcname, r in big_mix.items():
+        s = small_mix[srcname]
+        assert r.n_tokens == s.n_tokens * n_rep
+        assert r.w_nano == s.w_nano and r.w_bp == s.w_bp, srcname
+
+    # vocab_coverage_curve: uniform count scaling preserves the full
+    # (cnt desc, term) ranking, so n_terms and coverage_bp are
+    # invariant while covered_tokens scales exactly.
+    small_curve = {
+        r.k: r for r in text.vocab_coverage_curve(docs).collect()
+    }
+    big_curve = tm(
+        "vocab_coverage_curve (rank-invariant)",
+        lambda: {r.k: r for r in text.vocab_coverage_curve(big).collect()},
+    )
+    for k, r in big_curve.items():
+        s = small_curve[k]
+        assert r.n_terms == s.n_terms and r.coverage_bp == s.coverage_bp, k
+        assert r.covered_tokens == s.covered_tokens * n_rep, k
+
+    # oov_rate: the top-k vocabulary SET is replication-invariant, so
+    # every replica must score exactly like its original.
+    small_oov = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_bp)
+        for r in text.oov_rate(docs).collect()
+    }
+    big_oov = tm("oov_rate (vocab-invariant)", lambda: text.oov_rate(big).collect())
+    assert len(big_oov) == n_docs * n_rep
+    for r in big_oov:
+        assert (r.n_tokens, r.n_oov, r.oov_bp) == small_oov[
+            r.doc_id % 10_000_000
+        ], r.doc_id
+
+    # intra_doc_repetition: a pure per-doc transform — replicas must
+    # match their originals field-for-field.
+    small_idr = {
+        r.doc_id: (r.n_segs, r.n_distinct, r.max_mult, r.dup_seg_bp)
+        for r in dedup.intra_doc_repetition(docs).collect()
+    }
+    big_idr = tm(
+        "intra_doc_repetition (per-doc invariant)",
+        lambda: dedup.intra_doc_repetition(big).collect(),
+    )
+    for r in big_idr:
+        assert (
+            r.n_segs, r.n_distinct, r.max_mult, r.dup_seg_bp
+        ) == small_idr[r.doc_id % 10_000_000], r.doc_id
+
+    # near_dup_degree_hist: every doc gains >= n_rep - 1 exact-copy
+    # neighbours, so no node may have degree < n_rep - 1 and all
+    # n_docs * n_rep docs are in the graph.
+    hist = tm(
+        "near_dup_degree_hist (replica degree floor)",
+        lambda: {
+            r.degree: r.n_docs
+            for r in dedup.near_dup_degree_hist(big, threshold=0.8).collect()
+        },
+    )
+    assert sum(hist.values()) == n_docs * n_rep
+    assert all(d >= n_rep - 1 for d in hist), sorted(hist)[:3]
+
+    # lineitem_correlations: every sufficient statistic scales by the
+    # replication factor, so r is unchanged up to output rounding.
+    li = t["lineitem"]
+    reps8 = spark.range(8).select(F.col("id").alias("rep"))
+    big_li = li.crossJoin(reps8).drop("rep")
+    small_corr = {
+        (r.col_a, r.col_b): r.r
+        for r in validation.lineitem_correlations({"lineitem": li}).collect()
+    }
+    big_corr = tm(
+        "lineitem_correlations (8x lineitem)",
+        lambda: {
+            (r.col_a, r.col_b): r.r
+            for r in validation.lineitem_correlations(
+                {"lineitem": big_li}
+            ).collect()
+        },
+    )
+    for pair, r in big_corr.items():
+        assert abs(r - small_corr[pair]) <= 1e-6, pair
+
     print("scale smoke OK")
     return 0
 
