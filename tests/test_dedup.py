@@ -556,3 +556,27 @@ def test_near_dup_provenance_cross_source(spark):
     r = rows[0]
     assert r.cluster_id == 1 and r.n_docs == 2
     assert r.n_sources == 2 and r.sources == "books,web"
+
+
+def test_duplicate_spans_islands(spark):
+    """A shared 10-token run inside otherwise-unique docs merges into
+    ONE maximal span covering exactly the shared tokens; spans agree
+    with substring_dup_stats' gram counts."""
+    shared = " ".join(f"s{i}" for i in range(10))
+    a_pre = " ".join(f"a{i}" for i in range(6))
+    a_post = " ".join(f"A{i}" for i in range(6))
+    b_pre = " ".join(f"b{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [(1, f"{a_pre} {shared} {a_post}"), (2, f"{b_pre} {shared}")],
+        "doc_id long, text string",
+    )
+    spans = {r.doc_id: r for r in dedup.duplicate_spans(df, k=5).collect()}
+    # doc 1: shared run occupies tokens 6..15 -> grams 6..11 (k=5)
+    r1 = spans[1]
+    assert (r1.span_start, r1.span_end, r1.n_grams) == (6, 15, 6)
+    r2 = spans[2]
+    assert (r2.span_start, r2.span_end, r2.n_grams) == (4, 13, 6)
+    # per-doc dup-gram totals match the stats tier
+    stats = {r.doc_id: r.n_dup_grams
+             for r in dedup.substring_dup_stats(df, k=5).collect()}
+    assert stats == {1: 6, 2: 6}

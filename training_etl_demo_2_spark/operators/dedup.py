@@ -870,6 +870,61 @@ def substring_dup_stats(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """MAXIMAL duplicated token spans per document — the actionable
+    output behind ``substring_dup_stats``: consecutive duplicated
+    k-gram positions merged into intervals (the classic gaps-and-
+    islands window: island id = pos − row_number), so a span remover
+    can cut [span_start, span_end] directly instead of re-deriving
+    runs from per-gram flags. This is the relational half of
+    suffix-array substring dedup (Lee et al. 2022): find every maximal
+    span whose k-grams all occur in ≥ min_docs documents.
+
+    Output: (doc_id, span_start, span_end, n_grams) — token indices,
+    0-based inclusive; span_end = last gram's position + k − 1. Spans
+    are disjoint by construction (islands are maximal runs).
+
+    Scale shape: the gram explode and duplicated-gram relation are
+    exactly substring_dup_stats' (hash-keyed count + flag join); the
+    added work is ONE per-doc window over only the FLAGGED positions
+    (near-dup-sized, not corpus-sized) and a (doc, island) aggregate.
+    """
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    grams = df.select(
+        "doc_id",
+        F.posexplode(word_ngrams(toks, k)).alias("pos", "gram"),
+    ).select("doc_id", "pos", rolling_hash(F.col("gram")).alias("h"))
+    dup = (
+        grams.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    from pyspark.sql import Window
+
+    flagged = grams.join(dup, "h", "semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = flagged.withColumn(
+        "grp", F.col("pos") - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_grams")
+    )
+
+
 # ---------------------------------------------------------------------------
 # PageRank centrality on the near-dup graph
 # ---------------------------------------------------------------------------

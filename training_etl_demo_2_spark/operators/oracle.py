@@ -427,6 +427,48 @@ def substring_dup_stats_sql(k: int = 5, min_docs: int = 2) -> str:
     """
 
 
+def duplicate_spans_sql(k: int = 5, min_docs: int = 2) -> str:
+    """Twin of dedup.duplicate_spans: same gram/dup relation, parallel
+    unnest zips (pos, gram), gaps-and-islands via pos - row_number."""
+    h = ROLLING_HASH.format(s="gram")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(range(0, greatest(len(w) - {k} + 1, 0))) AS pos,
+               unnest(list_transform(
+                   range(0, greatest(len(w) - {k} + 1, 0)),
+                   i -> array_to_string(w[i+1 : i+{k}], ' ')
+               )) AS gram
+        FROM toks
+    ),
+    hashed AS (SELECT doc_id, pos, {h} AS h FROM grams),
+    dup AS (
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM hashed)
+        GROUP BY h HAVING count(*) >= {min_docs}
+    ),
+    flagged AS (
+        SELECT doc_id, pos FROM hashed s
+        WHERE EXISTS (SELECT 1 FROM dup d WHERE d.h = s.h)
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY pos
+               ) AS grp
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {k - 1} AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM islands
+    GROUP BY doc_id, grp
+    """
+
+
 def hard_negative_pairs_sql(
     n: int = DEFAULT_NGRAM, lo: float = 0.03, hi: float = 0.5
 ) -> str:
