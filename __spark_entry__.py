@@ -625,6 +625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_correlations": _q(validation.lineitem_correlations),
         # maximal duplicated token spans (actionable substring dedup)
         "duplicate_spans": _q(lambda t: dedup.duplicate_spans(t["documents"])),
+        # session-level event-type association (order-free PMI)
+        "event_type_pmi": _q(behavior.event_type_pmi),
         # temperature-scaled source sampling weights (data recipe)
         "source_mixture_weights": _q(
             lambda t: curation.source_mixture_weights(t["documents"])
@@ -1089,6 +1091,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_provenance": oracle.near_dup_provenance_sql(),
         "lineitem_correlations": validation.lineitem_correlations_sql(),
         "duplicate_spans": oracle.duplicate_spans_sql(),
+        "event_type_pmi": behavior.event_type_pmi_sql(),
         "source_mixture_weights": curation.source_mixture_weights_sql(),
         "dedup_containment": oracle.ngram_containment_sql(threshold=0.8),
         "events_props_variant": """

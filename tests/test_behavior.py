@@ -104,3 +104,37 @@ def test_session_event_paths_respects_boundaries(spark):
     assert out["a b c"] == 3
     # the gap kills the cross-boundary path 'b c a' would otherwise gain
     assert out.get("c a b", 0) == 1  # only inside session 1
+
+
+def test_event_type_pmi_planted(spark):
+    """Types planted to always co-occur get positive PMI = ln(N/ (n_a n_b / n_ab...));
+    with 2 sessions where (a,b) share both and c appears alone in one:
+    pmi(a,b) = ln(2*2/(2*2)) = 0 when always together across all sessions;
+    a type pair that never co-occurs is absent from the output."""
+    import datetime as dt
+
+    from training_etl_demo_2_spark.operators.behavior import event_type_pmi
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    # user 1: one session containing a and b; user 2: same
+    for uid in (1, 2):
+        for ty in ("a", "b"):
+            rows.append((eid, t0, uid, ty, 1.0))
+            eid += 1
+    # user 3: a session containing only c and a
+    rows.append((eid, t0, 3, "c", 1.0)); eid += 1
+    rows.append((eid, t0, 3, "a", 1.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {(r.type_a, r.type_b): r for r in event_type_pmi({"events": df}).collect()}
+    # N=3 sessions; n_a=3, n_b=2, n_c=1; n_ab=2, n_ac=1; (b,c) never co-occur
+    import math
+
+    assert set(out) == {("a", "b"), ("a", "c")}
+    ab = out[("a", "b")]
+    assert ab.n_ab == 2 and abs(ab.pmi - round(math.log(2 * 3 / (3 * 2)), 6)) < 1e-9
+    ac = out[("a", "c")]
+    assert ac.n_ab == 1 and abs(ac.pmi - round(math.log(1 * 3 / (3 * 1)), 6)) < 1e-9

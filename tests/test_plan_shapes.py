@@ -64,6 +64,8 @@ NESTED_LOOP_OK = {
     # |ks|-row (3-row literal) broadcast with a rank<=k theta join —
     # size-invariant at any SF (same class as histogram_quantiles)
     "vocab_coverage_curve",
+    # broadcasts the ONE-ROW session-count aggregate (the N in PMI)
+    "event_type_pmi",
 }
 
 

@@ -285,3 +285,140 @@ def session_event_paths_sql(
     ORDER BY cnt DESC, path ASC
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# session-level event-type association (PMI)
+# ---------------------------------------------------------------------------
+
+
+def event_type_pmi(t: dict[str, "DataFrame"], gap_minutes: int = 30) -> "DataFrame":
+    """Pointwise mutual information between event types co-occurring in
+    the same session: pmi(a,b) = ln(n_ab·N / (n_a·n_b)) over session
+    presence sets — association mining one level above
+    ``event_transitions`` (which only sees ADJACENT pairs): positive
+    PMI = types that travel together (feature bundles), negative =
+    types that repel (alternative flows). Complements the Markov view
+    with an order-free one.
+
+    All counts are exact session counts; PMI derives from four exact
+    longs through one shared IEEE sequence, rounded to 6. Pairs are
+    unordered (type_a < type_b).
+
+    Scale shape: sessionization is the standard two-window pass on the
+    user_id exchange; presence sets reduce to DISTINCT (session, type)
+    rows BEFORE the pair self-join, which is keyed on the session —
+    per-session cost is |types|² ≤ 25, so the join output is bounded
+    by 25·|sessions|, never quadratic in events. Marginals and N ride
+    in as broadcast relations.
+    """
+    from pyspark.sql import Window
+
+    e = t["events"]
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    with_sid = (
+        e.withColumn(
+            "new_session",
+            (
+                F.col("ts").cast("long")
+                - F.coalesce(
+                    F.lag("ts").over(w_user).cast("long"), F.lit(-gap_s - 1)
+                )
+                > gap_s
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    pres = with_sid.select("user_id", "session_seq", "event_type").distinct()
+    n_sessions = (
+        pres.select("user_id", "session_seq")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+    )
+    marg = pres.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    a = pres.select("user_id", "session_seq", F.col("event_type").alias("type_a"))
+    b = pres.select("user_id", "session_seq", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "session_seq"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    ma = marg.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a"))
+    mb = marg.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("n_sessions")).cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def event_type_pmi_sql(gap_minutes: int = 30) -> str:
+    gap_s = gap_minutes * 60
+    return f"""
+    WITH lagged AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN prev_ts IS NULL
+                         OR floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT > {gap_s}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM lagged
+    ),
+    sess AS (
+        SELECT *,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               )::BIGINT AS session_seq
+        FROM flagged
+    ),
+    pres AS (SELECT DISTINCT user_id, session_seq, event_type FROM sess),
+    n_sessions AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions
+        FROM (SELECT DISTINCT user_id, session_seq FROM pres)
+    ),
+    marg AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_t
+        FROM pres GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM pres a
+        JOIN pres b ON a.user_id = b.user_id
+                   AND a.session_seq = b.session_seq
+                   AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_ab,
+           round(ln(CAST(p.n_ab * n.n_sessions AS DOUBLE)
+                    / CAST(ma.n_t * mb.n_t AS DOUBLE)), 6) AS pmi
+    FROM pairs p
+    JOIN marg ma ON ma.event_type = p.type_a
+    JOIN marg mb ON mb.event_type = p.type_b
+    CROSS JOIN n_sessions n
+    """
