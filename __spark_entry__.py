@@ -627,6 +627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": _q(lambda t: dedup.duplicate_spans(t["documents"])),
         # session-level event-type association (order-free PMI)
         "event_type_pmi": _q(behavior.event_type_pmi),
+        # label-constrained (filtered) vector search
+        "ann_filtered_topk": _q(
+            lambda t: similarity.filtered_topk(t["embeddings"], k=5)
+        ),
         # temperature-scaled source sampling weights (data recipe)
         "source_mixture_weights": _q(
             lambda t: curation.source_mixture_weights(t["documents"])
@@ -1092,6 +1096,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_correlations": validation.lineitem_correlations_sql(),
         "duplicate_spans": oracle.duplicate_spans_sql(),
         "event_type_pmi": behavior.event_type_pmi_sql(),
+        "ann_filtered_topk": oracle_text.filtered_topk_sql(k=5),
         "source_mixture_weights": curation.source_mixture_weights_sql(),
         "dedup_containment": oracle.ngram_containment_sql(threshold=0.8),
         "events_props_variant": """

@@ -393,3 +393,30 @@ def test_mmr_interleaves_diverse_picks(spark):
     assert out[1].vec_id == 10  # MMR jumps to the diverse direction
     # plain relevance order would have put another cluster copy second
     assert out[2].vec_id in {2, 3}
+
+
+def test_filtered_topk_respects_label(spark, tables):
+    """Every returned neighbor shares the query's label, and for a
+    query whose label has few members the list is short — the property
+    post-hoc filtering of an unfiltered top-k cannot guarantee."""
+    from training_etl_demo_2_spark.operators.similarity import (
+        brute_topk,
+        filtered_topk,
+    )
+
+    emb = tables["embeddings"]
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = filtered_topk(emb, k=5).collect()
+    assert rows
+    for r in rows:
+        assert labels[r.query_id] == labels[r.neighbor_id], r
+    # filtered results are a subset of the same-label pairs of the
+    # unfiltered ranking universe; ranks are contiguous from 1
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r.rnk)
+    for q, rnks in by_q.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1)), q
+    # sanity: unfiltered brute_topk may cross labels on this fixture
+    unf = brute_topk(emb, k=5).collect()
+    assert any(labels[r.query_id] != labels[r.neighbor_id] for r in unf)

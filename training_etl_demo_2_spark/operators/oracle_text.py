@@ -257,6 +257,28 @@ def brute_topk_sql(k: int = 5, query_pred: str = "vec_id < 20") -> str:
     """
 
 
+def filtered_topk_sql(k: int = 5, query_pred: str = "vec_id < 20") -> str:
+    """Twin of similarity.filtered_topk: candidates constrained to the
+    query's label inside the join, not post-hoc."""
+    return f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.e, c.e), 6) AS sim
+        FROM (SELECT * FROM v WHERE {query_pred}) q
+        JOIN v c ON q.label = c.label AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {k}
+    """
+
+
 def cosine_near_pairs_sql(threshold: float = 0.45) -> str:
     return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -82,6 +82,46 @@ def brute_topk(
     return _ranked_topk(pairs, k)
 
 
+def filtered_topk(
+    emb: DataFrame, k: int = 5, query_pred: str = "vec_id < 20"
+) -> DataFrame:
+    """FILTERED vector search: exact top-k cosine neighbors constrained
+    to candidates sharing the query's ``label`` — the
+    metadata-predicate retrieval mode every production vector store
+    exposes (same-language / same-tenant / same-split search). Post-hoc
+    filtering of an unfiltered top-k is WRONG (a filter can empty the
+    list); the predicate must constrain the candidate set itself.
+
+    Physical shape: the label rides the broadcast query side, so the
+    predicate becomes the hash-join KEY — Catalyst plans one
+    BroadcastHashJoin on label, and each candidate row meets only the
+    queries of its own label (vs brute_topk's all-pairs nested loop).
+    At 100 TB with a label-partitioned embedding table this prunes the
+    scan itself (partition pruning on the join key's filter).
+    """
+    q = emb.filter(query_pred).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "label",
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "label",
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(c, "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), ROUND).alias("sim"),
+        )
+    )
+    return _ranked_topk(pairs, k)
+
+
 def brute_topk_pandas(
     emb: DataFrame, k: int = 5, query_pred: str = "vec_id < 20"
 ) -> DataFrame:
