@@ -635,6 +635,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture_weights": _q(
             lambda t: curation.source_mixture_weights(t["documents"])
         ),
+        # exact Jaccard pairs via PPJoin-style prefix filtering — the
+        # deterministic (no-false-negative) sibling of MinHash banding
+        "dedup_prefix_filter": _q(
+            lambda t: dedup.prefix_filter_jaccard_pairs(
+                t["documents"], threshold=0.6
+            )
+        ),
+        # funnel step time-to-convert distribution (in-order semantics)
+        "funnel_latency": _q(lambda t: behavior.funnel_latency(t["events"])),
     }
 
 
@@ -1381,4 +1390,7 @@ def oracle_sql() -> dict[str, str]:
             "o_custkey",
             "c_custkey",
         ),
+        # prefix filtering is exact: its oracle IS the exact-pair SQL
+        "dedup_prefix_filter": oracle.ngram_jaccard_sql(threshold=0.6),
+        "funnel_latency": behavior.funnel_latency_sql(),
     }

@@ -138,3 +138,29 @@ def test_event_type_pmi_planted(spark):
     assert ab.n_ab == 2 and abs(ab.pmi - round(math.log(2 * 3 / (3 * 2)), 6)) < 1e-9
     ac = out[("a", "c")]
     assert ac.n_ab == 1 and abs(ac.pmi - round(math.log(1 * 3 / (3 * 1)), 6)) < 1e-9
+
+
+def test_funnel_latency_in_order_and_values(spark):
+    """Latency uses the FIRST in-order stage times: u1 converts
+    view@0s -> click@10s -> purchase@70s (click before the view does
+    not count); u2 clicks but never purchases after."""
+    ev = _events(
+        spark,
+        [
+            (1, "click", "2026-01-01 00:00:30"),  # pre-view click: ignored? no —
+            (1, "view", "2026-01-01 00:01:00"),
+            (1, "click", "2026-01-01 00:01:10"),
+            (1, "purchase", "2026-01-01 00:02:20"),
+            (2, "view", "2026-01-01 00:00:00"),
+            (2, "click", "2026-01-01 00:00:05"),
+        ],
+    )
+    rows = {r.to_stage: r for r in behavior.funnel_latency(ev).collect()}
+    # view->click: u1 10s (first click AFTER first view), u2 5s
+    assert rows["click"].n_users == 2
+    assert rows["click"].p50_s == 7.5
+    assert rows["click"].mean_s == 7.5
+    # click->purchase: only u1, 70s from its in-order click at 00:01:10
+    assert rows["purchase"].n_users == 1
+    assert rows["purchase"].p50_s == 70.0
+    assert rows["purchase"].from_stage == "click"

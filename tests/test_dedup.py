@@ -580,3 +580,43 @@ def test_duplicate_spans_islands(spark):
     stats = {r.doc_id: r.n_dup_grams
              for r in dedup.substring_dup_stats(df, k=5).collect()}
     assert stats == {1: 6, 2: 6}
+
+
+def test_prefix_filter_equals_exact_pairs(tables):
+    """Prefix filtering is exact: its pair set must be IDENTICAL to the
+    ground-truth shingle self-join at the same threshold — no false
+    negatives (the prefix theorem) and no false positives (the verify
+    stage applies the exact predicate)."""
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            tables["documents"], threshold=0.6
+        ).collect()
+    }
+    pf = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.prefix_filter_jaccard_pairs(
+            tables["documents"], threshold=0.6
+        ).collect()
+    }
+    assert pf == exact
+    assert len(pf) > 0
+
+
+def test_prefix_filter_planted_and_boundary(spark):
+    """Planted near-identical pair found; a float-boundary size (5
+    shingles at t=0.6 -> prefix length must be exactly 5-3+1=3) does
+    not drop qualifying pairs."""
+    a = "w1 w2 w3 w4 w5 w6 w7"          # 5 3-gram shingles
+    b = "w1 w2 w3 w4 w5 w6 zz"          # shares 4 of its 5 shingles
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, "x1 x2 x3 x4 x5 x6 x7")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.prefix_filter_jaccard_pairs(df, threshold=0.6).collect()
+    }
+    # |A∩B|=4, |A∪B|=6 -> j=0.666667 >= 0.6; the unrelated doc pairs with nothing
+    assert set(got) == {(1, 2)}
+    assert abs(got[(1, 2)] - 0.666667) < 1e-6

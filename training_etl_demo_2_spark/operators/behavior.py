@@ -422,3 +422,94 @@ def event_type_pmi_sql(gap_minutes: int = 30) -> str:
     JOIN marg mb ON mb.event_type = p.type_b
     CROSS JOIN n_sessions n
     """
+
+
+# ---------------------------------------------------------------------------
+# funnel conversion latency
+# ---------------------------------------------------------------------------
+
+
+def funnel_latency(
+    events: DataFrame, stages: tuple = FUNNEL_STAGES
+) -> DataFrame:
+    """Time-to-convert distribution for each consecutive funnel step:
+    among users who reached stage k IN ORDER (same first-in-order
+    semantics as ``event_funnel``), the latency from their stage-(k-1)
+    time to their stage-k time.
+
+    Latency is differenced in integer MICROSECONDS (``unix_micros`` on
+    the normalized TIMESTAMP) and only then scaled to seconds, so the
+    per-user values are exact on both engines; the percentile
+    interpolation runs over identical inputs. Per-user stage times are
+    the same shrinking user-keyed scalar relations as the funnel —
+    each step adds one join that only gets smaller, and the final
+    output is |stages|-1 rows. Output: (stage_idx, from_stage,
+    to_stage, n_users, p50_s, p90_s, mean_s).
+    """
+    base = events.select("user_id", "event_type", "ts")
+    reached = None
+    lat_rows = []
+    for i, stage in enumerate(stages):
+        ev = base.filter(F.col("event_type") == stage)
+        if reached is None:
+            reached = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+            continue
+        nxt = (
+            ev.join(
+                reached.select("user_id", F.col("t").alias("t_prev")), "user_id"
+            )
+            .filter(F.col("ts") > F.col("t_prev"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"), F.min("t_prev").alias("t_prev"))
+        )
+        lat = nxt.select(
+            (
+                (F.unix_micros("t") - F.unix_micros("t_prev")) / F.lit(1_000_000.0)
+            ).alias("lat_s")
+        )
+        lat_rows.append(
+            lat.agg(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(stages[i - 1]).alias("from_stage"),
+                F.lit(stage).alias("to_stage"),
+                F.count(F.lit(1)).cast("long").alias("n_users"),
+                F.round(F.percentile("lat_s", F.lit(0.5)), 4).alias("p50_s"),
+                F.round(F.percentile("lat_s", F.lit(0.9)), 4).alias("p90_s"),
+                F.round(F.avg("lat_s"), 4).alias("mean_s"),
+            )
+        )
+        reached = nxt.select("user_id", "t")
+    res = lat_rows[0]
+    for o in lat_rows[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+def funnel_latency_sql(stages: tuple = FUNNEL_STAGES) -> str:
+    """DuckDB twin of funnel_latency: identical in-order stage CTE
+    chain; latency differenced in integer microseconds first."""
+    ctes = [
+        f"s0 AS (SELECT user_id, min(ts) AS t FROM events "
+        f"WHERE event_type = '{stages[0]}' GROUP BY user_id)"
+    ]
+    selects = []
+    for i in range(1, len(stages)):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t, min(p.t) AS t_prev "
+            f"FROM events e JOIN s{i - 1} p ON e.user_id = p.user_id "
+            f"AND e.ts > p.t WHERE e.event_type = '{stages[i]}' "
+            f"GROUP BY e.user_id)"
+        )
+        ctes.append(
+            f"l{i} AS (SELECT date_diff('microsecond', t_prev, t) / 1000000.0 "
+            f"AS lat_s FROM s{i})"
+        )
+        selects.append(
+            f"SELECT CAST({i} AS INT) AS stage_idx, "
+            f"'{stages[i - 1]}' AS from_stage, '{stages[i]}' AS to_stage, "
+            f"count(*) AS n_users, "
+            f"round(quantile_cont(lat_s, 0.5), 4) AS p50_s, "
+            f"round(quantile_cont(lat_s, 0.9), 4) AS p90_s, "
+            f"round(avg(lat_s), 4) AS mean_s FROM l{i}"
+        )
+    return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)

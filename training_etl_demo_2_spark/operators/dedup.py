@@ -1409,3 +1409,79 @@ def incremental_near_dup(
             "jaccard",
         )
     )
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact Jaccard self-join (PPJoin-family candidate pruning)
+# ---------------------------------------------------------------------------
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT Jaccard >= threshold pairs via prefix filtering — the
+    deterministic alternative to MinHash banding (Chaudhuri et al.
+    SSJoin / Xiao et al. PPJoin family, public literature).
+
+    Candidate generation: order every document's shingle set by GLOBAL
+    document frequency (rarest first; ties broken by the hash value, so
+    the order is a strict total order shared by all docs), and keep
+    only each doc's PREFIX of length ``|S| - ceil(t*|S|) + 1``. Two
+    sets with Jaccard >= t must share at least one prefix element —
+    dropping the last ceil(t*|S|)-1 elements can remove at most that
+    many of the >= ceil(t*|S|) intersection witnesses — so joining
+    prefix-to-prefix loses NO qualifying pair: unlike LSH there are no
+    false negatives, and the exact verify stage removes all false
+    positives. A length filter (t*|B| <= |A| <= |B|/t in exact integer
+    arithmetic) prunes size-incompatible candidates before they reach
+    the verifier.
+
+    Scale (100 TB): the posting lists that get self-joined are the
+    RAREST tokens of each doc — precisely the shortest lists — so
+    candidate volume tracks near-duplicate density, not corpus size².
+    The threshold is materialized as an exact integer fraction p/q, so
+    prefix lengths and the length filter are integer arithmetic —
+    bit-identical on every engine and immune to float-boundary drift
+    (0.6*5 must be exactly 3). Global doc-frequency is one extra
+    aggregate over the shingle relation the verify stage needs anyway.
+    Output is hash-identical to ``ngram_jaccard_pairs`` at the same
+    threshold; the oracle twin IS the exact-pair SQL.
+    """
+    from fractions import Fraction
+
+    from pyspark.sql import Window
+
+    fr = Fraction(threshold).limit_denominator(10_000)
+    p, q = fr.numerator, fr.denominator
+    sh = shingle_hashes(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
+    w = Window.partitionBy("doc_id").orderBy("dfreq", "h")
+    ranked = (
+        sh.join(dfreq, "h")
+        .select("doc_id", "h", F.row_number().over(w).alias("pos"))
+        .join(sizes, "doc_id")
+    )
+    # prefix length = sz - ceil(p*sz/q) + 1, all-integer: DIV is exact.
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("sz") - F.expr(f"({p} * sz + {q - 1}) DIV {q}") + F.lit(1)
+    ).select("doc_id", "h", "sz")
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "h", F.col("sz").alias("sza"))
+    b = prefix.select(F.col("doc_id").alias("doc_b"), "h", F.col("sz").alias("szb"))
+    cand = (
+        a.join(b, "h")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            # J >= t  ⇒  t <= min/max  ⇒  p*max(sza,szb) <= q*min(sza,szb)
+            & (
+                F.lit(p) * F.greatest("sza", "szb")
+                <= F.lit(q) * F.least("sza", "szb")
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _pair_jaccard(sh, pairs=cand).filter(F.col("jaccard") >= threshold)
