@@ -644,6 +644,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # funnel step time-to-convert distribution (in-order semantics)
         "funnel_latency": _q(lambda t: behavior.funnel_latency(t["events"])),
+        # leave-one-out kNN label agreement (embedding-quality eval)
+        "knn_label_agreement": _q(
+            lambda t: similarity.knn_label_agreement(t["embeddings"])
+        ),
+        # Neyman-optimal stratified sample allocation per source
+        "neyman_allocation": _q(
+            lambda t: curation.neyman_allocation(t["documents"])
+        ),
     }
 
 
@@ -1393,4 +1401,6 @@ def oracle_sql() -> dict[str, str]:
         # prefix filtering is exact: its oracle IS the exact-pair SQL
         "dedup_prefix_filter": oracle.ngram_jaccard_sql(threshold=0.6),
         "funnel_latency": behavior.funnel_latency_sql(),
+        "knn_label_agreement": oracle_text.knn_label_agreement_sql(),
+        "neyman_allocation": curation.neyman_allocation_sql(),
     }

@@ -366,3 +366,20 @@ def test_source_mixture_weights_flatten(spark):
     # alpha=1 degenerates to proportional shares
     prop = {r.source: r for r in source_mixture_weights(df, alpha=1.0).collect()}
     assert abs(prop["small"].w_bp - 1000) <= 1
+
+
+def test_neyman_allocation_favors_variable_strata(spark):
+    """Equal-size strata: the high-variance stratum gets the larger
+    allocation, allocations sum to ~budget, constant stratum gets 0
+    only if sd==0."""
+    rows = [(i, "flat", 100) for i in range(50)] + [
+        (i + 50, "spread", 10 + (i % 10) * 200) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    from training_etl_demo_2_spark.operators.curation import neyman_allocation
+
+    out = {r.source: r for r in neyman_allocation(df, budget=100).collect()}
+    assert out["flat"].sd_measure == 0.0
+    assert out["flat"].alloc == 0
+    assert out["spread"].alloc == 100
+    assert out["spread"].sd_measure > 0

@@ -420,3 +420,30 @@ def test_filtered_topk_respects_label(spark, tables):
     # sanity: unfiltered brute_topk may cross labels on this fixture
     unf = brute_topk(emb, k=5).collect()
     assert any(labels[r.query_id] != labels[r.neighbor_id] for r in unf)
+
+
+def test_knn_label_agreement_separated_clusters(spark):
+    """Two well-separated clusters: every query's neighbors share its
+    label, so agreement must be 100% per label."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for vid in range(40):
+        label = 0 if vid < 20 else 1
+        base = [10.0, 0.0, 0.0] if label == 0 else [0.0, 10.0, 0.0]
+        rows.append(
+            (vid, [b + rng.uniform(-0.1, 0.1) for b in base], label)
+        )
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from training_etl_demo_2_spark.operators.similarity import (
+        knn_label_agreement,
+    )
+
+    out = {r.label: r for r in knn_label_agreement(emb, k=5, query_mod=4).collect()}
+    assert set(out) == {0, 1}
+    for lab, r in out.items():
+        assert r.n_agree == r.n_queries
+        assert r.agree_pct == 1.0

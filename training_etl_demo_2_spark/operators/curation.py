@@ -1115,3 +1115,88 @@ def weighted_sample_topk_sql(
     ORDER BY aes_key DESC, doc_id ASC
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling plan
+# ---------------------------------------------------------------------------
+
+
+def neyman_allocation(
+    df: DataFrame,
+    by: str = "source",
+    measure: str = "n_chars",
+    budget: int = 1000,
+) -> DataFrame:
+    """Optimal (Neyman) stratified-sample allocation: given a total
+    sample ``budget``, allocate per-stratum sizes proportional to
+    N_h·σ_h — the allocation that minimizes the variance of the
+    stratified mean of ``measure`` (classical survey-sampling result;
+    uniform and proportional allocation are both strictly worse when
+    strata variances differ). This is the principled sizing step in
+    front of ``balanced_sample``/``source_mixture_weights`` when the
+    sample feeds a corpus-statistics estimate rather than training
+    itself.
+
+    Determinism: σ_h comes from exact BIGINT sufficient statistics
+    (Σx, Σx² — one map-side aggregate, the gram/OLS pattern), so the
+    doubles that enter the sqrt are bit-identical on both engines;
+    the integer allocation uses the floor(x+0.5) grid. Output: one row
+    per stratum — (source, n_rows, sd_measure, alloc).
+    """
+    stats = df.groupBy(by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col(measure).cast("long")).alias("s1"),
+        F.sum(F.col(measure).cast("long") * F.col(measure).cast("long")).alias(
+            "s2"
+        ),
+    )
+    # s1 enters the square as DOUBLE on both engines (BIGINT s1*s1 could
+    # overflow at scale and DuckDB would silently widen to HUGEINT,
+    # diverging from Spark) — double*bigint is the same IEEE op twice.
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n_rows"))
+        / F.col("n_rows")
+    )
+    weighted = stats.select(
+        by,
+        "n_rows",
+        F.round(sd, 4).alias("sd_measure"),
+        (F.col("n_rows") * sd).alias("w"),
+    )
+    z = weighted.agg(F.sum("w").alias("z"))
+    return (
+        weighted.crossJoin(F.broadcast(z))
+        .select(
+            by,
+            "n_rows",
+            "sd_measure",
+            F.floor(F.lit(budget) * F.col("w") / F.col("z") + F.lit(0.5))
+            .cast("long")
+            .alias("alloc"),
+        )
+    )
+
+
+def neyman_allocation_sql(
+    by: str = "source", measure: str = "n_chars", budget: int = 1000
+) -> str:
+    return f"""
+    WITH stats AS (
+        SELECT {by}, count(*) AS n_rows,
+               sum(CAST({measure} AS BIGINT)) AS s1,
+               sum(CAST({measure} AS BIGINT) * CAST({measure} AS BIGINT)) AS s2
+        FROM documents GROUP BY 1
+    ),
+    weighted AS (
+        SELECT {by}, n_rows,
+               round(sqrt((s2 - (s1 * 1.0) * s1 / n_rows) / n_rows), 4)
+                   AS sd_measure,
+               n_rows * sqrt((s2 - (s1 * 1.0) * s1 / n_rows) / n_rows) AS w
+        FROM stats
+    )
+    SELECT {by}, CAST(n_rows AS BIGINT) AS n_rows, sd_measure,
+           CAST(floor({budget} * w / (SELECT sum(w) FROM weighted) + 0.5)
+                AS BIGINT) AS alloc
+    FROM weighted
+    """

@@ -1334,3 +1334,87 @@ def mmr_diverse_topk_sql(
     SELECT CAST(mmr_rank AS INTEGER) AS mmr_rank, vec_id, rel
     FROM ({picks})
     """
+
+
+# ---------------------------------------------------------------------------
+# embedding-space quality eval: leave-one-out kNN label agreement
+# ---------------------------------------------------------------------------
+
+
+def knn_label_agreement(
+    emb: DataFrame, k: int = 10, query_mod: int = 10
+) -> DataFrame:
+    """Leave-one-out kNN label agreement — the standard intrinsic eval
+    of an embedding table: for a deterministic query sample
+    (``vec_id % query_mod == 0``), take the k exact cosine neighbors
+    (self excluded), majority-vote their labels (ties broken by count
+    desc, label asc — fully deterministic), and score the vote against
+    the query's own label. High agreement means the embedding geometry
+    respects the labeling; a drop after re-embedding is the regression
+    signal.
+
+    Scale shape: the query sample is fixed-size metadata (broadcast),
+    so cost is one pass over the candidate vectors times |queries| —
+    the same bounded plan as ``brute_topk``; at larger corpora swap the
+    candidate pass for the IVF/LSH tiers and this eval doubles as
+    their recall monitor. Output: one row per label —
+    (label, n_queries, n_agree, agree_pct).
+    """
+    q = emb.filter((F.col("vec_id") % query_mod) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("n_label"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "q_label",
+            "neighbor_id",
+            "n_label",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), ROUND).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    topk = pairs.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= k
+    )
+    votes = topk.groupBy("query_id", "q_label", "n_label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("cnt"), F.asc("n_label")
+    )
+    winner = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "q_label",
+            F.col("n_label").alias("voted_label"),
+        )
+    )
+    return (
+        winner.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(
+                F.when(F.col("voted_label") == F.col("q_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_agree",
+            F.round(F.col("n_agree") / F.col("n_queries"), 4).alias("agree_pct"),
+        )
+    )
