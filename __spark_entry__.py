@@ -652,6 +652,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation": _q(
             lambda t: curation.neyman_allocation(t["documents"])
         ),
+        # point-in-time (AS OF) join against the SCD2 dimension history
+        "scd2_pit_revenue": _q(merge.scd2_pit_revenue),
+        # chi-square independence of lang × source (drift statistic)
+        "lang_source_chi2": _q(validation.lang_source_chi2),
     }
 
 
@@ -1403,4 +1407,6 @@ def oracle_sql() -> dict[str, str]:
         "funnel_latency": behavior.funnel_latency_sql(),
         "knn_label_agreement": oracle_text.knn_label_agreement_sql(),
         "neyman_allocation": curation.neyman_allocation_sql(),
+        "scd2_pit_revenue": merge.SCD2_PIT_ORACLE,
+        "lang_source_chi2": validation.LANG_SOURCE_CHI2_ORACLE,
     }

@@ -66,6 +66,14 @@ NESTED_LOOP_OK = {
     "vocab_coverage_curve",
     # broadcasts the ONE-ROW session-count aggregate (the N in PMI)
     "event_type_pmi",
+    # round-4 third batch:
+    # broadcast fixed-size query sample vs corpus (brute_topk class)
+    "knn_label_agreement",
+    # ONE-ROW weight-total broadcast (Σ N_h·σ_h denominator)
+    "neyman_allocation",
+    # margins × margins grid (|lang|·|source| cells, metadata-sized)
+    # plus the ONE-ROW totals broadcast
+    "lang_source_chi2",
 }
 
 

@@ -400,3 +400,51 @@ def test_lineitem_correlations_planted(spark):
     assert out[("quantity", "tax")].r is None  # zero-variance guard
     assert all(r.n == 8 for r in out.values())
     assert len(out) == 6
+
+
+def test_scd2_pit_attributes_to_version_in_force(spark):
+    """A fact inside the closed version's window attributes to the OLD
+    version; one after the close attributes to the NEW one."""
+    import datetime as dt
+
+    hist = spark.createDataFrame(
+        [(1, "A", dt.datetime(2026, 1, 1), None)],
+        "k long, status string, valid_from timestamp, valid_to timestamp",
+    )
+    upd = spark.createDataFrame(
+        [(1, "B", dt.datetime(2026, 2, 1))],
+        "k long, status string, eff_ts timestamp",
+    )
+    merged = merge.merge_scd2(hist, upd, "k")
+    facts = spark.createDataFrame(
+        [(1, dt.datetime(2026, 1, 15)), (1, dt.datetime(2026, 3, 1))],
+        "k long, ship_ts timestamp",
+    )
+    from pyspark.sql import functions as F
+
+    pit = facts.join(merged, "k").filter(
+        (F.col("ship_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ship_ts") < F.col("valid_to")))
+    )
+    got = {r.ship_ts.month: r.status for r in pit.collect()}
+    assert got == {1: "A", 3: "B"}
+
+
+def test_lang_source_chi2_independent_vs_dependent(spark):
+    """A perfectly independent contingency gives chi2 == 0; a fully
+    source-determined language gives a large chi2 (== n * (k-1) for a
+    k×k diagonal table)."""
+    indep = spark.createDataFrame(
+        [(i, "l%d" % (i % 2), "s%d" % ((i // 2) % 2), 10) for i in range(40)],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    r = validation.lang_source_chi2({"documents": indep}).collect()[0]
+    assert r.chi2 == 0.0
+    assert r.dof == 1
+    dep = spark.createDataFrame(
+        [(i, "l%d" % (i % 2), "s%d" % (i % 2), 10) for i in range(40)],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    r2 = validation.lang_source_chi2({"documents": dep}).collect()[0]
+    assert r2.chi2 == 40.0  # n*(k-1) for a 2x2 diagonal table
+    assert r2.dof == 1

@@ -305,8 +305,7 @@ def orders_scd2_history(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-ORDERS_SCD2_ORACLE = f"""
-    WITH hist AS (
+_SCD2_MERGED_CTE = f"""hist AS (
         SELECT o_orderkey, o_orderstatus, o_totalprice,
                o_orderdate AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
         FROM orders
@@ -337,7 +336,11 @@ ORDERS_SCD2_ORACLE = f"""
     ), merged AS (
         SELECT * FROM closed UNION ALL SELECT * FROM opened
         UNION ALL SELECT * FROM untouched
-    )
+    )"""
+
+
+ORDERS_SCD2_ORACLE = f"""
+    WITH {_SCD2_MERGED_CTE}
     SELECT o_orderstatus,
            CAST(valid_to IS NULL AS INT) AS is_current,
            count(*) AS n_versions,
@@ -371,4 +374,71 @@ ORDERS_MERGE_UPSERT_ORACLE = f"""
                  AS BIGINT) / 100.0, 2) AS sum_price
     FROM merged
     GROUP BY o_orderstatus
+"""
+
+
+def scd2_pit_revenue(t: dict[str, DataFrame]) -> DataFrame:
+    """Point-in-time (AS OF) dimension join against the SCD2 history —
+    the temporally-correct way to attribute facts to slowly-changing
+    dimension versions: each lineitem joins the order VERSION that was
+    valid at its ship date (``valid_from <= ship < valid_to``), not the
+    current one. Training-data analog: attributing examples to the
+    labeling-policy version in force when they were collected —
+    joining current state instead silently rewrites history.
+
+    Scale shape: an equi-join on the surrogate key with the validity
+    range as a residual predicate — versions per key are few (here
+    <= 2), so this costs the same shuffle as the plain dimension join;
+    no interval index needed. Revenue accumulates in exact integer
+    ten-thousandths before the final round.
+    """
+    orders, li = t["orders"], t["lineitem"]
+    hist = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = _delta(orders).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("eff_ts"),
+    )
+    merged = merge_scd2(hist, upd, "o_orderkey")
+    rev4 = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    fact = li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_shipdate").alias("ship_ts"),
+        rev4.alias("rev4"),
+    )
+    pit = fact.join(merged, "o_orderkey").filter(
+        (F.col("ship_ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ship_ts") < F.col("valid_to")))
+    )
+    return pit.groupBy(F.col("o_orderstatus").alias("status_at_ship")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.round(F.sum("rev4") / 10000.0, 2).alias("revenue"),
+    )
+
+
+SCD2_PIT_ORACLE = f"""
+    WITH {_SCD2_MERGED_CTE},
+    fact AS (
+        SELECT l_orderkey AS o_orderkey, l_shipdate AS ship_ts,
+               CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT) AS rev4
+        FROM lineitem
+    )
+    SELECT m.o_orderstatus AS status_at_ship,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(rev4) AS BIGINT) / 10000.0, 2) AS revenue
+    FROM fact f
+    JOIN merged m ON f.o_orderkey = m.o_orderkey
+    WHERE f.ship_ts >= m.valid_from
+      AND (m.valid_to IS NULL OR f.ship_ts < m.valid_to)
+    GROUP BY 1
 """

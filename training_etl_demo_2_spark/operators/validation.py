@@ -956,3 +956,87 @@ def lineitem_correlations_sql() -> str:
     stats AS (SELECT {", ".join(aggs)} FROM vals)
     {union}
     """
+
+
+def lang_source_chi2(t: dict[str, DataFrame]) -> DataFrame:
+    """Chi-square test of independence between two categorical profile
+    columns (lang × source) — the data-drift / stratification-health
+    statistic: a large χ² means language mix differs materially across
+    sources, so per-source sampling changes the language balance (and
+    vice versa). Reports χ², degrees of freedom, and cell count.
+
+    Determinism: observed counts are exact; each cell's
+    (O−E)²/E term is computed in double from exact BIGINT margins
+    (margins enter the product as double — BIGINT rt·ct would overflow
+    at corpus scale and DuckDB would widen to HUGEINT, diverging) and
+    ROUNDED TO INTEGER NANO-UNITS before the sum, so the aggregate is
+    order-invariant across partitions and engines. Scale shape: one
+    hash aggregate for cells, two metadata-sized margin relations
+    broadcast back — nothing grows with corpus size except the first
+    aggregate.
+    """
+    d = t["documents"]
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rows = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
+    cols = cells.groupBy("source").agg(F.sum("o").alias("ct"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("lang").alias("nl"),
+        F.count_distinct("source").alias("ns"),
+    )
+    e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
+    term_nano = F.floor(
+        (F.col("o") - e) * (F.col("o") - e) / e * 1e9 + F.lit(0.5)
+    ).cast("long")
+    # the test sums over the FULL margin grid — zero-observed cells
+    # still contribute E to the statistic; both margin relations are
+    # metadata-sized, so their cross product is too
+    grid = rows.crossJoin(cols)
+    full = grid.join(cells, ["lang", "source"], "left").select(
+        "lang", "source", "rt", "ct", F.coalesce("o", F.lit(0)).alias("o")
+    )
+    return (
+        full.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(F.sum(term_nano) / 1e9, 4).alias("chi2"),
+            ((F.first("nl") - 1) * (F.first("ns") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+        )
+    )
+
+
+LANG_SOURCE_CHI2_ORACLE = """
+    WITH cells AS (
+        SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2
+    ),
+    rows_m AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY 1),
+    cols_m AS (SELECT source, sum(o) AS ct FROM cells GROUP BY 1),
+    tot AS (
+        SELECT sum(o) AS n, count(DISTINCT lang) AS nl,
+               count(DISTINCT source) AS ns
+        FROM cells
+    ),
+    grid_full AS (
+        SELECT r.lang, s.source, r.rt, s.ct, coalesce(c.o, 0) AS o
+        FROM rows_m r
+        CROSS JOIN cols_m s
+        LEFT JOIN cells c ON c.lang = r.lang AND c.source = s.source
+    ),
+    terms AS (
+        SELECT CAST(floor((f.o - (rt * 1.0) * ct / n)
+                          * (f.o - (rt * 1.0) * ct / n)
+                          / ((rt * 1.0) * ct / n) * 1e9 + 0.5) AS BIGINT)
+                   AS term_nano,
+               nl, ns
+        FROM grid_full f
+        CROSS JOIN tot
+    )
+    SELECT round(CAST(sum(term_nano) AS BIGINT) / 1e9, 4) AS chi2,
+           CAST((first(nl) - 1) * (first(ns) - 1) AS BIGINT) AS dof,
+           CAST(count(*) AS BIGINT) AS n_cells
+    FROM terms
+"""
