@@ -656,6 +656,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_pit_revenue": _q(merge.scd2_pit_revenue),
         # chi-square independence of lang × source (drift statistic)
         "lang_source_chi2": _q(validation.lang_source_chi2),
+        # Cohen's kappa of the language-ID classifier (chance-corrected)
+        "langid_kappa": _q(lambda t: text.langid_kappa(t["documents"])),
+        # quality-cutoff survivor curve (histogram-then-curve)
+        "quality_threshold_curve": _q(
+            lambda t: text.quality_threshold_curve(t["documents"])
+        ),
+        # apriori-pruned market-basket part pairs with lift
+        "part_affinity": _q(relational_ext.part_affinity),
     }
 
 
@@ -1409,4 +1417,7 @@ def oracle_sql() -> dict[str, str]:
         "neyman_allocation": curation.neyman_allocation_sql(),
         "scd2_pit_revenue": merge.SCD2_PIT_ORACLE,
         "lang_source_chi2": validation.LANG_SOURCE_CHI2_ORACLE,
+        "langid_kappa": text.langid_kappa_sql(),
+        "quality_threshold_curve": text.quality_threshold_curve_sql(),
+        "part_affinity": relational_ext.part_affinity_sql(),
     }

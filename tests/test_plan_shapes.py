@@ -74,6 +74,12 @@ NESTED_LOOP_OK = {
     # margins × margins grid (|lang|·|source| cells, metadata-sized)
     # plus the ONE-ROW totals broadcast
     "lang_source_chi2",
+    # ONE-ROW totals crossJoins (n_agree/n_total × Σrt·ct)
+    "langid_kappa",
+    # |thresholds|×|bins| theta join, both metadata-sized
+    "quality_threshold_curve",
+    # ONE-ROW basket-count broadcast (the lift denominator's N)
+    "part_affinity",
 }
 
 

@@ -311,3 +311,26 @@ def test_ols_trend_recovers_planted_slope(spark):
     assert out["m"].intercept_t4 == 100000.0
     assert out["const"].slope_t4_per_hour is None
     assert out["const"].intercept_t4 is None
+
+
+def test_part_affinity_lift_and_prune(spark):
+    """Planted baskets: the always-together pair has lift > 1 and tops
+    the list; items below min support never appear."""
+    from training_etl_demo_2_spark.operators.relational_ext import part_affinity
+
+    rows = []
+    # parts 1,2 co-occur in 4 baskets; part 3 rides in 2 of them;
+    # part 99 appears once (below min_support=3)
+    for okey in range(4):
+        rows += [(okey, 1), (okey, 2)]
+    rows += [(0, 3), (1, 3), (2, 99)]
+    li = spark.createDataFrame(
+        [(o, p, 1) for o, p in rows],
+        "l_orderkey long, l_partkey long, l_linenumber int",
+    )
+    out = part_affinity({"lineitem": li}, min_support=3, k=10).collect()
+    got = {(r.pa, r.pb): r for r in out}
+    assert set(got) == {(1, 2)}          # 99 pruned; (1,3)/(2,3) c=2 < 3
+    r = got[(1, 2)]
+    assert r.c == 4
+    assert r.lift == 1.0                  # 4*4/(4*4): perfectly coupled

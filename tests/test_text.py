@@ -376,3 +376,39 @@ def test_doc_lang_consistency_mixed(spark):
     assert rows[2].agree_bp == 10000
     assert rows[1].n_chunks == 2 and rows[1].n_agree == 1
     assert rows[1].agree_bp == 5000
+
+
+def test_langid_kappa_perfect_and_chance(spark):
+    """Perfect agreement gives kappa == 1; the kappa denominator and
+    margins follow the confusion matrix exactly."""
+    from training_etl_demo_2_spark.operators.text import langid_kappa
+
+    # marker-heavy texts the classifier identifies correctly
+    docs = spark.createDataFrame(
+        [
+            (1, "the of and to in is that it was for", "en", "s", 10),
+            (2, "el la de que y en un ser se no", "es", "s", 10),
+            (3, "le de un être et à il avoir ne je", "fr", "s", 10),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = langid_kappa(docs).collect()[0]
+    assert r.n == 3
+    assert r.p_o == 1.0
+    assert r.kappa == 1.0
+
+
+def test_quality_threshold_curve_monotone(tables):
+    from training_etl_demo_2_spark.operators.text import (
+        QT_BINS,
+        quality_threshold_curve,
+    )
+
+    rows = {r.thr_bin: r for r in quality_threshold_curve(
+        tables["documents"]).collect()}
+    assert set(rows) == set(range(QT_BINS + 1))
+    # survivors are non-increasing in the threshold; thr=0 is everyone
+    n_docs = tables["documents"].count()
+    assert rows[0].n_survivors == n_docs
+    for k in range(1, QT_BINS + 1):
+        assert rows[k].n_survivors <= rows[k - 1].n_survivors

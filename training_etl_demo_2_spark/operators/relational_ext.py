@@ -1226,3 +1226,101 @@ EVENTS_VALUE_TREND_OLS = f"""
            END AS intercept_t4
     FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# market-basket affinity (apriori-pruned pair mining)
+# ---------------------------------------------------------------------------
+
+AFFINITY_MIN_SUPPORT = 3
+AFFINITY_TOPK = 50
+
+
+def part_affinity(
+    t: dict[str, DataFrame],
+    min_support: int = AFFINITY_MIN_SUPPORT,
+    k: int = AFFINITY_TOPK,
+) -> DataFrame:
+    """Frequent-pair mining with lift over order baskets: which part
+    pairs co-occur in the same order more than their popularity
+    predicts (lift = P(a,b)/(P(a)·P(b))) — the apriori/market-basket
+    primitive; in a training-data pipeline the same shape mines
+    co-occurring (source, artifact) or (tag, defect) associations.
+
+    The APRIORI PRUNE is the scale move: items below ``min_support``
+    are dropped BEFORE the basket self-join (a subset-frequency
+    argument — no pair can beat the support of its rarest item), so
+    the quadratic-in-basket-size pair generation runs only over items
+    that can still qualify. Baskets here are orders (bounded size);
+    at 100 TB you also cap basket size, since one degenerate
+    1M-item basket generates 10^12 pairs. Lift is a double from exact
+    BIGINT counts; top-k fully tie-broken.
+    """
+    baskets = t["lineitem"].select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    # ONE-ROW basket-count aggregate broadcast into the lift expression
+    # (no driver-side action; the event_type_pmi pattern)
+    n = baskets.agg(F.count_distinct("okey").cast("long").alias("n_orders"))
+    support = baskets.groupBy("part").agg(
+        F.count(F.lit(1)).cast("long").alias("s")
+    )
+    frequent = support.filter(F.col("s") >= min_support)
+    fb = baskets.join(F.broadcast(frequent.select("part")), "part")
+    a = fb.select("okey", F.col("part").alias("pa"))
+    b = fb.select("okey", F.col("part").alias("pb"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= min_support)
+    )
+    sa = support.select(F.col("part").alias("pa"), F.col("s").alias("sa"))
+    sb = support.select(F.col("part").alias("pb"), F.col("s").alias("sb"))
+    scored = (
+        pairs.join(sa, "pa")
+        .join(sb, "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            "c",
+            F.round(
+                F.col("c").cast("double") * F.col("n_orders")
+                / (F.col("sa").cast("double") * F.col("sb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("pa"), F.asc("pb")
+    ).limit(k)
+
+
+def part_affinity_sql(
+    min_support: int = AFFINITY_MIN_SUPPORT, k: int = AFFINITY_TOPK
+) -> str:
+    return f"""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    n AS (SELECT count(DISTINCT okey) AS n_orders FROM baskets),
+    support AS (SELECT part, count(*) AS s FROM baskets GROUP BY 1),
+    frequent AS (SELECT part FROM support WHERE s >= {min_support}),
+    fb AS (SELECT b.okey, b.part FROM baskets b JOIN frequent USING (part)),
+    pairs AS (
+        SELECT a.part AS pa, b.part AS pb, count(*) AS c
+        FROM fb a JOIN fb b ON a.okey = b.okey AND a.part < b.part
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_support}
+    )
+    SELECT pa, pb, CAST(c AS BIGINT) AS c,
+           round(c * 1.0 * n_orders / (za.s * 1.0 * zb.s), 6) AS lift
+    FROM pairs
+    JOIN support za ON za.part = pa
+    JOIN support zb ON zb.part = pb
+    CROSS JOIN n
+    ORDER BY lift DESC, pa ASC, pb ASC
+    LIMIT {k}
+    """

@@ -1277,3 +1277,146 @@ STRIP_MARKUP_SQL = """
                '\\s+', ' ', 'g'))) AS BIGINT) AS n_clean_chars
     FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# chance-corrected classifier agreement (Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+
+def langid_kappa(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Cohen's kappa of the language-ID classifier against the
+    ground-truth labels — the chance-corrected agreement score
+    (accuracy alone flatters a classifier on skewed label mixes; kappa
+    subtracts the agreement a label-marginal-preserving random
+    classifier would get). One row: (n, p_o, p_e, kappa).
+
+    All inputs are exact BIGINT confusion-matrix counts; the expected
+    agreement Σ row_k·col_k stays in exact integer arithmetic (products
+    ≤ N² — fine far past fixture scale; at corpus sizes where N² nears
+    2^63, divide each margin by N in double first) and only the final
+    ratios are doubles. Metadata-sized throughout after the one
+    confusion aggregate.
+    """
+    conf = language_confusion(df, text_col)
+    rows = conf.groupBy("lang_actual").agg(F.sum("n").alias("rt"))
+    cols = conf.groupBy("lang_pred").agg(F.sum("n").alias("ct"))
+    margins = rows.join(
+        cols, F.col("lang_actual") == F.col("lang_pred")
+    ).select((F.col("rt") * F.col("ct")).alias("rc"))
+    tot = conf.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.when(F.col("lang_actual") == F.col("lang_pred"), F.col("n"))
+              .otherwise(F.lit(0))).alias("n_agree"),
+    )
+    pe_num = margins.agg(F.sum("rc").alias("pe_num"))
+    po = F.col("n_agree").cast("double") / F.col("n_total")
+    pe = F.col("pe_num").cast("double") / (
+        F.col("n_total").cast("double") * F.col("n_total")
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe_num))
+        .select(
+            F.col("n_total").cast("long").alias("n"),
+            F.round(po, 6).alias("p_o"),
+            F.round(pe, 6).alias("p_e"),
+            F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+        )
+    )
+
+
+def langid_kappa_sql() -> str:
+    from .oracle_text import language_id_sql
+
+    return f"""
+    WITH preds AS ({language_id_sql()}),
+    conf AS (
+        SELECT lang_actual, lang_pred, count(*) AS n
+        FROM preds GROUP BY 1, 2
+    ),
+    rows_m AS (SELECT lang_actual AS k, sum(n) AS rt FROM conf GROUP BY 1),
+    cols_m AS (SELECT lang_pred AS k, sum(n) AS ct FROM conf GROUP BY 1),
+    pe AS (
+        SELECT CAST(sum(rt * ct) AS BIGINT) AS pe_num
+        FROM rows_m JOIN cols_m USING (k)
+    ),
+    tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN lang_actual = lang_pred THEN n ELSE 0 END)
+                    AS BIGINT) AS n_agree
+        FROM conf
+    )
+    SELECT n_total AS n,
+           round(n_agree * 1.0 / n_total, 6) AS p_o,
+           round(pe_num / (n_total * 1.0 * n_total), 6) AS p_e,
+           round((n_agree * 1.0 / n_total - pe_num / (n_total * 1.0 * n_total))
+                 / (1.0 - pe_num / (n_total * 1.0 * n_total)), 6) AS kappa
+    FROM tot CROSS JOIN pe
+    """
+
+
+# ---------------------------------------------------------------------------
+# quality threshold survivor curve
+# ---------------------------------------------------------------------------
+
+QT_BINS = 20
+
+
+def quality_threshold_curve(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Survivor curve of the quality classifier: how many documents
+    survive a keep-threshold of k/20 for k = 0..20 — the picture you
+    look at before choosing a quality cutoff (a cliff between two
+    thresholds means the score distribution is bimodal there; a flat
+    curve means the knob does nothing).
+
+    Scale shape: per-doc scores reduce to a 21-bin histogram in ONE
+    aggregate; the tail-sums come from a |thresholds|×|bins| theta
+    join over two metadata-sized relations, never from the corpus —
+    the same histogram-then-curve pattern as ``vocab_coverage_curve``.
+    Bin edges compare the ROUNDED score, so engine and oracle bucket
+    identically.
+    """
+    scores = quality_classifier(df, text_col)
+    binned = scores.select(
+        F.least(
+            F.floor(F.col("quality_prob") * QT_BINS).cast("int"),
+            F.lit(QT_BINS),
+        ).alias("bin")
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # every threshold 0..QT_BINS, including ones past the occupied bins
+    thr = df.sparkSession.range(QT_BINS + 1).select(
+        F.col("id").cast("int").alias("thr_bin")
+    )
+    return (
+        F.broadcast(thr)
+        .join(hist, hist.bin >= thr.thr_bin, "left")
+        .groupBy("thr_bin")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_survivors"))
+        .select(
+            "thr_bin",
+            F.round(F.col("thr_bin") / QT_BINS, 2).alias("threshold"),
+            "n_survivors",
+        )
+    )
+
+
+def quality_threshold_curve_sql() -> str:
+    return f"""
+    WITH scores AS ({quality_classifier_sql()}),
+    binned AS (
+        SELECT least(CAST(floor(quality_prob * {QT_BINS}) AS INT), {QT_BINS})
+                   AS bin
+        FROM scores
+    ),
+    hist AS (SELECT bin, count(*) AS c FROM binned GROUP BY 1),
+    thresholds AS (
+        SELECT CAST(range AS INT) AS thr_bin FROM range(0, {QT_BINS + 1})
+    )
+    SELECT t.thr_bin,
+           round(t.thr_bin * 1.0 / {QT_BINS}, 2) AS threshold,
+           CAST(coalesce(sum(h.c), 0) AS BIGINT) AS n_survivors
+    FROM thresholds t
+    LEFT JOIN hist h ON h.bin >= t.thr_bin
+    GROUP BY t.thr_bin
+    """
