@@ -664,6 +664,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # apriori-pruned market-basket part pairs with lift
         "part_affinity": _q(relational_ext.part_affinity),
+        # right-censored Kaplan-Meier user-lifetime survival curve
+        "kaplan_meier_churn": _q(
+            lambda t: behavior.kaplan_meier_churn(t["events"])
+        ),
     }
 
 
@@ -1420,4 +1424,5 @@ def oracle_sql() -> dict[str, str]:
         "langid_kappa": text.langid_kappa_sql(),
         "quality_threshold_curve": text.quality_threshold_curve_sql(),
         "part_affinity": relational_ext.part_affinity_sql(),
+        "kaplan_meier_churn": behavior.kaplan_meier_churn_sql(),
     }

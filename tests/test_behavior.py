@@ -164,3 +164,28 @@ def test_funnel_latency_in_order_and_values(spark):
     assert rows["purchase"].n_users == 1
     assert rows["purchase"].p50_s == 70.0
     assert rows["purchase"].from_stage == "click"
+
+
+def test_kaplan_meier_censoring_and_product(spark):
+    """3 users: A churned at 2 days, B churned at 5, C censored (active
+    at the edge). KM: S(2) = 1 - 1/3; S(5) = (2/3)·(1 - 1/2) = 1/3 —
+    the censored user leaves the risk set without an event."""
+    ev = _events(
+        spark,
+        [
+            (1, "view", "2026-01-01 00:00:00"),
+            (1, "view", "2026-01-03 00:00:00"),   # A: 2-day lifetime, old
+            (2, "view", "2026-01-01 00:00:00"),
+            (2, "view", "2026-01-06 00:00:00"),   # B: 5-day lifetime, old
+            (3, "view", "2026-01-10 00:00:00"),
+            (3, "view", "2026-01-20 00:00:00"),   # C: at the edge -> censored
+        ],
+    )
+    rows = {r.duration_days: r for r in behavior.kaplan_meier_churn(ev).collect()}
+    assert set(rows) == {2, 5}
+    assert rows[2].n_risk == 3 and rows[2].n_events == 1
+    assert abs(rows[2].surv - (2 / 3)) < 1e-6
+    # duration 10 (C) is censored-only: present in the risk set at t=5
+    # (10 >= 5), so n_risk(5) counts B and C
+    assert rows[5].n_risk == 2 and rows[5].n_events == 1
+    assert abs(rows[5].surv - (1 / 3)) < 1e-6

@@ -80,6 +80,8 @@ NESTED_LOOP_OK = {
     "quality_threshold_curve",
     # ONE-ROW basket-count broadcast (the lift denominator's N)
     "part_affinity",
+    # ONE-ROW observation-edge (max ts) broadcast into the censor rule
+    "kaplan_meier_churn",
 }
 
 

@@ -513,3 +513,140 @@ def funnel_latency_sql(stages: tuple = FUNNEL_STAGES) -> str:
             f"round(avg(lat_s), 4) AS mean_s FROM l{i}"
         )
     return "WITH " + ", ".join(ctes) + " " + " UNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival (user churn)
+# ---------------------------------------------------------------------------
+
+KM_CHURN_DAYS = 7
+
+
+def kaplan_meier_churn(
+    events: DataFrame, churn_days: int = KM_CHURN_DAYS
+) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime with right
+    censoring — the statistically correct churn read: a user whose
+    last event is within ``churn_days`` of the observation edge has
+    NOT churned, only been observed for a shorter window, and naive
+    "days until last event" histograms silently treat those users as
+    dead (the classic censoring bias). S(t) = Π_{t'<=t}
+    (1 − d_{t'}/n_{t'}) over churn durations t'.
+
+    Relational shape: per-user (first, last) is one aggregate; the
+    duration relation reduces to per-duration (events, at-risk) rows —
+    AT MOST horizon-days rows — and the product runs over that
+    metadata-sized relation as exp(Σ ln), with each ln term ROUNDED TO
+    INTEGER NANO-UNITS before the cumulative sum so the product is
+    order-invariant and engine-identical. The observation edge is a
+    ONE-ROW max-ts aggregate broadcast into the censor rule. Output:
+    (duration_days, n_risk, n_events, surv).
+    """
+    from pyspark.sql import Window
+
+    spans = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    edge = events.agg(F.max("ts").alias("edge_ts"))
+    per_user = spans.crossJoin(F.broadcast(edge)).select(
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias(
+            "duration_days"
+        ),
+        (
+            F.col("last_ts")
+            < F.col("edge_ts") - F.expr(f"INTERVAL {churn_days} DAYS")
+        )
+        .cast("int")
+        .alias("churned"),
+    )
+    by_dur = per_user.groupBy("duration_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+        F.sum("churned").cast("long").alias("n_events"),
+    )
+    w_ord = Window.orderBy("duration_days")
+    # n_risk(t): everyone whose duration >= t = total - running count(< t)
+    risked = by_dur.withColumn(
+        "n_risk",
+        (
+            F.sum("n_at").over(
+                w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            )
+        ).cast("long"),
+    )
+    f = 1.0 - F.col("n_events").cast("double") / F.col("n_risk")
+    ln_nano = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.floor(F.log(f) * 1e9 + F.lit(0.5)).cast("long"),
+    ).otherwise(F.lit(None))
+    scored = risked.withColumn("ln_nano", ln_nano).withColumn(
+        "hit_zero",
+        F.max((F.col("n_events") == F.col("n_risk")).cast("int")).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    surv = F.when(
+        F.col("hit_zero") == 1, F.lit(0.0)
+    ).otherwise(
+        F.exp(
+            F.sum("ln_nano")
+            .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            / 1e9
+        )
+    )
+    return scored.filter(F.col("n_events") > 0).select(
+        "duration_days",
+        "n_risk",
+        "n_events",
+        F.round(surv, 6).alias("surv"),
+    )
+
+
+def kaplan_meier_churn_sql(churn_days: int = KM_CHURN_DAYS) -> str:
+    return f"""
+    WITH spans AS (
+        SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+        FROM events GROUP BY 1
+    ),
+    edge AS (SELECT max(ts) AS edge_ts FROM events),
+    per_user AS (
+        SELECT date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE))
+                   AS duration_days,
+               CASE WHEN last_ts < edge_ts - INTERVAL {churn_days} DAY
+                    THEN 1 ELSE 0 END AS churned
+        FROM spans CROSS JOIN edge
+    ),
+    by_dur AS (
+        SELECT duration_days, count(*) AS n_at, sum(churned) AS n_events
+        FROM per_user GROUP BY 1
+    ),
+    risked AS (
+        SELECT duration_days, n_at, n_events,
+               CAST(sum(n_at) OVER (
+                   ORDER BY duration_days
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+               ) AS BIGINT) AS n_risk
+        FROM by_dur
+    ),
+    scored AS (
+        SELECT duration_days, n_events, n_risk,
+               CASE WHEN n_events < n_risk
+                    THEN CAST(floor(ln(1.0 - n_events * 1.0 / n_risk) * 1e9
+                                    + 0.5) AS BIGINT)
+                    ELSE NULL END AS ln_nano,
+               max(CASE WHEN n_events = n_risk THEN 1 ELSE 0 END) OVER (
+                   ORDER BY duration_days
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS hit_zero
+        FROM risked
+    )
+    SELECT duration_days,
+           n_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           round(CASE WHEN hit_zero = 1 THEN 0.0
+                      ELSE exp(sum(ln_nano) OVER (
+                          ORDER BY duration_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ) / 1e9) END, 6) AS surv
+    FROM scored
+    WHERE n_events > 0
+    """
