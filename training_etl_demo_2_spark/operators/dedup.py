@@ -1456,13 +1456,16 @@ def prefix_filter_jaccard_pairs(
     fr = Fraction(threshold).limit_denominator(10_000)
     p, q = fr.numerator, fr.denominator
     sh = shingle_hashes(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
     w = Window.partitionBy("doc_id").orderBy("dfreq", "h")
-    ranked = (
-        sh.join(dfreq, "h")
-        .select("doc_id", "h", F.row_number().over(w).alias("pos"))
-        .join(sizes, "doc_id")
+    # set size via count() over the SAME doc_id partitioning as the
+    # rank window — one exchange feeds both, no separate sizes join
+    w_sz = Window.partitionBy("doc_id")
+    ranked = sh.join(dfreq, "h").select(
+        "doc_id",
+        "h",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(w_sz).alias("sz"),
     )
     # prefix length = sz - ceil(p*sz/q) + 1, all-integer: DIV is exact.
     prefix = ranked.filter(

@@ -1353,34 +1353,61 @@ def knn_label_agreement(
     respects the labeling; a drop after re-embedding is the regression
     signal.
 
-    Scale shape: the query sample is fixed-size metadata (broadcast),
-    so cost is one pass over the candidate vectors times |queries| —
-    the same bounded plan as ``brute_topk``; at larger corpora swap the
+    Scale shape: the query sample is fixed-size metadata shipped in the
+    task closure, and the scoring pass is one Arrow-batched numpy
+    matmul over the candidate vectors (the ``brute_topk_pandas``
+    high-throughput scan pattern — ~5× the Catalyst higher-order-
+    function cosine at this query count); at larger corpora swap the
     candidate pass for the IVF/LSH tiers and this eval doubles as
     their recall monitor. Output: one row per label —
     (label, n_queries, n_agree, agree_pct).
     """
-    q = emb.filter((F.col("vec_id") % query_mod) == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("label").alias("q_label"),
+    queries = (
+        emb.filter((F.col("vec_id") % query_mod) == 0)
+        .select("vec_id", "embedding", "label")
+        .collect()
     )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("label").alias("n_label"),
-    )
-    pairs = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "q_label",
-            "neighbor_id",
-            "n_label",
-            F.round(cosine(F.col("q_emb"), F.col("c_emb")), ROUND).alias("sim"),
+    if not queries:  # empty sample: 0-row result, not a numpy shape error
+        return emb.sparkSession.createDataFrame(
+            [], "label int, n_queries long, n_agree long, agree_pct double"
         )
+    q_ids = np.array([r.vec_id for r in queries], dtype=np.int64)
+    q_labels = np.array([r.label for r in queries], dtype=np.int64)
+    q_mat = np.array([r.embedding for r in queries], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    out_schema = (
+        "query_id long, q_label int, neighbor_id long, n_label int, sim double"
+    )
+
+    def score(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            c_labels = pdf["label"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            sims = (q_mat @ c_mat.T) / np.outer(
+                q_norm, np.linalg.norm(c_mat, axis=1)
+            )
+            qq, cc = np.meshgrid(
+                np.arange(len(q_ids)), np.arange(len(c_ids)), indexing="ij"
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qq.ravel()],
+                    "q_label": q_labels[qq.ravel()].astype(np.int32),
+                    "neighbor_id": c_ids[cc.ravel()],
+                    "n_label": c_labels[cc.ravel()].astype(np.int32),
+                    "sim": np.round(sims.ravel(), ROUND),
+                }
+            )
+
+    pairs = (
+        emb.select("vec_id", "embedding", "label")
+        .mapInPandas(score, out_schema)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     topk = pairs.withColumn("rnk", F.row_number().over(w)).filter(
