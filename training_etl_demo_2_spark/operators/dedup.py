@@ -899,6 +899,9 @@ def duplicate_spans(
         "doc_id",
         F.posexplode(word_ngrams(toks, k)).alias("pos", "gram"),
     ).select("doc_id", "pos", rolling_hash(F.col("gram")).alias("h"))
+    # both the dup-gram relation and the flag join consume grams: one
+    # materialization instead of two explode+hash corpus passes
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     dup = (
         grams.select("doc_id", "h")
         .distinct()
