@@ -668,6 +668,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier_churn": _q(
             lambda t: behavior.kaplan_meier_churn(t["events"])
         ),
+        # interpolated Kneser-Ney bigram LM (continuation-count backoff)
+        "bigram_kn_logprob": _q(
+            lambda t: text.bigram_kn_logprob(t["documents"])
+        ),
     }
 
 
@@ -1425,4 +1429,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_threshold_curve": text.quality_threshold_curve_sql(),
         "part_affinity": relational_ext.part_affinity_sql(),
         "kaplan_meier_churn": behavior.kaplan_meier_churn_sql(),
+        "bigram_kn_logprob": text.BIGRAM_KN_LOGPROB_SQL,
     }

@@ -1420,3 +1420,127 @@ def quality_threshold_curve_sql() -> str:
     LEFT JOIN hist h ON h.bin >= t.thr_bin
     GROUP BY t.thr_bin
     """
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75
+
+
+def bigram_kn_logprob(
+    df: DataFrame, text_col: str = "text", d: float = KN_DISCOUNT
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the smoothing KenLM
+    actually uses (and the reason its scores beat add-k: the backoff
+    weight of a word is its CONTEXT DIVERSITY, not its raw frequency —
+    "Francisco" is frequent but follows almost only "San", so KN
+    correctly refuses to predict it in fresh contexts):
+
+        P(w2|w1) = max(c(w1,w2) − d, 0)/c(w1·)
+                   + [d·N1+(w1,·)/c(w1·)] · N1+(·,w2)/N1+(·,·)
+
+    Every statistic is an exact BIGINT count over bigram TYPES
+    (continuation counts are distinct-context counts — one groupBy on
+    each side of the bigram relation; c(w1·) and N1+(w1,·) come out of
+    the SAME aggregate); only the final per-type probability is a
+    double, rounded to integer nano-nats through one shared IEEE
+    sequence before the per-doc integer aggregate (the
+    ``bigram_logprob`` discipline). Scoring corpus == counting corpus,
+    so every scored bigram has c > 0 and P > 0 without a zero branch.
+    Output: (doc_id, n_bigrams, logprob_nano).
+    """
+    toks = _tokens(text_col)
+    bg = (
+        df.select("doc_id", F.explode(word_ngrams(toks, 2)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    cnt = bg.groupBy("bg").agg(F.sum("tf").cast("long").alias("cnt"))
+    typed = cnt.select(
+        "bg",
+        "cnt",
+        F.element_at(F.split(F.col("bg"), " "), 1).alias("w1"),
+        F.element_at(F.split(F.col("bg"), " "), 2).alias("w2"),
+    )
+    # c(w1·) and N1+(w1,·) from ONE aggregate over bigram types
+    ctx = typed.groupBy("w1").agg(
+        F.sum("cnt").cast("long").alias("ctx_cnt"),
+        F.count(F.lit(1)).cast("long").alias("nfol"),
+    )
+    prec = typed.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("nprec")
+    )
+    nbb = cnt.agg(F.count(F.lit(1)).cast("long").alias("nbb"))
+    p = (
+        F.greatest(F.col("cnt") - F.lit(d), F.lit(0.0))
+        + (F.lit(d) * F.col("nfol"))
+        * (F.col("nprec").cast("double") / F.col("nbb"))
+    ) / F.col("ctx_cnt")
+    q = F.floor(F.log(p) * 1e9 + F.lit(0.5)).cast("long")
+    scored = (
+        typed.join(ctx, "w1")
+        .join(prec, "w2")
+        .crossJoin(F.broadcast(nbb))
+        .select("bg", q.alias("q"))
+    )
+    return (
+        bg.join(scored, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("q")).cast("long").alias("logprob_nano"),
+        )
+    )
+
+
+BIGRAM_KN_LOGPROB_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(w) - 1, 0) + 1),
+                   i -> array_to_string(w[i:i+1], ' '))) AS bg
+        FROM toks
+    ),
+    tf AS (
+        SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS tf
+        FROM grams GROUP BY doc_id, bg
+    ),
+    cnt AS (SELECT bg, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY bg),
+    typed AS (
+        SELECT bg, cnt,
+               string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2
+        FROM cnt
+    ),
+    ctx AS (
+        SELECT w1, CAST(sum(cnt) AS BIGINT) AS ctx_cnt,
+               CAST(count(*) AS BIGINT) AS nfol
+        FROM typed GROUP BY 1
+    ),
+    prec AS (
+        SELECT w2, CAST(count(*) AS BIGINT) AS nprec FROM typed GROUP BY 1
+    ),
+    nbb AS (SELECT CAST(count(*) AS BIGINT) AS nbb FROM cnt),
+    scored AS (
+        SELECT t.bg,
+               CAST(floor(ln(
+                   (greatest(t.cnt - {KN_DISCOUNT}, 0.0)
+                    + ({KN_DISCOUNT} * x.nfol)
+                      * (p.nprec * 1.0 / n.nbb))
+                   / x.ctx_cnt) * 1e9 + 0.5) AS BIGINT) AS q
+        FROM typed t
+        JOIN ctx x USING (w1)
+        JOIN prec p USING (w2)
+        CROSS JOIN nbb n
+    )
+    SELECT t.doc_id,
+           CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+           CAST(sum(t.tf * s.q) AS BIGINT) AS logprob_nano
+    FROM tf t JOIN scored s ON s.bg = t.bg
+    GROUP BY t.doc_id
+"""
