@@ -672,6 +672,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_kn_logprob": _q(
             lambda t: text.bigram_kn_logprob(t["documents"])
         ),
+        # per-vector kNN mislabel suspects (label-noise review queue)
+        "knn_label_suspects": _q(
+            lambda t: similarity.knn_label_suspects(t["embeddings"])
+        ),
+        # exponentially time-decayed per-user engagement score
+        "decayed_engagement": _q(
+            lambda t: behavior.decayed_engagement(t["events"])
+        ),
     }
 
 
@@ -1430,4 +1438,6 @@ def oracle_sql() -> dict[str, str]:
         "part_affinity": relational_ext.part_affinity_sql(),
         "kaplan_meier_churn": behavior.kaplan_meier_churn_sql(),
         "bigram_kn_logprob": text.BIGRAM_KN_LOGPROB_SQL,
+        "knn_label_suspects": oracle_text.knn_label_suspects_sql(),
+        "decayed_engagement": behavior.decayed_engagement_sql(),
     }

@@ -189,3 +189,20 @@ def test_kaplan_meier_censoring_and_product(spark):
     # (10 >= 5), so n_risk(5) counts B and C
     assert rows[5].n_risk == 2 and rows[5].n_events == 1
     assert abs(rows[5].surv - (1 / 3)) < 1e-6
+
+
+def test_decayed_engagement_recency_weighting(spark):
+    """Same total raw value: the recent user outscores the stale one;
+    an event AT the edge contributes its full value."""
+    ev = _events(
+        spark,
+        [
+            (1, "view", "2026-01-31 00:00:00"),   # at the edge: weight 1
+            (2, "view", "2026-01-01 00:00:00"),   # 30 days old: ~e^-30/7
+            (3, "view", "2026-01-31 00:00:00"),
+        ],
+    )
+    out = {r.user_id: r for r in behavior.decayed_engagement(ev).collect()}
+    assert out[1].score == 1.0
+    assert 0 < out[2].score < 0.02       # e^(-30/7) ≈ 0.0137
+    assert out[1].score > out[2].score

@@ -84,6 +84,8 @@ NESTED_LOOP_OK = {
     "kaplan_meier_churn",
     # ONE-ROW bigram-type-count broadcast (the N1+(··) denominator)
     "bigram_kn_logprob",
+    # ONE-ROW observation-edge broadcast (the decay anchor)
+    "decayed_engagement",
 }
 
 

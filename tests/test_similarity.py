@@ -447,3 +447,31 @@ def test_knn_label_agreement_separated_clusters(spark):
     for lab, r in out.items():
         assert r.n_agree == r.n_queries
         assert r.agree_pct == 1.0
+
+
+def test_knn_suspects_flags_planted_mislabels(spark):
+    """A vector placed deep inside the other cluster but labeled
+    against it must appear in the suspect queue; clean vectors must
+    not."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for vid in range(40):
+        label = 0 if vid < 20 else 1
+        base = [10.0, 0.0] if label == 0 else [0.0, 10.0]
+        rows.append((vid, [b + rng.uniform(-0.1, 0.1) for b in base], label))
+    # vid 40: sits in cluster 1's region but carries label 0
+    rows.append((40, [0.0, 10.0], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from training_etl_demo_2_spark.operators.similarity import (
+        knn_label_suspects,
+    )
+
+    out = knn_label_suspects(emb, k=5, query_mod=4).collect()
+    flagged = {r.query_id: r for r in out}
+    assert 40 in flagged
+    assert flagged[40].own_label == 0 and flagged[40].voted_label == 1
+    assert all(q == 40 for q in flagged)  # clean sampled vectors stay off

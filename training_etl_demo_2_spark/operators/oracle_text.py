@@ -330,3 +330,40 @@ def knn_label_agreement_sql(k: int = 10, query_mod: int = 10) -> str:
                  / count(*), 4) AS agree_pct
     FROM winner GROUP BY 1
     """
+
+
+def knn_label_suspects_sql(k: int = 10, query_mod: int = 10) -> str:
+    """Per-vector complement of knn_label_agreement_sql: the sampled
+    vectors whose vote disagrees with their own label."""
+    return f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               c.vec_id AS neighbor_id, c.label AS n_label,
+               round(list_cosine_similarity(q.e, c.e), 6) AS sim
+        FROM (SELECT * FROM v WHERE vec_id % {query_mod} = 0) q
+        JOIN v c ON q.vec_id <> c.vec_id
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+            ) AS rnk FROM pairs
+        ) WHERE rnk <= {k}
+    ),
+    votes AS (
+        SELECT query_id, q_label, n_label, count(*) AS cnt
+        FROM topk GROUP BY 1, 2, 3
+    ),
+    winner AS (
+        SELECT query_id, q_label, n_label AS voted_label FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cnt DESC, n_label ASC
+            ) AS vr FROM votes
+        ) WHERE vr = 1
+    )
+    SELECT query_id, q_label AS own_label, voted_label
+    FROM winner
+    WHERE voted_label <> q_label
+    ORDER BY query_id
+    """

@@ -1362,15 +1362,44 @@ def knn_label_agreement(
     their recall monitor. Output: one row per label —
     (label, n_queries, n_agree, agree_pct).
     """
+    winner = _knn_vote_winners(emb, k, query_mod)
+    if winner is None:  # empty sample: 0-row result, not a numpy error
+        return emb.sparkSession.createDataFrame(
+            [], "label int, n_queries long, n_agree long, agree_pct double"
+        )
+    return (
+        winner.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum(
+                F.when(F.col("voted_label") == F.col("q_label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_agree",
+            F.round(F.col("n_agree") / F.col("n_queries"), 4).alias("agree_pct"),
+        )
+    )
+
+
+def _knn_vote_winners(
+    emb: DataFrame, k: int, query_mod: int
+) -> DataFrame | None:
+    """(query_id, q_label, voted_label) for the deterministic query
+    sample — the shared vote core of ``knn_label_agreement`` (the
+    aggregate view) and ``knn_label_suspects`` (the per-vector view).
+    Returns None on an empty sample."""
     queries = (
         emb.filter((F.col("vec_id") % query_mod) == 0)
         .select("vec_id", "embedding", "label")
         .collect()
     )
-    if not queries:  # empty sample: 0-row result, not a numpy shape error
-        return emb.sparkSession.createDataFrame(
-            [], "label int, n_queries long, n_agree long, agree_pct double"
-        )
+    if not queries:
+        return None
     q_ids = np.array([r.vec_id for r in queries], dtype=np.int64)
     q_labels = np.array([r.label for r in queries], dtype=np.int64)
     q_mat = np.array([r.embedding for r in queries], dtype=np.float64)
@@ -1419,7 +1448,7 @@ def knn_label_agreement(
     wv = Window.partitionBy("query_id").orderBy(
         F.desc("cnt"), F.asc("n_label")
     )
-    winner = (
+    return (
         votes.withColumn("vr", F.row_number().over(wv))
         .filter(F.col("vr") == 1)
         .select(
@@ -1428,20 +1457,30 @@ def knn_label_agreement(
             F.col("n_label").alias("voted_label"),
         )
     )
+
+
+def knn_label_suspects(
+    emb: DataFrame, k: int = 10, query_mod: int = 10
+) -> DataFrame:
+    """Mislabel mining — the per-vector complement of
+    ``knn_label_agreement``: sampled vectors whose kNN majority vote
+    DISAGREES with their own label, i.e. points sitting inside another
+    label's neighborhood. In a training pipeline this is the
+    label-noise review queue (confident-learning's core signal, here
+    from exact neighbors). Output: (query_id, own_label, voted_label),
+    ordered by query_id.
+    """
+    winner = _knn_vote_winners(emb, k, query_mod)
+    if winner is None:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, own_label int, voted_label int"
+        )
     return (
-        winner.groupBy(F.col("q_label").alias("label"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_queries"),
-            F.sum(
-                F.when(F.col("voted_label") == F.col("q_label"), 1).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_agree"),
-        )
+        winner.filter(F.col("voted_label") != F.col("q_label"))
         .select(
-            "label",
-            "n_queries",
-            "n_agree",
-            F.round(F.col("n_agree") / F.col("n_queries"), 4).alias("agree_pct"),
+            "query_id",
+            F.col("q_label").alias("own_label"),
+            "voted_label",
         )
+        .orderBy("query_id")
     )
