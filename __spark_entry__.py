@@ -665,8 +665,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # apriori-pruned market-basket part pairs with lift
         "part_affinity": _q(relational_ext.part_affinity),
         # right-censored Kaplan-Meier user-lifetime survival curve
+        # (churn_days=1: the fixture's users are all active within
+        # 2.4 days of the edge, so the 7-day default would make the
+        # curve trivially empty — 1 day yields a real censored mix)
         "kaplan_meier_churn": _q(
-            lambda t: behavior.kaplan_meier_churn(t["events"])
+            lambda t: behavior.kaplan_meier_churn(t["events"], churn_days=1)
         ),
         # interpolated Kneser-Ney bigram LM (continuation-count backoff)
         "bigram_kn_logprob": _q(
@@ -1436,7 +1439,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_kappa": text.langid_kappa_sql(),
         "quality_threshold_curve": text.quality_threshold_curve_sql(),
         "part_affinity": relational_ext.part_affinity_sql(),
-        "kaplan_meier_churn": behavior.kaplan_meier_churn_sql(),
+        "kaplan_meier_churn": behavior.kaplan_meier_churn_sql(churn_days=1),
         "bigram_kn_logprob": text.BIGRAM_KN_LOGPROB_SQL,
         "knn_label_suspects": oracle_text.knn_label_suspects_sql(),
         "decayed_engagement": behavior.decayed_engagement_sql(),

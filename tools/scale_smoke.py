@@ -375,6 +375,100 @@ def main() -> int:
     for pair, r in big_corr.items():
         assert abs(r - small_corr[pair]) <= 1e-6, pair
 
+
+    # Round-4 final families.
+    # lang_source_chi2: every observed and expected cell scales by
+    # n_rep, so the statistic scales EXACTLY by n_rep (dof unchanged) —
+    # the contingency math must not buckle under volume.
+    from training_etl_demo_2_spark.operators import behavior, text as text_ops
+
+    small_chi = validation.lang_source_chi2({"documents": docs}).collect()[0]
+    big_chi = tm(
+        "lang_source_chi2 (xN scaling law)",
+        lambda: validation.lang_source_chi2({"documents": big}).collect()[0],
+    )
+    assert big_chi.dof == small_chi.dof and big_chi.n_cells == small_chi.n_cells
+    assert abs(big_chi.chi2 - n_rep * small_chi.chi2) <= 1e-3, (
+        big_chi.chi2, small_chi.chi2
+    )
+
+    # langid_kappa: pure ratios of scaled counts — invariant.
+    small_kap = text_ops.langid_kappa(docs).collect()[0]
+    big_kap = tm(
+        "langid_kappa (replication-invariant)",
+        lambda: text_ops.langid_kappa(big).collect()[0],
+    )
+    assert big_kap.n == small_kap.n * n_rep
+    for f in ("p_o", "p_e", "kappa"):
+        assert abs(getattr(big_kap, f) - getattr(small_kap, f)) <= 1e-6, f
+
+    # quality_threshold_curve: identical scores -> identical bins ->
+    # survivors scale EXACTLY per threshold.
+    small_qc = {
+        r.thr_bin: r.n_survivors
+        for r in text_ops.quality_threshold_curve(docs).collect()
+    }
+    big_qc = tm(
+        "quality_threshold_curve (exact xN survivors)",
+        lambda: {
+            r.thr_bin: r.n_survivors
+            for r in text_ops.quality_threshold_curve(big).collect()
+        },
+    )
+    assert set(big_qc) == set(small_qc)
+    for thr, n in big_qc.items():
+        assert n == small_qc[thr] * n_rep, thr
+
+    # Events-based families: replicate events with DISJOINT users (and
+    # event ids) — per-user history is identical per replica.
+    ev = t["events"]
+    big_ev = ev.crossJoin(reps).select(
+        (F.col("event_id") + F.col("rep") * F.lit(100_000_000)).alias(
+            "event_id"
+        ),
+        "ts",
+        (F.col("user_id") + F.col("rep") * F.lit(100_000_000)).alias(
+            "user_id"
+        ),
+        "event_type",
+        "value",
+        "props",
+    )
+
+    # kaplan_meier_churn: every duration's (n_risk, n_events) scales by
+    # n_rep and the survival curve is IDENTICAL (the KM product is a
+    # ratio recurrence).
+    small_km = {
+        r.duration_days: r
+        for r in behavior.kaplan_meier_churn(ev, churn_days=1).collect()
+    }
+    big_km = tm(
+        "kaplan_meier_churn (invariant curve, xN risk sets)",
+        lambda: {
+            r.duration_days: r
+            for r in behavior.kaplan_meier_churn(big_ev, churn_days=1).collect()
+        },
+    )
+    assert set(big_km) == set(small_km)
+    for d, r in big_km.items():
+        s = small_km[d]
+        assert r.n_risk == s.n_risk * n_rep and r.n_events == s.n_events * n_rep
+        assert abs(r.surv - s.surv) <= 1e-6, d
+
+    # decayed_engagement: each replica user reproduces its original's
+    # score exactly (same events, same edge, same integer nano terms).
+    small_de = {
+        r.user_id: r for r in behavior.decayed_engagement(ev).collect()
+    }
+    big_de = tm(
+        "decayed_engagement (per-replica exact equality)",
+        lambda: behavior.decayed_engagement(big_ev).collect(),
+    )
+    assert len(big_de) == len(small_de) * n_rep
+    for r in big_de:
+        s = small_de[r.user_id % 100_000_000]
+        assert r.n_events == s.n_events and r.score == s.score, r.user_id
+
     print("scale smoke OK")
     return 0
 
