@@ -683,6 +683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decayed_engagement": _q(
             lambda t: behavior.decayed_engagement(t["events"])
         ),
+        # header-vs-detail arithmetic reconciliation audit
+        "order_total_consistency": _q(validation.order_total_consistency),
     }
 
 
@@ -1443,4 +1445,5 @@ def oracle_sql() -> dict[str, str]:
         "bigram_kn_logprob": text.BIGRAM_KN_LOGPROB_SQL,
         "knn_label_suspects": oracle_text.knn_label_suspects_sql(),
         "decayed_engagement": behavior.decayed_engagement_sql(),
+        "order_total_consistency": validation.ORDER_TOTAL_CONSISTENCY_ORACLE,
     }

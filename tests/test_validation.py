@@ -448,3 +448,27 @@ def test_lang_source_chi2_independent_vs_dependent(spark):
     r2 = validation.lang_source_chi2({"documents": dep}).collect()[0]
     assert r2.chi2 == 40.0  # n*(k-1) for a 2x2 diagonal table
     assert r2.dof == 1
+
+
+def test_order_total_consistency_detects_and_passes(spark):
+    """A reconciled order counts as consistent (within 1 cent); a
+    broken one shows up in the diff stats."""
+    li = spark.createDataFrame(
+        [
+            (1, 100.0, 0.1, 0.05),   # 100*1.1*0.95 = 104.50
+            (1, 50.0, 0.0, 0.0),     # 50.00 -> order 1 total 154.50
+            (2, 10.0, 0.0, 0.0),     # order 2 total 10.00
+        ],
+        "l_orderkey long, l_extendedprice double, l_tax double, l_discount double",
+    )
+    orders = spark.createDataFrame(
+        [(1, 154.50), (2, 99.99)],
+        "o_orderkey long, o_totalprice double",
+    )
+    r = validation.order_total_consistency(
+        {"lineitem": li, "orders": orders}
+    ).collect()[0]
+    assert r.n_orders_with_items == 2
+    assert r.n_consistent == 1
+    assert r.max_abs_diff_cents == 8999          # 99.99 vs 10.00
+    assert r.sum_abs_diff_cents == 8999

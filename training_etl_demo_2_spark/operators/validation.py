@@ -1040,3 +1040,69 @@ LANG_SOURCE_CHI2_ORACLE = """
            CAST(count(*) AS BIGINT) AS n_cells
     FROM terms
 """
+
+
+def order_total_consistency(t: dict[str, DataFrame]) -> DataFrame:
+    """Cross-table arithmetic reconciliation: does each order's header
+    total equal the sum of its lines under the TPC-H pricing formula
+    Σ extendedprice·(1+tax)·(1−discount)? This is the audit the
+    FK/PK/rule suite doesn't cover — per-key AGGREGATE consistency
+    between a rollup column and its detail table (the classic
+    double-entry check; in a data pipeline, manifest row counts vs
+    shard contents is the same shape). One row:
+    (n_orders_with_items, n_consistent, max_abs_diff_cents,
+    sum_abs_diff_cents) — consistency is |diff| <= 1 cent to absorb
+    the header's own rounding. Everything is exact integer cents, so
+    the verdict is engine-identical. (This fixture's orders fail the
+    check by construction — o_totalprice is generated independently —
+    which is exactly what the audit should report.)
+
+    Scale shape: one lineitem aggregate on the order key, one join to
+    the header relation, one global aggregate — the same two shuffles
+    as any detail-to-header rollup.
+    """
+    li, o = t["lineitem"], t["orders"]
+    line_cents = F.floor(
+        F.col("l_extendedprice")
+        * (1 + F.col("l_tax"))
+        * (1 - F.col("l_discount"))
+        * 100
+        + F.lit(0.5)
+    ).cast("long")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(line_cents).alias("line_cents")
+    )
+    head_cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    joined = o.select(
+        F.col("o_orderkey").alias("l_orderkey"), head_cents.alias("head_cents")
+    ).join(per_order, "l_orderkey")
+    diff = F.abs(F.col("head_cents") - F.col("line_cents"))
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders_with_items"),
+        F.sum((diff <= 1).cast("long")).cast("long").alias("n_consistent"),
+        F.max(diff).cast("long").alias("max_abs_diff_cents"),
+        F.sum(diff).cast("long").alias("sum_abs_diff_cents"),
+    )
+
+
+ORDER_TOTAL_CONSISTENCY_ORACLE = """
+    WITH per_order AS (
+        SELECT l_orderkey,
+               sum(CAST(floor(l_extendedprice * (1 + l_tax) * (1 - l_discount)
+                              * 100 + 0.5) AS BIGINT)) AS line_cents
+        FROM lineitem GROUP BY 1
+    ),
+    joined AS (
+        SELECT CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS head_cents,
+               p.line_cents
+        FROM orders o JOIN per_order p ON o.o_orderkey = p.l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders_with_items,
+           CAST(sum(CASE WHEN abs(head_cents - line_cents) <= 1
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+           CAST(max(abs(head_cents - line_cents)) AS BIGINT)
+               AS max_abs_diff_cents,
+           CAST(sum(abs(head_cents - line_cents)) AS BIGINT)
+               AS sum_abs_diff_cents
+    FROM joined
+"""
