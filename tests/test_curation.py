@@ -383,3 +383,17 @@ def test_neyman_allocation_favors_variable_strata(spark):
     assert out["flat"].alloc == 0
     assert out["spread"].alloc == 100
     assert out["spread"].sd_measure > 0
+
+
+def test_neyman_allocation_constant_strata_fallback(spark):
+    """Every stratum constant: Σw == 0, so the allocation must fall
+    back to proportional (not NULLs)."""
+    rows = [(i, "a", 100) for i in range(30)] + [
+        (100 + i, "b", 7) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    from training_etl_demo_2_spark.operators.curation import neyman_allocation
+
+    out = {r.source: r for r in neyman_allocation(df, budget=100).collect()}
+    assert out["a"].alloc == 75 and out["b"].alloc == 25
+    assert out["a"].sd_measure == 0.0 and out["b"].sd_measure == 0.0

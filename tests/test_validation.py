@@ -472,3 +472,30 @@ def test_order_total_consistency_detects_and_passes(spark):
     assert r.n_consistent == 1
     assert r.max_abs_diff_cents == 8999          # 99.99 vs 10.00
     assert r.sum_abs_diff_cents == 8999
+
+
+def test_lang_source_chi2_null_category(spark):
+    """NULL lang is a real contingency category: its observed cell must
+    rejoin the grid (null-safe), and dof must count it."""
+    rows = [(i, "en", "s%d" % (i % 2), 10) for i in range(20)] + [
+        (100 + i, None, "s0", 10) for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long"
+    )
+    r = validation.lang_source_chi2({"documents": df}).collect()[0]
+    assert r.dof == 1          # 2 langs (en, NULL) x 2 sources
+    assert r.n_cells == 4
+    # hand check: O = [[10,10],[4,0]]; margins rt=[20,4], ct=[14,10], n=24
+    import math
+
+    def term(o, e):
+        return math.floor((o - e) * (o - e) / e * 1e9 + 0.5)
+
+    exp = sum(
+        term(o, rt * ct / 24)
+        for o, rt, ct in [
+            (10, 20.0, 14), (10, 20.0, 10), (4, 4.0, 14), (0, 4.0, 10)
+        ]
+    )
+    assert r.chi2 == round(exp / 1e9, 4)

@@ -446,6 +446,8 @@ def funnel_latency(
     output is |stages|-1 rows. Output: (stage_idx, from_stage,
     to_stage, n_users, p50_s, p90_s, mean_s).
     """
+    if len(stages) < 2:
+        raise ValueError("funnel_latency needs >= 2 stages")
     base = events.select("user_id", "event_type", "ts")
     reached = None
     lat_rows = []
@@ -488,6 +490,8 @@ def funnel_latency(
 def funnel_latency_sql(stages: tuple = FUNNEL_STAGES) -> str:
     """DuckDB twin of funnel_latency: identical in-order stage CTE
     chain; latency differenced in integer microseconds first."""
+    if len(stages) < 2:
+        raise ValueError("funnel_latency_sql needs >= 2 stages")
     ctes = [
         f"s0 AS (SELECT user_id, min(ts) AS t FROM events "
         f"WHERE event_type = '{stages[0]}' GROUP BY user_id)"

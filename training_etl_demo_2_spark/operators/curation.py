@@ -1154,10 +1154,15 @@ def neyman_allocation(
     # s1 enters the square as DOUBLE on both engines (BIGINT s1*s1 could
     # overflow at scale and DuckDB would silently widen to HUGEINT,
     # diverging from Spark) — double*bigint is the same IEEE op twice.
-    sd = F.sqrt(
+    # Variance is clamped at 0: float cancellation on near-constant
+    # strata can land epsilon-negative and sqrt would poison every
+    # stratum's allocation through the shared denominator.
+    var = F.greatest(
         (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n_rows"))
-        / F.col("n_rows")
+        / F.col("n_rows"),
+        F.lit(0.0),
     )
+    sd = F.sqrt(var)
     weighted = stats.select(
         by,
         "n_rows",
@@ -1165,13 +1170,22 @@ def neyman_allocation(
         (F.col("n_rows") * sd).alias("w"),
     )
     z = weighted.agg(F.sum("w").alias("z"))
+    # Σw == 0 (every stratum constant): Neyman degenerates — fall back
+    # to PROPORTIONAL allocation (w := N_h) instead of returning NULLs
+    # and silently allocating nothing.
+    w_eff = F.when(F.col("z") > 0, F.col("w")).otherwise(
+        F.col("n_rows").cast("double")
+    )
+    z_eff = F.when(F.col("z") > 0, F.col("z")).otherwise(F.col("n_total"))
+    n_total = stats.agg(F.sum("n_rows").cast("double").alias("n_total"))
     return (
         weighted.crossJoin(F.broadcast(z))
+        .crossJoin(F.broadcast(n_total))
         .select(
             by,
             "n_rows",
             "sd_measure",
-            F.floor(F.lit(budget) * F.col("w") / F.col("z") + F.lit(0.5))
+            F.floor(F.lit(budget) * w_eff / z_eff + F.lit(0.5))
             .cast("long")
             .alias("alloc"),
         )
@@ -1190,13 +1204,19 @@ def neyman_allocation_sql(
     ),
     weighted AS (
         SELECT {by}, n_rows,
-               round(sqrt((s2 - (s1 * 1.0) * s1 / n_rows) / n_rows), 4)
-                   AS sd_measure,
-               n_rows * sqrt((s2 - (s1 * 1.0) * s1 / n_rows) / n_rows) AS w
+               round(sqrt(greatest((s2 - (s1 * 1.0) * s1 / n_rows) / n_rows,
+                                   0.0)), 4) AS sd_measure,
+               n_rows * sqrt(greatest((s2 - (s1 * 1.0) * s1 / n_rows) / n_rows,
+                                      0.0)) AS w
         FROM stats
+    ),
+    tot AS (
+        SELECT sum(w) AS z, sum(n_rows) * 1.0 AS n_total FROM weighted
     )
     SELECT {by}, CAST(n_rows AS BIGINT) AS n_rows, sd_measure,
-           CAST(floor({budget} * w / (SELECT sum(w) FROM weighted) + 0.5)
-                AS BIGINT) AS alloc
-    FROM weighted
+           CAST(floor({budget}
+                      * (CASE WHEN z > 0 THEN w ELSE n_rows * 1.0 END)
+                      / (CASE WHEN z > 0 THEN z ELSE n_total END)
+                      + 0.5) AS BIGINT) AS alloc
+    FROM weighted CROSS JOIN tot
     """

@@ -1471,10 +1471,16 @@ def prefix_filter_jaccard_pairs(
         F.count(F.lit(1)).over(w_sz).alias("sz"),
     )
     # prefix length = sz - ceil(p*sz/q) + 1, all-integer: DIV is exact.
-    prefix = ranked.filter(
-        F.col("pos")
-        <= F.col("sz") - F.expr(f"({p} * sz + {q - 1}) DIV {q}") + F.lit(1)
-    ).select("doc_id", "h", "sz")
+    # both sides of the candidate self-join read the prefix relation —
+    # persist it so the dfreq join + double window run once, not twice
+    prefix = (
+        ranked.filter(
+            F.col("pos")
+            <= F.col("sz") - F.expr(f"({p} * sz + {q - 1}) DIV {q}") + F.lit(1)
+        )
+        .select("doc_id", "h", "sz")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     a = prefix.select(F.col("doc_id").alias("doc_a"), "h", F.col("sz").alias("sza"))
     b = prefix.select(F.col("doc_id").alias("doc_b"), "h", F.col("sz").alias("szb"))
     cand = (

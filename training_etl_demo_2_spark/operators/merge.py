@@ -274,13 +274,11 @@ def orders_merge_upsert(t: dict[str, DataFrame]) -> DataFrame:
     )
 
 
-def orders_scd2_history(t: dict[str, DataFrame]) -> DataFrame:
-    """Apply the synthetic CDC delta as a type-2 merge over an initial
-    orders history (every order one open version since its order date;
-    delta effective 30 days later), then summarize: versions per status
-    × currency flag with exact integer-cent sums. Proves closes, opens
-    and inserts all landed with the right validity intervals."""
-    orders = t["orders"]
+def _scd2_merged(orders: DataFrame) -> DataFrame:
+    """The shared SCD2 history: initial one-open-version-per-order
+    hist + the synthetic CDC delta applied effective +30 days — the
+    DataFrame twin of ``_SCD2_MERGED_CTE``, used by both the history
+    summary and the point-in-time join."""
     hist = orders.select(
         "o_orderkey",
         "o_orderstatus",
@@ -294,7 +292,16 @@ def orders_scd2_history(t: dict[str, DataFrame]) -> DataFrame:
         "o_totalprice",
         (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("eff_ts"),
     )
-    merged = merge_scd2(hist, upd, "o_orderkey")
+    return merge_scd2(hist, upd, "o_orderkey")
+
+
+def orders_scd2_history(t: dict[str, DataFrame]) -> DataFrame:
+    """Apply the synthetic CDC delta as a type-2 merge over an initial
+    orders history (every order one open version since its order date;
+    delta effective 30 days later), then summarize: versions per status
+    × currency flag with exact integer-cent sums. Proves closes, opens
+    and inserts all landed with the right validity intervals."""
+    merged = _scd2_merged(t["orders"])
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     return merged.groupBy(
         "o_orderstatus",
@@ -392,21 +399,8 @@ def scd2_pit_revenue(t: dict[str, DataFrame]) -> DataFrame:
     no interval index needed. Revenue accumulates in exact integer
     ten-thousandths before the final round.
     """
-    orders, li = t["orders"], t["lineitem"]
-    hist = orders.select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        F.col("o_orderdate").alias("valid_from"),
-        F.lit(None).cast("timestamp").alias("valid_to"),
-    )
-    upd = _delta(orders).select(
-        "o_orderkey",
-        "o_orderstatus",
-        "o_totalprice",
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("eff_ts"),
-    )
-    merged = merge_scd2(hist, upd, "o_orderkey")
+    li = t["lineitem"]
+    merged = _scd2_merged(t["orders"])
     rev4 = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
     ).cast("long")

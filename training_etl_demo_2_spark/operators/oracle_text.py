@@ -291,12 +291,12 @@ def cosine_near_pairs_sql(threshold: float = 0.45) -> str:
     """
 
 
-def knn_label_agreement_sql(k: int = 10, query_mod: int = 10) -> str:
-    """Twin of similarity.knn_label_agreement: identical neighbor
-    ranking (rounded sim desc, neighbor asc) and vote tie-break
-    (count desc, label asc)."""
-    return f"""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+def _knn_winner_cte(k: int, query_mod: int) -> str:
+    """Shared v/pairs/topk/votes/winner CTE chain for the kNN vote
+    oracles — one definition so the agreement and suspects twins can
+    never drift from each other (mirror of the Spark-side
+    ``_knn_vote_winners`` core)."""
+    return f"""v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
     pairs AS (
         SELECT q.vec_id AS query_id, q.label AS q_label,
                c.vec_id AS neighbor_id, c.label AS n_label,
@@ -321,7 +321,15 @@ def knn_label_agreement_sql(k: int = 10, query_mod: int = 10) -> str:
                 PARTITION BY query_id ORDER BY cnt DESC, n_label ASC
             ) AS vr FROM votes
         ) WHERE vr = 1
-    )
+    )"""
+
+
+def knn_label_agreement_sql(k: int = 10, query_mod: int = 10) -> str:
+    """Twin of similarity.knn_label_agreement: identical neighbor
+    ranking (rounded sim desc, neighbor asc) and vote tie-break
+    (count desc, label asc)."""
+    return f"""
+    WITH {_knn_winner_cte(k, query_mod)}
     SELECT q_label AS label,
            CAST(count(*) AS BIGINT) AS n_queries,
            CAST(sum(CASE WHEN voted_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
@@ -336,32 +344,7 @@ def knn_label_suspects_sql(k: int = 10, query_mod: int = 10) -> str:
     """Per-vector complement of knn_label_agreement_sql: the sampled
     vectors whose vote disagrees with their own label."""
     return f"""
-    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-    pairs AS (
-        SELECT q.vec_id AS query_id, q.label AS q_label,
-               c.vec_id AS neighbor_id, c.label AS n_label,
-               round(list_cosine_similarity(q.e, c.e), 6) AS sim
-        FROM (SELECT * FROM v WHERE vec_id % {query_mod} = 0) q
-        JOIN v c ON q.vec_id <> c.vec_id
-    ),
-    topk AS (
-        SELECT * FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
-            ) AS rnk FROM pairs
-        ) WHERE rnk <= {k}
-    ),
-    votes AS (
-        SELECT query_id, q_label, n_label, count(*) AS cnt
-        FROM topk GROUP BY 1, 2, 3
-    ),
-    winner AS (
-        SELECT query_id, q_label, n_label AS voted_label FROM (
-            SELECT *, row_number() OVER (
-                PARTITION BY query_id ORDER BY cnt DESC, n_label ASC
-            ) AS vr FROM votes
-        ) WHERE vr = 1
-    )
+    WITH {_knn_winner_cte(k, query_mod)}
     SELECT query_id, q_label AS own_label, voted_label
     FROM winner
     WHERE voted_label <> q_label

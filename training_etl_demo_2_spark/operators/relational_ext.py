@@ -1256,9 +1256,17 @@ def part_affinity(
     1M-item basket generates 10^12 pairs. Lift is a double from exact
     BIGINT counts; top-k fully tie-broken.
     """
-    baskets = t["lineitem"].select(
-        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
-    ).distinct()
+    from pyspark import StorageLevel
+
+    # baskets feeds the order count, the support aggregate (reused as
+    # sa/sb) and both sides of the pair self-join — one distinct
+    # shuffle, not five
+    baskets = (
+        t["lineitem"]
+        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # ONE-ROW basket-count aggregate broadcast into the lift expression
     # (no driver-side action; the event_type_pmi pattern)
     n = baskets.agg(F.count_distinct("okey").cast("long").alias("n_orders"))

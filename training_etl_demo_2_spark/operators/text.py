@@ -1298,7 +1298,13 @@ def langid_kappa(df: DataFrame, text_col: str = "text") -> DataFrame:
     ratios are doubles. Metadata-sized throughout after the one
     confusion aggregate.
     """
-    conf = language_confusion(df, text_col)
+    from pyspark import StorageLevel
+
+    # three lineage branches (row margins, col margins, totals) consume
+    # the confusion relation — one corpus classification pass, not three
+    conf = language_confusion(df, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     rows = conf.groupBy("lang_actual").agg(F.sum("n").alias("rt"))
     cols = conf.groupBy("lang_pred").agg(F.sum("n").alias("ct"))
     margins = rows.join(

@@ -981,10 +981,15 @@ def lang_source_chi2(t: dict[str, DataFrame]) -> DataFrame:
     )
     rows = cells.groupBy("lang").agg(F.sum("o").alias("rt"))
     cols = cells.groupBy("source").agg(F.sum("o").alias("ct"))
-    tot = cells.agg(
-        F.sum("o").alias("n"),
-        F.count_distinct("lang").alias("nl"),
-        F.count_distinct("source").alias("ns"),
+    # category counts come from the MARGIN relations, not
+    # count_distinct, so a NULL category (its own contingency class)
+    # is counted in dof exactly as the grid treats it
+    nl_rel = rows.agg(F.count(F.lit(1)).alias("nl"))
+    ns_rel = cols.agg(F.count(F.lit(1)).alias("ns"))
+    tot = (
+        cells.agg(F.sum("o").alias("n"))
+        .crossJoin(F.broadcast(nl_rel))
+        .crossJoin(F.broadcast(ns_rel))
     )
     e = F.col("rt").cast("double") * F.col("ct") / F.col("n")
     term_nano = F.floor(
@@ -994,7 +999,17 @@ def lang_source_chi2(t: dict[str, DataFrame]) -> DataFrame:
     # still contribute E to the statistic; both margin relations are
     # metadata-sized, so their cross product is too
     grid = rows.crossJoin(cols)
-    full = grid.join(cells, ["lang", "source"], "left").select(
+    # NULL-SAFE rejoin: a NULL lang/source is a real category; plain
+    # equality would orphan its observed cell while keeping its
+    # expected mass in the grid
+    full = grid.join(
+        cells.withColumnRenamed("lang", "c_lang").withColumnRenamed(
+            "source", "c_source"
+        ),
+        grid["lang"].eqNullSafe(F.col("c_lang"))
+        & grid["source"].eqNullSafe(F.col("c_source")),
+        "left",
+    ).select(
         "lang", "source", "rt", "ct", F.coalesce("o", F.lit(0)).alias("o")
     )
     return (
@@ -1016,15 +1031,16 @@ LANG_SOURCE_CHI2_ORACLE = """
     rows_m AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY 1),
     cols_m AS (SELECT source, sum(o) AS ct FROM cells GROUP BY 1),
     tot AS (
-        SELECT sum(o) AS n, count(DISTINCT lang) AS nl,
-               count(DISTINCT source) AS ns
-        FROM cells
+        SELECT (SELECT sum(o) FROM cells) AS n,
+               (SELECT count(*) FROM rows_m) AS nl,
+               (SELECT count(*) FROM cols_m) AS ns
     ),
     grid_full AS (
         SELECT r.lang, s.source, r.rt, s.ct, coalesce(c.o, 0) AS o
         FROM rows_m r
         CROSS JOIN cols_m s
-        LEFT JOIN cells c ON c.lang = r.lang AND c.source = s.source
+        LEFT JOIN cells c ON c.lang IS NOT DISTINCT FROM r.lang
+                         AND c.source IS NOT DISTINCT FROM s.source
     ),
     terms AS (
         SELECT CAST(floor((f.o - (rt * 1.0) * ct / n)
