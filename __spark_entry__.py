@@ -685,6 +685,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # header-vs-detail arithmetic reconciliation audit
         "order_total_consistency": _q(validation.order_total_consistency),
+        # linear multi-touch purchase attribution over hourly windows
+        "linear_attribution": _q(
+            lambda t: behavior.linear_attribution(t["events"])
+        ),
+        # per-source quality percentile (cross-source cutoff normalizer)
+        "quality_pct_by_source": _q(
+            lambda t: text.quality_pct_by_source(t["documents"])
+        ),
     }
 
 
@@ -1446,4 +1454,6 @@ def oracle_sql() -> dict[str, str]:
         "knn_label_suspects": oracle_text.knn_label_suspects_sql(),
         "decayed_engagement": behavior.decayed_engagement_sql(),
         "order_total_consistency": validation.ORDER_TOTAL_CONSISTENCY_ORACLE,
+        "linear_attribution": behavior.LINEAR_ATTRIBUTION_SQL,
+        "quality_pct_by_source": text.quality_pct_by_source_sql(),
     }

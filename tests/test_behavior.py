@@ -206,3 +206,25 @@ def test_decayed_engagement_recency_weighting(spark):
     assert out[1].score == 1.0
     assert 0 < out[2].score < 0.02       # e^(-30/7) ≈ 0.0137
     assert out[1].score > out[2].score
+
+
+def test_linear_attribution_splits_credit(spark):
+    """Purchase with 2 prior clicks in the hour: each click gets 0.5;
+    a click outside the window and a click AT the purchase instant get
+    nothing."""
+    ev = _events(
+        spark,
+        [
+            (1, "click", "2026-01-01 10:10:00"),   # in window
+            (1, "click", "2026-01-01 10:50:00"),   # in window
+            (1, "click", "2026-01-01 09:00:00"),   # > 1h before: out
+            (1, "click", "2026-01-01 11:00:00"),   # at purchase ts: out
+            (1, "purchase", "2026-01-01 11:00:00"),
+            (2, "click", "2026-01-01 10:30:00"),   # other user: out
+        ],
+    )
+    rows = {r.click_hour: r for r in behavior.linear_attribution(ev).collect()}
+    assert set(rows) == {"2026-01-01 10:00"}
+    r = rows["2026-01-01 10:00"]
+    assert r.n_credited_clicks == 2
+    assert r.credit == 1.0

@@ -716,3 +716,99 @@ def decayed_engagement_sql(tau_days: float = DECAY_TAU_DAYS) -> str:
     FROM scored
     GROUP BY user_id
     """
+
+
+# ---------------------------------------------------------------------------
+# linear multi-touch attribution
+# ---------------------------------------------------------------------------
+
+ATTRIB_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def linear_attribution(events: DataFrame) -> DataFrame:
+    """LINEAR multi-touch attribution: each purchase splits one unit of
+    credit equally across ALL the user's clicks in the preceding hour —
+    the many-touch complement of ``stream_click_attribution``'s
+    last-touch rule (last-touch over-credits the final click; linear is
+    the standard first-order correction). Credit per click is rounded
+    to integer nano-units per (purchase, click) pair before the hourly
+    integer sum, so accumulation order is immaterial.
+
+    Physical shape: the click↔purchase pairing is the banded interval
+    join (equi-join on (user, hour-bucket), exact predicate re-filter)
+    — candidate fan-out is span/width+1 = 2 buckets per purchase, never
+    a per-user nested loop; the per-purchase fan-out count k comes from
+    one purchase-keyed window over the matched pairs. Output:
+    (click_hour, n_credited_clicks, credit).
+    """
+    from pyspark.sql import Window
+
+    from .temporal import banded_range_join
+
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        (F.unix_micros("ts") - F.lit(ATTRIB_WINDOW_US)).alias("lo_us"),
+        (F.unix_micros("ts") - F.lit(1)).alias("hi_us"),
+    )
+    pairs = banded_range_join(
+        clicks,
+        purchases,
+        on="user_id",
+        point_ts="c_us",
+        interval_lo="lo_us",
+        interval_hi="hi_us",
+        max_span=ATTRIB_WINDOW_US,
+    )
+    k = F.count(F.lit(1)).over(Window.partitionBy("p_id"))
+    credited = pairs.select(
+        "c_us",
+        F.floor(F.lit(1e9) / k + F.lit(0.5)).cast("long").alias("credit_nano"),
+    )
+    hour = F.date_format(
+        F.timestamp_micros(F.col("c_us") - F.col("c_us") % 3_600_000_000),
+        "yyyy-MM-dd HH:00",
+    )
+    return (
+        credited.groupBy(hour.alias("click_hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credited_clicks"),
+            F.round(F.sum("credit_nano") / 1e9, 6).alias("credit"),
+        )
+    )
+
+
+LINEAR_ATTRIBUTION_SQL = f"""
+    WITH clicks AS (
+        SELECT user_id, epoch_us(ts) AS c_us FROM events
+        WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, event_id AS p_id,
+               epoch_us(ts) - {ATTRIB_WINDOW_US} AS lo_us,
+               epoch_us(ts) - 1 AS hi_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT c.c_us, p.p_id
+        FROM clicks c JOIN purchases p
+          ON c.user_id = p.user_id
+         AND c.c_us >= p.lo_us AND c.c_us <= p.hi_us
+    ),
+    credited AS (
+        SELECT c_us,
+               CAST(floor(1e9 / (count(*) OVER (PARTITION BY p_id)) + 0.5)
+                    AS BIGINT) AS credit_nano
+        FROM pairs
+    )
+    SELECT strftime(make_timestamp((c_us - c_us % 3600000000)),
+                    '%Y-%m-%d %H:00') AS click_hour,
+           CAST(count(*) AS BIGINT) AS n_credited_clicks,
+           round(CAST(sum(credit_nano) AS BIGINT) / 1e9, 6) AS credit
+    FROM credited
+    GROUP BY 1
+"""

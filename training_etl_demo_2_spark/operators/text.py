@@ -1550,3 +1550,38 @@ BIGRAM_KN_LOGPROB_SQL = f"""
     FROM tf t JOIN scored s ON s.bg = t.bg
     GROUP BY t.doc_id
 """
+
+
+def quality_pct_by_source(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source percentile of the quality score — the normalization
+    that makes quality cutoffs comparable ACROSS sources: a global
+    threshold silently drops entire low-scoring sources (often just a
+    different register, not worse data); ranking within the source
+    measures each doc against its own population, so "keep the top 60%
+    of every source" becomes expressible. percent_rank over the ROUNDED
+    score (ties share a rank — engine-identical); one window shuffle on
+    the source key. Output: (doc_id, source, quality_prob, pct).
+    """
+    from pyspark.sql import Window
+
+    scores = quality_classifier(df, text_col).join(
+        df.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy("quality_prob")
+    return scores.select(
+        "doc_id",
+        "source",
+        "quality_prob",
+        F.round(F.percent_rank().over(w), 6).alias("pct"),
+    )
+
+
+def quality_pct_by_source_sql() -> str:
+    return f"""
+    WITH scores AS ({quality_classifier_sql()})
+    SELECT s.doc_id, d.source, s.quality_prob,
+           round(percent_rank() OVER (
+               PARTITION BY d.source ORDER BY s.quality_prob
+           ), 6) AS pct
+    FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+    """
