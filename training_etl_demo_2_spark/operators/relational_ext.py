@@ -1258,28 +1258,37 @@ def part_affinity(
     """
     from pyspark import StorageLevel
 
-    # baskets feeds the order count, the support aggregate (reused as
-    # sa/sb) and both sides of the pair self-join — one distinct
-    # shuffle, not five
-    baskets = (
+    # ONE groupBy on the order key produces the distinct sorted basket
+    # sets; pair generation then happens MAP-SIDE from each array (a
+    # higher-order-function combination expansion, no self-join) — two
+    # shuffles fewer than the baskets⋈baskets formulation. Dropping
+    # the pre-join item filter is exact by the apriori property: any
+    # pair with c >= min_support has both items' support >= min_support
+    # automatically, so item-level pruning can never change the output
+    # — its value is bounding the expansion, which basket size already
+    # bounds here (cap baskets before pairing when they can degenerate).
+    sets = (
         t["lineitem"]
-        .select(F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # ONE-ROW basket-count aggregate broadcast into the lift expression
     # (no driver-side action; the event_type_pmi pattern)
-    n = baskets.agg(F.count_distinct("okey").cast("long").alias("n_orders"))
-    support = baskets.groupBy("part").agg(
-        F.count(F.lit(1)).cast("long").alias("s")
+    n = sets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    support = (
+        sets.select(F.explode("parts").alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
     )
-    frequent = support.filter(F.col("s") >= min_support)
-    fb = baskets.join(F.broadcast(frequent.select("part")), "part")
-    a = fb.select("okey", F.col("part").alias("pa"))
-    b = fb.select("okey", F.col("part").alias("pb"))
+    pair_expr = (
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "y -> struct(x AS pa, y AS pb))))"
+    )
     pairs = (
-        a.join(b, "okey")
-        .filter(F.col("pa") < F.col("pb"))
+        sets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.pa", "p.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .filter(F.col("c") >= min_support)
