@@ -226,5 +226,24 @@ def test_linear_attribution_splits_credit(spark):
     rows = {r.click_hour: r for r in behavior.linear_attribution(ev).collect()}
     assert set(rows) == {"2026-01-01 10:00"}
     r = rows["2026-01-01 10:00"]
-    assert r.n_credited_clicks == 2
+    assert r.n_credit_events == 2
     assert r.credit == 1.0
+
+
+def test_linear_attribution_overlapping_windows(spark):
+    """One click inside TWO purchases' windows yields two credit
+    events: 1.0 (sole click of p1) + 0.5 (one of two clicks of p2)."""
+    ev = _events(
+        spark,
+        [
+            (1, "click", "2026-01-01 10:30:00"),   # in both windows
+            (1, "purchase", "2026-01-01 10:45:00"),
+            (1, "click", "2026-01-01 11:10:00"),   # only in p2's window
+            (1, "purchase", "2026-01-01 11:15:00"),
+        ],
+    )
+    rows = {r.click_hour: r for r in behavior.linear_attribution(ev).collect()}
+    assert rows["2026-01-01 10:00"].n_credit_events == 2
+    assert rows["2026-01-01 10:00"].credit == 1.5
+    assert rows["2026-01-01 11:00"].n_credit_events == 1
+    assert rows["2026-01-01 11:00"].credit == 0.5

@@ -739,7 +739,10 @@ def linear_attribution(events: DataFrame) -> DataFrame:
     — candidate fan-out is span/width+1 = 2 buckets per purchase, never
     a per-user nested loop; the per-purchase fan-out count k comes from
     one purchase-keyed window over the matched pairs. Output:
-    (click_hour, n_credited_clicks, credit).
+    (click_hour, n_credit_events, credit) — a click inside TWO
+    purchases' windows contributes two credit events (that is the
+    linear model: credit is per (purchase, click) pair, not per
+    distinct click).
     """
     from pyspark.sql import Window
 
@@ -776,7 +779,7 @@ def linear_attribution(events: DataFrame) -> DataFrame:
     return (
         credited.groupBy(hour.alias("click_hour"))
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_credited_clicks"),
+            F.count(F.lit(1)).cast("long").alias("n_credit_events"),
             F.round(F.sum("credit_nano") / 1e9, 6).alias("credit"),
         )
     )
@@ -807,7 +810,7 @@ LINEAR_ATTRIBUTION_SQL = f"""
     )
     SELECT strftime(make_timestamp((c_us - c_us % 3600000000)),
                     '%Y-%m-%d %H:00') AS click_hour,
-           CAST(count(*) AS BIGINT) AS n_credited_clicks,
+           CAST(count(*) AS BIGINT) AS n_credit_events,
            round(CAST(sum(credit_nano) AS BIGINT) / 1e9, 6) AS credit
     FROM credited
     GROUP BY 1

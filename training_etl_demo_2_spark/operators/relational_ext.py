@@ -1247,14 +1247,17 @@ def part_affinity(
     primitive; in a training-data pipeline the same shape mines
     co-occurring (source, artifact) or (tag, defect) associations.
 
-    The APRIORI PRUNE is the scale move: items below ``min_support``
-    are dropped BEFORE the basket self-join (a subset-frequency
-    argument — no pair can beat the support of its rarest item), so
-    the quadratic-in-basket-size pair generation runs only over items
-    that can still qualify. Baskets here are orders (bounded size);
-    at 100 TB you also cap basket size, since one degenerate
-    1M-item basket generates 10^12 pairs. Lift is a double from exact
-    BIGINT counts; top-k fully tie-broken.
+    Pair generation is MAP-SIDE: one groupBy builds each order's
+    distinct sorted basket set, and a higher-order-function expansion
+    emits its pairs with no self-join. The apriori property (a pair at
+    min-support implies both items at min-support) makes the final
+    ``c >= min_support`` filter give the SAME output an item-level
+    pre-prune would — so the prune is not needed for correctness here;
+    its classical role is bounding the expansion, which basket size
+    already bounds (orders are small). At 100 TB cap basket size
+    before pairing — one degenerate 1M-item basket generates 10^12
+    pairs. Lift is a double from exact BIGINT counts; top-k fully
+    tie-broken.
     """
     from pyspark import StorageLevel
 

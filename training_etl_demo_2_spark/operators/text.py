@@ -591,7 +591,9 @@ QC_WEIGHTS = {
 }
 
 
-def quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_classifier(
+    df: DataFrame, text_col: str = "text", carry: tuple = ()
+) -> DataFrame:
     """Linear quality classifier: logistic score over the quality and
     repetition features, with a hard keep/drop label — the
     classifier-filter stage of an LLM pipeline with fixed, auditable
@@ -624,6 +626,9 @@ def quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.select(
         "doc_id",
+        # ``carry`` forwards input columns (e.g. source) through the
+        # scoring scan so consumers don't re-scan + re-join for them
+        *carry,
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("quality_prob"),
         F.when(z >= 0, F.lit(1)).otherwise(F.lit(0)).cast("int").alias("keep"),
     )
@@ -1559,14 +1564,14 @@ def quality_pct_by_source(df: DataFrame, text_col: str = "text") -> DataFrame:
     different register, not worse data); ranking within the source
     measures each doc against its own population, so "keep the top 60%
     of every source" becomes expressible. percent_rank over the ROUNDED
-    score (ties share a rank — engine-identical); one window shuffle on
-    the source key. Output: (doc_id, source, quality_prob, pct).
+    score (ties share a rank — engine-identical); ``source`` rides
+    through the scoring scan (``carry``), so the whole plan is ONE
+    documents scan + one window shuffle on the source key. Output:
+    (doc_id, source, quality_prob, pct).
     """
     from pyspark.sql import Window
 
-    scores = quality_classifier(df, text_col).join(
-        df.select("doc_id", "source"), "doc_id"
-    )
+    scores = quality_classifier(df, text_col, carry=("source",))
     w = Window.partitionBy("source").orderBy("quality_prob")
     return scores.select(
         "doc_id",
