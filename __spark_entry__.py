@@ -1329,8 +1329,11 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": oracle.near_dup_clusters_sql(threshold=0.8),
         "simhash_fingerprints": oracle.simhash_sql(),
         "simhash_near_pairs": oracle.simhash_pairs_sql(max_hamming=3),
-        # similarity (ann_lsh_topk is rows-only: hyperplane buckets are
-        # numpy-seeded, not SQL-expressible)
+        # similarity — the seeded hyperplanes are data-independent, so
+        # the LSH twin materializes them as DOUBLE[] literals (the
+        # MinHash constants-as-SQL technique)
+        "ann_lsh_topk": oracle_text.lsh_topk_sql(k=5),
+        "ann_ivf_topk": oracle_text.ivf_topk_sql(k=5),
         "ann_brute_topk": oracle_text.brute_topk_sql(k=5),
         "ann_brute_topk_pandas": oracle_text.brute_topk_sql(k=5),
         "embedding_near_pairs": oracle_text.cosine_near_pairs_sql(threshold=0.45),

@@ -73,10 +73,9 @@ def test_window_entries_all_have_oracles():
     """Inside the gate window, rows-only entries waste a checked slot —
     every windowed query should carry a SQL oracle unless its semantics
     are genuinely not SQL-expressible (declared below)."""
-    rows_only_allowed = {
-        # numpy-seeded hyperplanes / trained codebook
-        "ann_lsh_topk", "ann_ivf_topk",
-    }
+    # Round 5: empty — every windowed query carries a SQL oracle (the
+    # ANN tiers gained literal-hyperplane / exact-integer-Lloyd twins).
+    rows_only_allowed: set[str] = set()
     names = list(entrymod.queries().keys())[:GATE_WINDOW]
     oracles = set(entrymod.oracle_sql().keys())
     missing = [n for n in names if n not in oracles and n not in rows_only_allowed]

@@ -33,8 +33,6 @@ def test_all_oracle_queries_match(spark, sf_dir):
 
 
 ROWS_ONLY_DECLARED = [
-    "ann_lsh_topk",
-    "ann_ivf_topk",
     "media_near_dups",
     "sketch_user_stats",
     "pack_sequences",

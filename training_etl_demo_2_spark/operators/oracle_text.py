@@ -295,13 +295,17 @@ def _knn_winner_cte(k: int, query_mod: int) -> str:
     """Shared v/pairs/topk/votes/winner CTE chain for the kNN vote
     oracles — one definition so the agreement and suspects twins can
     never drift from each other (mirror of the Spark-side
-    ``_knn_vote_winners`` core)."""
+    ``_knn_vote_winners`` core, including its KNN_MAX_QUERIES cap on
+    the lowest matching vec_ids)."""
+    from .similarity import KNN_MAX_QUERIES
+
     return f"""v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
     pairs AS (
         SELECT q.vec_id AS query_id, q.label AS q_label,
                c.vec_id AS neighbor_id, c.label AS n_label,
                round(list_cosine_similarity(q.e, c.e), 6) AS sim
-        FROM (SELECT * FROM v WHERE vec_id % {query_mod} = 0) q
+        FROM (SELECT * FROM v WHERE vec_id % {query_mod} = 0
+              ORDER BY vec_id LIMIT {KNN_MAX_QUERIES}) q
         JOIN v c ON q.vec_id <> c.vec_id
     ),
     topk AS (
@@ -349,4 +353,203 @@ def knn_label_suspects_sql(k: int = 10, query_mod: int = 10) -> str:
     FROM winner
     WHERE voted_label <> q_label
     ORDER BY query_id
+    """
+
+
+def lsh_topk_sql(k: int = 5, query_pred: str = "vec_id < 20", dim: int = 64) -> str:
+    """Twin of similarity.lsh_topk (multiprobe on): the seeded
+    hyperplanes are data-INDEPENDENT constants (similarity._planes,
+    RandomState(LSH_SEED)), so they materialize as DOUBLE[] literals —
+    the same constants-as-SQL technique as the MinHash twin in
+    oracle.py. Bucket = sum of sign-bit * 2^bit per table; multiprobe
+    explodes each query bucket into itself plus its nbits hamming-1
+    neighbors (xor); candidates join on (table, bucket); exact cosine
+    re-rank rounds to 6 like the Spark side.
+
+    Shortest-repr float literals round-trip to the identical IEEE
+    double, so the only cross-engine divergence channel is summation
+    order inside the 64-term dot product flipping a sign at |dot| ~
+    1e-13 — probability ~1e-12 per dot on N(0,1) planes, verified
+    empirically at sf0.001/0.01/0.1."""
+    from .similarity import LSH_NBITS, LSH_TABLES, _planes
+
+    planes = _planes(dim)
+    rows = []
+    for t in range(LSH_TABLES):
+        for b in range(LSH_NBITS):
+            vec = ", ".join(repr(float(x)) for x in planes[t, b])
+            rows.append(f"({t}, {b}, [{vec}]::DOUBLE[])")
+    plane_values = ",\n        ".join(rows)
+    probes = ", ".join(
+        ["b.bucket"] + [f"xor(b.bucket, {1 << j})" for j in range(LSH_NBITS)]
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    planes(tbl, bit, p) AS (VALUES
+        {plane_values}
+    ),
+    buckets AS (
+        SELECT v.vec_id, pl.tbl,
+               CAST(sum(CASE WHEN list_dot_product(v.e, pl.p) > 0
+                             THEN (1::BIGINT << pl.bit) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM v CROSS JOIN planes pl
+        GROUP BY v.vec_id, pl.tbl
+    ),
+    q_buckets AS (
+        SELECT b.vec_id AS query_id, b.tbl, pr.bucket
+        FROM buckets b, unnest([{probes}]) AS pr(bucket)
+        WHERE b.vec_id IN (SELECT vec_id FROM v WHERE {query_pred})
+    ),
+    cand AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        FROM q_buckets q
+        JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        WHERE q.query_id <> c.vec_id
+    ),
+    pairs AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_cosine_similarity(qv.e, cv.e), 6) AS sim
+        FROM cand
+        JOIN v qv ON qv.vec_id = cand.query_id
+        JOIN v cv ON cv.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {k}
+    """
+
+
+def ivf_topk_sql(
+    k: int = 5,
+    query_pred: str = "vec_id < 20",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    multi_assign: int = 3,
+) -> str:
+    """Twin of similarity.ivf_topk: the identical exact-integer Lloyd
+    recurrence (quantize to 1/2^21 units → integer dot-product argmax →
+    floor(s·Q/√Σs²) centroid re-quantization), unrolled as chained CTEs
+    like distributed_kmeans_sql. Every accumulation is integer (DuckDB
+    widens the sums to HUGEINT; the Spark side uses int64 + Python int
+    where 2^63 could overflow), and the only float ops are single
+    divisions/sqrts of exact integers — IEEE-deterministic — so the
+    candidate sets agree bit-for-bit. Final re-rank: exact double
+    cosine, round 6."""
+    from .similarity import IVF_ITERS, IVF_QUANT, IVF_SAMPLE
+
+    q = IVF_QUANT
+    steps = []
+    for i in range(IVF_ITERS):
+        steps.append(
+            f"""sim{i} AS MATERIALIZED (
+        SELECT s.vec_id, c.cid, sum(s.nq * c.c) AS sim
+        FROM snq s JOIN cent{i} c ON s.dim = c.dim
+        GROUP BY s.vec_id, c.cid
+    )"""
+        )
+        steps.append(
+            f"""a{i} AS MATERIALIZED (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid, row_number() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+            FROM sim{i}) WHERE rn = 1
+    )"""
+        )
+        steps.append(
+            f"""upd{i} AS MATERIALIZED (
+        SELECT a.cid, s.dim, sum(s.nq) AS s
+        FROM a{i} a JOIN snq s USING (vec_id)
+        GROUP BY a.cid, s.dim
+    )"""
+        )
+        steps.append(
+            f"""tt{i} AS MATERIALIZED (
+        SELECT cid, sum(s * s) AS t FROM upd{i} GROUP BY cid
+    )"""
+        )
+        steps.append(
+            f"""cent{i + 1} AS MATERIALIZED (
+        SELECT c.cid, c.dim,
+               CASE WHEN u.s IS NULL OR t.t = 0 THEN c.c
+                    ELSE CAST(floor((u.s * {q})::DOUBLE / sqrt(t.t::DOUBLE))
+                              AS BIGINT)
+               END AS c
+        FROM cent{i} c
+        LEFT JOIN upd{i} u ON c.cid = u.cid AND c.dim = u.dim
+        LEFT JOIN tt{i} t ON c.cid = t.cid
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH elems AS MATERIALIZED (
+        SELECT vec_id, t.i - 1 AS dim, embedding[t.i]::DOUBLE AS val
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    q0 AS MATERIALIZED (
+        SELECT vec_id, dim, CAST(floor(val * {q}) AS BIGINT) AS qv
+        FROM elems
+    ),
+    nrm AS MATERIALIZED (SELECT vec_id, sum(qv * qv) AS n2 FROM q0 GROUP BY vec_id),
+    nq AS MATERIALIZED (
+        SELECT q0.vec_id, q0.dim,
+               CASE WHEN nrm.n2 = 0 THEN 0
+                    ELSE CAST(floor((q0.qv * {q})::DOUBLE
+                                    / sqrt(nrm.n2::DOUBLE)) AS BIGINT)
+               END AS nq
+        FROM q0 JOIN nrm USING (vec_id)
+    ),
+    smp AS MATERIALIZED (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {IVF_SAMPLE}),
+    snq AS MATERIALIZED (SELECT nq.* FROM nq JOIN smp USING (vec_id)),
+    init AS MATERIALIZED (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT vec_id FROM smp ORDER BY vec_id LIMIT {n_centroids})
+    ),
+    cent0 AS MATERIALIZED (
+        SELECT i.cid, s.dim, s.nq AS c FROM init i JOIN snq s USING (vec_id)
+    ),
+    {chain},
+    csim AS MATERIALIZED (
+        SELECT n.vec_id, c.cid, sum(n.nq * c.c) AS sim
+        FROM nq n JOIN cent{IVF_ITERS} c ON n.dim = c.dim
+        GROUP BY n.vec_id, c.cid
+    ),
+    ranked_cells AS MATERIALIZED (
+        SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+        FROM csim
+    ),
+    cells AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn <= {multi_assign}),
+    qprobe AS (
+        SELECT vec_id AS query_id, cid AS cell
+        FROM ranked_cells
+        WHERE rn <= {nprobe}
+          AND vec_id IN (SELECT vec_id FROM embeddings WHERE {query_pred})
+    ),
+    cand AS (
+        SELECT DISTINCT p.query_id, c.vec_id AS neighbor_id
+        FROM qprobe p JOIN cells c USING (cell)
+        WHERE p.query_id <> c.vec_id
+    ),
+    v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               round(list_cosine_similarity(qv.e, cv.e), 6) AS sim
+        FROM cand
+        JOIN v qv ON qv.vec_id = cand.query_id
+        JOIN v cv ON cv.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {k}
     """

@@ -264,20 +264,51 @@ def lsh_topk(
     return _ranked_topk(pairs, k)
 
 
-IVF_SEED = 7
 IVF_CENTROIDS = 16
 IVF_NPROBE = 4
 IVF_MULTI_ASSIGN = 3
 IVF_SAMPLE = 2048
 IVF_ITERS = 10
+# Quantization unit for the exact-integer Lloyd recurrence: components
+# are floored to 1/2^21 units BEFORE any sum, so every accumulation in
+# training and assignment is integer — order-invariant and bit-equal
+# across engines (the embedding_gram_matrix discipline). 2^21 keeps all
+# intermediates exact: q ≤ 2^22, dot products ≤ 64·2^44 < 2^51,
+# centroid sums ≤ 2048·2^21 = 2^32, and s·Q ≤ 2^53 (the double-exact
+# boundary) for the deterministic floor(s·Q/√T) re-quantization.
+IVF_QUANT = 1 << 21
+
+
+def _quantize_unit(mat: np.ndarray) -> np.ndarray:
+    """floor(x·Q) → unit-normalize in exact integer units: the only
+    float ops are one division and one sqrt of EXACT integers, so the
+    result is IEEE-deterministic (identical in numpy and DuckDB)."""
+    q = np.floor(mat * IVF_QUANT).astype(np.int64)
+    n2 = np.sum(q * q, axis=1)  # ≤ 64·2^44 < 2^51: exact in int64
+    norm = np.sqrt(n2.astype(np.float64))
+    safe = np.where(norm == 0.0, 1.0, norm)
+    nq = np.floor((q * IVF_QUANT).astype(np.float64) / safe[:, None])
+    nq[norm == 0.0] = 0.0
+    return nq.astype(np.int64)
 
 
 def _ivf_centroids(emb: DataFrame, dim: int, n_centroids: int) -> np.ndarray:
-    """Seeded Lloyd iterations on a deterministic sample (lowest vec_ids).
+    """Deterministic Lloyd iterations on a deterministic sample (lowest
+    vec_ids), in EXACT integer arithmetic: components quantize to
+    1/2^21 units, assignment maximizes the integer dot product
+    (tie → lowest cid), and the centroid update re-quantizes
+    floor(s_d·Q/√Σs²) from exact integer sums. Every comparison and
+    accumulation is integer, so the recurrence is bit-reproducible in
+    any engine — the DuckDB twin (oracle_text.ivf_topk_sql) unrolls the
+    identical recurrence as chained CTEs, the same technique as
+    distributed_kmeans_sql. Init: the sample's n_centroids lowest
+    vec_ids (seed-free, SQL-expressible).
 
     At 100 TB the quantizer is still trained on a driver-sized sample —
-    that's standard IVF practice (the codebook must be small enough to
+    standard IVF practice (the codebook must be small enough to
     broadcast anyway); only assignment is distributed.
+
+    Returns the QUANTIZED int64 codebook (n_centroids × dim).
     """
     sample = (
         emb.select("vec_id", "embedding")
@@ -286,18 +317,29 @@ def _ivf_centroids(emb: DataFrame, dim: int, n_centroids: int) -> np.ndarray:
         .collect()
     )
     if not sample:
-        return np.zeros((n_centroids, dim))
-    x = np.array([r.embedding for r in sample], dtype=np.float64)
-    x /= np.linalg.norm(x, axis=1, keepdims=True)
-    rng = np.random.RandomState(IVF_SEED)
-    cent = x[rng.choice(len(x), size=n_centroids, replace=False)]
+        return np.zeros((n_centroids, dim), dtype=np.int64)
+    x = _quantize_unit(
+        np.array([r.embedding for r in sample], dtype=np.float64)
+    )
+    n_centroids = min(n_centroids, len(x))
+    cent = x[:n_centroids].copy()  # rows arrive vec_id-ordered
     for _ in range(IVF_ITERS):
-        assign = np.argmax(x @ cent.T, axis=1)  # cosine: all unit vectors
+        sims = x @ cent.T  # ≤ 64·2^44: exact in int64
+        assign = np.argmax(sims, axis=1)  # first max → lowest cid
+        new = cent.copy()
         for c in range(n_centroids):
             members = x[assign == c]
-            if len(members):
-                m = members.sum(axis=0)
-                cent[c] = m / (np.linalg.norm(m) or 1.0)
+            if not len(members):
+                continue
+            s = members.sum(axis=0)  # ≤ 2048·2^21 = 2^32: exact
+            t = sum(int(v) * int(v) for v in s)  # Python int: no overflow
+            if t == 0:
+                continue
+            # s·Q ≤ 2^53 → exact as double; one div + sqrt: deterministic
+            new[c] = np.floor(
+                (s * IVF_QUANT).astype(np.float64) / np.sqrt(float(t))
+            ).astype(np.int64)
+        cent = new
     return cent
 
 
@@ -305,8 +347,13 @@ def ivf_assign(
     emb: DataFrame, centroids: np.ndarray, multi: int = 1
 ) -> DataFrame:
     """(vec_id, cell): top-``multi`` nearest-centroid assignment,
-    vectorized per Arrow batch. The codebook ships in the task closure
-    (it is tiny).
+    vectorized per Arrow batch. The codebook (quantized int64, from
+    ``_ivf_centroids``) ships in the task closure (it is tiny).
+
+    Similarity is the EXACT integer dot product of the quantized unit
+    vectors, ranked (sim desc, cid asc) via a stable argsort — fully
+    deterministic and engine-portable (the DuckDB twin ranks the same
+    integers with the same tie-break).
 
     ``multi`` > 1 is spilled assignment: each vector is indexed under
     its ``multi`` nearest cells, so boundary vectors (the dominant
@@ -315,6 +362,7 @@ def ivf_assign(
     knob alongside nprobe."""
     out_schema = "vec_id long, cell int"
     m = max(1, min(multi, len(centroids)))
+    cq = centroids.astype(np.int64)
 
     def assign(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -323,16 +371,19 @@ def ivf_assign(
             if pdf.empty:
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = mat @ centroids.T
+            nq = _quantize_unit(np.array(list(pdf["embedding"]), dtype=np.float64))
+            sims = nq @ cq.T  # exact int64
             if m == 1:
                 cell = np.argmax(sims, axis=1).astype(np.int32)
                 yield pd.DataFrame({"vec_id": ids, "cell": cell})
             else:
-                top = np.argsort(-sims, axis=1)[:, :m].astype(np.int32)
+                # stable sort: ties keep ascending cid (= SQL cid ASC)
+                top = np.argsort(-sims, axis=1, kind="stable")[:, :m]
                 yield pd.DataFrame(
-                    {"vec_id": np.repeat(ids, m), "cell": top.ravel()}
+                    {
+                        "vec_id": np.repeat(ids, m),
+                        "cell": top.astype(np.int32).ravel(),
+                    }
                 )
 
     return emb.select("vec_id", "embedding").mapInPandas(assign, out_schema)
@@ -356,6 +407,13 @@ def ivf_topk(
     join is cell-keyed (shuffle on a small int key). Recall is the
     (nprobe, multi_assign)/n_centroids knob; verified against
     ``brute_topk`` in tests.
+
+    Training, assignment, and probing all run in the exact-integer
+    quantized recurrence (see ``_ivf_centroids``), so the full
+    candidate set — hence the query's output — is bit-reproducible and
+    has a DuckDB twin (oracle_text.ivf_topk_sql) that unrolls the same
+    recurrence. The final re-rank is exact double cosine on the raw
+    embeddings, rounded to 6, as in every ANN tier.
     """
     centroids = _ivf_centroids(emb, dim, n_centroids)
     cells = ivf_assign(emb, centroids, multi=multi_assign)
@@ -364,6 +422,7 @@ def ivf_topk(
     # relation built the same vectorized way, then broadcast.
     q_emb = emb.filter(query_pred)
     out_schema = "query_id long, cell int"
+    cq = centroids.astype(np.int64)
 
     def probe(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -372,9 +431,8 @@ def ivf_topk(
             if pdf.empty:
                 continue
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-            order = np.argsort(-(mat @ centroids.T), axis=1)[:, :nprobe]
+            nq = _quantize_unit(np.array(list(pdf["embedding"]), dtype=np.float64))
+            order = np.argsort(-(nq @ cq.T), axis=1, kind="stable")[:, :nprobe]
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(ids, nprobe),
@@ -1341,25 +1399,31 @@ def mmr_diverse_topk_sql(
 # ---------------------------------------------------------------------------
 
 
+KNN_MAX_QUERIES = 4096
+
+
 def knn_label_agreement(
     emb: DataFrame, k: int = 10, query_mod: int = 10
 ) -> DataFrame:
     """Leave-one-out kNN label agreement — the standard intrinsic eval
     of an embedding table: for a deterministic query sample
-    (``vec_id % query_mod == 0``), take the k exact cosine neighbors
-    (self excluded), majority-vote their labels (ties broken by count
-    desc, label asc — fully deterministic), and score the vote against
-    the query's own label. High agreement means the embedding geometry
+    (``vec_id % query_mod == 0``, capped at the ``KNN_MAX_QUERIES``
+    lowest vec_ids), take the k exact cosine neighbors (self
+    excluded), majority-vote their labels (ties broken by count desc,
+    label asc — fully deterministic), and score the vote against the
+    query's own label. High agreement means the embedding geometry
     respects the labeling; a drop after re-embedding is the regression
     signal.
 
-    Scale shape: the query sample is fixed-size metadata shipped in the
-    task closure, and the scoring pass is one Arrow-batched numpy
-    matmul over the candidate vectors (the ``brute_topk_pandas``
-    high-throughput scan pattern — ~5× the Catalyst higher-order-
-    function cosine at this query count); at larger corpora swap the
-    candidate pass for the IVF/LSH tiers and this eval doubles as
-    their recall monitor. Output: one row per label —
+    Scale shape: the query sample is BOUNDED (≤ KNN_MAX_QUERIES rows
+    regardless of corpus size — the modulo thins, the LIMIT caps), so
+    the driver collect and the task closure are fixed-size; the
+    scoring pass is one Arrow-batched numpy matmul over the candidate
+    vectors that emits only each batch's LOCAL top-k per query, so the
+    shuffle into the global top-k window carries ≤ Q·k rows per
+    partition (not Q·|batch|). At larger corpora swap the candidate
+    pass for the IVF/LSH tiers and this eval doubles as their recall
+    monitor. Output: one row per label —
     (label, n_queries, n_agree, agree_pct).
     """
     winner = _knn_vote_winners(emb, k, query_mod)
@@ -1392,10 +1456,20 @@ def _knn_vote_winners(
     """(query_id, q_label, voted_label) for the deterministic query
     sample — the shared vote core of ``knn_label_agreement`` (the
     aggregate view) and ``knn_label_suspects`` (the per-vector view).
-    Returns None on an empty sample."""
+    Returns None on an empty sample.
+
+    The sample is the ≤ ``KNN_MAX_QUERIES`` LOWEST vec_ids matching
+    the modulo predicate (orderBy + limit: deterministic and
+    append-stable for monotone ids), so the collect is bounded at any
+    corpus size. The scorer emits only each Arrow batch's local top-k
+    per query — selected on the ROUNDED sim with the same
+    (sim desc, neighbor_id asc) total order as the global window, so
+    the global top-k is exactly the merge of the per-batch winners."""
     queries = (
         emb.filter((F.col("vec_id") % query_mod) == 0)
         .select("vec_id", "embedding", "label")
+        .orderBy("vec_id")
+        .limit(KNN_MAX_QUERIES)
         .collect()
     )
     if not queries:
@@ -1414,22 +1488,30 @@ def _knn_vote_winners(
         for pdf in batches:
             if pdf.empty:
                 continue
+            # candidate order = neighbor_id asc, so the stable argsort
+            # below breaks rounded-sim ties exactly like the global
+            # window's (sim DESC, neighbor_id ASC)
+            pdf = pdf.sort_values("vec_id")
             c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             c_labels = pdf["label"].to_numpy(dtype=np.int64)
             c_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            sims = (q_mat @ c_mat.T) / np.outer(
-                q_norm, np.linalg.norm(c_mat, axis=1)
+            sims = np.round(
+                (q_mat @ c_mat.T)
+                / np.outer(q_norm, np.linalg.norm(c_mat, axis=1)),
+                ROUND,
             )
-            qq, cc = np.meshgrid(
-                np.arange(len(q_ids)), np.arange(len(c_ids)), indexing="ij"
-            )
+            sims[q_ids[:, None] == c_ids[None, :]] = -2.0  # mask self
+            kk = min(k, sims.shape[1])
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            qq = np.repeat(np.arange(len(q_ids)), kk)
+            cc = top.ravel()
             yield pd.DataFrame(
                 {
-                    "query_id": q_ids[qq.ravel()],
-                    "q_label": q_labels[qq.ravel()].astype(np.int32),
-                    "neighbor_id": c_ids[cc.ravel()],
-                    "n_label": c_labels[cc.ravel()].astype(np.int32),
-                    "sim": np.round(sims.ravel(), ROUND),
+                    "query_id": q_ids[qq],
+                    "q_label": q_labels[qq].astype(np.int32),
+                    "neighbor_id": c_ids[cc],
+                    "n_label": c_labels[cc].astype(np.int32),
+                    "sim": sims[np.arange(len(q_ids))[:, None], top].ravel(),
                 }
             )
 
