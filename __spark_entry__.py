@@ -1333,6 +1333,9 @@ def oracle_sql() -> dict[str, str]:
         # the LSH twin materializes them as DOUBLE[] literals (the
         # MinHash constants-as-SQL technique)
         "ann_lsh_topk": oracle_text.lsh_topk_sql(k=5),
+        # BPE trainer+encoder unrolled as CTEs (delimiter-wrapped symbol
+        # strings; one replace() per learned merge) — see oracle_text
+        "bpe_token_counts": oracle_text.bpe_token_counts_sql(n_merges=30),
         "ann_ivf_topk": oracle_text.ivf_topk_sql(k=5),
         "ann_brute_topk": oracle_text.brute_topk_sql(k=5),
         "ann_brute_topk_pandas": oracle_text.brute_topk_sql(k=5),

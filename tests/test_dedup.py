@@ -620,3 +620,30 @@ def test_prefix_filter_planted_and_boundary(spark):
     # |A∩B|=4, |A∪B|=6 -> j=0.666667 >= 0.6; the unrelated doc pairs with nothing
     assert set(got) == {(1, 2)}
     assert abs(got[(1, 2)] - 0.666667) < 1e-6
+
+
+def test_prefix_positional_filter_prunes_without_loss(tables):
+    """The PPJoin positional filter must only REMOVE candidates (never
+    add), must measurably shrink the candidate set on the fixture
+    corpus, and must lose no qualifying pair: the surviving candidates
+    still contain every exact-Jaccard pair at the threshold."""
+    from fractions import Fraction
+
+    docs = tables["documents"]
+    fr = Fraction(0.6).limit_denominator(10_000)
+    sh = dedup.shingle_hashes(docs, "text", dedup.DEFAULT_NGRAM)
+    with_pos = dedup._prefix_candidates(sh, fr.numerator, fr.denominator)
+    without = dedup._prefix_candidates(
+        sh, fr.numerator, fr.denominator, positional=False
+    )
+    s_with = {(r.doc_a, r.doc_b) for r in with_pos.collect()}
+    s_without = {(r.doc_a, r.doc_b) for r in without.collect()}
+    assert s_with <= s_without
+    assert len(s_with) < len(s_without), (
+        f"positional filter pruned nothing ({len(s_without)} candidates)"
+    )
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    assert truth <= s_with

@@ -38,7 +38,6 @@ ROWS_ONLY_DECLARED = [
     "pack_sequences",
     "data_profile_lineitem_approx",
     "semantic_dedup",
-    "bpe_token_counts",
     "pca_projection",
     "compression_ratio",
 ]

@@ -334,3 +334,30 @@ def test_part_affinity_lift_and_prune(spark):
     r = got[(1, 2)]
     assert r.c == 4
     assert r.lift == 1.0                  # 4*4/(4*4): perfectly coupled
+
+
+def test_part_affinity_degenerate_basket_capped(spark):
+    """A basket over AFFINITY_MAX_BASKET is excluded entirely — from
+    pairing, support, and the order count — so its items can't flood
+    the pair expansion or skew the lift denominator; normal baskets
+    are untouched."""
+    from training_etl_demo_2_spark.operators.relational_ext import part_affinity
+
+    rows = []
+    for okey in range(4):  # the same planted (1, 2) pair
+        rows += [(okey, 1), (okey, 2)]
+    # one degenerate basket holding 50 distinct parts (cap set to 10)
+    rows += [(7, p) for p in range(100, 150)]
+    li = spark.createDataFrame(
+        [(o, p, 1) for o, p in rows],
+        "l_orderkey long, l_partkey long, l_linenumber int",
+    )
+    out = part_affinity(
+        {"lineitem": li}, min_support=3, k=10, max_basket=10
+    ).collect()
+    got = {(r.pa, r.pb): r for r in out}
+    assert set(got) == {(1, 2)}  # no pair from the degenerate basket
+    r = got[(1, 2)]
+    assert r.c == 4
+    # n_orders counts only surviving baskets (4), so lift is exactly 1.0
+    assert r.lift == 1.0

@@ -52,3 +52,26 @@ def test_bpe_token_counts_mass_conservation(tables):
     assert spark_total < char_total  # merges actually compressed
     # every emitted token is non-empty and reconstructible
     assert all(r.token for r in out)
+
+
+def test_train_bpe_min_count_floor_bounds_collect(spark):
+    """min_count drops sub-floor words BEFORE the driver collect:
+    training with the floor equals training on a corpus with those
+    words removed — the floor is a vocabulary filter, not a new
+    algorithm."""
+    common = ["banana banana banana", "bandana bandana", "banana bandana"]
+    rare = ["zzyzzxq"]  # singleton: below the floor
+    full = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(common + rare)], "doc_id long, text string"
+    )
+    pruned = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(common)], "doc_id long, text string"
+    )
+    floored = train_bpe(full, n_merges=10, min_count=2)
+    manual = train_bpe(pruned, n_merges=10, min_count=1)
+    assert floored == manual
+    # and the floor actually removed the singleton from the word table
+    from training_etl_demo_2_spark.operators.tokenizer import _word_counts
+
+    words = dict(_word_counts(full, "text", min_count=2))
+    assert "zzyzzxq" not in words and words["banana"] == 4

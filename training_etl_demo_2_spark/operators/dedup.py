@@ -1454,11 +1454,31 @@ def prefix_filter_jaccard_pairs(
     """
     from fractions import Fraction
 
-    from pyspark.sql import Window
-
     fr = Fraction(threshold).limit_denominator(10_000)
     p, q = fr.numerator, fr.denominator
     sh = shingle_hashes(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = _prefix_candidates(sh, p, q)
+    return _pair_jaccard(sh, pairs=cand).filter(F.col("jaccard") >= threshold)
+
+
+def _prefix_candidates(
+    sh: DataFrame, p: int, q: int, positional: bool = True
+) -> DataFrame:
+    """(doc_a, doc_b) candidates from the prefix self-join, with the
+    length filter and (by default) PPJoin's POSITIONAL filter.
+
+    Positional filter: a match of A's prefix element at set position
+    i with B's at position j bounds the overlap — for the pair's
+    MINIMAL common element (smallest global order) no common element
+    precedes it in either set, so O <= 1 + min(|A|-i, |B|-j). Since
+    J >= p/q  ⟺  O·(p+q) >= p·(|A|+|B|) and the minimal witness row
+    always exists when any witness does (it is in both prefixes
+    whenever any common element is), keeping a pair iff ANY matching
+    row passes ``(p+q)·(1+min(sza-pos_a, szb-pos_b)) >= p·(sza+szb)``
+    prunes candidates with zero false negatives — the standard second
+    PPJoin prune, all in exact integer arithmetic."""
+    from pyspark.sql import Window
+
     dfreq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
     w = Window.partitionBy("doc_id").orderBy("dfreq", "h")
     # set size via count() over the SAME doc_id partitioning as the
@@ -1478,22 +1498,39 @@ def prefix_filter_jaccard_pairs(
             F.col("pos")
             <= F.col("sz") - F.expr(f"({p} * sz + {q - 1}) DIV {q}") + F.lit(1)
         )
-        .select("doc_id", "h", "sz")
+        .select("doc_id", "h", "pos", "sz")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = prefix.select(F.col("doc_id").alias("doc_a"), "h", F.col("sz").alias("sza"))
-    b = prefix.select(F.col("doc_id").alias("doc_b"), "h", F.col("sz").alias("szb"))
-    cand = (
-        a.join(b, "h")
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            # J >= t  ⇒  t <= min/max  ⇒  p*max(sza,szb) <= q*min(sza,szb)
-            & (
-                F.lit(p) * F.greatest("sza", "szb")
-                <= F.lit(q) * F.least("sza", "szb")
-            )
-        )
-        .select("doc_a", "doc_b")
-        .distinct()
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        "h",
+        F.col("pos").alias("pos_a"),
+        F.col("sz").alias("sza"),
     )
-    return _pair_jaccard(sh, pairs=cand).filter(F.col("jaccard") >= threshold)
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        "h",
+        F.col("pos").alias("pos_b"),
+        F.col("sz").alias("szb"),
+    )
+    joined = a.join(b, "h").filter(
+        (F.col("doc_a") < F.col("doc_b"))
+        # J >= t  ⇒  t <= min/max  ⇒  p*max(sza,szb) <= q*min(sza,szb)
+        & (
+            F.lit(p) * F.greatest("sza", "szb")
+            <= F.lit(q) * F.least("sza", "szb")
+        )
+    )
+    if positional:
+        joined = joined.filter(
+            F.lit(p + q)
+            * (
+                F.lit(1)
+                + F.least(
+                    F.col("sza") - F.col("pos_a"),
+                    F.col("szb") - F.col("pos_b"),
+                )
+            )
+            >= F.lit(p) * (F.col("sza") + F.col("szb"))
+        )
+    return joined.select("doc_a", "doc_b").distinct()

@@ -553,3 +553,75 @@ def ivf_topk_sql(
     )
     SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {k}
     """
+
+
+def bpe_token_counts_sql(n_merges: int = 30) -> str:
+    """Twin of tokenizer.bpe_token_counts (trained merges): the full BPE
+    trainer AND encoder, unrolled as chained CTEs.
+
+    Representation: each word is a chr(31)-delimited symbol string with
+    every symbol individually wrapped ("\\x1fs1\\x1f\\x1fs2\\x1f…"), so
+    one ``replace(s, D||a||D||D||b||D, D||a||b||D)`` is exactly the
+    simultaneous leftmost-greedy non-overlapping merge of pair (a, b)
+    (adjacent occurrences share no delimiter, so the scan never eats a
+    neighbour's boundary). Per round: count adjacent pairs weighted by
+    word frequency, pick (max count, lexicographically smallest pair) —
+    train_bpe's exact tie-break — and apply. Because a merge's symbols
+    always predate it, every pair involving a merged symbol has a
+    HIGHER rank, so applying the learned rules once each in rank order
+    equals _encode_word's lowest-rank-first loop; the trained vocab
+    after the last round therefore already IS the encoded corpus.
+
+    Preconditions (asserted by the fixtures): text is chr(31)-free and
+    contains no literal '</w>'. Degenerate corpora that exhaust all
+    pairs before n_merges rounds stop early on the Spark side but
+    produce empty rounds here — not a fixture-reachable case."""
+    d = "chr(31)"
+    dd = f"{d} || {d}"
+    steps = []
+    for i in range(n_merges):
+        steps.append(
+            f"""p{i} AS MATERIALIZED (
+        SELECT ls[j.j] AS a, ls[j.j + 1] AS b, sum(cnt) AS c
+        FROM (SELECT string_split(substr(s, 2, length(s) - 2), {dd}) AS ls,
+                     cnt FROM v{i}),
+             unnest(range(1, len(ls))) AS j(j)
+        GROUP BY 1, 2
+    )"""
+        )
+        steps.append(
+            f"""best{i} AS MATERIALIZED (
+        SELECT a, b FROM p{i} ORDER BY c DESC, a ASC, b ASC LIMIT 1
+    )"""
+        )
+        steps.append(
+            f"""v{i + 1} AS MATERIALIZED (
+        SELECT replace(v.s, {d} || b.a || {dd} || b.b || {d},
+                       {d} || b.a || b.b || {d}) AS s,
+               CAST(sum(v.cnt) AS BIGINT) AS cnt
+        FROM v{i} v CROSS JOIN best{i} b
+        GROUP BY 1
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH wc AS MATERIALIZED (
+        SELECT w, count(*) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY w
+    ),
+    v0 AS MATERIALIZED (
+        SELECT {d} || array_to_string(
+                   list_append(string_split(w, ''), '</w>'), {dd})
+               || {d} AS s,
+               CAST(cnt AS BIGINT) AS cnt
+        FROM wc
+    ),
+    {chain}
+    SELECT t.tok AS token, CAST(sum(cnt) AS BIGINT) AS cnt
+    FROM v{n_merges},
+         unnest(string_split(substr(s, 2, length(s) - 2), {dd})) AS t(tok)
+    GROUP BY t.tok
+    """

@@ -1234,12 +1234,20 @@ EVENTS_VALUE_TREND_OLS = f"""
 
 AFFINITY_MIN_SUPPORT = 3
 AFFINITY_TOPK = 50
+# Degenerate-basket guard: a basket of m items expands to m(m-1)/2 pairs
+# MAP-SIDE, so one pathological 1M-item basket would emit ~5*10^11 rows
+# from a single task. Baskets above the cap are EXCLUDED (from pairing,
+# support, and the order count alike — both engines) and counted; 1024
+# bounds any task's expansion at ~524k pair rows. TPC-H orders have <= 7
+# lineitems, so the cap never binds on the fixtures.
+AFFINITY_MAX_BASKET = 1024
 
 
 def part_affinity(
     t: dict[str, DataFrame],
     min_support: int = AFFINITY_MIN_SUPPORT,
     k: int = AFFINITY_TOPK,
+    max_basket: int = AFFINITY_MAX_BASKET,
 ) -> DataFrame:
     """Frequent-pair mining with lift over order baskets: which part
     pairs co-occur in the same order more than their popularity
@@ -1253,12 +1261,15 @@ def part_affinity(
     min-support implies both items at min-support) makes the final
     ``c >= min_support`` filter give the SAME output an item-level
     pre-prune would — so the prune is not needed for correctness here;
-    its classical role is bounding the expansion, which basket size
-    already bounds (orders are small). At 100 TB cap basket size
-    before pairing — one degenerate 1M-item basket generates 10^12
-    pairs. Lift is a double from exact BIGINT counts; top-k fully
-    tie-broken.
+    its classical role is bounding the expansion. The expansion bound
+    that IS enforced is ``max_basket``: baskets above it are excluded
+    outright (from pairing, support, and the order count — a dropped
+    basket contributes to nothing) and the drop count is logged, so a
+    single degenerate mega-basket can never emit a quadratic task.
+    Lift is a double from exact BIGINT counts; top-k fully tie-broken.
     """
+    import logging
+
     from pyspark import StorageLevel
 
     # ONE groupBy on the order key produces the distinct sorted basket
@@ -1268,14 +1279,22 @@ def part_affinity(
     # the pre-join item filter is exact by the apriori property: any
     # pair with c >= min_support has both items' support >= min_support
     # automatically, so item-level pruning can never change the output
-    # — its value is bounding the expansion, which basket size already
-    # bounds here (cap baskets before pairing when they can degenerate).
-    sets = (
+    # — its value is bounding the expansion, which the max_basket cap
+    # now bounds explicitly.
+    all_sets = (
         t["lineitem"]
         .groupBy(F.col("l_orderkey").alias("okey"))
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    n_dropped = all_sets.filter(F.size("parts") > max_basket).count()
+    if n_dropped:
+        logging.getLogger(__name__).warning(
+            "part_affinity: excluded %d degenerate baskets (> %d items)",
+            n_dropped,
+            max_basket,
+        )
+    sets = all_sets.filter(F.size("parts") <= max_basket)
     # ONE-ROW basket-count aggregate broadcast into the lift expression
     # (no driver-side action; the event_type_pmi pattern)
     n = sets.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
@@ -1319,11 +1338,18 @@ def part_affinity(
 
 
 def part_affinity_sql(
-    min_support: int = AFFINITY_MIN_SUPPORT, k: int = AFFINITY_TOPK
+    min_support: int = AFFINITY_MIN_SUPPORT,
+    k: int = AFFINITY_TOPK,
+    max_basket: int = AFFINITY_MAX_BASKET,
 ) -> str:
     return f"""
-    WITH baskets AS (
+    WITH raw_baskets AS (
         SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+    ),
+    baskets AS (
+        SELECT okey, part FROM raw_baskets
+        WHERE okey IN (SELECT okey FROM raw_baskets
+                       GROUP BY okey HAVING count(*) <= {max_basket})
     ),
     n AS (SELECT count(DISTINCT okey) AS n_orders FROM baskets),
     support AS (SELECT part, count(*) AS s FROM baskets GROUP BY 1),

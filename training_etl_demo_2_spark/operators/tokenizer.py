@@ -14,8 +14,11 @@ is tokenized in Arrow-batched ``mapInPandas``.
 
 Determinism: merge selection ties break on the lexicographically
 smallest pair, so the same corpus always yields the same merge table
-on any cluster layout. Rows-only at the gate (an iterative trainer is
-not SQL-expressible); invariants are pytest-pinned.
+on any cluster layout. The gate runs a FULL DuckDB twin
+(oracle_text.bpe_token_counts_sql): the fixed merge count lets the
+trainer unroll as chained CTEs, and rank-order replace application
+equals the lowest-rank-first encoder because a merge's symbols always
+predate it; invariants are additionally pytest-pinned.
 """
 
 from __future__ import annotations
@@ -28,22 +31,37 @@ from pyspark.sql import functions as F
 
 END_OF_WORD = "</w>"
 DEFAULT_MERGES = 30
+# Collect floor: a web-scale corpus's RAW vocabulary is itself huge
+# (long-tail typos, hashes, URLs), so the driver collect is bounded by
+# dropping words under min_count — the standard trainer threshold
+# (SentencePiece/HF expose the same knob). 1 keeps fixture behaviour
+# identical; production sets it >= 2 so the collect shrinks from
+# O(distinct words) to O(words seen min_count+ times), and the dropped
+# singleton tail could only have influenced merges past the head pairs.
+DEFAULT_MIN_COUNT = 1
 
 
-def _word_counts(df: DataFrame, text_col: str) -> list[tuple[str, int]]:
-    """Distributed (word, count) — the only corpus-sized pass."""
+def _word_counts(
+    df: DataFrame, text_col: str, min_count: int = DEFAULT_MIN_COUNT
+) -> list[tuple[str, int]]:
+    """Distributed (word, count), floored at min_count — the only
+    corpus-sized pass, and the floor is what bounds the collect."""
     rows = (
         df.select(F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
         .collect()
     )
     return [(r.w, int(r.cnt)) for r in rows]
 
 
 def train_bpe(
-    df: DataFrame, n_merges: int = DEFAULT_MERGES, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int = DEFAULT_MERGES,
+    text_col: str = "text",
+    min_count: int = DEFAULT_MIN_COUNT,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merge rules from the corpus.
 
@@ -51,9 +69,10 @@ def train_bpe(
     merges cannot cross word boundaries); each round merges the
     most-frequent adjacent symbol pair (ties -> lexicographically
     smallest pair). Runs on the collected word-frequency table —
-    vocabulary-sized, the standard trainer design."""
+    vocabulary-sized and ``min_count``-floored, the standard trainer
+    design."""
     vocab: dict[tuple[str, ...], int] = {}
-    for w, c in _word_counts(df, text_col):
+    for w, c in _word_counts(df, text_col, min_count):
         vocab[tuple(w) + (END_OF_WORD,)] = (
             vocab.get(tuple(w) + (END_OF_WORD,), 0) + c
         )
