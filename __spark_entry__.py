@@ -347,9 +347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_click_attribution": fixture_queries.stream_click_attribution,
         # gap-based session windows on a stream (== batch lag/cumsum twin)
         "stream_session_stats": fixture_queries.stream_session_stats,
-        # rows-only: BPE tokenizer trained on the corpus word-frequency
-        # table (iterative trainer is not SQL-expressible); deterministic
-        # merge table, invariants in test_tokenizer.py
+        # BPE tokenizer trained on the corpus word-frequency table;
+        # full DuckDB twin (trainer+encoder unrolled as chained CTEs),
+        # invariants additionally in test_tokenizer.py
         "bpe_token_counts": _q(
             lambda t: tokenizer.bpe_token_counts(t["documents"])
         ),
@@ -413,9 +413,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk_pandas": _q(
             lambda t: similarity.brute_topk_pandas(t["embeddings"], k=5)
         ),
-        # rows-only: SemDeDup-style semantic dedup (k-means cells +
-        # within-cell greedy cosine pruning); the trained codebook is
-        # not SQL-expressible — invariants pinned in test_similarity.py
+        # SemDeDup-style semantic dedup (exact-integer Lloyd cells +
+        # within-cell greedy micro-unit cosine pruning); full DuckDB
+        # twin: recursive-CTE greedy over the shared IVF chain
         "semantic_dedup": _q(
             lambda t: similarity.semantic_dedup(t["embeddings"])
         ),
@@ -1337,6 +1337,7 @@ def oracle_sql() -> dict[str, str]:
         # strings; one replace() per learned merge) — see oracle_text
         "bpe_token_counts": oracle_text.bpe_token_counts_sql(n_merges=30),
         "ann_ivf_topk": oracle_text.ivf_topk_sql(k=5),
+        "semantic_dedup": oracle_text.semantic_dedup_sql(),
         "ann_brute_topk": oracle_text.brute_topk_sql(k=5),
         "ann_brute_topk_pandas": oracle_text.brute_topk_sql(k=5),
         "embedding_near_pairs": oracle_text.cosine_near_pairs_sql(threshold=0.45),

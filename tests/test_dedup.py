@@ -647,3 +647,37 @@ def test_prefix_positional_filter_prunes_without_loss(tables):
         for r in dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
     }
     assert truth <= s_with
+
+
+def test_duplicate_spans_overlapping_islands_merge(spark):
+    """Two islands separated by a gram-position gap < k produce
+    overlapping token intervals — the merge pass must union them into
+    ONE disjoint span (the advisor's k=5 / positions 0-2 and 4-5
+    double-cut case), and all emitted spans must be pairwise disjoint
+    per doc."""
+    # doc 1 plants two shared 5-gram runs whose flagged gram positions
+    # are 0..2 (x-run shared with doc 2) and 4..5 (tail shared with
+    # doc 3): token intervals [0,6] and [4,9] -> one merged span [0,9]
+    df = spark.createDataFrame(
+        [
+            (1, "x0 x1 x2 x3 x4 x5 x6 u0 u1 u2"),
+            (2, "x0 x1 x2 x3 x4 x5 x6 z0 z1 z2"),
+            (3, "v0 v1 v2 v3 x4 x5 x6 u0 u1 u2"),
+        ],
+        "doc_id long, text string",
+    )
+    out = [r for r in dedup.duplicate_spans(df, k=5).collect()]
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: grams 0-2 (x-run with doc 2) and 4-5 (tail with doc 3)
+    # are flagged; islands [0,2] and [4,5] -> token spans [0,6] and
+    # [4,9] overlap -> merged to a single [0,9] with 5 flagged grams
+    assert [(r.span_start, r.span_end, r.n_grams) for r in by_doc[1]] == [
+        (0, 9, 5)
+    ]
+    # disjointness law across every doc
+    for doc_id, rows in by_doc.items():
+        rows = sorted(rows, key=lambda r: r.span_start)
+        for prev, nxt in zip(rows, rows[1:]):
+            assert nxt.span_start > prev.span_end, (doc_id, rows)

@@ -37,7 +37,6 @@ ROWS_ONLY_DECLARED = [
     "sketch_user_stats",
     "pack_sequences",
     "data_profile_lineitem_approx",
-    "semantic_dedup",
     "pca_projection",
     "compression_ratio",
 ]

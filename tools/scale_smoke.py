@@ -469,6 +469,26 @@ def main() -> int:
         s = small_de[r.user_id % 100_000_000]
         assert r.n_events == s.n_events and r.score == s.score, r.user_id
 
+    # Round-5 family. knn_label_agreement: the query sample is capped
+    # at KNN_MAX_QUERIES LOWEST matching vec_ids (bounded collect), and
+    # under n_rep >= k replication every query's top-k is dominated by
+    # the sim=1.0 copies of ITSELF (replicas are not self, only the
+    # identical id is excluded), so the vote must return the query's
+    # own label for EVERY query: n_agree == n_queries per label.
+    agree = tm(
+        "knn_label_agreement (self-copy dominance + bounded sample)",
+        lambda: similarity.knn_label_agreement(big_emb, k=10).collect(),
+    )
+    assert agree, "no labels returned"
+    for r in agree:
+        assert r.n_agree == r.n_queries and r.agree_pct == 1.0, r
+    n_queries_total = sum(r.n_queries for r in agree)
+    expected = min(
+        similarity.KNN_MAX_QUERIES,
+        big_emb.filter((F.col("vec_id") % 10) == 0).count(),
+    )
+    assert n_queries_total == expected, (n_queries_total, expected)
+
     print("scale smoke OK")
     return 0
 

@@ -886,13 +886,20 @@ def duplicate_spans(
     span whose k-grams all occur in ≥ min_docs documents.
 
     Output: (doc_id, span_start, span_end, n_grams) — token indices,
-    0-based inclusive; span_end = last gram's position + k − 1. Spans
-    are disjoint by construction (islands are maximal runs).
+    0-based inclusive; span_end = last gram's position + k − 1;
+    n_grams = flagged gram positions inside the span. Spans are
+    disjoint in TOKEN space: islands are maximal runs of gram
+    POSITIONS, and two islands separated by a position gap < k produce
+    token intervals that overlap (k=5, flagged positions 0–2 and 4–5
+    give [0,6] and [4,8]), so a second interval-merge pass unions any
+    such overlapping intervals before emitting — a naive span remover
+    can cut every row independently without double-cutting tokens.
 
     Scale shape: the gram explode and duplicated-gram relation are
     exactly substring_dup_stats' (hash-keyed count + flag join); the
-    added work is ONE per-doc window over only the FLAGGED positions
-    (near-dup-sized, not corpus-sized) and a (doc, island) aggregate.
+    added work is TWO per-doc windows over only the FLAGGED positions
+    / island spans (near-dup-sized, not corpus-sized) and their
+    aggregates.
     """
     toks = F.split(F.lower(F.col(text_col)), " ")
     grams = df.select(
@@ -917,12 +924,35 @@ def duplicate_spans(
     islands = flagged.withColumn(
         "grp", F.col("pos") - F.row_number().over(w)
     )
+    spans = islands.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("s"),
+        (F.max("pos") + F.lit(k - 1)).cast("long").alias("e"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    # Interval-merge pass: islands are disjoint in gram-position space
+    # but their token intervals overlap when the position gap < k.
+    # Spans per doc have strictly increasing s AND e, so a lag-based
+    # break flag + running sum is a full interval merge (no cummax
+    # needed). Same window key as the island pass — tiny relation.
+    ws = Window.partitionBy("doc_id").orderBy("s")
+    wrun = ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = (
+        spans.withColumn(
+            "brk",
+            F.when(
+                F.lag("e").over(ws).isNull()
+                | (F.col("s") > F.lag("e").over(ws)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("mgrp", F.sum("brk").over(wrun))
+    )
     return (
-        islands.groupBy("doc_id", "grp")
+        merged.groupBy("doc_id", "mgrp")
         .agg(
-            F.min("pos").cast("long").alias("span_start"),
-            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
-            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.min("s").cast("long").alias("span_start"),
+            F.max("e").cast("long").alias("span_end"),
+            F.sum("c").cast("long").alias("n_grams"),
         )
         .select("doc_id", "span_start", "span_end", "n_grams")
     )

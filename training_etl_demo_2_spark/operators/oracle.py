@@ -429,7 +429,9 @@ def substring_dup_stats_sql(k: int = 5, min_docs: int = 2) -> str:
 
 def duplicate_spans_sql(k: int = 5, min_docs: int = 2) -> str:
     """Twin of dedup.duplicate_spans: same gram/dup relation, parallel
-    unnest zips (pos, gram), gaps-and-islands via pos - row_number."""
+    unnest zips (pos, gram), gaps-and-islands via pos - row_number,
+    then the same second interval-merge pass (lag break flag + running
+    sum) unioning island spans whose token intervals overlap."""
     h = ROLLING_HASH.format(s="gram")
     return f"""
     WITH toks AS (
@@ -459,13 +461,35 @@ def duplicate_spans_sql(k: int = 5, min_docs: int = 2) -> str:
                    PARTITION BY doc_id ORDER BY pos
                ) AS grp
         FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id,
+               min(pos) AS s,
+               max(pos) + {k - 1} AS e,
+               count(*) AS c
+        FROM islands
+        GROUP BY doc_id, grp
+    ),
+    flags AS (
+        SELECT doc_id, s, e, c,
+               CASE WHEN lag(e) OVER (PARTITION BY doc_id ORDER BY s)
+                         IS NULL
+                      OR s > lag(e) OVER (PARTITION BY doc_id ORDER BY s)
+                    THEN 1 ELSE 0 END AS brk
+        FROM spans
+    ),
+    mg AS (
+        SELECT doc_id, s, e, c,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS mgrp
+        FROM flags
     )
     SELECT doc_id,
-           CAST(min(pos) AS BIGINT) AS span_start,
-           CAST(max(pos) + {k - 1} AS BIGINT) AS span_end,
-           CAST(count(*) AS BIGINT) AS n_grams
-    FROM islands
-    GROUP BY doc_id, grp
+           CAST(min(s) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(sum(c) AS BIGINT) AS n_grams
+    FROM mg
+    GROUP BY doc_id, mgrp
     """
 
 

@@ -425,22 +425,19 @@ def lsh_topk_sql(k: int = 5, query_pred: str = "vec_id < 20", dim: int = 64) -> 
     """
 
 
-def ivf_topk_sql(
-    k: int = 5,
-    query_pred: str = "vec_id < 20",
-    n_centroids: int = 16,
-    nprobe: int = 4,
-    multi_assign: int = 3,
-) -> str:
-    """Twin of similarity.ivf_topk: the identical exact-integer Lloyd
-    recurrence (quantize to 1/2^21 units → integer dot-product argmax →
-    floor(s·Q/√Σs²) centroid re-quantization), unrolled as chained CTEs
-    like distributed_kmeans_sql. Every accumulation is integer (DuckDB
+def _ivf_chain_cte(n_centroids: int) -> str:
+    """Shared CTE chain for the exact-integer IVF Lloyd recurrence
+    (quantize to 1/2^21 units → integer dot-product argmax →
+    floor(s·Q/√Σs²) centroid re-quantization), unrolled like
+    distributed_kmeans_sql. Every accumulation is integer (DuckDB
     widens the sums to HUGEINT; the Spark side uses int64 + Python int
     where 2^63 could overflow), and the only float ops are single
     divisions/sqrts of exact integers — IEEE-deterministic — so the
-    candidate sets agree bit-for-bit. Final re-rank: exact double
-    cosine, round 6."""
+    trained codebook and the per-vector cell ranking agree bit-for-bit
+    with similarity._ivf_centroids / ivf_assign. Ends at
+    ``ranked_cells (vec_id, cid, rn)``: rn-ranked (sim desc, cid asc)
+    cells per vector. Consumed by ivf_topk_sql and
+    semantic_dedup_sql."""
     from .similarity import IVF_ITERS, IVF_QUANT, IVF_SAMPLE
 
     q = IVF_QUANT
@@ -486,8 +483,7 @@ def ivf_topk_sql(
     )"""
         )
     chain = ",\n    ".join(steps)
-    return f"""
-    WITH elems AS MATERIALIZED (
+    return f"""elems AS MATERIALIZED (
         SELECT vec_id, t.i - 1 AS dim, embedding[t.i]::DOUBLE AS val
         FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
     ),
@@ -523,7 +519,22 @@ def ivf_topk_sql(
         SELECT vec_id, cid, row_number() OVER (
             PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
         FROM csim
-    ),
+    )"""
+
+
+def ivf_topk_sql(
+    k: int = 5,
+    query_pred: str = "vec_id < 20",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    multi_assign: int = 3,
+) -> str:
+    """Twin of similarity.ivf_topk over the shared exact-integer Lloyd
+    chain (_ivf_chain_cte): spilled assignment = rn <= multi_assign,
+    query probes = rn <= nprobe, cell-keyed candidates, exact double
+    cosine re-rank rounded to 6."""
+    return f"""
+    WITH {_ivf_chain_cte(n_centroids)},
     cells AS (SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn <= {multi_assign}),
     qprobe AS (
         SELECT vec_id AS query_id, cid AS cell
@@ -624,4 +635,71 @@ def bpe_token_counts_sql(n_merges: int = 30) -> str:
     FROM v{n_merges},
          unnest(string_split(substr(s, 2, length(s) - 2), {dd})) AS t(tok)
     GROUP BY t.tok
+    """
+
+
+def semantic_dedup_sql(
+    threshold: float = 0.45, n_centroids: int = 16
+) -> str:
+    """Twin of similarity.semantic_dedup: the shared exact-integer
+    Lloyd chain assigns each vector to its single nearest cell
+    (rn = 1), then the per-cell GREEDY prune — inherently sequential —
+    unrolls as a RECURSIVE CTE whose working table carries one row per
+    cell holding the kept-id list. Step s of the recursion processes
+    each cell's s-th vector (ascending vec_id): a correlated subquery
+    over the precomputed within-cell pair-cosine relation finds the
+    best kept match in micro-unit integers (floor(cos·1e6 + 0.5), tie
+    → lowest kept id — the engine's first-max over an ascending-id
+    kept list), and the vector either folds into that representative
+    or extends the kept list. Cells terminate when their vectors run
+    out; recursion depth = max cell size."""
+    thr_u = int(round(threshold * 1e6))
+    return f"""
+    WITH RECURSIVE {_ivf_chain_cte(n_centroids)},
+    cells AS MATERIALIZED (
+        SELECT vec_id, cid AS cell FROM ranked_cells WHERE rn = 1
+    ),
+    v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    ordered AS MATERIALIZED (
+        SELECT c.vec_id, c.cell,
+               row_number() OVER (PARTITION BY c.cell ORDER BY c.vec_id)
+                   AS step
+        FROM cells c
+    ),
+    pairsim AS MATERIALIZED (
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+               CAST(floor(list_cosine_similarity(av.e, bv.e) * 1000000
+                          + 0.5) AS BIGINT) AS sim_u
+        FROM ordered a
+        JOIN ordered b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN v av ON av.vec_id = a.vec_id
+        JOIN v bv ON bv.vec_id = b.vec_id
+    ),
+    rec AS (
+        SELECT cell, 0 AS step, CAST([] AS BIGINT[]) AS kept,
+               CAST(NULL AS BIGINT) AS vec_id,
+               CAST(NULL AS BIGINT) AS rep_id, 0 AS is_kept
+        FROM (SELECT DISTINCT cell FROM ordered)
+        UNION ALL
+        SELECT o.cell, o.step,
+               CASE WHEN best.rep IS NULL
+                    THEN list_append(r.kept, o.vec_id) ELSE r.kept END,
+               o.vec_id,
+               coalesce(best.rep, o.vec_id),
+               CASE WHEN best.rep IS NULL THEN 1 ELSE 0 END
+        FROM rec r
+        JOIN ordered o ON o.cell = r.cell AND o.step = r.step + 1
+        LEFT JOIN LATERAL (
+            SELECT p.ida AS rep
+            FROM pairsim p
+            WHERE p.idb = o.vec_id
+              AND list_contains(r.kept, p.ida)
+              AND p.sim_u >= {thr_u}
+            ORDER BY p.sim_u DESC, p.ida ASC
+            LIMIT 1
+        ) best ON true
+    )
+    SELECT vec_id, CAST(cell AS INTEGER) AS cell, rep_id,
+           CAST(is_kept AS INTEGER) AS is_kept
+    FROM rec WHERE step > 0
     """

@@ -676,15 +676,23 @@ def semantic_dedup(
     O(|cell|²) flops in one numpy kernel — the SemDeDup scaling knob
     is n_centroids ∝ corpus size, which keeps cells bounded (the
     paper runs 50k clusters for LAION-scale); cross-cell near-dups
-    are accepted misses exactly as in the paper. Rows-only: k-means
-    fixpoints are not SQL-expressible; invariants are pytest-pinned
-    (kept sets are pairwise < threshold, every dropped row has a kept
-    representative at >= threshold).
+    are accepted misses exactly as in the paper.
+
+    Cross-engine determinism: the codebook is the exact-integer Lloyd
+    recurrence (see ``_ivf_centroids``) and the greedy compare runs on
+    micro-unit integers (floor(cos·1e6 + 0.5), first-max tie-break =
+    lowest kept id), so the full output has a DuckDB twin
+    (oracle_text.semantic_dedup_sql): the sequential greedy unrolls as
+    a recursive CTE carrying each cell's kept-list, over a
+    within-cell pair-cosine relation. Invariants additionally
+    pytest-pinned (kept sets pairwise < threshold, every dropped row
+    has a kept representative at >= threshold).
     """
     centroids = _ivf_centroids(emb, dim, n_centroids)
     cells = ivf_assign(emb, centroids, multi=1)
     v = emb.select("vec_id", "embedding").join(cells, "vec_id")
     out_schema = "vec_id long, cell int, rep_id long, is_kept int"
+    thr_u = int(round(threshold * 1e6))
 
     def prune(key, pdf):
         import pandas as pd
@@ -699,9 +707,14 @@ def semantic_dedup(
         rep = np.empty(len(ids), dtype=np.int64)
         for i in range(len(ids)):
             if kept_rows:
-                sims = mat[kept_rows] @ mat[i]
-                j = int(np.argmax(sims))
-                if sims[j] >= threshold:
+                # micro-unit integer sims: same floor(x*1e6 + 0.5) on
+                # both engines; argmax first-max = earliest kept row =
+                # lowest kept id (kept_rows is in ascending-id order)
+                sims_u = np.floor(
+                    mat[kept_rows] @ mat[i] * 1e6 + 0.5
+                ).astype(np.int64)
+                j = int(np.argmax(sims_u))
+                if sims_u[j] >= thr_u:
                     rep[i] = ids[kept_rows[j]]
                     continue
             kept_rows.append(i)
