@@ -1426,6 +1426,7 @@ def oracle_sql() -> dict[str, str]:
         # --- round-6 additions
         "substring_dup_stats": oracle.substring_dup_stats_sql(),
         "dsir_selection": curation.DSIR_IMPORTANCE_SQL,
+        "pack_sequences": curation.pack_sequences_sql(budget=256),
         "bloom_pruned_join": bloom.DELINQUENT_ORDER_REVENUE_SQL,
         "bm25_topk": text.bm25_topk_sql(),
         "hybrid_rrf_topk": similarity.hybrid_rrf_topk_sql(),

@@ -35,7 +35,6 @@ def test_all_oracle_queries_match(spark, sf_dir):
 ROWS_ONLY_DECLARED = [
     "media_near_dups",
     "sketch_user_stats",
-    "pack_sequences",
     "data_profile_lineitem_approx",
     "pca_projection",
     "compression_ratio",

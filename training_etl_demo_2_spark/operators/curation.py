@@ -13,13 +13,13 @@
 * **Length bucketing** — power-of-two token-length histogram, the
   batch-shape planning input.
 * **Greedy sequence packing** — documents packed first-fit-sequentially
-  into fixed token budgets per partition (Arrow-batched, state is one
-  running sum). Packing is inherently a sequential scan, so it
-  parallelizes per partition: global pack ids are (partition, seq).
+  into fixed token budgets per deterministic group (doc_id % n_groups;
+  Arrow-batched, state is one running sum). Packing is inherently a
+  sequential scan, so it parallelizes per group: global pack ids are
+  (group, seq), identical on any engine or cluster layout.
 
-All but packing are pure Catalyst expressions with DuckDB twins;
-packing registers rows-only (partition boundaries are
-plan-dependent) with invariant tests.
+Every operator here is engine-portable with a DuckDB twin (packing's
+twin unrolls the greedy recurrence as a linear recursive CTE).
 """
 
 from __future__ import annotations
@@ -548,19 +548,32 @@ def source_mixture_weights_sql(alpha: float = MIXTURE_ALPHA) -> str:
 # ---------------------------------------------------------------------------
 
 
+PACK_GROUPS = 8
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int = 256,
     text_col: str = "text",
+    n_groups: int = PACK_GROUPS,
 ) -> DataFrame:
     """First-fit-sequential packing of documents into token budgets.
 
     Packing is a sequential scan (each decision depends on the running
-    sum), so it runs per partition: docs are hash-distributed, sorted by
-    doc_id within the partition, and greedily accumulated; a doc that
-    would overflow the budget starts a new pack. Pack ids are
-    "<partition>-<seq>" — globally unique, locally dense. An oversized
+    sum), so it runs per GROUP: docs are bucketed by the DETERMINISTIC
+    key ``doc_id % n_groups`` (not Spark's physical partition id —
+    engine-independent and append-stable, so the same corpus packs
+    identically on any cluster layout or engine), sorted by doc_id
+    within the group, and greedily accumulated; a doc that would
+    overflow the budget starts a new pack. Pack ids are
+    "<group>-<seq>" — globally unique, locally dense. An oversized
     single doc gets its own pack (never split, never dropped).
+
+    Deterministic grouping is also what makes the DuckDB twin possible
+    (oracle.pack_sequences_sql): the greedy recurrence unrolls as a
+    linear recursive CTE, one row per group per step. At scale set
+    ``n_groups`` ∝ cluster cores — groups are independent, so packing
+    parallelism is the group count.
 
     Output: (doc_id, n_tokens, pack_id); invariants tested in
     tests/test_curation.py.
@@ -568,37 +581,26 @@ def pack_sequences(
     src = df.select(
         "doc_id",
         F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % n_groups).alias("grp"),
     )
 
-    def pack(batches):
+    def pack(key, pdf):
         import pandas as pd
 
-        pid = None
-        rows_id, rows_tok = [], []
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            if pid is None:
-                pid = int(pdf["pid"].iloc[0])
-            rows_id.extend(int(x) for x in pdf["doc_id"])
-            rows_tok.extend(int(x) for x in pdf["n_tokens"])
-        if pid is None:
-            return
-        order = sorted(range(len(rows_id)), key=lambda i: rows_id[i])
+        grp = int(key[0])
+        pdf = pdf.sort_values("doc_id")
         packs, seq, acc = [], 0, 0
-        for i in order:
-            tok = rows_tok[i]
+        for doc_id, tok in zip(pdf["doc_id"], pdf["n_tokens"]):
+            tok = int(tok)
             if acc > 0 and acc + tok > budget:
                 seq += 1
                 acc = 0
             acc += tok
-            packs.append((rows_id[i], tok, f"{pid}-{seq}"))
-        yield pd.DataFrame(packs, columns=["doc_id", "n_tokens", "pack_id"])
+            packs.append((int(doc_id), tok, f"{grp}-{seq}"))
+        return pd.DataFrame(packs, columns=["doc_id", "n_tokens", "pack_id"])
 
-    return (
-        src.repartition(max(1, src.sparkSession.sparkContext.defaultParallelism // 4), "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .mapInPandas(pack, "doc_id long, n_tokens long, pack_id string")
+    return src.groupBy("grp").applyInPandas(
+        pack, "doc_id long, n_tokens long, pack_id string"
     )
 
 
@@ -1219,4 +1221,43 @@ def neyman_allocation_sql(
                       / (CASE WHEN z > 0 THEN z ELSE n_total END)
                       + 0.5) AS BIGINT) AS alloc
     FROM weighted CROSS JOIN tot
+    """
+
+
+def pack_sequences_sql(budget: int = 256, n_groups: int = PACK_GROUPS) -> str:
+    """Twin of pack_sequences: the per-group first-fit greedy is a pure
+    integer recurrence over (acc, seq), so it unrolls as a LINEAR
+    recursive CTE — one working row per group per step, joined to the
+    group's step-th doc (ascending doc_id). Deterministic because the
+    grouping key is doc_id % n_groups (not a physical partition id)."""
+    return f"""
+    WITH RECURSIVE src AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               doc_id % {n_groups} AS grp
+        FROM documents
+    ),
+    ordered AS MATERIALIZED (
+        SELECT doc_id, n_tokens, grp,
+               row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS step
+        FROM src
+    ),
+    rec AS (
+        SELECT grp, 0 AS step, CAST(0 AS BIGINT) AS acc,
+               CAST(0 AS BIGINT) AS seq,
+               CAST(NULL AS BIGINT) AS doc_id,
+               CAST(NULL AS BIGINT) AS n_tokens
+        FROM (SELECT DISTINCT grp FROM ordered)
+        UNION ALL
+        SELECT o.grp, o.step,
+               CASE WHEN r.acc > 0 AND r.acc + o.n_tokens > {budget}
+                    THEN o.n_tokens ELSE r.acc + o.n_tokens END,
+               CASE WHEN r.acc > 0 AND r.acc + o.n_tokens > {budget}
+                    THEN r.seq + 1 ELSE r.seq END,
+               o.doc_id, o.n_tokens
+        FROM rec r
+        JOIN ordered o ON o.grp = r.grp AND o.step = r.step + 1
+    )
+    SELECT doc_id, n_tokens, grp || '-' || seq AS pack_id
+    FROM rec WHERE step > 0
     """
