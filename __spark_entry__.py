@@ -693,6 +693,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_pct_by_source": _q(
             lambda t: text.quality_pct_by_source(t["documents"])
         ),
+        # --- round-5 additions (appended at tail: gate-window discipline)
+        # substring-dedup REMOVAL half: cut the disjoint duplicated
+        # spans out of the text (Lee et al. 2022 actionable output)
+        "remove_duplicate_spans": _q(
+            lambda t: dedup.remove_duplicate_spans(t["documents"])
+        ),
     }
 
 
@@ -1153,6 +1159,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_provenance": oracle.near_dup_provenance_sql(),
         "lineitem_correlations": validation.lineitem_correlations_sql(),
         "duplicate_spans": oracle.duplicate_spans_sql(),
+        "remove_duplicate_spans": oracle.remove_duplicate_spans_sql(),
         "event_type_pmi": behavior.event_type_pmi_sql(),
         "ann_filtered_topk": oracle_text.filtered_topk_sql(k=5),
         "source_mixture_weights": curation.source_mixture_weights_sql(),

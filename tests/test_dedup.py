@@ -681,3 +681,30 @@ def test_duplicate_spans_overlapping_islands_merge(spark):
         rows = sorted(rows, key=lambda r: r.span_start)
         for prev, nxt in zip(rows, rows[1:]):
             assert nxt.span_start > prev.span_end, (doc_id, rows)
+
+
+def test_remove_duplicate_spans_planted(spark):
+    """Removal cuts exactly the flagged disjoint spans: the merged-span
+    doc loses tokens 0-9, untouched docs pass through whole, and
+    n_tokens/n_removed account for every token."""
+    df = spark.createDataFrame(
+        [
+            (1, "x0 x1 x2 x3 x4 x5 x6 u0 u1 u2"),
+            (2, "x0 x1 x2 x3 x4 x5 x6 z0 z1 z2"),
+            (3, "v0 v1 v2 v3 x4 x5 x6 u0 u1 u2"),
+            (4, "w0 w1 w2 w3"),  # < k tokens: no grams, untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.remove_duplicate_spans(df, k=5).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1's merged span [0, 9] covers the whole doc
+    assert out[1].clean_text == "" and out[1].n_removed == 10
+    # doc 2: span [0, 6] from the x-run -> tail survives
+    assert out[2].clean_text == "z0 z1 z2" and out[2].n_removed == 7
+    # doc 3: span [4, 9] -> head survives
+    assert out[3].clean_text == "v0 v1 v2 v3" and out[3].n_removed == 6
+    assert out[4].clean_text == "w0 w1 w2 w3" and out[4].n_removed == 0
+    for r in out.values():
+        n_clean = len(r.clean_text.split(" ")) if r.clean_text else 0
+        assert r.n_tokens == n_clean + r.n_removed

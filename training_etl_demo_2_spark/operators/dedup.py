@@ -958,6 +958,57 @@ def duplicate_spans(
     )
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The REMOVAL half of substring dedup (Lee et al. 2022): cut every
+    duplicated span found by ``duplicate_spans`` out of the text and
+    reassemble the remainder. Because the spans are disjoint in token
+    space (the interval-merge pass), removal is a single per-token
+    membership test — no double-cut bookkeeping.
+
+    Output: (doc_id, clean_text, n_tokens, n_removed) for EVERY input
+    document (no-span docs pass through with n_removed = 0).
+
+    Scale shape: the span relation is near-dup-sized and joins on
+    doc_id; the removal itself is a narrow higher-order-function pass
+    (transform + exists over the doc's own span list — spans per doc
+    are few) — no new shuffle beyond the span join.
+    """
+    spans = duplicate_spans(df, text_col, k, min_docs)
+    span_sets = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    sp = F.coalesce(
+        F.col("__spans"),
+        F.expr("CAST(array() AS array<struct<span_start:bigint,span_end:bigint>>)"),
+    )
+    indexed = F.transform(toks, lambda x, i: F.struct(x.alias("w"), i.alias("i")))
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            sp,
+            lambda r: (s["i"] >= r["span_start"]) & (s["i"] <= r["span_end"]),
+        ),
+    )
+    return (
+        df.select("doc_id", text_col)
+        .join(span_sets, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(kept, lambda s: s["w"]), " "
+            ).alias("clean_text"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PageRank centrality on the near-dup graph
 # ---------------------------------------------------------------------------

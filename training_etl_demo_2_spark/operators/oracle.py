@@ -427,14 +427,12 @@ def substring_dup_stats_sql(k: int = 5, min_docs: int = 2) -> str:
     """
 
 
-def duplicate_spans_sql(k: int = 5, min_docs: int = 2) -> str:
-    """Twin of dedup.duplicate_spans: same gram/dup relation, parallel
-    unnest zips (pos, gram), gaps-and-islands via pos - row_number,
-    then the same second interval-merge pass (lag break flag + running
-    sum) unioning island spans whose token intervals overlap."""
+def _duplicate_spans_cte(k: int, min_docs: int) -> str:
+    """Shared CTE chain ending at ``dspans (doc_id, span_start,
+    span_end, n_grams)`` — the merged disjoint duplicated-token spans;
+    consumed by duplicate_spans_sql and remove_duplicate_spans_sql."""
     h = ROLLING_HASH.format(s="gram")
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
         SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
     ),
     grams AS (
@@ -483,13 +481,51 @@ def duplicate_spans_sql(k: int = 5, min_docs: int = 2) -> str:
                sum(brk) OVER (PARTITION BY doc_id ORDER BY s
                               ROWS UNBOUNDED PRECEDING) AS mgrp
         FROM flags
+    ),
+    dspans AS (
+        SELECT doc_id,
+               CAST(min(s) AS BIGINT) AS span_start,
+               CAST(max(e) AS BIGINT) AS span_end,
+               CAST(sum(c) AS BIGINT) AS n_grams
+        FROM mg
+        GROUP BY doc_id, mgrp
+    )"""
+
+
+def duplicate_spans_sql(k: int = 5, min_docs: int = 2) -> str:
+    """Twin of dedup.duplicate_spans: same gram/dup relation, parallel
+    unnest zips (pos, gram), gaps-and-islands via pos - row_number,
+    then the same second interval-merge pass (lag break flag + running
+    sum) unioning island spans whose token intervals overlap."""
+    return f"""
+    WITH {_duplicate_spans_cte(k, min_docs)}
+    SELECT doc_id, span_start, span_end, n_grams FROM dspans
+    """
+
+
+def remove_duplicate_spans_sql(k: int = 5, min_docs: int = 2) -> str:
+    """Twin of dedup.remove_duplicate_spans: per-token membership test
+    against the doc's (disjoint) spans, order-preserving reassembly via
+    string_agg ORDER BY position; no-span docs pass through whole."""
+    return f"""
+    WITH {_duplicate_spans_cte(k, min_docs)},
+    tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    kept AS (
+        SELECT t.doc_id, p.i, t.w[p.i + 1] AS tok
+        FROM tw t, unnest(range(0, len(t.w))) AS p(i)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM dspans s
+            WHERE s.doc_id = t.doc_id
+              AND p.i BETWEEN s.span_start AND s.span_end
+        )
     )
-    SELECT doc_id,
-           CAST(min(s) AS BIGINT) AS span_start,
-           CAST(max(e) AS BIGINT) AS span_end,
-           CAST(sum(c) AS BIGINT) AS n_grams
-    FROM mg
-    GROUP BY doc_id, mgrp
+    SELECT t.doc_id,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS clean_text,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(len(t.w) - count(k.tok) AS BIGINT) AS n_removed
+    FROM tw t
+    LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, t.w
     """
 
 
