@@ -353,7 +353,7 @@ def test_part_affinity_degenerate_basket_capped(spark):
         "l_orderkey long, l_partkey long, l_linenumber int",
     )
     out = part_affinity(
-        {"lineitem": li}, min_support=3, k=10, max_basket=10
+        {"lineitem": li}, min_support=3, k=10, max_basket=10, log_drops=True
     ).collect()
     got = {(r.pa, r.pb): r for r in out}
     assert set(got) == {(1, 2)}  # no pair from the degenerate basket

@@ -570,7 +570,7 @@ def pack_sequences(
     single doc gets its own pack (never split, never dropped).
 
     Deterministic grouping is also what makes the DuckDB twin possible
-    (oracle.pack_sequences_sql): the greedy recurrence unrolls as a
+    (curation.pack_sequences_sql): the greedy recurrence unrolls as a
     linear recursive CTE, one row per group per step. At scale set
     ``n_groups`` ∝ cluster cores — groups are independent, so packing
     parallelism is the group count.

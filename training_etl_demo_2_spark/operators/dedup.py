@@ -891,7 +891,7 @@ def duplicate_spans(
     disjoint in TOKEN space: islands are maximal runs of gram
     POSITIONS, and two islands separated by a position gap < k produce
     token intervals that overlap (k=5, flagged positions 0–2 and 4–5
-    give [0,6] and [4,8]), so a second interval-merge pass unions any
+    give [0,6] and [4,9]), so a second interval-merge pass unions any
     such overlapping intervals before emitting — a naive span remover
     can cut every row independently without double-cutting tokens.
 

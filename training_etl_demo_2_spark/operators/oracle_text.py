@@ -585,8 +585,10 @@ def bpe_token_counts_sql(n_merges: int = 30) -> str:
 
     Preconditions (asserted by the fixtures): text is chr(31)-free and
     contains no literal '</w>'. Degenerate corpora that exhaust all
-    pairs before n_merges rounds stop early on the Spark side but
-    produce empty rounds here — not a fixture-reachable case."""
+    pairs before n_merges rounds (every word fully merged) stop early
+    on the Spark side; here each exhausted round's best{{i}} is empty,
+    so v{{i+1}} LEFT-JOINs it and passes the vocab through unchanged —
+    the same fixpoint."""
     d = "chr(31)"
     dd = f"{d} || {d}"
     steps = []
@@ -607,10 +609,11 @@ def bpe_token_counts_sql(n_merges: int = 30) -> str:
         )
         steps.append(
             f"""v{i + 1} AS MATERIALIZED (
-        SELECT replace(v.s, {d} || b.a || {dd} || b.b || {d},
-                       {d} || b.a || b.b || {d}) AS s,
+        SELECT CASE WHEN b.a IS NULL THEN v.s
+                    ELSE replace(v.s, {d} || b.a || {dd} || b.b || {d},
+                                 {d} || b.a || b.b || {d}) END AS s,
                CAST(sum(v.cnt) AS BIGINT) AS cnt
-        FROM v{i} v CROSS JOIN best{i} b
+        FROM v{i} v LEFT JOIN best{i} b ON true
         GROUP BY 1
     )"""
         )

@@ -1248,6 +1248,7 @@ def part_affinity(
     min_support: int = AFFINITY_MIN_SUPPORT,
     k: int = AFFINITY_TOPK,
     max_basket: int = AFFINITY_MAX_BASKET,
+    log_drops: bool = False,
 ) -> DataFrame:
     """Frequent-pair mining with lift over order baskets: which part
     pairs co-occur in the same order more than their popularity
@@ -1264,8 +1265,10 @@ def part_affinity(
     its classical role is bounding the expansion. The expansion bound
     that IS enforced is ``max_basket``: baskets above it are excluded
     outright (from pairing, support, and the order count — a dropped
-    basket contributes to nothing) and the drop count is logged, so a
-    single degenerate mega-basket can never emit a quadratic task.
+    basket contributes to nothing), so a single degenerate mega-basket
+    can never emit a quadratic task; ``log_drops=True`` additionally
+    counts and logs the exclusions (one extra action, off by default
+    to keep construction lazy).
     Lift is a double from exact BIGINT counts; top-k fully tie-broken.
     """
     import logging
@@ -1287,13 +1290,17 @@ def part_affinity(
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    n_dropped = all_sets.filter(F.size("parts") > max_basket).count()
-    if n_dropped:
-        logging.getLogger(__name__).warning(
-            "part_affinity: excluded %d degenerate baskets (> %d items)",
-            n_dropped,
-            max_basket,
-        )
+    if log_drops:
+        # opt-in diagnostic: one extra action over the persisted basket
+        # relation. Off by default so plan construction stays lazy (the
+        # cap itself is always enforced below).
+        n_dropped = all_sets.filter(F.size("parts") > max_basket).count()
+        if n_dropped:
+            logging.getLogger(__name__).warning(
+                "part_affinity: excluded %d degenerate baskets (> %d items)",
+                n_dropped,
+                max_basket,
+            )
     sets = all_sets.filter(F.size("parts") <= max_basket)
     # ONE-ROW basket-count aggregate broadcast into the lift expression
     # (no driver-side action; the event_type_pmi pattern)

@@ -707,9 +707,16 @@ def semantic_dedup(
         rep = np.empty(len(ids), dtype=np.int64)
         for i in range(len(ids)):
             if kept_rows:
-                # micro-unit integer sims: same floor(x*1e6 + 0.5) on
-                # both engines; argmax first-max = earliest kept row =
-                # lowest kept id (kept_rows is in ascending-id order)
+                # micro-unit integer sims: floor(cos·1e6 + 0.5) with
+                # argmax first-max = earliest kept row = lowest kept id
+                # (kept_rows is in ascending-id order). The twin floors
+                # list_cosine_similarity (dot/norms — a different IEEE
+                # op order than normalize-then-dot here), so a cosine
+                # within ~1 ulp of a 0.5 micro-unit boundary could
+                # floor apart and cascade through the cell's greedy —
+                # the same ~1e-9/pair knife-edge channel as the LSH
+                # twin's sign flip, verified empirically green at all
+                # three fixture scales.
                 sims_u = np.floor(
                     mat[kept_rows] @ mat[i] * 1e6 + 0.5
                 ).astype(np.int64)
@@ -1513,6 +1520,11 @@ def _knn_vote_winners(
                 / np.outer(q_norm, np.linalg.norm(c_mat, axis=1)),
                 ROUND,
             )
+            # zero-norm vectors produce NaN cosines: numpy argsort ranks
+            # NaN last but Spark's window ranks NaN FIRST, so an
+            # unmasked NaN would make the output depend on batch layout
+            # — mask to the same below-range sentinel as self-pairs
+            sims[~np.isfinite(sims)] = -2.0
             sims[q_ids[:, None] == c_ids[None, :]] = -2.0  # mask self
             kk = min(k, sims.shape[1])
             top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
