@@ -699,6 +699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_duplicate_spans": _q(
             lambda t: dedup.remove_duplicate_spans(t["documents"])
         ),
+        # product-quantization ANN: integer-exact ADC shortlist over
+        # 8x-compressed codes + exact cosine refine (Jegou et al. 2011)
+        "ann_pq_topk": _q(lambda t: similarity.pq_topk(t["embeddings"], k=5)),
     }
 
 
@@ -1345,6 +1348,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": oracle_text.bpe_token_counts_sql(n_merges=30),
         "ann_ivf_topk": oracle_text.ivf_topk_sql(k=5),
         "semantic_dedup": oracle_text.semantic_dedup_sql(),
+        "ann_pq_topk": oracle_text.pq_topk_sql(k=5),
         "ann_brute_topk": oracle_text.brute_topk_sql(k=5),
         "ann_brute_topk_pandas": oracle_text.brute_topk_sql(k=5),
         "embedding_near_pairs": oracle_text.cosine_near_pairs_sql(threshold=0.45),

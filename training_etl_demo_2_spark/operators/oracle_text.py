@@ -706,3 +706,138 @@ def semantic_dedup_sql(
            CAST(is_kept AS INTEGER) AS is_kept
     FROM rec WHERE step > 0
     """
+
+
+def pq_topk_sql(
+    k: int = 5,
+    query_pred: str = "vec_id < 20",
+    dim: int = 64,
+) -> str:
+    """Twin of similarity.pq_topk: per-subspace integer Lloyd (one
+    unrolled chain covering all subspaces at once — the subspace is
+    just ``dim // sub``, and the dim-keyed join can never pair across
+    subspaces), exact-integer ADC shortlist, round-6 cosine refine.
+
+    PURE-INTEGER training: assignment minimizes the exact integer d2,
+    and the centroid update is the round-half-up integer mean
+    floor((2s+n)/(2n)) — computed as floor of an exact double quotient
+    (2s+n ≤ 2^33 and 2n ≤ 2^12 are double-exact, and a non-integer
+    quotient with denominator ≤ 2^12 sits ≥ 2^-12 from any integer, so
+    the floor equals numpy's floor_divide; DuckDB's native ``//``
+    truncates toward zero and is NOT used)."""
+    from .similarity import IVF_QUANT, IVF_SAMPLE, PQ_ITERS, PQ_K, PQ_M, PQ_REFINE
+
+    q = IVF_QUANT
+    sub = dim // PQ_M
+    steps = []
+    for i in range(PQ_ITERS):
+        steps.append(
+            f"""d{i} AS MATERIALIZED (
+        SELECT x.vec_id, x.s, c.cid,
+               sum((x.nq - c.c) * (x.nq - c.c)) AS d2
+        FROM snq x JOIN cent{i} c ON x.dim = c.dim
+        GROUP BY x.vec_id, x.s, c.cid
+    )"""
+        )
+        steps.append(
+            f"""a{i} AS MATERIALIZED (
+        SELECT vec_id, s, cid FROM (
+            SELECT vec_id, s, cid, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY d2 ASC, cid ASC) AS rn
+            FROM d{i}) WHERE rn = 1
+    )"""
+        )
+        steps.append(
+            f"""u{i} AS MATERIALIZED (
+        SELECT a.s, a.cid, x.dim, sum(x.nq) AS sm, count(*) AS n
+        FROM a{i} a JOIN snq x ON a.vec_id = x.vec_id AND a.s = x.s
+        GROUP BY a.s, a.cid, x.dim
+    )"""
+        )
+        steps.append(
+            f"""cent{i + 1} AS MATERIALIZED (
+        SELECT c.s, c.cid, c.dim,
+               CASE WHEN u.sm IS NULL THEN c.c
+                    ELSE CAST(floor((2 * u.sm + u.n)::DOUBLE
+                                    / (2 * u.n)) AS BIGINT)
+               END AS c
+        FROM cent{i} c
+        LEFT JOIN u{i} u ON c.s = u.s AND c.cid = u.cid AND c.dim = u.dim
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH elems AS MATERIALIZED (
+        SELECT vec_id, t.i - 1 AS dim, embedding[t.i]::DOUBLE AS val
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    q0 AS MATERIALIZED (
+        SELECT vec_id, dim, CAST(floor(val * {q}) AS BIGINT) AS qv
+        FROM elems
+    ),
+    nrm AS MATERIALIZED (SELECT vec_id, sum(qv * qv) AS n2 FROM q0 GROUP BY vec_id),
+    nq AS MATERIALIZED (
+        SELECT q0.vec_id, q0.dim, q0.dim // {sub} AS s,
+               CASE WHEN nrm.n2 = 0 THEN 0
+                    ELSE CAST(floor((q0.qv * {q})::DOUBLE
+                                    / sqrt(nrm.n2::DOUBLE)) AS BIGINT)
+               END AS nq
+        FROM q0 JOIN nrm USING (vec_id)
+    ),
+    smp AS MATERIALIZED (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {IVF_SAMPLE}),
+    snq AS MATERIALIZED (SELECT nq.* FROM nq JOIN smp USING (vec_id)),
+    init AS MATERIALIZED (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        FROM (SELECT vec_id FROM smp ORDER BY vec_id LIMIT {PQ_K})
+    ),
+    cent0 AS MATERIALIZED (
+        SELECT x.s, i.cid, x.dim, x.nq AS c
+        FROM init i JOIN snq x USING (vec_id)
+    ),
+    {chain},
+    codes AS MATERIALIZED (
+        SELECT vec_id, s, cid FROM (
+            SELECT n.vec_id, n.s, c.cid, row_number() OVER (
+                PARTITION BY n.vec_id, n.s
+                ORDER BY sum((n.nq - c.c) * (n.nq - c.c)) ASC, c.cid ASC
+            ) AS rn
+            FROM nq n JOIN cent{PQ_ITERS} c ON n.dim = c.dim
+            GROUP BY n.vec_id, n.s, c.cid
+        ) WHERE rn = 1
+    ),
+    qip AS MATERIALIZED (
+        SELECT n.vec_id AS query_id, c.s, c.cid, sum(n.nq * c.c) AS ip
+        FROM nq n JOIN cent{PQ_ITERS} c ON n.dim = c.dim
+        WHERE n.vec_id IN (SELECT vec_id FROM embeddings WHERE {query_pred})
+        GROUP BY n.vec_id, c.s, c.cid
+    ),
+    adc AS MATERIALIZED (
+        SELECT p.query_id, x.vec_id AS neighbor_id, sum(p.ip) AS adc
+        FROM codes x JOIN qip p ON x.s = p.s AND x.cid = p.cid
+        WHERE x.vec_id <> p.query_id
+        GROUP BY p.query_id, x.vec_id
+    ),
+    shortlist AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC
+            ) AS arnk FROM adc
+        ) WHERE arnk <= {PQ_REFINE}
+    ),
+    v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+        SELECT sl.query_id, sl.neighbor_id,
+               round(list_cosine_similarity(qv.e, cv.e), 6) AS sim
+        FROM shortlist sl
+        JOIN v qv ON qv.vec_id = sl.query_id
+        JOIN v cv ON cv.vec_id = sl.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC
+               ) AS rnk
+        FROM pairs
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {k}
+    """

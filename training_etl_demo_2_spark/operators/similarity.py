@@ -464,6 +464,205 @@ def ivf_topk(
     return _ranked_topk(pairs, k)
 
 
+# ---------------------------------------------------------------------------
+# product quantization (PQ) ANN: compressed-code ADC scan
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (dim must divide evenly)
+PQ_K = 16  # centroids per subspace → one code byte-equivalent each
+PQ_ITERS = 10
+PQ_REFINE = 100  # ADC shortlist size fed to the exact refine stage
+# self-pairs / non-candidates mask low without risking the int64
+# negation overflow that int64.min hits under argsort(-adc)
+_PQ_NEG = -(1 << 62)
+
+
+def _pq_codebooks(emb: DataFrame, dim: int, m: int, k: int) -> np.ndarray:
+    """Per-subspace Lloyd on the quantized-unit sample — PURE INTEGER:
+    assignment minimizes the exact integer Euclidean d2 over the
+    subvector (tie → lowest cid), and the centroid update is
+    round-half-up integer mean floor((2s+n)/(2n)) via floor-division,
+    so unlike the IVF chain there is NO float anywhere — the recurrence
+    is trivially bit-equal in any engine (twin:
+    oracle_text.pq_topk_sql). Init: the sample's k lowest vec_ids'
+    subvectors. Returns int64 (m, k, dim//m).
+
+    Standard PQ training shape: the codebook is driver-sized (m·k·d/m
+    = d·k ints) and broadcast; only encoding is distributed."""
+    sample = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(IVF_SAMPLE)
+        .collect()
+    )
+    sub = dim // m
+    if not sample:
+        return np.zeros((m, k, sub), dtype=np.int64)
+    x = _quantize_unit(
+        np.array([r.embedding for r in sample], dtype=np.float64)
+    )
+    k = min(k, len(x))
+    books = np.empty((m, k, sub), dtype=np.int64)
+    for s in range(m):
+        xs = x[:, s * sub : (s + 1) * sub]
+        cent = xs[:k].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # first min → lowest cid
+            new = cent.copy()
+            for c in range(k):
+                members = xs[assign == c]
+                if len(members):
+                    ssum = members.sum(axis=0)  # ≤ 2048·2^21 = 2^32
+                    n = len(members)
+                    new[c] = np.floor_divide(2 * ssum + n, 2 * n)
+            cent = new
+        books[s] = cent
+    return books
+
+
+def pq_codes(emb: DataFrame, codebooks: np.ndarray) -> DataFrame:
+    """(vec_id, codes array<int>): each vector's nearest centroid per
+    subspace under the exact integer d2 (tie → lowest cid), vectorized
+    per Arrow batch with the codebook in the task closure. This is the
+    16×-compressed representation the ADC scan reads — M small ints
+    per vector instead of d floats."""
+    m, _, sub = codebooks.shape
+    out_schema = "vec_id long, codes array<int>"
+
+    def encode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nq = _quantize_unit(np.array(list(pdf["embedding"]), dtype=np.float64))
+            codes = np.empty((len(ids), m), dtype=np.int32)
+            for s in range(m):
+                xs = nq[:, s * sub : (s + 1) * sub]
+                d2 = ((xs[:, None, :] - codebooks[s][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({"vec_id": ids, "codes": list(codes)})
+
+    return emb.select("vec_id", "embedding").mapInPandas(encode, out_schema)
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_pred: str = "vec_id < 20",
+    dim: int = 64,
+    m: int = PQ_M,
+    n_centroids: int = PQ_K,
+    refine: int = PQ_REFINE,
+) -> DataFrame:
+    """PQ/ADC ANN top-k — the compressed-scan tier beside lsh_topk and
+    ivf_topk: the corpus is encoded once as M sub-codes (8× smaller
+    than the float vectors at m=8), each query precomputes an M×K
+    lookup table of exact integer inner products (query subvector ·
+    centroid), the scan scores every vector with M table gathers + a
+    sum — asymmetric distance computation (Jégou et al., TPAMI 2011) —
+    and the ADC top-``refine`` shortlist is re-ranked with exact
+    cosines (the standard refine stage).
+
+    The shortlist is ranked on the EXACT-INTEGER adc score (desc,
+    neighbor asc) — zero float from training through shortlisting, so
+    the DuckDB twin (oracle_text.pq_topk_sql) selects the identical
+    shortlist with no knife-edge channel; the refine rerank uses the
+    proven round-6 cosine pattern. Per batch the scorer emits only the
+    local top-``refine`` under the same total order, so the shuffle
+    carries ≤ Q·refine rows per partition; at 100 TB the scan reads
+    codes (M small ints/row), not embeddings, and only Q·refine
+    vectors are ever fetched for the rerank. Recall is the
+    (m, n_centroids, refine) knob, verified against brute_topk in
+    tests.
+
+    Output: (query_id, neighbor_id, sim, rnk) — same contract as the
+    other ANN tiers.
+    """
+    books = _pq_codebooks(emb, dim, m, n_centroids)
+    sub = dim // m
+    queries = (
+        emb.filter(query_pred).select("vec_id", "embedding").collect()
+    )
+    out_schema = "query_id long, neighbor_id long, adc long"
+    if not queries:
+        return _ranked_topk(
+            emb.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, sim double"
+            ),
+            k,
+        )
+    q_ids = np.array([r.vec_id for r in queries], dtype=np.int64)
+    q_nq = _quantize_unit(
+        np.array([r.embedding for r in queries], dtype=np.float64)
+    )
+    # LUT[q, s, c] = q_sub · cent — exact int64 (≤ 16·2^44 < 2^49)
+    lut = np.einsum(
+        "qsd,scd->qsc",
+        q_nq.reshape(len(q_ids), m, sub),
+        books,
+        dtype=np.int64,
+    )
+
+    def score(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values("vec_id")
+            c_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            codes = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            # gather: adc[q, i] = sum_s LUT[q, s, codes[i, s]]
+            adc = np.zeros((len(q_ids), len(c_ids)), dtype=np.int64)
+            for s in range(m):
+                adc += lut[:, s, codes[:, s]]
+            adc[q_ids[:, None] == c_ids[None, :]] = _PQ_NEG
+            kk = min(refine, adc.shape[1])
+            top = np.argsort(-adc, axis=1, kind="stable")[:, :kk]
+            qq = np.repeat(np.arange(len(q_ids)), kk)
+            cc = top.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[qq],
+                    "neighbor_id": c_ids[cc],
+                    "adc": adc[np.arange(len(q_ids))[:, None], top].ravel(),
+                }
+            )
+
+    pairs = (
+        pq_codes(emb, books)
+        .mapInPandas(score, out_schema)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        pairs.withColumn("arnk", F.row_number().over(w))
+        .filter(F.col("arnk") <= refine)
+        .select("query_id", "neighbor_id")
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    refined = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("q_emb"), F.col("c_emb")), ROUND).alias("sim"),
+        )
+    )
+    return _ranked_topk(refined, k)
+
+
 NEAR_PAIRS_BLOCK_ROWS = 2048
 # auto-dispatch ceiling for the exact tier: above this corpus size the
 # O(n·B) row replication + O(n²) flops of block-nested-loop stop being
