@@ -22,6 +22,7 @@ from training_etl_demo_2_spark.operators import (
     bloom,
     curation,
     dedup,
+    maintenance,
     merge,
     multimodal,
     oracle,
@@ -702,6 +703,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # product-quantization ANN: integer-exact ADC shortlist over
         # 8x-compressed codes + exact cosine refine (Jegou et al. 2011)
         "ann_pq_topk": _q(lambda t: similarity.pq_topk(t["embeddings"], k=5)),
+        # JL sketch: seeded Rademacher projection — the exactly-
+        # checkable complement of the rows-only pca_projection
+        "random_projection": _q(
+            lambda t: similarity.random_projection(t["embeddings"])
+        ),
+        # which near-dup copy to KEEP: canonical doc per cluster
+        "dedup_representatives": _q(
+            lambda t: dedup.dedup_representatives(t["documents"])
+        ),
+        # table maintenance: small-file compaction planning (next-fit
+        # byte-offset binning over the per-hour file inventory)
+        "file_compaction_plan": _q(maintenance.file_compaction_plan),
+        # table maintenance: Z-ORDER clustering plan + per-file min/max
+        # pruning stats (Morton interleave of partkey x suppkey)
+        "zorder_files": _q(maintenance.zorder_files),
+        # streaming design audit: drop rate per candidate watermark
+        # delay under deterministic delivery jitter
+        "watermark_lateness_audit": _q(temporal.watermark_lateness_audit),
     }
 
 
@@ -1475,4 +1494,11 @@ def oracle_sql() -> dict[str, str]:
         "order_total_consistency": validation.ORDER_TOTAL_CONSISTENCY_ORACLE,
         "linear_attribution": behavior.LINEAR_ATTRIBUTION_SQL,
         "quality_pct_by_source": text.quality_pct_by_source_sql(),
+        # round-5 tail: RP matrix as a VALUES literal (seeded-constant
+        # technique); the rest are exact-integer plans on both engines
+        "random_projection": oracle_text.random_projection_sql(),
+        "dedup_representatives": oracle.dedup_representatives_sql(),
+        "file_compaction_plan": maintenance.file_compaction_plan_sql(),
+        "zorder_files": maintenance.zorder_files_sql(),
+        "watermark_lateness_audit": temporal.watermark_lateness_audit_sql(),
     }

@@ -1615,3 +1615,49 @@ def _prefix_candidates(
             >= F.lit(p) * (F.col("sza") + F.col("szb"))
         )
     return joined.select("doc_a", "doc_b").distinct()
+
+
+# ---------------------------------------------------------------------------
+# canonical-representative election per near-dup cluster
+# ---------------------------------------------------------------------------
+
+
+def dedup_representatives(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """WHICH copy to keep: for every near-dup cluster
+    (``near_dup_clusters``), elect the canonical document — longest
+    text wins (n_chars), ties to the lowest doc_id. Clusters say what
+    to collapse; this says what survives the collapse (the actual
+    "keep one, drop k-1" decision every dedup pipeline ends with,
+    and the provenance row auditors ask for).
+
+    One aggregation, no window: the representative is
+    ``max(struct(n_chars, -doc_id))`` — struct ordering gives
+    longest-then-lowest-id in a single map-side-combinable agg, so
+    beyond the cluster relation itself this adds one doc-keyed
+    broadcast-ready join and one groupBy on cluster_id.
+
+    Output: (cluster_id, n_docs, rep_doc_id, rep_n_chars).
+    """
+    members = near_dup_clusters(df, text_col, n, threshold)
+    enriched = members.join(
+        df.select("doc_id", "n_chars"), "doc_id"
+    )
+    agg = enriched.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(
+            F.struct(
+                F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")
+            )
+        ).alias("rep"),
+    )
+    return agg.select(
+        "cluster_id",
+        "n_docs",
+        (-F.col("rep.neg_id")).cast("long").alias("rep_doc_id"),
+        F.col("rep.n_chars").cast("long").alias("rep_n_chars"),
+    )

@@ -1,0 +1,240 @@
+"""Table-maintenance planning operators (Delta OPTIMIZE-style).
+
+A 100 TB table is not just queried — it is *maintained*: streaming
+ingest leaves one small file per micro-batch per partition (the
+"small-file problem"), and point-lookup-heavy tables want their rows
+clustered on a space-filling curve so per-file min/max statistics
+prune scans (Z-ORDER). Neither op exists in the 234-line reference
+(it is a one-shot Glue demo, demo-etl-2a-notebook.py), but both are
+table-stakes for the training-data lakehouse this engine targets.
+
+Both planners are pure integer arithmetic end to end, so their DuckDB
+twins match hash-for-hash with no float tolerance games.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Compaction: micro-batch files are ~KBs; plan merge groups of ~64 KiB
+# at fixture scale (the production knob is 128 MiB-1 GiB — the planner
+# is scale-free, only the constant changes).
+COMPACT_TARGET_BYTES = 65536
+# Fixed per-row overhead for the byte estimate: event_id + ts +
+# user_id + value (8 B each) - 4 B encoding discount.
+ROW_FIXED_BYTES = 28
+
+ZORDER_ROWS_PER_FILE = 1000
+ZORDER_BITS = 16
+
+
+def file_compaction_plan(
+    t: dict[str, DataFrame], target_bytes: int = COMPACT_TARGET_BYTES
+) -> DataFrame:
+    """Small-file compaction plan for a micro-batch-ingested table.
+
+    Simulates the file inventory a Structured Streaming sink leaves
+    behind — one file per ingest hour (`epoch // 3600`) — then plans
+    merge groups by NEXT-FIT BYTE-OFFSET BINNING: files are laid out
+    in file_id order, and a file joins bin ``floor(offset / target)``
+    where offset is the byte position its predecessors end at. A file
+    straddling a bin boundary stays in the bin its offset starts in,
+    so every bin reaches the target only through its last file's
+    overhang — the standard "coalesce until you cross the target"
+    compaction rule, expressed as a window cumsum instead of a
+    sequential fold (unlike first-fit, offset binning is exactly
+    parallel AND exactly SQL-expressible).
+
+    Scale shape (100 TB): the groupBy collapses data rows to ONE ROW
+    PER FILE before any window — the plan works on file metadata
+    (10^6-10^7 rows for a 100 TB table), never on data rows. The
+    unpartitioned cumsum window over that inventory is a single task
+    over file metadata, the same driver-side listing cost every
+    compaction planner (Delta OPTIMIZE, Iceberg rewrite_data_files)
+    pays. Output: one row per planned merge group.
+    """
+    e = t["events"]
+    row_bytes = (
+        F.lit(ROW_FIXED_BYTES)
+        + F.length("event_type")
+        + F.coalesce(F.length("props"), F.lit(0))
+    ).cast("long")
+    inventory = (
+        e.select(
+            (F.unix_micros(F.col("ts")) / F.lit(3600_000_000))
+            .cast("long")
+            .alias("file_id"),
+            row_bytes.alias("row_bytes"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("row_bytes").alias("file_bytes"),
+        )
+    )
+    w = Window.orderBy("file_id").rowsBetween(Window.unboundedPreceding, -1)
+    offset = F.coalesce(F.sum("file_bytes").over(w), F.lit(0))
+    binned = inventory.withColumn(
+        "bin_id", ((offset - offset % target_bytes) / target_bytes).cast("long")
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("file_bytes").alias("total_bytes"),
+        F.min("file_id").alias("min_file_id"),
+        F.max("file_id").alias("max_file_id"),
+    )
+
+
+def file_compaction_plan_sql(target_bytes: int = COMPACT_TARGET_BYTES) -> str:
+    """Twin of file_compaction_plan: same inventory, same offset
+    binning — integer arithmetic throughout, so hashes match exactly."""
+    return f"""
+    WITH inv AS (
+        SELECT CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS file_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum({ROW_FIXED_BYTES} + length(event_type)
+                        + coalesce(length(props), 0)) AS BIGINT) AS file_bytes
+        FROM events
+        GROUP BY 1
+    ),
+    off AS (
+        SELECT file_id, n_rows, file_bytes,
+               coalesce(sum(file_bytes) OVER (
+                   ORDER BY file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS byte_offset
+        FROM inv
+    )
+    SELECT CAST(floor(byte_offset / {target_bytes}.0) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           CAST(sum(file_bytes) AS BIGINT) AS total_bytes,
+           min(file_id) AS min_file_id,
+           max(file_id) AS max_file_id
+    FROM off
+    GROUP BY 1
+    """
+
+
+def _interleave_bits(x, y, bits: int = ZORDER_BITS):
+    """Morton/Z-order code: bit i of x lands at position 2i, bit i of
+    y at 2i+1. Built as a SUM of disjoint shifted bits (positions never
+    collide, so + == OR — and + is what DuckDB's integer ops mirror
+    exactly). Inputs are masked to ``bits`` low bits first; production
+    use hashes or range-buckets wider dimensions down to 16 bits, which
+    preserves locality at file granularity."""
+    mask = (1 << bits) - 1
+    xm = x.bitwiseAND(F.lit(mask))
+    ym = y.bitwiseAND(F.lit(mask))
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z + F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(
+            F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return z
+
+
+def zorder_files(
+    t: dict[str, DataFrame], rows_per_file: int = ZORDER_ROWS_PER_FILE
+) -> DataFrame:
+    """Z-ORDER clustering plan: sort lineitem on the Morton interleave
+    of (l_partkey, l_suppkey), cut the sorted order into fixed-size
+    files, and report each file's min/max on BOTH dimensions — the
+    stats a scan planner prunes on. Z-ordering makes those min/max
+    boxes tight in every interleaved dimension at once, where a plain
+    sort is tight only in its leading key.
+
+    The global file assignment uses the exact distributed-rank pattern
+    (relational_ext.customer_value_deciles): range-repartition on
+    (z, tiebreak) — the one shuffle a global sort needs anyway — then
+    per-partition COUNTS (partition metadata, not rows) prefix-summed
+    into rank offsets, so ranking runs parallel per partition inside
+    whole-stage codegen instead of through one giant window task.
+    At 100 TB this is exactly Delta's OPTIMIZE ZORDER BY shape:
+    range-partition by curve value, write fixed-size files per range.
+    """
+    li = t["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    spark = li.sparkSession
+    z = _interleave_bits(F.col("l_partkey"), F.col("l_suppkey"))
+    zt = li.withColumn("z", z)
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    ranged = zt.repartitionByRange(
+        nparts, F.asc("z"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    ).withColumn("pid", F.spark_partition_id())
+    ranged.persist()
+    counts = dict(
+        (int(r["pid"]), int(r["count"]))
+        for r in ranged.groupBy("pid").count().collect()
+    )
+    if not counts:
+        ranged.unpersist()
+        return spark.createDataFrame(
+            [],
+            "file_id long, n_rows long, min_part long, max_part long, "
+            "min_supp long, max_supp long",
+        )
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offset_map = F.create_map(
+        *[F.lit(v) for pid in sorted(offsets) for v in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.asc("z"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    rn = (offset_map[F.col("pid")] + F.row_number().over(w) - 1).cast("long")
+    filed = ranged.withColumn(
+        "file_id",
+        ((rn - rn % rows_per_file) / rows_per_file).cast("long"),
+    )
+    out = filed.groupBy("file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_partkey").alias("min_part"),
+        F.max("l_partkey").alias("max_part"),
+        F.min("l_suppkey").alias("min_supp"),
+        F.max("l_suppkey").alias("max_supp"),
+    )
+    return out
+
+
+def zorder_files_sql(
+    rows_per_file: int = ZORDER_ROWS_PER_FILE, bits: int = ZORDER_BITS
+) -> str:
+    """Twin of zorder_files: the same bit-interleave as a SQL sum of
+    shifted bits, one row_number window for the file cut."""
+    mask = (1 << bits) - 1
+    terms = []
+    # NB: DuckDB binds + tighter than <<, so every shift term is fully
+    # parenthesized before joining with +.
+    for i in range(bits):
+        terms.append(f"((((l_partkey & {mask}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"((((l_suppkey & {mask}) >> {i}) & 1) << {2 * i + 1})")
+    z_expr = " + ".join(terms)
+    return f"""
+    WITH zt AS (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               {z_expr} AS z
+        FROM lineitem
+    ),
+    rn AS (
+        SELECT l_partkey, l_suppkey,
+               row_number() OVER (
+                   ORDER BY z, l_orderkey, l_linenumber
+               ) - 1 AS r
+        FROM zt
+    )
+    SELECT CAST(floor(r / {rows_per_file}.0) AS BIGINT) AS file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(l_partkey) AS min_part,
+           max(l_partkey) AS max_part,
+           min(l_suppkey) AS min_supp,
+           max(l_suppkey) AS max_supp
+    FROM rn
+    GROUP BY 1
+    """

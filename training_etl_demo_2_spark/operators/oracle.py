@@ -578,3 +578,30 @@ def incremental_near_dup_sql(
     JOIN sizes zb ON zb.doc_id = s.doc_old
     WHERE round(s.c * 1.0 / (za.n + zb.n - s.c), 6) >= {threshold}
     """
+
+
+def dedup_representatives_sql(
+    n: int = DEFAULT_NGRAM, threshold: float = 0.8
+) -> str:
+    """Twin of dedup.dedup_representatives: same clusters CTE, the
+    representative via arg-max expressed as row_number over
+    (n_chars DESC, doc_id ASC)."""
+    return f"""
+    WITH members AS ({near_dup_clusters_sql(n, threshold)}),
+    enriched AS (
+        SELECT m.cluster_id, m.doc_id, d.n_chars,
+               row_number() OVER (
+                   PARTITION BY m.cluster_id
+                   ORDER BY d.n_chars DESC, m.doc_id ASC
+               ) AS rn
+        FROM members m JOIN documents d ON m.doc_id = d.doc_id
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+               AS rep_doc_id,
+           CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+               AS rep_n_chars
+    FROM enriched
+    GROUP BY cluster_id
+    """

@@ -841,3 +841,29 @@ def pq_topk_sql(
     )
     SELECT query_id, neighbor_id, sim, rnk FROM ranked WHERE rnk <= {k}
     """
+
+
+def random_projection_sql(dim: int = 64, out: int = 8) -> str:
+    """Twin of similarity.random_projection: the seeded Rademacher
+    matrix materialized as a VALUES literal (dim·out rows), the same
+    nano-int quantization, an exact integer sum per (vec_id, comp)."""
+    from .similarity import _rp_signs
+
+    signs = _rp_signs(dim, out)
+    rows = ", ".join(
+        f"({d}, {c}, {int(signs[d, c])})"
+        for d in range(dim)
+        for c in range(out)
+    )
+    return f"""
+    WITH m(dim, comp, s) AS (VALUES {rows}),
+    e AS (
+        SELECT vec_id, t.i - 1 AS dim,
+               CAST(floor(embedding[t.i]::DOUBLE * 1e9) AS BIGINT) AS qv
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT e.vec_id, CAST(m.comp AS INT) AS comp,
+           round(CAST(sum(m.s * e.qv) AS BIGINT) / 1e9, 6) AS rp
+    FROM e JOIN m ON e.dim = m.dim
+    GROUP BY e.vec_id, m.comp
+    """

@@ -1790,3 +1790,67 @@ def knn_label_suspects(
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# random projection (Johnson-Lindenstrauss sketch)
+# ---------------------------------------------------------------------------
+
+RP_SEED = 20240814
+RP_OUT = 8
+
+
+def _rp_signs(dim: int = 64, out: int = RP_OUT) -> "np.ndarray":
+    """Seeded Rademacher (±1) projection matrix, dim x out. Fixed seed
+    makes the matrix a CONSTANT of the operator — the same trick the
+    LSH hyperplanes use (LSH_SEED above), which is what lets the DuckDB
+    twin materialize it as a SQL literal."""
+    rng = np.random.RandomState(RP_SEED)
+    return rng.choice(np.array([-1, 1], dtype=np.int64), size=(dim, out))
+
+
+def random_projection(
+    emb: DataFrame, dim: int = 64, out: int = RP_OUT
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    embedding onto ``out`` seeded ±1 (Rademacher) directions — the
+    cheap, data-independent sketch used before LSH-style indexing or
+    coarse clustering when PCA's data-dependent basis is overkill
+    (Achlioptas 2003: ±1 entries satisfy the JL lemma).
+
+    Unlike ``pca_projection`` (driver-trained basis, sign-ambiguous
+    eigenvectors → rows-only gate entry), the RP basis is a seeded
+    CONSTANT, so this tier is exactly oracle-checkable: elements are
+    nano-quantized to integers (floor(x·1e9)), the projection is an
+    exact ±1 integer sum, and both engines round the identical
+    integer-derived double to 6 places.
+
+    Scale shape: pure per-row array arithmetic (transform + zip_with +
+    aggregate) followed by a narrow explode — NO shuffle, NO Python;
+    the whole operator is one codegen'd scan. Output long format
+    (vec_id, comp, rp): n·out rows.
+    """
+    signs = _rp_signs(dim, out)
+    qarr = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(1e9)).cast("long"),
+    )
+    comps = []
+    for i in range(out):
+        s_i = F.array(*[F.lit(int(s)) for s in signs[:, i]])
+        dot = F.aggregate(
+            F.zip_with(qarr, s_i, lambda a, b: a * b.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        comps.append(
+            F.struct(F.lit(i).alias("comp"), dot.alias("rp_nano"))
+        )
+    return (
+        emb.select("vec_id", F.explode(F.array(*comps)).alias("c"))
+        .select(
+            "vec_id",
+            F.col("c.comp").alias("comp"),
+            F.round(F.col("c.rp_nano") / F.lit(1e9), 6).alias("rp"),
+        )
+    )

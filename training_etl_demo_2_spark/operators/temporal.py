@@ -366,3 +366,137 @@ SESSION_ERROR_OVERLAPS_ORACLE = """
       ON c.user_id = e.user_id
      AND c.c_lo <= e.e_hi AND e.e_lo <= c.c_hi
 """
+
+
+# ---------------------------------------------------------------------------
+# watermark lateness audit (streaming-design sizing tool)
+# ---------------------------------------------------------------------------
+
+# Candidate withWatermark() delays to audit, in seconds.
+WATERMARK_DELAYS = (0, 60, 300, 900, 3600)
+# Deterministic delivery jitter: Knuth multiplicative hash of event_id,
+# folded to [0, 600) seconds. Exact BIGINT arithmetic in both engines.
+_JITTER_MULT = 2654435761
+_JITTER_MOD = 600
+
+
+def watermark_lateness_audit(
+    t: dict[str, DataFrame],
+    delays=WATERMARK_DELAYS,
+    jitter_mod: int = _JITTER_MOD,
+) -> DataFrame:
+    """How many events would each candidate watermark delay DROP?
+
+    Before picking `withWatermark("ts", "10 minutes")` for a streaming
+    job you want the drop rate per candidate delay, measured on real
+    traffic. This audit replays the batch events table in simulated
+    ARRIVAL order (event time + deterministic per-event delivery
+    jitter — the fixture's event_ids are already time-ordered, so the
+    jitter models network reordering), tracks the running max event
+    time exactly as Spark's watermark does, and counts events whose
+    lateness (watermark minus own event time at arrival) exceeds each
+    candidate delay.
+
+    Scale shape (100 TB): the running max is computed scan-parallel,
+    not through one global window task — arrival days are independent
+    buckets (per-day window, parallel), and cross-bucket carry-in is
+    the cummax of ~days-of-retention per-bucket maxima (metadata-sized,
+    broadcast back). The delay fan-out is a narrow 5x explode before a
+    5-group aggregate. Output: one row per candidate delay with exact
+    integer basis points.
+    """
+    e = t["events"].select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    jitter_s = (F.col("event_id") * F.lit(_JITTER_MULT)) % F.lit(
+        4294967296
+    ) % F.lit(jitter_mod)
+    arr = e.withColumn(
+        "arrival_us", F.col("ts_us") + jitter_s * F.lit(1_000_000)
+    ).withColumn(
+        "bucket",
+        ((F.col("arrival_us") - F.col("arrival_us") % 86400_000_000)
+         / 86400_000_000).cast("long"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("arrival_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    arr = arr.withColumn("run_max_us", F.max("ts_us").over(w_in))
+    # carry-in: max event time of all STRICTLY EARLIER buckets
+    # (metadata-sized: one row per arrival day)
+    bmax = arr.groupBy("bucket").agg(F.max("ts_us").alias("b_max"))
+    w_prev = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = bmax.select(
+        "bucket", F.max("b_max").over(w_prev).alias("prev_max_us")
+    )
+    wm = arr.join(F.broadcast(carry), "bucket").withColumn(
+        "wm_us",
+        F.greatest(
+            F.col("run_max_us"),
+            F.coalesce(F.col("prev_max_us"), F.lit(-(1 << 62))),
+        ),
+    )
+    lateness = (F.col("wm_us") - F.col("ts_us")).alias("late_us")
+    fanned = wm.select(
+        lateness,
+        F.explode(
+            F.array(*[F.lit(int(d)) for d in delays])
+        ).alias("delay_s"),
+    )
+    agg = fanned.groupBy("delay_s").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(
+            (
+                F.col("late_us")
+                > F.col("delay_s").cast("long") * F.lit(1_000_000)
+            ).cast("long")
+        ).alias("n_late"),
+    )
+    late_bp = (
+        (F.col("n_late") * 10000
+         - (F.col("n_late") * 10000) % F.col("n_events"))
+        / F.col("n_events")
+    ).cast("long")
+    return agg.select("delay_s", "n_events", "n_late", late_bp.alias("late_bp"))
+
+
+def watermark_lateness_audit_sql(
+    delays=WATERMARK_DELAYS, jitter_mod: int = _JITTER_MOD
+) -> str:
+    """Twin of watermark_lateness_audit: one running-max window in
+    arrival order (the bucketed two-pass scan and the single window are
+    the same fixpoint), same integer jitter, exact integer basis
+    points."""
+    delay_rows = ", ".join(f"({int(d)})" for d in delays)
+    return f"""
+    WITH arr AS (
+        SELECT event_id, epoch_us(ts) AS ts_us,
+               epoch_us(ts)
+               + ((event_id * {_JITTER_MULT}) % 4294967296 % {jitter_mod})
+                 * 1000000 AS arrival_us
+        FROM events
+    ),
+    wm AS (
+        SELECT ts_us,
+               max(ts_us) OVER (
+                   ORDER BY arrival_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - ts_us AS late_us
+        FROM arr
+    ),
+    dv(delay_raw) AS (VALUES {delay_rows}),
+    d AS (SELECT CAST(delay_raw AS BIGINT) AS delay_s FROM dv)
+    SELECT d.delay_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (
+               WHERE wm.late_us > d.delay_s * 1000000) AS BIGINT) AS n_late,
+           CAST((count(*) FILTER (
+                    WHERE wm.late_us > d.delay_s * 1000000) * 10000)
+                // count(*) AS BIGINT) AS late_bp
+    FROM wm CROSS JOIN d
+    GROUP BY d.delay_s
+    """
