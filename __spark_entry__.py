@@ -721,6 +721,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming design audit: drop rate per candidate watermark
         # delay under deterministic delivery jitter
         "watermark_lateness_audit": _q(temporal.watermark_lateness_audit),
+        # 2-D dominance frontier (skyline): cheapest-biggest parts via
+        # price-level prefix max, no pairwise join
+        "pareto_skyline": _q(relational_ext.pareto_skyline),
+        # shuffle-key skew diagnostics: share + Gini per join key
+        "join_skew_audit": _q(validation.join_skew_audit),
+        # greedy quality-first selection under a corpus token budget
+        "token_budget_selection": _q(curation.token_budget_selection),
     }
 
 
@@ -1501,4 +1508,7 @@ def oracle_sql() -> dict[str, str]:
         "file_compaction_plan": maintenance.file_compaction_plan_sql(),
         "zorder_files": maintenance.zorder_files_sql(),
         "watermark_lateness_audit": temporal.watermark_lateness_audit_sql(),
+        "pareto_skyline": relational_ext.pareto_skyline_sql(),
+        "join_skew_audit": validation.join_skew_audit_sql(),
+        "token_budget_selection": curation.token_budget_selection_sql(),
     }

@@ -1261,3 +1261,98 @@ def pack_sequences_sql(budget: int = 256, n_groups: int = PACK_GROUPS) -> str:
     SELECT doc_id, n_tokens, grp || '-' || seq AS pack_id
     FROM rec WHERE step > 0
     """
+
+
+# ---------------------------------------------------------------------------
+# token-budget corpus selection (greedy knapsack under a token budget)
+# ---------------------------------------------------------------------------
+
+# Select the best documents until ~1/TOKEN_BUDGET_DEN of the corpus's
+# tokens are spent (the production knob is an absolute token count —
+# "pick the best 1T tokens"; a corpus fraction keeps the fixture query
+# scale-free).
+TOKEN_BUDGET_DEN = 4
+
+
+def token_budget_selection(t: dict[str, DataFrame]) -> DataFrame:
+    """Greedy quality-first corpus selection under a token budget —
+    the decision every pretraining data pipeline ends with: rank the
+    corpus by quality score and keep documents until the token budget
+    is spent (the doc that crosses the boundary is still taken, the
+    same fill-until-you-cross rule as ``file_compaction_plan``).
+
+    Quality is ``text.text_quality``'s composite score quantized to
+    integer micro-units (the rounded-6 double → µ-units is exact in
+    both engines); ties break on doc_id, so the global order — and
+    therefore the selected SET — is fully deterministic.
+
+    Scale shape: the global quality sort uses the distributed-rank
+    pattern (``distrank.with_global_order`` — range-repartition +
+    per-partition prefix sums + metadata offsets), with the running
+    token total as the weighted prefix sum; the corpus token total
+    (and so the budget) falls out of the same partition metadata as a
+    plan literal — no one-row crossJoin, no unpartitioned window.
+    Output: the selected docs with rank and running total.
+    """
+    from . import distrank
+    from .text import text_quality
+
+    tq = text_quality(t["documents"]).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(F.col("quality_score") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("q_micro"),
+    )
+    ranked, _n, total_tokens = distrank.with_global_order(
+        tq,
+        [F.desc("q_micro"), F.asc("doc_id")],
+        weight_col="n_tokens",
+    )
+    if ranked is None:
+        return t["documents"].sparkSession.createDataFrame(
+            [],
+            "doc_id long, sel_rank long, q_micro long, n_tokens long, "
+            "cum_tokens long",
+        )
+    budget = total_tokens // TOKEN_BUDGET_DEN
+    return (
+        ranked.filter(F.col("cum_before") < F.lit(budget))
+        .select(
+            "doc_id",
+            (F.col("grank") + 1).alias("sel_rank"),
+            "q_micro",
+            "n_tokens",
+            (F.col("cum_before") + F.col("n_tokens")).alias("cum_tokens"),
+        )
+    )
+
+
+def token_budget_selection_sql() -> str:
+    """Twin of token_budget_selection: same µ-unit quality key, one
+    running-sum window, the budget as a scalar subquery."""
+    from .oracle_text import text_quality_sql
+
+    return f"""
+    WITH tq AS ({text_quality_sql()}),
+    scored AS (
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor(quality_score * 1e6 + 0.5) AS BIGINT) AS q_micro
+        FROM tq
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens, q_micro,
+               row_number() OVER (ORDER BY q_micro DESC, doc_id) AS sel_rank,
+               coalesce(sum(n_tokens) OVER (
+                   ORDER BY q_micro DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cum_before
+        FROM scored
+    )
+    SELECT doc_id, CAST(sel_rank AS BIGINT) AS sel_rank, q_micro, n_tokens,
+           CAST(cum_before + n_tokens AS BIGINT) AS cum_tokens
+    FROM ranked
+    WHERE cum_before < (SELECT sum(n_tokens) // {TOKEN_BUDGET_DEN}
+                        FROM scored)
+    """

@@ -1,0 +1,86 @@
+"""Exact distributed global rank / prefix sum — the shared scan-parallel
+pattern behind `customer_value_deciles` and `zorder_files`, factored out
+for operators that need a global ordering WITHOUT one giant
+unpartitioned-window task.
+
+Shape: range-repartition on the order columns (the one shuffle any
+global sort pays), then per-partition `row_number` / running sum inside
+whole-stage codegen, offset by per-partition COUNT/SUM aggregates
+(P rows of partition METADATA collected to the driver — never data
+rows). At 1000 executors the collect is ~thousands of integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_order(
+    df: DataFrame,
+    order_cols: list,
+    weight_col: str | None = None,
+    rank_col: str = "grank",
+    cum_col: str = "cum_before",
+):
+    """Return ``(out_df, n_rows, weight_total)``: ``df`` with an exact
+    0-based global rank column (``rank_col``) under ``order_cols``,
+    and — when ``weight_col`` is given — an EXCLUSIVE global prefix
+    sum of that weight (``cum_col``).  ``n_rows`` / ``weight_total``
+    come free from the same per-partition metadata the offsets need,
+    so callers that want "top N of the global order" or "X% of the
+    global total" get the bound as a plan literal without another
+    pass or a one-row crossJoin.  The result is persisted (two passes
+    share the range-exchange); caller unpersists when done.  Returns
+    ``(None, 0, 0)`` for an empty input.
+    """
+    spark = df.sparkSession
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    ranged = df.repartitionByRange(nparts, *order_cols).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    ranged.persist()
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    if weight_col is not None:
+        aggs.append(F.sum(weight_col).cast("long").alias("wsum"))
+    stats = {
+        int(r["pid"]): r for r in ranged.groupBy("pid").agg(*aggs).collect()
+    }
+    if not stats:
+        ranged.unpersist()
+        return None, 0, 0
+    cnt_off, wt_off = {}, {}
+    acc_c, acc_w = 0, 0
+    for pid in sorted(stats):
+        cnt_off[pid] = acc_c
+        acc_c += int(stats[pid]["cnt"])
+        if weight_col is not None:
+            wt_off[pid] = acc_w
+            acc_w += int(stats[pid]["wsum"])
+    cmap = F.create_map(
+        *[F.lit(x) for pid in sorted(cnt_off) for x in (pid, cnt_off[pid])]
+    )
+    w = Window.partitionBy("pid").orderBy(*order_cols)
+    out = ranged.withColumn(
+        rank_col,
+        (cmap[F.col("pid")] + F.row_number().over(w) - 1).cast("long"),
+    )
+    if weight_col is not None:
+        wmap = F.create_map(
+            *[F.lit(x) for pid in sorted(wt_off) for x in (pid, wt_off[pid])]
+        )
+        wprev = (
+            Window.partitionBy("pid")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        out = out.withColumn(
+            cum_col,
+            (
+                wmap[F.col("pid")]
+                + F.coalesce(
+                    F.sum(weight_col).over(wprev).cast("long"), F.lit(0)
+                )
+            ).cast("long"),
+        )
+    return out, acc_c, acc_w

@@ -1377,3 +1377,98 @@ def part_affinity_sql(
     ORDER BY lift DESC, pa ASC, pb ASC
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (2-D dominance frontier)
+# ---------------------------------------------------------------------------
+
+# Price buckets ($100 in cents) for the scan-parallel prefix max: the
+# strictly-cheaper running max is computed per bucket in parallel, with
+# a bucket-level (metadata-sized) carry-in — the watermark-audit shape.
+SKYLINE_BUCKET_CENTS = 10_000
+
+
+def pareto_skyline(t: dict[str, DataFrame]) -> DataFrame:
+    """Skyline query (Borzsony/Kossmann/Stocker, ICDE 2001): the parts
+    no other part dominates — here minimizing p_retailprice while
+    maximizing p_size ("more part for less money"). Part a dominates b
+    iff a.price <= b.price AND a.size >= b.size with at least one
+    strict. The skyline is what a buyer shortlists without weighting
+    the two objectives.
+
+    2-D skylines need no pairwise join: collapse to the price-level
+    relation (max size per distinct price), compute the running max of
+    size over STRICTLY CHEAPER prices, and keep rows whose size beats
+    it. A row is dominated iff  max_size(price' < price) >= size  OR
+    max_size(price' = price) > size.
+
+    Scale shape: prices are quantized to integer cents; the running
+    max runs per price-bucket in parallel (rows-frame window inside
+    each $100 bucket) with a bucket-level carry-in computed on the
+    per-bucket maxima relation (metadata-sized, broadcast back) — no
+    unpartitioned window, no n² dominance join. The final join back to
+    parts is price-keyed.
+    """
+    p = t["part"].select(
+        "p_partkey",
+        "p_size",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_c"),
+    )
+    per_price = p.groupBy("price_c").agg(F.max("p_size").alias("eq_max"))
+    bkt = per_price.withColumn(
+        "bucket",
+        (
+            (F.col("price_c") - F.col("price_c") % SKYLINE_BUCKET_CENTS)
+            / SKYLINE_BUCKET_CENTS
+        ).cast("long"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("price_c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bkt = bkt.withColumn("lt_in_bucket", F.max("eq_max").over(w_in))
+    bmax = bkt.groupBy("bucket").agg(F.max("eq_max").alias("b_max"))
+    w_prev = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = bmax.select(
+        "bucket", F.max("b_max").over(w_prev).alias("prev_max")
+    )
+    lt_max = F.greatest(
+        F.coalesce(F.col("lt_in_bucket"), F.lit(-(1 << 31))),
+        F.coalesce(F.col("prev_max"), F.lit(-(1 << 31))),
+    )
+    levels = bkt.join(F.broadcast(carry), "bucket").select(
+        "price_c", "eq_max", lt_max.alias("lt_max")
+    )
+    joined = p.join(levels, "price_c")
+    return joined.filter(
+        ~(
+            (F.col("lt_max") >= F.col("p_size"))
+            | (F.col("eq_max") > F.col("p_size"))
+        )
+    ).select("p_partkey", "price_c", "p_size")
+
+
+def pareto_skyline_sql() -> str:
+    """Twin of pareto_skyline as the INDEPENDENT NOT-EXISTS dominance
+    formulation — a different algorithm converging on the same set, so
+    the oracle checks semantics, not the window fixpoint."""
+    return """
+    WITH p AS (
+        SELECT p_partkey, p_size,
+               CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM part
+    )
+    SELECT a.p_partkey, a.price_c, a.p_size
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.price_c <= a.price_c AND b.p_size >= a.p_size
+          AND (b.price_c < a.price_c OR b.p_size > a.p_size)
+    )
+    """

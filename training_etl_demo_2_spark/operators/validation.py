@@ -1122,3 +1122,128 @@ ORDER_TOTAL_CONSISTENCY_ORACLE = """
                AS sum_abs_diff_cents
     FROM joined
 """
+
+# ---------------------------------------------------------------------------
+# join-skew audit (shuffle-key distribution diagnostics)
+# ---------------------------------------------------------------------------
+
+# (label, table, key) triples audited: the fact-side shuffle keys the
+# suite's big joins hash on.
+SKEW_AUDIT_KEYS = (
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+)
+SKEW_TOPN = 10
+
+
+def join_skew_audit(t: dict[str, DataFrame]) -> DataFrame:
+    """Shuffle-key skew diagnostics for the join keys the engine
+    hashes on: per key, row/key cardinalities, the heaviest key's
+    share, the top-10 keys' combined share, and the exact Gini
+    coefficient of the per-key row-count distribution — the numbers
+    that decide whether a join needs salting or AQE skew handling
+    BEFORE the 100 TB run pays for it (max_share_bp = 500 means one
+    reducer receives 5% of the table).
+
+    Gini over ascending per-key counts c_(1..n):
+        G = (2·Σ i·c_(i) − (n+1)·Σc) / (n·Σc)
+    — exact integer arithmetic, emitted in basis points.
+
+    Scale shape: one groupBy per audited key collapses data rows to
+    the key inventory; the inventory's global sort uses the
+    distributed-rank pattern (``distrank.with_global_order`` —
+    range-repartition + per-partition row_number + metadata offsets),
+    so no unpartitioned window ever sees the inventory. n_keys is a
+    plan literal from the same partition metadata, making the top-10
+    cut a filter, not a second window. Output: one row per audited
+    key.
+    """
+    from . import distrank
+
+    spark = next(iter(t.values())).sparkSession
+    out_schema = (
+        "key_name string, n_rows long, n_keys long, max_cnt long, "
+        "max_share_bp long, top10_share_bp long, gini_bp long"
+    )
+    results = []
+    for label, tbl, key in SKEW_AUDIT_KEYS:
+        counts = (
+            t[tbl]
+            .groupBy(F.col(key).alias("k"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        ranked, n_keys, _ = distrank.with_global_order(
+            counts, [F.asc("cnt"), F.asc("k")]
+        )
+        if ranked is None:
+            continue
+        top_cut = n_keys - SKEW_TOPN
+        agg = ranked.agg(
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.max("cnt").cast("long").alias("max_cnt"),
+            F.sum((F.col("grank") + 1) * F.col("cnt"))
+            .cast("long")
+            .alias("iwsum"),
+            F.sum(F.when(F.col("grank") >= top_cut, F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("top10_cnt"),
+        )
+        s = F.col("n_rows")
+        gini_num = F.lit(2) * F.col("iwsum") - F.lit(n_keys + 1) * s
+        den = F.lit(n_keys) * s
+        row = agg.select(
+            F.lit(label).alias("key_name"),
+            "n_rows",
+            F.lit(n_keys).cast("long").alias("n_keys"),
+            "max_cnt",
+            ((F.col("max_cnt") * 10000 - (F.col("max_cnt") * 10000) % s) / s)
+            .cast("long")
+            .alias("max_share_bp"),
+            (
+                (F.col("top10_cnt") * 10000 - (F.col("top10_cnt") * 10000) % s)
+                / s
+            )
+            .cast("long")
+            .alias("top10_share_bp"),
+            (
+                (gini_num * 10000 - (gini_num * 10000) % den) / den
+            )
+            .cast("long")
+            .alias("gini_bp"),
+        )
+        results.append(row)
+        ranked.unpersist()
+    if not results:
+        return spark.createDataFrame([], out_schema)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def join_skew_audit_sql() -> str:
+    """Twin of join_skew_audit: one CTE chain per audited key with
+    row_number over (cnt, k), UNION ALL — the single-window oracle of
+    the distributed rank."""
+    blocks = []
+    for label, tbl, key in SKEW_AUDIT_KEYS:
+        blocks.append(f"""
+    SELECT '{label}' AS key_name,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(cnt) AS BIGINT) AS max_cnt,
+           CAST(max(cnt) * 10000 // sum(cnt) AS BIGINT) AS max_share_bp,
+           CAST(sum(CASE WHEN rn > nk - {SKEW_TOPN}
+                         THEN cnt ELSE 0 END) * 10000
+                // sum(cnt) AS BIGINT) AS top10_share_bp,
+           CAST((2 * sum(rn * cnt) - (count(*) + 1) * sum(cnt)) * 10000
+                // (count(*) * sum(cnt)) AS BIGINT) AS gini_bp
+    FROM (
+        SELECT cnt,
+               row_number() OVER (ORDER BY cnt, k) AS rn,
+               count(*) OVER () AS nk
+        FROM (SELECT {key} AS k, CAST(count(*) AS BIGINT) AS cnt
+              FROM {tbl} GROUP BY 1)
+    )""")
+    return "\nUNION ALL\n".join(blocks)
