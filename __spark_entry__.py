@@ -728,6 +728,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_skew_audit": _q(validation.join_skew_audit),
         # greedy quality-first selection under a corpus token budget
         "token_budget_selection": _q(curation.token_budget_selection),
+        # Benford first-digit conformance of order totals (chi2 per digit)
+        "benford_digit_audit": _q(validation.benford_digit_audit),
+        # content-defined chunking + repeated-chunk stats (LBFS-style)
+        "cdc_dup_chunks": _q(lambda t: dedup.cdc_dup_chunks(t["documents"])),
     }
 
 
@@ -1511,4 +1515,6 @@ def oracle_sql() -> dict[str, str]:
         "pareto_skyline": relational_ext.pareto_skyline_sql(),
         "join_skew_audit": validation.join_skew_audit_sql(),
         "token_budget_selection": curation.token_budget_selection_sql(),
+        "benford_digit_audit": validation.benford_digit_audit_sql(),
+        "cdc_dup_chunks": oracle.cdc_dup_chunks_sql(),
     }

@@ -36,10 +36,10 @@ Scale design (100 TB):
 from __future__ import annotations
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import normalize_text, rolling_hash, word_ngrams
+from ..functions import FNV_MOD, normalize_text, rolling_hash, word_ngrams
 
 # ---- shared constants (oracle.py generates matching SQL from these) ----
 P = 1_000_000_007
@@ -1660,4 +1660,82 @@ def dedup_representatives(
         "n_docs",
         (-F.col("rep.neg_id")).cast("long").alias("rep_doc_id"),
         F.col("rep.n_chars").cast("long").alias("rep_n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) + duplicate-chunk statistics
+# ---------------------------------------------------------------------------
+
+CDC_GRAM = 4
+# Boundary when the gram's rolling hash ≡ 0 (mod 2^CDC_MASK_BITS):
+# expected chunk length 2^CDC_MASK_BITS grams.
+CDC_MASK_BITS = 5
+
+
+def cdc_dup_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = CDC_GRAM,
+    mask_bits: int = CDC_MASK_BITS,
+) -> DataFrame:
+    """Content-defined chunking (Muthitacharoen et al., LBFS SOSP'01)
+    with cross-document duplicate-chunk statistics — the
+    paragraph-granular dedup layer between line dedup (exact segments)
+    and MinHash (whole-doc): chunk boundaries are set where a rolling
+    hash of the local word n-gram hits 0 mod 2^mask_bits, so
+    boundaries survive insertions/deletions elsewhere in the document
+    (unlike fixed-size chunking, where one inserted word shifts every
+    downstream chunk).
+
+    Chunk fingerprints are position-weighted hash sums:
+    Σ (pos−min_pos+1)·h (mod p) — order-sensitive within the chunk,
+    computed from plain aggregates (Σ pos·h − (min_pos−1)·Σ h), no
+    per-chunk string rebuild. Output: one row per REPEATED fingerprint
+    (≥2 occurrences corpus-wide) with occurrence/doc counts — the
+    chunks worth deduplicating.
+
+    Scale shape: gram explode (narrow), one doc-keyed window for the
+    boundary prefix count (parallel per doc), one (doc, chunk) groupBy,
+    one fingerprint groupBy. No self-joins; cost tracks corpus token
+    count, dup stats track repeated-chunk count.
+    """
+    tokens = F.split(F.col(text_col), " ")
+    grams = df.select(
+        "doc_id",
+        F.posexplode(word_ngrams(tokens, n)).alias("pos", "shingle"),
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("pos"),  # 1-based, matches the oracle
+        rolling_hash(F.col("shingle")).alias("h"),
+    )
+    mask = (1 << mask_bits) - 1
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boundary = (F.col("h").bitwiseAND(F.lit(mask)) == 0).cast("long")
+    chunked = grams.withColumn(
+        "chunk_id",
+        F.coalesce(F.sum(boundary).over(w_prev), F.lit(0)).cast("long"),
+    )
+    per_chunk = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.min("pos").alias("min_pos"),
+        F.sum("h").alias("sum_h"),
+        F.sum(F.col("pos") * F.col("h")).alias("sum_ph"),
+    )
+    fp = (
+        (F.col("sum_ph") - (F.col("min_pos") - 1) * F.col("sum_h"))
+        % F.lit(FNV_MOD)
+    ).alias("fp")
+    return (
+        per_chunk.select("doc_id", "n_grams", fp)
+        .groupBy("fp", "n_grams")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_chunks") >= 2)
     )

@@ -605,3 +605,45 @@ def dedup_representatives_sql(
     FROM enriched
     GROUP BY cluster_id
     """
+
+
+def cdc_dup_chunks_sql(n: int = 4, mask_bits: int = 5) -> str:
+    """Twin of dedup.cdc_dup_chunks: same 1-based gram positions, same
+    rolling hash, boundary = h & mask == 0, chunk id as the exclusive
+    running boundary count, position-weighted fingerprint."""
+    mask = (1 << mask_bits) - 1
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(w[i:i+{n - 1}], ' ') AS s
+        FROM toks, unnest(range(1, greatest(len(w) - {n - 1}, 0) + 1)) AS t(i)
+    ),
+    hashed AS (
+        SELECT doc_id, pos, {ROLLING_HASH.format(s="s")} AS h FROM grams
+    ),
+    chunked AS (
+        SELECT doc_id, pos, h,
+               coalesce(sum(CASE WHEN (h & {mask}) = 0 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS chunk_id
+        FROM hashed
+    ),
+    per_chunk AS (
+        SELECT doc_id, chunk_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               min(pos) AS min_pos,
+               CAST(sum(h) AS BIGINT) AS sum_h,
+               CAST(sum(pos * h) AS BIGINT) AS sum_ph
+        FROM chunked
+        GROUP BY doc_id, chunk_id
+    )
+    SELECT (sum_ph - (min_pos - 1) * sum_h) % {P} AS fp,
+           n_grams,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM per_chunk
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """

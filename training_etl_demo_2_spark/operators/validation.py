@@ -1247,3 +1247,89 @@ def join_skew_audit_sql() -> str:
               FROM {tbl} GROUP BY 1)
     )""")
     return "\nUNION ALL\n".join(blocks)
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+import math as _math
+
+# Benford probabilities log10(1 + 1/d); the same Python doubles feed
+# both the Spark literals and the SQL twin's VALUES list, so the two
+# engines compute chi2 from bit-identical constants.
+BENFORD_P = {d: _math.log10(1.0 + 1.0 / d) for d in range(1, 10)}
+
+
+def benford_digit_audit(t: dict[str, DataFrame]) -> DataFrame:
+    """Benford's-law conformance audit of order totals: the observed
+    first-significant-digit distribution of o_totalprice vs the
+    log10(1+1/d) expectation, with per-digit chi-square contributions
+    — the standard anomaly screen for fabricated or truncated numeric
+    columns (TPC-H's uniform price generator flunks it loudly, which
+    is exactly what the audit should report).
+
+    The first digit is taken from the INTEGER-CENTS string — no
+    log10/floor float boundary (floor(log10(1000.0−ε)) differs across
+    engines; substr of an integer's decimal rendering never does).
+
+    Scale shape: one scan collapses to a ≤9-row digit relation; the
+    share/chi2 arithmetic runs on that 9-row aggregate (the window
+    there is over 9 rows of metadata, not data). Output: one row per
+    observed digit.
+    """
+    from pyspark.sql import Window as _W
+
+    o = t["orders"].filter(F.col("o_totalprice") > 0)
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    g = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    w_all = _W.partitionBy()  # 9-row post-aggregate relation
+    n = F.sum("n_obs").over(w_all)
+    pmap = F.create_map(
+        *[F.lit(x) for d in sorted(BENFORD_P) for x in (d, BENFORD_P[d])]
+    )
+    p = pmap[F.col("digit")]
+    expect = n.cast("double") * p
+    return g.select(
+        "digit",
+        "n_obs",
+        ((F.col("n_obs") * 10000 - (F.col("n_obs") * 10000) % n) / n)
+        .cast("long")
+        .alias("obs_bp"),
+        F.floor(p * 10000 + F.lit(0.5)).cast("long").alias("exp_bp"),
+        F.round(
+            F.pow(F.col("n_obs").cast("double") - expect, F.lit(2.0)) / expect,
+            6,
+        ).alias("chi2_r6"),
+    )
+
+
+def benford_digit_audit_sql() -> str:
+    """Twin of benford_digit_audit; probabilities as the identical
+    Python-repr double literals."""
+    # cast: DuckDB types bare decimal literals in VALUES as DECIMAL(18,18),
+    # which overflows at p * 10000 — force DOUBLE to match Spark
+    vals = ", ".join(
+        f"({d}, CAST({BENFORD_P[d]!r} AS DOUBLE))" for d in sorted(BENFORD_P)
+    )
+    return f"""
+    WITH c AS (
+        SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_totalprice > 0
+    ),
+    g AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+               CAST(count(*) AS BIGINT) AS n_obs
+        FROM c GROUP BY 1
+    ),
+    t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g),
+    e(digit, p) AS (VALUES {vals})
+    SELECT g.digit, g.n_obs,
+           CAST(g.n_obs * 10000 // t.n AS BIGINT) AS obs_bp,
+           CAST(floor(e.p * 10000 + 0.5) AS BIGINT) AS exp_bp,
+           round(pow(g.n_obs - t.n * e.p, 2) / (t.n * e.p), 6) AS chi2_r6
+    FROM g JOIN e ON g.digit = e.digit CROSS JOIN t
+    """
