@@ -732,6 +732,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digit_audit": _q(validation.benford_digit_audit),
         # content-defined chunking + repeated-chunk stats (LBFS-style)
         "cdc_dup_chunks": _q(lambda t: dedup.cdc_dup_chunks(t["documents"])),
+        # exact two-sample KS drift per source (binless PSI complement)
+        "ks_drift_by_source": _q(validation.ks_drift_by_source),
+        # Mann-Whitney U / AUC per source (exact midrank rank-sum)
+        "mannwhitney_auc": _q(validation.mannwhitney_auc),
+        # MOSS winnowing fingerprints + cross-doc match counts
+        "winnowing_fingerprints": _q(
+            lambda t: dedup.winnowing_fingerprints(t["documents"])
+        ),
     }
 
 
@@ -1517,4 +1525,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_selection": curation.token_budget_selection_sql(),
         "benford_digit_audit": validation.benford_digit_audit_sql(),
         "cdc_dup_chunks": oracle.cdc_dup_chunks_sql(),
+        "ks_drift_by_source": validation.ks_drift_by_source_sql(),
+        "mannwhitney_auc": validation.mannwhitney_auc_sql(),
+        "winnowing_fingerprints": oracle.winnowing_fingerprints_sql(),
     }

@@ -86,6 +86,9 @@ NESTED_LOOP_OK = {
     "bigram_kn_logprob",
     # ONE-ROW observation-edge broadcast (the decay anchor)
     "decayed_engagement",
+    # distinct-values × |sources| KS evaluation grid — METADATA ×
+    # METADATA (bounded statistic domain × bounded source registry)
+    "ks_drift_by_source",
 }
 
 

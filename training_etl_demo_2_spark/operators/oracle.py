@@ -647,3 +647,54 @@ def cdc_dup_chunks_sql(n: int = 4, mask_bits: int = 5) -> str:
     GROUP BY 1, 2
     HAVING count(*) >= 2
     """
+
+
+def winnowing_fingerprints_sql(n: int = 4, w: int = 5) -> str:
+    """Twin of dedup.winnowing_fingerprints: same 1-based positions,
+    same rolling hash, same h*2^20+(2^20-1-pos) argmin key, min over
+    the trailing w-gram frame, distinct (doc, fp, fp_pos)."""
+    pm = 1 << 20
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS word FROM documents),
+    grams AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(word[i:i+{n - 1}], ' ') AS s
+        FROM toks,
+             unnest(range(1, greatest(len(word) - {n - 1}, 0) + 1)) AS t(i)
+        WHERE i < {pm}
+    ),
+    hashed AS (
+        SELECT doc_id, pos, {ROLLING_HASH.format(s="s")} AS h FROM grams
+    ),
+    ng AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+           FROM hashed GROUP BY 1),
+    keyed AS (
+        SELECT doc_id, pos,
+               min(h * {pm} + ({pm - 1} - pos))
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+                   AS minkey
+        FROM hashed
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id,
+               minkey // {pm} AS fp,
+               {pm - 1} - (minkey % {pm}) AS fp_pos
+        FROM keyed WHERE pos >= {w}
+    ),
+    per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+                FROM sel GROUP BY 1),
+    fp_freq AS (SELECT fp, count(DISTINCT doc_id) AS nd FROM sel GROUP BY 1),
+    shared AS (
+        SELECT sel.doc_id, CAST(count(*) AS BIGINT) AS n_shared_fp
+        FROM sel JOIN fp_freq ON sel.fp = fp_freq.fp
+        WHERE fp_freq.nd >= 2
+        GROUP BY 1
+    )
+    SELECT ng.doc_id, ng.n_grams,
+           coalesce(per_doc.n_fp, 0) AS n_fp,
+           coalesce(shared.n_shared_fp, 0) AS n_shared_fp
+    FROM ng
+    LEFT JOIN per_doc ON ng.doc_id = per_doc.doc_id
+    LEFT JOIN shared ON ng.doc_id = shared.doc_id
+    """

@@ -32,7 +32,7 @@ trap).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _NUMERIC_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double")
@@ -1332,4 +1332,215 @@ def benford_digit_audit_sql() -> str:
            CAST(floor(e.p * 10000 + 0.5) AS BIGINT) AS exp_bp,
            round(pow(g.n_obs - t.n * e.p, 2) / (t.n * e.p), 6) AS chi2_r6
     FROM g JOIN e ON g.digit = e.digit CROSS JOIN t
+    """
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov–Smirnov drift + Mann-Whitney U / AUC
+# ---------------------------------------------------------------------------
+
+KS_ALPHA_COEF = 1.36  # c(α) for α=0.05 in the two-sample KS critical value
+
+
+def ks_drift_by_source(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift screen: for every
+    source, D = max_x |CDF_source(x) − CDF_rest(x)| over the integer
+    document-length statistic (n_chars), plus the α=0.05 decision
+    against the asymptotic critical value 1.36·√(n/(n_s·n_r)) — the
+    classic per-slice distribution-drift monitor that PSI
+    (value_drift_psi) approximates with fixed bins; KS is binless and
+    exact.
+
+    Exactness: D's argmax is found on CROSS-MULTIPLIED INTEGERS
+    (|cum_s·n_r − cum_r·n_s| in decimal(38,0) — no float compare
+    decides the max); only the final reported statistic divides.
+
+    Scale shape: one groupBy collapses the corpus to the
+    (source, value) inventory; the evaluation grid is
+    distinct-values × sources — METADATA × METADATA (a bounded-domain
+    statistic × a bounded source registry), built with an explicit
+    broadcast and allowlisted in test_plan_shapes. The per-source CDF
+    window partitions by source (parallel); the per-value total is a
+    window over each value's |sources| rows. No data row ever enters
+    a window. Output: one row per source.
+    """
+    docs = t["documents"]
+    csx = (
+        docs.groupBy(F.col("source").alias("src"), F.col("n_chars").alias("x"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = csx.groupBy("src").agg(F.sum("c").cast("long").alias("n_s"))
+    dx = csx.select("x").distinct()
+    grid = dx.crossJoin(F.broadcast(tot))
+    j = grid.join(csx, ["src", "x"], "left").withColumn(
+        "c", F.coalesce(F.col("c"), F.lit(0))
+    )
+    w_src = Window.partitionBy("src").orderBy("x")
+    w_val = Window.partitionBy("x")
+    j = j.withColumn("cum_s", F.sum("c").over(w_src).cast("long"))
+    j = j.withColumn("cum_t", F.sum("cum_s").over(w_val).cast("long"))
+    j = j.withColumn("n", F.sum("n_s").over(w_val).cast("long"))
+    dec = lambda col: col.cast("decimal(38,0)")
+    num = F.abs(
+        dec(F.col("cum_s")) * dec(F.col("n") - F.col("n_s"))
+        - dec(F.col("cum_t") - F.col("cum_s")) * dec(F.col("n_s"))
+    )
+    per_src = (
+        j.select("src", "n_s", "n", num.alias("num"))
+        .groupBy("src", "n_s", "n")
+        .agg(F.max("num").alias("numx"))
+    )
+    ns_d = F.col("n_s").cast("double")
+    nr_d = (F.col("n") - F.col("n_s")).cast("double")
+    d_full = F.col("numx").cast("double") / (ns_d * nr_d)
+    crit = F.lit(KS_ALPHA_COEF) * F.sqrt(
+        F.col("n").cast("double") / (ns_d * nr_d)
+    )
+    return per_src.select(
+        F.col("src").alias("source"),
+        F.col("n_s").alias("n_source"),
+        (F.col("n") - F.col("n_s")).alias("n_rest"),
+        F.round(d_full, 6).alias("ks_d_r6"),
+        (d_full > crit).cast("int").alias("drifted"),
+    )
+
+
+def ks_drift_by_source_sql() -> str:
+    """Twin of ks_drift_by_source: same grid, HUGEINT cross-multiplied
+    max, identical double formulas for the statistic and the critical
+    value."""
+    return f"""
+    WITH csx AS (
+        SELECT source AS src, n_chars AS x, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS n_s FROM csx GROUP BY 1),
+    dx AS (SELECT DISTINCT x FROM csx),
+    grid AS (SELECT dx.x, tot.src, tot.n_s FROM dx CROSS JOIN tot),
+    j AS (
+        SELECT grid.x, grid.src, grid.n_s, coalesce(csx.c, 0) AS c
+        FROM grid LEFT JOIN csx ON csx.src = grid.src AND csx.x = grid.x
+    ),
+    cums AS (
+        SELECT x, src, n_s,
+               CAST(sum(c) OVER (PARTITION BY src ORDER BY x) AS BIGINT)
+                   AS cum_s
+        FROM j
+    ),
+    full_c AS (
+        SELECT x, src, n_s, cum_s,
+               CAST(sum(cum_s) OVER (PARTITION BY x) AS BIGINT) AS cum_t,
+               CAST(sum(n_s) OVER (PARTITION BY x) AS BIGINT) AS n
+        FROM cums
+    ),
+    per_src AS (
+        SELECT src, n_s, n,
+               max(abs(CAST(cum_s AS HUGEINT) * (n - n_s)
+                       - CAST(cum_t - cum_s AS HUGEINT) * n_s)) AS numx
+        FROM full_c GROUP BY 1, 2, 3
+    )
+    SELECT src AS source, n_s AS n_source, n - n_s AS n_rest,
+           round(CAST(numx AS DOUBLE)
+                 / (CAST(n_s AS DOUBLE) * CAST(n - n_s AS DOUBLE)), 6)
+               AS ks_d_r6,
+           CAST(CAST(numx AS DOUBLE)
+                / (CAST(n_s AS DOUBLE) * CAST(n - n_s AS DOUBLE))
+                > {KS_ALPHA_COEF} * sqrt(CAST(n AS DOUBLE)
+                   / (CAST(n_s AS DOUBLE) * CAST(n - n_s AS DOUBLE)))
+                AS INT) AS drifted
+    FROM per_src
+    """
+
+
+def mannwhitney_auc(t: dict[str, DataFrame]) -> DataFrame:
+    """Mann-Whitney U test per source — does document length separate
+    English from non-English documents? — reported as the exact
+    tie-adjusted U and its AUC normalization U/(n₁·n₂) (the
+    probability a random English doc is longer than a random
+    non-English one; the rank-sum identity behind every ROC-AUC).
+
+    Tie handling is the textbook midrank, computed in EXACT integers:
+    2·R₊ = Σ_values cnt₊·(2·cum_before + cnt + 1), so
+    u2 = 2·U = 2·R₊ − n₊(n₊+1) is integer-exact and AUC = u2/(2n₊n₋)
+    divides once at the end. (At extreme corpus sizes the rank sums
+    exceed int64 — promote to decimal(38,0) as ks_drift does; at any
+    per-source slice under ~3·10⁹ rows int64 is exact.)
+
+    Scale shape: one groupBy collapses to the (source, value)
+    inventory; the midrank window partitions by source (parallel,
+    inventory-sized). No grid, no crossJoin. Output: one row per
+    source; AUC is NULL when a source lacks both classes.
+    """
+    docs = t["documents"]
+    g = docs.groupBy(
+        F.col("source").alias("src"), F.col("n_chars").alias("x")
+    ).agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("cpos"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w_prev = (
+        Window.partitionBy("src")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g = g.withColumn(
+        "cumb", F.coalesce(F.sum("cnt").over(w_prev), F.lit(0)).cast("long")
+    )
+    per = g.groupBy("src").agg(
+        F.sum("cpos").cast("long").alias("n_pos"),
+        (F.sum("cnt") - F.sum("cpos")).cast("long").alias("n_neg"),
+        F.sum(F.col("cpos") * (2 * F.col("cumb") + F.col("cnt") + 1))
+        .cast("long")
+        .alias("r2pos"),
+    )
+    u2 = F.col("r2pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    return per.select(
+        F.col("src").alias("source"),
+        "n_pos",
+        "n_neg",
+        u2.cast("long").alias("u2"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                u2.cast("double")
+                / (2.0 * F.col("n_pos").cast("double")
+                   * F.col("n_neg").cast("double")),
+                6,
+            ),
+        ).alias("auc_r6"),
+    )
+
+
+def mannwhitney_auc_sql() -> str:
+    """Twin of mannwhitney_auc: identical integer midrank algebra."""
+    return """
+    WITH g AS (
+        SELECT source AS src, n_chars AS x,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cpos,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT src, cpos, cnt,
+               CAST(coalesce(sum(cnt) OVER (PARTITION BY src ORDER BY x
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+        FROM g
+    ),
+    per AS (
+        SELECT src,
+               CAST(sum(cpos) AS BIGINT) AS n_pos,
+               CAST(sum(cnt) - sum(cpos) AS BIGINT) AS n_neg,
+               CAST(sum(cpos * (2 * cumb + cnt + 1)) AS BIGINT) AS r2pos
+        FROM r GROUP BY 1
+    )
+    SELECT src AS source, n_pos, n_neg,
+           CAST(r2pos - n_pos * (n_pos + 1) AS BIGINT) AS u2,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN round(CAST(r2pos - n_pos * (n_pos + 1) AS DOUBLE)
+                           / (2.0 * CAST(n_pos AS DOUBLE)
+                              * CAST(n_neg AS DOUBLE)), 6)
+           END AS auc_r6
+    FROM per
     """
