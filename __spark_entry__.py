@@ -740,6 +740,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": _q(
             lambda t: dedup.winnowing_fingerprints(t["documents"])
         ),
+        # explicit-register HLL: estimate + exact + err_bp, bit-exact twin
+        "hll_user_estimate": _q(sketches.hll_user_estimate),
+        # deterministic Poisson bootstrap 95% CI for the mean order total
+        "bootstrap_mean_ci": _q(validation.bootstrap_mean_ci),
+        # CUSUM mean-shift changepoint over daily revenue (exact argmax)
+        "cusum_changepoint": _q(temporal.cusum_changepoint),
     }
 
 
@@ -1528,4 +1534,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift_by_source": validation.ks_drift_by_source_sql(),
         "mannwhitney_auc": validation.mannwhitney_auc_sql(),
         "winnowing_fingerprints": oracle.winnowing_fingerprints_sql(),
+        "hll_user_estimate": sketches.hll_user_estimate_sql(),
+        "bootstrap_mean_ci": validation.bootstrap_mean_ci_sql(),
+        "cusum_changepoint": temporal.cusum_changepoint_sql(),
     }

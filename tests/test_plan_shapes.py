@@ -89,6 +89,8 @@ NESTED_LOOP_OK = {
     # distinct-values × |sources| KS evaluation grid — METADATA ×
     # METADATA (bounded statistic domain × bounded source registry)
     "ks_drift_by_source",
+    # ONE-ROW full-sample mean × B-row bootstrap-CI relation
+    "bootstrap_mean_ci",
 }
 
 

@@ -398,3 +398,186 @@ def cms_join_size_sql(
     )
     SELECT est_join_size, true_join_size FROM est CROSS JOIN tru
     """
+
+
+# ---------------------------------------------------------------------------
+# engine-owned HLL with explicit registers (cross-engine bit-exact)
+# ---------------------------------------------------------------------------
+
+# Unlike the DataSketches tier above (engine-specific serialization,
+# rows-only), this HLL owns its hash and register layout, so a DuckDB
+# twin reproduces the ESTIMATE bit-for-bit: the register sum
+# Σ 2^(RHO_BITS+1−ρ_j) is kept as an exact INTEGER (order-invariant),
+# and only the final α·m²·2^(RHO_BITS+1)/S division is floating point.
+HLL_P_BITS = 10  # m = 1024 registers (~1024 B, ±3.2% RSE)
+HLL_M = 1 << HLL_P_BITS
+HLL_P1 = 1_000_000_007
+HLL_P2 = 998_244_353
+# Two independent 3-round multiply-mod + xor-shift mixes (all products
+# < 2^63, every op exists in both engines): one hash picks the
+# register, the other supplies the EXACT power-of-two uniform the
+# geometric rho needs — a single 2-universal (a·x+b) mod p hash leaves
+# sequential ids correlated across registers and u's non-2^k range
+# biases P(rho=1), both observed as >15% estimate error.
+HLL_IDX_SEED = (736_338_717, 611_603_579, 2_654_435_761 % HLL_P1, 362_437_151)
+HLL_RHO_SEED = (915_488_749, 784_913_299, 1_779_033_703 % HLL_P1, 144_115_183)
+HLL_RHO_BITS = 20  # u uniform on [0, 2^20) -> rho ∈ [1, 21]
+# alpha_m for m >= 128 (Flajolet et al. 2007)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _hll_mix_spark(col, seed):
+    a1, a2, a3, b = seed
+    x1 = (col % HLL_P1) * a1 % HLL_P1
+    x1 = x1.bitwiseXOR(F.shiftright(x1, 7))
+    x2 = (x1 % HLL_P2) * a2 % HLL_P2
+    x2 = x2.bitwiseXOR(F.shiftright(x2, 11))
+    return (x2 * a3 + b) % HLL_P1
+
+
+def _hll_mix_sql(expr: str, seed) -> str:
+    a1, a2, a3, b = seed
+    s1 = f"(({expr} % {HLL_P1}) * {a1} % {HLL_P1})"
+    s1x = f"xor({s1}, {s1} >> 7)"
+    s2 = f"(({s1x} % {HLL_P2}) * {a2} % {HLL_P2})"
+    s2x = f"xor({s2}, {s2} >> 11)"
+    return f"(({s2x} * {a3} + {b}) % {HLL_P1})"
+
+
+def _hll_rho_cases(u_expr: str) -> str:
+    """SQL CASE chain: rho = (RHO_BITS - bit_length(u)) + 1 computed in
+    pure integer comparisons — no float log2 at power-of-two edges."""
+    whens = "\n".join(
+        f"            WHEN {u_expr} >= {1 << k} THEN {HLL_RHO_BITS - k}"
+        for k in range(HLL_RHO_BITS - 1, -1, -1)
+    )
+    return f"CASE\n{whens}\n            ELSE {HLL_RHO_BITS + 1} END"
+
+
+def hll_user_estimate(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-event-type distinct-user estimate from an EXPLICIT-register
+    HyperLogLog (Flajolet-Furic-Gandouet-Meunier 2007) built on the
+    engine's own 2-universal hash — next to the exact answer and the
+    error in basis points, so the sketch's accuracy contract is
+    itself a verified query.
+
+    Two independent 3-round multiply-mod/xor-shift mixes give the
+    register index (mod m) and an exact 2^20-uniform u whose
+    ρ = leading-zero rank comes from integer threshold comparisons
+    (no float log2).
+    Small-range correction (E ≤ 2.5m, V > 0 → m·ln(m/V)) applied as
+    in the paper.
+
+    Scale shape: one groupBy to (type, register) — ≤ m rows per type
+    regardless of corpus size — then a ≤ m-row per-type fold. The
+    register relation IS the mergeable sketch: day-partitioned copies
+    union by max(rho). The exact-distinct branch exists only to grade
+    the estimate and is the thing you'd drop at 100 TB.
+    """
+    ev = t["events"]
+    uid = F.col("user_id").cast("long")
+    h_idx = _hll_mix_spark(uid, HLL_IDX_SEED)
+    h_rho = _hll_mix_spark(uid, HLL_RHO_SEED)
+    hashed = ev.select(
+        "event_type",
+        (h_idx % HLL_M).alias("idx"),
+        (h_rho % (1 << HLL_RHO_BITS)).alias("u"),
+    )
+    rho = F.lit(HLL_RHO_BITS + 1)
+    for k in range(HLL_RHO_BITS):
+        rho = F.when(F.col("u") >= (1 << k), HLL_RHO_BITS - k).otherwise(rho)
+    regs = hashed.groupBy("event_type", "idx").agg(F.max(rho).alias("mrho"))
+    top = HLL_RHO_BITS + 1
+    per_type = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(1L, {top} - mrho)"))
+        .cast("long")
+        .alias("s_used"),
+    )
+    v = F.lit(HLL_M) - F.col("n_regs")  # empty registers contribute 2^top
+    s_int = F.col("s_used") + v * (1 << top)
+    e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M * (1 << top)) / s_int.cast(
+        "double"
+    )
+    est = F.when(
+        (e_raw <= 2.5 * HLL_M) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(e_raw)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    joined = per_type.join(exact, "event_type")
+    err_bp = (
+        F.abs(est - F.col("exact_users").cast("double"))
+        * 10000.0
+        / F.col("exact_users")
+    )
+    return joined.select(
+        "event_type",
+        v.cast("long").alias("v_empty"),
+        s_int.cast("long").alias("s_int"),
+        F.round(est, 6).alias("est_r6"),
+        "exact_users",
+        F.floor(err_bp + F.lit(0.5)).cast("long").alias("err_bp"),
+    )
+
+
+def hll_user_estimate_sql() -> str:
+    """Twin of hll_user_estimate: identical hash, integer rho chain,
+    integer register sum, identical double formulas."""
+    top = HLL_RHO_BITS + 1
+    rho_sql = _hll_rho_cases("u")
+    return f"""
+    WITH hashed AS (
+        SELECT event_type,
+               {_hll_mix_sql("user_id", HLL_IDX_SEED)} % {HLL_M} AS idx,
+               {_hll_mix_sql("user_id", HLL_RHO_SEED)}
+                   % {1 << HLL_RHO_BITS} AS u
+        FROM events
+    ),
+    regs AS (
+        SELECT event_type, idx,
+               max({rho_sql}) AS mrho
+        FROM hashed GROUP BY 1, 2
+    ),
+    per_type AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_regs,
+               CAST(sum(CAST(1 AS BIGINT) << ({top} - mrho)) AS BIGINT)
+                   AS s_used
+        FROM regs GROUP BY 1
+    ),
+    exact AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+                   AS exact_users
+        FROM events GROUP BY 1
+    ),
+    calc AS (
+        SELECT p.event_type,
+               {HLL_M} - p.n_regs AS v_empty,
+               p.s_used + ({HLL_M} - p.n_regs) * (CAST(1 AS BIGINT) << {top})
+                   AS s_int,
+               e.exact_users
+        FROM per_type p JOIN exact e ON p.event_type = e.event_type
+    ),
+    est AS (
+        SELECT *,
+               CASE WHEN (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
+                          * (CAST(1 AS BIGINT) << {top}))
+                         / CAST(s_int AS DOUBLE) <= 2.5 * {HLL_M}
+                         AND v_empty > 0
+                    THEN CAST({HLL_M} AS DOUBLE)
+                         * ln(CAST({HLL_M} AS DOUBLE)
+                              / CAST(v_empty AS DOUBLE))
+                    ELSE (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}
+                          * (CAST(1 AS BIGINT) << {top}))
+                         / CAST(s_int AS DOUBLE)
+               END AS e_val
+        FROM calc
+    )
+    SELECT event_type, CAST(v_empty AS BIGINT) AS v_empty, s_int,
+           round(e_val, 6) AS est_r6, exact_users,
+           CAST(floor(abs(e_val - exact_users) * 10000.0 / exact_users
+                      + 0.5) AS BIGINT) AS err_bp
+    FROM est
+    """

@@ -500,3 +500,115 @@ def watermark_lateness_audit_sql(
     FROM wm CROSS JOIN d
     GROUP BY d.delay_s
     """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection
+# ---------------------------------------------------------------------------
+
+
+def cusum_changepoint(t: dict[str, DataFrame]) -> DataFrame:
+    """CUSUM mean-shift changepoint over the daily order-revenue
+    series (Page 1954 / the standardized-CUSUM scan): the day t* that
+    maximizes |S_t| = |Σ_{i≤t}(x_i − x̄)| — the split point of the
+    most likely single mean shift — with the scan statistic
+    max|S_t| / (σ̂·√n) whose >1.358 exceedance rejects "no change" at
+    α=0.05 (Brownian-bridge asymptotics, same c(α) as the KS test).
+
+    Exactness: the argmax is decided on n·S_t = n·cum_t − t·T — exact
+    decimal(38,0) integers over CENTS (no float compare picks the
+    day); ties break to the earliest day. Only the reported statistic
+    divides.
+
+    Scale shape: one groupBy collapses orders to the daily series
+    (calendar-bounded metadata: ~2.4k rows for seven years at ANY
+    corpus size); prefix sums and the argmax run over that metadata
+    relation. Output: one row.
+    """
+    o = t["orders"].select(
+        F.date_format(F.date_trunc("day", "o_orderdate"), "yyyy-MM-dd")
+        .alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = o.groupBy("day").agg(F.sum("cents").cast("long").alias("x"))
+    w_ord = Window.orderBy("day")
+    w_all = Window.partitionBy()
+    dec = lambda c: c.cast("decimal(38,0)")
+    cur = daily.select(
+        "day",
+        F.row_number().over(w_ord).alias("tt"),
+        F.sum("x").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("tot"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).over(w_all).alias("sq"),
+    )
+    ns = dec(F.col("n")) * dec(F.col("cum")) - dec(F.col("tt")) * dec(
+        F.col("tot")
+    )
+    scored = cur.select(
+        "day", "n", "tot", "sq", F.abs(ns).alias("ns_abs")
+    )
+    top = scored.orderBy(F.desc("ns_abs"), F.asc("day")).limit(1)
+    n_d = F.col("n").cast("double")
+    mean_c = F.col("tot").cast("double") / n_d
+    var_c = F.col("sq").cast("double") / n_d - mean_c * mean_c
+    stat = F.when(var_c <= 0, F.lit(0.0)).otherwise(
+        F.col("ns_abs").cast("double")
+        / n_d
+        / (F.sqrt(var_c) * F.sqrt(n_d))
+    )
+    return top.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("day").alias("cp_day"),
+        F.round(stat, 6).alias("cusum_stat_r6"),
+        (stat > 1.358).cast("int").alias("shift_detected"),
+    )
+
+
+def cusum_changepoint_sql() -> str:
+    """Twin of cusum_changepoint: HUGEINT n·cum − t·T argmax, same
+    double formulas."""
+    return """
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', o_orderdate), '%Y-%m-%d') AS day,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    cur AS (
+        SELECT day,
+               row_number() OVER (ORDER BY day) AS tt,
+               CAST(sum(x) OVER (ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(count(*) OVER () AS BIGINT) AS n,
+               CAST(sum(x) OVER () AS BIGINT) AS tot,
+               sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) OVER () AS sq
+        FROM daily
+    ),
+    scored AS (
+        SELECT day, n, tot, sq,
+               abs(CAST(n AS HUGEINT) * cum - CAST(tt AS HUGEINT) * tot)
+                   AS ns_abs
+        FROM cur
+    ),
+    top AS (
+        SELECT * FROM scored ORDER BY ns_abs DESC, day ASC LIMIT 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, day AS cp_day,
+           round(CASE WHEN vc <= 0 THEN 0.0
+                      ELSE CAST(ns_abs AS DOUBLE) / CAST(n AS DOUBLE)
+                           / (sqrt(vc) * sqrt(CAST(n AS DOUBLE))) END, 6)
+               AS cusum_stat_r6,
+           CAST(CASE WHEN vc <= 0 THEN 0.0
+                     ELSE CAST(ns_abs AS DOUBLE) / CAST(n AS DOUBLE)
+                          / (sqrt(vc) * sqrt(CAST(n AS DOUBLE))) END
+                > 1.358 AS INT) AS shift_detected
+    FROM (SELECT *,
+                 CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+                 - (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)) AS vc
+          FROM top)
+    """

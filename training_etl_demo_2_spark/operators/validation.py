@@ -1544,3 +1544,169 @@ def mannwhitney_auc_sql() -> str:
            END AS auc_r6
     FROM per
     """
+
+
+# ---------------------------------------------------------------------------
+# deterministic Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+import math as _m2
+
+BOOT_B = 200  # bootstrap resamples
+BOOT_P = 1_000_000_007
+# nonlinear per-(row, resample) mix — a LINEAR (A1·k + A2·b) hash makes
+# u(k,b) a 2D lattice where every pair of rows keeps a FIXED offset
+# across all resamples, so the resample means are correlated and the
+# CI collapses (observed ~7x too narrow); the 3-round multiply-mod +
+# xor-shift mix on k·B + b breaks the lattice
+BOOT_SEED = (823_541_173, 467_214_671, 1_540_483_477 % BOOT_P, 599_479_259)
+# Poisson(1) inverse-CDF thresholds scaled to [0, P): u < T_k -> w = k
+_pois_cdf = []
+_acc = 0.0
+for _k in range(6):
+    _acc += _m2.exp(-1.0) / _m2.factorial(_k)
+    _pois_cdf.append(_acc)
+BOOT_THRESH = [int(c * BOOT_P) for c in _pois_cdf]  # w caps at 6
+# rank-based (no-interpolation) 95% CI: k-th smallest of B means
+BOOT_K_LO = 5
+BOOT_K_HI = BOOT_B + 1 - BOOT_K_LO
+
+
+def bootstrap_mean_ci(t: dict[str, DataFrame]) -> DataFrame:
+    """95% confidence interval for the mean order total via the
+    DETERMINISTIC Poisson bootstrap (Chamandy et al., 'Estimating
+    uncertainty for massive data streams', Google 2012): resample b's
+    weight for a row is Poisson(1)-distributed via the inverse CDF of
+    a seeded per-(row, b) hash — the one-pass, shuffle-free bootstrap
+    used at terabyte scale, and reproducible bit-for-bit by the SQL
+    twin because there is no RNG state, only arithmetic.
+
+    Exactness: per-resample sums are INTEGER (cents × small integer
+    weight); each bootstrap mean divides once; the CI is RANK-BASED
+    (5th / 196th smallest of 200 means — no percentile
+    interpolation), so the order statistics are decided on exact
+    doubles shared by both engines.
+
+    Scale shape: the B-fold explode feeds DIRECTLY into a partial
+    (map-side) hash aggregate on b, so the exchange carries B rows
+    per task, not B×n data rows; the CI window runs over the B-row
+    bootstrap relation (metadata). The full-sample mean joins in as a
+    ONE-ROW broadcast (allowlisted). At ~100× today's cents·weight
+    sums, promote the per-b accumulator to decimal(38,0). Output: one
+    row.
+    """
+    o = t["orders"].select(
+        F.col("o_orderkey").alias("k"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    ex = o.select("k", "cents", b).withColumn("b", F.col("b").cast("long"))
+    from .sketches import _hll_mix_spark
+
+    u = _hll_mix_spark(F.col("k") * BOOT_B + F.col("b"), BOOT_SEED)
+    w = F.lit(6)
+    for kk in range(len(BOOT_THRESH) - 1, -1, -1):
+        w = F.when(u < BOOT_THRESH[kk], kk).otherwise(w)
+    per_b = (
+        ex.select("b", (w * F.col("cents")).alias("wc"), w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum("wc").cast("long").alias("swc"),
+            F.sum("w").cast("long").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "b",
+            (F.col("swc").cast("double") / F.col("sw").cast("double") / 100.0)
+            .alias("mean_b"),
+        )
+    )
+    w_rank = Window.orderBy("mean_b", "b")  # B-row metadata relation
+    ranked = per_b.withColumn("rk", F.row_number().over(w_rank))
+    ci = ranked.agg(
+        F.count(F.lit(1)).alias("n_boot"),
+        F.max(F.when(F.col("rk") == BOOT_K_LO, F.col("mean_b"))).alias("lo"),
+        F.max(F.when(F.col("rk") == BOOT_K_HI, F.col("mean_b"))).alias("hi"),
+    )
+    full = t["orders"].agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("cents_tot"),
+    )
+    out = full.crossJoin(F.broadcast(ci))
+    mean_full = F.col("cents_tot").cast("double") / F.col(
+        "n_orders"
+    ).cast("double") / 100.0
+    return out.select(
+        "n_orders",
+        "n_boot",
+        F.round(mean_full, 6).alias("mean_r6"),
+        F.round(F.col("lo"), 6).alias("ci_lo_r6"),
+        F.round(F.col("hi"), 6).alias("ci_hi_r6"),
+        F.round(F.col("hi") - F.col("lo"), 6).alias("ci_width_r6"),
+    )
+
+
+def bootstrap_mean_ci_sql() -> str:
+    """Twin of bootstrap_mean_ci: identical hash, thresholds, integer
+    sums, rank-based CI."""
+    from .sketches import _hll_mix_sql as _mix
+
+    whens = "\n".join(
+        f"               WHEN u < {t} THEN {k}"
+        for k, t in enumerate(BOOT_THRESH)
+    )
+    return f"""
+    WITH ex AS (
+        SELECT o_orderkey AS k,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               b
+        FROM orders, unnest(range(0, {BOOT_B})) AS t(b)
+    ),
+    wts AS (
+        SELECT b, cents,
+               CASE
+{whens}
+               ELSE 6 END AS w
+        FROM (SELECT *,
+                     {_mix(f"(k * {BOOT_B} + b)", BOOT_SEED)} AS u
+              FROM ex)
+    ),
+    per_b AS (
+        SELECT b,
+               CAST(sum(w * cents) AS BIGINT) AS swc,
+               CAST(sum(w) AS BIGINT) AS sw
+        FROM wts GROUP BY 1 HAVING sum(w) > 0
+    ),
+    ranked AS (
+        SELECT b,
+               CAST(swc AS DOUBLE) / CAST(sw AS DOUBLE) / 100.0 AS mean_b,
+               row_number() OVER (ORDER BY CAST(swc AS DOUBLE)
+                                  / CAST(sw AS DOUBLE) / 100.0, b) AS rk
+        FROM per_b
+    ),
+    ci AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_boot,
+               max(CASE WHEN rk = {BOOT_K_LO} THEN mean_b END) AS lo,
+               max(CASE WHEN rk = {BOOT_K_HI} THEN mean_b END) AS hi
+        FROM ranked
+    ),
+    full_s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS cents_tot
+        FROM orders
+    )
+    SELECT n_orders, n_boot,
+           round(CAST(cents_tot AS DOUBLE) / CAST(n_orders AS DOUBLE)
+                 / 100.0, 6) AS mean_r6,
+           round(lo, 6) AS ci_lo_r6,
+           round(hi, 6) AS ci_hi_r6,
+           round(hi - lo, 6) AS ci_width_r6
+    FROM full_s CROSS JOIN ci
+    """
