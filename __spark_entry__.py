@@ -746,6 +746,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_mean_ci": _q(validation.bootstrap_mean_ci),
         # CUSUM mean-shift changepoint over daily revenue (exact argmax)
         "cusum_changepoint": _q(temporal.cusum_changepoint),
+        # deterministic hash-bucketed A/B split + two-proportion z-test
+        "ab_test_zscore": _q(behavior.ab_test_zscore),
+        # token-balanced striped shard assignment + skew report
+        "striped_shard_plan": _q(
+            lambda t: maintenance.striped_shard_plan(t["documents"])
+        ),
     }
 
 
@@ -1537,4 +1543,6 @@ def oracle_sql() -> dict[str, str]:
         "hll_user_estimate": sketches.hll_user_estimate_sql(),
         "bootstrap_mean_ci": validation.bootstrap_mean_ci_sql(),
         "cusum_changepoint": temporal.cusum_changepoint_sql(),
+        "ab_test_zscore": behavior.ab_test_zscore_sql(),
+        "striped_shard_plan": maintenance.striped_shard_plan_sql(),
     }

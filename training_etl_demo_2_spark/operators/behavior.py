@@ -815,3 +815,132 @@ LINEAR_ATTRIBUTION_SQL = f"""
     FROM credited
     GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic A/B experiment analysis
+# ---------------------------------------------------------------------------
+
+AB_SEED = (910_099_523, 362_543_777, 2_466_922_391 % 1_000_000_007, 77_003_621)
+
+
+def ab_test_zscore(t: dict[str, DataFrame]) -> DataFrame:
+    """Two-proportion z-test over a deterministic hash-bucketed A/B
+    split: users land in variant A/B by a nonlinear hash of user_id
+    (the standard sticky, stateless experiment assignment — no
+    assignment table, rejoinable from the id alone), the metric is
+    purchase conversion (did the user ever fire a 'purchase' event),
+    and the pooled-variance z statistic decides significance at
+    α=0.05. On unmanipulated fixture data the test MUST come back
+    null — an A/A test — which is exactly the property the planted
+    pytest inverts by boosting one bucket.
+
+    Exactness: conversion counts are integers; conv_bp uses integer
+    floor-division; only z divides doubles (identical formula both
+    engines).
+
+    Scale shape: events collapse to per-user flags in one groupBy
+    (map-side partial on user_id), then to TWO variant rows; the z
+    arithmetic runs on the 2-row relation via a metadata window. No
+    data-sized window, no crossJoin.
+    """
+    from .sketches import _hll_mix_spark
+
+    ev = t["events"]
+    per_user = ev.groupBy(F.col("user_id").cast("long").alias("uid")).agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("conv")
+    )
+    variant = F.when(
+        _hll_mix_spark(F.col("uid"), AB_SEED) % 2 == 0, "A"
+    ).otherwise("B")
+    per_var = per_user.select(variant.alias("variant"), "conv").groupBy(
+        "variant"
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").cast("long").alias("n_conv"),
+    )
+    w_all = Window.partitionBy()  # 2-row metadata relation
+    n_tot = F.sum("n_users").over(w_all)
+    c_tot = F.sum("n_conv").over(w_all)
+    n_other = (n_tot - F.col("n_users")).cast("double")
+    c_other = (c_tot - F.col("n_conv")).cast("double")
+    p_self = F.col("n_conv").cast("double") / F.col("n_users").cast("double")
+    p_other = c_other / n_other
+    p_pool = c_tot.cast("double") / n_tot.cast("double")
+    se = F.sqrt(
+        p_pool
+        * (1.0 - p_pool)
+        * (
+            1.0 / F.col("n_users").cast("double")
+            + 1.0 / n_other
+        )
+    )
+    z = F.when(se > 0, (p_self - p_other) / se).otherwise(F.lit(0.0))
+    return per_var.select(
+        "variant",
+        "n_users",
+        "n_conv",
+        (
+            (F.col("n_conv") * 10000 - (F.col("n_conv") * 10000)
+             % F.col("n_users"))
+            / F.col("n_users")
+        )
+        .cast("long")
+        .alias("conv_bp"),
+        F.round(z, 6).alias("z_r6"),
+        (F.abs(z) > 1.96).cast("int").alias("significant"),
+    )
+
+
+def ab_test_zscore_sql() -> str:
+    """Twin of ab_test_zscore: identical mix, pooled-variance z."""
+    from .sketches import _hll_mix_sql
+
+    mix = _hll_mix_sql("uid", AB_SEED)
+    return f"""
+    WITH per_user AS (
+        SELECT user_id AS uid,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY 1
+    ),
+    per_var AS (
+        SELECT CASE WHEN {mix} % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(conv) AS BIGINT) AS n_conv
+        FROM per_user GROUP BY 1
+    ),
+    tot AS (
+        SELECT *,
+               CAST(sum(n_users) OVER () AS BIGINT) AS n_tot,
+               CAST(sum(n_conv) OVER () AS BIGINT) AS c_tot
+        FROM per_var
+    ),
+    calc AS (
+        SELECT *,
+               CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p_self,
+               CAST(c_tot - n_conv AS DOUBLE)
+                   / CAST(n_tot - n_users AS DOUBLE) AS p_other,
+               CAST(c_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) AS p_pool
+        FROM tot
+    ),
+    zed AS (
+        SELECT variant, n_users, n_conv,
+               CASE WHEN sqrt(p_pool * (1.0 - p_pool)
+                              * (1.0 / CAST(n_users AS DOUBLE)
+                                 + 1.0 / CAST(n_tot - n_users AS DOUBLE)))
+                         > 0
+                    THEN (p_self - p_other)
+                         / sqrt(p_pool * (1.0 - p_pool)
+                                * (1.0 / CAST(n_users AS DOUBLE)
+                                   + 1.0 / CAST(n_tot - n_users
+                                                AS DOUBLE)))
+                    ELSE 0.0 END AS z
+        FROM calc
+    )
+    SELECT variant, n_users, n_conv,
+           CAST(n_conv * 10000 // n_users AS BIGINT) AS conv_bp,
+           round(z, 6) AS z_r6,
+           CAST(abs(z) > 1.96 AS INT) AS significant
+    FROM zed
+    """

@@ -238,3 +238,94 @@ def zorder_files_sql(
     FROM rn
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# striped shard balancing
+# ---------------------------------------------------------------------------
+
+SHARD_N = 8
+
+
+def striped_shard_plan(
+    docs: DataFrame, n_shards: int = SHARD_N
+) -> DataFrame:
+    """Token-balanced shard assignment by STRIPING: rank documents by
+    token count (desc, doc_id tiebreak) and assign shard = rank mod S
+    — the deterministic one-pass alternative to greedy LPT
+    bin-packing whose imbalance is bounded by ONE maximal document
+    per stripe round (greedy LPT needs a serial heap; striping is a
+    rank + modulo, fully parallel, and append-reproducible).
+
+    Output: one row per shard with doc/token totals and the shard's
+    token share in basis points — the skew report a 100 TB training
+    run reads before writing shards.
+
+    Scale shape: the global ordering uses the distributed-rank helper
+    (range repartition + per-partition row_number + metadata offsets
+    — no single-task sort); everything after is a |S|-row aggregate.
+    """
+    from . import distrank
+
+    sized = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    ranked, n_docs, tok_total = distrank.with_global_order(
+        sized,
+        [F.desc("n_tokens"), F.asc("doc_id")],
+        weight_col="n_tokens",
+    )
+    if ranked is None:
+        return docs.sparkSession.createDataFrame(
+            [], "shard long, n_docs long, tokens_sum long, share_bp long"
+        )
+    out = (
+        ranked.withColumn("shard", (F.col("grank") % n_shards).cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens_sum"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "tokens_sum",
+            (
+                (
+                    F.col("tokens_sum") * 10000
+                    - (F.col("tokens_sum") * 10000) % F.lit(tok_total)
+                )
+                / F.lit(tok_total)
+            )
+            .cast("long")
+            .alias("share_bp"),
+        )
+    )
+    ranked.unpersist()
+    return out
+
+
+def striped_shard_plan_sql(n_shards: int = SHARD_N) -> str:
+    """Twin of striped_shard_plan: single-window rank oracle."""
+    return f"""
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT n_tokens,
+               (row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1)
+                   % {n_shards} AS shard,
+               CAST(sum(n_tokens) OVER () AS BIGINT) AS tok_total
+        FROM sized
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_sum,
+           CAST(sum(n_tokens) * 10000 // max(tok_total) AS BIGINT)
+               AS share_bp
+    FROM ranked
+    GROUP BY 1
+    """
