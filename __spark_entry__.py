@@ -752,6 +752,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "striped_shard_plan": _q(
             lambda t: maintenance.striped_shard_plan(t["documents"])
         ),
+        # cross-source quantile normalization of doc lengths (batch fix)
+        "quantile_normalize_lengths": _q(curation.quantile_normalize_lengths),
+        # Jensen-Shannon divergence: each source's unigrams vs the rest
+        "js_divergence_by_source": _q(
+            lambda t: text.js_divergence_by_source(t["documents"])
+        ),
     }
 
 
@@ -1545,4 +1551,6 @@ def oracle_sql() -> dict[str, str]:
         "cusum_changepoint": temporal.cusum_changepoint_sql(),
         "ab_test_zscore": behavior.ab_test_zscore_sql(),
         "striped_shard_plan": maintenance.striped_shard_plan_sql(),
+        "quantile_normalize_lengths": curation.quantile_normalize_lengths_sql(),
+        "js_divergence_by_source": text.js_divergence_by_source_sql(),
     }

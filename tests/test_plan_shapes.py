@@ -91,6 +91,10 @@ NESTED_LOOP_OK = {
     "ks_drift_by_source",
     # ONE-ROW full-sample mean × B-row bootstrap-CI relation
     "bootstrap_mean_ci",
+    # vocabulary × |sources| JSD grid — the statistic's inherent
+    # support (absent terms still contribute ½·q·ln2); |sources|-row
+    # totals broadcast, vocabulary sublinear (Heaps)
+    "js_divergence_by_source",
 }
 
 

@@ -489,6 +489,109 @@ def main() -> int:
     )
     assert n_queries_total == expected, (n_queries_total, expected)
 
+    # Round-5 final families.
+    # winnowing: per-doc selection is deterministic, so every replica
+    # fingerprints identically and EVERY fingerprint lands in >= n_rep
+    # docs -> n_shared_fp == n_fp for every doc with any fingerprint.
+    win = tm(
+        "winnowing_fingerprints (all-shared under replication)",
+        lambda: dedup.winnowing_fingerprints(big).collect(),
+    )
+    assert len(win) == n_docs * n_rep
+    for r in win:
+        assert r.n_shared_fp == r.n_fp, (r.doc_id, r.n_fp, r.n_shared_fp)
+
+    # cdc chunks: chunk boundaries are content-defined per doc, so
+    # replication turns EVERY chunk into a repeated one: each output
+    # group's count is a multiple of... >= n_rep copies of its small
+    # count, and the total chunk mass is divisible by nothing weaker
+    # than min(n_chunks) >= n_rep.
+    cdc = tm(
+        "cdc_dup_chunks (every chunk repeated)",
+        lambda: dedup.cdc_dup_chunks(big).agg(
+            F.min("n_chunks").alias("mn"),
+            F.sum("n_chunks").alias("total"),
+        ).collect()[0],
+    )
+    assert cdc.mn >= n_rep, cdc
+    assert cdc.total % n_rep == 0, cdc
+
+    # KS / Mann-Whitney: count-scaling leaves every CDF and every
+    # midrank RATIO unchanged -> D and AUC are replication-invariant.
+    small_ks = {
+        r.source: r.ks_d_r6
+        for r in validation.ks_drift_by_source({"documents": docs}).collect()
+    }
+    big_ks = tm(
+        "ks_drift_by_source (CDF-invariant)",
+        lambda: {
+            r.source: r.ks_d_r6
+            for r in validation.ks_drift_by_source(
+                {"documents": big}
+            ).collect()
+        },
+    )
+    assert big_ks == small_ks
+    small_mw = {
+        r.source: r.auc_r6
+        for r in validation.mannwhitney_auc({"documents": docs}).collect()
+    }
+    big_mw = tm(
+        "mannwhitney_auc (AUC-invariant)",
+        lambda: {
+            r.source: r.auc_r6
+            for r in validation.mannwhitney_auc({"documents": big}).collect()
+        },
+    )
+    assert big_mw == small_mw
+
+    # HLL registers see the same user-id SET no matter how many event
+    # rows repeat it -> replicate with the SAME users (unlike big_ev's
+    # disjoint-user replication above) -> s_int and the estimate are
+    # bit-identical.
+    from training_etl_demo_2_spark.operators import sketches
+
+    big_ev_dup = ev.crossJoin(rep8).select(
+        (F.col("event_id") + F.col("rep") * F.lit(100_000_000)).alias(
+            "event_id"
+        ),
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    small_hll = {
+        r.event_type: (r.s_int, r.est_r6)
+        for r in sketches.hll_user_estimate({"events": ev}).collect()
+    }
+    big_hll = tm(
+        "hll_user_estimate (dup-insensitive at 8x rows, same users)",
+        lambda: {
+            r.event_type: (r.s_int, r.est_r6)
+            for r in sketches.hll_user_estimate(
+                {"events": big_ev_dup}
+            ).collect()
+        },
+    )
+    assert big_hll == small_hll
+
+    # A/B assignment is per-user and the metric a per-user max -> the
+    # whole report is invariant under same-user row replication.
+    small_ab = sorted(
+        map(tuple, behavior.ab_test_zscore({"events": ev}).collect())
+    )
+    big_ab = tm(
+        "ab_test_zscore (per-user invariant)",
+        lambda: sorted(
+            map(
+                tuple,
+                behavior.ab_test_zscore({"events": big_ev_dup}).collect(),
+            )
+        ),
+    )
+    assert big_ab == small_ab
+
     print("scale smoke OK")
     return 0
 

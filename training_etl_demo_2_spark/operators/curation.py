@@ -1356,3 +1356,96 @@ def token_budget_selection_sql() -> str:
     WHERE cum_before < (SELECT sum(n_tokens) // {TOKEN_BUDGET_DEN}
                         FROM scored)
     """
+
+
+# ---------------------------------------------------------------------------
+# cross-source quantile normalization
+# ---------------------------------------------------------------------------
+
+
+def quantile_normalize_lengths(t: dict[str, DataFrame]) -> DataFrame:
+    """Quantile normalization of document lengths across sources — the
+    batch-effect correction used when per-source pipelines (different
+    scrapers, different truncation rules) skew a statistic that
+    downstream mixing assumes comparable: each doc's length is
+    replaced by the POOLED length at the same relative rank, so every
+    source's normalized distribution is (a rank-subsample of) the
+    corpus distribution.
+
+    Mapping is pure integers: doc at within-source rank r of n_s maps
+    to pooled order statistic index ceil(r·N/n_s) — no interpolation,
+    no float quantile crosses engines. Ties rank by (value, doc_id),
+    so the map is total and deterministic.
+
+    Scale shape: the within-source rank is a source-partitioned
+    window (parallel); the pooled order statistics use the
+    distributed-rank helper (range repartition + metadata offsets —
+    no single-task global sort); the map is one equi-join on the
+    pooled index. Output: one row per doc.
+    """
+    from pyspark.sql.window import Window
+
+    from . import distrank
+
+    base = t["documents"].select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("x")
+    )
+    w_src = Window.partitionBy("source").orderBy("x", "doc_id")
+    w_cnt = Window.partitionBy("source")
+    ranked = base.select(
+        "doc_id",
+        "source",
+        "x",
+        F.row_number().over(w_src).cast("long").alias("r"),
+        F.count(F.lit(1)).over(w_cnt).cast("long").alias("n_s"),
+    )
+    pooled, n_total, _ = distrank.with_global_order(
+        base.select(F.col("x").alias("px"), F.col("doc_id").alias("pid")),
+        [F.asc("px"), F.asc("pid")],
+    )
+    if pooled is None:
+        return base.sparkSession.createDataFrame(
+            [], "doc_id long, source string, x long, x_norm long"
+        )
+    idx_map = pooled.select(
+        (F.col("grank") + 1).alias("pool_idx"), F.col("px").alias("x_norm")
+    )
+    tgt = F.col("r") * n_total + F.col("n_s") - 1
+    out = (
+        ranked.withColumn(
+            "pool_idx",
+            ((tgt - tgt % F.col("n_s")) / F.col("n_s")).cast("long"),
+        )
+        .join(idx_map, "pool_idx")
+        .select("doc_id", "source", "x", "x_norm")
+    )
+    pooled.unpersist()
+    return out
+
+
+def quantile_normalize_lengths_sql() -> str:
+    """Twin of quantile_normalize_lengths: same integer
+    ceil(r·N/n_s) index map over single-window ranks."""
+    return """
+    WITH base AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, x,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY x, doc_id) AS BIGINT) AS r,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM base
+    ),
+    pooled AS (
+        SELECT CAST(row_number() OVER (ORDER BY x, doc_id) AS BIGINT)
+                   AS pool_idx,
+               x AS x_norm
+        FROM base
+    )
+    SELECT ranked.doc_id, ranked.source, ranked.x, pooled.x_norm
+    FROM ranked
+    JOIN pooled ON pooled.pool_idx
+                   = (ranked.r * ranked.n + ranked.n_s - 1) // ranked.n_s
+    """

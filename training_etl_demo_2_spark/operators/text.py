@@ -1590,3 +1590,145 @@ def quality_pct_by_source_sql() -> str:
            ), 6) AS pct
     FROM scores s JOIN documents d ON d.doc_id = s.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence per source
+# ---------------------------------------------------------------------------
+
+LN2 = 0.6931471805599453  # shared literal: both engines divide by this
+
+
+def js_divergence_by_source(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Jensen-Shannon divergence between each source's unigram
+    distribution and the REST of the corpus — the symmetric, bounded
+    ([0, ln 2]) companion to the chi2/PSI screens: 0 means the source
+    speaks the corpus's language, ln 2 means disjoint vocabularies.
+    JSD = ½·KL(P‖M) + ½·KL(Q‖M), M = ½(P+Q).
+
+    Order-invariance: each term's contribution is computed through
+    one shared IEEE sequence from exact integer counts and rounded to
+    integer nano-nats BEFORE the sum (the repo-wide float-reduction
+    rule), so the per-source aggregate is an integer sum.
+
+    Scale shape: token explode collapses to the (source, term) and
+    (term) frequency relations; the evaluation grid is
+    vocabulary × |sources| — the statistic's inherent support (a term
+    absent from a source still contributes ½·q·ln 2); vocabulary
+    grows sublinearly (Heaps) and the grid is a broadcast of the
+    |sources|-row totals, not a join blow-up. Output: one row per
+    source.
+    """
+    tf_sw = (
+        df.select("source", F.explode(_tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_sw"))
+    )
+    tf_w = tf_sw.groupBy("term").agg(F.sum("c_sw").cast("long").alias("c_w"))
+    totals = tf_sw.groupBy("source").agg(
+        F.sum("c_sw").cast("long").alias("t_s")
+    )
+    from pyspark.sql.window import Window as _W
+
+    totals = totals.withColumn(
+        "t_all", F.sum("t_s").over(_W.partitionBy()).cast("long")
+    )
+    grid = tf_w.crossJoin(F.broadcast(totals))
+    j = grid.join(tf_sw, ["source", "term"], "left").withColumn(
+        "c_sw", F.coalesce(F.col("c_sw"), F.lit(0))
+    )
+    c_rw = F.col("c_w") - F.col("c_sw")
+    t_r = F.col("t_all") - F.col("t_s")
+    p = F.col("c_sw").cast("double") / F.col("t_s").cast("double")
+    q = c_rw.cast("double") / t_r.cast("double")
+    m = (p + q) / 2.0
+    kl_p = F.when(F.col("c_sw") > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+    kl_q = F.when(c_rw > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    term_nano = F.floor((kl_p + kl_q) / 2.0 * 1e9 + F.lit(0.5)).cast("long")
+    out = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum(F.when(F.col("c_sw") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_terms_in_source"),
+        F.sum(term_nano).cast("long").alias("jsd_nano"),
+    )
+    return out.select(
+        "source",
+        "n_terms",
+        "n_terms_in_source",
+        "jsd_nano",
+        F.round(F.col("jsd_nano").cast("double") / 1e9 / F.lit(LN2), 6)
+        .alias("jsd_bits_r6"),
+    )
+
+
+def js_divergence_by_source_sql() -> str:
+    """Twin of js_divergence_by_source: identical grid, nano rounding,
+    shared ln 2 literal."""
+    return f"""
+    WITH tf_sw AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS c_sw
+        FROM (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        )
+        WHERE term != ''
+        GROUP BY 1, 2
+    ),
+    tf_w AS (
+        SELECT term, CAST(sum(c_sw) AS BIGINT) AS c_w FROM tf_sw GROUP BY 1
+    ),
+    totals AS (
+        SELECT source, CAST(sum(c_sw) AS BIGINT) AS t_s,
+               CAST(sum(sum(c_sw)) OVER () AS BIGINT) AS t_all
+        FROM tf_sw GROUP BY 1
+    ),
+    grid AS (
+        SELECT tf_w.term, tf_w.c_w, totals.source, totals.t_s, totals.t_all
+        FROM tf_w CROSS JOIN totals
+    ),
+    j AS (
+        SELECT grid.*, coalesce(tf_sw.c_sw, 0) AS c_sw
+        FROM grid LEFT JOIN tf_sw
+             ON tf_sw.source = grid.source AND tf_sw.term = grid.term
+    ),
+    terms AS (
+        SELECT source, c_sw,
+               CAST(floor((
+                   CASE WHEN c_sw > 0
+                        THEN (CAST(c_sw AS DOUBLE) / CAST(t_s AS DOUBLE))
+                             * ln((CAST(c_sw AS DOUBLE)
+                                   / CAST(t_s AS DOUBLE))
+                                  / ((CAST(c_sw AS DOUBLE)
+                                      / CAST(t_s AS DOUBLE)
+                                      + CAST(c_w - c_sw AS DOUBLE)
+                                        / CAST(t_all - t_s AS DOUBLE))
+                                     / 2.0))
+                        ELSE 0.0 END
+                   + CASE WHEN c_w - c_sw > 0
+                          THEN (CAST(c_w - c_sw AS DOUBLE)
+                                / CAST(t_all - t_s AS DOUBLE))
+                               * ln((CAST(c_w - c_sw AS DOUBLE)
+                                     / CAST(t_all - t_s AS DOUBLE))
+                                    / ((CAST(c_sw AS DOUBLE)
+                                        / CAST(t_s AS DOUBLE)
+                                        + CAST(c_w - c_sw AS DOUBLE)
+                                          / CAST(t_all - t_s AS DOUBLE))
+                                       / 2.0))
+                          ELSE 0.0 END
+               ) / 2.0 * 1e9 + 0.5) AS BIGINT) AS term_nano
+        FROM j
+    ),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(sum(CASE WHEN c_sw > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_terms_in_source,
+               CAST(sum(term_nano) AS BIGINT) AS jsd_nano
+        FROM terms GROUP BY 1
+    )
+    SELECT source, n_terms, n_terms_in_source, jsd_nano,
+           round(CAST(jsd_nano AS DOUBLE) / 1e9 / {LN2!r}, 6) AS jsd_bits_r6
+    FROM agg
+    """
