@@ -758,6 +758,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_divergence_by_source": _q(
             lambda t: text.js_divergence_by_source(t["documents"])
         ),
+        # EWMA-smoothed hourly load curve (truncated kernel, stateless)
+        "ewma_hourly_smooth": _q(temporal.ewma_hourly_smooth),
+        # cluster-bootstrap CI for the A/B conversion uplift
+        "ab_uplift_bootstrap_ci": _q(behavior.ab_uplift_bootstrap_ci),
     }
 
 
@@ -1553,4 +1557,6 @@ def oracle_sql() -> dict[str, str]:
         "striped_shard_plan": maintenance.striped_shard_plan_sql(),
         "quantile_normalize_lengths": curation.quantile_normalize_lengths_sql(),
         "js_divergence_by_source": text.js_divergence_by_source_sql(),
+        "ewma_hourly_smooth": temporal.ewma_hourly_smooth_sql(),
+        "ab_uplift_bootstrap_ci": behavior.ab_uplift_bootstrap_ci_sql(),
     }

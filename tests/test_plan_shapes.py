@@ -95,6 +95,8 @@ NESTED_LOOP_OK = {
     # support (absent terms still contribute ½·q·ln2); |sources|-row
     # totals broadcast, vocabulary sublinear (Heaps)
     "js_divergence_by_source",
+    # ONE-ROW point estimate × B-row bootstrap-CI relation
+    "ab_uplift_bootstrap_ci",
 }
 
 

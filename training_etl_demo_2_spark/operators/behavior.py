@@ -944,3 +944,179 @@ def ab_test_zscore_sql() -> str:
            CAST(abs(z) > 1.96 AS INT) AS significant
     FROM zed
     """
+
+
+# ---------------------------------------------------------------------------
+# A/B uplift with bootstrap CI
+# ---------------------------------------------------------------------------
+
+AB_BOOT_B = 200
+AB_BOOT_SEED = (677_565_383, 522_668_951, 3_267_000_013 % 1_000_000_007,
+                411_949_103)
+AB_BOOT_K_LO = 5
+AB_BOOT_K_HI = AB_BOOT_B + 1 - AB_BOOT_K_LO
+
+
+def ab_uplift_bootstrap_ci(t: dict[str, DataFrame]) -> DataFrame:
+    """Bootstrap confidence interval for the A/B conversion UPLIFT
+    (rate_A − rate_B): the distribution-free companion to
+    ab_test_zscore's normal approximation, composed from the same
+    deterministic machinery — hash-bucketed assignment, per-USER
+    Poisson(1) resampling (cluster bootstrap: users are the i.i.d.
+    unit, so all of a user's events stay together), rank-based 95%
+    bounds over B=200 resample uplifts. Significant iff the CI
+    excludes zero.
+
+    Scale shape: events collapse to per-user flags once; the B-fold
+    explode feeds a partial map-side aggregate on (b, variant), so
+    the exchange carries 2B rows per task; the CI window runs over B
+    metadata rows; the point estimate joins as a ONE-ROW broadcast
+    (allowlisted). Output: one row.
+    """
+    from ..functions import FNV_MOD  # noqa: F401  (shared constants doc)
+    from .sketches import _hll_mix_spark
+
+    ev = t["events"]
+    per_user = ev.groupBy(F.col("user_id").cast("long").alias("uid")).agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("conv")
+    )
+    in_a = (_hll_mix_spark(F.col("uid"), AB_SEED) % 2 == 0).cast("long")
+    pu = per_user.select("uid", "conv", in_a.alias("is_a")).persist()
+    point = pu.agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("long").alias("n_b"),
+        F.sum(F.col("is_a") * F.col("conv")).cast("long").alias("c_a"),
+        F.sum((1 - F.col("is_a")) * F.col("conv")).cast("long").alias("c_b"),
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(AB_BOOT_B - 1))).alias("b")
+    ex = pu.select("uid", "conv", "is_a", b).withColumn(
+        "b", F.col("b").cast("long")
+    )
+    u = _hll_mix_spark(F.col("uid") * AB_BOOT_B + F.col("b"), AB_BOOT_SEED)
+    from .validation import BOOT_THRESH
+
+    w = F.lit(6)
+    for kk in range(len(BOOT_THRESH) - 1, -1, -1):
+        w = F.when(u < BOOT_THRESH[kk], kk).otherwise(w)
+    per_b = (
+        ex.select("b", "is_a", (w * F.col("conv")).alias("wc"), w.alias("w"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("is_a") * F.col("wc")).cast("long").alias("ca"),
+            F.sum(F.col("is_a") * F.col("w")).cast("long").alias("na"),
+            F.sum((1 - F.col("is_a")) * F.col("wc")).cast("long").alias("cb"),
+            F.sum((1 - F.col("is_a")) * F.col("w")).cast("long").alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            "b",
+            (
+                F.col("ca").cast("double") / F.col("na").cast("double")
+                - F.col("cb").cast("double") / F.col("nb").cast("double")
+            ).alias("uplift_b"),
+        )
+    )
+    w_rank = Window.orderBy("uplift_b", "b")  # B-row metadata relation
+    ranked = per_b.withColumn("rk", F.row_number().over(w_rank))
+    ci = ranked.agg(
+        F.count(F.lit(1)).alias("n_boot"),
+        F.max(F.when(F.col("rk") == AB_BOOT_K_LO, F.col("uplift_b"))).alias(
+            "lo"
+        ),
+        F.max(F.when(F.col("rk") == AB_BOOT_K_HI, F.col("uplift_b"))).alias(
+            "hi"
+        ),
+    )
+    out = point.crossJoin(F.broadcast(ci))
+    uplift = F.col("c_a").cast("double") / F.col("n_a").cast(
+        "double"
+    ) - F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    return out.select(
+        "n_a",
+        "n_b",
+        "n_boot",
+        F.round(uplift, 6).alias("uplift_r6"),
+        F.round(F.col("lo"), 6).alias("ci_lo_r6"),
+        F.round(F.col("hi"), 6).alias("ci_hi_r6"),
+        ((F.col("lo") > 0) | (F.col("hi") < 0)).cast("int").alias(
+            "significant"
+        ),
+    )
+
+
+def ab_uplift_bootstrap_ci_sql() -> str:
+    """Twin of ab_uplift_bootstrap_ci: identical mixes, thresholds,
+    rank-based CI."""
+    from .sketches import _hll_mix_sql
+    from .validation import BOOT_THRESH
+
+    assign = _hll_mix_sql("uid", AB_SEED)
+    mix = _hll_mix_sql(f"(uid * {AB_BOOT_B} + b)", AB_BOOT_SEED)
+    whens = "\n".join(
+        f"               WHEN u < {t} THEN {k}"
+        for k, t in enumerate(BOOT_THRESH)
+    )
+    return f"""
+    WITH per_user AS (
+        SELECT user_id AS uid,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY 1
+    ),
+    flagged AS (
+        SELECT uid, conv,
+               CASE WHEN {assign} % 2 = 0 THEN 1 ELSE 0 END AS is_a
+        FROM per_user
+    ),
+    point AS (
+        SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
+               CAST(count(*) - sum(is_a) AS BIGINT) AS n_b,
+               CAST(sum(is_a * conv) AS BIGINT) AS c_a,
+               CAST(sum((1 - is_a) * conv) AS BIGINT) AS c_b
+        FROM flagged
+    ),
+    ex AS (
+        SELECT uid, conv, is_a, b
+        FROM flagged, unnest(range(0, {AB_BOOT_B})) AS t(b)
+    ),
+    wts AS (
+        SELECT b, conv, is_a,
+               CASE
+{whens}
+               ELSE 6 END AS w
+        FROM (SELECT *, {mix} AS u FROM ex)
+    ),
+    per_b AS (
+        SELECT b,
+               CAST(sum(is_a * w * conv) AS BIGINT) AS ca,
+               CAST(sum(is_a * w) AS BIGINT) AS na,
+               CAST(sum((1 - is_a) * w * conv) AS BIGINT) AS cb,
+               CAST(sum((1 - is_a) * w) AS BIGINT) AS nb
+        FROM wts GROUP BY 1
+        HAVING sum(is_a * w) > 0 AND sum((1 - is_a) * w) > 0
+    ),
+    ranked AS (
+        SELECT b,
+               CAST(ca AS DOUBLE) / CAST(na AS DOUBLE)
+               - CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE) AS uplift_b,
+               row_number() OVER (ORDER BY CAST(ca AS DOUBLE)
+                                  / CAST(na AS DOUBLE)
+                                  - CAST(cb AS DOUBLE)
+                                    / CAST(nb AS DOUBLE), b) AS rk
+        FROM per_b
+    ),
+    ci AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_boot,
+               max(CASE WHEN rk = {AB_BOOT_K_LO} THEN uplift_b END) AS lo,
+               max(CASE WHEN rk = {AB_BOOT_K_HI} THEN uplift_b END) AS hi
+        FROM ranked
+    )
+    SELECT n_a, n_b, n_boot,
+           round(CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+               AS uplift_r6,
+           round(lo, 6) AS ci_lo_r6,
+           round(hi, 6) AS ci_hi_r6,
+           CAST(lo > 0 OR hi < 0 AS INT) AS significant
+    FROM point CROSS JOIN ci
+    """

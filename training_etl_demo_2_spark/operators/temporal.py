@@ -612,3 +612,91 @@ def cusum_changepoint_sql() -> str:
                    * (CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)) AS vc
           FROM top)
     """
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing of the hourly event series
+# ---------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.2
+EWMA_H = 24  # truncated kernel horizon (hours of history)
+# shared weight literals: w_j = (1-alpha)^j, generated once in Python so
+# both engines multiply by bit-identical doubles
+EWMA_W = [(1.0 - EWMA_ALPHA) ** j for j in range(EWMA_H)]
+
+
+def ewma_hourly_smooth(t: dict[str, DataFrame]) -> DataFrame:
+    """Exponentially-weighted moving average of hourly event counts per
+    type — the denoised load curve behind capacity/anomaly baselines —
+    with a TRUNCATED kernel: s_t = Σ_{j<H} w_j·x_{t−j} / Σ_{j<H} w_j
+    over the trailing H observed hours, w_j = (1−α)^j. Truncation (vs
+    the textbook infinite recursion) is what makes the smoother a
+    stateless window expression instead of a sequential fold: any
+    engine, any partitioning, any restart computes the same value,
+    and the dropped tail carries weight (1−α)^H < 0.5%.
+
+    Index-based, not calendar-based: lags step over OBSERVED hours
+    (gap handling belongs to events_hourly_gapfilled upstream).
+
+    Exactness: counts are integers; the weighted sums evaluate one
+    shared left-folded chain of double literals generated once in
+    Python, so both engines run the identical IEEE sequence.
+
+    Scale shape: events collapse to the (type, hour) series (calendar
+    -bounded metadata) in one groupBy; the H-lag window partitions by
+    type. Output: one row per (type, hour).
+    """
+    hourly = (
+        t["events"]
+        .groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour")
+    x = F.col("n_events").cast("double")
+    num = x * EWMA_W[0]
+    den = F.lit(EWMA_W[0])
+    for j in range(1, EWMA_H):
+        lx = F.lag(x, j).over(w)
+        num = num + F.coalesce(lx * EWMA_W[j], F.lit(0.0))
+        den = den + F.when(lx.isNotNull(), F.lit(EWMA_W[j])).otherwise(
+            F.lit(0.0)
+        )
+    return hourly.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(num / den, 6).alias("ewma_r6"),
+    )
+
+
+def ewma_hourly_smooth_sql() -> str:
+    """Twin of ewma_hourly_smooth: identical left-folded weight chain
+    over the same lag terms."""
+    over = "OVER (PARTITION BY event_type ORDER BY hour)"
+    num_terms = [f"CAST(n_events AS DOUBLE) * {EWMA_W[0]!r}"]
+    den_terms = [f"{EWMA_W[0]!r}"]
+    for j in range(1, EWMA_H):
+        lx = f"lag(CAST(n_events AS DOUBLE), {j}) {over}"
+        num_terms.append(f"coalesce({lx} * {EWMA_W[j]!r}, 0.0)")
+        den_terms.append(
+            f"CASE WHEN {lx} IS NOT NULL THEN {EWMA_W[j]!r} ELSE 0.0 END"
+        )
+    num = "\n                 + ".join(num_terms)
+    den = "\n                 + ".join(den_terms)
+    return f"""
+    WITH hourly AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour, n_events,
+           round(({num})
+                 / ({den}), 6) AS ewma_r6
+    FROM hourly
+    """
