@@ -762,6 +762,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_hourly_smooth": _q(temporal.ewma_hourly_smooth),
         # cluster-bootstrap CI for the A/B conversion uplift
         "ab_uplift_bootstrap_ci": _q(behavior.ab_uplift_bootstrap_ci),
+        # Chao1 + Good-Turing unseen-vocabulary estimators per source
+        "vocab_richness": _q(lambda t: text.vocab_richness(t["documents"])),
+        # top adjacent-pair collocations by PMI (min-count floored)
+        "bigram_pmi_collocations": _q(
+            lambda t: text.bigram_pmi_collocations(t["documents"])
+        ),
+        # variance-to-mean dispersion of per-doc term counts
+        "term_burstiness": _q(lambda t: text.term_burstiness(t["documents"])),
     }
 
 
@@ -1559,4 +1567,7 @@ def oracle_sql() -> dict[str, str]:
         "js_divergence_by_source": text.js_divergence_by_source_sql(),
         "ewma_hourly_smooth": temporal.ewma_hourly_smooth_sql(),
         "ab_uplift_bootstrap_ci": behavior.ab_uplift_bootstrap_ci_sql(),
+        "vocab_richness": text.vocab_richness_sql(),
+        "bigram_pmi_collocations": text.bigram_pmi_collocations_sql(),
+        "term_burstiness": text.term_burstiness_sql(),
     }

@@ -97,6 +97,10 @@ NESTED_LOOP_OK = {
     "js_divergence_by_source",
     # ONE-ROW point estimate × B-row bootstrap-CI relation
     "ab_uplift_bootstrap_ci",
+    # ONE-ROW bigram-total + unigram-total broadcasts (PMI denominators)
+    "bigram_pmi_collocations",
+    # ONE-ROW doc-count broadcast (the N in mean/var closed forms)
+    "term_burstiness",
 }
 
 

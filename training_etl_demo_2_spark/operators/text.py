@@ -1732,3 +1732,305 @@ def js_divergence_by_source_sql() -> str:
            round(CAST(jsd_nano AS DOUBLE) / 1e9 / {LN2!r}, 6) AS jsd_bits_r6
     FROM agg
     """
+
+
+def vocab_richness(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source vocabulary-richness estimators: Chao1 total-vocabulary
+    lower bound and the Good-Turing unseen-probability mass — the
+    "how much vocabulary have we NOT crawled yet" audit that guides
+    corpus-expansion decisions (no reference counterpart; north-star
+    text analysis, SURVEY §2.12).
+
+    From each source's term-frequency relation: ``vocab`` distinct
+    terms, ``f1``/``f2`` singleton/doubleton counts,
+    Chao1 = V + f1·(f1−1)/(2·(f2+1)) (bias-corrected form — defined
+    even when f2 = 0), and Good-Turing p0 = f1/N, the probability the
+    next token drawn from that source is an unseen type.
+
+    Scale shape: token explode collapses immediately to the
+    (source, term) frequency relation (one shuffle); everything after
+    is a per-source aggregate of exact integer counts — floats enter
+    only in the final one-row-per-source projection, so no
+    order-invariance machinery is needed. Output: one row per source.
+    """
+    tf = (
+        df.select("source", F.explode(_tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    agg = tf.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("f2"),
+    )
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    return agg.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.round(
+            F.col("vocab").cast("double")
+            + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0)),
+            4,
+        ).alias("chao1_r4"),
+        F.round(f1 / F.col("n_tokens").cast("double"), 6).alias(
+            "gt_unseen_r6"
+        ),
+    )
+
+
+def vocab_richness_sql() -> str:
+    """Twin of vocab_richness: identical integer counts and float
+    expression sequence."""
+    return """
+    WITH tf AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        )
+        WHERE term != ''
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        FROM tf GROUP BY 1
+    )
+    SELECT source, n_tokens, vocab, f1, f2,
+           round(CAST(vocab AS DOUBLE)
+                 + CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE) - 1.0)
+                   / (2.0 * (CAST(f2 AS DOUBLE) + 1.0)), 4) AS chao1_r4,
+           round(CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS gt_unseen_r6
+    FROM agg
+    """
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_N = 100
+
+
+def bigram_pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = PMI_MIN_COUNT,
+    top_n: int = PMI_TOP_N,
+) -> DataFrame:
+    """Collocation extraction: top adjacent word pairs by pointwise
+    mutual information, PMI = ln(p(w1,w2) / (p(w1)·p(w2))) with
+    bigram/unigram probabilities from the same lowercased token
+    stream. The word-level sibling of the session-level
+    ``event_type_pmi`` — finds multi-word expressions ("new york")
+    that tokenizer vocabularies and dedup shingles should treat as
+    units.
+
+    Determinism: the min-count floor (apriori-style) prunes before any
+    float; PMI is computed once per surviving pair from exact integer
+    counts and rounded to integer nano-nats; ordering is
+    (pmi_nano DESC, w1, w2) — fully tie-broken.
+
+    Scale shape: two frequency relations (unigram, bigram) — one
+    shuffle each — then a bigram⋈unigram⋈unigram join on term keys
+    that AQE plans as broadcasts once the floor has pruned the pair
+    relation; corpus totals ride along as one-row broadcast
+    aggregates. Top-n via TakeOrderedAndProject. At 100 TB raise
+    ``min_count`` with corpus size (the floor is the candidate bound).
+    """
+    toks = F.filter(_tokens(text_col), lambda t: t != "")
+    base = df.select(toks.alias("toks"))
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    uni_tot = uni.agg(F.sum("c1").cast("long").alias("n_uni"))
+    bi = (
+        base.select(F.explode(word_ngrams(F.col("toks"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .filter(F.col("c12") >= min_count)
+        .withColumn("w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bg"), F.lit(" "), F.lit(2)))
+    )
+    n_bi = (
+        base.select(
+            F.greatest(F.size("toks") - 1, F.lit(0)).alias("nb")
+        )
+        .agg(F.sum("nb").cast("long").alias("n_bi"))
+    )
+    j = (
+        bi.crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(uni_tot))
+        .join(
+            uni.select(F.col("w").alias("w1"), F.col("c1").alias("ca")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c1").alias("cb")),
+            "w2",
+        )
+    )
+    pmi = F.log(
+        (F.col("c12").cast("double") / F.col("n_bi").cast("double"))
+        / (
+            (F.col("ca").cast("double") / F.col("n_uni").cast("double"))
+            * (F.col("cb").cast("double") / F.col("n_uni").cast("double"))
+        )
+    )
+    out = j.select(
+        "w1",
+        "w2",
+        "c12",
+        F.col("ca").cast("long").alias("c_w1"),
+        F.col("cb").cast("long").alias("c_w2"),
+        F.floor(pmi * 1e9 + F.lit(0.5)).cast("long").alias("pmi_nano"),
+    )
+    return out.orderBy(
+        F.col("pmi_nano").desc(), F.col("w1"), F.col("w2")
+    ).limit(top_n)
+
+
+def bigram_pmi_collocations_sql(
+    min_count: int = PMI_MIN_COUNT, top_n: int = PMI_TOP_N
+) -> str:
+    """Twin of bigram_pmi_collocations: same token stream, floor,
+    nano rounding, and full tie-break."""
+    return f"""
+    WITH base AS (
+        SELECT list_filter(string_split(lower(text), ' '),
+                           t -> t != '') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(toks) AS w FROM base) GROUP BY 1
+    ),
+    uni_tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_uni FROM uni),
+    bi AS (
+        SELECT bg, CAST(count(*) AS BIGINT) AS c12,
+               string_split(bg, ' ')[1] AS w1,
+               string_split(bg, ' ')[2] AS w2
+        FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])) AS bg
+            FROM base
+        )
+        GROUP BY 1 HAVING count(*) >= {min_count}
+    ),
+    bi_tot AS (
+        SELECT CAST(sum(greatest(len(toks) - 1, 0)) AS BIGINT) AS n_bi
+        FROM base
+    )
+    SELECT bi.w1, bi.w2, bi.c12,
+           ua.c1 AS c_w1, ub.c1 AS c_w2,
+           CAST(floor(ln(
+               (CAST(bi.c12 AS DOUBLE) / CAST(bi_tot.n_bi AS DOUBLE))
+               / ((CAST(ua.c1 AS DOUBLE) / CAST(uni_tot.n_uni AS DOUBLE))
+                  * (CAST(ub.c1 AS DOUBLE) / CAST(uni_tot.n_uni AS DOUBLE)))
+           ) * 1e9 + 0.5) AS BIGINT) AS pmi_nano
+    FROM bi
+    CROSS JOIN bi_tot CROSS JOIN uni_tot
+    JOIN uni ua ON ua.w = bi.w1
+    JOIN uni ub ON ub.w = bi.w2
+    ORDER BY pmi_nano DESC, w1, w2 LIMIT {top_n}
+    """
+
+
+BURST_MIN_DOCS = 3
+BURST_TOP_N = 200
+
+
+def term_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    min_docs: int = BURST_MIN_DOCS,
+    top_n: int = BURST_TOP_N,
+) -> DataFrame:
+    """Term burstiness: variance-to-mean ratio (index of dispersion) of
+    each term's per-document count over ALL documents (zeros
+    included). VMR ≈ 1 means Poisson background scatter (function
+    words); VMR ≫ 1 means the term clumps into few documents —
+    topical/keyword behavior. Complements TF-IDF: IDF measures
+    breadth, burstiness measures clumping among occurrences.
+
+    With N docs, total count c and per-doc sum-of-squares ss:
+    mean = c/N, var = ss/N − mean² (population), VMR = var/mean.
+    All inputs are exact integers; the float enters once per term and
+    is nano-rounded for the (vmr_nano DESC, term) tie-broken top-n.
+
+    Scale shape: explode → (doc, term) counts → per-term aggregate of
+    (df_t, c, ss): two shuffles, both key-partitioned; the doc-count
+    N rides along as a one-row broadcast. Top-n via
+    TakeOrderedAndProject.
+    """
+    per_doc = (
+        df.select("doc_id", F.explode(_tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    per_term = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_t"),
+        F.sum("c").cast("long").alias("c_total"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+    )
+    j = per_term.filter(F.col("df_t") >= min_docs).crossJoin(
+        F.broadcast(n_docs)
+    )
+    mean = F.col("c_total").cast("double") / F.col("n_docs").cast("double")
+    var = F.col("ss").cast("double") / F.col("n_docs").cast("double") - mean * mean
+    out = j.select(
+        "term",
+        "df_t",
+        "c_total",
+        F.floor(var / mean * 1e9 + F.lit(0.5)).cast("long").alias("vmr_nano"),
+    )
+    return out.orderBy(F.col("vmr_nano").desc(), F.col("term")).limit(top_n)
+
+
+def term_burstiness_sql(
+    min_docs: int = BURST_MIN_DOCS, top_n: int = BURST_TOP_N
+) -> str:
+    """Twin of term_burstiness: identical integer inputs and float
+    expression sequence."""
+    return f"""
+    WITH per_doc AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+        FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        )
+        WHERE term != ''
+        GROUP BY 1, 2
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    per_term AS (
+        SELECT term,
+               CAST(count(*) AS BIGINT) AS df_t,
+               CAST(sum(c) AS BIGINT) AS c_total,
+               CAST(sum(c * c) AS BIGINT) AS ss
+        FROM per_doc GROUP BY 1
+    )
+    SELECT term, df_t, c_total,
+           CAST(floor(
+               (CAST(ss AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                - (CAST(c_total AS DOUBLE) / CAST(n_docs AS DOUBLE))
+                  * (CAST(c_total AS DOUBLE) / CAST(n_docs AS DOUBLE)))
+               / (CAST(c_total AS DOUBLE) / CAST(n_docs AS DOUBLE))
+               * 1e9 + 0.5) AS BIGINT) AS vmr_nano
+    FROM per_term CROSS JOIN n
+    WHERE df_t >= {min_docs}
+    ORDER BY vmr_nano DESC, term LIMIT {top_n}
+    """
