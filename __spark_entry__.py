@@ -770,6 +770,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # variance-to-mean dispersion of per-doc term counts
         "term_burstiness": _q(lambda t: text.term_burstiness(t["documents"])),
+        # Heaps'-law vocabulary-growth exponent (log-log OLS)
+        "heaps_law_fit": _q(lambda t: text.heaps_law_fit(t["documents"])),
+        # per-source Gini of document lengths (mixing-weight audit)
+        "gini_doc_length": _q(lambda t: text.gini_doc_length(t["documents"])),
     }
 
 
@@ -1570,4 +1574,6 @@ def oracle_sql() -> dict[str, str]:
         "vocab_richness": text.vocab_richness_sql(),
         "bigram_pmi_collocations": text.bigram_pmi_collocations_sql(),
         "term_burstiness": text.term_burstiness_sql(),
+        "heaps_law_fit": text.heaps_law_fit_sql(),
+        "gini_doc_length": text.gini_doc_length_sql(),
     }

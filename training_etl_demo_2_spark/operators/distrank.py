@@ -84,3 +84,58 @@ def with_global_order(
             ).cast("long"),
         )
     return out, acc_c, acc_w
+
+
+def with_global_prefix_sums(
+    df: DataFrame,
+    order_cols: list,
+    weight_cols: list[str],
+    inclusive: bool = True,
+):
+    """Exact INCLUSIVE (or exclusive) global prefix sums of several
+    weight columns under one global ordering, without an
+    unpartitioned window: same range-repartition + per-partition
+    running sums + per-partition metadata offsets as
+    ``with_global_order``, generalized to N weights in one pass.
+    Returns ``(out_df, totals)`` where ``totals[w]`` is the grand
+    total of each weight (free from the offset metadata). The result
+    is persisted; caller unpersists. ``(None, {})`` on empty input.
+    """
+    spark = df.sparkSession
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    ranged = df.repartitionByRange(nparts, *order_cols).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    ranged.persist()
+    aggs = [F.sum(w).cast("long").alias(f"s_{w}") for w in weight_cols]
+    stats = {
+        int(r["pid"]): r for r in ranged.groupBy("pid").agg(*aggs).collect()
+    }
+    if not stats:
+        ranged.unpersist()
+        return None, {}
+    offs: dict[str, dict[int, int]] = {w: {} for w in weight_cols}
+    acc = {w: 0 for w in weight_cols}
+    for pid in sorted(stats):
+        for w in weight_cols:
+            offs[w][pid] = acc[w]
+            acc[w] += int(stats[pid][f"s_{w}"] or 0)
+    out = ranged
+    frame_end = 0 if inclusive else -1
+    for w in weight_cols:
+        wmap = F.create_map(
+            *[F.lit(x) for pid in sorted(offs[w]) for x in (pid, offs[w][pid])]
+        )
+        win = (
+            Window.partitionBy("pid")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, frame_end)
+        )
+        out = out.withColumn(
+            f"cum_{w}",
+            (
+                wmap[F.col("pid")]
+                + F.coalesce(F.sum(w).over(win).cast("long"), F.lit(0))
+            ).cast("long"),
+        )
+    return out, acc

@@ -2034,3 +2034,212 @@ def term_burstiness_sql(
     WHERE df_t >= {min_docs}
     ORDER BY vmr_nano DESC, term LIMIT {top_n}
     """
+
+
+def heaps_law_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heaps'-law fit V = K·N^beta of vocabulary growth: log-log OLS
+    over the cumulative (tokens-seen, distinct-types-seen) curve in
+    doc_id order — the growth-rate companion to the static Zipf fit
+    (``zipf_fit``) and the sampled ``vocab_coverage_curve``: beta
+    well below 1 means vocabulary saturates and continued crawling
+    buys few new types.
+
+    Every doc contributes one curve point. Exactness: both cumulative
+    sums are exact integers from the distributed prefix-sum helper
+    (``distrank.with_global_prefix_sums`` — range repartition +
+    per-partition running sums + metadata offsets; NO unpartitioned
+    window); each point's (ln N_i, ln V_i) is nano-rounded to
+    integers, the OLS moments are exact decimal(38,0) integer sums
+    (order-invariant), and the slope/intercept/r² enter doubles once
+    through one shared expression sequence. Output: one row.
+    """
+    from .distrank import with_global_prefix_sums
+
+    toks = F.filter(_tokens(text_col), lambda t: t != "")
+    per_doc = df.select("doc_id", F.size(toks).alias("n_tok"))
+    firsts = (
+        df.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.col("first_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    base = (
+        per_doc.join(firsts, "doc_id", "left")
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)))
+    )
+    cum, _tot = with_global_prefix_sums(
+        base, [F.col("doc_id")], ["n_tok", "n_new"]
+    )
+    if cum is None:
+        return df.sparkSession.createDataFrame(
+            [], "n_points long, beta_r6 double, k_r2 double, r2_r6 double"
+        )
+    pts = cum.filter(
+        (F.col("cum_n_tok") > 0) & (F.col("cum_n_new") > 0)
+    ).select(
+        F.floor(F.log(F.col("cum_n_tok").cast("double")) * 1e9 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("cum_n_new").cast("double")) * 1e9 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x").cast(dec) * F.col("y"))).cast("double").alias("sxy"),
+        F.sum((F.col("x").cast(dec) * F.col("x"))).cast("double").alias("sxx"),
+        F.sum((F.col("y").cast(dec) * F.col("y"))).cast("double").alias("syy"),
+    )
+    cum.unpersist()
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    sp = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    beta = F.when(dx != 0.0, sp / dx)
+    k = F.when(dx != 0.0, F.exp((sy / n - (sp / dx) * (sx / n)) / F.lit(1e9)))
+    r2 = F.when((dx != 0.0) & (dy != 0.0), (sp * sp) / (dx * dy))
+    return s.select(
+        n.cast("long").alias("n_points"),
+        F.round(beta, 6).alias("beta_r6"),
+        F.round(k, 2).alias("k_r2"),
+        F.round(r2, 6).alias("r2_r6"),
+    )
+
+
+def heaps_law_fit_sql() -> str:
+    """Twin of heaps_law_fit: window cumsums stand in for the
+    distributed prefix sums; identical nano rounding, exact HUGEINT
+    moments, and final float sequence."""
+    return """
+    WITH per_doc AS (
+        SELECT doc_id,
+               len(list_filter(string_split(lower(text), ' '),
+                               t -> t != '')) AS n_tok
+        FROM documents
+    ),
+    firsts AS (
+        SELECT term, min(doc_id) AS first_doc
+        FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        )
+        WHERE term != ''
+        GROUP BY 1
+    ),
+    new_per_doc AS (
+        SELECT first_doc AS doc_id, CAST(count(*) AS BIGINT) AS n_new
+        FROM firsts GROUP BY 1
+    ),
+    base AS (
+        SELECT d.doc_id, d.n_tok, coalesce(n.n_new, 0) AS n_new
+        FROM per_doc d LEFT JOIN new_per_doc n USING (doc_id)
+    ),
+    cum AS (
+        SELECT doc_id,
+               sum(n_tok) OVER (ORDER BY doc_id) AS big_n,
+               sum(n_new) OVER (ORDER BY doc_id) AS big_v
+        FROM base
+    ),
+    pts AS (
+        SELECT CAST(floor(ln(CAST(big_n AS DOUBLE)) * 1e9 + 0.5)
+                    AS BIGINT) AS x,
+               CAST(floor(ln(CAST(big_v AS DOUBLE)) * 1e9 + 0.5)
+                    AS BIGINT) AS y
+        FROM cum WHERE big_n > 0 AND big_v > 0
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+               CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           round(CASE WHEN n * sxx - sx * sx != 0.0
+                 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+               AS beta_r6,
+           round(CASE WHEN n * sxx - sx * sx != 0.0
+                 THEN exp((sy / n
+                           - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                             * (sx / n)) / 1e9) END, 2) AS k_r2,
+           round(CASE WHEN n * sxx - sx * sx != 0.0
+                      AND n * syy - sy * sy != 0.0
+                 THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+               AS r2_r6
+    FROM s
+    """
+
+
+def gini_doc_length(df: DataFrame) -> DataFrame:
+    """Per-source Gini coefficient of document lengths (n_chars) —
+    the inequality audit for corpus mixing: a source whose token
+    budget is dominated by a few giant documents (G near 1) behaves
+    very differently under doc-level sampling than a uniform one
+    (G near 0), so mixing weights should see concentration, not just
+    means.
+
+    With x sorted ascending and 1-based in-source rank i:
+    G = 2·Σ i·x_i / (n·Σx) − (n+1)/n. Ties cannot affect the sum
+    (equal x values swap ranks, Σ i over the tie group is constant),
+    so the (n_chars, doc_id) tie-break is for plan determinism only.
+    Ranks come from a per-source window (key-partitioned — scales);
+    Σ i·x_i is an exact decimal(38,0) integer sum; floats enter once
+    per source. Output: one row per source.
+    """
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = df.select("source", "n_chars", "doc_id").withColumn(
+        "i", F.row_number().over(w).cast("long")
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("n_chars"))
+        .cast("double")
+        .alias("s_rank_x"),
+    )
+    n_d = F.col("n_docs").cast("double")
+    t_d = F.col("total_chars").cast("double")
+    gini = 2.0 * F.col("s_rank_x") / (n_d * t_d) - (n_d + 1.0) / n_d
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(gini, 6).alias("gini_r6"),
+    )
+
+
+def gini_doc_length_sql() -> str:
+    """Twin of gini_doc_length: identical rank construction, HUGEINT
+    moment, and float sequence."""
+    return """
+    WITH ranked AS (
+        SELECT source, n_chars,
+               CAST(row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+               ) AS BIGINT) AS i
+        FROM documents
+    ),
+    agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(CAST(i AS HUGEINT) * n_chars) AS DOUBLE) AS s_rank_x
+        FROM ranked GROUP BY 1
+    )
+    SELECT source, n_docs, total_chars,
+           round(2.0 * s_rank_x
+                 / (CAST(n_docs AS DOUBLE) * CAST(total_chars AS DOUBLE))
+                 - (CAST(n_docs AS DOUBLE) + 1.0)
+                   / CAST(n_docs AS DOUBLE), 6) AS gini_r6
+    FROM agg
+    """
