@@ -774,6 +774,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_law_fit": _q(lambda t: text.heaps_law_fit(t["documents"])),
         # per-source Gini of document lengths (mixing-weight audit)
         "gini_doc_length": _q(lambda t: text.gini_doc_length(t["documents"])),
+        # leakage-safe time split with an embargo gap + overlap audit
+        "temporal_embargo_split": _q(curation.temporal_embargo_split),
+        # rank-biased overlap between two document quality rankings
+        "rbo_rank_compare": _q(
+            lambda t: validation.rbo_rank_compare(t["documents"])
+        ),
     }
 
 
@@ -1576,4 +1582,6 @@ def oracle_sql() -> dict[str, str]:
         "term_burstiness": text.term_burstiness_sql(),
         "heaps_law_fit": text.heaps_law_fit_sql(),
         "gini_doc_length": text.gini_doc_length_sql(),
+        "temporal_embargo_split": curation.temporal_embargo_split_sql(),
+        "rbo_rank_compare": validation.rbo_rank_compare_sql(),
     }

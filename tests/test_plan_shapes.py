@@ -101,6 +101,8 @@ NESTED_LOOP_OK = {
     "bigram_pmi_collocations",
     # ONE-ROW doc-count broadcast (the N in mean/var closed forms)
     "term_burstiness",
+    # k-row depth × k-row max-rank theta join — METADATA × METADATA
+    "rbo_rank_compare",
 }
 
 

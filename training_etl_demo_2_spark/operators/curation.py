@@ -1449,3 +1449,84 @@ def quantile_normalize_lengths_sql() -> str:
     JOIN pooled ON pooled.pool_idx
                    = (ranked.r * ranked.n + ranked.n_s - 1) // ranked.n_s
     """
+
+
+EMBARGO_T0 = "2024-01-22 00:00:00"
+EMBARGO_T1 = "2024-01-25 00:00:00"
+
+
+def temporal_embargo_split(tables: dict) -> DataFrame:
+    """Time-based train/test split with an embargo gap — the
+    leakage-safe alternative to the hashed ``dataset_split`` whenever
+    rows are temporally autocorrelated (user sessions, market data):
+    train strictly before t0, test strictly after t0+gap, and the gap
+    rows are QUARANTINED so near-boundary correlation cannot leak
+    future information into training. Fixed timestamp literals keep
+    the assignment reproducible and append-stable (new data lands in
+    test, never reshuffles train).
+
+    Reports, per split: event count, distinct users, and the
+    train-user overlap — the residual cross-split leakage a
+    user-level (rather than time-level) splitter would have to kill.
+
+    Scale shape: one pass assigns splits (narrow when-chain on ts);
+    the overlap is a (split, user) distinct + a semi join against
+    train users — both key-partitioned shuffles; output is 3 rows.
+    """
+    ev = tables["events"]
+    split = (
+        F.when(F.col("ts") < F.lit(EMBARGO_T0).cast("timestamp"), "train")
+        .when(F.col("ts") < F.lit(EMBARGO_T1).cast("timestamp"), "embargo")
+        .otherwise("test")
+    )
+    tagged = ev.select(split.alias("split"), "user_id")
+    per = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    su = tagged.distinct()
+    train_users = su.filter(F.col("split") == "train").select("user_id")
+    ov = (
+        su.join(train_users, "user_id", "left_semi")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users_in_train"))
+    )
+    return (
+        per.join(ov, "split", "left")
+        .withColumn(
+            "n_users_in_train",
+            F.coalesce(F.col("n_users_in_train"), F.lit(0)),
+        )
+        .orderBy("split")
+    )
+
+
+def temporal_embargo_split_sql() -> str:
+    """Twin of temporal_embargo_split: identical literals and split
+    rule."""
+    return f"""
+    WITH tagged AS (
+        SELECT CASE WHEN ts < TIMESTAMP '{EMBARGO_T0}' THEN 'train'
+                    WHEN ts < TIMESTAMP '{EMBARGO_T1}' THEN 'embargo'
+                    ELSE 'test' END AS split,
+               user_id
+        FROM events
+    ),
+    per AS (
+        SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM tagged GROUP BY 1
+    ),
+    su AS (SELECT DISTINCT split, user_id FROM tagged),
+    train_users AS (SELECT user_id FROM su WHERE split = 'train'),
+    ov AS (
+        SELECT split, CAST(count(*) AS BIGINT) AS n_users_in_train
+        FROM su
+        WHERE user_id IN (SELECT user_id FROM train_users)
+        GROUP BY 1
+    )
+    SELECT per.split, per.n_events, per.n_users,
+           coalesce(ov.n_users_in_train, 0) AS n_users_in_train
+    FROM per LEFT JOIN ov USING (split)
+    ORDER BY split
+    """

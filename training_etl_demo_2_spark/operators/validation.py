@@ -1710,3 +1710,142 @@ def bootstrap_mean_ci_sql() -> str:
            round(hi - lo, 6) AS ci_width_r6
     FROM full_s CROSS JOIN ci
     """
+
+
+RBO_K = 100
+RBO_P = 0.9
+
+
+def rbo_rank_compare(
+    df: DataFrame, k: int = RBO_K, p: float = RBO_P
+) -> DataFrame:
+    """Rank-biased overlap (Webber et al. 2010) between two document
+    rankings — by raw length (n_chars) vs by lexical richness
+    (distinct token count). RBO@d = (1−p)·Σ_{i≤d} p^{i−1}·A_i with
+    agreement A_i = |topA_i ∩ topB_i|/i: the top-weighted,
+    prefix-convergent way to answer "do these two quality signals
+    pick the same documents?", where Kendall/Spearman would need both
+    lists to be conjoint. Emits the full depth curve 1..k plus the
+    truncated RBO@d running value.
+
+    Determinism: both rankings are fully tie-broken (score DESC,
+    doc_id); each depth's weight term is nano-rounded BEFORE the
+    cumulative integer sum (repo float-reduction rule), so the curve
+    is an exact prefix sum of integers.
+
+    Scale shape: two TakeOrderedAndProject top-k scans (the distinct
+    token count is a narrow per-row transform — no shuffle); ranks
+    come from windows over the two k-row results (metadata); the
+    depth×rank theta join is k×k metadata (allowlisted BNLJ). Output:
+    k rows.
+    """
+    spark = df.sparkSession
+    by_len = (
+        df.select("doc_id", F.col("n_chars").alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(k)
+    )
+    rich = F.size(
+        F.array_distinct(
+            F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+        )
+    )
+    by_rich = (
+        df.select("doc_id", rich.alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(k)
+    )
+    wa = Window.orderBy(F.col("s").desc(), "doc_id")
+    ra = by_len.select("doc_id", F.row_number().over(wa).alias("ra"))
+    rb = by_rich.select("doc_id", F.row_number().over(wa).alias("rb"))
+    mr = ra.join(rb, "doc_id").select(
+        F.greatest("ra", "rb").alias("mr")
+    )
+    depths = spark.range(1, k + 1).select(F.col("id").alias("depth"))
+    c = (
+        depths.join(
+            F.broadcast(mr), F.col("mr") <= F.col("depth"), "left"
+        )
+        .groupBy("depth")
+        .agg(
+            F.sum(F.when(F.col("mr").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_common")
+        )
+    )
+    agree = F.col("n_common").cast("double") / F.col("depth").cast("double")
+    term_nano = F.floor(
+        F.lit(1.0 - p)
+        * F.pow(F.lit(p), F.col("depth").cast("double") - 1.0)
+        * agree
+        * 1e9
+        + F.lit(0.5)
+    ).cast("long")
+    wcum = Window.orderBy("depth").rowsBetween(Window.unboundedPreceding, 0)
+    out = c.withColumn("t_nano", term_nano).withColumn(
+        "rbo_nano", F.sum("t_nano").over(wcum).cast("long")
+    )
+    return out.select(
+        "depth",
+        "n_common",
+        F.round(agree, 6).alias("agree_r6"),
+        "rbo_nano",
+        F.round(F.col("rbo_nano").cast("double") / 1e9, 6).alias("rbo_r6"),
+    ).orderBy("depth")
+
+
+def rbo_rank_compare_sql(k: int = RBO_K, p: float = RBO_P) -> str:
+    """Twin of rbo_rank_compare: identical tie-breaks, nano rounding,
+    and prefix-sum construction."""
+    return f"""
+    WITH by_len AS (
+        SELECT doc_id, n_chars AS s FROM documents
+        ORDER BY s DESC, doc_id LIMIT {k}
+    ),
+    by_rich AS (
+        SELECT doc_id,
+               len(list_distinct(list_filter(
+                   string_split(lower(text), ' '), t -> t != ''))) AS s
+        FROM documents ORDER BY s DESC, doc_id LIMIT {k}
+    ),
+    ra AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY s DESC, doc_id) AS ra
+        FROM by_len
+    ),
+    rb AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY s DESC, doc_id) AS rb
+        FROM by_rich
+    ),
+    mr AS (
+        SELECT greatest(ra.ra, rb.rb) AS mr
+        FROM ra JOIN rb USING (doc_id)
+    ),
+    depths AS (SELECT CAST(unnest(range(1, {k} + 1)) AS BIGINT) AS depth),
+    c AS (
+        SELECT depth,
+               CAST(sum(CASE WHEN mr.mr IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_common
+        FROM depths LEFT JOIN mr ON mr.mr <= depth
+        GROUP BY 1
+    ),
+    terms AS (
+        SELECT depth, n_common,
+               CAST(floor((1.0 - CAST({p!r} AS DOUBLE))
+                          * power(CAST({p!r} AS DOUBLE),
+                                  CAST(depth AS DOUBLE) - 1.0)
+                          * (CAST(n_common AS DOUBLE)
+                             / CAST(depth AS DOUBLE))
+                          * 1e9 + 0.5) AS BIGINT) AS t_nano
+        FROM c
+    )
+    SELECT depth, n_common,
+           round(CAST(n_common AS DOUBLE) / CAST(depth AS DOUBLE), 6)
+               AS agree_r6,
+           CAST(sum(t_nano) OVER (ORDER BY depth) AS BIGINT) AS rbo_nano,
+           round(CAST(sum(t_nano) OVER (ORDER BY depth) AS DOUBLE) / 1e9, 6)
+               AS rbo_r6
+    FROM terms
+    ORDER BY depth
+    """
