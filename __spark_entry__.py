@@ -780,6 +780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbo_rank_compare": _q(
             lambda t: validation.rbo_rank_compare(t["documents"])
         ),
+        # exact minimax-PAV isotonic calibration over value bins
+        "isotonic_calibration": _q(validation.isotonic_calibration),
     }
 
 
@@ -1584,4 +1586,5 @@ def oracle_sql() -> dict[str, str]:
         "gini_doc_length": text.gini_doc_length_sql(),
         "temporal_embargo_split": curation.temporal_embargo_split_sql(),
         "rbo_rank_compare": validation.rbo_rank_compare_sql(),
+        "isotonic_calibration": validation.isotonic_calibration_sql(),
     }

@@ -103,6 +103,9 @@ NESTED_LOOP_OK = {
     "term_burstiness",
     # k-row depth × k-row max-rank theta join — METADATA × METADATA
     "rbo_rank_compare",
+    # B-bin interval relation (B² rows) and j≤i≤k minimax join (≤B³,
+    # B=32) — METADATA × METADATA after the binning aggregate
+    "isotonic_calibration",
 }
 
 

@@ -1849,3 +1849,129 @@ def rbo_rank_compare_sql(k: int = RBO_K, p: float = RBO_P) -> str:
     FROM terms
     ORDER BY depth
     """
+
+
+ISO_BINS = 32
+ISO_BIN_W = 16.0
+
+
+def isotonic_calibration(tables: dict) -> DataFrame:
+    """Isotonic (monotone) calibration of purchase probability against
+    the event value, solved EXACTLY via the minimax characterization
+    of the pool-adjacent-violators fit: over value bins i,
+    f_i = max_{j≤i} min_{k≥i} mean(y over bins j..k) (Barlow et al.
+    1972) — the standard score-calibration step before thresholding a
+    ranking signal. No driver-side PAV loop, no iteration: the whole
+    solve is three joins over the B-bin relation.
+
+    Exactness: bin aggregates and their prefix sums are exact
+    integers; each candidate interval mean is ONE double division of
+    exact longs, and max/min over doubles are order-invariant — so
+    the fit is bit-identical across engines with no rounding
+    machinery. Monotonicity of f is a theorem, pinned by a test.
+
+    Scale shape: one key-partitioned aggregate collapses any event
+    volume to ≤B bin rows; the prefix window, the j≤k interval
+    relation (B² rows) and the j≤i≤k minimax join (≤B³ rows, B=32)
+    are all metadata-sized (allowlisted BNLJ). Output: ≤B rows.
+    """
+    ev = tables["events"]
+    b = (
+        F.least(
+            F.floor(F.col("value") / F.lit(ISO_BIN_W)),
+            F.lit(ISO_BINS - 1),
+        )
+        .cast("long")
+        .alias("b")
+    )
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    bins = (
+        ev.select(b, y.alias("y"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("ysum"),
+        )
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        bins.withColumn("cy", F.sum("ysum").over(w).cast("long"))
+        .withColumn("cn", F.sum("n").over(w).cast("long"))
+        .persist()
+    )
+    j = cum.select(
+        F.col("b").alias("jb"),
+        (F.col("cy") - F.col("ysum")).alias("cy_prev"),
+        (F.col("cn") - F.col("n")).alias("cn_prev"),
+    )
+    k = cum.select(
+        F.col("b").alias("kb"), F.col("cy").alias("cy_k"), F.col("cn").alias("cn_k")
+    )
+    pairs = j.join(k, F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("cy_k") - F.col("cy_prev")).cast("double")
+            / (F.col("cn_k") - F.col("cn_prev")).cast("double")
+        ).alias("avg_jk"),
+    )
+    i = cum.select("b", "n", "ysum")
+    inner = (
+        i.join(
+            F.broadcast(pairs),
+            (F.col("jb") <= F.col("b")) & (F.col("kb") >= F.col("b")),
+        )
+        .groupBy("b", "n", "ysum", "jb")
+        .agg(F.min("avg_jk").alias("mn"))
+        .groupBy("b", "n", "ysum")
+        .agg(F.max("mn").alias("iso"))
+    )
+    out = inner.select(
+        "b",
+        "n",
+        F.col("ysum").alias("y"),
+        F.round(F.col("ysum").cast("double") / F.col("n").cast("double"), 6)
+        .alias("rate_r6"),
+        F.round(F.col("iso"), 6).alias("iso_r6"),
+    ).orderBy("b")
+    return out
+
+
+def isotonic_calibration_sql() -> str:
+    """Twin of isotonic_calibration: identical bins, exact-integer
+    interval means, same minimax joins."""
+    return f"""
+    WITH bins AS (
+        SELECT CAST(least(floor(value / {ISO_BIN_W!r}), {ISO_BINS - 1})
+                    AS BIGINT) AS b,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ysum
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT b, n, ysum,
+               CAST(sum(ysum) OVER (ORDER BY b) AS BIGINT) AS cy,
+               CAST(sum(n) OVER (ORDER BY b) AS BIGINT) AS cn
+        FROM bins
+    ),
+    pairs AS (
+        SELECT j.b AS jb, k.b AS kb,
+               CAST(k.cy - (j.cy - j.ysum) AS DOUBLE)
+               / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS avg_jk
+        FROM cum j JOIN cum k ON j.b <= k.b
+    ),
+    inner_min AS (
+        SELECT i.b, i.n, i.ysum, p.jb, min(p.avg_jk) AS mn
+        FROM cum i JOIN pairs p ON p.jb <= i.b AND p.kb >= i.b
+        GROUP BY 1, 2, 3, 4
+    ),
+    fit AS (
+        SELECT b, n, ysum, max(mn) AS iso
+        FROM inner_min GROUP BY 1, 2, 3
+    )
+    SELECT b, n, ysum AS y,
+           round(CAST(ysum AS DOUBLE) / CAST(n AS DOUBLE), 6) AS rate_r6,
+           round(iso, 6) AS iso_r6
+    FROM fit ORDER BY b
+    """
