@@ -782,6 +782,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # exact minimax-PAV isotonic calibration over value bins
         "isotonic_calibration": _q(validation.isotonic_calibration),
+        # Markov removal-effect multi-touch attribution
+        "markov_attribution": _q(
+            lambda t: behavior.markov_attribution(t["events"])
+        ),
     }
 
 
@@ -1587,4 +1591,5 @@ def oracle_sql() -> dict[str, str]:
         "temporal_embargo_split": curation.temporal_embargo_split_sql(),
         "rbo_rank_compare": validation.rbo_rank_compare_sql(),
         "isotonic_calibration": validation.isotonic_calibration_sql(),
+        "markov_attribution": behavior.markov_attribution_sql(),
     }

@@ -247,3 +247,43 @@ def test_linear_attribution_overlapping_windows(spark):
     assert rows["2026-01-01 10:00"].credit == 1.5
     assert rows["2026-01-01 11:00"].n_credit_events == 1
     assert rows["2026-01-01 11:00"].credit == 0.5
+
+
+def test_markov_attribution_removal_effect(spark):
+    """Planted chain: 2 users convert via view, 1 user clicks and
+    never converts. Removing 'view' kills ALL conversion paths
+    (RE=1); removing 'click' kills none (RE=0) — a channel that only
+    appears on doomed journeys earns zero credit even though it
+    touches a third of the users."""
+    ev = _events(
+        spark,
+        [
+            (1, "view", "2026-01-01 10:00:00"),
+            (1, "purchase", "2026-01-01 11:00:00"),
+            (2, "click", "2026-01-01 10:00:00"),
+            (3, "view", "2026-01-01 10:00:00"),
+            (3, "purchase", "2026-01-01 11:00:00"),
+        ],
+    )
+    rows = {r.channel: r for r in behavior.markov_attribution(ev).collect()}
+    assert set(rows) == {"view", "click"}
+    assert rows["view"].re_r6 == 1.0
+    assert rows["click"].re_r6 == 0.0
+    # 2 conversions, all credit to view
+    assert rows["view"].attributed_r4 == 2.0
+    assert rows["click"].attributed_r4 == 0.0
+
+
+def test_markov_attribution_truncates_at_first_purchase(spark):
+    """Touches after the first purchase are not part of the journey:
+    the post-purchase 'error' event must not become a channel."""
+    ev = _events(
+        spark,
+        [
+            (1, "view", "2026-01-01 10:00:00"),
+            (1, "purchase", "2026-01-01 11:00:00"),
+            (1, "error", "2026-01-01 12:00:00"),
+        ],
+    )
+    rows = {r.channel for r in behavior.markov_attribution(ev).collect()}
+    assert rows == {"view"}

@@ -1120,3 +1120,285 @@ def ab_uplift_bootstrap_ci_sql() -> str:
            CAST(lo > 0 OR hi < 0 AS INT) AS significant
     FROM point CROSS JOIN ci
     """
+
+
+MARKOV_HORIZON = 16
+
+
+def _markov_transitions(events: DataFrame) -> DataFrame:
+    """(src, dst, cnt) first-order transition counts over per-user
+    journeys truncated at the FIRST purchase: START → first touch,
+    touch → touch, and a terminal edge last-touch → CONV (converted)
+    or → NULLSTATE (journey ended without purchase). The purchase
+    event itself is the CONV absorption, not a touch."""
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.withColumn(
+        "p_ord",
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.struct("ts", "event_id"),
+            )
+        ).over(Window.partitionBy("user_id")),
+    )
+    touches = marked.filter(
+        F.col("p_ord").isNull()
+        | (F.struct("ts", "event_id") < F.col("p_ord"))
+    )
+    trans = touches.select(
+        F.coalesce(
+            F.lag("event_type", 1).over(w_user), F.lit("START")
+        ).alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    conv_flag = marked.groupBy("user_id").agg(
+        F.max(F.col("p_ord").isNotNull()).alias("converted")
+    )
+    last = touches.groupBy("user_id").agg(
+        F.max_by("event_type", F.struct("ts", "event_id")).alias(
+            "last_touch"
+        )
+    )
+    per_user = conv_flag.join(last, "user_id", "left")
+    term = per_user.select(
+        F.coalesce(F.col("last_touch"), F.lit("START")).alias("src"),
+        F.when(F.col("converted"), F.lit("CONV"))
+        .otherwise(F.lit("NULLSTATE"))
+        .alias("dst"),
+    )
+    return (
+        trans.unionByName(term)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def markov_attribution(
+    events: DataFrame, horizon: int = MARKOV_HORIZON
+) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2016): model
+    per-user journeys as a first-order chain over touch channels with
+    CONV/NULLSTATE absorption, compute the START→CONV absorption
+    probability P, then for each channel c recompute it with c's
+    incoming edges redirected to loss (NO renormalization — the
+    defining removal-effect rule); channel credit is
+    RE_c = (P − P_c)/P, and conversions are attributed
+    proportionally. The principled complement to the positional
+    ``linear_attribution`` — a channel that only ever appears on
+    already-doomed paths earns ~0 here even if it touches many
+    journeys.
+
+    Absorption is evaluated by ``horizon``-step value iteration with
+    every (state, next-state) contribution nano-rounded BEFORE its
+    integer sum (order-invariant, cross-engine identical); the
+    truncation horizon is part of the statistic's definition, shared
+    with the oracle twin (which unrolls the same iteration as chained
+    CTEs).
+
+    Scale shape: journeys collapse to a (src, dst) count relation via
+    per-user windows (key-partitioned); ONLY the ≤(|channels|+2)²
+    transition matrix — bounded by the event-type registry, not the
+    data — is collected for the value iteration, mirroring the
+    driver-trained-codebook pattern. Output: one row per channel.
+    """
+    import math
+
+    counts = _markov_transitions(events).collect()
+    chans = sorted(
+        {r["src"] for r in counts if r["src"] != "START"}
+        | {r["dst"] for r in counts if r["dst"] not in ("CONV", "NULLSTATE")}
+    )
+    out_tot: dict[str, int] = {}
+    for r in counts:
+        out_tot[r["src"]] = out_tot.get(r["src"], 0) + int(r["cnt"])
+    p = {
+        (r["src"], r["dst"]): int(r["cnt"]) / out_tot[r["src"]]
+        for r in counts
+    }
+    n_conv = sum(int(r["cnt"]) for r in counts if r["dst"] == "CONV")
+    states = ["START"] + chans
+
+    def absorb_nano(removed: str | None) -> int:
+        vn = {s: 0 for s in states}
+        for _ in range(horizon):
+            new = {}
+            for s in states:
+                acc = 0
+                pc = p.get((s, "CONV"))
+                if pc is not None:
+                    acc += math.floor(pc * 1e9 + 0.5)
+                for t in chans:
+                    if t == removed:
+                        continue
+                    pt = p.get((s, t))
+                    if pt is not None:
+                        acc += math.floor(pt * (vn[t] / 1e9) * 1e9 + 0.5)
+                new[s] = acc
+            vn = new
+        return vn["START"]
+
+    base = absorb_nano(None)
+    re_nanos = {
+        c: (
+            math.floor((base - absorb_nano(c)) / base * 1e9 + 0.5)
+            if base > 0
+            else None
+        )
+        for c in chans
+    }
+    tot_re = sum(v for v in re_nanos.values() if v is not None)
+    rows = []
+    for c in chans:
+        rn = re_nanos[c]
+        # floor-based rounding on BOTH sides (Python round() is
+        # half-even; SQL round() is half-away — avoid the mismatch)
+        rows.append(
+            (
+                c,
+                rn,
+                math.floor(rn / 1e9 * 1e6 + 0.5) / 1e6
+                if rn is not None
+                else None,
+                math.floor(rn / tot_re * n_conv * 1e4 + 0.5) / 1e4
+                if rn is not None and tot_re > 0
+                else None,
+            )
+        )
+    return events.sparkSession.createDataFrame(
+        rows,
+        "channel string, re_nano long, re_r6 double, attributed_r4 double",
+    ).orderBy("channel")
+
+
+def markov_attribution_sql(horizon: int = MARKOV_HORIZON) -> str:
+    """Twin of markov_attribution: identical journey truncation,
+    transition counts, nano-rounded value iteration (the fixed
+    horizon is UNROLLED as chained CTEs v1..vH — no recursive-CTE
+    aggregate restrictions), and attribution arithmetic."""
+    steps = []
+    for i in range(1, horizon + 1):
+        prev = "v0" if i == 1 else f"v{i - 1}"
+        steps.append(f"""
+    v{i} AS MATERIALIZED (
+        SELECT g.rm, g.s,
+               coalesce(cv.conv_nano, 0)
+               + coalesce(CAST(sum(CAST(floor(
+                     pt.pr * (CAST(pv.vn AS DOUBLE) / 1e9) * 1e9 + 0.5
+                 ) AS BIGINT)) AS BIGINT), 0) AS vn
+        FROM grid g
+        LEFT JOIN conv cv ON cv.src = g.s
+        LEFT JOIN p pt ON pt.src = g.s AND pt.dst != g.rm
+        LEFT JOIN {prev} pv ON pv.rm = g.rm AND pv.s = pt.dst
+        GROUP BY g.rm, g.s, cv.conv_nano
+    )""")
+    chain = ",".join(steps)
+    return f"""
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN struct_pack(ts := ts, event_id := event_id)
+                   END) OVER (PARTITION BY user_id) AS p_ord
+        FROM events
+    ),
+    touches AS (
+        SELECT user_id, ts, event_id, event_type FROM marked
+        WHERE p_ord IS NULL
+           OR struct_pack(ts := ts, event_id := event_id) < p_ord
+    ),
+    trans AS (
+        SELECT coalesce(lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ), 'START') AS src,
+               event_type AS dst
+        FROM touches
+    ),
+    conv_flag AS (
+        SELECT user_id, max(p_ord IS NOT NULL) AS converted
+        FROM marked GROUP BY 1
+    ),
+    last AS (
+        SELECT user_id,
+               max_by(event_type,
+                      CAST(epoch_us(ts) AS HUGEINT) * 1000000000
+                      + event_id) AS last_touch
+        FROM touches GROUP BY 1
+    ),
+    per_user AS (
+        SELECT c.user_id, c.converted, l.last_touch
+        FROM conv_flag c LEFT JOIN last l USING (user_id)
+    ),
+    term AS (
+        SELECT coalesce(last_touch, 'START') AS src,
+               CASE WHEN converted THEN 'CONV' ELSE 'NULLSTATE' END AS dst
+        FROM per_user
+    ),
+    counts AS MATERIALIZED (
+        SELECT src, dst, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT src, dst FROM trans
+              UNION ALL SELECT src, dst FROM term)
+        GROUP BY 1, 2
+    ),
+    outtot AS (
+        SELECT src, CAST(sum(cnt) AS BIGINT) AS tot FROM counts GROUP BY 1
+    ),
+    praw AS (
+        SELECT c.src, c.dst,
+               CAST(c.cnt AS DOUBLE) / CAST(o.tot AS DOUBLE) AS pr
+        FROM counts c JOIN outtot o USING (src)
+    ),
+    chans AS (
+        SELECT DISTINCT ch FROM (
+            SELECT src AS ch FROM counts WHERE src != 'START'
+            UNION
+            SELECT dst AS ch FROM counts
+            WHERE dst NOT IN ('CONV', 'NULLSTATE')
+        )
+    ),
+    p AS MATERIALIZED (
+        SELECT praw.* FROM praw JOIN chans ON chans.ch = praw.dst
+    ),
+    conv AS MATERIALIZED (
+        SELECT src, CAST(floor(pr * 1e9 + 0.5) AS BIGINT) AS conv_nano
+        FROM praw WHERE dst = 'CONV'
+    ),
+    states AS (
+        SELECT 'START' AS s UNION ALL SELECT ch AS s FROM chans
+    ),
+    removed AS (
+        SELECT ch AS rm FROM chans UNION ALL SELECT 'NONE' AS rm
+    ),
+    grid AS MATERIALIZED (
+        SELECT r.rm, st.s FROM removed r CROSS JOIN states st
+    ),
+    nconv AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n_conv
+        FROM counts WHERE dst = 'CONV'
+    ),
+    v0 AS (SELECT rm, s, CAST(0 AS BIGINT) AS vn FROM grid),
+    {chain},
+    finals AS (
+        SELECT rm, vn FROM v{horizon} WHERE s = 'START'
+    ),
+    base AS (SELECT vn AS base_vn FROM finals WHERE rm = 'NONE'),
+    re AS (
+        SELECT f.rm AS channel,
+               CASE WHEN b.base_vn > 0 THEN CAST(floor(
+                   (CAST(b.base_vn AS DOUBLE) - CAST(f.vn AS DOUBLE))
+                   / CAST(b.base_vn AS DOUBLE) * 1e9 + 0.5) AS BIGINT)
+               END AS re_nano
+        FROM finals f CROSS JOIN base b
+        WHERE f.rm != 'NONE'
+    ),
+    tot AS (SELECT CAST(sum(re_nano) AS BIGINT) AS tot_re FROM re)
+    SELECT re.channel, re.re_nano,
+           floor(CAST(re.re_nano AS DOUBLE) / 1e9 * 1e6 + 0.5) / 1e6
+               AS re_r6,
+           CASE WHEN re.re_nano IS NOT NULL AND tot.tot_re > 0
+                THEN floor(CAST(re.re_nano AS DOUBLE)
+                           / CAST(tot.tot_re AS DOUBLE)
+                           * CAST(nconv.n_conv AS DOUBLE) * 1e4 + 0.5)
+                     / 1e4
+           END AS attributed_r4
+    FROM re CROSS JOIN tot CROSS JOIN nconv
+    ORDER BY channel
+    """
