@@ -786,6 +786,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_attribution": _q(
             lambda t: behavior.markov_attribution(t["events"])
         ),
+        # autocorrelation of the gap-filled hourly event series
+        "acf_hourly": _q(temporal.acf_hourly),
+        # seasonal-naive forecast backtest (MAE / MASE / sMAPE)
+        "seasonal_forecast_eval": _q(temporal.seasonal_forecast_eval),
+        # Theil-Sen robust daily-revenue trend vs OLS
+        "theil_sen_trend": _q(temporal.theil_sen_trend),
+        # Welch's t-test of mean doc length between source pairs
+        "welch_ttest_sources": _q(validation.welch_ttest_sources),
+        # MI / NMI / Cramér's V of the lang × source grid
+        "mutual_info_lang_source": _q(validation.mutual_info_lang_source),
+        # t-closeness audit (third rung of the privacy ladder)
+        "t_closeness_audit": _q(validation.t_closeness_audit),
+        # delete-one-source jackknife SE of the global mean
+        "jackknife_source_mean": _q(validation.jackknife_source_mean),
+        # ε-DP noisy release counts (seeded discrete Laplace)
+        "dp_noisy_counts": _q(validation.dp_noisy_counts),
+        # Spearman midrank correlations over lineitem measures
+        "spearman_lineitem": _q(validation.spearman_lineitem),
+        # RFM quintile customer segmentation (exact distributed ranks)
+        "rfm_segments": _q(behavior.rfm_segments),
+        # stratified k-fold assignment (per-stratum round-robin deal)
+        "stratified_kfold": _q(curation.stratified_kfold),
+        # embedding-table QA: dims / zero vectors / norm distribution
+        "embedding_norm_audit": _q(similarity.embedding_norm_audit),
+        # parquet dictionary-encoding advisor over lake string columns
+        "dictionary_encode_audit": _q(maintenance.dictionary_encode_audit),
     }
 
 
@@ -1592,4 +1618,17 @@ def oracle_sql() -> dict[str, str]:
         "rbo_rank_compare": validation.rbo_rank_compare_sql(),
         "isotonic_calibration": validation.isotonic_calibration_sql(),
         "markov_attribution": behavior.markov_attribution_sql(),
+        "acf_hourly": temporal.acf_hourly_sql(),
+        "seasonal_forecast_eval": temporal.seasonal_forecast_eval_sql(),
+        "theil_sen_trend": temporal.theil_sen_trend_sql(),
+        "welch_ttest_sources": validation.welch_ttest_sources_sql(),
+        "mutual_info_lang_source": validation.mutual_info_lang_source_sql(),
+        "t_closeness_audit": validation.t_closeness_audit_sql(),
+        "jackknife_source_mean": validation.jackknife_source_mean_sql(),
+        "dp_noisy_counts": validation.dp_noisy_counts_sql(),
+        "spearman_lineitem": validation.spearman_lineitem_sql(),
+        "rfm_segments": behavior.rfm_segments_sql(),
+        "stratified_kfold": curation.stratified_kfold_sql(),
+        "embedding_norm_audit": similarity.embedding_norm_audit_sql(),
+        "dictionary_encode_audit": maintenance.dictionary_encode_audit_sql(),
     }

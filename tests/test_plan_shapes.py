@@ -106,6 +106,17 @@ NESTED_LOOP_OK = {
     # B-bin interval relation (B² rows) and j≤i≤k minimax join (≤B³,
     # B=32) — METADATA × METADATA after the binning aggregate
     "isotonic_calibration",
+    # round-5: calendar grid × event-type registry broadcast (both
+    # metadata-sized; the shared-clock gap-fill grid)
+    "seasonal_forecast_eval",
+    # daily-series self theta-join (calendar² pairs, data-size
+    # invariant) + ONE-ROW OLS-moments broadcast
+    "theil_sen_trend",
+    # |sources|-row statistic relation self theta-join (src < src) —
+    # source-registry-bounded, never data-sized
+    "welch_ttest_sources",
+    # two ONE-ROW marginal-entropy broadcasts onto the one-row MI agg
+    "mutual_info_lang_source",
 }
 
 

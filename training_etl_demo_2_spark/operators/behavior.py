@@ -1402,3 +1402,141 @@ def markov_attribution_sql(horizon: int = MARKOV_HORIZON) -> str:
     FROM re CROSS JOIN tot CROSS JOIN nconv
     ORDER BY channel
     """
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+RFM_Q = 5  # quintile segmentation
+
+
+def rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
+    """RFM (recency / frequency / monetary) segmentation — the classic
+    customer-value grid marketing pipelines cut campaigns by: each
+    customer scored 0-4 on how recently they ordered, how often, and
+    how much, then the population summarized per (r,f,m) cell.
+
+    Quantile semantics are EXACT equal-count buckets on the fully
+    tie-broken ordering (metric, custkey): score = floor(Q·rank/n)
+    with a 0-based exact global rank — not SQL ntile (whose
+    first-buckets-get-the-remainder rule differs) and not
+    approx_percentile. Recency orders ascending (0 = most recent
+    fifth), frequency/monetary ascending too (4 = top fifth).
+    Monetary is exact cents; recency is whole days behind the
+    latest order date in the table (the reproducible anchor — not
+    wall-clock now()).
+
+    Scale shape: orders collapse to one row per ordering customer
+    (groupBy custkey); each score is an exact distributed rank via
+    ``distrank.with_global_order`` (range repartition + per-partition
+    row_number + P-row metadata offsets — no unpartitioned window);
+    the final cell aggregate is ≤Q³ rows. Customers with no orders
+    are out of scope (no RFM without an order). Output: one row per
+    populated (r,f,m) cell.
+    """
+    from .distrank import with_global_order
+
+    o = t["orders"]
+    w_all = Window.partitionBy()
+    per = (
+        o.select(
+            "o_custkey",
+            F.date_trunc("day", "o_orderdate").alias("od"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("od").alias("last_od"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("cents").cast("long").alias("monetary_c"),
+        )
+        .withColumn("anchor", F.max("last_od").over(w_all))
+        .select(
+            "custkey",
+            F.datediff("anchor", "last_od").cast("long").alias("rec_days"),
+            "freq",
+            "monetary_c",
+        )
+    )
+    cur = per
+    for metric, score in (
+        ("rec_days", "r_q"),
+        ("freq", "f_q"),
+        ("monetary_c", "m_q"),
+    ):
+        ranked, n, _ = with_global_order(cur, [metric, "custkey"])
+        if ranked is None:
+            return per.sparkSession.createDataFrame(
+                [],
+                "r_q int, f_q int, m_q int, n_customers long, "
+                "avg_monetary_r2 double",
+            )
+        cur = ranked.withColumn(
+            score,
+            F.floor(F.col("grank") * RFM_Q / F.lit(n)).cast("int"),
+        ).drop("grank", "pid")
+    return (
+        cur.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_c").cast("long").alias("cents"),
+        )
+        .select(
+            "r_q",
+            "f_q",
+            "m_q",
+            "n_customers",
+            # floor-based cents rounding on BOTH sides (engine round()
+            # half-rules differ on binary-double boundaries)
+            (
+                F.floor(
+                    F.col("cents").cast("double")
+                    / F.col("n_customers").cast("double")
+                    + F.lit(0.5)
+                )
+                / 100.0
+            ).alias("avg_monetary_r2"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+def rfm_segments_sql() -> str:
+    """Twin of rfm_segments: same floor(Q·rank/n) buckets from fully
+    tie-broken row_number ranks."""
+    return f"""
+    WITH per AS (
+        SELECT o_custkey AS custkey,
+               CAST(datediff('day', max(date_trunc('day', o_orderdate)),
+                    (SELECT max(date_trunc('day', o_orderdate))
+                     FROM orders)) AS BIGINT) AS rec_days,
+               CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS monetary_c
+        FROM orders GROUP BY 1
+    ),
+    scored AS (
+        SELECT custkey, monetary_c,
+               CAST(floor(CAST((row_number() OVER
+                   (ORDER BY rec_days, custkey) - 1) AS BIGINT)
+                   * {RFM_Q} / count(*) OVER ()) AS INT) AS r_q,
+               CAST(floor(CAST((row_number() OVER
+                   (ORDER BY freq, custkey) - 1) AS BIGINT)
+                   * {RFM_Q} / count(*) OVER ()) AS INT) AS f_q,
+               CAST(floor(CAST((row_number() OVER
+                   (ORDER BY monetary_c, custkey) - 1) AS BIGINT)
+                   * {RFM_Q} / count(*) OVER ()) AS INT) AS m_q
+        FROM per
+    )
+    SELECT r_q, f_q, m_q,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           floor(CAST(sum(monetary_c) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) + 0.5) / 100.0
+               AS avg_monetary_r2
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """

@@ -24,7 +24,7 @@ twin unrolls the greedy recurrence as a linear recursive CTE).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import FNV_MOD, rolling_hash
@@ -1529,4 +1529,99 @@ def temporal_embargo_split_sql() -> str:
            coalesce(ov.n_users_in_train, 0) AS n_users_in_train
     FROM per LEFT JOIN ov USING (split)
     ORDER BY split
+    """
+
+
+# ---------------------------------------------------------------------------
+# stratified k-fold assignment
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+def stratified_kfold(t: dict[str, DataFrame], k: int = KFOLD_K) -> DataFrame:
+    """Stratified k-fold cross-validation assignment over the corpus:
+    within every language stratum the docs are shuffled by a salted
+    engine-portable hash and dealt round-robin into ``k`` folds — so
+    each fold's language mix matches the corpus EXACTLY (per-stratum
+    fold sizes differ by ≤1 doc, the strongest balance guarantee
+    possible), unlike a plain ``dataset_split`` hash-mod which is
+    only balanced in expectation. Reports the realized (fold, lang)
+    grid — the artifact an eval harness consumes.
+
+    Determinism: the shuffle key is the rolling hash of
+    'fold:'+doc_id (ties broken by doc_id), so folds are reproducible
+    on any engine; the round-robin deal is rank-mod-k in the stratum.
+
+    Scale shape: one exact global rank over (lang, hash, doc_id) via
+    ``distrank.with_global_order`` (range repartition + metadata
+    offsets — no per-stratum unpartitioned window, the naive shape
+    that serializes each language through one task); per-stratum
+    ranks derive from a |langs|-row offset broadcast. Output: the
+    (fold, lang) grid with counts.
+    """
+    from . import distrank
+    from ..functions import rolling_hash
+
+    d = t["documents"].select(
+        "doc_id",
+        "lang",
+        rolling_hash(
+            F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    ranked, _n, _ = distrank.with_global_order(d, ["lang", "h", "doc_id"])
+    if ranked is None:
+        return d.sparkSession.createDataFrame(
+            [], "fold int, lang string, n_docs long"
+        )
+    offs = (
+        ranked.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("lang").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select("lang", "off")
+    )
+    return (
+        ranked.join(F.broadcast(offs), "lang")
+        .select(
+            "lang",
+            ((F.col("grank") - F.col("off")) % k).cast("int").alias("fold"),
+        )
+        .groupBy("fold", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select("fold", "lang", "n_docs")
+        .orderBy("fold", "lang")
+    )
+
+
+def stratified_kfold_sql(k: int = KFOLD_K) -> str:
+    """Twin of stratified_kfold: per-stratum row_number over the same
+    salted hash ordering."""
+    from .oracle import ROLLING_HASH
+
+    h = ROLLING_HASH.format(s="'fold:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH d AS (
+        SELECT doc_id, lang, {h} AS h FROM documents
+    ),
+    ranked AS (
+        SELECT lang,
+               CAST((row_number() OVER
+                   (PARTITION BY lang ORDER BY h, doc_id) - 1) % {k}
+                   AS INT) AS fold
+        FROM d
+    )
+    SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM ranked GROUP BY 1, 2
+    ORDER BY 1, 2
     """

@@ -329,3 +329,96 @@ def striped_shard_plan_sql(n_shards: int = SHARD_N) -> str:
     FROM ranked
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# parquet encoding advisor: dictionary-encoding audit
+# ---------------------------------------------------------------------------
+
+DICT_RATIO_MAX = 0.1  # recommend dictionary when distinct/rows below this
+# (table, column) audit targets: the lake's string columns, spanning
+# low-cardinality flags (dictionary wins) and a near-unique name column
+# (dictionary loses) so the advisor exercises both verdicts
+DICT_AUDIT_COLS = (
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("customer", "c_mktsegment"),
+    ("customer", "c_name"),
+)
+
+
+def dictionary_encode_audit(t: dict[str, DataFrame]) -> DataFrame:
+    """Encoding advisor for the lake's string columns — the physical-
+    layout planning step next to ``file_compaction_plan`` / ``zorder_
+    files``: for each audited column, the exact cardinality ratio and
+    average width that decide whether parquet dictionary encoding pays
+    (ratio below ``DICT_RATIO_MAX``) or will blow the dictionary-page
+    budget and silently fall back to plain encoding at write time.
+
+    Exactness: counts, exact distinct counts, and byte lengths are
+    integers; the two reported ratios divide once, rounded to 6/2.
+
+    Scale shape: one exact count_distinct aggregate per column (the
+    expensive-but-oracle tier — the HLL sketch tier is the registered
+    approx path for profiles); each audit is a single scan +
+    aggregate of its own table, unioned into a fixed
+    ``len(DICT_AUDIT_COLS)``-row report. Output: one row per column.
+    """
+    outs = []
+    for tbl, col in DICT_AUDIT_COLS:
+        outs.append(
+            t[tbl].agg(
+                F.lit(tbl).alias("table_name"),
+                F.lit(col).alias("column_name"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count_distinct(col).cast("long").alias("n_distinct"),
+                F.sum(F.length(col)).cast("long").alias("total_bytes"),
+            )
+        )
+    rep = outs[0]
+    for o in outs[1:]:
+        rep = rep.unionByName(o)
+    ratio = F.col("n_distinct").cast("double") / F.col("n_rows").cast(
+        "double"
+    )
+    return rep.select(
+        "table_name",
+        "column_name",
+        "n_rows",
+        "n_distinct",
+        F.round(ratio, 6).alias("distinct_ratio_r6"),
+        F.round(
+            F.col("total_bytes").cast("double")
+            / F.col("n_rows").cast("double"),
+            2,
+        ).alias("avg_len_r2"),
+        (ratio < DICT_RATIO_MAX).cast("int").alias("dict_recommended"),
+    ).orderBy("table_name", "column_name")
+
+
+def dictionary_encode_audit_sql() -> str:
+    """Twin of dictionary_encode_audit: same exact per-column stats."""
+    arms = "\n    UNION ALL ".join(
+        f"""SELECT '{tbl}' AS table_name, '{col}' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               CAST(sum(length({col})) AS BIGINT) AS total_bytes
+        FROM {tbl}"""
+        for tbl, col in DICT_AUDIT_COLS
+    )
+    return f"""
+    WITH rep AS (
+        {arms}
+    )
+    SELECT table_name, column_name, n_rows, n_distinct,
+           round(CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+               AS distinct_ratio_r6,
+           round(CAST(total_bytes AS DOUBLE) / CAST(n_rows AS DOUBLE), 2)
+               AS avg_len_r2,
+           CAST(CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                < {DICT_RATIO_MAX!r} AS INT) AS dict_recommended
+    FROM rep
+    ORDER BY table_name, column_name
+    """

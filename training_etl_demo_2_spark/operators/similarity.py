@@ -1854,3 +1854,105 @@ def random_projection(
             F.round(F.col("c.rp_nano") / F.lit(1e9), 6).alias("rp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding QA: per-label norm audit
+# ---------------------------------------------------------------------------
+
+
+def embedding_norm_audit(t: dict[str, DataFrame]) -> DataFrame:
+    """Embedding-table QA gate: per-label count, dimension-consistency
+    check, zero-vector count, and the L2-norm distribution
+    (mean/min/max) — the sanity screen run before any ANN/cluster job,
+    because a silent all-zeros batch or a mixed-dimension append
+    poisons every cosine downstream.
+
+    Exactness: the squared norm is computed on GRAM_SCALE-quantized
+    integer components (Σ floor(x·2¹⁵)² — the ``embedding_gram_matrix``
+    lattice), summed in a deterministic index-order list fold, so both
+    engines hold the identical BIGINT before the one sqrt/division.
+    A vector is "zero" iff its quantized norm is 0 (|x| < 2⁻¹⁵ per
+    component — true zeros, not near-zeros).
+
+    Scale shape: pure per-row map (list fold over the embedding) + one
+    groupBy on label — no shuffle of raw vectors beyond the label agg;
+    norms travel as one BIGINT per row. Output: one row per label.
+    """
+    emb = t["embeddings"]
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * GRAM_SCALE).cast("long"),
+    )
+    n2 = F.aggregate(
+        F.transform(q, lambda v: v * v),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    per = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        n2.alias("n2"),
+    )
+    norm = F.sqrt(F.col("n2").cast("double")) / GRAM_SCALE
+    nano = F.floor(norm * 1e9 + F.lit(0.5)).cast("long")
+    return (
+        per.select("label", "dim", "n2", nano.alias("norm_nano"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.count_distinct("dim").cast("long").alias("n_dims_seen"),
+            F.sum((F.col("n2") == 0).cast("long"))
+            .cast("long")
+            .alias("n_zero"),
+            F.round(
+                F.sum("norm_nano").cast("double")
+                / 1e9
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_norm_r6"),
+            F.round(F.min("norm_nano").cast("double") / 1e9, 6).alias(
+                "min_norm_r6"
+            ),
+            F.round(F.max("norm_nano").cast("double") / 1e9, 6).alias(
+                "max_norm_r6"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+def embedding_norm_audit_sql() -> str:
+    """Twin of embedding_norm_audit: identical quantized-integer norm
+    lattice via list_transform/list_sum."""
+    qsq = (
+        "list_transform(embedding, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {GRAM_SCALE}) AS BIGINT)"
+        f" * CAST(floor(CAST(x AS DOUBLE) * {GRAM_SCALE}) AS BIGINT))"
+    )
+    return f"""
+    WITH per AS (
+        SELECT label,
+               len(embedding) AS dim,
+               CAST(coalesce(list_sum({qsq}), 0) AS BIGINT) AS n2
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT label, dim, n2,
+               CAST(floor(sqrt(CAST(n2 AS DOUBLE)) / {GRAM_SCALE}
+                          * 1e9 + 0.5) AS BIGINT) AS norm_nano
+        FROM per
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_seen,
+           CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero,
+           round(CAST(sum(norm_nano) AS DOUBLE) / 1e9
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_norm_r6,
+           round(CAST(min(norm_nano) AS DOUBLE) / 1e9, 6) AS min_norm_r6,
+           round(CAST(max(norm_nano) AS DOUBLE) / 1e9, 6) AS max_norm_r6
+    FROM scored
+    GROUP BY label
+    ORDER BY label
+    """

@@ -700,3 +700,470 @@ def ewma_hourly_smooth_sql() -> str:
                  / ({den}), 6) AS ewma_r6
     FROM hourly
     """
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation of the hourly event series
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 24
+
+
+def acf_hourly(t: dict[str, DataFrame], max_lag: int = ACF_MAX_LAG) -> DataFrame:
+    """Autocorrelation function of the GLOBAL hourly event-count series
+    at lags 1..``max_lag`` — the seasonality detector behind capacity
+    planning and anomaly baselines (a daily cycle shows as a spike at
+    lag 24). Computed over the GAP-FILLED calendar (a missing hour is a
+    0, not an absent row — gaps carry signal for autocorrelation).
+
+    Exactness: with n hours and total S, the centered series is scaled
+    to exact integers c_t = n·x_t − S, so every lag-k product sum
+    Σ c_t·c_{t−k} and the denominator Σ c_t² are exact decimal(38,0)/
+    HUGEINT sums (the n² scaling cancels in the ratio); one division
+    per lag at the end, rounded to 6. r_k uses the standard
+    full-series-variance normalization (numerator over the n−k
+    overlapping terms, denominator over all n).
+
+    Scale shape: events collapse to the (hour, count) series in one
+    groupBy; the calendar grid derives from a 1-row min/max aggregate
+    whose range explodes narrowly (calendar-bounded metadata — ~9k
+    rows/year at ANY corpus size); the lag windows and final aggregate
+    run over that metadata relation. Output: ``max_lag`` rows.
+    """
+    e = t["events"]
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    grid = (
+        hourly.groupBy()
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+    )
+    filled = grid.join(hourly, "h", "left").select(
+        "h", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    w_all = Window.partitionBy()
+    dec = lambda c: c.cast("decimal(38,0)")
+    cen = filled.select(
+        "h",
+        (
+            F.count(F.lit(1)).over(w_all) * F.col("x")
+            - F.sum("x").over(w_all)
+        )
+        .cast("long")
+        .alias("c"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    w_ord = Window.orderBy("h")
+    lagged = cen.select(
+        "h",
+        "c",
+        "n",
+        *[
+            F.lag("c", k).over(w_ord).alias(f"l_{k}")
+            for k in range(1, max_lag + 1)
+        ],
+    )
+    aggs = [
+        F.max("n").alias("n"),
+        F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("den"),
+    ]
+    for k in range(1, max_lag + 1):
+        aggs.append(
+            F.sum(dec(F.col("c")) * dec(F.col(f"l_{k}"))).alias(f"num_{k}")
+        )
+    one = lagged.groupBy().agg(*aggs)
+    stack = ", ".join(f"{k}, num_{k}" for k in range(1, max_lag + 1))
+    return (
+        one.select(
+            "n",
+            "den",
+            F.expr(
+                f"stack({max_lag}, {stack}) AS (lag, num)"
+            ),
+        )
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            (F.col("n") - F.col("lag")).cast("long").alias("n_pairs"),
+            F.when(
+                F.col("den") > 0,
+                F.round(
+                    F.col("num").cast("double")
+                    / F.col("den").cast("double"),
+                    6,
+                ),
+            ).alias("acf_r6"),
+        )
+        .orderBy("lag")
+    )
+
+
+def acf_hourly_sql(max_lag: int = ACF_MAX_LAG) -> str:
+    """Twin of acf_hourly: identical integer centering (c = n·x − S)
+    and HUGEINT lag-product sums over the same gap-filled calendar."""
+    lag_cols = ",\n               ".join(
+        f"lag(c, {k}) OVER (ORDER BY h) AS l_{k}"
+        for k in range(1, max_lag + 1)
+    )
+    nums = ",\n               ".join(
+        f"sum(CAST(c AS HUGEINT) * CAST(l_{k} AS HUGEINT)) AS num_{k}"
+        for k in range(1, max_lag + 1)
+    )
+    arms = "\n        UNION ALL ".join(
+        f"SELECT {k} AS lag, num_{k} AS num FROM agg"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    grid AS (
+        SELECT unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        FROM hourly
+    ),
+    filled AS (
+        SELECT g.h, coalesce(hourly.x, 0) AS x
+        FROM grid g LEFT JOIN hourly ON hourly.h = g.h
+    ),
+    cen AS (
+        SELECT h,
+               CAST(count(*) OVER () * x - sum(x) OVER () AS BIGINT) AS c,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM filled
+    ),
+    lagged AS (
+        SELECT h, c, n,
+               {lag_cols}
+        FROM cen
+    ),
+    agg AS MATERIALIZED (
+        SELECT max(n) AS n,
+               sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS den,
+               {nums}
+        FROM lagged
+    ),
+    lags AS ({arms})
+    SELECT CAST(l.lag AS INT) AS lag,
+           CAST(a.n - l.lag AS BIGINT) AS n_pairs,
+           CASE WHEN a.den > 0
+                THEN round(CAST(l.num AS DOUBLE) / CAST(a.den AS DOUBLE), 6)
+           END AS acf_r6
+    FROM lags l CROSS JOIN agg a
+    ORDER BY lag
+    """
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive forecast backtest (MASE / sMAPE)
+# ---------------------------------------------------------------------------
+
+FCEVAL_SEASON = 168  # weekly cycle, hours
+FCEVAL_TEST_H = 168  # holdout horizon, hours
+
+
+def seasonal_forecast_eval(t: dict[str, DataFrame]) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (x̂_t = x_{t−168}) on
+    the per-type hourly event series: the last ``FCEVAL_TEST_H`` hours
+    are held out and scored with MAE, MASE (Hyndman-Koehler 2006 —
+    test MAE over the TRAIN-set seasonal-naive MAE, the scale-free
+    "is it better than the naive baseline it will be compared to"),
+    and sMAPE (zero-denominator hours excluded, counted in
+    ``n_smape``). The eval loop every forecasting pipeline needs
+    before a model ships.
+
+    The grid is the GLOBAL gap-filled calendar (shared [min,max] hour
+    across types, zeros for silent hours) so every type is scored on
+    the same clock.
+
+    Exactness: counts are integers, so |x−x̂| sums are exact BIGINTs;
+    MASE divides two exact sums once (the (n_test, n_mae) factors kept
+    as integer multipliers), and each sMAPE term divides small exact
+    integers, nano-rounded BEFORE the sum (order-invariant).
+
+    Scale shape: one groupBy to the (type, hour) relation; the grid is
+    a 1-row bounds aggregate exploded narrowly × the distinct-type
+    relation (calendar × type-registry metadata); lag-168 runs in a
+    per-type window. Output: one row per event_type.
+    """
+    e = t["events"]
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    bounds = hourly.groupBy().agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "h"
+        )
+    ).crossJoin(F.broadcast(hourly.select("event_type").distinct()))
+    filled = grid.join(hourly, ["h", "event_type"], "left").select(
+        "event_type", "h", F.coalesce("x", F.lit(0)).cast("long").alias("x")
+    )
+    w_type = Window.partitionBy("event_type").orderBy("h")
+    w_all = Window.partitionBy("event_type")
+    scored = filled.select(
+        "event_type",
+        "h",
+        "x",
+        F.lag("x", FCEVAL_SEASON).over(w_type).alias("xhat"),
+        F.row_number().over(w_type).alias("tt"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    is_test = F.col("tt") > F.col("n") - FCEVAL_TEST_H
+    has_fc = F.col("xhat").isNotNull()
+    abs_err = F.abs(F.col("x") - F.col("xhat"))
+    sm_den = F.col("x") + F.col("xhat")
+    sm_nano = F.floor(
+        (F.lit(2.0) * abs_err.cast("double"))
+        / sm_den.cast("double")
+        * 1e9
+        + F.lit(0.5)
+    ).cast("long")
+    per = scored.groupBy("event_type").agg(
+        F.sum(F.when(has_fc & ~is_test, 1).otherwise(0))
+        .cast("long")
+        .alias("n_train_mae"),
+        F.sum(F.when(has_fc & is_test, 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+        F.sum(F.when(has_fc & ~is_test, abs_err).otherwise(0))
+        .cast("long")
+        .alias("ae_train"),
+        F.sum(F.when(has_fc & is_test, abs_err).otherwise(0))
+        .cast("long")
+        .alias("ae_test"),
+        F.sum(
+            F.when(has_fc & is_test & (sm_den > 0), sm_nano).otherwise(0)
+        )
+        .cast("long")
+        .alias("sm_nano_sum"),
+        F.sum(F.when(has_fc & is_test & (sm_den > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("n_smape"),
+    )
+    dbl = lambda c: F.col(c).cast("double")
+    return per.select(
+        "event_type",
+        "n_test",
+        F.when(
+            F.col("n_test") > 0, F.round(dbl("ae_test") / dbl("n_test"), 6)
+        ).alias("mae_test_r6"),
+        F.when(
+            (F.col("ae_train") > 0) & (F.col("n_test") > 0),
+            F.round(
+                (dbl("ae_test") * dbl("n_train_mae"))
+                / (dbl("ae_train") * dbl("n_test")),
+                6,
+            ),
+        ).alias("mase_r6"),
+        F.when(
+            F.col("n_smape") > 0,
+            F.round(dbl("sm_nano_sum") / 1e9 / dbl("n_smape"), 6),
+        ).alias("smape_r6"),
+    ).orderBy("event_type")
+
+
+def seasonal_forecast_eval_sql() -> str:
+    """Twin of seasonal_forecast_eval: identical split, integer error
+    sums, and per-term nano-rounded sMAPE."""
+    return f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT g.h, ty.event_type
+        FROM (SELECT unnest(generate_series(min(h), max(h),
+                                            INTERVAL 1 HOUR)) AS h
+              FROM hourly) g
+        CROSS JOIN (SELECT DISTINCT event_type FROM hourly) ty
+    ),
+    filled AS (
+        SELECT g.event_type, g.h, coalesce(hourly.x, 0) AS x
+        FROM grid g LEFT JOIN hourly
+          ON hourly.h = g.h AND hourly.event_type = g.event_type
+    ),
+    scored AS (
+        SELECT event_type, h, x,
+               lag(x, {FCEVAL_SEASON}) OVER
+                   (PARTITION BY event_type ORDER BY h) AS xhat,
+               row_number() OVER
+                   (PARTITION BY event_type ORDER BY h) AS tt,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM filled
+    ),
+    per AS (
+        SELECT event_type,
+               CAST(sum(CASE WHEN xhat IS NOT NULL
+                             AND tt <= n - {FCEVAL_TEST_H}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_train_mae,
+               CAST(sum(CASE WHEN xhat IS NOT NULL
+                             AND tt > n - {FCEVAL_TEST_H}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+               CAST(sum(CASE WHEN xhat IS NOT NULL
+                             AND tt <= n - {FCEVAL_TEST_H}
+                        THEN abs(x - xhat) ELSE 0 END) AS BIGINT)
+                   AS ae_train,
+               CAST(sum(CASE WHEN xhat IS NOT NULL
+                             AND tt > n - {FCEVAL_TEST_H}
+                        THEN abs(x - xhat) ELSE 0 END) AS BIGINT)
+                   AS ae_test,
+               CAST(sum(CASE WHEN xhat IS NOT NULL
+                             AND tt > n - {FCEVAL_TEST_H}
+                             AND x + xhat > 0
+                        THEN CAST(floor(
+                            2.0 * CAST(abs(x - xhat) AS DOUBLE)
+                            / CAST(x + xhat AS DOUBLE) * 1e9 + 0.5)
+                            AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS sm_nano_sum,
+               CAST(sum(CASE WHEN xhat IS NOT NULL
+                             AND tt > n - {FCEVAL_TEST_H}
+                             AND x + xhat > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_smape
+        FROM scored GROUP BY 1
+    )
+    SELECT event_type, n_test,
+           CASE WHEN n_test > 0
+                THEN round(CAST(ae_test AS DOUBLE)
+                           / CAST(n_test AS DOUBLE), 6)
+           END AS mae_test_r6,
+           CASE WHEN ae_train > 0 AND n_test > 0
+                THEN round(CAST(ae_test AS DOUBLE)
+                           * CAST(n_train_mae AS DOUBLE)
+                           / (CAST(ae_train AS DOUBLE)
+                              * CAST(n_test AS DOUBLE)), 6)
+           END AS mase_r6,
+           CASE WHEN n_smape > 0
+                THEN round(CAST(sm_nano_sum AS DOUBLE) / 1e9
+                           / CAST(n_smape AS DOUBLE), 6)
+           END AS smape_r6
+    FROM per
+    ORDER BY event_type
+    """
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend of daily order revenue
+# ---------------------------------------------------------------------------
+
+
+def theil_sen_trend(t: dict[str, DataFrame]) -> DataFrame:
+    """Theil-Sen estimator of the daily-revenue trend — the median of
+    all pairwise slopes (rev_j − rev_i)/(day_j − day_i), the
+    29%-breakdown robust alternative to the OLS slope
+    (``events_value_trend_ols``): a handful of blowout days cannot
+    drag it. Reports the median slope, the OLS slope on the same
+    series for contrast, and the day count.
+
+    Exactness: revenue is exact cents per day; each slope divides two
+    exact integers once (identical IEEE division in both engines);
+    the median of an even pair count averages the two middle doubles —
+    identical in Spark ``percentile(0.5)`` and DuckDB
+    ``quantile_cont(0.5)``.
+
+    Scale shape: orders collapse to the daily series first (calendar-
+    bounded metadata, ~2.4k rows for seven years at ANY corpus size);
+    the pairwise self-join is over THAT relation (~3M pairs — grows
+    with the calendar span squared, never with data volume), shuffled
+    on nothing (broadcast self-join). Output: one row.
+    """
+    o = t["orders"].select(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    daily = o.groupBy("day").agg(
+        F.sum("cents").cast("long").alias("rev")
+    ).select(
+        F.datediff("day", F.lit("1990-01-01")).cast("long").alias("d"),
+        "rev",
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.d") < F.col("b.d"), "inner"
+    ).select(
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        ).alias("slope")
+    )
+    med = pairs.groupBy().agg(
+        F.expr("percentile(slope, 0.5)").alias("med"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    # OLS on the same daily series for contrast: exact integer moments
+    dec = lambda c: c.cast("decimal(38,0)")
+    ols = daily.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("rev").cast("long").alias("sr"),
+        F.sum(dec(F.col("d")) * dec(F.col("rev"))).alias("sdr"),
+        F.sum(dec(F.col("d")) * dec(F.col("d"))).alias("sdd"),
+    )
+    num = (
+        F.col("n_days").cast("double") * F.col("sdr").cast("double")
+        - F.col("sd").cast("double") * F.col("sr").cast("double")
+    )
+    den = (
+        F.col("n_days").cast("double") * F.col("sdd").cast("double")
+        - F.col("sd").cast("double") * F.col("sd").cast("double")
+    )
+    return med.crossJoin(F.broadcast(ols)).select(
+        "n_days",
+        "n_pairs",
+        F.round(F.col("med"), 4).alias("theil_sen_cents_per_day_r4"),
+        F.when(den > 0, F.round(num / den, 4)).alias(
+            "ols_cents_per_day_r4"
+        ),
+    )
+
+
+def theil_sen_trend_sql() -> str:
+    """Twin of theil_sen_trend: identical pairwise-slope median
+    (quantile_cont) and integer OLS moments."""
+    return """
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(datediff('day', TIMESTAMP '1990-01-01',
+                             date_trunc('day', o_orderdate)) AS BIGINT) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ),
+    pairs AS (
+        SELECT CAST(b.rev - a.rev AS DOUBLE)
+               / CAST(b.d - a.d AS DOUBLE) AS slope
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    med AS (
+        SELECT quantile_cont(slope, 0.5) AS med,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs
+    ),
+    ols AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(d) AS BIGINT) AS sd,
+               CAST(sum(rev) AS BIGINT) AS sr,
+               sum(CAST(d AS HUGEINT) * CAST(rev AS HUGEINT)) AS sdr,
+               sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS sdd
+        FROM daily
+    )
+    SELECT n_days, n_pairs,
+           round(med, 4) AS theil_sen_cents_per_day_r4,
+           CASE WHEN CAST(n_days AS DOUBLE) * CAST(sdd AS DOUBLE)
+                     - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) > 0
+                THEN round((CAST(n_days AS DOUBLE) * CAST(sdr AS DOUBLE)
+                            - CAST(sd AS DOUBLE) * CAST(sr AS DOUBLE))
+                           / (CAST(n_days AS DOUBLE) * CAST(sdd AS DOUBLE)
+                              - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)),
+                           4)
+           END AS ols_cents_per_day_r4
+    FROM med CROSS JOIN ols
+    """

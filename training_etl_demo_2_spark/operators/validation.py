@@ -1975,3 +1975,818 @@ def isotonic_calibration_sql() -> str:
            round(iso, 6) AS iso_r6
     FROM fit ORDER BY b
     """
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test between source pairs
+# ---------------------------------------------------------------------------
+
+WELCH_T_CRIT = 1.96  # |t| threshold at alpha=0.05 (large-df normal approx)
+
+
+def welch_ttest_sources(t: dict[str, DataFrame]) -> DataFrame:
+    """Welch's unequal-variance t-test of mean document length between
+    every pair of sources — the drift screen that says WHICH corpus
+    slices differ in scale, with the exact statistic (not a rank proxy
+    like ``mannwhitney_auc``). Reports t, the Welch-Satterthwaite
+    degrees of freedom, and a normal-approximation significance flag.
+
+    Exactness: n_chars is an integer, so each source collapses to the
+    exact sufficient statistic (n, Σx, Σx²) — BIGINT-safe to ~10⁹ docs
+    per source, then decimal(38,0) — and t/df follow through one
+    shared IEEE double sequence, rounded to 6. Sample variance uses
+    ddof=1: v = (n·Σx² − (Σx)²)/(n·(n−1)).
+
+    Scale shape: one groupBy collapses the corpus to the |sources|-row
+    statistic relation; the pairing is a self-join over THAT metadata
+    relation (|sources|²/2 rows — source-registry-bounded, never
+    data-sized). Output: one row per unordered source pair.
+    """
+    d = t["documents"]
+    dec = lambda c: c.cast("decimal(38,0)")
+    per = d.groupBy(F.col("source").alias("src")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("n_chars").cast("long").alias("s"),
+        F.sum(dec(F.col("n_chars")) * dec(F.col("n_chars"))).alias("ss"),
+    )
+    a, b = per.alias("a"), per.alias("b")
+    j = a.join(F.broadcast(b), F.col("a.src") < F.col("b.src"), "inner")
+
+    def _mv(side):
+        n = F.col(f"{side}.n").cast("double")
+        s = F.col(f"{side}.s").cast("double")
+        ss = F.col(f"{side}.ss").cast("double")
+        mean = s / n
+        var = (n * ss - s * s) / (n * (n - 1.0))
+        return n, mean, var
+
+    n1, m1, v1 = _mv("a")
+    n2, m2, v2 = _mv("b")
+    se2 = v1 / n1 + v2 / n2
+    tstat = (m1 - m2) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (v1 / n1) * (v1 / n1) / (n1 - 1.0)
+        + (v2 / n2) * (v2 / n2) / (n2 - 1.0)
+    )
+    return j.select(
+        F.col("a.src").alias("source_a"),
+        F.col("b.src").alias("source_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(m1 - m2, 6).alias("mean_diff_r6"),
+        F.round(tstat, 6).alias("t_r6"),
+        F.round(df, 4).alias("df_r4"),
+        (F.abs(tstat) > WELCH_T_CRIT).cast("int").alias("significant"),
+    )
+
+
+def welch_ttest_sources_sql() -> str:
+    """Twin of welch_ttest_sources: identical integer sufficient
+    statistics and double formula sequence."""
+    return f"""
+    WITH per AS (
+        SELECT source AS src,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS s,
+               sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+                   AS ss
+        FROM documents GROUP BY 1
+    ),
+    j AS (
+        SELECT a.src AS sa, b.src AS sb,
+               a.n AS n1, a.s AS s1, a.ss AS ss1,
+               b.n AS n2, b.s AS s2, b.ss AS ss2
+        FROM per a JOIN per b ON a.src < b.src
+    ),
+    mv AS (
+        SELECT sa, sb, n1, n2,
+               CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+               CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+               (CAST(n1 AS DOUBLE) * CAST(ss1 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) - 1.0)) AS v1,
+               (CAST(n2 AS DOUBLE) * CAST(ss2 AS DOUBLE)
+                - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE))
+               / (CAST(n2 AS DOUBLE) * (CAST(n2 AS DOUBLE) - 1.0)) AS v2
+        FROM j
+    ),
+    st AS (
+        SELECT sa, sb, n1, n2, m1, m2, v1, v2,
+               v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE) AS se2
+        FROM mv
+    )
+    SELECT sa AS source_a, sb AS source_b,
+           n1 AS n_a, n2 AS n_b,
+           round(m1 - m2, 6) AS mean_diff_r6,
+           round((m1 - m2) / sqrt(se2), 6) AS t_r6,
+           round((se2 * se2)
+                 / ((v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE))
+                    / (CAST(n1 AS DOUBLE) - 1.0)
+                    + (v2 / CAST(n2 AS DOUBLE)) * (v2 / CAST(n2 AS DOUBLE))
+                      / (CAST(n2 AS DOUBLE) - 1.0)), 4) AS df_r4,
+           CAST(abs((m1 - m2) / sqrt(se2)) > {WELCH_T_CRIT!r} AS INT)
+               AS significant
+    FROM st
+    """
+
+
+# ---------------------------------------------------------------------------
+# mutual information / NMI / Cramér's V of the lang × source grid
+# ---------------------------------------------------------------------------
+
+
+def mutual_info_lang_source(t: dict[str, DataFrame]) -> DataFrame:
+    """Association strength of the (lang, source) contingency table in
+    THREE complementary metrics: mutual information in nats (how many
+    bits of a doc's language its source reveals), the √(H·H)-normalized
+    NMI ∈ [0,1], and Cramér's V (the χ²-based effect size missing from
+    ``lang_source_chi2``, which reports raw χ²). The corpus-design
+    question behind it: can language balance be tuned by reweighting
+    sources at all?
+
+    Exactness: every cell contributes floor(1e9·(c/N)·ln(c·N/(r·s)))
+    nano-nats — rounded BEFORE the integer sum, so MI is
+    order-invariant; the marginal entropies and χ² accumulate the same
+    way. Only observed cells contribute (0·ln0 = 0 and χ² over
+    EXPECTED cells uses the closed-form Σc²/(r·s) identity scaled by
+    N, so absent cells need no grid).
+
+    Scale shape: one groupBy to the |lang|×|source| observed-cell
+    relation; margins and totals are window sums over that metadata
+    relation. Output: one row.
+    """
+    d = t["documents"]
+    joint = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_l = Window.partitionBy("lang")
+    w_s = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    cells = joint.select(
+        "lang",
+        "source",
+        "c",
+        F.sum("c").over(w_l).cast("long").alias("r"),
+        F.sum("c").over(w_s).cast("long").alias("s"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    )
+    dbl = lambda c: F.col(c).cast("double")
+    mi_nano = F.floor(
+        dbl("c")
+        / dbl("n")
+        * F.log(dbl("c") * dbl("n") / (dbl("r") * dbl("s")))
+        * 1e9
+        + F.lit(0.5)
+    ).cast("long")
+    # chi2 = N * (sum_cells c^2/(r*s) - 1); accumulate c^2/(r*s) in
+    # nano units per cell
+    chi_nano = F.floor(
+        dbl("c") * dbl("c") / (dbl("r") * dbl("s")) * 1e9 + F.lit(0.5)
+    ).cast("long")
+    # marginal entropies: each (lang,source) cell carries its row/col
+    # margin share ONCE — divide by the number of cells in that margin
+    agg = cells.groupBy().agg(
+        F.max("n").alias("n"),
+        F.count_distinct("lang").cast("int").alias("n_lang"),
+        F.count_distinct("source").cast("int").alias("n_source"),
+        F.sum(mi_nano).cast("long").alias("mi_nano"),
+        F.sum(chi_nano).cast("long").alias("chi_nano"),
+    )
+    # entropies from the margin relations directly (exact per-margin)
+    hl = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("r"))
+        .select(
+            F.sum("r").over(Window.partitionBy()).alias("n"), F.col("r")
+        )
+        .select(
+            F.floor(
+                -(F.col("r").cast("double") / F.col("n").cast("double"))
+                * F.log(
+                    F.col("r").cast("double") / F.col("n").cast("double")
+                )
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("h_nano")
+        )
+        .groupBy()
+        .agg(F.sum("h_nano").cast("long").alias("h_lang_nano"))
+    )
+    hs = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+        .select(
+            F.sum("s").over(Window.partitionBy()).alias("n"), F.col("s")
+        )
+        .select(
+            F.floor(
+                -(F.col("s").cast("double") / F.col("n").cast("double"))
+                * F.log(
+                    F.col("s").cast("double") / F.col("n").cast("double")
+                )
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("h_nano")
+        )
+        .groupBy()
+        .agg(F.sum("h_nano").cast("long").alias("h_source_nano"))
+    )
+    out = agg.crossJoin(F.broadcast(hl)).crossJoin(F.broadcast(hs))
+    mi = dbl("mi_nano") / 1e9
+    chi2 = dbl("n") * (dbl("chi_nano") / 1e9 - 1.0)
+    hprod = (dbl("h_lang_nano") / 1e9) * (dbl("h_source_nano") / 1e9)
+    kmin = F.least(F.col("n_lang"), F.col("n_source")) - 1
+    return out.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("n_lang").cast("int").alias("n_lang"),
+        F.col("n_source").cast("int").alias("n_source"),
+        F.round(mi, 6).alias("mi_nats_r6"),
+        F.when(hprod > 0, F.round(mi / F.sqrt(hprod), 6)).alias("nmi_r6"),
+        F.when(
+            kmin > 0,
+            F.round(
+                F.sqrt(
+                    F.greatest(chi2, F.lit(0.0))
+                    / (dbl("n") * kmin.cast("double"))
+                ),
+                6,
+            ),
+        ).alias("cramers_v_r6"),
+    )
+
+
+def mutual_info_lang_source_sql() -> str:
+    """Twin of mutual_info_lang_source: identical nano-nat cell sums."""
+    return """
+    WITH joint AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT lang, source, c,
+               CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS r,
+               CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS s,
+               CAST(sum(c) OVER () AS BIGINT) AS n
+        FROM joint
+    ),
+    agg AS (
+        SELECT max(n) AS n,
+               CAST(count(DISTINCT lang) AS INT) AS n_lang,
+               CAST(count(DISTINCT source) AS INT) AS n_source,
+               CAST(sum(CAST(floor(
+                   CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                   * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+                        / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE)))
+                   * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS mi_nano,
+               CAST(sum(CAST(floor(
+                   CAST(c AS DOUBLE) * CAST(c AS DOUBLE)
+                   / (CAST(r AS DOUBLE) * CAST(s AS DOUBLE))
+                   * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS chi_nano
+        FROM cells
+    ),
+    hl AS (
+        SELECT CAST(sum(h_nano) AS BIGINT) AS h_lang_nano
+        FROM (
+            SELECT CAST(floor(
+                -(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                * ln(CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                * 1e9 + 0.5) AS BIGINT) AS h_nano
+            FROM (SELECT CAST(count(*) AS BIGINT) AS r,
+                         CAST(sum(count(*)) OVER () AS BIGINT) AS n
+                  FROM documents GROUP BY lang)
+        )
+    ),
+    hs AS (
+        SELECT CAST(sum(h_nano) AS BIGINT) AS h_source_nano
+        FROM (
+            SELECT CAST(floor(
+                -(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * ln(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                * 1e9 + 0.5) AS BIGINT) AS h_nano
+            FROM (SELECT CAST(count(*) AS BIGINT) AS s,
+                         CAST(sum(count(*)) OVER () AS BIGINT) AS n
+                  FROM documents GROUP BY source)
+        )
+    )
+    SELECT CAST(a.n AS BIGINT) AS n_docs, a.n_lang, a.n_source,
+           round(CAST(a.mi_nano AS DOUBLE) / 1e9, 6) AS mi_nats_r6,
+           CASE WHEN (CAST(hl.h_lang_nano AS DOUBLE) / 1e9)
+                     * (CAST(hs.h_source_nano AS DOUBLE) / 1e9) > 0
+                THEN round(CAST(a.mi_nano AS DOUBLE) / 1e9
+                           / sqrt((CAST(hl.h_lang_nano AS DOUBLE) / 1e9)
+                                  * (CAST(hs.h_source_nano AS DOUBLE)
+                                     / 1e9)), 6)
+           END AS nmi_r6,
+           CASE WHEN least(a.n_lang, a.n_source) - 1 > 0
+                THEN round(sqrt(
+                    greatest(CAST(a.n AS DOUBLE)
+                             * (CAST(a.chi_nano AS DOUBLE) / 1e9 - 1.0),
+                             0.0)
+                    / (CAST(a.n AS DOUBLE)
+                       * CAST(least(a.n_lang, a.n_source) - 1
+                              AS DOUBLE))), 6)
+           END AS cramers_v_r6
+    FROM agg a CROSS JOIN hl CROSS JOIN hs
+    """
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (completes the k-anon / l-div privacy tier)
+# ---------------------------------------------------------------------------
+
+TCLOSE_T = 0.3  # max allowed total-variation distance
+TCLOSE_QI = ("c_nationkey", "c_mktsegment")
+
+
+def t_closeness_audit(
+    t: dict[str, DataFrame], t_max: float = TCLOSE_T
+) -> DataFrame:
+    """t-closeness (Li-Li-Venkatasubramanian 2007) — the third rung of
+    the release-audit ladder after ``k_anonymity_audit`` (group size)
+    and ``l_diversity_audit`` (distinct sensitive values): a QI group
+    leaks even with l diverse values if its sensitive DISTRIBUTION
+    differs from the global one. Reports each (nation, segment)
+    group's total-variation distance between its account-balance-band
+    distribution and the corpus-wide one, flagged when > ``t_max``.
+
+    Exactness: TVD over categorical bands is
+    ½·Σ_b |cnt_gb/n_g − cnt_b/N| = [Σ_{b∈g} |cnt_gb·N − cnt_b·n_g|
+    + n_g·(N − Σ_{b∈g} cnt_b)] / (2·N·n_g) — the second term closes
+    the sum over bands ABSENT from the group, so only observed
+    (group, band) cells are ever materialized (no grid) and the
+    numerator is an exact BIGINT (decimal(38,0) past ~10⁹·bands rows);
+    one division at the end.
+
+    Scale shape: one groupBy to the observed (QI, band) cells, two
+    metadata-sized margin joins (band margins, group margins). Output:
+    one row per QI group.
+    """
+    cust = t["customer"].withColumn(
+        "band", F.floor(F.col("c_acctbal") / 1000.0).cast("long")
+    )
+    qi = list(TCLOSE_QI)
+    cells = cust.groupBy(*qi, "band").agg(
+        F.count(F.lit(1)).cast("long").alias("c_gb")
+    )
+    bands = cust.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("c_b")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    w_all = Window.partitionBy()
+    bands = bands.select(
+        "band", "c_b", F.sum("c_b").over(w_all).cast("long").alias("n")
+    )
+    joined = cells.join(F.broadcast(bands), "band").withColumn(
+        "n_g",
+        F.sum("c_gb").over(Window.partitionBy(*qi)).cast("long"),
+    )
+    per = joined.groupBy(*qi).agg(
+        F.max("n_g").cast("long").alias("n_g"),
+        F.max("n").cast("long").alias("n"),
+        F.sum(
+            F.abs(
+                dec(F.col("c_gb")) * dec(F.col("n"))
+                - dec(F.col("c_b")) * dec(F.col("n_g"))
+            )
+        ).alias("num_obs"),
+        F.sum("c_b").cast("long").alias("cb_obs"),
+    )
+    num = F.col("num_obs") + dec(F.col("n_g")) * (
+        dec(F.col("n")) - dec(F.col("cb_obs"))
+    )
+    tvd = num.cast("double") / (
+        2.0 * F.col("n").cast("double") * F.col("n_g").cast("double")
+    )
+    return per.select(
+        *qi,
+        "n_g",
+        F.round(tvd, 6).alias("tvd_r6"),
+        (tvd > t_max).cast("int").alias("t_violated"),
+    )
+
+
+def t_closeness_audit_sql(t_max: float = TCLOSE_T) -> str:
+    """Twin of t_closeness_audit: identical absent-band closed form."""
+    qi = ", ".join(TCLOSE_QI)
+    return f"""
+    WITH cust AS (
+        SELECT {qi}, CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+        FROM customer
+    ),
+    cells AS (
+        SELECT {qi}, band, CAST(count(*) AS BIGINT) AS c_gb
+        FROM cust GROUP BY {qi}, band
+    ),
+    bands AS (
+        SELECT band, CAST(count(*) AS BIGINT) AS c_b,
+               CAST(sum(count(*)) OVER () AS BIGINT) AS n
+        FROM cust GROUP BY band
+    ),
+    joined AS (
+        SELECT c.*, b.c_b, b.n,
+               CAST(sum(c.c_gb) OVER (PARTITION BY {qi}) AS BIGINT) AS n_g
+        FROM cells c JOIN bands b USING (band)
+    ),
+    per AS (
+        SELECT {qi}, max(n_g) AS n_g, max(n) AS n,
+               sum(abs(CAST(c_gb AS HUGEINT) * CAST(n AS HUGEINT)
+                       - CAST(c_b AS HUGEINT) * CAST(n_g AS HUGEINT)))
+                   AS num_obs,
+               CAST(sum(c_b) AS BIGINT) AS cb_obs
+        FROM joined GROUP BY {qi}
+    )
+    SELECT {qi}, CAST(n_g AS BIGINT) AS n_g,
+           round(CAST(num_obs + CAST(n_g AS HUGEINT)
+                      * (CAST(n AS HUGEINT) - CAST(cb_obs AS HUGEINT))
+                      AS DOUBLE)
+                 / (2.0 * CAST(n AS DOUBLE) * CAST(n_g AS DOUBLE)), 6)
+               AS tvd_r6,
+           CAST(CAST(num_obs + CAST(n_g AS HUGEINT)
+                     * (CAST(n AS HUGEINT) - CAST(cb_obs AS HUGEINT))
+                     AS DOUBLE)
+                / (2.0 * CAST(n AS DOUBLE) * CAST(n_g AS DOUBLE))
+                > {t_max!r} AS INT) AS t_violated
+    FROM per
+    """
+
+
+# ---------------------------------------------------------------------------
+# delete-one-source jackknife of the global mean
+# ---------------------------------------------------------------------------
+
+
+def jackknife_source_mean(t: dict[str, DataFrame]) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error of the global mean
+    document length (Tukey 1958, the grouped form): how much does the
+    corpus-wide mean move if any single source vanishes? The
+    complement of ``bootstrap_mean_ci`` — resampling over SOURCES
+    (cluster-level uncertainty) instead of rows, which is the error
+    that actually matters when corpora arrive source-by-source.
+
+    Exactness: each leave-one-out mean θ_i = (S−s_i)/(N−n_i) divides
+    exact integers once, is nano-rounded, and all later sums run over
+    the nano integers (decimal(38,0)/HUGEINT for the squared
+    deviations — a 1e9-scaled deviation squares past int64); the
+    classic (g−1)/g variance factor multiplies once at the end.
+
+    Scale shape: one groupBy collapses the corpus to the |sources|-row
+    (n_i, s_i) relation; everything after runs on that metadata.
+    Output: one row.
+    """
+    d = t["documents"]
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i"),
+        F.sum("n_chars").cast("long").alias("s_i"),
+    )
+    w_all = Window.partitionBy()
+    loo = per.select(
+        "source",
+        F.sum("n_i").over(w_all).cast("long").alias("n"),
+        F.sum("s_i").over(w_all).cast("long").alias("s"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("g"),
+        "n_i",
+        "s_i",
+    ).select(
+        "n",
+        "s",
+        "g",
+        F.floor(
+            (F.col("s") - F.col("s_i")).cast("double")
+            / (F.col("n") - F.col("n_i")).cast("double")
+            * 1e9
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("theta_nano"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    agg = loo.groupBy().agg(
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+        F.max("g").cast("long").alias("g"),
+        F.sum("theta_nano").cast("long").alias("sum_t"),
+        F.sum(dec(F.col("theta_nano")) * dec(F.col("theta_nano"))).alias(
+            "sum_t2"
+        ),
+    )
+    g = F.col("g").cast("double")
+    # sum (t_i - tbar)^2 = sum t^2 - (sum t)^2 / g, in nano^2 units
+    ss_dev = F.col("sum_t2").cast("double") - (
+        F.col("sum_t").cast("double") * F.col("sum_t").cast("double") / g
+    )
+    var_jack = (g - 1.0) / g * ss_dev / 1e18
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("g").cast("long").alias("n_sources"),
+        F.round(
+            F.col("s").cast("double") / F.col("n").cast("double"), 6
+        ).alias("mean_r6"),
+        F.round(F.sqrt(F.greatest(var_jack, F.lit(0.0))), 6).alias(
+            "se_jack_r6"
+        ),
+    )
+
+
+def jackknife_source_mean_sql() -> str:
+    """Twin of jackknife_source_mean: identical nano θ lattice."""
+    return """
+    WITH per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_i,
+               CAST(sum(n_chars) AS BIGINT) AS s_i
+        FROM documents GROUP BY 1
+    ),
+    loo AS (
+        SELECT CAST(sum(n_i) OVER () AS BIGINT) AS n,
+               CAST(sum(s_i) OVER () AS BIGINT) AS s,
+               CAST(count(*) OVER () AS BIGINT) AS g,
+               CAST(floor(
+                   CAST(sum(s_i) OVER () - s_i AS DOUBLE)
+                   / CAST(sum(n_i) OVER () - n_i AS DOUBLE)
+                   * 1e9 + 0.5) AS BIGINT) AS theta_nano
+        FROM per
+    ),
+    agg AS (
+        SELECT max(n) AS n, max(s) AS s, max(g) AS g,
+               CAST(sum(theta_nano) AS BIGINT) AS sum_t,
+               sum(CAST(theta_nano AS HUGEINT)
+                   * CAST(theta_nano AS HUGEINT)) AS sum_t2
+        FROM loo
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(g AS BIGINT) AS n_sources,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_r6,
+           round(sqrt(greatest(
+               (CAST(g AS DOUBLE) - 1.0) / CAST(g AS DOUBLE)
+               * (CAST(sum_t2 AS DOUBLE)
+                  - CAST(sum_t AS DOUBLE) * CAST(sum_t AS DOUBLE)
+                    / CAST(g AS DOUBLE))
+               / 1e18, 0.0)), 6) AS se_jack_r6
+    FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# differentially-private release counts (seeded discrete Laplace)
+# ---------------------------------------------------------------------------
+
+import math as _m3
+
+DP_EPS = 1.0  # epsilon (sensitivity 1: one document moves one cell)
+DP_K = 30  # noise truncation bound
+DP_SEED = (614_889_287, 179_424_673, 2_971_215_073 % 1_000_000_007, 87_178_291)
+# Inverse-CDF thresholds of the ±DP_K-truncated two-sided geometric
+# (discrete Laplace) with alpha = e^-eps, precomputed ONCE in Python as
+# exact integers on the [0, P1) lattice and embedded as literals in BOTH
+# engines — the same shared-threshold-table technique as the Poisson
+# bootstrap (BOOT_THRESH): noise = -K + #{ thresholds <= u }.
+_DP_ALPHA = _m3.exp(-DP_EPS)
+_dp_w = [_DP_ALPHA ** abs(k) for k in range(-DP_K, DP_K + 1)]
+_dp_tot = sum(_dp_w)
+_dp_cum = []
+_acc = 0.0
+for _w in _dp_w[:-1]:
+    _acc += _w
+    _dp_cum.append(_acc / _dp_tot)
+DP_THRESH = [int(c * 1_000_000_007) for c in _dp_cum]
+
+
+def dp_noisy_counts(t: dict[str, DataFrame]) -> DataFrame:
+    """ε-differentially-private release of the (lang, source) document
+    counts: each cell gets two-sided-geometric (discrete Laplace)
+    noise with parameter e^(−ε), the exact mechanism of Ghosh-
+    Roughgarden-Sundararajan 2009, truncated at ±``DP_K`` (tail mass
+    < 1e-13 at ε=1) and clamped at 0. The release step a data-clearing
+    pipeline runs before publishing corpus composition externally.
+
+    Determinism (and hence the cross-engine oracle): the noise draw
+    for a cell is the 3-round multiply-mod/xor-shift mix of the
+    cell's rank in the sorted (lang, source) list — NOT of its count —
+    pushed through the shared integer threshold table, so both engines
+    walk the identical lattice with zero float arithmetic at query
+    time. (A production release would rotate ``DP_SEED`` per release
+    and drop the true counts; the mechanism is the operator.)
+
+    Scale shape: one groupBy to the |lang|×|source| cell relation;
+    ranking and noise run on that metadata. Output: one row per cell.
+    """
+    from .sketches import _hll_mix_spark
+
+    cells = (
+        t["documents"]
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    gid = F.row_number().over(Window.orderBy("lang", "source")).cast("long")
+    u = _hll_mix_spark(gid, DP_SEED)
+    thr = F.array(*[F.lit(x) for x in DP_THRESH])
+    noise = (
+        F.aggregate(
+            thr,
+            F.lit(0),
+            lambda acc, x: acc + (u >= x).cast("int"),
+        )
+        - F.lit(DP_K)
+    )
+    return cells.select(
+        "lang",
+        "source",
+        F.greatest(F.col("c") + noise.cast("long"), F.lit(0))
+        .cast("long")
+        .alias("n_dp"),
+    )
+
+
+def dp_noisy_counts_sql() -> str:
+    """Twin of dp_noisy_counts: identical mix + threshold walk."""
+    from .sketches import _hll_mix_sql
+
+    thr = ", ".join(str(x) for x in DP_THRESH)
+    u = _hll_mix_sql("gid", DP_SEED)
+    return f"""
+    WITH cells AS (
+        SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT lang, source, c,
+               CAST(row_number() OVER (ORDER BY lang, source) AS BIGINT)
+                   AS gid
+        FROM cells
+    ),
+    noised AS (
+        SELECT lang, source, c,
+               CAST(len(list_filter([{thr}], x -> x <= {u}))
+                    AS BIGINT) - {DP_K} AS noise
+        FROM ranked
+    )
+    SELECT lang, source,
+           greatest(c + noise, 0) AS n_dp
+    FROM noised
+    """
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlations over lineitem measures
+# ---------------------------------------------------------------------------
+
+_SPEAR_MEASURES = (
+    ("qty", "CAST(floor(l_quantity + 0.5) AS BIGINT)"),
+    ("price_c", "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"),
+    ("disc_pct", "CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"),
+)
+
+
+def spearman_lineitem(t: dict[str, DataFrame]) -> DataFrame:
+    """Spearman rank correlations between the lineitem measures — the
+    outlier-robust, monotone-relationship complement of the Pearson
+    screen (``lineitem_correlations``): a single blowout price cannot
+    move a rank correlation. Uses textbook MIDRANKS for ties.
+
+    Exactness: a row's midrank needs only its value's tie-group count
+    and the count of smaller values, so 2·midrank = 2·cum_before +
+    cnt + 1 is an exact integer from the per-VALUE inventory — no
+    global row sort anywhere. Spearman ρ is then Pearson over the
+    integer 2·midranks: all sufficient statistics are exact
+    decimal(38,0)/HUGEINT sums, one double formula at the end. (The
+    ×2 scaling cancels in ρ.)
+
+    Scale shape: one inventory groupBy per measure (value-domain
+    sized: 50 quantities, 11 discounts; price ~row-count in the worst
+    case) + an equi-join of each inventory back on its value (the
+    standard rank-via-inventory shape — no unpartitioned window, no
+    global sort); one final aggregate. Output: one row per pair.
+    """
+    from .distrank import with_global_prefix_sums
+
+    li = t["lineitem"].selectExpr(
+        *[f"{expr} AS {name}" for name, expr in _SPEAR_MEASURES]
+    )
+    names = [n for n, _ in _SPEAR_MEASURES]
+    out = li
+    for m in names:
+        inv = li.groupBy(m).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        ranked, _tot = with_global_prefix_sums(
+            inv, [m], ["cnt"], inclusive=False
+        )
+        if ranked is None:
+            return li.sparkSession.createDataFrame(
+                [],
+                "n long, rho_qty_price_c double, rho_qty_disc_pct double, "
+                "rho_price_c_disc_pct double",
+            )
+        inv2 = ranked.select(
+            m,
+            (2 * F.col("cum_cnt") + F.col("cnt") + 1)
+            .cast("long")
+            .alias(f"mr2_{m}"),
+        )
+        out = out.join(inv2, m)
+    dec = lambda c: c.cast("decimal(38,0)")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for m in names:
+        aggs.append(F.sum(f"mr2_{m}").cast("long").alias(f"s_{m}"))
+        aggs.append(
+            F.sum(dec(F.col(f"mr2_{m}")) * dec(F.col(f"mr2_{m}"))).alias(
+                f"ss_{m}"
+            )
+        )
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(
+                F.sum(dec(F.col(f"mr2_{a}")) * dec(F.col(f"mr2_{b}"))).alias(
+                    f"sp_{a}_{b}"
+                )
+            )
+    one = out.groupBy().agg(*aggs)
+    sel = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            n = F.col("n").cast("double")
+            sa = F.col(f"s_{a}").cast("double")
+            sb = F.col(f"s_{b}").cast("double")
+            num = n * F.col(f"sp_{a}_{b}").cast("double") - sa * sb
+            da = n * F.col(f"ss_{a}").cast("double") - sa * sa
+            db = n * F.col(f"ss_{b}").cast("double") - sb * sb
+            sel.append(
+                F.when(
+                    (da > 0) & (db > 0),
+                    F.round(num / F.sqrt(da * db), 6),
+                ).alias(f"rho_{a}_{b}")
+            )
+    return one.select(F.col("n"), *sel)
+
+
+def spearman_lineitem_sql() -> str:
+    """Twin of spearman_lineitem: identical 2·midrank inventories."""
+    names = [n for n, _ in _SPEAR_MEASURES]
+    base = ",\n               ".join(
+        f"{expr} AS {name}" for name, expr in _SPEAR_MEASURES
+    )
+    invs = ",\n    ".join(
+        f"""inv_{m} AS (
+        SELECT {m},
+               CAST(2 * coalesce(sum(cnt) OVER (ORDER BY {m}
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    + cnt + 1 AS BIGINT) AS mr2_{m}
+        FROM (SELECT {m}, CAST(count(*) AS BIGINT) AS cnt
+              FROM li GROUP BY 1)
+    )"""
+        for m in names
+    )
+    joins = "\n        ".join(f"JOIN inv_{m} USING ({m})" for m in names)
+    aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    for m in names:
+        aggs.append(f"CAST(sum(mr2_{m}) AS BIGINT) AS s_{m}")
+        aggs.append(
+            f"sum(CAST(mr2_{m} AS HUGEINT) * CAST(mr2_{m} AS HUGEINT))"
+            f" AS ss_{m}"
+        )
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(
+                f"sum(CAST(mr2_{a} AS HUGEINT) * CAST(mr2_{b} AS HUGEINT))"
+                f" AS sp_{a}_{b}"
+            )
+    agg_sql = ",\n               ".join(aggs)
+    sel = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            num = (
+                f"CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE)"
+            )
+            da = (
+                f"CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+                f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE)"
+            )
+            db = (
+                f"CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+                f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE)"
+            )
+            sel.append(
+                f"CASE WHEN ({da}) > 0 AND ({db}) > 0 THEN\n"
+                f"               round(({num}) / sqrt(({da}) * ({db})), 6)"
+                f" END AS rho_{a}_{b}"
+            )
+    sel_sql = ",\n           ".join(sel)
+    return f"""
+    WITH li AS (
+        SELECT {base}
+        FROM lineitem
+    ),
+    {invs},
+    joined AS (
+        SELECT * FROM li
+        {joins}
+    ),
+    one AS (
+        SELECT {agg_sql}
+        FROM joined
+    )
+    SELECT n, {sel_sql}
+    FROM one
+    """
