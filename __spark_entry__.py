@@ -812,6 +812,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norm_audit": _q(similarity.embedding_norm_audit),
         # parquet dictionary-encoding advisor over lake string columns
         "dictionary_encode_audit": _q(maintenance.dictionary_encode_audit),
+        # per-nation conversion rate with Wilson 95% interval
+        "wilson_conversion_ci": _q(behavior.wilson_conversion_ci),
+        # grouped OLS: daily revenue trend per nation
+        "ols_trend_by_nation": _q(validation.ols_trend_by_nation),
+        # per-source exact-dup duplication-factor report
+        "dup_factor_by_source": _q(dedup.dup_factor_by_source),
+        # broadcast-join advisor (autoBroadcastJoinThreshold model)
+        "broadcast_plan_advisor": _q(maintenance.broadcast_plan_advisor),
+        # hour-of-day seasonal-profile MAD anomalies
+        "seasonal_residual_anomalies": _q(
+            temporal.seasonal_residual_anomalies
+        ),
     }
 
 
@@ -1631,4 +1643,11 @@ def oracle_sql() -> dict[str, str]:
         "stratified_kfold": curation.stratified_kfold_sql(),
         "embedding_norm_audit": similarity.embedding_norm_audit_sql(),
         "dictionary_encode_audit": maintenance.dictionary_encode_audit_sql(),
+        "wilson_conversion_ci": behavior.wilson_conversion_ci_sql(),
+        "ols_trend_by_nation": validation.ols_trend_by_nation_sql(),
+        "dup_factor_by_source": dedup.dup_factor_by_source_sql(),
+        "broadcast_plan_advisor": maintenance.broadcast_plan_advisor_sql(),
+        "seasonal_residual_anomalies": (
+            temporal.seasonal_residual_anomalies_sql()
+        ),
     }

@@ -117,6 +117,8 @@ NESTED_LOOP_OK = {
     "welch_ttest_sources",
     # two ONE-ROW marginal-entropy broadcasts onto the one-row MI agg
     "mutual_info_lang_source",
+    # ONE-ROW residual-MAD broadcast onto the calendar-metadata series
+    "seasonal_residual_anomalies",
 }
 
 

@@ -369,3 +369,133 @@ def test_dictionary_encode_audit_flags(spark):
     assert rs[("customer", "c_name")].n_distinct == 100
     assert rs[("customer", "c_name")].dict_recommended == 0
     assert rs[("customer", "c_mktsegment")].dict_recommended == 1
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, TS(t), u, e, 1.0, "{}") for i, (u, e, t) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _nation(spark):
+    return spark.createDataFrame(
+        [(1, "ALPHA", 0), (2, "BETA", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+
+
+def test_wilson_conversion_ci_planted(spark):
+    """Nation ALPHA: 2 active users, 1 converts — p̂=0.5 with the
+    hand-computed Wilson bounds; BETA has activity but no purchase."""
+    cust = _cust(
+        spark,
+        [(1, "a", 1, 0.0, "B"), (2, "b", 1, 0.0, "B"), (3, "c", 2, 0.0, "B")],
+    )
+    ev = _events(
+        spark,
+        [
+            (1, "view", "2026-01-01 10:00:00"),
+            (1, "purchase", "2026-01-01 11:00:00"),
+            (2, "view", "2026-01-01 10:00:00"),
+            (3, "view", "2026-01-01 10:00:00"),
+        ],
+    )
+    out = {
+        r.nation: r
+        for r in behavior.wilson_conversion_ci(
+            {"events": ev, "customer": cust, "nation": _nation(spark)}
+        ).collect()
+    }
+    z = behavior.WILSON_Z
+    n, p = 2.0, 0.5
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * ((p * (1 - p) / n + z * z / (4 * n * n)) ** 0.5) / denom
+    r = out["ALPHA"]
+    assert r.n_users == 2 and r.n_conv == 1
+    assert r.p_hat_r6 == 0.5
+    assert r.wilson_lo_r6 == pytest.approx(center - half, abs=1e-6)
+    assert r.wilson_hi_r6 == pytest.approx(center + half, abs=1e-6)
+    assert out["BETA"].n_conv == 0
+    assert out["BETA"].wilson_lo_r6 == 0.0  # Wilson lower bound at p̂=0
+
+
+def test_ols_trend_by_nation_linear(spark):
+    """One nation with perfectly linear daily revenue: slope exactly
+    5 cents/day, r² = 1."""
+    cust = _cust(spark, [(1, "a", 1, 0.0, "B")])
+    rows = [
+        (i, 1, "O", 1.00 + 0.05 * i, TS(f"2026-01-{i + 1:02d}T00:00:00"),
+         "1-URGENT")
+        for i in range(10)
+    ]
+    out = validation.ols_trend_by_nation(
+        {"orders": _orders(spark, rows), "customer": cust,
+         "nation": _nation(spark)}
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.nation == "ALPHA"
+    assert r.slope_cents_per_day_r4 == 5.0
+    assert r.r2_r6 == 1.0
+
+
+def test_dup_factor_by_source_normalized(spark):
+    """'Hello  World' and 'hello world' share a fingerprint: source a
+    has 4 docs / 2 distinct → factor 2.0, share 0.5."""
+    from training_etl_demo_2_spark.operators import dedup as dd
+
+    rows = [
+        (1, "Hello  World", "en", "a", 11),
+        (2, "hello world", "en", "a", 11),
+        (3, "other text", "en", "a", 10),
+        (4, "other  TEXT", "en", "a", 10),
+        (5, "unique", "en", "b", 6),
+    ]
+    out = {
+        r.source: r
+        for r in dd.dup_factor_by_source(
+            {"documents": _docs(spark, rows)}
+        ).collect()
+    }
+    assert out["a"].n_docs == 4 and out["a"].n_distinct == 2
+    assert out["a"].dup_factor_r4 == 2.0
+    assert out["a"].dup_share_r6 == 0.5
+    assert out["b"].dup_factor_r4 == 1.0
+    assert out["b"].dup_share_r6 == 0.0
+
+
+def test_broadcast_plan_advisor_model(spark, tables):
+    """Fixture dims are all broadcastable at sf0.001; the byte model
+    is exact: nation = rows·(16+16) + Σ length(n_name)."""
+    out = {
+        r.table_name: r
+        for r in maintenance.broadcast_plan_advisor(tables).collect()
+    }
+    nat = tables["nation"]
+    n_rows = nat.count()
+    str_bytes = nat.agg(F.sum(F.length("n_name"))).collect()[0][0]
+    assert out["nation"].n_rows == n_rows
+    assert out["nation"].est_bytes == n_rows * 32 + str_bytes
+    assert out["nation"].broadcastable == 1
+    assert out["region"].broadcastable == 1
+    assert set(out) == {t for t, _, _ in maintenance.BROADCAST_TABLES}
+
+
+def test_seasonal_residual_anomalies_spike(spark):
+    """5 days of a 3-level hour-of-day pattern (per-hour residuals
+    are mostly ±1, so the global MAD is 1) and ONE +30 spike: exactly
+    that hour is flagged."""
+    counts = []
+    for d in range(5):
+        for h in range(24):
+            c = 3 + ((d + h) % 3)
+            if d == 2 and h == 10:
+                c += 30
+            counts.append(c)
+    ev = _events_hourly(spark, counts)
+    out = temporal.seasonal_residual_anomalies({"events": ev}).collect()
+    assert [r.hour for r in out] == ["2026-01-03 10:00:00"]
+    assert out[0].n_events >= 33

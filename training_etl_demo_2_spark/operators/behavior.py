@@ -1540,3 +1540,107 @@ def rfm_segments_sql() -> str:
     GROUP BY 1, 2, 3
     ORDER BY 1, 2, 3
     """
+
+
+# ---------------------------------------------------------------------------
+# per-nation conversion rate with Wilson confidence interval
+# ---------------------------------------------------------------------------
+
+WILSON_Z = 1.959963984540054  # exact two-sided 95% normal quantile
+
+
+def wilson_conversion_ci(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-nation user conversion rate (users with ≥1 purchase over
+    users with any activity) with the Wilson score 95% interval — the
+    interval that stays inside [0,1] and behaves at small n / extreme
+    p̂, which is why every experimentation platform reports it instead
+    of the Wald ±z√(p̂q̂/n). The geo cut every growth dashboard starts
+    from.
+
+    Exactness: the numerator/denominator are exact distinct-user
+    counts; p̂ and the Wilson bounds run through one shared IEEE
+    double sequence with the z constant embedded as the same literal
+    in both engines, rounded to 6.
+
+    Scale shape: one per-user conversion flag aggregate (user-keyed
+    shuffle), one broadcast join to the customer→nation dimension,
+    one nation-keyed count. Output: one row per nation with activity.
+    """
+    e = t["events"]
+    per_user = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    dim = (
+        t["customer"]
+        .join(
+            t["nation"], F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select(F.col("c_custkey").alias("user_id"), "n_name")
+    )
+    per_nation = (
+        per_user.join(F.broadcast(dim), "user_id")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("conv").cast("long").alias("n_conv"),
+        )
+    )
+    n = F.col("n_users").cast("double")
+    p = F.col("n_conv").cast("double") / n
+    z2 = F.lit(WILSON_Z * WILSON_Z)
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (
+        F.lit(WILSON_Z)
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        / denom
+    )
+    return per_nation.select(
+        F.col("n_name").alias("nation"),
+        "n_users",
+        "n_conv",
+        F.round(p, 6).alias("p_hat_r6"),
+        F.round(center - half, 6).alias("wilson_lo_r6"),
+        F.round(center + half, 6).alias("wilson_hi_r6"),
+    ).orderBy("nation")
+
+
+def wilson_conversion_ci_sql() -> str:
+    """Twin of wilson_conversion_ci: identical double sequence."""
+    z = repr(WILSON_Z)
+    return f"""
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY 1
+    ),
+    dim AS (
+        SELECT c_custkey AS user_id, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    per_nation AS (
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(conv) AS BIGINT) AS n_conv
+        FROM per_user JOIN dim USING (user_id)
+        GROUP BY 1
+    ),
+    calc AS (
+        SELECT n_name, n_users, n_conv,
+               CAST(n_users AS DOUBLE) AS n,
+               CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE) AS p,
+               {z} * {z} AS z2
+        FROM per_nation
+    )
+    SELECT n_name AS nation, n_users, n_conv,
+           round(p, 6) AS p_hat_r6,
+           round((p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+                 - {z} * sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+                   / (1.0 + z2 / n), 6) AS wilson_lo_r6,
+           round((p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+                 + {z} * sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+                   / (1.0 + z2 / n), 6) AS wilson_hi_r6
+    FROM calc
+    ORDER BY nation
+    """

@@ -1833,3 +1833,87 @@ def winnowing_fingerprints(
             .alias("n_shared_fp"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# duplication-factor report per source
+# ---------------------------------------------------------------------------
+
+
+def dup_factor_by_source(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source duplication ROI report: how many raw docs each
+    source contributes vs how many DISTINCT normalized contents — the
+    number that decides which source to exact-dedup first and what
+    token savings to expect (the planning view on top of
+    ``exact_dedup_groups``, which returns the winners themselves).
+
+    Exactness: fingerprints are the engine's portable rolling hash of
+    normalized text (the shared dedup key), so distinct counts match
+    any engine reproducing the hash; the factor/share divide exact
+    integers once.
+
+    Scale shape: one map to (source, fp) then one exact
+    count_distinct aggregate per source — the fingerprint (8 bytes)
+    shuffles, never the document body. Output: one row per source.
+    """
+    from ..functions import normalize_text, rolling_hash
+
+    d = t["documents"].select(
+        "source", rolling_hash(normalize_text("text")).alias("fp")
+    )
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("fp").cast("long").alias("n_distinct"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        (
+            F.floor(
+                F.col("n_docs").cast("double")
+                / F.col("n_distinct").cast("double")
+                * 1e4
+                + F.lit(0.5)
+            )
+            / 1e4
+        ).alias("dup_factor_r4"),
+        (
+            F.floor(
+                (
+                    1.0
+                    - F.col("n_distinct").cast("double")
+                    / F.col("n_docs").cast("double")
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("dup_share_r6"),
+    ).orderBy("source")
+
+
+def dup_factor_by_source_sql() -> str:
+    """Twin of dup_factor_by_source: same normalize + rolling hash."""
+    from .oracle import NORMALIZE, ROLLING_HASH
+
+    fp = ROLLING_HASH.format(s=NORMALIZE.format(s="text"))
+    return f"""
+    WITH d AS (
+        SELECT source, {fp} AS fp FROM documents
+    ),
+    per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct
+        FROM d GROUP BY 1
+    )
+    SELECT source, n_docs, n_distinct,
+           floor(CAST(n_docs AS DOUBLE) / CAST(n_distinct AS DOUBLE)
+                 * 1e4 + 0.5) / 1e4 AS dup_factor_r4,
+           floor((1.0 - CAST(n_distinct AS DOUBLE)
+                  / CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) / 1e6
+               AS dup_share_r6
+    FROM per
+    ORDER BY source
+    """

@@ -1167,3 +1167,110 @@ def theil_sen_trend_sql() -> str:
            END AS ols_cents_per_day_r4
     FROM med CROSS JOIN ols
     """
+
+
+# ---------------------------------------------------------------------------
+# seasonal-profile residual anomalies (hour-of-day baseline + MAD)
+# ---------------------------------------------------------------------------
+
+SEAS_ROBUST_K = 3.0 * 1.4826  # 3-sigma-equivalent MAD multiplier
+
+
+def seasonal_residual_anomalies(t: dict[str, DataFrame]) -> DataFrame:
+    """Seasonality-aware anomaly scan of the hourly event series: each
+    hour is compared to the MEDIAN count of its hour-of-day across the
+    whole span (the robust seasonal profile), and hours whose residual
+    exceeds 3σ-equivalent (``3·1.4826·MAD`` of the residuals) are
+    flagged. The seasonal upgrade of ``robust_value_anomalies`` — a
+    quiet 4am hour is only an anomaly relative to OTHER 4am hours, a
+    distinction a global MAD cannot make.
+
+    Exactness: counts are integers over the gap-filled calendar; both
+    medians interpolate two integers at worst (identical
+    percentile/quantile_cont halves in both engines); residuals and
+    the threshold compare through one shared double sequence.
+
+    Scale shape: events collapse to the gap-filled calendar relation
+    (metadata); the 24-group profile, residuals, and the one-row MAD
+    are all computed over that relation. Output: flagged hours only.
+    """
+    e = t["events"]
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    grid = (
+        hourly.groupBy()
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+    )
+    filled = grid.join(hourly, "h", "left").select(
+        "h",
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+        F.hour("h").cast("int").alias("hod"),
+    )
+    prof = filled.groupBy("hod").agg(
+        F.expr("percentile(x, 0.5)").alias("med")
+    )
+    resid = filled.join(F.broadcast(prof), "hod").select(
+        "h",
+        "x",
+        "med",
+        (F.col("x").cast("double") - F.col("med")).alias("r"),
+    )
+    mad = resid.groupBy().agg(
+        F.expr("percentile(abs(r), 0.5)").alias("mad")
+    )
+    out = resid.crossJoin(F.broadcast(mad))
+    thresh = F.lit(SEAS_ROBUST_K) * F.col("mad")
+    return (
+        out.filter((F.col("mad") > 0) & (F.abs(F.col("r")) > thresh))
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.col("x").alias("n_events"),
+            F.round(F.col("med"), 1).alias("expected_med_r1"),
+            F.round(F.col("r"), 1).alias("resid_r1"),
+        )
+        .orderBy("hour")
+    )
+
+
+def seasonal_residual_anomalies_sql() -> str:
+    """Twin of seasonal_residual_anomalies: same profile + MAD rule."""
+    return f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    grid AS (
+        SELECT unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        FROM hourly
+    ),
+    filled AS (
+        SELECT g.h, coalesce(hourly.x, 0) AS x,
+               CAST(extract(hour FROM g.h) AS INT) AS hod
+        FROM grid g LEFT JOIN hourly ON hourly.h = g.h
+    ),
+    prof AS (
+        SELECT hod, quantile_cont(x, 0.5) AS med
+        FROM filled GROUP BY 1
+    ),
+    resid AS (
+        SELECT f.h, f.x, p.med,
+               CAST(f.x AS DOUBLE) - p.med AS r
+        FROM filled f JOIN prof p USING (hod)
+    ),
+    mad AS (
+        SELECT quantile_cont(abs(r), 0.5) AS mad FROM resid
+    )
+    SELECT strftime(resid.h, '%Y-%m-%d %H:%M:%S') AS hour,
+           resid.x AS n_events,
+           round(resid.med, 1) AS expected_med_r1,
+           round(resid.r, 1) AS resid_r1
+    FROM resid CROSS JOIN mad
+    WHERE mad.mad > 0 AND abs(resid.r) > {SEAS_ROBUST_K!r} * mad.mad
+    ORDER BY hour
+    """

@@ -2790,3 +2790,136 @@ def spearman_lineitem_sql() -> str:
     SELECT n, {sel_sql}
     FROM one
     """
+
+
+# ---------------------------------------------------------------------------
+# grouped OLS: daily revenue trend per nation
+# ---------------------------------------------------------------------------
+
+
+def ols_trend_by_nation(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-nation OLS trend of daily order revenue — the grouped-model
+    -fitting pattern (one tiny regression per group, thousands of
+    groups, zero driver involvement) that generalizes the single-series
+    ``events_value_trend_ols``: each nation's slope/intercept/r² comes
+    from five exact integer moments, so fitting 10 or 10M groups is
+    the same two-shuffle plan.
+
+    Exactness: days are integers since a fixed epoch, revenue is exact
+    cents; all five moments are exact decimal(38,0)/HUGEINT sums, and
+    the slope/intercept/r² formulas run one shared double sequence,
+    rounded (4/2/6). Zero-variance guards yield NULLs.
+
+    Scale shape: orders ⋈ broadcast(customer→nation dim... itself a
+    broadcast-sized join at any SF since nations are fixed) — the fact
+    table shuffles once on the (nation, day) groupBy, then once on
+    nation; output is |nations| rows.
+    """
+    o = t["orders"]
+    dim = (
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("o_custkey"), "n_name")
+    )
+    daily = (
+        o.join(F.broadcast(dim), "o_custkey")
+        .groupBy(
+            "n_name",
+            F.datediff(
+                F.date_trunc("day", "o_orderdate"), F.lit("1990-01-01")
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("rev")
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    per = daily.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("rev").cast("long").alias("sr"),
+        F.sum(dec(F.col("d")) * dec(F.col("rev"))).alias("sdr"),
+        F.sum(dec(F.col("d")) * dec(F.col("d"))).alias("sdd"),
+        F.sum(dec(F.col("rev")) * dec(F.col("rev"))).alias("srr"),
+    )
+    n = F.col("n").cast("double")
+    sd = F.col("sd").cast("double")
+    sr = F.col("sr").cast("double")
+    sdr = F.col("sdr").cast("double")
+    sdd = F.col("sdd").cast("double")
+    srr = F.col("srr").cast("double")
+    sxx = n * sdd - sd * sd
+    sxy = n * sdr - sd * sr
+    syy = n * srr - sr * sr
+    slope = sxy / sxx
+    intercept = (sr - slope * sd) / n
+    return per.select(
+        F.col("n_name").alias("nation"),
+        F.col("n").cast("long").alias("n_days"),
+        F.when(sxx > 0, F.round(slope, 4)).alias("slope_cents_per_day_r4"),
+        F.when(sxx > 0, F.round(intercept / 100.0, 2)).alias(
+            "intercept_usd_r2"
+        ),
+        F.when(
+            (sxx > 0) & (syy > 0),
+            F.round(sxy * sxy / (sxx * syy), 6),
+        ).alias("r2_r6"),
+    ).orderBy("nation")
+
+
+def ols_trend_by_nation_sql() -> str:
+    """Twin of ols_trend_by_nation: identical integer moments."""
+    return """
+    WITH daily AS (
+        SELECT n_name,
+               CAST(datediff('day', TIMESTAMP '1990-01-01',
+                             date_trunc('day', o_orderdate)) AS BIGINT) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(d) AS BIGINT) AS sd,
+               CAST(sum(rev) AS BIGINT) AS sr,
+               sum(CAST(d AS HUGEINT) * CAST(rev AS HUGEINT)) AS sdr,
+               sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS sdd,
+               sum(CAST(rev AS HUGEINT) * CAST(rev AS HUGEINT)) AS srr
+        FROM daily GROUP BY 1
+    ),
+    m AS (
+        SELECT n_name, n,
+               CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)
+               - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) AS sxx,
+               CAST(n AS DOUBLE) * CAST(sdr AS DOUBLE)
+               - CAST(sd AS DOUBLE) * CAST(sr AS DOUBLE) AS sxy,
+               CAST(n AS DOUBLE) * CAST(srr AS DOUBLE)
+               - CAST(sr AS DOUBLE) * CAST(sr AS DOUBLE) AS syy,
+               CAST(sd AS DOUBLE) AS sd_d, CAST(sr AS DOUBLE) AS sr_d,
+               CAST(n AS DOUBLE) AS n_d
+        FROM per
+    )
+    SELECT n_name AS nation, CAST(n AS BIGINT) AS n_days,
+           CASE WHEN sxx > 0 THEN round(sxy / sxx, 4) END
+               AS slope_cents_per_day_r4,
+           CASE WHEN sxx > 0
+                THEN round((sr_d - (sxy / sxx) * sd_d) / n_d / 100.0, 2)
+           END AS intercept_usd_r2,
+           CASE WHEN sxx > 0 AND syy > 0
+                THEN round(sxy * sxy / (sxx * syy), 6)
+           END AS r2_r6
+    FROM m
+    ORDER BY nation
+    """
