@@ -824,6 +824,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_residual_anomalies": _q(
             temporal.seasonal_residual_anomalies
         ),
+        # Pareto cumulative-share (ratio-to-report) of nation revenue
+        "revenue_pareto_cumshare": _q(relational_ext.revenue_pareto_cumshare),
+        # declared functional-dependency audit (LHS→RHS determinism)
+        "functional_dependency_audit": _q(
+            validation.functional_dependency_audit
+        ),
+        # per-source mean Flesch reading ease (portable proxies)
+        "readability_by_source": _q(text.readability_by_source),
+        # HLL sketch set-algebra: pairwise audience overlap estimates
+        "hll_source_overlap": _q(sketches.hll_source_overlap),
     }
 
 
@@ -1650,4 +1660,10 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_residual_anomalies": (
             temporal.seasonal_residual_anomalies_sql()
         ),
+        "revenue_pareto_cumshare": relational_ext.revenue_pareto_cumshare_sql(),
+        "functional_dependency_audit": (
+            validation.functional_dependency_audit_sql()
+        ),
+        "readability_by_source": text.readability_by_source_sql(),
+        "hll_source_overlap": sketches.hll_source_overlap_sql(),
     }

@@ -1472,3 +1472,125 @@ def pareto_skyline_sql() -> str:
           AND (b.price_c < a.price_c OR b.p_size > a.p_size)
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# Pareto cumulative-share (ratio-to-report) of nation revenue
+# ---------------------------------------------------------------------------
+
+PARETO_TOP_BP = 8000  # the "80" of the 80/20 check, in basis points
+
+
+def revenue_pareto_cumshare(t: dict[str, DataFrame]) -> DataFrame:
+    """Ratio-to-report + running-share window report: nations ranked
+    by revenue with each one's share and CUMULATIVE share of the
+    total in exact basis points, flagging the head set that covers
+    80% — the classic Pareto concentration readout (who actually
+    funds the business / which shard keys dominate a partition plan).
+
+    Exactness: revenue is exact summed cents; shares are integer
+    floor(x·10⁴/total) basis points (exact integer division); the
+    80% membership test compares integers (cum_before·10⁴ <
+    PARETO_TOP_BP·total — no doubles anywhere).
+
+    Scale shape: the fact collapses to |nations| rows in one
+    broadcast-dim join + aggregate; the rank/cumsum windows run over
+    that 25-row metadata relation. Output: one row per nation.
+    """
+    o, li = t["orders"], t["lineitem"]
+    dim = (
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("o_custkey"), "n_name")
+    )
+    rev = (
+        li.join(o.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dim), "o_custkey")
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                    + F.lit(0.5)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w_ord = Window.orderBy(F.desc("cents"), F.asc("n_name"))
+    w_all = Window.partitionBy()
+    dec = lambda c: c.cast("decimal(38,0)")
+    cur = rev.select(
+        "n_name",
+        "cents",
+        F.row_number().over(w_ord).alias("rank"),
+        F.coalesce(
+            F.sum("cents").over(
+                w_ord.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("cum_before"),
+        F.sum("cents").over(w_all).cast("long").alias("total"),
+    )
+    # exact integer division (`div` / `//`) on both engines; the
+    # cents·10⁴ products stay under int64 through ~$9·10¹² of total
+    # revenue — past that promote to decimal(38,0)/HUGEINT
+    return cur.select(
+        F.col("n_name").alias("nation"),
+        (F.col("cents").cast("double") / 100.0).alias("revenue_usd"),
+        "rank",
+        F.expr("(cents * 10000L) div total").cast("long").alias("share_bp"),
+        F.expr("((cum_before + cents) * 10000L) div total")
+        .cast("long")
+        .alias("cum_share_bp"),
+        (
+            F.col("cum_before") * F.lit(10000).cast("long")
+            < F.lit(PARETO_TOP_BP).cast("long") * F.col("total")
+        )
+        .cast("int")
+        .alias("in_top80"),
+    ).orderBy("rank")
+
+
+def revenue_pareto_cumshare_sql() -> str:
+    """Twin of revenue_pareto_cumshare: identical integer basis-point
+    algebra."""
+    return f"""
+    WITH rev AS (
+        SELECT n_name,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                   * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1
+    ),
+    cur AS (
+        SELECT n_name, cents,
+               row_number() OVER (ORDER BY cents DESC, n_name) AS rank,
+               CAST(coalesce(sum(cents) OVER (
+                   ORDER BY cents DESC, n_name
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before,
+               CAST(sum(cents) OVER () AS BIGINT) AS total
+        FROM rev
+    )
+    SELECT n_name AS nation,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue_usd,
+           rank,
+           CAST((cents * 10000) // total AS BIGINT) AS share_bp,
+           CAST(((cum_before + cents) * 10000) // total AS BIGINT)
+               AS cum_share_bp,
+           CAST(cum_before * 10000 < {PARETO_TOP_BP} * total AS INT)
+               AS in_top80
+    FROM cur
+    ORDER BY rank
+    """

@@ -581,3 +581,263 @@ def hll_user_estimate_sql() -> str:
                       + 0.5) AS BIGINT) AS err_bp
     FROM est
     """
+
+
+# ---------------------------------------------------------------------------
+# HLL set operations: pairwise audience overlap between event types
+# ---------------------------------------------------------------------------
+
+
+def _hll_est(n_regs, s_used):
+    """FFGM estimate (+ small-range correction) from a register fold:
+    the one shared double sequence both engines and every HLL query
+    in this module follow."""
+    top = HLL_RHO_BITS + 1
+    v = F.lit(HLL_M) - n_regs
+    s_int = s_used + v * (1 << top)
+    e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M * (1 << top)) / s_int.cast(
+        "double"
+    )
+    return F.when(
+        (e_raw <= 2.5 * HLL_M) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(e_raw)
+
+
+def hll_source_overlap(t: dict[str, DataFrame]) -> DataFrame:
+    """Pairwise audience overlap between event types from MERGED
+    HyperLogLog sketches — the sketch algebra that answers "how many
+    users do 'view' and 'purchase' share?" without ever co-shuffling
+    user sets: union = register-wise max of the two sketches,
+    intersection = inclusion-exclusion over three estimates, Jaccard =
+    their ratio. Next to each estimate sits the exact answer, so the
+    inclusion-exclusion error (the known weak spot of HLL
+    intersections — relative error grows as the true overlap shrinks)
+    is itself measured and regression-pinned.
+
+    Scale shape: ONE pass builds the (type, register) relation (≤ m
+    rows per type at any corpus size); the pair grid is the
+    |types|²/2 metadata self-join; each union fold runs over ≤ 2m
+    register rows per pair. The exact branch (distinct (user,type)
+    self-join) exists to grade the estimates and is what you'd drop
+    at 100 TB. Output: one row per unordered type pair.
+    """
+    ev = t["events"]
+    uid = F.col("user_id").cast("long")
+    hashed = ev.select(
+        "event_type",
+        (_hll_mix_spark(uid, HLL_IDX_SEED) % HLL_M).alias("idx"),
+        (_hll_mix_spark(uid, HLL_RHO_SEED) % (1 << HLL_RHO_BITS)).alias("u"),
+    )
+    rho = F.lit(HLL_RHO_BITS + 1)
+    for k in range(HLL_RHO_BITS):
+        rho = F.when(F.col("u") >= (1 << k), HLL_RHO_BITS - k).otherwise(rho)
+    regs = hashed.groupBy("event_type", "idx").agg(F.max(rho).alias("mrho"))
+    regs.persist()
+    top = HLL_RHO_BITS + 1
+    per_type = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(1L, {top} - mrho)"))
+        .cast("long")
+        .alias("s_used"),
+    )
+    est_t = per_type.select(
+        "event_type", _hll_est(F.col("n_regs"), F.col("s_used")).alias("e")
+    )
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.alias("a")
+        .join(
+            F.broadcast(types.alias("b")),
+            F.col("a.event_type") < F.col("b.event_type"),
+        )
+        .select(
+            F.col("a.event_type").alias("ta"),
+            F.col("b.event_type").alias("tb"),
+        )
+    )
+    regs_r = regs.select(
+        F.col("event_type").alias("rt"), "idx", "mrho"
+    )
+    pr_a = pairs.join(regs_r, F.col("ta") == F.col("rt")).select(
+        "ta", "tb", "idx", "mrho"
+    )
+    pr_b = pairs.join(regs_r, F.col("tb") == F.col("rt")).select(
+        "ta", "tb", "idx", "mrho"
+    )
+    union_fold = (
+        pr_a.unionByName(pr_b)
+        .groupBy("ta", "tb", "idx")
+        .agg(F.max("mrho").alias("mrho"))
+        .groupBy("ta", "tb")
+        .agg(
+            F.count(F.lit(1)).alias("n_regs"),
+            F.sum(F.expr(f"shiftleft(1L, {top} - mrho)"))
+            .cast("long")
+            .alias("s_used"),
+        )
+        .select(
+            "ta",
+            "tb",
+            _hll_est(F.col("n_regs"), F.col("s_used")).alias("e_union"),
+        )
+    )
+    # exact branch (grading only)
+    ut = ev.select("user_id", "event_type").distinct()
+    exact_t = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("nx")
+    )
+    exact_pair = (
+        ut.alias("x")
+        .join(
+            ut.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("ta"),
+            F.col("y.event_type").alias("tb"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    out = (
+        union_fold.join(
+            est_t.select(
+                F.col("event_type").alias("ta"), F.col("e").alias("e_a")
+            ),
+            "ta",
+        )
+        .join(
+            est_t.select(
+                F.col("event_type").alias("tb"), F.col("e").alias("e_b")
+            ),
+            "tb",
+        )
+        .join(
+            exact_t.select(
+                F.col("event_type").alias("ta"), F.col("nx").alias("x_a")
+            ),
+            "ta",
+        )
+        .join(
+            exact_t.select(
+                F.col("event_type").alias("tb"), F.col("nx").alias("x_b")
+            ),
+            "tb",
+        )
+        .join(exact_pair, ["ta", "tb"], "left")
+        .fillna({"exact_inter": 0})
+    )
+    e_inter = F.greatest(
+        F.col("e_a") + F.col("e_b") - F.col("e_union"), F.lit(0.0)
+    )
+    exact_union = F.col("x_a") + F.col("x_b") - F.col("exact_inter")
+    return out.select(
+        F.col("ta").alias("type_a"),
+        F.col("tb").alias("type_b"),
+        F.round(F.col("e_union"), 6).alias("est_union_r6"),
+        exact_union.cast("long").alias("exact_union"),
+        F.round(e_inter, 6).alias("est_inter_r6"),
+        F.col("exact_inter").cast("long").alias("exact_inter"),
+        F.round(e_inter / F.col("e_union"), 6).alias("est_jaccard_r6"),
+        F.round(
+            F.col("exact_inter").cast("double")
+            / exact_union.cast("double"),
+            6,
+        ).alias("exact_jaccard_r6"),
+    ).orderBy("type_a", "type_b")
+
+
+def hll_source_overlap_sql() -> str:
+    """Twin of hll_source_overlap: identical register algebra and
+    inclusion-exclusion double sequence."""
+    top = HLL_RHO_BITS + 1
+    rho_sql = _hll_rho_cases("u")
+    est = (
+        "CASE WHEN (CAST({alpha} AS DOUBLE) * {m} * {m} * {two_top})"
+        "          / CAST(s_used + ({m} - n_regs) * {two_top} AS DOUBLE)"
+        "          <= 2.5 * {m} AND {m} - n_regs > 0"
+        "     THEN CAST({m} AS DOUBLE)"
+        "          * ln(CAST({m} AS DOUBLE) / CAST({m} - n_regs AS DOUBLE))"
+        "     ELSE (CAST({alpha} AS DOUBLE) * {m} * {m} * {two_top})"
+        "          / CAST(s_used + ({m} - n_regs) * {two_top} AS DOUBLE)"
+        " END"
+    ).format(alpha=repr(HLL_ALPHA), m=HLL_M, two_top=1 << top)
+    return f"""
+    WITH hashed AS (
+        SELECT event_type,
+               {_hll_mix_sql("user_id", HLL_IDX_SEED)} % {HLL_M} AS idx,
+               {_hll_mix_sql("user_id", HLL_RHO_SEED)}
+                   % {1 << HLL_RHO_BITS} AS u
+        FROM events
+    ),
+    regs AS MATERIALIZED (
+        SELECT event_type, idx, max({rho_sql}) AS mrho
+        FROM hashed GROUP BY 1, 2
+    ),
+    per_type AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_regs,
+               CAST(sum(CAST(1 AS BIGINT) << ({top} - mrho)) AS BIGINT)
+                   AS s_used
+        FROM regs GROUP BY 1
+    ),
+    est_t AS MATERIALIZED (
+        SELECT event_type, {est} AS e FROM per_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS ta, b.event_type AS tb
+        FROM (SELECT DISTINCT event_type FROM regs) a
+        JOIN (SELECT DISTINCT event_type FROM regs) b
+          ON a.event_type < b.event_type
+    ),
+    union_regs AS (
+        SELECT p.ta, p.tb, r.idx, max(r.mrho) AS mrho
+        FROM pairs p
+        JOIN regs r ON r.event_type = p.ta OR r.event_type = p.tb
+        GROUP BY 1, 2, 3
+    ),
+    union_fold AS (
+        SELECT ta, tb,
+               CAST(count(*) AS BIGINT) AS n_regs,
+               CAST(sum(CAST(1 AS BIGINT) << ({top} - mrho)) AS BIGINT)
+                   AS s_used
+        FROM union_regs GROUP BY 1, 2
+    ),
+    union_est AS (
+        SELECT ta, tb, {est} AS e_union FROM union_fold
+    ),
+    ut AS MATERIALIZED (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    exact_t AS MATERIALIZED (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS nx
+        FROM ut GROUP BY 1
+    ),
+    exact_pair AS (
+        SELECT x.event_type AS ta, y.event_type AS tb,
+               CAST(count(*) AS BIGINT) AS exact_inter
+        FROM ut x JOIN ut y
+          ON x.user_id = y.user_id AND x.event_type < y.event_type
+        GROUP BY 1, 2
+    )
+    SELECT u.ta AS type_a, u.tb AS type_b,
+           round(u.e_union, 6) AS est_union_r6,
+           CAST(xa.nx + xb.nx - coalesce(ep.exact_inter, 0) AS BIGINT)
+               AS exact_union,
+           round(greatest(ea.e + eb.e - u.e_union, 0.0), 6)
+               AS est_inter_r6,
+           CAST(coalesce(ep.exact_inter, 0) AS BIGINT) AS exact_inter,
+           round(greatest(ea.e + eb.e - u.e_union, 0.0) / u.e_union, 6)
+               AS est_jaccard_r6,
+           round(CAST(coalesce(ep.exact_inter, 0) AS DOUBLE)
+                 / CAST(xa.nx + xb.nx - coalesce(ep.exact_inter, 0)
+                        AS DOUBLE), 6) AS exact_jaccard_r6
+    FROM union_est u
+    JOIN est_t ea ON ea.event_type = u.ta
+    JOIN est_t eb ON eb.event_type = u.tb
+    JOIN exact_t xa ON xa.event_type = u.ta
+    JOIN exact_t xb ON xb.event_type = u.tb
+    LEFT JOIN exact_pair ep ON ep.ta = u.ta AND ep.tb = u.tb
+    ORDER BY type_a, type_b
+    """

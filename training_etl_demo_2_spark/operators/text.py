@@ -2243,3 +2243,133 @@ def gini_doc_length_sql() -> str:
                    / CAST(n_docs AS DOUBLE), 6) AS gini_r6
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# readability scoring (Flesch reading ease, portable approximation)
+# ---------------------------------------------------------------------------
+
+# Flesch reading-ease constants (Flesch 1948), shared literals
+FLESCH_BASE = 206.835
+FLESCH_WPS = 1.015
+FLESCH_SPW = 84.6
+# engine-portable proxies: a sentence break is a [.!?]+ run, a syllable
+# is a vowel-group run in the lowercased text (the standard
+# dictionary-free approximation)
+_SENT_RE = "[.!?]+"
+_SYL_RE = "[aeiouy]+"
+
+
+def readability_by_source(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-source mean Flesch reading ease — the fluency/complexity
+    axis of corpus quality (a source whose score collapses is boiler-
+    plate or OCR noise, one that saturates is word-salad), computed
+    with the dictionary-free proxies every large-scale pipeline uses:
+    vowel-group runs for syllables, [.!?]+ runs for sentence breaks
+    (floored at 1), whitespace tokens for words.
+
+    Exactness: all three counts are integers from identical regex
+    semantics (character-class patterns only — portable between Java
+    regex and RE2); each doc's score is nano-rounded BEFORE the
+    per-source integer sum (order-invariant), one division at the end.
+    Docs with zero words are excluded (counted separately).
+
+    Scale shape: pure per-row regexp counting (narrow map, no
+    shuffle) + one per-source aggregate. Output: one row per source.
+    """
+    d = t["documents"]
+    words = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    sents = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_SENT_RE), F.lit(0))
+        ).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    syls = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(_SYL_RE), F.lit(0))
+    ).cast("long")
+    score = (
+        F.lit(FLESCH_BASE)
+        - F.lit(FLESCH_WPS) * (words.cast("double") / sents.cast("double"))
+        - F.lit(FLESCH_SPW) * (syls.cast("double") / words.cast("double"))
+    )
+    per_doc = d.select(
+        "source",
+        words.alias("w"),
+        F.when(
+            words > 0,
+            F.floor(score * 1e9 + F.lit(0.5)).cast("long"),
+        ).alias("score_nano"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("score_nano").isNull()).cast("long"))
+            .cast("long")
+            .alias("n_empty"),
+            F.sum("w").cast("long").alias("n_words"),
+            F.sum("score_nano").cast("long").alias("s_nano"),
+            F.sum((F.col("score_nano").isNotNull()).cast("long"))
+            .cast("long")
+            .alias("n_scored"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_empty",
+            "n_words",
+            F.when(
+                F.col("n_scored") > 0,
+                F.round(
+                    F.col("s_nano").cast("double")
+                    / 1e9
+                    / F.col("n_scored").cast("double"),
+                    6,
+                ),
+            ).alias("mean_flesch_r6"),
+        )
+        .orderBy("source")
+    )
+
+
+def readability_by_source_sql() -> str:
+    """Twin of readability_by_source: identical regex proxies and
+    nano lattice."""
+    return f"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x != '')) AS BIGINT) AS w,
+               greatest(CAST(len(regexp_extract_all(text, '{_SENT_RE}'))
+                             AS BIGINT), 1) AS s,
+               CAST(len(regexp_extract_all(lower(text), '{_SYL_RE}'))
+                    AS BIGINT) AS syl
+        FROM documents
+    ),
+    scored AS (
+        SELECT source, w,
+               CASE WHEN w > 0 THEN CAST(floor(
+                   ({FLESCH_BASE!r}
+                    - {FLESCH_WPS!r} * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                    - {FLESCH_SPW!r} * (CAST(syl AS DOUBLE)
+                                        / CAST(w AS DOUBLE)))
+                   * 1e9 + 0.5) AS BIGINT)
+               END AS score_nano
+        FROM per_doc
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN score_nano IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_empty,
+           CAST(sum(w) AS BIGINT) AS n_words,
+           CASE WHEN count(score_nano) > 0
+                THEN round(CAST(sum(score_nano) AS DOUBLE) / 1e9
+                           / CAST(count(score_nano) AS DOUBLE), 6)
+           END AS mean_flesch_r6
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """

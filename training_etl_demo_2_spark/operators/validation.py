@@ -2923,3 +2923,91 @@ def ols_trend_by_nation_sql() -> str:
     FROM m
     ORDER BY nation
     """
+
+
+# ---------------------------------------------------------------------------
+# functional-dependency audit
+# ---------------------------------------------------------------------------
+
+# (table, lhs columns, rhs column) — the schema's implied invariants:
+# key→attribute within dimensions, plus the composite lineitem key
+FD_RULES = (
+    ("nation", ("n_nationkey",), "n_name"),
+    ("customer", ("c_custkey",), "c_name"),
+    ("part", ("p_partkey",), "p_name"),
+    ("orders", ("o_orderkey",), "o_custkey"),
+    ("documents", ("doc_id",), "source"),
+    ("lineitem", ("l_orderkey", "l_linenumber"), "l_partkey"),
+)
+
+
+def functional_dependency_audit(t: dict[str, DataFrame]) -> DataFrame:
+    """Schema-invariant audit: for each declared functional dependency
+    LHS→RHS, the number of LHS groups that map to MORE than one RHS
+    value — the data-quality check that catches a corrupted dimension
+    load or a key collision before a join silently fans out (the FD
+    complement of ``pk_uniqueness``, which only checks key
+    multiplicity, not attribute determinism).
+
+    Exactness: group counts and distinct counts are exact integers.
+
+    Scale shape: one groupBy per rule on its LHS (key-partitioned
+    hash agg with partial combine) followed by a count-style
+    aggregate; output is one fixed row per rule. The per-group
+    distinct-RHS count never materializes a cross product.
+    """
+    outs = []
+    for tbl, lhs, rhs in FD_RULES:
+        grp = (
+            t[tbl]
+            .groupBy(*[F.col(c) for c in lhs])
+            .agg(F.count_distinct(rhs).alias("n_rhs"))
+        )
+        outs.append(
+            grp.agg(
+                F.lit(tbl).alias("table_name"),
+                F.lit("+".join(lhs)).alias("lhs"),
+                F.lit(rhs).alias("rhs"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum((F.col("n_rhs") > 1).cast("long"))
+                .cast("long")
+                .alias("n_violating"),
+            )
+        )
+    rep = outs[0]
+    for o in outs[1:]:
+        rep = rep.unionByName(o)
+    return rep.select(
+        "table_name",
+        "lhs",
+        "rhs",
+        "n_groups",
+        "n_violating",
+        (F.col("n_violating") == 0).cast("int").alias("fd_holds"),
+    ).orderBy("table_name", "lhs")
+
+
+def functional_dependency_audit_sql() -> str:
+    """Twin of functional_dependency_audit: same per-rule aggregates."""
+    arms = []
+    for tbl, lhs, rhs in FD_RULES:
+        lhs_sql = ", ".join(lhs)
+        arms.append(
+            f"""SELECT '{tbl}' AS table_name, '{"+".join(lhs)}' AS lhs,
+               '{rhs}' AS rhs,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating
+        FROM (SELECT {lhs_sql}, count(DISTINCT {rhs}) AS n_rhs
+              FROM {tbl} GROUP BY {lhs_sql})"""
+        )
+    body = "\n    UNION ALL ".join(arms)
+    return f"""
+    WITH rep AS (
+        {body}
+    )
+    SELECT table_name, lhs, rhs, n_groups, n_violating,
+           CAST(n_violating = 0 AS INT) AS fd_holds
+    FROM rep
+    ORDER BY table_name, lhs
+    """
