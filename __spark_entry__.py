@@ -834,6 +834,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_by_source": _q(text.readability_by_source),
         # HLL sketch set-algebra: pairwise audience overlap estimates
         "hll_source_overlap": _q(sketches.hll_source_overlap),
+        # one-way ANOVA F + Bartlett homogeneity across sources
+        "anova_bartlett_sources": _q(validation.anova_bartlett_sources),
+        # cross-correlation lead-lag between event-type hourly series
+        "ccf_event_types": _q(temporal.ccf_event_types),
+        # A/B power analysis: MDE + required sample size per arm
+        "ab_power_mde": _q(behavior.ab_power_mde),
+        # Unicode-script distribution vs declared language
+        "script_mismatch_audit": _q(text.script_mismatch_audit),
+        # Kendall tau-b concordance: daily order count vs revenue
+        "kendall_tau_daily": _q(validation.kendall_tau_daily),
+        # LSH blocking quality: completeness / reduction ratio
+        "blocking_quality_eval": _q(dedup.blocking_quality_eval),
     }
 
 
@@ -1666,4 +1678,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "readability_by_source": text.readability_by_source_sql(),
         "hll_source_overlap": sketches.hll_source_overlap_sql(),
+        "anova_bartlett_sources": validation.anova_bartlett_sources_sql(),
+        "ccf_event_types": temporal.ccf_event_types_sql(),
+        "ab_power_mde": behavior.ab_power_mde_sql(),
+        "script_mismatch_audit": text.script_mismatch_audit_sql(),
+        "kendall_tau_daily": validation.kendall_tau_daily_sql(),
+        "blocking_quality_eval": dedup.blocking_quality_eval_sql(),
     }

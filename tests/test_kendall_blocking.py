@@ -1,0 +1,115 @@
+"""Planted tests for Kendall tau-b daily concordance and the LSH
+blocking-quality evaluator."""
+
+from __future__ import annotations
+
+from training_etl_demo_2_spark.operators import dedup, validation
+
+
+def _orders(spark, rows):
+    # rows: (day, n_orders, price_each)
+    data = []
+    k = 0
+    for day, n, price in rows:
+        for _ in range(n):
+            data.append((k, 1, "O", float(price), day, "1-URGENT"))
+            k += 1
+    return {
+        "orders": spark.createDataFrame(
+            data,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate string, "
+            "o_orderpriority string",
+        )
+    }
+
+
+def test_kendall_perfect_concordance(spark):
+    # count and revenue both strictly increasing by day -> tau = 1
+    rows = [("1995-01-01", 1, 10.0), ("1995-01-02", 2, 20.0),
+            ("1995-01-03", 3, 30.0), ("1995-01-04", 4, 40.0)]
+    out = validation.kendall_tau_daily(_orders(spark, rows)).collect()[0]
+    assert out["n_pairs"] == 6
+    assert out["concordant"] == 6 and out["discordant"] == 0
+    assert out["tau_b_r6"] == 1.0
+
+
+def test_kendall_perfect_discordance(spark):
+    # more orders but each day's total revenue strictly falls
+    rows = [("1995-01-01", 1, 100.0), ("1995-01-02", 2, 40.0),
+            ("1995-01-03", 3, 20.0), ("1995-01-04", 4, 10.0)]
+    out = validation.kendall_tau_daily(_orders(spark, rows)).collect()[0]
+    assert out["discordant"] == 6 and out["concordant"] == 0
+    assert out["tau_b_r6"] == -1.0
+
+
+def test_kendall_tie_correction(spark):
+    # two days share the order COUNT (x tie) with different revenue:
+    # n0=3 pairs, tie_x=1, C=2, D=0 -> tau_b = 2/sqrt((3-1)*(3-0))
+    rows = [("1995-01-01", 1, 10.0), ("1995-01-02", 1, 20.0),
+            ("1995-01-03", 2, 30.0)]
+    out = validation.kendall_tau_daily(_orders(spark, rows)).collect()[0]
+    assert out["n_pairs"] == 3
+    assert out["ties_count"] == 1 and out["ties_revenue"] == 0
+    expected = 2.0 / ((3 - 1) * (3 - 0)) ** 0.5
+    assert abs(out["tau_b_r6"] - expected) < 1e-6
+
+
+def test_kendall_all_tied_null(spark):
+    rows = [("1995-01-01", 2, 10.0), ("1995-01-02", 2, 10.0)]
+    out = validation.kendall_tau_daily(_orders(spark, rows)).collect()[0]
+    assert out["ties_both"] == 1
+    assert out["tau_b_r6"] is None
+
+
+def _docs(spark, rows):
+    # rows: (doc_id, text)
+    return {
+        "documents": spark.createDataFrame(
+            [(i, tx, "en", "s", len(tx)) for i, tx in rows],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+    }
+
+
+def test_blocking_identical_docs_complete(spark):
+    # identical docs share every shingle -> identical signatures ->
+    # candidate in every band; completeness must be 1
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, base), (3, "完全 another unrelated text body "
+            "with different words entirely for the third document here")]
+    out = dedup.blocking_quality_eval(_docs(spark, rows)).collect()[0]
+    assert out["n_docs"] == 3
+    assert out["n_possible_pairs"] == 3
+    assert out["n_true_pairs"] == 1
+    assert out["n_found"] == 1
+    assert out["completeness_r6"] == 1.0
+    # the unrelated doc must not be a candidate of anything
+    assert out["n_candidates"] == 1
+    assert abs(out["reduction_ratio_r6"] - (1 - 1 / 3)) < 1e-6
+    assert out["pair_quality_r6"] == 1.0
+
+
+def test_blocking_no_dups_zero_candidates(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten eleven"),
+        (3, "red orange yellow green blue indigo violet pink brown black"),
+    ]
+    out = dedup.blocking_quality_eval(_docs(spark, rows)).collect()[0]
+    assert out["n_true_pairs"] == 0
+    assert out["completeness_r6"] is None
+    assert out["n_found"] == 0
+    assert out["reduction_ratio_r6"] is not None
+
+
+def test_blocking_counts_are_consistent(spark):
+    # near-but-not-identical docs: whatever the banding does, the
+    # bookkeeping identities must hold
+    base = "w%d " * 30
+    rows = [(i, (base % tuple(range(30))) + f"tail{i % 2}") for i in range(6)]
+    out = dedup.blocking_quality_eval(_docs(spark, rows)).collect()[0]
+    assert out["n_possible_pairs"] == 15
+    assert 0 <= out["n_found"] <= out["n_true_pairs"]
+    assert out["n_found"] <= out["n_candidates"]

@@ -119,6 +119,17 @@ NESTED_LOOP_OK = {
     "mutual_info_lang_source",
     # ONE-ROW residual-MAD broadcast onto the calendar-metadata series
     "seasonal_residual_anomalies",
+    # calendar grid × event-type registry broadcast (same class as
+    # seasonal_forecast_eval); the lag shift itself is an equi-join
+    "ccf_event_types",
+    # |types|²/2 pair grid over the type registry (metadata × metadata;
+    # register folds and the exact branch are all equi-joins)
+    "hll_source_overlap",
+    # daily-series self theta-join (calendar² pairs, data-size
+    # invariant) — same class as theil_sen_trend
+    "kendall_tau_daily",
+    # four ONE-ROW count aggregates crossJoined (metadata combine)
+    "blocking_quality_eval",
 }
 
 

@@ -1644,3 +1644,159 @@ def wilson_conversion_ci_sql() -> str:
     FROM calc
     ORDER BY nation
     """
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment power analysis / minimum detectable effect
+# ---------------------------------------------------------------------------
+
+# two-sided alpha = 0.05, power = 0.80 (the industry-default design
+# point); quantiles as shared literals so both engines use identical
+# doubles
+AB_Z_ALPHA = 1.959964
+AB_Z_POWER = 0.841621
+AB_TARGET_REL_LIFT = 0.10  # sizing question: +10% relative conversion
+
+
+def ab_power_mde(t: dict[str, DataFrame]) -> DataFrame:
+    """Experiment DESIGN readout for the deterministic A/B split of
+    ``ab_test_zscore``: with the traffic we actually have, what
+    absolute/relative conversion lift is detectable at 80% power and
+    α=0.05 — and how many users per arm would a +10% relative lift
+    need? This is the question asked BEFORE shipping an experiment;
+    the z-test answers after.
+
+    MDE = (z_{α/2}+z_{pow})·√(p̄(1−p̄)(1/n_a+1/n_b)) with p̄ the pooled
+    conversion; the sizing uses the two-arm unpooled-variance formula
+    n = (z_{α/2}+z_{pow})²·(p₁q₁+p₂q₂)/(p₂−p₁)² with p₂ = p₁·1.1,
+    rounded UP (ceil — a sample size is a guarantee, not an estimate).
+
+    Exactness: user/conversion counts are exact integers from one
+    groupBy; every later step is one shared double sequence over the
+    2-row variant relation. Output: one row.
+
+    Scale shape: identical to ab_test_zscore — per-user flag groupBy,
+    2-row variant aggregate, metadata window. No data-sized shuffle
+    beyond the user collapse.
+    """
+    from .sketches import _hll_mix_spark
+
+    ev = t["events"]
+    per_user = ev.groupBy(F.col("user_id").cast("long").alias("uid")).agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("conv")
+    )
+    variant = F.when(
+        _hll_mix_spark(F.col("uid"), AB_SEED) % 2 == 0, "A"
+    ).otherwise("B")
+    per_var = (
+        per_user.select(variant.alias("variant"), "conv")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("conv").cast("long").alias("n_conv"),
+        )
+    )
+    agg = per_var.groupBy().agg(
+        F.sum("n_users").cast("long").alias("n_tot"),
+        F.sum("n_conv").cast("long").alias("c_tot"),
+        F.min(
+            F.when(F.col("variant") == "A", F.col("n_users"))
+        ).cast("long").alias("n_a"),
+        F.min(
+            F.when(F.col("variant") == "B", F.col("n_users"))
+        ).cast("long").alias("n_b"),
+    )
+    z_sum = F.lit(AB_Z_ALPHA + AB_Z_POWER)
+    p_bar = F.col("c_tot").cast("double") / F.col("n_tot").cast("double")
+    mde = z_sum * F.sqrt(
+        p_bar
+        * (1.0 - p_bar)
+        * (
+            1.0 / F.col("n_a").cast("double")
+            + 1.0 / F.col("n_b").cast("double")
+        )
+    )
+    p1 = p_bar
+    p2 = p_bar * (1.0 + AB_TARGET_REL_LIFT)
+    n_req = F.ceil(
+        z_sum
+        * z_sum
+        * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+        / ((p2 - p1) * (p2 - p1))
+    ).cast("long")
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.col("c_tot").alias("n_conv_total"),
+        F.expr("(c_tot * 10000L) div n_tot").cast("long").alias("p_pool_bp"),
+        F.round(mde, 6).alias("mde_abs_r6"),
+        F.when(F.col("c_tot") > 0, F.round(mde / p_bar, 6)).alias(
+            "mde_rel_r6"
+        ),
+        F.when(F.col("c_tot") > 0, n_req).alias("n_per_arm_10pct"),
+        (
+            (F.col("c_tot") > 0)
+            & (F.least(F.col("n_a"), F.col("n_b")) >= n_req)
+        )
+        .cast("int")
+        .alias("powered_for_10pct"),
+    )
+
+
+def ab_power_mde_sql() -> str:
+    """Twin of ab_power_mde: identical z literals and double
+    sequence."""
+    from .sketches import _hll_mix_sql
+
+    mix = _hll_mix_sql("uid", AB_SEED)
+    return f"""
+    WITH per_user AS (
+        SELECT user_id AS uid,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS conv
+        FROM events GROUP BY 1
+    ),
+    per_var AS (
+        SELECT CASE WHEN {mix} % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(conv) AS BIGINT) AS n_conv
+        FROM per_user GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(sum(n_users) AS BIGINT) AS n_tot,
+               CAST(sum(n_conv) AS BIGINT) AS c_tot,
+               CAST(min(CASE WHEN variant = 'A' THEN n_users END)
+                    AS BIGINT) AS n_a,
+               CAST(min(CASE WHEN variant = 'B' THEN n_users END)
+                    AS BIGINT) AS n_b
+        FROM per_var
+    ),
+    m AS (
+        SELECT n_a, n_b, c_tot, n_tot,
+               CAST(c_tot AS DOUBLE) / CAST(n_tot AS DOUBLE) AS p_bar,
+               {AB_Z_ALPHA!r} + {AB_Z_POWER!r} AS z_sum
+        FROM agg
+    ),
+    d AS (
+        SELECT *,
+               z_sum * sqrt(p_bar * (1.0 - p_bar)
+                            * (1.0 / CAST(n_a AS DOUBLE)
+                               + 1.0 / CAST(n_b AS DOUBLE))) AS mde,
+               CAST(ceil(z_sum * z_sum
+                    * (p_bar * (1.0 - p_bar)
+                       + (p_bar * (1.0 + {AB_TARGET_REL_LIFT!r}))
+                         * (1.0 - p_bar * (1.0 + {AB_TARGET_REL_LIFT!r})))
+                    / ((p_bar * (1.0 + {AB_TARGET_REL_LIFT!r}) - p_bar)
+                       * (p_bar * (1.0 + {AB_TARGET_REL_LIFT!r}) - p_bar)))
+                    AS BIGINT) AS n_req
+        FROM m
+    )
+    SELECT n_a, n_b, c_tot AS n_conv_total,
+           CAST((c_tot * 10000) // n_tot AS BIGINT) AS p_pool_bp,
+           round(mde, 6) AS mde_abs_r6,
+           CASE WHEN c_tot > 0 THEN round(mde / p_bar, 6) END AS mde_rel_r6,
+           CASE WHEN c_tot > 0 THEN n_req END AS n_per_arm_10pct,
+           CAST(c_tot > 0 AND least(n_a, n_b) >= n_req AS INT)
+               AS powered_for_10pct
+    FROM d
+    """

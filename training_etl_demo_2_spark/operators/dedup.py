@@ -1917,3 +1917,178 @@ def dup_factor_by_source_sql() -> str:
     FROM per
     ORDER BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# LSH blocking quality evaluation (pairs completeness / reduction ratio)
+# ---------------------------------------------------------------------------
+
+
+def blocking_quality_eval(
+    t: dict[str, DataFrame],
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Record-linkage-style grading of the MinHash BANDING stage
+    itself (Christen 2012's blocking metrics): of all truly-duplicate
+    pairs (exact Jaccard ≥ threshold), how many land in at least one
+    shared LSH bucket (pairs completeness = blocking recall), how much
+    of the n²/2 comparison space the blocking avoids (reduction
+    ratio), and what fraction of candidates are real (pair quality =
+    precision). ``dedup_minhash_lsh`` reports the pairs that survive;
+    this reports what the banding MISSED — the number that decides
+    whether 8×4 bands are enough before a 100 TB run.
+
+    Exactness: all five counts are exact integers (the candidate set
+    and truth set are both deterministic); possible pairs uses the
+    exact decimal n(n−1)/2; three ratio divisions at the end.
+
+    Scale shape: ONE persisted shingle relation feeds the signature
+    aggregate, the band self-join (bucket-bounded), and the exact
+    truth tier (the declared ground-truth O(co-shingled pairs) path —
+    this evaluator is as expensive as the truth it grades against, by
+    construction, so it runs on SAMPLES at scale). Final combine is
+    four ONE-ROW aggregates crossJoined (allowlisted metadata class).
+    Output: one row.
+    """
+    d = t["documents"]
+    sh = shingle_hashes(d, "text", n).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = _band_relation(sh)
+    cand = (
+        bands.select(F.col("doc_id").alias("doc_a"), "band", "bk")
+        .join(
+            bands.select(F.col("doc_id").alias("doc_b"), "band", "bk"),
+            ["band", "bk"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    truth = (
+        _pair_jaccard(sh)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    found = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    nd = d.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    nc = cand.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    nt = truth.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_true_pairs")
+    )
+    nf = found.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    one = (
+        nd.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(nf))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    possible = (
+        dec(F.col("n_docs")) * dec(F.col("n_docs") - 1) / F.lit(2)
+    ).cast("long")
+    return one.select(
+        "n_docs",
+        possible.alias("n_possible_pairs"),
+        "n_candidates",
+        "n_true_pairs",
+        "n_found",
+        F.when(
+            F.col("n_true_pairs") > 0,
+            F.round(
+                F.col("n_found").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+                6,
+            ),
+        ).alias("completeness_r6"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(
+                F.col("n_found").cast("double")
+                / F.col("n_candidates").cast("double"),
+                6,
+            ),
+        ).alias("pair_quality_r6"),
+        F.when(
+            possible > 0,
+            F.round(
+                F.lit(1.0)
+                - F.col("n_candidates").cast("double")
+                / possible.cast("double"),
+                6,
+            ),
+        ).alias("reduction_ratio_r6"),
+    )
+
+
+def blocking_quality_eval_sql(
+    n: int = DEFAULT_NGRAM, threshold: float = 0.8
+) -> str:
+    """Twin of blocking_quality_eval: same shingle/signature/band CTEs
+    as the minhash oracle, same exact truth tier."""
+    from .oracle import (
+        _band_key_expr,
+        _shingles_cte,
+        _signature_exprs,
+    )
+
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_expr(b)} AS bk FROM sig"
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH {_shingles_cte(n)},
+    sig AS (
+        SELECT doc_id, {_signature_exprs()}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {band_rows}
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+        FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS MATERIALIZED (
+        SELECT s.doc_a, s.doc_b
+        FROM shared s
+        JOIN sizes za ON za.doc_id = s.doc_a
+        JOIN sizes zb ON zb.doc_id = s.doc_b
+        WHERE round(s.c * 1.0 / (za.n + zb.n - s.c), 6) >= {threshold}
+    ),
+    counts AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+               (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+               (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true_pairs,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM truth t JOIN cand c
+                  ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_found
+    )
+    SELECT n_docs,
+           CAST(CAST(n_docs AS HUGEINT) * (n_docs - 1) // 2 AS BIGINT)
+               AS n_possible_pairs,
+           n_candidates, n_true_pairs, n_found,
+           CASE WHEN n_true_pairs > 0
+                THEN round(CAST(n_found AS DOUBLE)
+                           / CAST(n_true_pairs AS DOUBLE), 6)
+           END AS completeness_r6,
+           CASE WHEN n_candidates > 0
+                THEN round(CAST(n_found AS DOUBLE)
+                           / CAST(n_candidates AS DOUBLE), 6)
+           END AS pair_quality_r6,
+           CASE WHEN n_docs > 1
+                THEN round(1.0 - CAST(n_candidates AS DOUBLE)
+                           / CAST(CAST(n_docs AS HUGEINT) * (n_docs - 1)
+                                  // 2 AS DOUBLE), 6)
+           END AS reduction_ratio_r6
+    FROM counts
+    """

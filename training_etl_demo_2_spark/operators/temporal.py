@@ -1274,3 +1274,196 @@ def seasonal_residual_anomalies_sql() -> str:
     WHERE mad.mad > 0 AND abs(resid.r) > {SEAS_ROBUST_K!r} * mad.mad
     ORDER BY hour
     """
+
+
+# ---------------------------------------------------------------------------
+# cross-correlation (lead-lag) between event-type hourly series
+# ---------------------------------------------------------------------------
+
+CCF_MAX_LAG = 12  # hours each side
+
+
+def ccf_event_types(
+    t: dict[str, DataFrame], max_lag: int = CCF_MAX_LAG
+) -> DataFrame:
+    """Cross-correlation function between every PAIR of event-type
+    hourly count series at lags −``max_lag``..+``max_lag`` — the
+    lead-lag detector ``acf_hourly`` can't express (does 'click'
+    activity lead 'purchase' by two hours? a positive-lag peak of the
+    (a,b) pair says b follows a). Series share one gap-filled clock so
+    a missing hour is a 0 on both sides.
+
+    Exactness: per type, the centered series is scaled to exact
+    integers c_t = n·x_t − S_type (n = shared grid length, S = type
+    total); every lag product sum Σ c^a_t·c^b_{t+k} and both
+    denominators Σ(c^a)², Σ(c^b)² are exact decimal(38,0)/HUGEINT
+    sums (the n² scale cancels in the ratio); ONE double division +
+    sqrt per output row. r uses full-series-variance normalization
+    (numerator over the n−|k| overlapping hours).
+
+    Scale shape: events collapse to the (type, hour) relation in one
+    groupBy; the grid is the 1-row bounds aggregate exploded × the
+    broadcast type registry (calendar × |types| metadata — same
+    allowlisted shape as seasonal_forecast_eval); the lag shift is an
+    integer epoch-key equi-join over that metadata, never a window
+    over data-sized input. Output: |pairs| × (2·max_lag+1) rows.
+    """
+    e = t["events"]
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    bounds = hourly.groupBy().agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias(
+            "h"
+        )
+    ).crossJoin(F.broadcast(hourly.select("event_type").distinct()))
+    filled = grid.join(hourly, ["h", "event_type"], "left").select(
+        "event_type",
+        (F.unix_timestamp("h") / 3600).cast("long").alias("he"),
+        F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+    )
+    w_type = Window.partitionBy("event_type")
+    dec = lambda c: c.cast("decimal(38,0)")
+    cen = filled.select(
+        "event_type",
+        "he",
+        (
+            F.count(F.lit(1)).over(w_type) * F.col("x")
+            - F.sum("x").over(w_type)
+        )
+        .cast("long")
+        .alias("c"),
+    )
+    cen = cen.persist()
+    den = cen.groupBy("event_type").agg(
+        F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("den"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    lags = F.explode(
+        F.sequence(F.lit(-max_lag), F.lit(max_lag))
+    ).alias("lag")
+    a = cen.select(
+        F.col("event_type").alias("ta"),
+        F.col("he").alias("hea"),
+        F.col("c").alias("ca"),
+        lags,
+    )
+    b = cen.select(
+        F.col("event_type").alias("tb"),
+        F.col("he").alias("heb"),
+        F.col("c").alias("cb"),
+    )
+    num = (
+        a.join(
+            b,
+            (F.col("heb") == F.col("hea") + F.col("lag").cast("long"))
+            & (F.col("ta") < F.col("tb")),
+        )
+        .groupBy("ta", "tb", "lag")
+        .agg(
+            F.sum(dec(F.col("ca")) * dec(F.col("cb"))).alias("num"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    return (
+        num.join(
+            F.broadcast(
+                den.select(
+                    F.col("event_type").alias("ta"),
+                    F.col("den").alias("den_a"),
+                )
+            ),
+            "ta",
+        )
+        .join(
+            F.broadcast(
+                den.select(
+                    F.col("event_type").alias("tb"),
+                    F.col("den").alias("den_b"),
+                )
+            ),
+            "tb",
+        )
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("lag").cast("int").alias("lag"),
+            "n_pairs",
+            F.when(
+                (F.col("den_a") > 0) & (F.col("den_b") > 0),
+                F.round(
+                    F.col("num").cast("double")
+                    / F.sqrt(
+                        F.col("den_a").cast("double")
+                        * F.col("den_b").cast("double")
+                    ),
+                    6,
+                ),
+            ).alias("ccf_r6"),
+        )
+        .orderBy("type_a", "type_b", "lag")
+    )
+
+
+def ccf_event_types_sql(max_lag: int = CCF_MAX_LAG) -> str:
+    """Twin of ccf_event_types: identical shared-clock integer
+    centering and HUGEINT lag-product sums."""
+    return f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        FROM hourly
+    ),
+    typed_grid AS (
+        SELECT g.h, ty.event_type
+        FROM grid g CROSS JOIN (SELECT DISTINCT event_type FROM hourly) ty
+    ),
+    filled AS (
+        SELECT tg.event_type,
+               CAST(epoch(tg.h) // 3600 AS BIGINT) AS he,
+               coalesce(hourly.x, 0) AS x
+        FROM typed_grid tg
+        LEFT JOIN hourly ON hourly.h = tg.h
+                        AND hourly.event_type = tg.event_type
+    ),
+    cen AS MATERIALIZED (
+        SELECT event_type, he,
+               CAST(count(*) OVER (PARTITION BY event_type) * x
+                    - sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS c
+        FROM filled
+    ),
+    den AS (
+        SELECT event_type,
+               sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS den,
+               CAST(count(*) AS BIGINT) AS n
+        FROM cen GROUP BY 1
+    ),
+    num AS (
+        SELECT a.event_type AS ta, b.event_type AS tb,
+               CAST(l.lag AS INT) AS lag,
+               sum(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS num,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM cen a
+        CROSS JOIN (SELECT unnest(generate_series(-{max_lag}, {max_lag}))
+                    AS lag) l
+        JOIN cen b ON b.he = a.he + l.lag AND a.event_type < b.event_type
+        GROUP BY 1, 2, 3
+    )
+    SELECT n.ta AS type_a, n.tb AS type_b, n.lag, n.n_pairs,
+           CASE WHEN da.den > 0 AND db.den > 0
+                THEN round(CAST(n.num AS DOUBLE)
+                           / sqrt(CAST(da.den AS DOUBLE)
+                                  * CAST(db.den AS DOUBLE)), 6)
+           END AS ccf_r6
+    FROM num n
+    JOIN den da ON da.event_type = n.ta
+    JOIN den db ON db.event_type = n.tb
+    ORDER BY type_a, type_b, lag
+    """

@@ -2373,3 +2373,161 @@ def readability_by_source_sql() -> str:
     GROUP BY source
     ORDER BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# Unicode-script distribution / declared-language mismatch audit
+# ---------------------------------------------------------------------------
+
+# char-class patterns, spelled per engine (Java regex vs RE2) but
+# matching the same code-point sets
+_SCRIPT_CLASSES_SPARK = (
+    ("latin", "[A-Za-z]"),
+    ("cjk", "[\\u4E00-\\u9FFF\\u3040-\\u30FF]"),
+    ("cyr", "[\\u0400-\\u04FF]"),
+    ("digit", "[0-9]"),
+    ("space", "\\s"),
+)
+_SCRIPT_CLASSES_SQL = (
+    ("latin", "[A-Za-z]"),
+    ("cjk", "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]"),
+    ("cyr", "[\\x{0400}-\\x{04FF}]"),
+    ("digit", "[0-9]"),
+    ("space", "\\s"),
+)
+# declared language -> script its text should be dominated by
+_LANG_EXPECTED_SCRIPT = (("zh", "cjk"), ("ja", "cjk"), ("ru", "cyr"))
+
+
+def script_mismatch_audit(t: dict[str, DataFrame]) -> DataFrame:
+    """Unicode-script distribution per declared language + the
+    mislabel catch: a doc tagged ``zh`` whose characters are
+    Latin-dominant is either mislabeled, transliterated, or mojibake —
+    the class of corpus rot a lang-id model trained on clean data
+    never sees. Reports, per lang, how many docs' DOMINANT script
+    (latin vs CJK vs Cyrillic, ties broken in that order) disagrees
+    with the script the label implies, plus the exact corpus-level
+    character-class mix in basis points.
+
+    Exactness: each class count is length(text) −
+    length(regexp_replace(text, class, '')) — exact integer code-point
+    counts under identical class semantics (both engines count code
+    points); shares use integer floor-division to bp. No doubles
+    anywhere.
+
+    Scale shape: pure per-row regexp counting (narrow map, no UDF, no
+    shuffle) + one per-lang aggregate. Output: one row per lang.
+    """
+    d = t["documents"]
+
+    def cnt(pat):
+        return (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), pat, F.lit("")))
+        ).cast("long")
+
+    cls = {name: cnt(pat) for name, pat in _SCRIPT_CLASSES_SPARK}
+    per = d.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars_total"),
+        *[c.alias(f"n_{n}") for n, c in cls.items()],
+    )
+    nl, nc, ny = F.col("n_latin"), F.col("n_cjk"), F.col("n_cyr")
+    dominant = (
+        F.when((nl >= nc) & (nl >= ny) & (nl > 0), "latin")
+        .when((nc >= ny) & (nc > 0), "cjk")
+        .when(ny > 0, "cyr")
+        .otherwise("none")
+    )
+    expected = F.lit("latin")
+    for lang, script in _LANG_EXPECTED_SCRIPT:
+        expected = F.when(F.col("lang") == lang, script).otherwise(expected)
+    scored = per.select(
+        "lang",
+        "n_chars_total",
+        *[f"n_{n}" for n in cls],
+        (
+            (dominant != F.lit("none")) & (dominant != expected)
+        )
+        .cast("long")
+        .alias("mismatch"),
+    )
+    agg = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("mismatch").cast("long").alias("n_mismatched"),
+        F.sum("n_chars_total").cast("long").alias("chars"),
+        *[F.sum(f"n_{n}").cast("long").alias(f"c_{n}") for n in cls],
+    )
+    bp = lambda c: F.expr(f"(c_{c} * 10000L) div chars").cast("long")
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_mismatched",
+        F.col("chars").alias("n_chars"),
+        bp("latin").alias("latin_bp"),
+        bp("cjk").alias("cjk_bp"),
+        bp("cyr").alias("cyr_bp"),
+        bp("digit").alias("digit_bp"),
+        bp("space").alias("space_bp"),
+    ).orderBy("lang")
+
+
+def script_mismatch_audit_sql() -> str:
+    """Twin of script_mismatch_audit: identical class sets (RE2
+    spellings) and integer bp algebra."""
+    cnts = ",\n               ".join(
+        f"CAST(length(text) - length(regexp_replace(text, '{pat}', '', 'g'))"
+        f" AS BIGINT) AS n_{name}"
+        for name, pat in _SCRIPT_CLASSES_SQL
+    )
+    exp_arms = " ".join(
+        f"WHEN lang = '{lang}' THEN '{script}'"
+        for lang, script in _LANG_EXPECTED_SCRIPT
+    )
+    sums = ",\n           ".join(
+        f"CAST(sum(n_{name}) AS BIGINT) AS c_{name}"
+        for name, _ in _SCRIPT_CLASSES_SQL
+    )
+    return f"""
+    WITH per AS (
+        SELECT lang,
+               CAST(length(text) AS BIGINT) AS n_chars_total,
+               {cnts}
+        FROM documents
+    ),
+    scored AS (
+        SELECT lang, n_chars_total,
+               n_latin, n_cjk, n_cyr, n_digit, n_space,
+               CASE WHEN (CASE
+                      WHEN n_latin >= n_cjk AND n_latin >= n_cyr
+                           AND n_latin > 0 THEN 'latin'
+                      WHEN n_cjk >= n_cyr AND n_cjk > 0 THEN 'cjk'
+                      WHEN n_cyr > 0 THEN 'cyr'
+                      ELSE 'none' END) != 'none'
+                     AND (CASE
+                      WHEN n_latin >= n_cjk AND n_latin >= n_cyr
+                           AND n_latin > 0 THEN 'latin'
+                      WHEN n_cjk >= n_cyr AND n_cjk > 0 THEN 'cjk'
+                      WHEN n_cyr > 0 THEN 'cyr'
+                      ELSE 'none' END)
+                         != (CASE {exp_arms} ELSE 'latin' END)
+               THEN 1 ELSE 0 END AS mismatch
+        FROM per
+    ),
+    agg AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(mismatch) AS BIGINT) AS n_mismatched,
+               CAST(sum(n_chars_total) AS BIGINT) AS chars,
+           {sums}
+        FROM scored GROUP BY 1
+    )
+    SELECT lang, n_docs, n_mismatched, chars AS n_chars,
+           CAST((c_latin * 10000) // chars AS BIGINT) AS latin_bp,
+           CAST((c_cjk * 10000) // chars AS BIGINT) AS cjk_bp,
+           CAST((c_cyr * 10000) // chars AS BIGINT) AS cyr_bp,
+           CAST((c_digit * 10000) // chars AS BIGINT) AS digit_bp,
+           CAST((c_space * 10000) // chars AS BIGINT) AS space_bp
+    FROM agg
+    ORDER BY lang
+    """

@@ -3011,3 +3011,314 @@ def functional_dependency_audit_sql() -> str:
     FROM rep
     ORDER BY table_name, lhs
     """
+
+
+# ---------------------------------------------------------------------------
+# one-way ANOVA + Bartlett homogeneity across sources
+# ---------------------------------------------------------------------------
+
+
+def anova_bartlett_sources(t: dict[str, DataFrame]) -> DataFrame:
+    """One-way ANOVA of document length across ALL sources at once —
+    the k-group generalization of ``welch_ttest_sources``'s pairwise
+    screen: the F statistic answers "do the sources differ in scale AT
+    ALL" before any pairwise hunt, eta² reports how much of the length
+    variance source membership explains, and Bartlett's statistic
+    tests the equal-variance assumption ANOVA itself leans on (when
+    Bartlett is large, trust Welch pairs over this F).
+
+    Exactness: each source collapses to exact integer (n, Σx, Σx²)
+    with decimal(38,0) squares; every per-source double term (within-
+    group SS, between-group SS, (n_i−1)·ln v_i, 1/(n_i−1)) is
+    nano-rounded to a long BEFORE the cross-source sum, so the fold
+    is order-invariant and both engines land on identical doubles.
+    Sources need n_i ≥ 2 to contribute; Bartlett is NULL if any
+    contributing source has zero variance (ln 0) or k < 2.
+
+    Scale shape: one groupBy collapses the corpus to the |sources|-row
+    statistic relation; all later algebra runs over that metadata via
+    an empty-frame window (same shape as jackknife_source_mean).
+    Output: one row.
+    """
+    d = t["documents"]
+    dec = lambda c: c.cast("decimal(38,0)")
+    per = (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_i"),
+            F.sum("n_chars").cast("long").alias("s_i"),
+            F.sum(dec(F.col("n_chars")) * dec(F.col("n_chars"))).alias(
+                "ss_i"
+            ),
+        )
+        .filter(F.col("n_i") >= 2)
+    )
+    w_all = Window.partitionBy()
+    nano = lambda x: F.floor(x * 1e9 + F.lit(0.5)).cast("long")
+    n_i = F.col("n_i").cast("double")
+    s_i = F.col("s_i").cast("double")
+    ss_i = F.col("ss_i").cast("double")
+    big_n = F.col("N").cast("double")
+    big_s = F.col("S").cast("double")
+    ssw_i = ss_i - s_i * s_i / n_i
+    v_i = ssw_i / (n_i - 1.0)
+    ssb_i = n_i * (s_i / n_i - big_s / big_n) * (s_i / n_i - big_s / big_n)
+    terms = per.select(
+        F.sum("n_i").over(w_all).cast("long").alias("N"),
+        F.sum("s_i").over(w_all).cast("long").alias("S"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("k"),
+        "n_i",
+        "s_i",
+        "ss_i",
+    ).select(
+        "N",
+        "S",
+        "k",
+        nano(ssw_i).alias("ssw_nano"),
+        nano(ssb_i).alias("ssb_nano"),
+        nano((n_i - 1.0) * F.log(v_i)).alias("nlnv_nano"),
+        nano(F.lit(1.0) / (n_i - 1.0)).alias("invdf_nano"),
+        (ssw_i <= 0.0).cast("long").alias("degenerate"),
+    )
+    agg = terms.groupBy().agg(
+        F.max("N").alias("N"),
+        F.max("k").cast("long").alias("k"),
+        F.sum("ssw_nano").cast("long").alias("ssw_n"),
+        F.sum("ssb_nano").cast("long").alias("ssb_n"),
+        F.sum("nlnv_nano").cast("long").alias("nlnv_n"),
+        F.sum("invdf_nano").cast("long").alias("invdf_n"),
+        F.sum("degenerate").cast("long").alias("n_degen"),
+    )
+    k = F.col("k").cast("double")
+    nn = F.col("N").cast("double")
+    ssw = F.col("ssw_n").cast("double") / 1e9
+    ssb = F.col("ssb_n").cast("double") / 1e9
+    df1 = k - 1.0
+    df2 = nn - k
+    fstat = (ssb / df1) / (ssw / df2)
+    eta2 = ssb / (ssb + ssw)
+    sp2 = ssw / df2
+    c_corr = 1.0 + (
+        F.col("invdf_n").cast("double") / 1e9 - 1.0 / df2
+    ) / (3.0 * df1)
+    bartlett = (
+        df2 * F.log(sp2) - F.col("nlnv_n").cast("double") / 1e9
+    ) / c_corr
+    ok = (F.col("k") >= 2) & (F.col("n_degen") == 0)
+    return agg.select(
+        F.col("N").cast("long").alias("n_docs"),
+        F.col("k").cast("long").alias("k_sources"),
+        F.when(F.col("k") >= 2, F.round(fstat, 6)).alias("f_r6"),
+        df1.cast("long").alias("df_between"),
+        df2.cast("long").alias("df_within"),
+        F.when(F.col("k") >= 2, F.round(eta2, 6)).alias("eta2_r6"),
+        F.when(ok, F.round(bartlett, 6)).alias("bartlett_chi2_r6"),
+        F.col("n_degen").cast("long").alias("n_zero_var_sources"),
+    )
+
+
+def anova_bartlett_sources_sql() -> str:
+    """Twin of anova_bartlett_sources: identical nano-term lattice."""
+    return """
+    WITH per AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_i,
+               CAST(sum(n_chars) AS BIGINT) AS s_i,
+               sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+                   AS ss_i
+        FROM documents
+        GROUP BY 1
+        HAVING count(*) >= 2
+    ),
+    tot AS (
+        SELECT CAST(sum(n_i) AS BIGINT) AS N,
+               CAST(sum(s_i) AS BIGINT) AS S,
+               CAST(count(*) AS BIGINT) AS k
+        FROM per
+    ),
+    terms AS (
+        SELECT t.N, t.k,
+               CAST(floor((CAST(ss_i AS DOUBLE)
+                           - CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE)
+                             / CAST(n_i AS DOUBLE)) * 1e9 + 0.5)
+                    AS BIGINT) AS ssw_nano,
+               CAST(floor(CAST(n_i AS DOUBLE)
+                          * (CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE)
+                             - CAST(t.S AS DOUBLE) / CAST(t.N AS DOUBLE))
+                          * (CAST(s_i AS DOUBLE) / CAST(n_i AS DOUBLE)
+                             - CAST(t.S AS DOUBLE) / CAST(t.N AS DOUBLE))
+                          * 1e9 + 0.5) AS BIGINT) AS ssb_nano,
+               CAST(floor((CAST(n_i AS DOUBLE) - 1.0)
+                          * ln((CAST(ss_i AS DOUBLE)
+                                - CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE)
+                                  / CAST(n_i AS DOUBLE))
+                               / (CAST(n_i AS DOUBLE) - 1.0))
+                          * 1e9 + 0.5) AS BIGINT) AS nlnv_nano,
+               CAST(floor(1.0 / (CAST(n_i AS DOUBLE) - 1.0) * 1e9 + 0.5)
+                    AS BIGINT) AS invdf_nano,
+               CAST(CAST(ss_i AS DOUBLE)
+                    - CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE)
+                      / CAST(n_i AS DOUBLE) <= 0.0 AS BIGINT) AS degenerate
+        FROM per, tot t
+    ),
+    agg AS (
+        SELECT max(N) AS N, CAST(max(k) AS BIGINT) AS k,
+               CAST(sum(ssw_nano) AS BIGINT) AS ssw_n,
+               CAST(sum(ssb_nano) AS BIGINT) AS ssb_n,
+               CAST(sum(nlnv_nano) AS BIGINT) AS nlnv_n,
+               CAST(sum(invdf_nano) AS BIGINT) AS invdf_n,
+               CAST(sum(degenerate) AS BIGINT) AS n_degen
+        FROM terms
+    )
+    SELECT CAST(N AS BIGINT) AS n_docs,
+           CAST(k AS BIGINT) AS k_sources,
+           CASE WHEN k >= 2 THEN round(
+               (CAST(ssb_n AS DOUBLE) / 1e9 / (CAST(k AS DOUBLE) - 1.0))
+               / (CAST(ssw_n AS DOUBLE) / 1e9
+                  / (CAST(N AS DOUBLE) - CAST(k AS DOUBLE))), 6)
+           END AS f_r6,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(N - k AS BIGINT) AS df_within,
+           CASE WHEN k >= 2 THEN round(
+               CAST(ssb_n AS DOUBLE) / 1e9
+               / (CAST(ssb_n AS DOUBLE) / 1e9
+                  + CAST(ssw_n AS DOUBLE) / 1e9), 6)
+           END AS eta2_r6,
+           CASE WHEN k >= 2 AND n_degen = 0 THEN round(
+               ((CAST(N AS DOUBLE) - CAST(k AS DOUBLE))
+                * ln(CAST(ssw_n AS DOUBLE) / 1e9
+                     / (CAST(N AS DOUBLE) - CAST(k AS DOUBLE)))
+                - CAST(nlnv_n AS DOUBLE) / 1e9)
+               / (1.0 + (CAST(invdf_n AS DOUBLE) / 1e9
+                         - 1.0 / (CAST(N AS DOUBLE) - CAST(k AS DOUBLE)))
+                        / (3.0 * (CAST(k AS DOUBLE) - 1.0))), 6)
+           END AS bartlett_chi2_r6,
+           CAST(n_degen AS BIGINT) AS n_zero_var_sources
+    FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b rank concordance between daily revenue and order count
+# ---------------------------------------------------------------------------
+
+
+def kendall_tau_daily(t: dict[str, DataFrame]) -> DataFrame:
+    """Kendall tau-b between daily order COUNT and daily revenue — the
+    concordance complement of ``spearman_lineitem``: tau counts
+    direction agreements pair-by-pair instead of correlating midranks,
+    so it is the statistic of record when the series are short, tied,
+    or outlier-ridden (each pair contributes ±1 regardless of
+    magnitude). Tie-corrected (tau-b) with both tie terms reported.
+
+    Exactness: days collapse to exact integers (order count, revenue
+    cents); concordant / discordant / tie classifications are integer
+    comparisons over day pairs; tau divides once at the end (the only
+    double op is one sqrt of an exact integer product —
+    decimal(38,0)/HUGEINT, since n₀ terms square past int64 at ~10⁵
+    days).
+
+    Scale shape: the fact table collapses to the |days|-row daily
+    relation in one groupBy; the pair stage is the calendar² self
+    theta-join over THAT metadata (data-size invariant — same
+    allowlisted class as theil_sen_trend); one final 1-row aggregate.
+    Output: one row.
+    """
+    o = t["orders"]
+    daily = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d"))
+    dx = F.col("b.x") - F.col("a.x")
+    dy = F.col("b.y") - F.col("a.y")
+    cls = pairs.select(
+        ((dx > 0) & (dy > 0) | (dx < 0) & (dy < 0))
+        .cast("long")
+        .alias("conc"),
+        ((dx > 0) & (dy < 0) | (dx < 0) & (dy > 0))
+        .cast("long")
+        .alias("disc"),
+        (dx == 0).cast("long").alias("tie_x"),
+        (dy == 0).cast("long").alias("tie_y"),
+        ((dx == 0) & (dy == 0)).cast("long").alias("tie_xy"),
+    )
+    agg = cls.groupBy().agg(
+        F.sum("conc").cast("long").alias("c"),
+        F.sum("disc").cast("long").alias("d"),
+        F.sum("tie_x").cast("long").alias("tx"),
+        F.sum("tie_y").cast("long").alias("ty"),
+        F.sum("tie_xy").cast("long").alias("txy"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    den = (dec(F.col("n0")) - dec(F.col("tx"))) * (
+        dec(F.col("n0")) - dec(F.col("ty"))
+    )
+    tau = F.when(
+        den > 0,
+        (F.col("c") - F.col("d")).cast("double")
+        / F.sqrt(den.cast("double")),
+    )
+    return agg.select(
+        F.col("n0").alias("n_pairs"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.col("tx").alias("ties_count"),
+        F.col("ty").alias("ties_revenue"),
+        F.col("txy").alias("ties_both"),
+        F.round(tau, 6).alias("tau_b_r6"),
+    )
+
+
+def kendall_tau_daily_sql() -> str:
+    """Twin of kendall_tau_daily: identical pair classification and
+    HUGEINT tie-corrected denominator."""
+    return """
+    WITH daily AS (
+        SELECT o_orderdate AS d,
+               CAST(count(*) AS BIGINT) AS x,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1
+    ),
+    cls AS (
+        SELECT CAST(CASE WHEN (b.x - a.x > 0 AND b.y - a.y > 0)
+                           OR (b.x - a.x < 0 AND b.y - a.y < 0)
+                    THEN 1 ELSE 0 END AS BIGINT) AS conc,
+               CAST(CASE WHEN (b.x - a.x > 0 AND b.y - a.y < 0)
+                           OR (b.x - a.x < 0 AND b.y - a.y > 0)
+                    THEN 1 ELSE 0 END AS BIGINT) AS disc,
+               CAST(CASE WHEN b.x = a.x THEN 1 ELSE 0 END AS BIGINT)
+                   AS tie_x,
+               CAST(CASE WHEN b.y = a.y THEN 1 ELSE 0 END AS BIGINT)
+                   AS tie_y,
+               CAST(CASE WHEN b.x = a.x AND b.y = a.y THEN 1 ELSE 0 END
+                    AS BIGINT) AS tie_xy
+        FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    agg AS (
+        SELECT CAST(sum(conc) AS BIGINT) AS c,
+               CAST(sum(disc) AS BIGINT) AS d,
+               CAST(sum(tie_x) AS BIGINT) AS tx,
+               CAST(sum(tie_y) AS BIGINT) AS ty,
+               CAST(sum(tie_xy) AS BIGINT) AS txy,
+               CAST(count(*) AS BIGINT) AS n0
+        FROM cls
+    )
+    SELECT n0 AS n_pairs, c AS concordant, d AS discordant,
+           tx AS ties_count, ty AS ties_revenue, txy AS ties_both,
+           CASE WHEN (CAST(n0 AS HUGEINT) - tx)
+                     * (CAST(n0 AS HUGEINT) - ty) > 0
+                THEN round(CAST(c - d AS DOUBLE)
+                           / sqrt(CAST((CAST(n0 AS HUGEINT) - tx)
+                                       * (CAST(n0 AS HUGEINT) - ty)
+                                       AS DOUBLE)), 6)
+           END AS tau_b_r6
+    FROM agg
+    """
