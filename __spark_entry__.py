@@ -846,6 +846,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau_daily": _q(validation.kendall_tau_daily),
         # LSH blocking quality: completeness / reduction ratio
         "blocking_quality_eval": _q(dedup.blocking_quality_eval),
+        # per-cluster simplified silhouette of the seeded k-means
+        "kmeans_silhouette": _q(similarity.kmeans_silhouette),
+        # U-shaped 40/20/40 position-based multi-touch attribution
+        "position_attribution": _q(
+            lambda t: behavior.position_attribution(t["events"])
+        ),
     }
 
 
@@ -1684,4 +1690,6 @@ def oracle_sql() -> dict[str, str]:
         "script_mismatch_audit": text.script_mismatch_audit_sql(),
         "kendall_tau_daily": validation.kendall_tau_daily_sql(),
         "blocking_quality_eval": dedup.blocking_quality_eval_sql(),
+        "kmeans_silhouette": similarity.kmeans_silhouette_sql(),
+        "position_attribution": behavior.POSITION_ATTRIBUTION_SQL,
     }

@@ -1800,3 +1800,130 @@ def ab_power_mde_sql() -> str:
                AS powered_for_10pct
     FROM d
     """
+
+
+# ---------------------------------------------------------------------------
+# position-based (U-shaped) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+# the standard 40/20/40 split: first and last touch get 40% each, the
+# middle touches share the remaining 20%
+POS_END_NANO = 400_000_000
+POS_MID_POOL_NANO = 200_000_000
+
+
+def position_attribution(events: DataFrame) -> DataFrame:
+    """POSITION-BASED (U-shaped) multi-touch attribution: each
+    purchase gives 40% of one credit unit to the user's FIRST click in
+    the preceding hour, 40% to the LAST, and splits the remaining 20%
+    equally across the middle clicks — the model between
+    ``linear_attribution`` (all touches equal) and
+    ``markov_attribution`` (data-driven): it encodes the
+    introduce-then-close journey shape marketers assume. One click →
+    100%; two clicks → 50/50.
+
+    Determinism/exactness: click order within a purchase window is
+    (timestamp, event_id) — total order even under timestamp
+    collisions; per-pair credit is integer nano-units (the middle
+    share divides the 0.2 pool once, floor+0.5); hourly sums are
+    integer.
+
+    Physical shape: identical banded interval join as
+    ``linear_attribution`` (equi-join on (user, hour bucket), exact
+    re-filter, fan-out ≤ 2 buckets/purchase); position and count come
+    from one purchase-keyed window over the matched pairs (windows
+    sized by per-purchase click counts, ≤ window-hour fan-out — never
+    corpus-sized). Output: (click_hour, n_credit_events, credit).
+    """
+    from pyspark.sql import Window
+
+    from .temporal import banded_range_join
+
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+        F.col("event_id").alias("c_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_id"),
+        (F.unix_micros("ts") - F.lit(ATTRIB_WINDOW_US)).alias("lo_us"),
+        (F.unix_micros("ts") - F.lit(1)).alias("hi_us"),
+    )
+    pairs = banded_range_join(
+        clicks,
+        purchases,
+        on="user_id",
+        point_ts="c_us",
+        interval_lo="lo_us",
+        interval_hi="hi_us",
+        max_span=ATTRIB_WINDOW_US,
+    )
+    wp = Window.partitionBy("p_id")
+    wo = Window.partitionBy("p_id").orderBy("c_us", "c_id")
+    k = F.count(F.lit(1)).over(wp)
+    rn = F.row_number().over(wo)
+    credit = (
+        F.when(k == 1, F.lit(1_000_000_000))
+        .when(k == 2, F.lit(500_000_000))
+        .when((rn == 1) | (rn == k), F.lit(POS_END_NANO))
+        .otherwise(
+            F.floor(
+                F.lit(float(POS_MID_POOL_NANO)) / (k - 2).cast("double")
+                + F.lit(0.5)
+            )
+        )
+        .cast("long")
+    )
+    credited = pairs.select("c_us", credit.alias("credit_nano"))
+    hour = F.date_format(
+        F.timestamp_micros(F.col("c_us") - F.col("c_us") % 3_600_000_000),
+        "yyyy-MM-dd HH:00",
+    )
+    return credited.groupBy(hour.alias("click_hour")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_credit_events"),
+        F.round(F.sum("credit_nano") / 1e9, 6).alias("credit"),
+    )
+
+
+POSITION_ATTRIBUTION_SQL = f"""
+    WITH clicks AS (
+        SELECT user_id, epoch_us(ts) AS c_us, event_id AS c_id FROM events
+        WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, event_id AS p_id,
+               epoch_us(ts) - {ATTRIB_WINDOW_US} AS lo_us,
+               epoch_us(ts) - 1 AS hi_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    pairs AS (
+        SELECT c.c_us, c.c_id, p.p_id
+        FROM clicks c JOIN purchases p
+          ON c.user_id = p.user_id
+         AND c.c_us >= p.lo_us AND c.c_us <= p.hi_us
+    ),
+    positioned AS (
+        SELECT c_us,
+               count(*) OVER (PARTITION BY p_id) AS k,
+               row_number() OVER (PARTITION BY p_id
+                                  ORDER BY c_us, c_id) AS rn
+        FROM pairs
+    ),
+    credited AS (
+        SELECT c_us,
+               CAST(CASE WHEN k = 1 THEN 1000000000
+                         WHEN k = 2 THEN 500000000
+                         WHEN rn = 1 OR rn = k THEN {POS_END_NANO}
+                         ELSE floor({POS_MID_POOL_NANO}.0
+                                    / CAST(k - 2 AS DOUBLE) + 0.5)
+                    END AS BIGINT) AS credit_nano
+        FROM positioned
+    )
+    SELECT strftime(make_timestamp((c_us - c_us % 3600000000)),
+                    '%Y-%m-%d %H:00') AS click_hour,
+           CAST(count(*) AS BIGINT) AS n_credit_events,
+           round(CAST(sum(credit_nano) AS BIGINT) / 1e9, 6) AS credit
+    FROM credited
+    GROUP BY 1
+"""

@@ -1207,6 +1207,45 @@ def distributed_kmeans(
     on exact ties (broken by cid), the same determinism argument as the
     ANN tier.
     """
+    elems, cent = _lloyd_relations(emb, k, iters)
+    final = _assign_dists(elems, cent, top=1)
+    return final.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(F.sum("d2"), 6).alias("inertia"),
+    )
+
+
+def _assign_dists(elems: DataFrame, cent_df: DataFrame, top: int) -> DataFrame:
+    """(vec_id, cid, d2, rn) for the ``top`` closest centroids per
+    vector — rn=1 is the Lloyd assignment, rn=2 the runner-up the
+    silhouette needs. Ties break by lowest cid (determinism)."""
+    dists = (
+        elems.join(cent_df, "dim")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top)
+        .select("vec_id", "cid", "d2", "rn")
+    )
+
+
+def _lloyd_relations(
+    emb: DataFrame, k: int, iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """The (vec, dim, val) element relation + the centroid relation
+    after ``iters`` Lloyd updates — the shared core of
+    ``distributed_kmeans`` (membership/inertia) and
+    ``kmeans_silhouette`` (cluster-separation grade); both twins unroll
+    the identical recurrence in SQL."""
     elems = emb.select(
         "vec_id", F.posexplode("embedding").alias("dim", "val")
     ).withColumn("val", F.col("val").cast("double"))
@@ -1218,24 +1257,8 @@ def distributed_kmeans(
         )
         .withColumn("c", F.col("c").cast("double"))
     )
-
-    def assign(cent_df: DataFrame) -> DataFrame:
-        dists = (
-            elems.join(cent_df, "dim")
-            .groupBy("vec_id", "cid")
-            .agg(F.sum((F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))).alias("d2"))
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("d2").asc(), F.col("cid").asc()
-        )
-        return (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", "d2")
-        )
-
     for _ in range(iters):
-        a = assign(cent)
+        a = _assign_dists(elems, cent, top=1)
         means = (
             a.select("vec_id", "cid")
             .join(elems, "vec_id")
@@ -1245,12 +1268,7 @@ def distributed_kmeans(
         cent = cent.join(means, ["cid", "dim"], "left").select(
             "cid", "dim", F.coalesce(F.col("m"), F.col("c")).alias("c")
         )
-
-    final = assign(cent)
-    return final.groupBy(F.col("cid").alias("cluster_id")).agg(
-        F.count(F.lit(1)).cast("long").alias("n_members"),
-        F.round(F.sum("d2"), 6).alias("inertia"),
-    )
+    return elems, cent
 
 
 def distributed_kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
@@ -1955,4 +1973,137 @@ def embedding_norm_audit_sql() -> str:
     FROM scored
     GROUP BY label
     ORDER BY label
+    """
+
+
+# ---------------------------------------------------------------------------
+# simplified silhouette for the distributed k-means clustering
+# ---------------------------------------------------------------------------
+
+
+def kmeans_silhouette(
+    t: dict[str, DataFrame], k: int = KMEANS_K, iters: int = KMEANS_ITERS
+) -> DataFrame:
+    """Per-cluster simplified silhouette of the ``distributed_kmeans``
+    partitioning — the cluster-quality grade that inertia alone can't
+    give (inertia always improves with k; silhouette penalizes
+    clusters whose members sit nearly as close to a NEIGHBOR centroid).
+    Uses the standard centroid-simplified form (a_i = distance to own
+    centroid, b_i = distance to the nearest OTHER centroid,
+    s_i = (b_i−a_i)/max(a_i,b_i)) — the O(n·k) variant that replaces
+    the O(n²) pairwise definition at scale.
+
+    Determinism/exactness: centroids come from the identical seeded
+    Lloyd recurrence as ``kmeans_clusters`` (init = k smallest
+    vec_ids, ties by lowest cid); per-vector s is nano-rounded BEFORE
+    the per-cluster integer sum (order-invariant); one division at the
+    end. s_i = 0 where both distances are 0 (coincident centroids).
+
+    Scale shape: same supersteps as kmeans (element ⋈ broadcast-sized
+    centroid relation, scalar-triple shuffles); the silhouette pass is
+    ONE extra assignment join keeping rn ≤ 2 per vector. Output: one
+    row per cluster + ordering by cluster_id.
+    """
+    emb = t["embeddings"]
+    elems, cent = _lloyd_relations(emb, k, iters)
+    two = _assign_dists(elems, cent, top=2)
+    per_vec = two.groupBy("vec_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("cid"))).alias("own"),
+        F.min(F.when(F.col("rn") == 1, F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("rn") == 2, F.col("d2"))).alias("b2"),
+    )
+    a = F.sqrt(F.col("a2"))
+    b = F.sqrt(F.col("b2"))
+    s = F.when(F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)).otherwise(
+        F.lit(0.0)
+    )
+    scored = per_vec.select(
+        "own",
+        F.floor(s * 1e9 + F.lit(0.5)).cast("long").alias("s_nano"),
+    )
+    return (
+        scored.groupBy(F.col("own").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("s_nano").cast("long").alias("sn"),
+            F.min("s_nano").cast("long").alias("mn"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            F.round(
+                F.col("sn").cast("double")
+                / 1e9
+                / F.col("n_members").cast("double"),
+                6,
+            ).alias("mean_silhouette_r6"),
+            F.round(F.col("mn").cast("double") / 1e9, 6).alias(
+                "min_silhouette_r6"
+            ),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def kmeans_silhouette_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    """Twin of kmeans_silhouette: the distributed_kmeans_sql unrolled
+    recurrence + a rn ≤ 2 final assignment and the identical nano
+    silhouette lattice."""
+    assign = (
+        "SELECT vec_id, cid, d2, rn FROM ("
+        "SELECT vec_id, cid, d2, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn "
+        "FROM (SELECT e.vec_id, c.cid, sum((e.val - c.c) * (e.val - c.c)) AS d2 "
+        "FROM elems e JOIN cent{i} c ON e.dim = c.dim "
+        "GROUP BY e.vec_id, c.cid)) WHERE rn <= {top}"
+    )
+    steps = []
+    for i in range(iters):
+        steps.append(f"a{i} AS ({assign.format(i=i, top=1)})")
+        steps.append(
+            f"""cent{i + 1} AS (
+        SELECT c.cid, c.dim, coalesce(m.m, c.c) AS c
+        FROM cent{i} c
+        LEFT JOIN (
+            SELECT a.cid, e.dim, avg(e.val) AS m
+            FROM a{i} a JOIN elems e ON a.vec_id = e.vec_id
+            GROUP BY a.cid, e.dim
+        ) m ON c.cid = m.cid AND c.dim = m.dim
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH elems AS (
+        SELECT vec_id, t.i - 1 AS dim, embedding[t.i]::DOUBLE AS val
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent0 AS (
+        SELECT vec_id AS cid, dim, val AS c FROM elems WHERE vec_id < {k}
+    ),
+    {chain},
+    two AS ({assign.format(i=iters, top=2)}),
+    per_vec AS (
+        SELECT vec_id,
+               min(CASE WHEN rn = 1 THEN cid END) AS own,
+               min(CASE WHEN rn = 1 THEN d2 END) AS a2,
+               min(CASE WHEN rn = 2 THEN d2 END) AS b2
+        FROM two GROUP BY vec_id
+    ),
+    scored AS (
+        SELECT own,
+               CAST(floor(CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0
+                               THEN (sqrt(b2) - sqrt(a2))
+                                    / greatest(sqrt(a2), sqrt(b2))
+                               ELSE 0.0 END * 1e9 + 0.5) AS BIGINT)
+                   AS s_nano
+        FROM per_vec
+    )
+    SELECT own AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           round(CAST(sum(s_nano) AS BIGINT) / 1e9
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_silhouette_r6,
+           round(CAST(min(s_nano) AS BIGINT) / 1e9, 6) AS min_silhouette_r6
+    FROM scored
+    GROUP BY own
+    ORDER BY cluster_id
     """
