@@ -852,6 +852,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_attribution": _q(
             lambda t: behavior.position_attribution(t["events"])
         ),
+        # exact CART Gini split stump on doc length vs lang
+        "gini_split_stump": _q(curation.gini_split_stump),
+        # logistic regression trained by 3 unrolled IRLS steps
+        "logistic_irls_lang": _q(validation.logistic_irls_lang),
     }
 
 
@@ -1692,4 +1696,6 @@ def oracle_sql() -> dict[str, str]:
         "blocking_quality_eval": dedup.blocking_quality_eval_sql(),
         "kmeans_silhouette": similarity.kmeans_silhouette_sql(),
         "position_attribution": behavior.POSITION_ATTRIBUTION_SQL,
+        "gini_split_stump": curation.gini_split_stump_sql(),
+        "logistic_irls_lang": validation.logistic_irls_lang_sql(),
     }

@@ -130,6 +130,9 @@ NESTED_LOOP_OK = {
     "kendall_tau_daily",
     # four ONE-ROW count aggregates crossJoined (metadata combine)
     "blocking_quality_eval",
+    # per-Newton-step broadcast of the ONE-ROW beta relation (the
+    # unrolled IRLS loop), same designed class as unigram_logprob
+    "logistic_irls_lang",
 }
 
 

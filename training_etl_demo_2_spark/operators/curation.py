@@ -1625,3 +1625,148 @@ def stratified_kfold_sql(k: int = KFOLD_K) -> str:
     FROM ranked GROUP BY 1, 2
     ORDER BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# exact distributed decision stump (CART Gini split)
+# ---------------------------------------------------------------------------
+
+
+def gini_split_stump(t: dict[str, DataFrame]) -> DataFrame:
+    """One exact CART split, trained distributively: the n_chars
+    threshold that best separates English from non-English documents
+    by Gini impurity decrease — the depth-1 decision tree every
+    feature-importance pipeline starts from, and the building block a
+    distributed tree trainer evaluates thousands of times per level.
+    Evaluating EVERY distinct feature value exactly (not a quantile
+    sketch of candidates) is the point: it pins the semantics the
+    approximate candidate tiers would be graded against.
+
+    Exactness: candidate statistics are exact integers from one
+    (value → count, positives) aggregate + prefix sums; each
+    candidate's weighted-impurity decrease is ONE shared double
+    sequence over those integers, nano-rounded, and the argmax breaks
+    ties on the smaller threshold — bit-stable across engines and
+    partitionings.
+
+    Scale shape: docs collapse to the |distinct n_chars|-row value
+    relation in one groupBy (value-domain-bounded — doc lengths, not
+    docs); the prefix sums and argmax run on that metadata via ordered
+    windows. Output: one row (the trained stump + its quality).
+    """
+    d = t["documents"]
+    vals = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("lang") == "en").cast("long")).cast("long").alias("p"),
+    )
+    w_ord = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = vals.select(
+        "v",
+        F.sum("n").over(w_ord).cast("long").alias("nl"),
+        F.sum("p").over(w_ord).cast("long").alias("pl"),
+        F.sum("n").over(w_all).cast("long").alias("nt"),
+        F.sum("p").over(w_all).cast("long").alias("pt"),
+    ).filter(F.col("nl") < F.col("nt"))  # right side must be non-empty
+    nl = F.col("nl").cast("double")
+    pl = F.col("pl").cast("double")
+    nt = F.col("nt").cast("double")
+    pt = F.col("pt").cast("double")
+    nr = nt - nl
+    pr = pt - pl
+    # weighted child impurity: (n_side² − pos² − neg²)/(n_side · n_total)
+    gl = (nl * nl - pl * pl - (nl - pl) * (nl - pl)) / (nl * nt)
+    gr = (nr * nr - pr * pr - (nr - pr) * (nr - pr)) / (nr * nt)
+    gp = (nt * nt - pt * pt - (nt - pt) * (nt - pt)) / (nt * nt)
+    dec_nano = F.floor((gp - gl - gr) * 1e9 + F.lit(0.5)).cast("long")
+    w_best = Window.orderBy(F.desc("dec_nano"), F.asc("v"))
+    best = (
+        cum.select(
+            "v",
+            "nl",
+            "pl",
+            "nt",
+            "pt",
+            dec_nano.alias("dec_nano"),
+            F.floor(gp * 1e9 + F.lit(0.5)).cast("long").alias("gp_nano"),
+        )
+        .withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+    )
+    # stump accuracy: majority class per side
+    return best.select(
+        F.col("nt").alias("n_docs"),
+        F.col("pt").alias("n_positive"),
+        F.round(F.col("gp_nano").cast("double") / 1e9, 6).alias(
+            "parent_gini_r6"
+        ),
+        F.col("v").alias("best_threshold"),
+        F.col("nl").alias("n_left"),
+        F.col("pl").alias("pos_left"),
+        F.round(F.col("dec_nano").cast("double") / 1e9, 6).alias(
+            "gini_decrease_r6"
+        ),
+        F.expr("(({a}) * 10000L) div nt".format(a="greatest(pl, nl - pl) + "
+               "greatest(pt - pl, (nt - nl) - (pt - pl))"))
+        .cast("long")
+        .alias("stump_accuracy_bp"),
+    )
+
+
+def gini_split_stump_sql() -> str:
+    """Twin of gini_split_stump: identical prefix sums and nano argmax."""
+    return """
+    WITH vals AS (
+        SELECT n_chars AS v,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS p
+        FROM documents GROUP BY 1
+    ),
+    cum AS (
+        SELECT v,
+               CAST(sum(n) OVER (ORDER BY v) AS BIGINT) AS nl,
+               CAST(sum(p) OVER (ORDER BY v) AS BIGINT) AS pl,
+               CAST(sum(n) OVER () AS BIGINT) AS nt,
+               CAST(sum(p) OVER () AS BIGINT) AS pt
+        FROM vals
+    ),
+    scored AS (
+        SELECT v, nl, pl, nt, pt,
+               CAST(floor((
+                   (CAST(nt AS DOUBLE) * nt - CAST(pt AS DOUBLE) * pt
+                    - CAST(nt - pt AS DOUBLE) * (nt - pt))
+                       / (CAST(nt AS DOUBLE) * nt)
+                   - (CAST(nl AS DOUBLE) * nl - CAST(pl AS DOUBLE) * pl
+                      - CAST(nl - pl AS DOUBLE) * (nl - pl))
+                       / (CAST(nl AS DOUBLE) * nt)
+                   - (CAST(nt - nl AS DOUBLE) * (nt - nl)
+                      - CAST(pt - pl AS DOUBLE) * (pt - pl)
+                      - CAST((nt - nl) - (pt - pl) AS DOUBLE)
+                        * ((nt - nl) - (pt - pl)))
+                       / (CAST(nt - nl AS DOUBLE) * nt)
+               ) * 1e9 + 0.5) AS BIGINT) AS dec_nano,
+               CAST(floor((CAST(nt AS DOUBLE) * nt - CAST(pt AS DOUBLE) * pt
+                           - CAST(nt - pt AS DOUBLE) * (nt - pt))
+                          / (CAST(nt AS DOUBLE) * nt) * 1e9 + 0.5)
+                    AS BIGINT) AS gp_nano
+        FROM cum
+        WHERE nl < nt
+    ),
+    best AS (
+        SELECT * FROM scored
+        ORDER BY dec_nano DESC, v ASC
+        LIMIT 1
+    )
+    SELECT nt AS n_docs, pt AS n_positive,
+           round(CAST(gp_nano AS DOUBLE) / 1e9, 6) AS parent_gini_r6,
+           v AS best_threshold,
+           nl AS n_left, pl AS pos_left,
+           round(CAST(dec_nano AS DOUBLE) / 1e9, 6) AS gini_decrease_r6,
+           CAST(((greatest(pl, nl - pl)
+                  + greatest(pt - pl, (nt - nl) - (pt - pl))) * 10000) // nt
+                AS BIGINT) AS stump_accuracy_bp
+    FROM best
+    """

@@ -3322,3 +3322,195 @@ def kendall_tau_daily_sql() -> str:
            END AS tau_b_r6
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# distributed logistic regression (fixed IRLS/Newton steps)
+# ---------------------------------------------------------------------------
+
+IRLS_STEPS = 3
+IRLS_X_SCALE = 1000.0  # n_chars / 1000 keeps the Hessian well-conditioned
+
+
+def logistic_irls_lang(t: dict[str, DataFrame]) -> DataFrame:
+    """Logistic regression of P(lang = 'en') on document length,
+    trained INSIDE the engine by ``IRLS_STEPS`` unrolled Newton steps —
+    distributed ML training as pure relational algebra: each step is
+    one map over the rows (gradient/Hessian terms from the current β)
+    + one 5-cell aggregate + a closed-form 2×2 solve on the 1-row
+    result. The logistic complement of ``ols_trend_by_nation`` (linear
+    closed form) and ``gini_split_stump`` (axis split): same feature,
+    calibrated probabilities out.
+
+    Determinism/exactness: β₀ = (0,0) so every run is the same
+    computation; per-row gradient/Hessian/log-likelihood terms are
+    nano-rounded to integers BEFORE the sums (order-invariant;
+    decimal(38,0)/HUGEINT accumulators so 10¹² rows × 1e9 nanos can't
+    wrap); each β update is one shared double sequence over those
+    integer sums. The only transcendental per row is exp(−|η|)-style
+    sigmoid/ln — nano rounding absorbs libm ulp differences.
+
+    Scale shape per step: rows ⋈ broadcast ONE-ROW β (allowlisted
+    class) → narrow map → 5-integer aggregate. Nothing row-sized
+    shuffles; the driver never sees data. Output: one row (fit +
+    accuracy + mean log-likelihood).
+    """
+    d = t["documents"]
+    rows = d.select(
+        (F.col("lang") == "en").cast("long").alias("y"),
+        (F.col("n_chars").cast("double") / F.lit(IRLS_X_SCALE)).alias("x"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    nano = lambda e: F.floor(e * 1e9 + F.lit(0.5)).cast("long")
+    beta = None  # (b0, b1) one-row DF
+    spark_b0, spark_b1 = F.lit(0.0), F.lit(0.0)
+    cur = rows
+    for _ in range(IRLS_STEPS):
+        if beta is not None:
+            cur = rows.crossJoin(F.broadcast(beta))
+            b0, b1 = F.col("b0"), F.col("b1")
+        else:
+            b0, b1 = spark_b0, spark_b1
+        eta = b0 + b1 * F.col("x")
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = mu * (F.lit(1.0) - mu)
+        terms = cur.select(
+            nano((F.col("y") - mu)).alias("g0"),
+            nano((F.col("y") - mu) * F.col("x")).alias("g1"),
+            nano(w).alias("h00"),
+            nano(w * F.col("x")).alias("h01"),
+            nano(w * F.col("x") * F.col("x")).alias("h11"),
+        )
+        agg = terms.groupBy().agg(
+            F.sum(dec(F.col("g0"))).alias("sg0"),
+            F.sum(dec(F.col("g1"))).alias("sg1"),
+            F.sum(dec(F.col("h00"))).alias("sh00"),
+            F.sum(dec(F.col("h01"))).alias("sh01"),
+            F.sum(dec(F.col("h11"))).alias("sh11"),
+        )
+        g0 = F.col("sg0").cast("double") / 1e9
+        g1 = F.col("sg1").cast("double") / 1e9
+        h00 = F.col("sh00").cast("double") / 1e9
+        h01 = F.col("sh01").cast("double") / 1e9
+        h11 = F.col("sh11").cast("double") / 1e9
+        det = h00 * h11 - h01 * h01
+        nb0 = (h11 * g0 - h01 * g1) / det
+        nb1 = (h00 * g1 - h01 * g0) / det
+        if beta is not None:
+            prev = beta
+            agg = agg.crossJoin(F.broadcast(prev))
+            beta = agg.select(
+                (F.col("b0") + nb0).alias("b0"),
+                (F.col("b1") + nb1).alias("b1"),
+            )
+        else:
+            beta = agg.select(nb0.alias("b0"), nb1.alias("b1"))
+    scored = rows.crossJoin(F.broadcast(beta))
+    eta = F.col("b0") + F.col("b1") * F.col("x")
+    mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    ll = F.col("y").cast("double") * F.log(mu) + (
+        F.lit(1.0) - F.col("y").cast("double")
+    ) * F.log(F.lit(1.0) - mu)
+    fin = scored.select(
+        "b0",
+        "b1",
+        F.col("y"),
+        nano(ll).alias("ll_nano"),
+        ((eta > 0).cast("long") == F.col("y")).cast("long").alias("hit"),
+    ).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.min("b0").alias("b0"),
+        F.min("b1").alias("b1"),
+        F.sum(dec(F.col("ll_nano"))).alias("sll"),
+        F.sum("hit").cast("long").alias("hits"),
+    )
+    return fin.select(
+        "n_docs",
+        "n_pos",
+        F.round(F.col("b0"), 6).alias("beta0_r6"),
+        F.round(F.col("b1"), 6).alias("beta1_r6"),
+        F.round(
+            F.col("sll").cast("double") / 1e9 / F.col("n_docs").cast("double"),
+            6,
+        ).alias("mean_loglik_r6"),
+        F.expr("(hits * 10000L) div n_docs").cast("long").alias(
+            "accuracy_bp"
+        ),
+    )
+
+
+def logistic_irls_lang_sql() -> str:
+    """Twin of logistic_irls_lang: beta0..betaN unrolled CTEs with the
+    identical nano-term lattice and 2×2 closed-form update."""
+    steps = ["beta0 AS (SELECT 0.0 AS b0, 0.0 AS b1)"]
+    for i in range(IRLS_STEPS):
+        steps.append(f"""terms{i} AS (
+        SELECT CAST(floor((y - 1.0/(1.0 + exp(-(b.b0 + b.b1 * x))))
+                          * 1e9 + 0.5) AS BIGINT) AS g0,
+               CAST(floor((y - 1.0/(1.0 + exp(-(b.b0 + b.b1 * x)))) * x
+                          * 1e9 + 0.5) AS BIGINT) AS g1,
+               CAST(floor((1.0/(1.0 + exp(-(b.b0 + b.b1 * x))))
+                          * (1.0 - 1.0/(1.0 + exp(-(b.b0 + b.b1 * x))))
+                          * 1e9 + 0.5) AS BIGINT) AS h00,
+               CAST(floor((1.0/(1.0 + exp(-(b.b0 + b.b1 * x))))
+                          * (1.0 - 1.0/(1.0 + exp(-(b.b0 + b.b1 * x))))
+                          * x * 1e9 + 0.5) AS BIGINT) AS h01,
+               CAST(floor((1.0/(1.0 + exp(-(b.b0 + b.b1 * x))))
+                          * (1.0 - 1.0/(1.0 + exp(-(b.b0 + b.b1 * x))))
+                          * x * x * 1e9 + 0.5) AS BIGINT) AS h11
+        FROM rows, beta{i} b
+    ),
+    agg{i} AS (
+        SELECT sum(CAST(g0 AS HUGEINT)) AS sg0,
+               sum(CAST(g1 AS HUGEINT)) AS sg1,
+               sum(CAST(h00 AS HUGEINT)) AS sh00,
+               sum(CAST(h01 AS HUGEINT)) AS sh01,
+               sum(CAST(h11 AS HUGEINT)) AS sh11
+        FROM terms{i}
+    ),
+    beta{i + 1} AS (
+        SELECT b.b0 + ((CAST(sh11 AS DOUBLE)/1e9) * (CAST(sg0 AS DOUBLE)/1e9)
+                       - (CAST(sh01 AS DOUBLE)/1e9)
+                         * (CAST(sg1 AS DOUBLE)/1e9))
+                      / ((CAST(sh00 AS DOUBLE)/1e9)
+                         * (CAST(sh11 AS DOUBLE)/1e9)
+                         - (CAST(sh01 AS DOUBLE)/1e9)
+                           * (CAST(sh01 AS DOUBLE)/1e9)) AS b0,
+               b.b1 + ((CAST(sh00 AS DOUBLE)/1e9) * (CAST(sg1 AS DOUBLE)/1e9)
+                       - (CAST(sh01 AS DOUBLE)/1e9)
+                         * (CAST(sg0 AS DOUBLE)/1e9))
+                      / ((CAST(sh00 AS DOUBLE)/1e9)
+                         * (CAST(sh11 AS DOUBLE)/1e9)
+                         - (CAST(sh01 AS DOUBLE)/1e9)
+                           * (CAST(sh01 AS DOUBLE)/1e9)) AS b1
+        FROM agg{i}, beta{i} b
+    )""")
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH rows AS (
+        SELECT CAST(lang = 'en' AS BIGINT) AS y,
+               CAST(n_chars AS DOUBLE) / {IRLS_X_SCALE!r} AS x
+        FROM documents
+    ),
+    {chain},
+    scored AS (
+        SELECT y,
+               CAST(floor((y * ln(1.0/(1.0 + exp(-(b.b0 + b.b1 * x))))
+                           + (1.0 - y)
+                             * ln(1.0 - 1.0/(1.0 + exp(-(b.b0 + b.b1 * x)))))
+                          * 1e9 + 0.5) AS BIGINT) AS ll_nano,
+               CAST((CAST(b.b0 + b.b1 * x > 0 AS BIGINT)) = y AS BIGINT)
+                   AS hit,
+               b.b0 AS b0, b.b1 AS b1
+        FROM rows, beta{IRLS_STEPS} b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(min(b0), 6) AS beta0_r6,
+           round(min(b1), 6) AS beta1_r6,
+           round(CAST(sum(CAST(ll_nano AS HUGEINT)) AS DOUBLE) / 1e9
+                 / CAST(count(*) AS DOUBLE), 6) AS mean_loglik_r6,
+           CAST((sum(hit) * 10000) // count(*) AS BIGINT) AS accuracy_bp
+    FROM scored
+    """
