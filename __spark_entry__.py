@@ -856,6 +856,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_split_stump": _q(curation.gini_split_stump),
         # logistic regression trained by 3 unrolled IRLS steps
         "logistic_irls_lang": _q(validation.logistic_irls_lang),
+        # NDCG@k of LSH retrieval vs brute-force exact ranking
+        "ann_ndcg_eval": _q(similarity.ann_ndcg_eval),
     }
 
 
@@ -1698,4 +1700,5 @@ def oracle_sql() -> dict[str, str]:
         "position_attribution": behavior.POSITION_ATTRIBUTION_SQL,
         "gini_split_stump": curation.gini_split_stump_sql(),
         "logistic_irls_lang": validation.logistic_irls_lang_sql(),
+        "ann_ndcg_eval": similarity.ann_ndcg_eval_sql(),
     }

@@ -133,6 +133,9 @@ NESTED_LOOP_OK = {
     # per-Newton-step broadcast of the ONE-ROW beta relation (the
     # unrolled IRLS loop), same designed class as unigram_logprob
     "logistic_irls_lang",
+    # inherits brute_topk's broadcast fixed-query-panel scan (the
+    # declared exact eval tier it grades LSH against)
+    "ann_ndcg_eval",
 }
 
 

@@ -592,6 +592,123 @@ def main() -> int:
     )
     assert big_ab == small_ab
 
+    # ------------------------------------------------------------------
+    # round-5 second batch laws
+    # ------------------------------------------------------------------
+    from training_etl_demo_2_spark.operators import curation, temporal
+
+    # A/B power analysis is per-user: same-user row replication leaves
+    # the WHOLE design readout bit-identical.
+    small_pow = tuple(behavior.ab_power_mde({"events": ev}).collect()[0])
+    big_pow = tm(
+        "ab_power_mde (per-user invariant)",
+        lambda: tuple(
+            behavior.ab_power_mde({"events": big_ev_dup}).collect()[0]
+        ),
+    )
+    assert big_pow == small_pow
+
+    # Kendall tau-b: replicating every order m times scales each day's
+    # (count, revenue) by m -> every pairwise comparison keeps its
+    # sign/tie class -> the full report is bit-identical.
+    ords = t["orders"]
+    big_ord = ords.crossJoin(rep8).select(
+        (F.col("o_orderkey") + F.col("rep") * F.lit(100_000_000)).alias(
+            "o_orderkey"
+        ),
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    small_kt = tuple(
+        validation.kendall_tau_daily({"orders": ords}).collect()[0]
+    )
+    big_kt = tm(
+        "kendall_tau_daily (scale-invariant concordance)",
+        lambda: tuple(
+            validation.kendall_tau_daily({"orders": big_ord}).collect()[0]
+        ),
+    )
+    assert big_kt == small_kt
+
+    # CART stump: per-value counts scale by m -> every candidate's
+    # impurity ratio is the same rational -> same threshold; the
+    # decrease double may shift an ulp through the m^2-scaled terms.
+    small_st = curation.gini_split_stump({"documents": docs}).collect()[0]
+    big_st = tm(
+        "gini_split_stump (threshold invariant under replication)",
+        lambda: curation.gini_split_stump({"documents": big}).collect()[0],
+    )
+    assert big_st["best_threshold"] == small_st["best_threshold"]
+    assert abs(big_st["gini_decrease_r6"] - small_st["gini_decrease_r6"]) < 1e-5
+    assert big_st["stump_accuracy_bp"] == small_st["stump_accuracy_bp"]
+    assert big_st["n_docs"] == small_st["n_docs"] * n_rep
+
+    # IRLS logistic: every integer moment scales exactly by m, so each
+    # Newton update divides m.g by m.H -> beta agrees to float noise;
+    # per-row hits are identical so accuracy_bp is exact.
+    small_lr = validation.logistic_irls_lang({"documents": docs}).collect()[0]
+    big_lr = tm(
+        "logistic_irls_lang (replication-invariant fit)",
+        lambda: validation.logistic_irls_lang(
+            {"documents": big}
+        ).collect()[0],
+    )
+    assert abs(big_lr["beta0_r6"] - small_lr["beta0_r6"]) < 1e-4
+    assert abs(big_lr["beta1_r6"] - small_lr["beta1_r6"]) < 1e-4
+    assert big_lr["accuracy_bp"] == small_lr["accuracy_bp"]
+
+    # Script audit: integer bp shares are ratios of m-scaled integers
+    # (identical rationals -> identical floor-div); mismatches scale
+    # exactly by m.
+    small_sc = {
+        r.lang: tuple(r)
+        for r in text.script_mismatch_audit({"documents": docs}).collect()
+    }
+    big_sc = tm(
+        "script_mismatch_audit (exact bp under replication)",
+        lambda: {
+            r.lang: tuple(r)
+            for r in text.script_mismatch_audit(
+                {"documents": big}
+            ).collect()
+        },
+    )
+    for lang, row in small_sc.items():
+        brow = big_sc[lang]
+        # (lang, n_docs, n_mismatched, n_chars, *bp): counts scale,
+        # shares identical
+        assert brow[1] == row[1] * n_rep and brow[2] == row[2] * n_rep
+        assert brow[3] == row[3] * n_rep
+        assert brow[4:] == row[4:]
+
+    # CCF: same-(ts,type) replication scales every centered value by
+    # m, numerator and denominators by m^2 -> each r is the same ratio
+    # up to float noise; overlap bookkeeping is exact.
+    small_ccf = {
+        (r.type_a, r.type_b, r.lag): (r.n_pairs, r.ccf_r6)
+        for r in temporal.ccf_event_types({"events": ev}).collect()
+    }
+    big_ccf = tm(
+        "ccf_event_types (ratio-invariant under replication)",
+        lambda: {
+            (r.type_a, r.type_b, r.lag): (r.n_pairs, r.ccf_r6)
+            for r in temporal.ccf_event_types(
+                {"events": big_ev_dup}
+            ).collect()
+        },
+    )
+    assert set(big_ccf) == set(small_ccf)
+    for key, (np_s, r_s) in small_ccf.items():
+        np_b, r_b = big_ccf[key]
+        assert np_b == np_s
+        if r_s is None:
+            assert r_b is None
+        else:
+            assert abs(r_b - r_s) < 1e-5
+
     print("scale smoke OK")
     return 0
 

@@ -2107,3 +2107,128 @@ def kmeans_silhouette_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
     GROUP BY own
     ORDER BY cluster_id
     """
+
+
+# ---------------------------------------------------------------------------
+# NDCG of the ANN LSH tier against brute-force ground truth
+# ---------------------------------------------------------------------------
+
+
+def ann_ndcg_eval(t: dict[str, DataFrame], k: int = 5) -> DataFrame:
+    """NDCG@k of the multi-probe LSH retrieval against the exact
+    brute-force ranking, per query — the rank-WEIGHTED quality grade
+    that recall alone misses (``lsh_recall_eval`` counts set overlap;
+    NDCG also pays for returning a true neighbor at position 5 that
+    belongs at position 1). Relevance of an approx hit is graded by
+    its TRUE rank: rel = k+1−rank_exact (0 if outside the exact
+    top-k); DCG uses the standard 1/log₂(pos+1) discount.
+
+    Determinism/exactness: both rankings are the engine's existing
+    deterministic tiers (rounded-sim, neighbor-id tie-break); each
+    DCG term is nano-rounded BEFORE the per-query integer sum; one
+    division per query at the end. NDCG == 1 ⇔ the LSH list equals
+    the exact list in order.
+
+    Scale shape: reuses the bucket-bounded LSH plan and the
+    broadcast-query brute plan (the declared eval tier — at 100 TB
+    this harness runs on the fixed query panel, never corpus×corpus);
+    the grading join is (query, neighbor)-keyed over 2·|Q|·k rows of
+    metadata. Output: one row per query.
+    """
+    emb = t["embeddings"]
+    truth = brute_topk(emb, k=k)
+    approx = lsh_topk(emb, k=k)
+    nano = lambda e: F.floor(e * 1e9 + F.lit(0.5)).cast("long")
+    rel = F.coalesce(
+        F.lit(k + 1) - F.col("t_rnk"), F.lit(0).cast("int")
+    ).cast("double")
+    terms = approx.join(
+        truth.select(
+            "query_id",
+            "neighbor_id",
+            F.col("rnk").alias("t_rnk"),
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).select(
+        "query_id",
+        (F.col("t_rnk").isNotNull()).cast("long").alias("hit"),
+        nano(rel / F.log2(F.col("rnk").cast("double") + 1.0)).alias(
+            "term_nano"
+        ),
+    )
+    dcg = terms.groupBy("query_id").agg(
+        F.sum("hit").cast("long").alias("n_hits"),
+        F.sum("term_nano").cast("long").alias("dcg_nano"),
+    )
+    ideal = truth.select(
+        "query_id",
+        nano(
+            (F.lit(k + 1) - F.col("rnk")).cast("double")
+            / F.log2(F.col("rnk").cast("double") + 1.0)
+        ).alias("i_nano"),
+    ).groupBy("query_id").agg(
+        F.sum("i_nano").cast("long").alias("idcg_nano")
+    )
+    return (
+        dcg.join(ideal, "query_id")
+        .select(
+            "query_id",
+            "n_hits",
+            F.round(F.col("dcg_nano").cast("double") / 1e9, 6).alias(
+                "dcg_r6"
+            ),
+            F.when(
+                F.col("idcg_nano") > 0,
+                F.round(
+                    F.col("dcg_nano").cast("double")
+                    / F.col("idcg_nano").cast("double"),
+                    6,
+                ),
+            ).alias("ndcg_r6"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ann_ndcg_eval_sql(k: int = 5) -> str:
+    """Twin of ann_ndcg_eval: the brute + LSH oracle rankings with the
+    identical nano DCG lattice."""
+    from . import oracle_text
+
+    return f"""
+    WITH truth AS ({oracle_text.brute_topk_sql(k=k)}),
+    approx AS ({oracle_text.lsh_topk_sql(k=k)}),
+    terms AS (
+        SELECT a.query_id,
+               CAST(tt.rnk IS NOT NULL AS BIGINT) AS hit,
+               CAST(floor(coalesce({k} + 1 - tt.rnk, 0)
+                          / log2(CAST(a.rnk AS DOUBLE) + 1.0)
+                          * 1e9 + 0.5) AS BIGINT) AS term_nano
+        FROM approx a
+        LEFT JOIN truth tt
+          ON tt.query_id = a.query_id AND tt.neighbor_id = a.neighbor_id
+    ),
+    dcg AS (
+        SELECT query_id,
+               CAST(sum(hit) AS BIGINT) AS n_hits,
+               CAST(sum(term_nano) AS BIGINT) AS dcg_nano
+        FROM terms GROUP BY 1
+    ),
+    ideal AS (
+        SELECT query_id,
+               CAST(sum(CAST(floor(({k} + 1 - rnk)
+                                   / log2(CAST(rnk AS DOUBLE) + 1.0)
+                                   * 1e9 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS idcg_nano
+        FROM truth GROUP BY 1
+    )
+    SELECT d.query_id, d.n_hits,
+           round(CAST(d.dcg_nano AS DOUBLE) / 1e9, 6) AS dcg_r6,
+           CASE WHEN i.idcg_nano > 0
+                THEN round(CAST(d.dcg_nano AS DOUBLE)
+                           / CAST(i.idcg_nano AS DOUBLE), 6)
+           END AS ndcg_r6
+    FROM dcg d JOIN ideal i ON i.query_id = d.query_id
+    ORDER BY 1
+    """
