@@ -858,6 +858,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logistic_irls_lang": _q(validation.logistic_irls_lang),
         # NDCG@k of LSH retrieval vs brute-force exact ranking
         "ann_ndcg_eval": _q(similarity.ann_ndcg_eval),
+        # conditional next-event entropy (behavior predictability)
+        "transition_entropy": _q(
+            lambda t: behavior.transition_entropy(t["events"])
+        ),
+        # stateful streaming CUSUM drift alarm (integer closed form)
+        "stream_cusum_alarm": fixture_queries.stream_cusum_alarm,
     }
 
 
@@ -1701,4 +1707,6 @@ def oracle_sql() -> dict[str, str]:
         "gini_split_stump": curation.gini_split_stump_sql(),
         "logistic_irls_lang": validation.logistic_irls_lang_sql(),
         "ann_ndcg_eval": similarity.ann_ndcg_eval_sql(),
+        "transition_entropy": behavior.TRANSITION_ENTROPY_SQL,
+        "stream_cusum_alarm": fixture_queries.STREAM_CUSUM_ORACLE,
     }

@@ -73,3 +73,42 @@ def test_stream_exact_dedup_equals_batch(spark, sf_dir):
         for r in exact_dedup_groups(load_tables(spark, sf_dir)["documents"]).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_cusum_equals_batch_closed_form(spark, sf_dir, tables):
+    from pyspark.sql import Window
+
+    from training_etl_demo_2_spark.streaming.stateful import (
+        CUSUM_H_T4,
+        CUSUM_SLACK_T4,
+        CUSUM_TARGET_T4,
+    )
+
+    got = fixture_queries.stream_cusum_alarm(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    y = (
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("long")
+        - F.lit(CUSUM_TARGET_T4)
+        - F.lit(CUSUM_SLACK_T4)
+    )
+    cur = tables["events"].select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum(y).over(w).cast("long").alias("p"),
+    )
+    scanned = cur.select(
+        "event_id",
+        "event_type",
+        "p",
+        F.min("p").over(w).cast("long").alias("mp"),
+    )
+    s = F.col("p") - F.least(F.col("mp"), F.lit(0).cast("long"))
+    batch = scanned.filter(s > CUSUM_H_T4).select(
+        "event_id", "event_type", s.alias("s_t4")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # the recursion never goes negative and alarms exceed the threshold
+    assert all(r["s_t4"] > CUSUM_H_T4 for r in got.collect())

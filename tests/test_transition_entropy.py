@@ -1,0 +1,75 @@
+"""Planted tests for conditional transition entropy."""
+
+from __future__ import annotations
+
+import datetime
+
+from training_etl_demo_2_spark.operators import behavior
+
+
+def _events(spark, rows):
+    # rows: (event_id, user_id, event_type, minute)
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    return spark.createDataFrame(
+        [
+            (e, base + datetime.timedelta(minutes=m), u, et, 1.0, "{}")
+            for (e, u, et, m) in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_deterministic_chain_zero_entropy(spark):
+    # a -> b -> a -> b ... : every state has exactly one successor
+    rows = []
+    for i in range(8):
+        rows.append((i, 1, "a" if i % 2 == 0 else "b", i))
+    out = {
+        r["from_type"]: r
+        for r in behavior.transition_entropy(_events(spark, rows)).collect()
+    }
+    assert out["a"]["entropy_bits_r6"] == 0.0
+    assert out["a"]["entropy_norm_r6"] == 0.0
+    assert out["b"]["entropy_bits_r6"] == 0.0
+    assert out["__overall__"]["entropy_bits_r6"] == 0.0
+    assert out["a"]["n_dest"] == 1
+
+
+def test_uniform_branching_one_bit(spark):
+    # from 'a' go to 'b' and 'c' equally often -> H(a) = 1 bit, norm 1
+    rows = []
+    eid = 0
+    for u in range(4):
+        dest = "b" if u % 2 == 0 else "c"
+        rows.append((eid, u, "a", 0)); eid += 1
+        rows.append((eid, u, dest, 1)); eid += 1
+    out = {
+        r["from_type"]: r
+        for r in behavior.transition_entropy(_events(spark, rows)).collect()
+    }
+    assert abs(out["a"]["entropy_bits_r6"] - 1.0) < 1e-6
+    assert abs(out["a"]["entropy_norm_r6"] - 1.0) < 1e-6
+    assert out["a"]["n_out"] == 4 and out["a"]["n_dest"] == 2
+    # only 'a' has outgoing transitions -> overall == H(a)
+    assert abs(out["__overall__"]["entropy_bits_r6"] - 1.0) < 1e-6
+
+
+def test_overall_is_weighted_mix(spark):
+    # 'a' (4 transitions, 1 bit) + 'b' (4 transitions, 0 bits)
+    # -> H(next|current) = 0.5 bits
+    rows = []
+    eid = 0
+    for u in range(4):
+        dest = "b" if u % 2 == 0 else "c"
+        rows.append((eid, u, "a", 0)); eid += 1
+        rows.append((eid, u, dest, 1)); eid += 1
+    for u in range(10, 14):
+        rows.append((eid, u, "b", 0)); eid += 1
+        rows.append((eid, u, "d", 1)); eid += 1
+    out = {
+        r["from_type"]: r
+        for r in behavior.transition_entropy(_events(spark, rows)).collect()
+    }
+    assert abs(out["__overall__"]["entropy_bits_r6"] - 0.5) < 1e-6
+    assert out["__overall__"]["n_out"] == 8

@@ -1927,3 +1927,156 @@ POSITION_ATTRIBUTION_SQL = f"""
     FROM credited
     GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# conditional transition entropy (behavior predictability)
+# ---------------------------------------------------------------------------
+
+
+def transition_entropy(events: DataFrame) -> DataFrame:
+    """Per-state entropy of the next-event distribution plus the
+    corpus-level conditional entropy H(next | current) — the
+    PREDICTABILITY number on top of ``event_transitions``' raw matrix:
+    H(next|current) near 0 means journeys are deterministic (a bot
+    farm, a broken redirect loop); near log₂|types| means the next
+    step is a coin flip. Also reports each state's normalized entropy
+    (share of its maximum possible) so skewed rows stand out.
+
+    Exactness: transition counts are exact integers from one
+    user-keyed window pass; each cell's −(n/N_x)·log₂(n/N_x) term is
+    nano-rounded BEFORE the per-state integer sum (order-invariant),
+    and H(next|current) = Σ_x (N_x/N)·H_x reuses those integer sums
+    (one weighted fold over the ≤|types| state rows). Output rows:
+    one per from_type + one corpus '__overall__' row with the
+    conditional entropy.
+
+    Scale shape: one user-keyed window (same partitioning as
+    sessionize/funnels) + a ≤|types|²-cell aggregate; everything after
+    runs on that metadata via an empty-frame window.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = events.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cells = nxt.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_row = Window.partitionBy("from_type")
+    nano = lambda e: F.floor(e * 1e9 + F.lit(0.5)).cast("long")
+    p = F.col("n").cast("double") / F.col("nx").cast("double")
+    per_cell = cells.select(
+        "from_type",
+        "n",
+        F.sum("n").over(w_row).cast("long").alias("nx"),
+    ).select(
+        "from_type",
+        "nx",
+        nano(-p * F.log2(p)).alias("h_nano"),
+        F.lit(1).cast("long").alias("one"),
+    )
+    per_state = per_cell.groupBy("from_type").agg(
+        F.max("nx").cast("long").alias("n_out"),
+        F.sum("one").cast("long").alias("n_dest"),
+        F.sum("h_nano").cast("long").alias("h_nano"),
+    )
+    w_all = Window.partitionBy()
+    dec = lambda c: c.cast("decimal(38,0)")
+    enriched = per_state.select(
+        "from_type",
+        "n_out",
+        "n_dest",
+        "h_nano",
+        F.sum("n_out").over(w_all).cast("long").alias("n_tot"),
+        # Σ N_x · H_x in nano units — exact decimal product
+        F.sum(dec(F.col("n_out")) * dec(F.col("h_nano")))
+        .over(w_all)
+        .alias("wh"),
+    )
+    h_bits = F.col("h_nano").cast("double") / 1e9
+    h_max = F.log2(F.col("n_dest").cast("double"))
+    state_rows = enriched.select(
+        "from_type",
+        "n_out",
+        "n_dest",
+        F.round(h_bits, 6).alias("entropy_bits_r6"),
+        F.when(
+            F.col("n_dest") > 1, F.round(h_bits / h_max, 6)
+        ).otherwise(F.lit(0.0)).alias("entropy_norm_r6"),
+    )
+    overall = (
+        enriched.limit(1)
+        .select(
+            F.lit("__overall__").alias("from_type"),
+            F.col("n_tot").alias("n_out"),
+            F.lit(None).cast("long").alias("n_dest"),
+            F.round(
+                F.col("wh").cast("double")
+                / 1e9
+                / F.col("n_tot").cast("double"),
+                6,
+            ).alias("entropy_bits_r6"),
+            F.lit(None).cast("double").alias("entropy_norm_r6"),
+        )
+    )
+    return state_rows.unionByName(overall).orderBy("from_type")
+
+
+TRANSITION_ENTROPY_SQL = """
+    WITH nxt AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    cells AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        FROM nxt WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    per_cell AS (
+        SELECT from_type,
+               CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS nx,
+               CAST(floor(-(CAST(n AS DOUBLE)
+                            / CAST(sum(n) OVER (PARTITION BY from_type)
+                                   AS DOUBLE))
+                          * log2(CAST(n AS DOUBLE)
+                                 / CAST(sum(n) OVER (PARTITION BY from_type)
+                                        AS DOUBLE))
+                          * 1e9 + 0.5) AS BIGINT) AS h_nano
+        FROM cells
+    ),
+    per_state AS (
+        SELECT from_type,
+               CAST(max(nx) AS BIGINT) AS n_out,
+               CAST(count(*) AS BIGINT) AS n_dest,
+               CAST(sum(h_nano) AS BIGINT) AS h_nano
+        FROM per_cell GROUP BY 1
+    ),
+    enriched AS (
+        SELECT *,
+               CAST(sum(n_out) OVER () AS BIGINT) AS n_tot,
+               sum(CAST(n_out AS HUGEINT) * CAST(h_nano AS HUGEINT))
+                   OVER () AS wh
+        FROM per_state
+    )
+    SELECT from_type, n_out, n_dest,
+           round(CAST(h_nano AS DOUBLE) / 1e9, 6) AS entropy_bits_r6,
+           CASE WHEN n_dest > 1
+                THEN round((CAST(h_nano AS DOUBLE) / 1e9)
+                           / log2(CAST(n_dest AS DOUBLE)), 6)
+                ELSE 0.0 END AS entropy_norm_r6
+    FROM enriched
+    UNION ALL
+    SELECT '__overall__', max(n_tot), NULL,
+           round(CAST(max(wh) AS DOUBLE) / 1e9
+                 / CAST(max(n_tot) AS DOUBLE), 6),
+           NULL
+    FROM enriched
+    ORDER BY from_type
+"""

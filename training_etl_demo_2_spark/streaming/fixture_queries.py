@@ -519,3 +519,60 @@ STREAM_USER_TOTALS_ORACLE = """
     FROM events
     GROUP BY user_id
 """
+
+
+def stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful one-sided CUSUM drift alarm replayed to completion.
+    Exact-integer state (prefix sum + running min), so the batch twin
+    is a window prefix-sum/running-min scan — the oracle below. Each
+    exceedance row emits exactly once (update mode)."""
+    from .stateful import cusum_alarm_stream
+
+    src = read_events_stream_fixture(spark, sf_dir)
+    out = cusum_alarm_stream(src)
+    with _replay_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("gate_stream_cusum")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300.0):
+                raise TimeoutError("cusum stream did not drain")
+        finally:
+            q.stop()
+    return spark.table("gate_stream_cusum")
+
+
+def _stream_cusum_oracle() -> str:
+    from .stateful import CUSUM_H_T4, CUSUM_SLACK_T4, CUSUM_TARGET_T4
+
+    return f"""
+    WITH seq AS (
+        SELECT event_id, event_type, ts,
+               CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                   - {CUSUM_TARGET_T4} - {CUSUM_SLACK_T4} AS y
+        FROM events
+    ),
+    cur AS (
+        SELECT event_id, event_type, ts,
+               CAST(sum(y) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS BIGINT) AS p
+        FROM seq
+    ),
+    scanned AS (
+        SELECT event_id, event_type, p,
+               CAST(min(p) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id) AS BIGINT) AS mp
+        FROM cur
+    )
+    SELECT event_id, event_type,
+           CAST(p - least(mp, 0) AS BIGINT) AS s_t4
+    FROM scanned
+    WHERE p - least(mp, 0) > {CUSUM_H_T4}
+    """
+
+
+STREAM_CUSUM_ORACLE = _stream_cusum_oracle()

@@ -380,3 +380,91 @@ def running_user_totals_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming CUSUM drift alarm
+# ---------------------------------------------------------------------------
+
+# fixed design point (t4 = value·10⁴ integer units): reference level the
+# process SHOULD run at, one-sided slack, and the alarm threshold
+CUSUM_TARGET_T4 = 550_000
+CUSUM_SLACK_T4 = 50_000
+CUSUM_H_T4 = 5_000_000
+
+CUSUM_SCHEMA = "event_id long, event_type string, s_t4 long"
+CUSUM_STATE = "p long, min_p long"
+
+
+def cusum_alarm_stream(
+    stream: DataFrame,
+    target_t4: int = CUSUM_TARGET_T4,
+    slack_t4: int = CUSUM_SLACK_T4,
+    h_t4: int = CUSUM_H_T4,
+) -> DataFrame:
+    """Streaming one-sided CUSUM (Page 1954) per event_type over exact
+    integer t4 value units: S_t = max(0, S_{t−1} + (x_t − target −
+    slack)), alarm while S_t > h — the sequential drift detector that
+    fires on a sustained small upward shift long before any per-row
+    z-score would (the per-row detector is ``anomaly_stream``; the
+    retrospective single-changepoint scan is the batch
+    ``cusum_changepoint``).
+
+    State per type is TWO integers — the running prefix sum P_t and
+    its running minimum (seeded with 0) — because the CUSUM recursion
+    has the exact closed form S_t = P_t − min(0, P_1..P_t); integer
+    state means the stream is bit-deterministic and the batch twin is
+    a plain prefix-sum + running-min window (what the oracle runs).
+    No float enters the compared output. Alarms do NOT reset S (every
+    exceedance row is emitted once) — the monitoring-stream semantics
+    that keeps the closed form exact.
+
+    Ordering discipline: the key's whole micro-batch slice is sorted
+    (ts, event_id) before folding, same as ``anomaly_stream``; replay
+    determinism holds for time-ordered sources (log replay, fixture).
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        p0, min_p = state.get if state.exists else (0, 0)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = (
+                chunks[0]
+                if len(chunks) == 1
+                else pd.concat(chunks, ignore_index=True)
+            )
+            chunks = [whole.sort_values(["ts", "event_id"])]
+        for pdf in chunks:
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            y = (
+                np.floor(v * 10000 + 0.5).astype(np.int64)
+                - target_t4
+                - slack_t4
+            )
+            p = p0 + np.cumsum(y)
+            m = np.minimum(np.minimum.accumulate(p), min_p)
+            s = p - m
+            hit = s > h_t4
+            if hit.any():
+                yield pd.DataFrame(
+                    {
+                        "event_id": pdf["event_id"].to_numpy()[hit],
+                        "event_type": key[0],
+                        "s_t4": s[hit],
+                    }
+                )
+            p0 = int(p[-1])
+            min_p = int(m[-1])
+        state.update((p0, min_p))
+
+    return stream.groupBy("event_type").applyInPandasWithState(
+        update,
+        CUSUM_SCHEMA,
+        CUSUM_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
