@@ -864,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # stateful streaming CUSUM drift alarm (integer closed form)
         "stream_cusum_alarm": fixture_queries.stream_cusum_alarm,
+        # Simpson's-paradox flip audit: global vs per-nation trend sign
+        "simpson_flip_audit": _q(validation.simpson_flip_audit),
     }
 
 
@@ -1709,4 +1711,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ndcg_eval": similarity.ann_ndcg_eval_sql(),
         "transition_entropy": behavior.TRANSITION_ENTROPY_SQL,
         "stream_cusum_alarm": fixture_queries.STREAM_CUSUM_ORACLE,
+        "simpson_flip_audit": validation.simpson_flip_audit_sql(),
     }

@@ -136,6 +136,8 @@ NESTED_LOOP_OK = {
     # inherits brute_topk's broadcast fixed-query-panel scan (the
     # declared exact eval tier it grades LSH against)
     "ann_ndcg_eval",
+    # ONE-ROW global-moment broadcast onto the |nations|-row relation
+    "simpson_flip_audit",
 }
 
 

@@ -3514,3 +3514,162 @@ def logistic_irls_lang_sql() -> str:
            CAST((sum(hit) * 10000) // count(*) AS BIGINT) AS accuracy_bp
     FROM scored
     """
+
+
+# ---------------------------------------------------------------------------
+# Simpson's-paradox flip audit (global vs per-group trend signs)
+# ---------------------------------------------------------------------------
+
+
+def simpson_flip_audit(t: dict[str, DataFrame]) -> DataFrame:
+    """Simpson's-paradox screen over the revenue trend: does the
+    GLOBAL daily-revenue slope point one way while some nations' own
+    slopes point the other? A flipped group means any "revenue is
+    growing" headline silently depends on the mix — the aggregation
+    trap every grouped report should test for before shipping. Counts
+    the nations whose OLS slope sign disagrees with the global one.
+
+    Exactness: every sign is decided on the EXACT integer moment
+    n·Σdr − Σd·Σr (decimal/HUGEINT) — no float ever picks a side;
+    only the reported global slope divides doubles at the end.
+
+    Scale shape: two shuffles — (nation, day) then nation — plus the
+    global day series (calendar-bounded metadata) and a ONE-ROW
+    global-moment broadcast (allowlisted class). Output: one row.
+    """
+    o = t["orders"]
+    dim = (
+        t["customer"]
+        .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("o_custkey"), "n_name")
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    day = (
+        F.datediff(F.date_trunc("day", "o_orderdate"), F.lit("1990-01-01"))
+        .cast("long")
+        .alias("d")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+
+    def moments(df, keys):
+        daily = df.groupBy(*keys, day).agg(
+            F.sum(cents).cast("long").alias("rev")
+        )
+        return daily.groupBy(*keys).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("d").cast("long").alias("sd"),
+            F.sum("rev").cast("long").alias("sr"),
+            F.sum(dec(F.col("d")) * dec(F.col("rev"))).alias("sdr"),
+            F.sum(dec(F.col("d")) * dec(F.col("d"))).alias("sdd"),
+        )
+
+    sxy = lambda: dec(F.col("n")) * F.col("sdr") - dec(F.col("sd")) * dec(
+        F.col("sr")
+    )
+    sxx = lambda: dec(F.col("n")) * F.col("sdd") - dec(F.col("sd")) * dec(
+        F.col("sd")
+    )
+    per = moments(o.join(F.broadcast(dim), "o_custkey"), ["n_name"]).select(
+        "n_name", sxy().alias("g_sxy")
+    )
+    glob = moments(o, []).select(
+        sxy().alias("sxy_g"),
+        sxx().alias("sxx_g"),
+        F.col("n").alias("n_days"),
+    )
+    joined = per.crossJoin(F.broadcast(glob))
+    sign_n = F.signum(F.col("g_sxy").cast("double"))
+    sign_g = F.signum(F.col("sxy_g").cast("double"))
+    agg = joined.groupBy().agg(
+        F.max("n_days").alias("n_days"),
+        F.max("sxy_g").alias("sxy_g"),
+        F.max("sxx_g").alias("sxx_g"),
+        F.count(F.lit(1)).cast("long").alias("n_nations"),
+        F.sum((sign_n > 0).cast("long")).cast("long").alias("n_up"),
+        F.sum((sign_n < 0).cast("long")).cast("long").alias("n_down"),
+        F.sum((sign_n == 0).cast("long")).cast("long").alias("n_flat"),
+        F.sum((sign_n * sign_g < 0).cast("long"))
+        .cast("long")
+        .alias("n_flipped"),
+    )
+    g_slope = F.col("sxy_g").cast("double") / F.col("sxx_g").cast("double")
+    return agg.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        "n_nations",
+        F.when(F.col("sxx_g") > 0, F.round(g_slope, 4)).alias(
+            "global_slope_cents_per_day_r4"
+        ),
+        F.signum(F.col("sxy_g").cast("double"))
+        .cast("int")
+        .alias("global_trend_sign"),
+        "n_up",
+        "n_down",
+        "n_flat",
+        "n_flipped",
+        (F.col("n_flipped") > 0).cast("int").alias("simpson_flag"),
+    )
+
+
+def simpson_flip_audit_sql() -> str:
+    """Twin of simpson_flip_audit: identical exact-integer sign
+    algebra."""
+    return """
+    WITH dim AS (
+        SELECT c_custkey AS o_custkey, n_name
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    nat_daily AS (
+        SELECT n_name,
+               datediff('day', DATE '1990-01-01',
+                        date_trunc('day', o_orderdate)) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders JOIN dim USING (o_custkey)
+        GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT n_name,
+               CAST(count(*) AS HUGEINT) * sum(CAST(d AS HUGEINT) * rev)
+               - CAST(sum(d) AS HUGEINT) * CAST(sum(rev) AS HUGEINT)
+                   AS g_sxy
+        FROM nat_daily GROUP BY 1
+    ),
+    g_daily AS (
+        SELECT datediff('day', DATE '1990-01-01',
+                        date_trunc('day', o_orderdate)) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ),
+    gm AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(count(*) AS HUGEINT) * sum(CAST(d AS HUGEINT) * rev)
+               - CAST(sum(d) AS HUGEINT) * CAST(sum(rev) AS HUGEINT)
+                   AS sxy_g,
+               CAST(count(*) AS HUGEINT) * sum(CAST(d AS HUGEINT) * d)
+               - CAST(sum(d) AS HUGEINT) * CAST(sum(d) AS HUGEINT)
+                   AS sxx_g
+        FROM g_daily
+    )
+    SELECT max(g.n_days) AS n_days,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CASE WHEN max(g.sxx_g) > 0
+                THEN round(CAST(max(g.sxy_g) AS DOUBLE)
+                           / CAST(max(g.sxx_g) AS DOUBLE), 4)
+           END AS global_slope_cents_per_day_r4,
+           CAST(sign(CAST(max(g.sxy_g) AS DOUBLE)) AS INT)
+               AS global_trend_sign,
+           CAST(sum(CASE WHEN p.g_sxy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_up,
+           CAST(sum(CASE WHEN p.g_sxy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down,
+           CAST(sum(CASE WHEN p.g_sxy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flat,
+           CAST(sum(CASE WHEN (p.g_sxy > 0 AND g.sxy_g < 0)
+                           OR (p.g_sxy < 0 AND g.sxy_g > 0)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped,
+           CAST(sum(CASE WHEN (p.g_sxy > 0 AND g.sxy_g < 0)
+                           OR (p.g_sxy < 0 AND g.sxy_g > 0)
+                    THEN 1 ELSE 0 END) > 0 AS INT) AS simpson_flag
+    FROM per p CROSS JOIN gm g
+    """
