@@ -866,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_cusum_alarm": fixture_queries.stream_cusum_alarm,
         # Simpson's-paradox flip audit: global vs per-nation trend sign
         "simpson_flip_audit": _q(validation.simpson_flip_audit),
+        # Hill tail-index mini-plot over the top order statistics
+        "hill_tail_index": _q(validation.hill_tail_index),
     }
 
 
@@ -1712,4 +1714,5 @@ def oracle_sql() -> dict[str, str]:
         "transition_entropy": behavior.TRANSITION_ENTROPY_SQL,
         "stream_cusum_alarm": fixture_queries.STREAM_CUSUM_ORACLE,
         "simpson_flip_audit": validation.simpson_flip_audit_sql(),
+        "hill_tail_index": validation.hill_tail_index_sql(),
     }

@@ -75,3 +75,55 @@ def test_simpson_flat_group_not_a_flip(spark):
     out = validation.simpson_flip_audit(t).collect()[0]
     assert out["n_flat"] == 1
     assert out["n_flipped"] == 0
+
+
+# ---------------------------------------------------------------------------
+# hill_tail_index
+# ---------------------------------------------------------------------------
+
+
+def _value_events(spark, values):
+    return {
+        "events": spark.createDataFrame(
+            [(i, "e", "2024-01-01 00:00:00", float(v), "{}")
+             for i, v in enumerate(values)],
+            "event_id long, event_type string, ts string, value double, "
+            "props string",
+        )
+    }
+
+
+def test_hill_recovers_pareto_alpha(spark):
+    # x_i = 1000 * i^(-1/2) is an exact alpha=2 power tail; the Hill
+    # mean at k is (1/a)*(ln(k+1) - ln(k!)/k) -> alpha_hat ~ 1.02*a
+    # at k=100
+    from training_etl_demo_2_spark.operators import validation as v
+
+    values = [1000.0 * (i ** -0.5) for i in range(1, 1101)]
+    out = {r["k"]: r for r in v.hill_tail_index(
+        _value_events(spark, values)
+    ).collect()}
+    assert set(out) == {100, 500, 1000}
+    for k in (100, 500, 1000):
+        assert abs(out[k]["hill_alpha_r6"] - 2.0) / 2.0 < 0.05
+    # thresholds descend with k
+    assert out[100]["threshold_value_r4"] > out[1000]["threshold_value_r4"]
+
+
+def test_hill_short_series_drops_high_k(spark):
+    from training_etl_demo_2_spark.operators import validation as v
+
+    values = [100.0 * (i ** -0.5) for i in range(1, 301)]
+    out = v.hill_tail_index(_value_events(spark, values)).collect()
+    assert [r["k"] for r in out] == [100]
+
+
+def test_hill_light_tail_large_alpha(spark):
+    # near-constant values -> tiny log excess -> huge alpha estimate
+    from training_etl_demo_2_spark.operators import validation as v
+
+    values = [50.0 + 0.001 * (i % 7) for i in range(1200)]
+    out = {r["k"]: r for r in v.hill_tail_index(
+        _value_events(spark, values)
+    ).collect()}
+    assert out[100]["hill_alpha_r6"] is None or out[100]["hill_alpha_r6"] > 50

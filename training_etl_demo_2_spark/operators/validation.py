@@ -3673,3 +3673,140 @@ def simpson_flip_audit_sql() -> str:
                     THEN 1 ELSE 0 END) > 0 AS INT) AS simpson_flag
     FROM per p CROSS JOIN gm g
     """
+
+
+# ---------------------------------------------------------------------------
+# Hill estimator of the value distribution's tail index
+# ---------------------------------------------------------------------------
+
+HILL_KS = (100, 500, 1000)  # mini Hill plot: estimate at several k
+
+
+def hill_tail_index(t: dict[str, DataFrame]) -> DataFrame:
+    """Hill (1975) estimator of the event-value tail index at several
+    k — the heavy-tail detector behind skew planning: α̂ ≈ 1–2 means
+    the biggest rows dominate every sum (salting and per-key caps are
+    mandatory); α̂ > 3 means means/variances are tame. Reporting the
+    estimate at several k IS the standard "Hill plot" stability check
+    (a flat sequence = trustworthy tail index).
+
+    α̂(k) = [ (1/k) Σ_{i≤k} (ln x₍ᵢ₎ − ln x₍ₖ₊₁₎) ]⁻¹ over the top
+    k+1 order statistics of value (in exact t4 integer units).
+
+    Exactness: only the VALUES of the top-(kmax+1) multiset matter
+    (ties among equal values are rank-ambiguous but value-identical);
+    each ln x₍ᵢ₎ is nano-rounded BEFORE the prefix sum, so both
+    engines fold identical integers; one division + reciprocal per k.
+
+    Scale shape: ONE global top-(kmax+1) (TakeOrderedAndProject —
+    per-partition heaps, never a full sort) feeding a 1001-row window
+    relation; everything after is metadata. Output: one row per k.
+    """
+    kmax = max(HILL_KS)
+    ev = t["events"]
+    top = (
+        ev.select(
+            F.floor(F.col("value") * 10000 + F.lit(0.5))
+            .cast("long")
+            .alias("t4")
+        )
+        .filter(F.col("t4") > 0)
+        .orderBy(F.desc("t4"))
+        .limit(kmax + 1)
+    )
+    w_ord = Window.orderBy(F.desc("t4"))
+    nano = lambda e: F.floor(e * 1e9 + F.lit(0.5)).cast("long")
+    ranked = top.select(
+        "t4",
+        F.row_number().over(w_ord).alias("rn"),
+        nano(F.log(F.col("t4").cast("double"))).alias("ln_nano"),
+    )
+    cum = ranked.select(
+        "rn",
+        "t4",
+        F.sum("ln_nano")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_ln"),
+        "ln_nano",
+    )
+    arms = None
+    for k in HILL_KS:
+        ks = cum.filter(F.col("rn") == k).select(
+            F.lit(k).cast("long").alias("k"),
+            F.col("cum_ln").alias("sum_top"),
+        )
+        thr = cum.filter(F.col("rn") == k + 1).select(
+            F.lit(k).cast("long").alias("k"),
+            F.col("t4").alias("xk1_t4"),
+            F.col("ln_nano").alias("ln_k1"),
+        )
+        arm = ks.join(thr, "k")
+        arms = arm if arms is None else arms.unionByName(arm)
+    mean_excess = (
+        F.col("sum_top").cast("double")
+        - F.col("k").cast("double") * F.col("ln_k1").cast("double")
+    ) / 1e9 / F.col("k").cast("double")
+    return arms.select(
+        "k",
+        F.round(F.col("xk1_t4").cast("double") / 1e4, 4).alias(
+            "threshold_value_r4"
+        ),
+        F.round(mean_excess, 6).alias("mean_log_excess_r6"),
+        F.when(mean_excess > 0, F.round(F.lit(1.0) / mean_excess, 6)).alias(
+            "hill_alpha_r6"
+        ),
+    ).orderBy("k")
+
+
+def hill_tail_index_sql() -> str:
+    """Twin of hill_tail_index: identical top-(k+1) multiset and nano
+    ln lattice."""
+    kmax = max(HILL_KS)
+    arms = "\n        UNION ALL ".join(
+        f"""SELECT {k} AS k,
+               (SELECT cum_ln FROM cum WHERE rn = {k}) AS sum_top,
+               (SELECT t4 FROM cum WHERE rn = {k + 1}) AS xk1_t4,
+               (SELECT ln_nano FROM cum WHERE rn = {k + 1}) AS ln_k1"""
+        for k in HILL_KS
+    )
+    return f"""
+    WITH top AS (
+        SELECT CAST(floor(value * 10000 + 0.5) AS BIGINT) AS t4
+        FROM events
+        WHERE CAST(floor(value * 10000 + 0.5) AS BIGINT) > 0
+        ORDER BY t4 DESC
+        LIMIT {kmax + 1}
+    ),
+    ranked AS (
+        SELECT t4,
+               row_number() OVER (ORDER BY t4 DESC) AS rn,
+               CAST(floor(ln(CAST(t4 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+                   AS ln_nano
+        FROM top
+    ),
+    cum AS MATERIALIZED (
+        SELECT rn, t4, ln_nano,
+               CAST(sum(ln_nano) OVER (ORDER BY rn) AS BIGINT) AS cum_ln
+        FROM ranked
+    ),
+    arms AS (
+        {arms}
+    )
+    SELECT k,
+           round(CAST(xk1_t4 AS DOUBLE) / 1e4, 4) AS threshold_value_r4,
+           round((CAST(sum_top AS DOUBLE)
+                  - CAST(k AS DOUBLE) * CAST(ln_k1 AS DOUBLE))
+                 / 1e9 / CAST(k AS DOUBLE), 6) AS mean_log_excess_r6,
+           CASE WHEN (CAST(sum_top AS DOUBLE)
+                      - CAST(k AS DOUBLE) * CAST(ln_k1 AS DOUBLE))
+                     / 1e9 / CAST(k AS DOUBLE) > 0
+                THEN round(1.0 / ((CAST(sum_top AS DOUBLE)
+                                   - CAST(k AS DOUBLE)
+                                     * CAST(ln_k1 AS DOUBLE))
+                                  / 1e9 / CAST(k AS DOUBLE)), 6)
+           END AS hill_alpha_r6
+    FROM arms
+    WHERE sum_top IS NOT NULL AND xk1_t4 IS NOT NULL
+    ORDER BY k
+    """
