@@ -868,6 +868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simpson_flip_audit": _q(validation.simpson_flip_audit),
         # Hill tail-index mini-plot over the top order statistics
         "hill_tail_index": _q(validation.hill_tail_index),
+        # k-fold cross-validated stump: threshold stability + holdout
+        "stump_cv_eval": _q(curation.stump_cv_eval),
     }
 
 
@@ -1715,4 +1717,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_cusum_alarm": fixture_queries.STREAM_CUSUM_ORACLE,
         "simpson_flip_audit": validation.simpson_flip_audit_sql(),
         "hill_tail_index": validation.hill_tail_index_sql(),
+        "stump_cv_eval": curation.stump_cv_eval_sql(),
     }

@@ -138,6 +138,8 @@ NESTED_LOOP_OK = {
     "ann_ndcg_eval",
     # ONE-ROW global-moment broadcast onto the |nations|-row relation
     "simpson_flip_audit",
+    # value-domain × k-fold grid broadcast (metadata × 5-row literal)
+    "stump_cv_eval",
 }
 
 

@@ -127,3 +127,41 @@ def test_irls_no_signal_flat_fit(spark):
     # balanced classes, no signal -> intercept ~ logit(0.5) = 0
     assert abs(out["beta0_r6"]) < 1e-3
     assert out["accuracy_bp"] <= 5000
+
+
+# ---------------------------------------------------------------------------
+# stump_cv_eval
+# ---------------------------------------------------------------------------
+
+
+def test_stump_cv_perfect_split_stable(spark):
+    # strong signal in every fold -> every fold recovers a threshold
+    # inside the separating gap and scores 100% holdout
+    rows = [(i, 50 + (i % 17), "de") for i in range(60)] + [
+        (100 + i, 500 + (i % 23), "en") for i in range(60)
+    ]
+    out = curation.stump_cv_eval(_docs(spark, rows)).collect()
+    assert len(out) == curation.STUMP_CV_FOLDS
+    for r in out:
+        assert 50 <= r["threshold"] < 500
+        assert r["holdout_accuracy_bp"] == 10000
+        assert r["n_train"] + r["n_holdout"] == 120
+
+
+def test_stump_cv_folds_partition_corpus(spark):
+    rows = [(i, 100 + (i % 31), "en" if i % 2 else "de")
+            for i in range(97)]
+    out = curation.stump_cv_eval(_docs(spark, rows)).collect()
+    assert sum(r["n_holdout"] for r in out) == 97
+    for r in out:
+        assert 0 <= r["holdout_accuracy_bp"] <= 10000
+
+
+def test_stump_cv_no_signal_near_chance(spark):
+    # label independent of length -> holdout accuracy hovers near the
+    # majority-class rate, never suspiciously high
+    rows = [(i, 100 + (i * 7) % 50, "en" if (i * 13) % 3 == 0 else "de")
+            for i in range(300)]
+    out = curation.stump_cv_eval(_docs(spark, rows)).collect()
+    for r in out:
+        assert r["holdout_accuracy_bp"] < 8000

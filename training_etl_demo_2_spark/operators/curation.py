@@ -1770,3 +1770,252 @@ def gini_split_stump_sql() -> str:
                 AS BIGINT) AS stump_accuracy_bp
     FROM best
     """
+
+
+# ---------------------------------------------------------------------------
+# cross-validated decision stump (distributed k-fold train/eval)
+# ---------------------------------------------------------------------------
+
+STUMP_CV_FOLDS = 5
+STUMP_CV_SALT = 764_213_577
+
+
+def stump_cv_eval(t: dict[str, DataFrame]) -> DataFrame:
+    """K-fold cross-validation of the ``gini_split_stump`` learner —
+    the train/eval hygiene layer: each fold trains the stump on the
+    OTHER folds' exact value statistics and scores held-out accuracy,
+    so the report separates fit quality from generalization (a
+    threshold that moves wildly across folds, or holdout accuracy far
+    under training accuracy, means the split is noise). The entire
+    k-fold loop is ONE relational plan — no per-fold job submission.
+
+    Determinism/exactness: fold = (doc_id · salt) mod k (sticky,
+    rejoinable); per-(value, fold) counts are exact integers; each
+    fold's training statistics are derived by SUBTRACTING its own
+    counts from the global per-value relation (one pass, no k× rescan
+    of the corpus); candidate impurity decreases are nano-rounded with
+    the smaller-threshold tie-break; holdout classification compares
+    integers only.
+
+    Scale shape: one groupBy to the (value, fold) relation
+    (value-domain × k metadata); per-fold prefix sums/argmax run as
+    fold-partitioned windows over that metadata; holdout scoring is an
+    equi-join of the same relation against the k-row model table.
+    Output: one row per fold.
+    """
+    d = t["documents"]
+    fold = (
+        (F.col("doc_id").cast("long") * F.lit(STUMP_CV_SALT))
+        % STUMP_CV_FOLDS
+    ).alias("fold")
+    vf = d.select(
+        F.col("n_chars").alias("v"),
+        fold,
+        (F.col("lang") == "en").cast("long").alias("y"),
+    ).groupBy("v", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    vf = vf.persist()
+    vall = vf.groupBy("v").agg(
+        F.sum("n").cast("long").alias("n_all"),
+        F.sum("p").cast("long").alias("p_all"),
+    )
+    folds = vf.sparkSession.range(STUMP_CV_FOLDS).select(
+        F.col("id").cast("long").alias("fold")
+    )
+    grid = vall.crossJoin(F.broadcast(folds)).join(
+        vf, ["v", "fold"], "left"
+    ).select(
+        "v",
+        "fold",
+        (F.col("n_all") - F.coalesce(F.col("n"), F.lit(0)))
+        .cast("long")
+        .alias("n_tr"),
+        (F.col("p_all") - F.coalesce(F.col("p"), F.lit(0)))
+        .cast("long")
+        .alias("p_tr"),
+    )
+    w_ord = Window.partitionBy("fold").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_fold = Window.partitionBy("fold")
+    cum = grid.select(
+        "v",
+        "fold",
+        F.sum("n_tr").over(w_ord).cast("long").alias("nl"),
+        F.sum("p_tr").over(w_ord).cast("long").alias("pl"),
+        F.sum("n_tr").over(w_fold).cast("long").alias("nt"),
+        F.sum("p_tr").over(w_fold).cast("long").alias("pt"),
+    ).filter((F.col("nl") < F.col("nt")) & (F.col("nl") > 0))
+    nl = F.col("nl").cast("double")
+    pl = F.col("pl").cast("double")
+    nt = F.col("nt").cast("double")
+    pt = F.col("pt").cast("double")
+    nr = nt - nl
+    pr = pt - pl
+    gl = (nl * nl - pl * pl - (nl - pl) * (nl - pl)) / (nl * nt)
+    gr = (nr * nr - pr * pr - (nr - pr) * (nr - pr)) / (nr * nt)
+    gp = (nt * nt - pt * pt - (nt - pt) * (nt - pt)) / (nt * nt)
+    dec_nano = F.floor((gp - gl - gr) * 1e9 + F.lit(0.5)).cast("long")
+    w_best = Window.partitionBy("fold").orderBy(
+        F.desc("dec_nano"), F.asc("v")
+    )
+    model = (
+        cum.select(
+            "fold",
+            "v",
+            "nl",
+            "pl",
+            "nt",
+            "pt",
+            dec_nano.alias("dec_nano"),
+        )
+        .withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "fold",
+            F.col("v").alias("theta"),
+            # majority class per side (ties -> negative, both engines)
+            (F.col("pl") * 2 > F.col("nl")).cast("long").alias("left_pos"),
+            ((F.col("pt") - F.col("pl")) * 2 > (F.col("nt") - F.col("nl")))
+            .cast("long")
+            .alias("right_pos"),
+            F.col("dec_nano"),
+            F.col("nt").alias("n_train"),
+        )
+    )
+    holdout = vf.join(F.broadcast(model), "fold").select(
+        "fold",
+        "theta",
+        "dec_nano",
+        "n_train",
+        "n",
+        # correct predictions at this (v, fold) cell
+        F.when(
+            F.col("v") <= F.col("theta"),
+            F.when(F.col("left_pos") == 1, F.col("p")).otherwise(
+                F.col("n") - F.col("p")
+            ),
+        )
+        .otherwise(
+            F.when(F.col("right_pos") == 1, F.col("p")).otherwise(
+                F.col("n") - F.col("p")
+            )
+        )
+        .cast("long")
+        .alias("n_correct"),
+    )
+    return (
+        holdout.groupBy("fold")
+        .agg(
+            F.max("theta").alias("threshold"),
+            F.round(
+                F.max("dec_nano").cast("double") / 1e9, 6
+            ).alias("train_gini_decrease_r6"),
+            F.max("n_train").alias("n_train"),
+            F.sum("n").cast("long").alias("n_holdout"),
+            F.sum("n_correct").cast("long").alias("n_correct"),
+        )
+        .select(
+            "fold",
+            "threshold",
+            "train_gini_decrease_r6",
+            "n_train",
+            "n_holdout",
+            F.expr("(n_correct * 10000L) div n_holdout")
+            .cast("long")
+            .alias("holdout_accuracy_bp"),
+        )
+        .orderBy("fold")
+    )
+
+
+def stump_cv_eval_sql() -> str:
+    """Twin of stump_cv_eval: identical fold hash, subtraction-derived
+    training stats, nano argmax, and integer holdout scoring."""
+    return f"""
+    WITH vf AS MATERIALIZED (
+        SELECT n_chars AS v,
+               (doc_id * {STUMP_CV_SALT}) % {STUMP_CV_FOLDS} AS fold,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS p
+        FROM documents GROUP BY 1, 2
+    ),
+    vall AS (
+        SELECT v, CAST(sum(n) AS BIGINT) AS n_all,
+               CAST(sum(p) AS BIGINT) AS p_all
+        FROM vf GROUP BY 1
+    ),
+    grid AS (
+        SELECT a.v, f.fold,
+               CAST(a.n_all - coalesce(vf.n, 0) AS BIGINT) AS n_tr,
+               CAST(a.p_all - coalesce(vf.p, 0) AS BIGINT) AS p_tr
+        FROM vall a
+        CROSS JOIN (SELECT unnest(range({STUMP_CV_FOLDS})) AS fold) f
+        LEFT JOIN vf ON vf.v = a.v AND vf.fold = f.fold
+    ),
+    cum AS (
+        SELECT v, fold,
+               CAST(sum(n_tr) OVER (PARTITION BY fold ORDER BY v)
+                    AS BIGINT) AS nl,
+               CAST(sum(p_tr) OVER (PARTITION BY fold ORDER BY v)
+                    AS BIGINT) AS pl,
+               CAST(sum(n_tr) OVER (PARTITION BY fold) AS BIGINT) AS nt,
+               CAST(sum(p_tr) OVER (PARTITION BY fold) AS BIGINT) AS pt
+        FROM grid
+    ),
+    scored AS (
+        SELECT v, fold, nl, pl, nt, pt,
+               CAST(floor((
+                   (CAST(nt AS DOUBLE) * nt - CAST(pt AS DOUBLE) * pt
+                    - CAST(nt - pt AS DOUBLE) * (nt - pt))
+                       / (CAST(nt AS DOUBLE) * nt)
+                   - (CAST(nl AS DOUBLE) * nl - CAST(pl AS DOUBLE) * pl
+                      - CAST(nl - pl AS DOUBLE) * (nl - pl))
+                       / (CAST(nl AS DOUBLE) * nt)
+                   - (CAST(nt - nl AS DOUBLE) * (nt - nl)
+                      - CAST(pt - pl AS DOUBLE) * (pt - pl)
+                      - CAST((nt - nl) - (pt - pl) AS DOUBLE)
+                        * ((nt - nl) - (pt - pl)))
+                       / (CAST(nt - nl AS DOUBLE) * nt)
+               ) * 1e9 + 0.5) AS BIGINT) AS dec_nano
+        FROM cum
+        WHERE nl < nt AND nl > 0
+    ),
+    model AS MATERIALIZED (
+        SELECT fold, v AS theta,
+               CAST(pl * 2 > nl AS BIGINT) AS left_pos,
+               CAST((pt - pl) * 2 > (nt - nl) AS BIGINT) AS right_pos,
+               dec_nano, nt AS n_train
+        FROM (
+            SELECT *,
+                   row_number() OVER (PARTITION BY fold
+                                      ORDER BY dec_nano DESC, v ASC) AS rn
+            FROM scored
+        )
+        WHERE rn = 1
+    ),
+    holdout AS (
+        SELECT vf.fold, m.theta, m.dec_nano, m.n_train, vf.n,
+               CAST(CASE WHEN vf.v <= m.theta
+                         THEN CASE WHEN m.left_pos = 1 THEN vf.p
+                                   ELSE vf.n - vf.p END
+                         ELSE CASE WHEN m.right_pos = 1 THEN vf.p
+                                   ELSE vf.n - vf.p END
+                    END AS BIGINT) AS n_correct
+        FROM vf JOIN model m ON m.fold = vf.fold
+    )
+    SELECT fold,
+           max(theta) AS threshold,
+           round(CAST(max(dec_nano) AS DOUBLE) / 1e9, 6)
+               AS train_gini_decrease_r6,
+           CAST(max(n_train) AS BIGINT) AS n_train,
+           CAST(sum(n) AS BIGINT) AS n_holdout,
+           CAST((sum(n_correct) * 10000) // sum(n) AS BIGINT)
+               AS holdout_accuracy_bp
+    FROM holdout
+    GROUP BY fold
+    ORDER BY fold
+    """
