@@ -445,3 +445,45 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+# ---------------------------------------------------------------------------
+# columnar-format round-trips beyond parquet
+# ---------------------------------------------------------------------------
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib default). ORC is the second columnar format a
+    lake engine must speak (Hive-lineage tables); Spark's reader/writer
+    is built in, and predicate pushdown / column pruning work the same
+    as parquet — `tests/test_formats.py` pins both behaviors."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_parquet_zstd(
+    df: DataFrame, path: str, mode: str = "overwrite", level: int = 3
+) -> None:
+    """Parquet with zstd compression — the modern default for cold
+    data (denser than snappy at similar scan cost; at 100 TB the
+    storage/egress delta dominates the extra encode CPU). Level is a
+    write-time knob only; readers are oblivious."""
+    (
+        df.write.mode(mode)
+        .option("compression", "zstd")
+        .option("parquet.compression.codec.zstd.level", str(level))
+        .parquet(path)
+    )
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union datasets written with different
+    (compatible) schemas via mergeSchema — columns absent in older
+    files surface as NULLs. This is the append-only lake evolution
+    contract: add columns, never retype or drop (retyping int→string
+    across files makes mergeSchema throw — quarantine-rewrite those
+    partitions instead)."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
