@@ -870,6 +870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hill_tail_index": _q(validation.hill_tail_index),
         # k-fold cross-validated stump: threshold stability + holdout
         "stump_cv_eval": _q(curation.stump_cv_eval),
+        # Poisson overdispersion (index-of-dispersion) of user counts
+        "event_overdispersion": _q(validation.event_overdispersion),
+        # NDCG@k of the IVF tier vs brute truth (same scale as LSH's)
+        "ivf_ndcg_eval": _q(similarity.ivf_ndcg_eval),
     }
 
 
@@ -1718,4 +1722,6 @@ def oracle_sql() -> dict[str, str]:
         "simpson_flip_audit": validation.simpson_flip_audit_sql(),
         "hill_tail_index": validation.hill_tail_index_sql(),
         "stump_cv_eval": curation.stump_cv_eval_sql(),
+        "event_overdispersion": validation.event_overdispersion_sql(),
+        "ivf_ndcg_eval": similarity.ivf_ndcg_eval_sql(),
     }

@@ -57,3 +57,12 @@ def test_ndcg_penalizes_missing_neighbors(spark):
     for r in out:
         if r["n_hits"] == 0:
             assert r["dcg_r6"] == 0.0
+
+
+def test_ivf_ndcg_same_scale(spark):
+    out = similarity.ivf_ndcg_eval(_emb(spark, _clustered()), k=5).collect()
+    assert len(out) == 20
+    for r in out:
+        assert 0 <= r["n_hits"] <= 5
+        if r["ndcg_r6"] is not None:
+            assert 0.0 <= r["ndcg_r6"] <= 1.0 + 1e-9

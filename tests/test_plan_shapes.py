@@ -140,6 +140,8 @@ NESTED_LOOP_OK = {
     "simpson_flip_audit",
     # value-domain × k-fold grid broadcast (metadata × 5-row literal)
     "stump_cv_eval",
+    # inherits brute_topk's broadcast fixed-query-panel scan
+    "ivf_ndcg_eval",
 }
 
 

@@ -73,3 +73,23 @@ def test_overall_is_weighted_mix(spark):
     }
     assert abs(out["__overall__"]["entropy_bits_r6"] - 0.5) < 1e-6
     assert out["__overall__"]["n_out"] == 8
+
+
+def test_overdispersion_poissonish_vs_bursty(spark):
+    from training_etl_demo_2_spark.operators import validation
+
+    # near-equal counts per user -> dispersion ~ 0 (underdispersed)
+    even = [(i, i % 50, "e", i % 7) for i in range(500)]
+    out_even = validation.event_overdispersion(
+        {"events": _events(spark, even)}
+    ).collect()[0]
+    assert out_even["dispersion_r6"] < 1.0
+    assert out_even["overdispersed"] == 0
+    # whales: user 0 fires 300 of 400 events -> massive dispersion
+    bursty = [(i, 0 if i < 300 else i, "e", i % 7) for i in range(400)]
+    out_b = validation.event_overdispersion(
+        {"events": _events(spark, bursty)}
+    ).collect()[0]
+    assert out_b["dispersion_r6"] > 10.0
+    assert out_b["overdispersed"] == 1
+    assert out_b["n_events"] == 400

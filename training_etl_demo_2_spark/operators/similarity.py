@@ -2136,8 +2136,19 @@ def ann_ndcg_eval(t: dict[str, DataFrame], k: int = 5) -> DataFrame:
     metadata. Output: one row per query.
     """
     emb = t["embeddings"]
-    truth = brute_topk(emb, k=k)
-    approx = lsh_topk(emb, k=k)
+    return _ndcg_vs_truth(brute_topk(emb, k=k), lsh_topk(emb, k=k), k)
+
+
+def ivf_ndcg_eval(t: dict[str, DataFrame], k: int = 5) -> DataFrame:
+    """NDCG@k of the IVF (coarse-quantizer) retrieval against the
+    brute exact ranking — same grading harness as ``ann_ndcg_eval``
+    over the other production ANN tier, so the two approximations are
+    comparable on one rank-weighted scale."""
+    emb = t["embeddings"]
+    return _ndcg_vs_truth(brute_topk(emb, k=k), ivf_topk(emb, k=k), k)
+
+
+def _ndcg_vs_truth(truth: DataFrame, approx: DataFrame, k: int) -> DataFrame:
     nano = lambda e: F.floor(e * 1e9 + F.lit(0.5)).cast("long")
     rel = F.coalesce(
         F.lit(k + 1) - F.col("t_rnk"), F.lit(0).cast("int")
@@ -2196,9 +2207,23 @@ def ann_ndcg_eval_sql(k: int = 5) -> str:
     identical nano DCG lattice."""
     from . import oracle_text
 
+    return _ndcg_sql(oracle_text.lsh_topk_sql(k=k), k)
+
+
+def ivf_ndcg_eval_sql(k: int = 5) -> str:
+    """Twin of ivf_ndcg_eval: brute + IVF oracle rankings, same
+    lattice."""
+    from . import oracle_text
+
+    return _ndcg_sql(oracle_text.ivf_topk_sql(k=k), k)
+
+
+def _ndcg_sql(approx_sql: str, k: int) -> str:
+    from . import oracle_text
+
     return f"""
     WITH truth AS ({oracle_text.brute_topk_sql(k=k)}),
-    approx AS ({oracle_text.lsh_topk_sql(k=k)}),
+    approx AS ({approx_sql}),
     terms AS (
         SELECT a.query_id,
                CAST(tt.rnk IS NOT NULL AS BIGINT) AS hit,

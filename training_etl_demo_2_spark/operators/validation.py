@@ -3810,3 +3810,95 @@ def hill_tail_index_sql() -> str:
     WHERE sum_top IS NOT NULL AND xk1_t4 IS NOT NULL
     ORDER BY k
     """
+
+
+# ---------------------------------------------------------------------------
+# Poisson overdispersion test of per-user event counts
+# ---------------------------------------------------------------------------
+
+
+def event_overdispersion(t: dict[str, DataFrame]) -> DataFrame:
+    """Index-of-dispersion test of per-user event counts against the
+    Poisson null — the burstiness check for count models: capacity
+    planning and anomaly thresholds that assume Poisson arrivals are
+    wrong when D = var/mean ≫ 1 (a few whales dominate; switch to a
+    negative-binomial model and per-key caps). The statistic
+    (n−1)·D = Σ(k_i − k̄)²/k̄ is χ²_{n−1} under the null; the normal
+    approximation z = ((n−1)D − (n−1))/√(2(n−1)) flags exceedance.
+
+    Exactness: per-user counts collapse to exact (n, Σk, Σk²)
+    (decimal squares); D, χ², z follow one shared double sequence.
+
+    Scale shape: one user-keyed count + one 1-row moment aggregate.
+    Output: one row.
+    """
+    ev = t["events"]
+    per = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    agg = per.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("k").cast("long").alias("s"),
+        F.sum(dec(F.col("k")) * dec(F.col("k"))).alias("ss"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ss = F.col("ss").cast("double")
+    mean = s / n
+    var = (n * ss - s * s) / (n * (n - 1.0))
+    disp = var / mean
+    chi2 = (n - 1.0) * disp
+    z = (chi2 - (n - 1.0)) / F.sqrt(2.0 * (n - 1.0))
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("s").cast("long").alias("n_events"),
+        F.round(mean, 6).alias("mean_r6"),
+        F.round(var, 6).alias("var_r6"),
+        F.round(disp, 6).alias("dispersion_r6"),
+        F.round(z, 6).alias("z_r6"),
+        (z > 1.959964).cast("int").alias("overdispersed"),
+    )
+
+
+def event_overdispersion_sql() -> str:
+    """Twin of event_overdispersion: identical moment algebra."""
+    return """
+    WITH per AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS k
+        FROM events GROUP BY 1
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(k) AS BIGINT) AS s,
+               sum(CAST(k AS HUGEINT) * CAST(k AS HUGEINT)) AS ss
+        FROM per
+    )
+    SELECT n AS n_users, s AS n_events,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_r6,
+           round((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+               AS var_r6,
+           round(((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                 / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+               AS dispersion_r6,
+           round(((CAST(n AS DOUBLE) - 1.0)
+                  * ((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                  / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  - (CAST(n AS DOUBLE) - 1.0))
+                 / sqrt(2.0 * (CAST(n AS DOUBLE) - 1.0)), 6) AS z_r6,
+           CAST(((CAST(n AS DOUBLE) - 1.0)
+                 * ((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                     - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                 / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                 - (CAST(n AS DOUBLE) - 1.0))
+                / sqrt(2.0 * (CAST(n AS DOUBLE) - 1.0)) > 1.959964 AS INT)
+               AS overdispersed
+    FROM agg
+    """
