@@ -63,3 +63,34 @@ def test_merge_schema_evolution(spark, tmp_path):
     assert [r["id"] for r in got] == [1, 2]
     assert got[0]["score"] is None  # old rows surface the new column
     assert got[1]["score"] == 9.5
+
+
+def test_jsonl_quarantine_split(spark, tmp_path):
+    import os
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = os.path.join(str(tmp_path), "docs.jsonl")
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n')
+        f.write('{"doc_id": "not-a-number", "text": "bad type"}\n')
+        f.write('{broken json\n')
+        f.write('{"doc_id": 2, "text": "fine"}\n')
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), True),
+            StructField("text", StringType(), True),
+        ]
+    )
+    got = io.read_jsonl_with_quarantine(spark, p, schema)
+    good = sorted(r["doc_id"] for r in got.good.collect())
+    bad = got.bad.collect()
+    assert good == [1, 2]
+    assert len(bad) == 2
+    assert any("broken" in r["raw_record"] for r in bad)
+    got.unpersist()

@@ -487,3 +487,35 @@ def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
     across files makes mergeSchema throw — quarantine-rewrite those
     partitions instead)."""
     return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def read_jsonl_with_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+) -> QuarantinedRead:
+    """JSONL scan with a dead-letter path — the JSON sibling of
+    :func:`read_csv_with_quarantine`: ``good`` holds lines that parsed
+    against ``schema``, ``bad`` the raw text of lines that didn't
+    (syntax errors, type mismatches). Same single-pass PERMISSIVE +
+    corrupt-column posture; same shared-cache contract.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    corrupt = "_corrupt_record"
+    full_schema = StructType(
+        list(schema.fields) + [StructField(corrupt, StringType(), True)]
+    )
+    parsed = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .schema(full_schema)
+        .json(path)
+        .cache()
+    )
+    good = parsed.filter(F.col(corrupt).isNull()).drop(corrupt)
+    bad = parsed.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_record")
+    )
+    return QuarantinedRead(good, bad, parsed)
