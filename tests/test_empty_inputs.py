@@ -203,3 +203,68 @@ def test_robust_anomalies_single_row_type_not_flagged(spark):
     )
     # median == the value, dev == 0, MAD == 0: 0 > 0 is false
     assert robust_value_anomalies(df).count() == 0
+
+
+EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+ORD_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_totalprice double, "
+    "o_orderdate string"
+)
+
+
+@pytest.fixture(scope="module")
+def empty_ev(spark):
+    return spark.createDataFrame([], EV_SCHEMA)
+
+
+def test_round5_doc_ops_empty(spark, empty_docs):
+    from training_etl_demo_2_spark.operators import curation, validation
+
+    t = {"documents": empty_docs}
+    assert text.readability_by_source(t).count() == 0
+    assert text.script_mismatch_audit(t).count() == 0
+    assert curation.gini_split_stump(t).count() == 0
+    assert curation.stump_cv_eval(t).count() == 0
+    # single-row report ops return one all-null/zero row on empty input
+    row = validation.anova_bartlett_sources(t).collect()
+    assert len(row) <= 1
+
+
+def test_round5_event_ops_empty(spark, empty_ev):
+    from training_etl_demo_2_spark.operators import (
+        behavior,
+        temporal,
+        validation,
+    )
+
+    t = {"events": empty_ev}
+    assert temporal.ccf_event_types(t).count() == 0
+    assert behavior.transition_entropy(empty_ev).count() <= 1
+    assert behavior.position_attribution(empty_ev).count() == 0
+    assert validation.hill_tail_index(t).count() == 0
+    # one-row reports stay well-defined (null stats, zero counts)
+    pow_row = behavior.ab_power_mde(t).collect()
+    assert len(pow_row) <= 1
+    od = validation.event_overdispersion(t).collect()
+    assert len(od) <= 1
+
+
+def test_round5_orders_ops_empty(spark):
+    from training_etl_demo_2_spark.operators import validation
+
+    empty_ord = spark.createDataFrame([], ORD_SCHEMA)
+    out = validation.kendall_tau_daily({"orders": empty_ord}).collect()
+    assert len(out) <= 1
+    if out:
+        assert out[0]["n_pairs"] in (0, None)
+
+
+def test_round5_embedding_ops_empty(spark, empty_emb):
+    from training_etl_demo_2_spark.operators import similarity
+
+    t = {"embeddings": empty_emb}
+    assert similarity.ann_ndcg_eval(t).count() == 0
+    assert similarity.kmeans_silhouette(t).count() == 0
