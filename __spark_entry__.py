@@ -874,6 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_overdispersion": _q(validation.event_overdispersion),
         # NDCG@k of the IVF tier vs brute truth (same scale as LSH's)
         "ivf_ndcg_eval": _q(similarity.ivf_ndcg_eval),
+        # degree assortativity of the near-dup graph (hub wiring)
+        "near_dup_assortativity": _q(dedup.near_dup_assortativity),
     }
 
 
@@ -1724,4 +1726,5 @@ def oracle_sql() -> dict[str, str]:
         "stump_cv_eval": curation.stump_cv_eval_sql(),
         "event_overdispersion": validation.event_overdispersion_sql(),
         "ivf_ndcg_eval": similarity.ivf_ndcg_eval_sql(),
+        "near_dup_assortativity": dedup.near_dup_assortativity_sql(),
     }

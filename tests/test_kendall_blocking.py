@@ -113,3 +113,42 @@ def test_blocking_counts_are_consistent(spark):
     assert out["n_possible_pairs"] == 15
     assert 0 <= out["n_found"] <= out["n_true_pairs"]
     assert out["n_found"] <= out["n_candidates"]
+
+
+# ---------------------------------------------------------------------------
+# near_dup_assortativity
+# ---------------------------------------------------------------------------
+
+
+def test_assortativity_clique_degrees_equal_null(spark):
+    # 5 identical docs form a CLIQUE (all pairs): degrees all equal
+    # -> zero degree variance -> NULL by definition
+    base = ("the common boilerplate body that every mirror page carries "
+            "verbatim with plenty of shared tokens in the shingle window")
+    rows = [(0, base)] + [(i, base) for i in range(1, 5)]
+    out = dedup.near_dup_assortativity(_docs(spark, rows)).collect()[0]
+    assert out["n_edges"] == 10
+    assert out["assortativity_r6"] is None
+
+
+def test_assortativity_two_cliques_null_and_pairs(spark):
+    # two disjoint duplicate PAIRS: every node degree 1 -> zero degree
+    # variance -> NULL assortativity, mean edge degree exactly 1
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [(1, a), (2, a), (3, b), (4, b)]
+    out = dedup.near_dup_assortativity(_docs(spark, rows)).collect()[0]
+    assert out["n_edges"] == 2 and out["n_nodes"] == 4
+    assert out["mean_edge_degree_r6"] == 1.0
+    assert out["assortativity_r6"] is None
+
+
+def test_assortativity_mixed_degrees_in_range(spark):
+    # a triangle (3 identical docs) + a pair: degrees {2,2,2,1,1}
+    tri = "red orange yellow green blue indigo violet pink brown black white"
+    pr = "sun moon star cloud rain snow wind storm fog mist dew frost"
+    rows = [(1, tri), (2, tri), (3, tri), (4, pr), (5, pr)]
+    out = dedup.near_dup_assortativity(_docs(spark, rows)).collect()[0]
+    assert out["n_edges"] == 4
+    # both components are degree-homogeneous -> perfectly assortative
+    assert out["assortativity_r6"] == 1.0

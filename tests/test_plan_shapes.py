@@ -142,6 +142,8 @@ NESTED_LOOP_OK = {
     "stump_cv_eval",
     # inherits brute_topk's broadcast fixed-query-panel scan
     "ivf_ndcg_eval",
+    # ONE-ROW node-count broadcast onto the 1-row moment aggregate
+    "near_dup_assortativity",
 }
 
 

@@ -2092,3 +2092,147 @@ def blocking_quality_eval_sql(
            END AS reduction_ratio_r6
     FROM counts
     """
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity of the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def near_dup_assortativity(
+    t: dict[str, DataFrame],
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the near-duplicate graph:
+    the Pearson correlation of endpoint degrees over the edge list —
+    positive means duplicate hubs link to other hubs (mirror farms
+    copying each other: one union-find superstep will fuse them into a
+    giant component), negative means star/template topology (one
+    boilerplate page matched by many leaves). The degree histogram
+    says hubs EXIST; assortativity says how they're wired — which
+    decides whether cluster canonicalization is a few big merges or
+    many small ones.
+
+    Exactness: degrees are exact integers; the correlation moments
+    (Σx, Σx², Σxy over both orientations of each edge) are exact
+    decimal(38,0)/HUGEINT sums; one double sequence at the end. NULL
+    when all degrees are equal (zero variance — e.g. a perfect
+    pairwise matching).
+
+    Scale shape: the LSH pair relation reduces to per-node degrees
+    (one shuffle), joins back to the edges twice on doc id, and
+    collapses to a 1-row moment aggregate. Output: one row.
+    """
+    d = t["documents"]
+    pairs = minhash_lsh_pairs(d, "text", n, threshold).select(
+        "doc_a", "doc_b"
+    )
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = nodes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    # both orientations: the symmetric edge multiset
+    directed = pairs.unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    scored = (
+        directed.join(
+            deg.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("degree").alias("dx"),
+            ),
+            "doc_a",
+        )
+        .join(
+            deg.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("degree").alias("dy"),
+            ),
+            "doc_b",
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    agg = scored.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),  # 2|E|
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(dec(F.col("dx")) * dec(F.col("dx"))).alias("sxx"),
+        F.sum(dec(F.col("dx")) * dec(F.col("dy"))).alias("sxy"),
+    )
+    nodes_cnt = deg.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    one = agg.crossJoin(F.broadcast(nodes_cnt))
+    m = F.col("m2").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    # symmetric multiset: x and y marginals are identical
+    var = m * sxx - sx * sx
+    cov = m * sxy - sx * sx
+    return one.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        "n_nodes",
+        F.when(
+            F.col("n_nodes") > 0,
+            F.round(sx / m, 6),
+        ).alias("mean_edge_degree_r6"),
+        F.when(var > 0, F.round(cov / var, 6)).alias("assortativity_r6"),
+    )
+
+
+def near_dup_assortativity_sql(
+    n: int = DEFAULT_NGRAM, threshold: float = 0.8
+) -> str:
+    """Twin of near_dup_assortativity over the minhash oracle pairs."""
+    from .oracle import minhash_lsh_sql
+
+    return f"""
+    WITH lsh_pairs AS ({minhash_lsh_sql(n, threshold)}),
+    pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM lsh_pairs),
+    nodes AS (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+    ),
+    deg AS MATERIALIZED (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+        FROM nodes GROUP BY 1
+    ),
+    directed AS (
+        SELECT doc_a, doc_b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    scored AS (
+        SELECT da.degree AS dx, db.degree AS dy
+        FROM directed d
+        JOIN deg da ON da.doc_id = d.doc_a
+        JOIN deg db ON db.doc_id = d.doc_b
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS m2,
+               CAST(sum(dx) AS BIGINT) AS sx,
+               sum(CAST(dx AS HUGEINT) * CAST(dx AS HUGEINT)) AS sxx,
+               sum(CAST(dx AS HUGEINT) * CAST(dy AS HUGEINT)) AS sxy
+        FROM scored
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+           n_nodes,
+           CASE WHEN n_nodes > 0
+                THEN round(CAST(sx AS DOUBLE) / CAST(m2 AS DOUBLE), 6)
+           END AS mean_edge_degree_r6,
+           CASE WHEN CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN round((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                           6)
+           END AS assortativity_r6
+    FROM agg CROSS JOIN nn
+    """
