@@ -112,3 +112,73 @@ def test_stream_cusum_equals_batch_closed_form(spark, sf_dir, tables):
     )
     # the recursion never goes negative and alarms exceed the threshold
     assert all(r["s_t4"] > CUSUM_H_T4 for r in got.collect())
+
+
+def test_cusum_state_survives_restart(spark, tmp_path):
+    """State-recovery drill: deliver 10 hot events, stop, deliver 10
+    more, restart on the SAME checkpoint. The CUSUM crosses its
+    threshold only DURING THE SECOND RUN and only if the carried
+    prefix-sum state survived the restart — a fresh state would leave
+    run 2 at 4.0M < 5M and emit nothing."""
+    import datetime
+    import os
+
+    from training_etl_demo_2_spark.streaming.stateful import (
+        CUSUM_H_T4,
+        cusum_alarm_stream,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def slab(i0, n):
+        # value=100 -> y = +400_000/event; threshold 5M crosses at
+        # event 13 overall
+        return spark.createDataFrame(
+            [
+                (
+                    i0 + i,
+                    base + datetime.timedelta(minutes=i0 + i),
+                    7,
+                    "hot",
+                    100.0,
+                    "{}",
+                )
+                for i in range(n)
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    src = os.path.join(str(tmp_path), "src")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    slab(0, 10).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    got = []
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = cusum_alarm_stream(stream)
+
+        def sink(batch_df, _bid):
+            got.extend(map(tuple, batch_df.collect()))
+
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    run_once()
+    assert got == []  # 10 events x 400k = 4.0M < 5M: silent
+    slab(10, 10).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    # with carried state S crosses 5M at overall event 13 (id 12):
+    # alarms for ids 12..19, strictly increasing S
+    assert [r[0] for r in sorted(got)] == list(range(12, 20))
+    assert all(r[1] == "hot" and r[2] > CUSUM_H_T4 for r in got)
+    svals = [r[2] for r in sorted(got)]
+    assert svals == sorted(svals)
