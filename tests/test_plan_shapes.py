@@ -144,6 +144,9 @@ NESTED_LOOP_OK = {
     "ivf_ndcg_eval",
     # ONE-ROW node-count broadcast onto the 1-row moment aggregate
     "near_dup_assortativity",
+    # per-k ONE-ROW (sum_top) x ONE-ROW (threshold) joins over the
+    # 1001-row top-k metadata; the literal join key folds to a BNLJ
+    "hill_tail_index",
 }
 
 
