@@ -876,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ndcg_eval": _q(similarity.ivf_ndcg_eval),
         # degree assortativity of the near-dup graph (hub wiring)
         "near_dup_assortativity": _q(dedup.near_dup_assortativity),
+        # DAU / trailing-28d MAU engagement ratio per observed day
+        "dau_mau_stickiness": _q(relational_ext.dau_mau_stickiness),
     }
 
 
@@ -1727,4 +1729,5 @@ def oracle_sql() -> dict[str, str]:
         "event_overdispersion": validation.event_overdispersion_sql(),
         "ivf_ndcg_eval": similarity.ivf_ndcg_eval_sql(),
         "near_dup_assortativity": dedup.near_dup_assortativity_sql(),
+        "dau_mau_stickiness": relational_ext.dau_mau_stickiness_sql(),
     }

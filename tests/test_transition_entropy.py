@@ -93,3 +93,64 @@ def test_overdispersion_poissonish_vs_bursty(spark):
     assert out_b["dispersion_r6"] > 10.0
     assert out_b["overdispersed"] == 1
     assert out_b["n_events"] == 400
+
+
+def test_dau_mau_stickiness_hand_computed(spark):
+    from training_etl_demo_2_spark.operators import relational_ext
+
+    # day 1: users {1,2}; day 15: users {2,3,4} (inside day-1's 28d
+    # window). DAU(d1)=2, MAU(d1)=2 (only day-1 users so far) -> 10000
+    # DAU(d15)=3, MAU(d15)=|{1,2,3,4}|=4 -> 7500
+    rows = [
+        (1, 1, "e", 0), (2, 2, "e", 1),
+    ]
+    rows15 = [(3, 2, "e", 0), (4, 3, "e", 1), (5, 4, "e", 2)]
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    data = [
+        (e, base + datetime.timedelta(minutes=m), u, et, 1.0, "{}")
+        for (e, u, et, m) in rows
+    ] + [
+        (e, base + datetime.timedelta(days=14, minutes=m), u, et, 1.0, "{}")
+        for (e, u, et, m) in rows15
+    ]
+    ev = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r["day"]: r
+        for r in relational_ext.dau_mau_stickiness(
+            {"events": ev}
+        ).collect()
+    }
+    assert set(out) == {"2024-01-01", "2024-01-15"}
+    assert out["2024-01-01"]["dau"] == 2
+    assert out["2024-01-01"]["mau"] == 2
+    assert out["2024-01-01"]["stickiness_bp"] == 10000
+    assert out["2024-01-15"]["dau"] == 3
+    assert out["2024-01-15"]["mau"] == 4
+    assert out["2024-01-15"]["stickiness_bp"] == 7500
+
+
+def test_dau_mau_window_expires(spark):
+    from training_etl_demo_2_spark.operators import relational_ext
+
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    # second burst 40 days later: the first cohort is OUTSIDE the 28d
+    # window -> MAU = DAU on both days
+    data = [
+        (1, base, 1, "e", 1.0, "{}"),
+        (2, base + datetime.timedelta(days=40), 2, "e", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = relational_ext.dau_mau_stickiness({"events": ev}).collect()
+    assert all(r["stickiness_bp"] == 10000 for r in out)

@@ -1594,3 +1594,88 @@ def revenue_pareto_cumshare_sql() -> str:
     FROM cur
     ORDER BY rank
     """
+
+
+# ---------------------------------------------------------------------------
+# DAU/MAU stickiness
+# ---------------------------------------------------------------------------
+
+STICKY_WINDOW_DAYS = 28
+
+
+def dau_mau_stickiness(t: dict[str, DataFrame]) -> DataFrame:
+    """DAU / trailing-28-day-MAU per observed day — the engagement
+    ratio product teams steer by (how much of the monthly audience
+    shows up on a given day), computed EXACTLY: both counts are
+    distinct users, the ratio is integer basis points.
+
+    Shape: distinct (day, user) pairs (one dedup shuffle, pairs ≪
+    events) expand into the ≤28 window-days each pair funds (narrow
+    sequence explode, same exact-sliding-distinct trade as
+    ``rolling_active_users``); count(DISTINCT user) per window-day;
+    inner-join back to observed days so quiet calendar gaps don't
+    emit rows. At 100 TB the approximate tier merges daily HLL blocks
+    instead — this exact tier is its testable ground truth.
+    Output: one row per observed day.
+    """
+    e = t["events"]
+    day = F.date_trunc("day", F.col("ts"))
+    pairs = e.select(day.alias("d"), "user_id").distinct()
+    pairs = pairs.persist()
+    dau = pairs.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    expanded = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("d"),
+                F.col("d") + F.expr(
+                    f"INTERVAL {STICKY_WINDOW_DAYS - 1} DAYS"
+                ),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("wd"),
+        "user_id",
+    )
+    mau = expanded.groupBy("wd").agg(
+        F.count_distinct("user_id").cast("long").alias("mau")
+    )
+    return (
+        dau.join(mau, dau["d"] == mau["wd"])
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "mau",
+            F.expr("(dau * 10000L) div mau").cast("long").alias(
+                "stickiness_bp"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+def dau_mau_stickiness_sql() -> str:
+    """Twin of dau_mau_stickiness: identical pair expansion."""
+    return f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events
+    ),
+    dau AS (
+        SELECT d, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY 1
+    ),
+    expanded AS (
+        SELECT unnest(generate_series(
+                   d, d + INTERVAL {STICKY_WINDOW_DAYS - 1} DAY,
+                   INTERVAL 1 DAY)) AS wd,
+               user_id
+        FROM pairs
+    ),
+    mau AS (
+        SELECT wd, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+        FROM expanded GROUP BY 1
+    )
+    SELECT strftime(dau.d, '%Y-%m-%d') AS day, dau.dau, mau.mau,
+           CAST((dau.dau * 10000) // mau.mau AS BIGINT) AS stickiness_bp
+    FROM dau JOIN mau ON mau.wd = dau.d
+    ORDER BY day
+    """
