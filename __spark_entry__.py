@@ -878,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_assortativity": _q(dedup.near_dup_assortativity),
         # DAU / trailing-28d MAU engagement ratio per observed day
         "dau_mau_stickiness": _q(relational_ext.dau_mau_stickiness),
+        # pre-flight LSH banding cost model (bucket occupancy)
+        "lsh_cost_advisor": _q(dedup.lsh_cost_advisor),
     }
 
 
@@ -1730,4 +1732,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ndcg_eval": similarity.ivf_ndcg_eval_sql(),
         "near_dup_assortativity": dedup.near_dup_assortativity_sql(),
         "dau_mau_stickiness": relational_ext.dau_mau_stickiness_sql(),
+        "lsh_cost_advisor": dedup.lsh_cost_advisor_sql(),
     }

@@ -152,3 +152,34 @@ def test_assortativity_mixed_degrees_in_range(spark):
     assert out["n_edges"] == 4
     # both components are degree-homogeneous -> perfectly assortative
     assert out["assortativity_r6"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# lsh_cost_advisor
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_cost_advisor_predicts_clique_pairs(spark):
+    # 3 identical + 2 identical + 1 unique doc: every band's buckets
+    # are {3, 2, 1} -> candidate pairs 3 + 1 + 0 = 4 in EVERY band
+    tri = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    two = "one two three four five six seven eight nine ten eleven twelve"
+    solo = "red orange yellow green blue indigo violet pink brown white grey"
+    rows = [(1, tri), (2, tri), (3, tri), (4, two), (5, two), (6, solo)]
+    out = dedup.lsh_cost_advisor(_docs(spark, rows)).collect()
+    assert len(out) == dedup.BANDS
+    for r in out:
+        assert r["n_docs"] == 6
+        assert r["max_bucket"] == 3
+        assert r["candidate_pairs"] == 4
+
+
+def test_lsh_cost_advisor_bounds_actual_join(spark):
+    # the per-band prediction upper-bounds the DISTINCT candidate set
+    # blocking_quality_eval later materializes
+    base = "w%d " * 25
+    rows = [(i, (base % tuple(range(25))) + f"t{i % 3}") for i in range(9)]
+    adv = dedup.lsh_cost_advisor(_docs(spark, rows)).collect()
+    total_rows = sum(r["candidate_pairs"] for r in adv)
+    eva = dedup.blocking_quality_eval(_docs(spark, rows)).collect()[0]
+    assert eva["n_candidates"] <= total_rows

@@ -2236,3 +2236,85 @@ def near_dup_assortativity_sql(
            END AS assortativity_r6
     FROM agg CROSS JOIN nn
     """
+
+
+# ---------------------------------------------------------------------------
+# LSH banding cost advisor (bucket occupancy -> candidate-join volume)
+# ---------------------------------------------------------------------------
+
+
+def lsh_cost_advisor(
+    t: dict[str, DataFrame], n: int = DEFAULT_NGRAM
+) -> DataFrame:
+    """Pre-flight cost model for the MinHash banding join: from the
+    band/bucket occupancy alone (no pair materialization), the exact
+    number of candidate pairs the self-join WILL emit per band —
+    Σ c·(c−1)/2 over buckets — plus the occupancy shape (max/total
+    buckets) that says whether one hot bucket will dominate a task.
+    This is the number to check BEFORE launching a 100 TB dedup: a
+    banding whose predicted candidates ≈ n²/2 means the parameters
+    (bands × rows) are wrong for the corpus, and the advisor costs
+    one aggregate instead of the join itself.
+
+    Exactness: all outputs are exact integers from the band relation
+    (decimal(38,0)/HUGEINT for the c·(c−1)/2 sums — a hot bucket
+    squares past int64 at ~10⁵ members).
+
+    Scale shape: the persisted band relation collapses to (band,
+    bucket, c) in one groupBy, then to one row per band. The
+    PREDICTION equals what blocking_quality_eval's join then counts —
+    pinned by a planted test. Output: one row per band.
+    """
+    d = t["documents"]
+    sh = shingle_hashes(d, "text", n).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = _band_relation(sh)
+    occ = bands.groupBy("band", "bk").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    return (
+        occ.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum("c").cast("long").alias("n_docs"),
+            F.max("c").cast("long").alias("max_bucket"),
+            F.sum(dec(F.col("c")) * dec(F.col("c") - 1) / F.lit(2))
+            .cast("decimal(38,0)")
+            .cast("long")
+            .alias("candidate_pairs"),
+        )
+        .orderBy("band")
+    )
+
+
+def lsh_cost_advisor_sql(n: int = DEFAULT_NGRAM) -> str:
+    """Twin of lsh_cost_advisor over the minhash oracle band CTEs."""
+    from .oracle import _band_key_expr, _shingles_cte, _signature_exprs
+
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_expr(b)} AS bk FROM sig"
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH {_shingles_cte(n)},
+    sig AS (
+        SELECT doc_id, {_signature_exprs()}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {band_rows}
+    ),
+    occ AS (
+        SELECT band, bk, CAST(count(*) AS BIGINT) AS c
+        FROM bands GROUP BY 1, 2
+    )
+    SELECT band,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(c) AS BIGINT) AS n_docs,
+           CAST(max(c) AS BIGINT) AS max_bucket,
+           CAST(sum(CAST(c AS HUGEINT) * (c - 1) // 2) AS BIGINT)
+               AS candidate_pairs
+    FROM occ
+    GROUP BY band
+    ORDER BY band
+    """
