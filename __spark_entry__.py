@@ -880,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dau_mau_stickiness": _q(relational_ext.dau_mau_stickiness),
         # pre-flight LSH banding cost model (bucket occupancy)
         "lsh_cost_advisor": _q(dedup.lsh_cost_advisor),
+        # bottom-k sketch containment (the promised scale tier)
+        "bottomk_containment": _q(dedup.bottomk_containment_pairs),
     }
 
 
@@ -1733,4 +1735,5 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_assortativity": dedup.near_dup_assortativity_sql(),
         "dau_mau_stickiness": relational_ext.dau_mau_stickiness_sql(),
         "lsh_cost_advisor": dedup.lsh_cost_advisor_sql(),
+        "bottomk_containment": dedup.bottomk_containment_pairs_sql(),
     }

@@ -183,3 +183,50 @@ def test_lsh_cost_advisor_bounds_actual_join(spark):
     total_rows = sum(r["candidate_pairs"] for r in adv)
     eva = dedup.blocking_quality_eval(_docs(spark, rows)).collect()[0]
     assert eva["n_candidates"] <= total_rows
+
+
+# ---------------------------------------------------------------------------
+# bottomk_containment_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_bottomk_finds_full_containment(spark):
+    # A is a verbatim excerpt of B -> every A-shingle is in B: the
+    # estimate is exactly 1 (all bottom-k hashes match) and the exact
+    # re-score is 1; the reverse direction (B in A) must NOT appear
+    words = [f"w{i}" for i in range(60)]
+    big = " ".join(words)
+    small = " ".join(words[10:22])  # 12-word excerpt
+    rows = [(1, small), (2, big)]
+    out = dedup.bottomk_containment_pairs(_docs(spark, rows)).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
+    assert out[0]["cont_est_r6"] == 1.0
+    assert out[0]["cont_exact_r6"] == 1.0
+
+
+def test_bottomk_recalls_every_full_containment_of_exact_tier(spark):
+    # law: any pair the EXACT tier scores cont_a = 1.0 has estimate 1
+    # (>= the candidate cut by construction) and must be recalled
+    words = [f"t{i}" for i in range(80)]
+    rows = [
+        (1, " ".join(words)),
+        (2, " ".join(words[5:25])),
+        (3, " ".join(words[40:58])),
+        (4, "unrelated body of text with its own distinct words entirely"),
+    ]
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.bottomk_containment_pairs(_docs(spark, rows)).collect()
+        if r["cont_exact_r6"] == 1.0
+    }
+    assert (2, 1) in got and (3, 1) in got
+    assert not any(a == 4 or b == 4 for a, b in got)
+
+
+def test_bottomk_no_candidates_on_disjoint_docs(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten eleven"),
+    ]
+    out = dedup.bottomk_containment_pairs(_docs(spark, rows)).collect()
+    assert out == []

@@ -357,7 +357,8 @@ def ngram_containment_pairs(
     exactly the asymmetric pairs this measure exists to find. At 100 TB
     generate candidates from the SMALLER side instead — index each
     doc's k smallest shingle hashes (a bottom-k sketch of A; containment
-    |A∩B|/|A| is estimable from bottom-k(A) ∩ B) and bucket-join on
+    |A∩B|/|A| is estimable from bottom-k(A) ∩ B — implemented as
+    ``bottomk_containment_pairs`` below) and bucket-join on
     those, verifying survivors through this exact scorer.
     """
     sh = shingle_hashes(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
@@ -2317,4 +2318,158 @@ def lsh_cost_advisor_sql(n: int = DEFAULT_NGRAM) -> str:
     FROM occ
     GROUP BY band
     ORDER BY band
+    """
+
+
+# ---------------------------------------------------------------------------
+# bottom-k containment tier (the promised scale path for containment)
+# ---------------------------------------------------------------------------
+
+BOTTOMK_K = 32
+BOTTOMK_CAND_EST = 0.5  # recall-safe candidate cut on the estimate
+
+
+def bottomk_containment_pairs(
+    t: dict[str, DataFrame],
+    n: int = DEFAULT_NGRAM,
+    k: int = BOTTOMK_K,
+    cand_est: float = BOTTOMK_CAND_EST,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The bottom-k containment tier ``ngram_containment_pairs``
+    promises at 100 TB (Broder's bottom-k sketch / KMV): instead of
+    the full shingle self-join, each doc indexes only its k SMALLEST
+    shingle hashes; ĉ(A⊆B) = |bottomk(A) ∩ shingles(B)| / min(k,|A|)
+    is an unbiased containment estimate, so candidate generation
+    touches k rows per doc instead of |A|. Survivors of a recall-safe
+    estimate cut (ĉ ≥ 0.5 for a 0.8 target) are re-scored EXACTLY —
+    the emitted containment is the true one, the sketch only prunes.
+
+    Determinism: shingle hashes are distinct within a doc, so the
+    bottom-k order is total; every count is an exact integer; the two
+    reported ratios divide exact integers once, rounded to 6.
+    DIRECTED pairs: (doc_a ⊆ doc_b) and (doc_b ⊆ doc_a) are separate
+    rows, emitted when each side's own estimate and exact containment
+    pass.
+
+    Scale shape: the sketch relation is ≤ k rows/doc regardless of
+    doc length; the candidate join is h-keyed (sketch ⋈ shingles);
+    the exact re-score runs only over candidate pairs (the
+    _pair_jaccard(pairs=...) verify shape). Output: directed pairs
+    with estimate + exact containment ≥ threshold.
+    """
+    d = t["documents"]
+    sh = shingle_hashes(d, "text", n).persist(StorageLevel.MEMORY_AND_DISK)
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    w = Window.partitionBy("doc_id").orderBy("h")
+    sketch = (
+        sh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("doc_id").alias("doc_a"), "h")
+    )
+    m = (
+        sketch.join(
+            sh.select(F.col("doc_id").alias("doc_b"), "h"), "h"
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    est = (
+        m.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), "sz"), "doc_a"
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "m",
+            F.least(F.lit(k).cast("long"), F.col("sz")).alias("denom"),
+            F.col("sz").alias("sz_a"),
+        )
+        .filter(
+            F.col("m").cast("double") / F.col("denom").cast("double")
+            >= cand_est
+        )
+    )
+    cand = est.select("doc_a", "doc_b").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    shared = (
+        cand.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    return (
+        shared.join(est.select("doc_a", "doc_b", "m", "denom", "sz_a"),
+                    ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("m").cast("double") / F.col("denom").cast("double"),
+                6,
+            ).alias("cont_est_r6"),
+            F.round(
+                F.col("shared").cast("double") / F.col("sz_a").cast("double"),
+                6,
+            ).alias("cont_exact_r6"),
+        )
+        .filter(F.col("cont_exact_r6") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def bottomk_containment_pairs_sql(
+    n: int = DEFAULT_NGRAM,
+    k: int = BOTTOMK_K,
+    cand_est: float = BOTTOMK_CAND_EST,
+    threshold: float = 0.8,
+) -> str:
+    """Twin of bottomk_containment_pairs: identical sketch, estimate
+    cut, and exact re-score."""
+    from .oracle import _shingles_cte
+
+    return f"""
+    WITH {_shingles_cte(n)},
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1
+    ),
+    sketch AS (
+        SELECT doc_id AS doc_a, h FROM (
+            SELECT doc_id, h,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY h)
+                       AS rn
+            FROM sh
+        ) WHERE rn <= {k}
+    ),
+    m AS (
+        SELECT s.doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS m
+        FROM sketch s JOIN sh b ON b.h = s.h AND b.doc_id != s.doc_a
+        GROUP BY 1, 2
+    ),
+    est AS MATERIALIZED (
+        SELECT m.doc_a, m.doc_b, m.m,
+               least({k}, z.sz) AS denom, z.sz AS sz_a
+        FROM m JOIN sizes z ON z.doc_id = m.doc_a
+        WHERE CAST(m.m AS DOUBLE) / least({k}, z.sz) >= {cand_est}
+    ),
+    shared AS (
+        SELECT e.doc_a, e.doc_b, CAST(count(*) AS BIGINT) AS shared
+        FROM est e
+        JOIN sh a ON a.doc_id = e.doc_a
+        JOIN sh b ON b.doc_id = e.doc_b AND b.h = a.h
+        GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b,
+           round(CAST(e.m AS DOUBLE) / e.denom, 6) AS cont_est_r6,
+           round(CAST(s.shared AS DOUBLE) / e.sz_a, 6) AS cont_exact_r6
+    FROM shared s
+    JOIN est e ON e.doc_a = s.doc_a AND e.doc_b = s.doc_b
+    WHERE round(CAST(s.shared AS DOUBLE) / e.sz_a, 6) >= {threshold}
+    ORDER BY 1, 2
     """
