@@ -882,6 +882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_cost_advisor": _q(dedup.lsh_cost_advisor),
         # bottom-k sketch containment (the promised scale tier)
         "bottomk_containment": _q(dedup.bottomk_containment_pairs),
+        # conversion dose-response by click exposure (Wilson CIs)
+        "conversion_dose_response": _q(behavior.conversion_dose_response),
     }
 
 
@@ -1736,4 +1738,7 @@ def oracle_sql() -> dict[str, str]:
         "dau_mau_stickiness": relational_ext.dau_mau_stickiness_sql(),
         "lsh_cost_advisor": dedup.lsh_cost_advisor_sql(),
         "bottomk_containment": dedup.bottomk_containment_pairs_sql(),
+        "conversion_dose_response": (
+            behavior.conversion_dose_response_sql()
+        ),
     }

@@ -154,3 +154,49 @@ def test_dau_mau_window_expires(spark):
     )
     out = relational_ext.dau_mau_stickiness({"events": ev}).collect()
     assert all(r["stickiness_bp"] == 10000 for r in out)
+
+
+def test_dose_response_buckets_and_wilson(spark):
+    import math
+
+    from training_etl_demo_2_spark.operators import behavior
+
+    # 10 users with 1 click (2 convert), 5 users with 20 clicks
+    # (5 convert), 3 users with 0 clicks (0 convert)
+    rows = []
+    eid = 0
+    for u in range(10):
+        rows.append((eid, u, "click", eid % 59)); eid += 1
+        if u < 2:
+            rows.append((eid, u, "purchase", eid % 59)); eid += 1
+    for u in range(100, 105):
+        for _ in range(20):
+            rows.append((eid, u, "click", eid % 59)); eid += 1
+        rows.append((eid, u, "purchase", eid % 59)); eid += 1
+    for u in range(200, 203):
+        rows.append((eid, u, "view", eid % 59)); eid += 1
+    out = {
+        r["min_clicks"]: r
+        for r in behavior.conversion_dose_response(
+            {"events": _events(spark, rows)}
+        ).collect()
+    }
+    assert set(out) == {0, 1, 16}
+    assert out[0]["n_users"] == 3 and out[0]["n_converted"] == 0
+    assert out[1]["n_users"] == 10 and out[1]["n_converted"] == 2
+    assert out[16]["n_users"] == 5 and out[16]["n_converted"] == 5
+    assert out[1]["conv_bp"] == 2000
+    assert out[16]["conv_bp"] == 10000
+    # Wilson interval sanity: inside [0,1], contains the point rate
+    for r in out.values():
+        p = r["n_converted"] / r["n_users"]
+        assert 0.0 <= r["wilson_lo_r6"] <= p <= r["wilson_hi_r6"] <= 1.0
+    # hand-check the 1-click bucket's Wilson bounds
+    z = behavior.WILSON_Z
+    n, p = 10, 0.2
+    center = (p + z * z / (2 * n)) / (1 + z * z / n)
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / (
+        1 + z * z / n
+    )
+    assert abs(out[1]["wilson_lo_r6"] - (center - half)) < 1e-6
+    assert abs(out[1]["wilson_hi_r6"] - (center + half)) < 1e-6

@@ -2080,3 +2080,120 @@ TRANSITION_ENTROPY_SQL = """
     FROM enriched
     ORDER BY from_type
 """
+
+
+# ---------------------------------------------------------------------------
+# conversion dose-response by click exposure
+# ---------------------------------------------------------------------------
+
+DOSE_BUCKETS = (0, 1, 2, 4, 8, 16)  # left edges; last is 16+
+
+
+def conversion_dose_response(t: dict[str, DataFrame]) -> DataFrame:
+    """Conversion rate as a function of click EXPOSURE — the
+    dose-response curve growth teams read before crediting clicks at
+    all (a flat curve under rising exposure means clicks don't drive
+    purchase; attribution models upstream of this check assume their
+    conclusion). Users bucket by lifetime click count into fixed
+    geometric bins; each bin reports exact converter counts and the
+    Wilson 95% interval (shared WILSON_Z literal), so adjacent-bin
+    differences come with honest uncertainty.
+
+    Exactness: per-user click counts and the converted flag are exact
+    integers from one groupBy; bucket edges are fixed literals;
+    rate_bp is integer floor-division; only the Wilson bounds divide
+    doubles (one shared sequence).
+
+    Scale shape: one user-keyed aggregate (map-side partials), one
+    ≤|buckets|-row aggregate. Output: one row per non-empty bucket.
+    """
+    ev = t["events"]
+    per = ev.groupBy(F.col("user_id").cast("long").alias("uid")).agg(
+        F.sum((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("clicks"),
+        F.max((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("conv"),
+    )
+    edges = sorted(DOSE_BUCKETS)
+    bucket = F.lit(edges[0])
+    for e in edges[1:]:
+        bucket = F.when(F.col("clicks") >= e, F.lit(e)).otherwise(bucket)
+    agg = (
+        per.select(bucket.alias("min_clicks"), "conv")
+        .groupBy("min_clicks")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("conv").cast("long").alias("n_converted"),
+        )
+    )
+    nn = F.col("n_users").cast("double")
+    p = F.col("n_converted").cast("double") / nn
+    z2 = F.lit(WILSON_Z * WILSON_Z)
+    center = (p + z2 / (2.0 * nn)) / (1.0 + z2 / nn)
+    half = (
+        F.lit(WILSON_Z)
+        * F.sqrt(p * (1.0 - p) / nn + z2 / (4.0 * nn * nn))
+        / (1.0 + z2 / nn)
+    )
+    return agg.select(
+        F.col("min_clicks").cast("long").alias("min_clicks"),
+        "n_users",
+        "n_converted",
+        F.expr("(n_converted * 10000L) div n_users")
+        .cast("long")
+        .alias("conv_bp"),
+        F.round(center - half, 6).alias("wilson_lo_r6"),
+        F.round(center + half, 6).alias("wilson_hi_r6"),
+    ).orderBy("min_clicks")
+
+
+def conversion_dose_response_sql() -> str:
+    """Twin of conversion_dose_response: identical bucket fold and
+    Wilson sequence."""
+    edges = sorted(DOSE_BUCKETS)
+    arms = " ".join(
+        f"WHEN clicks >= {e} THEN {e}" for e in reversed(edges[1:])
+    )
+    z = WILSON_Z
+    return f"""
+    WITH per AS (
+        SELECT user_id AS uid,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS clicks,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conv
+        FROM events GROUP BY 1
+    ),
+    agg AS (
+        SELECT CASE {arms} ELSE {edges[0]} END AS min_clicks,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(conv) AS BIGINT) AS n_converted
+        FROM per GROUP BY 1
+    )
+    SELECT CAST(min_clicks AS BIGINT) AS min_clicks, n_users, n_converted,
+           CAST((n_converted * 10000) // n_users AS BIGINT) AS conv_bp,
+           round(((CAST(n_converted AS DOUBLE) / n_users
+                   + {z!r} * {z!r} / (2.0 * n_users))
+                  / (1.0 + {z!r} * {z!r} / n_users))
+                 - ({z!r} * sqrt((CAST(n_converted AS DOUBLE) / n_users)
+                                 * (1.0 - CAST(n_converted AS DOUBLE)
+                                          / n_users) / n_users
+                                 + {z!r} * {z!r}
+                                   / (4.0 * CAST(n_users AS DOUBLE)
+                                      * n_users))
+                    / (1.0 + {z!r} * {z!r} / n_users)), 6) AS wilson_lo_r6,
+           round(((CAST(n_converted AS DOUBLE) / n_users
+                   + {z!r} * {z!r} / (2.0 * n_users))
+                  / (1.0 + {z!r} * {z!r} / n_users))
+                 + ({z!r} * sqrt((CAST(n_converted AS DOUBLE) / n_users)
+                                 * (1.0 - CAST(n_converted AS DOUBLE)
+                                          / n_users) / n_users
+                                 + {z!r} * {z!r}
+                                   / (4.0 * CAST(n_users AS DOUBLE)
+                                      * n_users))
+                    / (1.0 + {z!r} * {z!r} / n_users)), 6) AS wilson_hi_r6
+    FROM agg
+    ORDER BY min_clicks
+    """
