@@ -709,6 +709,50 @@ def main() -> int:
         else:
             assert abs(r_b - r_s) < 1e-5
 
+    # Dose-response under same-user row replication: click counts
+    # scale by n (rows, not distinct), so users shift to HIGHER
+    # exposure buckets — but the user/converter totals are conserved
+    # and the zero-click bucket is fixed (0·n = 0).
+    small_dr = behavior.conversion_dose_response({"events": ev}).collect()
+    big_dr = tm(
+        "conversion_dose_response (mass conserved under replication)",
+        lambda: behavior.conversion_dose_response(
+            {"events": big_ev_dup}
+        ).collect(),
+    )
+    assert sum(r.n_users for r in big_dr) == sum(r.n_users for r in small_dr)
+    assert sum(r.n_converted for r in big_dr) == sum(
+        r.n_converted for r in small_dr
+    )
+    z_small = {r.min_clicks: r for r in small_dr}.get(0)
+    z_big = {r.min_clicks: r for r in big_dr}.get(0)
+    assert (z_small is None) == (z_big is None)
+    if z_small is not None:
+        assert (z_big.n_users, z_big.n_converted) == (
+            z_small.n_users,
+            z_small.n_converted,
+        )
+
+    # LSH cost advisor under n-fold doc replication: identical docs
+    # share every bucket, so each bucket count scales exactly by n ->
+    # max_bucket scales by n and the predicted candidate volume is
+    # exactly sum over buckets of (n*c)(n*c-1)/2 >= n^2 * old pairs.
+    small_adv = {
+        r.band: (r.max_bucket, r.candidate_pairs)
+        for r in dedup.lsh_cost_advisor({"documents": docs}).collect()
+    }
+    big_adv = tm(
+        "lsh_cost_advisor (exact occupancy scaling)",
+        lambda: {
+            r.band: (r.max_bucket, r.candidate_pairs)
+            for r in dedup.lsh_cost_advisor({"documents": big}).collect()
+        },
+    )
+    for band, (mx, cp) in small_adv.items():
+        bmx, bcp = big_adv[band]
+        assert bmx == mx * n_rep
+        assert bcp >= cp * n_rep * n_rep
+
     print("scale smoke OK")
     return 0
 
