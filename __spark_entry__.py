@@ -884,6 +884,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bottomk_containment": _q(dedup.bottomk_containment_pairs),
         # conversion dose-response by click exposure (Wilson CIs)
         "conversion_dose_response": _q(behavior.conversion_dose_response),
+        # Nelson-Aalen cumulative hazard beside the KM curve
+        "nelson_aalen_churn": _q(
+            lambda t: behavior.nelson_aalen_churn(t["events"])
+        ),
     }
 
 
@@ -1741,4 +1745,5 @@ def oracle_sql() -> dict[str, str]:
         "conversion_dose_response": (
             behavior.conversion_dose_response_sql()
         ),
+        "nelson_aalen_churn": behavior.nelson_aalen_churn_sql(),
     }

@@ -287,3 +287,46 @@ def test_markov_attribution_truncates_at_first_purchase(spark):
     )
     rows = {r.channel for r in behavior.markov_attribution(ev).collect()}
     assert rows == {"view"}
+
+
+def test_nelson_aalen_hand_computed(spark):
+    """3 users churn at duration 0 (single-day lifetimes, long before
+    the edge), 1 user survives at the edge (censored): H(0) = 3/4,
+    se = sqrt(3/16), surv = exp(-0.75); KM comparability: same
+    duration relation."""
+    import datetime
+
+    from training_etl_demo_2_spark.operators import behavior
+
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    # users 1-3: one event each on day 0 (churned: edge is day 30)
+    for u in (1, 2, 3):
+        rows.append((u, base))
+    # user 4: active from day 0 to day 30 (the edge -> censored)
+    rows.append((4, base))
+    rows.append((4, base + datetime.timedelta(days=30)))
+    ev = spark.createDataFrame(
+        [(i, ts, u, "e", 1.0, "{}") for i, (u, ts) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = behavior.nelson_aalen_churn(ev).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["duration_days"] == 0
+    assert r["n_risk"] == 4 and r["n_events"] == 3
+    assert abs(r["cum_hazard_r6"] - 0.75) < 1e-6
+    assert abs(r["se_r6"] - (3 / 16) ** 0.5) < 1e-6
+    import math
+
+    assert abs(r["surv_fh_r6"] - math.exp(-0.75)) < 1e-6
+
+
+def test_nelson_aalen_monotone_hazard(spark, tables):
+    from training_etl_demo_2_spark.operators import behavior
+
+    out = behavior.nelson_aalen_churn(tables["events"]).collect()
+    hz = [r["cum_hazard_r6"] for r in out]
+    assert hz == sorted(hz)  # cumulative hazard never decreases
+    assert all(r["n_events"] > 0 for r in out)

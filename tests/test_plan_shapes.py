@@ -82,6 +82,8 @@ NESTED_LOOP_OK = {
     "part_affinity",
     # ONE-ROW observation-edge (max ts) broadcast into the censor rule
     "kaplan_meier_churn",
+    # same ONE-ROW observation-edge broadcast (shared duration relation)
+    "nelson_aalen_churn",
     # ONE-ROW bigram-type-count broadcast (the N1+(··) denominator)
     "bigram_kn_logprob",
     # ONE-ROW observation-edge broadcast (the decay anchor)

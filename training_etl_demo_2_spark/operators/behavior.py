@@ -2197,3 +2197,150 @@ def conversion_dose_response_sql() -> str:
     FROM agg
     ORDER BY min_clicks
     """
+
+
+# ---------------------------------------------------------------------------
+# Nelson-Aalen cumulative hazard (KM's robust sibling)
+# ---------------------------------------------------------------------------
+
+
+def nelson_aalen_churn(
+    events: DataFrame, churn_days: int = KM_CHURN_DAYS
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of user lifetime under the same
+    right-censoring rule as ``kaplan_meier_churn``: H(t) = Σ_{t'≤t}
+    d_{t'}/n_{t'} with variance Σ d/n² — the estimator of choice when
+    the HAZARD (instantaneous churn pressure) is the decision input
+    (where in the lifecycle do we lose people fastest?), plus the
+    Fleming-Harrington survival exp(−H) that dominates KM at small
+    risk sets. Sharing the duration relation with KM makes the two
+    curves directly comparable row for row.
+
+    Exactness: per-duration d/n and d/n² terms are nano-rounded to
+    integers BEFORE the cumulative sums (order-invariant,
+    engine-identical); exp/sqrt run once per output row.
+
+    Relational shape: identical to KM — one per-user aggregate, a
+    ONE-ROW observation-edge broadcast (allowlisted class), a
+    ≤horizon-days duration relation, ordered windows over that
+    metadata. Output: one row per churn duration.
+    """
+    from pyspark.sql import Window
+
+    spans = events.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts")
+    )
+    edge = events.agg(F.max("ts").alias("edge_ts"))
+    per_user = spans.crossJoin(F.broadcast(edge)).select(
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias(
+            "duration_days"
+        ),
+        (
+            F.col("last_ts")
+            < F.col("edge_ts") - F.expr(f"INTERVAL {churn_days} DAYS")
+        )
+        .cast("int")
+        .alias("churned"),
+    )
+    by_dur = per_user.groupBy("duration_days").agg(
+        F.count(F.lit(1)).cast("long").alias("n_at"),
+        F.sum("churned").cast("long").alias("n_events"),
+    )
+    w_ord = Window.orderBy("duration_days")
+    risked = by_dur.withColumn(
+        "n_risk",
+        F.sum("n_at")
+        .over(w_ord.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        .cast("long"),
+    )
+    nano = lambda e: F.floor(e * 1e9 + F.lit(0.5)).cast("long")
+    d = F.col("n_events").cast("double")
+    nn = F.col("n_risk").cast("double")
+    terms = risked.select(
+        "duration_days",
+        "n_risk",
+        "n_events",
+        nano(d / nn).alias("h_nano"),
+        nano(d / (nn * nn)).alias("v_nano"),
+    )
+    cum = lambda c: (
+        F.sum(c)
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+    )
+    return (
+        terms.withColumn("ch_nano", cum("h_nano"))
+        .withColumn("cv_nano", cum("v_nano"))
+        .filter(F.col("n_events") > 0)
+        .select(
+            "duration_days",
+            "n_risk",
+            "n_events",
+            F.round(F.col("ch_nano").cast("double") / 1e9, 6).alias(
+                "cum_hazard_r6"
+            ),
+            F.round(
+                F.sqrt(F.col("cv_nano").cast("double") / 1e9), 6
+            ).alias("se_r6"),
+            F.round(
+                F.exp(-F.col("ch_nano").cast("double") / 1e9), 6
+            ).alias("surv_fh_r6"),
+        )
+        .orderBy("duration_days")
+    )
+
+
+def nelson_aalen_churn_sql(churn_days: int = KM_CHURN_DAYS) -> str:
+    """Twin of nelson_aalen_churn: identical duration relation and
+    nano hazard lattice."""
+    return f"""
+    WITH spans AS (
+        SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+        FROM events GROUP BY 1
+    ),
+    edge AS (SELECT max(ts) AS edge_ts FROM events),
+    per_user AS (
+        SELECT datediff('day', CAST(first_ts AS DATE),
+                        CAST(last_ts AS DATE)) AS duration_days,
+               CAST(last_ts < edge_ts - INTERVAL {churn_days} DAY AS INT)
+                   AS churned
+        FROM spans CROSS JOIN edge
+    ),
+    by_dur AS (
+        SELECT duration_days,
+               CAST(count(*) AS BIGINT) AS n_at,
+               CAST(sum(churned) AS BIGINT) AS n_events
+        FROM per_user GROUP BY 1
+    ),
+    risked AS (
+        SELECT duration_days, n_events,
+               CAST(sum(n_at) OVER (ORDER BY duration_days
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS BIGINT) AS n_risk
+        FROM by_dur
+    ),
+    terms AS (
+        SELECT duration_days, n_risk, n_events,
+               CAST(floor(CAST(n_events AS DOUBLE) / n_risk * 1e9 + 0.5)
+                    AS BIGINT) AS h_nano,
+               CAST(floor(CAST(n_events AS DOUBLE)
+                          / (CAST(n_risk AS DOUBLE) * n_risk)
+                          * 1e9 + 0.5) AS BIGINT) AS v_nano
+        FROM risked
+    ),
+    cum AS (
+        SELECT duration_days, n_risk, n_events,
+               CAST(sum(h_nano) OVER (ORDER BY duration_days)
+                    AS BIGINT) AS ch_nano,
+               CAST(sum(v_nano) OVER (ORDER BY duration_days)
+                    AS BIGINT) AS cv_nano
+        FROM terms
+    )
+    SELECT duration_days, n_risk, n_events,
+           round(CAST(ch_nano AS DOUBLE) / 1e9, 6) AS cum_hazard_r6,
+           round(sqrt(CAST(cv_nano AS DOUBLE) / 1e9), 6) AS se_r6,
+           round(exp(-CAST(ch_nano AS DOUBLE) / 1e9), 6) AS surv_fh_r6
+    FROM cum
+    WHERE n_events > 0
+    ORDER BY duration_days
+    """
