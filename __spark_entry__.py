@@ -888,6 +888,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nelson_aalen_churn": _q(
             lambda t: behavior.nelson_aalen_churn(t["events"])
         ),
+        # production-profile BPE: trainer vocab collect floored at
+        # min_count=2 (bounds the driver collect on web-scale corpora);
+        # encoder still covers the full corpus
+        "bpe_token_counts_floored": _q(
+            lambda t: tokenizer.bpe_token_counts(t["documents"], min_count=2)
+        ),
     }
 
 
@@ -1746,4 +1752,7 @@ def oracle_sql() -> dict[str, str]:
             behavior.conversion_dose_response_sql()
         ),
         "nelson_aalen_churn": behavior.nelson_aalen_churn_sql(),
+        "bpe_token_counts_floored": oracle_text.bpe_token_counts_sql(
+            n_merges=30, min_count=2
+        ),
     }

@@ -79,6 +79,12 @@ def main() -> None:
             continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # Operators persist intra-query intermediates (shingle/band/edge
+        # relations) for within-plan reuse and intentionally leave
+        # unpersist to the harness: dropping the cache between queries
+        # keeps 280+ queries' cached blocks from evicting each other and
+        # makes per-query timings independent of sweep order.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     compact = {

@@ -80,3 +80,37 @@ def test_window_entries_all_have_oracles():
     oracles = set(entrymod.oracle_sql().keys())
     missing = [n for n in names if n not in oracles and n not in rows_only_allowed]
     assert not missing, f"windowed queries without oracle: {missing}"
+
+
+# The exact first-50 key order of the round-5 driver gate
+# (CORRECTNESS_r05.json, all green). New queries MUST append at the
+# dict tail; any mid-dict insert shifts this window and silently swaps
+# a verified query for an unverified one (the round-4 near-miss class).
+R05_GATE_WINDOW_KEYS = [
+    "word_count", "top10_words", "sql_nation_revenue", "sink_word_items",
+    "language_id", "text_quality", "token_stats", "doc_fingerprints",
+    "bigram_counts", "stopword_filtered", "repetition_stats",
+    "dedup_exact", "clean_corpus", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "simhash_fingerprints", "simhash_near_pairs",
+    "near_dup_clusters", "ann_brute_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "embedding_near_pairs", "multimodal_metadata", "multimodal_features",
+    "multimodal_resize", "multimodal_frames", "multimodal_audio",
+    "contamination_check", "data_profile_lineitem", "fk_integrity",
+    "constraint_violations", "asof_last_order", "events_followups_1h",
+    "stream_hourly_stats", "stream_user_nation_stats", "udf_minmax_norm",
+    "substring_dup_stats", "dsir_selection", "bm25_topk",
+    "pagerank_near_dups", "stream_exact_dedup", "priority_mix_by_year",
+    "sessionize_events", "user_event_gaps", "events_props_stats",
+    "priorities_per_status", "line_dedup", "unigram_logprob",
+    "quality_classifier", "winsorized_value_stats",
+]
+
+
+def test_gate_window_insertion_order_is_pinned():
+    names = list(entrymod.queries().keys())[:GATE_WINDOW]
+    assert names == R05_GATE_WINDOW_KEYS, (
+        "gate-window order drifted from the r05 green window; append new "
+        "queries at the registry TAIL only. Diff: "
+        + str([(i, a, b) for i, (a, b) in
+               enumerate(zip(names, R05_GATE_WINDOW_KEYS)) if a != b])
+    )

@@ -75,3 +75,51 @@ def test_train_bpe_min_count_floor_bounds_collect(spark):
 
     words = dict(_word_counts(full, "text", min_count=2))
     assert "zzyzzxq" not in words and words["banana"] == 4
+
+
+def test_floored_row_shrinks_collect_and_matches_oracle(spark, tmp_path):
+    """The production-profile floor (bpe_token_counts_floored's
+    min_count=2) on a corpus where the floor BITES (the shipped fixture
+    vocabulary has no singletons — min word count 26 — so the shrink
+    must be shown on a constructed corpus): (a) the trainer collect is
+    strictly smaller, (b) the floored Spark result equals the floored
+    DuckDB twin, i.e. train-on-floored / encode-everything agree
+    cross-engine including the words the trainer never saw."""
+    import duckdb
+
+    from training_etl_demo_2_spark.operators import oracle_text
+    from training_etl_demo_2_spark.operators.tokenizer import _word_counts
+
+    docs = spark.createDataFrame(
+        [
+            (0, "banana banana bandana"),
+            (1, "banana bandana"),
+            (2, "qxkrw banana"),  # qxkrw: singleton, floored out
+        ],
+        "doc_id long, text string",
+    )
+    assert len(_word_counts(docs, "text", min_count=2)) < len(
+        _word_counts(docs, "text", min_count=1)
+    )
+
+    got = {
+        (r.token, r.cnt)
+        for r in tokenizer.bpe_token_counts(
+            docs, n_merges=10, min_count=2
+        ).collect()
+    }
+    # singleton word still tokenizes (via merges + leftover chars)
+    assert sum(c for t, c in got) > 0
+    pq = str(tmp_path / "docs.parquet")
+    docs.toPandas().to_parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}')"
+    )
+    want = {
+        (t, int(c))
+        for t, c in con.execute(
+            oracle_text.bpe_token_counts_sql(n_merges=10, min_count=2)
+        ).fetchall()
+    }
+    assert got == want

@@ -124,6 +124,10 @@ def sweep(spark, sf_dir, only=None, verbose=False):
         if only and name not in only:
             continue
         problems = compare_one(spark, con, name, fn, oracles.get(name), sf_dir)
+        # operators leave intra-query persisted intermediates to the
+        # harness (see bench.py): drop them so a 280+-query sweep's
+        # caches don't evict each other
+        spark.catalog.clearCache()
         report[name] = problems
         if verbose:
             if problems is None:

@@ -9,6 +9,15 @@ arithmetic (polynomial rolling hash mod 2^31-ish prime), reproducible
 in ANSI SQL: the DuckDB oracle twins are generated from the SAME
 constants by ``oracle.py`` in this package.
 
+Cache lifecycle policy: operators persist intra-query intermediates
+(shingle / band / candidate / edge relations) so one derived relation
+feeds multiple subtrees of the SAME returned plan; they intentionally
+do NOT unpersist — the returned DataFrame is lazy, so an in-operator
+unpersist would fire before the caller materializes and forfeit the
+reuse. The harnesses (bench.py, tools/check_oracle.py) call
+``spark.catalog.clearCache()`` between queries; long-lived sessions
+embedding these operators should do the same after materializing.
+
 Scale design (100 TB):
 * Shingles are joined BY 8-BYTE HASH, never by string — shuffle volume
   drops ~3× vs raw shingle keys; collisions (p ≈ n²/2·1e-9 per doc

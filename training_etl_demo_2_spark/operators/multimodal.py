@@ -3,10 +3,12 @@
 Images/audio/video are carried as opaque ``binary`` payload columns
 with a typed metadata struct alongside. The Spark-side plumbing —
 schema, partition-friendly batch shape, Arrow transfer through
-``mapInPandas`` — is real and tested; the actual codec step is stubbed
-(this container ships no image/audio libs) behind
-``decode_fn=None`` → deterministic fake features, or raises
-``NotImplementedError`` when a real decode is requested.
+``mapInPandas`` — is real and tested; the actual codec step is a SOFT
+dependency: ``decode_fn=None`` → deterministic fake features (the
+default for every registered/oracle-checked query), ``decode_fn="auto"``
+→ try-import Pillow / soundfile and use them when the host ships them
+(``NotImplementedError`` only when the lib is genuinely absent), or any
+user callable ``bytes -> np.ndarray`` which is used as-is.
 
 At 100 TB: binary payloads dominate row size, so the pattern is
 (1) keep payloads OUT of shuffles — derive features first, then drop
@@ -33,6 +35,68 @@ FEATURE_SCHEMA = (
     "doc_id long, media_type string, nbytes long, width int, height int, "
     "feature array<float>"
 )
+
+
+def load_image_decoder():
+    """Soft codec dependency (Pillow). Returns ``bytes -> np.uint8 2-D
+    grayscale array`` when PIL imports, else ``None``. Executors
+    re-import inside the closure, so the returned callable is
+    serialization-safe."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+
+    def decode(blob: bytes) -> np.ndarray:
+        import io as _io
+
+        from PIL import Image
+
+        with Image.open(_io.BytesIO(blob)) as img:
+            return np.asarray(img.convert("L"), dtype=np.uint8)
+
+    return decode
+
+
+def load_audio_decoder():
+    """Soft codec dependency (soundfile). Returns ``bytes -> float64
+    sample array`` (first channel) when soundfile imports, else
+    ``None``."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError:
+        return None
+
+    def decode(blob: bytes) -> np.ndarray:
+        import io as _io
+
+        import soundfile as sf
+
+        data, _sr = sf.read(_io.BytesIO(blob), dtype="float64")
+        if data.ndim > 1:
+            data = data[:, 0]
+        return np.asarray(data, dtype=np.float64)
+
+    return decode
+
+
+def _resolve_decoder(decode_fn, loader, what: str):
+    """None → fake path; "auto" → loader() or NotImplementedError;
+    callable → as-is."""
+    if decode_fn is None:
+        return None
+    if decode_fn == "auto":
+        real = loader()
+        if real is None:
+            raise NotImplementedError(
+                f"real {what} decoding requested (decode_fn='auto') but the "
+                "codec library is not installed in this environment; use "
+                "decode_fn=None for the deterministic fake path"
+            )
+        return real
+    if not callable(decode_fn):
+        raise TypeError("decode_fn must be None, 'auto', or a callable")
+    return decode_fn
 
 
 def attach_fake_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -74,18 +138,16 @@ def resize_images(
     media: DataFrame, out_w: int = 8, out_h: int = 8, decode_fn=None
 ) -> DataFrame:
     """Resize plumbing: payload → decode → nearest-neighbor resample →
-    re-encoded payload. Fake decode = interpret bytes as a √n×√n
-    grayscale grid (same convention as extract_features); real decode
-    needs codec libs → NotImplementedError.
+    re-encoded payload. Fake decode (``decode_fn=None``) = interpret
+    bytes as a √n×√n grayscale grid (same convention as
+    extract_features); ``decode_fn="auto"`` activates Pillow when the
+    host has it; any callable ``bytes -> 2-D uint8 array`` is used
+    directly.
 
     Scale shape: narrow 1→1 transform, blobs never shuffle — the
     resized (smaller) payload replaces the original in the projection.
     """
-    if decode_fn is not None:
-        raise NotImplementedError(
-            "real image decoding needs codec libraries not present here; "
-            "use decode_fn=None for the deterministic fake path"
-        )
+    decode_fn = _resolve_decoder(decode_fn, load_image_decoder, "image")
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -95,10 +157,14 @@ def resize_images(
                 continue
             out = []
             for blob in pdf["payload"]:
-                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
-                w = int(max(1, np.floor(np.sqrt(arr.size))))
-                h = int(arr.size // w) or 1
-                img = arr[: w * h].reshape(h, w)
+                if decode_fn is not None:
+                    img = np.atleast_2d(decode_fn(bytes(blob)))
+                    h, w = img.shape
+                else:
+                    arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                    w = int(max(1, np.floor(np.sqrt(arr.size))))
+                    h = int(arr.size // w) or 1
+                    img = arr[: w * h].reshape(h, w)
                 yy = (np.arange(out_h) * h // out_h).clip(0, h - 1)
                 xx = (np.arange(out_w) * w // out_w).clip(0, w - 1)
                 out.append(img[np.ix_(yy, xx)].tobytes())
@@ -149,10 +215,12 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     return media.mapInPandas(run, FRAME_SCHEMA)
 
 
-def audio_features(media: DataFrame) -> DataFrame:
+def audio_features(media: DataFrame, decode_fn=None) -> DataFrame:
     """Audio-feature plumbing: payload bytes as a fake PCM signal →
-    moments + zero-crossing count per doc. Real decode is the same
-    stub boundary as images.
+    moments + zero-crossing count per doc. ``decode_fn="auto"``
+    activates the soundfile soft dependency when present (real decode →
+    float samples, float moments — no exact-integer oracle claim on
+    that branch); a callable ``bytes -> float array`` is used directly.
 
     Moments are derived from EXACT integer sums (S1=Σc, S2=Σc², c in
     [-128,127], both exact in int64) followed by a fixed IEEE op
@@ -161,6 +229,7 @@ def audio_features(media: DataFrame) -> DataFrame:
     bitwise identical across engines and the oracle diff needs no
     rounding tolerance. Zero crossing = adjacent sign(c<0) flip,
     matching the SQL lag() formulation (0 counts as non-negative)."""
+    decode_fn = _resolve_decoder(decode_fn, load_audio_decoder, "audio")
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -171,14 +240,23 @@ def audio_features(media: DataFrame) -> DataFrame:
             means, stds, zcs, ns = [], [], [], []
             for blob in pdf["payload"]:
                 raw = b"" if blob is None else bytes(blob)
-                c = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
-                c -= 128
+                if decode_fn is not None:
+                    c = np.asarray(decode_fn(raw), dtype=np.float64)
+                else:
+                    c = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                    c -= 128
                 n = len(c)
                 ns.append(n)
                 if n == 0:
                     means.append(0.0)
                     stds.append(0.0)
                     zcs.append(0)
+                    continue
+                if decode_fn is not None:
+                    mean = float(c.mean())
+                    means.append(mean)
+                    stds.append(float(c.std()))
+                    zcs.append(int(np.sum((c[1:] < 0) != (c[:-1] < 0))))
                     continue
                 s1 = int(c.sum())
                 s2 = int((c * c).sum())
@@ -286,15 +364,12 @@ def extract_features(
 
     ``decode_fn=None`` → deterministic fake decode (byte-histogram
     moments), which exercises the full distributed path: binary Arrow
-    transfer, per-batch numpy work, typed struct-ish output. Passing a
-    real decoder requires codec libs → NotImplementedError here so the
-    stub boundary is explicit.
+    transfer, per-batch numpy work, typed struct-ish output.
+    ``decode_fn="auto"`` activates the Pillow soft dependency when the
+    host ships it (NotImplementedError only when genuinely absent); any
+    callable ``bytes -> 2-D uint8 array`` is used directly.
     """
-    if decode_fn is not None:
-        raise NotImplementedError(
-            "real media decoding needs codec libraries not present in this "
-            "environment; pass decode_fn=None for the deterministic fake path"
-        )
+    decode_fn = _resolve_decoder(decode_fn, load_image_decoder, "image")
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -304,10 +379,17 @@ def extract_features(
                 continue
             feats, widths, heights = [], [], []
             for blob in pdf["payload"]:
-                arr = np.frombuffer(bytes(blob), dtype=np.uint8).astype(np.float64)
-                # fake "image": pretend bytes are a wxh grid
-                w = int(max(1, np.floor(np.sqrt(arr.size))))
-                h = int(arr.size // w)
+                if decode_fn is not None:
+                    img = np.atleast_2d(decode_fn(bytes(blob)))
+                    h, w = int(img.shape[0]), int(img.shape[1])
+                    arr = img.astype(np.float64).ravel()
+                else:
+                    arr = np.frombuffer(bytes(blob), dtype=np.uint8).astype(
+                        np.float64
+                    )
+                    # fake "image": pretend bytes are a wxh grid
+                    w = int(max(1, np.floor(np.sqrt(arr.size))))
+                    h = int(arr.size // w)
                 hist = np.histogram(arr, bins=feature_dim, range=(0, 256))[0]
                 total = hist.sum() or 1
                 feats.append((hist / total).astype(np.float32))

@@ -566,7 +566,7 @@ def ivf_topk_sql(
     """
 
 
-def bpe_token_counts_sql(n_merges: int = 30) -> str:
+def bpe_token_counts_sql(n_merges: int = 30, min_count: int = 1) -> str:
     """Twin of tokenizer.bpe_token_counts (trained merges): the full BPE
     trainer AND encoder, unrolled as chained CTEs.
 
@@ -588,7 +588,16 @@ def bpe_token_counts_sql(n_merges: int = 30) -> str:
     pairs before n_merges rounds (every word fully merged) stop early
     on the Spark side; here each exhausted round's best{{i}} is empty,
     so v{{i+1}} LEFT-JOINs it and passes the vocab through unchanged —
-    the same fixpoint."""
+    the same fixpoint.
+
+    ``min_count > 1`` (the production trainer profile): the TRAIN chain
+    v0..vN runs over the floored vocabulary only (HAVING cnt >=
+    min_count — the collect bound tokenizer.DEFAULT_MIN_COUNT
+    documents), while a parallel ENCODE chain e0..eN applies each
+    round's best{{i}} to the FULL vocabulary; the final counts read
+    from eN, exactly mirroring train-on-floored / encode-everything on
+    the Spark side. With min_count=1 the chains coincide and the
+    original single-chain form is emitted unchanged."""
     d = "chr(31)"
     dd = f"{d} || {d}"
     steps = []
@@ -617,7 +626,36 @@ def bpe_token_counts_sql(n_merges: int = 30) -> str:
         GROUP BY 1
     )"""
         )
+        if min_count > 1:
+            steps.append(
+                f"""e{i + 1} AS MATERIALIZED (
+        SELECT CASE WHEN b.a IS NULL THEN e.s
+                    ELSE replace(e.s, {d} || b.a || {dd} || b.b || {d},
+                                 {d} || b.a || b.b || {d}) END AS s,
+               CAST(sum(e.cnt) AS BIGINT) AS cnt
+        FROM e{i} e LEFT JOIN best{i} b ON true
+        GROUP BY 1
+    )"""
+            )
     chain = ",\n    ".join(steps)
+    sym = (
+        f"{d} || array_to_string("
+        f"list_append(string_split(w, ''), '</w>'), {dd}) || {d}"
+    )
+    enc0 = (
+        f""",
+    e0 AS MATERIALIZED (
+        SELECT {sym} AS s, CAST(cnt AS BIGINT) AS cnt FROM wc
+    )"""
+        if min_count > 1
+        else ""
+    )
+    final = f"e{n_merges}" if min_count > 1 else f"v{n_merges}"
+    train_src = (
+        f"(SELECT w, cnt FROM wc WHERE cnt >= {int(min_count)})"
+        if min_count > 1
+        else "wc"
+    )
     return f"""
     WITH wc AS MATERIALIZED (
         SELECT w, count(*) AS cnt
@@ -627,15 +665,13 @@ def bpe_token_counts_sql(n_merges: int = 30) -> str:
         GROUP BY w
     ),
     v0 AS MATERIALIZED (
-        SELECT {d} || array_to_string(
-                   list_append(string_split(w, ''), '</w>'), {dd})
-               || {d} AS s,
+        SELECT {sym} AS s,
                CAST(cnt AS BIGINT) AS cnt
-        FROM wc
-    ),
+        FROM {train_src}
+    ){enc0},
     {chain}
     SELECT t.tok AS token, CAST(sum(cnt) AS BIGINT) AS cnt
-    FROM v{n_merges},
+    FROM {final},
          unnest(string_split(substr(s, 2, length(s) - 2), {dd})) AS t(tok)
     GROUP BY t.tok
     """

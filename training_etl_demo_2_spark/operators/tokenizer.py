@@ -127,14 +127,20 @@ def bpe_token_counts(
     merges: list[tuple[str, str]] | None = None,
     n_merges: int = DEFAULT_MERGES,
     text_col: str = "text",
+    min_count: int = DEFAULT_MIN_COUNT,
 ) -> DataFrame:
     """Corpus BPE token frequencies: (token, cnt) after applying the
     learned merge table, lowest-rank merge first per word (the standard
     BPE encoder). The merge table ships in the closure (tiny); encoding
     is an Arrow-batched narrow pass + one shuffle on the token key —
-    the word_count plan over learned subword units."""
+    the word_count plan over learned subword units.
+
+    ``min_count`` floors the TRAINER's vocabulary collect (the
+    production profile — see DEFAULT_MIN_COUNT); the ENCODER always
+    runs over the full corpus, so floored-out singleton words still
+    tokenize via the merges the head of the distribution learned."""
     if merges is None:
-        merges = train_bpe(df, n_merges, text_col)
+        merges = train_bpe(df, n_merges, text_col, min_count)
     ranks = {p: i for i, p in enumerate(merges)}
     out_schema = "token string, n long"
 

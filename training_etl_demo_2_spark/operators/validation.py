@@ -3826,6 +3826,16 @@ def event_overdispersion(t: dict[str, DataFrame]) -> DataFrame:
     (n−1)·D = Σ(k_i − k̄)²/k̄ is χ²_{n−1} under the null; the normal
     approximation z = ((n−1)D − (n−1))/√(2(n−1)) flags exceedance.
 
+    Conditioning caveat: the sample is zero-truncated — only users
+    with ≥1 event appear in the events table, so k_i ≥ 1 while the
+    untruncated Poisson null allows k=0. Truncation raises the
+    conditional mean more than the conditional variance, which biases
+    D = var/mean UPWARD relative to an unconditional test, so an
+    "overdispersed" flag here means "overdispersed GIVEN activity".
+    For a fixture-scale mean (k̄ ≈ several events/user) the P(k=0)
+    mass is small and the bias is second-order; re-test against the
+    zero-truncated Poisson null if the unconditional reading matters.
+
     Exactness: per-user counts collapse to exact (n, Σk, Σk²)
     (decimal squares); D, χ², z follow one shared double sequence.
 
