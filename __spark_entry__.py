@@ -535,10 +535,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_gram_matrix": _q(
             lambda t: similarity.embedding_gram_matrix(t["embeddings"])
         ),
-        # two-phase distributed PCA projection (rows-only: driver eigh
-        # over the gram statistic is outside ANSI SQL)
+        # two-phase distributed PCA projection — exact-integer deflated
+        # power iteration, so the DuckDB twin replays the identical
+        # recurrence and the projections hash-match (eigh tier remains
+        # as similarity.pca_project for ill-conditioned spectra)
         "pca_projection": _q(
-            lambda t: similarity.pca_project(t["embeddings"])
+            lambda t: similarity.pca_project_power(t["embeddings"])
         ),
         # A-ES exact-k weighted sampling without replacement
         "weighted_sample_topk": _q(
@@ -1752,6 +1754,7 @@ def oracle_sql() -> dict[str, str]:
             behavior.conversion_dose_response_sql()
         ),
         "nelson_aalen_churn": behavior.nelson_aalen_churn_sql(),
+        "pca_projection": similarity.pca_projection_power_sql(),
         "bpe_token_counts_floored": oracle_text.bpe_token_counts_sql(
             n_merges=30, min_count=2
         ),

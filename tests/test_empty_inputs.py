@@ -154,6 +154,7 @@ def test_session_final_ops_empty(spark, empty_docs, empty_emb):
     # gram/PCA: zero vectors -> zero stat rows / zero projections
     assert similarity.embedding_gram_matrix(empty_emb).count() == 0
     assert similarity.pca_project(empty_emb).count() == 0
+    assert similarity.pca_project_power(empty_emb).count() == 0
     assert similarity.mmr_diverse_topk(empty_emb).count() == 0
     # A-ES: k > n returns all n (= 0) rows
     assert curation.weighted_sample_topk(empty_docs, k=5).count() == 0

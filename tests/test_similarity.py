@@ -504,3 +504,51 @@ def test_pq_codes_cover_corpus(tables):
     for r in codes:
         assert len(r.codes) == similarity.PQ_M
         assert all(0 <= c < similarity.PQ_K for c in r.codes)
+
+
+def test_pca_power_matches_eigh_and_is_partition_invariant(spark, tables):
+    """The integer power-iteration tier (the oracle-backed registry
+    query since round 6). The fixture spectrum is Marchenko-Pastur-flat
+    (lambda2/lambda1 ~= 0.93), so individual DEEP eigenvectors are
+    ill-defined for any algorithm; the pinned invariants are the
+    rotation-invariant ones: (a) the leading component agrees with eigh
+    (contamination <= (l2/l1)^64 ~= 1%), (b) the k-dim power basis
+    captures nearly the same variance as eigh's top-k (the subspace is
+    principal even where individual axes within near-degenerate blocks
+    rotate), (c) projections are centered and bit-identical across
+    partitionings."""
+    import numpy as np
+
+    from training_etl_demo_2_spark.operators.similarity import (
+        pca_project,
+        pca_project_power,
+    )
+
+    emb = tables["embeddings"]
+    k = 4
+    rows = pca_project_power(emb, k=k).orderBy("vec_id").collect()
+    p = np.stack([r.pc for r in rows])
+    rows_e = pca_project(emb, k=k).orderBy("vec_id").collect()
+    pe = np.stack([r.pc for r in rows_e])
+    a, b = p[:, 0], pe[:, 0]
+    cos = abs(a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos >= 0.97, cos
+    # captured variance of the power basis ~= eigh's top-k variance
+    assert p.var(axis=0).sum() >= 0.95 * pe.var(axis=0).sum()
+    # centered projections
+    assert np.all(np.abs(p.mean(axis=0)) < 1e-3)
+    rows2 = pca_project_power(emb.repartition(5), k=k).orderBy("vec_id").collect()
+    p2 = np.stack([r.pc for r in rows2])
+    assert np.array_equal(p, p2)
+
+
+def test_duckdb_intdiv_truncates_toward_zero():
+    """pca_projection_power_sql's exactness rests on DuckDB's BIGINT
+    `//` truncating toward zero (matching similarity._tdiv). Pin the
+    engine semantics so an upgrade that switches to floor division
+    fails HERE, not as an opaque hash mismatch."""
+    import duckdb
+
+    assert duckdb.connect().execute(
+        "SELECT (-7)//2, 7//2, CAST(-7 AS BIGINT)//CAST(2 AS BIGINT)"
+    ).fetchone() == (-3, 3, -3)

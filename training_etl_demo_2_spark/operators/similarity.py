@@ -1478,6 +1478,271 @@ def pca_project(
 
 
 # ---------------------------------------------------------------------------
+# Cross-engine-exact PCA: fixed-power integer subspace iteration
+# ---------------------------------------------------------------------------
+
+PCA_POWER_SQUARINGS = 6  # working matrix is raised to 2^6 = 64 per comp.
+PCA_MAT_BOUND = 1 << 25  # rescale matrices back under 2^25-ish entries
+PCA_VEC_SCALE = 1 << 11  # eigenvector iterate lives on a 2^11 lattice
+
+
+def _tdiv(a, d):
+    """Truncate-toward-zero integer division — the ONE division
+    semantics both engines share exactly: DuckDB's BIGINT ``//``
+    truncates toward zero (pinned by test_pca_power), numpy/Python
+    ``//`` floors, so the Python side routes through |a|//d with the
+    sign reapplied."""
+    return np.sign(a) * (np.abs(a) // d)
+
+
+def _rescale(a, bound: int = PCA_MAT_BOUND):
+    m = int(np.abs(a).max()) if a.size else 0
+    d = max(1, m // bound)
+    return _tdiv(a, d)
+
+
+def _int_power_pca_basis(stats: dict, dim: int, k: int):
+    """Deflated power iteration on the EXACT-INTEGER scatter matrix
+    M = n·G − s sᵀ, every step an integer lattice operation (truncating
+    rescales bound magnitudes so all arithmetic stays in int64), so the
+    basis is bit-identical across engines, runs, and partitionings —
+    the same unrolled-recurrence trick as the IVF Lloyd codebooks.
+
+    Per component: square the working matrix ``PCA_POWER_SQUARINGS``
+    times (power 16 — the convergence knob), one matvec against the
+    fixed probe vector (1..d), rescale the iterate onto the 2^11
+    lattice, canonicalize its sign (largest-|entry| positive, first
+    index wins ties), then deflate with the integer Rayleigh quotient.
+
+    Returns (n, s, basis[d×k], nq[k]) — all exact integers.
+    """
+    n = stats[(-1, -1)]
+    s = np.array([stats[(i, -1)] for i in range(dim)], dtype=np.int64)
+    g = np.zeros((dim, dim), dtype=np.int64)
+    for i in range(dim):
+        for j in range(i, dim):
+            g[i, j] = g[j, i] = stats[(i, j)]
+    # int64 headroom guard (fixture n≈10³ sits at ~2^52; a 2^31-row
+    # corpus needs the one-line DECIMAL switch documented on the gram)
+    assert n * int(np.abs(g).max() or 1) < 1 << 62, "scatter exceeds int64"
+    w = _rescale(n * g - np.outer(s, s))
+    probe = np.arange(1, dim + 1, dtype=np.int64)
+    basis = np.zeros((dim, k), dtype=np.int64)
+    nqs: list[int] = []
+    for c in range(k):
+        a = w.copy()
+        for _ in range(PCA_POWER_SQUARINGS):
+            a = _rescale(a @ a)
+        vr = a @ probe
+        mv = int(np.abs(vr).max())
+        if mv == 0:  # matrix fully deflated: define a fixed unit iterate
+            v = np.zeros(dim, dtype=np.int64)
+            v[0] = PCA_VEC_SCALE
+        else:
+            v = _tdiv(vr * PCA_VEC_SCALE, mv)
+        lead = int(np.argmax(np.abs(v)))  # first max == smallest index
+        if v[lead] < 0:
+            v = -v
+        nq = int(v @ v)
+        rq = int(v @ w @ v)
+        lam = int(np.sign(rq) * (abs(rq) // nq))
+        w = w - _tdiv(lam * np.outer(v, v), nq)
+        basis[:, c] = v
+        nqs.append(nq)
+    return n, s, basis, nqs
+
+
+def pca_project_power(
+    emb: DataFrame, k: int = PCA_K, dim: int = 64
+) -> DataFrame:
+    """Top-k PCA projection with a FULL cross-engine oracle — the
+    same two-phase shape as ``pca_project`` (one distributed pass to
+    the exact-integer gram statistic, driver-side basis, broadcast
+    basis + narrow projection pass) but the driver step is
+    ``_int_power_pca_basis``'s integer subspace iteration instead of
+    LAPACK eigh, so the DuckDB twin (``pca_projection_power_sql``)
+    replays the identical recurrence and the projections hash-match
+    bit-for-bit. The projection numerator is an exact integer
+    (Σ (qᵢ·n − sᵢ)·vᵢ), divided once per component through the shared
+    double sequence (2^15·n·√nq) and HALF_UP-rounded JVM-side.
+
+    ``pca_project`` (eigh) remains the production tier for
+    ill-conditioned spectra; at PCA_POWER_SQUARINGS=6 each component
+    contaminates by ≤(λ_{c+1}/λ_c)^64. On a near-degenerate tail (the
+    fixture's random-embedding spectrum is Marchenko-Pastur-flat)
+    individual deep eigenvectors are ill-defined for ANY algorithm —
+    the pinned invariants are therefore the rotation-invariant ones:
+    leading-component cosine vs eigh and captured top-k variance
+    (test_similarity.py)."""
+    import pandas as pd
+
+    stats = {
+        (r["i"], r["j"]): r["gram_q"]
+        for r in embedding_gram_matrix(emb, dim=dim).collect()
+    }
+    if (-1, -1) not in stats:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id long, pc array<double>"
+        )
+    n, s, basis, nqs = _int_power_pca_basis(stats, dim, k)
+    off = s @ basis  # per-component centering constant, exact int64
+    denom = (GRAM_SCALE * 1.0) * float(n) * np.sqrt(
+        np.array(nqs, dtype=np.float64)
+    )
+
+    def project(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * GRAM_SCALE).astype(np.int64)
+            num = int(n) * (q @ basis) - off  # exact integers
+            pc = num.astype(np.float64) / denom
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "pc": list(pc)})
+
+    raw = emb.select("vec_id", "embedding").mapInPandas(
+        project, schema="vec_id long, pc array<double>"
+    )
+    return raw.select(
+        "vec_id",
+        F.transform("pc", lambda x: F.round(x, ROUND)).alias("pc"),
+    )
+
+
+def pca_projection_power_sql(k: int = PCA_K, dim: int = 64) -> str:
+    """Twin of pca_project_power: the full integer subspace iteration
+    unrolled as chained MATERIALIZED CTEs. Exactness rests on three
+    pinned facts: DuckDB BIGINT ``//`` truncates toward zero (matching
+    ``_tdiv``), every matrix/vector magnitude stays under 2^62 by the
+    rescale bounds, and HUGEINT→/BIGINT→DOUBLE casts round to nearest
+    like Python float(int)."""
+    mb = PCA_MAT_BOUND
+    vs = PCA_VEC_SCALE
+    parts = [
+        f"""q AS MATERIALIZED (
+        SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS i,
+               CAST(floor(embedding[t.i]::DOUBLE * {float(GRAM_SCALE)}) AS BIGINT) AS qv
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    )""",
+        """nn AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+    )""",
+        """sv AS MATERIALIZED (
+        SELECT i, CAST(sum(qv) AS BIGINT) AS s FROM q GROUP BY i
+    )""",
+        """gg AS MATERIALIZED (
+        SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS g
+        FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2
+    )""",
+        """mraw AS MATERIALIZED (
+        SELECT gg.i, gg.j,
+               (SELECT n FROM nn) * gg.g - sa.s * sb.s AS m
+        FROM gg JOIN sv sa ON sa.i = gg.i JOIN sv sb ON sb.i = gg.j
+    )""",
+        f"""w0 AS MATERIALIZED (
+        SELECT i, j, m // greatest(CAST(1 AS BIGINT),
+               (SELECT max(abs(m)) FROM mraw) // {mb}) AS m
+        FROM mraw
+    )""",
+    ]
+    for c in range(k):
+        prev = f"w{c}"
+        for t in range(PCA_POWER_SQUARINGS):
+            cur = f"a{c}_{t}"
+            parts.append(
+                f"""{cur}b AS MATERIALIZED (
+        SELECT x.i, y.j, CAST(sum(x.m * y.m) AS BIGINT) AS m
+        FROM {prev} x JOIN {prev} y ON x.j = y.i GROUP BY 1, 2
+    )"""
+            )
+            parts.append(
+                f"""{cur} AS MATERIALIZED (
+        SELECT i, j, m // greatest(CAST(1 AS BIGINT),
+               (SELECT max(abs(m)) FROM {cur}b) // {mb}) AS m
+        FROM {cur}b
+    )"""
+            )
+            prev = cur
+        parts.append(
+            f"""vraw{c} AS MATERIALIZED (
+        SELECT i, CAST(sum(m * (j + 1)) AS BIGINT) AS v
+        FROM {prev} GROUP BY i
+    )"""
+        )
+        parts.append(
+            f"""vsc{c} AS MATERIALIZED (
+        SELECT i, CASE WHEN (SELECT max(abs(v)) FROM vraw{c}) = 0
+                       THEN CASE WHEN i = 0 THEN {vs} ELSE 0 END
+                       ELSE (v * {vs}) // (SELECT max(abs(v)) FROM vraw{c})
+                  END AS v
+        FROM vraw{c}
+    )"""
+        )
+        parts.append(
+            f"""v{c} AS MATERIALIZED (
+        SELECT i, CASE WHEN (SELECT v FROM vsc{c}
+                             ORDER BY abs(v) DESC, i ASC LIMIT 1) < 0
+                       THEN -v ELSE v END AS v
+        FROM vsc{c}
+    )"""
+        )
+        parts.append(
+            f"""nq{c} AS MATERIALIZED (
+        SELECT CAST(sum(v * v) AS BIGINT) AS nq FROM v{c}
+    )"""
+        )
+        parts.append(
+            f"""rq{c} AS MATERIALIZED (
+        SELECT CAST(sum(vi.v * w.m * vj.v) AS BIGINT) AS rq
+        FROM w{c} w JOIN v{c} vi ON vi.i = w.i JOIN v{c} vj ON vj.i = w.j
+    )"""
+        )
+        parts.append(
+            f"""w{c + 1} AS MATERIALIZED (
+        SELECT w.i, w.j,
+               w.m - (((SELECT rq FROM rq{c}) // (SELECT nq FROM nq{c}))
+                      * vi.v * vj.v) // (SELECT nq FROM nq{c}) AS m
+        FROM w{c} w JOIN v{c} vi ON vi.i = w.i JOIN v{c} vj ON vj.i = w.j
+    )"""
+        )
+    basis_union = "\n        UNION ALL\n        ".join(
+        f"SELECT {c} AS c, i, v FROM v{c}" for c in range(k)
+    )
+    nq_union = "\n        UNION ALL\n        ".join(
+        f"SELECT {c} AS c, nq FROM nq{c}" for c in range(k)
+    )
+    parts.append(f"""basis AS MATERIALIZED (
+        {basis_union}
+    )""")
+    parts.append(f"""nqs AS MATERIALIZED (
+        {nq_union}
+    )""")
+    parts.append(
+        """offs AS MATERIALIZED (
+        SELECT b.c, CAST(sum(s.s * b.v) AS BIGINT) AS off
+        FROM basis b JOIN sv s ON s.i = b.i GROUP BY b.c
+    )"""
+    )
+    parts.append(
+        """proj AS MATERIALIZED (
+        SELECT q.vec_id, b.c, CAST(sum(q.qv * b.v) AS BIGINT) AS sqv
+        FROM q JOIN basis b ON b.i = q.i GROUP BY 1, 2
+    )"""
+    )
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {chain}
+    SELECT p.vec_id, list(
+        round(CAST((SELECT n FROM nn) * p.sqv - o.off AS DOUBLE)
+              / ({float(GRAM_SCALE)} * CAST((SELECT n FROM nn) AS DOUBLE)
+                 * sqrt(CAST(nq.nq AS DOUBLE))), {ROUND})
+        ORDER BY p.c) AS pc
+    FROM proj p JOIN offs o ON o.c = p.c JOIN nqs nq ON nq.c = p.c
+    GROUP BY p.vec_id
+    """
+
+
+# ---------------------------------------------------------------------------
 # MMR: diversity-aware re-ranking of a retrieval candidate set
 # ---------------------------------------------------------------------------
 
