@@ -896,6 +896,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts_floored": _q(
             lambda t: tokenizer.bpe_token_counts(t["documents"], min_count=2)
         ),
+        # diversity-first data selection: greedy k-center coreset on
+        # the exact-integer embedding lattice
+        "kcenter_coreset": _q(similarity.kcenter_coreset),
     }
 
 
@@ -1758,4 +1761,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts_floored": oracle_text.bpe_token_counts_sql(
             n_merges=30, min_count=2
         ),
+        "kcenter_coreset": similarity.kcenter_coreset_sql(),
     }

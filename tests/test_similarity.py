@@ -552,3 +552,50 @@ def test_duckdb_intdiv_truncates_toward_zero():
     assert duckdb.connect().execute(
         "SELECT (-7)//2, 7//2, CAST(-7 AS BIGINT)//CAST(2 AS BIGINT)"
     ).fetchone() == (-3, 3, -3)
+
+
+def test_kcenter_coreset_diversity_and_trace(spark, tables):
+    """Gonzalez greedy: the coverage-radius trace is non-increasing
+    after the first pick, and on a constructed corpus (tight cluster +
+    one far outlier) the outlier is selected before any second cluster
+    member."""
+    import numpy as np
+
+    from training_etl_demo_2_spark.operators.similarity import (
+        kcenter_coreset,
+    )
+
+    out = kcenter_coreset({"embeddings": tables["embeddings"]}, k=6).collect()
+    assert [r.sel_rank for r in sorted(out, key=lambda r: r.sel_rank)] == list(
+        range(6)
+    )
+    trace = [r.d2_q for r in sorted(out, key=lambda r: r.sel_rank)][1:]
+    assert all(a >= b for a, b in zip(trace, trace[1:]))
+    assert len({r.vec_id for r in out}) == 6
+
+    def vec(base, eps):
+        v = [0.0] * 64
+        v[0] = base
+        v[1] = eps
+        return v
+
+    toy = spark.createDataFrame(
+        [(i, vec(1.0, 0.001 * i), 0) for i in range(5)]
+        + [(99, vec(-1.0, 0.0), 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    picks = [
+        r.vec_id
+        for r in sorted(
+            kcenter_coreset({"embeddings": toy}, k=3).collect(),
+            key=lambda r: r.sel_rank,
+        )
+    ]
+    assert picks[1] == 99 or picks[0] == 99  # outlier in the first two
+
+    # corpus smaller than k: early stop, one row per vector
+    small = spark.createDataFrame(
+        [(1, vec(1.0, 0.0), 0), (2, vec(0.5, 0.5), 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    assert kcenter_coreset({"embeddings": small}, k=8).count() == 2

@@ -2522,3 +2522,155 @@ def _ndcg_sql(approx_sql: str, k: int) -> str:
     FROM dcg d JOIN ideal i ON i.query_id = d.query_id
     ORDER BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset: farthest-point traversal for data selection
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 8
+
+
+def kcenter_coreset(
+    t: dict[str, DataFrame], k: int = KCENTER_K, dim: int = 64
+) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 1985 farthest-point
+    traversal): pick the max-norm vector, then repeatedly the vector
+    farthest from everything picked so far — the 2-approximation to the
+    optimal covering radius, and the standard diversity-first data
+    selection step (coreset distillation, active-learning seeding,
+    diverse eval-set construction) complementing the density-first
+    tiers (SemDeDup prunes redundancy, DSIR matches a target
+    distribution; k-center maximizes coverage).
+
+    Determinism/exactness: vectors live on the 2^-15 quantization
+    lattice (the gram convention), so every squared distance is an
+    exact int64 (≤ 64·2^32 = 2^38) and argmax ties break on vec_id —
+    the DuckDB twin replays selection bit-for-bit.
+
+    Scale shape: k bounded driver rounds; each is ONE narrow Arrow
+    pass (distances to ≤ k broadcast centers, closure-shipped) + a
+    TakeOrdered(1) — total O(k²·n·d) with nothing corpus-sized ever
+    collected (per round: one k-row codebook out, one 1-row pick
+    back). Production at very large k switches the per-round recompute
+    to the running-min update (min with the newest center only) — same
+    output by min-associativity, O(k·n·d).
+
+    Output: (sel_rank, vec_id, d2_q) — d2_q is the exact squared
+    lattice distance from pick r to the nearest of picks 0..r-1 (the
+    non-increasing coverage-radius trace; 0 for the seed).
+    """
+    import pandas as pd
+
+    emb = t["embeddings"]
+    spark = emb.sparkSession
+
+    def _q_of(vid: int) -> np.ndarray:
+        row = emb.filter(F.col("vec_id") == vid).select("embedding").collect()
+        x = np.array(row[0][0], dtype=np.float64)
+        return np.floor(x * GRAM_SCALE).astype(np.int64)
+
+    def _norms(batches: Iterator) -> Iterator:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(x * GRAM_SCALE).astype(np.int64)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "n2": (q * q).sum(axis=1)}
+            )
+
+    seed = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(_norms, "vec_id long, n2 long")
+        .orderBy(F.desc("n2"), F.asc("vec_id"))
+        .limit(1)
+        .collect()
+    )
+    if not seed:
+        return spark.createDataFrame(
+            [], "sel_rank long, vec_id long, d2_q long"
+        )
+    selected = [(0, int(seed[0]["vec_id"]), 0)]
+    centers = [_q_of(selected[0][1])]
+    for r in range(1, k):
+        c_mat = np.stack(centers)
+
+        def _dmin(batches: Iterator, _c=c_mat) -> Iterator:
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                q = np.floor(x * GRAM_SCALE).astype(np.int64)
+                diff = q[:, None, :] - _c[None, :, :]
+                d2 = (diff * diff).sum(axis=2).min(axis=1)
+                yield pd.DataFrame({"vec_id": pdf["vec_id"], "d2": d2})
+
+        taken = [s[1] for s in selected]
+        pick = (
+            emb.select("vec_id", "embedding")
+            .mapInPandas(_dmin, "vec_id long, d2 long")
+            .filter(~F.col("vec_id").isin(taken))
+            .orderBy(F.desc("d2"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not pick:  # corpus smaller than k
+            break
+        selected.append((r, int(pick[0]["vec_id"]), int(pick[0]["d2"])))
+        centers.append(_q_of(selected[-1][1]))
+    return spark.createDataFrame(
+        selected, "sel_rank long, vec_id long, d2_q long"
+    )
+
+
+def kcenter_coreset_sql(k: int = KCENTER_K, dim: int = 64) -> str:
+    """Twin of kcenter_coreset: the k greedy rounds unrolled as CTEs,
+    each recomputing exact integer min-distances to the selected set
+    (equal to the engine's incremental min by associativity)."""
+    parts = [
+        f"""q AS MATERIALIZED (
+        SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS i,
+               CAST(floor(embedding[t.i]::DOUBLE * {float(GRAM_SCALE)}) AS BIGINT) AS qv
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    )""",
+        """pick0 AS MATERIALIZED (
+        SELECT vec_id, CAST(0 AS BIGINT) AS d2
+        FROM (SELECT vec_id, sum(qv * qv) AS n2 FROM q GROUP BY 1)
+        ORDER BY n2 DESC, vec_id ASC LIMIT 1
+    )""",
+        "sel1 AS (SELECT vec_id FROM pick0)",
+    ]
+    for r in range(1, k):
+        parts.append(
+            f"""dd{r} AS MATERIALIZED (
+        SELECT a.vec_id, CAST(min(d2) AS BIGINT) AS d2 FROM (
+            SELECT a.vec_id, s.vec_id AS sid,
+                   sum((a.qv - b.qv) * (a.qv - b.qv)) AS d2
+            FROM q a JOIN sel{r} s ON true
+            JOIN q b ON b.vec_id = s.vec_id AND b.i = a.i
+            GROUP BY 1, 2
+        ) a GROUP BY 1
+    )"""
+        )
+        parts.append(
+            f"""pick{r} AS MATERIALIZED (
+        SELECT vec_id, d2 FROM dd{r}
+        WHERE vec_id NOT IN (SELECT vec_id FROM sel{r})
+        ORDER BY d2 DESC, vec_id ASC LIMIT 1
+    )"""
+        )
+        parts.append(
+            f"""sel{r + 1} AS (
+        SELECT vec_id FROM sel{r} UNION ALL SELECT vec_id FROM pick{r}
+    )"""
+        )
+    final = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS sel_rank, vec_id, d2 AS d2_q FROM pick{r}"
+        for r in range(k)
+    )
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {chain}
+    {final}
+    """
