@@ -899,6 +899,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # diversity-first data selection: greedy k-center coreset on
         # the exact-integer embedding lattice
         "kcenter_coreset": _q(similarity.kcenter_coreset),
+        # tokenizer fertility per language (tokens/word, chars/token)
+        "bpe_fertility_by_lang": _q(
+            lambda t: tokenizer.bpe_fertility_by_lang(t["documents"])
+        ),
     }
 
 
@@ -1762,4 +1766,5 @@ def oracle_sql() -> dict[str, str]:
             n_merges=30, min_count=2
         ),
         "kcenter_coreset": similarity.kcenter_coreset_sql(),
+        "bpe_fertility_by_lang": oracle_text.bpe_fertility_by_lang_sql(),
     }

@@ -123,3 +123,38 @@ def test_floored_row_shrinks_collect_and_matches_oracle(spark, tmp_path):
         ).fetchall()
     }
     assert got == want
+
+
+def test_fertility_mass_identities(spark, tables):
+    """Fertility invariants: n_tokens summed over languages equals the
+    total BPE token mass from bpe_token_counts; fertility >= 1 (a word
+    never encodes to zero tokens) and chars/token <= chars/word."""
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    merges = train_bpe(docs, n_merges=30)
+    fert = tokenizer.bpe_fertility_by_lang(docs, merges=merges).collect()
+    total_tokens = sum(r.n_tokens for r in fert)
+    mass = (
+        tokenizer.bpe_token_counts(docs, merges=merges)
+        .agg(F.sum("cnt"))
+        .collect()[0][0]
+    )
+    assert total_tokens == mass
+    for r in fert:
+        assert r.fertility_r6 >= 1.0
+        assert r.n_chars / r.n_tokens <= r.n_chars / r.n_words + 1e-9
+
+
+def test_fertility_underserved_language_fragments(spark):
+    """A language whose words the merges never saw fragments into
+    near-character tokens: higher fertility than the trained-on
+    language."""
+    rows = [(i, "aaaa bbbb aaaa bbbb", "en") for i in range(20)]
+    rows += [(100 + i, "qxzw vkjy", "xx") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {
+        r.lang: r.fertility_r6
+        for r in tokenizer.bpe_fertility_by_lang(df, n_merges=10).collect()
+    }
+    assert out["xx"] > out["en"]

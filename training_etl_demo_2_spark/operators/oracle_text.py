@@ -903,3 +903,78 @@ def random_projection_sql(dim: int = 64, out: int = 8) -> str:
     FROM e JOIN m ON e.dim = m.dim
     GROUP BY e.vec_id, m.comp
     """
+
+
+def bpe_fertility_by_lang_sql(n_merges: int = 30) -> str:
+    """Twin of tokenizer.bpe_fertility_by_lang. Differs from
+    bpe_token_counts_sql in one structural way: the vocab chain keeps
+    the ORIGINAL WORD as the row key (one row per word, its symbol
+    string evolving beside it) so the final join can price each
+    (lang, word) cell at cnt x token-count. Pair counting per round
+    weights by the global word frequency via a join back to wc."""
+    d = "chr(31)"
+    dd = f"{d} || {d}"
+    steps = []
+    for i in range(n_merges):
+        steps.append(
+            f"""p{i} AS MATERIALIZED (
+        SELECT ls[j.j] AS a, ls[j.j + 1] AS b, sum(cnt) AS c
+        FROM (SELECT string_split(substr(v.s, 2, length(v.s) - 2), {dd}) AS ls,
+                     wc.cnt
+              FROM v{i} v JOIN wc ON wc.w = v.w),
+             unnest(range(1, len(ls))) AS j(j)
+        GROUP BY 1, 2
+    )"""
+        )
+        steps.append(
+            f"""best{i} AS MATERIALIZED (
+        SELECT a, b FROM p{i} ORDER BY c DESC, a ASC, b ASC LIMIT 1
+    )"""
+        )
+        steps.append(
+            f"""v{i + 1} AS MATERIALIZED (
+        SELECT v.w, CASE WHEN b.a IS NULL THEN v.s
+                    ELSE replace(v.s, {d} || b.a || {dd} || b.b || {d},
+                                 {d} || b.a || b.b || {d}) END AS s
+        FROM v{i} v LEFT JOIN best{i} b ON true
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH wl AS MATERIALIZED (
+        SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        WHERE w <> ''
+        GROUP BY 1, 2
+    ),
+    wc AS MATERIALIZED (
+        SELECT w, CAST(sum(cnt) AS BIGINT) AS cnt FROM wl GROUP BY w
+    ),
+    v0 AS MATERIALIZED (
+        SELECT w, {d} || array_to_string(
+                   list_append(string_split(w, ''), '</w>'), {dd})
+               || {d} AS s
+        FROM wc
+    ),
+    {chain},
+    ntok AS MATERIALIZED (
+        SELECT w, CAST(len(string_split(substr(s, 2, length(s) - 2), {dd}))
+                       AS BIGINT) AS nt
+        FROM v{n_merges}
+    ),
+    agg AS (
+        SELECT wl.lang,
+               CAST(sum(wl.cnt) AS BIGINT) AS n_words,
+               CAST(sum(wl.cnt * ntok.nt) AS BIGINT) AS n_tokens,
+               CAST(sum(wl.cnt * length(wl.w)) AS BIGINT) AS n_chars
+        FROM wl JOIN ntok ON ntok.w = wl.w
+        GROUP BY 1
+    )
+    SELECT lang, n_words, n_tokens, n_chars,
+           round(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+               AS fertility_r6,
+           round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+               AS chars_per_token_r6
+    FROM agg
+    """

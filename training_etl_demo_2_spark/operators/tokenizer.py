@@ -170,3 +170,79 @@ def bpe_token_counts(
         .groupBy("token")
         .agg(F.sum("n").cast("long").alias("cnt"))
     )
+
+
+def bpe_fertility_by_lang(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    n_merges: int = DEFAULT_MERGES,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    min_count: int = DEFAULT_MIN_COUNT,
+) -> DataFrame:
+    """Tokenizer FERTILITY per language — tokens/word and chars/token,
+    the standard diagnostic for how well one shared vocabulary serves a
+    multilingual corpus (a language the merges under-serve fragments
+    into near-character tokens: fertility ↑, chars/token ↓ — it pays
+    more context budget per word, the classic under-tokenization tax).
+
+    Same factorization as bpe_token_counts: merges train once on the
+    corpus word table (bounded driver collect), then one narrow
+    Arrow-batched pass encodes docs with the rank table in the closure
+    and folds per-language integer sums (words, BPE tokens, chars of
+    lowercased words); one ≤|langs| groupBy finishes. All three sums
+    are exact integers; the two ratios divide once per language through
+    the shared double sequence.
+    """
+    if merges is None:
+        merges = train_bpe(df, n_merges, text_col, min_count)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def fold(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cache: dict[str, int] = {}
+        for pdf in batches:
+            words: Counter = Counter()
+            toks: Counter = Counter()
+            chars: Counter = Counter()
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                for w in str(text).lower().split(" "):
+                    if not w:
+                        continue
+                    nt = cache.get(w)
+                    if nt is None:
+                        nt = len(_encode_word(w, ranks))
+                        cache[w] = nt
+                    words[lang] += 1
+                    toks[lang] += nt
+                    chars[lang] += len(w)
+            if words:
+                yield pd.DataFrame(
+                    {
+                        "lang": list(words),
+                        "n_words": [words[g] for g in words],
+                        "n_tokens": [toks[g] for g in words],
+                        "n_chars": [chars[g] for g in words],
+                    }
+                )
+
+    agg = (
+        df.select(F.col(lang_col).alias("lang"), F.col(text_col).alias("text"))
+        .mapInPandas(fold, "lang string, n_words long, n_tokens long, n_chars long")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    d = lambda c: F.col(c).cast("double")
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.round(d("n_tokens") / d("n_words"), 6).alias("fertility_r6"),
+        F.round(d("n_chars") / d("n_tokens"), 6).alias("chars_per_token_r6"),
+    )
