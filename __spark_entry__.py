@@ -903,6 +903,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility_by_lang": _q(
             lambda t: tokenizer.bpe_fertility_by_lang(t["documents"])
         ),
+        # ER blocking pass 2: sorted-neighborhood (catches pairs token
+        # blocking structurally misses, e.g. lost whitespace)
+        "snm_fuzzy_pairs": _q(dedup.snm_fuzzy_pairs),
     }
 
 
@@ -1767,4 +1770,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "kcenter_coreset": similarity.kcenter_coreset_sql(),
         "bpe_fertility_by_lang": oracle_text.bpe_fertility_by_lang_sql(),
+        "snm_fuzzy_pairs": dedup.snm_fuzzy_pairs_sql(),
     }

@@ -708,3 +708,44 @@ def test_remove_duplicate_spans_planted(spark):
     for r in out.values():
         n_clean = len(r.clean_text.split(" ")) if r.clean_text else 0
         assert r.n_tokens == n_clean + r.n_removed
+
+
+def test_snm_catches_what_token_blocking_misses(spark):
+    """The complementarity claim, demonstrated: 'cold gear' vs
+    'coldgear' shares NO whitespace token (token blocking structurally
+    misses it) but is adjacent in sort order — SNM finds it. And SNM's
+    window is honest: a pair further than window-1 ranks apart is not
+    emitted even if within edit distance."""
+    from training_etl_demo_2_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "cold gear"), (2, "coldgear"), (3, "red bolt"), (4, "zz top")],
+        "id long, p_name string",
+    )
+    token = {
+        (r.name_a, r.name_b)
+        for r in dedup.fuzzy_name_pairs(df, "p_name", max_dist=3).collect()
+    }
+    snm = {
+        (r.name_a, r.name_b)
+        for r in dedup.snm_fuzzy_pairs({"part": df}, max_dist=3).collect()
+    }
+    assert ("cold gear", "coldgear") not in token
+    assert ("cold gear", "coldgear") in snm
+
+    # window honesty: names 'aa','ab' adjacent; stuffing the gap with
+    # names sorting between them pushes the pair out of window reach
+    fillers = [(10 + i, f"aa{c}") for i, c in enumerate("cdef")]
+    df2 = spark.createDataFrame(
+        [(1, "aa"), (2, "ab")] + fillers, "id long, p_name string"
+    )
+    out2 = {
+        (r.name_a, r.name_b)
+        for r in dedup.snm_fuzzy_pairs(
+            {"part": df2}, window=3, max_dist=2
+        ).collect()
+    }
+    assert ("aa", "ab") not in out2  # 5 ranks apart > window
+    # rank_gap is always within the declared window
+    all_rows = dedup.snm_fuzzy_pairs({"part": df2}, window=3).collect()
+    assert all(1 <= r.rank_gap <= 2 for r in all_rows)

@@ -2482,3 +2482,85 @@ def bottomk_containment_pairs_sql(
     WHERE round(CAST(s.shared AS DOUBLE) / e.sz_a, 6) >= {threshold}
     ORDER BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood ER blocking (complement of token blocking)
+# ---------------------------------------------------------------------------
+
+SNM_WINDOW = 4
+
+
+def snm_fuzzy_pairs(
+    t: dict[str, DataFrame],
+    table: str = "part",
+    col: str = "p_name",
+    window: int = SNM_WINDOW,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood method (Hernández & Stolfo 1995): sort the
+    DISTINCT value domain, compare each value only to its ``window-1``
+    successors, verify with Levenshtein. The classic complement to
+    `fuzzy_name_pairs`' token blocking — an edit that destroys every
+    shared token (lost whitespace: "cold gear" → "coldgear", leading
+    typo inside the first word) evades token blocks but usually lands
+    lexicographically adjacent, and vice versa; production ER unions
+    several blocking passes and this is the second pass.
+
+    Scale shape: runs on the distinct value domain (vocabulary-sized —
+    the same ER reduction as fuzzy_name_pairs, collapsing 100 TB of
+    rows first), globally sorted once; the neighbor join is an
+    equi-ish join on rank distance ∈ [1, window-1] (each side
+    explodes the bounded window, never |names|²). At domains too big
+    for one sort task, range-partition by prefix and window within
+    partitions (boundary pairs via a prefix-overlap pass).
+
+    Output: (name_a, name_b, rank_gap, dist), name_a < name_b by sort
+    order (= lexicographic, since the sort key is the name itself).
+    """
+    names = t[table].select(F.col(col).alias("name")).distinct()
+    w = Window.orderBy("name")
+    ranked = names.withColumn("rn", F.row_number().over(w))
+    offsets = F.explode(
+        F.sequence(F.lit(1), F.lit(window - 1))
+    ).alias("off")
+    probes = ranked.select("name", "rn", offsets).select(
+        F.col("name").alias("name_a"),
+        (F.col("rn") + F.col("off")).alias("rn_b"),
+        F.col("off").alias("rank_gap"),
+    )
+    pairs = probes.join(
+        ranked.select(F.col("name").alias("name_b"), F.col("rn").alias("rn_b")),
+        "rn_b",
+    )
+    return (
+        pairs.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", F.col("rank_gap").cast("long").alias("rank_gap"), "dist")
+    )
+
+
+def snm_fuzzy_pairs_sql(
+    table: str = "part",
+    col: str = "p_name",
+    window: int = SNM_WINDOW,
+    max_dist: int = 3,
+) -> str:
+    """Twin of snm_fuzzy_pairs (ASCII domain: byte Levenshtein ==
+    codepoint Levenshtein)."""
+    return f"""
+    WITH names AS (
+        SELECT DISTINCT {col} AS name FROM {table}
+    ),
+    ranked AS (
+        SELECT name, row_number() OVER (ORDER BY name) AS rn FROM names
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(b.rn - a.rn AS BIGINT) AS rank_gap,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM ranked a JOIN ranked b
+      ON b.rn > a.rn AND b.rn <= a.rn + {window - 1}
+    WHERE levenshtein(a.name, b.name) <= {max_dist}
+    """
