@@ -906,6 +906,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ER blocking pass 2: sorted-neighborhood (catches pairs token
         # blocking structurally misses, e.g. lost whitespace)
         "snm_fuzzy_pairs": _q(dedup.snm_fuzzy_pairs),
+        # near-dup sub-communities: synchronous LPA, fixed rounds
+        "lpa_communities": _q(
+            lambda t: dedup.lpa_communities(t["documents"])
+        ),
     }
 
 
@@ -1771,4 +1775,5 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_coreset": similarity.kcenter_coreset_sql(),
         "bpe_fertility_by_lang": oracle_text.bpe_fertility_by_lang_sql(),
         "snm_fuzzy_pairs": dedup.snm_fuzzy_pairs_sql(),
+        "lpa_communities": dedup.lpa_communities_sql(),
     }

@@ -749,3 +749,76 @@ def test_snm_catches_what_token_blocking_misses(spark):
     # rank_gap is always within the declared window
     all_rows = dedup.snm_fuzzy_pairs({"part": df2}, window=3).collect()
     assert all(1 <= r.rank_gap <= 2 for r in all_rows)
+
+
+def test_lpa_splits_weakly_bridged_communities(spark):
+    """Two near-dup cliques joined by a single bridge pair form ONE
+    connected component but TWO LPA communities after fixed sync
+    rounds — the structure CC cannot see. Built directly on a synthetic
+    edge relation via the same recurrence the operator uses."""
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark.operators import dedup
+
+    # clique A = {0,1,2}, clique B = {10,11,12}, bridge 2-10
+    base = [(0, 1), (0, 2), (1, 2), (10, 11), (10, 12), (11, 12), (2, 10)]
+    pairs = spark.createDataFrame(base, "doc_a long, doc_b long")
+    # run the operator's recurrence on these pairs by monkey-wiring:
+    # reuse the public function on a corpus engineered to produce them
+    # is brittle; instead exercise the label rounds directly.
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(dedup.LPA_ITERS):
+        votes = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("label").alias("nl")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), F.col("nl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("nl"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("nl").alias("label"))
+        )
+    comm = {r.node: r.label for r in labels.collect()}
+    assert len({comm[0], comm[1]}) == 1  # clique A agrees
+    assert len({comm[11], comm[12]}) == 1  # clique B agrees
+    assert comm[0] != comm[11]  # the bridge did not merge them
+    # while CC would put all 7 nodes in one cluster
+    cc = dedup.connected_components(pairs)
+    assert cc.select("cluster_id").distinct().count() == 1
+
+
+def test_lpa_fixture_refines_connected_components(tables):
+    """On the real fixture: every LPA community sits INSIDE one CC
+    (labels only travel along edges), and the community count is >=
+    the CC count (LPA refines, never coarsens across components)."""
+    from training_etl_demo_2_spark.operators import dedup
+
+    docs = tables["documents"]
+    comm = {
+        r.doc_id: r.community
+        for r in dedup.lpa_communities(docs).collect()
+    }
+    cc = {
+        r.doc_id: r.cluster_id
+        for r in dedup.near_dup_clusters(docs).collect()
+    }
+    assert set(comm) == set(cc)
+    # community -> set of CCs it spans must be singleton
+    span: dict[int, set] = {}
+    for d, c in comm.items():
+        span.setdefault(c, set()).add(cc[d])
+    assert all(len(s) == 1 for s in span.values())
+    assert len(set(comm.values())) >= len(set(cc.values()))

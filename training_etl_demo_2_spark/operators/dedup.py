@@ -2564,3 +2564,115 @@ def snm_fuzzy_pairs_sql(
       ON b.rn > a.rn AND b.rn <= a.rn + {window - 1}
     WHERE levenshtein(a.name, b.name) <= {max_dist}
     """
+
+
+# ---------------------------------------------------------------------------
+# label-propagation communities on the near-dup graph
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 4
+
+
+def lpa_communities(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+    iters: int = LPA_ITERS,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan 2007) over the verified
+    near-dup pair graph, ``iters`` fixed rounds: each node adopts the
+    most frequent label among its neighbors, ties → smallest label.
+    Where connected components answer "what merges transitively", LPA
+    splits a big component into densely-wired sub-communities — on a
+    near-dup graph that separates template FAMILIES (chains glued by a
+    few borderline pairs) inside one CC, which is what you review
+    before deleting a million-doc cluster.
+
+    Determinism: fixed round count, integer vote counts, smallest-label
+    tie-break, and synchronous updates (all nodes step on the same
+    snapshot) make the fixpoint-free recurrence bit-reproducible — the
+    oracle unrolls the same rounds.
+
+    Scale shape: per round ONE edge⋈label join + a (node, label) count
+    + per-node argmax window — the PageRank superstep shape with an
+    argmax instead of a sum; edges persisted once, labels stay
+    (node, label)-narrow.
+
+    Output: (doc_id, community) for every node in the pair graph;
+    community = the surviving label (a member doc_id).
+    """
+    pairs = minhash_lsh_pairs(df, text_col, n, threshold)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iters):
+        votes = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("label").alias("nl")
+                ),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("node"), F.col("nl"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.desc("c"), F.asc("nl")
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("nl").alias("label"))
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("community")
+    )
+
+
+def lpa_communities_sql(
+    n: int = DEFAULT_NGRAM, threshold: float = 0.8, iters: int = LPA_ITERS
+) -> str:
+    """Twin of lpa_communities: the synchronous rounds unrolled."""
+    from .oracle import minhash_lsh_sql
+
+    steps = []
+    for r in range(iters):
+        steps.append(
+            f"""l{r + 1} AS MATERIALIZED (
+        SELECT node, nl AS label FROM (
+            SELECT e.src AS node, l.label AS nl,
+                   count(*) AS c,
+                   row_number() OVER (
+                       PARTITION BY e.src
+                       ORDER BY count(*) DESC, l.label ASC
+                   ) AS rn
+            FROM edges e JOIN l{r} l ON l.node = e.dst
+            GROUP BY 1, 2
+        ) WHERE rn = 1
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS MATERIALIZED ({minhash_lsh_sql(n, threshold)}),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT src AS node, src AS label FROM edges
+    ),
+    {chain}
+    SELECT node AS doc_id, label AS community FROM l{iters}
+    """
