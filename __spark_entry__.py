@@ -910,6 +910,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_communities": _q(
             lambda t: dedup.lpa_communities(t["documents"])
         ),
+        # observational causal uplift: IPW with in-engine propensity fit
+        "ipw_click_uplift": _q(behavior.ipw_click_uplift),
     }
 
 
@@ -1776,4 +1778,5 @@ def oracle_sql() -> dict[str, str]:
         "bpe_fertility_by_lang": oracle_text.bpe_fertility_by_lang_sql(),
         "snm_fuzzy_pairs": dedup.snm_fuzzy_pairs_sql(),
         "lpa_communities": dedup.lpa_communities_sql(),
+        "ipw_click_uplift": behavior.ipw_click_uplift_sql(),
     }

@@ -330,3 +330,49 @@ def test_nelson_aalen_monotone_hazard(spark, tables):
     hz = [r["cum_hazard_r6"] for r in out]
     assert hz == sorted(hz)  # cumulative hazard never decreases
     assert all(r["n_events"] > 0 for r in out)
+
+
+def test_ipw_removes_planted_activity_confounding(spark):
+    """Construction with ZERO true effect but heavy confounding:
+    high-activity units (always purchase) are 80% treated, low-activity
+    units (never purchase) 20% treated. Naive uplift reads 0.6; the
+    exact IPW arms both reweight to 0.5 vs 0.5, so the adjusted uplift
+    must sit near 0 (propensity fit is 3 Newton steps, not exact)."""
+    from datetime import datetime
+
+    from training_etl_demo_2_spark.operators import behavior
+
+    rows = []
+    uid = 0
+    day = datetime(2024, 1, 1)
+
+    def unit(treated: bool, high: bool):
+        nonlocal uid
+        uid += 1
+        evs = []
+        if treated:
+            evs.append("click")
+        if high:
+            evs.append("purchase")
+            evs += ["view"] * (6 - len(evs) - 1) + ["view"]
+        else:
+            evs += ["view"] * (2 - len(evs))
+        for e in evs:
+            rows.append((uid, day, e))
+
+    for _ in range(80):
+        unit(True, True)
+    for _ in range(20):
+        unit(False, True)
+    for _ in range(20):
+        unit(True, False)
+    for _ in range(80):
+        unit(False, False)
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = behavior.ipw_click_uplift({"events": ev}).collect()[0]
+    assert out.n_units == 200 and out.n_treat == 100
+    assert out.naive_uplift_r6 > 0.4, out
+    assert abs(out.ipw_uplift_r6) < 0.15, out
+    assert abs(out.ipw_uplift_r6) < abs(out.naive_uplift_r6) / 3

@@ -149,6 +149,9 @@ NESTED_LOOP_OK = {
     # per-k ONE-ROW (sum_top) x ONE-ROW (threshold) joins over the
     # 1001-row top-k metadata; the literal join key folds to a BNLJ
     "hill_tail_index",
+    # per-Newton-step broadcast of the ONE-ROW propensity beta (same
+    # unrolled-IRLS class as logistic_irls_lang)
+    "ipw_click_uplift",
 }
 
 

@@ -2344,3 +2344,233 @@ def nelson_aalen_churn_sql(churn_days: int = KM_CHURN_DAYS) -> str:
     WHERE n_events > 0
     ORDER BY duration_days
     """
+
+
+# ---------------------------------------------------------------------------
+# IPW causal uplift: confounder-adjusted click -> purchase effect
+# ---------------------------------------------------------------------------
+
+IPW_STEPS = 3
+IPW_X_SCALE = 10.0  # n_events / 10 keeps the propensity Hessian conditioned
+IPW_CLIP = 0.01  # positivity clipping: e(x) in [0.01, 0.99]
+
+
+def ipw_click_uplift(t: dict[str, DataFrame]) -> DataFrame:
+    """Confounder-adjusted click→purchase uplift via inverse-propensity
+    weighting — the OBSERVATIONAL causal estimator beside the ab_* A/B
+    family: when exposure was not randomized, the naive uplift
+    E[Y|clicked] − E[Y|not] confounds treatment with activity (heavy
+    users click more AND buy more). IPW reweights each user by
+    1/P(treatment|activity) so the two arms match on the confounder,
+    with the propensity fit INSIDE the engine by the shared unrolled
+    Newton recurrence (``logistic_irls_lang``'s exact nano lattice:
+    treatment ~ total-event activity, 3 steps from β=0) and Hájek
+    normalization on the weighted means.
+
+    Exactness: per-user (T, Y, x) from one groupBy; every
+    gradient/Hessian/weight term nano-rounded before any sum
+    (order-invariant decimal accumulators); propensities clipped to
+    [IPW_CLIP, 1−IPW_CLIP] (standard positivity guard) through one
+    shared double sequence.
+
+    Unit of analysis: USER-DAY (panel grain) — at lifetime grain every
+    fixture user eventually clicks AND buys, so treatment would be
+    degenerate; day cells have real variation (~40% treated) and the
+    day's activity is the natural confounder.
+
+    Scale shape: one (user, day)-keyed aggregate, then per step a
+    narrow map ⋈ ONE-ROW broadcast β + a 5-integer aggregate; final
+    one-row fold. Output: one row (naive vs IPW uplift + the fit).
+    """
+    ev = t["events"]
+    rows = ev.groupBy(
+        F.col("user_id").alias("uid"), F.to_date("ts").alias("day")
+    ).agg(
+        F.max((F.col("event_type") == "click").cast("long"))
+        .cast("long")
+        .alias("tr"),
+        F.max((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("y"),
+        (F.count(F.lit(1)).cast("double") / F.lit(IPW_X_SCALE)).alias("x"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")
+    nano = lambda e: F.floor(e * 1e9 + F.lit(0.5)).cast("long")
+    beta = None
+    for _ in range(IPW_STEPS):
+        if beta is not None:
+            cur = rows.crossJoin(F.broadcast(beta))
+            b0, b1 = F.col("b0"), F.col("b1")
+        else:
+            cur = rows
+            b0, b1 = F.lit(0.0), F.lit(0.0)
+        eta = b0 + b1 * F.col("x")
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        w = mu * (F.lit(1.0) - mu)
+        tcol = F.col("tr").cast("double")
+        terms = cur.select(
+            nano(tcol - mu).alias("g0"),
+            nano((tcol - mu) * F.col("x")).alias("g1"),
+            nano(w).alias("h00"),
+            nano(w * F.col("x")).alias("h01"),
+            nano(w * F.col("x") * F.col("x")).alias("h11"),
+        )
+        agg = terms.groupBy().agg(
+            F.sum(dec(F.col("g0"))).alias("sg0"),
+            F.sum(dec(F.col("g1"))).alias("sg1"),
+            F.sum(dec(F.col("h00"))).alias("sh00"),
+            F.sum(dec(F.col("h01"))).alias("sh01"),
+            F.sum(dec(F.col("h11"))).alias("sh11"),
+        )
+        g0 = F.col("sg0").cast("double") / 1e9
+        g1 = F.col("sg1").cast("double") / 1e9
+        h00 = F.col("sh00").cast("double") / 1e9
+        h01 = F.col("sh01").cast("double") / 1e9
+        h11 = F.col("sh11").cast("double") / 1e9
+        det = h00 * h11 - h01 * h01
+        nb0 = (h11 * g0 - h01 * g1) / det
+        nb1 = (h00 * g1 - h01 * g0) / det
+        if beta is not None:
+            agg = agg.crossJoin(F.broadcast(beta))
+            beta = agg.select(
+                (F.col("b0") + nb0).alias("b0"),
+                (F.col("b1") + nb1).alias("b1"),
+            )
+        else:
+            beta = agg.select(nb0.alias("b0"), nb1.alias("b1"))
+    scored = rows.crossJoin(F.broadcast(beta))
+    e_raw = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col("b0") + F.col("b1") * F.col("x")))
+    )
+    e = F.least(
+        F.greatest(e_raw, F.lit(IPW_CLIP)), F.lit(1.0 - IPW_CLIP)
+    )
+    tcol = F.col("tr").cast("double")
+    ycol = F.col("y").cast("double")
+    fin = scored.select(
+        "tr",
+        "y",
+        F.col("b0"),
+        F.col("b1"),
+        nano(tcol * ycol / e).alias("w1y"),
+        nano(tcol / e).alias("w1"),
+        nano((F.lit(1.0) - tcol) * ycol / (F.lit(1.0) - e)).alias("w0y"),
+        nano((F.lit(1.0) - tcol) / (F.lit(1.0) - e)).alias("w0"),
+    ).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("tr").cast("long").alias("n_treat"),
+        F.sum(F.col("tr") * F.col("y")).cast("long").alias("t1y"),
+        F.sum((1 - F.col("tr")) * F.col("y")).cast("long").alias("t0y"),
+        F.min("b0").alias("b0"),
+        F.min("b1").alias("b1"),
+        F.sum(dec(F.col("w1y"))).alias("sw1y"),
+        F.sum(dec(F.col("w1"))).alias("sw1"),
+        F.sum(dec(F.col("w0y"))).alias("sw0y"),
+        F.sum(dec(F.col("w0"))).alias("sw0"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    naive = d("t1y") / d("n_treat") - d("t0y") / (
+        d("n_units") - d("n_treat")
+    )
+    ipw = F.col("sw1y").cast("double") / F.col("sw1").cast("double") - F.col(
+        "sw0y"
+    ).cast("double") / F.col("sw0").cast("double")
+    return fin.select(
+        "n_units",
+        "n_treat",
+        (F.col("n_units") - F.col("n_treat")).cast("long").alias("n_ctrl"),
+        F.round(naive, 6).alias("naive_uplift_r6"),
+        F.round(ipw, 6).alias("ipw_uplift_r6"),
+        F.round(F.col("b0"), 6).alias("propensity_b0_r6"),
+        F.round(F.col("b1"), 6).alias("propensity_b1_r6"),
+    )
+
+
+def ipw_click_uplift_sql() -> str:
+    """Twin of ipw_click_uplift: per-user CTE + unrolled propensity
+    Newton steps (identical nano lattice) + clipped Hájek fold."""
+    steps = ["beta0 AS (SELECT 0.0 AS b0, 0.0 AS b1)"]
+    for i in range(IPW_STEPS):
+        steps.append(f"""terms{i} AS (
+        SELECT CAST(floor((tr - 1.0/(1.0 + exp(-(b.b0 + b.b1 * x))))
+                          * 1e9 + 0.5) AS BIGINT) AS g0,
+               CAST(floor((tr - 1.0/(1.0 + exp(-(b.b0 + b.b1 * x)))) * x
+                          * 1e9 + 0.5) AS BIGINT) AS g1,
+               CAST(floor((1.0/(1.0 + exp(-(b.b0 + b.b1 * x))))
+                          * (1.0 - 1.0/(1.0 + exp(-(b.b0 + b.b1 * x))))
+                          * 1e9 + 0.5) AS BIGINT) AS h00,
+               CAST(floor((1.0/(1.0 + exp(-(b.b0 + b.b1 * x))))
+                          * (1.0 - 1.0/(1.0 + exp(-(b.b0 + b.b1 * x))))
+                          * x * 1e9 + 0.5) AS BIGINT) AS h01,
+               CAST(floor((1.0/(1.0 + exp(-(b.b0 + b.b1 * x))))
+                          * (1.0 - 1.0/(1.0 + exp(-(b.b0 + b.b1 * x))))
+                          * x * x * 1e9 + 0.5) AS BIGINT) AS h11
+        FROM rows, beta{i} b
+    ),
+    agg{i} AS (
+        SELECT sum(CAST(g0 AS HUGEINT)) AS sg0,
+               sum(CAST(g1 AS HUGEINT)) AS sg1,
+               sum(CAST(h00 AS HUGEINT)) AS sh00,
+               sum(CAST(h01 AS HUGEINT)) AS sh01,
+               sum(CAST(h11 AS HUGEINT)) AS sh11
+        FROM terms{i}
+    ),
+    beta{i + 1} AS (
+        SELECT b.b0 + ((CAST(sh11 AS DOUBLE)/1e9) * (CAST(sg0 AS DOUBLE)/1e9)
+                       - (CAST(sh01 AS DOUBLE)/1e9)
+                         * (CAST(sg1 AS DOUBLE)/1e9))
+                      / ((CAST(sh00 AS DOUBLE)/1e9)
+                         * (CAST(sh11 AS DOUBLE)/1e9)
+                         - (CAST(sh01 AS DOUBLE)/1e9)
+                           * (CAST(sh01 AS DOUBLE)/1e9)) AS b0,
+               b.b1 + ((CAST(sh00 AS DOUBLE)/1e9) * (CAST(sg1 AS DOUBLE)/1e9)
+                       - (CAST(sh01 AS DOUBLE)/1e9)
+                         * (CAST(sg0 AS DOUBLE)/1e9))
+                      / ((CAST(sh00 AS DOUBLE)/1e9)
+                         * (CAST(sh11 AS DOUBLE)/1e9)
+                         - (CAST(sh01 AS DOUBLE)/1e9)
+                           * (CAST(sh01 AS DOUBLE)/1e9)) AS b1
+        FROM agg{i}, beta{i} b
+    )""")
+    chain = ",\n    ".join(steps)
+    clip_lo, clip_hi = IPW_CLIP, 1.0 - IPW_CLIP
+    e = (
+        f"least(greatest(1.0/(1.0 + exp(-(b.b0 + b.b1 * x))), {clip_lo!r}), "
+        f"{clip_hi!r})"
+    )
+    return f"""
+    WITH rows AS (
+        SELECT CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tr,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y,
+               CAST(count(*) AS DOUBLE) / {IPW_X_SCALE!r} AS x
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    {chain},
+    scored AS (
+        SELECT tr, y, b.b0 AS b0, b.b1 AS b1,
+               CAST(floor(tr * y / {e} * 1e9 + 0.5) AS BIGINT) AS w1y,
+               CAST(floor(tr / {e} * 1e9 + 0.5) AS BIGINT) AS w1,
+               CAST(floor((1.0 - tr) * y / (1.0 - {e}) * 1e9 + 0.5)
+                    AS BIGINT) AS w0y,
+               CAST(floor((1.0 - tr) / (1.0 - {e}) * 1e9 + 0.5)
+                    AS BIGINT) AS w0
+        FROM rows, beta{IPW_STEPS} b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_units,
+           CAST(sum(tr) AS BIGINT) AS n_treat,
+           CAST(count(*) - sum(tr) AS BIGINT) AS n_ctrl,
+           round(CAST(sum(tr * y) AS DOUBLE) / CAST(sum(tr) AS DOUBLE)
+                 - CAST(sum((1 - tr) * y) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) - CAST(sum(tr) AS DOUBLE)),
+                 6) AS naive_uplift_r6,
+           round(CAST(sum(CAST(w1y AS HUGEINT)) AS DOUBLE)
+                 / CAST(sum(CAST(w1 AS HUGEINT)) AS DOUBLE)
+                 - CAST(sum(CAST(w0y AS HUGEINT)) AS DOUBLE)
+                   / CAST(sum(CAST(w0 AS HUGEINT)) AS DOUBLE), 6)
+               AS ipw_uplift_r6,
+           round(min(b0), 6) AS propensity_b0_r6,
+           round(min(b1), 6) AS propensity_b1_r6
+    FROM scored
+    """
