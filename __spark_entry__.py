@@ -912,6 +912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # observational causal uplift: IPW with in-engine propensity fit
         "ipw_click_uplift": _q(behavior.ipw_click_uplift),
+        # axiomatic channel credit: data-driven Shapley over coalitions
+        "shapley_attribution": _q(behavior.shapley_attribution),
     }
 
 
@@ -1779,4 +1781,5 @@ def oracle_sql() -> dict[str, str]:
         "snm_fuzzy_pairs": dedup.snm_fuzzy_pairs_sql(),
         "lpa_communities": dedup.lpa_communities_sql(),
         "ipw_click_uplift": behavior.ipw_click_uplift_sql(),
+        "shapley_attribution": behavior.shapley_attribution_sql(),
     }

@@ -376,3 +376,46 @@ def test_ipw_removes_planted_activity_confounding(spark):
     assert out.naive_uplift_r6 > 0.4, out
     assert abs(out.ipw_uplift_r6) < 0.15, out
     assert abs(out.ipw_uplift_r6) < abs(out.naive_uplift_r6) / 3
+
+
+def test_shapley_efficiency_and_null_player(spark):
+    """On a corpus observing the relevant coalitions: (a) efficiency —
+    channel credits sum to v(grand) − v(∅) when the full lattice is
+    observed (construct all 16 coalitions); (b) null player — a channel
+    whose presence never changes conversion gets ~0 credit."""
+    from datetime import datetime
+
+    from training_etl_demo_2_spark.operators import behavior
+
+    rows = []
+    uid = 0
+    day = datetime(2024, 2, 1)
+    # all 16 coalitions, 2 users each; conversion iff 'click' in set
+    for s in range(16):
+        for _ in range(2):
+            uid += 1
+            touched = [
+                ch
+                for i, ch in enumerate(behavior.SHAPLEY_CHANNELS)
+                if s & (1 << i)
+            ]
+            for chn in touched or []:
+                rows.append((uid, day, chn))
+            if not touched:
+                rows.append((uid, day, "other"))  # keeps the user visible
+            if "click" in touched:
+                rows.append((uid, day, "purchase"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r.channel: r.shapley_r6
+        for r in behavior.shapley_attribution({"events": ev}).collect()
+    }
+    assert set(out) == set(behavior.SHAPLEY_CHANNELS)
+    # v(grand)=1 (click present), v(empty)=0 -> credits sum to 1
+    assert abs(sum(out.values()) - 1.0) < 1e-5, out
+    # click is the only driver; the rest are null players
+    assert abs(out["click"] - 1.0) < 1e-5
+    for ch in ("view", "signup", "error"):
+        assert abs(out[ch]) < 1e-5

@@ -152,6 +152,8 @@ NESTED_LOOP_OK = {
     # per-Newton-step broadcast of the ONE-ROW propensity beta (same
     # unrolled-IRLS class as logistic_irls_lang)
     "ipw_click_uplift",
+    # ONE-ROW coalition-count broadcast onto the 4-row channel relation
+    "shapley_attribution",
 }
 
 

@@ -2574,3 +2574,184 @@ def ipw_click_uplift_sql() -> str:
            round(min(b1), 6) AS propensity_b1_r6
     FROM scored
     """
+
+
+# ---------------------------------------------------------------------------
+# Shapley channel attribution (coalition-value formulation)
+# ---------------------------------------------------------------------------
+
+SHAPLEY_CHANNELS = ["click", "view", "signup", "error"]
+
+
+def shapley_attribution(t: dict[str, DataFrame]) -> DataFrame:
+    """Data-driven Shapley channel attribution (Zhao et al. 2018) —
+    the axiomatic completion of the attribution family: linear splits
+    equally, U-shaped by position, Markov by removal effect; Shapley is
+    the unique credit split satisfying efficiency/symmetry/null-player
+    over the coalition-value function v(S) = empirical conversion rate
+    of users whose touched-channel set is exactly S.
+
+    φ_i = Σ_{S ∌ i} |S|!·(k−1−|S|)!/k! · (v(S∪{i}) − v(S)), k=4
+    channels → 16 coalitions, 32 marginal terms; weights enter as
+    exact integer multiples of 1/24 and every term is nano-rounded
+    before the per-channel integer sum (order-invariant), so both
+    engines fold the identical lattice. Unobserved coalitions take
+    v = 0 (stated convention — the empirical v is undefined on them;
+    n_coalitions_observed reports how much of the lattice has mass).
+
+    Scale shape: ONE user-keyed aggregate to a 4-bit mask + one
+    ≤16-row coalition aggregate; Shapley itself is a 32-literal-row
+    join over metadata. Output: one row per channel.
+    """
+    ev = t["events"]
+    k = len(SHAPLEY_CHANNELS)
+    mask = None
+    for i, ch in enumerate(SHAPLEY_CHANNELS):
+        bit = F.max((F.col("event_type") == ch).cast("long")) * (1 << i)
+        mask = bit if mask is None else mask + bit
+    per = ev.groupBy(F.col("user_id").alias("uid")).agg(
+        mask.cast("long").alias("s"),
+        F.max((F.col("event_type") == "purchase").cast("long"))
+        .cast("long")
+        .alias("conv"),
+    )
+    coal = per.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conv").cast("long").alias("c"),
+    )
+    spark = ev.sparkSession
+    import math
+
+    terms = []
+    for i in range(k):
+        for s in range(1 << k):
+            if s & (1 << i):
+                continue
+            m = (
+                math.factorial(bin(s).count("1"))
+                * math.factorial(k - 1 - bin(s).count("1"))
+            )
+            terms.append((SHAPLEY_CHANNELS[i], s, s | (1 << i), m))
+    lattice = F.broadcast(
+        spark.createDataFrame(
+            terms, "channel string, s0 long, s1 long, m long"
+        )
+    )
+    v = lambda n, c: F.when(
+        F.col(n).isNotNull() & (F.col(n) > 0),
+        F.col(c).cast("double") / F.col(n).cast("double"),
+    ).otherwise(F.lit(0.0))
+    joined = (
+        lattice.join(
+            coal.select(
+                F.col("s").alias("s0"),
+                F.col("n").alias("n0"),
+                F.col("c").alias("c0"),
+            ),
+            "s0",
+            "left",
+        )
+        .join(
+            coal.select(
+                F.col("s").alias("s1"),
+                F.col("n").alias("n1"),
+                F.col("c").alias("c1"),
+            ),
+            "s1",
+            "left",
+        )
+        .select(
+            "channel",
+            F.floor(
+                F.col("m").cast("double")
+                * (v("n1", "c1") - v("n0", "c0"))
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("t_nano"),
+        )
+    )
+    denom = float(math.factorial(k))
+    nobs = coal.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_coalitions_observed")
+    )
+    return (
+        joined.groupBy("channel")
+        .agg(F.sum(F.col("t_nano").cast("decimal(38,0)")).alias("st"))
+        .crossJoin(F.broadcast(nobs))
+        .select(
+            "channel",
+            F.round(
+                F.col("st").cast("double") / 1e9 / F.lit(denom), 6
+            ).alias("shapley_r6"),
+            "n_coalitions_observed",
+        )
+    )
+
+
+def shapley_attribution_sql() -> str:
+    """Twin of shapley_attribution: literal lattice VALUES + the same
+    nano-term fold."""
+    import math
+
+    k = len(SHAPLEY_CHANNELS)
+    rows = []
+    for i in range(k):
+        for s in range(1 << k):
+            if s & (1 << i):
+                continue
+            m = (
+                math.factorial(bin(s).count("1"))
+                * math.factorial(k - 1 - bin(s).count("1"))
+            )
+            rows.append(
+                f"('{SHAPLEY_CHANNELS[i]}', {s}, {s | (1 << i)}, {m})"
+            )
+    lattice = ",\n        ".join(rows)
+    bits = " + ".join(
+        f"max(CASE WHEN event_type = '{ch}' THEN 1 ELSE 0 END) * {1 << i}"
+        for i, ch in enumerate(SHAPLEY_CHANNELS)
+    )
+    v0 = (
+        "CASE WHEN n0 IS NOT NULL AND n0 > 0 "
+        "THEN CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) ELSE 0.0 END"
+    )
+    v1 = (
+        "CASE WHEN n1 IS NOT NULL AND n1 > 0 "
+        "THEN CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) ELSE 0.0 END"
+    )
+    return f"""
+    WITH per AS (
+        SELECT CAST({bits} AS BIGINT) AS s,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS conv
+        FROM events GROUP BY user_id
+    ),
+    coal AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(conv) AS BIGINT) AS c
+        FROM per GROUP BY s
+    ),
+    lattice(channel, s0, s1, m) AS (
+        SELECT * FROM (VALUES
+        {lattice}) t(channel, s0, s1, m)
+    ),
+    terms AS (
+        SELECT l.channel,
+               CAST(floor(CAST(l.m AS DOUBLE) * (({v1}) - ({v0}))
+                          * 1e9 + 0.5) AS BIGINT) AS t_nano
+        FROM lattice l
+        LEFT JOIN (SELECT s AS s0, n AS n0, c AS c0 FROM coal) a
+               ON a.s0 = l.s0
+        LEFT JOIN (SELECT s AS s1, n AS n1, c AS c1 FROM coal) b
+               ON b.s1 = l.s1
+    )
+    SELECT channel,
+           round(CAST(sum(CAST(t_nano AS HUGEINT)) AS DOUBLE) / 1e9
+                 / {float(math.factorial(k))!r}, 6) AS shapley_r6,
+           (SELECT CAST(count(*) AS BIGINT) FROM coal)
+               AS n_coalitions_observed
+    FROM terms
+    GROUP BY channel
+    """
