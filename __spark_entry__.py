@@ -914,6 +914,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ipw_click_uplift": _q(behavior.ipw_click_uplift),
         # axiomatic channel credit: data-driven Shapley over coalitions
         "shapley_attribution": _q(behavior.shapley_attribution),
+        # distribution-free interval + holdout coverage audit
+        "conformal_revenue_interval": _q(
+            validation.conformal_revenue_interval
+        ),
     }
 
 
@@ -1782,4 +1786,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities": dedup.lpa_communities_sql(),
         "ipw_click_uplift": behavior.ipw_click_uplift_sql(),
         "shapley_attribution": behavior.shapley_attribution_sql(),
+        "conformal_revenue_interval": (
+            validation.conformal_revenue_interval_sql()
+        ),
     }

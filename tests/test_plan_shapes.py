@@ -154,6 +154,9 @@ NESTED_LOOP_OK = {
     "ipw_click_uplift",
     # ONE-ROW coalition-count broadcast onto the 4-row channel relation
     "shapley_attribution",
+    # ONE-ROW fit / k / radius broadcasts onto the calendar relation
+    # (the scalar-subquery class); windows only over calendar metadata
+    "conformal_revenue_interval",
 }
 
 

@@ -499,3 +499,35 @@ def test_lang_source_chi2_null_category(spark):
         ]
     )
     assert r.chi2 == round(exp / 1e9, 4)
+
+
+def test_conformal_interval_on_perfect_line(spark):
+    """A perfectly linear revenue series: the OLS fit is exact, every
+    residual collapses to ~0 on the micro lattice, the conformal
+    radius is ~0, and the holdout is fully covered. Split arithmetic
+    pinned: 10 days at 70% -> 7 calibration / 3 test."""
+    from datetime import datetime
+
+    from training_etl_demo_2_spark.operators import validation
+
+    rows = []
+    for day in range(10):
+        # two orders per day summing to exactly (1000 + 50*day) dollars
+        for part in (0.25, 0.75):
+            rows.append(
+                (
+                    datetime(2024, 3, 1 + day),
+                    (1000.0 + 50.0 * day) * part,
+                )
+            )
+    orders = spark.createDataFrame(
+        rows, "o_orderdate timestamp, o_totalprice double"
+    )
+    out = validation.conformal_revenue_interval({"orders": orders}).collect()[
+        0
+    ]
+    assert out.n_cal == 7 and out.n_test == 3
+    assert abs(out.slope_cents_per_day_r4 - 5000.0) < 0.01
+    assert out.radius_usd_r2 <= 0.01
+    assert out.coverage_bp == 10000
+    assert out.nominal_bp == 9000

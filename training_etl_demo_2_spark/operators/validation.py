@@ -3912,3 +3912,223 @@ def event_overdispersion_sql() -> str:
                AS overdispersed
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# split-conformal prediction interval with holdout coverage audit
+# ---------------------------------------------------------------------------
+
+CONFORMAL_ALPHA = 0.1  # nominal 90% interval
+CONFORMAL_CAL_FRACTION = 0.7  # chronological 70/30 calibration/test split
+
+
+def conformal_revenue_interval(t: dict[str, DataFrame]) -> DataFrame:
+    """Split-conformal prediction interval (Vovk; Lei et al. 2018)
+    around the daily-revenue OLS trend, with its finite-sample coverage
+    guarantee AUDITED on a chronological holdout — the
+    distribution-free answer to "what band should tomorrow's revenue
+    fall in 90% of the time", and the honest upgrade over a Gaussian
+    ±2σ band (no normality assumed; the guarantee is
+    P(cover) ≥ 1−α by exchangeability, checked empirically here).
+
+    Recipe: first 70% of days fit the OLS line (exact integer moments,
+    the ols_trend sequence); the conformal radius is the
+    ⌈(n_cal+1)(1−α)⌉-th smallest |residual| on those SAME calibration
+    days (exact order statistic on the micro-rounded lattice, ties →
+    earlier day); coverage_bp counts holdout days inside ±radius.
+
+    Exactness: day index and cents are exact integers; residuals pass
+    one shared double sequence then micro-round (1e6 — cents·1e9 could
+    overflow int64 at large SF) before ranking; the rank selection and
+    coverage counts are pure integer ops.
+
+    Scale shape: one (day)-keyed aggregate (calendar-sized), ONE-ROW
+    fit/k/radius broadcasts (allowlisted scalar class), windows only
+    over the calendar relation. Output: one row.
+    """
+    o = t["orders"]
+    daily = o.groupBy(
+        F.datediff(F.date_trunc("day", "o_orderdate"), F.lit("1990-01-01"))
+        .cast("long")
+        .alias("d")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        .cast("long")
+        .alias("rev")
+    )
+    w = Window.orderBy("d")
+    ranked = daily.withColumn("rn", F.row_number().over(w))
+    nrow = ranked.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n"))
+    nrow = nrow.select(
+        "n",
+        F.floor(
+            F.col("n").cast("double") * F.lit(CONFORMAL_CAL_FRACTION)
+        )
+        .cast("long")
+        .alias("n_cal"),
+    )
+    ranked = ranked.crossJoin(F.broadcast(nrow))
+    cal = ranked.filter(F.col("rn") <= F.col("n_cal"))
+    dec = lambda c: c.cast("decimal(38,0)")
+    fit = cal.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("nc"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum("rev").cast("long").alias("sr"),
+        F.sum(dec(F.col("d")) * dec(F.col("rev"))).alias("sdr"),
+        F.sum(dec(F.col("d")) * dec(F.col("d"))).alias("sdd"),
+    )
+    nc = F.col("nc").cast("double")
+    sd = F.col("sd").cast("double")
+    sr = F.col("sr").cast("double")
+    sdr = F.col("sdr").cast("double")
+    sdd = F.col("sdd").cast("double")
+    slope = (nc * sdr - sd * sr) / (nc * sdd - sd * sd)
+    fit = fit.select(
+        "nc",
+        slope.alias("slope"),
+        ((sr - slope * sd) / nc).alias("intercept"),
+    )
+    scored = ranked.crossJoin(F.broadcast(fit)).withColumn(
+        "resid_micro",
+        F.floor(
+            F.abs(
+                F.col("rev").cast("double")
+                - (F.col("intercept") + F.col("slope") * F.col("d").cast("double"))
+            )
+            * 1e6
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    k_rel = scored.groupBy().agg(
+        F.min("n_cal").cast("long").alias("n_cal_k")
+    ).select(
+        F.least(
+            F.ceil(
+                (F.col("n_cal_k").cast("double") + F.lit(1.0))
+                * F.lit(1.0 - CONFORMAL_ALPHA)
+            ).cast("long"),
+            F.col("n_cal_k"),
+        ).alias("k")
+    )
+    wq = Window.orderBy("resid_micro", "d")
+    qrow = (
+        scored.filter(F.col("rn") <= F.col("n_cal"))
+        .withColumn("qrn", F.row_number().over(wq))
+        .crossJoin(F.broadcast(k_rel))
+        .filter(F.col("qrn") == F.col("k"))
+        .select(F.col("resid_micro").alias("q_micro"))
+    )
+    fin = (
+        scored.filter(F.col("rn") > F.col("n_cal"))
+        .crossJoin(F.broadcast(qrow))
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                (F.col("resid_micro") <= F.col("q_micro")).cast("long")
+            )
+            .cast("long")
+            .alias("covered"),
+            F.min("n_cal").cast("long").alias("n_cal"),
+            F.min("slope").alias("slope"),
+            F.min("intercept").alias("intercept"),
+            F.min("q_micro").cast("long").alias("q_micro"),
+        )
+    )
+    return fin.select(
+        "n_cal",
+        "n_test",
+        F.round(F.col("slope"), 4).alias("slope_cents_per_day_r4"),
+        F.round(F.col("intercept") / 100.0, 2).alias("intercept_usd_r2"),
+        F.round(
+            F.col("q_micro").cast("double") / 1e6 / 100.0, 2
+        ).alias("radius_usd_r2"),
+        F.expr("(covered * 10000L) div n_test").cast("long").alias(
+            "coverage_bp"
+        ),
+        F.lit(int((1.0 - CONFORMAL_ALPHA) * 10000)).cast("long").alias(
+            "nominal_bp"
+        ),
+    )
+
+
+def conformal_revenue_interval_sql() -> str:
+    """Twin of conformal_revenue_interval: identical chronological
+    split, moment sequence, micro-lattice rank selection and fold."""
+    frac = CONFORMAL_CAL_FRACTION
+    alpha = CONFORMAL_ALPHA
+    return f"""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1990-01-01',
+                              CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT d, rev, row_number() OVER (ORDER BY d) AS rn,
+               (SELECT count(*) FROM daily) AS n
+        FROM daily
+    ),
+    split AS (
+        SELECT *, CAST(floor(CAST(n AS DOUBLE) * {frac!r}) AS BIGINT)
+                      AS n_cal
+        FROM ranked
+    ),
+    fit AS (
+        SELECT CAST(count(*) AS BIGINT) AS nc,
+               CAST(sum(d) AS BIGINT) AS sd,
+               CAST(sum(rev) AS BIGINT) AS sr,
+               sum(CAST(d AS HUGEINT) * CAST(rev AS HUGEINT)) AS sdr,
+               sum(CAST(d AS HUGEINT) * CAST(d AS HUGEINT)) AS sdd
+        FROM split WHERE rn <= n_cal
+    ),
+    coef AS (
+        SELECT nc,
+               (CAST(nc AS DOUBLE) * CAST(sdr AS DOUBLE)
+                - CAST(sd AS DOUBLE) * CAST(sr AS DOUBLE))
+               / (CAST(nc AS DOUBLE) * CAST(sdd AS DOUBLE)
+                  - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)) AS slope,
+               (CAST(sr AS DOUBLE)
+                - ((CAST(nc AS DOUBLE) * CAST(sdr AS DOUBLE)
+                    - CAST(sd AS DOUBLE) * CAST(sr AS DOUBLE))
+                   / (CAST(nc AS DOUBLE) * CAST(sdd AS DOUBLE)
+                      - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)))
+                  * CAST(sd AS DOUBLE)) / CAST(nc AS DOUBLE) AS intercept
+        FROM fit
+    ),
+    scored AS (
+        SELECT s.*, c.slope, c.intercept,
+               CAST(floor(abs(CAST(rev AS DOUBLE)
+                              - (c.intercept
+                                 + c.slope * CAST(d AS DOUBLE)))
+                          * 1e6 + 0.5) AS BIGINT) AS resid_micro
+        FROM split s, coef c
+    ),
+    krel AS (
+        SELECT least(CAST(ceil((CAST(min(n_cal) AS DOUBLE) + 1.0)
+                               * {1.0 - alpha!r}) AS BIGINT),
+                     min(n_cal)) AS k
+        FROM scored
+    ),
+    qrow AS (
+        SELECT resid_micro AS q_micro FROM (
+            SELECT resid_micro,
+                   row_number() OVER (ORDER BY resid_micro, d) AS qrn
+            FROM scored WHERE rn <= n_cal
+        ), krel WHERE qrn = k
+    )
+    SELECT CAST(min(n_cal) AS BIGINT) AS n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(min(slope), 4) AS slope_cents_per_day_r4,
+           round(min(intercept) / 100.0, 2) AS intercept_usd_r2,
+           round(CAST(min(q.q_micro) AS DOUBLE) / 1e6 / 100.0, 2)
+               AS radius_usd_r2,
+           CAST((sum(CASE WHEN resid_micro <= q.q_micro THEN 1 ELSE 0 END)
+                 * 10000) // count(*) AS BIGINT) AS coverage_bp,
+           CAST({int((1.0 - CONFORMAL_ALPHA) * 10000)} AS BIGINT)
+               AS nominal_bp
+    FROM scored, qrow q WHERE rn > n_cal
+    """
