@@ -918,6 +918,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conformal_revenue_interval": _q(
             validation.conformal_revenue_interval
         ),
+        # stream-stream LEFT OUTER join: null emission by state expiry
+        "stream_click_funnel_loss": fixture_queries.stream_click_funnel_loss,
     }
 
 
@@ -1788,5 +1790,8 @@ def oracle_sql() -> dict[str, str]:
         "shapley_attribution": behavior.shapley_attribution_sql(),
         "conformal_revenue_interval": (
             validation.conformal_revenue_interval_sql()
+        ),
+        "stream_click_funnel_loss": (
+            fixture_queries.STREAM_FUNNEL_LOSS_ORACLE
         ),
     }

@@ -182,3 +182,50 @@ def test_cusum_state_survives_restart(spark, tmp_path):
     assert all(r[1] == "hot" and r[2] > CUSUM_H_T4 for r in got)
     svals = [r[2] for r in sorted(got)]
     assert svals == sorted(svals)
+
+
+def test_funnel_loss_outer_join_semantics(spark, sf_dir):
+    """Left-outer stream-stream join: matched set equals the inner
+    tier's, every emitted null row is genuinely unmatched in batch,
+    and the withheld tail is exactly the clicks younger than the
+    min-of-inputs final watermark."""
+    from datetime import timedelta
+
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark.io import load_tables
+    from training_etl_demo_2_spark.streaming import fixture_queries
+
+    out = fixture_queries.stream_click_funnel_loss(spark, sf_dir).collect()
+    matched = {r.click_id for r in out if r.matched == 1}
+    nulls = {r.click_id for r in out if r.matched == 0}
+    assert matched.isdisjoint(nulls)
+
+    ev = load_tables(spark, sf_dir)["events"]
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("cid"),
+        F.col("ts").alias("cts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("pid"),
+        F.col("ts").alias("pts"),
+    )
+    j = c.join(
+        p,
+        F.expr("cu = pu AND pts > cts AND pts <= cts + INTERVAL 1 hour"),
+        "left",
+    ).collect()
+    bmatched = {r.cid for r in j if r.pid is not None}
+    assert matched == bmatched
+    maxc = max(r.cts for r in j)
+    maxp = ev.filter(F.col("event_type") == "purchase").agg(
+        F.max("ts")
+    ).collect()[0][0]
+    wm = min(maxc, maxp) - timedelta(hours=2)
+    expect_nulls = {
+        r.cid
+        for r in j
+        if r.pid is None and r.cts + timedelta(hours=1) < wm
+    }
+    assert nulls == expect_nulls
+    assert nulls  # the rule actually fires on the fixture

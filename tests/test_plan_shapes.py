@@ -23,6 +23,7 @@ STREAMING = {
     "stream_sliding_stats",
     "stream_click_attribution",
     "stream_session_stats",
+    "stream_click_funnel_loss",
 }
 
 # Bounded-side nested-loop joins that are the documented design:

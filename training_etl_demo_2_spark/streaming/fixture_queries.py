@@ -576,3 +576,77 @@ def _stream_cusum_oracle() -> str:
 
 
 STREAM_CUSUM_ORACLE = _stream_cusum_oracle()
+
+
+def stream_click_funnel_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join replayed to completion: every
+    click paired with its within-1h purchase OR emitted unmatched by
+    state expiry (the funnel-loss report an inner join cannot produce).
+
+    Batch-equality statement (the append-mode guarantee for outer
+    joins): matched rows equal the batch left-join's matched rows;
+    null rows appear exactly for unmatched clicks with
+    ``click_ts + 1h < min(max click ts, max purchase ts) − 2h`` —
+    Spark's min-of-inputs watermark policy with per-side max event
+    time, millisecond-floored. The oracle twin applies the same
+    cutoff to the batch left join.
+    """
+    from .stateful import correlate_streams_outer
+
+    src = read_events_stream_fixture(spark, sf_dir)
+    joined = correlate_streams_outer(
+        src.filter(F.col("event_type") == "click"),
+        src.filter(F.col("event_type") == "purchase"),
+        max_gap="1 hour",
+    )
+    out = joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.col("purchase_id").isNotNull()).cast("long").alias("matched"),
+    )
+    with _replay_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("gate_stream_funnel_loss")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300.0):
+                raise TimeoutError("funnel-loss stream did not drain")
+        finally:
+            q.stop()
+    return spark.table("gate_stream_funnel_loss")
+
+
+STREAM_FUNNEL_LOSS_ORACLE = """
+    WITH c AS (
+        SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT make_timestamp(
+                   least((SELECT epoch_ms(max(click_ts)) FROM c),
+                         (SELECT epoch_ms(max(purchase_ts)) FROM p))
+                   * 1000 - CAST(7200 AS BIGINT) * 1000000
+               ) AS w
+    ),
+    j AS (
+        SELECT c.c_user AS user_id, c.click_id, p.purchase_id, c.click_ts
+        FROM c LEFT JOIN p
+          ON c.c_user = p.p_user
+         AND p.purchase_ts > c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    )
+    SELECT user_id, click_id, purchase_id,
+           CAST(purchase_id IS NOT NULL AS BIGINT) AS matched
+    FROM j, wm
+    WHERE purchase_id IS NOT NULL
+       OR click_ts + INTERVAL 1 HOUR < wm.w
+"""

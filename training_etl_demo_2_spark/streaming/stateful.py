@@ -468,3 +468,63 @@ def cusum_alarm_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def correlate_streams_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join — ``correlate_streams`` plus the
+    funnel-loss half: a click with no purchase inside ``max_gap`` still
+    emits (purchase columns null) once the watermark proves no match
+    can arrive. This is the capability inner joins lack: the null row
+    is generated by STATE EXPIRY, so emission timing is part of the
+    semantics, not just the matched set.
+
+    Emission rule (empirically pinned, see stream_click_funnel_loss):
+    the global watermark follows Spark's min-of-inputs policy — both
+    sides watermark independently (max event time seen on THAT side
+    minus the delay, millisecond floor) and the join state uses the
+    MINIMUM, so an unmatched click emits iff
+    ``click_ts + max_gap < min(max_click_ts, max_purchase_ts) − delay``.
+    On an unbounded stream that boundary keeps advancing and every
+    unmatched click eventually emits; on a bounded replay the tail
+    younger than the final watermark is withheld — by design, those
+    clicks could still match if the stream resumed.
+
+    State bound: identical to the inner join (each side buffers only
+    rows younger than watermark+gap).
+    """
+    from pyspark.sql import functions as F
+
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts > click_ts AND
+            purchase_ts <= click_ts + INTERVAL {max_gap}
+            """
+        ),
+        "leftOuter",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
