@@ -920,6 +920,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # stream-stream LEFT OUTER join: null emission by state expiry
         "stream_click_funnel_loss": fixture_queries.stream_click_funnel_loss,
+        # sweep-line interval union: merged active time per user
+        "user_active_coverage": _q(temporal.user_active_coverage),
     }
 
 
@@ -1794,4 +1796,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_click_funnel_loss": (
             fixture_queries.STREAM_FUNNEL_LOSS_ORACLE
         ),
+        "user_active_coverage": temporal.user_active_coverage_sql(),
     }

@@ -253,3 +253,40 @@ def test_interval_overlap_join_emit_once(spark):
     ).collect()
     assert sorted(r.rid for r in out) == [20, 21]
     assert len(out) == 2  # emit-once despite many shared buckets
+
+
+def test_active_coverage_merges_overlaps(spark):
+    """Hand-computed sweep: overlapping intervals merge (no double
+    count), back-to-back intervals chain, disjoint intervals add."""
+    from datetime import datetime
+
+    from training_etl_demo_2_spark.operators import temporal
+
+    m = 60 * 1_000_000
+    ev = spark.createDataFrame(
+        [
+            # user 1: events at t=0 and t=10min -> [0,30)+[10,40) merge
+            # to [0,40) = 40 min covered, span 40 min
+            (1, datetime(2024, 1, 1, 0, 0, 0)),
+            (1, datetime(2024, 1, 1, 0, 10, 0)),
+            # user 2: events at 0 and 30min -> back-to-back [0,30)+
+            # [30,60) chain to 60 min covered
+            (2, datetime(2024, 1, 1, 0, 0, 0)),
+            (2, datetime(2024, 1, 1, 0, 30, 0)),
+            # user 3: events at 0 and 2h -> disjoint, 30+30 covered,
+            # span 150 min
+            (3, datetime(2024, 1, 1, 0, 0, 0)),
+            (3, datetime(2024, 1, 1, 2, 0, 0)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    out = {
+        r.user_id: r
+        for r in temporal.user_active_coverage({"events": ev}).collect()
+    }
+    assert out[1].covered_us == 40 * m and out[1].span_us == 40 * m
+    assert out[1].utilization_bp == 10000
+    assert out[2].covered_us == 60 * m and out[2].utilization_bp == 10000
+    assert out[3].covered_us == 60 * m and out[3].span_us == 150 * m
+    assert out[3].utilization_bp == 4000
+    assert all(r.n_events == 2 for r in out.values())

@@ -1467,3 +1467,113 @@ def ccf_event_types_sql(max_lag: int = CCF_MAX_LAG) -> str:
     JOIN den db ON db.event_type = n.tb
     ORDER BY type_a, type_b, lag
     """
+
+
+# ---------------------------------------------------------------------------
+# sweep-line interval union: merged coverage time per key
+# ---------------------------------------------------------------------------
+
+COVERAGE_WINDOW_MIN = 30
+
+
+def user_active_coverage(
+    t: dict[str, DataFrame], window_min: int = COVERAGE_WINDOW_MIN
+) -> DataFrame:
+    """Merged activity coverage per user: each event opens a
+    ``window_min``-minute activity interval; overlapping intervals
+    merge, and the output is the UNION length — the classic sweep-line
+    statistic behind SLA uptime, machine-utilization, and
+    "actually-active time" metrics, where naive Σ durations
+    double-counts every overlap (an interval_overlap_join finds WHICH
+    intervals collide; this measures net covered time).
+
+    Sweep-line, relationally: explode each interval into a +1 open and
+    a −1 close event, running-sum per user in time order — covered
+    spans are exactly where the running count is > 0 after the event —
+    then sum (next_boundary − boundary) over covered gaps. Exact
+    integer microseconds end to end; ties (a close at the same μs as
+    an open) sort opens first (delta DESC) so back-to-back intervals
+    merge, matching the closed-open [ts, ts+w) convention.
+
+    Scale shape: 2 rows per event through ONE user-partitioned window
+    (time-ordered running sum) + one user-keyed aggregate — no joins
+    at all; the window partitions by user so no global sort exists.
+
+    Output: (user_id, n_events, covered_us, span_us, utilization_bp)
+    where span is last close − first open and utilization =
+    covered/span.
+    """
+    ev = t["events"]
+    us = F.lit(window_min * 60 * 1_000_000).cast("long")
+    opens = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("b"),
+        F.lit(1).alias("delta"),
+    )
+    closes = ev.select(
+        "user_id",
+        (F.unix_micros("ts") + us).alias("b"),
+        F.lit(-1).alias("delta"),
+    )
+    bounds = opens.union(closes)
+    order = Window.partitionBy("user_id").orderBy("b", F.desc("delta"))
+    # ROWS frame explicitly (Spark's ordered-window default is RANGE):
+    # within a (b, delta) tie group only the LAST row carries a nonzero
+    # gap, and its ROWS prefix equals the group total, so intra-tie
+    # order cannot reach the result — same argument as the SQL twin.
+    w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = bounds.withColumn(
+        "running", F.sum("delta").over(w)
+    ).withColumn("next_b", F.lead("b").over(order))
+    return (
+        swept.groupBy("user_id")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_events"),
+            F.sum(
+                F.when(
+                    (F.col("running") > 0) & F.col("next_b").isNotNull(),
+                    F.col("next_b") - F.col("b"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("covered_us"),
+            (F.max("b") - F.min("b")).cast("long").alias("span_us"),
+        )
+        .withColumn(
+            "utilization_bp",
+            F.expr("(covered_us * 10000L) div span_us").cast("long"),
+        )
+    )
+
+
+def user_active_coverage_sql(window_min: int = COVERAGE_WINDOW_MIN) -> str:
+    """Twin of user_active_coverage: identical ±1 sweep with the same
+    tie order (opens before closes at equal microsecond)."""
+    us = window_min * 60 * 1_000_000
+    return f"""
+    WITH bounds AS (
+        SELECT user_id, epoch_us(ts) AS b, 1 AS delta FROM events
+        UNION ALL
+        SELECT user_id, epoch_us(ts) + {us} AS b, -1 AS delta FROM events
+    ),
+    swept AS (
+        SELECT user_id, b, delta,
+               sum(delta) OVER (PARTITION BY user_id
+                                ORDER BY b, delta DESC
+                                ROWS UNBOUNDED PRECEDING) AS running,
+               lead(b) OVER (PARTITION BY user_id
+                             ORDER BY b, delta DESC) AS next_b
+        FROM bounds
+    )
+    SELECT user_id,
+           CAST(count(*) / 2 AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN running > 0 AND next_b IS NOT NULL
+                         THEN next_b - b ELSE 0 END) AS BIGINT)
+               AS covered_us,
+           CAST(max(b) - min(b) AS BIGINT) AS span_us,
+           CAST((sum(CASE WHEN running > 0 AND next_b IS NOT NULL
+                          THEN next_b - b ELSE 0 END) * 10000)
+                // (max(b) - min(b)) AS BIGINT) AS utilization_bp
+    FROM swept
+    GROUP BY user_id
+    """
