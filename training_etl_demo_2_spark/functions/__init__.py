@@ -124,3 +124,32 @@ def l2_norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+# --- scan-parallelism guard -------------------------------------------------
+
+
+def spread_scan(df, min_factor: int = 2):
+    """Repartition a too-few-partition input before an explode-heavy map
+    stage.
+
+    Small single-file test inputs arrive as ONE scan partition (a 600 KB
+    parquet file is far below ``spark.sql.files.maxPartitionBytes``, and a
+    single row group can't be byte-range split), which serializes the
+    shingle/token explode — the dominant cost of the dedup family — onto
+    one core. A round-robin ``repartition`` to the session's shuffle
+    parallelism costs one tiny shuffle of the RAW rows (pre-explode, so
+    bytes moved ≈ input size, not shingle volume) and buys full-width
+    execution of the heavy map stage.
+
+    At production scale the input already has ≥ shuffle-partition many
+    splits, so the guard is a no-op branch — this never adds a shuffle to
+    a 100 TB scan. Results are partitioning-invariant for every caller
+    (hash/min/sum aggregates only).
+    """
+    try:
+        n = df.rdd.getNumPartitions()
+        target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # streaming plans have no .rdd — leave untouched
+        return df
+    return df.repartition(target) if n * min_factor <= target else df

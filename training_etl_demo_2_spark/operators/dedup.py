@@ -48,7 +48,13 @@ from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import FNV_MOD, normalize_text, rolling_hash, word_ngrams
+from ..functions import (
+    FNV_MOD,
+    normalize_text,
+    rolling_hash,
+    spread_scan,
+    word_ngrams,
+)
 
 # ---- shared constants (oracle.py generates matching SQL from these) ----
 P = 1_000_000_007
@@ -262,7 +268,12 @@ def shingle_hashes(
     Jaccard set sizes; MinHash callers pass ``distinct=False`` — min()
     is duplicate-insensitive, so they skip that shuffle entirely
     (array_distinct already dedups within a doc; the global distinct
-    only guards cross-partition doc splits, impossible here)."""
+    only guards cross-partition doc splits, impossible here).
+
+    The input passes through :func:`spread_scan` first: the n-gram
+    explode is the dominant map cost of the whole dedup family, and a
+    single-file test input would otherwise run it on one core."""
+    df = spread_scan(df)
     tokens = F.split(F.col(text_col), " ")
     sh = df.select(
         "doc_id",
@@ -404,22 +415,61 @@ def ngram_containment_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _shingle_arrays(
+    df: DataFrame, text_col: str = "text", n: int = DEFAULT_NGRAM
+) -> DataFrame:
+    """(doc_id, hs: array<long>): each document's DISTINCT shingle-hash
+    set as a row-local array — the zero-shuffle sibling of
+    :func:`shingle_hashes`.
+
+    Everything the MinHash family needs is per-document set math, so
+    the whole signature pipeline can stay inside one narrow projection:
+    signatures are ``array_min(transform(hs, ...))``, verification is
+    ``array_intersect`` — no explode, no groupBy, no distinct shuffle.
+    The exploded relation remains the right shape only where a
+    SHINGLE-keyed join is the algorithm (exact Jaccard ground truth,
+    prefix filter, bottom-k) — those keep :func:`shingle_hashes`.
+
+    Array size is O(tokens per doc) — the same order as the text column
+    the row already carries, so rows don't get wider than the input in
+    any meaningful sense; at 100 TB the verify join ships arrays for
+    CANDIDATE pairs only. Values are byte-identical to the exploded
+    path (hash of duplicate shingles collapses under the outer
+    array_distinct exactly as the global distinct did)."""
+    tokens = F.split(F.col(text_col), " ")
+    return spread_scan(df).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.array_distinct(word_ngrams(tokens, n)),
+                lambda s: rolling_hash(s),
+            )
+        ).alias("hs"),
+    )
+
+
+def _signature_cols(hs: Column | str = "hs") -> list[Column]:
+    """The 32 MinHash signature columns m0..m31 from a shingle-hash
+    array — row-local ``array_min`` per permutation, no aggregation."""
+    h = F.col(hs) if isinstance(hs, str) else hs
+    return [
+        F.array_min(
+            F.transform(
+                h, lambda x: (F.lit(MINHASH_A[i]) * x + F.lit(MINHASH_B[i])) % P
+            )
+        ).alias(f"m{i}")
+        for i in range(NUM_PERM)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", n: int = DEFAULT_NGRAM
 ) -> DataFrame:
     """32-perm MinHash signature per doc: min over shingles of
-    (a_i·h + b_i) mod P for each i — one groupBy with 32 min-aggs
-    (single shuffle, partials map-side; no distinct — min() is
-    duplicate-insensitive)."""
-    sh = shingle_hashes(df, text_col, n, distinct=False)
-    return sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % P).alias(
-                f"m{i}"
-            )
-            for i in range(NUM_PERM)
-        ]
-    )
+    (a_i·h + b_i) mod P for each i — computed ROW-LOCALLY over the
+    per-doc shingle-hash array (zero shuffles; min() is
+    duplicate-insensitive so set-vs-multiset is immaterial)."""
+    return _shingle_arrays(df, text_col, n).select("doc_id", *_signature_cols())
 
 
 def _band_key(cols: list[Column]) -> Column:
@@ -429,20 +479,17 @@ def _band_key(cols: list[Column]) -> Column:
     return key
 
 
-def _band_relation(sh: DataFrame) -> DataFrame:
-    """(doc_id, band, bk) LSH band keys from a shingle relation — the
-    MinHash signature aggregate + band-key fold shared by the self-join
-    (``minhash_lsh_pairs``) and batch-vs-index (``incremental_near_dup``)
-    paths; this relation IS the persistent-index format the incremental
-    path probes, so both must always derive it identically."""
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i])) % P).alias(
-                f"m{i}"
-            )
-            for i in range(NUM_PERM)
-        ]
-    )
+def _band_relation(hs: DataFrame) -> DataFrame:
+    """(doc_id, band, bk) LSH band keys from a shingle-ARRAY relation
+    (:func:`_shingle_arrays` output) — signature mins and the band-key
+    fold are row-local projections, so the only row multiplication is
+    the 8-rows-per-doc band posexplode. This relation IS the
+    persistent-index format the incremental path probes, so every
+    caller (self-join ``minhash_lsh_pairs``, batch-vs-index
+    ``incremental_near_dup``, the banding evaluators) must derive it
+    identically — values are pinned against the r01 exploded-groupBy
+    formulation by the oracle twins."""
+    sig = hs.select("doc_id", *_signature_cols())
     band_cols = [
         _band_key(
             [F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
@@ -452,6 +499,28 @@ def _band_relation(sh: DataFrame) -> DataFrame:
     return sig.select(
         "doc_id",
         F.posexplode(F.array(*band_cols)).alias("band", "bk"),
+    )
+
+
+def _pair_jaccard_arrays(hs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for CANDIDATE pairs from the shingle-array
+    relation: two doc-keyed joins ship each candidate's arrays to one
+    row, then ``array_intersect`` scores it locally — cost is
+    O(Σ_candidates (|A|+|B|)), the bounded-verify property, with no
+    exploded intersection groupBy at all."""
+    a = hs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("ha"))
+    b = hs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hb"))
+    shared = F.size(F.array_intersect("ha", "hb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                shared / (F.size("ha") + F.size("hb") - shared), 6
+            ).alias("jaccard"),
+        )
     )
 
 
@@ -468,15 +537,15 @@ def minhash_lsh_pairs(
     threshold. The candidate join touches only same-bucket rows, the
     scale path for n² dedup.
     """
-    # The shingle relation feeds the signatures AND the exact-Jaccard
-    # verification (3 consumers there). Column renames above the
-    # distinct collapse into its aggregate, so Spark's exchange-reuse
-    # can't unify the subtrees — persist instead: the explode +
-    # rolling-hash scan (the dominant cost) runs once. MEMORY_AND_DISK:
-    # the shingle table is ~|corpus shingles| × 16 B, disk-spillable at
-    # 100 TB — persisting the derived relation, never the corpus.
-    sh = shingle_hashes(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    bands = _band_relation(sh)
+    # The shingle-ARRAY relation feeds the band keys AND the
+    # exact-Jaccard verification; everything before the bucket join is
+    # row-local (no signature groupBy, no distinct shuffle — see
+    # _shingle_arrays). Persist it: the n-gram + rolling-hash scan (the
+    # dominant map cost) runs once. MEMORY_AND_DISK: ~input-sized, disk
+    # -spillable at 100 TB — persisting the derived relation, never the
+    # corpus.
+    hs = _shingle_arrays(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = _band_relation(hs)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bk")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bk")
     candidates = (
@@ -490,7 +559,7 @@ def minhash_lsh_pairs(
     # built on it — and plan-identical calls cache-hit, so clustering
     # never re-runs banding + verification.
     return (
-        _pair_jaccard(sh, pairs=candidates)
+        _pair_jaccard_arrays(hs, pairs=candidates)
         .filter(F.col("jaccard") >= threshold)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -523,7 +592,7 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     no unsigned arithmetic anywhere. Distinct powers of two never
     overflow the accumulator.
     """
-    occ = df.select(
+    occ = spread_scan(df).select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).select("doc_id", rolling_hash(F.col("tok")).alias("h"))
     bit_sums = [
@@ -1479,10 +1548,10 @@ def incremental_near_dup(
     """
     cols = ["doc_id", text_col]
     both = incoming.select(*cols).unionByName(corpus.select(*cols))
-    sh = shingle_hashes(both, text_col, n).persist(
+    hs = _shingle_arrays(both, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    bands = _band_relation(sh)
+    bands = _band_relation(hs)
     new_bands = bands.join(
         incoming.select("doc_id"), "doc_id", "semi"
     ).select(F.col("doc_id").alias("doc_a"), "band", "bk")
@@ -1495,7 +1564,7 @@ def incremental_near_dup(
         .distinct()
     )
     return (
-        _pair_jaccard(sh, pairs=cand)
+        _pair_jaccard_arrays(hs, pairs=cand)
         .filter(F.col("jaccard") >= threshold)
         .select(
             F.col("doc_a").alias("doc_new"),
@@ -1953,17 +2022,17 @@ def blocking_quality_eval(
     and truth set are both deterministic); possible pairs uses the
     exact decimal n(n−1)/2; three ratio divisions at the end.
 
-    Scale shape: ONE persisted shingle relation feeds the signature
-    aggregate, the band self-join (bucket-bounded), and the exact
-    truth tier (the declared ground-truth O(co-shingled pairs) path —
-    this evaluator is as expensive as the truth it grades against, by
-    construction, so it runs on SAMPLES at scale). Final combine is
-    four ONE-ROW aggregates crossJoined (allowlisted metadata class).
-    Output: one row.
+    Scale shape: the band relation derives row-locally from the
+    shingle-array relation; the exact truth tier keeps the exploded
+    shingle relation (its h-keyed self-join IS the ground-truth
+    algorithm — this evaluator is as expensive as the truth it grades
+    against, by construction, so it runs on SAMPLES at scale). Final
+    combine is four ONE-ROW aggregates crossJoined (allowlisted
+    metadata class). Output: one row.
     """
     d = t["documents"]
     sh = shingle_hashes(d, "text", n).persist(StorageLevel.MEMORY_AND_DISK)
-    bands = _band_relation(sh)
+    bands = _band_relation(_shingle_arrays(d, "text", n))
     cand = (
         bands.select(F.col("doc_id").alias("doc_a"), "band", "bk")
         .join(
@@ -2270,14 +2339,14 @@ def lsh_cost_advisor(
     (decimal(38,0)/HUGEINT for the c·(c−1)/2 sums — a hot bucket
     squares past int64 at ~10⁵ members).
 
-    Scale shape: the persisted band relation collapses to (band,
-    bucket, c) in one groupBy, then to one row per band. The
+    Scale shape: the band relation derives row-locally from the
+    shingle-array relation (no signature groupBy) and collapses to
+    (band, bucket, c) in one groupBy, then to one row per band. The
     PREDICTION equals what blocking_quality_eval's join then counts —
     pinned by a planted test. Output: one row per band.
     """
     d = t["documents"]
-    sh = shingle_hashes(d, "text", n).persist(StorageLevel.MEMORY_AND_DISK)
-    bands = _band_relation(sh)
+    bands = _band_relation(_shingle_arrays(d, "text", n))
     occ = bands.groupBy("band", "bk").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
