@@ -592,7 +592,7 @@ def simhash_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     no unsigned arithmetic anywhere. Distinct powers of two never
     overflow the accumulator.
     """
-    occ = spread_scan(df).select(
+    occ = df.select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).select("doc_id", rolling_hash(F.col("tok")).alias("h"))
     bit_sums = [
@@ -904,7 +904,7 @@ def substring_dup_stats(
     output (n_grams = 0, bp = 0).
     """
     toks = F.split(F.lower(F.col(text_col)), " ")
-    grams = df.select(
+    grams = spread_scan(df).select(
         "doc_id",
         F.explode(word_ngrams(toks, k)).alias("gram"),
     ).withColumn("h", rolling_hash(F.col("gram")))
@@ -981,7 +981,7 @@ def duplicate_spans(
     aggregates.
     """
     toks = F.split(F.lower(F.col(text_col)), " ")
-    grams = df.select(
+    grams = spread_scan(df).select(
         "doc_id",
         F.posexplode(word_ngrams(toks, k)).alias("pos", "gram"),
     ).select("doc_id", "pos", rolling_hash(F.col("gram")).alias("h"))
@@ -1780,7 +1780,7 @@ def cdc_dup_chunks(
     count, dup stats track repeated-chunk count.
     """
     tokens = F.split(F.col(text_col), " ")
-    grams = df.select(
+    grams = spread_scan(df).select(
         "doc_id",
         F.posexplode(word_ngrams(tokens, n)).alias("pos", "shingle"),
     ).select(
@@ -1860,7 +1860,7 @@ def winnowing_fingerprints(
     """
     pos_mod = 1 << _WIN_POS_BITS
     tokens = F.split(F.col(text_col), " ")
-    grams = df.select(
+    grams = spread_scan(df).select(
         "doc_id",
         F.posexplode(word_ngrams(tokens, k)).alias("pos", "shingle"),
     ).select(

@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import normalize_text, rolling_hash, tokens_regex, word_ngrams
+from ..functions import (
+    normalize_text,
+    rolling_hash,
+    spread_scan,
+    tokens_regex,
+    word_ngrams,
+)
 
 # Marker stopwords per language for the n-gram/stopword-count heuristic.
 # Deterministic tie-break: preference order en > de > fr > es.
@@ -498,7 +504,7 @@ def bigram_logprob(df: DataFrame, text_col: str = "text", k: int = BIGRAM_LM_K) 
     """
     toks = _tokens(text_col)
     bg = (
-        df.select("doc_id", F.explode(word_ngrams(toks, 2)).alias("bg"))
+        spread_scan(df).select("doc_id", F.explode(word_ngrams(toks, 2)).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
@@ -1464,7 +1470,7 @@ def bigram_kn_logprob(
     """
     toks = _tokens(text_col)
     bg = (
-        df.select("doc_id", F.explode(word_ngrams(toks, 2)).alias("bg"))
+        spread_scan(df).select("doc_id", F.explode(word_ngrams(toks, 2)).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
@@ -1846,7 +1852,7 @@ def bigram_pmi_collocations(
     ``min_count`` with corpus size (the floor is the candidate bound).
     """
     toks = F.filter(_tokens(text_col), lambda t: t != "")
-    base = df.select(toks.alias("toks"))
+    base = spread_scan(df).select(toks.alias("toks"))
     uni = (
         base.select(F.explode("toks").alias("w"))
         .groupBy("w")
@@ -2058,7 +2064,7 @@ def heaps_law_fit(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.filter(_tokens(text_col), lambda t: t != "")
     per_doc = df.select("doc_id", F.size(toks).alias("n_tok"))
     firsts = (
-        df.select("doc_id", F.explode(toks).alias("term"))
+        spread_scan(df).select("doc_id", F.explode(toks).alias("term"))
         .groupBy("term")
         .agg(F.min("doc_id").alias("first_doc"))
         .groupBy(F.col("first_doc").alias("doc_id"))
