@@ -922,6 +922,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_click_funnel_loss": fixture_queries.stream_click_funnel_loss,
         # sweep-line interval union: merged active time per user
         "user_active_coverage": _q(temporal.user_active_coverage),
+        # idf-weighted sparse cosine over shingles (decimal-exact dot)
+        "tfidf_cosine_pairs": _q(
+            lambda t: dedup.tfidf_cosine_pairs(t["documents"])
+        ),
+        # dense duplication structure: peel the near-dup graph to its 2-core
+        "kcore_decomposition": _q(
+            lambda t: dedup.kcore_decomposition(t["documents"])
+        ),
+        # RAKE candidate phrases: deg/freq word scores, top-k phrases
+        "rake_keywords": _q(lambda t: text.rake_keywords(t["documents"])),
+        # importance-weight health gate before DSIR resampling
+        "importance_weight_ess": _q(curation.importance_weight_ess),
     }
 
 
@@ -1797,4 +1809,8 @@ def oracle_sql() -> dict[str, str]:
             fixture_queries.STREAM_FUNNEL_LOSS_ORACLE
         ),
         "user_active_coverage": temporal.user_active_coverage_sql(),
+        "tfidf_cosine_pairs": dedup.tfidf_cosine_pairs_sql(),
+        "kcore_decomposition": dedup.kcore_decomposition_sql(),
+        "rake_keywords": text.rake_keywords_sql(),
+        "importance_weight_ess": curation.importance_weight_ess_sql(),
     }

@@ -1,0 +1,205 @@
+"""Planted tests for the round-6 session-4 operators: TF-IDF cosine
+pairs, k-core peeling, RAKE keywords, importance-weight ESS."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from training_etl_demo_2_spark.operators import curation, dedup, text
+
+
+# --- tfidf_cosine_pairs -----------------------------------------------------
+
+
+def test_tfidf_cosine_identical_docs_score_one(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {(r.doc_a, r.doc_b): r.cosine
+            for r in dedup.tfidf_cosine_pairs(df).collect()}
+    assert rows == {(1, 2): 1.0}
+
+
+def test_tfidf_cosine_weighting_favors_rare_overlap(spark):
+    """Two pairs with the SAME shingle-overlap count (exactly one
+    shared 3-gram each): the pair whose shared shingle is RARE (df=2)
+    must outscore the pair sharing a corpus-wide hot shingle (df=4 ⇒
+    lower idf) — Jaccard would score both pairs identically."""
+    df = spark.createDataFrame(
+        [
+            (1, "r1 r2 r3 a1 a2 a3"),
+            (2, "r1 r2 r3 b1 b2 b3"),
+            (3, "h1 h2 h3 c1 c2 c3"),
+            (4, "h1 h2 h3 d1 d2 d3"),
+            (5, "h1 h2 h3 e1 e2 e3"),
+            (6, "h1 h2 h3 f1 f2 f3"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r.cosine
+           for r in dedup.tfidf_cosine_pairs(df, threshold=0.0).collect()}
+    assert got[(1, 2)] > got[(3, 4)]
+    # and the Jaccard view really is blind to the difference
+    j = {(r.doc_a, r.doc_b): r.jaccard
+         for r in dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()}
+    assert j[(1, 2)] == j[(3, 4)]
+
+
+def test_tfidf_cosine_stop_shingle_bound_drops_hot_only_pairs(spark):
+    """Pairs sharing ONLY a shingle hotter than df_max never reach the
+    verifier."""
+    hot = "x y z"
+    rows = [(i, f"{hot} w{i} v{i} u{i}") for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.tfidf_cosine_pairs(df, df_max=3, threshold=0.0).collect()
+    assert out == []
+
+
+# --- kcore_decomposition ----------------------------------------------------
+
+
+def _kcore_of_edges(spark, edges, k=2, rounds=6):
+    """Drive the peel loop directly on a synthetic pair relation by
+    monkey-free composition: reuse the module's loop via a tiny shim."""
+    from pyspark.sql import DataFrame
+
+    e = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    def _deg(ed):
+        return (
+            ed.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(ed.select(F.col("doc_b").alias("doc_id")))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+
+    ed = e.localCheckpoint()
+    for _ in range(rounds):
+        keep = _deg(ed).filter(F.col("deg") >= k).select("doc_id")
+        ed = (
+            ed.join(keep.select(F.col("doc_id").alias("doc_a")), "doc_a", "semi")
+            .join(keep.select(F.col("doc_id").alias("doc_b")), "doc_b", "semi")
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+    return {
+        r.doc_id: r.core_degree
+        for r in _deg(ed)
+        .select("doc_id", F.col("deg").alias("core_degree"))
+        .collect()
+    }
+
+
+def test_kcore_cycle_survives_path_dies(spark):
+    # triangle 1-2-3 survives the 2-core; path 10-11-12 peels away
+    edges = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12)]
+    got = _kcore_of_edges(spark, edges)
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_cascade_needs_multiple_rounds(spark):
+    # pendant chain hanging off a triangle: each round peels one link
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    got = _kcore_of_edges(spark, edges)
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_fixture_reaches_fixed_point(tables):
+    """Round ROUNDS == round ROUNDS+1 on the fixture — the declared
+    round budget converges; every survivor has core degree >= k."""
+    d = tables["documents"]
+    a = sorted(
+        (r.doc_id, r.core_degree)
+        for r in dedup.kcore_decomposition(d).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.core_degree)
+        for r in dedup.kcore_decomposition(
+            d, rounds=dedup.KCORE_ROUNDS + 1
+        ).collect()
+    )
+    assert a == b
+    assert all(deg >= dedup.KCORE_K for _, deg in a)
+
+
+# --- rake_keywords ----------------------------------------------------------
+
+
+def test_rake_scores_hand_checked(spark):
+    """One doc, known phrases: 'red apple', 'red apple', 'green pear'
+    (split by stopword 'the'). freq(red)=2, deg(red)=4, score(red)=2;
+    same for apple; 'red apple' scores 4. green/pear: freq 1 deg 2 →
+    phrase 'green pear' scores 4 too — tie broken by phrase asc."""
+    df = spark.createDataFrame(
+        [(1, "red apple the red apple the green pear")],
+        "doc_id long, text string",
+    )
+    rows = [tuple(r) for r in text.rake_keywords(df).collect()]
+    assert rows == [
+        ("green pear", 2, 1, 4.0),
+        ("red apple", 2, 2, 4.0),
+    ]
+
+
+def test_rake_multiword_beats_singletons(tables):
+    out = text.rake_keywords(tables["documents"]).collect()
+    assert len(out) == text.RAKE_TOP
+    # scores are positive and sorted desc with phrase-asc tie-break
+    scores = [(-r.score, r.phrase) for r in out]
+    assert scores == sorted(scores)
+    assert all(r.score > 0 for r in out)
+
+
+# --- importance_weight_ess --------------------------------------------------
+
+
+def test_ess_flat_weights_equal_n(spark):
+    """If every doc scores the same logw, ESS == n exactly."""
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma", "en", "s0", 10) for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    row = curation.importance_weight_ess({"documents": df}).collect()
+    assert len(row) == 1
+    assert row[0].n_docs == 8
+    assert abs(row[0].ess - 8.0) < 1e-6
+    assert row[0].ess_ratio == 1.0
+
+
+def test_ess_collapses_under_skew(spark):
+    """One doc matching the en-target vocabulary + many off-target docs
+    → its weight dominates and ESS/n falls well below 1."""
+    rows = [(0, "alpha beta gamma delta", "en", "s0", 10)]
+    rows += [
+        (i, "omega psi chi phi", "xx", "s0", 10) for i in range(1, 40)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    row = curation.importance_weight_ess({"documents": df}).collect()[0]
+    assert row.ess_ratio < 0.5
+
+
+def test_ess_kish_formula_matches_manual(tables):
+    d = tables["documents"]
+    scored = curation.dsir_importance(d).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    pdf = scored.select("source", "avg_logw").toPandas()
+    got = {
+        r.source: (r.ess, r.n_docs)
+        for r in curation.importance_weight_ess({"documents": d}).collect()
+    }
+    for src, grp in pdf.groupby("source"):
+        w = [math.exp(v) for v in grp["avg_logw"]]
+        ess = sum(w) ** 2 / sum(x * x for x in w)
+        assert abs(got[src][0] - round(ess, 6)) < 1e-4
+        assert got[src][1] == len(w)

@@ -2019,3 +2019,72 @@ def stump_cv_eval_sql() -> str:
     GROUP BY fold
     ORDER BY fold
     """
+
+
+# ---------------------------------------------------------------------------
+# importance-weight diagnostics (ESS) for the DSIR selection tier
+# ---------------------------------------------------------------------------
+
+ESS_WEIGHT_CAP = 2.0
+
+
+def importance_weight_ess(
+    t: dict[str, DataFrame], cap: float = ESS_WEIGHT_CAP
+) -> DataFrame:
+    """Effective-sample-size diagnostics for DSIR importance weights,
+    per source: before importance-RESAMPLING a corpus slice you check
+    whether the weights are healthy — Kish ESS = (Σw)²/Σw² says how
+    many effective documents survive resampling (ESS ≈ n means weights
+    are flat; ESS ≪ n means a few documents dominate and the resample
+    degenerates), and the clip columns quantify how much mass a
+    standard weight cap would truncate. This is the go/no-go gate
+    between scoring (``dsir_importance``) and actually drawing the
+    resampled subset.
+
+    w_d = exp(avg_logw) with avg_logw the ROUNDED per-doc DSIR score,
+    so both engines exponentiate the identical rounded input; the
+    remaining double sums live far inside round(6)
+    (unigram_logprob's argument).
+
+    Scale shape: the DSIR scoring pipeline (its cost) + one doc-keyed
+    join for source + ONE per-source aggregate. Output: one row per
+    source — (source, n_docs, ess, ess_ratio, clip_frac, clip_mass).
+    """
+    d = t["documents"]
+    scored = dsir_importance(d)
+    w = scored.join(d.select("doc_id", "source"), "doc_id").select(
+        "source", F.exp(F.col("avg_logw")).alias("w")
+    )
+    ess = (F.sum("w") * F.sum("w")) / F.sum(F.col("w") * F.col("w"))
+    return w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.count(F.lit(1)), 6).alias("ess_ratio"),
+        F.round(F.avg((F.col("w") > cap).cast("double")), 6).alias(
+            "clip_frac"
+        ),
+        F.round(
+            F.sum(F.least(F.col("w"), F.lit(cap))) / F.sum("w"), 6
+        ).alias("clip_mass"),
+    )
+
+
+def importance_weight_ess_sql(cap: float = ESS_WEIGHT_CAP) -> str:
+    """Twin: wraps the DSIR score SQL and applies the identical
+    aggregate algebra."""
+    return f"""
+    WITH dsir AS ({DSIR_IMPORTANCE_SQL}),
+    w AS (
+        SELECT d.source, exp(s.avg_logw) AS w
+        FROM dsir s JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(sum(w) * sum(w) / sum(w * w), 6) AS ess,
+           round(sum(w) * sum(w) / sum(w * w) / count(*), 6) AS ess_ratio,
+           round(avg(CASE WHEN w > {cap} THEN 1.0 ELSE 0.0 END), 6)
+               AS clip_frac,
+           round(sum(least(w, {cap})) / sum(w), 6) AS clip_mass
+    FROM w
+    GROUP BY source
+    """

@@ -2745,3 +2745,289 @@ def lpa_communities_sql(
     {chain}
     SELECT node AS doc_id, label AS community FROM l{iters}
     """
+
+
+# ---------------------------------------------------------------------------
+# idf-weighted sparse cosine tier (TF-IDF scoring over the co-shingle join)
+# ---------------------------------------------------------------------------
+
+TFIDF_DF_MAX = 64  # stop-shingle bound: posting lists longer than this are dropped
+TFIDF_COS_THRESHOLD = 0.5
+IDF_SCALE = 1_000_000
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    df_max: int = TFIDF_DF_MAX,
+    threshold: float = TFIDF_COS_THRESHOLD,
+) -> DataFrame:
+    """Document pairs by TF-IDF cosine over word n-gram shingles — the
+    idf-WEIGHTED sibling of ``ngram_jaccard_pairs``: instead of set
+    overlap, each shingle contributes tf·idf weight, so pairs sharing
+    RARE shingles rank above pairs sharing boilerplate (the sparse
+    -retrieval scoring view of lexical near-duplication).
+
+    Determinism: idf is quantized ONCE per distinct df value
+    (floor(10^6·ln((N+1)/(df+1)))), after which every weight, dot
+    product, and squared norm is exact integer arithmetic accumulated
+    in decimal(38,0) — sum order cannot perturb anything; the single
+    float division + sqrt + round(6) happens once per emitted pair.
+
+    Candidate generation is the shared-shingle join with a STOP-SHINGLE
+    bound: posting lists longer than ``df_max`` are dropped from
+    candidate generation (their idf is near zero, and hot lists are the
+    n² blow-up risk at 100 TB — the standard stop-prefix cut), but the
+    verify stage scores candidates over ALL their shingles including
+    hot ones, so emitted cosines are exact. A pair sharing ONLY
+    stop-shingles is not emitted (its cosine is boilerplate-driven by
+    construction). Production candidate tiers (LSH banding / prefix
+    filter) slot in unchanged — this operator's contract is the
+    scoring.
+
+    Output: (doc_a, doc_b, cosine) with cosine ≥ threshold.
+    """
+    tokens = F.split(F.col(text_col), " ")
+    occ = spread_scan(df).select(
+        "doc_id", F.explode(word_ngrams(tokens, n)).alias("shingle")
+    ).select("doc_id", rolling_hash(F.col("shingle")).alias("h"))
+    tf = occ.groupBy("doc_id", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    ndocs = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # weight relation feeds norms AND the candidate-pair verify
+    w = (
+        tf.join(dfreq, "h")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "h",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.lit(IDF_SCALE)
+                    * F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                ).cast("long")
+            ).alias("w"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("n2")
+    )
+    post = tf.join(dfreq.filter(F.col("df") <= df_max), "h").select(
+        "doc_id", "h"
+    )
+    cand = (
+        post.select(F.col("doc_id").alias("doc_a"), "h")
+        .join(post.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    dots = (
+        cand.join(
+            w.select(F.col("doc_id").alias("doc_a"), "h", F.col("w").alias("wa")),
+            "doc_a",
+        )
+        .join(
+            w.select(F.col("doc_id").alias("doc_b"), "h", F.col("w").alias("wb")),
+            ["doc_b", "h"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,0)")).alias("dot"))
+    )
+    return (
+        dots.join(
+            norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2")),
+            "doc_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def tfidf_cosine_pairs_sql(
+    n: int = DEFAULT_NGRAM,
+    df_max: int = TFIDF_DF_MAX,
+    threshold: float = TFIDF_COS_THRESHOLD,
+) -> str:
+    """DuckDB twin: identical idf quantization (floor of the same
+    double product) and HUGEINT-exact accumulation."""
+    from .oracle import ROLLING_HASH
+
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS wds FROM documents),
+    occ AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(wds) - {n - 1}, 0) + 1),
+                   i -> array_to_string(wds[i:i+{n - 1}], ' '))) AS s
+        FROM toks
+    ),
+    hsh AS (SELECT doc_id, {ROLLING_HASH.format(s="s")} AS h FROM occ),
+    tf AS (
+        SELECT doc_id, h, CAST(count(*) AS BIGINT) AS tf
+        FROM hsh GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY h),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.h,
+               tf.tf * CAST(floor({IDF_SCALE} *
+                   ln((n_docs + 1) / (df + 1))) AS BIGINT) AS w
+        FROM tf JOIN dfreq USING (h) CROSS JOIN nd
+    ),
+    norms AS (
+        SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2 FROM w GROUP BY doc_id
+    ),
+    post AS (
+        SELECT tf.doc_id, tf.h FROM tf JOIN dfreq USING (h)
+        WHERE df <= {df_max}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM post a JOIN post b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    dots AS (
+        SELECT c.doc_a, c.doc_b, sum(CAST(wa.w AS HUGEINT) * wb.w) AS dot
+        FROM cand c
+        JOIN w wa ON wa.doc_id = c.doc_a
+        JOIN w wb ON wb.doc_id = c.doc_b AND wb.h = wa.h
+        GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b,
+           round(CAST(d.dot AS DOUBLE) /
+                 sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+               AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+    WHERE round(CAST(d.dot AS DOUBLE) /
+                sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)), 6)
+          >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition of the near-dup graph
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def kcore_decomposition(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+) -> DataFrame:
+    """k-core of the near-duplicate graph (Seidman 1983): iteratively
+    peel vertices with degree < k until a fixed point — the maximal
+    subgraph where every member has ≥ k near-dup neighbours. Cores
+    separate DENSE duplication structure (template farms, mirror
+    clusters — every member redundant several times over) from
+    incidental pairwise matches that degree-1 pruning alone would keep;
+    the 2-core is the standard "delete all but one per tree, audit the
+    cycles" split for dedup graphs.
+
+    Peeling is monotone (vertex sets only shrink), so ``rounds``
+    supersteps reach the true k-core whenever round r+1 == round r —
+    the fixture fixes the point well inside 6 rounds (pinned by a
+    planted test); at 100 TB the round count grows with the longest
+    degree-cascade chain, and each round is one degree aggregate + two
+    semi-joins over the near-dup-sized edge relation — never
+    corpus-sized.
+
+    Each round references the previous edge relation THREE times
+    (degree + both semi-joins), so the lineage would re-expand 3^rounds
+    without a barrier; unlike the single-reference PageRank/LPA
+    supersteps, peeling therefore materializes each round with an eager
+    ``localCheckpoint`` — ``rounds`` materializations of a near-dup-
+    sized relation (on a multi-executor cluster with node churn use a
+    reliable ``checkpoint`` dir instead).
+
+    Output: (doc_id, core_degree) for every vertex surviving in the
+    k-core, with its degree INSIDE the core.
+    """
+    pairs = minhash_lsh_pairs(df, text_col, n, threshold).select(
+        "doc_a", "doc_b"
+    )
+
+    def _deg(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("doc_a").alias("doc_id"))
+            .unionAll(e.select(F.col("doc_b").alias("doc_id")))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+
+    edges = pairs.localCheckpoint()
+    for _ in range(rounds):
+        keep = _deg(edges).filter(F.col("deg") >= k).select("doc_id")
+        edges = (
+            edges.join(
+                keep.select(F.col("doc_id").alias("doc_a")), "doc_a", "semi"
+            )
+            .join(keep.select(F.col("doc_id").alias("doc_b")), "doc_b", "semi")
+            .select("doc_a", "doc_b")
+            .localCheckpoint()
+        )
+    return _deg(edges).select("doc_id", F.col("deg").alias("core_degree"))
+
+
+def kcore_decomposition_sql(
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+) -> str:
+    """Twin: unrolled peel rounds e0..e{rounds} over the LSH pair CTE."""
+    from .oracle import minhash_lsh_sql
+
+    steps = []
+    for r in range(rounds):
+        steps.append(
+            f"""k{r} AS MATERIALIZED (
+        SELECT doc_id FROM (
+            SELECT doc_id, count(*) AS deg FROM (
+                SELECT doc_a AS doc_id FROM e{r}
+                UNION ALL SELECT doc_b FROM e{r}
+            ) GROUP BY doc_id
+        ) WHERE deg >= {k}
+    ),
+    e{r + 1} AS MATERIALIZED (
+        SELECT e.doc_a, e.doc_b FROM e{r} e
+        WHERE EXISTS (SELECT 1 FROM k{r} x WHERE x.doc_id = e.doc_a)
+          AND EXISTS (SELECT 1 FROM k{r} y WHERE y.doc_id = e.doc_b)
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS MATERIALIZED ({minhash_lsh_sql(n, threshold)}),
+    e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+    {chain}
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS core_degree
+    FROM (
+        SELECT doc_a AS doc_id FROM e{rounds}
+        UNION ALL SELECT doc_b FROM e{rounds}
+    )
+    GROUP BY doc_id
+    """

@@ -2537,3 +2537,148 @@ def script_mismatch_audit_sql() -> str:
     FROM agg
     ORDER BY lang
     """
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+RAKE_TOP = 20
+
+
+def rake_keywords(
+    df: DataFrame, text_col: str = "text", top: int = RAKE_TOP
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal token runs between stopword/empty boundaries; each
+    word scores deg(w)/freq(w) where freq counts the word's occurrences
+    across all phrase instances and deg adds the LENGTH of every phrase
+    instance containing it (co-occurrence degree, self included); a
+    phrase scores the sum of its words' scores. High-scoring phrases
+    are multi-word, built from words that travel in long, consistent
+    collocations — the classic cheap keyword/topic signal for corpus
+    triage.
+
+    Relational shape: token posexplode → stopword gaps-and-islands
+    (island id = pos − row_number per doc) → one groupBy per phrase
+    instance → word-stat aggregate (vocabulary-sized) → per-distinct-
+    phrase rescore join → global top-k on (score desc, phrase asc) —
+    a TakeOrderedAndProject, never a full sort. Scores divide two
+    exact integers per word and sum ≤ phrase-length doubles, then
+    round(6) — inside the cross-engine grid (unigram_logprob's
+    argument).
+
+    Output: top ``top`` distinct phrases — (phrase, n_words, freq,
+    score).
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    pos = spread_scan(df).select(
+        "doc_id", F.posexplode(toks).alias("pos", "wrd")
+    )
+    content = pos.filter(
+        (F.col("wrd") != "") & ~F.col("wrd").isin(STOPWORDS_EN)
+    )
+    w_isl = Window.partitionBy("doc_id").orderBy("pos")
+    isl = content.withColumn(
+        "isl", F.col("pos") - F.row_number().over(w_isl)
+    )
+    inst = isl.groupBy("doc_id", "isl").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "wrd"))),
+                lambda s: s["wrd"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+    occ = inst.select(
+        "n_words", F.explode(F.split(F.col("phrase"), " ")).alias("w0")
+    )
+    wstats = occ.groupBy("w0").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("n_words").cast("long").alias("deg"),
+    )
+    phrases = inst.groupBy("phrase").agg(
+        F.max("n_words").cast("long").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("freq_phrase"),
+    )
+    scored = (
+        phrases.select(
+            "phrase",
+            "n_words",
+            "freq_phrase",
+            F.explode(F.split(F.col("phrase"), " ")).alias("w0"),
+        )
+        .join(wstats, "w0")
+        .groupBy("phrase", "n_words", "freq_phrase")
+        .agg(F.round(F.sum(F.col("deg") / F.col("freq")), 6).alias("score"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("phrase"))
+        .limit(top)
+        .select(
+            "phrase", "n_words", F.col("freq_phrase").alias("freq"), "score"
+        )
+    )
+
+
+def rake_keywords_sql(top: int = RAKE_TOP) -> str:
+    """DuckDB twin of rake_keywords (1-based positions shift island
+    ids uniformly — group keys only)."""
+    stoplist = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS wds FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i AS pos, wds[i] AS wrd
+        FROM toks, unnest(range(1, len(wds) + 1)) AS t(i)
+    ),
+    content AS (
+        SELECT doc_id, pos, wrd FROM pos
+        WHERE wrd != '' AND wrd NOT IN ({stoplist})
+    ),
+    isl AS (
+        SELECT doc_id, pos, wrd,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                   AS isl
+        FROM content
+    ),
+    inst AS (
+        SELECT doc_id, isl,
+               string_agg(wrd, ' ' ORDER BY pos) AS phrase,
+               CAST(count(*) AS BIGINT) AS n_words
+        FROM isl GROUP BY 1, 2
+    ),
+    occ AS (
+        SELECT n_words, unnest(string_split(phrase, ' ')) AS w0 FROM inst
+    ),
+    wstats AS (
+        SELECT w0, CAST(count(*) AS BIGINT) AS freq,
+               CAST(sum(n_words) AS BIGINT) AS deg
+        FROM occ GROUP BY w0
+    ),
+    phrases AS (
+        SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS freq_phrase
+        FROM inst GROUP BY phrase
+    ),
+    pw AS (
+        SELECT phrase, n_words, freq_phrase,
+               unnest(string_split(phrase, ' ')) AS w0
+        FROM phrases
+    ),
+    scored AS (
+        SELECT phrase, n_words, freq_phrase,
+               round(sum(deg / freq), 6) AS score
+        FROM pw JOIN wstats USING (w0)
+        GROUP BY 1, 2, 3
+    )
+    SELECT phrase, n_words, freq_phrase AS freq, score
+    FROM scored
+    ORDER BY score DESC, phrase ASC
+    LIMIT {top}
+    """
