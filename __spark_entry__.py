@@ -934,6 +934,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": _q(lambda t: text.rake_keywords(t["documents"])),
         # importance-weight health gate before DSIR resampling
         "importance_weight_ess": _q(curation.importance_weight_ess),
+        # Gopher rule audit: which pre-classifier filter fires where
+        "gopher_quality_rules": _q(
+            lambda t: text.gopher_quality_rules(t["documents"])
+        ),
+        # multilingual sampling: p^alpha temperature weights per lang
+        "lang_temperature_weights": _q(curation.lang_temperature_weights),
+        # distribution-free two-sample test via seeded hash relabelings
+        "permutation_test_chars": _q(validation.permutation_test_chars),
     }
 
 
@@ -1813,4 +1821,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_decomposition": dedup.kcore_decomposition_sql(),
         "rake_keywords": text.rake_keywords_sql(),
         "importance_weight_ess": curation.importance_weight_ess_sql(),
+        "gopher_quality_rules": text.gopher_quality_rules_sql(),
+        "lang_temperature_weights": curation.lang_temperature_weights_sql(),
+        "permutation_test_chars": validation.permutation_test_chars_sql(),
     }

@@ -7,7 +7,7 @@ import math
 
 from pyspark.sql import functions as F
 
-from training_etl_demo_2_spark.operators import curation, dedup, text
+from training_etl_demo_2_spark.operators import curation, dedup, text, validation
 
 
 # --- tfidf_cosine_pairs -----------------------------------------------------
@@ -203,3 +203,105 @@ def test_ess_kish_formula_matches_manual(tables):
         ess = sum(w) ** 2 / sum(x * x for x in w)
         assert abs(got[src][0] - round(ess, 6)) < 1e-4
         assert got[src][1] == len(w)
+
+
+# --- gopher_quality_rules ---------------------------------------------------
+
+
+def test_gopher_rules_fire_individually(spark):
+    long_good = " ".join(["the"] * 3 + ["word"] * 60)  # 63 words, stops, alpha
+    df = spark.createDataFrame(
+        [
+            (1, long_good),                          # passes everything
+            (2, "the a short doc here now"),         # fails word count
+            (3, " ".join(["the"] * 2 + ["x"] * 58)), # mean word len < 3
+            (4, " ".join(["the"] * 2 + ["12345"] * 58)),  # alpha frac < 0.8
+            (5, " ".join(["word"] * 60)),            # no stopword hits
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in text.gopher_quality_rules(df).collect()}
+    assert got[1].pass_all
+    assert not got[2].ok_word_count and not got[2].pass_all
+    assert not got[3].ok_mean_word_len
+    assert not got[4].ok_alpha_words
+    assert not got[5].ok_stopwords
+    # all-integer flags: mean length bound is cross-multiplied, so a
+    # 63-word doc of 3-char stopwords + 4-char words sits inside [3,10]
+    assert got[1].ok_mean_word_len
+
+
+def test_gopher_symbol_rule(spark):
+    many_hash = " ".join(["word"] * 20) + " " + "#" * 5
+    df = spark.createDataFrame(
+        [(1, many_hash)], "doc_id long, text string"
+    )
+    r = text.gopher_quality_rules(df).collect()[0]
+    # 5 symbols vs 21 words -> 50 > 21 fails the 0.1 ratio
+    assert not r.ok_symbol_ratio
+
+
+# --- lang_temperature_weights -----------------------------------------------
+
+
+def test_temperature_flattens_distribution(tables):
+    rows = {r.lang: r for r in
+            curation.lang_temperature_weights(tables).collect()}
+    # shares sum to 1
+    assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-4
+    hi = max(rows.values(), key=lambda r: r.p_raw)
+    lo = min(rows.values(), key=lambda r: r.p_raw)
+    # temperature upsamples the tail and downsamples the head
+    assert lo.boost > 1.0 > hi.boost
+    # flattening: share ordering preserved but ratios compressed
+    assert hi.share / lo.share < hi.p_raw / lo.p_raw
+
+
+def test_temperature_alpha_one_is_identity(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", "s", 5), (2, "a b", "de", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r.lang: r for r in
+            curation.lang_temperature_weights(
+                {"documents": df}, alpha=1.0
+            ).collect()}
+    for r in rows.values():
+        assert abs(r.share - r.p_raw) < 1e-6
+        assert abs(r.boost - 1.0) < 1e-6
+
+
+# --- permutation_test_chars -------------------------------------------------
+
+
+def test_permutation_null_is_uniformish(spark):
+    """Planted NULL: all docs drawn from one length distribution →
+    p-value far from the rejection region."""
+    # blocks of 5 consecutive ids share a source and cycle lengths
+    # 10..14, so every source has the IDENTICAL length multiset -> the
+    # observed diff is exactly 0 and no relabeling can be "more extreme"
+    rows = [(i, "x", "en", f"s{(i // 5) % 7}", 10 + (i % 5))
+            for i in range(350)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = validation.permutation_test_chars(
+        {"documents": df}, source="s0"
+    ).collect()[0]
+    assert r.obs_diff == 0.0
+    assert r.p_value == 1.0
+
+
+def test_permutation_detects_planted_shift(spark):
+    """src0 docs are 10x longer: the observed diff must beat every
+    relabeling → minimal p-value 1/(R+1)."""
+    rows = [(i, "t", "en", "src0", 1000) for i in range(40)]
+    rows += [(i, "t", "en", "s1", 100) for i in range(40, 400)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = validation.permutation_test_chars({"documents": df}).collect()[0]
+    assert r.obs_diff == 900.0
+    assert r.p_value == round(1 / (validation.PERM_R + 1), 6)

@@ -2088,3 +2088,84 @@ def importance_weight_ess_sql(cap: float = ESS_WEIGHT_CAP) -> str:
     FROM w
     GROUP BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled multilingual sampling weights
+# ---------------------------------------------------------------------------
+
+TEMP_ALPHA = 0.3
+
+
+def lang_temperature_weights(
+    t: dict[str, DataFrame], alpha: float = TEMP_ALPHA
+) -> DataFrame:
+    """Temperature-scaled language sampling weights (the multilingual
+    pretraining standard from mBERT/XLM-R: sample language l with
+    probability ∝ p_l^α, α≈0.3): flattens the head so low-resource
+    languages are upsampled without letting them dominate. This is the
+    number a 100 TB multilingual mix is DRAWN with; pair it with
+    ``corpus_mix``/``balanced_sample_per_lang`` which act on the draw.
+
+    Exactness: token counts are exact integers; p_l divides two
+    integers; pow(p, α) is one correctly-rounded double op per
+    language; the weight normalizer sums |languages| doubles (metadata-
+    sized) — all comfortably inside round(6).
+
+    Scale shape: ONE (lang) aggregate over the token relation (map-side
+    partials), then language-cardinality metadata crossJoined with two
+    ONE-ROW totals. Output: one row per language — (lang, n_tokens,
+    p_raw, share, boost).
+    """
+    d = t["documents"]
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), " "), lambda x: x != ""
+    )
+    per_lang = d.select("lang", F.size(toks).cast("long").alias("n")).groupBy(
+        "lang"
+    ).agg(F.sum("n").cast("long").alias("n_tokens"))
+    tot = per_lang.agg(F.sum("n_tokens").cast("long").alias("n_total"))
+    p = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("n_total")).alias("p_raw"),
+    )
+    wsum = p.agg(F.sum(F.pow(F.col("p_raw"), F.lit(alpha))).alias("w_sum"))
+    return p.crossJoin(F.broadcast(wsum)).select(
+        "lang",
+        "n_tokens",
+        F.round(F.col("p_raw"), 6).alias("p_raw"),
+        F.round(
+            F.pow(F.col("p_raw"), F.lit(alpha)) / F.col("w_sum"), 6
+        ).alias("share"),
+        F.round(
+            F.pow(F.col("p_raw"), F.lit(alpha))
+            / F.col("w_sum")
+            / F.col("p_raw"),
+            6,
+        ).alias("boost"),
+    )
+
+
+def lang_temperature_weights_sql(alpha: float = TEMP_ALPHA) -> str:
+    """Twin: identical aggregate algebra over the same token counts."""
+    return f"""
+    WITH per_lang AS (
+        SELECT lang,
+               CAST(sum(len(list_filter(string_split(lower(text), ' '),
+                   x -> x != ''))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM per_lang),
+    p AS (
+        SELECT lang, n_tokens,
+               CAST(n_tokens AS DOUBLE) / n_total AS p_raw
+        FROM per_lang CROSS JOIN tot
+    ),
+    ws AS (SELECT sum(pow(p_raw, {alpha})) AS w_sum FROM p)
+    SELECT lang, n_tokens,
+           round(p_raw, 6) AS p_raw,
+           round(pow(p_raw, {alpha}) / w_sum, 6) AS share,
+           round(pow(p_raw, {alpha}) / w_sum / p_raw, 6) AS boost
+    FROM p CROSS JOIN ws
+    """

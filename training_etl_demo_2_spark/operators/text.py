@@ -2682,3 +2682,115 @@ def rake_keywords_sql(top: int = RAKE_TOP) -> str:
     ORDER BY score DESC, phrase ASC
     LIMIT {top}
     """
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule audit
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3
+GOPHER_MAX_MEAN_WLEN = 10
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher rule-based quality audit (Rae et al. 2021 §A1.1): the
+    standard pre-classifier document filters, each as an auditable flag
+    rather than a silent drop — word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio, alphabetic-word fraction, and the
+    minimum-stopword-hits rule. ``clean_corpus``/``quality_classifier``
+    ACT on quality; this reports WHICH rule fires where, which is what
+    you tune against before a 100 TB filtering run.
+
+    Every flag compares exact integers (ratio bounds are cross-
+    multiplied: mean length in [3,10] ⇔ 3n ≤ Σlen ≤ 10n), so there is
+    no float anywhere — bit-identical across engines by construction.
+
+    Output per doc: counts + five rule flags + pass_all.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
+    )
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("long")
+    n_symbols = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), "[#]|\\.\\.\\.", ""))
+    ).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(sw, t))
+    ).cast("long")
+    ok_wc = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_wl = (sum_len >= GOPHER_MIN_MEAN_WLEN * n_words) & (
+        sum_len <= GOPHER_MAX_MEAN_WLEN * n_words
+    )
+    ok_sym = n_symbols * 10 <= n_words  # symbol/word <= 0.1
+    ok_alpha = n_alpha_words * 5 >= n_words * 4  # >= 80% alphabetic words
+    ok_stop = n_stop >= GOPHER_MIN_STOP_HITS
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_len.alias("sum_word_len"),
+        n_alpha_words.alias("n_alpha_words"),
+        n_symbols.alias("n_symbols"),
+        n_stop.alias("n_stop_hits"),
+        ok_wc.alias("ok_word_count"),
+        ok_wl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_wl & ok_sym & ok_alpha & ok_stop).alias("pass_all"),
+    )
+
+
+def gopher_quality_rules_sql() -> str:
+    """Twin: identical integer cross-multiplied rule bounds."""
+    sw = ", ".join(f"'{x}'" for x in STOPWORDS_EN)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               list_filter(string_split(lower(text), ' '), t -> t != '')
+                   AS toks
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CAST(coalesce(list_sum(list_transform(toks,
+                   t -> length(t))), 0) AS BIGINT) AS sum_word_len,
+               CAST(len(list_filter(toks,
+                   t -> regexp_matches(t, '[a-z]'))) AS BIGINT)
+                   AS n_alpha_words,
+               CAST(length(text) - length(regexp_replace(text,
+                   '[#]|\\.\\.\\.', '', 'g')) AS BIGINT) AS n_symbols,
+               CAST(len(list_filter(toks,
+                   t -> list_contains([{sw}], t))) AS BIGINT)
+                   AS n_stop_hits
+        FROM base
+    )
+    SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_symbols,
+           n_stop_hits,
+           n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+               AS ok_word_count,
+           sum_word_len >= {GOPHER_MIN_MEAN_WLEN} * n_words
+               AND sum_word_len <= {GOPHER_MAX_MEAN_WLEN} * n_words
+               AS ok_mean_word_len,
+           n_symbols * 10 <= n_words AS ok_symbol_ratio,
+           n_alpha_words * 5 >= n_words * 4 AS ok_alpha_words,
+           n_stop_hits >= {GOPHER_MIN_STOP_HITS} AS ok_stopwords,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+               AND (sum_word_len >= {GOPHER_MIN_MEAN_WLEN} * n_words
+                    AND sum_word_len <= {GOPHER_MAX_MEAN_WLEN} * n_words)
+               AND n_symbols * 10 <= n_words
+               AND n_alpha_words * 5 >= n_words * 4
+               AND n_stop_hits >= {GOPHER_MIN_STOP_HITS} AS pass_all
+    FROM feats
+    """

@@ -4132,3 +4132,179 @@ def conformal_revenue_interval_sql() -> str:
                AS nominal_bp
     FROM scored, qrow q WHERE rn > n_cal
     """
+
+
+# ---------------------------------------------------------------------------
+# deterministic permutation (randomization) test
+# ---------------------------------------------------------------------------
+
+PERM_R = 200
+PERM_SEED = (624_917_299, 535_234_891, 2_246_822_519 % 1_000_000_007, 97_531_733)
+
+
+def permutation_test_chars(
+    t: dict[str, DataFrame], source: str = "src0", r_perms: int = PERM_R
+) -> DataFrame:
+    """Two-sample randomization test, RNG-free: does ``source`` have a
+    different mean document length (n_chars) than the rest of the
+    corpus? The null distribution relabels every document R times via a
+    seeded per-(doc, r) hash (each relabeling assigns the doc to the A
+    arm with probability n_a/n in exact integer arithmetic), computes
+    the mean difference under each relabeling, and reports the
+    two-sided rank p-value (1 + #{|diff_r| ≥ |observed|}) / (R + 1).
+    Unlike the z/t tests (ab_test_zscore, welch_ttest_sources) this
+    makes NO normality assumption — it is the distribution-free check
+    you run when the parametric tests disagree with the bootstrap.
+
+    Binomial relabeling (group sizes vary per permutation) is the
+    one-pass scalable variant of exact relabeling — the same trade the
+    Poisson bootstrap makes (Chamandy et al. 2012), and reproducible
+    bit-for-bit in SQL because there is no RNG state, only the shared
+    3-round hash mix.
+
+    Exactness: per-permutation sums are exact integers; each diff
+    divides integers twice; the comparison |diff_r| ≥ |obs| happens on
+    identically-derived doubles on both engines.
+
+    Scale shape: the R-fold explode feeds a partial (map-side)
+    aggregate on r, so the exchange carries R rows per task, not R×n
+    data rows; the observed contrast rides in as a ONE-ROW broadcast.
+    Output: one row.
+    """
+    from .sketches import _hll_mix_spark
+
+    d = t["documents"].select(
+        "doc_id",
+        (F.col("source") == source).alias("in_a"),
+        F.col("n_chars").cast("long").alias("x"),
+    )
+    obs = d.agg(
+        F.sum(F.when(F.col("in_a"), F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(~F.col("in_a"), F.col("x")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0))
+        .cast("long")
+        .alias("nb"),
+    )
+    ex = (
+        d.select(
+            "doc_id",
+            "x",
+            F.explode(F.sequence(F.lit(0), F.lit(r_perms - 1))).alias("r"),
+        )
+        .withColumn("r", F.col("r").cast("long"))
+        .crossJoin(F.broadcast(obs))
+    )
+    u = _hll_mix_spark(F.col("doc_id") * r_perms + F.col("r"), PERM_SEED)
+    thresh = F.expr("CAST(na * 10000 DIV (na + nb) AS BIGINT)")
+    in_a_r = (u % 10000) < thresh
+    per_r = (
+        ex.select(
+            "r",
+            F.when(in_a_r, F.col("x")).otherwise(0).alias("xa"),
+            F.when(in_a_r, 1).otherwise(0).alias("ca"),
+            F.when(~in_a_r, F.col("x")).otherwise(0).alias("xb"),
+            F.when(~in_a_r, 1).otherwise(0).alias("cb"),
+        )
+        .groupBy("r")
+        .agg(
+            F.sum("xa").cast("long").alias("sa_r"),
+            F.sum("ca").cast("long").alias("na_r"),
+            F.sum("xb").cast("long").alias("sb_r"),
+            F.sum("cb").cast("long").alias("nb_r"),
+        )
+        .filter((F.col("na_r") > 0) & (F.col("nb_r") > 0))
+    )
+    diff_r = F.col("sa_r") / F.col("na_r") - F.col("sb_r") / F.col("nb_r")
+    summary = per_r.crossJoin(F.broadcast(obs)).agg(
+        F.count(F.lit(1)).cast("long").alias("r_used"),
+        F.sum(
+            F.when(
+                F.abs(diff_r)
+                >= F.abs(F.col("sa") / F.col("na") - F.col("sb") / F.col("nb")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_extreme"),
+    )
+    return obs.crossJoin(F.broadcast(summary)).select(
+        F.lit(source).alias("source"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(
+            F.col("sa") / F.col("na") - F.col("sb") / F.col("nb"), 6
+        ).alias("obs_diff"),
+        "r_used",
+        F.round(
+            (F.lit(1) + F.col("n_extreme")) / (F.col("r_used") + 1), 6
+        ).alias("p_value"),
+    )
+
+
+def permutation_test_chars_sql(
+    source: str = "src0", r_perms: int = PERM_R
+) -> str:
+    """Twin: identical hash relabeling, integer folds, rank p-value."""
+    from .sketches import _hll_mix_sql
+
+    mix = _hll_mix_sql(f"(doc_id * {r_perms} + r)", PERM_SEED)
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source = '{source}' AS in_a,
+               CAST(n_chars AS BIGINT) AS x
+        FROM documents
+    ),
+    obs AS (
+        SELECT CAST(sum(CASE WHEN in_a THEN x ELSE 0 END) AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN NOT in_a THEN x ELSE 0 END) AS BIGINT)
+                   AS sb,
+               CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb
+        FROM d
+    ),
+    ex AS (
+        SELECT doc_id, x, r, na, nb,
+               {mix} AS u
+        FROM d, unnest(range(0, {r_perms})) AS t(r), obs
+    ),
+    labeled AS (
+        SELECT r,
+               CASE WHEN u % 10000 < na * 10000 // (na + nb)
+                    THEN TRUE ELSE FALSE END AS in_a_r,
+               x
+        FROM ex
+    ),
+    per_r AS (
+        SELECT r,
+               CAST(sum(CASE WHEN in_a_r THEN x ELSE 0 END) AS BIGINT)
+                   AS sa_r,
+               CAST(sum(CASE WHEN in_a_r THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na_r,
+               CAST(sum(CASE WHEN NOT in_a_r THEN x ELSE 0 END) AS BIGINT)
+                   AS sb_r,
+               CAST(sum(CASE WHEN NOT in_a_r THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb_r
+        FROM labeled GROUP BY r
+        HAVING sum(CASE WHEN in_a_r THEN 1 ELSE 0 END) > 0
+           AND sum(CASE WHEN NOT in_a_r THEN 1 ELSE 0 END) > 0
+    ),
+    summary AS (
+        SELECT CAST(count(*) AS BIGINT) AS r_used,
+               CAST(sum(CASE WHEN abs(sa_r * 1.0 / na_r - sb_r * 1.0 / nb_r)
+                             >= abs(o.sa * 1.0 / o.na - o.sb * 1.0 / o.nb)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+        FROM per_r, obs o
+    )
+    SELECT '{source}' AS source,
+           o.na AS n_a, o.nb AS n_b,
+           round(o.sa * 1.0 / o.na - o.sb * 1.0 / o.nb, 6) AS obs_diff,
+           s.r_used,
+           round((1 + s.n_extreme) * 1.0 / (s.r_used + 1), 6) AS p_value
+    FROM obs o, summary s
+    """
