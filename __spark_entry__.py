@@ -942,6 +942,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_temperature_weights": _q(curation.lang_temperature_weights),
         # distribution-free two-sample test via seeded hash relabelings
         "permutation_test_chars": _q(validation.permutation_test_chars),
+        # exact distributed weighted median (running-sum pick, no sort)
+        "weighted_median_value": _q(relational_ext.weighted_median_value),
+        # is 32 perms enough? estimator bias/MAE vs exact on real pairs
+        "minhash_estimate_error": _q(
+            lambda t: dedup.minhash_estimate_error(t["documents"])
+        ),
+        # pick the partition column before rewriting 100 TB
+        "partition_key_advisor": _q(maintenance.partition_key_advisor),
     }
 
 
@@ -1824,4 +1832,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_rules": text.gopher_quality_rules_sql(),
         "lang_temperature_weights": curation.lang_temperature_weights_sql(),
         "permutation_test_chars": validation.permutation_test_chars_sql(),
+        "weighted_median_value": relational_ext.weighted_median_value_sql(),
+        "minhash_estimate_error": dedup.minhash_estimate_error_sql(),
+        "partition_key_advisor": maintenance.partition_key_advisor_sql(),
     }

@@ -305,3 +305,107 @@ def test_permutation_detects_planted_shift(spark):
     r = validation.permutation_test_chars({"documents": df}).collect()[0]
     assert r.obs_diff == 900.0
     assert r.p_value == round(1 / (validation.PERM_R + 1), 6)
+
+
+# --- weighted_median_value ----------------------------------------------------
+
+
+def test_weighted_median_hand_checked(spark):
+    """values 10,20,30 with weights 1,1,4: total 6, half 3 → the 20 row
+    reaches cumw 2 (<3), the 30 row reaches 6 → weighted median 30;
+    the UNWEIGHTED median would be 20."""
+    rows = [
+        (1, 1, 10.0, 1.0, "A"),
+        (2, 1, 20.0, 1.0, "A"),
+        (3, 1, 30.0, 4.0, "A"),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_extendedprice double, "
+        "l_quantity double, l_returnflag string",
+    )
+    from training_etl_demo_2_spark.operators import relational_ext
+
+    out = relational_ext.weighted_median_value({"lineitem": li}).collect()
+    assert len(out) == 1
+    assert out[0].total_qty == 6
+    assert out[0].w_median_price == 30.0
+
+
+def test_weighted_median_equal_weights_is_median(spark):
+    rows = [
+        (i, 1, float(v), 1.0, "A")
+        for i, v in enumerate([5, 1, 9, 3, 7], start=1)
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_extendedprice double, "
+        "l_quantity double, l_returnflag string",
+    )
+    from training_etl_demo_2_spark.operators import relational_ext
+
+    out = relational_ext.weighted_median_value({"lineitem": li}).collect()
+    assert out[0].w_median_price == 5.0  # lower median of {1,3,5,7,9}
+
+
+# --- minhash_estimate_error ---------------------------------------------------
+
+
+def test_minhash_estimate_identical_docs_zero_error(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")],
+        "doc_id long, text string",
+    )
+    r = dedup.minhash_estimate_error(df).collect()[0]
+    # one pair (1,2), jaccard 1.0, all 32 mins match -> est 1.0
+    assert (r.n_pairs, r.mean_exact, r.mean_est, r.bias, r.mae) == (
+        1, 1.0, 1.0, 0.0, 0.0,
+    )
+
+
+def test_minhash_estimate_error_bounded_on_fixture(tables):
+    r = dedup.minhash_estimate_error(tables["documents"]).collect()[0]
+    assert r.n_pairs > 0
+    # 32 perms at j ~ 0.97: sd ~ sqrt(j(1-j)/32) ~ 0.03 - the audit
+    # should report a small but honest error, not zero and not junk
+    assert 0.0 <= r.mae < 0.1
+    assert abs(r.bias) < 0.05
+
+
+# --- partition_key_advisor ----------------------------------------------------
+
+
+def test_partition_advisor_scan_frac_bounds(tables):
+    from training_etl_demo_2_spark.operators import maintenance
+
+    rows = {r.candidate: r for r in
+            maintenance.partition_key_advisor(tables).collect()}
+    assert set(rows) == set(maintenance.PARTITION_KEY_CANDIDATES)
+    for r in rows.values():
+        # expected scan fraction lives in [1/k, 1]
+        assert r.expected_scan_frac <= 1.0 + 1e-9
+        assert r.expected_scan_frac >= 1.0 / r.n_partitions - 1e-9
+        assert 0.0 < r.max_share <= 1.0
+    # month truncation: fewer partitions than raw date, better pruning
+    # than the 2-3 value flags
+    assert rows["l_shipmonth"].n_partitions < rows["l_shipdate"].n_partitions
+    assert (rows["l_shipmonth"].expected_scan_frac
+            < rows["l_returnflag"].expected_scan_frac)
+
+
+def test_partition_advisor_uniform_key_hits_one_over_k(spark):
+    from training_etl_demo_2_spark.operators import maintenance
+
+    rows = [(i, 1, 1.0, 1.0, "A" if i % 2 == 0 else "B", "O",
+             "2024-01-0" + str(1 + i % 2))
+            for i in range(100)]
+    li = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber long, l_extendedprice double, "
+        "l_quantity double, l_returnflag string, l_linestatus string, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.to_date("l_shipdate"))
+    got = {r.candidate: r for r in
+           maintenance.partition_key_advisor({"lineitem": li}).collect()}
+    assert got["l_returnflag"].expected_scan_frac == 0.5
+    assert got["l_returnflag"].max_share == 0.5

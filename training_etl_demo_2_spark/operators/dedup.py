@@ -3031,3 +3031,96 @@ def kcore_decomposition_sql(
     )
     GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration audit
+# ---------------------------------------------------------------------------
+
+
+def minhash_estimate_error(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Calibration audit of the MinHash Jaccard ESTIMATOR itself: over
+    the verified near-dup pairs, compare the 32-permutation signature
+    agreement rate (matching mins / 32 — the textbook unbiased Jaccard
+    estimate) against the exact Jaccard the verify stage computed
+    anyway. Before trusting estimate-only tiers at 100 TB (skipping
+    exact verification to save the candidate joins), this one row says
+    how biased and how noisy 32 permutations actually are on YOUR
+    corpus.
+
+    Exactness: match counts are exact integers; est divides by the
+    constant 32; MAE/bias average ≤ pair-count doubles then round(6).
+
+    Scale shape: the pair relation is near-dup-sized; signatures join
+    doc-keyed; the 32 equality sums are one narrow projection. Output:
+    one row — (n_pairs, mean_exact, mean_est, bias, mae).
+    """
+    pairs = minhash_lsh_pairs(df, text_col, n, threshold)
+    sig = minhash_signatures(df, text_col, n)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_PERM)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_PERM)],
+    )
+    match = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(NUM_PERM)
+    )
+    scored = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "jaccard",
+            (match.cast("long").cast("double") / NUM_PERM).alias("est"),
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("jaccard"), 6).alias("mean_exact"),
+        F.round(F.avg("est"), 6).alias("mean_est"),
+        F.round(F.avg(F.col("est") - F.col("jaccard")), 6).alias("bias"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("jaccard"))), 6).alias(
+            "mae"
+        ),
+    )
+
+
+def minhash_estimate_error_sql(
+    n: int = DEFAULT_NGRAM, threshold: float = 0.8
+) -> str:
+    """Twin: the LSH pair CTE + signature self-join + identical folds."""
+    from .oracle import _shingles_cte, _signature_exprs, minhash_lsh_sql
+
+    match = " + ".join(
+        f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+        for i in range(NUM_PERM)
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED ({minhash_lsh_sql(n, threshold)}),
+    {_shingles_cte(n).lstrip()},
+    sig AS (
+        SELECT doc_id, {_signature_exprs()}
+        FROM sh GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT p.jaccard,
+               CAST(({match}) AS DOUBLE) / {NUM_PERM} AS est
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(jaccard), 6) AS mean_exact,
+           round(avg(est), 6) AS mean_est,
+           round(avg(est - jaccard), 6) AS bias,
+           round(avg(abs(est - jaccard)), 6) AS mae
+    FROM scored
+    """

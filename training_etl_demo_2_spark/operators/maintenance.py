@@ -518,3 +518,103 @@ def broadcast_plan_advisor_sql() -> str:
     FROM rep
     ORDER BY table_name
     """
+
+
+# ---------------------------------------------------------------------------
+# partition-key advisor
+# ---------------------------------------------------------------------------
+
+PARTITION_KEY_CANDIDATES = (
+    "l_returnflag",
+    "l_linestatus",
+    "l_shipmonth",
+    "l_shipdate",
+)
+
+
+def partition_key_advisor(t: dict[str, DataFrame]) -> DataFrame:
+    """Which column should partition the 100 TB table? For each
+    candidate key this scores the two things that decide it BEFORE any
+    data is rewritten:
+
+    * ``expected_scan_frac`` = Σ_v (n_v/n)² — the fraction of the table
+      an equality-predicate query scans in expectation when queries
+      arrive proportionally to the data (partition pruning's payoff;
+      1.0 = useless key, 1/k = perfectly balanced k-way key);
+    * ``n_partitions`` and ``max_share`` — the operational bounds: too
+      many partitions (small files, listing cost) or one dominant
+      partition (skew) disqualify a key even when pruning looks good.
+
+    Derived date keys matter most in practice, so the month-truncated
+    ship date competes beside the raw date (the raw date's thousands of
+    partitions is exactly the small-files trap this advisor exposes).
+
+    Exactness: shares are exact-integer counts; the two ratios divide
+    decimal(38,0)-summed squares once, then round(6).
+
+    Scale shape: one groupBy PER candidate (map-side partials), each
+    collapsing to candidate-cardinality metadata, then a one-row fold
+    per candidate unioned — cost is |candidates| scans (or one pass
+    with grouping sets if the scan dominates; at 100 TB candidates are
+    audited on a sampled slab anyway). Output: one row per candidate.
+    """
+    li = t["lineitem"].select(
+        "l_returnflag",
+        "l_linestatus",
+        F.date_format(F.col("l_shipdate"), "yyyy-MM").alias("l_shipmonth"),
+        F.col("l_shipdate").cast("string").alias("l_shipdate"),
+    )
+    outs = []
+    for key in PARTITION_KEY_CANDIDATES:
+        per = li.groupBy(F.col(key).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        outs.append(
+            per.agg(
+                F.lit(key).alias("candidate"),
+                F.count(F.lit(1)).cast("long").alias("n_partitions"),
+                F.sum("c").cast("long").alias("n_rows"),
+                F.max("c").cast("long").alias("max_rows"),
+                F.round(
+                    F.max("c").cast("double") / F.sum("c"), 6
+                ).alias("max_share"),
+                F.round(
+                    F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)"))
+                    .cast("double")
+                    # n² in DOUBLE, not BIGINT: at 1e12 rows the integer
+                    # square overflows but the double is exact enough
+                    / (F.sum("c").cast("double") * F.sum("c").cast("double")),
+                    6,
+                ).alias("expected_scan_frac"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def partition_key_advisor_sql() -> str:
+    """Twin: identical per-candidate folds unioned."""
+    parts = []
+    for key in PARTITION_KEY_CANDIDATES:
+        if key == "l_shipmonth":
+            expr = "strftime(l_shipdate, '%Y-%m')"
+        elif key == "l_shipdate":
+            expr = "CAST(l_shipdate AS VARCHAR)"
+        else:
+            expr = key
+        parts.append(
+            f"""
+    SELECT '{key}' AS candidate,
+           CAST(count(*) AS BIGINT) AS n_partitions,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_rows,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS max_share,
+           round(CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+                 / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)), 6)
+               AS expected_scan_frac
+    FROM (SELECT {expr} AS v, CAST(count(*) AS BIGINT) AS c
+          FROM lineitem GROUP BY 1)"""
+        )
+    return " UNION ALL ".join(parts)

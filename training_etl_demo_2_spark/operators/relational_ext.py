@@ -1679,3 +1679,87 @@ def dau_mau_stickiness_sql() -> str:
     FROM dau JOIN mau ON mau.wd = dau.d
     ORDER BY day
     """
+
+
+# ---------------------------------------------------------------------------
+# exact distributed weighted median
+# ---------------------------------------------------------------------------
+
+
+def weighted_median_value(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact quantity-weighted median line price per return flag — the
+    distributed weighted-median pattern: sort within the group, running
+    weight sum via a group-partitioned window, pick the FIRST value
+    whose cumulative weight reaches half the total (the lower weighted
+    median, the convention that needs no interpolation and therefore no
+    float boundary). A plain median answers "the typical line"; the
+    quantity-weighted one answers "the typical UNIT", which is what
+    pricing/inventory questions actually ask.
+
+    Exactness: weights are integer quantities (TPC-H quantities are
+    whole numbers; floor-cast documented), prices compare as exact
+    cents, and the half-total test cross-multiplies (2·cumw ≥ total) —
+    no division anywhere before the output cast.
+
+    Scale shape: ONE exchange on the group key feeds both the ordered
+    running sum and the group total (same partitioning); the pick is a
+    min over flagged rows — no global sort, no collect. Ties on price
+    are closed by (price, orderkey, linenumber) so the running sum is
+    over a strict total order.
+
+    Output: one row per l_returnflag — (l_returnflag, total_qty,
+    w_median_price).
+    """
+    li = t["lineitem"].select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("l_returnflag")
+    flagged = li.select(
+        "l_returnflag",
+        "cents",
+        F.sum("qty").over(w_run).alias("cumw"),
+        F.sum("qty").over(w_tot).alias("total"),
+    ).filter(F.col("cumw") * 2 >= F.col("total"))
+    return flagged.groupBy("l_returnflag").agg(
+        F.max("total").cast("long").alias("total_qty"),
+        (F.min("cents").cast("double") / 100.0).alias("w_median_price"),
+    )
+
+
+def weighted_median_value_sql() -> str:
+    """Twin: identical strict order, running sum, and half-total pick."""
+    return """
+    WITH li AS (
+        SELECT l_returnflag,
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+               CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    run AS (
+        SELECT l_returnflag, cents,
+               sum(qty) OVER (PARTITION BY l_returnflag
+                              ORDER BY cents, l_orderkey, l_linenumber
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS cumw,
+               sum(qty) OVER (PARTITION BY l_returnflag) AS total
+        FROM li
+    )
+    SELECT l_returnflag,
+           CAST(max(total) AS BIGINT) AS total_qty,
+           CAST(min(cents) AS DOUBLE) / 100.0 AS w_median_price
+    FROM run
+    WHERE cumw * 2 >= total
+    GROUP BY l_returnflag
+    """
