@@ -950,6 +950,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # pick the partition column before rewriting 100 TB
         "partition_key_advisor": _q(maintenance.partition_key_advisor),
+        # counting classifier: NB lang-ID confusion (exact int argmax)
+        "nb_lang_confusion": _q(
+            lambda t: text.nb_lang_confusion(t["documents"])
+        ),
     }
 
 
@@ -1835,4 +1839,5 @@ def oracle_sql() -> dict[str, str]:
         "weighted_median_value": relational_ext.weighted_median_value_sql(),
         "minhash_estimate_error": dedup.minhash_estimate_error_sql(),
         "partition_key_advisor": maintenance.partition_key_advisor_sql(),
+        "nb_lang_confusion": text.nb_lang_confusion_sql(),
     }

@@ -409,3 +409,38 @@ def test_partition_advisor_uniform_key_hits_one_over_k(spark):
            maintenance.partition_key_advisor({"lineitem": li}).collect()}
     assert got["l_returnflag"].expected_scan_frac == 0.5
     assert got["l_returnflag"].max_share == 0.5
+
+
+# --- nb_lang_confusion --------------------------------------------------------
+
+
+def test_nb_separable_vocab_perfect_diagonal(spark):
+    rows = []
+    vocab = {"aa": ["foo bar baz", "bar baz foo qux"],
+             "bb": ["uno dos tres", "dos tres uno quatro"]}
+    i = 0
+    for lang, texts in vocab.items():
+        for tx in texts:
+            rows.append((i, tx, lang, "s", len(tx))); i += 1
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {(r.lang, r.pred_lang): r.n_docs
+           for r in text.nb_lang_confusion(df).collect()}
+    assert got == {("aa", "aa"): 2, ("bb", "bb"): 2}
+
+
+def test_nb_confusion_rows_partition_corpus(tables):
+    d = tables["documents"]
+    conf = text.nb_lang_confusion(d).collect()
+    by_true = {}
+    for r in conf:
+        by_true[r.lang] = by_true.get(r.lang, 0) + r.n_docs
+    truth = {r.lang: r.c for r in
+             d.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert by_true == truth
+    # the classifier must beat the majority-class trivial predictor on
+    # the diagonal for the best-separated language
+    diag = {r.lang: r.n_docs for r in conf if r.lang == r.pred_lang}
+    assert diag.get("en", 0) > 0

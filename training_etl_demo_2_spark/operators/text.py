@@ -2794,3 +2794,181 @@ def gopher_quality_rules_sql() -> str:
                AND n_stop_hits >= {GOPHER_MIN_STOP_HITS} AS pass_all
     FROM feats
     """
+
+
+# ---------------------------------------------------------------------------
+# multinomial Naive Bayes language classifier (resubstitution confusion)
+# ---------------------------------------------------------------------------
+
+NB_LOG_SCALE = 1_000_000
+
+
+def nb_lang_confusion(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Multinomial Naive Bayes language ID, trained and evaluated on
+    the corpus's own labels (resubstitution — the standard first
+    sanity check before holding out): per-class add-one-smoothed token
+    likelihoods + class prior, per-doc argmax, and the (true, predicted)
+    confusion counts. Beside the marker-stopword heuristic
+    (``language_id``) this is the counting CLASSIFIER a fastText-style
+    lang-ID pipeline starts from — and it is fully relational: training
+    is two groupBys, scoring is one join + one aggregate.
+
+    Determinism: every log-likelihood is quantized ONCE per (term,
+    lang) — floor(10^6·ln((c+1)/(N_l+V))) — after which doc scores are
+    exact integer sums and the argmax (score desc, lang asc) is a
+    strict total order. No float ever crosses a comparison boundary.
+
+    Scale shape: training counts are vocabulary×|langs|-sized (≪
+    corpus); scoring joins doc terms to the broadcastable likelihood
+    relation and folds per (doc, lang) with map-side partials; the
+    argmax is a per-doc window over |langs| rows. Output: one row per
+    (lang, pred_lang) pair observed.
+    """
+    from pyspark.sql import Window
+
+    terms = (
+        spread_scan(df)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = terms.groupBy("doc_id", "lang", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    cls_term = tf.groupBy("lang", "term").agg(
+        F.sum("tf").cast("long").alias("c")
+    )
+    cls_tot = cls_term.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("n_l")
+    )
+    vocab = cls_term.select("term").distinct()
+    v = vocab.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    langs = cls_tot.select(F.col("lang").alias("l"), "n_l")
+    # complete (term, lang) likelihood grid: unseen combos smooth to c=0
+    grid = (
+        vocab.crossJoin(F.broadcast(langs))
+        .join(
+            cls_term.select(
+                F.col("lang").alias("l"), "term", F.col("c").alias("c")
+            ),
+            ["l", "term"],
+            "left",
+        )
+        .crossJoin(F.broadcast(v))
+        .select(
+            "term",
+            "l",
+            F.floor(
+                F.lit(NB_LOG_SCALE)
+                * F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                    / (F.col("n_l") + F.col("v"))
+                )
+            )
+            .cast("long")
+            .alias("lq"),
+        )
+    )
+    n_docs = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    prior = (
+        df.groupBy(F.col("lang").alias("l"))
+        .agg(F.count(F.lit(1)).cast("long").alias("dl"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "l",
+            F.floor(F.lit(NB_LOG_SCALE) * F.log(F.col("dl") / F.col("n")))
+            .cast("long")
+            .alias("pq"),
+        )
+    )
+    scores = (
+        tf.join(grid, "term")
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "l")
+        .agg(F.sum(F.col("tf") * F.col("lq")).cast("long").alias("ll"))
+        .join(prior, "l")
+        .select(
+            "doc_id",
+            "true_lang",
+            "l",
+            (F.col("ll") + F.col("pq")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("l"))
+    pred = scores.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return pred.groupBy(
+        F.col("true_lang").alias("lang"), F.col("l").alias("pred_lang")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+
+
+def nb_lang_confusion_sql() -> str:
+    """Twin: identical quantized grid, integer folds, strict argmax."""
+    return f"""
+    WITH terms AS (
+        SELECT doc_id, lang, term
+        FROM (
+            SELECT doc_id, lang,
+                   unnest(string_split(lower(text), ' ')) AS term
+            FROM documents
+        )
+        WHERE term != ''
+    ),
+    tf AS (
+        SELECT doc_id, lang, term, CAST(count(*) AS BIGINT) AS tf
+        FROM terms GROUP BY 1, 2, 3
+    ),
+    cls_term AS (
+        SELECT lang, term, CAST(sum(tf) AS BIGINT) AS c
+        FROM tf GROUP BY 1, 2
+    ),
+    cls_tot AS (
+        SELECT lang AS l, CAST(sum(c) AS BIGINT) AS n_l
+        FROM cls_term GROUP BY 1
+    ),
+    vocab AS (SELECT DISTINCT term FROM cls_term),
+    vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    grid AS (
+        SELECT vb.term, ct.l,
+               CAST(floor({NB_LOG_SCALE} *
+                   ln((coalesce(cc.c, 0) + 1) / (ct.n_l + vn.v)))
+                   AS BIGINT) AS lq
+        FROM vocab vb
+        CROSS JOIN cls_tot ct
+        CROSS JOIN vn
+        LEFT JOIN cls_term cc ON cc.lang = ct.l AND cc.term = vb.term
+    ),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    prior AS (
+        SELECT lang AS l,
+               CAST(floor({NB_LOG_SCALE} *
+                   ln(CAST(count(*) AS BIGINT) / n)) AS BIGINT) AS pq
+        FROM documents CROSS JOIN nd
+        GROUP BY lang, n
+    ),
+    scores AS (
+        SELECT t.doc_id, t.lang AS true_lang, g.l,
+               CAST(sum(t.tf * g.lq) AS BIGINT) + any_value(p.pq) AS score
+        FROM tf t
+        JOIN grid g ON g.term = t.term
+        JOIN prior p ON p.l = g.l
+        GROUP BY 1, 2, 3
+    ),
+    pred AS (
+        SELECT doc_id, true_lang, l
+        FROM (
+            SELECT doc_id, true_lang, l,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, l ASC
+                   ) AS rn
+            FROM scores
+        ) WHERE rn = 1
+    )
+    SELECT true_lang AS lang, l AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred
+    GROUP BY 1, 2
+    """
