@@ -158,6 +158,19 @@ NESTED_LOOP_OK = {
     # ONE-ROW fit / k / radius broadcasts onto the calendar relation
     # (the scalar-subquery class); windows only over calendar metadata
     "conformal_revenue_interval",
+    # ONE-ROW corpus-count broadcast for the idf quantization (same
+    # class as tfidf_top_terms)
+    "tfidf_cosine_pairs",
+    # inherits dsir_selection's (Nt, Nr, V) ONE-ROW totals crossJoin
+    "importance_weight_ess",
+    # two ONE-ROW broadcasts: token total, then the p^alpha normalizer
+    "lang_temperature_weights",
+    # ONE-ROW observed-contrast broadcast onto the R-fold explode and
+    # the R-row permutation relation (the Poisson-bootstrap class)
+    "permutation_test_chars",
+    # vocab x |langs| likelihood grid + ONE-ROW V and n broadcasts --
+    # all vocabulary-sized metadata, never corpus-sized
+    "nb_lang_confusion",
 }
 
 
