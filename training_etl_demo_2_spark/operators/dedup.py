@@ -2792,10 +2792,17 @@ def tfidf_cosine_pairs(
     occ = spread_scan(df).select(
         "doc_id", F.explode(word_ngrams(tokens, n)).alias("shingle")
     ).select("doc_id", rolling_hash(F.col("shingle")).alias("h"))
+    # tf feeds the weight relation AND both sides of the candidate
+    # self-join; dfreq feeds the weights and the stop-shingle cut —
+    # persist both so the explode+hash scan and its groupBy run once
     tf = occ.groupBy("doc_id", "h").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = (
+        tf.groupBy("h")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dfreq = tf.groupBy("h").agg(F.count(F.lit(1)).cast("long").alias("df"))
     ndocs = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     # weight relation feeds norms AND the candidate-pair verify
     w = (
@@ -2814,8 +2821,25 @@ def tfidf_cosine_pairs(
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    norms = w.groupBy("doc_id").agg(
-        F.sum((F.col("w") * F.col("w")).cast("decimal(38,0)")).alias("n2")
+    # per-doc weight MAP: the verify becomes one row-local fold over
+    # the candidates' common shingles (array_intersect + map lookups)
+    # instead of an exploded three-way join — the same shuffle-free
+    # verify shape as _pair_jaccard_arrays, with weights attached
+    dec0 = F.lit(0).cast("decimal(38,0)")
+    feat = (
+        w.groupBy("doc_id")
+        .agg(F.map_from_entries(F.collect_list(F.struct("h", "w"))).alias("wm"))
+        .select(
+            "doc_id",
+            "wm",
+            F.map_keys(F.col("wm")).alias("hs"),
+            F.aggregate(
+                F.map_values(F.col("wm")),
+                dec0,
+                lambda acc, x: acc + (x * x).cast("decimal(38,0)"),
+            ).alias("n2"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     post = tf.join(dfreq.filter(F.col("df") <= df_max), "h").select(
         "doc_id", "h"
@@ -2827,32 +2851,34 @@ def tfidf_cosine_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    dots = (
-        cand.join(
-            w.select(F.col("doc_id").alias("doc_a"), "h", F.col("w").alias("wa")),
-            "doc_a",
-        )
-        .join(
-            w.select(F.col("doc_id").alias("doc_b"), "h", F.col("w").alias("wb")),
-            ["doc_b", "h"],
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum((F.col("wa") * F.col("wb")).cast("decimal(38,0)")).alias("dot"))
+    fa = feat.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("wm").alias("wma"),
+        F.col("hs").alias("hsa"),
+        F.col("n2").alias("na2"),
+    )
+    fb = feat.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("wm").alias("wmb"),
+        F.col("hs").alias("hsb"),
+        F.col("n2").alias("nb2"),
+    )
+    dot = F.aggregate(
+        F.array_intersect("hsa", "hsb"),
+        dec0,
+        lambda acc, h: acc
+        + (F.element_at(F.col("wma"), h) * F.element_at(F.col("wmb"), h)).cast(
+            "decimal(38,0)"
+        ),
     )
     return (
-        dots.join(
-            norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2")),
-            "doc_a",
-        )
-        .join(
-            norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2")),
-            "doc_b",
-        )
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("dot").cast("double")
+                dot.cast("double")
                 / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
                 6,
             ).alias("cosine"),
