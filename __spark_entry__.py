@@ -954,6 +954,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nb_lang_confusion": _q(
             lambda t: text.nb_lang_confusion(t["documents"])
         ),
+        # where does IVF recall saturate? recall@k per nprobe vs brute
+        "ivf_nprobe_curve": _q(similarity.ivf_nprobe_curve),
+        # sketch mergeability proven as a query: daily HLLs -> merged
+        "hll_rollup_merge": _q(sketches.hll_rollup_merge),
     }
 
 
@@ -1840,4 +1844,6 @@ def oracle_sql() -> dict[str, str]:
         "minhash_estimate_error": dedup.minhash_estimate_error_sql(),
         "partition_key_advisor": maintenance.partition_key_advisor_sql(),
         "nb_lang_confusion": text.nb_lang_confusion_sql(),
+        "ivf_nprobe_curve": similarity.ivf_nprobe_curve_sql(),
+        "hll_rollup_merge": sketches.hll_rollup_merge_sql(),
     }

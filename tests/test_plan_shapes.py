@@ -171,6 +171,11 @@ NESTED_LOOP_OK = {
     # vocab x |langs| likelihood grid + ONE-ROW V and n broadcasts --
     # all vocabulary-sized metadata, never corpus-sized
     "nb_lang_confusion",
+    # inherits brute_topk's broadcast fixed-query-panel scan (eval tier)
+    "ivf_nprobe_curve",
+    # four ONE-ROW folds (daily sum, merged est, mismatches, exact)
+    # crossJoined -- register/day-cardinality metadata only
+    "hll_rollup_merge",
 }
 
 

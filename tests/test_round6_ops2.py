@@ -444,3 +444,36 @@ def test_nb_confusion_rows_partition_corpus(tables):
     # the diagonal for the best-separated language
     diag = {r.lang: r.n_docs for r in conf if r.lang == r.pred_lang}
     assert diag.get("en", 0) > 0
+
+
+# --- ivf_nprobe_curve ---------------------------------------------------------
+
+
+def test_ivf_curve_monotone_and_bounded(tables):
+    from training_etl_demo_2_spark.operators import similarity
+
+    rows = sorted(
+        (r.nprobe, r.recall_at_k, r.n_truth, r.n_hits)
+        for r in similarity.ivf_nprobe_curve(tables).collect()
+    )
+    assert [p for p, *_ in rows] == list(similarity.IVF_CURVE_PROBES)
+    recalls = [r for _, r, _, _ in rows]
+    # probing more cells only adds candidates -> recall non-decreasing
+    assert recalls == sorted(recalls)
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+    assert all(h <= t for _, _, t, h in rows)
+
+
+# --- hll_rollup_merge ---------------------------------------------------------
+
+
+def test_hll_merge_registers_exact_and_sum_overcounts(tables):
+    from training_etl_demo_2_spark.operators import sketches
+
+    r = sketches.hll_rollup_merge(tables).collect()[0]
+    # max-merge is associative: daily sketches merged == direct sketch
+    assert r.mismatched_registers == 0
+    # recurring users make the naive per-day sum a gross overcount
+    assert r.sum_daily_est > 2 * r.merged_est
+    # and the merged estimate lands near the exact count
+    assert r.merged_err_bp < 2000

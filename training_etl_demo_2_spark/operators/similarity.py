@@ -2674,3 +2674,89 @@ def kcenter_coreset_sql(k: int = KCENTER_K, dim: int = 64) -> str:
     WITH {chain}
     {final}
     """
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe tuning curve
+# ---------------------------------------------------------------------------
+
+IVF_CURVE_PROBES = (1, 2, 4)
+
+
+def ivf_nprobe_curve(
+    t: dict[str, DataFrame], k: int = 5, probes: tuple = IVF_CURVE_PROBES
+) -> DataFrame:
+    """Recall@k of the IVF tier as a function of ``nprobe`` — the
+    tuning curve you draw BEFORE fixing the production knob: each extra
+    probed cell multiplies candidate volume by ~1/n_centroids of the
+    corpus, so the question is where recall saturates. The curve is
+    computed corpus-side against the exact brute-force truth (the same
+    ground-truth discipline as ann_ndcg_eval), one row per nprobe.
+
+    Monotonicity is structural: probing more cells can only ADD
+    candidates, so recall@k is non-decreasing in nprobe — pinned by a
+    planted test as a correctness invariant of the whole IVF chain.
+
+    Scale shape: truth and each approx tier are |queries|·k-row
+    relations; the join is id-keyed; one fold per nprobe, unioned.
+    The IVF chain itself is shared across tiers up to the probe stage.
+    Output: (nprobe, n_truth, n_hits, recall_at_k).
+    """
+    emb = t["embeddings"]
+    truth = brute_topk(emb, k=k).select("query_id", "neighbor_id")
+    outs = []
+    for p in probes:
+        approx = ivf_topk(emb, k=k, nprobe=p).select(
+            "query_id", "neighbor_id", F.lit(1).alias("hit")
+        )
+        flagged = truth.join(approx, ["query_id", "neighbor_id"], "left")
+        outs.append(
+            flagged.agg(
+                F.lit(p).cast("long").alias("nprobe"),
+                F.count(F.lit(1)).cast("long").alias("n_truth"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("long")
+                .alias("n_hits"),
+                F.round(
+                    F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("recall_at_k"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def ivf_nprobe_curve_sql(
+    k: int = 5, probes: tuple = IVF_CURVE_PROBES
+) -> str:
+    """Twin: one brute CTE + one IVF subquery per probe, same folds."""
+    from . import oracle_text
+
+    arms = []
+    for p in probes:
+        arms.append(
+            f"""
+    SELECT CAST({p} AS BIGINT) AS nprobe,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hits,
+           round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS recall_at_k
+    FROM truth tr
+    LEFT JOIN (
+        SELECT query_id, neighbor_id FROM (
+            {oracle_text.ivf_topk_sql(k=k, nprobe=p)}
+        )
+    ) a ON a.query_id = tr.query_id AND a.neighbor_id = tr.neighbor_id"""
+        )
+    joined = " UNION ALL ".join(arms)
+    return f"""
+    WITH truth AS MATERIALIZED (
+        SELECT query_id, neighbor_id FROM ({oracle_text.brute_topk_sql(k=k)})
+    )
+    {joined}
+    """

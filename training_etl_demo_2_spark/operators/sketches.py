@@ -841,3 +841,168 @@ def hll_source_overlap_sql() -> str:
     LEFT JOIN exact_pair ep ON ep.ta = u.ta AND ep.tb = u.tb
     ORDER BY type_a, type_b
     """
+
+
+# ---------------------------------------------------------------------------
+# HLL rollup-merge audit (the mergeability proof as a query)
+# ---------------------------------------------------------------------------
+
+
+def hll_rollup_merge(t: dict[str, DataFrame]) -> DataFrame:
+    """The property that makes sketches THE 100 TB distinct-count
+    design — register-max mergeability — proven as a query: build one
+    HLL register relation PER DAY (what an incremental pipeline
+    materializes alongside each partition), merge the daily sketches by
+    max(rho), and check the merged registers are IDENTICAL to the
+    registers built directly over the whole corpus (max is associative,
+    so mismatched_registers must be 0 — pinned by a planted test).
+    Beside it: the naive Σ of per-day estimates (what you must NOT do —
+    returning users double-count) and the exact answer with the merged
+    estimate's error.
+
+    Scale shape: the daily register relations are ≤ m rows per day
+    regardless of volume; every fold after the first groupBy runs on
+    register- or day-cardinality metadata with ONE-ROW broadcasts.
+    Output: one row.
+    """
+    ev = t["events"]
+    uid = F.col("user_id").cast("long")
+    hashed = ev.select(
+        F.to_date("ts").alias("d"),
+        (_hll_mix_spark(uid, HLL_IDX_SEED) % HLL_M).alias("idx"),
+        (_hll_mix_spark(uid, HLL_RHO_SEED) % (1 << HLL_RHO_BITS)).alias("u"),
+    )
+    rho = F.lit(HLL_RHO_BITS + 1)
+    for k in range(HLL_RHO_BITS):
+        rho = F.when(F.col("u") >= (1 << k), HLL_RHO_BITS - k).otherwise(rho)
+    regs_day = hashed.groupBy("d", "idx").agg(F.max(rho).alias("mrho"))
+    merged = regs_day.groupBy("idx").agg(F.max("mrho").alias("mrho"))
+    direct = hashed.groupBy("idx").agg(F.max(rho).alias("mrho"))
+    top = HLL_RHO_BITS + 1
+
+    def _est_fold(regs, *group):
+        per = regs.groupBy(*group).agg(
+            F.count(F.lit(1)).alias("n_regs"),
+            F.sum(F.expr(f"shiftleft(1L, {top} - mrho)"))
+            .cast("long")
+            .alias("s_used"),
+        )
+        v = F.lit(HLL_M) - F.col("n_regs")
+        s_int = F.col("s_used") + v * (1 << top)
+        e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M * (1 << top)) / s_int.cast(
+            "double"
+        )
+        est = F.when(
+            (e_raw <= 2.5 * HLL_M) & (v > 0),
+            F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+        ).otherwise(e_raw)
+        return per.select(*group, est.alias("est"))
+
+    daily_sum = _est_fold(regs_day, "d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.sum("est"), 6).alias("sum_daily_est"),
+    )
+    merged_est = _est_fold(merged).select(
+        F.round(F.col("est"), 6).alias("merged_est")
+    )
+    mism = (
+        merged.select("idx", F.col("mrho").alias("a"))
+        .join(direct.select("idx", F.col("mrho").alias("b")), "idx", "full")
+        .filter(
+            F.coalesce(F.col("a"), F.lit(-1))
+            != F.coalesce(F.col("b"), F.lit(-1))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("mismatched_registers"))
+    )
+    exact = ev.agg(F.countDistinct("user_id").cast("long").alias("exact_users"))
+    out = (
+        daily_sum.crossJoin(F.broadcast(merged_est))
+        .crossJoin(F.broadcast(mism))
+        .crossJoin(F.broadcast(exact))
+    )
+    err_bp = (
+        F.abs(F.col("merged_est") - F.col("exact_users").cast("double"))
+        * 10000.0
+        / F.col("exact_users")
+    )
+    return out.select(
+        "n_days",
+        "sum_daily_est",
+        "merged_est",
+        "mismatched_registers",
+        "exact_users",
+        F.floor(err_bp + F.lit(0.5)).cast("long").alias("merged_err_bp"),
+    )
+
+
+def hll_rollup_merge_sql() -> str:
+    """Twin: identical hash/rho/register algebra at each level."""
+    top = HLL_RHO_BITS + 1
+    rho_sql = _hll_rho_cases("u")
+    est_sql = (
+        f"CASE WHEN (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}"
+        f" * (CAST(1 AS BIGINT) << {top})) / CAST(s_int AS DOUBLE)"
+        f" <= 2.5 * {HLL_M} AND v_empty > 0"
+        f" THEN CAST({HLL_M} AS DOUBLE)"
+        f" * ln(CAST({HLL_M} AS DOUBLE) / v_empty)"
+        f" ELSE (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M} * {HLL_M}"
+        f" * (CAST(1 AS BIGINT) << {top})) / CAST(s_int AS DOUBLE) END"
+    )
+    fold = (
+        f"SELECT CAST(count(*) AS BIGINT) AS n_regs,"
+        f" CAST(sum(CAST(1 AS BIGINT) << ({top} - mrho)) AS BIGINT)"
+        f" AS s_used"
+    )
+    return f"""
+    WITH hashed AS (
+        SELECT CAST(ts AS DATE) AS d,
+               {_hll_mix_sql("user_id", HLL_IDX_SEED)} % {HLL_M} AS idx,
+               {_hll_mix_sql("user_id", HLL_RHO_SEED)}
+                   % {1 << HLL_RHO_BITS} AS u
+        FROM events
+    ),
+    regs_day AS MATERIALIZED (
+        SELECT d, idx, max({rho_sql}) AS mrho FROM hashed GROUP BY 1, 2
+    ),
+    merged AS MATERIALIZED (
+        SELECT idx, max(mrho) AS mrho FROM regs_day GROUP BY idx
+    ),
+    direct AS (
+        SELECT idx, max({rho_sql}) AS mrho FROM hashed GROUP BY idx
+    ),
+    day_folds AS (
+        SELECT d, n_regs, s_used,
+               {HLL_M} - n_regs AS v_empty,
+               s_used + ({HLL_M} - n_regs) * (CAST(1 AS BIGINT) << {top})
+                   AS s_int
+        FROM (SELECT d, {fold.replace("SELECT ", "")}
+              FROM regs_day GROUP BY d)
+    ),
+    daily AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               round(sum({est_sql}), 6) AS sum_daily_est
+        FROM day_folds
+    ),
+    merged_fold AS (
+        SELECT n_regs, s_used,
+               {HLL_M} - n_regs AS v_empty,
+               s_used + ({HLL_M} - n_regs) * (CAST(1 AS BIGINT) << {top})
+                   AS s_int
+        FROM ({fold} FROM merged)
+    ),
+    mest AS (SELECT round({est_sql}, 6) AS merged_est FROM merged_fold),
+    mism AS (
+        SELECT CAST(count(*) AS BIGINT) AS mismatched_registers
+        FROM merged m FULL OUTER JOIN direct x ON m.idx = x.idx
+        WHERE coalesce(m.mrho, -1) != coalesce(x.mrho, -1)
+    ),
+    exact AS (
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM events
+    )
+    SELECT d.n_days, d.sum_daily_est, e.merged_est, m.mismatched_registers,
+           x.exact_users,
+           CAST(floor(abs(e.merged_est - x.exact_users) * 10000.0
+               / x.exact_users + 0.5) AS BIGINT) AS merged_err_bp
+    FROM daily d, mest e, mism m, exact x
+    """
