@@ -958,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_nprobe_curve": _q(similarity.ivf_nprobe_curve),
         # sketch mergeability proven as a query: daily HLLs -> merged
         "hll_rollup_merge": _q(sketches.hll_rollup_merge),
+        # why z-order, measured: skipped-file fraction per layout x dim
+        "layout_skipping_audit": _q(maintenance.layout_skipping_audit),
     }
 
 
@@ -1846,4 +1848,5 @@ def oracle_sql() -> dict[str, str]:
         "nb_lang_confusion": text.nb_lang_confusion_sql(),
         "ivf_nprobe_curve": similarity.ivf_nprobe_curve_sql(),
         "hll_rollup_merge": sketches.hll_rollup_merge_sql(),
+        "layout_skipping_audit": maintenance.layout_skipping_audit_sql(),
     }

@@ -477,3 +477,24 @@ def test_hll_merge_registers_exact_and_sum_overcounts(tables):
     assert r.sum_daily_est > 2 * r.merged_est
     # and the merged estimate lands near the exact count
     assert r.merged_err_bp < 2000
+
+
+# --- layout_skipping_audit ------------------------------------------------------
+
+
+def test_layout_skipping_ordering(tables):
+    from training_etl_demo_2_spark.operators import maintenance
+
+    rows = {(r.layout, r.pred_dim): r for r in
+            maintenance.layout_skipping_audit(tables).collect()}
+    assert len(rows) == 6
+    # natural layout: stats boxes span the domain -> nothing skipped
+    assert rows[("natural", "l_partkey")].skipped_bp == 0
+    # single-key sort skips on its own key...
+    assert (rows[("sorted_partkey", "l_partkey")].skipped_bp
+            > rows[("natural", "l_partkey")].skipped_bp)
+    # ...but z-order also skips on the SECOND dimension where the
+    # single-key sort cannot (needs enough files to differentiate)
+    if rows[("zorder", "l_suppkey")].n_files >= 32:
+        assert (rows[("zorder", "l_suppkey")].skipped_bp
+                > rows[("sorted_partkey", "l_suppkey")].skipped_bp)

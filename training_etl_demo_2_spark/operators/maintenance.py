@@ -618,3 +618,201 @@ def partition_key_advisor_sql() -> str:
           FROM lineitem GROUP BY 1)"""
         )
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# layout skipping audit: natural vs sorted vs z-order, measured
+# ---------------------------------------------------------------------------
+
+SKIP_N_PREDS = 4  # equality-width range predicates per dimension
+
+
+def layout_skipping_audit(
+    t: dict[str, DataFrame], rows_per_file: int = ZORDER_ROWS_PER_FILE
+) -> DataFrame:
+    """WHY z-order, measured: cut lineitem into fixed-size files under
+    three layouts — natural (write order), sorted on l_partkey, and the
+    Morton interleave of (l_partkey, l_suppkey) — compute each file's
+    min/max stats, and replay a grid of range predicates on BOTH
+    dimensions against those stats. The skipped-file fraction per
+    (layout, predicate dimension) is the number a lakehouse OPTIMIZE
+    decision is made on: natural skips nothing, single-key sort skips
+    only its own key, z-order skips usefully on both.
+
+    Exactness: file cuts use the exact distributed-rank pattern
+    (zorder_files); predicate bounds derive from the integer key domain
+    (width = (max+1) DIV (2·n_preds)); a file is hit iff its [min,max]
+    box overlaps the range — all integer comparisons; the skipped
+    fraction is an exact basis-point integer.
+
+    Scale shape: one range-repartition + per-partition rank per layout
+    (the global-sort shuffle OPTIMIZE pays anyway), file-cardinality
+    stat relations, and a stats × |preds| metadata grid. Output: one
+    row per (layout, pred_dim).
+    """
+    li = t["lineitem"].select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    spark = li.sparkSession
+    z = _interleave_bits(F.col("l_partkey"), F.col("l_suppkey"))
+    zt = li.withColumn("z", z)
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    layouts = {
+        "natural": [F.asc("l_orderkey"), F.asc("l_linenumber")],
+        "sorted_partkey": [
+            F.asc("l_partkey"),
+            F.asc("l_orderkey"),
+            F.asc("l_linenumber"),
+        ],
+        "zorder": [F.asc("z"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+    }
+    doms = zt.agg(
+        F.max("l_partkey").cast("long").alias("max_part"),
+        F.max("l_suppkey").cast("long").alias("max_supp"),
+    )
+
+    def _file_stats(order_cols) -> DataFrame:
+        ranged = zt.repartitionByRange(nparts, *order_cols).withColumn(
+            "pid", F.spark_partition_id()
+        )
+        ranged.persist()
+        counts = dict(
+            (int(r["pid"]), int(r["count"]))
+            for r in ranged.groupBy("pid").count().collect()
+        )
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        offset_map = F.create_map(
+            *[
+                F.lit(v)
+                for pid in sorted(offsets)
+                for v in (pid, offsets[pid])
+            ]
+        )
+        w = Window.partitionBy("pid").orderBy(*order_cols)
+        rn = (offset_map[F.col("pid")] + F.row_number().over(w) - 1).cast(
+            "long"
+        )
+        filed = ranged.withColumn(
+            "file_id", ((rn - rn % rows_per_file) / rows_per_file).cast("long")
+        )
+        return filed.groupBy("file_id").agg(
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part_f"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp_f"),
+        )
+
+    preds = F.explode(
+        F.sequence(F.lit(0), F.lit(SKIP_N_PREDS - 1))
+    ).alias("k")
+    outs = []
+    for name, order_cols in layouts.items():
+        stats = _file_stats(order_cols)
+        for dim, lo_c, hi_c, dom in (
+            ("l_partkey", "min_part", "max_part_f", "max_part"),
+            ("l_suppkey", "min_supp", "max_supp_f", "max_supp"),
+        ):
+            grid = (
+                stats.crossJoin(F.broadcast(doms.select(preds, F.col(dom))))
+                .withColumn(
+                    "w",
+                    F.expr(f"CAST(({dom} + 1) DIV {2 * SKIP_N_PREDS} AS BIGINT)"),
+                )
+                .withColumn("lo", F.col("k") * F.col("w"))
+                .withColumn("hi", (F.col("k") + 1) * F.col("w") - 1)
+            )
+            hit = ~(
+                (F.col(hi_c) < F.col("lo")) | (F.col(lo_c) > F.col("hi"))
+            )
+            outs.append(
+                grid.agg(
+                    F.lit(name).alias("layout"),
+                    F.lit(dim).alias("pred_dim"),
+                    F.count_distinct(F.col("file_id")).cast("long").alias(
+                        "n_files"
+                    ),
+                    F.sum(hit.cast("long")).cast("long").alias("files_hit"),
+                    F.expr(
+                        "CAST((count(*) - sum(CAST((NOT ("
+                        f"{hi_c} < lo OR {lo_c} > hi)) AS BIGINT))) * 10000"
+                        " DIV count(*) AS BIGINT)"
+                    ).alias("skipped_bp"),
+                )
+            )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def layout_skipping_audit_sql(
+    rows_per_file: int = ZORDER_ROWS_PER_FILE, bits: int = ZORDER_BITS
+) -> str:
+    """Twin: identical file cuts (row_number windows), stat boxes,
+    predicate grids, and overlap test per layout."""
+    mask = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"((((l_partkey & {mask}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"((((l_suppkey & {mask}) >> {i}) & 1) << {2 * i + 1})")
+    z_expr = " + ".join(terms)
+    orders = {
+        "natural": "l_orderkey, l_linenumber",
+        "sorted_partkey": "l_partkey, l_orderkey, l_linenumber",
+        "zorder": "z, l_orderkey, l_linenumber",
+    }
+    arms = []
+    for name, order in orders.items():
+        for dim, lo_c, hi_c, dom in (
+            ("l_partkey", "min_part", "max_part_f", "max_part"),
+            ("l_suppkey", "min_supp", "max_supp_f", "max_supp"),
+        ):
+            arms.append(
+                f"""
+    SELECT '{name}' AS layout, '{dim}' AS pred_dim,
+           CAST(count(DISTINCT file_id) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN NOT ({hi_c} < lo OR {lo_c} > hi)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+           CAST((count(*) - sum(CASE WHEN NOT ({hi_c} < lo OR {lo_c} > hi)
+                    THEN 1 ELSE 0 END)) * 10000 // count(*) AS BIGINT)
+               AS skipped_bp
+    FROM (
+        SELECT s.*, k, ((d.{dom} + 1) // {2 * SKIP_N_PREDS}) * k AS lo,
+               ((d.{dom} + 1) // {2 * SKIP_N_PREDS}) * (k + 1) - 1 AS hi
+        FROM stats_{name} s
+        CROSS JOIN doms d
+        CROSS JOIN unnest(range(0, {SKIP_N_PREDS})) AS t(k)
+    )"""
+            )
+    stat_ctes = ",\n    ".join(
+        f"""stats_{name} AS MATERIALIZED (
+        SELECT file_id,
+               min(l_partkey) AS min_part, max(l_partkey) AS max_part_f,
+               min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp_f
+        FROM (
+            SELECT l_partkey, l_suppkey,
+                   (row_number() OVER (ORDER BY {order}) - 1)
+                       // {rows_per_file} AS file_id
+            FROM zt
+        ) GROUP BY file_id
+    )"""
+        for name, order in orders.items()
+    )
+    joined = " UNION ALL ".join(arms)
+    return f"""
+    WITH zt AS MATERIALIZED (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               {z_expr} AS z
+        FROM lineitem
+    ),
+    doms AS (
+        SELECT CAST(max(l_partkey) AS BIGINT) AS max_part,
+               CAST(max(l_suppkey) AS BIGINT) AS max_supp
+        FROM zt
+    ),
+    {stat_ctes}
+    {joined}
+    """
