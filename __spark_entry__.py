@@ -960,6 +960,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_rollup_merge": _q(sketches.hll_rollup_merge),
         # why z-order, measured: skipped-file fraction per layout x dim
         "layout_skipping_audit": _q(maintenance.layout_skipping_audit),
+        # is longest-wins leaving quality on the table? survivorship audit
+        "dedup_quality_regret": _q(dedup.dedup_quality_regret),
     }
 
 
@@ -1849,4 +1851,5 @@ def oracle_sql() -> dict[str, str]:
         "ivf_nprobe_curve": similarity.ivf_nprobe_curve_sql(),
         "hll_rollup_merge": sketches.hll_rollup_merge_sql(),
         "layout_skipping_audit": maintenance.layout_skipping_audit_sql(),
+        "dedup_quality_regret": dedup.dedup_quality_regret_sql(),
     }

@@ -498,3 +498,49 @@ def test_layout_skipping_ordering(tables):
     if rows[("zorder", "l_suppkey")].n_files >= 32:
         assert (rows[("zorder", "l_suppkey")].skipped_bp
                 > rows[("sorted_partkey", "l_suppkey")].skipped_bp)
+
+
+# --- dedup_quality_regret -------------------------------------------------------
+
+
+def test_quality_regret_planted(spark):
+    """Cluster of near-identical docs where the LONGEST is NOT the
+    highest-quality member: regret must be positive; a second cluster
+    where the longest IS best contributes zero regret."""
+    # 50 distinct words: the tiny punct suffix changes few shingles, so
+    # the pair stays above the 0.8 jaccard gate while quality diverges
+    base = " ".join(f"word{i}" for i in range(50))
+    rows = [
+        # cluster 1: doc 2 longer (wins) but punctuation-stuffed
+        # (punct_ratio weight -4 drags quality_prob down); doc 1 clean
+        (1, base, "en", "s", 10),
+        (2, base + " !!!! ####", "en", "s", 12),
+        # unrelated doc
+        (9, "completely different content lives here today", "en", "s", 5),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from training_etl_demo_2_spark.operators import dedup as dd
+    from training_etl_demo_2_spark.operators.text import quality_classifier
+
+    # fix n_chars to the real lengths so longest-wins picks doc 2
+    df = df.withColumn("n_chars", F.length("text"))
+    q = {r.doc_id: r.quality_prob
+         for r in quality_classifier(df).collect()}
+    assert q[1] > q[2]  # planted: longer copy scores worse
+    r = dd.dedup_quality_regret({"documents": df}).collect()[0]
+    assert r.n_clusters == 1
+    assert r.n_regret_clusters == 1
+    assert r.max_regret == round(q[1] - q[2], 6)
+
+
+def test_quality_regret_fixture_bounds(tables):
+    from training_etl_demo_2_spark.operators import dedup as dd
+
+    r = dd.dedup_quality_regret(tables).collect()[0]
+    assert r.n_clusters > 0
+    assert 0 <= r.n_regret_clusters <= r.n_clusters
+    assert r.mean_best_q >= r.mean_rep_q
+    assert r.max_regret >= 0.0

@@ -3150,3 +3150,108 @@ def minhash_estimate_error_sql(
            round(avg(abs(est - jaccard)), 6) AS mae
     FROM scored
     """
+
+
+# ---------------------------------------------------------------------------
+# survivorship quality regret
+# ---------------------------------------------------------------------------
+
+
+def dedup_quality_regret(t: dict[str, DataFrame]) -> DataFrame:
+    """Survivorship audit of the KEEP rule: ``dedup_representatives``
+    elects the LONGEST member of each near-dup cluster — but is the
+    longest copy also the best one? Per cluster this compares the
+    elected representative's quality-classifier score against the best
+    member's, and reports how often (and by how much) the length rule
+    leaves quality on the table. If the regret mass is material you
+    switch the survivorship rule BEFORE running the 100 TB collapse —
+    after it, the better copies are gone.
+
+    Determinism: quality_prob is round(6) per doc, so best-vs-rep
+    comparisons and regrets are decided on identical doubles in both
+    engines; the final averages re-round.
+
+    Scale shape: cluster relation (near-dup-sized) ⋈ per-doc scores,
+    one groupBy per cluster, one one-row fold. Output: one row.
+    """
+    from .text import quality_classifier
+
+    d = t["documents"]
+    members = near_dup_clusters(d)
+    q = quality_classifier(d).select("doc_id", "quality_prob")
+    reps = dedup_representatives(d).select("cluster_id", "rep_doc_id")
+    best = (
+        members.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.max("quality_prob").alias("best_q"))
+    )
+    repq = reps.join(
+        q.select(
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("quality_prob").alias("rep_q"),
+        ),
+        "rep_doc_id",
+    )
+    j = best.join(repq, "cluster_id").select(
+        "cluster_id", "best_q", "rep_q", (F.col("best_q") - F.col("rep_q")).alias("regret")
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum((F.col("regret") > 0).cast("long"))
+        .cast("long")
+        .alias("n_regret_clusters"),
+        F.round(F.avg("rep_q"), 6).alias("mean_rep_q"),
+        F.round(F.avg("best_q"), 6).alias("mean_best_q"),
+        F.round(F.avg("regret"), 6).alias("mean_regret"),
+        F.round(F.max("regret"), 6).alias("max_regret"),
+    )
+
+
+def dedup_quality_regret_sql() -> str:
+    """Twin: ONE clusters CTE (DuckDB rejects two recursive-CTE
+    subqueries in one statement, so the representative derives from
+    the same members relation rather than embedding
+    dedup_representatives_sql), + quality CTE, same folds."""
+    from .oracle import near_dup_clusters_sql
+    from .text import quality_classifier_sql
+
+    return f"""
+    WITH members AS ({near_dup_clusters_sql()}),
+    enriched AS (
+        SELECT m.cluster_id, m.doc_id,
+               row_number() OVER (
+                   PARTITION BY m.cluster_id
+                   ORDER BY d.n_chars DESC, m.doc_id ASC
+               ) AS rn
+        FROM members m JOIN documents d ON m.doc_id = d.doc_id
+    ),
+    reps AS (
+        SELECT cluster_id,
+               CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+                   AS rep_doc_id
+        FROM enriched GROUP BY cluster_id
+    ),
+    q AS (
+        SELECT doc_id, quality_prob FROM ({quality_classifier_sql()})
+    ),
+    best AS (
+        SELECT m.cluster_id, max(q.quality_prob) AS best_q
+        FROM members m JOIN q ON q.doc_id = m.doc_id
+        GROUP BY m.cluster_id
+    ),
+    j AS (
+        SELECT b.cluster_id, b.best_q, rq.quality_prob AS rep_q,
+               b.best_q - rq.quality_prob AS regret
+        FROM best b
+        JOIN reps r ON r.cluster_id = b.cluster_id
+        JOIN q rq ON rq.doc_id = r.rep_doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN regret > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_regret_clusters,
+           round(avg(rep_q), 6) AS mean_rep_q,
+           round(avg(best_q), 6) AS mean_best_q,
+           round(avg(regret), 6) AS mean_regret,
+           round(max(regret), 6) AS max_regret
+    FROM j
+    """
