@@ -962,6 +962,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_skipping_audit": _q(maintenance.layout_skipping_audit),
         # is longest-wins leaving quality on the table? survivorship audit
         "dedup_quality_regret": _q(dedup.dedup_quality_regret),
+        # always-on cardinality service: streaming HLL registers whose
+        # batch twin is hash-exact (register-max merge, order-free)
+        "stream_hll_users": fixture_queries.stream_hll_users,
     }
 
 
@@ -1852,4 +1855,5 @@ def oracle_sql() -> dict[str, str]:
         "hll_rollup_merge": sketches.hll_rollup_merge_sql(),
         "layout_skipping_audit": maintenance.layout_skipping_audit_sql(),
         "dedup_quality_regret": dedup.dedup_quality_regret_sql(),
+        "stream_hll_users": fixture_queries.STREAM_HLL_USERS_ORACLE,
     }

@@ -544,3 +544,35 @@ def test_quality_regret_fixture_bounds(tables):
     assert 0 <= r.n_regret_clusters <= r.n_clusters
     assert r.mean_best_q >= r.mean_rep_q
     assert r.max_regret >= 0.0
+
+
+# --- stream_hll_users -----------------------------------------------------------
+
+
+def test_stream_hll_matches_batch_registers(spark, sf_dir):
+    """Register-max merge is order-free, so the streamed sketch must
+    equal the batch sketch EXACTLY (not approximately)."""
+    from training_etl_demo_2_spark.streaming import fixture_queries as fq
+    from training_etl_demo_2_spark.io import load_tables
+    from training_etl_demo_2_spark.operators.sketches import (
+        HLL_IDX_SEED, HLL_M, HLL_RHO_BITS, HLL_RHO_SEED, _hll_mix_spark,
+    )
+
+    streamed = fq.stream_hll_users(spark, sf_dir).collect()[0]
+    ev = load_tables(spark, sf_dir)["events"]
+    uid = F.col("user_id").cast("long")
+    hashed = ev.select(
+        (_hll_mix_spark(uid, HLL_IDX_SEED) % HLL_M).alias("idx"),
+        (_hll_mix_spark(uid, HLL_RHO_SEED) % (1 << HLL_RHO_BITS)).alias("u"),
+    )
+    rho = F.lit(HLL_RHO_BITS + 1)
+    for k in range(HLL_RHO_BITS):
+        rho = F.when(F.col("u") >= (1 << k), HLL_RHO_BITS - k).otherwise(rho)
+    batch_regs = hashed.groupBy("idx").agg(F.max(rho).alias("mrho"))
+    streamed_regs = spark.table("gate_stream_hll_users")
+    a = sorted((r.idx, r.mrho) for r in batch_regs.collect())
+    b = sorted((r.idx, r.mrho) for r in streamed_regs.collect())
+    assert a == b
+    # and the estimate is in a sane band around the exact count
+    exact = ev.select("user_id").distinct().count()
+    assert abs(streamed.est_r6 - exact) / exact < 0.25
