@@ -965,6 +965,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # always-on cardinality service: streaming HLL registers whose
         # batch twin is hash-exact (register-max merge, order-free)
         "stream_hll_users": fixture_queries.stream_hll_users,
+        # the LSH S-curve measured: exact pairs + banding recall per tau
+        "jaccard_threshold_curve": _q(
+            lambda t: dedup.jaccard_threshold_curve(t["documents"])
+        ),
     }
 
 
@@ -1856,4 +1860,5 @@ def oracle_sql() -> dict[str, str]:
         "layout_skipping_audit": maintenance.layout_skipping_audit_sql(),
         "dedup_quality_regret": dedup.dedup_quality_regret_sql(),
         "stream_hll_users": fixture_queries.STREAM_HLL_USERS_ORACLE,
+        "jaccard_threshold_curve": dedup.jaccard_threshold_curve_sql(),
     }

@@ -576,3 +576,41 @@ def test_stream_hll_matches_batch_registers(spark, sf_dir):
     # and the estimate is in a sane band around the exact count
     exact = ev.select("user_id").distinct().count()
     assert abs(streamed.est_r6 - exact) / exact < 0.25
+
+
+# --- jaccard_threshold_curve ------------------------------------------------------
+
+
+def test_jaccard_curve_scurve_bites_at_mid_threshold(spark):
+    """Plant 40 pairs at j~0.5 (where P(candidate) ~ 0.56 for 8x4
+    banding): recall at tau=0.5 must be strictly below 100%, while the
+    high-j fixture-style pairs keep recall at 10000 bp at tau=0.9."""
+    rows = []
+    for p in range(40):
+        words = [f"p{p}w{i}" for i in range(20)]
+        alt = words[:14] + [f"p{p}x{i}" for i in range(6)]
+        rows.append((2 * p, " ".join(words)))
+        rows.append((2 * p + 1, " ".join(alt)))
+    # two exact near-dups at j ~ 0.95
+    long = [f"q{i}" for i in range(40)]
+    rows.append((1000, " ".join(long)))
+    rows.append((1001, " ".join(long[:39] + ["zz"])))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.tau: r for r in dedup.jaccard_threshold_curve(df).collect()}
+    assert got[0.5].n_exact >= 40
+    assert got[0.5].recall_bp < 10000  # banding misses mid-j pairs
+    assert got[0.9].recall_bp == 10000  # but never the true dups
+    # verified-LSH subset property holds at every tau
+    for r in got.values():
+        assert r.n_lsh <= r.n_exact
+
+
+def test_jaccard_curve_monotone_counts(tables):
+    rows = sorted(
+        (r.tau, r.n_exact, r.n_lsh, r.recall_bp)
+        for r in dedup.jaccard_threshold_curve(tables["documents"]).collect()
+    )
+    counts = [n for _, n, _, _ in rows]
+    # raising the threshold can only shrink the pair set
+    assert counts == sorted(counts, reverse=True)
+    assert all(l <= n for _, n, l, _ in rows)

@@ -3255,3 +3255,92 @@ def dedup_quality_regret_sql() -> str:
            round(max(regret), 6) AS max_regret
     FROM j
     """
+
+
+# ---------------------------------------------------------------------------
+# banding trust curve: LSH recall as a function of the Jaccard threshold
+# ---------------------------------------------------------------------------
+
+JACCARD_CURVE_TAUS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def jaccard_threshold_curve(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    taus: tuple = JACCARD_CURVE_TAUS,
+) -> DataFrame:
+    """WHERE is the banding trustworthy: exact pair counts and
+    LSH-banding recall at each Jaccard threshold, from ONE exact-pair
+    relation and ONE verified-LSH relation (both computed once at the
+    lowest τ). The 8×4 banding's candidate probability is
+    1−(1−j⁴)⁸ — ≈0.56 at j=0.5 rising to ≈0.9998 at 0.9 — so this
+    curve is the empirical version of the S-curve every LSH parameter
+    choice is made on, measured on YOUR corpus. Verified LSH pairs are
+    a SUBSET of exact pairs (the verify stage applies the exact
+    predicate), so recall is a clean integer ratio per τ.
+
+    Scale shape: both pair relations are near-dup-sized; the curve is
+    |taus| conditional one-row folds over their join, unioned.
+    Output: (tau, n_exact, n_lsh, recall_bp).
+    """
+    lo = min(taus)
+    exact = ngram_jaccard_pairs(df, text_col, n, threshold=lo)
+    lsh = minhash_lsh_pairs(df, text_col, n, threshold=lo).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_lsh")
+    )
+    j = exact.join(lsh, ["doc_a", "doc_b"], "left").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    outs = []
+    for tau in taus:
+        at = j.filter(F.col("jaccard") >= tau)
+        outs.append(
+            at.agg(
+                F.lit(float(tau)).alias("tau"),
+                F.count(F.lit(1)).cast("long").alias("n_exact"),
+                F.sum(F.coalesce(F.col("in_lsh"), F.lit(0)))
+                .cast("long")
+                .alias("n_lsh"),
+                F.expr(
+                    "CAST(sum(coalesce(in_lsh, 0)) * 10000"
+                    " DIV count(*) AS BIGINT)"
+                ).alias("recall_bp"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def jaccard_threshold_curve_sql(
+    n: int = DEFAULT_NGRAM, taus: tuple = JACCARD_CURVE_TAUS
+) -> str:
+    """Twin: same two pair CTEs at the lowest τ, same per-τ folds."""
+    from .oracle import minhash_lsh_sql, ngram_jaccard_sql
+
+    lo = min(taus)
+    arms = " UNION ALL ".join(
+        f"""
+    SELECT CAST({tau} AS DOUBLE) AS tau,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(coalesce(in_lsh, 0)) AS BIGINT) AS n_lsh,
+           CAST(sum(coalesce(in_lsh, 0)) * 10000 // count(*) AS BIGINT)
+               AS recall_bp
+    FROM j WHERE jaccard >= {tau}"""
+        for tau in taus
+    )
+    return f"""
+    WITH exact AS MATERIALIZED ({ngram_jaccard_sql(n, lo)}),
+    lsh AS MATERIALIZED (
+        SELECT doc_a, doc_b, 1 AS in_lsh
+        FROM ({minhash_lsh_sql(n, lo)})
+    ),
+    j AS MATERIALIZED (
+        SELECT e.doc_a, e.doc_b, e.jaccard, l.in_lsh
+        FROM exact e LEFT JOIN lsh l
+          ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
+    )
+    {arms}
+    """
