@@ -92,6 +92,21 @@ FAMILIES: dict[str, tuple[str, str]] = {
         "~R (linear)",
         "single-pass HLL/moment aggregate over the scan",
     ),
+    # round-6 session-4 heavy additions
+    "tfidf_cosine_pairs": (
+        "~R (linear)",
+        "stop-shingle-bounded co-shingle candidates are replica-disjoint; "
+        "row-local map verify per candidate",
+    ),
+    "kcore_decomposition": (
+        "~R (linear)",
+        "fixed peel rounds × (degree agg + semi-joins) over the near-dup "
+        "edge relation, which grows R×",
+    ),
+    "lpa_communities": (
+        "~R (linear)",
+        "fixed sync rounds × (edge ⋈ label + argmax window); edges grow R×",
+    ),
 }
 
 # Acceptance: observed wall ratio must stay under R^1.5 — geometric
