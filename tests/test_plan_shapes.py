@@ -173,6 +173,9 @@ NESTED_LOOP_OK = {
     "nb_lang_confusion",
     # inherits brute_topk's broadcast fixed-query-panel scan (eval tier)
     "ivf_nprobe_curve",
+    # file-stats x |preds|-literal grid (both metadata-sized), plus the
+    # ONE-ROW key-domain broadcast
+    "layout_skipping_audit",
     # four ONE-ROW folds (daily sum, merged est, mismatches, exact)
     # crossJoined -- register/day-cardinality metadata only
     "hll_rollup_merge",
