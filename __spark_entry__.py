@@ -969,6 +969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_threshold_curve": _q(
             lambda t: dedup.jaccard_threshold_curve(t["documents"])
         ),
+        # GDPR erasure cost: rewrite amplification per physical layout
+        "forget_user_rewrite_plan": _q(maintenance.forget_user_rewrite_plan),
     }
 
 
@@ -1861,4 +1863,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_quality_regret": dedup.dedup_quality_regret_sql(),
         "stream_hll_users": fixture_queries.STREAM_HLL_USERS_ORACLE,
         "jaccard_threshold_curve": dedup.jaccard_threshold_curve_sql(),
+        "forget_user_rewrite_plan": maintenance.forget_user_rewrite_plan_sql(),
     }

@@ -614,3 +614,51 @@ def test_jaccard_curve_monotone_counts(tables):
     # raising the threshold can only shrink the pair set
     assert counts == sorted(counts, reverse=True)
     assert all(l <= n for _, n, l, _ in rows)
+
+
+# --- forget_user_rewrite_plan -----------------------------------------------------
+
+
+def test_forget_plan_clustering_shrinks_amplification(tables):
+    from training_etl_demo_2_spark.operators import maintenance
+
+    rows = {r.layout: r for r in
+            maintenance.forget_user_rewrite_plan(tables).collect()}
+    nat, clu = rows["natural"], rows["user_clustered"]
+    # the forget set is layout-independent
+    assert nat.rows_deleted == clu.rows_deleted > 0
+    assert nat.n_files == clu.n_files
+    # clustering on the erasure key can only help (needs >1 file)
+    if nat.n_files > 1:
+        assert clu.files_touched <= nat.files_touched
+        assert clu.amplification_bp <= nat.amplification_bp
+
+
+def test_forget_plan_hand_checked(spark):
+    """100 events, one target user with 4 contiguous-bucket rows:
+    natural layout smears them over all files; clustered puts them in
+    one file."""
+    import datetime
+
+    rows = []
+    for i in range(100):
+        uid = 7 if i % 25 == 0 else 2 * (1000 + i)  # even uids never hit residue 7
+        rows.append((i, datetime.datetime(2024, 1, 1, 0, 0, i % 60),
+                     uid, "click", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from training_etl_demo_2_spark.operators import maintenance
+
+    got = {r.layout: r for r in
+           maintenance.forget_user_rewrite_plan(
+               {"events": ev}, rows_per_file=25
+           ).collect()}
+    assert got["natural"].n_files == 4
+    assert got["natural"].files_touched == 4       # one target per file
+    assert got["natural"].rows_deleted == 4
+    assert got["natural"].rows_rewritten == 96
+    assert got["user_clustered"].files_touched == 1
+    assert got["user_clustered"].rows_rewritten == 21

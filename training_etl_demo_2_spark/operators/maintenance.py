@@ -816,3 +816,146 @@ def layout_skipping_audit_sql(
     {stat_ctes}
     {joined}
     """
+
+
+# ---------------------------------------------------------------------------
+# delete-propagation (right-to-be-forgotten) rewrite plan
+# ---------------------------------------------------------------------------
+
+FORGET_USER_MOD = 1000
+FORGET_USER_RESIDUE = 7
+FORGET_ROWS_PER_FILE = 1000
+FORGET_BUCKETS = 64
+
+
+def forget_user_rewrite_plan(
+    t: dict[str, DataFrame],
+    rows_per_file: int = FORGET_ROWS_PER_FILE,
+) -> DataFrame:
+    """What does a GDPR erasure actually COST: copy-on-write tables
+    delete by rewriting every file that contains any target row, so the
+    price is rewrite amplification — rows rewritten per row deleted.
+    This plan measures it for a deterministic forget-set (user_id ≡ 7
+    mod 1000) under two physical layouts of the events table: natural
+    (arrival order — target rows smeared across every file) and
+    user-clustered (order by user bucket — each user's rows contiguous,
+    deletes touch few files). The delta between the two amplification
+    numbers is the case for clustering on the erasure key BEFORE the
+    first deletion request arrives, not after.
+
+    Exactness: file cuts use the distributed-rank pattern
+    (zorder_files); every count and the amplification basis points are
+    exact integers.
+
+    Scale shape: one range-repartition + per-partition rank per layout,
+    one file-level aggregate, a one-row fold each. Output: one row per
+    layout — (layout, n_files, files_touched, rows_deleted,
+    rows_rewritten, amplification_bp).
+    """
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        (F.col("user_id") % FORGET_USER_MOD == FORGET_USER_RESIDUE).alias(
+            "target"
+        ),
+        (F.col("user_id") % FORGET_BUCKETS).alias("bucket"),
+    )
+    spark = ev.sparkSession
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    layouts = {
+        "natural": [F.asc("event_id")],
+        "user_clustered": [F.asc("bucket"), F.asc("event_id")],
+    }
+    outs = []
+    for name, order_cols in layouts.items():
+        ranged = ev.repartitionByRange(nparts, *order_cols).withColumn(
+            "pid", F.spark_partition_id()
+        )
+        ranged.persist()
+        counts = dict(
+            (int(r["pid"]), int(r["count"]))
+            for r in ranged.groupBy("pid").count().collect()
+        )
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        offset_map = F.create_map(
+            *[
+                F.lit(v)
+                for pid in sorted(offsets)
+                for v in (pid, offsets[pid])
+            ]
+        )
+        w = Window.partitionBy("pid").orderBy(*order_cols)
+        rn = (offset_map[F.col("pid")] + F.row_number().over(w) - 1).cast(
+            "long"
+        )
+        filed = ranged.withColumn(
+            "file_id", ((rn - rn % rows_per_file) / rows_per_file).cast("long")
+        )
+        per_file = filed.groupBy("file_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("target").cast("long")).cast("long").alias("n_del"),
+        )
+        outs.append(
+            per_file.agg(
+                F.lit(name).alias("layout"),
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum((F.col("n_del") > 0).cast("long"))
+                .cast("long")
+                .alias("files_touched"),
+                F.sum("n_del").cast("long").alias("rows_deleted"),
+                F.sum(
+                    F.when(F.col("n_del") > 0, F.col("n_rows") - F.col("n_del"))
+                    .otherwise(0)
+                )
+                .cast("long")
+                .alias("rows_rewritten"),
+                F.expr(
+                    "CAST(sum(CASE WHEN n_del > 0 THEN n_rows - n_del"
+                    " ELSE 0 END) * 10000 DIV sum(n_del) AS BIGINT)"
+                ).alias("amplification_bp"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def forget_user_rewrite_plan_sql(
+    rows_per_file: int = FORGET_ROWS_PER_FILE,
+) -> str:
+    """Twin: identical file cuts (row_number windows) and folds."""
+    arms = []
+    for name, order in (
+        ("natural", "event_id"),
+        ("user_clustered", "user_id % 64, event_id"),
+    ):
+        arms.append(
+            f"""
+    SELECT '{name}' AS layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN n_del > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_touched,
+           CAST(sum(n_del) AS BIGINT) AS rows_deleted,
+           CAST(sum(CASE WHEN n_del > 0 THEN n_rows - n_del ELSE 0 END)
+               AS BIGINT) AS rows_rewritten,
+           CAST(sum(CASE WHEN n_del > 0 THEN n_rows - n_del ELSE 0 END)
+               * 10000 // sum(n_del) AS BIGINT) AS amplification_bp
+    FROM (
+        SELECT file_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN user_id % {FORGET_USER_MOD}
+                        = {FORGET_USER_RESIDUE} THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_del
+        FROM (
+            SELECT user_id,
+                   (row_number() OVER (ORDER BY {order}) - 1)
+                       // {rows_per_file} AS file_id
+            FROM events
+        ) GROUP BY file_id
+    )"""
+        )
+    return " UNION ALL ".join(arms)
