@@ -971,6 +971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # GDPR erasure cost: rewrite amplification per physical layout
         "forget_user_rewrite_plan": _q(maintenance.forget_user_rewrite_plan),
+        # the one-page dedup answer: docs/tokens surviving each tier
+        "dedup_funnel_report": _q(dedup.dedup_funnel_report),
     }
 
 
@@ -1864,4 +1866,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_hll_users": fixture_queries.STREAM_HLL_USERS_ORACLE,
         "jaccard_threshold_curve": dedup.jaccard_threshold_curve_sql(),
         "forget_user_rewrite_plan": maintenance.forget_user_rewrite_plan_sql(),
+        "dedup_funnel_report": dedup.dedup_funnel_report_sql(),
     }

@@ -176,6 +176,8 @@ NESTED_LOOP_OK = {
     # file-stats x |preds|-literal grid (both metadata-sized), plus the
     # ONE-ROW key-domain broadcast
     "layout_skipping_audit",
+    # ONE-ROW raw-totals broadcast onto each tier's one-row fold
+    "dedup_funnel_report",
     # four ONE-ROW folds (daily sum, merged est, mismatches, exact)
     # crossJoined -- register/day-cardinality metadata only
     "hll_rollup_merge",

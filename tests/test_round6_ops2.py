@@ -662,3 +662,32 @@ def test_forget_plan_hand_checked(spark):
     assert got["natural"].rows_rewritten == 96
     assert got["user_clustered"].files_touched == 1
     assert got["user_clustered"].rows_rewritten == 21
+
+
+# --- dedup_funnel_report --------------------------------------------------------
+
+
+def test_funnel_tiers_bounded_by_raw(tables):
+    rows = {r.tier: r for r in
+            dedup.dedup_funnel_report(tables).collect()}
+    assert set(rows) == {"raw", "exact", "near_dup", "span_dedup"}
+    raw = rows["raw"]
+    assert raw.docs_bp == raw.tokens_bp == 10000
+    for tier in ("exact", "near_dup", "span_dedup"):
+        assert rows[tier].n_docs <= raw.n_docs
+        assert rows[tier].n_tokens <= raw.n_tokens
+    # span dedup never drops documents, only tokens
+    assert rows["span_dedup"].n_docs == raw.n_docs
+    # the fixture plants near-dups: the near tier must bite
+    assert rows["near_dup"].n_docs < raw.n_docs
+
+
+def test_funnel_exact_tier_counts_planted_dups(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "A  B C"), (3, "x y z")],
+        "doc_id long, text string",
+    ).withColumn("n_chars", F.length("text"))
+    rows = {r.tier: r for r in
+            dedup.dedup_funnel_report({"documents": df}).collect()}
+    assert rows["raw"].n_docs == 3
+    assert rows["exact"].n_docs == 2  # normalization merges 1 and 2

@@ -3344,3 +3344,150 @@ def jaccard_threshold_curve_sql(
     )
     {arms}
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus-level dedup funnel report
+# ---------------------------------------------------------------------------
+
+
+def dedup_funnel_report(t: dict[str, DataFrame]) -> DataFrame:
+    """The pipeline-level answer to "how much does each dedup tier
+    actually remove": documents and tokens surviving each tier,
+    measured INDEPENDENTLY against the raw corpus (independent, not
+    chained, so each tier's bite is attributable) —
+
+    * ``exact``      — one survivor per normalized-content fingerprint;
+    * ``near_dup``   — cluster representatives + all unclustered docs;
+    * ``span_dedup`` — every doc kept, duplicated token spans removed
+      (token-level bite, document count unchanged).
+
+    This is the one-page number a data lead asks for before approving
+    a 100 TB dedup run; all counts and basis points are exact integers.
+
+    Scale shape: each tier reuses its production relation (fingerprint
+    groupBy / near-dup clusters / span relation); the report adds only
+    one-row folds and a broadcast of the raw totals.
+
+    Output: one row per tier — (tier, n_docs, n_tokens, docs_bp,
+    tokens_bp).
+    """
+    d = t["documents"]
+    ntok = F.size(F.split(F.col("text"), " ")).cast("long")
+    raw = d.agg(
+        F.count(F.lit(1)).cast("long").alias("r_docs"),
+        F.sum(ntok).cast("long").alias("r_toks"),
+    )
+
+    def _fold(tier: str, docs: DataFrame, tok_col) -> DataFrame:
+        return (
+            docs.agg(
+                F.lit(tier).alias("tier"),
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(tok_col).cast("long").alias("n_tokens"),
+            )
+            .crossJoin(F.broadcast(raw))
+            .select(
+                "tier",
+                "n_docs",
+                "n_tokens",
+                F.expr("CAST(n_docs * 10000 DIV r_docs AS BIGINT)").alias(
+                    "docs_bp"
+                ),
+                F.expr(
+                    "CAST(n_tokens * 10000 DIV r_toks AS BIGINT)"
+                ).alias("tokens_bp"),
+            )
+        )
+
+    rows = [_fold("raw", d, ntok)]
+    exact_keep = exact_dedup_groups(d).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    rows.append(_fold("exact", d.join(exact_keep, "doc_id", "semi"), ntok))
+    members = near_dup_clusters(d).select("doc_id")
+    reps = dedup_representatives(d).select(
+        F.col("rep_doc_id").alias("doc_id")
+    )
+    near_keep = d.join(members, "doc_id", "anti").select("doc_id").unionByName(
+        reps
+    )
+    rows.append(_fold("near_dup", d.join(near_keep, "doc_id", "semi"), ntok))
+    spans = remove_duplicate_spans(d)
+    rows.append(
+        _fold(
+            "span_dedup",
+            spans,
+            (F.col("n_tokens") - F.col("n_removed")).cast("long"),
+        )
+    )
+    res = rows[0]
+    for r in rows[1:]:
+        res = res.unionByName(r)
+    return res
+
+
+def dedup_funnel_report_sql() -> str:
+    """Twin: one recursive clusters CTE (the near tier), fingerprint
+    groupBy (exact), span CTE re-used verbatim, identical folds."""
+    from .oracle import (
+        NORMALIZE,
+        ROLLING_HASH,
+        near_dup_clusters_sql,
+        remove_duplicate_spans_sql,
+    )
+
+    fp = ROLLING_HASH.format(s=NORMALIZE.format(s="text"))
+    return f"""
+    WITH raw AS (
+        SELECT CAST(count(*) AS BIGINT) AS r_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS r_toks
+        FROM documents
+    ),
+    exact_keep AS (
+        SELECT min(doc_id) AS doc_id
+        FROM (SELECT doc_id, {fp} AS fp FROM documents)
+        GROUP BY fp
+    ),
+    members AS ({near_dup_clusters_sql()}),
+    enriched AS (
+        SELECT m.cluster_id, m.doc_id,
+               row_number() OVER (
+                   PARTITION BY m.cluster_id
+                   ORDER BY d.n_chars DESC, m.doc_id ASC
+               ) AS rn
+        FROM members m JOIN documents d ON m.doc_id = d.doc_id
+    ),
+    near_keep AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT doc_id FROM members)
+        UNION ALL
+        SELECT doc_id FROM enriched WHERE rn = 1
+    ),
+    spans AS ({remove_duplicate_spans_sql()})
+    SELECT 'raw' AS tier, r_docs AS n_docs, r_toks AS n_tokens,
+           CAST(10000 AS BIGINT) AS docs_bp, CAST(10000 AS BIGINT) AS tokens_bp
+    FROM raw
+    UNION ALL
+    SELECT 'exact', CAST(count(*) AS BIGINT),
+           CAST(sum(len(string_split(d.text, ' '))) AS BIGINT),
+           CAST(count(*) * 10000 // r.r_docs AS BIGINT),
+           CAST(sum(len(string_split(d.text, ' '))) * 10000 // r.r_toks
+               AS BIGINT)
+    FROM documents d JOIN exact_keep k ON k.doc_id = d.doc_id
+    CROSS JOIN raw r GROUP BY r.r_docs, r.r_toks
+    UNION ALL
+    SELECT 'near_dup', CAST(count(*) AS BIGINT),
+           CAST(sum(len(string_split(d.text, ' '))) AS BIGINT),
+           CAST(count(*) * 10000 // r.r_docs AS BIGINT),
+           CAST(sum(len(string_split(d.text, ' '))) * 10000 // r.r_toks
+               AS BIGINT)
+    FROM documents d JOIN near_keep k ON k.doc_id = d.doc_id
+    CROSS JOIN raw r GROUP BY r.r_docs, r.r_toks
+    UNION ALL
+    SELECT 'span_dedup', CAST(count(*) AS BIGINT),
+           CAST(sum(n_tokens - n_removed) AS BIGINT),
+           CAST(count(*) * 10000 // r.r_docs AS BIGINT),
+           CAST(sum(n_tokens - n_removed) * 10000 // r.r_toks AS BIGINT)
+    FROM spans CROSS JOIN raw r GROUP BY r.r_docs, r.r_toks
+    """
