@@ -973,6 +973,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forget_user_rewrite_plan": _q(maintenance.forget_user_rewrite_plan),
         # the one-page dedup answer: docs/tokens surviving each tier
         "dedup_funnel_report": _q(dedup.dedup_funnel_report),
+        # signature-width trade-off: estimator MAE at 8/16/32 perms
+        "minhash_perm_tradeoff": _q(
+            lambda t: dedup.minhash_perm_tradeoff(t["documents"])
+        ),
     }
 
 
@@ -1867,4 +1871,5 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_threshold_curve": dedup.jaccard_threshold_curve_sql(),
         "forget_user_rewrite_plan": maintenance.forget_user_rewrite_plan_sql(),
         "dedup_funnel_report": dedup.dedup_funnel_report_sql(),
+        "minhash_perm_tradeoff": dedup.minhash_perm_tradeoff_sql(),
     }

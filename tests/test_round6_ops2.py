@@ -691,3 +691,17 @@ def test_funnel_exact_tier_counts_planted_dups(spark):
             dedup.dedup_funnel_report({"documents": df}).collect()}
     assert rows["raw"].n_docs == 3
     assert rows["exact"].n_docs == 2  # normalization merges 1 and 2
+
+
+# --- minhash_perm_tradeoff ------------------------------------------------------
+
+
+def test_perm_tradeoff_mae_shrinks_with_k(tables):
+    rows = {r.n_perms: r for r in
+            dedup.minhash_perm_tradeoff(tables["documents"]).collect()}
+    assert sorted(rows) == list(dedup.PERM_CURVE_KS)
+    # 1/sqrt(k) scaling direction: more perms, less (or equal) error
+    assert rows[32].mae <= rows[16].mae <= rows[8].mae
+    # the pair set (and exact means) are k-independent
+    assert len({r.n_pairs for r in rows.values()}) == 1
+    assert len({r.mean_exact for r in rows.values()}) == 1

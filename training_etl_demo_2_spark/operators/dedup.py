@@ -3491,3 +3491,108 @@ def dedup_funnel_report_sql() -> str:
            CAST(sum(n_tokens - n_removed) * 10000 // r.r_toks AS BIGINT)
     FROM spans CROSS JOIN raw r GROUP BY r.r_docs, r.r_toks
     """
+
+
+# ---------------------------------------------------------------------------
+# MinHash permutation-count trade-off curve
+# ---------------------------------------------------------------------------
+
+PERM_CURVE_KS = (8, 16, 32)
+
+
+def minhash_perm_tradeoff(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+    ks: tuple = PERM_CURVE_KS,
+) -> DataFrame:
+    """How many permutations does the signature actually need: the
+    Jaccard-estimator bias and MAE over the verified near-dup pairs
+    using only the FIRST k of the 32 permutations, for k ∈ {8, 16, 32}.
+    Signature bytes are the dominant state of a persistent MinHash
+    index (32 × 8 B per doc at 100 TB is real money); this curve says
+    what halving them costs in estimator noise — the sd shrinks as
+    1/√k, and the measured MAE should track it (pinned by a planted
+    test). Completes the tuning-curve trio: ivf_nprobe_curve (probe
+    count), jaccard_threshold_curve (banding threshold), this
+    (signature width).
+
+    Scale shape: near-dup-sized pair relation ⋈ doc-keyed signatures,
+    |ks| conditional one-row folds over one joined relation.
+    Output: (n_perms, n_pairs, mean_exact, mean_est, bias, mae).
+    """
+    pairs = minhash_lsh_pairs(df, text_col, n, threshold)
+    sig = minhash_signatures(df, text_col, n)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_PERM)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_PERM)],
+    )
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    outs = []
+    for k in ks:
+        match = sum(
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(k)
+        )
+        est = match.cast("long").cast("double") / k
+        outs.append(
+            joined.agg(
+                F.lit(k).cast("long").alias("n_perms"),
+                F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                F.round(F.avg("jaccard"), 6).alias("mean_exact"),
+                F.round(F.avg(est), 6).alias("mean_est"),
+                F.round(F.avg(est - F.col("jaccard")), 6).alias("bias"),
+                F.round(F.avg(F.abs(est - F.col("jaccard"))), 6).alias(
+                    "mae"
+                ),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def minhash_perm_tradeoff_sql(
+    n: int = DEFAULT_NGRAM, threshold: float = 0.8, ks: tuple = PERM_CURVE_KS
+) -> str:
+    """Twin: same pair CTE + signature joins, per-k prefix folds."""
+    from .oracle import _shingles_cte, _signature_exprs, minhash_lsh_sql
+
+    arms = []
+    for k in ks:
+        match = " + ".join(
+            f"CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END"
+            for i in range(k)
+        )
+        arms.append(
+            f"""
+    SELECT CAST({k} AS BIGINT) AS n_perms,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(p.jaccard), 6) AS mean_exact,
+           round(avg(CAST(({match}) AS DOUBLE) / {k}), 6) AS mean_est,
+           round(avg(CAST(({match}) AS DOUBLE) / {k} - p.jaccard), 6)
+               AS bias,
+           round(avg(abs(CAST(({match}) AS DOUBLE) / {k} - p.jaccard)), 6)
+               AS mae
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b"""
+        )
+    joined = " UNION ALL ".join(arms)
+    return f"""
+    WITH pairs AS MATERIALIZED ({minhash_lsh_sql(n, threshold)}),
+    {_shingles_cte(n).lstrip()},
+    sig AS MATERIALIZED (
+        SELECT doc_id, {_signature_exprs()}
+        FROM sh GROUP BY doc_id
+    )
+    {joined}
+    """
