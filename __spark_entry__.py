@@ -41,6 +41,10 @@ from training_etl_demo_2_spark.operators import (
     validation,
     wordcount,
 )
+from training_etl_demo_2_spark.plans.corpus_pipeline import (
+    corpus_pipeline_e2e as _corpus_pipeline_e2e,
+    corpus_pipeline_e2e_sql as _corpus_pipeline_e2e_sql,
+)
 from training_etl_demo_2_spark.streaming import fixture_queries
 
 
@@ -977,6 +981,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_perm_tradeoff": _q(
             lambda t: dedup.minhash_perm_tradeoff(t["documents"])
         ),
+        # THE composed production job: gopher -> lang -> PII scrub ->
+        # exact dedup -> minhash reps -> span removal -> pack, one plan
+        "corpus_pipeline_e2e": _q(_corpus_pipeline_e2e),
     }
 
 
@@ -1872,4 +1879,5 @@ def oracle_sql() -> dict[str, str]:
         "forget_user_rewrite_plan": maintenance.forget_user_rewrite_plan_sql(),
         "dedup_funnel_report": dedup.dedup_funnel_report_sql(),
         "minhash_perm_tradeoff": dedup.minhash_perm_tradeoff_sql(),
+        "corpus_pipeline_e2e": _corpus_pipeline_e2e_sql(),
     }

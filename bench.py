@@ -62,31 +62,87 @@ def main() -> None:
         except Exception:
             pass
 
+    # Calib-aware sweep (round-6 lesson: every round burned adjudication
+    # time separating host contention from real regressions — a 2.7x
+    # phantom on embedding_near_pairs in r6, line_dedup in r5). The
+    # matmul probe is interleaved every PROBE_EVERY queries; each query's
+    # calib context is the MAX of the probes bracketing its segment, and
+    # any query whose context exceeds CALIB_FACTOR x the idle baseline is
+    # automatically re-timed with tight per-query probes, keeping the
+    # measurement with the cleaner stamp. BENCH.json then carries a
+    # per-query calib stamp a reader can trust without cross-run forensics.
+    PROBE_EVERY = 10
+    idle_s = float(os.environ.get("SPARK_GRAFT_CALIB_IDLE", "0.21"))
+    calib_thresh = round(
+        idle_s * float(os.environ.get("SPARK_GRAFT_CALIB_FACTOR", "1.5")), 3
+    )
+    retry_passes = int(os.environ.get("SPARK_GRAFT_CALIB_RETRIES", "2"))
+
     # Error-isolated sweep (round-3 lesson: one AnalysisException aborted
     # the whole run before any summary printed, zeroing the round's bench
     # artifact): a failing query records an error entry and the sweep
     # keeps timing the rest.
+    def run_one(fn) -> tuple[float, int]:
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 3)
+        # Operators persist intra-query intermediates (shingle/band/edge
+        # relations) for within-plan reuse and intentionally leave
+        # unpersist to the harness (release_cached/clearCache): dropping
+        # the cache between queries keeps 300+ queries' cached blocks
+        # from evicting each other and makes per-query timings
+        # independent of sweep order.
+        spark.catalog.clearCache()
+        return dt, n
+
+    registry = entrymod.queries()
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name, fn in entrymod.queries().items():
-        t0 = time.perf_counter()
+    calibs: dict[str, float] = {}
+    probes: list[float] = [calib_before]
+    seg_probe = calib_before
+    segment: list[str] = []
+    for i, (name, fn) in enumerate(registry.items()):
+        if i and i % PROBE_EVERY == 0:
+            p = calib()
+            probes.append(p)
+            for nm in segment:  # close the segment: bracket with max
+                calibs[nm] = max(calibs[nm], p)
+            segment = []
+            seg_probe = p
         try:
-            df = fn(spark, sf_dir)
-            n = df.count()
+            timings[name], n = run_one(fn)
         except Exception as exc:  # noqa: BLE001 — sweep must survive
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
             print(f"# {name}: ERROR {errors[name][:120]}", file=sys.stderr)
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        calibs[name] = seg_probe
+        segment.append(name)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
-        # Operators persist intra-query intermediates (shingle/band/edge
-        # relations) for within-plan reuse and intentionally leave
-        # unpersist to the harness: dropping the cache between queries
-        # keeps 280+ queries' cached blocks from evicting each other and
-        # makes per-query timings independent of sweep order.
-        spark.catalog.clearCache()
+    p = calib()
+    probes.append(p)
+    for nm in segment:
+        calibs[nm] = max(calibs[nm], p)
+
+    # Re-time contaminated measurements with tight per-query probes.
+    for _ in range(retry_passes):
+        flagged = sorted(nm for nm in timings if calibs[nm] > calib_thresh)
+        if not flagged:
+            break
+        print(f"# calib retry: {len(flagged)} queries over "
+              f"{calib_thresh}s context", file=sys.stderr)
+        for nm in flagged:
+            before = calib()
+            try:
+                dt, _ = run_one(registry[nm])
+            except Exception:  # noqa: BLE001 — keep the original timing
+                continue
+            stamp = max(before, calib())
+            if stamp < calibs[nm]:  # keep the cleaner measurement
+                timings[nm], calibs[nm] = dt, stamp
 
     total = round(sum(timings.values()), 3)
+    n_contended = sum(1 for v in calibs.values() if v > calib_thresh)
     compact = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -96,9 +152,13 @@ def main() -> None:
         "sf": sf_val,
         # single-thread matmul seconds before/after the sweep:
         # normalize cross-run comparisons on a noisy shared host
-        "calib_matmul_s": [calib_before, calib()],
+        "calib_matmul_s": [calib_before, probes[-1]],
+        "calib_idle_s": idle_s,
+        "calib_threshold_s": calib_thresh,
+        "n_calib_contended": n_contended,
     }
-    full = {**compact, "queries": timings, "errors": errors}
+    full = {**compact, "queries": timings, "errors": errors,
+            "calib": calibs, "calib_probes": probes}
     # Compact line FIRST and LAST, full per-query line in between: a
     # stdout tail window that clips the (large) per-query line still
     # ends with a complete, parseable summary line, and a head-biased

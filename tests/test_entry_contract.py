@@ -114,3 +114,27 @@ def test_gate_window_insertion_order_is_pinned():
         + str([(i, a, b) for i, (a, b) in
                enumerate(zip(names, R05_GATE_WINDOW_KEYS)) if a != b])
     )
+
+
+def test_readme_headline_matches_registry():
+    """README.md's headline counts regenerate from the registry or fail
+    CI — round 6 shipped with a stale '283 gate queries' headline; this
+    pins the three numbers (total, oracle-backed, rows-only) to
+    queries()/oracle_sql() so docs cannot drift again."""
+    import re
+    from pathlib import Path
+
+    readme = (Path(__file__).parent.parent / "README.md").read_text()
+    m = re.search(
+        r"\*\*(\d+) gate queries — (\d+) verified row-for-row\n"
+        r"against DuckDB oracles\*\* on the same parquet \((\d+) declared",
+        readme,
+    )
+    assert m, "README headline sentence not found / reworded without the pin"
+    total, oracled = len(entrymod.queries()), len(entrymod.oracle_sql())
+    assert tuple(map(int, m.groups())) == (
+        total, oracled, total - oracled,
+    ), (
+        f"README headline says {m.groups()}, registry has "
+        f"({total}, {oracled}, {total - oracled}) — update README.md"
+    )

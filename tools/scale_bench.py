@@ -96,7 +96,8 @@ FAMILIES: dict[str, tuple[str, str]] = {
     "tfidf_cosine_pairs": (
         "~R (linear)",
         "stop-shingle-bounded co-shingle candidates are replica-disjoint; "
-        "row-local map verify per candidate",
+        "posting-join partial-agg dot product per candidate (round-7 "
+        "rewrite — the round-6 map-shipping verify measured 16.2x)",
     ),
     "kcore_decomposition": (
         "~R (linear)",
@@ -113,6 +114,17 @@ FAMILIES: dict[str, tuple[str, str]] = {
 # midpoint between linear (R) and quadratic (R^2), generous enough for
 # shared-host noise yet two decades under an n² tier at R=10.
 BOUND_EXP = 1.5
+
+# Three-point families: the two highest round-6 ratios get an extra
+# R=MIDPOINT_R arm so the curve separates FIXED-COST DILUTION (t = a +
+# b·R: the midpoint's linear extrapolation predicts the 10× point) from
+# a SPILL KNEE (the 10× point far above the (1×,3×) line — per-partition
+# working set crossed executor memory somewhere in (3,10]×). The knee
+# factor is the memory-sizing rule in number form: at 100 TB, size
+# executors (or shrink partitions) so the per-partition working set
+# stays below the knee the midpoint reveals.
+MIDPOINT_R = 3
+MIDPOINT_FAMILIES = ("tfidf_cosine_pairs", "kmeans_clusters")
 
 _ID_STRIDE = 10_000_000
 
@@ -234,6 +246,15 @@ def measure(spark, base_dir: str, n_rep: int, work_dir: str) -> dict:
 
     c1, cR = cand_total(dir1), cand_total(dirR)
 
+    midpoints = [m for m in MIDPOINT_FAMILIES if 1 < MIDPOINT_R < n_rep]
+    dirM = (
+        build_replicated_dir(
+            spark, base_dir, MIDPOINT_R, os.path.join(work_dir, f"x{MIDPOINT_R}")
+        )
+        if midpoints
+        else None
+    )
+
     bound = n_rep**BOUND_EXP
     table = {}
     for name, (predicted, why) in FAMILIES.items():
@@ -250,9 +271,31 @@ def measure(spark, base_dir: str, n_rep: int, work_dir: str) -> dict:
             "predicted": predicted,
             "why": why,
         }
+        if name in midpoints:
+            tM = _time_query(spark, fn, dirM)
+            # linear model through (1, t1) and (MIDPOINT_R, tM):
+            # t = a + b·R; the knee factor is measured-10x over the
+            # line's prediction — ~1 means fixed-cost dilution, >>1
+            # means the working set crossed memory in (MIDPOINT_R, n_rep]
+            b = (tM - t1) / (MIDPOINT_R - 1)
+            pred = max(t1 + b * (n_rep - 1), 1e-9)
+            table[name].update(
+                {
+                    f"t_{MIDPOINT_R}x_s": round(tM, 3),
+                    f"ratio_{MIDPOINT_R}x": round(tM / max(t1, 1e-9), 2),
+                    "linear_pred_from_midpoint_s": round(pred, 3),
+                    "knee_factor": round(tR / pred, 2),
+                }
+            )
         print(
             f"  {name:32s} {t1:7.2f}s -> {tR:7.2f}s  ratio {ratio:6.2f} "
-            f"(bound {bound:.1f}) {'OK' if ratio <= bound else 'FAIL'}",
+            f"(bound {bound:.1f}) {'OK' if ratio <= bound else 'FAIL'}"
+            + (
+                f"  [mid {MIDPOINT_R}x {table[name][f't_{MIDPOINT_R}x_s']:.2f}s"
+                f" knee {table[name]['knee_factor']:.2f}]"
+                if name in midpoints
+                else ""
+            ),
             flush=True,
         )
     return {

@@ -32,6 +32,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
+from .cache import tracked_cache
 
 
 def read_csv(
@@ -107,7 +108,7 @@ def read_csv_with_quarantine(
         .option("columnNameOfCorruptRecord", corrupt)
         .schema(full_schema)
         .csv(path)
-        .cache()
+        .transform(tracked_cache)
     )
     good = parsed.filter(F.col(corrupt).isNull()).drop(corrupt)
     bad = parsed.filter(F.col(corrupt).isNotNull()).select(
@@ -512,7 +513,7 @@ def read_jsonl_with_quarantine(
         .option("columnNameOfCorruptRecord", corrupt)
         .schema(full_schema)
         .json(path)
-        .cache()
+        .transform(tracked_cache)
     )
     good = parsed.filter(F.col(corrupt).isNull()).drop(corrupt)
     bad = parsed.filter(F.col(corrupt).isNotNull()).select(

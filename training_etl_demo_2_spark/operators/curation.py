@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..cache import tracked_cache
 
 from ..functions import FNV_MOD, rolling_hash
 from .dedup import DEFAULT_NGRAM, shingle_hashes
@@ -1816,7 +1817,7 @@ def stump_cv_eval(t: dict[str, DataFrame]) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("y").cast("long").alias("p"),
     )
-    vf = vf.persist()
+    vf = vf.transform(tracked_cache)
     vall = vf.groupBy("v").agg(
         F.sum("n").cast("long").alias("n_all"),
         F.sum("p").cast("long").alias("p_all"),

@@ -44,9 +44,9 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..cache import tracked_persist
 
 from ..functions import (
     FNV_MOD,
@@ -343,7 +343,7 @@ def ngram_jaccard_pairs(
     shingle-hash self-join. Exact but O(pairs sharing a shingle); at
     100 TB prefer ``minhash_lsh_pairs`` (adds banding so only bucket
     collisions meet) — this one is the ground-truth/verify path."""
-    sh = shingle_hashes(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingle_hashes(df, text_col, n).transform(tracked_persist)
     return (
         _pair_jaccard(sh)
         .filter(F.col("jaccard") >= threshold)
@@ -381,7 +381,7 @@ def ngram_containment_pairs(
     ``bottomk_containment_pairs`` below) and bucket-join on
     those, verifying survivors through this exact scorer.
     """
-    sh = shingle_hashes(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingle_hashes(df, text_col, n).transform(tracked_persist)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
@@ -435,16 +435,28 @@ def _shingle_arrays(
     any meaningful sense; at 100 TB the verify join ships arrays for
     CANDIDATE pairs only. Values are byte-identical to the exploded
     path (hash of duplicate shingles collapses under the outer
-    array_distinct exactly as the global distinct did)."""
+    array_distinct exactly as the global distinct did).
+
+    Docs shorter than ``n`` tokens have NO shingles: the exploded path
+    drops them (explode of an empty array emits no rows), so the array
+    path must drop them too — an empty-array row would otherwise flow
+    NULL ``array_min`` signatures and NULL band keys into every
+    downstream consumer (lsh_cost_advisor counts buckets per band key,
+    so one phantom NULL bucket diverges from the exploded-semantics
+    oracle twins)."""
     tokens = F.split(F.col(text_col), " ")
-    return spread_scan(df).select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.array_distinct(word_ngrams(tokens, n)),
-                lambda s: rolling_hash(s),
-            )
-        ).alias("hs"),
+    return (
+        spread_scan(df)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.array_distinct(word_ngrams(tokens, n)),
+                    lambda s: rolling_hash(s),
+                )
+            ).alias("hs"),
+        )
+        .filter(F.size("hs") > 0)
     )
 
 
@@ -544,7 +556,7 @@ def minhash_lsh_pairs(
     # dominant map cost) runs once. MEMORY_AND_DISK: ~input-sized, disk
     # -spillable at 100 TB — persisting the derived relation, never the
     # corpus.
-    hs = _shingle_arrays(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    hs = _shingle_arrays(df, text_col, n).transform(tracked_persist)
     bands = _band_relation(hs)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bk")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bk")
@@ -561,7 +573,7 @@ def minhash_lsh_pairs(
     return (
         _pair_jaccard_arrays(hs, pairs=candidates)
         .filter(F.col("jaccard") >= threshold)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
 
 
@@ -987,7 +999,7 @@ def duplicate_spans(
     ).select("doc_id", "pos", rolling_hash(F.col("gram")).alias("h"))
     # both the dup-gram relation and the flag join consume grams: one
     # materialization instead of two explode+hash corpus passes
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    grams = grams.transform(tracked_persist)
     dup = (
         grams.select("doc_id", "h")
         .distinct()
@@ -1128,7 +1140,7 @@ def pagerank_near_dup_graph(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     # iterative plan reuse: the edge relation feeds every superstep
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    edges = edges.transform(tracked_persist)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     ranks = deg.select(F.col("src").alias("doc_id"), F.lit(1.0).alias("pr"))
     for _ in range(iters):
@@ -1347,7 +1359,7 @@ def hard_negative_pairs(
     aggregate. Output is symmetric-free (doc_a < doc_b) and fully
     deterministic (round-6 jaccard, integer ids).
     """
-    sh = shingle_hashes(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingle_hashes(df, text_col, n).transform(tracked_persist)
     return (
         _pair_jaccard(sh, pairs=None)
         .filter((F.col("jaccard") >= lo) & (F.col("jaccard") < hi))
@@ -1548,9 +1560,7 @@ def incremental_near_dup(
     """
     cols = ["doc_id", text_col]
     both = incoming.select(*cols).unionByName(corpus.select(*cols))
-    hs = _shingle_arrays(both, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    hs = _shingle_arrays(both, text_col, n).transform(tracked_persist)
     bands = _band_relation(hs)
     new_bands = bands.join(
         incoming.select("doc_id"), "doc_id", "semi"
@@ -1616,7 +1626,7 @@ def prefix_filter_jaccard_pairs(
 
     fr = Fraction(threshold).limit_denominator(10_000)
     p, q = fr.numerator, fr.denominator
-    sh = shingle_hashes(df, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingle_hashes(df, text_col, n).transform(tracked_persist)
     cand = _prefix_candidates(sh, p, q)
     return _pair_jaccard(sh, pairs=cand).filter(F.col("jaccard") >= threshold)
 
@@ -1659,7 +1669,7 @@ def _prefix_candidates(
             <= F.col("sz") - F.expr(f"({p} * sz + {q - 1}) DIV {q}") + F.lit(1)
         )
         .select("doc_id", "h", "pos", "sz")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
@@ -2031,7 +2041,7 @@ def blocking_quality_eval(
     metadata class). Output: one row.
     """
     d = t["documents"]
-    sh = shingle_hashes(d, "text", n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingle_hashes(d, "text", n).transform(tracked_persist)
     bands = _band_relation(_shingle_arrays(d, "text", n))
     cand = (
         bands.select(F.col("doc_id").alias("doc_a"), "band", "bk")
@@ -2042,13 +2052,13 @@ def blocking_quality_eval(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     truth = (
         _pair_jaccard(sh)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     found = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     nd = d.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
@@ -2207,7 +2217,7 @@ def near_dup_assortativity(
     pairs = minhash_lsh_pairs(d, "text", n, threshold).select(
         "doc_a", "doc_b"
     )
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = pairs.transform(tracked_persist)
     nodes = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
         pairs.select(F.col("doc_b").alias("doc_id"))
     )
@@ -2437,7 +2447,7 @@ def bottomk_containment_pairs(
     with estimate + exact containment ≥ threshold.
     """
     d = t["documents"]
-    sh = shingle_hashes(d, "text", n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingle_hashes(d, "text", n).transform(tracked_persist)
     sizes = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("sz")
     )
@@ -2471,9 +2481,7 @@ def bottomk_containment_pairs(
             >= cand_est
         )
     )
-    cand = est.select("doc_a", "doc_b").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    cand = est.select("doc_a", "doc_b").transform(tracked_persist)
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b_sh = sh.select(F.col("doc_id").alias("doc_b"), "h")
     shared = (
@@ -2680,7 +2688,7 @@ def lpa_communities(
             )
         )
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -2771,9 +2779,12 @@ def tfidf_cosine_pairs(
 
     Determinism: idf is quantized ONCE per distinct df value
     (floor(10^6·ln((N+1)/(df+1)))), after which every weight, dot
-    product, and squared norm is exact integer arithmetic accumulated
-    in decimal(38,0) — sum order cannot perturb anything; the single
-    float division + sqrt + round(6) happens once per emitted pair.
+    product, and squared norm is exact integer arithmetic — each
+    factor cast to decimal(38,0) BEFORE the multiply so a 100 TB-scale
+    weight (tf·idf_q ~1e10+) cannot wrap int64 on the way in — and
+    accumulated in decimal(38,0), so sum order cannot perturb anything;
+    the single float division + sqrt + round(6) happens once per
+    emitted pair.
 
     Candidate generation is the shared-shingle join with a STOP-SHINGLE
     bound: posting lists longer than ``df_max`` are dropped from
@@ -2786,6 +2797,17 @@ def tfidf_cosine_pairs(
     filter) slot in unchanged — this operator's contract is the
     scoring.
 
+    Verify shape (the 100 TB-critical choice): the bounded candidate
+    set joins back to the flat (doc, h, w) posting relation through
+    the shared shingle — ``cand ⋈ w_a on doc_a ⋈ w_b on (doc_b, h)``
+    with a partial-aggregated ``SUM(w_a·w_b) GROUP BY pair`` — then
+    joins only the two SCALAR norms. Shipped rows are fixed-width
+    4-tuples that flow through map-side combine, never per-doc weight
+    maps materialized into single wide rows (the map-shipping variant
+    measured 16.2× at R=10 content-disjoint growth — a shuffle-spill
+    constant — where this shape stays in family with the other dedup
+    tiers). Mirrors the twin's ``dots`` CTE exactly.
+
     Output: (doc_a, doc_b, cosine) with cosine ≥ threshold.
     """
     tokens = F.split(F.col(text_col), " ")
@@ -2797,11 +2819,11 @@ def tfidf_cosine_pairs(
     # persist both so the explode+hash scan and its groupBy run once
     tf = occ.groupBy("doc_id", "h").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).transform(tracked_persist)
     dfreq = (
         tf.groupBy("h")
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     ndocs = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     # weight relation feeds norms AND the candidate-pair verify
@@ -2819,28 +2841,11 @@ def tfidf_cosine_pairs(
                 ).cast("long")
             ).alias("w"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
-    # per-doc weight MAP: the verify becomes one row-local fold over
-    # the candidates' common shingles (array_intersect + map lookups)
-    # instead of an exploded three-way join — the same shuffle-free
-    # verify shape as _pair_jaccard_arrays, with weights attached
-    dec0 = F.lit(0).cast("decimal(38,0)")
-    feat = (
-        w.groupBy("doc_id")
-        .agg(F.map_from_entries(F.collect_list(F.struct("h", "w"))).alias("wm"))
-        .select(
-            "doc_id",
-            "wm",
-            F.map_keys(F.col("wm")).alias("hs"),
-            F.aggregate(
-                F.map_values(F.col("wm")),
-                dec0,
-                lambda acc, x: acc + (x * x).cast("decimal(38,0)"),
-            ).alias("n2"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # scalar squared norm per doc — a (doc_id, n2) relation, never maps
+    wdec = F.col("w").cast("decimal(38,0)")
+    norms = w.groupBy("doc_id").agg(F.sum(wdec * wdec).alias("n2"))
     post = tf.join(dfreq.filter(F.col("df") <= df_max), "h").select(
         "doc_id", "h"
     )
@@ -2851,34 +2856,31 @@ def tfidf_cosine_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    fa = feat.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("wm").alias("wma"),
-        F.col("hs").alias("hsa"),
-        F.col("n2").alias("na2"),
-    )
-    fb = feat.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("wm").alias("wmb"),
-        F.col("hs").alias("hsb"),
-        F.col("n2").alias("nb2"),
-    )
-    dot = F.aggregate(
-        F.array_intersect("hsa", "hsb"),
-        dec0,
-        lambda acc, h: acc
-        + (F.element_at(F.col("wma"), h) * F.element_at(F.col("wmb"), h)).cast(
-            "decimal(38,0)"
-        ),
+    # exact dot over ALL shared shingles: candidate-bounded posting
+    # join with map-side partial aggregation (mirrors the twin's dots
+    # CTE); inner join on (doc_b, h) keeps only shingles in BOTH docs
+    wa = w.select(F.col("doc_id").alias("doc_a"), "h", wdec.alias("wa"))
+    wb = w.select(F.col("doc_id").alias("doc_b"), "h", wdec.alias("wb"))
+    dots = (
+        cand.join(wa, "doc_a")
+        .join(wb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
     )
     return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
+        dots.join(
+            norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2")),
+            "doc_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2")),
+            "doc_b",
+        )
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                dot.cast("double")
+                F.col("dot").cast("double")
                 / F.sqrt(F.col("na2").cast("double") * F.col("nb2").cast("double")),
                 6,
             ).alias("cosine"),
@@ -3289,9 +3291,7 @@ def jaccard_threshold_curve(
     lsh = minhash_lsh_pairs(df, text_col, n, threshold=lo).select(
         "doc_a", "doc_b", F.lit(1).alias("in_lsh")
     )
-    j = exact.join(lsh, ["doc_a", "doc_b"], "left").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    j = exact.join(lsh, ["doc_a", "doc_b"], "left").transform(tracked_persist)
     outs = []
     for tau in taus:
         at = j.filter(F.col("jaccard") >= tau)
@@ -3532,9 +3532,7 @@ def minhash_perm_tradeoff(
         F.col("doc_id").alias("doc_b"),
         *[F.col(f"m{i}").alias(f"b{i}") for i in range(NUM_PERM)],
     )
-    joined = pairs.join(sa, "doc_a").join(sb, "doc_b").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b").transform(tracked_persist)
     outs = []
     for k in ks:
         match = sum(

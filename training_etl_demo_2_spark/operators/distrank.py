@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..cache import tracked_cache
 
 
 def with_global_order(
@@ -39,7 +40,7 @@ def with_global_order(
     ranged = df.repartitionByRange(nparts, *order_cols).withColumn(
         "pid", F.spark_partition_id()
     )
-    ranged.persist()
+    ranged.transform(tracked_cache)
     aggs = [F.count(F.lit(1)).alias("cnt")]
     if weight_col is not None:
         aggs.append(F.sum(weight_col).cast("long").alias("wsum"))
@@ -106,7 +107,7 @@ def with_global_prefix_sums(
     ranged = df.repartitionByRange(nparts, *order_cols).withColumn(
         "pid", F.spark_partition_id()
     )
-    ranged.persist()
+    ranged.transform(tracked_cache)
     aggs = [F.sum(w).cast("long").alias(f"s_{w}") for w in weight_cols]
     stats = {
         int(r["pid"]): r for r in ranged.groupBy("pid").agg(*aggs).collect()

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..cache import tracked_cache
 
 # Compaction: micro-batch files are ~KBs; plan merge groups of ~64 KiB
 # at fixture scale (the production knob is 128 MiB-1 GiB — the planner
@@ -166,7 +167,7 @@ def zorder_files(
     ranged = zt.repartitionByRange(
         nparts, F.asc("z"), F.asc("l_orderkey"), F.asc("l_linenumber")
     ).withColumn("pid", F.spark_partition_id())
-    ranged.persist()
+    ranged.transform(tracked_cache)
     counts = dict(
         (int(r["pid"]), int(r["count"]))
         for r in ranged.groupBy("pid").count().collect()
@@ -675,7 +676,7 @@ def layout_skipping_audit(
         ranged = zt.repartitionByRange(nparts, *order_cols).withColumn(
             "pid", F.spark_partition_id()
         )
-        ranged.persist()
+        ranged.transform(tracked_cache)
         counts = dict(
             (int(r["pid"]), int(r["count"]))
             for r in ranged.groupBy("pid").count().collect()
@@ -871,7 +872,7 @@ def forget_user_rewrite_plan(
         ranged = ev.repartitionByRange(nparts, *order_cols).withColumn(
             "pid", F.spark_partition_id()
         )
-        ranged.persist()
+        ranged.transform(tracked_cache)
         counts = dict(
             (int(r["pid"]), int(r["count"]))
             for r in ranged.groupBy("pid").count().collect()

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..cache import tracked_cache, tracked_persist
 
 
 def q4_order_priority(t: dict[str, DataFrame]) -> DataFrame:
@@ -599,7 +600,7 @@ def customer_value_deciles(t: dict[str, DataFrame]) -> DataFrame:
     ).withColumn("pid", F.spark_partition_id())
     # One shuffle, two passes (counts, then rank+agg) — persist so the
     # second pass reuses the exchanged partitions instead of re-shuffling.
-    ranged.persist()
+    ranged.transform(tracked_cache)
     counts = dict(
         (int(r["pid"]), int(r["count"]))
         for r in ranged.groupBy("pid").count().collect()
@@ -1288,7 +1289,7 @@ def part_affinity(
         t["lineitem"]
         .groupBy(F.col("l_orderkey").alias("okey"))
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     if log_drops:
         # opt-in diagnostic: one extra action over the persisted basket
@@ -1621,7 +1622,7 @@ def dau_mau_stickiness(t: dict[str, DataFrame]) -> DataFrame:
     e = t["events"]
     day = F.date_trunc("day", F.col("ts"))
     pairs = e.select(day.alias("d"), "user_id").distinct()
-    pairs = pairs.persist()
+    pairs = pairs.transform(tracked_cache)
     dau = pairs.groupBy("d").agg(
         F.count(F.lit(1)).cast("long").alias("dau")
     )

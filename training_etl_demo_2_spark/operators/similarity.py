@@ -28,6 +28,7 @@ from collections.abc import Iterator
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from ..cache import tracked_persist
 
 from ..functions import cosine
 
@@ -224,7 +225,7 @@ def lsh_topk(
     hyperplane pass over the corpus runs once, not twice."""
     from pyspark import StorageLevel
 
-    buckets = lsh_buckets(emb, dim).persist(StorageLevel.MEMORY_AND_DISK)
+    buckets = lsh_buckets(emb, dim).transform(tracked_persist)
     q_buckets = buckets.join(
         emb.filter(query_pred).select("vec_id"), "vec_id", "semi"
     ).select(F.col("vec_id").alias("query_id"), "table", "bucket")
@@ -1524,7 +1525,9 @@ def _int_power_pca_basis(stats: dict, dim: int, k: int):
             g[i, j] = g[j, i] = stats[(i, j)]
     # int64 headroom guard (fixture n≈10³ sits at ~2^52; a 2^31-row
     # corpus needs the one-line DECIMAL switch documented on the gram)
-    assert n * int(np.abs(g).max() or 1) < 1 << 62, "scatter exceeds int64"
+    # explicit raise, not assert: the guard must survive `python -O`
+    if n * int(np.abs(g).max() or 1) >= 1 << 62:
+        raise ValueError("scatter exceeds int64")
     w = _rescale(n * g - np.outer(s, s))
     probe = np.arange(1, dim + 1, dtype=np.int64)
     basis = np.zeros((dim, k), dtype=np.int64)
@@ -1785,7 +1788,7 @@ def mmr_diverse_topk(
     ce = (
         cand.join(emb, "vec_id")
         .select("vec_id", "rel", "embedding")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(tracked_persist)
     )
     a = ce.select(
         F.col("vec_id").alias("a"), F.col("embedding").alias("ea")

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..cache import tracked_cache
 
 # lgConfigK=12 -> 4 KiB sketches, ~1.6% relative standard error.
 LG_K = 12
@@ -633,7 +634,7 @@ def hll_source_overlap(t: dict[str, DataFrame]) -> DataFrame:
     for k in range(HLL_RHO_BITS):
         rho = F.when(F.col("u") >= (1 << k), HLL_RHO_BITS - k).otherwise(rho)
     regs = hashed.groupBy("event_type", "idx").agg(F.max(rho).alias("mrho"))
-    regs.persist()
+    regs.transform(tracked_cache)
     top = HLL_RHO_BITS + 1
     per_type = regs.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_regs"),

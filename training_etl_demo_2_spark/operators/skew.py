@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..cache import tracked_cache
 
 DEFAULT_BUCKETS = 16
 # Hot-key detection: keys holding more than this fraction of the
@@ -58,7 +59,7 @@ def detect_hot_keys(
     base = df.select(key)
     if sample_fraction is not None:
         base = base.sample(fraction=sample_fraction, seed=42)
-    counts = base.groupBy(key).agg(F.count(F.lit(1)).alias("c")).persist()
+    counts = base.groupBy(key).agg(F.count(F.lit(1)).alias("c")).transform(tracked_cache)
     try:
         total = counts.agg(F.sum("c")).collect()[0][0] or 0
         hot = (

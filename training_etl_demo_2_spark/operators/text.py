@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..cache import tracked_persist
 
 from ..functions import (
     normalize_text,
@@ -1313,9 +1314,7 @@ def langid_kappa(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     # three lineage branches (row margins, col margins, totals) consume
     # the confusion relation — one corpus classification pass, not three
-    conf = language_confusion(df, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    conf = language_confusion(df, text_col).transform(tracked_persist)
     rows = conf.groupBy("lang_actual").agg(F.sum("n").alias("rt"))
     cols = conf.groupBy("lang_pred").agg(F.sum("n").alias("ct"))
     margins = rows.join(

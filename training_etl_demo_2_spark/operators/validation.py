@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import tracked_cache
+
 _NUMERIC_TYPES = ("int", "bigint", "smallint", "tinyint", "float", "double")
 
 ROUND = 2
@@ -1897,7 +1899,7 @@ def isotonic_calibration(tables: dict) -> DataFrame:
     cum = (
         bins.withColumn("cy", F.sum("ysum").over(w).cast("long"))
         .withColumn("cn", F.sum("n").over(w).cast("long"))
-        .persist()
+        .transform(tracked_cache)
     )
     j = cum.select(
         F.col("b").alias("jb"),
