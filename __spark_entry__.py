@@ -984,6 +984,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # THE composed production job: gopher -> lang -> PII scrub ->
         # exact dedup -> minhash reps -> span removal -> pack, one plan
         "corpus_pipeline_e2e": _q(_corpus_pipeline_e2e),
+        # which sources mirror which: near-dup pairs as a source matrix
+        "near_dup_source_matrix": _q(dedup.near_dup_source_matrix),
+        # near-dup pairs straddling train/val/test (eval integrity)
+        "split_leakage_audit": _q(curation.split_leakage_audit),
+        # padding cost per context-window budget, one plan
+        "packing_efficiency_curve": _q(
+            lambda t: curation.packing_efficiency_curve(t["documents"])
+        ),
+        # degenerate repetition: longest token run + trigram multiplicity
+        "token_loop_stats": _q(
+            lambda t: text.token_loop_stats(t["documents"])
+        ),
+        # deterministic T5-style span-corruption layout audit
+        "span_corruption_stats": _q(
+            lambda t: curation.span_corruption_stats(t["documents"])
+        ),
     }
 
 
@@ -1880,4 +1896,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_funnel_report": dedup.dedup_funnel_report_sql(),
         "minhash_perm_tradeoff": dedup.minhash_perm_tradeoff_sql(),
         "corpus_pipeline_e2e": _corpus_pipeline_e2e_sql(),
+        "near_dup_source_matrix": dedup.near_dup_source_matrix_sql(),
+        "split_leakage_audit": curation.split_leakage_audit_sql(),
+        "packing_efficiency_curve": curation.packing_efficiency_curve_sql(),
+        "token_loop_stats": text.token_loop_stats_sql(),
+        "span_corruption_stats": curation.span_corruption_stats_sql(),
     }

@@ -125,9 +125,16 @@ def main() -> None:
         calibs[nm] = max(calibs[nm], p)
 
     # Re-time contaminated measurements with tight per-query probes.
+    # If most of the sweep is flagged the host is uniformly contended —
+    # re-running everything would triple the bench without getting
+    # cleaner stamps, so bail and let the stamps tell the story.
     for _ in range(retry_passes):
         flagged = sorted(nm for nm in timings if calibs[nm] > calib_thresh)
-        if not flagged:
+        if not flagged or len(flagged) > max(10, len(timings) // 3):
+            if flagged:
+                print(f"# calib: {len(flagged)}/{len(timings)} flagged — "
+                      f"host uniformly contended, skipping re-time",
+                      file=sys.stderr)
             break
         print(f"# calib retry: {len(flagged)} queries over "
               f"{calib_thresh}s context", file=sys.stderr)

@@ -57,26 +57,48 @@ def test_lsh_cost_advisor_short_doc_matches_oracle(spark):
 # --- tfidf posting-list verify ----------------------------------------------
 
 
-def test_tfidf_cosine_verify_ships_no_maps(spark):
-    """The round-6 verify shipped per-doc weight MAPS through the
-    candidate join (measured 16.2x at R=10 — a spill constant). Pin
-    the rewritten plan: no MapType anywhere, and the dot product is a
-    partial-aggregated SUM (HashAggregate on the pair keys), mirroring
-    the twin's posting-join dots CTE."""
-    df = spark.createDataFrame(
-        [
-            (1, "alpha beta gamma delta epsilon"),
-            (2, "alpha beta gamma delta epsilon zeta"),
-            (3, "eta theta iota kappa lambda"),
-        ],
+def test_tfidf_cosine_hot_split_exact(spark):
+    """The round-7 verify splits the dot on the stop-shingle boundary:
+    the non-hot part rides the candidate-generating co-shingle join,
+    the hot part (df > df_max — needed for exactness) folds over
+    hot-ONLY per-doc maps. Pin the split against the twin, which
+    computes the same total in ONE relation: with df_max=2 the shared
+    'x y z' trigram is hot (df=3), docs 1/2 are candidates through
+    their non-hot 'p q r'/'q r s' shingles, and their cosine must
+    still include the hot contribution; doc 3 shares ONLY the hot
+    shingle and must not be emitted."""
+    import duckdb
+
+    rows = [
+        (1, "p q r s a1 x y z"),
+        (2, "p q r s b1 x y z"),
+        (3, "m n o c1 x y z"),
+        (4, "u v w d1 e1 f1 g1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.tfidf_cosine_pairs(df, df_max=2, threshold=0.0)
+    got = sorted((r.doc_a, r.doc_b, r.cosine) for r in out.collect())
+    assert [(a, b) for a, b, _ in got] == [(1, 2)]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            dedup.tfidf_cosine_pairs_sql(df_max=2, threshold=0.0)
+        ).fetchall()
+    )
+    assert got == want
+    # and the hot contribution is really in there: recomputing with the
+    # hot shingle excluded from scoring entirely would change the value
+    df_nohot = spark.createDataFrame(
+        [(i, t.replace(" x y z", "")) for i, t in rows],
         "doc_id long, text string",
     )
-    out = dedup.tfidf_cosine_pairs(df, threshold=0.0)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "map_from_entries" not in plan
-    assert "array_intersect" not in plan
-    got = {(r.doc_a, r.doc_b): r.cosine for r in out.collect()}
-    assert got[(1, 2)] > got.get((1, 3), 0.0)
+    nohot = {(r.doc_a, r.doc_b): r.cosine
+             for r in dedup.tfidf_cosine_pairs(
+                 df_nohot, df_max=2, threshold=0.0).collect()}
+    assert nohot[(1, 2)] != got[0][2]
 
 
 # --- corpus_pipeline_e2e composition semantics -------------------------------
@@ -161,3 +183,197 @@ def test_corpus_pipeline_matches_twin_on_planted_corpus(spark):
     want = sorted(tuple(r) for r in
                   con.sql(corpus_pipeline_e2e_sql()).fetchall())
     assert got == want and len(got) == 2
+
+
+# --- near_dup_source_matrix ---------------------------------------------------
+
+
+def _near_dup_text(tag, suffix):
+    # >= 0.8 jaccard needs a long shared base + tiny per-doc suffix
+    base = " ".join(f"{tag}{i:02d}" for i in range(50))
+    return f"{base} {suffix}"
+
+
+def test_near_dup_source_matrix_cells(spark):
+    from training_etl_demo_2_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, _near_dup_text("m", "one"), "en", "siteA"),
+            (2, _near_dup_text("m", "two"), "en", "siteB"),   # cross-source
+            (3, _near_dup_text("q", "one"), "en", "siteA"),
+            (4, _near_dup_text("q", "two"), "en", "siteA"),   # within-source
+            (5, "totally unrelated tiny document here", "en", "siteC"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {(r.source_a, r.source_b): (r.n_pairs, r.n_docs)
+           for r in dedup.near_dup_source_matrix({"documents": docs}).collect()}
+    assert out == {("siteA", "siteB"): (1, 2), ("siteA", "siteA"): (1, 2)}
+
+
+# --- split_leakage_audit ------------------------------------------------------
+
+
+def test_split_leakage_audit_flags_cross_split_pairs(spark):
+    from training_etl_demo_2_spark.operators import curation
+
+    # find doc ids landing in different splits under the REAL hash rule
+    probe = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    split_of = {r.doc_id: r.split
+                for r in curation.dataset_split(probe).collect()}
+    train_ids = [i for i, s in split_of.items() if s == "train"]
+    test_ids = [i for i, s in split_of.items() if s == "test"]
+    a, b = train_ids[0], test_ids[0]     # cross-split near-dup pair
+    c, d = train_ids[1], train_ids[2]    # within-train pair
+    docs = spark.createDataFrame(
+        [
+            (a, _near_dup_text("m", "one"), "en", "s"),
+            (b, _near_dup_text("m", "two"), "en", "s"),
+            (c, _near_dup_text("q", "one"), "en", "s"),
+            (d, _near_dup_text("q", "two"), "en", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {(r.split_a, r.split_b): (r.n_pairs, r.is_leak)
+           for r in curation.split_leakage_audit({"documents": docs}).collect()}
+    assert out[("test", "train")] == (1, True)
+    assert out[("train", "train")] == (1, False)
+
+
+# --- packing_efficiency_curve -------------------------------------------------
+
+
+def test_packing_efficiency_curve_exact_small_case(spark):
+    import duckdb
+
+    from training_etl_demo_2_spark.operators import curation
+
+    # all ids = 0 mod PACK_GROUPS -> ONE deterministic greedy sequence;
+    # 5 docs of 100 tokens each
+    g = curation.PACK_GROUPS
+    docs = spark.createDataFrame(
+        [(i * g, " ".join(f"w{j}" for j in range(100))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = {r.budget: r for r in
+           curation.packing_efficiency_curve(docs).collect()}
+    # budget 128: 1 doc/pack -> 5 packs, waste 28 each, fill 7812 bp
+    assert (out[128].n_packs, out[128].waste_tokens, out[128].fill_bp) == (
+        5, 140, (5 * 128 - 140) * 10000 // (5 * 128))
+    # budget 256: 2+2+1 -> 3 packs, waste 56+56+156
+    assert (out[256].n_packs, out[256].waste_tokens) == (3, 268)
+    # budget 512: 5 docs fit one pack (500 <= 512)
+    assert (out[512].n_packs, out[512].waste_tokens, out[512].n_oversized) \
+        == (1, 12, 0)
+    assert all(r.total_tokens == 500 and r.n_docs == 5
+               for r in out.values())
+    # twin agrees on the same corpus
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = {r[0]: r for r in
+            con.sql(curation.packing_efficiency_curve_sql()).fetchall()}
+    for b, r in out.items():
+        assert tuple(r) == tuple(want[b])
+
+
+def test_packing_oversized_doc_gets_own_pack(spark):
+    from training_etl_demo_2_spark.operators import curation
+
+    g = curation.PACK_GROUPS
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{j}" for j in range(300))),
+         (g, " ".join(f"v{j}" for j in range(50)))],
+        "doc_id long, text string",
+    )
+    out = {r.budget: r for r in
+           curation.packing_efficiency_curve(docs).collect()}
+    assert out[128].n_oversized == 1          # the 300-token doc
+    assert out[512].n_oversized == 0
+
+
+# --- token_loop_stats ---------------------------------------------------------
+
+
+def test_token_loop_stats_planted(spark):
+    import duckdb
+
+    from training_etl_demo_2_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a b"),              # run 4, trigram 'a a a' x2
+            (2, "x y x y x y x y"),        # run 1, trigram 'x y x' x3
+            (3, "z z z z z z"),            # run 6 -> loopy
+            (4, "solo"),                   # 1 token, no trigram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in t.token_loop_stats(docs).collect()}
+    assert (out[1].max_token_run, out[1].max_trigram_count,
+            out[1].is_loopy) == (4, 2, False)
+    assert (out[2].max_token_run, out[2].max_trigram_count) == (1, 3)
+    assert (out[3].max_token_run, out[3].is_loopy) == (6, True)
+    assert (out[4].n_tokens, out[4].max_token_run,
+            out[4].max_trigram_count) == (1, 1, 0)
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = {r[0]: r for r in con.sql(t.token_loop_stats_sql()).fetchall()}
+    for i, r in out.items():
+        assert tuple(r) == tuple(want[i])
+
+
+# --- span_corruption_stats ------------------------------------------------------
+
+
+def test_span_corruption_stats_deterministic_and_twin_exact(spark):
+    import duckdb
+
+    from training_etl_demo_2_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(5 + (i * 7) % 40)))
+         for i in range(1, 40)],
+        "doc_id long, text string",
+    )
+    out = sorted(tuple(r) for r in
+                 curation.span_corruption_stats(docs).collect())
+    # layout is a pure function of (doc_id, block): physical layout must
+    # not matter
+    out2 = sorted(
+        tuple(r)
+        for r in curation.span_corruption_stats(docs.repartition(7)).collect()
+    )
+    assert out == out2
+    # structural invariants: masked tokens bounded by full blocks; span
+    # count bounded by masked blocks
+    for (_i, n, m, s, bp) in out:
+        assert 0 <= m <= n and s >= (1 if m else 0)
+        assert bp == m * 10000 // n
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(tuple(r) for r in
+                  con.sql(curation.span_corruption_stats_sql()).fetchall())
+    assert out == want
+
+
+def test_span_corruption_rate_near_target(spark, tables):
+    """On the fixture corpus the empirical mask rate sits near the 15%
+    design point — the mix hash really does produce i.i.d.-looking
+    block decisions (a striped/linear hash would drift or band)."""
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark.operators import curation
+
+    row = (
+        curation.span_corruption_stats(tables["documents"])
+        .agg(
+            F.sum("n_masked").alias("m"),
+            F.sum("n_tokens").alias("n"),
+        )
+        .collect()[0]
+    )
+    rate = row.m / row.n
+    assert 0.11 < rate < 0.19, rate

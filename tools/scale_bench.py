@@ -95,9 +95,10 @@ FAMILIES: dict[str, tuple[str, str]] = {
     # round-6 session-4 heavy additions
     "tfidf_cosine_pairs": (
         "~R (linear)",
-        "stop-shingle-bounded co-shingle candidates are replica-disjoint; "
-        "posting-join partial-agg dot product per candidate (round-7 "
-        "rewrite — the round-6 map-shipping verify measured 16.2x)",
+        "non-hot dot rides the candidate-generating co-shingle join "
+        "(partial-agg, nothing ships beyond candidate generation); hot "
+        "contribution via hot-ONLY per-doc maps (round-7 split — full-map "
+        "shipping measured 16.2x, cand x full-posting re-join 27.5x)",
     ),
     "kcore_decomposition": (
         "~R (linear)",
@@ -215,10 +216,19 @@ def _time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
     return best
 
 
-def measure(spark, base_dir: str, n_rep: int, work_dir: str) -> dict:
+def measure(
+    spark,
+    base_dir: str,
+    n_rep: int,
+    work_dir: str,
+    families: dict[str, tuple[str, str]] | None = None,
+) -> dict:
     """Build both arms, time every family at 1× and n_rep×, and return
     the scaling table (also asserting the deterministic candidate-volume
-    anchor)."""
+    anchor). ``families`` restricts the run (env
+    SPARK_GRAFT_SCALE_FAMILIES=a,b via main) — used to re-measure one
+    family after a targeted rewrite without paying for the full sweep;
+    the caller merges the rows into the committed SCALING.json."""
     import __spark_entry__ as entrymod
     from pyspark.sql import functions as F
 
@@ -257,7 +267,7 @@ def measure(spark, base_dir: str, n_rep: int, work_dir: str) -> dict:
 
     bound = n_rep**BOUND_EXP
     table = {}
-    for name, (predicted, why) in FAMILIES.items():
+    for name, (predicted, why) in (families or FAMILIES).items():
         fn = lambda s, d, _f=qs[name]: _f(s, d).count()
         t1 = _time_query(spark, fn, dir1)
         tR = _time_query(spark, fn, dirR)
@@ -317,6 +327,12 @@ def main() -> int:
     n_rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     base_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     out_json = sys.argv[3] if len(sys.argv) > 3 else "SCALING.json"
+    fam_env = os.environ.get("SPARK_GRAFT_SCALE_FAMILIES", "")
+    families = (
+        {k: FAMILIES[k] for k in fam_env.split(",") if k}
+        if fam_env
+        else None
+    )
 
     spark = get_spark(app_name="scale-bench")
     # warm the JIT on the smallest fixture before any timed run
@@ -327,7 +343,17 @@ def main() -> int:
     spark.catalog.clearCache()
 
     with tempfile.TemporaryDirectory(prefix="scale_bench_") as work:
-        result = measure(spark, base_dir, n_rep, work)
+        result = measure(spark, base_dir, n_rep, work, families)
+    if families and os.path.exists(out_json):
+        # targeted re-measure: merge the fresh rows (and the fresh
+        # deterministic anchor) into the committed table
+        with open(out_json) as f:
+            prior = json.load(f)
+        prior["families"].update(result["families"])
+        for k, v in result.items():
+            if k != "families":
+                prior[k] = v
+        result = prior
     fails = [n for n, row in result["families"].items() if not row["ok"]]
     print(json.dumps(result))
     with open(out_json, "w") as f:

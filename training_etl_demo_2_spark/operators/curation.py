@@ -2170,3 +2170,314 @@ def lang_temperature_weights_sql(alpha: float = TEMP_ALPHA) -> str:
            round(pow(p_raw, {alpha}) / w_sum / p_raw, 6) AS boost
     FROM p CROSS JOIN ws
     """
+
+
+# ---------------------------------------------------------------------------
+# split leakage through near-duplicates
+# ---------------------------------------------------------------------------
+
+
+def split_leakage_audit(
+    t: dict[str, DataFrame],
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Near-dup pairs that STRADDLE the train/val/test boundary — the
+    eval-integrity bug ``dataset_split`` alone cannot see: hash splits
+    assign DOCUMENTS independently, so two near-duplicate documents
+    routinely land in different splits and the held-out set silently
+    overlaps the training set (the fuzzy cousin of benchmark
+    contamination, and the first thing to audit before trusting a val
+    loss). Output: one row per unordered split-pair cell with its pair
+    count and an is_leak flag (off-diagonal cells are leaks).
+
+    Scale shape: the banded LSH pair relation (near-dup-sized) joined
+    twice to the split assignment (pure hash projection of the corpus
+    — no shuffle beyond the doc_id join), then a groupBy on a <= 9-row
+    key space. The split assignment is computed, not stored, so the
+    audit needs no extra state at 100 TB.
+    """
+    from .dedup import minhash_lsh_pairs
+
+    d = t["documents"]
+    sp = dataset_split(d, train_pct=train_pct, val_pct=val_pct).select(
+        "doc_id", "split"
+    )
+    return (
+        minhash_lsh_pairs(d, text_col, n, threshold)
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_a"), F.col("split").alias("pa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("doc_b"), F.col("split").alias("pb")
+            ),
+            "doc_b",
+        )
+        .groupBy(
+            F.least("pa", "pb").alias("split_a"),
+            F.greatest("pa", "pb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+        )
+    )
+
+
+def split_leakage_audit_sql(
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> str:
+    """Twin: same LSH pair CTE joined to the same hash-split CASE."""
+    from .oracle import minhash_lsh_sql
+
+    b = _split_bucket_sql("doc_id")
+    return f"""
+    WITH pairs AS MATERIALIZED ({minhash_lsh_sql(n, threshold)}),
+    sp AS MATERIALIZED (
+        SELECT doc_id,
+               CASE WHEN {b} < {train_pct} THEN 'train'
+                    WHEN {b} < {train_pct + val_pct} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           least(sa.split, sb.split) != greatest(sa.split, sb.split)
+               AS is_leak
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.doc_a
+    JOIN sp sb ON sb.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# packing efficiency curve
+# ---------------------------------------------------------------------------
+
+PACK_CURVE_BUDGETS = (128, 256, 512)
+
+
+def packing_efficiency_curve(
+    df: DataFrame,
+    budgets: tuple[int, ...] = PACK_CURVE_BUDGETS,
+    text_col: str = "text",
+) -> DataFrame:
+    """What each context-window budget COSTS in padding: first-fit
+    packing (``pack_sequences``) replayed at several budgets in one
+    plan, each arm reduced to exact-integer efficiency numbers —
+    pack count, oversized-doc packs, and waste (unfilled capacity,
+    excluding oversized packs' overflow). The fill ratio is the number
+    a training-throughput owner trades against sequence length; like
+    ``jaccard_threshold_curve``/``ivf_nprobe_curve``, the knob sweep is
+    a QUERY, not a rerun. fill_bp = (capacity - waste)·10000 div
+    capacity, capacity = n_packs·budget — exact integer division, no
+    float anywhere.
+
+    Scale shape: each arm is the deterministic per-group greedy
+    (parallel over doc_id % n_groups), reduced map-side to one row;
+    |budgets| passes over the (doc_id, n_tokens) projection — the
+    text column is scanned once per arm, nothing pair-shaped.
+    """
+    arms = []
+    for b in budgets:
+        packs = (
+            pack_sequences(df, budget=b, text_col=text_col)
+            .groupBy("pack_id")
+            .agg(
+                F.sum("n_tokens").alias("pt"),
+                F.count(F.lit(1)).alias("nd"),
+            )
+        )
+        arms.append(
+            packs.agg(
+                F.sum("nd").cast("long").alias("n_docs"),
+                F.count(F.lit(1)).cast("long").alias("n_packs"),
+                F.sum((F.col("pt") > b).cast("long"))
+                .cast("long")
+                .alias("n_oversized"),
+                F.sum("pt").cast("long").alias("total_tokens"),
+                F.sum(
+                    F.greatest(F.lit(0).cast("long"), F.lit(b) - F.col("pt"))
+                )
+                .cast("long")
+                .alias("waste_tokens"),
+            ).select(F.lit(b).cast("long").alias("budget"), "*")
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    cap = F.col("n_packs") * F.col("budget")
+    return out.select(
+        "budget",
+        "n_docs",
+        "n_packs",
+        "n_oversized",
+        "total_tokens",
+        "waste_tokens",
+        F.expr(
+            "(n_packs * budget - waste_tokens) * 10000 div (n_packs * budget)"
+        )
+        .cast("long")
+        .alias("fill_bp"),
+    ).orderBy("budget")
+
+
+def packing_efficiency_curve_sql(
+    budgets: tuple[int, ...] = PACK_CURVE_BUDGETS,
+) -> str:
+    """Twin: one nested pack recurrence per budget (isolated scopes so
+    the recursive CTE names cannot collide), identical integer folds."""
+    arms = []
+    for b in budgets:
+        arms.append(
+            f"""(
+        WITH p AS ({pack_sequences_sql(budget=b)}),
+        g AS (
+            SELECT pack_id, sum(n_tokens) AS pt, count(*) AS nd
+            FROM p GROUP BY pack_id
+        )
+        SELECT CAST({b} AS BIGINT) AS budget,
+               CAST(sum(nd) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_packs,
+               CAST(sum(CASE WHEN pt > {b} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oversized,
+               CAST(sum(pt) AS BIGINT) AS total_tokens,
+               CAST(sum(greatest(0, {b} - pt)) AS BIGINT) AS waste_tokens
+        FROM g
+    )"""
+        )
+    unioned = "\n    UNION ALL\n    ".join(arms)
+    return f"""
+    SELECT budget, n_docs, n_packs, n_oversized, total_tokens,
+           waste_tokens,
+           (n_packs * budget - waste_tokens) * 10000
+               // (n_packs * budget) AS fill_bp
+    FROM (
+    {unioned}
+    )
+    ORDER BY budget
+    """
+
+
+# ---------------------------------------------------------------------------
+# span-corruption (T5-style) masking layout statistics
+# ---------------------------------------------------------------------------
+
+MASK_SPAN_LEN = 3  # tokens per maskable block (mean corrupted-span length)
+MASK_RATE_PCT = 15  # target corruption rate
+MASK_BLOCK_STRIDE = 1_000_003  # (doc_id, block) -> one mix-hash key
+# seed tuple in sketches._hll_mix format (3-round multiply-mod/xor-shift)
+MASK_SEED = (627_101_863, 433_024_253, 2_246_822_519, 286_331_153)
+
+
+def span_corruption_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The DETERMINISTIC span-corruption layout a T5-style denoising
+    objective would apply, reduced to per-doc audit numbers — how many
+    tokens and how many contiguous mask spans each document gets when
+    every 3-token block is masked i.i.d.-looking at ~15% (block masked
+    iff mix_hash(doc_id·stride + block) % 100 < 15). The layout is a
+    pure function of (doc_id, block) — append-stable, engine-portable,
+    reproducible at any parallelism — which is exactly what makes the
+    masking auditable BEFORE a 100 TB preprocessing run (and what a
+    seeded RNG per partition is not).
+
+    The hash is the 3-round multiply-mod/xor-shift mix shared with the
+    HLL sketches (a linear hash over the (doc, block) lattice produces
+    visibly striped masks — same lesson as the bootstrap resampler).
+
+    Everything is row-local array math: blocks = sequence, flags =
+    pure-function transform, span starts = flag(b) AND NOT flag(b-1)
+    (stateless — no fold, no window, no shuffle; the scan is the cost).
+
+    Output: (doc_id, n_tokens, n_masked, n_mask_spans, mask_bp) with
+    mask_bp = n_masked·10000 div n_tokens.
+    """
+    from .sketches import _hll_mix_spark
+
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks).cast("long")
+    n_blocks = F.ceil(n / F.lit(MASK_SPAN_LEN)).cast("long")
+
+    def flag(b):
+        key = F.col("doc_id") * F.lit(MASK_BLOCK_STRIDE) + b
+        return _hll_mix_spark(key, MASK_SEED) % 100 < MASK_RATE_PCT
+
+    blocks = F.sequence(F.lit(0).cast("long"), n_blocks - 1)
+    masked = F.filter(blocks, flag)
+    n_masked = F.aggregate(
+        masked,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.least(F.lit(MASK_SPAN_LEN).cast("long"), n - b * MASK_SPAN_LEN),
+    )
+    n_spans = F.size(
+        F.filter(blocks, lambda b: flag(b) & ((b == 0) | ~flag(b - 1)))
+    ).cast("long")
+    return df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_masked.alias("n_masked"),
+        n_spans.alias("n_mask_spans"),
+    ).select(
+        "*",
+        F.expr("n_masked * 10000 div n_tokens").cast("long").alias("mask_bp"),
+    )
+
+
+def span_corruption_stats_sql() -> str:
+    """Twin: same mix hash over the same (doc_id·stride + block) keys;
+    span starts are the same stateless flag(b) AND NOT flag(b-1)."""
+    from .sketches import _hll_mix_sql
+
+    def flag(b_expr: str) -> str:
+        key = f"(CAST(doc_id AS BIGINT) * {MASK_BLOCK_STRIDE} + {b_expr})"
+        return f"({_hll_mix_sql(key, MASK_SEED)} % 100 < {MASK_RATE_PCT})"
+
+    k = MASK_SPAN_LEN
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents
+    ),
+    blk AS (
+        SELECT doc_id, n, CAST(b AS BIGINT) AS b
+        FROM t, unnest(range(0, CAST(ceil(n * 1.0 / {k}) AS BIGINT)))
+            AS p(b)
+    ),
+    fl AS (
+        SELECT doc_id, n, b,
+               {flag('b')} AS f,
+               CASE WHEN b = 0 THEN FALSE ELSE {flag('(b - 1)')} END AS fp
+        FROM blk
+    ),
+    agg AS (
+        SELECT doc_id,
+               n AS n_tokens,
+               CAST(coalesce(sum(CASE WHEN f
+                   THEN least({k}, n - b * {k}) END), 0)
+                   AS BIGINT) AS n_masked,
+               CAST(coalesce(sum(CASE WHEN f AND NOT fp THEN 1 END), 0)
+                   AS BIGINT) AS n_mask_spans
+        FROM fl
+        GROUP BY doc_id, n
+    )
+    SELECT doc_id, n_tokens, n_masked, n_mask_spans,
+           n_masked * 10000 // n_tokens AS mask_bp
+    FROM agg
+    """

@@ -2797,16 +2797,27 @@ def tfidf_cosine_pairs(
     filter) slot in unchanged — this operator's contract is the
     scoring.
 
-    Verify shape (the 100 TB-critical choice): the bounded candidate
-    set joins back to the flat (doc, h, w) posting relation through
-    the shared shingle — ``cand ⋈ w_a on doc_a ⋈ w_b on (doc_b, h)``
-    with a partial-aggregated ``SUM(w_a·w_b) GROUP BY pair`` — then
-    joins only the two SCALAR norms. Shipped rows are fixed-width
-    4-tuples that flow through map-side combine, never per-doc weight
-    maps materialized into single wide rows (the map-shipping variant
-    measured 16.2× at R=10 content-disjoint growth — a shuffle-spill
-    constant — where this shape stays in family with the other dedup
-    tiers). Mirrors the twin's ``dots`` CTE exactly.
+    Verify shape (the 100 TB-critical choice, third iteration — both
+    failure modes below were MEASURED at R=10 content-disjoint growth):
+
+    * shipping each doc's FULL weight map through the candidate join
+      spills (16.2× — row-WIDTH blowup);
+    * re-joining the bounded candidate set back to the full posting
+      relation explodes row COUNT (|cand|·|vocab| intermediate: 27.5×,
+      super-linear already at R=3).
+
+    The shape that avoids both: split the dot on the stop-shingle
+    boundary. The NON-HOT part (df ≤ df_max) is partial-aggregated
+    ``SUM(w_a·w_b)`` directly on the co-shingle self-join that
+    generates the candidates — the join's output IS Σ_{h:df≤df_max}
+    df(h)² rows, already paid for candidate generation, nothing new
+    ships. The HOT part (df > df_max, needed for exactness) goes
+    through per-doc weight maps — but pruned to HOT entries only,
+    which are few by definition (hot shingles are the handful of
+    boilerplate n-grams; a doc's hot entries are bounded by the global
+    hot-shingle count, not its vocabulary). Scalar norms join last.
+    The twin's ``dots`` CTE computes the same total over all shared
+    shingles in one relation — two formulations of one quantity.
 
     Output: (doc_a, doc_b, cosine) with cosine ≥ threshold.
     """
@@ -2826,13 +2837,15 @@ def tfidf_cosine_pairs(
         .transform(tracked_persist)
     )
     ndocs = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    # weight relation feeds norms AND the candidate-pair verify
+    # weight relation (df kept for the hot/non-hot split) feeds norms,
+    # the co-shingle join, and the hot maps
     w = (
         tf.join(dfreq, "h")
         .crossJoin(F.broadcast(ndocs))
         .select(
             "doc_id",
             "h",
+            "df",
             (
                 F.col("tf")
                 * F.floor(
@@ -2845,27 +2858,61 @@ def tfidf_cosine_pairs(
     )
     # scalar squared norm per doc — a (doc_id, n2) relation, never maps
     wdec = F.col("w").cast("decimal(38,0)")
+    dec0 = F.lit(0).cast("decimal(38,0)")
     norms = w.groupBy("doc_id").agg(F.sum(wdec * wdec).alias("n2"))
-    post = tf.join(dfreq.filter(F.col("df") <= df_max), "h").select(
-        "doc_id", "h"
-    )
-    cand = (
-        post.select(F.col("doc_id").alias("doc_a"), "h")
-        .join(post.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+    # ONE co-shingle self-join generates the candidates AND their
+    # non-hot dot: its output is the Σ df² candidate volume the
+    # stop-shingle cut bounds — nothing beyond candidate generation
+    # ships, and the groupBy partial-aggregates map-side
+    wnh = w.filter(F.col("df") <= df_max)
+    co = (
+        wnh.select(F.col("doc_id").alias("doc_a"), "h", wdec.alias("wa"))
+        .join(
+            wnh.select(F.col("doc_id").alias("doc_b"), "h", wdec.alias("wb")),
+            "h",
+        )
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
     )
-    # exact dot over ALL shared shingles: candidate-bounded posting
-    # join with map-side partial aggregation (mirrors the twin's dots
-    # CTE); inner join on (doc_b, h) keeps only shingles in BOTH docs
-    wa = w.select(F.col("doc_id").alias("doc_a"), "h", wdec.alias("wa"))
-    wb = w.select(F.col("doc_id").alias("doc_b"), "h", wdec.alias("wb"))
+    dots_nh = co.groupBy("doc_a", "doc_b").agg(
+        F.sum(F.col("wa") * F.col("wb")).alias("dot_nh")
+    )
+    # hot entries (df > df_max) per doc: few by definition — the exact
+    # hot contribution folds row-locally over the candidates' shared
+    # hot keys (maps pruned to hot-only; the full-vocab variant is the
+    # measured 16.2x spill)
+    hm = (
+        w.filter(F.col("df") > df_max)
+        .groupBy("doc_id")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("h", "w"))).alias(
+                "hm"
+            )
+        )
+    )
+    dot_hot = F.when(
+        F.col("hma").isNotNull() & F.col("hmb").isNotNull(),
+        F.aggregate(
+            F.array_intersect(F.map_keys("hma"), F.map_keys("hmb")),
+            dec0,
+            lambda acc, k: acc
+            + F.element_at(F.col("hma"), k).cast("decimal(38,0)")
+            * F.element_at(F.col("hmb"), k).cast("decimal(38,0)"),
+        ),
+    ).otherwise(dec0)
     dots = (
-        cand.join(wa, "doc_a")
-        .join(wb, ["doc_b", "h"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+        dots_nh.join(
+            hm.select(F.col("doc_id").alias("doc_a"), F.col("hm").alias("hma")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            hm.select(F.col("doc_id").alias("doc_b"), F.col("hm").alias("hmb")),
+            "doc_b",
+            "left",
+        )
+        .select(
+            "doc_a", "doc_b", (F.col("dot_nh") + dot_hot).alias("dot")
+        )
     )
     return (
         dots.join(
@@ -3593,4 +3640,106 @@ def minhash_perm_tradeoff_sql(
         FROM sh GROUP BY doc_id
     )
     {joined}
+    """
+
+
+# ---------------------------------------------------------------------------
+# cross-source near-dup leakage matrix
+# ---------------------------------------------------------------------------
+
+
+def near_dup_source_matrix(
+    t: dict[str, DataFrame],
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """WHICH sources copy WHICH: the verified near-dup pair relation
+    aggregated into an unordered source x source matrix — pair counts
+    plus the distinct documents each cell touches. ``near_dup_provenance``
+    answers "how mixed is each cluster"; this answers the corpus-level
+    question a mixture owner asks before weighting sources ("is source
+    X largely a mirror of source Y?"). Off-diagonal mass is
+    cross-source mirroring; diagonal mass is within-source templating.
+
+    Scale shape: inherits the banded LSH tier (candidates bounded, no
+    all-pairs); the matrix itself adds two doc_id-keyed joins onto a
+    near-dup-sized relation, one groupBy on the (tiny) source-pair key,
+    and one distinct over (cell, doc). Output rows are |sources|² at
+    most — driver-safe at any corpus size.
+
+    Output: (source_a, source_b, n_pairs, n_docs), source_a <= source_b.
+    """
+    d = t["documents"]
+    src = d.select("doc_id", "source")
+    cells = (
+        minhash_lsh_pairs(d, text_col, n, threshold)
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "doc_a",
+            "doc_b",
+        )
+        .transform(tracked_persist)
+    )
+    n_pairs = cells.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    n_docs = (
+        cells.select("source_a", "source_b", F.col("doc_a").alias("d"))
+        .unionByName(
+            cells.select("source_a", "source_b", F.col("doc_b").alias("d"))
+        )
+        .distinct()
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return n_pairs.join(n_docs, ["source_a", "source_b"])
+
+
+def near_dup_source_matrix_sql(
+    n: int = DEFAULT_NGRAM, threshold: float = 0.8
+) -> str:
+    """Twin over the same LSH pair CTE: two source joins,
+    least/greatest cell key, pair + distinct-doc folds."""
+    from .oracle import minhash_lsh_sql
+
+    return f"""
+    WITH pairs AS MATERIALIZED ({minhash_lsh_sql(n, threshold)}),
+    cells AS MATERIALIZED (
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               p.doc_a, p.doc_b
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+    ),
+    np AS (
+        SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM cells GROUP BY 1, 2
+    ),
+    nd AS (
+        SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_docs
+        FROM (
+            SELECT DISTINCT source_a, source_b, d FROM (
+                SELECT source_a, source_b, doc_a AS d FROM cells
+                UNION ALL
+                SELECT source_a, source_b, doc_b AS d FROM cells
+            )
+        ) GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_pairs, n_docs
+    FROM np JOIN nd USING (source_a, source_b)
     """

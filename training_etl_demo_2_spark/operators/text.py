@@ -2971,3 +2971,126 @@ def nb_lang_confusion_sql() -> str:
     FROM pred
     GROUP BY 1, 2
     """
+
+
+# ---------------------------------------------------------------------------
+# degenerate-repetition (loop) detection
+# ---------------------------------------------------------------------------
+
+LOOP_RUN_FLAG = 5  # a single token repeated this many times in a row
+
+
+def token_loop_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Degenerate-repetition signals per document — the loop pathology
+    of model-generated text ("the the the the ...", a 3-gram cycling
+    forever) that ``repetition_stats``'s global dup fractions can
+    under-weigh (one long run in a long doc barely moves dup_bp but
+    poisons training): the longest CONSECUTIVE identical-token run and
+    the highest within-doc 3-gram multiplicity, both exact integers.
+
+    Scale shape: the run is one row-local array fold (F.aggregate with
+    a (prev, run, best) struct — no explode, no shuffle; the scan IS
+    the cost); the 3-gram multiplicity is the dedup-shared gram explode
+    reduced by a (doc, gram-hash) groupBy then a doc groupBy — narrow,
+    corpus-token-sized, nothing pair-shaped.
+
+    Output: (doc_id, n_tokens, max_token_run, max_trigram_count,
+    is_loopy) with is_loopy = max_token_run >= 5.
+    """
+    toks = _tokens(text_col)
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
+    )
+
+    def step(acc, x):
+        run = (
+            F.when(x == acc["prev"], acc["run"] + one)
+            .otherwise(one)
+            .cast("long")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    max_run = F.aggregate(toks, init, step, lambda acc: acc["best"])
+    base = spread_scan(df).select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        max_run.alias("max_token_run"),
+    )
+    tri = (
+        spread_scan(df).select(
+            "doc_id",
+            F.explode(word_ngrams(_tokens(text_col), 3)).alias("g"),
+        )
+        .select("doc_id", rolling_hash(F.col("g")).alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_trigram_count"))
+    )
+    return base.join(tri, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "max_token_run",
+        F.coalesce(F.col("max_trigram_count"), zero).alias(
+            "max_trigram_count"
+        ),
+        (F.col("max_token_run") >= LOOP_RUN_FLAG).alias("is_loopy"),
+    )
+
+
+def token_loop_stats_sql() -> str:
+    """Twin: gaps-and-islands for the run (i - row_number per (doc,
+    token) partition), the shared gram/hash CTE for the multiplicity."""
+    from .oracle import ROLLING_HASH
+
+    h = ROLLING_HASH.format(s="g")
+    return f"""
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, i, w[i] AS tk
+        FROM t, unnest(range(1, len(w) + 1)) AS p(i)
+    ),
+    runs AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS run
+        FROM (
+            SELECT doc_id, tk,
+                   i - row_number() OVER (
+                       PARTITION BY doc_id, tk ORDER BY i
+                   ) AS grp
+            FROM tok
+        )
+        GROUP BY doc_id, tk, grp
+    ),
+    mr AS (SELECT doc_id, max(run) AS max_token_run FROM runs GROUP BY doc_id),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(w) - 2, 0) + 1),
+                   i -> array_to_string(w[i:i+2], ' '))) AS g
+        FROM t
+    ),
+    tri AS (
+        SELECT doc_id, max(c) AS max_trigram_count FROM (
+            SELECT doc_id, {h} AS hh, CAST(count(*) AS BIGINT) AS c
+            FROM grams GROUP BY doc_id, hh
+        ) GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           mr.max_token_run,
+           coalesce(tri.max_trigram_count, 0) AS max_trigram_count,
+           mr.max_token_run >= {LOOP_RUN_FLAG} AS is_loopy
+    FROM t
+    JOIN mr ON mr.doc_id = t.doc_id
+    LEFT JOIN tri ON tri.doc_id = t.doc_id
+    """
