@@ -1000,6 +1000,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption_stats": _q(
             lambda t: curation.span_corruption_stats(t["documents"])
         ),
+        # between-label centroid confusability matrix
+        "centroid_pair_cosine": _q(similarity.centroid_pair_cosine),
+        # what each SemDeDup cosine threshold would remove, one plan
+        "semdedup_threshold_curve": _q(similarity.semdedup_threshold_curve),
+        # token budget -> per-source passes, with the 4-epoch cap
+        "mixture_epochs_plan": _q(
+            lambda t: curation.mixture_epochs_plan(t["documents"])
+        ),
     }
 
 
@@ -1901,4 +1909,7 @@ def oracle_sql() -> dict[str, str]:
         "packing_efficiency_curve": curation.packing_efficiency_curve_sql(),
         "token_loop_stats": text.token_loop_stats_sql(),
         "span_corruption_stats": curation.span_corruption_stats_sql(),
+        "centroid_pair_cosine": similarity.CENTROID_PAIR_COSINE_SQL,
+        "semdedup_threshold_curve": similarity.semdedup_threshold_curve_sql(),
+        "mixture_epochs_plan": curation.mixture_epochs_plan_sql(),
     }

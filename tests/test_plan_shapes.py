@@ -62,6 +62,9 @@ NESTED_LOOP_OK = {
     # round-4 second batch: all broadcast ONE-ROW scalar aggregates
     "bigram_logprob",  # vocabulary-size (V) one-row crossJoin
     "source_mixture_weights",  # corpus-total + weight-sum one-row joins
+    # round-7: same class — broadcast ONE-ROW scalar aggregates
+    "semdedup_threshold_curve",  # per-tau (n_pairs x n_docs) 1-row folds
+    "mixture_epochs_plan",  # inherits mixture's totals + z/n_total rows
     # |ks|-row (3-row literal) broadcast with a rank<=k theta join —
     # size-invariant at any SF (same class as histogram_quantiles)
     "vocab_coverage_curve",

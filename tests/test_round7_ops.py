@@ -377,3 +377,80 @@ def test_span_corruption_rate_near_target(spark, tables):
     )
     rate = row.m / row.n
     assert 0.11 < rate < 0.19, rate
+
+
+# --- centroid_pair_cosine -------------------------------------------------------
+
+
+def test_centroid_pair_cosine_planted(spark):
+    from training_etl_demo_2_spark.operators import similarity
+
+    def vec(x, y):
+        v = [0.0] * 64
+        v[0], v[1] = x, y
+        return v
+
+    # label 0 along +x, label 1 along +y (orthogonal), label 2 = label 0
+    # direction (confusable twin)
+    emb = spark.createDataFrame(
+        [(1, vec(1.0, 0.0), 0), (2, vec(2.0, 0.0), 0),
+         (3, vec(0.0, 1.0), 1), (4, vec(0.0, 3.0), 1),
+         (5, vec(5.0, 0.0), 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {(r.label_a, r.label_b): r.cosine
+           for r in similarity.centroid_pair_cosine(
+               {"embeddings": emb}).collect()}
+    assert out[(0, 1)] == 0.0
+    assert out[(0, 2)] == 1.0
+    assert out[(1, 2)] == 0.0
+
+
+# --- semdedup_threshold_curve ---------------------------------------------------
+
+
+def test_semdedup_threshold_curve_monotone_and_exact(spark, tables):
+    from training_etl_demo_2_spark.operators import similarity
+
+    rows = similarity.semdedup_threshold_curve(
+        {"embeddings": tables["embeddings"]}).collect()
+    taus = [r.tau for r in rows]
+    assert taus == sorted(taus)
+    # raising tau can only shrink both counts
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs and a.n_docs >= b.n_docs
+    # every doc counted at tau participates in >= 1 pair at tau
+    assert all(r.n_docs <= 2 * r.n_pairs for r in rows if r.n_pairs)
+
+
+# --- mixture_epochs_plan --------------------------------------------------------
+
+
+def test_mixture_epochs_plan_small_source_hits_cap(spark):
+    import duckdb
+
+    from training_etl_demo_2_spark.operators import curation
+
+    # big: 9 docs x 100 tokens; tiny: 1 doc x 10 tokens. alpha=0.7
+    # upweights tiny enough that a 2x budget asks it for > 4 epochs.
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(100)), "big")
+         for i in range(9)]
+        + [(99, " ".join(f"t{j}" for j in range(10)), "tiny")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in
+           curation.mixture_epochs_plan(docs).collect()}
+    assert out["tiny"].over_cap and not out["big"].over_cap
+    assert out["tiny"].granted_tokens == 10 * 4  # capped at 4.0 epochs
+    assert out["tiny"].requested_tokens > out["tiny"].granted_tokens
+    # invariants: grants never exceed requests; epochs math exact
+    for r in out.values():
+        assert r.granted_tokens <= r.requested_tokens
+        assert r.epochs_micro == r.requested_tokens * 10**6 // r.n_tokens
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = {r[0]: tuple(r) for r in
+            con.sql(curation.mixture_epochs_plan_sql()).fetchall()}
+    for s, r in out.items():
+        assert tuple(r) == want[s]

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from ..cache import tracked_cache
+from ..cache import tracked_cache, tracked_persist
 
 from ..functions import FNV_MOD, rolling_hash
 from .dedup import DEFAULT_NGRAM, shingle_hashes
@@ -2480,4 +2480,112 @@ def span_corruption_stats_sql() -> str:
     SELECT doc_id, n_tokens, n_masked, n_mask_spans,
            n_masked * 10000 // n_tokens AS mask_bp
     FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# mixture epochs plan (token budget -> per-source passes)
+# ---------------------------------------------------------------------------
+
+EPOCHS_BUDGET_MULT = 2  # train-token budget as a multiple of corpus tokens
+EPOCHS_CAP_MICRO = 4_000_000  # 4.0 epochs (the useful-repetition bound)
+
+
+def mixture_epochs_plan(
+    df: DataFrame,
+    budget_mult: int = EPOCHS_BUDGET_MULT,
+    alpha: float = MIXTURE_ALPHA,
+    cap_micro: int = EPOCHS_CAP_MICRO,
+    text_col: str = "text",
+) -> DataFrame:
+    """Turn the temperature mixture into the ALLOCATION a training run
+    executes: given a token budget of ``budget_mult``× the corpus and
+    the ``source_mixture_weights`` sampling shares, how many tokens —
+    and therefore how many PASSES (epochs) — each source is asked for.
+    Small upweighted sources hit the repetition cap (~4 epochs is where
+    repeated data stops helping, Muennighoff et al. 2023); the plan
+    reports each source's requested tokens, exact micro-epochs, the cap
+    flag, and the granted tokens after capping — the shortfall is what
+    a mixture owner re-allocates before launching.
+
+    Exact-integer discipline end to end: requests divide integers with
+    truncating div on both engines (the w_nano temperature weights are
+    already nano-quantized), epochs are exact micro-units, grants are
+    integer mins — nothing floats, so the plan is bit-identical to its
+    twin by construction.
+
+    Scale shape: inherits the one-pass source aggregate + one-row
+    broadcast totals of ``source_mixture_weights``; everything after is
+    |sources|-sized arithmetic.
+
+    Output: (source, n_tokens, w_bp, requested_tokens, epochs_micro,
+    over_cap, granted_tokens).
+    """
+    # three consumers (z, the token total, and the plan itself) — persist
+    # the sources-sized weight relation so the corpus pass runs once
+    w = source_mixture_weights(df, alpha, text_col).transform(tracked_persist)
+    z = w.agg(F.sum("w_nano").cast("long").alias("z"))
+    tot = w.agg(F.sum("n_tokens").cast("long").alias("n_total"))
+    req = F.expr(
+        f"CAST((CAST(w_nano AS DECIMAL(38,0)) * {budget_mult} * n_total)"
+        f" DIV z AS LONG)"
+    )
+    return (
+        w.crossJoin(F.broadcast(z))
+        .crossJoin(F.broadcast(tot))
+        .select("source", "n_tokens", "w_bp", req.alias("requested_tokens"))
+        .select(
+            "*",
+            F.expr(
+                "CAST((CAST(requested_tokens AS DECIMAL(38,0)) * 1000000)"
+                " DIV n_tokens AS LONG)"
+            ).alias("epochs_micro"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "w_bp",
+            "requested_tokens",
+            "epochs_micro",
+            (F.col("epochs_micro") > cap_micro).alias("over_cap"),
+            F.least(
+                F.col("requested_tokens"),
+                F.expr(
+                    f"CAST((CAST(n_tokens AS DECIMAL(38,0)) * {cap_micro})"
+                    f" DIV 1000000 AS LONG)"
+                ),
+            ).alias("granted_tokens"),
+        )
+    )
+
+
+def mixture_epochs_plan_sql(
+    budget_mult: int = EPOCHS_BUDGET_MULT,
+    alpha: float = MIXTURE_ALPHA,
+    cap_micro: int = EPOCHS_CAP_MICRO,
+) -> str:
+    """Twin: same nano-weight relation, same truncating integer
+    divisions (DuckDB // on HUGEINT products)."""
+    return f"""
+    WITH w AS MATERIALIZED ({source_mixture_weights_sql(alpha)}),
+    z AS (SELECT CAST(sum(w_nano) AS BIGINT) AS z,
+                 CAST(sum(n_tokens) AS BIGINT) AS n_total FROM w),
+    req AS (
+        SELECT source, n_tokens, w_bp,
+               CAST(CAST(w_nano AS HUGEINT) * {budget_mult} * n_total // z
+                    AS BIGINT) AS requested_tokens
+        FROM w CROSS JOIN z
+    ),
+    ep AS (
+        SELECT *,
+               CAST(CAST(requested_tokens AS HUGEINT) * 1000000 // n_tokens
+                    AS BIGINT) AS epochs_micro
+        FROM req
+    )
+    SELECT source, n_tokens, w_bp, requested_tokens, epochs_micro,
+           epochs_micro > {cap_micro} AS over_cap,
+           least(requested_tokens,
+                 CAST(CAST(n_tokens AS HUGEINT) * {cap_micro} // 1000000
+                      AS BIGINT)) AS granted_tokens
+    FROM ep
     """

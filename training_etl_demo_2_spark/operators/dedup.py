@@ -445,8 +445,14 @@ def _shingle_arrays(
     so one phantom NULL bucket diverges from the exploded-semantics
     oracle twins)."""
     tokens = F.split(F.col(text_col), " ")
+    # short-doc filter on TOKEN COUNT, not on the derived hs column:
+    # tokens >= n  <=>  hs non-empty, but a filter on size(hs) makes
+    # Catalyst evaluate the whole ngram+hash+distinct chain twice
+    # (Filter and Project don't share the subexpression — measured ~2x
+    # on the map stage)
     return (
         spread_scan(df)
+        .filter(F.size(tokens) >= n)
         .select(
             "doc_id",
             F.array_distinct(
@@ -456,7 +462,6 @@ def _shingle_arrays(
                 )
             ).alias("hs"),
         )
-        .filter(F.size("hs") > 0)
     )
 
 

@@ -2763,3 +2763,180 @@ def ivf_nprobe_curve_sql(
     )
     {joined}
     """
+
+
+# ---------------------------------------------------------------------------
+# between-label centroid confusability matrix
+# ---------------------------------------------------------------------------
+
+
+def centroid_pair_cosine(t: dict[str, DataFrame]) -> DataFrame:
+    """Pairwise cosine BETWEEN label centroids — the confusability
+    matrix that complements ``label_centroid_stats`` (which measures
+    each cluster's internal health): two labels whose centroids sit at
+    cosine ~1 are duplicate or mislabeled classes that will train as
+    noise; near-orthogonal centroids are well-separated. This is the
+    one-page answer to "which classes should be merged / audited"
+    before training on labeled embeddings.
+
+    Fully relational like its sibling: vectors explode to (label, dim,
+    val), centroids are one (label, dim) aggregate (|labels|·dim rows —
+    metadata-sized), and the pair matrix is a dim-keyed self-join of
+    that tiny relation. Nothing corpus-sized past the first aggregate;
+    per-dim double sums live inside the repo-wide round-6 grid.
+
+    Output: (label_a, label_b, cosine), label_a < label_b.
+    """
+    emb = t["embeddings"]
+    elems = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = elems.groupBy("label", "dim").agg(F.avg("val").alias("c"))
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nrm")
+    )
+    ca = cent.select(F.col("label").alias("label_a"), "dim", F.col("c").alias("va"))
+    cb = cent.select(F.col("label").alias("label_b"), "dim", F.col("c").alias("vb"))
+    dots = (
+        ca.join(cb, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("dot"))
+    )
+    return (
+        dots.join(
+            norms.select(F.col("label").alias("label_a"), F.col("nrm").alias("na")),
+            "label_a",
+        )
+        .join(
+            norms.select(F.col("label").alias("label_b"), F.col("nrm").alias("nb")),
+            "label_b",
+        )
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+
+
+CENTROID_PAIR_COSINE_SQL = """
+    WITH elems AS (
+        SELECT label, t.i AS dim, embedding[t.i]::DOUBLE AS val
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+        SELECT label, dim, avg(val) AS c FROM elems GROUP BY label, dim
+    ),
+    norms AS (
+        SELECT label, sqrt(sum(c * c)) AS nrm FROM cent GROUP BY label
+    ),
+    dots AS (
+        SELECT a.label AS label_a, b.label AS label_b, sum(a.c * b.c) AS dot
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY 1, 2
+    )
+    SELECT d.label_a, d.label_b,
+           round(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup threshold curve
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAUS = (0.5, 0.6, 0.7, 0.8)
+
+
+def semdedup_threshold_curve(
+    t: dict[str, DataFrame], taus: tuple[float, ...] = SEMDEDUP_TAUS
+) -> DataFrame:
+    """What each semantic-dedup cosine threshold would REMOVE: pair
+    count and distinct-document count above every τ in one plan —
+    completing the tuning-curve family (``jaccard_threshold_curve``
+    for lexical dedup, ``ivf_nprobe_curve`` for ANN,
+    ``packing_efficiency_curve`` for budgets). The τ you run SemDeDup
+    at decides how much of the corpus collapses; this measures that
+    before the 100 TB pass.
+
+    One pair relation computed at the LOWEST τ (the auto-dispatching
+    ``cosine_near_pairs``: exact at fixture scale — the oracle tier —
+    LSH-bucketed above ``NEAR_PAIRS_AUTO_LSH_ROWS``), then |τ|
+    conditional one-row folds; the doc count folds off a per-doc
+    max-sim relation so no per-τ distinct is needed.
+
+    Output: (tau, n_pairs, n_docs) ordered by tau.
+    """
+    pairs = cosine_near_pairs(
+        t["embeddings"], threshold=min(taus)
+    ).transform(tracked_persist)
+    docmax = (
+        pairs.select(F.col("vec_a").alias("v"), "sim")
+        .unionByName(pairs.select(F.col("vec_b").alias("v"), "sim"))
+        .groupBy("v")
+        .agg(F.max("sim").alias("ms"))
+    )
+    arms = []
+    for tau in taus:
+        arms.append(
+            pairs.agg(
+                F.sum((F.col("sim") >= tau).cast("long"))
+                .cast("long")
+                .alias("n_pairs")
+            )
+            .crossJoin(
+                F.broadcast(
+                    docmax.agg(
+                        F.sum((F.col("ms") >= tau).cast("long"))
+                        .cast("long")
+                        .alias("n_docs")
+                    )
+                )
+            )
+            .select(
+                F.lit(tau).alias("tau"),
+                F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias(
+                    "n_pairs"
+                ),
+                F.coalesce(F.col("n_docs"), F.lit(0).cast("long")).alias(
+                    "n_docs"
+                ),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("tau")
+
+
+def semdedup_threshold_curve_sql(
+    taus: tuple[float, ...] = SEMDEDUP_TAUS,
+) -> str:
+    """Twin: the exact brute pair CTE at min(τ) + identical folds."""
+    from .oracle_text import cosine_near_pairs_sql
+
+    arms = "\n    UNION ALL\n    ".join(
+        f"""SELECT CAST({tau!r} AS DOUBLE) AS tau,
+           (SELECT CAST(coalesce(sum(CASE WHEN sim >= {tau} THEN 1 END), 0)
+                AS BIGINT) FROM p) AS n_pairs,
+           (SELECT CAST(coalesce(sum(CASE WHEN ms >= {tau} THEN 1 END), 0)
+                AS BIGINT) FROM dm) AS n_docs"""
+        for tau in taus
+    )
+    return f"""
+    WITH p AS MATERIALIZED ({cosine_near_pairs_sql(threshold=min(taus))}),
+    dm AS MATERIALIZED (
+        SELECT v, max(sim) AS ms FROM (
+            SELECT vec_a AS v, sim FROM p
+            UNION ALL
+            SELECT vec_b AS v, sim FROM p
+        ) GROUP BY v
+    )
+    {arms}
+    ORDER BY tau
+    """
