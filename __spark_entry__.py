@@ -1008,6 +1008,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_epochs_plan": _q(
             lambda t: curation.mixture_epochs_plan(t["documents"])
         ),
+        # giant-cluster alarm: near-dup cluster-size histogram
+        "dedup_cluster_size_hist": _q(dedup.dedup_cluster_size_hist),
+        # transitivity drift: verified vs closure-implied pairs per cluster
+        "cluster_chain_audit": _q(dedup.cluster_chain_audit),
+        # which Gopher rules co-fire (filter redundancy audit)
+        "gopher_rule_overlap_matrix": _q(
+            lambda t: text.gopher_rule_overlap_matrix(t["documents"])
+        ),
     }
 
 
@@ -1912,4 +1920,7 @@ def oracle_sql() -> dict[str, str]:
         "centroid_pair_cosine": similarity.CENTROID_PAIR_COSINE_SQL,
         "semdedup_threshold_curve": similarity.semdedup_threshold_curve_sql(),
         "mixture_epochs_plan": curation.mixture_epochs_plan_sql(),
+        "dedup_cluster_size_hist": dedup.dedup_cluster_size_hist_sql(),
+        "cluster_chain_audit": dedup.cluster_chain_audit_sql(),
+        "gopher_rule_overlap_matrix": text.gopher_rule_overlap_matrix_sql(),
     }

@@ -454,3 +454,59 @@ def test_mixture_epochs_plan_small_source_hits_cap(spark):
             con.sql(curation.mixture_epochs_plan_sql()).fetchall()}
     for s, r in out.items():
         assert tuple(r) == want[s]
+
+
+# --- cluster_chain_audit / dedup_cluster_size_hist ------------------------------
+
+
+def test_cluster_chain_audit_path_cluster(spark):
+    """A-B-C chain: A~B and B~C verified, A-C only by transitivity.
+    One 3-doc cluster, 2 direct pairs, 3 possible, 1 chained
+    (chain_bp = 3333)."""
+    from training_etl_demo_2_spark.operators import dedup
+
+    base = [f"w{i:02d}" for i in range(60)]
+    a = " ".join(base[:50])                       # docs 0..49
+    b = " ".join(base[5:55])                      # overlap 45/55 with both
+    c = " ".join(base[10:60])
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    # pick a threshold where adjacent pairs pass but the ends don't
+    pairs = {(r.doc_a, r.doc_b)
+             for r in dedup.minhash_lsh_pairs(docs, threshold=0.7).collect()}
+    assert pairs == {(1, 2), (2, 3)}
+    out = dedup.cluster_chain_audit(
+        {"documents": docs}, threshold=0.7).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_docs, r.direct_pairs, r.possible_pairs,
+            r.chained_pairs, r.chain_bp) == (3, 2, 3, 1, 3333)
+    hist = dedup.dedup_cluster_size_hist(
+        {"documents": docs}, threshold=0.7).collect()
+    assert [(h.cluster_size, h.n_clusters, h.n_docs) for h in hist] \
+        == [(3, 1, 3)]
+
+
+def test_gopher_rule_overlap_matrix_planted(spark):
+    """Doc A fails word-count AND stopwords (too short, no stopwords);
+    doc B fails stopwords only; doc C passes everything. The
+    (ok_stopwords, ok_word_count) cell must show both=1 with marginals
+    2 and 1."""
+    from training_etl_demo_2_spark.operators import text as t
+
+    good = ("the data and the rest of it to go is here in full " +
+            " ".join(f"fill{i:02d}" for i in range(40)))
+    docs = spark.createDataFrame(
+        [
+            (1, "tiny doc without markers"),                      # A
+            (2, " ".join(f"blob{i:02d}" for i in range(60))),     # B
+            (3, good),                                            # C
+        ],
+        "doc_id long, text string",
+    )
+    out = {(r.rule_a, r.rule_b): r for r in
+           t.gopher_rule_overlap_matrix(docs).collect()}
+    cell = out[("ok_word_count", "ok_stopwords")]  # declared rule order
+    assert (cell.n_fail_a, cell.n_fail_b, cell.n_fail_both) == (1, 2, 1)
+    assert len(out) == 10

@@ -3748,3 +3748,163 @@ def near_dup_source_matrix_sql(
     SELECT source_a, source_b, n_pairs, n_docs
     FROM np JOIN nd USING (source_a, source_b)
     """
+
+
+# ---------------------------------------------------------------------------
+# transitive-closure audits of the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def dedup_cluster_size_hist(
+    t: dict[str, DataFrame],
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Cluster-SIZE histogram of the near-dup graph — the giant-cluster
+    alarm ``near_dup_degree_hist`` (a per-NODE view) cannot raise: a
+    long chain has degree ≤ 2 everywhere yet collapses hundreds of docs
+    into one representative. Size distribution is the first thing to
+    read before trusting a transitive dedup pass: mass in large
+    clusters means the threshold (or the closure itself) is deleting
+    real content.
+
+    Scale shape: the cluster relation (near-dup-sized), one groupBy per
+    cluster, one groupBy per size — output is |distinct sizes| rows.
+
+    Output: (cluster_size, n_clusters, n_docs) ordered by size.
+    """
+    members = near_dup_clusters(t["documents"], text_col, n, threshold)
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+def dedup_cluster_size_hist_sql(
+    n: int = DEFAULT_NGRAM, threshold: float = 0.8
+) -> str:
+    from .oracle import near_dup_clusters_sql
+
+    return f"""
+    WITH members AS MATERIALIZED ({near_dup_clusters_sql(n, threshold)}),
+    sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM members GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+    """
+
+
+def cluster_chain_audit(
+    t: dict[str, DataFrame],
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """How much of each cluster is TRANSITIVITY, not similarity: per
+    near-dup cluster, the directly-verified pair count vs the C(k,2)
+    pairs the transitive closure implies. chained = C(k,2) − direct is
+    the number of doc pairs the dedup treats as duplicates WITHOUT any
+    verified similarity between them — chain drift (A~B, B~C, A≁C) is
+    how a conservative 0.8 threshold still collapses unrelated content,
+    and chain_bp is the number to alarm on before a 100 TB collapse.
+
+    Exact integers throughout (chain_bp = chained·10000 div possible).
+
+    Scale shape: the pair and cluster relations (both near-dup-sized)
+    joined on one side's doc_id, grouped per cluster — nothing beyond
+    the dedup tier it audits.
+
+    Output: (cluster_id, n_docs, direct_pairs, possible_pairs,
+    chained_pairs, chain_bp) — clusters only (k ≥ 2).
+    """
+    d = t["documents"]
+    pairs = minhash_lsh_pairs(d, text_col, n, threshold)
+    members = near_dup_clusters(d, text_col, n, threshold).transform(
+        tracked_persist
+    )
+    sizes = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    # every verified pair lies inside one cluster: attach via doc_a
+    direct = (
+        pairs.join(
+            members.select(
+                F.col("doc_id").alias("doc_a"), "cluster_id"
+            ),
+            "doc_a",
+        )
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("direct_pairs"))
+    )
+    poss = (F.col("n_docs") * (F.col("n_docs") - 1) / 2).cast("long")
+    return (
+        sizes.join(direct, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_docs",
+            F.coalesce(F.col("direct_pairs"), F.lit(0).cast("long")).alias(
+                "direct_pairs"
+            ),
+            poss.alias("possible_pairs"),
+        )
+        .select(
+            "*",
+            (F.col("possible_pairs") - F.col("direct_pairs"))
+            .cast("long")
+            .alias("chained_pairs"),
+        )
+        .select(
+            "*",
+            F.expr(
+                "CAST((possible_pairs - direct_pairs) * 10000"
+                " DIV possible_pairs AS LONG)"
+            ).alias("chain_bp"),
+        )
+    )
+
+
+def cluster_chain_audit_sql(
+    n: int = DEFAULT_NGRAM, threshold: float = 0.8
+) -> str:
+    from .oracle import minhash_lsh_sql, near_dup_clusters_sql
+
+    return f"""
+    WITH members AS MATERIALIZED ({near_dup_clusters_sql(n, threshold)}),
+    pairs AS MATERIALIZED ({minhash_lsh_sql(n, threshold)}),
+    sizes AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_docs
+        FROM members GROUP BY cluster_id
+    ),
+    direct AS (
+        SELECT m.cluster_id, CAST(count(*) AS BIGINT) AS direct_pairs
+        FROM pairs p JOIN members m ON m.doc_id = p.doc_a
+        GROUP BY m.cluster_id
+    )
+    SELECT s.cluster_id, s.n_docs,
+           coalesce(d.direct_pairs, 0) AS direct_pairs,
+           CAST(s.n_docs * (s.n_docs - 1) // 2 AS BIGINT) AS possible_pairs,
+           CAST(s.n_docs * (s.n_docs - 1) // 2
+                - coalesce(d.direct_pairs, 0) AS BIGINT) AS chained_pairs,
+           CAST((s.n_docs * (s.n_docs - 1) // 2
+                 - coalesce(d.direct_pairs, 0)) * 10000
+                // (s.n_docs * (s.n_docs - 1) // 2) AS BIGINT) AS chain_bp
+    FROM sizes s LEFT JOIN direct d ON d.cluster_id = s.cluster_id
+    """

@@ -3094,3 +3094,90 @@ def token_loop_stats_sql() -> str:
     JOIN mr ON mr.doc_id = t.doc_id
     LEFT JOIN tri ON tri.doc_id = t.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule overlap matrix
+# ---------------------------------------------------------------------------
+
+GOPHER_RULES = (
+    "ok_word_count",
+    "ok_mean_word_len",
+    "ok_symbol_ratio",
+    "ok_alpha_words",
+    "ok_stopwords",
+)
+
+
+def gopher_rule_overlap_matrix(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Which Gopher rules CO-FIRE: per unordered rule pair, how many
+    documents fail both, next to each rule's marginal failure count —
+    the redundancy audit behind filter tuning (a rule whose failures
+    are a subset of another's adds latency, not selectivity; a rule
+    that only ever fires alone deserves its own threshold review).
+
+    One pass: the flag relation aggregates all pair and marginal
+    counts map-side into a single row, which explodes to the
+    |pairs|-row matrix — no joins, no second scan.
+
+    Output: (rule_a, rule_b, n_fail_a, n_fail_b, n_fail_both), pairs
+    in the declared GOPHER_RULES order (rule_a before rule_b).
+    """
+    flags = gopher_quality_rules(df, text_col)
+    pair_list = [
+        (GOPHER_RULES[i], GOPHER_RULES[j])
+        for i in range(len(GOPHER_RULES))
+        for j in range(i + 1, len(GOPHER_RULES))
+    ]
+    aggs = [
+        F.sum((~F.col(a) & ~F.col(b)).cast("long")).alias(f"b_{a}__{b}")
+        for a, b in pair_list
+    ] + [
+        F.sum((~F.col(r)).cast("long")).alias(f"m_{r}")
+        for r in GOPHER_RULES
+    ]
+    one = flags.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("rule_a"),
+                F.lit(b).alias("rule_b"),
+                F.col(f"m_{a}").alias("n_fail_a"),
+                F.col(f"m_{b}").alias("n_fail_b"),
+                F.col(f"b_{a}__{b}").alias("n_fail_both"),
+            )
+            for a, b in pair_list
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("r"))
+        .select("r.*")
+        .orderBy("rule_a", "rule_b")
+    )
+
+
+def gopher_rule_overlap_matrix_sql() -> str:
+    """Twin: the gopher flag query as a CTE + identical folds, one
+    UNION ALL arm per rule pair."""
+    pair_list = [
+        (GOPHER_RULES[i], GOPHER_RULES[j])
+        for i in range(len(GOPHER_RULES))
+        for j in range(i + 1, len(GOPHER_RULES))
+    ]
+    arms = "\n    UNION ALL\n    ".join(
+        f"""SELECT '{a}' AS rule_a, '{b}' AS rule_b,
+           (SELECT CAST(coalesce(sum(CASE WHEN NOT {a} THEN 1 END), 0)
+                AS BIGINT) FROM g) AS n_fail_a,
+           (SELECT CAST(coalesce(sum(CASE WHEN NOT {b} THEN 1 END), 0)
+                AS BIGINT) FROM g) AS n_fail_b,
+           (SELECT CAST(coalesce(sum(CASE WHEN NOT {a} AND NOT {b}
+                THEN 1 END), 0) AS BIGINT) FROM g) AS n_fail_both"""
+        for a, b in pair_list
+    )
+    return f"""
+    WITH g AS MATERIALIZED ({gopher_quality_rules_sql()})
+    {arms}
+    ORDER BY rule_a, rule_b
+    """
