@@ -23,6 +23,9 @@ def _cache_manager_empty(spark) -> bool:
 
 
 def test_cache_scope_releases_tracked_persists(spark, tables):
+    # the session fixture is shared: earlier test files legitimately
+    # leave their own cached relations — this test owns the CacheManager
+    spark.catalog.clearCache()
     df = tables["nation"].transform(tracked_persist)  # outside any scope
     try:
         assert df.count() > 0

@@ -70,11 +70,15 @@ def corpus_pipeline_e2e(
     (doc_id, n_tokens, pack_id) on the final (scrubbed, span-cleaned)
     text — the manifest a training loader would consume."""
     docs = t["documents"]
-    # 1. Gopher rules: auditable flags -> act on pass_all
-    s1 = docs.join(
-        gopher_quality_rules(docs).filter("pass_all").select("doc_id"),
-        "doc_id",
-        "left_semi",
+    # 1. Gopher rules: auditable flags -> act on pass_all. Persisted:
+    # the language tier reads s1 twice (classifier input + semi-join
+    # base), and without the barrier each read re-runs the Gopher pass
+    s1 = tracked_persist(
+        docs.join(
+            gopher_quality_rules(docs).filter("pass_all").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
     )
     # 2. language filter on the PREDICTED language (the raw `lang`
     # label is metadata, not a classifier)
