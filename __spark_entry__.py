@@ -1016,6 +1016,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rule_overlap_matrix": _q(
             lambda t: text.gopher_rule_overlap_matrix(t["documents"])
         ),
+        # surgical benchmark decontamination: cut probe-overlap spans
+        "decontaminate_spans": _q(dedup.decontaminate_spans),
+        # packs hash-assigned to loader shards: per-shard skew numbers
+        "shard_skew_report": _q(
+            lambda t: curation.shard_skew_report(t["documents"])
+        ),
     }
 
 
@@ -1923,4 +1929,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_size_hist": dedup.dedup_cluster_size_hist_sql(),
         "cluster_chain_audit": dedup.cluster_chain_audit_sql(),
         "gopher_rule_overlap_matrix": text.gopher_rule_overlap_matrix_sql(),
+        "decontaminate_spans": dedup.decontaminate_spans_sql(),
+        "shard_skew_report": curation.shard_skew_report_sql(),
     }

@@ -510,3 +510,64 @@ def test_gopher_rule_overlap_matrix_planted(spark):
     cell = out[("ok_word_count", "ok_stopwords")]  # declared rule order
     assert (cell.n_fail_a, cell.n_fail_b, cell.n_fail_both) == (1, 2, 1)
     assert len(out) == 10
+
+
+# --- decontaminate_spans --------------------------------------------------------
+
+
+def test_decontaminate_spans_cuts_probe_overlap_only(spark):
+    """Probe doc 1 contains phrase P; train doc 10 embeds P verbatim
+    between its own prefix/suffix -> exactly P's span is cut, the rest
+    survives; train doc 11 shares nothing -> untouched. Matches the
+    twin on the same corpus."""
+    import duckdb
+
+    from training_etl_demo_2_spark.operators import dedup
+
+    phrase = " ".join(f"p{i:02d}" for i in range(8))        # 8 tokens
+    pre = " ".join(f"a{i:02d}" for i in range(6))
+    suf = " ".join(f"z{i:02d}" for i in range(6))
+    rows = [
+        (1, f"probe prefix {phrase} probe suffix"),          # probe doc
+        (10, f"{pre} {phrase} {suf}"),                       # contaminated
+        (11, " ".join(f"q{i:02d}" for i in range(20))),      # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           dedup.decontaminate_spans({"documents": docs}).collect()}
+    assert set(out) == {10, 11}                              # probe excluded
+    assert out[11].n_removed == 0
+    assert out[10].n_removed == 8
+    assert out[10].clean_text == f"{pre} {suf}"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {r[0]: tuple(r) for r in
+            con.sql(dedup.decontaminate_spans_sql()).fetchall()}
+    for i, r in out.items():
+        assert tuple(r) == want[i]
+
+
+# --- shard_skew_report ----------------------------------------------------------
+
+
+def test_shard_skew_report_conserves_totals(spark):
+    import duckdb
+
+    from training_etl_demo_2_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(40 + i % 30)))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    out = curation.shard_skew_report(docs).collect()
+    total_tokens = sum(40 + i % 30 for i in range(60))
+    assert sum(r.n_docs for r in out) == 60
+    assert sum(r.n_tokens for r in out) == total_tokens
+    assert all(0 <= r.shard < curation.SHARD_COUNT for r in out)
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    want = sorted(tuple(r) for r in
+                  con.sql(curation.shard_skew_report_sql()).fetchall())
+    assert sorted(tuple(r) for r in out) == want

@@ -2589,3 +2589,65 @@ def mixture_epochs_plan_sql(
                       AS BIGINT)) AS granted_tokens
     FROM ep
     """
+
+
+# ---------------------------------------------------------------------------
+# shard layout report
+# ---------------------------------------------------------------------------
+
+SHARD_COUNT = 16
+
+
+def shard_skew_report(
+    df: DataFrame,
+    budget: int = 256,
+    n_shards: int = SHARD_COUNT,
+    text_col: str = "text",
+) -> DataFrame:
+    """The last hop of the corpus pipeline: packs hash-assigned to
+    output SHARDS (the files a distributed training loader actually
+    reads), with per-shard pack/doc/token counts — the skew a loader's
+    slowest-worker step is bounded by. Assignment hashes the pack id
+    ("shard:" + pack_id, the append-stable rule dataset_split uses for
+    docs), so the layout is reproducible on any engine and adding packs
+    never reshuffles existing ones.
+
+    Output: one row per shard (shard, n_packs, n_docs, n_tokens),
+    ordered; skew is read off as max/mean of n_tokens.
+
+    Scale shape: the packing pass (parallel per doc_id % n_groups)
+    plus one groupBy over the pack relation — shards-sized output.
+    """
+    packs = pack_sequences(df, budget=budget, text_col=text_col)
+    h = rolling_hash(F.concat(F.lit("shard:"), F.col("pack_id")))
+    return (
+        packs.select(
+            (h % n_shards).cast("long").alias("shard"),
+            "pack_id",
+            "n_tokens",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count_distinct("pack_id").cast("long").alias("n_packs"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+
+
+def shard_skew_report_sql(
+    budget: int = 256, n_shards: int = SHARD_COUNT
+) -> str:
+    """Twin: the pack recurrence + the same pack-id hash % shards."""
+    h = ROLLING_HASH.format(s="'shard:' || pack_id")
+    return f"""
+    WITH p AS ({pack_sequences_sql(budget=budget)})
+    SELECT CAST(({h}) % {n_shards} AS BIGINT) AS shard,
+           CAST(count(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM p
+    GROUP BY 1
+    ORDER BY shard
+    """

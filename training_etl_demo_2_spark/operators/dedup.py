@@ -1013,9 +1013,16 @@ def duplicate_spans(
         .filter(F.col("nd") >= min_docs)
         .select("h")
     )
+    flagged = grams.join(dup, "h", "semi")
+    return _merge_flagged_spans(flagged, k)
+
+
+def _merge_flagged_spans(flagged: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos) flagged k-gram positions → maximal DISJOINT token
+    spans (the gaps-and-islands + interval-merge core shared by
+    ``duplicate_spans`` and ``decontaminate_spans``)."""
     from pyspark.sql import Window
 
-    flagged = grams.join(dup, "h", "semi")
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = flagged.withColumn(
         "grp", F.col("pos") - F.row_number().over(w)
@@ -1074,7 +1081,14 @@ def remove_duplicate_spans(
     (transform + exists over the doc's own span list — spans per doc
     are few) — no new shuffle beyond the span join.
     """
-    spans = duplicate_spans(df, text_col, k, min_docs)
+    return _cut_spans(df, duplicate_spans(df, text_col, k, min_docs), text_col)
+
+
+def _cut_spans(df: DataFrame, spans: DataFrame, text_col: str) -> DataFrame:
+    """Cut ``spans`` (disjoint token intervals per doc) out of ``df``'s
+    text — the reassembly core shared by ``remove_duplicate_spans`` and
+    ``decontaminate_spans``. Every input doc is emitted (no-span docs
+    pass through with n_removed = 0)."""
     span_sets = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
@@ -3907,4 +3921,140 @@ def cluster_chain_audit_sql(
                  - coalesce(d.direct_pairs, 0)) * 10000
                 // (s.n_docs * (s.n_docs - 1) // 2) AS BIGINT) AS chain_bp
     FROM sizes s LEFT JOIN direct d ON d.cluster_id = s.cluster_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# probe-based span decontamination
+# ---------------------------------------------------------------------------
+
+DECON_PROBE_PRED = "doc_id < 5"  # fixture probe set, same as contamination
+
+
+def decontaminate_spans(
+    t: dict[str, DataFrame],
+    text_col: str = "text",
+    k: int = 5,
+    probe_pred: str = DECON_PROBE_PRED,
+) -> DataFrame:
+    """SURGICAL benchmark decontamination (the GPT-3/Pile recipe):
+    instead of dropping every training document that shares an n-gram
+    with the eval/probe set (``contamination_check`` flags them), cut
+    only the overlapping SPANS and keep the rest of the document —
+    maximal runs of train k-grams that occur anywhere in the probe
+    corpus, merged into disjoint token intervals and removed. Probe
+    docs themselves are excluded from the output.
+
+    Machinery shared with substring dedup (same gaps-and-islands +
+    interval merge + per-token cut — ``_merge_flagged_spans`` /
+    ``_cut_spans``); only the FLAG differs: membership in the probe's
+    gram-hash set instead of corpus-wide multiplicity.
+
+    Scale shape: probe gram hashes are a bounded vocabulary
+    (benchmarks are small — broadcast semi-join); the train side is
+    the same narrow gram explode substring dedup already pays; the
+    span windows run over FLAGGED positions only (contamination-sized,
+    not corpus-sized).
+
+    Output: (doc_id, clean_text, n_tokens, n_removed) for every
+    non-probe document.
+    """
+    d = t["documents"]
+    probe = d.filter(probe_pred)
+    train = d.filter(f"NOT ({probe_pred})")
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    probe_h = (
+        probe.select(F.explode(word_ngrams(toks, k)).alias("gram"))
+        .select(rolling_hash(F.col("gram")).alias("h"))
+        .distinct()
+    )
+    grams = spread_scan(train).select(
+        "doc_id",
+        F.posexplode(word_ngrams(toks, k)).alias("pos", "gram"),
+    ).select("doc_id", "pos", rolling_hash(F.col("gram")).alias("h"))
+    flagged = grams.join(F.broadcast(probe_h), "h", "semi")
+    return _cut_spans(train, _merge_flagged_spans(flagged, k), text_col)
+
+
+def decontaminate_spans_sql(
+    k: int = 5, probe_pred: str = DECON_PROBE_PRED
+) -> str:
+    """Twin: probe gram-hash set + the same islands / interval-merge /
+    per-token cut CTE chain as remove_duplicate_spans_sql."""
+    from .oracle import ROLLING_HASH
+
+    h = ROLLING_HASH.format(s="gram")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w,
+               ({probe_pred}) AS is_probe
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, is_probe,
+               unnest(range(0, greatest(len(w) - {k} + 1, 0))) AS pos,
+               unnest(list_transform(
+                   range(0, greatest(len(w) - {k} + 1, 0)),
+                   i -> array_to_string(w[i+1 : i+{k}], ' ')
+               )) AS gram
+        FROM toks
+    ),
+    hashed AS (SELECT doc_id, is_probe, pos, {h} AS h FROM grams),
+    probe AS (SELECT DISTINCT h FROM hashed WHERE is_probe),
+    flagged AS (
+        SELECT doc_id, pos FROM hashed s
+        WHERE NOT is_probe
+          AND EXISTS (SELECT 1 FROM probe p WHERE p.h = s.h)
+    ),
+    islands AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY pos
+               ) AS grp
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + {k - 1} AS e
+        FROM islands GROUP BY doc_id, grp
+    ),
+    flags AS (
+        SELECT doc_id, s, e,
+               CASE WHEN lag(e) OVER (PARTITION BY doc_id ORDER BY s)
+                         IS NULL
+                      OR s > lag(e) OVER (PARTITION BY doc_id ORDER BY s)
+                    THEN 1 ELSE 0 END AS brk
+        FROM spans
+    ),
+    mg AS (
+        SELECT doc_id, s, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS mgrp
+        FROM flags
+    ),
+    dspans AS (
+        SELECT doc_id,
+               CAST(min(s) AS BIGINT) AS span_start,
+               CAST(max(e) AS BIGINT) AS span_end
+        FROM mg GROUP BY doc_id, mgrp
+    ),
+    tw AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE NOT ({probe_pred})
+    ),
+    kept AS (
+        SELECT t.doc_id, p.i, t.w[p.i + 1] AS tok
+        FROM tw t, unnest(range(0, len(t.w))) AS p(i)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM dspans s
+            WHERE s.doc_id = t.doc_id
+              AND p.i BETWEEN s.span_start AND s.span_end
+        )
+    )
+    SELECT t.doc_id,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS clean_text,
+           CAST(len(t.w) AS BIGINT) AS n_tokens,
+           CAST(len(t.w) - count(k.tok) AS BIGINT) AS n_removed
+    FROM tw t
+    LEFT JOIN kept k USING (doc_id)
+    GROUP BY t.doc_id, t.w
     """
