@@ -124,21 +124,26 @@ def main() -> None:
     for nm in segment:
         calibs[nm] = max(calibs[nm], p)
 
-    # Re-time contaminated measurements with tight per-query probes.
-    # If most of the sweep is flagged the host is uniformly contended —
-    # re-running everything would triple the bench without getting
-    # cleaner stamps, so bail and let the stamps tell the story.
+    # Re-time contaminated measurements with tight per-query probes,
+    # HEAVIEST FIRST under a wall-clock budget: on a bursty host most
+    # of the flagged seconds live in a few expensive queries, so a
+    # bounded retry rescues the numbers that matter without tripling
+    # the bench when the whole sweep is contended.
+    retry_budget = float(os.environ.get("SPARK_GRAFT_CALIB_RETRY_S", "150"))
+    t_retry0 = time.perf_counter()
     for _ in range(retry_passes):
-        flagged = sorted(nm for nm in timings if calibs[nm] > calib_thresh)
-        if not flagged or len(flagged) > max(10, len(timings) // 3):
-            if flagged:
-                print(f"# calib: {len(flagged)}/{len(timings)} flagged — "
-                      f"host uniformly contended, skipping re-time",
-                      file=sys.stderr)
+        flagged = sorted(
+            (nm for nm in timings if calibs[nm] > calib_thresh),
+            key=lambda nm: -timings[nm],
+        )
+        if not flagged or time.perf_counter() - t_retry0 > retry_budget:
             break
-        print(f"# calib retry: {len(flagged)} queries over "
-              f"{calib_thresh}s context", file=sys.stderr)
+        print(f"# calib retry: {len(flagged)} flagged, budget "
+              f"{retry_budget:.0f}s", file=sys.stderr)
         for nm in flagged:
+            if time.perf_counter() - t_retry0 > retry_budget:
+                print("# calib retry budget exhausted", file=sys.stderr)
+                break
             before = calib()
             try:
                 dt, _ = run_one(registry[nm])
