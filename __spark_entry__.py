@@ -1022,6 +1022,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_skew_report": _q(
             lambda t: curation.shard_skew_report(t["documents"])
         ),
+        # exact-dedup gain per cumulative fingerprint-normalization tier
+        "normalization_dup_gain": _q(
+            lambda t: dedup.normalization_dup_gain(t["documents"])
+        ),
+        # crawl-chunk boundary duplication: A's suffix == B's prefix
+        "chunk_overlap_pairs": _q(
+            lambda t: dedup.chunk_overlap_pairs(t["documents"])
+        ),
+        # count-min sketch graded vs exact over the whole vocabulary
+        "cms_error_audit": _q(
+            lambda t: sketches.cms_error_audit(t["documents"])
+        ),
     }
 
 
@@ -1931,4 +1943,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_rule_overlap_matrix": text.gopher_rule_overlap_matrix_sql(),
         "decontaminate_spans": dedup.decontaminate_spans_sql(),
         "shard_skew_report": curation.shard_skew_report_sql(),
+        "normalization_dup_gain": dedup.normalization_dup_gain_sql(),
+        "chunk_overlap_pairs": dedup.chunk_overlap_pairs_sql(),
+        "cms_error_audit": sketches.cms_error_audit_sql(),
     }

@@ -4058,3 +4058,196 @@ def decontaminate_spans_sql(
     LEFT JOIN kept k USING (doc_id)
     GROUP BY t.doc_id, t.w
     """
+
+
+# ---------------------------------------------------------------------------
+# normalization-tier sensitivity + chunk-boundary overlap
+# ---------------------------------------------------------------------------
+
+# Cumulative fingerprint-normalization tiers, mildest first. Each tier
+# includes everything the previous one does, so dup counts are
+# monotone non-decreasing down the list.
+NORM_TIERS = ("raw", "casefold", "whitespace", "strip_punct", "token_sort")
+
+
+def _norm_tier_cols(text_col: str) -> list[Column]:
+    """The five cumulative normalization expressions, tier order."""
+    raw = F.col(text_col)
+    casefold = F.lower(raw)
+    ws = F.trim(F.regexp_replace(casefold, r"\s+", " "))
+    punct = F.trim(
+        F.regexp_replace(F.regexp_replace(ws, "[^a-z0-9 ]", ""), " +", " ")
+    )
+    tok = F.array_join(F.array_sort(F.split(punct, " ")), " ")
+    return [raw, casefold, ws, punct, tok]
+
+
+def normalization_dup_gain(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """How aggressive should exact-dedup fingerprint normalization be?
+    Replays exact dedup under five CUMULATIVE normalization tiers —
+    raw bytes, casefold, whitespace collapse, punctuation strip,
+    sorted-token multiset — and reports, per tier, the duplicate mass
+    found and the MARGINAL gain over the previous tier. The knob every
+    production dedup run sets blind; this measures it before the run.
+
+    Output, one row per tier ordered by tier_id: (tier_id, tier,
+    n_groups, n_dup_docs, gain_docs) — n_dup_docs = docs − distinct
+    fingerprints (the mass a keep-first rule would drop), gain_docs
+    its first difference. All exact integers.
+
+    Scale shape: ONE corpus scan computes all five fingerprints
+    row-locally (array of (tier_id, hash) structs, exploded narrow);
+    one groupBy(tier_id) with count_distinct does the rest — the
+    5-row ordered-window pass at the end is metadata-sized. At 100 TB
+    only 8-byte hashes shuffle, never text.
+    """
+    tiers = _norm_tier_cols(text_col)
+    per = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("tier_id"),
+                        rolling_hash(expr).alias("fp"),
+                    )
+                    for i, expr in enumerate(tiers)
+                ]
+            )
+        ).alias("t")
+    ).select("t.tier_id", "t.fp")
+    agg = per.groupBy("tier_id").agg(
+        F.count_distinct("fp").cast("long").alias("n_groups"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    names = F.array(*[F.lit(t) for t in NORM_TIERS])
+    w = Window.orderBy("tier_id")
+    return (
+        agg.select(
+            "tier_id",
+            F.element_at(names, F.col("tier_id").cast("int") + 1).alias(
+                "tier"
+            ),
+            "n_groups",
+            (F.col("n_docs") - F.col("n_groups")).alias("n_dup_docs"),
+        )
+        .withColumn(
+            "gain_docs",
+            (
+                F.col("n_dup_docs")
+                - F.coalesce(
+                    F.lag("n_dup_docs").over(w), F.lit(0).cast("long")
+                )
+            ).cast("long"),
+        )
+        .orderBy("tier_id")
+    )
+
+
+def normalization_dup_gain_sql() -> str:
+    """Twin: five unioned fingerprint arms from the same cumulative
+    normalization chain, same folds, lag() for the marginal gain."""
+    from .oracle import ROLLING_HASH
+
+    raw = "text"
+    casefold = "lower(text)"
+    ws = rf"trim(regexp_replace({casefold}, '\s+', ' ', 'g'))"
+    punct = (
+        f"trim(regexp_replace(regexp_replace({ws}, '[^a-z0-9 ]', '', 'g'),"
+        " ' +', ' ', 'g'))"
+    )
+    tok = f"array_to_string(list_sort(string_split({punct}, ' ')), ' ')"
+    arms = "\n        UNION ALL\n        ".join(
+        f"SELECT {i} AS tier_id, {ROLLING_HASH.format(s=expr)} AS fp"
+        " FROM documents"
+        for i, expr in enumerate([raw, casefold, ws, punct, tok])
+    )
+    cases = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(NORM_TIERS)
+    )
+    return f"""
+    WITH fps AS ({arms}),
+    agg AS (
+        SELECT tier_id,
+               count(DISTINCT fp) AS n_groups,
+               count(*) AS n_docs
+        FROM fps GROUP BY tier_id
+    ),
+    d AS (
+        SELECT tier_id, n_groups, n_docs - n_groups AS n_dup_docs FROM agg
+    )
+    SELECT CAST(tier_id AS BIGINT) AS tier_id,
+           CASE tier_id {cases} END AS tier,
+           CAST(n_groups AS BIGINT) AS n_groups,
+           CAST(n_dup_docs AS BIGINT) AS n_dup_docs,
+           CAST(n_dup_docs - coalesce(
+               lag(n_dup_docs) OVER (ORDER BY tier_id), 0) AS BIGINT
+           ) AS gain_docs
+    FROM d ORDER BY tier_id
+    """
+
+
+CHUNK_OVERLAP_K = 3
+
+
+def chunk_overlap_pairs(
+    df: DataFrame, text_col: str = "text", k: int = CHUNK_OVERLAP_K
+) -> DataFrame:
+    """Chunk-BOUNDARY duplication: doc A's last ``k`` tokens equal doc
+    B's first ``k`` — the stitching artifact of overlapping crawl /
+    extraction windows, which whole-doc and n-gram tiers both miss
+    when the shared region is short. Directional: (doc_a, doc_b) means
+    B textually continues A.
+
+    Output: (doc_a, doc_b, overlap_chars), doc_a ≠ doc_b.
+
+    Scale shape: two narrow row-local projections (k-token prefix /
+    suffix strings + their 8-byte rolling hashes) and ONE equi-join on
+    (h, s) — shuffle keyed by the hash, the string riding along only
+    to kill hash collisions exactly. Match volume on a real corpus is
+    ~n²/V^k (V = vocabulary), so k is the discrimination knob; the
+    registered k=3 keeps the fixture's 31-word vocabulary observable,
+    production uses k ≥ 8.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select("doc_id", toks.alias("w")).filter(F.size("w") >= k)
+    pre = base.select(
+        F.col("doc_id").alias("doc_b"),
+        F.array_join(F.slice("w", 1, k), " ").alias("s"),
+    )
+    suf = base.select(
+        F.col("doc_id").alias("doc_a"),
+        F.array_join(F.slice("w", -k, k), " ").alias("s"),
+    )
+    add_h = lambda d: d.withColumn("h", rolling_hash("s"))  # noqa: E731
+    return (
+        add_h(suf)
+        .join(add_h(pre), ["h", "s"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b", F.length("s").cast("long").alias("overlap_chars")
+        )
+    )
+
+
+def chunk_overlap_pairs_sql(k: int = CHUNK_OVERLAP_K) -> str:
+    """Twin: same k-token prefix/suffix strings, join on the string
+    (the hash is a shuffle-key optimization, not a semantic one)."""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sized AS (SELECT doc_id, w FROM toks WHERE len(w) >= {k}),
+    pre AS (
+        SELECT doc_id AS doc_b,
+               array_to_string(w[1:{k}], ' ') AS s
+        FROM sized
+    ),
+    suf AS (
+        SELECT doc_id AS doc_a,
+               array_to_string(w[len(w)-{k}+1:len(w)], ' ') AS s
+        FROM sized
+    )
+    SELECT a.doc_a, b.doc_b, CAST(length(a.s) AS BIGINT) AS overlap_chars
+    FROM suf a JOIN pre b USING (s)
+    WHERE a.doc_a != b.doc_b
+    """

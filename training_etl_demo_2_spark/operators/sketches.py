@@ -1007,3 +1007,134 @@ def hll_rollup_merge_sql() -> str:
                / x.exact_users + 0.5) AS BIGINT) AS merged_err_bp
     FROM daily d, mest e, mism m, exact x
     """
+
+
+# ---------------------------------------------------------------------------
+# CMS accuracy audit (exact vs sketch, whole vocabulary)
+# ---------------------------------------------------------------------------
+
+
+def cms_error_audit(docs: DataFrame, width: int = CMS_W) -> DataFrame:
+    """Grades the count-min sketch against exact counts over the WHOLE
+    vocabulary — the sketch-accuracy twin of ``minhash_estimate_error``
+    (every sketch this engine ships gets an error audit before anyone
+    trusts it at 100 TB). ``width`` is the grid width under test:
+    shrinking it below the vocabulary forces collisions, which is how
+    the audit (and its planted tests) exercise the over-estimate path.
+
+    Output, one row per log2(true count) bucket: (bucket, n_words,
+    n_exact, sum_overest, max_overest) — n_exact counts words the
+    sketch estimates EXACTLY; overestimate = est − true ≥ 0 (CMS never
+    underestimates — that invariant is also pinned per-row here by
+    sum/max being non-negative). All exact integers; bucket =
+    floor(log2(cnt)) computed as length(bin(cnt)) − 1 on both engines
+    (no float log near power-of-two edges).
+
+    Scale shape: one token-stream pass builds the D×W grid (map-side
+    partial aggs), the vocabulary relation probes D cells each through
+    a broadcast of the fixed-size grid; output is ~64 rows.
+    """
+    from ..functions import rolling_hash
+
+    words = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    hashed = words.select("w", rolling_hash(F.col("w")).alias("h"))
+
+    def _cells(src: DataFrame, keep: list[str]) -> DataFrame:
+        return src.select(
+            *keep,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            (
+                                (
+                                    (F.lit(CMS_A[d]) * F.col("h") + F.lit(CMS_B[d]))
+                                    % CMS_P
+                                )
+                                % width
+                            ).alias("b"),
+                        )
+                        for d in range(CMS_D)
+                    ]
+                )
+            ).alias("db"),
+        ).select(*keep, F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+
+    grid = _cells(hashed, []).groupBy("d", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    vocab = hashed.groupBy("w", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    est = (
+        _cells(vocab, ["w", "true_cnt"])
+        .join(F.broadcast(grid), ["d", "b"])
+        .groupBy("w", "true_cnt")
+        .agg(F.min("c").cast("long").alias("est"))
+    )
+    overest = F.col("est") - F.col("true_cnt")
+    return (
+        est.select(
+            (F.length(F.bin("true_cnt")) - 1).cast("long").alias("bucket"),
+            overest.alias("o"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum((F.col("o") == 0).cast("long")).cast("long").alias("n_exact"),
+            F.sum("o").cast("long").alias("sum_overest"),
+            F.max("o").cast("long").alias("max_overest"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def cms_error_audit_sql(width: int = CMS_W) -> str:
+    """Twin: same grid/probe CTEs as cms_word_estimates_sql minus the
+    LIMIT, bucketed by length(bin(cnt))−1, identical folds."""
+    from .oracle import ROLLING_HASH
+
+    h = ROLLING_HASH.format(s="w")
+    bucket = "((({a} * h + {b}) % {p}) % {w})"
+    rows_union = " UNION ALL ".join(
+        f"SELECT {d} AS d, "
+        + bucket.format(a=CMS_A[d], b=CMS_B[d], p=CMS_P, w=width)
+        + " AS b FROM hashed"
+        for d in range(CMS_D)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT w, true_cnt, {d} AS d, "
+        + bucket.format(a=CMS_A[d], b=CMS_B[d], p=CMS_P, w=width)
+        + " AS b FROM vocab"
+        for d in range(CMS_D)
+    )
+    return f"""
+    WITH words AS (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    hashed AS (SELECT w, {h} AS h FROM words WHERE w != ''),
+    grid AS (
+        SELECT d, b, CAST(count(*) AS BIGINT) AS c
+        FROM ({rows_union}) GROUP BY d, b
+    ),
+    vocab AS (
+        SELECT w, h, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM hashed GROUP BY w, h
+    ),
+    est AS (
+        SELECT p.w, p.true_cnt, CAST(min(g.c) AS BIGINT) AS est
+        FROM ({probe_union}) p JOIN grid g USING (d, b)
+        GROUP BY p.w, p.true_cnt
+    )
+    SELECT CAST(length(bin(true_cnt)) - 1 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(coalesce(sum(CASE WHEN est = true_cnt THEN 1 END), 0)
+                AS BIGINT) AS n_exact,
+           CAST(sum(est - true_cnt) AS BIGINT) AS sum_overest,
+           CAST(max(est - true_cnt) AS BIGINT) AS max_overest
+    FROM est
+    GROUP BY 1 ORDER BY bucket
+    """
