@@ -1034,6 +1034,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_error_audit": _q(
             lambda t: sketches.cms_error_audit(t["documents"])
         ),
+        # n-gram novelty saturation per ingestion slice (Heaps, measured)
+        "ngram_novelty_curve": _q(
+            lambda t: text.ngram_novelty_curve(t["documents"])
+        ),
+        # PII match rates per (source, kind): the scrub scheduling table
+        "pii_source_report": _q(
+            lambda t: text.pii_source_report(t["documents"])
+        ),
+        # do lexical and semantic near-dup tiers fire on the same pairs?
+        "lexical_semantic_agreement": _q(similarity.lexical_semantic_agreement),
     }
 
 
@@ -1946,4 +1956,9 @@ def oracle_sql() -> dict[str, str]:
         "normalization_dup_gain": dedup.normalization_dup_gain_sql(),
         "chunk_overlap_pairs": dedup.chunk_overlap_pairs_sql(),
         "cms_error_audit": sketches.cms_error_audit_sql(),
+        "ngram_novelty_curve": text.ngram_novelty_curve_sql(),
+        "pii_source_report": text.pii_source_report_sql(),
+        "lexical_semantic_agreement": (
+            similarity.lexical_semantic_agreement_sql()
+        ),
     }

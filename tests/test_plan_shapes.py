@@ -184,6 +184,12 @@ NESTED_LOOP_OK = {
     # four ONE-ROW folds (daily sum, merged est, mismatches, exact)
     # crossJoined -- register/day-cardinality metadata only
     "hll_rollup_merge",
+    # ONE-ROW max(doc_id) broadcast onto the gram relation (the bucket
+    # rule's denominator — scalar-subquery class)
+    "ngram_novelty_curve",
+    # three ONE-ROW pair-count aggregates crossJoined (the
+    # blocking_quality_eval class)
+    "lexical_semantic_agreement",
 }
 
 

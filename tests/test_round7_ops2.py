@@ -5,7 +5,8 @@ from __future__ import annotations
 
 import duckdb
 
-from training_etl_demo_2_spark.operators import dedup, sketches
+from training_etl_demo_2_spark.operators import dedup, similarity, sketches
+from training_etl_demo_2_spark.operators import text as text_ops
 
 
 def _duck(rows, sql, schema="doc_id BIGINT, text VARCHAR"):
@@ -111,3 +112,97 @@ def test_cms_error_audit_narrow_width_forces_overestimates(spark):
     want = sorted(tuple(r) for r in _duck(rows, sketches.cms_error_audit_sql(width=2)))
     got = sorted(tuple(r) for r in out)
     assert got == want
+
+
+# --- ngram_novelty_curve -----------------------------------------------------
+
+
+def test_ngram_novelty_planted(spark):
+    """Two buckets: doc 0 introduces its grams, doc 1 repeats doc 0
+    verbatim (zero novelty), doc 2's content overlaps partially."""
+    rows = [
+        (0, "a b c d"),            # grams: abc, bcd  (new: 2)
+        (1, "a b c d"),            # same grams, nothing new
+        (2, "b c d e"),            # grams: bcd, cde  (new: 1)
+        (3, "a b c d e"),          # grams: abc,bcd,cde — nothing new
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.bucket: (r.n_occ, r.n_distinct, r.n_new, r.novelty_bp, r.cum_new)
+        for r in text_ops.ngram_novelty_curve(df, n=3, n_buckets=2).collect()
+    }
+    # bucket 0 = docs 0..1, bucket 1 = docs 2..3
+    assert out[0] == (4, 2, 2, 10000, 2)
+    assert out[1] == (5, 3, 1, 3333, 3)
+    want = {
+        r[0]: tuple(r[1:])
+        for r in _duck(rows, text_ops.ngram_novelty_curve_sql(n=3, n_buckets=2))
+    }
+    assert out == want
+
+
+def test_ngram_novelty_cum_matches_totals(tables):
+    out = text_ops.ngram_novelty_curve(tables["documents"]).collect()
+    assert [r.n_new <= r.n_distinct for r in out] == [True] * len(out)
+    last = max(out, key=lambda r: r.bucket)
+    assert last.cum_new == sum(r.n_new for r in out)
+
+
+# --- pii_source_report -------------------------------------------------------
+
+
+def test_pii_source_report_planted(spark):
+    rows = [
+        (0, "contact bob@example.com or +1 (555) 123-4567 now", "x", "s1"),
+        (1, "server at 10.0.0.1 and 192.168.1.1 up", "x", "s1"),
+        (2, "nothing sensitive here", "x", "s2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = {
+        (r.source, r.kind): (r.n_docs, r.n_docs_matched, r.n_matches, r.docs_bp)
+        for r in text_ops.pii_source_report(df).collect()
+    }
+    assert got[("s1", "email")] == (2, 1, 1, 5000)
+    assert got[("s1", "phone")] == (2, 1, 1, 5000)
+    assert got[("s1", "ipv4")] == (2, 1, 2, 5000)
+    assert got[("s2", "email")] == (1, 0, 0, 0)  # zero cells present
+    want = {
+        (r[0], r[1]): tuple(r[2:])
+        for r in _duck(
+            rows,
+            text_ops.pii_source_report_sql(),
+            schema="doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR",
+        )
+    }
+    assert got == want
+
+
+# --- lexical_semantic_agreement ----------------------------------------------
+
+
+def test_lexical_semantic_agreement_planted(spark):
+    """Docs 1-2 are lexical near-dups; embeddings make (1,2) also a
+    semantic pair and (3,4) a semantic-only pair — jaccard = 1/2."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "completely different words go here tonight folks"),
+            (4, "unrelated content fills this document body text"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.1, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 1.0, 0.1]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.lexical_semantic_agreement(
+        {"documents": docs, "embeddings": emb}, lex_threshold=0.5
+    ).collect()[0]
+    assert (out.n_lex, out.n_sem, out.n_both) == (1, 2, 1)
+    assert out.union_pairs == 2 and out.jaccard_bp == 5000

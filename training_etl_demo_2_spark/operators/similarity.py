@@ -2940,3 +2940,92 @@ def semdedup_threshold_curve_sql(
     {arms}
     ORDER BY tau
     """
+
+
+# ---------------------------------------------------------------------------
+# lexical vs semantic dedup agreement
+# ---------------------------------------------------------------------------
+
+
+def lexical_semantic_agreement(
+    t: dict[str, DataFrame],
+    lex_threshold: float = 0.8,
+    sem_threshold: float = 0.45,
+) -> DataFrame:
+    """Do the lexical (MinHash-verified Jaccard) and semantic
+    (embedding-cosine) near-dup tiers fire on the SAME pairs? The
+    cross-modality audit run before trusting either tier alone at
+    100 TB: high agreement says one tier is redundant, zero overlap
+    says they remove different mass and both belong in the funnel.
+    Joins on doc_id = vec_id (row-aligned corpus/embedding fixtures).
+
+    Output, ONE row: (n_lex, n_sem, n_both, union_pairs, jaccard_bp)
+    — exact integers, jaccard_bp = n_both·10000 div union (0 when the
+    union is empty).
+
+    Scale shape: both pair relations are near-dup-sized (banded LSH /
+    exact-tier bucket joins — never all-pairs); the agreement join is
+    pair-keyed equi-join, and the final combine is three ONE-ROW
+    aggregates crossJoined (metadata).
+    """
+    from .dedup import minhash_lsh_pairs
+
+    lex = minhash_lsh_pairs(
+        t["documents"], threshold=lex_threshold
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    sem = cosine_near_pairs(
+        t["embeddings"], threshold=sem_threshold
+    ).select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    both = lex.join(sem, ["a", "b"])
+    counts = (
+        lex.agg(F.count(F.lit(1)).cast("long").alias("n_lex"))
+        .crossJoin(sem.agg(F.count(F.lit(1)).cast("long").alias("n_sem")))
+        .crossJoin(both.agg(F.count(F.lit(1)).cast("long").alias("n_both")))
+    )
+    return counts.select(
+        "n_lex",
+        "n_sem",
+        "n_both",
+        (F.col("n_lex") + F.col("n_sem") - F.col("n_both")).alias(
+            "union_pairs"
+        ),
+        F.when(
+            F.col("n_lex") + F.col("n_sem") - F.col("n_both") > 0,
+            F.expr("(n_both * 10000) div (n_lex + n_sem - n_both)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("jaccard_bp"),
+    )
+
+
+def lexical_semantic_agreement_sql(
+    lex_threshold: float = 0.8, sem_threshold: float = 0.45
+) -> str:
+    """Twin: the LSH pair CTE + the brute cosine pair CTE + the same
+    three folds."""
+    from .oracle import minhash_lsh_sql
+    from .oracle_text import cosine_near_pairs_sql
+
+    return f"""
+    WITH lex AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b
+        FROM ({minhash_lsh_sql(threshold=lex_threshold)})
+    ),
+    sem AS MATERIALIZED (
+        SELECT vec_a AS a, vec_b AS b
+        FROM ({cosine_near_pairs_sql(threshold=sem_threshold)})
+    ),
+    c AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM lex) AS n_lex,
+               (SELECT CAST(count(*) AS BIGINT) FROM sem) AS n_sem,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM lex JOIN sem USING (a, b)) AS n_both
+    )
+    SELECT n_lex, n_sem, n_both,
+           CAST(n_lex + n_sem - n_both AS BIGINT) AS union_pairs,
+           CAST(CASE WHEN n_lex + n_sem - n_both > 0
+                THEN (n_both * 10000) // (n_lex + n_sem - n_both)
+                ELSE 0 END AS BIGINT) AS jaccard_bp
+    FROM c
+    """

@@ -3181,3 +3181,204 @@ def gopher_rule_overlap_matrix_sql() -> str:
     {arms}
     ORDER BY rule_a, rule_b
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus novelty saturation + PII frequency by source
+# ---------------------------------------------------------------------------
+
+NOVELTY_BUCKETS = 10
+NOVELTY_NGRAM = 3
+
+
+def ngram_novelty_curve(
+    df: DataFrame,
+    n: int = NOVELTY_NGRAM,
+    n_buckets: int = NOVELTY_BUCKETS,
+) -> DataFrame:
+    """Is the marginal data still adding new content? Docs are split
+    into ``n_buckets`` ingestion slices by doc_id; per slice: how many
+    DISTINCT word n-grams appear, how many appear for the FIRST time
+    in the corpus, and the novelty ratio — the saturation curve that
+    says when additional crawl stops buying vocabulary (the n-gram
+    generalization of Heaps' law, measured directly).
+
+    Output, one row per bucket: (bucket, n_occ, n_distinct, n_new,
+    novelty_bp, cum_new) — novelty_bp = n_new·10000 div n_distinct,
+    cum_new the running total of first-seen grams. Exact integers.
+
+    Scale shape: one corpus-wide gram explode (8-byte hashes), shared
+    by three bucket-level aggregates — occurrences, distinct-per-
+    bucket, and first-seen (min doc_id per gram, itself gram-sized);
+    the bucket id needs max(doc_id), a ONE-ROW broadcast. Everything
+    after the gram aggregates is ≤ n_buckets rows.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col("text"), " ")
+    grams = df.select(
+        "doc_id",
+        F.explode(word_ngrams(toks, n)).alias("g"),
+    ).select("doc_id", rolling_hash(F.col("g")).alias("h"))
+    grams = tracked_persist(grams)
+
+    mx = df.agg(F.max("doc_id").alias("mx"))
+    bucket = F.expr(f"(doc_id * {n_buckets}) div (mx + 1)").alias("bucket")
+
+    occ = (
+        grams.crossJoin(F.broadcast(mx))
+        .select(bucket, "h")
+    )
+    occ = tracked_persist(occ)
+    per_occ = occ.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    per_distinct = occ.groupBy("bucket").agg(
+        F.count_distinct("h").cast("long").alias("n_distinct")
+    )
+    first_seen = (
+        grams.groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .crossJoin(F.broadcast(mx))
+        .select(bucket)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_occ.join(per_distinct, "bucket")
+        .join(first_seen, "bucket", "left")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_occ",
+            "n_distinct",
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+        .withColumn(
+            "novelty_bp",
+            F.expr("(n_new * 10000) div n_distinct").cast("long"),
+        )
+        .withColumn("cum_new", F.sum("n_new").over(w).cast("long"))
+        .orderBy("bucket")
+    )
+
+
+def ngram_novelty_curve_sql(
+    n: int = NOVELTY_NGRAM, n_buckets: int = NOVELTY_BUCKETS
+) -> str:
+    """Twin: same gram explode + first-seen min, same truncating-div
+    bucket rule and folds."""
+    from .oracle import ROLLING_HASH
+
+    h = ROLLING_HASH.format(s="s")
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(w) - {n - 1}, 0) + 1),
+                   i -> array_to_string(w[i:i+{n - 1}], ' '))) AS s
+        FROM toks
+    ),
+    g AS (SELECT doc_id, {h} AS h FROM grams),
+    mx AS (SELECT max(doc_id) AS mx FROM documents),
+    occ AS (
+        SELECT (doc_id * {n_buckets}) // (mx + 1) AS bucket, h
+        FROM g, mx
+    ),
+    per_occ AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_occ,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+        FROM occ GROUP BY bucket
+    ),
+    fs AS (
+        SELECT (min_doc * {n_buckets}) // (mx + 1) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_new
+        FROM (SELECT h, min(doc_id) AS min_doc FROM g GROUP BY h), mx
+        GROUP BY 1
+    )
+    SELECT CAST(p.bucket AS BIGINT) AS bucket, p.n_occ, p.n_distinct,
+           CAST(coalesce(f.n_new, 0) AS BIGINT) AS n_new,
+           CAST((coalesce(f.n_new, 0) * 10000) // p.n_distinct AS BIGINT)
+               AS novelty_bp,
+           CAST(sum(coalesce(f.n_new, 0))
+                OVER (ORDER BY p.bucket) AS BIGINT) AS cum_new
+    FROM per_occ p LEFT JOIN fs f ON p.bucket = f.bucket
+    ORDER BY bucket
+    """
+
+
+def pii_source_report(df: DataFrame) -> DataFrame:
+    """Which sources need scrubbing most: per (source, PII kind) —
+    documents matched, total matches, and the matched share in exact
+    basis points. The prioritization table a 100 TB scrub run is
+    scheduled from (scrub_pii redacts per-document; this is the
+    corpus-level audit over the same patterns, so the two can never
+    disagree on what counts as PII).
+
+    Output: (source, kind, n_docs, n_docs_matched, n_matches,
+    docs_bp), every (source, kind) cell present even at zero.
+
+    Scale shape: ONE corpus pass; each doc emits |kinds| (kind, count)
+    structs row-locally (regexp_extract_all, codegen'd), then a single
+    groupBy(source, kind) with map-side partials. Output is
+    |sources|·|kinds| rows.
+    """
+    per = df.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("kind"),
+                        F.size(
+                            F.regexp_extract_all(
+                                F.col("text"), F.lit(PII_PATTERNS[k]), 0
+                            )
+                        )
+                        .cast("long")
+                        .alias("n"),
+                    )
+                    for k in _PII_ORDER
+                ]
+            )
+        ).alias("x"),
+    ).select("source", "x.kind", "x.n")
+    return (
+        per.groupBy("source", "kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n") > 0).cast("long")).cast("long").alias(
+                "n_docs_matched"
+            ),
+            F.sum("n").cast("long").alias("n_matches"),
+        )
+        .withColumn(
+            "docs_bp",
+            F.expr("(n_docs_matched * 10000) div n_docs").cast("long"),
+        )
+        .orderBy("source", "kind")
+    )
+
+
+def pii_source_report_sql() -> str:
+    """Twin: one unioned arm per PII kind over the same regexes."""
+    arms = "\n        UNION ALL\n        ".join(
+        f"SELECT source, '{k}' AS kind,"
+        f" len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS n"
+        " FROM documents"
+        for k in _PII_ORDER
+    )
+    return f"""
+    WITH per AS ({arms})
+    SELECT source, kind,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(CASE WHEN n > 0 THEN 1 END), 0) AS BIGINT)
+               AS n_docs_matched,
+           CAST(sum(n) AS BIGINT) AS n_matches,
+           CAST((coalesce(sum(CASE WHEN n > 0 THEN 1 END), 0) * 10000)
+                // count(*) AS BIGINT) AS docs_bp
+    FROM per
+    GROUP BY source, kind
+    ORDER BY source, kind
+    """
