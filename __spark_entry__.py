@@ -1044,6 +1044,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # do lexical and semantic near-dup tiers fire on the same pairs?
         "lexical_semantic_agreement": _q(similarity.lexical_semantic_agreement),
+        # per-shard source mix: the domain-curriculum alarm
+        "shard_mixing_audit": _q(
+            lambda t: curation.shard_mixing_audit(t["documents"])
+        ),
+        # IVF index-side balance: hot cells = the probe latency tail
+        "ivf_cell_balance": _q(similarity.ivf_cell_balance),
     }
 
 
@@ -1961,4 +1967,6 @@ def oracle_sql() -> dict[str, str]:
         "lexical_semantic_agreement": (
             similarity.lexical_semantic_agreement_sql()
         ),
+        "shard_mixing_audit": curation.shard_mixing_audit_sql(),
+        "ivf_cell_balance": similarity.ivf_cell_balance_sql(),
     }

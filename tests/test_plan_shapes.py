@@ -190,6 +190,8 @@ NESTED_LOOP_OK = {
     # three ONE-ROW pair-count aggregates crossJoined (the
     # blocking_quality_eval class)
     "lexical_semantic_agreement",
+    # ONE-ROW assignment-total broadcast onto the |cells|-row relation
+    "ivf_cell_balance",
 }
 
 

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import duckdb
 
-from training_etl_demo_2_spark.operators import dedup, similarity, sketches
+from training_etl_demo_2_spark.operators import curation, dedup, similarity, sketches
 from training_etl_demo_2_spark.operators import text as text_ops
 
 
@@ -206,3 +206,42 @@ def test_lexical_semantic_agreement_planted(spark):
     ).collect()[0]
     assert (out.n_lex, out.n_sem, out.n_both) == (1, 2, 1)
     assert out.union_pairs == 2 and out.jaccard_bp == 5000
+
+
+# --- shard_mixing_audit --------------------------------------------------
+
+
+def test_shard_mixing_totals_and_dominance(tables):
+    out = curation.shard_mixing_audit(tables["documents"]).collect()
+    docs = tables["documents"].count()
+    assert sum(r.n_docs for r in out) == docs  # every doc lands once
+    for r in out:
+        assert 1 <= r.n_sources
+        assert r.top_docs * 10000 // r.n_docs == r.top_share_bp
+        assert r.top_share_bp >= 10000 // r.n_sources  # max >= mean
+
+
+def test_shard_mixing_pure_shard_alarm(spark):
+    """A source-pure corpus must audit as 100% dominant everywhere."""
+    rows = [(i, f"w{i} " * 30, "en", "only_src", 30) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curation.shard_mixing_audit(df).collect()
+    assert all(r.top_share_bp == 10000 and r.top_source == "only_src" for r in out)
+
+
+# --- ivf_cell_balance ----------------------------------------------------
+
+
+def test_ivf_cell_balance_conservation(tables):
+    from training_etl_demo_2_spark.operators.similarity import (
+        IVF_MULTI_ASSIGN,
+    )
+
+    out = similarity.ivf_cell_balance(tables).collect()
+    n_vecs = tables["embeddings"].count()
+    assert sum(r.n_vecs for r in out) == n_vecs * IVF_MULTI_ASSIGN
+    assert all(0 < r.share_bp <= 10000 or r.n_vecs * 10000 < sum(
+        x.n_vecs for x in out) for r in out)
+    assert len(out) <= 16

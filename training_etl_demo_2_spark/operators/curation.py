@@ -2651,3 +2651,87 @@ def shard_skew_report_sql(
     GROUP BY 1
     ORDER BY shard
     """
+
+
+def shard_mixing_audit(
+    df: DataFrame,
+    budget: int = 256,
+    n_shards: int = SHARD_COUNT,
+    text_col: str = "text",
+) -> DataFrame:
+    """Does every loader shard see a healthy SOURCE mix? Sequential
+    packing + hash sharding can still correlate a shard with a source
+    (doc_id ranges often encode crawl origin); a source-pure shard
+    turns data-parallel training into per-worker domain curricula. One
+    row per shard: doc count, distinct sources, the dominant source
+    and its share in exact bp — read max(top_share_bp) as the
+    worst-shard alarm next to shard_skew_report's token skew.
+
+    Deterministic tie-break for the dominant source: (n desc, source
+    asc), identical in the twin's row_number.
+
+    Scale shape: the same packing pass shard_skew_report pays (shared
+    plan prefix), one groupBy(shard, source), then shard-keyed window
+    + fold over a |shards|·|sources| relation — metadata-sized.
+    """
+    packs = pack_sequences(df, budget=budget, text_col=text_col)
+    h = rolling_hash(F.concat(F.lit("shard:"), F.col("pack_id")))
+    per = (
+        packs.select((h % n_shards).cast("long").alias("shard"), "doc_id")
+        .join(df.select("doc_id", "source"), "doc_id")
+        .groupBy("shard", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("shard").orderBy(F.desc("n"), F.asc("source"))
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .groupBy("shard")
+        .agg(
+            F.sum("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.max(F.when(F.col("rn") == 1, F.col("source"))).alias(
+                "top_source"
+            ),
+            F.max(F.when(F.col("rn") == 1, F.col("n"))).cast("long").alias(
+                "top_docs"
+            ),
+        )
+        .withColumn(
+            "top_share_bp",
+            F.expr("(top_docs * 10000) div n_docs").cast("long"),
+        )
+        .orderBy("shard")
+    )
+
+
+def shard_mixing_audit_sql(
+    budget: int = 256, n_shards: int = SHARD_COUNT
+) -> str:
+    """Twin: pack recurrence + same shard hash, (shard, source) counts,
+    row_number dominant-source pick, identical folds."""
+    h = ROLLING_HASH.format(s="'shard:' || pack_id")
+    return f"""
+    WITH p AS ({pack_sequences_sql(budget=budget)}),
+    per AS (
+        SELECT ({h}) % {n_shards} AS shard, d.source,
+               CAST(count(*) AS BIGINT) AS n
+        FROM p JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT shard, source, n,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY n DESC, source ASC) AS rn
+        FROM per
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           max(CASE WHEN rn = 1 THEN source END) AS top_source,
+           CAST(max(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS top_docs,
+           CAST((max(CASE WHEN rn = 1 THEN n END) * 10000) // sum(n)
+                AS BIGINT) AS top_share_bp
+    FROM r
+    GROUP BY shard
+    ORDER BY shard
+    """

@@ -3029,3 +3029,65 @@ def lexical_semantic_agreement_sql(
                 ELSE 0 END AS BIGINT) AS jaccard_bp
     FROM c
     """
+
+
+def ivf_cell_balance(
+    t: dict[str, DataFrame],
+    dim: int = 64,
+    n_centroids: int = IVF_CENTROIDS,
+    multi_assign: int = IVF_MULTI_ASSIGN,
+) -> DataFrame:
+    """IVF index balance audit: per cell, how many vectors land in it
+    (spilled ``multi_assign``-way, exactly as ``ivf_topk`` indexes).
+    Hot cells are the probe-latency tail at serving time — probing a
+    cell costs its size, so max(share_bp) bounds the worst query. The
+    index-side twin of the query-side ``ivf_nprobe_curve``.
+
+    Output, one row per NON-EMPTY cell: (cell, n_vecs, share_bp) —
+    share over all assignments, exact integers.
+
+    Scale shape: the assignment is the same Arrow-vectorized
+    ``ivf_assign`` pass the index build pays; the audit adds one
+    groupBy(cell) plus a ONE-ROW total broadcast — |cells|-row output.
+    """
+    emb = t["embeddings"]
+    centroids = _ivf_centroids(emb, dim, n_centroids)
+    cells = ivf_assign(emb, centroids, multi=multi_assign)
+    per = cells.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    tot = per.agg(F.sum("n_vecs").alias("tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vecs",
+            F.expr("(n_vecs * 10000) div tot").cast("long").alias("share_bp"),
+        )
+        .orderBy("cell")
+    )
+
+
+def ivf_cell_balance_sql(
+    n_centroids: int = IVF_CENTROIDS, multi_assign: int = IVF_MULTI_ASSIGN
+) -> str:
+    """Twin over the shared exact-integer Lloyd chain: spilled
+    assignment = rn <= multi_assign, same folds."""
+    from .oracle_text import _ivf_chain_cte
+
+    return f"""
+    WITH {_ivf_chain_cte(n_centroids)},
+    cells AS (
+        SELECT vec_id, cid AS cell FROM ranked_cells
+        WHERE rn <= {multi_assign}
+    ),
+    per AS (
+        SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM cells GROUP BY cell
+    )
+    SELECT CAST(cell AS BIGINT) AS cell, n_vecs,
+           CAST((n_vecs * 10000) // (SELECT sum(n_vecs) FROM per)
+                AS BIGINT) AS share_bp
+    FROM per
+    ORDER BY cell
+    """
