@@ -1050,6 +1050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # IVF index-side balance: hot cells = the probe latency tail
         "ivf_cell_balance": _q(similarity.ivf_cell_balance),
+        # stream-stream FULL OUTER: two-sided funnel (orphans both ways)
+        "stream_funnel_two_sided": fixture_queries.stream_funnel_two_sided,
     }
 
 
@@ -1969,4 +1971,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "shard_mixing_audit": curation.shard_mixing_audit_sql(),
         "ivf_cell_balance": similarity.ivf_cell_balance_sql(),
+        "stream_funnel_two_sided": (
+            fixture_queries.STREAM_FUNNEL_TWO_SIDED_ORACLE
+        ),
     }

@@ -24,6 +24,7 @@ STREAMING = {
     "stream_click_attribution",
     "stream_session_stats",
     "stream_click_funnel_loss",
+    "stream_funnel_two_sided",
 }
 
 # Bounded-side nested-loop joins that are the documented design:

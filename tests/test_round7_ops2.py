@@ -245,3 +245,94 @@ def test_ivf_cell_balance_conservation(tables):
     assert all(0 < r.share_bp <= 10000 or r.n_vecs * 10000 < sum(
         x.n_vecs for x in out) for r in out)
     assert len(out) <= 16
+
+
+# --- stream_funnel_two_sided ----------------------------------------------
+
+
+def test_full_outer_boundary_emission(spark, tmp_path):
+    """Pins the two-sided emission rules at the watermark boundary
+    W = min(max click ts, max purchase ts) − 2h:
+
+    * a purchase exactly AT W emits (purchase_ts <= W — a matching
+      click must strictly precede it, so state expires at W);
+    * a purchase 1 s past W is withheld;
+    * an unmatched click needs click_ts + gap < W (none qualifies
+      here, so no null-purchase rows at all).
+    """
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark.streaming.fixture_queries import (
+        _replay_partitions,
+    )
+    from training_etl_demo_2_spark.streaming.stateful import (
+        correlate_streams_full_outer,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    def ts(h, s=0):
+        return t0 + dt.timedelta(hours=h, seconds=s)
+
+    # max click = 10h, max purchase = 12h  ->  W = 10h - 2h = 8h
+    rows = [
+        (1, ts(10), 100, "click", 0.0, ""),
+        (2, ts(12), 101, "purchase", 1.0, ""),  # > W: withheld
+        (3, ts(8), 200, "purchase", 1.0, ""),   # == W: emits
+        (4, ts(8, -1), 201, "purchase", 1.0, ""),  # < W: emits
+        (5, ts(8, 1), 202, "purchase", 1.0, ""),   # > W: withheld
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    src_dir = os.path.join(str(tmp_path), "ev")
+    df.repartition(1).write.parquet(src_dir)
+    src = spark.readStream.schema(df.schema).parquet(src_dir)
+    joined = correlate_streams_full_outer(
+        src.filter(F.col("event_type") == "click"),
+        src.filter(F.col("event_type") == "purchase"),
+        max_gap="1 hour",
+    )
+    with _replay_partitions(spark):
+        q = (
+            joined.select("user_id", "click_id", "purchase_id")
+            .writeStream.format("memory")
+            .queryName("t_fo_edge")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            assert q.awaitTermination(120.0)
+        finally:
+            q.stop()
+    got = sorted(tuple(r) for r in spark.table("t_fo_edge").collect())
+    assert got == [(200, None, 3), (201, None, 4)]
+
+
+def test_two_sided_funnel_matches_one_sided_tiers(spark, sf_dir):
+    """The full outer's matched set equals the left outer's; its
+    null-purchase rows equal the left outer's; and it ADDS null-click
+    rows (the organic purchases) that the left tier cannot emit."""
+    from training_etl_demo_2_spark.streaming import fixture_queries
+
+    full = fixture_queries.stream_funnel_two_sided(spark, sf_dir).collect()
+    left = fixture_queries.stream_click_funnel_loss(spark, sf_dir).collect()
+    f_matched = {(r.click_id, r.purchase_id) for r in full if r.matched == 1}
+    l_matched = {
+        (r.click_id, r.purchase_id) for r in left if r.purchase_id is not None
+    }
+    assert f_matched == l_matched
+    f_orphan_clicks = {
+        r.click_id for r in full if r.purchase_id is None
+    }
+    l_orphan_clicks = {r.click_id for r in left if r.purchase_id is None}
+    assert f_orphan_clicks == l_orphan_clicks
+    organic = [r for r in full if r.click_id is None]
+    assert organic  # the two-sided capability actually fires
+    assert all(r.matched == 0 for r in organic)

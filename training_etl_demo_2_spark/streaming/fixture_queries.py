@@ -761,3 +761,96 @@ def _stream_hll_oracle() -> str:
 
 
 STREAM_HLL_USERS_ORACLE = _stream_hll_oracle()
+
+
+def stream_funnel_two_sided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join replayed to completion — the
+    two-sided funnel: every click matched or provably orphaned AND
+    every purchase matched or provably unattributed (organic). The
+    third member of the stream-stream join family (inner:
+    stream_click_attribution, left: stream_click_funnel_loss).
+
+    Batch-equality statement: matched rows equal the batch inner
+    join's; null-purchase rows appear exactly for unmatched clicks
+    with ``click_ts + 1h < W``; null-click rows exactly for unmatched
+    purchases with ``purchase_ts <= W`` (a matching click must precede
+    the purchase strictly, so state expires the moment W reaches it —
+    the <= edge is empirically pinned by a planted boundary test),
+    where W = min(max click ts, max purchase ts) − 2h, ms-floored.
+    """
+    from .stateful import correlate_streams_full_outer
+
+    src = read_events_stream_fixture(spark, sf_dir)
+    joined = correlate_streams_full_outer(
+        src.filter(F.col("event_type") == "click"),
+        src.filter(F.col("event_type") == "purchase"),
+        max_gap="1 hour",
+    )
+    out = joined.select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.col("purchase_id").isNotNull() & F.col("click_id").isNotNull())
+        .cast("long")
+        .alias("matched"),
+    )
+    with _replay_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("gate_stream_funnel_two_sided")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300.0):
+                raise TimeoutError("two-sided funnel stream did not drain")
+        finally:
+            q.stop()
+    return spark.table("gate_stream_funnel_two_sided")
+
+
+STREAM_FUNNEL_TWO_SIDED_ORACLE = """
+    WITH c AS (
+        SELECT user_id AS c_user, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id AS p_user, event_id AS purchase_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT make_timestamp(
+                   least((SELECT epoch_ms(max(click_ts)) FROM c),
+                         (SELECT epoch_ms(max(purchase_ts)) FROM p))
+                   * 1000 - CAST(7200 AS BIGINT) * 1000000
+               ) AS w
+    ),
+    m AS (
+        SELECT c.c_user AS user_id, c.click_id, p.purchase_id
+        FROM c JOIN p
+          ON c.c_user = p.p_user
+         AND p.purchase_ts > c.click_ts
+         AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    ),
+    uc AS (
+        SELECT c.c_user AS user_id, c.click_id, NULL::BIGINT AS purchase_id
+        FROM c, wm
+        WHERE c.click_ts + INTERVAL 1 HOUR < wm.w
+          AND NOT EXISTS (SELECT 1 FROM m WHERE m.click_id = c.click_id)
+    ),
+    up AS (
+        SELECT p.p_user AS user_id, NULL::BIGINT AS click_id, p.purchase_id
+        FROM p, wm
+        WHERE p.purchase_ts <= wm.w
+          AND NOT EXISTS (
+              SELECT 1 FROM m WHERE m.purchase_id = p.purchase_id)
+    ),
+    u AS (
+        SELECT * FROM m UNION ALL SELECT * FROM uc UNION ALL SELECT * FROM up
+    )
+    SELECT user_id, click_id, purchase_id,
+           CAST(click_id IS NOT NULL AND purchase_id IS NOT NULL AS BIGINT)
+               AS matched
+    FROM u
+"""

@@ -528,3 +528,64 @@ def correlate_streams_outer(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def correlate_streams_full_outer(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream FULL OUTER join — completes the join family
+    (inner: ``correlate_streams``, left: ``correlate_streams_outer``):
+    unmatched CLICKS and unmatched PURCHASES both emit null-padded
+    rows on state expiry. The report shape is "every click and every
+    purchase, attributed or provably orphaned" — the two-sided funnel
+    audit neither one-sided join can produce.
+
+    Emission rules (empirically pinned in the gate twin, same
+    min-of-inputs global watermark W as the left-outer — per-side max
+    event time minus delay, millisecond floor, then min):
+
+    * unmatched click emits iff ``click_ts + max_gap < W`` (identical
+      to the left-outer rule — left state expires when no on-time
+      purchase can still land inside the gap);
+    * unmatched purchase emits iff ``purchase_ts <= W`` (its matching
+      clicks satisfy click_ts < purchase_ts, so once the watermark
+      reaches purchase_ts no on-time click can precede it).
+
+    On a bounded replay rows younger than the final W are withheld on
+    both sides — by design, they could still match on resume. State
+    bound: identical to the inner join on both sides.
+    """
+    from pyspark.sql import functions as F
+
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts > click_ts AND
+            purchase_ts <= click_ts + INTERVAL {max_gap}
+            """
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
