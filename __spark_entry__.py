@@ -1052,6 +1052,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cell_balance": _q(similarity.ivf_cell_balance),
         # stream-stream FULL OUTER: two-sided funnel (orphans both ways)
         "stream_funnel_two_sided": fixture_queries.stream_funnel_two_sided,
+        # cross-doc attention bleed at pack seams, in exact bp
+        "pack_boundary_audit": _q(
+            lambda t: curation.pack_boundary_audit(t["documents"])
+        ),
+        # int4/6/8 storage-vs-similarity trade in exact micro-cos units
+        "quantization_error_curve": _q(similarity.quantization_error_curve),
     }
 
 
@@ -1973,5 +1979,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_cell_balance": similarity.ivf_cell_balance_sql(),
         "stream_funnel_two_sided": (
             fixture_queries.STREAM_FUNNEL_TWO_SIDED_ORACLE
+        ),
+        "pack_boundary_audit": curation.pack_boundary_audit_sql(),
+        "quantization_error_curve": (
+            similarity.quantization_error_curve_sql()
         ),
     }

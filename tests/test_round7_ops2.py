@@ -336,3 +336,75 @@ def test_two_sided_funnel_matches_one_sided_tiers(spark, sf_dir):
     organic = [r for r in full if r.click_id is None]
     assert organic  # the two-sided capability actually fires
     assert all(r.matched == 0 for r in organic)
+
+
+# --- pack_boundary_audit --------------------------------------------------
+
+
+def test_pack_boundary_counts(spark):
+    """4 same-size docs, budget fits 2 per pack, alternating sources:
+    every within-pack boundary is cross-source; langs all match."""
+    rows = [
+        (0, "a b c d", "en", "s1", 7),
+        (4, "e f g h", "en", "s2", 7),   # same group (doc_id % 8 = 4)? no —
+        (8, "i j k l", "en", "s1", 7),   # groups differ; use one group:
+        (16, "m n o p", "en", "s2", 7),
+    ]
+    # put all docs in ONE pack group (doc_id % PACK_GROUPS equal) so the
+    # greedy packs them sequentially: budget 8 -> packs (0,4+?),.. use
+    # doc_ids 0,8,16,24 (all % 8 == 0).
+    rows = [
+        (0, "a b c d", "en", "s1", 7),
+        (8, "e f g h", "en", "s2", 7),
+        (16, "i j k l", "en", "s1", 7),
+        (24, "m n o p", "en", "s2", 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = curation.pack_boundary_audit(df, budget=8).collect()[0]
+    # two packs of two docs -> 2 boundaries, both cross-source, same lang
+    assert (
+        out.n_boundaries,
+        out.cross_source,
+        out.cross_lang,
+        out.cross_source_bp,
+        out.cross_lang_bp,
+    ) == (2, 2, 0, 10000, 0)
+
+
+def test_pack_boundary_conservation(tables):
+    from training_etl_demo_2_spark.operators.curation import pack_sequences
+
+    out = curation.pack_boundary_audit(tables["documents"]).collect()[0]
+    packs = pack_sequences(tables["documents"])
+    n_docs = packs.count()
+    n_packs = packs.select("pack_id").distinct().count()
+    assert out.n_boundaries == n_docs - n_packs
+    assert 0 <= out.cross_source <= out.n_boundaries
+
+
+# --- quantization_error_curve ----------------------------------------------
+
+
+def test_quantization_error_monotone_in_bits(tables):
+    out = {
+        r.bits: r for r in similarity.quantization_error_curve(tables).collect()
+    }
+    assert sorted(out) == [4, 6, 8]
+    # more bits -> closer to the original vector, never worse
+    assert out[4].mean_cos_micro <= out[6].mean_cos_micro <= out[8].mean_cos_micro
+    assert out[8].mean_cos_micro > 995000  # int8 is near-lossless
+    for r in out.values():
+        assert r.min_cos_micro <= r.mean_cos_micro
+        assert r.n_vecs == tables["embeddings"].count()
+
+
+def test_quantization_zero_vector_safe(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 2.0, -3.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = similarity.quantization_error_curve({"embeddings": emb}).collect()
+    # the zero vector's cosine is NULL (0/0) and is filtered, not crashed
+    assert all(r.n_vecs == 1 for r in out)

@@ -2735,3 +2735,93 @@ def shard_mixing_audit_sql(
     GROUP BY shard
     ORDER BY shard
     """
+
+
+def pack_boundary_audit(
+    df: DataFrame, budget: int = 256, text_col: str = "text"
+) -> DataFrame:
+    """Cross-document attention bleed, measured: sequence packing puts
+    unrelated documents adjacent inside one context window, and
+    without an attention mask the model attends across the seam. One
+    row: pack boundaries (adjacent doc pairs inside a pack), how many
+    straddle different sources / languages, in exact bp — the number
+    that decides whether doc-boundary attention masking is worth its
+    throughput cost on THIS corpus mix.
+
+    Scale shape: the packing pass + one pack-keyed window (lead) +
+    two doc-keyed joins for the neighbor metadata + a ONE-ROW fold.
+    Boundary volume = docs − packs, corpus-linear.
+    """
+    packs = pack_sequences(df, budget=budget, text_col=text_col)
+    w = Window.partitionBy("pack_id").orderBy("doc_id")
+    b = (
+        packs.select("pack_id", "doc_id")
+        .withColumn("next_id", F.lead("doc_id").over(w))
+        .filter(F.col("next_id").isNotNull())
+    )
+    meta = df.select("doc_id", "source", "lang")
+    pairs = (
+        b.join(meta, "doc_id")
+        .join(
+            meta.select(
+                F.col("doc_id").alias("next_id"),
+                F.col("source").alias("source_b"),
+                F.col("lang").alias("lang_b"),
+            ),
+            "next_id",
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_boundaries"),
+        F.sum((F.col("source") != F.col("source_b")).cast("long"))
+        .cast("long")
+        .alias("cross_source"),
+        F.sum((F.col("lang") != F.col("lang_b")).cast("long"))
+        .cast("long")
+        .alias("cross_lang"),
+    ).select(
+        "n_boundaries",
+        "cross_source",
+        "cross_lang",
+        F.expr("(cross_source * 10000) div n_boundaries")
+        .cast("long")
+        .alias("cross_source_bp"),
+        F.expr("(cross_lang * 10000) div n_boundaries")
+        .cast("long")
+        .alias("cross_lang_bp"),
+    )
+
+
+def pack_boundary_audit_sql(budget: int = 256) -> str:
+    """Twin: pack recurrence + lead over (pack_id, doc_id) + the same
+    metadata joins and folds."""
+    return f"""
+    WITH p AS ({pack_sequences_sql(budget=budget)}),
+    b AS (
+        SELECT pack_id, doc_id,
+               lead(doc_id) OVER (PARTITION BY pack_id ORDER BY doc_id)
+                   AS next_id
+        FROM p
+    ),
+    pairs AS (
+        SELECT da.source AS sa, db.source AS sb, da.lang AS la, db.lang AS lb
+        FROM b
+        JOIN documents da ON da.doc_id = b.doc_id
+        JOIN documents db ON db.doc_id = b.next_id
+        WHERE b.next_id IS NOT NULL
+    ),
+    f AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_boundaries,
+               CAST(coalesce(sum(CASE WHEN sa <> sb THEN 1 END), 0)
+                    AS BIGINT) AS cross_source,
+               CAST(coalesce(sum(CASE WHEN la <> lb THEN 1 END), 0)
+                    AS BIGINT) AS cross_lang
+        FROM pairs
+    )
+    SELECT n_boundaries, cross_source, cross_lang,
+           CAST((cross_source * 10000) // n_boundaries AS BIGINT)
+               AS cross_source_bp,
+           CAST((cross_lang * 10000) // n_boundaries AS BIGINT)
+               AS cross_lang_bp
+    FROM f
+    """

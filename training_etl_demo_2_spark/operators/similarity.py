@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from ..cache import tracked_persist
 
-from ..functions import cosine
+from ..functions import cosine, dot, l2_norm
 
 LSH_SEED = 42
 # Short signatures × many tables: the fixture's embeddings are weakly
@@ -3090,4 +3090,129 @@ def ivf_cell_balance_sql(
                 AS BIGINT) AS share_bp
     FROM per
     ORDER BY cell
+    """
+
+
+QUANT_CURVE_BITS = (4, 6, 8)
+
+
+def quantization_error_curve(
+    t: dict[str, DataFrame], bits_list: tuple[int, ...] = QUANT_CURVE_BITS
+) -> DataFrame:
+    """What does each quantization width cost in similarity fidelity?
+    Per candidate bit width: the cosine between every vector and its
+    dequantized self (the quantity ANN recall actually degrades
+    through), summarized as mean/min in exact integer MICRO-cosine
+    units — the storage-vs-recall trade measured before a
+    billion-vector index commits to int4/int6/int8.
+
+    Determinism contract: the per-row cosine is an identical IEEE op
+    sequence on both engines (same quantize → same left-fold dot /
+    norms), floored to integer micro-units per row; the cross-row
+    aggregates are then integer sums — order-free, so the oracle match
+    is exact, not rounded.
+
+    Output: (bits, n_vecs, mean_cos_micro, min_cos_micro).
+
+    Scale shape: |bits| row-local passes over the corpus (narrow
+    array arithmetic, codegen'd; no shuffle before the |bits|-row
+    aggregate). The audit costs exactly |bits| scans.
+    """
+    emb = t["embeddings"]
+    arms = []
+    for bits in bits_list:
+        qmax = float(2 ** (bits - 1) - 1)
+        x = F.col("embedding")
+        absmax = F.aggregate(
+            x,
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
+        )
+        scale = F.round(
+            F.when(absmax > 0, F.lit(qmax) / absmax).otherwise(F.lit(0.0)), 6
+        )
+        deq = F.transform(
+            x,
+            lambda v: F.when(
+                scale > 0,
+                F.floor(v.cast("double") * scale + F.lit(0.5)) / scale,
+            ).otherwise(F.lit(0.0)),
+        )
+        nprod = l2_norm(x) * l2_norm(deq)
+        # CASE-guarded: a zero vector (or all-zero codes) has no cosine;
+        # emit NULL and filter, instead of an ANSI divide-by-zero.
+        cos = F.when(nprod > 0, dot(x, deq) / nprod)
+        micro = F.floor(cos * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        arms.append(
+            emb.select(
+                F.lit(bits).cast("long").alias("bits"),
+                micro.alias("mc"),
+            ).filter(F.col("mc").isNotNull())
+        )
+    u = arms[0]
+    for a in arms[1:]:
+        u = u.unionAll(a)
+    return (
+        u.groupBy("bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.expr("sum(mc) div count(1)").cast("long").alias(
+                "mean_cos_micro"
+            ),
+            F.min("mc").cast("long").alias("min_cos_micro"),
+        )
+        .orderBy("bits")
+    )
+
+
+def quantization_error_curve_sql(
+    bits_list: tuple[int, ...] = QUANT_CURVE_BITS,
+) -> str:
+    """Twin: the same quantize → dequantize → LEFT-FOLD dot/norm op
+    sequence per row (list_reduce, same order as Spark's aggregate),
+    floored to micro units, integer folds."""
+    arms = []
+    for bits in bits_list:
+        qmax = float(2 ** (bits - 1) - 1)
+        arms.append(
+            f"""
+    SELECT CAST({bits} AS BIGINT) AS bits,
+           CAST(floor(
+               (list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(1, len(e) + 1),
+                        i -> e[i] * d[i])), (a, b) -> a + b)
+                / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(e, v -> v * v)), (a, b) -> a + b))
+                   * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(d, v -> v * v)), (a, b) -> a + b))))
+               * 1000000.0 + 0.5) AS BIGINT) AS mc
+    FROM (
+        SELECT e,
+               list_transform(e,
+                   v -> CASE WHEN scale > 0
+                        THEN floor(v * scale + 0.5) / scale
+                        ELSE 0.0 END) AS d
+        FROM (
+            SELECT e,
+                   round(CASE WHEN absmax > 0 THEN {qmax} / absmax
+                         ELSE 0.0 END, 6) AS scale
+            FROM (
+                SELECT embedding::DOUBLE[] AS e,
+                       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                           list_transform(embedding,
+                               v -> abs(CAST(v AS DOUBLE)))),
+                           (a, b) -> greatest(a, b)) AS absmax
+                FROM embeddings
+            )
+        )
+    )"""
+        )
+    union = "\n    UNION ALL\n    ".join(arms)
+    return f"""
+    WITH u AS ({union})
+    SELECT bits, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(mc) // count(*) AS BIGINT) AS mean_cos_micro,
+           CAST(min(mc) AS BIGINT) AS min_cos_micro
+    FROM u WHERE mc IS NOT NULL
+    GROUP BY bits ORDER BY bits
     """
