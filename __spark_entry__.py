@@ -1058,6 +1058,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # int4/6/8 storage-vs-similarity trade in exact micro-cos units
         "quantization_error_curve": _q(similarity.quantization_error_curve),
+        # length/stopword/dup drift over ingestion order
+        "ingestion_drift_curve": _q(
+            lambda t: text.ingestion_drift_curve(t["documents"])
+        ),
     }
 
 
@@ -1984,4 +1988,5 @@ def oracle_sql() -> dict[str, str]:
         "quantization_error_curve": (
             similarity.quantization_error_curve_sql()
         ),
+        "ingestion_drift_curve": text.ingestion_drift_curve_sql(),
     }

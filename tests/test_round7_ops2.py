@@ -408,3 +408,37 @@ def test_quantization_zero_vector_safe(spark):
     out = similarity.quantization_error_curve({"embeddings": emb}).collect()
     # the zero vector's cosine is NULL (0/0) and is filtered, not crashed
     assert all(r.n_vecs == 1 for r in out)
+
+
+# --- ingestion_drift_curve --------------------------------------------------
+
+
+def test_ingestion_drift_planted(spark):
+    """Bucket 0 (docs 0-1): long docs, one exact dup; bucket 1 (docs
+    2-3): short stopword-heavy docs, no dups."""
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "ALPHA  beta gamma delta epsilon zeta"),  # normalized dup of 0
+        (2, "the of the"),
+        (3, "a to in"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.bucket: (r.n_docs, r.sum_tokens, r.mean_tokens, r.stop_bp, r.dup_bp)
+        for r in text_ops.ingestion_drift_curve(df, n_buckets=2).collect()
+    }
+    # bucket 0: 2 docs, 6+7 ws tokens (double space -> empty token), 0 stop
+    assert out[0] == (2, 13, 6, 0, 5000)
+    assert out[1] == (2, 6, 3, 10000, 0)
+    want = {
+        r[0]: tuple(r[1:])
+        for r in _duck(rows, text_ops.ingestion_drift_curve_sql(n_buckets=2))
+    }
+    assert out == want
+
+
+def test_ingestion_drift_totals(tables):
+    out = text_ops.ingestion_drift_curve(tables["documents"]).collect()
+    docs = tables["documents"]
+    assert sum(r.n_docs for r in out) == docs.count()
+    assert all(0 <= r.stop_bp <= 10000 and 0 <= r.dup_bp < 10000 for r in out)

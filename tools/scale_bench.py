@@ -109,6 +109,22 @@ FAMILIES: dict[str, tuple[str, str]] = {
         "~R (linear)",
         "fixed sync rounds × (edge ⋈ label + argmax window); edges grow R×",
     ),
+    # round-7 session-6 additions
+    "normalization_dup_gain": (
+        "~R (linear)",
+        "one scan emitting 5 tier hashes row-locally + groupBy(tier); "
+        "only 8-byte hashes shuffle",
+    ),
+    "chunk_overlap_pairs": (
+        "~R (linear)",
+        "k-token boundary-hash equi-join; tagged replicas keep boundary "
+        "strings disjoint, matches grow R×",
+    ),
+    "ngram_novelty_curve": (
+        "~R (linear)",
+        "one gram explode shared by three bucket aggregates; distinct "
+        "grams grow R× under disjoint replicas",
+    ),
 }
 
 # Acceptance: observed wall ratio must stay under R^1.5 — geometric

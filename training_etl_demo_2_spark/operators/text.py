@@ -3382,3 +3382,104 @@ def pii_source_report_sql() -> str:
     GROUP BY source, kind
     ORDER BY source, kind
     """
+
+
+def ingestion_drift_curve(
+    df: DataFrame, n_buckets: int = NOVELTY_BUCKETS
+) -> DataFrame:
+    """Quality drift over INGESTION ORDER — the time axis the
+    per-source drift audits (ks_drift_by_source, value_drift_psi)
+    don't cover: as the crawl frontier moves, does doc length shrink,
+    stopword density shift, or exact-dup pressure rise? Slices the
+    corpus into doc_id buckets (same truncating-div rule as
+    ngram_novelty_curve) and reports per slice, all exact integers:
+    n_docs, sum_tokens, mean_tokens (div), stopword bp, exact-dup bp
+    within the slice.
+
+    Scale shape: ONE corpus scan computes tokens / stop counts /
+    fingerprints row-locally; one groupBy(bucket) (+ one
+    (bucket, fp) pre-aggregate for the within-slice dup count, which
+    shuffles only 8-byte hashes); ≤ n_buckets output rows; the bucket
+    rule needs max(doc_id), a ONE-ROW broadcast.
+    """
+    from ..functions import normalize_text
+
+    mx = df.agg(F.max("doc_id").alias("mx"))
+    bucket = F.expr(f"(doc_id * {n_buckets}) div (mx + 1)").alias("bucket")
+    toks = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    base = (
+        df.crossJoin(F.broadcast(mx))
+        .select(
+            bucket,
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+            .cast("long")
+            .alias("n_stop"),
+            rolling_hash(normalize_text(F.col("text"))).alias("fp"),
+        )
+    )
+    per = base.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        F.sum("n_stop").cast("long").alias("sum_stop"),
+    )
+    dups = (
+        base.groupBy("bucket", "fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("bucket")
+        .agg(F.sum(F.col("c") - 1).cast("long").alias("n_dup_docs"))
+    )
+    return (
+        per.join(dups, "bucket")
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            "n_docs",
+            "sum_tokens",
+            F.expr("sum_tokens div n_docs").cast("long").alias("mean_tokens"),
+            F.expr("(sum_stop * 10000) div sum_tokens")
+            .cast("long")
+            .alias("stop_bp"),
+            F.expr("(n_dup_docs * 10000) div n_docs")
+            .cast("long")
+            .alias("dup_bp"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def ingestion_drift_curve_sql(n_buckets: int = NOVELTY_BUCKETS) -> str:
+    """Twin: same bucket rule, per-row token/stop/fingerprint arms,
+    identical folds."""
+    from .oracle import NORMALIZE, ROLLING_HASH
+
+    stop_list = "[" + ", ".join(f"'{w}'" for w in STOPWORDS_EN) + "]"
+    fp = ROLLING_HASH.format(s=NORMALIZE.format(s="text"))
+    return f"""
+    WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+    base AS (
+        SELECT (doc_id * {n_buckets}) // (mx + 1) AS bucket,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_filter(string_split(text, ' '),
+                   t -> list_contains({stop_list}, t))) AS n_stop,
+               {fp} AS fp
+        FROM documents, mx
+    ),
+    per AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               CAST(sum(n_stop) AS BIGINT) AS sum_stop
+        FROM base GROUP BY bucket
+    ),
+    dups AS (
+        SELECT bucket, CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+        FROM (SELECT bucket, fp, count(*) AS c FROM base GROUP BY 1, 2)
+        GROUP BY bucket
+    )
+    SELECT CAST(p.bucket AS BIGINT) AS bucket, p.n_docs, p.sum_tokens,
+           CAST(p.sum_tokens // p.n_docs AS BIGINT) AS mean_tokens,
+           CAST((p.sum_stop * 10000) // p.sum_tokens AS BIGINT) AS stop_bp,
+           CAST((d.n_dup_docs * 10000) // p.n_docs AS BIGINT) AS dup_bp
+    FROM per p JOIN dups d ON p.bucket = d.bucket
+    ORDER BY bucket
+    """
