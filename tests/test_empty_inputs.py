@@ -269,3 +269,19 @@ def test_round5_embedding_ops_empty(spark, empty_emb):
     t = {"embeddings": empty_emb}
     assert similarity.ann_ndcg_eval(t).count() == 0
     assert similarity.kmeans_silhouette(t).count() == 0
+
+
+def test_round7_session6_ops_empty(spark, empty_docs, empty_emb):
+    from training_etl_demo_2_spark.operators import curation, sketches
+
+    assert dedup.normalization_dup_gain(empty_docs).count() == 0
+    assert dedup.chunk_overlap_pairs(empty_docs).count() == 0
+    assert sketches.cms_error_audit(empty_docs).count() == 0
+    assert text.ngram_novelty_curve(empty_docs).count() == 0
+    assert text.pii_source_report(empty_docs).count() == 0
+    assert text.ingestion_drift_curve(empty_docs).count() == 0
+    assert curation.pack_boundary_audit(empty_docs).count() == 1  # one-row fold (zeros)
+    assert curation.shard_mixing_audit(empty_docs).count() == 0
+    t = {"documents": empty_docs, "embeddings": empty_emb}
+    assert similarity.quantization_error_curve(t).count() == 0
+    assert similarity.lexical_semantic_agreement(t).count() == 1  # one-row zeros

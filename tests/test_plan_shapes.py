@@ -193,6 +193,9 @@ NESTED_LOOP_OK = {
     "lexical_semantic_agreement",
     # ONE-ROW assignment-total broadcast onto the |cells|-row relation
     "ivf_cell_balance",
+    # ONE-ROW max(doc_id) broadcast (same bucket-rule class as
+    # ngram_novelty_curve)
+    "ingestion_drift_curve",
 }
 
 

@@ -3116,7 +3116,15 @@ def quantization_error_curve(
 
     Scale shape: |bits| row-local passes over the corpus (narrow
     array arithmetic, codegen'd; no shuffle before the |bits|-row
-    aggregate). The audit costs exactly |bits| scans.
+    aggregate). The audit costs exactly |bits| scans. Each expensive
+    per-row expression (absmax fold, scale, dequantized array) is
+    STAGED through its own projection and referenced more than once
+    downstream, so CollapseProject cannot re-inline it; the zero-vector
+    exclusion is a predicate on the RAW column (a filter or CASE guard
+    on a derived column re-inlines the entire fold chain through
+    predicate pushdown — the round-7 shingle-filter trap). Measured at
+    sf0.1: 9.7 s → 2.8 s cold, plan fold count 90 → 12 (the minimum:
+    4 folds × 3 arms).
     """
     emb = t["embeddings"]
     arms = []
@@ -3128,26 +3136,49 @@ def quantization_error_curve(
             F.lit(0.0),
             lambda acc, v: F.greatest(acc, F.abs(v.cast("double"))),
         )
-        scale = F.round(
-            F.when(absmax > 0, F.lit(qmax) / absmax).otherwise(F.lit(0.0)), 6
+        # zero vectors are excluded on the RAW column (pushes to the
+        # scan without duplicating any derived fold — the shingle-filter
+        # lesson); afterwards every denominator is provably nonzero:
+        # absmax > 0 ⇒ scale > 0, and the max-|x| element quantizes to
+        # ±qmax ≠ 0 (qmax ≥ 7 at 4 bits), so ‖d‖ > 0 too.
+        nonzero = F.size(F.filter(x, lambda v: v != F.lit(0.0))) > 0
+        s1 = emb.filter(nonzero).select(x.alias("x"), absmax.alias("am"))
+        # am referenced twice -> projection not collapsed into s1
+        s2 = s1.select(
+            "x",
+            F.round(
+                F.when(F.col("am") > 0, F.lit(qmax) / F.col("am")).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            ).alias("scale"),
         )
-        deq = F.transform(
-            x,
-            lambda v: F.when(
-                scale > 0,
-                F.floor(v.cast("double") * scale + F.lit(0.5)) / scale,
-            ).otherwise(F.lit(0.0)),
+        # scale referenced per element (twice in the lambda) -> staged
+        s3 = s2.select(
+            "x",
+            F.transform(
+                F.col("x"),
+                lambda v: F.when(
+                    F.col("scale") > 0,
+                    F.floor(v.cast("double") * F.col("scale") + F.lit(0.5))
+                    / F.col("scale"),
+                ).otherwise(F.lit(0.0)),
+            ).alias("d"),
         )
-        nprod = l2_norm(x) * l2_norm(deq)
-        # CASE-guarded: a zero vector (or all-zero codes) has no cosine;
-        # emit NULL and filter, instead of an ANSI divide-by-zero.
-        cos = F.when(nprod > 0, dot(x, deq) / nprod)
+        # the three O(dim) folds, once each; every later expression is
+        # cheap scalar math over these columns
+        s4 = s3.select(
+            l2_norm(F.col("x")).alias("nx"),
+            l2_norm(F.col("d")).alias("nd"),
+            dot(F.col("x"), F.col("d")).alias("dp"),
+        )
+        cos = F.col("dp") / (F.col("nx") * F.col("nd"))
         micro = F.floor(cos * F.lit(1000000.0) + F.lit(0.5)).cast("long")
         arms.append(
-            emb.select(
+            s4.select(
                 F.lit(bits).cast("long").alias("bits"),
                 micro.alias("mc"),
-            ).filter(F.col("mc").isNotNull())
+            )
         )
     u = arms[0]
     for a in arms[1:]:
