@@ -313,3 +313,17 @@ def test_aqe_runtime_broadcast_conversion(spark, tables):
     assert "BroadcastHashJoin" in final_plan or "BroadcastQueryStage" in (
         final_plan
     )
+
+
+def test_quantization_curve_plan_stays_collapsed(plans):
+    """Round-7 lesson, pinned: quantization_error_curve's plan must
+    keep exactly 4 O(dim) folds × 3 arms and one transform per arm.
+    A filter or CASE guard on a derived column (or un-staging the
+    scale/dequant projections) re-inlines the fold chain through
+    predicate pushdown / CollapseProject — measured 90 folds and
+    9.7 s instead of 12 folds and 2.8 s at sf0.1."""
+    p = plans["quantization_error_curve"]
+    folds = p.count("aggregate(")
+    transforms = p.count("transform(")
+    assert folds == 12, f"fold chain re-inlined: {folds} aggregate() nodes"
+    assert transforms == 3, f"dequant transform duplicated: {transforms}"
