@@ -1062,6 +1062,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ingestion_drift_curve": _q(
             lambda t: text.ingestion_drift_curve(t["documents"])
         ),
+        # what each per-source doc cap costs in docs/tokens
+        "source_cap_curve": _q(
+            lambda t: curation.source_cap_curve(t["documents"])
+        ),
+        # padding waste: arrival-order vs length-sorted micro-batches
+        "batch_padding_strategy": _q(
+            lambda t: curation.batch_padding_strategy(t["documents"])
+        ),
+        # bloom decontamination screen with exact-tier FP accounting
+        "bloom_contamination_screen": _q(
+            lambda t: curation.bloom_contamination_screen(t["documents"])
+        ),
+        # do near-dup clusters straddle doc-hash shards?
+        "cluster_shard_colocation": _q(
+            lambda t: curation.cluster_shard_colocation(t["documents"])
+        ),
     }
 
 
@@ -1989,4 +2005,10 @@ def oracle_sql() -> dict[str, str]:
             similarity.quantization_error_curve_sql()
         ),
         "ingestion_drift_curve": text.ingestion_drift_curve_sql(),
+        "source_cap_curve": curation.source_cap_curve_sql(),
+        "batch_padding_strategy": curation.batch_padding_strategy_sql(),
+        "bloom_contamination_screen": (
+            curation.bloom_contamination_screen_sql()
+        ),
+        "cluster_shard_colocation": curation.cluster_shard_colocation_sql(),
     }

@@ -29,8 +29,8 @@ from pyspark.sql import functions as F
 from ..cache import tracked_cache, tracked_persist
 
 from ..functions import FNV_MOD, rolling_hash
-from .dedup import DEFAULT_NGRAM, shingle_hashes
-from .oracle import ROLLING_HASH, _shingles_cte
+from .dedup import DEFAULT_NGRAM, near_dup_clusters, shingle_hashes
+from .oracle import ROLLING_HASH, _shingles_cte, near_dup_clusters_sql
 
 N_BUCKETS = 100  # hash-assignment resolution: percent granularity
 
@@ -2824,4 +2824,463 @@ def pack_boundary_audit_sql(budget: int = 256) -> str:
            CAST((cross_lang * 10000) // n_boundaries AS BIGINT)
                AS cross_lang_bp
     FROM f
+    """
+
+
+# ---------------------------------------------------------------------------
+# per-source caps, batching waste, bloom decontamination, shard co-location
+# ---------------------------------------------------------------------------
+
+CAP_VALUES = (5, 10, 20)
+
+
+def source_cap_curve(
+    df: DataFrame, caps: tuple[int, ...] = CAP_VALUES, text_col: str = "text"
+) -> DataFrame:
+    """What each per-source document CAP costs — the Common-Crawl-style
+    "at most N pages per domain" knob, measured before it is applied.
+    ``balanced_sample_per_lang`` produces a capped sample; this is the
+    DECISION input: for each candidate cap, how many docs and tokens
+    survive, how many are cut, and how many sources actually hit the
+    cap (sources below it are untouched, so raising the cap past the
+    tail's size buys nothing).
+
+    Ranking within a source is the deterministic hash order every
+    sampler here uses (append-stable: new docs never displace kept
+    ones with a lower hash rank — they only extend the tail), tie-broken
+    by doc_id.
+
+    Output: one row per cap — (cap, docs_kept, docs_dropped,
+    tokens_kept, tokens_dropped, sources_capped), exact integers.
+
+    Scale shape: ONE shuffle on source (rank + per-source count share
+    the window partitioning), then a |caps|-way fold via a tiny
+    exploded literal — the corpus is scanned once for all caps. A
+    pathological mega-source makes one sort partition large; the cap
+    rule only needs the N smallest hash ranks, so at that scale the
+    window swaps for a per-partition top-N + merge (same contract).
+    """
+    h = rolling_hash(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source")
+    base = df.select(
+        "source",
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        F.row_number()
+        .over(w.orderBy(h.asc(), F.col("doc_id").asc()))
+        .alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n_src"),
+    )
+    caps_df = F.explode(F.array(*[F.lit(int(c)) for c in caps])).alias("cap")
+    kept = F.col("rn") <= F.col("cap")
+    return (
+        base.select("source", "n_tokens", "rn", "n_src", caps_df)
+        .groupBy("cap")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("docs_kept"),
+            F.sum(F.when(kept, 0).otherwise(1))
+            .cast("long")
+            .alias("docs_dropped"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.sum(F.when(kept, 0).otherwise(F.col("n_tokens")))
+            .cast("long")
+            .alias("tokens_dropped"),
+            F.count_distinct(
+                F.when(F.col("n_src") > F.col("cap"), F.col("source"))
+            )
+            .cast("long")
+            .alias("sources_capped"),
+        )
+        .select(F.col("cap").cast("long").alias("cap"), "docs_kept",
+                "docs_dropped", "tokens_kept", "tokens_dropped",
+                "sources_capped")
+        .orderBy("cap")
+    )
+
+
+def source_cap_curve_sql(caps: tuple[int, ...] = CAP_VALUES) -> str:
+    """Twin: same hash rank, same per-source count, same folds."""
+    h = ROLLING_HASH.format(s="'cap:' || CAST(doc_id AS VARCHAR)")
+    cap_list = "[" + ", ".join(str(int(c)) for c in caps) + "]"
+    return f"""
+    WITH base AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY {h} ASC, doc_id ASC
+               ) AS rn,
+               count(*) OVER (PARTITION BY source) AS n_src
+        FROM documents
+    ),
+    e AS (SELECT base.*, unnest({cap_list}) AS cap FROM base)
+    SELECT CAST(cap AS BIGINT) AS cap,
+           CAST(sum(CASE WHEN rn <= cap THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_kept,
+           CAST(sum(CASE WHEN rn <= cap THEN 0 ELSE 1 END) AS BIGINT)
+               AS docs_dropped,
+           CAST(sum(CASE WHEN rn <= cap THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_kept,
+           CAST(sum(CASE WHEN rn <= cap THEN 0 ELSE n_tokens END) AS BIGINT)
+               AS tokens_dropped,
+           CAST(count(DISTINCT CASE WHEN n_src > cap THEN source END)
+                AS BIGINT) AS sources_capped
+    FROM e
+    GROUP BY cap
+    ORDER BY cap
+    """
+
+
+BATCH_SIZE = 8
+
+
+def batch_padding_strategy(
+    df: DataFrame,
+    batch_size: int = BATCH_SIZE,
+    n_groups: int = PACK_GROUPS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Padding waste of the two standard loader batching orders —
+    ARRIVAL (docs batched in doc_id order) vs LENGTH_SORTED (docs
+    batched after sorting by token length): every sequence in a batch
+    pads to the batch max, so sorting co-locates similar lengths and
+    shrinks the pad. ``pack_sequences`` removes padding by
+    concatenation; this measures the cost of NOT packing — the number
+    an engineering decision between the two loaders needs.
+
+    Batching, like packing, happens per deterministic loader group
+    (doc_id % n_groups — each data-parallel worker batches its own
+    shard), so the measurement parallelizes per group, is
+    engine-portable, and matches production geometry rather than a
+    meaningless global sort.
+
+    Output: one row per strategy — (strategy, n_batches, real_tokens,
+    padded_tokens, pad_waste_bp) with pad_waste_bp =
+    10000·(padded−real) div padded, exact integers.
+
+    Scale shape: one shuffle on grp; the two orderings are two sorts
+    of the SAME exchange (Spark reuses the partitioning); the batch
+    fold is a |groups·strategies·batches|-row aggregate, output 2 rows.
+    """
+    base = df.select(
+        (F.col("doc_id") % n_groups).alias("grp"),
+        "doc_id",
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("grp")
+    rn_arrival = F.row_number().over(w.orderBy(F.col("doc_id").asc()))
+    rn_sorted = F.row_number().over(
+        w.orderBy(F.col("n_tokens").asc(), F.col("doc_id").asc())
+    )
+    b = F.lit(int(batch_size))
+    # window expressions can't sit inside a generator: rank first,
+    # explode the (strategy, batch) pairs in a second projection
+    ranked = base.select(
+        "grp",
+        "n_tokens",
+        rn_arrival.alias("rn_arrival"),
+        rn_sorted.alias("rn_sorted"),
+    )
+    both = ranked.select(
+        "grp",
+        "n_tokens",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("arrival").alias("strategy"),
+                    ((F.col("rn_arrival") - 1) / b).cast("long").alias("batch"),
+                ),
+                F.struct(
+                    F.lit("length_sorted").alias("strategy"),
+                    ((F.col("rn_sorted") - 1) / b).cast("long").alias("batch"),
+                ),
+            )
+        ).alias("s"),
+    ).select("grp", "n_tokens", "s.strategy", "s.batch")
+    per_batch = both.groupBy("strategy", "grp", "batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seq"),
+        F.max("n_tokens").alias("mx"),
+        F.sum("n_tokens").alias("real"),
+    )
+    return (
+        per_batch.groupBy("strategy")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batches"),
+            F.sum("real").cast("long").alias("real_tokens"),
+            F.sum(F.col("n_seq") * F.col("mx"))
+            .cast("long")
+            .alias("padded_tokens"),
+        )
+        .withColumn(
+            "pad_waste_bp",
+            F.expr(
+                "((padded_tokens - real_tokens) * 10000) div padded_tokens"
+            ).cast("long"),
+        )
+        .orderBy("strategy")
+    )
+
+
+def batch_padding_strategy_sql(
+    batch_size: int = BATCH_SIZE, n_groups: int = PACK_GROUPS
+) -> str:
+    """Twin: same group rule, same two window orders, same folds.
+    NOTE: Spark's ``(rn-1) div B`` is ``//`` here; rn >= 1 so both
+    truncate identically."""
+    return f"""
+    WITH base AS (
+        SELECT doc_id % {n_groups} AS grp, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT grp, n_tokens,
+               row_number() OVER (PARTITION BY grp ORDER BY doc_id ASC)
+                   AS rn_arrival,
+               row_number() OVER (
+                   PARTITION BY grp ORDER BY n_tokens ASC, doc_id ASC
+               ) AS rn_sorted
+        FROM base
+    ),
+    arms AS (
+        SELECT grp, n_tokens, 'arrival' AS strategy,
+               (rn_arrival - 1) // {batch_size} AS batch FROM ranked
+        UNION ALL
+        SELECT grp, n_tokens, 'length_sorted' AS strategy,
+               (rn_sorted - 1) // {batch_size} AS batch FROM ranked
+    ),
+    per_batch AS (
+        SELECT strategy, grp, batch,
+               count(*) AS n_seq, max(n_tokens) AS mx,
+               sum(n_tokens) AS sum_t
+        FROM arms GROUP BY 1, 2, 3
+    ),
+    f AS (
+        SELECT strategy, CAST(count(*) AS BIGINT) AS n_batches,
+               CAST(sum(sum_t) AS BIGINT) AS real_tokens,
+               CAST(sum(n_seq * mx) AS BIGINT) AS padded_tokens
+        FROM per_batch GROUP BY strategy
+    )
+    SELECT strategy, n_batches, real_tokens, padded_tokens,
+           CAST(((padded_tokens - real_tokens) * 10000) // padded_tokens
+                AS BIGINT) AS pad_waste_bp
+    FROM f
+    ORDER BY strategy
+    """
+
+
+# Bloom decontamination screen: bit count, hash count, and the three
+# (a, b) pairs deriving bit positions from a shingle hash h as
+# ((a*h + b) % P) % BLOOM_M.  a*h < 2^43 — safe in int64 on both
+# engines.  BLOOM_M is sized for the fixture corpus (~12k distinct
+# train shingles -> ~2/3 fill, measurable-but-small FP rate); in
+# production m scales with the training corpus's shingle count.
+BLOOM_M = 1 << 15
+BLOOM_AB = ((787, 394821), (1409, 918273), (2531, 552581))
+
+
+def bloom_contamination_screen(
+    df: DataFrame,
+    probe_pred: str = PROBE_PRED,
+    m: int = BLOOM_M,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination (the GPT-2/RealNews
+    screen) with its false-positive cost made VISIBLE: the training
+    corpus's shingles populate a fixed bitset; each probe (benchmark)
+    document is screened gram-by-gram against it, next to the exact
+    semi-join ground truth. ``false_pos`` is the number of probe grams
+    the bloom flags that exact matching refutes — the docs a
+    bloom-only pipeline would over-delete. Blooms have no false
+    negatives, so exact_hits <= bloom_hits by construction (planted
+    test pins it).
+
+    Output: one row per probe doc — (doc_id, n_grams, bloom_hits,
+    exact_hits, false_pos), exact integers.
+
+    Scale shape (the reason blooms exist at 100 TB): the filter is a
+    FIXED m-bit set — the distinct set-bit relation is <= m rows no
+    matter how big the training corpus is, so the screen join
+    broadcasts where the exact tier's semi-join must shuffle the full
+    train shingle vocabulary. Building it is one pass + one distinct
+    on ((a*h+b)%P)%m values; probing explodes each probe gram into k
+    position rows joined hash-to-hash against that bounded relation.
+    """
+    train = df.filter(f"NOT ({probe_pred})")
+    probe = df.filter(probe_pred)
+    train_sh = shingle_hashes(train, text_col, n)
+    probe_sh = shingle_hashes(probe, text_col, n)
+
+    def positions(rel: DataFrame) -> DataFrame:
+        pos = F.explode(
+            F.array(
+                *[
+                    ((F.lit(a) * F.col("h") + F.lit(b)) % FNV_MOD) % m
+                    for a, b in BLOOM_AB
+                ]
+            )
+        )
+        return rel.select("doc_id", "h", pos.alias("pos"))
+
+    bits = positions(train_sh).select("pos").distinct()
+    k = len(BLOOM_AB)
+    bloom_pos = (
+        positions(probe_sh)
+        .join(bits, "pos")
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == k)
+        .select("doc_id", "h")
+    )
+    exact_pos = probe_sh.join(
+        train_sh.select("h").distinct(), "h", "left_semi"
+    ).select("doc_id", "h")
+    per_doc = probe_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    bl = bloom_pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("bloom_hits")
+    )
+    ex = exact_pos.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_hits")
+    )
+    return (
+        per_doc.join(bl, "doc_id", "left")
+        .join(ex, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("bloom_hits", F.lit(0)).cast("long").alias("bloom_hits"),
+            F.coalesce("exact_hits", F.lit(0)).cast("long").alias("exact_hits"),
+            (F.coalesce("bloom_hits", F.lit(0)) - F.coalesce("exact_hits", F.lit(0)))
+            .cast("long")
+            .alias("false_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bloom_contamination_screen_sql(
+    probe_pred: str = PROBE_PRED, m: int = BLOOM_M, n: int = DEFAULT_NGRAM
+) -> str:
+    """Twin: same shingle CTE split on the probe predicate, same
+    (a*h+b)%P%m positions, same all-k-bits-set rule."""
+    ab_rows = ", ".join(f"({a}, {b})" for a, b in BLOOM_AB)
+    k = len(BLOOM_AB)
+    return f"""
+    WITH {_shingles_cte(n)},
+    train_sh AS (
+        SELECT doc_id, h FROM sh WHERE NOT ({probe_pred})
+    ),
+    probe_sh AS (
+        SELECT doc_id, h FROM sh WHERE {probe_pred}
+    ),
+    ab(a, b) AS (VALUES {ab_rows}),
+    bits AS (
+        SELECT DISTINCT ((a * h + b) % {FNV_MOD}) % {m} AS pos
+        FROM train_sh CROSS JOIN ab
+    ),
+    bloom_pos AS (
+        SELECT doc_id, h
+        FROM (
+            SELECT p.doc_id, p.h,
+                   ((ab.a * p.h + ab.b) % {FNV_MOD}) % {m} AS pos
+            FROM probe_sh p CROSS JOIN ab
+        ) q JOIN bits USING (pos)
+        GROUP BY doc_id, h
+        HAVING count(*) = {k}
+    ),
+    exact_pos AS (
+        SELECT doc_id, h FROM probe_sh
+        WHERE h IN (SELECT h FROM train_sh)
+    )
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(coalesce(bl.bloom_hits, 0) AS BIGINT) AS bloom_hits,
+           CAST(coalesce(ex.exact_hits, 0) AS BIGINT) AS exact_hits,
+           CAST(coalesce(bl.bloom_hits, 0) - coalesce(ex.exact_hits, 0)
+                AS BIGINT) AS false_pos
+    FROM probe_sh p
+    LEFT JOIN (SELECT doc_id, count(*) AS bloom_hits
+               FROM bloom_pos GROUP BY doc_id) bl USING (doc_id)
+    LEFT JOIN (SELECT doc_id, count(*) AS exact_hits
+               FROM exact_pos GROUP BY doc_id) ex USING (doc_id)
+    GROUP BY p.doc_id, bl.bloom_hits, ex.exact_hits
+    ORDER BY p.doc_id
+    """
+
+
+def cluster_shard_colocation(
+    df: DataFrame,
+    n_shards: int = SHARD_COUNT,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Does doc-hash sharding SPLIT near-dup clusters across shards?
+    Any pipeline that shards first and dedups per shard (the cheap
+    layout — no global shuffle) silently keeps every duplicate whose
+    cluster straddles a shard boundary. This audit measures that
+    exposure for the standard doc-id hash sharding: the near-dup
+    clusters (MinHash-LSH pairs closed under transitivity) histogrammed
+    by how many shards each spans. Rows with n_shards_spanned > 1 are
+    the clusters per-shard dedup cannot see; the fix (sharding by
+    cluster representative, i.e. hash(cluster_id)) spans 1 by
+    construction, so this table IS the before/after comparison.
+
+    Output: (n_shards_spanned, n_clusters, n_docs), ordered.
+
+    Scale shape: the LSH cluster pass (banded candidates, iterative
+    min-label closure — never all-pairs) plus one count_distinct fold
+    over the (cluster, shard) relation; output is <= n_shards rows.
+    """
+    members = near_dup_clusters(df, text_col, n, threshold)
+    shard = (
+        rolling_hash(
+            F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))
+        )
+        % n_shards
+    )
+    per_cluster = (
+        members.select("cluster_id", shard.alias("shard"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("shard").cast("long").alias("n_shards_spanned"),
+        )
+    )
+    return (
+        per_cluster.groupBy("n_shards_spanned")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+        )
+        .orderBy("n_shards_spanned")
+    )
+
+
+def cluster_shard_colocation_sql(
+    n_shards: int = SHARD_COUNT, n: int = DEFAULT_NGRAM,
+    threshold: float = 0.8,
+) -> str:
+    """Twin: recursive-CTE cluster closure + the same doc-id shard
+    hash and folds."""
+    h = ROLLING_HASH.format(s="'shard:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH members AS ({near_dup_clusters_sql(n, threshold)}),
+    per_cluster AS (
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT ({h}) % {n_shards}) AS BIGINT)
+                   AS n_shards_spanned
+        FROM members
+        GROUP BY cluster_id
+    )
+    SELECT n_shards_spanned,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs
+    FROM per_cluster
+    GROUP BY n_shards_spanned
+    ORDER BY n_shards_spanned
     """
