@@ -1078,6 +1078,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_shard_colocation": _q(
             lambda t: curation.cluster_shard_colocation(t["documents"])
         ),
+        # contrastive false negatives inside real loader batches
+        "inbatch_negative_audit": _q(
+            lambda t: similarity.inbatch_negative_audit(t["embeddings"])
+        ),
+        # per-source modal leading prefix (header/banner detector)
+        "boilerplate_prefix_report": _q(
+            lambda t: text.boilerplate_prefix_report(t["documents"])
+        ),
+        # exact-integer multiplicative-weights mixture reweighting
+        "mixture_reweigh_mw": _q(
+            lambda t: curation.mixture_reweigh_mw(t["documents"])
+        ),
+        # leakage-proof split: naive vs cluster-keyed, leaks counted
+        "cluster_safe_split": _q(
+            lambda t: curation.cluster_safe_split(t["documents"])
+        ),
     }
 
 
@@ -2011,4 +2027,8 @@ def oracle_sql() -> dict[str, str]:
             curation.bloom_contamination_screen_sql()
         ),
         "cluster_shard_colocation": curation.cluster_shard_colocation_sql(),
+        "inbatch_negative_audit": similarity.inbatch_negative_audit_sql(),
+        "boilerplate_prefix_report": text.boilerplate_prefix_report_sql(),
+        "mixture_reweigh_mw": curation.mixture_reweigh_mw_sql(),
+        "cluster_safe_split": curation.cluster_safe_split_sql(),
     }

@@ -196,6 +196,9 @@ NESTED_LOOP_OK = {
     # ONE-ROW max(doc_id) broadcast (same bucket-rule class as
     # ngram_novelty_curve)
     "ingestion_drift_curve",
+    # ONE-ROW weight-total broadcast per MW round (renormalization),
+    # the unigram_logprob scalar-aggregate class × |rounds|
+    "mixture_reweigh_mw",
 }
 
 

@@ -185,3 +185,116 @@ def test_cluster_shard_colocation_accounts_all_members(spark):
     one = curation.cluster_shard_colocation(df, n_shards=1).collect()
     assert len(one) == 1 and one[0].n_shards_spanned == 1
     assert one[0].n_docs == members
+
+
+# --- inbatch_negative_audit ---------------------------------------------------
+
+
+def test_inbatch_negative_audit_counts(spark):
+    """Batches partition the corpus (sum n_vecs = N), pair counts are
+    exactly C(n_vecs, 2) per batch, and a planted same-label duplicate
+    vector pair inside one batch is flagged as both same-label and
+    near (cosine 1.0)."""
+    from training_etl_demo_2_spark.operators import similarity
+
+    # one group, batch_size 4 -> ids 0..3 in batch "0-0", 4..7 in "0-1"
+    vec = [1.0, 0.0, 0.5]
+    other = [0.0, 1.0, -0.5]
+    rows = [(i, vec if i < 2 else other, 7 if i < 2 else i) for i in range(8)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = {
+        r.batch_id: r
+        for r in similarity.inbatch_negative_audit(
+            emb, batch_size=4, n_groups=1
+        ).collect()
+    }
+    assert sum(r.n_vecs for r in out.values()) == 8
+    for r in out.values():
+        assert r.n_pairs == r.n_vecs * (r.n_vecs - 1) // 2
+        assert 0 <= r.near_pairs <= r.n_pairs
+        assert 0 <= r.same_label_pairs <= r.n_pairs
+    # one batch holding everything: the planted identical same-label
+    # pair (ids 0, 1) is in-batch BY CONSTRUCTION and must be flagged
+    one = similarity.inbatch_negative_audit(
+        emb, batch_size=8, n_groups=1
+    ).collect()
+    assert len(one) == 1
+    assert one[0].n_pairs == 28
+    assert one[0].same_label_pairs >= 1
+    assert one[0].near_pairs >= 1
+    assert one[0].max_sim == 1.0
+
+
+# --- boilerplate_prefix_report -------------------------------------------------
+
+
+def test_boilerplate_prefix_modal_and_share(spark):
+    """The modal 3-token prefix per source, exact share, lexicographic
+    tie-break."""
+    from training_etl_demo_2_spark.operators import text as textops
+
+    rows = [
+        (1, "subscribe to our newsletter now", "en", "a"),
+        (2, "subscribe to our channel please", "en", "a"),
+        (3, "totally organic content here", "en", "a"),
+        (4, "zz top", "en", "b"),
+        (5, "aa bottom", "en", "b"),
+    ]
+    df = _docs(spark, rows)
+    out = {r.source: r for r in textops.boilerplate_prefix_report(df).collect()}
+    a = out["a"]
+    assert a.top_prefix == "subscribe to our"
+    assert (a.n_docs_with_prefix, a.n_docs, a.share_bp) == (2, 3, 6666)
+    # source b: both prefixes count 1 -> lexicographically first wins
+    assert out["b"].top_prefix == "aa bottom"
+    assert out["b"].share_bp == 5000
+
+
+# --- mixture_reweigh_mw ---------------------------------------------------------
+
+
+def test_mixture_mw_uniform_loss_uniform_weights(spark):
+    """Equal losses must yield equal final weights (the MW fixpoint),
+    and a duplicate-heavy source must end strictly below a clean one."""
+    from training_etl_demo_2_spark.operators import curation
+
+    clean = [(i, f"unique text number {i}", "en", "clean") for i in range(4)]
+    dups = [(10 + i, "same text every time", "en", "dupy") for i in range(4)]
+    out = {
+        r.source: r
+        for r in curation.mixture_reweigh_mw(
+            _docs(spark, clean + dups)
+        ).collect()
+    }
+    assert out["clean"].loss_bp == 0
+    assert out["dupy"].loss_bp == 7500  # 3 of 4 docs are copies
+    assert out["dupy"].w_bp < out["clean"].w_bp
+    assert abs(out["clean"].w_bp + out["dupy"].w_bp - 10000) <= 2
+
+    # uniform corpus: every source same loss -> equal weights
+    uni = [(i, f"doc {i} words here", "en", f"s{i % 2}") for i in range(8)]
+    w = [r.w_bp for r in curation.mixture_reweigh_mw(_docs(spark, uni)).collect()]
+    assert max(w) - min(w) <= 1
+
+
+# --- cluster_safe_split ---------------------------------------------------------
+
+
+def test_cluster_safe_split_zero_leakage(spark):
+    """Cluster-keyed splitting leaks ZERO near-dup pairs by
+    construction; the naive doc-id split is reported on the same
+    corpus; both strategies partition every document."""
+    near = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{near} tail{i % 3}", "en", "s") for i in range(12)] + [
+        (100 + i, f"unique doc {i} filler words here now ok", "en", "s")
+        for i in range(8)
+    ]
+    df = _docs(spark, rows)
+    out = {r.strategy: r for r in curation.cluster_safe_split(df).collect()}
+    assert set(out) == {"naive", "cluster_safe"}
+    for r in out.values():
+        assert r.n_train + r.n_val + r.n_test == len(rows)
+    assert out["cluster_safe"].leaked_pairs == 0
+    assert out["naive"].leaked_pairs >= out["cluster_safe"].leaked_pairs

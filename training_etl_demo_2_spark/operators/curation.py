@@ -3284,3 +3284,312 @@ def cluster_shard_colocation_sql(
     GROUP BY n_shards_spanned
     ORDER BY n_shards_spanned
     """
+
+
+MW_ROUNDS = 5
+MW_ETA_DEN = 20000  # update factor = (MW_ETA_DEN - loss_bp) / MW_ETA_DEN
+MW_SCALE = 1_000_000  # micro lattice for the weight state
+
+
+def mixture_reweigh_mw(
+    df: DataFrame,
+    rounds: int = MW_ROUNDS,
+    text_col: str = "text",
+) -> DataFrame:
+    """DoReMi-style mixture reweighting, reduced to its exact-arithmetic
+    core: starting from uniform source weights, run ``rounds`` of
+    LINEAR multiplicative-weights updates against a per-source proxy
+    loss (here the source's exact-duplicate rate — duplicate-heavy
+    sources are down-weighted), renormalizing on a fixed integer
+    lattice after every round. The linear update
+    w ← w·(1 − η·loss) is the classic no-transcendental MW variant, so
+    engine and oracle agree to the BIT (exp() ULP drift cannot exist);
+    the lattice bound keeps every intermediate < 2^55.
+
+    Output: one row per source — (source, n_docs, loss_bp, w_bp):
+    the final mixture in exact basis points next to the loss that
+    produced it. Uniform loss ⇒ uniform weights (planted test).
+
+    Scale shape: the loss pass is one fingerprint groupBy (8-byte
+    hashes); the MW state is a |sources|-row relation iterated
+    driver-side with one-row total broadcasts per round — metadata
+    arithmetic, corpus touched once.
+    """
+    from ..functions import normalize_text
+
+    fp = rolling_hash(normalize_text(F.col(text_col)))
+    per_fp = (
+        df.select("source", fp.alias("fp"))
+        .groupBy("source", "fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    loss = per_fp.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum(F.col("c") - 1).cast("long").alias("n_dup"),
+    ).select(
+        "source",
+        "n_docs",
+        F.expr("(n_dup * 10000) div n_docs").cast("long").alias("loss_bp"),
+    )
+    w = loss.withColumn("w", F.lit(int(MW_SCALE)).cast("long"))
+    for _ in range(rounds):
+        u = w.withColumn(
+            "w", F.col("w") * (F.lit(MW_ETA_DEN) - F.col("loss_bp"))
+        )
+        tot = u.agg(F.sum("w").alias("tot"))
+        w = u.crossJoin(F.broadcast(tot)).select(
+            "source",
+            "n_docs",
+            "loss_bp",
+            F.expr(f"(w * {MW_SCALE}) div tot").cast("long").alias("w"),
+        )
+    tot = w.agg(F.sum("w").alias("tot"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "loss_bp",
+            F.expr("(w * 10000) div tot").cast("long").alias("w_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def mixture_reweigh_mw_sql(rounds: int = MW_ROUNDS) -> str:
+    """Twin: same fingerprint loss, the MW recurrence unrolled as
+    ``rounds`` chained CTEs with the same lattice renormalization."""
+    from .oracle import NORMALIZE
+
+    fp = ROLLING_HASH.format(s=NORMALIZE.format(s="text"))
+    steps = []
+    prev = "w0"
+    for t in range(1, rounds + 1):
+        steps.append(
+            f"""
+    u{t} AS (
+        SELECT source, n_docs, loss_bp,
+               w * ({MW_ETA_DEN} - loss_bp) AS w
+        FROM {prev}
+    ),
+    w{t} AS (
+        SELECT source, n_docs, loss_bp,
+               (w * {MW_SCALE}) // (SELECT sum(w) FROM u{t}) AS w
+        FROM u{t}
+    )"""
+        )
+        prev = f"w{t}"
+    chain = ",".join(steps)
+    return f"""
+    WITH loss AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(((count(*) - count(DISTINCT fp)) * 10000) // count(*)
+                    AS BIGINT) AS loss_bp
+        FROM (SELECT source, {fp} AS fp FROM documents)
+        GROUP BY source
+    ),
+    w0 AS (
+        SELECT source, n_docs, loss_bp,
+               CAST({MW_SCALE} AS BIGINT) AS w
+        FROM loss
+    ),{chain}
+    SELECT source, n_docs, loss_bp,
+           CAST((w * 10000) // (SELECT sum(w) FROM {prev}) AS BIGINT)
+               AS w_bp
+    FROM {prev}
+    ORDER BY source
+    """
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    threshold: float = 0.8,
+    text_col: str = "text",
+) -> DataFrame:
+    """The FIX for split_leakage, with its proof attached: assign
+    train/val/test by hashing the near-dup CLUSTER representative
+    instead of the doc id, so every member of a near-dup cluster lands
+    in the same split BY CONSTRUCTION — a test doc can never have a
+    near-twin in train. One output compares both strategies on the
+    same corpus: the naive doc-id split (whatever pairs happen to
+    straddle it) vs the cluster-keyed split (leaked_pairs provably 0;
+    planted test pins it).
+
+    Output: one row per strategy — (strategy, n_train, n_val, n_test,
+    leaked_pairs), where leaked = verified near-dup pairs whose
+    endpoints fall in different splits.
+
+    Scale shape: one LSH pair pass (banded candidates, persisted —
+    consumed by both the closure and the leak count), the iterative
+    min-label closure, then doc-id-keyed label joins and a 2-strategy
+    fold; nothing all-pairs, output 2 rows.
+    """
+    from .dedup import connected_components, minhash_lsh_pairs
+
+    pairs = tracked_persist(
+        minhash_lsh_pairs(df, text_col, threshold=threshold)
+    )
+    clusters = connected_components(pairs)
+    keyed = (
+        df.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("rep"),
+        )
+    )
+
+    def split_of(key: Column) -> Column:
+        b = _assign_bucket(key)
+        return (
+            F.when(b < train_pct, "train")
+            .when(b < train_pct + val_pct, "val")
+            .otherwise("test")
+        )
+
+    labeled = keyed.select(
+        "doc_id",
+        split_of(F.col("doc_id")).alias("s_naive"),
+        split_of(F.col("rep")).alias("s_safe"),
+    )
+    lab = labeled.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("naive").alias("strategy"),
+                    F.col("s_naive").alias("split"),
+                ),
+                F.struct(
+                    F.lit("cluster_safe").alias("strategy"),
+                    F.col("s_safe").alias("split"),
+                ),
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.strategy", "x.split")
+    counts = lab.groupBy("strategy").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long")
+        .alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    la = labeled.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("s_naive").alias("na"),
+        F.col("s_safe").alias("sa"),
+    )
+    lb = labeled.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("s_naive").alias("nb"),
+        F.col("s_safe").alias("sb"),
+    )
+    leaks = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("naive").alias("strategy"),
+                        (F.col("na") != F.col("nb"))
+                        .cast("int")
+                        .alias("crossed"),
+                    ),
+                    F.struct(
+                        F.lit("cluster_safe").alias("strategy"),
+                        (F.col("sa") != F.col("sb"))
+                        .cast("int")
+                        .alias("crossed"),
+                    ),
+                )
+            ).alias("x")
+        )
+        .select("x.strategy", "x.crossed")
+        .groupBy("strategy")
+        .agg(F.sum("crossed").cast("long").alias("leaked_pairs"))
+    )
+    return (
+        counts.join(leaks, "strategy", "left")
+        .select(
+            "strategy",
+            "n_train",
+            "n_val",
+            "n_test",
+            F.coalesce("leaked_pairs", F.lit(0))
+            .cast("long")
+            .alias("leaked_pairs"),
+        )
+        .orderBy("strategy")
+    )
+
+
+def cluster_safe_split_sql(
+    train_pct: int = 80, val_pct: int = 10, threshold: float = 0.8
+) -> str:
+    """Twin: recursive-CTE closure for the representative, the same
+    'split:' hash on both keys, same folds."""
+    from .oracle import minhash_lsh_sql
+
+    bn = _split_bucket_sql("doc_id")
+    bs = _split_bucket_sql("rep")
+    return f"""
+    WITH clusters AS ({near_dup_clusters_sql(threshold=threshold)}),
+    pairs AS ({minhash_lsh_sql(threshold=threshold)}),
+    keyed AS (
+        SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS rep
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ),
+    labeled AS (
+        SELECT doc_id,
+               CASE WHEN {bn} < {train_pct} THEN 'train'
+                    WHEN {bn} < {train_pct + val_pct} THEN 'val'
+                    ELSE 'test' END AS s_naive,
+               CASE WHEN {bs} < {train_pct} THEN 'train'
+                    WHEN {bs} < {train_pct + val_pct} THEN 'val'
+                    ELSE 'test' END AS s_safe
+        FROM keyed
+    ),
+    lab AS (
+        SELECT doc_id, 'naive' AS strategy, s_naive AS split FROM labeled
+        UNION ALL
+        SELECT doc_id, 'cluster_safe', s_safe FROM labeled
+    ),
+    counts AS (
+        SELECT strategy,
+               CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_val,
+               CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_test
+        FROM lab GROUP BY strategy
+    ),
+    leaks AS (
+        SELECT 'naive' AS strategy,
+               CAST(coalesce(sum(CASE WHEN la.s_naive <> lb.s_naive
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS leaked_pairs
+        FROM pairs p
+        JOIN labeled la ON la.doc_id = p.doc_a
+        JOIN labeled lb ON lb.doc_id = p.doc_b
+        UNION ALL
+        SELECT 'cluster_safe',
+               CAST(coalesce(sum(CASE WHEN la.s_safe <> lb.s_safe
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM pairs p
+        JOIN labeled la ON la.doc_id = p.doc_a
+        JOIN labeled lb ON lb.doc_id = p.doc_b
+    )
+    SELECT c.strategy, c.n_train, c.n_val, c.n_test,
+           coalesce(l.leaked_pairs, 0) AS leaked_pairs
+    FROM counts c LEFT JOIN leaks l ON l.strategy = c.strategy
+    ORDER BY c.strategy
+    """

@@ -3247,3 +3247,161 @@ def quantization_error_curve_sql(
     FROM u WHERE mc IS NOT NULL
     GROUP BY bits ORDER BY bits
     """
+
+
+# ---------------------------------------------------------------------------
+# in-batch negative audit (contrastive-training data quality)
+# ---------------------------------------------------------------------------
+
+INBATCH_GROUPS = 8
+INBATCH_SIZE = 16
+INBATCH_NEAR_TAU = 0.45
+
+
+def inbatch_negative_audit(
+    emb: DataFrame,
+    batch_size: int = INBATCH_SIZE,
+    n_groups: int = INBATCH_GROUPS,
+    tau: float = INBATCH_NEAR_TAU,
+) -> DataFrame:
+    """FALSE NEGATIVES in contrastive batches: in-batch-negative
+    training (CLIP, DPR, contrastive embedders) treats every other
+    item in the batch as a negative — wrong whenever the batch
+    accidentally contains a same-label or near-duplicate pair, which
+    the loss then pushes apart. This audit materializes the exact
+    batches a deterministic loader would form (hash-shuffled order
+    inside doc-parallel groups, the same geometry as
+    ``batch_padding_strategy``) and counts the poisoned pairs per
+    batch.
+
+    Output: one row per batch — (batch_id, n_vecs, n_pairs,
+    same_label_pairs, near_pairs, max_sim) with near = cosine ≥ tau on
+    the same rounded-double sequence the brute tier uses.
+
+    Scale shape: pairs are confined to batches, so the self-join on
+    (grp, batch) is O(N·(B−1)/2) rows TOTAL — linear in the corpus for
+    fixed batch size, never all-pairs; one window shuffle assigns
+    batches, one hash join forms them, one fold summarizes.
+    """
+    from ..functions import rolling_hash
+
+    h = rolling_hash(F.concat(F.lit("batch:"), F.col("vec_id").cast("string")))
+    w = Window.partitionBy("grp").orderBy(h.asc(), F.col("vec_id").asc())
+    b = F.lit(int(batch_size))
+    assigned = (
+        emb.select(
+            "vec_id",
+            "label",
+            "embedding",
+            (F.col("vec_id") % n_groups).alias("grp"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.concat_ws(
+                "-", F.col("grp"), ((F.col("rn") - 1) / b).cast("long")
+            ).alias("batch_id"),
+        )
+    )
+    a = assigned.select(
+        "batch_id",
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("label_a"),
+        F.col("embedding").alias("emb_a"),
+    )
+    c = assigned.select(
+        "batch_id",
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = (
+        a.join(c, "batch_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "batch_id",
+            "label_a",
+            "label_b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), ROUND).alias(
+                "sim"
+            ),
+        )
+    )
+    sizes = assigned.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    folded = pairs.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("label_a") == F.col("label_b"), 1).otherwise(0))
+        .cast("long")
+        .alias("same_label_pairs"),
+        F.sum(F.when(F.col("sim") >= tau, 1).otherwise(0))
+        .cast("long")
+        .alias("near_pairs"),
+        F.max("sim").alias("max_sim"),
+    )
+    return sizes.join(folded, "batch_id", "left").select(
+        "batch_id",
+        "n_vecs",
+        F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("same_label_pairs", F.lit(0))
+        .cast("long")
+        .alias("same_label_pairs"),
+        F.coalesce("near_pairs", F.lit(0)).cast("long").alias("near_pairs"),
+        F.coalesce("max_sim", F.lit(0.0)).alias("max_sim"),
+    ).orderBy("batch_id")
+
+
+def inbatch_negative_audit_sql(
+    batch_size: int = INBATCH_SIZE,
+    n_groups: int = INBATCH_GROUPS,
+    tau: float = INBATCH_NEAR_TAU,
+) -> str:
+    """Twin: same group/hash batch assignment, DuckDB's
+    list_cosine_similarity on DOUBLE[] (the brute tier's established
+    bitwise-equal twin), same folds."""
+    from .oracle import ROLLING_HASH
+
+    h = ROLLING_HASH.format(s="'batch:' || CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH assigned AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS e,
+               CAST(vec_id % {n_groups} AS VARCHAR) || '-' ||
+               CAST((row_number() OVER (
+                   PARTITION BY vec_id % {n_groups}
+                   ORDER BY {h} ASC, vec_id ASC
+               ) - 1) // {batch_size} AS VARCHAR) AS batch_id
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.batch_id, a.label AS label_a, b.label AS label_b,
+               round(list_cosine_similarity(a.e, b.e), 6) AS sim
+        FROM assigned a
+        JOIN assigned b
+          ON a.batch_id = b.batch_id AND a.vec_id < b.vec_id
+    ),
+    sizes AS (
+        SELECT batch_id, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM assigned GROUP BY batch_id
+    ),
+    folded AS (
+        SELECT batch_id,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN label_a = label_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS same_label_pairs,
+               CAST(sum(CASE WHEN sim >= {tau} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS near_pairs,
+               max(sim) AS max_sim
+        FROM pairs GROUP BY batch_id
+    )
+    SELECT s.batch_id, s.n_vecs,
+           CAST(coalesce(f.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(f.same_label_pairs, 0) AS BIGINT)
+               AS same_label_pairs,
+           CAST(coalesce(f.near_pairs, 0) AS BIGINT) AS near_pairs,
+           coalesce(f.max_sim, 0.0) AS max_sim
+    FROM sizes s LEFT JOIN folded f USING (batch_id)
+    ORDER BY s.batch_id
+    """

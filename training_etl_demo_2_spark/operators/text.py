@@ -12,7 +12,7 @@ constructs with identical semantics in Java regex and RE2.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from ..cache import tracked_persist
 
@@ -3482,4 +3482,87 @@ def ingestion_drift_curve_sql(n_buckets: int = NOVELTY_BUCKETS) -> str:
            CAST((d.n_dup_docs * 10000) // p.n_docs AS BIGINT) AS dup_bp
     FROM per p JOIN dups d ON p.bucket = d.bucket
     ORDER BY bucket
+    """
+
+
+BOILERPLATE_PREFIX_TOKENS = 3
+
+
+def boilerplate_prefix_report(
+    df: DataFrame,
+    k: int = BOILERPLATE_PREFIX_TOKENS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source BOILERPLATE detector: the modal leading k-token
+    prefix of each source's documents and how much of the source it
+    covers. Crawled sources often prepend a fixed header/banner
+    ("subscribe to our newsletter…"); a prefix share far above uniform
+    is the signal to strip it before tokenization (boilerplate inflates
+    n-gram counts and poisons dedup fingerprints). The decision input,
+    not the strip itself — pair with remove_duplicate_spans for the
+    surgery.
+
+    Output: one row per source — (source, top_prefix,
+    n_docs_with_prefix, n_docs, share_bp), modal prefix tie-broken
+    lexicographically.
+
+    Scale shape: one narrow scan (slice + join of the first k tokens),
+    one groupBy(source, prefix) with map-side partials, a per-source
+    top-1 window over the already-aggregated relation (|sources·
+    distinct prefixes| rows, not docs), output |sources| rows.
+    """
+    prefix = F.array_join(
+        F.slice(F.split(F.col(text_col), " "), 1, k), " "
+    ).alias("prefix")
+    per = (
+        df.select("source", prefix)
+        .groupBy("source", "prefix")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n"), F.asc("prefix")
+    )
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_docs", F.sum("n").over(Window.partitionBy("source"))
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("prefix").alias("top_prefix"),
+            F.col("n").alias("n_docs_with_prefix"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr("(n * 10000) div n_docs").cast("long").alias("share_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def boilerplate_prefix_report_sql(
+    k: int = BOILERPLATE_PREFIX_TOKENS,
+) -> str:
+    """Twin: same k-token prefix slice, same modal pick and folds."""
+    return f"""
+    WITH per AS (
+        SELECT source,
+               array_to_string(string_split(text, ' ')[1:{k}], ' ')
+                   AS prefix,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT source, prefix, n,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY n DESC, prefix ASC
+               ) AS rn,
+               sum(n) OVER (PARTITION BY source) AS n_docs
+        FROM per
+    )
+    SELECT source, prefix AS top_prefix, n AS n_docs_with_prefix,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST((n * 10000) // n_docs AS BIGINT) AS share_bp
+    FROM ranked WHERE rn = 1
+    ORDER BY source
     """
