@@ -125,6 +125,23 @@ FAMILIES: dict[str, tuple[str, str]] = {
         "one gram explode shared by three bucket aggregates; distinct "
         "grams grow R× under disjoint replicas",
     ),
+    # round-7 session-7 additions
+    "bloom_contamination_screen": (
+        "~R (linear)",
+        "bit relation capped at m rows regardless of corpus; probe "
+        "positions grow R×, each joins the bounded bitset (FP rate "
+        "rises with fill but is ≤ 1, so matches stay ≤ probe volume)",
+    ),
+    "cluster_safe_split": (
+        "~R (linear)",
+        "banded LSH pairs + iterative closure (pagerank family) + "
+        "doc-id label joins; every relation grows R×",
+    ),
+    "inbatch_negative_audit": (
+        "~R (linear)",
+        "pairs confined to fixed-size batches: N·(B−1)/2 total, one "
+        "window + one hash join",
+    ),
 }
 
 # Acceptance: observed wall ratio must stay under R^1.5 — geometric
