@@ -1094,6 +1094,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split": _q(
             lambda t: curation.cluster_safe_split(t["documents"])
         ),
+        # character-level verify tier over the shared banded candidates
+        "dedup_edit_distance": _q(
+            lambda t: dedup.dedup_edit_distance(t["documents"])
+        ),
+        # where does the true NN land in the approx list (MRR@k)
+        "ann_mrr_eval": _q(similarity.ann_mrr_eval),
+        # order-sensitive stateful streaming: packing as a service
+        "stream_pack_sequences": fixture_queries.stream_pack_sequences,
     }
 
 
@@ -2031,4 +2039,9 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_prefix_report": text.boilerplate_prefix_report_sql(),
         "mixture_reweigh_mw": curation.mixture_reweigh_mw_sql(),
         "cluster_safe_split": curation.cluster_safe_split_sql(),
+        "dedup_edit_distance": oracle.dedup_edit_distance_sql(),
+        "ann_mrr_eval": similarity.ann_mrr_eval_sql(),
+        # streaming packer shares the BATCH packer's oracle verbatim:
+        # the greedy fold is order-deterministic per group
+        "stream_pack_sequences": curation.pack_sequences_sql(budget=256),
     }

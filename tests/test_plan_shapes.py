@@ -25,6 +25,7 @@ STREAMING = {
     "stream_session_stats",
     "stream_click_funnel_loss",
     "stream_funnel_two_sided",
+    "stream_pack_sequences",
 }
 
 # Bounded-side nested-loop joins that are the documented design:
@@ -199,6 +200,8 @@ NESTED_LOOP_OK = {
     # ONE-ROW weight-total broadcast per MW round (renormalization),
     # the unigram_logprob scalar-aggregate class × |rounds|
     "mixture_reweigh_mw",
+    # inherits brute_topk's broadcast fixed-query panel (truth at k=1)
+    "ann_mrr_eval",
 }
 
 

@@ -1,0 +1,146 @@
+"""Planted tests for the round-7 batch-D operators: edit-distance
+verify tier, MRR retrieval eval, and the streaming packer's cross-batch
+state continuation."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from training_etl_demo_2_spark.operators import curation, dedup, similarity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+# --- dedup_edit_distance -----------------------------------------------------
+
+
+def test_edit_distance_catches_jaccard_blind_edit(spark):
+    """A one-word in-place substitution: shingle Jaccard drops (three
+    3-gram shingles change) while Levenshtein moves by just the word's
+    character delta. The pair must pass the edit tier with the exact
+    integer distance, and identical docs score lev = 0."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    edited = base.replace("epsilon", "epsilons")
+    rows = [
+        (1, base, "en", "s"),
+        (2, edited, "en", "s"),
+        (3, base, "en", "s"),
+        (4, "entirely different words compose this document here", "en", "s"),
+    ]
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup.dedup_edit_distance(_docs(spark, rows)).collect()
+    }
+    assert (1, 3) in out and out[(1, 3)].lev == 0 and out[(1, 3)].lev_bp == 0
+    assert (1, 2) in out and out[(1, 2)].lev == 1  # one inserted char
+    assert all(r.lev_bp <= 2000 for r in out.values())
+    assert not any(4 in k for k in out)
+
+
+def test_edit_distance_threshold_excludes(spark):
+    """A candidate pair whose normalized distance exceeds max_bp is
+    dropped even though banding proposed it."""
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    # a's full text as suffix keeps the shingle sets (and bands) close,
+    # while the 6-char prefix pushes normalized lev above a tight cut
+    b = "x1 x2 " + a
+    rows = [(1, a, "en", "s"), (2, b, "en", "s")]
+    loose = dedup.dedup_edit_distance(_docs(spark, rows), max_bp=10000)
+    assert loose.count() >= 1  # banding proposes the pair
+    lev_bp = loose.collect()[0].lev_bp
+    strict = dedup.dedup_edit_distance(
+        _docs(spark, rows), max_bp=lev_bp - 1
+    )
+    assert strict.count() == 0
+
+
+# --- ann_mrr_eval --------------------------------------------------------------
+
+
+def test_ann_mrr_bounds_and_perfect_recall_case(spark, tables):
+    """rr_micro ∈ {0} ∪ [1e6/k, 1e6], one row per query, and whenever
+    the true neighbor sits at approx rank 1 the reciprocal is exactly
+    1e6."""
+    rows = similarity.ann_mrr_eval(tables).collect()
+    qn = similarity.brute_topk(tables["embeddings"], k=1).count()
+    assert len(rows) == qn
+    for r in rows:
+        if r.true_rank is None:
+            assert r.rr_micro == 0
+        else:
+            assert 1 <= r.true_rank <= 5
+            assert r.rr_micro == 1_000_000 // r.true_rank
+
+
+# --- stream_pack_sequences ------------------------------------------------------
+
+
+def test_pack_stream_state_spans_micro_batches(spark, tmp_path):
+    """The REAL streaming claim: the (seq, acc) accumulator carries
+    across micro-batches. Two parquet files streamed with
+    maxFilesPerTrigger=1 are two batches; a group's open pack must
+    absorb the second batch's first doc instead of restarting at
+    seq 0 — i.e. the streamed result equals the batch packer on the
+    union corpus."""
+    from training_etl_demo_2_spark.streaming.stateful import pack_stream
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows1 = [(i, " ".join(["w"] * 100), "en", "s") for i in range(0, 4)]
+    rows2 = [(i, " ".join(["w"] * 100), "en", "s") for i in range(4, 8)]
+    d = str(tmp_path / "stream_src")
+    os.makedirs(d, exist_ok=True)
+    cols = ["doc_id", "text", "lang", "source"]
+    for name, rows in (("b1", rows1), ("b2", rows2)):
+        tbl = pa.table(
+            {c: [r[i] for r in rows] for i, c in enumerate(cols)},
+            schema=pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("text", pa.string()),
+                    ("lang", pa.string()),
+                    ("source", pa.string()),
+                ]
+            ),
+        )
+        pq.write_table(tbl, os.path.join(d, f"{name}.parquet"))
+
+    schema = spark.read.parquet(os.path.join(d, "b1.parquet")).schema
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    out = pack_stream(src, budget=256, n_groups=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_pack_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    q.stop()
+    got = {
+        r.doc_id: r.pack_id for r in spark.table("t_pack_stream").collect()
+    }
+    want = {
+        r.doc_id: r.pack_id
+        for r in curation.pack_sequences(
+            _docs(spark, rows1 + rows2), budget=256, n_groups=1
+        ).collect()
+    }
+    assert got == want
+    # 100-token docs, budget 256: packs hold 2 docs each. If state
+    # were lost at the batch boundary, batch 2 would restart at seq 0
+    # and its pack ids would COLLIDE with batch 1's (4 ids collapse to
+    # 2); continuation keeps 4 distinct packs with doc 4 opening seq 2
+    assert got[4] == got[5]
+    assert len(set(got.values())) == 4

@@ -4251,3 +4251,65 @@ def chunk_overlap_pairs_sql(k: int = CHUNK_OVERLAP_K) -> str:
     FROM suf a JOIN pre b USING (s)
     WHERE a.doc_a != b.doc_b
     """
+
+
+# ---------------------------------------------------------------------------
+# edit-distance verify tier (character-level near-dup)
+# ---------------------------------------------------------------------------
+
+EDIT_DIST_MAX_BP = 2000  # keep pairs whose edit distance <= 20% of max len
+
+
+def dedup_edit_distance(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = DEFAULT_NGRAM,
+    max_bp: int = EDIT_DIST_MAX_BP,
+) -> DataFrame:
+    """Near-dup pairs verified by CHARACTER edit distance — the tier
+    that catches what set-based Jaccard is blind to: transpositions,
+    small in-place edits, and OCR-style character noise move Levenshtein
+    a little but can leave shingle sets (and thus Jaccard) untouched, or
+    vice versa. Candidates come from the SAME banded MinHash index every
+    other tier probes (never all-pairs); the verify metric is
+    ``levenshtein(a, b)`` normalized by the longer text, kept when
+    ≤ ``max_bp`` basis points.
+
+    Output: (doc_a, doc_b, lev, lev_bp) — exact integers (both engines
+    implement the standard unit-cost Levenshtein).
+
+    Scale shape: candidate generation is the banded bucket join
+    (bounded, measured linear); the verify joins each candidate's two
+    texts to one row and scores locally — O(Σ_cand |a|·|b|) character
+    work confined to the candidate set, embarrassingly parallel.
+    """
+    hs = _shingle_arrays(df, text_col, n)
+    bands = _band_relation(hs)
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bk")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bk")
+    candidates = (
+        left.join(right, ["band", "bk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ta = df.select(F.col("doc_id").alias("doc_a"), F.col(text_col).alias("ta"))
+    tb = df.select(F.col("doc_id").alias("doc_b"), F.col(text_col).alias("tb"))
+    lev = F.levenshtein("ta", "tb")
+    return (
+        candidates.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("long").alias("lev"),
+            F.expr(
+                "(levenshtein(ta, tb) * 10000) div "
+                "greatest(length(ta), length(tb))"
+            )
+            .cast("long")
+            .alias("lev_bp"),
+        )
+        .filter(F.col("lev_bp") <= max_bp)
+        .orderBy("doc_a", "doc_b")
+    )

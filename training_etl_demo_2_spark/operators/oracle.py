@@ -698,3 +698,48 @@ def winnowing_fingerprints_sql(n: int = 4, w: int = 5) -> str:
     LEFT JOIN per_doc ON ng.doc_id = per_doc.doc_id
     LEFT JOIN shared ON ng.doc_id = shared.doc_id
     """
+
+
+def _lsh_candidates_cte(n: int = DEFAULT_NGRAM) -> str:
+    """CTE chain producing ``cand(doc_a, doc_b)`` — the banded MinHash
+    candidate pairs shared by every verify tier (extracted from
+    minhash_lsh_sql so new verify metrics reuse the identical index)."""
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_expr(b)} AS bk FROM sig"
+        for b in range(BANDS)
+    )
+    return f"""{_shingles_cte(n)},
+    sig AS (
+        SELECT doc_id,
+               {_signature_exprs()}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+        WHERE a.doc_id < b.doc_id
+    )"""
+
+
+def dedup_edit_distance_sql(
+    n: int = DEFAULT_NGRAM, max_bp: int = 2000
+) -> str:
+    """Twin of dedup.dedup_edit_distance: identical banded candidates,
+    DuckDB's unit-cost levenshtein, same normalization fold."""
+    return f"""
+    WITH {_lsh_candidates_cte(n)}
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+           CAST((levenshtein(da.text, db.text) * 10000) //
+                greatest(length(da.text), length(db.text)) AS BIGINT)
+               AS lev_bp
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE (levenshtein(da.text, db.text) * 10000) //
+          greatest(length(da.text), length(db.text)) <= {max_bp}
+    ORDER BY c.doc_a, c.doc_b
+    """

@@ -3405,3 +3405,59 @@ def inbatch_negative_audit_sql(
     FROM sizes s LEFT JOIN folded f USING (batch_id)
     ORDER BY s.batch_id
     """
+
+
+def ann_mrr_eval(t: dict[str, DataFrame], k: int = 5) -> DataFrame:
+    """MRR@k of the multi-probe LSH retrieval: at what position does
+    the TRUE nearest neighbor (brute rank-1) appear in the approx
+    list? The first-hit metric product search teams quote next to
+    recall (set overlap, ``lsh_recall_eval``) and NDCG (full-list
+    rank weighting, ``ann_ndcg_eval``) — completing the standard
+    retrieval-eval triple on the same deterministic tiers.
+
+    Output: one row per query — (query_id, true_rank, rr_micro) with
+    rr_micro = 1e6 div rank (0 when the true neighbor is absent from
+    the approx top-k); exact integers, no floats anywhere.
+
+    Scale shape: reuses the bucket-bounded LSH plan and the
+    broadcast-query brute plan at k=1 (fixed query panel — the eval
+    never goes corpus×corpus); the grading join is |Q|-keyed metadata.
+    """
+    emb = t["embeddings"]
+    truth = brute_topk(emb, k=1).select("query_id", "neighbor_id")
+    approx = lsh_topk(emb, k=k).select("query_id", "neighbor_id", "rnk")
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            F.col("rnk").cast("long").alias("true_rank"),
+            F.coalesce(
+                F.expr("1000000 div rnk"), F.lit(0)
+            )
+            .cast("long")
+            .alias("rr_micro"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ann_mrr_eval_sql(k: int = 5) -> str:
+    """Twin: brute rank-1 truth looked up in the LSH oracle ranking,
+    same integer reciprocal lattice."""
+    from .oracle_text import brute_topk_sql, lsh_topk_sql
+
+    return f"""
+    WITH truth AS (
+        SELECT query_id, neighbor_id FROM ({brute_topk_sql(k=1)})
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id, rnk FROM ({lsh_topk_sql(k=k)})
+    )
+    SELECT t.query_id,
+           CAST(a.rnk AS BIGINT) AS true_rank,
+           CAST(coalesce(1000000 // a.rnk, 0) AS BIGINT) AS rr_micro
+    FROM truth t
+    LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    ORDER BY t.query_id
+    """

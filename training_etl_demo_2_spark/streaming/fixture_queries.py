@@ -854,3 +854,30 @@ STREAM_FUNNEL_TWO_SIDED_ORACLE = """
                AS matched
     FROM u
 """
+
+
+def stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate row for the order-sensitive stateful layer: streaming
+    first-fit packing (one (seq, acc) accumulator per deterministic
+    group) replayed to completion must equal the BATCH packer row for
+    row — the shared oracle is ``curation.pack_sequences_sql``. Each
+    doc is emitted exactly once (it arrives in exactly one
+    micro-batch), so update mode needs no final-state selection."""
+    from .stateful import pack_stream
+
+    docs = _read_documents_stream_fixture(spark, sf_dir)
+    out = pack_stream(docs, budget=256, n_groups=8)
+    with _replay_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName("gate_stream_pack")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300.0):
+                raise TimeoutError("pack stream did not drain")
+        finally:
+            q.stop()
+    return spark.table("gate_stream_pack")

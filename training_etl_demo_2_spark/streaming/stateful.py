@@ -20,6 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 RUNNING_TOTALS_SCHEMA = "user_id long, n_events long, sum_value double"
@@ -588,4 +589,64 @@ def correlate_streams_full_outer(
         "click_ts",
         "purchase_ts",
         "purchase_value",
+    )
+
+
+PACK_STREAM_SCHEMA = "doc_id long, n_tokens long, pack_id string"
+PACK_STREAM_STATE = "seq long, acc long"
+
+
+def pack_stream(
+    stream: DataFrame, budget: int = 256, n_groups: int = 8
+) -> DataFrame:
+    """STREAMING first-fit sequence packing — the always-on ingest
+    form of ``curation.pack_sequences``: documents arrive in
+    micro-batches, each deterministic group (doc_id % n_groups) keeps
+    one (seq, acc) accumulator, and every arriving doc is appended to
+    the group's open pack or starts a new one. Because the greedy
+    recurrence is a pure left fold over doc_id order, the streamed
+    result is IDENTICAL to the batch packer whenever groups see
+    nondecreasing doc_ids across batches (the replay fixture delivers
+    one batch, and an ingest pipeline's doc ids are monotone) — so the
+    batch twin (``pack_sequences_sql``) is the exact oracle, the
+    strongest statement a stateful streaming operator can make.
+
+    Within a micro-batch the group's slice is buffer-sorted by doc_id
+    (applyInPandasWithState hands chunks in shuffle order): per group
+    per batch memory, the same bound the batch packer's per-group scan
+    carries.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seq, acc = state.get if state.exists else (0, 0)
+        grp = int(key[0])
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((int(seq), int(acc)))
+            return
+        pdf = pd.concat(chunks).sort_values("doc_id")
+        out = []
+        for doc_id, tok in zip(pdf["doc_id"], pdf["n_tokens"]):
+            tok = int(tok)
+            if acc > 0 and acc + tok > budget:
+                seq += 1
+                acc = 0
+            acc += tok
+            out.append((int(doc_id), tok, f"{grp}-{seq}"))
+        state.update((int(seq), int(acc)))
+        yield pd.DataFrame(out, columns=["doc_id", "n_tokens", "pack_id"])
+
+    src = stream.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % n_groups).alias("grp"),
+    )
+    return src.groupBy("grp").applyInPandasWithState(
+        update,
+        PACK_STREAM_SCHEMA,
+        PACK_STREAM_STATE,
+        "update",
+        GroupStateTimeout.NoTimeout,
     )
