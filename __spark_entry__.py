@@ -1102,6 +1102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mrr_eval": _q(similarity.ann_mrr_eval),
         # order-sensitive stateful streaming: packing as a service
         "stream_pack_sequences": fixture_queries.stream_pack_sequences,
+        # straggler bound per candidate salt factor, one scan
+        "salt_factor_curve": _q(skew.salt_factor_curve),
+        # CMS blocks merge by cell SUM — the third mergeability proof
+        "cms_rollup_merge": _q(sketches.cms_rollup_merge),
     }
 
 
@@ -2044,4 +2048,6 @@ def oracle_sql() -> dict[str, str]:
         # streaming packer shares the BATCH packer's oracle verbatim:
         # the greedy fold is order-deterministic per group
         "stream_pack_sequences": curation.pack_sequences_sql(budget=256),
+        "salt_factor_curve": skew.salt_factor_curve_sql(),
+        "cms_rollup_merge": sketches.cms_rollup_merge_sql(),
     }

@@ -144,3 +144,48 @@ def test_pack_stream_state_spans_micro_batches(spark, tmp_path):
     # 2); continuation keeps 4 distinct packs with doc 4 opening seq 2
     assert got[4] == got[5]
     assert len(set(got.values())) == 4
+
+
+# --- salt_factor_curve ----------------------------------------------------------
+
+
+def test_salt_factor_curve_monotone(spark, tables):
+    """More salt never increases the straggler bound, never changes the
+    total, and only multiplies the key count: max_load non-increasing,
+    total_rows constant, n_keys non-decreasing in salt; salt 1 has
+    exactly the unsalted distinct-word key count."""
+    from training_etl_demo_2_spark.operators import skew
+
+    rows = sorted(
+        skew.salt_factor_curve(tables).collect(), key=lambda r: r.salt
+    )
+    assert [r.salt for r in rows] == [1, 2, 4, 8]
+    totals = {r.total_rows for r in rows}
+    assert len(totals) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b.max_load <= a.max_load
+        assert b.n_keys >= a.n_keys
+    n_words = (
+        tables["documents"]
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .select("w")
+        .distinct()
+        .count()
+    )
+    assert rows[0].n_keys == n_words
+
+
+# --- cms_rollup_merge -----------------------------------------------------------
+
+
+def test_cms_rollup_merge_lossless(spark, tables):
+    """Cell-wise summed per-source grids must equal the direct grid
+    (zero mismatches), and both estimates upper-bound the true count
+    identically."""
+    from training_etl_demo_2_spark.operators import sketches
+
+    r = sketches.cms_rollup_merge(tables).collect()[0]
+    assert r.mismatched_cells == 0
+    assert r.cells > 0
+    assert r.est_merged == r.est_direct >= r.true_cnt > 0
+    assert r.n_sources >= 2

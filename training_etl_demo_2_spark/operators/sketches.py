@@ -1138,3 +1138,175 @@ def cms_error_audit_sql(width: int = CMS_W) -> str:
     FROM est
     GROUP BY 1 ORDER BY bucket
     """
+
+
+def cms_rollup_merge(t: dict[str, DataFrame]) -> DataFrame:
+    """The CMS mergeability proof, completing the sketch-merge triple
+    (HLL merges by register MAX — ``hll_rollup_merge``; histograms by
+    bin SUM — ``events_histogram_quantiles``; CMS by cell SUM — this):
+    build one CMS grid PER SOURCE (the block an incremental pipeline
+    materializes next to each partition), merge by cell-wise addition,
+    and verify the merged grid is IDENTICAL to the grid built directly
+    over the whole corpus — mismatched_cells must be 0 (full-outer
+    cell comparison, so a cell present on one side only also counts).
+    Beside it: the top-1 heavy hitter's estimate from the merged grid,
+    from the direct grid, and its true count (merged est == direct est,
+    both >= true — the CMS contract survives the rollup).
+
+    Scale shape: per-source grids are <= D·W cells each regardless of
+    volume; every fold after the (source, d, b) groupBy runs on
+    grid-sized metadata with ONE-ROW broadcasts. Output: one row.
+    """
+    from ..functions import rolling_hash
+
+    docs = t["documents"]
+    hashed = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select("source", "w", rolling_hash(F.col("w")).alias("h"))
+    )
+    arms = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (
+                        ((F.lit(CMS_A[d]) * F.col("h") + F.lit(CMS_B[d]))
+                         % CMS_P) % CMS_W
+                    ).alias("b"),
+                )
+                for d in range(CMS_D)
+            ]
+        )
+    ).alias("db")
+    rows = hashed.select("source", arms).select(
+        "source", F.col("db.d").alias("d"), F.col("db.b").alias("b")
+    )
+    per_src = rows.groupBy("source", "d", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    merged = per_src.groupBy("d", "b").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+    direct = rows.groupBy("d", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cmp = merged.withColumnRenamed("c", "cm").join(
+        direct.withColumnRenamed("c", "cd"), ["d", "b"], "full_outer"
+    )
+    audit = cmp.agg(
+        F.count(F.lit(1)).cast("long").alias("cells"),
+        F.sum(
+            (
+                F.coalesce("cm", F.lit(-1)) != F.coalesce("cd", F.lit(-2))
+            ).cast("int")
+        )
+        .cast("long")
+        .alias("mismatched_cells"),
+    )
+    top1 = (
+        hashed.groupBy("w", "h")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), F.asc("w"))
+        .limit(1)
+    )
+    probe = top1.select(
+        "w", "true_cnt", arms
+    ).select("w", "true_cnt", F.col("db.d").alias("d"), F.col("db.b").alias("b"))
+    est_m = (
+        probe.join(F.broadcast(merged), ["d", "b"])
+        .groupBy("w", "true_cnt")
+        .agg(F.min("c").cast("long").alias("est_merged"))
+    )
+    est_d = (
+        probe.join(F.broadcast(direct), ["d", "b"])
+        .groupBy("w", "true_cnt")
+        .agg(F.min("c").cast("long").alias("est_direct"))
+    )
+    n_src = docs.agg(
+        F.count_distinct("source").cast("long").alias("n_sources")
+    )
+    return (
+        n_src.crossJoin(F.broadcast(audit))
+        .crossJoin(F.broadcast(est_m.join(est_d, ["w", "true_cnt"])))
+        .select(
+            "n_sources",
+            "cells",
+            "mismatched_cells",
+            F.col("w").alias("top_word"),
+            "true_cnt",
+            "est_merged",
+            "est_direct",
+        )
+    )
+
+
+def cms_rollup_merge_sql() -> str:
+    """Twin: identical hash/bucket algebra at each level."""
+    from .oracle import ROLLING_HASH
+
+    h = ROLLING_HASH.format(s="w")
+    bucket = "((({a} * h + {b}) % {p}) % {w})"
+    rows_union = " UNION ALL ".join(
+        f"SELECT source, {d} AS d, "
+        + bucket.format(a=CMS_A[d], b=CMS_B[d], p=CMS_P, w=CMS_W)
+        + " AS b FROM hashed"
+        for d in range(CMS_D)
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT w, true_cnt, {d} AS d, "
+        + bucket.format(a=CMS_A[d], b=CMS_B[d], p=CMS_P, w=CMS_W)
+        + " AS b FROM top1"
+        for d in range(CMS_D)
+    )
+    return f"""
+    WITH words AS (
+        SELECT source, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    hashed AS (SELECT source, w, {h} AS h FROM words WHERE w != ''),
+    rows_rel AS ({rows_union}),
+    per_src AS (
+        SELECT source, d, b, CAST(count(*) AS BIGINT) AS c
+        FROM rows_rel GROUP BY 1, 2, 3
+    ),
+    merged AS (
+        SELECT d, b, CAST(sum(c) AS BIGINT) AS c FROM per_src GROUP BY d, b
+    ),
+    direct AS (
+        SELECT d, b, CAST(count(*) AS BIGINT) AS c FROM rows_rel GROUP BY d, b
+    ),
+    audit AS (
+        SELECT CAST(count(*) AS BIGINT) AS cells,
+               CAST(sum(CASE WHEN coalesce(m.c, -1) <> coalesce(dd.c, -2)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS mismatched_cells
+        FROM merged m FULL OUTER JOIN direct dd USING (d, b)
+    ),
+    top1 AS (
+        SELECT w, h, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM hashed GROUP BY w, h
+        ORDER BY true_cnt DESC, w ASC LIMIT 1
+    ),
+    probe AS ({probe_union}),
+    est_m AS (
+        SELECT p.w, p.true_cnt, CAST(min(m.c) AS BIGINT) AS est_merged
+        FROM probe p JOIN merged m USING (d, b) GROUP BY 1, 2
+    ),
+    est_d AS (
+        SELECT p.w, p.true_cnt, CAST(min(dd.c) AS BIGINT) AS est_direct
+        FROM probe p JOIN direct dd USING (d, b) GROUP BY 1, 2
+    ),
+    ns AS (
+        SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents
+    )
+    SELECT ns.n_sources, a.cells, a.mismatched_cells,
+           em.w AS top_word, em.true_cnt, em.est_merged, ed.est_direct
+    FROM ns CROSS JOIN audit a
+    CROSS JOIN est_m em
+    JOIN est_d ed ON ed.w = em.w AND ed.true_cnt = em.true_cnt
+    """

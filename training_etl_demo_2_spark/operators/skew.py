@@ -169,3 +169,96 @@ SKEWED_USER_REVENUE_ORACLE = """
     FROM events JOIN users USING (user_id)
     GROUP BY segment
 """
+
+
+SALT_FACTORS = (1, 2, 4, 8)
+
+
+def salt_factor_curve(
+    t: dict[str, DataFrame], factors: tuple[int, ...] = SALT_FACTORS
+) -> DataFrame:
+    """How much salt does the hot key need? For each candidate salt
+    factor s, the word-frequency aggregation's reducer keys become
+    (word, doc-hash % s); this curve reports the resulting MAX reducer
+    load next to the total — the straggler bound the shuffle planner is
+    actually sizing for. Read it as: salt 1 shows the raw hot-key skew;
+    the factor where max_load stops halving is where the hot key is
+    spread thin enough and extra salt only multiplies the second-stage
+    merge.
+
+    Output: one row per factor — (salt, n_keys, total_rows, max_load,
+    skew_x100 = 100·max_load·n_keys div total_rows), exact integers.
+
+    Scale shape: one token explode shared by all |factors| arms (narrow
+    fan-out), one groupBy(salt, word, bucket) with map-side partials,
+    then a |keys|-sized fold per factor — exactly the two-stage plan the
+    salt factor buys, measured on itself.
+    """
+    from ..functions import rolling_hash
+
+    docs = t["documents"]
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    arms = toks.select(
+        "word",
+        (
+            rolling_hash(
+                F.concat(F.lit("salt:"), F.col("doc_id").cast("string"))
+            )
+        ).alias("h"),
+        F.explode(F.array(*[F.lit(int(s)) for s in factors])).alias("salt"),
+    )
+    per_key = arms.groupBy(
+        "salt", "word", (F.col("h") % F.col("salt")).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        per_key.groupBy("salt")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("n").cast("long").alias("total_rows"),
+            F.max("n").cast("long").alias("max_load"),
+        )
+        .select(
+            F.col("salt").cast("long").alias("salt"),
+            "n_keys",
+            "total_rows",
+            "max_load",
+            F.expr("(100 * max_load * n_keys) div total_rows")
+            .cast("long")
+            .alias("skew_x100"),
+        )
+        .orderBy("salt")
+    )
+
+
+def salt_factor_curve_sql(factors: tuple[int, ...] = SALT_FACTORS) -> str:
+    """Twin: same token explode, same doc-hash salt buckets, same
+    folds."""
+    from .oracle import ROLLING_HASH
+
+    h = ROLLING_HASH.format(s="'salt:' || CAST(doc_id AS VARCHAR)")
+    fl = "[" + ", ".join(str(int(s)) for s in factors) + "]"
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    ),
+    arms AS (
+        SELECT word, {h} AS h, unnest({fl}) AS salt FROM toks
+    ),
+    per_key AS (
+        SELECT salt, word, h % salt AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM arms GROUP BY 1, 2, 3
+    )
+    SELECT CAST(salt AS BIGINT) AS salt,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS total_rows,
+           CAST(max(n) AS BIGINT) AS max_load,
+           CAST((100 * max(n) * count(*)) // sum(n) AS BIGINT)
+               AS skew_x100
+    FROM per_key
+    GROUP BY salt
+    ORDER BY salt
+    """
