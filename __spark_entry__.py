@@ -44,6 +44,8 @@ from training_etl_demo_2_spark.operators import (
 from training_etl_demo_2_spark.plans.corpus_pipeline import (
     corpus_pipeline_e2e as _corpus_pipeline_e2e,
     corpus_pipeline_e2e_sql as _corpus_pipeline_e2e_sql,
+    incremental_pipeline_e2e as _incremental_pipeline_e2e,
+    incremental_pipeline_e2e_sql as _incremental_pipeline_e2e_sql,
 )
 from training_etl_demo_2_spark.streaming import fixture_queries
 
@@ -1106,6 +1108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salt_factor_curve": _q(skew.salt_factor_curve),
         # CMS blocks merge by cell SUM — the third mergeability proof
         "cms_rollup_merge": _q(sketches.cms_rollup_merge),
+        # per-delivery pipeline: gate + dedup AGAINST the corpus, pack
+        "incremental_pipeline_e2e": _q(_incremental_pipeline_e2e),
     }
 
 
@@ -2050,4 +2054,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_pack_sequences": curation.pack_sequences_sql(budget=256),
         "salt_factor_curve": skew.salt_factor_curve_sql(),
         "cms_rollup_merge": sketches.cms_rollup_merge_sql(),
+        "incremental_pipeline_e2e": _incremental_pipeline_e2e_sql(),
     }

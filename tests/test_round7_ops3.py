@@ -189,3 +189,48 @@ def test_cms_rollup_merge_lossless(spark, tables):
     assert r.cells > 0
     assert r.est_merged == r.est_direct >= r.true_cnt > 0
     assert r.n_sources >= 2
+
+
+# --- incremental_pipeline_e2e ---------------------------------------------------
+
+
+def test_incremental_pipeline_composition_effects(spark):
+    """The two effects only the COMPOSED per-delivery job shows:
+    (a) a batch doc that is within-batch unique but an exact copy of a
+    CORPUS doc dies at the fingerprint tier; (b) a batch doc that
+    survives exact dedup still dies when a corpus NEAR-twin shares a
+    band bucket. A genuinely novel batch doc flows through to the
+    packed manifest."""
+    from training_etl_demo_2_spark.plans.corpus_pipeline import (
+        incremental_pipeline_e2e,
+    )
+
+    # all docs must clear the Gopher gate (>= 50 words, >= 2 stopword
+    # hits, mean word length 3..10) so the kills land at the DEDUP tiers
+    corpus_text = " ".join(
+        ["the", "alpha", "beta", "gamma", "delta", "epsilon",
+         "zeta", "eta", "theta", "iota"] * 6
+    )
+    near_text = corpus_text + " lambda"  # high-Jaccard corpus twin
+    novel = " ".join(
+        ["the", "fresh", "novel", "delivery", "content", "with",
+         "many", "unseen", "words", "here"] * 6
+    )
+    rows = [
+        # corpus (doc_id % 5 != 0)
+        (1, corpus_text, "en", "s"),
+        (2, near_text, "en", "s"),
+        # incoming delivery (doc_id % 5 == 0)
+        (5, corpus_text, "en", "s"),   # exact copy of corpus doc 1
+        (10, near_text + " mu", "en", "s"),  # near-twin of corpus doc 2
+        (15, novel, "en", "s"),        # genuinely new
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = incremental_pipeline_e2e({"documents": df}).collect()
+    accepted = {r.doc_id for r in out}
+    assert 5 not in accepted   # killed by the corpus fingerprint set
+    assert 10 not in accepted  # killed by the corpus band index
+    assert 15 in accepted      # packed into the delivery manifest
+    assert all(r.pack_id for r in out)

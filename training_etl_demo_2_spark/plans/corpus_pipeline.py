@@ -212,3 +212,147 @@ def corpus_pipeline_e2e_sql(
     packed AS ({_nest(pack_sequences_sql(budget=budget), "s6")})
     SELECT doc_id, n_tokens, pack_id FROM packed
     """
+
+
+INC_MOD = 5  # doc_id % INC_MOD == 0 is the incoming delivery (~20%)
+
+
+def incremental_pipeline_e2e(
+    t: dict[str, DataFrame], budget: int = PIPE_BUDGET, mod: int = INC_MOD
+) -> DataFrame:
+    """The pipeline's PER-DELIVERY form — how a 100 TB corpus actually
+    grows: a new batch (doc_id % mod == 0, the fixture's stand-in
+    delivery) is gated and deduplicated AGAINST THE ACCUMULATED
+    COLLECTION, never by re-running corpus-wide dedup:
+
+        incoming batch
+          → Gopher rule filter           (batch-local)
+          → exact incremental dedup      (anti-join on the corpus's
+                                          stored fingerprint set +
+                                          keep-first within the batch)
+          → near-dup probe               (batch bands ⋈ corpus band
+                                          index; matched rows dropped)
+          → tokenize + pack              (the delivery's manifest)
+
+    Composition effects a per-tier gate can't see: a batch doc that is
+    an exact copy of a CORPUS doc dies at the fingerprint tier even
+    though within-batch it is unique; a batch doc that survives exact
+    dedup still dies when a corpus near-twin shares a band bucket
+    (planted test pins both).
+
+    Scale shape: every join is keyed on 8-byte fingerprints / band
+    keys; the corpus side reduces to its distinct-fingerprint and
+    band-index relations (the tables a deployment stores and appends
+    to) — per-delivery cost scales with the BATCH, not the corpus.
+    Output: (doc_id, n_tokens, pack_id) for the accepted delivery.
+    """
+    from ..operators.dedup import incremental_dedup, incremental_near_dup
+
+    docs = t["documents"]
+    incoming = docs.filter(F.col("doc_id") % mod == 0)
+    corpus = docs.filter(F.col("doc_id") % mod != 0)
+    s1 = incoming.join(
+        gopher_quality_rules(incoming).filter("pass_all").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    # s2 feeds the band probe's union AND the final anti-join base
+    s2 = tracked_persist(incremental_dedup(s1, corpus))
+    matches = incremental_near_dup(s2, corpus)
+    s3 = s2.join(
+        matches.select(F.col("doc_new").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    return pack_sequences(s3, budget=budget).select(
+        "doc_id", "n_tokens", "pack_id"
+    )
+
+
+def incremental_pipeline_e2e_sql(
+    budget: int = PIPE_BUDGET, mod: int = INC_MOD, threshold: float = 0.8
+) -> str:
+    """Composed twin from the tier macros: same delivery split, same
+    fingerprint anti-exists + keep-first, same banded probe and
+    Jaccard verify, same packer recurrence."""
+    from ..operators.curation import pack_sequences_sql
+    from ..operators.dedup import DEFAULT_NGRAM
+    from ..operators.oracle import (
+        BANDS,
+        NORMALIZE,
+        ROLLING_HASH,
+        _band_key_expr,
+        _shingles_cte,
+        _signature_exprs,
+    )
+    from ..operators.text import gopher_quality_rules_sql
+
+    fp = ROLLING_HASH.format(s=NORMALIZE.format(s="text"))
+    band_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_expr(b)} AS bk FROM sig"
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH inc AS MATERIALIZED (
+        SELECT * FROM documents WHERE doc_id % {mod} = 0
+    ),
+    corpus AS MATERIALIZED (
+        SELECT * FROM documents WHERE doc_id % {mod} <> 0
+    ),
+    g AS ({_nest(gopher_quality_rules_sql(), "inc")}),
+    s1 AS MATERIALIZED (
+        SELECT inc.* FROM inc
+        JOIN g ON g.doc_id = inc.doc_id AND g.pass_all
+    ),
+    fps AS MATERIALIZED (SELECT doc_id, text, {fp} AS f FROM s1),
+    cf AS MATERIALIZED (SELECT DISTINCT {fp} AS f FROM corpus),
+    fresh AS MATERIALIZED (
+        SELECT p.* FROM fps p
+        WHERE NOT EXISTS (SELECT 1 FROM cf WHERE cf.f = p.f)
+    ),
+    s2 AS MATERIALIZED (
+        SELECT doc_id, text FROM fresh
+        WHERE doc_id IN (SELECT min(doc_id) FROM fresh GROUP BY f)
+    ),
+    uni AS MATERIALIZED (
+        SELECT doc_id, text FROM s2
+        UNION ALL
+        SELECT doc_id, text FROM corpus
+    ),
+    {_shingles_cte(DEFAULT_NGRAM, table="uni")},
+    sig AS (
+        SELECT doc_id,
+               {_signature_exprs()}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bk = b.bk
+        WHERE a.doc_id IN (SELECT doc_id FROM s2)
+          AND b.doc_id IN (SELECT doc_id FROM corpus)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT cd.doc_new, cd.doc_old, count(*) AS c
+        FROM cand cd
+        JOIN sh sa ON sa.doc_id = cd.doc_new
+        JOIN sh sb ON sb.doc_id = cd.doc_old AND sb.h = sa.h
+        GROUP BY 1, 2
+    ),
+    matched AS (
+        SELECT DISTINCT s.doc_new
+        FROM shared s
+        JOIN sizes za ON za.doc_id = s.doc_new
+        JOIN sizes zb ON zb.doc_id = s.doc_old
+        WHERE round(s.c * 1.0 / (za.n + zb.n - s.c), 6) >= {threshold}
+    ),
+    s3 AS MATERIALIZED (
+        SELECT doc_id, text FROM s2
+        WHERE doc_id NOT IN (SELECT doc_new FROM matched)
+    ),
+    packed AS ({_nest(pack_sequences_sql(budget=budget), "s3")})
+    SELECT doc_id, n_tokens, pack_id FROM packed
+    """
