@@ -1110,6 +1110,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_rollup_merge": _q(sketches.cms_rollup_merge),
         # per-delivery pipeline: gate + dedup AGAINST the corpus, pack
         "incremental_pipeline_e2e": _q(_incremental_pipeline_e2e),
+        # recall@k across cutoffs from ONE retrieval pass
+        "lsh_recall_curve": _q(similarity.lsh_recall_curve),
+        # what first-fit-decreasing buys over the streaming pack order
+        "packing_ffd_gain": _q(
+            lambda t: curation.packing_ffd_gain(t["documents"])
+        ),
     }
 
 
@@ -2055,4 +2061,6 @@ def oracle_sql() -> dict[str, str]:
         "salt_factor_curve": skew.salt_factor_curve_sql(),
         "cms_rollup_merge": sketches.cms_rollup_merge_sql(),
         "incremental_pipeline_e2e": _incremental_pipeline_e2e_sql(),
+        "lsh_recall_curve": similarity.lsh_recall_curve_sql(),
+        "packing_ffd_gain": curation.packing_ffd_gain_sql(),
     }

@@ -204,6 +204,8 @@ NESTED_LOOP_OK = {
     "ann_mrr_eval",
     # ONE-ROW audit/estimate/source-count broadcasts (hll_rollup class)
     "cms_rollup_merge",
+    # inherits brute_topk's broadcast fixed-query panel at max(ks)
+    "lsh_recall_curve",
 }
 
 

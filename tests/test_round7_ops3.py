@@ -234,3 +234,56 @@ def test_incremental_pipeline_composition_effects(spark):
     assert 10 not in accepted  # killed by the corpus band index
     assert 15 in accepted      # packed into the delivery manifest
     assert all(r.pack_id for r in out)
+
+
+# --- lsh_recall_curve -----------------------------------------------------------
+
+
+def test_lsh_recall_curve_shape(spark, tables):
+    """One row per k; possible = n_queries·k exactly; recall_bp within
+    [0, 10000]; recall@k must equal lsh_recall_eval-style overlap at
+    the single-k operating point (k=5 arm equals hits/possible of the
+    full lists)."""
+    from training_etl_demo_2_spark.operators import similarity
+
+    rows = {r.k: r for r in similarity.lsh_recall_curve(tables).collect()}
+    assert set(rows) == {1, 3, 5}
+    for k, r in rows.items():
+        assert r.possible == r.n_queries * k
+        assert 0 <= r.hits <= r.possible
+        assert 0 <= r.recall_bp <= 10000
+        assert r.recall_bp == (r.hits * 10000) // r.possible
+
+
+# --- packing_ffd_gain -----------------------------------------------------------
+
+
+def test_packing_ffd_never_more_packs(spark):
+    """FFD can only match or reduce the pack count of the arrival-order
+    first-fit on the same corpus, and both conserve real tokens. A
+    crafted pathological arrival order (big/small interleave) makes the
+    gain strict."""
+    from training_etl_demo_2_spark.operators import curation
+
+    # budget 10; sizes 6,5,6,5... arrival pairs (6,?) -> one doc per
+    # pack; FFD groups 6+? differently: 6s alone but 5+5 share
+    rows = []
+    for i in range(16):
+        n = 6 if i % 2 == 0 else 5
+        rows.append((i, " ".join(["w"] * n), "en", "s"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {
+        r.strategy: r
+        for r in curation.packing_ffd_gain(
+            df, budget=10, n_groups=1
+        ).collect()
+    }
+    assert out["ffd"].real_tokens == out["arrival"].real_tokens == 88
+    assert out["ffd"].n_packs <= out["arrival"].n_packs
+    # arrival: 6,5 never fit together -> 16 packs; ffd: eight 6s alone
+    # (8 packs) + eight 5s paired (4 packs) = 12
+    assert out["arrival"].n_packs == 16
+    assert out["ffd"].n_packs == 12
+    assert out["ffd"].waste_bp < out["arrival"].waste_bp

@@ -3593,3 +3593,163 @@ def cluster_safe_split_sql(
     FROM counts c LEFT JOIN leaks l ON l.strategy = c.strategy
     ORDER BY c.strategy
     """
+
+
+def _pack_with_order(
+    df: DataFrame,
+    budget: int,
+    n_groups: int,
+    decreasing: bool,
+    text_col: str = "text",
+) -> DataFrame:
+    """pack_sequences' greedy recurrence with a pluggable intra-group
+    order: ascending doc_id (first-fit-sequential, the streaming-safe
+    order) or (n_tokens DESC, doc_id) — first-fit-DECREASING, the
+    classic bin-packing heuristic that needs the whole group up front."""
+    src = df.select(
+        "doc_id",
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % n_groups).alias("grp"),
+    )
+
+    def pack(key, pdf):
+        import pandas as pd
+
+        grp = int(key[0])
+        if decreasing:
+            pdf = pdf.sort_values(
+                ["n_tokens", "doc_id"], ascending=[False, True]
+            )
+        else:
+            pdf = pdf.sort_values("doc_id")
+        packs, seq, acc = [], 0, 0
+        for doc_id, tok in zip(pdf["doc_id"], pdf["n_tokens"]):
+            tok = int(tok)
+            if acc > 0 and acc + tok > budget:
+                seq += 1
+                acc = 0
+            acc += tok
+            packs.append((int(doc_id), tok, f"{grp}-{seq}"))
+        return pd.DataFrame(packs, columns=["doc_id", "n_tokens", "pack_id"])
+
+    return src.groupBy("grp").applyInPandas(
+        pack, "doc_id long, n_tokens long, pack_id string"
+    )
+
+
+def packing_ffd_gain(
+    df: DataFrame,
+    budget: int = 256,
+    n_groups: int = PACK_GROUPS,
+    text_col: str = "text",
+) -> DataFrame:
+    """What first-fit-DECREASING buys over the streaming-order packer:
+    FFD (pack longest docs first) is the classic bin-packing heuristic
+    with an 11/9·OPT guarantee, but it needs the whole group sorted up
+    front — exactly what the incremental/streaming packer cannot do.
+    This report prices that trade: packs, capacity and waste for both
+    orders on the same corpus, so the pipeline owner sees what the
+    streaming-friendly order costs in padding capacity.
+
+    Output: one row per strategy — (strategy, n_packs, real_tokens,
+    capacity_tokens = n_packs·budget, waste_bp), exact integers.
+    (A single doc larger than the budget still gets its own pack; its
+    overflow makes capacity < real for that pack — same rule both
+    strategies, so the comparison stays fair.)
+
+    Scale shape: two per-group packing passes over the same scan
+    (groups are the parallelism unit, as in pack_sequences), then
+    |packs|-sized folds to a 2-row output.
+    """
+    out = []
+    for name, dec in (("arrival", False), ("ffd", True)):
+        packs = _pack_with_order(df, budget, n_groups, dec, text_col)
+        agg = packs.groupBy("pack_id").agg(
+            F.sum("n_tokens").alias("tok")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_packs"),
+            F.sum("tok").cast("long").alias("real_tokens"),
+        )
+        out.append(
+            agg.select(
+                F.lit(name).alias("strategy"),
+                "n_packs",
+                "real_tokens",
+                (F.col("n_packs") * budget).cast("long").alias(
+                    "capacity_tokens"
+                ),
+            )
+        )
+    u = out[0].unionByName(out[1])
+    return u.select(
+        "strategy",
+        "n_packs",
+        "real_tokens",
+        "capacity_tokens",
+        F.expr(
+            "((capacity_tokens - real_tokens) * 10000) div capacity_tokens"
+        )
+        .cast("long")
+        .alias("waste_bp"),
+    ).orderBy("strategy")
+
+
+def packing_ffd_gain_sql(
+    budget: int = 256, n_groups: int = PACK_GROUPS
+) -> str:
+    """Twin: the pack recurrence unrolled twice — once per intra-group
+    order — with the same capacity folds."""
+
+    def rec(order_sql: str, tag: str) -> str:
+        return f"""
+    ordered_{tag} AS MATERIALIZED (
+        SELECT doc_id, n_tokens, grp,
+               row_number() OVER (PARTITION BY grp ORDER BY {order_sql})
+                   AS step
+        FROM src
+    ),
+    rec_{tag} AS (
+        SELECT grp, 0 AS step, CAST(0 AS BIGINT) AS acc,
+               CAST(0 AS BIGINT) AS seq,
+               CAST(NULL AS BIGINT) AS doc_id,
+               CAST(NULL AS BIGINT) AS n_tokens
+        FROM (SELECT DISTINCT grp FROM src)
+        UNION ALL
+        SELECT o.grp, o.step,
+               CASE WHEN r.acc > 0 AND r.acc + o.n_tokens > {budget}
+                    THEN o.n_tokens ELSE r.acc + o.n_tokens END,
+               CASE WHEN r.acc > 0 AND r.acc + o.n_tokens > {budget}
+                    THEN r.seq + 1 ELSE r.seq END,
+               o.doc_id, o.n_tokens
+        FROM rec_{tag} r
+        JOIN ordered_{tag} o ON o.grp = r.grp AND o.step = r.step + 1
+    ),
+    packs_{tag} AS (
+        SELECT grp || '-' || seq AS pack_id, sum(n_tokens) AS tok
+        FROM rec_{tag} WHERE step > 0 GROUP BY 1
+    ),
+    f_{tag} AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_packs,
+               CAST(sum(tok) AS BIGINT) AS real_tokens
+        FROM packs_{tag}
+    )"""
+
+    return f"""
+    WITH RECURSIVE src AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               doc_id % {n_groups} AS grp
+        FROM documents
+    ),{rec("doc_id", "seq")},{rec("n_tokens DESC, doc_id", "ffd")},
+    u AS (
+        SELECT 'arrival' AS strategy, n_packs, real_tokens FROM f_seq
+        UNION ALL
+        SELECT 'ffd', n_packs, real_tokens FROM f_ffd
+    )
+    SELECT strategy, n_packs, real_tokens,
+           CAST(n_packs * {budget} AS BIGINT) AS capacity_tokens,
+           CAST(((n_packs * {budget} - real_tokens) * 10000) //
+                (n_packs * {budget}) AS BIGINT) AS waste_bp
+    FROM u
+    ORDER BY strategy
+    """

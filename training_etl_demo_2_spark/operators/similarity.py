@@ -3461,3 +3461,105 @@ def ann_mrr_eval_sql(k: int = 5) -> str:
       ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
     ORDER BY t.query_id
     """
+
+
+RECALL_CURVE_KS = (1, 3, 5)
+
+
+def lsh_recall_curve(
+    t: dict[str, DataFrame], ks: tuple[int, ...] = RECALL_CURVE_KS
+) -> DataFrame:
+    """Recall@k of the LSH tier for SEVERAL k in one plan — the
+    operating-point curve (``lsh_recall_eval`` reports one k; choosing
+    the serving cutoff needs the trade across cutoffs): for each k,
+    how many of the exact top-k neighbors appear in the approx top-k.
+
+    Output: one row per k — (k, n_queries, hits, possible, recall_bp),
+    exact integers (possible = n_queries·k).
+
+    Scale shape: ONE brute pass and ONE LSH pass at max(ks), joined on
+    (query, neighbor) metadata; the k fan-out is a |ks|-literal explode
+    over the joined rank pairs — the curve costs one retrieval, not
+    |ks|.
+    """
+    kmax = max(ks)
+    emb = t["embeddings"]
+    truth = brute_topk(emb, k=kmax).select(
+        "query_id", "neighbor_id", F.col("rnk").alias("t_rnk")
+    )
+    approx = lsh_topk(emb, k=kmax).select(
+        "query_id", "neighbor_id", F.col("rnk").alias("a_rnk")
+    )
+    joined = truth.join(approx, ["query_id", "neighbor_id"], "left")
+    arms = joined.select(
+        "query_id",
+        "t_rnk",
+        "a_rnk",
+        F.explode(F.array(*[F.lit(int(k)) for k in ks])).alias("k"),
+    ).filter(F.col("t_rnk") <= F.col("k"))
+    nq = truth.select("query_id").distinct().count()
+    return (
+        arms.groupBy("k")
+        .agg(
+            F.sum(
+                (
+                    F.col("a_rnk").isNotNull()
+                    & (F.col("a_rnk") <= F.col("k"))
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("hits"),
+            F.count(F.lit(1)).cast("long").alias("possible"),
+        )
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.lit(int(nq)).cast("long").alias("n_queries"),
+            "hits",
+            "possible",
+            F.expr("(hits * 10000) div possible").cast("long").alias(
+                "recall_bp"
+            ),
+        )
+        .orderBy("k")
+    )
+
+
+def lsh_recall_curve_sql(ks: tuple[int, ...] = RECALL_CURVE_KS) -> str:
+    """Twin: one brute + one LSH oracle ranking at max(ks), the same
+    k fan-out and folds."""
+    from .oracle_text import brute_topk_sql, lsh_topk_sql
+
+    kmax = max(ks)
+    kl = "[" + ", ".join(str(int(k)) for k in ks) + "]"
+    return f"""
+    WITH truth AS (
+        SELECT query_id, neighbor_id, rnk AS t_rnk
+        FROM ({brute_topk_sql(k=kmax)})
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id, rnk AS a_rnk
+        FROM ({lsh_topk_sql(k=kmax)})
+    ),
+    joined AS (
+        SELECT t.query_id, t.t_rnk, a.a_rnk
+        FROM truth t
+        LEFT JOIN approx a
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    ),
+    nq AS (SELECT count(DISTINCT query_id) AS n FROM truth),
+    arms AS (
+        SELECT query_id, t_rnk, a_rnk, unnest({kl}) AS k FROM joined
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(nq.n AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN a_rnk IS NOT NULL AND a_rnk <= k
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           CAST(count(*) AS BIGINT) AS possible,
+           CAST((sum(CASE WHEN a_rnk IS NOT NULL AND a_rnk <= k
+                          THEN 1 ELSE 0 END) * 10000) // count(*)
+                AS BIGINT) AS recall_bp
+    FROM arms CROSS JOIN nq
+    WHERE t_rnk <= k
+    GROUP BY k, nq.n
+    ORDER BY k
+    """
