@@ -1116,6 +1116,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_ffd_gain": _q(
             lambda t: curation.packing_ffd_gain(t["documents"])
         ),
+        # dedup-signal sensitivity to the shingle size n
+        "shingle_n_curve": _q(
+            lambda t: dedup.shingle_n_curve(t["documents"])
+        ),
+        # is duplication concentrated in short docs?
+        "dup_rate_by_length": _q(
+            lambda t: dedup.dup_rate_by_length(t["documents"])
+        ),
     }
 
 
@@ -2063,4 +2071,6 @@ def oracle_sql() -> dict[str, str]:
         "incremental_pipeline_e2e": _incremental_pipeline_e2e_sql(),
         "lsh_recall_curve": similarity.lsh_recall_curve_sql(),
         "packing_ffd_gain": curation.packing_ffd_gain_sql(),
+        "shingle_n_curve": dedup.shingle_n_curve_sql(),
+        "dup_rate_by_length": dedup.dup_rate_by_length_sql(),
     }

@@ -206,6 +206,8 @@ NESTED_LOOP_OK = {
     "cms_rollup_merge",
     # inherits brute_topk's broadcast fixed-query panel at max(ks)
     "lsh_recall_curve",
+    # ONE-ROW stats × folded-counts broadcasts per shingle-size arm
+    "shingle_n_curve",
 }
 
 

@@ -287,3 +287,57 @@ def test_packing_ffd_never_more_packs(spark):
     assert out["arrival"].n_packs == 16
     assert out["ffd"].n_packs == 12
     assert out["ffd"].waste_bp < out["arrival"].waste_bp
+
+
+# --- shingle_n_curve ------------------------------------------------------------
+
+
+def test_shingle_n_curve_monotone_vocab(spark):
+    """Larger n can only grow the distinct-shingle vocabulary on a
+    fixed corpus (each position yields a more specific gram), and a
+    verbatim duplicate pair scores exact at EVERY n; docs shorter than
+    n vanish from that arm's doc count."""
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, base, "en", "s"),
+        (2, base, "en", "s"),
+        (3, "tiny doc", "en", "s"),  # 2 tokens: has 2-grams, no 3/5-grams
+        (4, "other words entirely here now friend", "en", "s"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.n: r for r in dedup.shingle_n_curve(df).collect()}
+    assert set(out) == {2, 3, 5}
+    assert out[2].n_docs_with_shingles == 4
+    assert out[3].n_docs_with_shingles == 3
+    assert out[5].n_docs_with_shingles == 3
+    for r in out.values():
+        assert r.exact_pairs >= 1  # docs 1 and 2 are verbatim copies
+        assert r.pairs_j80 >= r.exact_pairs
+        assert r.pairs_j50 >= r.pairs_j80
+
+
+# --- dup_rate_by_length ---------------------------------------------------------
+
+
+def test_dup_rate_by_length_buckets(spark):
+    """Exact integer log2 buckets (binary-length rule), exact dup
+    accounting per bucket: planted short dups land in the short bucket
+    only."""
+    short_dup = "alpha beta gamma delta"  # 4 tokens -> bucket 2
+    long_unique = " ".join(f"w{i}" for i in range(32))  # bucket 5
+    rows = [
+        (1, short_dup, "en", "s"),
+        (2, short_dup, "en", "s"),
+        (3, long_unique, "en", "s"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.len_bucket: r for r in dedup.dup_rate_by_length(df).collect()}
+    assert set(out) == {2, 5}
+    assert out[2].n_docs == 2
+    assert out[2].exact_dup_docs == 2 and out[2].exact_dup_bp == 10000
+    assert out[5].exact_dup_docs == 0 and out[5].exact_dup_bp == 0
+    assert out[2].near_dup_docs == 2  # verbatim copies are near-dups too

@@ -4313,3 +4313,245 @@ def dedup_edit_distance(
         .filter(F.col("lev_bp") <= max_bp)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# shingle-size sensitivity and duplication-by-length audits
+# ---------------------------------------------------------------------------
+
+SHINGLE_N_VALUES = (2, 3, 5)
+
+
+def shingle_n_curve(
+    df: DataFrame,
+    ns: tuple[int, ...] = SHINGLE_N_VALUES,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sensitivity of the dedup signal to the SHINGLE SIZE n — the
+    third tuning axis next to the threshold curve
+    (``jaccard_threshold_curve``) and the permutation trade-off
+    (``minhash_perm_tradeoff``): small n inflates similarity (common
+    word pairs collide), large n deflates it (one edit kills n
+    shingles). Per candidate n this reports the corpus's exact
+    co-shingle pair counts at three Jaccard cuts, so the tuner sees
+    how the verified-pair volume moves with n BEFORE committing the
+    index.
+
+    Output: one row per n — (n, n_docs_with_shingles, distinct_shingles,
+    pairs_j50, pairs_j80, exact_pairs), exact integers (pairs counted
+    on the ground-truth co-shingle join, Jaccard rounded-6 like every
+    verify tier; exact_pairs = Jaccard 1.0).
+
+    Scale shape: |ns| shingle passes (each the banded family's map
+    cost), each followed by the h-keyed co-shingle pair join — the
+    declared ground-truth tier, bounded by co-shingle volume, never
+    all-pairs; output is |ns| rows.
+    """
+    arms = []
+    for n in ns:
+        sh = shingle_hashes(df, text_col, n)
+        stats = sh.agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count_distinct("h").cast("long").alias("n_shingles"),
+        )
+        jac = _pair_jaccard(sh)
+        folded = jac.agg(
+            F.sum((F.col("jaccard") >= 0.5).cast("int"))
+            .cast("long")
+            .alias("pairs_j50"),
+            F.sum((F.col("jaccard") >= 0.8).cast("int"))
+            .cast("long")
+            .alias("pairs_j80"),
+            F.sum((F.col("jaccard") >= 1.0).cast("int"))
+            .cast("long")
+            .alias("exact_pairs"),
+        )
+        arms.append(
+            stats.crossJoin(F.broadcast(folded)).select(
+                F.lit(int(n)).cast("long").alias("n"),
+                F.col("n_docs").alias("n_docs_with_shingles"),
+                F.col("n_shingles").alias("distinct_shingles"),
+                F.coalesce("pairs_j50", F.lit(0)).cast("long").alias(
+                    "pairs_j50"
+                ),
+                F.coalesce("pairs_j80", F.lit(0)).cast("long").alias(
+                    "pairs_j80"
+                ),
+                F.coalesce("exact_pairs", F.lit(0)).cast("long").alias(
+                    "exact_pairs"
+                ),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("n")
+
+
+def shingle_n_curve_sql(ns: tuple[int, ...] = SHINGLE_N_VALUES) -> str:
+    """Twin: the shingle CTE + ground-truth pair join once per n,
+    same folds."""
+    from .oracle import _shingles_cte
+
+    arms = []
+    for n in ns:
+        arms.append(f"""
+    SELECT CAST({n} AS BIGINT) AS n,
+           (SELECT count(DISTINCT doc_id) FROM sh{n})
+               AS n_docs_with_shingles,
+           (SELECT count(DISTINCT h) FROM sh{n}) AS distinct_shingles,
+           coalesce(p{n}.pairs_j50, 0) AS pairs_j50,
+           coalesce(p{n}.pairs_j80, 0) AS pairs_j80,
+           coalesce(p{n}.exact_pairs, 0) AS exact_pairs
+    FROM (
+        SELECT CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pairs_j50,
+               CAST(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS pairs_j80,
+               CAST(sum(CASE WHEN j >= 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS exact_pairs
+        FROM (
+            SELECT round(c * 1.0 / (za.n + zb.n - c), 6) AS j
+            FROM (
+                SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
+                       count(*) AS c
+                FROM sh{n} sa JOIN sh{n} sb
+                  ON sb.h = sa.h AND sa.doc_id < sb.doc_id
+                GROUP BY 1, 2
+            ) s
+            JOIN sizes{n} za ON za.doc_id = s.doc_a
+            JOIN sizes{n} zb ON zb.doc_id = s.doc_b
+        )
+    ) p{n}""")
+    ctes = []
+    for n in ns:
+        inner = _shingles_cte(n).strip()
+        # suffix the shared CTE names so the three arms coexist
+        for name in ("toks", "grams", "sh"):
+            import re
+
+            inner = re.sub(rf"\b{name}\b", f"{name}{n}", inner)
+        ctes.append(inner)
+        ctes.append(
+            f"sizes{n} AS (SELECT doc_id, count(*) AS n FROM sh{n} "
+            f"GROUP BY doc_id)"
+        )
+    body = ",\n    ".join(ctes)
+    union = "\n    UNION ALL\n    ".join(arms)
+    return f"""
+    WITH {body}
+    {union}
+    ORDER BY n
+    """
+
+
+def dup_rate_by_length(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Is duplication concentrated in SHORT documents? (It usually is —
+    boilerplate, templates and stubs are short; if so, a min-length
+    filter removes a disproportionate share of the dup mass before the
+    expensive tiers run.) Per power-of-two token-length bucket: doc
+    count, docs participating in an exact-duplicate group, and docs
+    that are near-dup cluster members, each in exact basis points.
+
+    Output: (len_bucket, n_docs, exact_dup_docs, exact_dup_bp,
+    near_dup_docs, near_dup_bp), ordered by bucket (bucket = floor
+    log2 of token count; 0 for empty docs).
+
+    Scale shape: the fingerprint groupBy and the banded LSH pass are
+    the family's standard linear tiers; the bucket fold adds one
+    narrow projection and a |buckets|-row aggregate.
+    """
+    ntok = F.size(F.split(F.col(text_col), " "))
+    # floor(log2(n)) computed EXACTLY as len(binary(n)) - 1: the JVM's
+    # ln-ratio log2 can sit one ULP under an integer at powers of two,
+    # which would shift a bucket boundary relative to the twin
+    base = df.select(
+        "doc_id",
+        F.when(
+            ntok > 0,
+            F.length(F.conv(ntok.cast("string"), 10, 2)) - 1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("len_bucket"),
+        rolling_hash(normalize_text(F.col(text_col))).alias("fp"),
+    )
+    dup_fps = (
+        base.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("fp")
+    )
+    exact_docs = base.join(dup_fps, "fp", "semi").select(
+        "doc_id", F.lit(1).alias("is_exact")
+    )
+    near_docs = near_dup_clusters(df, text_col).select(
+        "doc_id", F.lit(1).alias("is_near")
+    )
+    return (
+        base.join(exact_docs, "doc_id", "left")
+        .join(near_docs, "doc_id", "left")
+        .groupBy("len_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce("is_exact", F.lit(0)))
+            .cast("long")
+            .alias("exact_dup_docs"),
+            F.sum(F.coalesce("is_near", F.lit(0)))
+            .cast("long")
+            .alias("near_dup_docs"),
+        )
+        .select(
+            "len_bucket",
+            "n_docs",
+            "exact_dup_docs",
+            F.expr("(exact_dup_docs * 10000) div n_docs")
+            .cast("long")
+            .alias("exact_dup_bp"),
+            "near_dup_docs",
+            F.expr("(near_dup_docs * 10000) div n_docs")
+            .cast("long")
+            .alias("near_dup_bp"),
+        )
+        .orderBy("len_bucket")
+    )
+
+
+def dup_rate_by_length_sql() -> str:
+    """Twin: same log2 bucket, fingerprint groups, recursive-CTE
+    cluster membership."""
+    from .oracle import NORMALIZE, ROLLING_HASH, near_dup_clusters_sql
+
+    fp = ROLLING_HASH.format(s=NORMALIZE.format(s="text"))
+    return f"""
+    WITH members AS ({near_dup_clusters_sql()}),
+    base AS (
+        SELECT doc_id,
+               CASE WHEN len(string_split(text, ' ')) > 0
+                    THEN CAST(length(bin(len(string_split(text, ' ')))) - 1
+                              AS BIGINT)
+                    ELSE 0 END AS len_bucket,
+               {fp} AS fp
+        FROM documents
+    ),
+    dup_fps AS (
+        SELECT fp FROM base GROUP BY fp HAVING count(*) >= 2
+    )
+    SELECT b.len_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN b.fp IN (SELECT fp FROM dup_fps)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS exact_dup_docs,
+           CAST((sum(CASE WHEN b.fp IN (SELECT fp FROM dup_fps)
+                          THEN 1 ELSE 0 END) * 10000) // count(*)
+                AS BIGINT) AS exact_dup_bp,
+           CAST(sum(CASE WHEN b.doc_id IN (SELECT doc_id FROM members)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS near_dup_docs,
+           CAST((sum(CASE WHEN b.doc_id IN (SELECT doc_id FROM members)
+                          THEN 1 ELSE 0 END) * 10000) // count(*)
+                AS BIGINT) AS near_dup_bp
+    FROM base b
+    GROUP BY b.len_bucket
+    ORDER BY b.len_bucket
+    """
