@@ -1124,6 +1124,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_length": _q(
             lambda t: dedup.dup_rate_by_length(t["documents"])
         ),
+        # what the quality gate does to the source mixture
+        "filter_bias_audit": _q(
+            lambda t: curation.filter_bias_audit(t["documents"])
+        ),
+        # what keep-first exact dedup does to the source mixture
+        "dedup_bias_audit": _q(
+            lambda t: curation.dedup_bias_audit(t["documents"])
+        ),
     }
 
 
@@ -2073,4 +2081,6 @@ def oracle_sql() -> dict[str, str]:
         "packing_ffd_gain": curation.packing_ffd_gain_sql(),
         "shingle_n_curve": dedup.shingle_n_curve_sql(),
         "dup_rate_by_length": dedup.dup_rate_by_length_sql(),
+        "filter_bias_audit": curation.filter_bias_audit_sql(),
+        "dedup_bias_audit": curation.dedup_bias_audit_sql(),
     }

@@ -208,6 +208,9 @@ NESTED_LOOP_OK = {
     "lsh_recall_curve",
     # ONE-ROW stats × folded-counts broadcasts per shingle-size arm
     "shingle_n_curve",
+    # ONE-ROW totals broadcast in the shared mixture-shift fold
+    "filter_bias_audit",
+    "dedup_bias_audit",
 }
 
 

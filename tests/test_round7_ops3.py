@@ -341,3 +341,48 @@ def test_dup_rate_by_length_buckets(spark):
     assert out[2].exact_dup_docs == 2 and out[2].exact_dup_bp == 10000
     assert out[5].exact_dup_docs == 0 and out[5].exact_dup_bp == 0
     assert out[2].near_dup_docs == 2  # verbatim copies are near-dups too
+
+
+# --- filter/dedup bias audits ---------------------------------------------------
+
+
+def test_filter_bias_audit_shifts_mixture(spark):
+    """A source whose docs all fail the Gopher gate must end at
+    share_after_bp == 0 with a negative delta; survivors' shares sum
+    to ~10000; kept counts never exceed doc counts."""
+    good = " ".join(
+        ["the", "alpha", "beta", "gamma", "delta", "epsilon",
+         "zeta", "eta", "theta", "iota"] * 6
+    )
+    rows = [(i, good, "en", "good_src") for i in range(4)] + [
+        (10 + i, "way too short", "en", "bad_src") for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.source: r for r in curation.filter_bias_audit(df).collect()}
+    assert out["bad_src"].n_kept == 0
+    assert out["bad_src"].share_after_bp == 0
+    assert out["bad_src"].delta_bp < 0
+    assert out["good_src"].share_after_bp == 10000
+    assert out["good_src"].delta_bp == 5000
+    for r in out.values():
+        assert 0 <= r.n_kept <= r.n_docs
+
+
+def test_dedup_bias_audit_keep_first_favors_low_ids(spark):
+    """Two sources publish the same content; keep-first assigns every
+    duplicate group to the lower doc_id — the copying source's share
+    collapses while the originator's rises."""
+    text = "alpha beta gamma delta epsilon zeta"
+    rows = [(i, text + f" v{i}", "en", "orig") for i in range(3)] + [
+        (10 + i, text + f" v{i}", "en", "copier") for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.source: r for r in curation.dedup_bias_audit(df).collect()}
+    assert out["orig"].n_kept == 3
+    assert out["copier"].n_kept == 0
+    assert out["orig"].share_after_bp == 10000
+    assert out["copier"].delta_bp == -5000

@@ -3753,3 +3753,131 @@ def packing_ffd_gain_sql(
     FROM u
     ORDER BY strategy
     """
+
+
+def _mixture_shift(df: DataFrame, kept: DataFrame) -> DataFrame:
+    """Shared fold for the selection-bias audits: given the corpus and
+    the kept doc_id set, report per source the doc counts and the
+    mixture share BEFORE vs AFTER in exact basis points (shares sum to
+    ~10000 up to integer division). delta_bp > 0 means the step
+    silently up-weights that source."""
+    flagged = df.select("doc_id", "source").join(
+        kept.select("doc_id", F.lit(1).alias("is_kept")), "doc_id", "left"
+    )
+    per = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.coalesce("is_kept", F.lit(0))).cast("long").alias("n_kept"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("tot_docs"), F.sum("n_kept").alias("tot_kept")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            F.expr("(n_docs * 10000) div tot_docs")
+            .cast("long")
+            .alias("share_before_bp"),
+            F.expr(
+                "CASE WHEN tot_kept > 0 THEN (n_kept * 10000) div tot_kept "
+                "ELSE 0 END"
+            )
+            .cast("long")
+            .alias("share_after_bp"),
+        )
+        .withColumn(
+            "delta_bp",
+            (F.col("share_after_bp") - F.col("share_before_bp")).cast(
+                "long"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def filter_bias_audit(df: DataFrame) -> DataFrame:
+    """What the QUALITY GATE silently does to the source mixture:
+    Gopher rules are content-based, so sources whose style trips a
+    rule (short docs, odd word lengths, few stopwords) lose corpus
+    share without anyone deciding that. Per source: docs, survivors,
+    mixture share before/after the gate, and the shift in exact bp —
+    the number that decides whether the gate needs per-source
+    calibration before it reshapes the training distribution.
+
+    Scale shape: the Gopher pass (one scan) + one doc-id-keyed join +
+    a |sources|-row fold with a ONE-ROW totals broadcast.
+    """
+    from .text import gopher_quality_rules
+
+    kept = gopher_quality_rules(df).filter("pass_all").select("doc_id")
+    return _mixture_shift(df, kept)
+
+
+def dedup_bias_audit(df: DataFrame) -> DataFrame:
+    """What EXACT DEDUP silently does to the source mixture: keep-first
+    collapses every duplicate group to its lowest doc_id, so sources
+    that syndicate content (or were crawled later) lose share to the
+    source that published first. Same report shape as
+    ``filter_bias_audit`` over the exact-dedup survivor set.
+
+    Scale shape: the fingerprint groupBy tier + the shared
+    mixture-shift fold.
+    """
+    from .dedup import drop_exact_duplicates
+
+    kept = drop_exact_duplicates(df).select("doc_id")
+    return _mixture_shift(df, kept)
+
+
+def _mixture_shift_sql(kept_cte: str) -> str:
+    """SQL body shared by the bias-audit twins; ``kept_cte`` must
+    define kept(doc_id)."""
+    return f"""
+    WITH {kept_cte},
+    per AS (
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN d.doc_id IN (SELECT doc_id FROM kept)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents d
+        GROUP BY d.source
+    ),
+    tot AS (
+        SELECT sum(n_docs) AS tot_docs, sum(n_kept) AS tot_kept FROM per
+    )
+    SELECT p.source, p.n_docs, p.n_kept,
+           CAST((p.n_docs * 10000) // t.tot_docs AS BIGINT)
+               AS share_before_bp,
+           CAST(CASE WHEN t.tot_kept > 0
+                     THEN (p.n_kept * 10000) // t.tot_kept
+                     ELSE 0 END AS BIGINT) AS share_after_bp,
+           CAST(CASE WHEN t.tot_kept > 0
+                     THEN (p.n_kept * 10000) // t.tot_kept
+                     ELSE 0 END
+                - (p.n_docs * 10000) // t.tot_docs AS BIGINT) AS delta_bp
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.source
+    """
+
+
+def filter_bias_audit_sql() -> str:
+    """Twin: Gopher pass_all survivors through the shared fold."""
+    from .text import gopher_quality_rules_sql
+
+    kept = f"g AS ({gopher_quality_rules_sql()}),\n    kept AS (SELECT doc_id FROM g WHERE pass_all)"
+    return _mixture_shift_sql(kept)
+
+
+def dedup_bias_audit_sql() -> str:
+    """Twin: keep-first fingerprint survivors through the shared
+    fold."""
+    from .oracle import NORMALIZE
+
+    fp = ROLLING_HASH.format(s=NORMALIZE.format(s="text"))
+    kept = (
+        f"fps AS (SELECT doc_id, {fp} AS f FROM documents),\n"
+        "    kept AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY f)"
+    )
+    return _mixture_shift_sql(kept)
