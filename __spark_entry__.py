@@ -1132,6 +1132,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_bias_audit": _q(
             lambda t: curation.dedup_bias_audit(t["documents"])
         ),
+        # measured collision rate of the engine's own 8-byte hashes
+        "fingerprint_collision_audit": _q(
+            lambda t: dedup.fingerprint_collision_audit(t["documents"])
+        ),
     }
 
 
@@ -2083,4 +2087,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_rate_by_length": dedup.dup_rate_by_length_sql(),
         "filter_bias_audit": curation.filter_bias_audit_sql(),
         "dedup_bias_audit": curation.dedup_bias_audit_sql(),
+        "fingerprint_collision_audit": (
+            dedup.fingerprint_collision_audit_sql()
+        ),
     }

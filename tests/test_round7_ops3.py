@@ -386,3 +386,47 @@ def test_dedup_bias_audit_keep_first_favors_low_ids(spark):
     assert out["copier"].n_kept == 0
     assert out["orig"].share_after_bp == 10000
     assert out["copier"].delta_bp == -5000
+
+
+# --- fingerprint_collision_audit -------------------------------------------------
+
+
+def test_fingerprint_collision_audit_planted_collision(spark):
+    """distinct_keys >= distinct_hashes always, and a crafted pair of
+    DIFFERENT grams with the same rolling hash is reported as a
+    collision. (31*P is congruent to adding a leading NUL — instead we
+    plant two one-word docs whose hashes collide by construction:
+    h('a'·k) cycles, so use the audit's own arithmetic to find one.)"""
+    from training_etl_demo_2_spark.operators import dedup as dd
+
+    # engineer two distinct LOWERCASE-STABLE words with equal rolling
+    # hash (the doc tier hashes normalize_text(x), which lowercases —
+    # so the collision must survive lower()): with tails over [a-z0-9]
+    # the ord spread is 74 > 2*31, so 31*(c1-c1') = c2'-c2 has the
+    # solution c1 'c'->'a' (+2·31) against c2 '0'->'n' (+62):
+    # 31*99+48 == 31*97+110
+    a, b = "xc0", "xan"
+    P = 1_000_000_007
+
+    def rh(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % P
+        return acc
+
+    assert a != b and a == a.lower() and b == b.lower()
+    assert rh(a) == rh(b)
+    rows = [(1, a, "en", "s"), (2, b, "en", "s")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {
+        r.tier: r for r in dd.fingerprint_collision_audit(df).collect()
+    }
+    fp = out["doc_fingerprint"]
+    assert fp.distinct_keys == 2       # two distinct normalized texts
+    assert fp.distinct_hashes == 1     # one shared hash value
+    assert fp.colliding_hashes == 1
+    assert fp.collision_bp == 10000
+    for r in out.values():
+        assert r.distinct_keys >= r.distinct_hashes

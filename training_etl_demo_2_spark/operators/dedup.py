@@ -4555,3 +4555,131 @@ def dup_rate_by_length_sql() -> str:
     GROUP BY b.len_bucket
     ORDER BY b.len_bucket
     """
+
+
+def fingerprint_collision_audit(
+    df: DataFrame,
+    ns: tuple[int, ...] = SHINGLE_N_VALUES,
+    text_col: str = "text",
+) -> DataFrame:
+    """AUDIT OF OUR OWN HASHES: every dedup tier in this engine keys on
+    the rolling hash mod P ≈ 2³⁰ — by the birthday bound, collisions
+    appear around √P ≈ 31k distinct shingles, which a production corpus
+    passes instantly. A shingle-hash collision makes two UNRELATED
+    grams count as shared (inflating Jaccard); a fingerprint collision
+    silently merges two distinct documents in exact dedup. This audit
+    measures the actual rate instead of assuming it away: per shingle
+    size, distinct gram STRINGS vs distinct hash values, colliding
+    hash count, and the rate in exact bp — plus a whole-doc
+    fingerprint row. The 100 TB remediation (documented here, priced
+    by this audit) is a second independent hash joined alongside the
+    first — collision probability squares, cost is one extra 8-byte
+    column.
+
+    Output: one row per tier — (tier, distinct_keys, distinct_hashes,
+    colliding_hashes, collision_bp).
+
+    Scale shape: per tier one distinct over (string, hash) then a
+    hash-keyed count — the same shuffles the dedup tiers already pay;
+    |ns|+1 output rows.
+    """
+    from ..functions import normalize_text
+
+    def _fold(pairs: DataFrame, tier: str) -> DataFrame:
+        # empty-tier safe (a corpus of sub-n-token docs has no grams):
+        # coalesce the sums and guard the bp division
+        per_h = pairs.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+        return per_h.agg(
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("long")
+            .alias("distinct_keys"),
+            F.count(F.lit(1)).cast("long").alias("distinct_hashes"),
+            F.coalesce(F.sum((F.col("c") >= 2).cast("int")), F.lit(0))
+            .cast("long")
+            .alias("colliding_hashes"),
+        ).select(
+            F.lit(tier).alias("tier"),
+            "distinct_keys",
+            "distinct_hashes",
+            "colliding_hashes",
+            F.expr(
+                "CASE WHEN distinct_hashes > 0 THEN "
+                "(colliding_hashes * 10000) div distinct_hashes "
+                "ELSE 0 END"
+            )
+            .cast("long")
+            .alias("collision_bp"),
+        )
+
+    arms = []
+    toks = F.split(F.col(text_col), " ")
+    for n in ns:
+        grams = spread_scan(df).select(
+            F.explode(F.array_distinct(word_ngrams(toks, n))).alias("g")
+        )
+        pairs = grams.select(
+            "g", rolling_hash(F.col("g")).alias("h")
+        ).distinct()
+        arms.append(_fold(pairs, f"shingle_n{n}"))
+    doc_pairs = df.select(
+        normalize_text(F.col(text_col)).alias("g")
+    ).select("g", rolling_hash(F.col("g")).alias("h")).distinct()
+    arms.append(_fold(doc_pairs, "doc_fingerprint"))
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("tier")
+
+
+def fingerprint_collision_audit_sql(
+    ns: tuple[int, ...] = SHINGLE_N_VALUES,
+) -> str:
+    """Twin: same distinct (string, hash) relations and folds."""
+    from .oracle import NORMALIZE, ROLLING_HASH
+
+    hg = ROLLING_HASH.format(s="g")
+    arms = []
+    for n in ns:
+        arms.append(f"""
+    SELECT 'shingle_n{n}' AS tier, * FROM (
+        SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS distinct_keys,
+               CAST(count(*) AS BIGINT) AS distinct_hashes,
+               CAST(coalesce(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS colliding_hashes,
+               CAST(CASE WHEN count(*) > 0 THEN
+                    (sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 10000) //
+                    count(*) ELSE 0 END AS BIGINT) AS collision_bp
+        FROM (
+            SELECT h, count(*) AS c FROM (
+                SELECT DISTINCT g, {hg} AS h FROM (
+                    SELECT unnest(list_distinct(list_transform(
+                        range(1, greatest(len(w) - {n - 1}, 0) + 1),
+                        i -> array_to_string(w[i:i+{n - 1}], ' ')))) AS g
+                    FROM (SELECT string_split(text, ' ') AS w
+                          FROM documents)
+                )
+            ) GROUP BY h
+        )
+    )""")
+    fpn = ROLLING_HASH.format(s=NORMALIZE.format(s="g"))
+    arms.append(f"""
+    SELECT 'doc_fingerprint' AS tier, * FROM (
+        SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS distinct_keys,
+               CAST(count(*) AS BIGINT) AS distinct_hashes,
+               CAST(coalesce(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS colliding_hashes,
+               CAST(CASE WHEN count(*) > 0 THEN
+                    (sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) * 10000) //
+                    count(*) ELSE 0 END AS BIGINT) AS collision_bp
+        FROM (
+            SELECT h, count(*) AS c FROM (
+                SELECT DISTINCT {NORMALIZE.format(s="g")} AS gn, {fpn} AS h
+                FROM (SELECT text AS g FROM documents)
+            ) GROUP BY h
+        )
+    )""")
+    union = "\n    UNION ALL\n    ".join(arms)
+    return f"""
+    {union}
+    ORDER BY tier
+    """
