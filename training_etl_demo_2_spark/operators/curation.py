@@ -3681,13 +3681,20 @@ def packing_ffd_gain(
             )
         )
     u = out[0].unionByName(out[1])
+    # empty-corpus safe: zero packs -> zero capacity, report 0 waste
     return u.select(
         "strategy",
-        "n_packs",
-        "real_tokens",
-        "capacity_tokens",
+        F.coalesce("n_packs", F.lit(0)).cast("long").alias("n_packs"),
+        F.coalesce("real_tokens", F.lit(0)).cast("long").alias(
+            "real_tokens"
+        ),
+        F.coalesce("capacity_tokens", F.lit(0)).cast("long").alias(
+            "capacity_tokens"
+        ),
         F.expr(
-            "((capacity_tokens - real_tokens) * 10000) div capacity_tokens"
+            "CASE WHEN capacity_tokens > 0 THEN "
+            "((capacity_tokens - coalesce(real_tokens, 0)) * 10000) "
+            "div capacity_tokens ELSE 0 END"
         )
         .cast("long")
         .alias("waste_bp"),
@@ -3746,10 +3753,14 @@ def packing_ffd_gain_sql(
         UNION ALL
         SELECT 'ffd', n_packs, real_tokens FROM f_ffd
     )
-    SELECT strategy, n_packs, real_tokens,
-           CAST(n_packs * {budget} AS BIGINT) AS capacity_tokens,
-           CAST(((n_packs * {budget} - real_tokens) * 10000) //
-                (n_packs * {budget}) AS BIGINT) AS waste_bp
+    SELECT strategy,
+           CAST(coalesce(n_packs, 0) AS BIGINT) AS n_packs,
+           CAST(coalesce(real_tokens, 0) AS BIGINT) AS real_tokens,
+           CAST(coalesce(n_packs, 0) * {budget} AS BIGINT)
+               AS capacity_tokens,
+           CAST(CASE WHEN coalesce(n_packs, 0) > 0 THEN
+                ((n_packs * {budget} - coalesce(real_tokens, 0)) * 10000)
+                // (n_packs * {budget}) ELSE 0 END AS BIGINT) AS waste_bp
     FROM u
     ORDER BY strategy
     """
