@@ -4327,25 +4327,30 @@ def shingle_n_curve(
     ns: tuple[int, ...] = SHINGLE_N_VALUES,
     text_col: str = "text",
 ) -> DataFrame:
-    """Sensitivity of the dedup signal to the SHINGLE SIZE n — the
-    third tuning axis next to the threshold curve
+    """Sensitivity of the PRODUCTION dedup index to the SHINGLE SIZE
+    n — the third tuning axis next to the threshold curve
     (``jaccard_threshold_curve``) and the permutation trade-off
     (``minhash_perm_tradeoff``): small n inflates similarity (common
     word pairs collide), large n deflates it (one edit kills n
-    shingles). Per candidate n this reports the corpus's exact
-    co-shingle pair counts at three Jaccard cuts, so the tuner sees
-    how the verified-pair volume moves with n BEFORE committing the
-    index.
+    shingles) and drops short docs entirely. Per candidate n this runs
+    the SAME banded MinHash index every tier ships and reports the
+    verified pair volume at three Jaccard cuts plus the vocabulary and
+    doc coverage — what actually changes when the index is rebuilt
+    with a different n.
 
-    Output: one row per n — (n, n_docs_with_shingles, distinct_shingles,
-    pairs_j50, pairs_j80, exact_pairs), exact integers (pairs counted
-    on the ground-truth co-shingle join, Jaccard rounded-6 like every
-    verify tier; exact_pairs = Jaccard 1.0).
+    (Deliberately the BANDED tier, not the exact co-shingle join: at
+    n=2 a small vocabulary makes almost every doc pair co-shingled,
+    so a ground-truth sweep would be quadratic by construction —
+    exactly the plan shape this engine bans. Banding keeps each arm's
+    candidates bucket-bounded at every n.)
 
-    Scale shape: |ns| shingle passes (each the banded family's map
-    cost), each followed by the h-keyed co-shingle pair join — the
-    declared ground-truth tier, bounded by co-shingle volume, never
-    all-pairs; output is |ns| rows.
+    Output: one row per n — (n, n_docs_with_shingles,
+    distinct_shingles, pairs_j50, pairs_j80, exact_pairs), exact
+    integers (Jaccard rounded-6 like every verify tier).
+
+    Scale shape: |ns| banded passes (row-local signatures, bucket
+    joins, candidate-bounded verify) + two one-row stats folds per
+    arm; output |ns| rows.
     """
     arms = []
     for n in ns:
@@ -4354,7 +4359,7 @@ def shingle_n_curve(
             F.count_distinct("doc_id").cast("long").alias("n_docs"),
             F.count_distinct("h").cast("long").alias("n_shingles"),
         )
-        jac = _pair_jaccard(sh)
+        jac = minhash_lsh_pairs(df, text_col, n=n, threshold=0.5)
         folded = jac.agg(
             F.sum((F.col("jaccard") >= 0.5).cast("int"))
             .cast("long")
@@ -4389,53 +4394,42 @@ def shingle_n_curve(
 
 
 def shingle_n_curve_sql(ns: tuple[int, ...] = SHINGLE_N_VALUES) -> str:
-    """Twin: the shingle CTE + ground-truth pair join once per n,
-    same folds."""
-    from .oracle import _shingles_cte
+    """Twin: the banded-LSH pair SQL once per n, same folds."""
+    from .oracle import minhash_lsh_sql
 
     arms = []
     for n in ns:
         arms.append(f"""
     SELECT CAST({n} AS BIGINT) AS n,
-           (SELECT count(DISTINCT doc_id) FROM sh{n})
-               AS n_docs_with_shingles,
+           (SELECT count(DISTINCT doc_id) FROM (
+               SELECT doc_id FROM sh{n})) AS n_docs_with_shingles,
            (SELECT count(DISTINCT h) FROM sh{n}) AS distinct_shingles,
-           coalesce(p{n}.pairs_j50, 0) AS pairs_j50,
-           coalesce(p{n}.pairs_j80, 0) AS pairs_j80,
-           coalesce(p{n}.exact_pairs, 0) AS exact_pairs
+           p{n}.pairs_j50, p{n}.pairs_j80, p{n}.exact_pairs
     FROM (
-        SELECT CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS pairs_j50,
-               CAST(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS pairs_j80,
-               CAST(sum(CASE WHEN j >= 1.0 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS exact_pairs
-        FROM (
-            SELECT round(c * 1.0 / (za.n + zb.n - c), 6) AS j
-            FROM (
-                SELECT sa.doc_id AS doc_a, sb.doc_id AS doc_b,
-                       count(*) AS c
-                FROM sh{n} sa JOIN sh{n} sb
-                  ON sb.h = sa.h AND sa.doc_id < sb.doc_id
-                GROUP BY 1, 2
-            ) s
-            JOIN sizes{n} za ON za.doc_id = s.doc_a
-            JOIN sizes{n} zb ON zb.doc_id = s.doc_b
-        )
+        SELECT CAST(coalesce(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0
+                                  END), 0) AS BIGINT) AS pairs_j50,
+               CAST(coalesce(sum(CASE WHEN jaccard >= 0.8 THEN 1 ELSE 0
+                                  END), 0) AS BIGINT) AS pairs_j80,
+               CAST(coalesce(sum(CASE WHEN jaccard >= 1.0 THEN 1 ELSE 0
+                                  END), 0) AS BIGINT) AS exact_pairs
+        FROM pairs{n}
     ) p{n}""")
     ctes = []
-    for n in ns:
-        inner = _shingles_cte(n).strip()
-        # suffix the shared CTE names so the three arms coexist
-        for name in ("toks", "grams", "sh"):
-            import re
+    import re
 
+    for n in ns:
+        inner = minhash_lsh_sql(n, 0.5).strip()
+        assert inner.startswith("WITH ")
+        inner = inner[len("WITH "):]
+        # the final SELECT of the pair SQL becomes a named CTE; suffix
+        # the shared CTE names so the arms coexist in one statement
+        for name in ("toks", "grams", "sh", "sig", "bands", "cand",
+                     "sizes", "shared", "scored"):
             inner = re.sub(rf"\b{name}\b", f"{name}{n}", inner)
-        ctes.append(inner)
-        ctes.append(
-            f"sizes{n} AS (SELECT doc_id, count(*) AS n FROM sh{n} "
-            f"GROUP BY doc_id)"
-        )
+        cut = inner.rfind("SELECT")
+        body, final = inner[:cut].rstrip().rstrip(","), inner[cut:]
+        ctes.append(body)
+        ctes.append(f"pairs{n} AS ({final})")
     body = ",\n    ".join(ctes)
     union = "\n    UNION ALL\n    ".join(arms)
     return f"""
