@@ -1136,6 +1136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_collision_audit": _q(
             lambda t: dedup.fingerprint_collision_audit(t["documents"])
         ),
+        # exact water-filling token-budget allocation across sources
+        "budget_waterfill_plan": _q(
+            lambda t: curation.budget_waterfill_plan(t["documents"])
+        ),
     }
 
 
@@ -2090,4 +2094,5 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_collision_audit": (
             dedup.fingerprint_collision_audit_sql()
         ),
+        "budget_waterfill_plan": curation.budget_waterfill_plan_sql(),
     }

@@ -211,6 +211,8 @@ NESTED_LOOP_OK = {
     # ONE-ROW totals broadcast in the shared mixture-shift fold
     "filter_bias_audit",
     "dedup_bias_audit",
+    # ONE-ROW totals + cap-sum broadcasts onto the |sources| relation
+    "budget_waterfill_plan",
 }
 
 

@@ -430,3 +430,34 @@ def test_fingerprint_collision_audit_planted_collision(spark):
     assert fp.collision_bp == 10000
     for r in out.values():
         assert r.distinct_keys >= r.distinct_hashes
+
+
+# --- budget_waterfill_plan ------------------------------------------------------
+
+
+def test_waterfill_budget_exact_with_caps(spark):
+    """sum(granted) == budget EXACTLY; a source smaller than the water
+    level is capped at its availability; free sources differ by at
+    most one token (max-min fairness), remainder to lexicographically
+    first."""
+    # avail: tiny=4, a=40, b=40, c=40 tokens -> tot=124, budget=41
+    # (den 3); tiny capped at 4; level=(41-4)//3=12 rem 1 -> a gets 13
+    rows = [
+        (1, " ".join(["w"] * 4), "en", "tiny"),
+        (2, " ".join(["w"] * 40), "en", "a"),
+        (3, " ".join(["w"] * 40), "en", "b"),
+        (4, " ".join(["w"] * 40), "en", "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r.source: r for r in curation.budget_waterfill_plan(df).collect()}
+    budget = (4 + 40 * 3) // 3
+    assert sum(r.granted_tokens for r in out.values()) == budget
+    assert out["tiny"].capped and out["tiny"].granted_tokens == 4
+    frees = [out[s].granted_tokens for s in ("a", "b", "c")]
+    assert max(frees) - min(frees) <= 1
+    assert out["a"].granted_tokens == 13  # remainder token to 'a'
+    assert out["b"].granted_tokens == out["c"].granted_tokens == 12
+    for r in out.values():
+        assert r.granted_tokens <= r.avail_tokens

@@ -158,7 +158,13 @@ BOUND_EXP = 1.5
 # executors (or shrink partitions) so the per-partition working set
 # stays below the knee the midpoint reveals.
 MIDPOINT_R = 3
-MIDPOINT_FAMILIES = ("tfidf_cosine_pairs", "kmeans_clusters")
+MIDPOINT_FAMILIES = (
+    "tfidf_cosine_pairs",
+    "kmeans_clusters",
+    # highest round-7 ratio (8.69x): the midpoint separates gram-volume
+    # linearity from a distinct-shuffle knee
+    "ngram_novelty_curve",
+)
 
 _ID_STRIDE = 10_000_000
 

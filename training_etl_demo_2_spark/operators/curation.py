@@ -3892,3 +3892,178 @@ def dedup_bias_audit_sql() -> str:
         "    kept AS (SELECT min(doc_id) AS doc_id FROM fps GROUP BY f)"
     )
     return _mixture_shift_sql(kept)
+
+
+WATERFILL_BUDGET_DEN = 3  # fixture budget = corpus tokens // DEN
+
+
+def budget_waterfill_plan(
+    df: DataFrame,
+    budget_den: int = WATERFILL_BUDGET_DEN,
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget allocation across sources by WATER-FILLING — the
+    fair-allocation rule mixture planning actually wants: every source
+    gets the common water level L, except sources with fewer tokens
+    than L, which are capped at what they have; L is chosen so grants
+    sum EXACTLY to the budget. Unlike proportional shares (which
+    over-ask tiny sources) or uniform splits (which waste the cap
+    surplus), water-filling is the unique allocation that is
+    availability-feasible, budget-exact and max-min fair.
+
+    The level has a CLOSED FORM over the availability ranking (sort
+    sources by avail ascending; the smallest j sources are capped
+    where prefix_j + avail_{j+1}·(n−j) exceeds the budget; the rest
+    split the remainder evenly, ties to the lexicographically first
+    sources one token each) — so the plan is pure window arithmetic,
+    no iteration, and exact to the TOKEN (planted test pins
+    sum(granted) == budget).
+
+    Output: (source, avail_tokens, granted_tokens, capped), ordered.
+
+    Scale shape: one token-count scan, then |sources|-row window
+    arithmetic with a ONE-ROW totals broadcast — metadata math.
+    """
+    avail = df.select(
+        "source",
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("ntok"),
+    ).groupBy("source").agg(F.sum("ntok").cast("long").alias("avail"))
+    w = Window.orderBy(F.asc("avail"), F.asc("source"))
+    tot = avail.agg(
+        F.sum("avail").alias("tot"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    ranked = (
+        avail.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "avail",
+            F.row_number().over(w).alias("rk"),
+            F.sum("avail").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).alias("prefix"),
+            (F.col("tot") / budget_den).cast("long").alias("budget"),
+            "n_src",
+        )
+    )
+    # capped  <=>  granting this source its full avail still leaves
+    # enough budget for every LARGER source to get at least as much:
+    # prefix_{rk-1} + avail_rk * (n - rk + 1) <= budget
+    capped = (
+        F.col("prefix")
+        - F.col("avail")
+        + F.col("avail") * (F.col("n_src") - F.col("rk") + 1)
+    ) <= F.col("budget")
+    marked = ranked.withColumn("capped", capped)
+    caps = marked.agg(
+        F.sum(F.when(F.col("capped"), F.col("avail")).otherwise(0)).alias(
+            "cap_sum"
+        ),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("n_capped"),
+    )
+    out = (
+        marked.crossJoin(F.broadcast(caps))
+        .withColumn(
+            "n_free", (F.col("n_src") - F.col("n_capped")).cast("long")
+        )
+        .withColumn(
+            "level",
+            F.expr(
+                "CASE WHEN n_free > 0 THEN (budget - cap_sum) div n_free "
+                "ELSE 0 END"
+            ),
+        )
+        .withColumn(
+            "rem",
+            F.expr(
+                "CASE WHEN n_free > 0 THEN (budget - cap_sum) % n_free "
+                "ELSE 0 END"
+            ),
+        )
+    )
+    # +1-token remainder goes to the lexicographically first free
+    # sources — rank free sources by source name
+    wfree = Window.partitionBy("capped").orderBy(F.asc("source"))
+    return (
+        out.withColumn("free_rk", F.row_number().over(wfree))
+        .select(
+            "source",
+            F.col("avail").alias("avail_tokens"),
+            F.when(F.col("capped"), F.col("avail"))
+            .otherwise(
+                F.col("level")
+                + F.when(F.col("free_rk") <= F.col("rem"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("granted_tokens"),
+            F.col("capped").cast("boolean").alias("capped"),
+        )
+        .orderBy("source")
+    )
+
+
+def budget_waterfill_plan_sql(
+    budget_den: int = WATERFILL_BUDGET_DEN,
+) -> str:
+    """Twin: identical ranking, cap rule, level and remainder
+    arithmetic."""
+    return f"""
+    WITH avail AS (
+        SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(avail) AS BIGINT) AS tot,
+               CAST(count(*) AS BIGINT) AS n_src
+        FROM avail
+    ),
+    ranked AS (
+        SELECT a.source, a.avail,
+               row_number() OVER (ORDER BY a.avail ASC, a.source ASC)
+                   AS rk,
+               sum(a.avail) OVER (
+                   ORDER BY a.avail ASC, a.source ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS prefix,
+               t.tot // {budget_den} AS budget,
+               t.n_src
+        FROM avail a CROSS JOIN tot t
+    ),
+    marked AS (
+        SELECT *,
+               (prefix - avail + avail * (n_src - rk + 1)) <= budget
+                   AS capped
+        FROM ranked
+    ),
+    caps AS (
+        SELECT CAST(coalesce(sum(CASE WHEN capped THEN avail END), 0)
+                    AS BIGINT) AS cap_sum,
+               CAST(coalesce(sum(CASE WHEN capped THEN 1 END), 0)
+                    AS BIGINT) AS n_capped
+        FROM marked
+    ),
+    lv AS (
+        SELECT m.*, c.cap_sum, c.n_capped,
+               m.n_src - c.n_capped AS n_free,
+               CASE WHEN m.n_src - c.n_capped > 0
+                    THEN (m.budget - c.cap_sum) // (m.n_src - c.n_capped)
+                    ELSE 0 END AS level,
+               CASE WHEN m.n_src - c.n_capped > 0
+                    THEN (m.budget - c.cap_sum) % (m.n_src - c.n_capped)
+                    ELSE 0 END AS rem,
+               row_number() OVER (
+                   PARTITION BY m.capped ORDER BY m.source ASC
+               ) AS free_rk
+        FROM marked m CROSS JOIN caps c
+    )
+    SELECT source,
+           CAST(avail AS BIGINT) AS avail_tokens,
+           CAST(CASE WHEN capped THEN avail
+                     ELSE level + CASE WHEN free_rk <= rem THEN 1
+                                       ELSE 0 END END AS BIGINT)
+               AS granted_tokens,
+           capped
+    FROM lv
+    ORDER BY source
+    """
