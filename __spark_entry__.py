@@ -1140,6 +1140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_waterfill_plan": _q(
             lambda t: curation.budget_waterfill_plan(t["documents"])
         ),
+        # content-addressed dataset version: rows + key checksums
+        "dataset_manifest": _q(maintenance.dataset_manifest),
     }
 
 
@@ -2095,4 +2097,5 @@ def oracle_sql() -> dict[str, str]:
             dedup.fingerprint_collision_audit_sql()
         ),
         "budget_waterfill_plan": curation.budget_waterfill_plan_sql(),
+        "dataset_manifest": maintenance.dataset_manifest_sql(),
     }

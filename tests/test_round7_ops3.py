@@ -461,3 +461,37 @@ def test_waterfill_budget_exact_with_caps(spark):
     assert out["b"].granted_tokens == out["c"].granted_tokens == 12
     for r in out.values():
         assert r.granted_tokens <= r.avail_tokens
+
+
+# --- dataset_manifest -----------------------------------------------------------
+
+
+def test_dataset_manifest_detects_identity_changes(spark, tables):
+    """Ten rows, one per table; the checksum is order-free (same value
+    under repartition) and moves on any row identity change (a dropped
+    doc changes documents' row only)."""
+    from training_etl_demo_2_spark.operators import maintenance
+
+    base = {r.table_name: r for r in maintenance.dataset_manifest(tables).collect()}
+    assert len(base) == 10
+    assert base["documents"].n_rows == tables["documents"].count()
+
+    shuffled = dict(tables)
+    shuffled["documents"] = tables["documents"].repartition(7)
+    re = {
+        r.table_name: r
+        for r in maintenance.dataset_manifest(shuffled).collect()
+    }
+    assert re == base  # partition-order-free
+
+    dropped = dict(tables)
+    dropped["documents"] = tables["documents"].filter("doc_id <> 0")
+    d = {
+        r.table_name: r
+        for r in maintenance.dataset_manifest(dropped).collect()
+    }
+    assert d["documents"].n_rows == base["documents"].n_rows - 1
+    assert d["documents"].key_checksum != base["documents"].key_checksum
+    for t in base:
+        if t != "documents":
+            assert d[t] == base[t]

@@ -960,3 +960,90 @@ def forget_user_rewrite_plan_sql(
     )"""
         )
     return " UNION ALL ".join(arms)
+
+
+# (table, key columns) — the identity spine of each fixture table; the
+# manifest checksums ROW IDENTITY (not payload bytes), so float
+# formatting differences can never enter the cross-engine fold
+MANIFEST_KEYS = (
+    ("region", ("r_regionkey",)),
+    ("nation", ("n_nationkey",)),
+    ("customer", ("c_custkey",)),
+    ("supplier", ("s_suppkey",)),
+    ("part", ("p_partkey",)),
+    ("orders", ("o_orderkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("events", ("event_id",)),
+    ("documents", ("doc_id",)),
+    ("embeddings", ("vec_id",)),
+)
+
+
+def dataset_manifest(t: dict[str, DataFrame]) -> DataFrame:
+    """Content-addressed DATASET VERSION: one row per table with its
+    row count and an order-free checksum of the key spine — the
+    reproducibility artifact a training run records next to its config
+    ("which exact dataset did this model see?"). Two snapshots with
+    equal manifests have identical row identity; any insert, delete or
+    key rewrite moves the checksum. Payload columns are deliberately
+    excluded (float formatting is engine-dependent); pair with
+    `orders_snapshot_diff` / `mv_incremental_update` for payload-level
+    drift.
+
+    Checksum: Σ rolling_hash('tbl:' || key parts) accumulated in
+    decimal(38,0) (a 10¹²-row table at 100 TB overflows int64 —
+    HUGEINT on the twin), reduced mod P at the end; sum is
+    commutative, so the result is partition-order-free on any cluster
+    layout.
+
+    Scale shape: one narrow projection + ONE partial-aggregable sum
+    per table — the cheapest full-scan audit there is; output 10 rows.
+    """
+    from ..functions import FNV_MOD, rolling_hash
+
+    arms = []
+    for name, keys in MANIFEST_KEYS:
+        key_str = F.concat_ws(
+            ":", F.lit(name), *[F.col(k).cast("string") for k in keys]
+        )
+        h = rolling_hash(key_str).cast("decimal(38,0)")
+        arms.append(
+            t[name].agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                (F.sum(h) % F.lit(FNV_MOD).cast("decimal(38,0)"))
+                .cast("long")
+                .alias("key_checksum"),
+            ).select(
+                F.lit(name).alias("table_name"), "n_rows", "key_checksum"
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("table_name")
+
+
+def dataset_manifest_sql() -> str:
+    """Twin: same 'tbl:key' rolling hash, HUGEINT sum, same mod."""
+    from ..functions import FNV_MOD
+    from .oracle import ROLLING_HASH
+
+    arms = []
+    for name, keys in MANIFEST_KEYS:
+        parts = " || ':' || ".join(
+            f"CAST({k} AS VARCHAR)" for k in keys
+        )
+        h = ROLLING_HASH.format(s=f"'{name}:' || {parts}")
+        arms.append(
+            f"""
+    SELECT '{name}' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(({h}) AS HUGEINT)) % {FNV_MOD} AS BIGINT)
+               AS key_checksum
+    FROM {name}"""
+        )
+    union = "\n    UNION ALL".join(arms)
+    return f"""
+    {union}
+    ORDER BY table_name
+    """
