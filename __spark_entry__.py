@@ -1142,6 +1142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # content-addressed dataset version: rows + key checksums
         "dataset_manifest": _q(maintenance.dataset_manifest),
+        # MRR for the IVF tier (mirrors the NDCG pair)
+        "ivf_mrr_eval": _q(similarity.ivf_mrr_eval),
     }
 
 
@@ -2098,4 +2100,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "budget_waterfill_plan": curation.budget_waterfill_plan_sql(),
         "dataset_manifest": maintenance.dataset_manifest_sql(),
+        "ivf_mrr_eval": similarity.ivf_mrr_eval_sql(),
     }

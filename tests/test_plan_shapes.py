@@ -202,6 +202,7 @@ NESTED_LOOP_OK = {
     "mixture_reweigh_mw",
     # inherits brute_topk's broadcast fixed-query panel (truth at k=1)
     "ann_mrr_eval",
+    "ivf_mrr_eval",
     # ONE-ROW audit/estimate/source-count broadcasts (hll_rollup class)
     "cms_rollup_merge",
     # inherits brute_topk's broadcast fixed-query panel at max(ks)

@@ -495,3 +495,20 @@ def test_dataset_manifest_detects_identity_changes(spark, tables):
     for t in base:
         if t != "documents":
             assert d[t] == base[t]
+
+
+def test_ivf_mrr_bounds(spark, tables):
+    """Same contract as ann_mrr_eval over the IVF tier: one row per
+    query, rr = 1e6 div rank or 0 when the true neighbor is outside
+    the probe set's top-k."""
+    from training_etl_demo_2_spark.operators import similarity
+
+    rows = similarity.ivf_mrr_eval(tables).collect()
+    qn = similarity.brute_topk(tables["embeddings"], k=1).count()
+    assert len(rows) == qn
+    for r in rows:
+        if r.true_rank is None:
+            assert r.rr_micro == 0
+        else:
+            assert 1 <= r.true_rank <= 5
+            assert r.rr_micro == 1_000_000 // r.true_rank

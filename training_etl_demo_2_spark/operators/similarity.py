@@ -3563,3 +3563,48 @@ def lsh_recall_curve_sql(ks: tuple[int, ...] = RECALL_CURVE_KS) -> str:
     GROUP BY k, nq.n
     ORDER BY k
     """
+
+
+def ivf_mrr_eval(t: dict[str, DataFrame], k: int = 5) -> DataFrame:
+    """MRR@k of the IVF (coarse-quantizer) retrieval against the brute
+    exact top-1 — the same first-hit grading as ``ann_mrr_eval`` over
+    the other production ANN tier, so the two approximations are
+    comparable on one reciprocal scale (mirrors the NDCG pair).
+
+    Output/scale shape: identical to ann_mrr_eval (fixed query panel,
+    |Q|-keyed metadata grading join)."""
+    emb = t["embeddings"]
+    truth = brute_topk(emb, k=1).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, k=k).select("query_id", "neighbor_id", "rnk")
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            F.col("rnk").cast("long").alias("true_rank"),
+            F.coalesce(F.expr("1000000 div rnk"), F.lit(0))
+            .cast("long")
+            .alias("rr_micro"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ivf_mrr_eval_sql(k: int = 5) -> str:
+    """Twin: brute rank-1 truth looked up in the IVF oracle ranking."""
+    from .oracle_text import brute_topk_sql, ivf_topk_sql
+
+    return f"""
+    WITH truth AS (
+        SELECT query_id, neighbor_id FROM ({brute_topk_sql(k=1)})
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id, rnk FROM ({ivf_topk_sql(k=k)})
+    )
+    SELECT t.query_id,
+           CAST(a.rnk AS BIGINT) AS true_rank,
+           CAST(coalesce(1000000 // a.rnk, 0) AS BIGINT) AS rr_micro
+    FROM truth t
+    LEFT JOIN approx a
+      ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+    ORDER BY t.query_id
+    """
