@@ -1144,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_manifest": _q(maintenance.dataset_manifest),
         # MRR for the IVF tier (mirrors the NDCG pair)
         "ivf_mrr_eval": _q(similarity.ivf_mrr_eval),
+        # streaming-dedup state sizing per TTL (capacity planning)
+        "dedup_state_ttl_curve": _q(temporal.dedup_state_ttl_curve),
     }
 
 
@@ -2101,4 +2103,5 @@ def oracle_sql() -> dict[str, str]:
         "budget_waterfill_plan": curation.budget_waterfill_plan_sql(),
         "dataset_manifest": maintenance.dataset_manifest_sql(),
         "ivf_mrr_eval": similarity.ivf_mrr_eval_sql(),
+        "dedup_state_ttl_curve": temporal.dedup_state_ttl_curve_sql(),
     }

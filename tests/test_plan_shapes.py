@@ -214,6 +214,8 @@ NESTED_LOOP_OK = {
     "dedup_bias_audit",
     # ONE-ROW totals + cap-sum broadcasts onto the |sources| relation
     "budget_waterfill_plan",
+    # ONE-ROW distinct-fingerprint total broadcast onto the |ttl| fold
+    "dedup_state_ttl_curve",
 }
 
 

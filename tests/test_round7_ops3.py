@@ -512,3 +512,55 @@ def test_ivf_mrr_bounds(spark, tables):
         else:
             assert 1 <= r.true_rank <= 5
             assert r.rr_micro == 1_000_000 // r.true_rank
+
+
+# --- dedup_state_ttl_curve ------------------------------------------------------
+
+
+def test_dedup_state_ttl_monotone(spark, tables):
+    """Longer TTL can only hold MORE state: max_state and mean_state
+    are non-decreasing in TTL; state never exceeds the total distinct
+    fingerprint count; every observed hour is counted once per TTL."""
+    from training_etl_demo_2_spark.operators import temporal
+
+    rows = sorted(
+        temporal.dedup_state_ttl_curve(tables).collect(),
+        key=lambda r: r.ttl_hours,
+    )
+    assert [r.ttl_hours for r in rows] == [1, 6, 24]
+    hours = {r.n_hours for r in rows}
+    assert len(hours) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b.max_state >= a.max_state
+        assert b.mean_state >= a.mean_state
+    for r in rows:
+        assert 1 <= r.max_state <= r.total_fps
+        assert 0 <= r.mean_state <= r.max_state
+
+
+def test_dedup_state_ttl_planted(spark):
+    """Identity A fires in hours 0 and 3; identity B fires in hour 4.
+    With TTL 1 no observed hour ever holds two live entries (max 1);
+    with TTL 6, A's hour-3 entry is still alive in hour 4 alongside B
+    (max 2) — the eviction boundary is doing the separating."""
+    from datetime import datetime
+
+    from training_etl_demo_2_spark.operators import temporal
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 30), 7, "click", 1.0, "{}"),
+        (2, datetime(2024, 1, 1, 3, 30), 7, "click", 1.0, "{}"),
+        (3, datetime(2024, 1, 1, 4, 40), 9, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        r.ttl_hours: r
+        for r in temporal.dedup_state_ttl_curve({"events": ev}).collect()
+    }
+    assert out[1].max_state == 1
+    assert out[6].max_state == 2  # both identities live in hour 3
+    assert out[1].total_fps == out[6].total_fps == 2

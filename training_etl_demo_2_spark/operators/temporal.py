@@ -1578,3 +1578,129 @@ def user_active_coverage_sql(window_min: int = COVERAGE_WINDOW_MIN) -> str:
     FROM swept
     GROUP BY user_id
     """
+
+
+DEDUP_TTL_HOURS = (1, 6, 24)
+
+
+def dedup_state_ttl_curve(
+    t: dict[str, DataFrame], ttls: tuple[int, ...] = DEDUP_TTL_HOURS
+) -> DataFrame:
+    """STATE SIZING for streaming dedup — the capacity question TTL
+    eviction exists to answer: if the exact-dedup operator keeps each
+    fingerprint for TTL hours after its last arrival, how many entries
+    is it holding at once? Per candidate TTL this reports the maximum
+    and mean concurrent state over every observed hour (fingerprint =
+    (user, event_type) identity, the stream_exact_dedup key shape) —
+    the number that decides executor state-store memory and whether
+    RocksDB spilling is needed BEFORE the stream is deployed.
+
+    Output: one row per TTL — (ttl_hours, n_hours, max_state,
+    mean_state, total_fps), exact integers.
+
+    Scale shape: deliberately NO range join (h BETWEEN hour-ttl+1 AND
+    hour would plan a nested loop): each distinct (fp, hour) presence
+    EXPLODES into the ≤ ttl hours it keeps the entry alive — a narrow
+    ×Σttl fan-out — then distinct + two grouped folds, all equi-keyed;
+    observed-hour filtering is a semi-join, not a scalar broadcast.
+    """
+    from ..functions import rolling_hash
+
+    e = t["events"].select(
+        rolling_hash(
+            F.concat_ws(
+                ":", F.col("user_id").cast("string"), F.col("event_type")
+            )
+        ).alias("fp"),
+        (F.unix_micros(F.col("ts")) / 3_600_000_000)
+        .cast("long")
+        .alias("hour"),
+    )
+    fp_hours = e.distinct()
+    obs_hours = fp_hours.select("hour").distinct()
+    arms = fp_hours.select(
+        "fp",
+        "hour",
+        F.explode(F.array(*[F.lit(int(x)) for x in ttls])).alias("ttl"),
+    ).select(
+        "fp",
+        "ttl",
+        F.explode(
+            F.sequence(F.col("hour"), F.col("hour") + F.col("ttl") - 1)
+        ).alias("h"),
+    )
+    live = (
+        arms.join(obs_hours.withColumnRenamed("hour", "h"), "h")
+        .select("ttl", "h", "fp")
+        .distinct()
+    )
+    per_hour = live.groupBy("ttl", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("state")
+    )
+    totals = fp_hours.agg(
+        F.count_distinct("fp").cast("long").alias("total_fps")
+    )
+    return (
+        per_hour.groupBy("ttl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.max("state").cast("long").alias("max_state"),
+            F.expr("sum(state) div count(1)").cast("long").alias(
+                "mean_state"
+            ),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("ttl").cast("long").alias("ttl_hours"),
+            "n_hours",
+            "max_state",
+            "mean_state",
+            "total_fps",
+        )
+        .orderBy("ttl_hours")
+    )
+
+
+def dedup_state_ttl_curve_sql(
+    ttls: tuple[int, ...] = DEDUP_TTL_HOURS,
+) -> str:
+    """Twin: same fingerprint/hour lattice, same coverage explode and
+    folds."""
+    from .oracle import ROLLING_HASH
+
+    fp = ROLLING_HASH.format(
+        s="CAST(user_id AS VARCHAR) || ':' || event_type"
+    )
+    tl = "[" + ", ".join(str(int(x)) for x in ttls) + "]"
+    return f"""
+    WITH fp_hours AS (
+        SELECT DISTINCT {fp} AS fp,
+               epoch_us(ts) // 3600000000 AS hour
+        FROM events
+    ),
+    obs AS (SELECT DISTINCT hour AS h FROM fp_hours),
+    tt AS (SELECT fp, hour, unnest({tl}) AS ttl FROM fp_hours),
+    arms AS (
+        SELECT fp, ttl,
+               unnest(range(hour, hour + ttl)) AS h
+        FROM tt
+    ),
+    live AS (
+        SELECT DISTINCT a.ttl, a.h, a.fp
+        FROM arms a JOIN obs o ON o.h = a.h
+    ),
+    per_hour AS (
+        SELECT ttl, h, CAST(count(*) AS BIGINT) AS state
+        FROM live GROUP BY ttl, h
+    ),
+    tot AS (SELECT CAST(count(DISTINCT fp) AS BIGINT) AS total_fps
+            FROM fp_hours)
+    SELECT CAST(p.ttl AS BIGINT) AS ttl_hours,
+           CAST(count(*) AS BIGINT) AS n_hours,
+           CAST(max(p.state) AS BIGINT) AS max_state,
+           CAST(sum(p.state) // count(*) AS BIGINT) AS mean_state,
+           t.total_fps
+    FROM per_hour p CROSS JOIN tot t
+    GROUP BY p.ttl, t.total_fps
+    ORDER BY ttl_hours
+    """
