@@ -1146,6 +1146,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_mrr_eval": _q(similarity.ivf_mrr_eval),
         # streaming-dedup state sizing per TTL (capacity planning)
         "dedup_state_ttl_curve": _q(temporal.dedup_state_ttl_curve),
+        # cap and dedup do not commute: both orders, priced
+        "cap_dedup_order_audit": _q(
+            lambda t: curation.cap_dedup_order_audit(t["documents"])
+        ),
     }
 
 
@@ -2104,4 +2108,5 @@ def oracle_sql() -> dict[str, str]:
         "dataset_manifest": maintenance.dataset_manifest_sql(),
         "ivf_mrr_eval": similarity.ivf_mrr_eval_sql(),
         "dedup_state_ttl_curve": temporal.dedup_state_ttl_curve_sql(),
+        "cap_dedup_order_audit": curation.cap_dedup_order_audit_sql(),
     }

@@ -564,3 +564,43 @@ def test_dedup_state_ttl_planted(spark):
     assert out[1].max_state == 1
     assert out[6].max_state == 2  # both identities live in hour 3
     assert out[1].total_fps == out[6].total_fps == 2
+
+
+# --- cap_dedup_order_audit ------------------------------------------------------
+
+
+def test_cap_dedup_order_noncommuting(spark):
+    """Planted non-commuting corpus: duplicates engineered to occupy
+    the cap's top hash-ranked slots, so cap-then-dedup yields STRICTLY
+    fewer docs than dedup-then-cap (which spends every slot on unique
+    content); dedup-first is never worse."""
+    P = 1_000_000_007
+
+    def rh(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % P
+        return acc
+
+    ids = list(range(1, 7))
+    by_rank = sorted(ids, key=lambda i: (rh(f"cap:{i}"), i))
+    # the cap-2 winners get IDENTICAL text; everyone else unique
+    dup_ids = set(by_rank[:2])
+    rows = [
+        (i, "same duplicated text" if i in dup_ids else f"unique doc {i}",
+         "en", "s")
+        for i in ids
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {
+        r.order: r
+        for r in curation.cap_dedup_order_audit(df, cap=2).collect()
+    }
+    assert out["cap_then_dedup"].docs_kept == 1  # dup pair collapses
+    assert out["dedup_then_cap"].docs_kept == 2  # slots spent on uniques
+    assert (
+        out["dedup_then_cap"].docs_kept
+        >= out["cap_then_dedup"].docs_kept
+    )

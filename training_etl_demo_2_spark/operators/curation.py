@@ -4067,3 +4067,108 @@ def budget_waterfill_plan_sql(
     FROM lv
     ORDER BY source
     """
+
+
+CAP_ORDER_N = 10
+
+
+def cap_dedup_order_audit(
+    df: DataFrame, cap: int = CAP_ORDER_N, text_col: str = "text"
+) -> DataFrame:
+    """CAP and DEDUP do not commute — this audit proves it on the
+    corpus instead of arguing it: capping first lets duplicates occupy
+    scarce per-source slots (dedup then shrinks the survivors below
+    the cap); dedup first spends every cap slot on unique content.
+    One row per order with the final doc/token yield — the
+    order-of-operations decision, priced.
+
+    Both steps are the engine's own rules (the source_cap_curve hash
+    rank; the keep-first fingerprint dedup), so this is a composition
+    audit, not a third dedup implementation.
+
+    Output: (order, docs_kept, tokens_kept), exact integers.
+
+    Scale shape: one fingerprint pass + two rank windows over
+    source-partitioned relations, all linear; output 2 rows.
+    """
+    from ..functions import normalize_text
+    from .dedup import drop_exact_duplicates
+
+    ntok = F.size(F.split(F.col(text_col), " ")).cast("long")
+
+    def rank_capped(d: DataFrame) -> DataFrame:
+        h = rolling_hash(
+            F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))
+        )
+        w = Window.partitionBy("source").orderBy(
+            h.asc(), F.col("doc_id").asc()
+        )
+        return (
+            d.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap)
+            .drop("__rn")
+        )
+
+    def fold(d: DataFrame, name: str) -> DataFrame:
+        return d.agg(
+            F.count(F.lit(1)).cast("long").alias("docs_kept"),
+            F.sum(ntok).cast("long").alias("tokens_kept"),
+        ).select(F.lit(name).alias("order"), "docs_kept", "tokens_kept")
+
+    cap_first = drop_exact_duplicates(rank_capped(df), text_col)
+    dedup_first = rank_capped(drop_exact_duplicates(df, text_col))
+    return (
+        fold(cap_first, "cap_then_dedup")
+        .unionByName(fold(dedup_first, "dedup_then_cap"))
+        .orderBy("order")
+    )
+
+
+def cap_dedup_order_audit_sql(cap: int = CAP_ORDER_N) -> str:
+    """Twin: same hash rank and keep-first fingerprint rules in both
+    orders."""
+    from .oracle import NORMALIZE
+
+    h = ROLLING_HASH.format(s="'cap:' || CAST(doc_id AS VARCHAR)")
+    fp = ROLLING_HASH.format(s=NORMALIZE.format(s="text"))
+    return f"""
+    WITH base AS (
+        SELECT doc_id, source, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok,
+               {fp} AS f,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY {h} ASC, doc_id ASC
+               ) AS rn_all
+        FROM documents
+    ),
+    capped AS (SELECT * FROM base WHERE rn_all <= {cap}),
+    cap_first AS (
+        SELECT * FROM capped
+        WHERE doc_id IN (SELECT min(doc_id) FROM capped GROUP BY f)
+    ),
+    deduped AS (
+        SELECT * FROM base
+        WHERE doc_id IN (SELECT min(doc_id) FROM base GROUP BY f)
+    ),
+    dedup_first AS (
+        SELECT * FROM (
+            SELECT d.*,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY {h.replace('doc_id', 'd.doc_id')} ASC,
+                                d.doc_id ASC
+                   ) AS rn2
+            FROM deduped d
+        ) WHERE rn2 <= {cap}
+    )
+    SELECT 'cap_then_dedup' AS "order",
+           CAST(count(*) AS BIGINT) AS docs_kept,
+           CAST(coalesce(sum(ntok), 0) AS BIGINT) AS tokens_kept
+    FROM cap_first
+    UNION ALL
+    SELECT 'dedup_then_cap',
+           CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(ntok), 0) AS BIGINT)
+    FROM dedup_first
+    ORDER BY "order"
+    """
