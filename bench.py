@@ -12,6 +12,15 @@ captured.
 Each query is timed end-to-end (plan build + execution to a count-style
 materialization). A warmup query first JIT-warms the session so timings
 reflect steady-state execution, not JVM startup.
+
+Two independent noise nets feed the retry budget (round-7 lesson: probe
+bracketing alone stamped a 4x transient "clean" because the contention
+fell BETWEEN two probes): (1) calib probes interleaved through the sweep
+flag host contention directly; (2) every query is also compared against
+the last COMMITTED clean run (HEAD:BENCH.json) and re-timed when it
+exceeds SPARK_GRAFT_REGRESS_FACTOR (default 2.5) x its prior clean
+time. BENCH.json carries the per-query adjudication ("regressions":
+noise vs reproduced), so a reader never needs cross-run forensics.
 """
 
 from __future__ import annotations
@@ -22,6 +31,71 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_prior_ref(
+    repo_dir: str, fallback_thresh: float
+) -> tuple[dict[str, float], str | None]:
+    """Last committed clean bench as {query: seconds}, keeping only
+    entries whose OWN calib stamp was clean (a contaminated prior time
+    would flag phantom 'regressions' on every honest run). Prefers
+    HEAD:BENCH.json (the committed run) over the working-tree file."""
+    prior, prior_src = None, None
+    try:
+        import subprocess
+
+        blob = subprocess.run(
+            ["git", "-C", repo_dir, "show", "HEAD:BENCH.json"],
+            capture_output=True, text=True, timeout=30,
+        )
+        if blob.returncode == 0 and blob.stdout.strip():
+            prior = json.loads(blob.stdout)
+            prior_src = "HEAD:BENCH.json"
+    except Exception:  # noqa: BLE001 — no git available
+        prior = None
+    if prior is None:
+        try:
+            with open(os.path.join(repo_dir, "BENCH.json")) as f:
+                prior = json.loads(f.readline())
+            prior_src = "BENCH.json (working tree)"
+        except Exception:  # noqa: BLE001 — first-ever run
+            return {}, None
+    p_thresh = prior.get("calib_threshold_s", fallback_thresh)
+    p_calib = prior.get("calib", {})
+    return (
+        {
+            nm: t
+            for nm, t in prior.get("queries", {}).items()
+            if p_calib.get(nm, 0.0) <= p_thresh
+        },
+        prior_src,
+    )
+
+
+def adjudicate_regressions(
+    first_timing: dict[str, float],
+    final_timing: dict[str, float],
+    prior_ref: dict[str, float],
+    factor: float,
+) -> dict[str, dict]:
+    """Every prior-clean query whose FIRST measurement exceeded
+    factor x its committed time, with the retry loop's outcome: noise
+    (re-timed back under the bar) or reproduced (still above — a real
+    plan/code regression the reader must look at)."""
+    return {
+        nm: {
+            "prior_s": prior_ref[nm],
+            "first_s": first_timing[nm],
+            "final_s": final_timing[nm],
+            "verdict": (
+                "reproduced"
+                if final_timing[nm] > factor * prior_ref[nm]
+                else "noise"
+            ),
+        }
+        for nm in first_timing
+        if nm in prior_ref and first_timing[nm] > factor * prior_ref[nm]
+    }
 
 
 def main() -> None:
@@ -78,6 +152,19 @@ def main() -> None:
     )
     retry_passes = int(os.environ.get("SPARK_GRAFT_CALIB_RETRIES", "2"))
 
+    # Prior-run regression net (round-7 lesson: the driver's r07 run
+    # stamped a 4x-transient q4_order_priority as "clean" — contention
+    # BETWEEN two probes is invisible to probe bracketing). Load the
+    # last COMMITTED clean run (HEAD:BENCH.json, falling back to the
+    # working-tree file before we overwrite it) and flag any query that
+    # exceeds REGRESS_FACTOR x its prior time even when its calib stamp
+    # is clean; the retry loop then re-times those too, keeping the
+    # faster measurement (a transient re-times away; a real regression
+    # reproduces and is reported as such).
+    regress_factor = float(os.environ.get("SPARK_GRAFT_REGRESS_FACTOR", "2.5"))
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prior_ref, prior_src = load_prior_ref(repo_dir, calib_thresh)
+
     # Error-isolated sweep (round-3 lesson: one AnalysisException aborted
     # the whole run before any summary printed, zeroing the round's bench
     # artifact): a failing query records an error entry and the sweep
@@ -131,15 +218,25 @@ def main() -> None:
     # the bench when the whole sweep is contended.
     retry_budget = float(os.environ.get("SPARK_GRAFT_CALIB_RETRY_S", "150"))
     t_retry0 = time.perf_counter()
+    first_timing = dict(timings)  # pre-retry values, for the regress report
+
+    def is_regressed(nm: str) -> bool:
+        return nm in prior_ref and timings[nm] > regress_factor * prior_ref[nm]
+
     for _ in range(retry_passes):
         flagged = sorted(
-            (nm for nm in timings if calibs[nm] > calib_thresh),
+            (
+                nm
+                for nm in timings
+                if calibs[nm] > calib_thresh or is_regressed(nm)
+            ),
             key=lambda nm: -timings[nm],
         )
         if not flagged or time.perf_counter() - t_retry0 > retry_budget:
             break
-        print(f"# calib retry: {len(flagged)} flagged, budget "
-              f"{retry_budget:.0f}s", file=sys.stderr)
+        print(f"# calib retry: {len(flagged)} flagged "
+              f"({sum(1 for nm in flagged if is_regressed(nm))} vs prior), "
+              f"budget {retry_budget:.0f}s", file=sys.stderr)
         for nm in flagged:
             if time.perf_counter() - t_retry0 > retry_budget:
                 print("# calib retry budget exhausted", file=sys.stderr)
@@ -150,8 +247,22 @@ def main() -> None:
             except Exception:  # noqa: BLE001 — keep the original timing
                 continue
             stamp = max(before, calib())
-            if stamp < calibs[nm]:  # keep the cleaner measurement
-                timings[nm], calibs[nm] = dt, stamp
+            if stamp < calibs[nm] or (is_regressed(nm) and dt < timings[nm]):
+                # keep the cleaner/faster measurement: a transient spike
+                # re-times away; a genuine regression reproduces
+                timings[nm] = dt if stamp < calibs[nm] else min(dt, timings[nm])
+                calibs[nm] = min(stamp, calibs[nm])
+
+    regressions = adjudicate_regressions(
+        first_timing, timings, prior_ref, regress_factor
+    )
+    for nm, r in regressions.items():
+        print(
+            f"# regression {nm}: prior {r['prior_s']:.3f}s first "
+            f"{r['first_s']:.3f}s final {r['final_s']:.3f}s -> "
+            f"{r['verdict']}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     n_contended = sum(1 for v in calibs.values() if v > calib_thresh)
@@ -168,9 +279,16 @@ def main() -> None:
         "calib_idle_s": idle_s,
         "calib_threshold_s": calib_thresh,
         "n_calib_contended": n_contended,
+        "regress_factor": regress_factor,
+        "prior_bench": prior_src,
+        "n_regressions_flagged": len(regressions),
+        "n_regressions_reproduced": sum(
+            1 for r in regressions.values() if r["verdict"] == "reproduced"
+        ),
     }
     full = {**compact, "queries": timings, "errors": errors,
-            "calib": calibs, "calib_probes": probes}
+            "calib": calibs, "calib_probes": probes,
+            "regressions": regressions}
     # Compact line FIRST and LAST, full per-query line in between: a
     # stdout tail window that clips the (large) per-query line still
     # ends with a complete, parseable summary line, and a head-biased
