@@ -315,14 +315,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # table-version diff (CDC generation / audit): delta-sized output
         "orders_snapshot_diff": _q(merge.orders_snapshot_diff),
         "event_anomalies": _q(lambda t: validation.value_anomalies(t["events"])),
-        # rows-only scale sibling of data_profile_lineitem:
-        # approx_count_distinct (HLL) replaces the Expand-based exact
-        # distincts — the tier actually run at 100 TB (one map-side
-        # pass, no k-times row expansion). Estimates are seed-stable but
-        # not SQL-reproducible, hence no oracle; test_validation.py
-        # bounds them against the exact profile.
+        # scale sibling of data_profile_lineitem: the engine-owned
+        # register HLL replaces the Expand-based exact distincts — the
+        # tier actually run at 100 TB (one explode pass partial-agged
+        # to fixed-size registers, no k-times Expand). Re-based in
+        # round 8 from DataSketches approx_count_distinct (rows-only)
+        # onto the deterministic register HLL, so the ESTIMATE itself
+        # is oracle-checked; the DataSketches variant remains as
+        # validation.profile_columns(approx=True) with planted tests.
         "data_profile_lineitem_approx": _q(
-            lambda t: validation.profile_columns(t["lineitem"], approx=True)
+            lambda t: sketches.hll_column_profile(t["lineitem"])
         ),
         # weighted mixture downsampling (DoReMi-style static domain
         # weights): map-side hash filter with broadcast per-group rates
@@ -451,9 +453,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_sole_late_supplier": _q(tpch_gap.q21_sole_late_supplier),
         "q22_idle_rich_customers": _q(tpch_gap.q22_idle_rich_customers),
         "events_multires_rollup": _q(tpch_gap.events_multires_rollup),
-        # --- sketch aggregates (rows-only: estimates are engine-specific;
-        #     pytest pins error vs exact + merge consistency)
-        "sketch_user_stats": _q(sketches.approx_user_stats),
+        # --- sketch aggregates: re-based (round 8) onto the
+        #     engine-owned register HLL so the estimate is
+        #     oracle-checked; DataSketches approx_user_stats remains
+        #     the documented packed-register alternate
+        "sketch_user_stats": _q(sketches.user_stats_register_hll),
         "histogram_quantiles": _q(sketches.events_histogram_quantiles),
         # --- dataset curation (splits/sampling/contamination/packing)
         "dataset_split": _q(lambda t: curation.dataset_split(t["documents"])),
@@ -1939,6 +1943,20 @@ def oracle_sql() -> dict[str, str]:
         "mannwhitney_auc": validation.mannwhitney_auc_sql(),
         "winnowing_fingerprints": oracle.winnowing_fingerprints_sql(),
         "hll_user_estimate": sketches.hll_user_estimate_sql(),
+        # round-8 re-basings: the two former rows-only DataSketches
+        # queries now estimate with the engine-owned register HLL
+        "sketch_user_stats": sketches.user_stats_register_hll_sql(),
+        "data_profile_lineitem_approx": sketches.hll_column_profile_sql(
+            "lineitem",
+            {
+                "l_orderkey": "int", "l_partkey": "int", "l_suppkey": "int",
+                "l_linenumber": "int",
+                "l_quantity": "cents", "l_extendedprice": "cents",
+                "l_discount": "cents", "l_tax": "cents",
+                "l_returnflag": "hash", "l_linestatus": "hash",
+                "l_shipdate": "date",
+            },
+        ),
         "bootstrap_mean_ci": validation.bootstrap_mean_ci_sql(),
         "cusum_changepoint": temporal.cusum_changepoint_sql(),
         "ab_test_zscore": behavior.ab_test_zscore_sql(),

@@ -33,12 +33,15 @@ def test_all_oracle_queries_match(spark, sf_dir):
 
 
 ROWS_ONLY_DECLARED = [
-    # engine-specific estimates (DataSketches HLL, zlib) + the media
-    # codec stub; pca_projection left this list in round 6 (the eigh
-    # boundary was replaced by an exact-integer power iteration with a
-    # full SQL twin — see similarity.pca_project_power)
+    # only the genuinely engine-specific pair remains: zlib byte
+    # streams (compression_ratio) and the media codec stub
+    # (media_near_dups). pca_projection left this list in round 6
+    # (exact-integer power iteration with a full SQL twin);
+    # sketch_user_stats and data_profile_lineitem_approx left in round
+    # 8 (re-based from DataSketches HLL onto the engine-owned
+    # explicit-register HLL, whose estimate a DuckDB twin reproduces
+    # bit-for-bit — see sketches.user_stats_register_hll /
+    # hll_column_profile)
     "media_near_dups",
-    "sketch_user_stats",
-    "data_profile_lineitem_approx",
     "compression_ratio",
 ]

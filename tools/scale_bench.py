@@ -142,6 +142,23 @@ FAMILIES: dict[str, tuple[str, str]] = {
         "pairs confined to fixed-size batches: N·(B−1)/2 total, one "
         "window + one hash join",
     ),
+    # round-8 additions: the COMPOSED production pipelines (the most
+    # expensive registered plans and the artifact a real team runs).
+    # Their tiers are individually measured above, but composition is
+    # where persist placement and funnel-narrowing join sizes could
+    # misbehave at scale — so the e2e plans get their own rows.
+    "corpus_pipeline_e2e": (
+        "~R (linear)",
+        "8 curation tiers in ONE plan; tier-to-tier transitions are "
+        "doc_id semi/anti joins (8-byte keys) that all grow R×; the two "
+        "shared relations are tracked-persisted once",
+    ),
+    "incremental_pipeline_e2e": (
+        "~R (linear)",
+        "per-delivery batch screened against the stored corpus index; "
+        "batch, index, and banded candidate volume all grow R× under "
+        "disjoint replicas",
+    ),
 }
 
 # Acceptance: observed wall ratio must stay under R^1.5 — geometric
@@ -164,6 +181,11 @@ MIDPOINT_FAMILIES = (
     # highest round-7 ratio (8.69x): the midpoint separates gram-volume
     # linearity from a distinct-shuffle knee
     "ngram_novelty_curve",
+    # round-8: the composed pipelines get the 3-point treatment from
+    # the start — a spill knee hiding in tier composition is exactly
+    # what the midpoint exposes
+    "corpus_pipeline_e2e",
+    "incremental_pipeline_e2e",
 )
 
 _ID_STRIDE = 10_000_000

@@ -2756,3 +2756,110 @@ def shapley_attribution_sql() -> str:
     FROM terms
     GROUP BY channel
     """
+
+
+# ---------------------------------------------------------------------------
+# sessionization gap-threshold curve (round 8)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MINUTES = (5, 30, 120)
+
+
+def session_gap_curve(
+    t: dict[str, DataFrame], gaps: tuple[int, ...] = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """Sensitivity of sessionization to the inactivity-gap threshold —
+    the tuning curve for ``sessionize_events``'s one parameter: per
+    candidate gap, the session count, singleton-session count, and the
+    total intra-session idle seconds the threshold admits.
+
+    The trick that makes the curve ONE window pass instead of |gaps|
+    sessionizations: every arm needs only the per-event gap to the
+    previous event (lag) and to the next event (lead) under the SAME
+    (user_id, ts) ordering — a session starts exactly where the
+    preceding gap exceeds the threshold (or at the user's first
+    event), a session is a singleton when both neighboring gaps exceed
+    it, and the admitted idle time is the sum of gaps <= threshold. So
+    counts fold as plain conditional aggregates over one lag/lead
+    projection: no per-session groupBy, no per-arm shuffle; Catalyst
+    computes all arms from one exchange + sort.
+
+    Scale shape: one shuffle on user_id (the two window functions share
+    partitioning and ordering), then a 1-row aggregate per arm unioned
+    to |gaps| rows. Output: (gap_minutes, n_sessions,
+    n_singleton_sessions, intra_session_idle_s, n_events).
+    """
+    ev = t["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.select(
+        (
+            F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+        ).alias("gap_prev"),
+        (
+            F.lead("ts").over(w).cast("long") - F.col("ts").cast("long")
+        ).alias("gap_next"),
+    )
+    arms = []
+    for g in gaps:
+        gs = g * 60
+        starts = F.col("gap_prev").isNull() | (F.col("gap_prev") > gs)
+        ends = F.col("gap_next").isNull() | (F.col("gap_next") > gs)
+        arms.append(
+            gapped.agg(
+                F.lit(int(g)).cast("long").alias("gap_minutes"),
+                F.sum(starts.cast("long")).cast("long").alias("n_sessions"),
+                F.sum((starts & ends).cast("long"))
+                .cast("long")
+                .alias("n_singleton_sessions"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("gap_prev") <= gs, F.col("gap_prev"))
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("intra_session_idle_s"),
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("gap_minutes")
+
+
+def session_gap_curve_sql(
+    gaps: tuple[int, ...] = SESSION_GAP_MINUTES
+) -> str:
+    """Twin: identical lag/lead projection and conditional folds."""
+    arms = []
+    for g in gaps:
+        gs = g * 60
+        arms.append(f"""
+    SELECT CAST({g} AS BIGINT) AS gap_minutes,
+           CAST(sum(CASE WHEN gap_prev IS NULL OR gap_prev > {gs}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN (gap_prev IS NULL OR gap_prev > {gs})
+                          AND (gap_next IS NULL OR gap_next > {gs})
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singleton_sessions,
+           CAST(coalesce(sum(CASE WHEN gap_prev <= {gs} THEN gap_prev
+                             END), 0) AS BIGINT) AS intra_session_idle_s,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM gapped""")
+    union = "\n    UNION ALL\n    ".join(arms)
+    return f"""
+    WITH gapped AS (
+        SELECT floor(epoch(ts))::BIGINT
+               - floor(epoch(lag(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                 )))::BIGINT AS gap_prev,
+               floor(epoch(lead(ts) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                 )))::BIGINT
+               - floor(epoch(ts))::BIGINT AS gap_next
+        FROM events
+    )
+    {union}
+    ORDER BY gap_minutes
+    """

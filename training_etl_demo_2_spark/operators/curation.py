@@ -4172,3 +4172,112 @@ def cap_dedup_order_audit_sql(cap: int = CAP_ORDER_N) -> str:
     FROM dedup_first
     ORDER BY "order"
     """
+
+
+# ---------------------------------------------------------------------------
+# perplexity-band pruning (round 8)
+# ---------------------------------------------------------------------------
+
+
+def perplexity_band_prune(df: DataFrame) -> DataFrame:
+    """CCNet-style middle-band perplexity pruning, reported as a
+    per-source yield audit: score every document with the corpus
+    unigram LM (``text.unigram_logprob``), drop the lowest quartile
+    (rare/garbled vocabulary) AND the highest quartile (boilerplate —
+    text the LM finds too easy), keep the middle band.
+    ``curriculum_phases`` orders by the same score; this is the
+    selection decision built on it, with the per-source bias the cut
+    introduces made visible (sources whose register is generic lose
+    share to the top cut, OCR-heavy sources to the bottom cut).
+
+    Quartile cuts are RANK-based (rounded-6 score, doc_id tiebreak;
+    drop ranks < n//4 and >= n - n//4) — integer rules, no float
+    percentile estimate, engine-identical. The rank itself uses the
+    range-partitioned exact-rank pattern (range repartition on
+    (score, doc_id) -> per-partition counts -> offset + parallel
+    row_number), the same scale shape as ``customer_value_deciles`` —
+    no single-task global window.
+
+    Output: one row per source — (source, n_docs, n_kept, kept_bp,
+    tokens_total, tokens_kept).
+    """
+    from .text import unigram_logprob
+
+    spark = df.sparkSession
+    scored = unigram_logprob(df).select("doc_id", "n_tokens", "avg_logprob")
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    ranged = scored.repartitionByRange(
+        nparts, F.asc("avg_logprob"), F.asc("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    ranged.transform(tracked_cache)
+    counts = dict(
+        (int(r["pid"]), int(r["count"]))
+        for r in ranged.groupBy("pid").count().collect()
+    )
+    n = sum(counts.values())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    lo = n // 4
+    offset_map = F.create_map(
+        *[F.lit(x) for pid in sorted(offsets) for x in (pid, offsets[pid])]
+    )
+    w = Window.partitionBy("pid").orderBy(
+        F.asc("avg_logprob"), F.asc("doc_id")
+    )
+    r = (offset_map[F.col("pid")] + F.row_number().over(w) - 1).cast("long")
+    flagged = ranged.select(
+        "doc_id",
+        "n_tokens",
+        ((r >= lo) & (r < n - lo)).cast("long").alias("kept"),
+    )
+    per_doc = flagged.join(df.select("doc_id", "source"), "doc_id")
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_total"),
+        F.sum(F.col("kept") * F.col("n_tokens")).cast("long").alias(
+            "tokens_kept"
+        ),
+    )
+    kept_bp = F.floor(
+        F.col("n_kept") * 10000 / F.col("n_docs") + F.lit(0.5)
+    ).cast("long")
+    return agg.select(
+        "source", "n_docs", "n_kept", kept_bp.alias("kept_bp"),
+        "tokens_total", "tokens_kept",
+    ).orderBy("source")
+
+
+def perplexity_band_prune_sql() -> str:
+    """Twin: same score CTE, same rank-band rule (DuckDB's single-node
+    window stands in for the distributed rank — identical values)."""
+    from .text import UNIGRAM_LOGPROB_SQL
+
+    return f"""
+    WITH scored AS ({UNIGRAM_LOGPROB_SQL}),
+    ranked AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY avg_logprob ASC, doc_id ASC) - 1
+                   AS r,
+               count(*) OVER () AS n
+        FROM scored
+    ),
+    flagged AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN r >= n // 4 AND r < n - n // 4 THEN 1 ELSE 0
+               END AS kept
+        FROM ranked
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f.kept) AS BIGINT) AS n_kept,
+           CAST(floor(sum(f.kept) * 10000.0 / count(*) + 0.5) AS BIGINT)
+               AS kept_bp,
+           CAST(sum(f.n_tokens) AS BIGINT) AS tokens_total,
+           CAST(sum(f.kept * f.n_tokens) AS BIGINT) AS tokens_kept
+    FROM flagged f JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
+    """

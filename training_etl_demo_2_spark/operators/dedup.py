@@ -444,24 +444,35 @@ def _shingle_arrays(
     downstream consumer (lsh_cost_advisor counts buckets per band key,
     so one phantom NULL bucket diverges from the exploded-semantics
     oracle twins)."""
-    tokens = F.split(F.col(text_col), " ")
+    return _shingle_arrays_from_tokens(_token_relation(df, text_col), n)
+
+
+def _token_relation(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, toks): split-token arrays — the shared upstream of every
+    word-shingle derivation. Multi-arm curve queries (shingle_n_curve)
+    tracked-persist THIS relation once and derive each n's shingles from
+    it, so the corpus scan + split runs once instead of per arm."""
+    return spread_scan(df).select(
+        "doc_id", F.split(F.col(text_col), " ").alias("toks")
+    )
+
+
+def _shingle_arrays_from_tokens(toks_df: DataFrame, n: int) -> DataFrame:
+    """The hs-array derivation from a (doc_id, toks) relation."""
+    tokens = F.col("toks")
     # short-doc filter on TOKEN COUNT, not on the derived hs column:
     # tokens >= n  <=>  hs non-empty, but a filter on size(hs) makes
     # Catalyst evaluate the whole ngram+hash+distinct chain twice
     # (Filter and Project don't share the subexpression — measured ~2x
     # on the map stage)
-    return (
-        spread_scan(df)
-        .filter(F.size(tokens) >= n)
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(
-                    F.array_distinct(word_ngrams(tokens, n)),
-                    lambda s: rolling_hash(s),
-                )
-            ).alias("hs"),
-        )
+    return toks_df.filter(F.size(tokens) >= n).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.array_distinct(word_ngrams(tokens, n)),
+                lambda s: rolling_hash(s),
+            )
+        ).alias("hs"),
     )
 
 
@@ -562,6 +573,14 @@ def minhash_lsh_pairs(
     # -spillable at 100 TB — persisting the derived relation, never the
     # corpus.
     hs = _shingle_arrays(df, text_col, n).transform(tracked_persist)
+    return _minhash_pairs_from_arrays(hs, threshold)
+
+
+def _minhash_pairs_from_arrays(hs: DataFrame, threshold: float) -> DataFrame:
+    """Banding + bucket join + exact-Jaccard verify from an (already
+    persisted) hs-array relation — shared by :func:`minhash_lsh_pairs`
+    and the multi-arm curve queries that derive several hs relations
+    from one persisted token scan."""
     bands = _band_relation(hs)
     left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bk")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bk")
@@ -4348,18 +4367,23 @@ def shingle_n_curve(
     distinct_shingles, pairs_j50, pairs_j80, exact_pairs), exact
     integers (Jaccard rounded-6 like every verify tier).
 
-    Scale shape: |ns| banded passes (row-local signatures, bucket
-    joins, candidate-bounded verify) + two one-row stats folds per
-    arm; output |ns| rows.
+    Scale shape: ONE persisted token scan (the corpus scan + split —
+    the shared upstream every arm needs) + |ns| banded passes over it
+    (row-local signatures, bucket joins, candidate-bounded verify),
+    with each arm's hs-array relation persisted and shared between its
+    stats fold and its pair tier; output |ns| rows. Before round 8
+    each arm re-scanned and re-tokenized the corpus twice (stats +
+    pairs): 6 scans for the default 3-arm curve, now 1.
     """
+    toks = _token_relation(df, text_col).transform(tracked_persist)
     arms = []
     for n in ns:
-        sh = shingle_hashes(df, text_col, n)
-        stats = sh.agg(
+        hs = _shingle_arrays_from_tokens(toks, n).transform(tracked_persist)
+        stats = hs.select("doc_id", F.explode("hs").alias("h")).agg(
             F.count_distinct("doc_id").cast("long").alias("n_docs"),
             F.count_distinct("h").cast("long").alias("n_shingles"),
         )
-        jac = minhash_lsh_pairs(df, text_col, n=n, threshold=0.5)
+        jac = _minhash_pairs_from_arrays(hs, threshold=0.5)
         folded = jac.agg(
             F.sum((F.col("jaccard") >= 0.5).cast("int"))
             .cast("long")

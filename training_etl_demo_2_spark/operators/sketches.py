@@ -1310,3 +1310,336 @@ def cms_rollup_merge_sql() -> str:
     CROSS JOIN est_m em
     JOIN est_d ed ON ed.w = em.w AND ed.true_cnt = em.true_cnt
     """
+
+
+# ---------------------------------------------------------------------------
+# register-HLL re-basings of the DataSketches rows-only queries (round 8)
+# ---------------------------------------------------------------------------
+
+# Round-7 VERDICT item: `sketch_user_stats` and
+# `data_profile_lineitem_approx` were rows-only because they estimated
+# with DataSketches HLL (engine-specific serialization). The engine
+# already owns a bit-exact explicit-register HLL (above) whose estimate
+# a DuckDB twin reproduces to the last bit — so the two registered
+# queries re-base onto it and graduate to full oracle checks, leaving
+# only the genuinely engine-specific pair (zlib compression_ratio,
+# codec media_near_dups) rows-only. The DataSketches variants
+# (`approx_user_stats`, `validation.profile_columns(approx=True)`)
+# remain in-tree as documented alternates with their own planted tests:
+# at 100 TB you would prefer DataSketches' denser packed registers; the
+# register-HLL tier trades ~4 KB/group vs ~1 KB for cross-engine
+# verifiability at identical asymptotics (fixed-size mergeable state,
+# one shuffle of registers, never of values).
+
+
+def _hll_rho_col() -> "F.Column":
+    """rho from the u column via integer threshold comparisons."""
+    rho = F.lit(HLL_RHO_BITS + 1)
+    for k in range(HLL_RHO_BITS):
+        rho = F.when(F.col("u") >= (1 << k), HLL_RHO_BITS - k).otherwise(rho)
+    return rho
+
+
+def _hll_estimate_from_regs(regs: DataFrame, group: list[str]) -> DataFrame:
+    """(group..., est): the FFGM estimate (with small-range correction)
+    from a (group..., idx, mrho) register relation. Integer register
+    sum (order-invariant) -> one double division, so engine and oracle
+    agree exactly."""
+    top = HLL_RHO_BITS + 1
+    per = regs.groupBy(*group).agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(F.expr(f"shiftleft(1L, {top} - mrho)"))
+        .cast("long")
+        .alias("s_used"),
+    )
+    v = F.lit(HLL_M) - F.col("n_regs")
+    s_int = F.col("s_used") + v * (1 << top)
+    e_raw = F.lit(HLL_ALPHA * HLL_M * HLL_M * (1 << top)) / s_int.cast(
+        "double"
+    )
+    est = F.when(
+        (e_raw <= 2.5 * HLL_M) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(e_raw)
+    return per.select(*group, est.alias("est"))
+
+
+def user_stats_register_hll(t: dict[str, DataFrame]) -> DataFrame:
+    """Per-event-type approximate distinct users (engine-owned
+    register HLL, deterministic cross-engine) next to the event count —
+    the oracle-checkable re-basing of the DataSketches
+    `approx_user_stats` dashboard aggregate.
+
+    Scale shape: one groupBy to (type, register) — ≤ m rows per type
+    regardless of volume — plus the per-type count rollup; registers
+    are the mergeable incremental state.
+    """
+    ev = t["events"]
+    uid = F.col("user_id").cast("long")
+    hashed = ev.select(
+        "event_type",
+        (_hll_mix_spark(uid, HLL_IDX_SEED) % HLL_M).alias("idx"),
+        (_hll_mix_spark(uid, HLL_RHO_SEED) % (1 << HLL_RHO_BITS)).alias("u"),
+    )
+    regs = hashed.groupBy("event_type", "idx").agg(
+        F.max(_hll_rho_col()).alias("mrho")
+    )
+    est = _hll_estimate_from_regs(regs, ["event_type"])
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return (
+        counts.join(est, "event_type")
+        .select(
+            "event_type",
+            F.round("est", 6).alias("approx_users_r6"),
+            "n_events",
+        )
+        .orderBy("event_type")
+    )
+
+
+def user_stats_register_hll_sql() -> str:
+    """Twin: identical hash, rho chain, register fold, double formula."""
+    top = HLL_RHO_BITS + 1
+    rho_sql = _hll_rho_cases("u")
+    est = (
+        "CASE WHEN (CAST({alpha} AS DOUBLE) * {m} * {m} * {two_top})"
+        "          / CAST(s_used + ({m} - n_regs) * {two_top} AS DOUBLE)"
+        "          <= 2.5 * {m} AND {m} - n_regs > 0"
+        "     THEN CAST({m} AS DOUBLE)"
+        "          * ln(CAST({m} AS DOUBLE) / CAST({m} - n_regs AS DOUBLE))"
+        "     ELSE (CAST({alpha} AS DOUBLE) * {m} * {m} * {two_top})"
+        "          / CAST(s_used + ({m} - n_regs) * {two_top} AS DOUBLE)"
+        " END"
+    ).format(alpha=repr(HLL_ALPHA), m=HLL_M, two_top=1 << top)
+    return f"""
+    WITH hashed AS (
+        SELECT event_type,
+               {_hll_mix_sql("user_id", HLL_IDX_SEED)} % {HLL_M} AS idx,
+               {_hll_mix_sql("user_id", HLL_RHO_SEED)}
+                   % {1 << HLL_RHO_BITS} AS u
+        FROM events
+    ),
+    regs AS (
+        SELECT event_type, idx, max({rho_sql}) AS mrho
+        FROM hashed GROUP BY 1, 2
+    ),
+    per_type AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_regs,
+               CAST(sum(CAST(1 AS BIGINT) << ({top} - mrho)) AS BIGINT)
+                   AS s_used
+        FROM regs GROUP BY 1
+    ),
+    counts AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT c.event_type, round({est}, 6) AS approx_users_r6, c.n_events
+    FROM counts c JOIN per_type p ON p.event_type = c.event_type
+    ORDER BY c.event_type
+    """
+
+
+# Canonical value->long mappings per Spark dtype for the HLL column
+# profile. Each is deterministic and IDENTICAL in Spark and DuckDB
+# (pure integer/IEEE-double ops), so the estimate — not just its error
+# bound — is oracle-checkable. Resolution trades are explicit and
+# engine-symmetric: doubles collapse below cent resolution, timestamps
+# to days, strings to their 10^9+7 rolling hash (the same hash every
+# dedup fingerprint uses).
+_PROFILE_KIND = {
+    "bigint": "int", "int": "int", "smallint": "int", "tinyint": "int",
+    "double": "cents", "float": "cents",
+    "string": "hash",
+    "timestamp": "date", "timestamp_ntz": "date", "date": "date",
+}
+
+
+def _profile_canon_spark(c: str, kind: str):
+    from ..functions import rolling_hash
+
+    col = F.col(c)
+    if kind == "int":
+        return col.cast("long")
+    if kind == "cents":
+        return F.floor(col * 100.0 + F.lit(0.5)).cast("long")
+    if kind == "date":
+        return F.datediff(F.to_date(col), F.lit("1970-01-01")).cast("long")
+    return rolling_hash(col)
+
+
+def _profile_canon_sql(c: str, kind: str) -> str:
+    from .oracle import ROLLING_HASH
+
+    if kind == "int":
+        return f"CAST({c} AS BIGINT)"
+    if kind == "cents":
+        return f"CAST(floor({c} * 100.0 + 0.5) AS BIGINT)"
+    if kind == "date":
+        return (
+            f"CAST(datediff('day', DATE '1970-01-01', CAST({c} AS DATE)) "
+            "AS BIGINT)"
+        )
+    return ROLLING_HASH.format(s=c)
+
+
+_PROFILE_ROUND = 2  # numeric min/max rounding, matching validation.ROUND
+
+
+def hll_column_profile(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Approximate per-column profile — the 100 TB scale sibling of
+    ``validation.profile_columns``: (col_name, n_rows, n_nulls,
+    n_distinct_est_r6, min_num, max_num), with the distinct count from
+    the engine-owned register HLL instead of the Expand-based exact
+    ``count_distinct``.
+
+    Scale shape: TWO aggregation jobs over one scan — the 1-row
+    base-stats fold (counts/nulls/min/max, identical to the exact
+    profile minus its k-times Expand) and one explode to (col, canon)
+    pairs that partial-aggregates to ≤ |cols| x m register rows
+    map-side. Nothing row-sized ever shuffles; per-column state is a
+    fixed ~4 KB register block however many rows the table has.
+    """
+    cols = cols or df.columns
+    dtypes = dict(df.dtypes)
+    kinds = {c: _PROFILE_KIND.get(dtypes.get(c, ""), "hash") for c in cols}
+
+    # registers: one explode pass -> (col, idx, mrho)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                _profile_canon_spark(c, kinds[c]).alias("v"),
+            )
+            for c in cols
+        ]
+    )
+    vals = (
+        df.select(F.explode(entries).alias("e"))
+        .select(F.col("e.c").alias("c"), F.col("e.v").alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    p1 = F.lit(HLL_P1)
+    vn = ((F.col("v") % p1) + p1) % p1
+    hashed = vals.select(
+        "c",
+        (_hll_mix_spark(vn, HLL_IDX_SEED) % HLL_M).alias("idx"),
+        (_hll_mix_spark(vn, HLL_RHO_SEED) % (1 << HLL_RHO_BITS)).alias("u"),
+    )
+    regs = hashed.groupBy("c", "idx").agg(F.max(_hll_rho_col()).alias("mrho"))
+    est = _hll_estimate_from_regs(regs, ["c"]).select(
+        F.col("c").alias("col_name"), F.round("est", 6).alias("n_distinct_est_r6")
+    )
+
+    # base stats: the exact profile's single-row fold minus count_distinct
+    numeric = {c for c in cols if kinds[c] in ("int", "cents")}
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).cast("long").alias(f"__nulls_{c}")
+        )
+        if c in numeric:
+            aggs.append(
+                F.round(F.min(F.col(c)).cast("double"), _PROFILE_ROUND).alias(
+                    f"__min_{c}"
+                )
+            )
+            aggs.append(
+                F.round(F.max(F.col(c)).cast("double"), _PROFILE_ROUND).alias(
+                    f"__max_{c}"
+                )
+            )
+    row = df.agg(*aggs)
+    structs = []
+    for c in cols:
+        is_num = c in numeric
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("__n").alias("n_rows"),
+                F.col(f"__nulls_{c}").alias("n_nulls"),
+                (
+                    F.col(f"__min_{c}") if is_num else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"__max_{c}") if is_num else F.lit(None).cast("double")
+                ).alias("max_num"),
+            )
+        )
+    base = row.select(F.inline(F.array(*structs)))
+    return (
+        base.join(est, "col_name", "left")
+        .select(
+            "col_name", "n_rows", "n_nulls", "n_distinct_est_r6",
+            "min_num", "max_num",
+        )
+        .orderBy("col_name")
+    )
+
+
+def hll_column_profile_sql(
+    table: str, kinds: dict[str, str]
+) -> str:
+    """Twin of hll_column_profile: per column, the identical canon ->
+    normalize -> mix -> register fold -> estimate chain, UNION ALL'd."""
+    top = HLL_RHO_BITS + 1
+    est = (
+        "CASE WHEN (CAST({alpha} AS DOUBLE) * {m} * {m} * {two_top})"
+        "          / CAST(s_used + ({m} - n_regs) * {two_top} AS DOUBLE)"
+        "          <= 2.5 * {m} AND {m} - n_regs > 0"
+        "     THEN CAST({m} AS DOUBLE)"
+        "          * ln(CAST({m} AS DOUBLE) / CAST({m} - n_regs AS DOUBLE))"
+        "     ELSE (CAST({alpha} AS DOUBLE) * {m} * {m} * {two_top})"
+        "          / CAST(s_used + ({m} - n_regs) * {two_top} AS DOUBLE)"
+        " END"
+    ).format(alpha=repr(HLL_ALPHA), m=HLL_M, two_top=1 << top)
+    ctes, rows = [], []
+    for c, kind in kinds.items():
+        canon = _profile_canon_sql(c, kind)
+        vn = f"((({canon}) % {HLL_P1}) + {HLL_P1}) % {HLL_P1}"
+        rho_sql = _hll_rho_cases("u")
+        ctes.append(f"""
+    h_{c} AS (
+        SELECT {_hll_mix_sql(f"({vn})", HLL_IDX_SEED)} % {HLL_M} AS idx,
+               {_hll_mix_sql(f"({vn})", HLL_RHO_SEED)}
+                   % {1 << HLL_RHO_BITS} AS u
+        FROM {table} WHERE {c} IS NOT NULL
+    ),
+    g_{c} AS (
+        SELECT idx, max({rho_sql}) AS mrho FROM h_{c} GROUP BY idx
+    ),
+    e_{c} AS (
+        SELECT round({est}, 6) AS est FROM (
+            SELECT CAST(count(*) AS BIGINT) AS n_regs,
+                   CAST(sum(CAST(1 AS BIGINT) << ({top} - mrho)) AS BIGINT)
+                       AS s_used
+            FROM g_{c}
+        )
+    )""")
+        is_num = kind in ("int", "cents")
+        mn = (
+            f"round(CAST(min({c}) AS DOUBLE), {_PROFILE_ROUND})"
+            if is_num
+            else "CAST(NULL AS DOUBLE)"
+        )
+        mx = (
+            f"round(CAST(max({c}) AS DOUBLE), {_PROFILE_ROUND})"
+            if is_num
+            else "CAST(NULL AS DOUBLE)"
+        )
+        rows.append(
+            f"SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_nulls, "
+            f"(SELECT est FROM e_{c}) AS n_distinct_est_r6, "
+            f"{mn} AS min_num, {mx} AS max_num FROM {table}"
+        )
+    body = ",".join(ctes)
+    union = "\n    UNION ALL\n    ".join(rows)
+    return f"""
+    WITH {body}
+    SELECT * FROM ({union})
+    ORDER BY col_name
+    """

@@ -4310,3 +4310,124 @@ def permutation_test_chars_sql(
            round((1 + s.n_extreme) * 1.0 / (s.r_used + 1), 6) AS p_value
     FROM obs o, summary s
     """
+
+
+# ---------------------------------------------------------------------------
+# exact 1-Wasserstein drift distance (round 8)
+# ---------------------------------------------------------------------------
+
+
+def wasserstein_length_by_source(t: dict[str, DataFrame]) -> DataFrame:
+    """Exact 1-Wasserstein (earth-mover) distance between each source's
+    document-length distribution and the whole-corpus mix — the
+    magnitude-aware member of the drift kit: KS (ks_drift_by_source)
+    reports the worst POINT discrepancy, PSI/JS report binned
+    likelihood ratios, W1 reports how many character-units of mass must
+    move, in the statistic's own units (here: characters).
+
+    W1 for 1-D discrete distributions is the area between CDFs:
+    Σ_x |F_s(x) − F_corpus(x)| · (next_x − x) over the corpus's
+    distinct length values. Computed on CROSS-MULTIPLIED INTEGERS
+    (|cum_s·n − cum_t·n_s| in decimal(38,0), scaled by the integer
+    step dx) with ONE final double division, so both engines agree to
+    the rounded-6 digit.
+
+    Scale shape: one groupBy collapses the corpus to the
+    (source, length) inventory; the evaluation grid is distinct-lengths
+    × sources — metadata × metadata, same shape as the KS screen. The
+    step widths come from a lead window over the DISTINCT length
+    relation (bounded-domain, single metadata-sized partition by
+    construction). Output: one row per source.
+    """
+    docs = t["documents"]
+    csx = docs.groupBy(
+        F.col("source").alias("src"), F.col("n_chars").alias("x")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = csx.groupBy("src").agg(F.sum("c").cast("long").alias("n_s"))
+    dx = (
+        csx.select("x")
+        .distinct()
+        .withColumn(
+            "step",
+            F.coalesce(F.lead("x").over(Window.orderBy("x")) - F.col("x"), F.lit(0)),
+        )
+    )
+    grid = dx.crossJoin(F.broadcast(tot))
+    j = grid.join(csx, ["src", "x"], "left").withColumn(
+        "c", F.coalesce(F.col("c"), F.lit(0))
+    )
+    w_src = Window.partitionBy("src").orderBy("x")
+    w_val = Window.partitionBy("x")
+    j = j.withColumn("cum_s", F.sum("c").over(w_src).cast("long"))
+    j = j.withColumn("cum_t", F.sum("cum_s").over(w_val).cast("long"))
+    j = j.withColumn("n", F.sum("n_s").over(w_val).cast("long"))
+    dec = lambda col: col.cast("decimal(38,0)")
+    num = F.abs(
+        dec(F.col("cum_s")) * dec(F.col("n"))
+        - dec(F.col("cum_t")) * dec(F.col("n_s"))
+    ) * dec(F.col("step"))
+    per_src = (
+        j.select("src", "n_s", "n", num.alias("num"))
+        .groupBy("src", "n_s", "n")
+        .agg(F.sum("num").alias("area"))
+    )
+    w1 = F.col("area").cast("double") / (
+        F.col("n_s").cast("double") * F.col("n").cast("double")
+    )
+    return per_src.select(
+        F.col("src").alias("source"),
+        F.col("n_s").alias("n_source"),
+        F.round(w1, 6).alias("w1_chars_r6"),
+    ).orderBy("source")
+
+
+def wasserstein_length_by_source_sql() -> str:
+    """Twin: identical grid, integer cross-multiplied area, one divide."""
+    return """
+    WITH csx AS (
+        SELECT source AS src, n_chars AS x, count(*) AS c
+        FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT src, CAST(sum(c) AS BIGINT) AS n_s FROM csx GROUP BY src
+    ),
+    dx AS (
+        SELECT x,
+               coalesce(lead(x) OVER (ORDER BY x) - x, 0) AS step
+        FROM (SELECT DISTINCT x FROM csx)
+    ),
+    grid AS (SELECT d.x, d.step, t.src, t.n_s FROM dx d CROSS JOIN tot t),
+    j AS (
+        SELECT g.src, g.x, g.step, g.n_s, coalesce(c.c, 0) AS c
+        FROM grid g LEFT JOIN csx c ON c.src = g.src AND c.x = g.x
+    ),
+    cum AS (
+        SELECT src, x, step, n_s,
+               CAST(sum(c) OVER (
+                   PARTITION BY src ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_s
+        FROM j
+    ),
+    cum2 AS (
+        SELECT src, x, step, n_s, cum_s,
+               CAST(sum(cum_s) OVER (PARTITION BY x) AS BIGINT) AS cum_t,
+               CAST(sum(n_s) OVER (PARTITION BY x) AS BIGINT) AS n
+        FROM cum
+    ),
+    per_src AS (
+        SELECT src, n_s, n,
+               sum(abs(CAST(cum_s AS DECIMAL(38,0))
+                           * CAST(n AS DECIMAL(38,0))
+                       - CAST(cum_t AS DECIMAL(38,0))
+                           * CAST(n_s AS DECIMAL(38,0)))
+                   * CAST(step AS DECIMAL(38,0))) AS area
+        FROM cum2 GROUP BY src, n_s, n
+    )
+    SELECT src AS source, n_s AS n_source,
+           round(CAST(area AS DOUBLE)
+                 / (CAST(n_s AS DOUBLE) * CAST(n AS DOUBLE)), 6)
+               AS w1_chars_r6
+    FROM per_src
+    ORDER BY source
+    """

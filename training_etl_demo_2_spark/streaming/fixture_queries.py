@@ -881,3 +881,84 @@ def stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table("gate_stream_pack")
+
+
+def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming banded near-dup probe — the always-on ingest form of
+    ``dedup.incremental_near_dup``: documents arrive as a stream (odd
+    doc_ids = the delivery), each row derives its MinHash band keys
+    ROW-LOCALLY (shingle-hash array -> ``array_min`` signatures -> band
+    fold; no aggregation anywhere upstream, so the plan is
+    streaming-legal with no watermark), probes the STATIC corpus LSH
+    index (even doc_ids — the (doc, band, key, hs) relation a
+    deployment persists and appends each accepted batch to) via a
+    stream-static equi-join, and verifies candidates with exact
+    Jaccard on the co-shipped shingle arrays.
+
+    The same-pair multi-band hits the batch path removes with
+    ``distinct()`` are collapsed here by a (doc_new, doc_old) aggregate
+    (jaccard is identical per pair, max is a no-op fold), replayed in
+    complete mode. State is one row per MATCHED pair — delivery-sized,
+    not corpus-sized; an always-on deployment bounds it with a
+    per-delivery watermark + dropDuplicatesWithinWatermark.
+
+    Shared oracle: ``oracle.incremental_near_dup_sql`` verbatim — the
+    replayed incremental answer must equal the batch-vs-index answer.
+    """
+    from ..operators.dedup import (
+        BANDS,
+        DEFAULT_NGRAM,
+        ROWS_PER_BAND,
+        _band_key,
+        _shingle_arrays,
+        _signature_cols,
+    )
+    from ..cache import tracked_persist
+
+    band_cols = [
+        _band_key(
+            [F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"bk{b}")
+        for b in range(BANDS)
+    ]
+
+    def banded(df: DataFrame, id_alias: str, hs_alias: str) -> DataFrame:
+        sig = _shingle_arrays(df, "text", DEFAULT_NGRAM).select(
+            "doc_id", "hs", *_signature_cols()
+        )
+        return sig.select(
+            F.col("doc_id").alias(id_alias),
+            F.col("hs").alias(hs_alias),
+            F.posexplode(F.array(*band_cols)).alias("band", "bk"),
+        )
+
+    corpus = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    index = banded(corpus, "doc_old", "hb").transform(tracked_persist)
+
+    delivery = (
+        _read_documents_stream_fixture(spark, sf_dir)
+        .filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+    )
+    probe = banded(delivery, "doc_new", "ha")
+
+    shared = F.size(F.array_intersect("ha", "hb"))
+    pairs = (
+        probe.join(index, ["band", "bk"])
+        .select(
+            "doc_new",
+            "doc_old",
+            F.round(
+                shared / (F.size("ha") + F.size("hb") - shared), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+        .groupBy("doc_new", "doc_old")
+        .agg(F.max("jaccard").alias("jaccard"))
+    )
+    _replay_to_table(pairs, "gate_stream_near_dup")
+    return spark.table("gate_stream_near_dup")
