@@ -1154,6 +1154,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cap_dedup_order_audit": _q(
             lambda t: curation.cap_dedup_order_audit(t["documents"])
         ),
+        # ------------------------------------------------------------------
+        # round-8 additions (appended strictly at the tail)
+        # ------------------------------------------------------------------
+        # sessionization gap-threshold tuning curve: all arms from ONE
+        # lag/lead pass (no per-arm shuffle)
+        "session_gap_curve": _q(behavior.session_gap_curve),
+        # exact 1-Wasserstein drift distance (magnitude-aware sibling
+        # of the KS/PSI/JS screens)
+        "wasserstein_length_by_source": _q(
+            validation.wasserstein_length_by_source
+        ),
+        # CCNet-style middle-band perplexity pruning with per-source
+        # yield audit (distributed exact-rank quartile cuts)
+        "perplexity_band_prune": _q(
+            lambda t: curation.perplexity_band_prune(t["documents"])
+        ),
+        # per-source permutation tests + Benjamini-Hochberg step-up
+        # (deterministic multiple-testing correction)
+        "fdr_bh_source_tests": _q(validation.fdr_bh_source_tests),
+        # Fellegi-Sunter agreement-pattern log-weights over blocked
+        # part pairs (probabilistic record-linkage tier)
+        "fellegi_sunter_scores": _q(dedup.fellegi_sunter_scores),
+        # streaming banded near-dup probe vs the static corpus LSH
+        # index (stream-static join; batch incremental oracle verbatim)
+        "stream_near_dup": fixture_queries.stream_near_dup,
+        # the reference flagship as an always-on service (batch word
+        # count oracle verbatim)
+        "stream_word_count": fixture_queries.stream_word_count,
+        # streaming Gopher gate telemetry (row-local rules, 1-row state)
+        "stream_quality_gate": fixture_queries.stream_quality_gate,
     }
 
 
@@ -2127,4 +2157,21 @@ def oracle_sql() -> dict[str, str]:
         "ivf_mrr_eval": similarity.ivf_mrr_eval_sql(),
         "dedup_state_ttl_curve": temporal.dedup_state_ttl_curve_sql(),
         "cap_dedup_order_audit": curation.cap_dedup_order_audit_sql(),
+        # round-8 additions
+        "session_gap_curve": behavior.session_gap_curve_sql(),
+        "wasserstein_length_by_source": (
+            validation.wasserstein_length_by_source_sql()
+        ),
+        "perplexity_band_prune": curation.perplexity_band_prune_sql(),
+        "fdr_bh_source_tests": validation.fdr_bh_source_tests_sql(),
+        "fellegi_sunter_scores": dedup.fellegi_sunter_scores_sql(),
+        # the streaming probe replays to EXACTLY the batch
+        # incremental answer — shared oracle, verbatim
+        "stream_near_dup": oracle.incremental_near_dup_sql(),
+        "stream_word_count": f"{word_count_core}",
+        "stream_quality_gate": (
+            fixture_queries.STREAM_QUALITY_GATE_ORACLE_TEMPLATE.format(
+                gopher_sql=text.gopher_quality_rules_sql()
+            )
+        ),
     }

@@ -216,6 +216,16 @@ NESTED_LOOP_OK = {
     "budget_waterfill_plan",
     # ONE-ROW distinct-fingerprint total broadcast onto the |ttl| fold
     "dedup_state_ttl_curve",
+    # round 8: metadata × metadata grid (distinct lengths × |sources|
+    # broadcast), same designed class as the KS screen's grid
+    "wasserstein_length_by_source",
+    # |sources|-row broadcast stats relation onto the R-fold explode +
+    # ONE-ROW totals; BH window runs over |sources| metadata rows
+    "fdr_bh_source_tests",
+    # ONE-ROW field-stats broadcast onto the ≤16-row pattern table
+    "fellegi_sunter_scores",
+    # inherits unigram_logprob's totals crossJoin (scalar-aggregate class)
+    "perplexity_band_prune",
 }
 
 

@@ -115,3 +115,220 @@ def test_shingle_n_curve_matches_per_arm_recompute(tables):
             agg["d"], agg["s"],
         )
         assert r["pairs_j50"] == pairs50
+
+
+# ---------------------------------------------------------------------------
+# round-8 batch A: session curve, W1 drift, band prune, BH-FDR, FS, stream
+# ---------------------------------------------------------------------------
+
+
+def test_session_gap_curve_matches_sessionize(tables):
+    """The one-pass lag/lead folds must equal real sessionization: per
+    gap, n_sessions == sessionize_events' distinct (user, session)
+    count and singleton count matches the per-session size histogram."""
+    from training_etl_demo_2_spark.operators import behavior, relational
+
+    out = {r["gap_minutes"]: r for r in behavior.session_gap_curve(tables).collect()}
+    for g in (5, 30):
+        sess = relational.sessionize_events(tables, gap_minutes=g)
+        rows = sess.collect()
+        assert out[g]["n_sessions"] == len(rows)
+        assert out[g]["n_singleton_sessions"] == sum(
+            1 for r in rows if r["n_events"] == 1
+        )
+    # monotonicity: larger gap merges sessions
+    gaps = sorted(out)
+    for a, b in zip(gaps, gaps[1:]):
+        assert out[a]["n_sessions"] >= out[b]["n_sessions"]
+        assert out[a]["intra_session_idle_s"] <= out[b]["intra_session_idle_s"]
+
+
+def test_wasserstein_identical_distribution_is_zero(spark):
+    from pyspark.sql import functions as F
+    from training_etl_demo_2_spark.operators import validation
+
+    # two sources with IDENTICAL length distributions -> W1 == 0 for
+    # both (paired construction: docs 2k and 2k+1 share a length, one
+    # per source — counts per length value are exactly equal)
+    base = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") / 2).cast("long") % 7 * 10 + 20).alias("n_chars"),
+        F.when(F.col("id") % 2 == 0, "sa").otherwise("sb").alias("source"),
+    )
+    out = {
+        r["source"]: r["w1_chars_r6"]
+        for r in validation.wasserstein_length_by_source(
+            {"documents": base}
+        ).collect()
+    }
+    assert out == {"sa": 0.0, "sb": 0.0}
+
+
+def test_wasserstein_point_masses_exact(spark):
+    from pyspark.sql import functions as F
+    from training_etl_demo_2_spark.operators import validation
+
+    # sa: all length 10 (n=4), sb: all length 30 (n=12); corpus mix has
+    # F(10)=0.25. W1(sa vs corpus) = |1 - 0.25| * 20 = 15; W1(sb) =
+    # |0 - 0.25| * 20 = 5.
+    rows = [(i, 10, "sa") for i in range(4)] + [
+        (100 + i, 30, "sb") for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long, source string")
+    out = {
+        r["source"]: r["w1_chars_r6"]
+        for r in validation.wasserstein_length_by_source(
+            {"documents": df}
+        ).collect()
+    }
+    assert out["sa"] == 15.0 and out["sb"] == 5.0
+
+
+def test_perplexity_band_prune_counts(tables):
+    from training_etl_demo_2_spark.operators import curation
+
+    docs = tables["documents"]
+    out = curation.perplexity_band_prune(docs).collect()
+    n = docs.count()
+    lo = n // 4
+    assert sum(r["n_docs"] for r in out) == n
+    assert sum(r["n_kept"] for r in out) == n - 2 * lo
+    for r in out:
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        assert r["tokens_kept"] <= r["tokens_total"]
+
+
+def test_fdr_bh_rejects_only_below_crossing(tables):
+    """BH invariants: ranks are a permutation, thresholds increase
+    linearly, and the rejected set is exactly the prefix up to the
+    last rank whose p <= alpha*rank/m (step-up includes any
+    intermediate rank above its own threshold)."""
+    from training_etl_demo_2_spark.operators import validation
+
+    out = sorted(
+        validation.fdr_bh_source_tests(tables).collect(),
+        key=lambda r: r["bh_rank"],
+    )
+    m = len(out)
+    assert [r["bh_rank"] for r in out] == list(range(1, m + 1))
+    ks = [r["bh_rank"] for r in out if r["p_value"] <= 0.05 * r["bh_rank"] / m + 1e-12]
+    k = max(ks) if ks else 0
+    for r in out:
+        assert r["rejected"] == (1 if r["bh_rank"] <= k else 0)
+
+
+def test_fdr_engineered_shifted_source_rejected(spark):
+    """A source whose lengths are wildly shifted must be rejected even
+    after BH correction; identically-distributed sources must not be."""
+    from pyspark.sql import functions as F
+    from training_etl_demo_2_spark.operators import validation
+
+    rows = []
+    did = 0
+    for s in ("a", "b", "c"):
+        for i in range(60):
+            rows.append((did, 100 + (i % 5), s))
+            did += 1
+    for i in range(60):  # source 'z': 10x longer
+        rows.append((did, 1000 + (i % 5), "z"))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long, source string")
+    out = {r["source"]: r for r in validation.fdr_bh_source_tests(
+        {"documents": df}
+    ).collect()}
+    assert out["z"]["rejected"] == 1
+    # every source's 'rest' includes z, so a/b/c also shift and can tie
+    # z at the minimal permutation p-value (ranks then break by name) —
+    # assert z carries the minimal p, not a specific rank
+    assert out["z"]["p_value"] == min(r["p_value"] for r in out.values())
+
+
+def test_fellegi_sunter_pattern_table(tables):
+    from training_etl_demo_2_spark.operators import dedup
+
+    out = dedup.fellegi_sunter_scores(tables).collect()
+    assert out, "blocking produced no candidate pairs on the fixture"
+    # full-agreement pattern (if present) must carry the max weight;
+    # weights strictly increase with each extra agreeing field given
+    # m > u for every field (checked per adjacent pattern pair)
+    by_bits = {
+        (r["agree_type"], r["agree_tok1"], r["agree_tok2"], r["agree_price"]): r
+        for r in out
+    }
+    ws = [r["fs_weight_r6"] for r in out]
+    full = by_bits.get((1, 1, 1, 1))
+    if full is not None:
+        assert full["fs_weight_r6"] == max(ws)
+    for bits, r in by_bits.items():
+        for i in range(4):
+            if bits[i] == 1:
+                lower = list(bits)
+                lower[i] = 0
+                lr = by_bits.get(tuple(lower))
+                if lr is not None:
+                    assert r["fs_weight_r6"] > lr["fs_weight_r6"]
+
+
+def test_stream_near_dup_equals_batch_incremental(spark, sf_dir):
+    """The streaming probe replayed to completion must equal the batch
+    incremental_near_dup answer row for row (the stream-static
+    correctness statement)."""
+    from pyspark.sql import functions as F
+    from training_etl_demo_2_spark.operators import dedup
+    from training_etl_demo_2_spark.streaming import fixture_queries
+
+    docs = tables_docs = None
+    from training_etl_demo_2_spark.io import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    batch = sorted(
+        tuple(r)
+        for r in dedup.incremental_near_dup(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+        ).collect()
+    )
+    stream = sorted(
+        tuple(r)
+        for r in fixture_queries.stream_near_dup(spark, sf_dir).collect()
+    )
+    assert stream == batch
+
+
+def test_stream_word_count_equals_batch(spark, sf_dir, tables):
+    from training_etl_demo_2_spark.operators import wordcount
+    from training_etl_demo_2_spark.streaming import fixture_queries
+
+    batch = sorted(
+        (r["word"], r["cnt"])
+        for r in wordcount.word_counts(tables["documents"]).collect()
+    )
+    stream = sorted(
+        (r["word"], r["cnt"])
+        for r in fixture_queries.stream_word_count(spark, sf_dir).collect()
+    )
+    assert stream == batch
+
+
+def test_stream_quality_gate_equals_batch(spark, sf_dir, tables):
+    from pyspark.sql import functions as F
+    from training_etl_demo_2_spark.operators.text import gopher_quality_rules
+    from training_etl_demo_2_spark.streaming import fixture_queries
+
+    flags = gopher_quality_rules(tables["documents"])
+    batch = flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("pass_all").cast("long")).alias("p"),
+    ).collect()[0]
+    out = fixture_queries.stream_quality_gate(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_docs"], r["n_pass_all"]) == (batch["n"], batch["p"])
+    # per-rule failures are each <= n_docs and consistent with pass_all
+    fails = [
+        r["n_fail_word_count"], r["n_fail_mean_word_len"],
+        r["n_fail_symbol_ratio"], r["n_fail_alpha_words"],
+        r["n_fail_stopwords"],
+    ]
+    assert all(0 <= f <= r["n_docs"] for f in fails)
+    assert r["n_docs"] - r["n_pass_all"] <= sum(fails)

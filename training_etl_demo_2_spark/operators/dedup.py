@@ -4701,3 +4701,182 @@ def fingerprint_collision_audit_sql(
     {union}
     ORDER BY tier
     """
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic record linkage scores (round 8)
+# ---------------------------------------------------------------------------
+
+# Fixed m-probabilities (P(field agrees | records match)) — the
+# reviewer-supplied half of the Fellegi-Sunter (1969) model; the
+# u-probabilities (P(agree | non-match)) are ESTIMATED FROM THE DATA as
+# the random-pair agreement probability Σ_v (c_v/N)² per field, exact
+# integers up to one final division. In production m comes from EM or
+# labeled pairs; fixing it keeps the query deterministic while the
+# u-side (where the data actually speaks) stays fully data-driven.
+FS_M = {"type": 0.9, "tok1": 0.85, "tok2": 0.85, "price": 0.7}
+
+
+def fellegi_sunter_scores(t: dict[str, DataFrame]) -> DataFrame:
+    """Fellegi-Sunter agreement-pattern weights over blocked part
+    pairs — the probabilistic tier of the entity-resolution kit
+    (``fuzzy_name_pairs`` = distance tier, ``snm_fuzzy_pairs`` =
+    sorted-neighborhood tier; this one turns field agreements into
+    calibrated log-likelihood match weights).
+
+    Candidates: same (p_brand, p_size) block — a standard cheap
+    blocking key; the self-join touches only within-block pairs.
+    Agreement vector per pair: p_type, first name token, last name
+    token, and the 100-unit retail-price band. Each field f
+    contributes log2(m_f/u_f) on agreement and
+    log2((1-m_f)/(1-u_f)) on disagreement; u_f is the exact
+    random-pair agreement rate Σ_v c_v² / N² computed from the field's
+    value distribution. Output is the PATTERN table (16 rows max):
+    (agreement bits, n_pairs, fs_weight_r6) — the artifact a linkage
+    review actually reads, with pair volume per pattern.
+
+    Scale shape: one explode pass folds all four field distributions
+    to (field, S2) metadata; the block self-join is equi-keyed (never
+    all-pairs); patterns aggregate to ≤16 rows; the field stats ride
+    in as a broadcast 1-row fold.
+    """
+    p = t["part"].select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.col("p_type").alias("f_type"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("f_tok1"),
+        F.element_at(F.split(F.col("p_name"), " "), -1).alias("f_tok2"),
+        F.floor(F.col("p_retailprice") / 100.0).cast("long").cast("string")
+        .alias("f_price"),
+    )
+    fields = ("type", "tok1", "tok2", "price")
+    entries = F.array(
+        *[
+            F.struct(F.lit(f).alias("field"), F.col(f"f_{f}").alias("v"))
+            for f in fields
+        ]
+    )
+    s2 = (
+        p.select(F.explode(entries).alias("e"))
+        .select("e.field", "e.v")
+        .groupBy("field", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .groupBy("field")
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"))
+    )
+    n_row = p.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = s2.groupBy().agg(
+        *[
+            F.max(F.when(F.col("field") == f, F.col("s2"))).alias(f"s2_{f}")
+            for f in fields
+        ]
+    ).crossJoin(F.broadcast(n_row))
+
+    a = p.select(
+        F.col("p_partkey").alias("ka"),
+        "p_brand",
+        "p_size",
+        *[F.col(f"f_{f}").alias(f"a_{f}") for f in fields],
+    )
+    b = p.select(
+        F.col("p_partkey").alias("kb"),
+        "p_brand",
+        "p_size",
+        *[F.col(f"f_{f}").alias(f"b_{f}") for f in fields],
+    )
+    pairs = a.join(b, ["p_brand", "p_size"]).filter(F.col("ka") < F.col("kb"))
+    patt = pairs.select(
+        *[
+            (F.col(f"a_{f}") == F.col(f"b_{f}")).cast("int").alias(f"agree_{f}")
+            for f in fields
+        ]
+    ).groupBy(*[f"agree_{f}" for f in fields]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    out = patt.crossJoin(F.broadcast(stats))
+    ln2 = 0.6931471805599453
+    weight = None
+    for f in fields:
+        u = F.col(f"s2_{f}").cast("double") / (
+            F.col("n").cast("double") * F.col("n").cast("double")
+        )
+        # 1-m precomputed in Python: Spark's double 1.0-0.9 and DuckDB's
+        # decimal 1.0-0.9 round differently at the last bit; a shared
+        # literal removes the engine asymmetry
+        m, one_m = FS_M[f], 1.0 - FS_M[f]
+        term = F.when(
+            F.col(f"agree_{f}") == 1,
+            (F.log(F.lit(m)) - F.log(u)) / F.lit(ln2),
+        ).otherwise(
+            (F.log(F.lit(one_m)) - F.log(F.lit(1.0) - u)) / F.lit(ln2)
+        )
+        weight = term if weight is None else weight + term
+    return out.select(
+        *[f"agree_{f}" for f in fields],
+        "n_pairs",
+        F.round(weight, 6).alias("fs_weight_r6"),
+    ).orderBy(*[f"agree_{f}" for f in fields])
+
+
+def fellegi_sunter_scores_sql() -> str:
+    """Twin: identical blocking, agreement bits, exact-integer u
+    estimation, and double log-weight arithmetic."""
+    fields = ("type", "tok1", "tok2", "price")
+    canon = {
+        "type": "p_type",
+        "tok1": "string_split(p_name, ' ')[1]",
+        "tok2": "string_split(p_name, ' ')[-1]",
+        "price": "CAST(CAST(floor(p_retailprice / 100.0) AS BIGINT) "
+                 "AS VARCHAR)",
+    }
+    s2_sel = " UNION ALL ".join(
+        f"SELECT '{f}' AS field, CAST(sum(c * c) AS BIGINT) AS s2 FROM ("
+        f"SELECT {canon[f]} AS v, CAST(count(*) AS BIGINT) AS c "
+        f"FROM part GROUP BY 1)"
+        for f in fields
+    )
+    ln2 = 0.6931471805599453
+    terms = []
+    for f in fields:
+        m, one_m = FS_M[f], 1.0 - FS_M[f]
+        u = (
+            f"(CAST((SELECT s2 FROM s2s WHERE field = '{f}') AS DOUBLE) "
+            f"/ (CAST((SELECT n FROM nn) AS DOUBLE) "
+            f"* CAST((SELECT n FROM nn) AS DOUBLE)))"
+        )
+        terms.append(
+            f"CASE WHEN agree_{f} = 1 "
+            f"THEN (ln({m!r}) - ln({u})) / {ln2!r} "
+            f"ELSE (ln({one_m!r}) - ln(CAST(1.0 AS DOUBLE) - {u})) "
+            f"/ {ln2!r} END"
+        )
+    weight = " + ".join(terms)
+    agree_cols = ", ".join(
+        f"CAST(a.f_{f} = b.f_{f} AS INT) AS agree_{f}" for f in fields
+    )
+    group_cols = ", ".join(f"agree_{f}" for f in fields)
+    return f"""
+    WITH p AS (
+        SELECT p_partkey, p_brand, p_size,
+               p_type AS f_type,
+               string_split(p_name, ' ')[1] AS f_tok1,
+               string_split(p_name, ' ')[-1] AS f_tok2,
+               CAST(CAST(floor(p_retailprice / 100.0) AS BIGINT) AS VARCHAR)
+                   AS f_price
+        FROM part
+    ),
+    s2s AS ({s2_sel}),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+    patt AS (
+        SELECT {agree_cols}, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM p a JOIN p b
+          ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+         AND a.p_partkey < b.p_partkey
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT {group_cols}, n_pairs,
+           round({weight}, 6) AS fs_weight_r6
+    FROM patt
+    ORDER BY {group_cols}
+    """

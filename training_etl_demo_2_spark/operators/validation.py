@@ -4431,3 +4431,226 @@ def wasserstein_length_by_source_sql() -> str:
     FROM per_src
     ORDER BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-source permutation tests (round 8)
+# ---------------------------------------------------------------------------
+
+# sidx stride bound for the (doc, source-test, permutation) hash key:
+# supports corpora with up to 64 registered sources (the fixture has a
+# handful; a 100 TB corpus registry is still dozens). A fixed literal
+# keeps the key arithmetic identical in both engines with no
+# data-dependent constant in the plan.
+FDR_MAX_SOURCES = 64
+FDR_ALPHA = 0.05
+
+
+def fdr_bh_source_tests(
+    t: dict[str, DataFrame], r_perms: int = PERM_R
+) -> DataFrame:
+    """Multiple-testing-corrected drift screen: run the RNG-free
+    permutation test (``permutation_test_chars``) for EVERY source
+    simultaneously — does source s have a different mean document
+    length than the rest? — then apply the Benjamini-Hochberg
+    step-up procedure at FDR α=0.05 across the family of tests.
+    Screening every slice inflates false positives linearly in the
+    slice count (test 60 sources at α=0.05 and ~3 'drifts' appear by
+    chance); BH is the standard correction, and because the p-values
+    here are exact permutation ranks, the whole chain — test AND
+    correction — is deterministic on both engines.
+
+    BH: sort p ascending (source tiebreak), reject the largest prefix
+    whose p_(i) ≤ α·i/m; every rank at or below the crossing rank is
+    rejected (step-up), which the plan expresses as one max-over-window
+    of the qualifying ranks.
+
+    Scale shape: the R-fold × S-fold explode feeds a partial
+    (map-side) aggregate to (source, r) rows — the exchange carries
+    S·R rows per task, never S·R·n data rows; per-source observed
+    contrasts ride in as a broadcast S-row relation, and the BH window
+    runs over S rows of metadata. Output: one row per source.
+    """
+    d = t["documents"].select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("x")
+    )
+    per_src = d.groupBy("source").agg(
+        F.sum("x").cast("long").alias("sa"),
+        F.count(F.lit(1)).cast("long").alias("na"),
+    )
+    tot = d.agg(
+        F.sum("x").cast("long").alias("stot"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w_src = Window.orderBy("source")
+    stats = (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn("sidx", (F.row_number().over(w_src) - 1).cast("long"))
+        .withColumn("sb", (F.col("stot") - F.col("sa")).cast("long"))
+        .withColumn("nb", (F.col("n") - F.col("na")).cast("long"))
+        .select("source", "sidx", "sa", "na", "sb", "nb")
+    )
+    ex = (
+        d.select(
+            "doc_id",
+            "x",
+            F.explode(F.sequence(F.lit(0), F.lit(r_perms - 1))).alias("r"),
+        )
+        .withColumn("r", F.col("r").cast("long"))
+        .join(F.broadcast(stats), how="cross")
+    )
+    from .sketches import _hll_mix_spark
+
+    key = (
+        F.col("doc_id") * (r_perms * FDR_MAX_SOURCES)
+        + F.col("sidx") * r_perms
+        + F.col("r")
+    )
+    u = _hll_mix_spark(key, PERM_SEED)
+    thresh = F.expr("CAST(na * 10000 DIV (na + nb) AS BIGINT)")
+    in_a_r = (u % 10000) < thresh
+    per_r = (
+        ex.select(
+            "source",
+            "r",
+            F.when(in_a_r, F.col("x")).otherwise(0).alias("xa"),
+            F.when(in_a_r, 1).otherwise(0).alias("ca"),
+            F.when(~in_a_r, F.col("x")).otherwise(0).alias("xb"),
+            F.when(~in_a_r, 1).otherwise(0).alias("cb"),
+        )
+        .groupBy("source", "r")
+        .agg(
+            F.sum("xa").cast("long").alias("sa_r"),
+            F.sum("ca").cast("long").alias("na_r"),
+            F.sum("xb").cast("long").alias("sb_r"),
+            F.sum("cb").cast("long").alias("nb_r"),
+        )
+        .filter((F.col("na_r") > 0) & (F.col("nb_r") > 0))
+    )
+    diff_r = F.col("sa_r") / F.col("na_r") - F.col("sb_r") / F.col("nb_r")
+    obs_diff = F.col("sa") / F.col("na") - F.col("sb") / F.col("nb")
+    pvals = (
+        per_r.join(F.broadcast(stats), "source")
+        .groupBy("source", "sa", "na", "sb", "nb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("r_used"),
+            F.sum(
+                F.when(F.abs(diff_r) >= F.abs(obs_diff), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_extreme"),
+        )
+        .select(
+            "source",
+            F.round(obs_diff, 6).alias("obs_diff"),
+            (
+                (F.lit(1) + F.col("n_extreme"))
+                / (F.col("r_used") + F.lit(1))
+            ).alias("p"),
+        )
+    )
+    w_rank = Window.orderBy("p", "source")
+    w_all = Window.partitionBy()
+    ranked = pvals.withColumn(
+        "bh_rank", F.row_number().over(w_rank).cast("long")
+    ).withColumn("m", F.count(F.lit(1)).over(w_all).cast("long"))
+    bh_thr = F.lit(FDR_ALPHA) * F.col("bh_rank") / F.col("m")
+    ranked = ranked.withColumn(
+        "k",
+        F.max(
+            F.when(F.col("p") <= bh_thr, F.col("bh_rank"))
+        ).over(w_all),
+    )
+    return ranked.select(
+        "source",
+        "obs_diff",
+        F.round("p", 6).alias("p_value"),
+        "bh_rank",
+        F.round(bh_thr, 6).alias("bh_threshold_r6"),
+        (F.col("bh_rank") <= F.coalesce(F.col("k"), F.lit(0)))
+        .cast("int")
+        .alias("rejected"),
+    ).orderBy("bh_rank")
+
+
+def fdr_bh_source_tests_sql(r_perms: int = PERM_R) -> str:
+    """Twin: identical hash relabeling per (doc, source-test, r),
+    integer folds, rank p-values, and BH step-up window."""
+    from .sketches import _hll_mix_sql
+
+    mix = _hll_mix_sql(
+        f"(doc_id * {r_perms * FDR_MAX_SOURCES} + sidx * {r_perms} + r)",
+        PERM_SEED,
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS x FROM documents
+    ),
+    tot AS (
+        SELECT CAST(sum(x) AS BIGINT) AS stot,
+               CAST(count(*) AS BIGINT) AS n
+        FROM d
+    ),
+    stats AS (
+        SELECT source,
+               CAST(row_number() OVER (ORDER BY source) - 1 AS BIGINT)
+                   AS sidx,
+               CAST(sum(x) AS BIGINT) AS sa,
+               CAST(count(*) AS BIGINT) AS na,
+               (SELECT stot FROM tot) - CAST(sum(x) AS BIGINT) AS sb,
+               (SELECT n FROM tot) - CAST(count(*) AS BIGINT) AS nb
+        FROM d GROUP BY source
+    ),
+    ex AS (
+        SELECT d.doc_id, d.x, t.r, s.source, s.sidx, s.sa, s.na, s.sb, s.nb,
+               {mix} AS u
+        FROM d, unnest(range(0, {r_perms})) AS t(r), stats s
+    ),
+    per_r AS (
+        SELECT source, r,
+               CAST(sum(CASE WHEN u % 10000 < na * 10000 // (na + nb)
+                             THEN x ELSE 0 END) AS BIGINT) AS sa_r,
+               CAST(sum(CASE WHEN u % 10000 < na * 10000 // (na + nb)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS na_r,
+               CAST(sum(CASE WHEN u % 10000 >= na * 10000 // (na + nb)
+                             THEN x ELSE 0 END) AS BIGINT) AS sb_r,
+               CAST(sum(CASE WHEN u % 10000 >= na * 10000 // (na + nb)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nb_r
+        FROM ex GROUP BY source, r
+        HAVING sum(CASE WHEN u % 10000 < na * 10000 // (na + nb)
+                   THEN 1 ELSE 0 END) > 0
+           AND sum(CASE WHEN u % 10000 >= na * 10000 // (na + nb)
+                   THEN 1 ELSE 0 END) > 0
+    ),
+    pvals AS (
+        SELECT p.source,
+               round(s.sa * 1.0 / s.na - s.sb * 1.0 / s.nb, 6) AS obs_diff,
+               (1 + CAST(sum(CASE WHEN abs(p.sa_r * 1.0 / p.na_r
+                                           - p.sb_r * 1.0 / p.nb_r)
+                                       >= abs(s.sa * 1.0 / s.na
+                                              - s.sb * 1.0 / s.nb)
+                                  THEN 1 ELSE 0 END) AS BIGINT)) * 1.0
+                   / (CAST(count(*) AS BIGINT) + 1) AS p
+        FROM per_r p JOIN stats s ON s.source = p.source
+        GROUP BY p.source, s.sa, s.na, s.sb, s.nb
+    ),
+    ranked AS (
+        SELECT source, obs_diff, p,
+               CAST(row_number() OVER (ORDER BY p, source) AS BIGINT)
+                   AS bh_rank,
+               CAST(count(*) OVER () AS BIGINT) AS m
+        FROM pvals
+    ),
+    crossing AS (
+        SELECT *,
+               max(CASE WHEN p <= CAST({FDR_ALPHA} AS DOUBLE) * bh_rank / m
+                        THEN bh_rank END) OVER () AS k
+        FROM ranked
+    )
+    SELECT source, obs_diff, round(p, 6) AS p_value, bh_rank,
+           round(CAST({FDR_ALPHA} AS DOUBLE) * bh_rank / m, 6) AS bh_threshold_r6,
+           CAST(CASE WHEN bh_rank <= coalesce(k, 0) THEN 1 ELSE 0
+                END AS INT) AS rejected
+    FROM crossing
+    ORDER BY bh_rank
+    """

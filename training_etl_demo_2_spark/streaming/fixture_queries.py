@@ -962,3 +962,71 @@ def stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _replay_to_table(pairs, "gate_stream_near_dup")
     return spark.table("gate_stream_near_dup")
+
+
+def stream_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FLAGSHIP query as an always-on service: word
+    frequency over a document stream (explode → groupBy(word) → count),
+    replayed with availableNow in complete mode. The aggregation is
+    algebraic, so micro-batch partials merge exactly and the final
+    table must equal the batch `word_count` gate row bit-for-bit —
+    shared oracle verbatim. At scale this is the canonical Kafka →
+    windowless running-aggregate shape; state is |vocab| rows.
+    """
+    from ..functions import explode_words
+
+    docs = _read_documents_stream_fixture(spark, sf_dir)
+    agg = (
+        docs.select(explode_words("text", " ").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    _replay_to_table(agg, "gate_stream_word_count")
+    return spark.table("gate_stream_word_count").orderBy(
+        F.desc("cnt"), F.asc("word")
+    )
+
+
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Gopher gate telemetry: the rule flags are pure row-local
+    integer expressions (``text.gopher_quality_rules``), so the
+    always-on ingest filter is a stateless map — the only state is this
+    one-row telemetry fold (docs seen, per-rule failure counts, docs
+    passing all rules), replayed to completion and compared against the
+    batch aggregate over the same rules. This is the monitoring row a
+    deployment alerts on when a crawl source goes bad mid-ingest.
+    """
+    from ..operators.text import gopher_quality_rules
+
+    docs = _read_documents_stream_fixture(spark, sf_dir)
+    flags = gopher_quality_rules(docs)
+    fail = lambda c: F.sum((~F.col(c)).cast("long")).cast("long")
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        fail("ok_word_count").alias("n_fail_word_count"),
+        fail("ok_mean_word_len").alias("n_fail_mean_word_len"),
+        fail("ok_symbol_ratio").alias("n_fail_symbol_ratio"),
+        fail("ok_alpha_words").alias("n_fail_alpha_words"),
+        fail("ok_stopwords").alias("n_fail_stopwords"),
+        F.sum(F.col("pass_all").cast("long")).cast("long").alias("n_pass_all"),
+    )
+    _replay_to_table(agg, "gate_stream_quality_gate")
+    return spark.table("gate_stream_quality_gate")
+
+
+STREAM_QUALITY_GATE_ORACLE_TEMPLATE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN NOT ok_word_count THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_fail_word_count,
+           CAST(sum(CASE WHEN NOT ok_mean_word_len THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_fail_mean_word_len,
+           CAST(sum(CASE WHEN NOT ok_symbol_ratio THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_fail_symbol_ratio,
+           CAST(sum(CASE WHEN NOT ok_alpha_words THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_fail_alpha_words,
+           CAST(sum(CASE WHEN NOT ok_stopwords THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_fail_stopwords,
+           CAST(sum(CASE WHEN pass_all THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_all
+    FROM ({gopher_sql})
+"""
