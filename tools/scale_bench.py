@@ -159,6 +159,19 @@ FAMILIES: dict[str, tuple[str, str]] = {
         "batch, index, and banded candidate volume all grow R× under "
         "disjoint replicas",
     ),
+    # round-8 batch-A heavies over the replicated documents table
+    "fdr_bh_source_tests": (
+        "~R (linear)",
+        "R-fold x |sources| explode partial-aggregates map-side to "
+        "(source, r) rows; the exchange carries S*R rows per task, "
+        "never S*R*n data rows",
+    ),
+    "perplexity_band_prune": (
+        "~R (linear)",
+        "unigram-LM score joins + range-partitioned exact rank; every "
+        "relation (tf, vocabulary, ranks) grows R× with disjoint "
+        "replicas",
+    ),
 }
 
 # Acceptance: observed wall ratio must stay under R^1.5 — geometric
@@ -186,6 +199,9 @@ MIDPOINT_FAMILIES = (
     # what the midpoint exposes
     "corpus_pipeline_e2e",
     "incremental_pipeline_e2e",
+    # second-highest round-8 ratio (7.16x): the midpoint separates the
+    # R-fold explode's linear volume from a shuffle knee
+    "fdr_bh_source_tests",
 )
 
 _ID_STRIDE = 10_000_000
