@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
+from training_etl_demo_2_spark import io as _io
 from training_etl_demo_2_spark.io import load_tables
 from training_etl_demo_2_spark.operators import (
     behavior,
@@ -1184,6 +1185,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_word_count": fixture_queries.stream_word_count,
         # streaming Gopher gate telemetry (row-local rules, 1-row state)
         "stream_quality_gate": fixture_queries.stream_quality_gate,
+        # k-sizing elbow: total inertia per candidate k from ONE
+        # persisted element relation
+        "kmeans_elbow_curve": _q(
+            lambda t: similarity.kmeans_elbow_curve(t["embeddings"])
+        ),
+        # word2vec-style 3/4-power smoothed noise distribution
+        "negative_sampling_table": _q(
+            lambda t: text.negative_sampling_table(t["documents"])
+        ),
+        # removal-free dedup: 1/n_copies loss weights, per-source yield
+        "dup_loss_weights": _q(
+            lambda t: curation.dup_loss_weights(t["documents"])
+        ),
+        # ORC interchange round-trip proven value-preserving against
+        # the parquet-side oracle fold
+        "orc_roundtrip": _io.orc_roundtrip_summary,
     }
 
 
@@ -2174,4 +2191,8 @@ def oracle_sql() -> dict[str, str]:
                 gopher_sql=text.gopher_quality_rules_sql()
             )
         ),
+        "kmeans_elbow_curve": similarity.kmeans_elbow_sql(),
+        "negative_sampling_table": text.negative_sampling_table_sql(),
+        "dup_loss_weights": curation.dup_loss_weights_sql(),
+        "orc_roundtrip": _io.orc_roundtrip_summary_sql(),
     }

@@ -226,6 +226,8 @@ NESTED_LOOP_OK = {
     "fellegi_sunter_scores",
     # inherits unigram_logprob's totals crossJoin (scalar-aggregate class)
     "perplexity_band_prune",
+    # ONE-ROW smoothed-mass normalizer broadcast onto the vocabulary
+    "negative_sampling_table",
 }
 
 

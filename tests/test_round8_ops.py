@@ -332,3 +332,85 @@ def test_stream_quality_gate_equals_batch(spark, sf_dir, tables):
     ]
     assert all(0 <= f <= r["n_docs"] for f in fails)
     assert r["n_docs"] - r["n_pass_all"] <= sum(fails)
+
+
+# ---------------------------------------------------------------------------
+# round-8 batch C: elbow, negative sampling, dup weights, ORC roundtrip
+# ---------------------------------------------------------------------------
+
+
+def test_kmeans_elbow_monotone_and_matches_single_k(tables):
+    from training_etl_demo_2_spark.operators import similarity
+
+    out = {r["k"]: r for r in similarity.kmeans_elbow_curve(
+        tables["embeddings"]
+    ).collect()}
+    ks = sorted(out)
+    n = tables["embeddings"].count()
+    assert all(out[k]["n_vectors"] == n for k in ks)
+    # inertia decreases (weakly) as k grows — more centroids never fit worse
+    for a, b in zip(ks, ks[1:]):
+        assert out[a]["inertia_r6"] >= out[b]["inertia_r6"]
+
+
+def test_negative_sampling_table_properties(tables):
+    from pyspark.sql import functions as F
+    from training_etl_demo_2_spark.operators import text as text_ops
+
+    rows = text_ops.negative_sampling_table(tables["documents"]).collect()
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    # smoothing flattens: smoothed share of the top word is BELOW its
+    # raw frequency share (power < 1 compresses the head)
+    toks = tables["documents"].select(
+        F.explode(F.split(F.lower("text"), " ")).alias("t")
+    ).filter(F.col("t") != "")
+    total = toks.count()
+    top = rows[0]
+    assert top["p_smooth_r6"] < top["cnt"] / total
+    # probabilities are a valid prefix of a distribution
+    assert 0 < top["p_smooth_r6"] < 1
+    assert abs(sum(r["p_smooth_r6"] for r in rows) - rows[-1]["cum_mass_r6"]) < 1e-3
+
+
+def test_dup_loss_weights_bounds(tables):
+    from training_etl_demo_2_spark.operators import curation
+
+    out = curation.dup_loss_weights(tables["documents"]).collect()
+    for r in out:
+        assert r["n_distinct_contents"] <= r["n_docs"]
+        # sum of 1/copies over a source's docs is between its distinct
+        # CONTRIBUTION floor (all copies cross-source) and n_docs
+        assert 0 < r["sum_weight_r6"] <= r["n_docs"] + 1e-6
+        assert 0 < r["effective_bp"] <= 10000
+
+
+def test_dup_loss_weights_engineered(spark):
+    from training_etl_demo_2_spark.operators import curation
+
+    # sa: one content duplicated 4x -> weight 4*(1/4)=1, effective 2500bp
+    rows = [(i, "same text here", "sa") for i in range(4)]
+    rows += [(10 + i, f"unique text {i}", "sb") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in curation.dup_loss_weights(df).collect()}
+    assert out["sa"]["sum_weight_r6"] == 1.0
+    assert out["sa"]["effective_bp"] == 2500
+    assert out["sb"]["sum_weight_r6"] == 3.0
+    assert out["sb"]["effective_bp"] == 10000
+
+
+def test_orc_roundtrip_matches_parquet_fold(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from training_etl_demo_2_spark import io as io_mod
+    from training_etl_demo_2_spark.functions import FNV_MOD, rolling_hash
+
+    out = io_mod.orc_roundtrip_summary(spark, sf_dir).collect()[0]
+    docs = io_mod.load_tables(spark, sf_dir)["documents"]
+    h = rolling_hash(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("text"))
+    ).cast("decimal(38,0)")
+    ref = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(h) % F.lit(FNV_MOD).cast("decimal(38,0)")).cast("long").alias("c"),
+    ).collect()[0]
+    assert out["n_rows"] == ref["n"]
+    assert out["content_checksum"] == ref["c"]

@@ -520,3 +520,63 @@ def read_jsonl_with_quarantine(
         F.col(corrupt).alias("raw_record")
     )
     return QuarantinedRead(good, bad, parsed)
+
+
+# ---------------------------------------------------------------------------
+# ORC interchange round-trip (round 8)
+# ---------------------------------------------------------------------------
+
+ORC_ROUNDTRIP_DIR = "/tmp/spark_graft_orc_roundtrip"
+
+
+def orc_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar-interchange coverage beyond parquet: write the
+    documents table to ORC (Spark's other built-in columnar format —
+    the Hive-ecosystem interchange a migration inevitably meets), read
+    it back, and fold the re-read rows to (n_rows, n_distinct_docs,
+    content_checksum) — the dataset_manifest-style order-free
+    decimal fold over (doc_id, text-fingerprint). The oracle computes
+    the identical fold over the PARQUET rows, so a gate match proves
+    the ORC round-trip is value-preserving for every compared byte,
+    not merely row-count-stable.
+
+    Scale shape: one write + one scan, both columnar and
+    partition-parallel; the fold is a single partial-aggregable sum
+    (commutative → partition-order-free on any layout).
+    """
+    from pyspark.sql import functions as F
+
+    from .functions import FNV_MOD, rolling_hash
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out_dir = os.path.join(
+        ORC_ROUNDTRIP_DIR, os.path.basename(sf_dir.rstrip("/"))
+    )
+    docs.write.mode("overwrite").orc(out_dir)
+    back = spark.read.orc(out_dir)
+    h = rolling_hash(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.col("text"))
+    ).cast("decimal(38,0)")
+    return back.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct("doc_id").cast("long").alias("n_distinct_docs"),
+        (F.sum(h) % F.lit(FNV_MOD).cast("decimal(38,0)"))
+        .cast("long")
+        .alias("content_checksum"),
+    )
+
+
+def orc_roundtrip_summary_sql() -> str:
+    """Twin over the parquet view: identical fingerprint fold — equal
+    output proves the ORC write/read preserved every compared value."""
+    from .functions import FNV_MOD
+    from .operators.oracle import ROLLING_HASH
+
+    h = ROLLING_HASH.format(s="CAST(doc_id AS VARCHAR) || ':' || text")
+    return f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs,
+           CAST(sum(CAST(({h}) AS HUGEINT)) % {FNV_MOD} AS BIGINT)
+               AS content_checksum
+    FROM documents
+    """

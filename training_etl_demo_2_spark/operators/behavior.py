@@ -2799,18 +2799,22 @@ def session_gap_curve(
             F.lead("ts").over(w).cast("long") - F.col("ts").cast("long")
         ).alias("gap_next"),
     )
-    arms = []
+    # ONE aggregate emits every arm's folds as columns (a union of
+    # per-arm .agg() branches would re-run the window exchange once per
+    # gap — Catalyst does not dedupe the shared subplan across union
+    # branches; verified via explain); the 1-row result unpivots to
+    # |gaps| rows with inline (free at 1 row).
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_events")]
     for g in gaps:
         gs = g * 60
         starts = F.col("gap_prev").isNull() | (F.col("gap_prev") > gs)
         ends = F.col("gap_next").isNull() | (F.col("gap_next") > gs)
-        arms.append(
-            gapped.agg(
-                F.lit(int(g)).cast("long").alias("gap_minutes"),
-                F.sum(starts.cast("long")).cast("long").alias("n_sessions"),
+        aggs.extend(
+            [
+                F.sum(starts.cast("long")).cast("long").alias(f"__ns_{g}"),
                 F.sum((starts & ends).cast("long"))
                 .cast("long")
-                .alias("n_singleton_sessions"),
+                .alias(f"__single_{g}"),
                 F.coalesce(
                     F.sum(
                         F.when(F.col("gap_prev") <= gs, F.col("gap_prev"))
@@ -2818,14 +2822,21 @@ def session_gap_curve(
                     F.lit(0),
                 )
                 .cast("long")
-                .alias("intra_session_idle_s"),
-                F.count(F.lit(1)).cast("long").alias("n_events"),
-            )
+                .alias(f"__idle_{g}"),
+            ]
         )
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionByName(a)
-    return out.orderBy("gap_minutes")
+    row = gapped.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(int(g)).cast("long").alias("gap_minutes"),
+            F.col(f"__ns_{g}").alias("n_sessions"),
+            F.col(f"__single_{g}").alias("n_singleton_sessions"),
+            F.col(f"__idle_{g}").alias("intra_session_idle_s"),
+            F.col("n_events"),
+        )
+        for g in gaps
+    ]
+    return row.select(F.inline(F.array(*structs))).orderBy("gap_minutes")
 
 
 def session_gap_curve_sql(

@@ -4281,3 +4281,81 @@ def perplexity_band_prune_sql() -> str:
     GROUP BY d.source
     ORDER BY d.source
     """
+
+
+# ---------------------------------------------------------------------------
+# duplication-aware loss weights (round 8)
+# ---------------------------------------------------------------------------
+
+
+def dup_loss_weights(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Count-based down-weighting — the REMOVAL-FREE alternative to
+    exact dedup: every copy of a duplicated document trains with
+    weight 1/n_copies, so each distinct content contributes exactly
+    one document's worth of gradient while ordering/packing pipelines
+    keep their rows. Reported per source: docs, distinct contents,
+    the summed weight (= effective dataset size in documents), and the
+    effective fraction in exact basis points — the number that says
+    how much of a source's volume is really new signal.
+
+    Float note: each 1/n_copies is one double division with relative
+    error < 2^-52 and the per-source fold's accumulated error sits far
+    inside the round-6 grid (repo-wide argument); the bp column is
+    derived from the SAME double on both engines, so the floor+0.5
+    rule cannot straddle an engine boundary.
+
+    Scale shape: one fingerprint groupBy (the exact_dedup relation),
+    one join back on the 8-byte fingerprint, one per-source fold.
+    """
+    from ..functions import normalize_text, rolling_hash
+
+    fp = df.select(
+        "doc_id",
+        "source",
+        rolling_hash(normalize_text(text_col)).alias("fp"),
+    )
+    sizes = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )
+    j = fp.join(sizes, "fp")
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("fp").cast("long").alias("n_distinct_contents"),
+        F.sum(F.lit(1.0) / F.col("n_copies").cast("double")).alias("w"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_distinct_contents",
+        F.round("w", 6).alias("sum_weight_r6"),
+        F.floor(F.col("w") * 10000.0 / F.col("n_docs") + F.lit(0.5))
+        .cast("long")
+        .alias("effective_bp"),
+    ).orderBy("source")
+
+
+def dup_loss_weights_sql() -> str:
+    """Twin: same fingerprint, same double 1/n fold, same bp rule."""
+    from .oracle import NORMALIZE, ROLLING_HASH
+
+    h = ROLLING_HASH.format(s=NORMALIZE.format(s="text"))
+    return f"""
+    WITH fp AS (
+        SELECT doc_id, source, {h} AS fp FROM documents
+    ),
+    sizes AS (
+        SELECT fp, CAST(count(*) AS BIGINT) AS n_copies
+        FROM fp GROUP BY fp
+    ),
+    j AS (SELECT f.source, f.fp, s.n_copies
+          FROM fp f JOIN sizes s USING (fp))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_contents,
+           round(sum(1.0 / CAST(n_copies AS DOUBLE)), 6) AS sum_weight_r6,
+           CAST(floor(sum(1.0 / CAST(n_copies AS DOUBLE)) * 10000.0
+                      / count(*) + 0.5) AS BIGINT) AS effective_bp
+    FROM j
+    GROUP BY source
+    ORDER BY source
+    """

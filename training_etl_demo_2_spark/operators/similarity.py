@@ -3608,3 +3608,123 @@ def ivf_mrr_eval_sql(k: int = 5) -> str:
       ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
     ORDER BY t.query_id
     """
+
+
+# ---------------------------------------------------------------------------
+# k-means elbow curve (round 8)
+# ---------------------------------------------------------------------------
+
+KMEANS_ELBOW_KS = (2, 4, 8)
+
+
+def kmeans_elbow_curve(
+    emb: DataFrame,
+    ks: tuple[int, ...] = KMEANS_ELBOW_KS,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """The k-SIZING curve for the clustering family: total inertia
+    after ``iters`` Lloyd rounds at each candidate k — the elbow read
+    next to ``kmeans_silhouette``'s separation grade when choosing the
+    cell count for SemDeDup / IVF / coreset tiers. Deterministic
+    first-k seeding and lowest-cid tie-breaks, like every kmeans tier
+    here, so each arm is engine-reproducible.
+
+    Scale shape: ONE persisted (vec, dim, val) element relation shared
+    by every arm (the embedding explode — the dominant map cost — runs
+    once, not |ks| times); each arm is the standard fixed-iteration
+    recurrence over it (assign = elems ⋈ k·d centroid broadcast-sized
+    relation; update = k·d-row mean fold), ending in a 1-row inertia
+    fold. Output: |ks| rows (k, n_vectors, inertia_r6).
+    """
+    elems = (
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "val"))
+        .withColumn("val", F.col("val").cast("double"))
+        .transform(tracked_persist)
+    )
+    arms = []
+    for k in ks:
+        cent = (
+            emb.filter(F.col("vec_id") < k)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.posexplode("embedding").alias("dim", "c"),
+            )
+            .withColumn("c", F.col("c").cast("double"))
+        )
+        for _ in range(iters):
+            a = _assign_dists(elems, cent, top=1)
+            means = (
+                a.select("vec_id", "cid")
+                .join(elems, "vec_id")
+                .groupBy("cid", "dim")
+                .agg(F.avg("val").alias("m"))
+            )
+            cent = cent.join(means, ["cid", "dim"], "left").select(
+                "cid", "dim", F.coalesce(F.col("m"), F.col("c")).alias("c")
+            )
+        final = _assign_dists(elems, cent, top=1)
+        arms.append(
+            final.agg(
+                F.lit(int(k)).cast("long").alias("k"),
+                F.count(F.lit(1)).cast("long").alias("n_vectors"),
+                F.round(F.sum("d2"), 6).alias("inertia_r6"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("k")
+
+
+def kmeans_elbow_sql(
+    ks: tuple[int, ...] = KMEANS_ELBOW_KS, iters: int = KMEANS_ITERS
+) -> str:
+    """Twin: the distributed_kmeans recurrence unrolled once per k
+    (CTE names suffixed _k so the arms share one statement and the one
+    elems CTE), total-inertia fold per arm."""
+    assign = (
+        "SELECT vec_id, cid, d2 FROM ("
+        "SELECT vec_id, cid, d2, row_number() OVER ("
+        "PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn "
+        "FROM (SELECT e.vec_id, c.cid, "
+        "sum((e.val - c.c) * (e.val - c.c)) AS d2 "
+        "FROM elems e JOIN cent{i}_{k} c ON e.dim = c.dim "
+        "GROUP BY e.vec_id, c.cid)) WHERE rn = 1"
+    )
+    ctes, arms = [], []
+    for k in ks:
+        ctes.append(
+            f"""cent0_{k} AS (
+        SELECT vec_id AS cid, dim, val AS c FROM elems WHERE vec_id < {k}
+    )"""
+        )
+        for i in range(iters):
+            ctes.append(f"a{i}_{k} AS ({assign.format(i=i, k=k)})")
+            ctes.append(
+                f"""cent{i + 1}_{k} AS (
+        SELECT c.cid, c.dim, coalesce(m.m, c.c) AS c
+        FROM cent{i}_{k} c
+        LEFT JOIN (
+            SELECT a.cid, e.dim, avg(e.val) AS m
+            FROM a{i}_{k} a JOIN elems e ON a.vec_id = e.vec_id
+            GROUP BY a.cid, e.dim
+        ) m ON c.cid = m.cid AND c.dim = m.dim
+    )"""
+            )
+        ctes.append(f"final_{k} AS ({assign.format(i=iters, k=k)})")
+        arms.append(
+            f"SELECT CAST({k} AS BIGINT) AS k, "
+            f"CAST(count(*) AS BIGINT) AS n_vectors, "
+            f"round(sum(d2), 6) AS inertia_r6 FROM final_{k}"
+        )
+    chain = ",\n    ".join(ctes)
+    union = "\n    UNION ALL\n    ".join(arms)
+    return f"""
+    WITH elems AS (
+        SELECT vec_id, t.i - 1 AS dim, embedding[t.i]::DOUBLE AS val
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    {chain}
+    {union}
+    ORDER BY k
+    """

@@ -3566,3 +3566,90 @@ def boilerplate_prefix_report_sql(
     FROM ranked WHERE rn = 1
     ORDER BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# word2vec-style negative-sampling table (round 8)
+# ---------------------------------------------------------------------------
+
+NEG_SAMPLE_POWER = 0.75
+NEG_SAMPLE_TOPK = 50
+
+
+def negative_sampling_table(
+    df: DataFrame,
+    text_col: str = "text",
+    power: float = NEG_SAMPLE_POWER,
+    k: int = NEG_SAMPLE_TOPK,
+) -> DataFrame:
+    """The 3/4-power smoothed unigram sampling table (Mikolov et al.
+    2013) — the distribution contrastive objectives (word2vec negative
+    sampling, many in-batch-negative samplers) draw noise words from:
+    p(w) ∝ count(w)^0.75. Raw-frequency sampling over-draws stopwords;
+    uniform under-trains them; the 3/4 power is the standard
+    compromise. Reported for the top-k words by count (full tie-break)
+    with the smoothed probability and its cumulative mass — the table
+    a sampler materializes.
+
+    Scale shape: one token scan folds to the vocabulary relation; the
+    normalizer Σ c^0.75 rides in as a broadcast 1-row fold; the rank
+    window sorts only the vocabulary (same bound as
+    vocab_coverage_curve). pow/sum are double; outputs round to 6
+    (repo-wide float-grid argument).
+    """
+    cnt = (
+        df.select(F.explode(_tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    smooth = F.pow(F.col("cnt").cast("double"), F.lit(float(power)))
+    tot = cnt.agg(F.sum(smooth).alias("z"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "rnk",
+            "term",
+            "cnt",
+            F.round(smooth / F.col("z"), 6).alias("p_smooth_r6"),
+            F.round(
+                F.sum(smooth / F.col("z")).over(w_cum), 6
+            ).alias("cum_mass_r6"),
+        )
+        .orderBy("rnk")
+    )
+
+
+def negative_sampling_table_sql(
+    power: float = NEG_SAMPLE_POWER, k: int = NEG_SAMPLE_TOPK
+) -> str:
+    """Twin: same vocabulary fold, pow/normalizer doubles, rank cut."""
+    return f"""
+    WITH cnt AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS term
+              FROM documents)
+        WHERE term != ''
+        GROUP BY term
+    ),
+    tot AS (SELECT sum(pow(CAST(cnt AS DOUBLE), {power!r})) AS z FROM cnt),
+    ranked AS (
+        SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term ASC)
+                    AS BIGINT) AS rnk,
+               term, cnt,
+               pow(CAST(cnt AS DOUBLE), {power!r}) / (SELECT z FROM tot)
+                   AS p
+        FROM cnt
+    )
+    SELECT rnk, term, cnt, round(p, 6) AS p_smooth_r6,
+           round(sum(p) OVER (ORDER BY rnk
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS cum_mass_r6
+    FROM ranked
+    WHERE rnk <= {k}
+    ORDER BY rnk
+    """
