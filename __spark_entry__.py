@@ -1201,6 +1201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ORC interchange round-trip proven value-preserving against
         # the parquet-side oracle fold
         "orc_roundtrip": _io.orc_roundtrip_summary,
+        # Spark 4 XML codec (to_xml/from_xml) proven lossless against
+        # the direct-row oracle aggregate
+        "xml_roundtrip": _q(relational_ext.xml_roundtrip_stats),
     }
 
 
@@ -2195,4 +2198,5 @@ def oracle_sql() -> dict[str, str]:
         "negative_sampling_table": text.negative_sampling_table_sql(),
         "dup_loss_weights": curation.dup_loss_weights_sql(),
         "orc_roundtrip": _io.orc_roundtrip_summary_sql(),
+        "xml_roundtrip": relational_ext.xml_roundtrip_stats_sql(),
     }

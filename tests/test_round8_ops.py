@@ -414,3 +414,24 @@ def test_orc_roundtrip_matches_parquet_fold(spark, sf_dir):
     ).collect()[0]
     assert out["n_rows"] == ref["n"]
     assert out["content_checksum"] == ref["c"]
+
+
+def test_xml_roundtrip_parses_every_row(tables):
+    from pyspark.sql import functions as F
+    from training_etl_demo_2_spark.operators import relational_ext
+
+    out = relational_ext.xml_roundtrip_stats(tables).collect()
+    direct = (
+        tables["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 10000.0 + F.lit(0.5)).cast("long")
+            ).alias("s"),
+        )
+        .collect()
+    )
+    d = {r["event_type"]: (r["n"], r["s"]) for r in direct}
+    o = {r["event_type"]: (r["n_events"], r["sum_value_e4"]) for r in out}
+    assert o == d  # every row survived the XML encode->decode cycle

@@ -1764,3 +1764,62 @@ def weighted_median_value_sql() -> str:
     WHERE cumw * 2 >= total
     GROUP BY l_returnflag
     """
+
+
+# ---------------------------------------------------------------------------
+# XML codec round-trip (round 8) — §2.8 scalar-function surface
+# ---------------------------------------------------------------------------
+
+
+def xml_roundtrip_stats(t: dict) -> DataFrame:
+    """Spark 4's built-in XML codec (to_xml / from_xml) proven
+    value-preserving: each event row serializes its
+    (event_type, micro-unit value) struct to an XML string, parses it
+    back with a declared schema, and the parsed columns aggregate per
+    type. The oracle computes the SAME aggregate directly from the
+    parquet rows — equality means the XML encode→decode cycle lost
+    nothing (the sibling of `orc_roundtrip` for the row-codec rather
+    than the file-format axis, and the XML counterpart of the
+    JSON/VARIANT family `events_props_variant` exercises).
+
+    Values ride as floor(value·10⁴+0.5) micro-units so the comparison
+    is integer-exact — float-to-text round-tripping through XML is
+    deliberately kept out of the compared surface.
+
+    Scale shape: both codec calls are row-local (whole-stage codegen,
+    no UDF); one |types|-group fold.
+    """
+    ev = t["events"].select(
+        "event_type",
+        F.floor(F.col("value") * 10000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("v"),
+    )
+    xml = ev.select(
+        F.to_xml(F.struct("event_type", "v")).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml(F.col("x"), "event_type string, v long").alias("p")
+    )
+    return (
+        parsed.groupBy(F.col("p.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("p.v").cast("long").alias("sum_value_e4"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def xml_roundtrip_stats_sql() -> str:
+    """Twin computes the aggregate DIRECTLY from the rows — a gate
+    match proves the engine's XML cycle is lossless."""
+    return """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+               AS BIGINT) AS sum_value_e4
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """
