@@ -435,3 +435,63 @@ def test_xml_roundtrip_parses_every_row(tables):
     d = {r["event_type"]: (r["n"], r["s"]) for r in direct}
     o = {r["event_type"]: (r["n_events"], r["sum_value_e4"]) for r in out}
     assert o == d  # every row survived the XML encode->decode cycle
+
+
+# ---------------------------------------------------------------------------
+# property tests: session_gap_curve vs a brute-force Python reference
+# ---------------------------------------------------------------------------
+
+
+def test_session_gap_curve_brute_force_reference(spark):
+    """Randomized (seeded) event sets checked against a pure-Python
+    sessionizer: the lag/lead fold trick must agree with the obvious
+    per-user greedy scan for every gap, including duplicate-timestamp
+    and single-event users."""
+    import random
+
+    rng = random.Random(8)
+    rows = []
+    eid = 0
+    for uid in range(12):
+        t = 0
+        for _ in range(rng.randint(1, 30)):
+            t += rng.choice([0, 30, 301, 1801, 7201])
+            rows.append((eid, uid, t))
+            eid += 1
+    df = spark.createDataFrame(
+        [(e, u, float(t)) for e, u, t in rows],
+        "event_id long, user_id long, epoch double",
+    ).selectExpr(
+        "event_id", "user_id", "CAST(to_timestamp(epoch) AS TIMESTAMP) AS ts"
+    )
+    from training_etl_demo_2_spark.operators import behavior
+
+    out = {
+        r["gap_minutes"]: r
+        for r in behavior.session_gap_curve({"events": df}).collect()
+    }
+
+    by_user = {}
+    for e, u, t in rows:
+        by_user.setdefault(u, []).append((t, e))
+    for g in (5, 30, 120):
+        gs = g * 60
+        n_sessions = n_single = idle = 0
+        for u, evs in by_user.items():
+            evs = sorted(evs)
+            sizes = []
+            cur = 1
+            for (t0, _), (t1, _) in zip(evs, evs[1:]):
+                if t1 - t0 > gs:
+                    sizes.append(cur)
+                    cur = 1
+                else:
+                    idle += t1 - t0
+                    cur += 1
+            sizes.append(cur)
+            n_sessions += len(sizes)
+            n_single += sum(1 for s in sizes if s == 1)
+        r = out[g]
+        assert r["n_sessions"] == n_sessions, g
+        assert r["n_singleton_sessions"] == n_single, g
+        assert r["intra_session_idle_s"] == idle, g
