@@ -1204,6 +1204,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Spark 4 XML codec (to_xml/from_xml) proven lossless against
         # the direct-row oracle aggregate
         "xml_roundtrip": _q(relational_ext.xml_roundtrip_stats),
+        # JL projection-width operating curve: top-k recall per width
+        # against full-dim brute truth
+        "ann_recall_vs_dim": _q(
+            lambda t: similarity.ann_recall_vs_dim(t["embeddings"])
+        ),
     }
 
 
@@ -2199,4 +2204,5 @@ def oracle_sql() -> dict[str, str]:
         "dup_loss_weights": curation.dup_loss_weights_sql(),
         "orc_roundtrip": _io.orc_roundtrip_summary_sql(),
         "xml_roundtrip": relational_ext.xml_roundtrip_stats_sql(),
+        "ann_recall_vs_dim": similarity.ann_recall_vs_dim_sql(),
     }

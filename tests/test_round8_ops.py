@@ -495,3 +495,25 @@ def test_session_gap_curve_brute_force_reference(spark):
         assert r["n_sessions"] == n_sessions, g
         assert r["n_singleton_sessions"] == n_single, g
         assert r["intra_session_idle_s"] == idle, g
+
+
+def test_ann_recall_vs_dim_monotone_and_bounded(tables):
+    from training_etl_demo_2_spark.operators import similarity
+
+    out = {r["out_dim"]: r for r in similarity.ann_recall_vs_dim(
+        tables["embeddings"]
+    ).collect()}
+    dims = sorted(out)
+    for d in dims:
+        r = out[d]
+        assert 0 <= r["hits"] <= r["n_queries"] * 5
+        assert 0 <= r["recall_bp"] <= 10000
+    # more projection dimensions preserve MORE ranking structure on
+    # average; allow small non-monotonic wobble (random directions)
+    assert out[dims[-1]]["recall_bp"] >= out[dims[0]]["recall_bp"] - 1500
+    # the widest arm must beat chance (k/(n-1) baseline) clearly — on
+    # the near-random synthetic embeddings 8 of 64 dims keeps only a
+    # few x chance (the curve's honest message: thin JL sketches are
+    # for coarse bucketing, not fine ranking)
+    n = tables["embeddings"].count()
+    assert out[dims[-1]]["recall_bp"] > 2 * (10000 * 5 // max(n - 1, 1))

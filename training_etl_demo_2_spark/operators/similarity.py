@@ -3728,3 +3728,191 @@ def kmeans_elbow_sql(
     {union}
     ORDER BY k
     """
+
+
+# ---------------------------------------------------------------------------
+# ANN recall vs projection width (round 8)
+# ---------------------------------------------------------------------------
+
+RP_CURVE_OUTS = (2, 4, 8)
+RP_CURVE_K = 5
+RP_CURVE_PRED = "vec_id < 16"
+
+
+def ann_recall_vs_dim(
+    emb: DataFrame,
+    outs: tuple[int, ...] = RP_CURVE_OUTS,
+    k: int = RP_CURVE_K,
+    query_pred: str = RP_CURVE_PRED,
+) -> DataFrame:
+    """The dimension-reduction OPERATING CURVE: top-k recall of
+    cosine search over d-dimensional Rademacher projections (the
+    `random_projection` sketch) against the full-dimension brute-force
+    truth, for each candidate width d. This is the number that decides
+    how far an index can shrink vectors before retrieval quality pays
+    — the JL lemma bounds distortion in expectation; this measures the
+    ranking consequence on YOUR corpus (sibling of
+    `quantization_error_curve`, which prices bit-width the same way).
+
+    Determinism: projections are exact ±1 integer dots on nano-
+    quantized components (the random_projection lattice, one matrix
+    per width from the shared seed); pair cosine folds the SAME
+    doubles in index order on both engines, rounded 6 for ranking;
+    all rankings tie-break by neighbor id.
+
+    Scale shape: per width, a row-local projection + the bounded-query
+    broadcast panel of the brute family (candidates x |panel| pairs,
+    never corpus x corpus) + one top-k window and one hit-count fold.
+    Output: one row per width.
+    """
+    from ..functions import cosine
+
+    truth = brute_topk(emb, k, query_pred).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_truth")
+    )
+    n_q = F.count_distinct("query_id")
+
+    arms = []
+    for out in outs:
+        signs = _rp_signs(64, out)
+        qarr = F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(1e9)).cast("long"),
+        )
+        comps = []
+        for i in range(out):
+            s_i = F.array(*[F.lit(int(s)) for s in signs[:, i]])
+            comps.append(
+                F.aggregate(
+                    F.zip_with(qarr, s_i, lambda a, b: a * b.cast("long")),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).cast("double")
+            )
+        proj = emb.select("vec_id", F.array(*comps).alias("p"))
+        q = proj.filter(query_pred).select(
+            F.col("vec_id").alias("query_id"), F.col("p").alias("qp")
+        )
+        c = proj.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("p").alias("cp")
+        )
+        pairs = (
+            F.broadcast(q)
+            .crossJoin(c)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("qp"), F.col("cp")), ROUND).alias("sim"),
+            )
+        )
+        approx = _ranked_topk(pairs, k)
+        hits = approx.join(truth, ["query_id", "neighbor_id"], "left")
+        arms.append(
+            hits.agg(
+                F.lit(int(out)).cast("long").alias("out_dim"),
+                n_q.cast("long").alias("n_queries"),
+                F.sum(F.coalesce(F.col("in_truth"), F.lit(0)))
+                .cast("long")
+                .alias("hits"),
+                F.floor(
+                    F.sum(F.coalesce(F.col("in_truth"), F.lit(0)))
+                    * 10000.0
+                    / (n_q * k)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("recall_bp"),
+            )
+        )
+    res = arms[0]
+    for a in arms[1:]:
+        res = res.unionByName(a)
+    return res.orderBy("out_dim")
+
+
+def ann_recall_vs_dim_sql(
+    outs: tuple[int, ...] = RP_CURVE_OUTS,
+    k: int = RP_CURVE_K,
+    query_pred: str = RP_CURVE_PRED,
+) -> str:
+    """Twin: per width, the VALUES-literal matrix + exact integer
+    projection folded to an ordered double list, DuckDB's cosine on
+    the same doubles, same rank/tie-break, same hit fold."""
+    ctes, arms = [], []
+    for out in outs:
+        signs = _rp_signs(64, out)
+        rows = ", ".join(
+            f"({d}, {c}, {int(signs[d, c])})"
+            for d in range(64)
+            for c in range(out)
+        )
+        ctes.append(f"""m{out}(dim, comp, s) AS (VALUES {rows}),
+    p{out} AS (
+        SELECT e.vec_id,
+               list(CAST(sum_v AS DOUBLE) ORDER BY comp) AS p
+        FROM (
+            SELECT e.vec_id, m.comp,
+                   CAST(sum(m.s * e.qv) AS BIGINT) AS sum_v
+            FROM el e JOIN m{out} m ON e.dim = m.dim
+            GROUP BY e.vec_id, m.comp
+        ) e GROUP BY e.vec_id
+    ),
+    pr{out} AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.p, c.p), 6) AS sim
+        FROM (SELECT * FROM p{out} WHERE {query_pred}) q
+        JOIN p{out} c ON q.vec_id <> c.vec_id
+    ),
+    ap{out} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC
+                   ) AS rnk
+            FROM pr{out}
+        ) WHERE rnk <= {k}
+    )""")
+        arms.append(f"""
+    SELECT CAST({out} AS BIGINT) AS out_dim,
+           (SELECT CAST(count(DISTINCT query_id) AS BIGINT) FROM ap{out})
+               AS n_queries,
+           CAST(coalesce(sum(CASE WHEN t.query_id IS NOT NULL
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+           CAST(floor(coalesce(sum(CASE WHEN t.query_id IS NOT NULL
+                               THEN 1 ELSE 0 END), 0) * 10000.0
+                / ((SELECT count(DISTINCT query_id) FROM ap{out}) * {k})
+                + 0.5) AS BIGINT) AS recall_bp
+    FROM ap{out} a
+    LEFT JOIN truth t
+      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id""")
+    chain = ",\n    ".join(ctes)
+    union = "\n    UNION ALL\n    ".join(arms)
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    el AS (
+        SELECT vec_id, t.i - 1 AS dim,
+               CAST(floor(embedding[t.i]::DOUBLE * 1e9) AS BIGINT) AS qv
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    tp AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.e, c.e), 6) AS sim
+        FROM (SELECT * FROM v WHERE {query_pred}) q
+        JOIN v c ON q.vec_id <> c.vec_id
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY sim DESC, neighbor_id ASC
+                   ) AS rnk
+            FROM tp
+        ) WHERE rnk <= {k}
+    ),
+    {chain}
+    {union}
+    ORDER BY out_dim
+    """
