@@ -228,6 +228,9 @@ NESTED_LOOP_OK = {
     "perplexity_band_prune",
     # ONE-ROW smoothed-mass normalizer broadcast onto the vocabulary
     "negative_sampling_table",
+    # inherits brute_topk's broadcast fixed-query panel, once per
+    # projection width (the ann_brute designed class)
+    "ann_recall_vs_dim",
 }
 
 
