@@ -517,3 +517,73 @@ def test_ann_recall_vs_dim_monotone_and_bounded(tables):
     # for coarse bucketing, not fine ranking)
     n = tables["embeddings"].count()
     assert out[dims[-1]]["recall_bp"] > 2 * (10000 * 5 // max(n - 1, 1))
+
+
+# ---------------------------------------------------------------------------
+# hypothesis differential: W1 vs a brute-force python reference
+# ---------------------------------------------------------------------------
+
+
+def _w1_reference(rows):
+    """Brute-force 1-Wasserstein per source vs the corpus, by direct
+    CDF-area integration over the sorted support."""
+    from collections import Counter, defaultdict
+
+    per_src = defaultdict(Counter)
+    total = Counter()
+    for _doc, x, s in rows:
+        per_src[s][x] += 1
+        total[x] += 1
+    xs = sorted(total)
+    n = sum(total.values())
+    out = {}
+    for s, cnt in per_src.items():
+        n_s = sum(cnt.values())
+        area = 0.0
+        cum_s = cum_t = 0
+        for x, nxt in zip(xs, xs[1:]):
+            cum_s += cnt.get(x, 0)
+            cum_t += total[x]
+            area += abs(cum_s / n_s - cum_t / n) * (nxt - x)
+        out[s] = round(area, 6)
+    return out
+
+
+def test_wasserstein_hypothesis_differential(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from training_etl_demo_2_spark.operators import validation
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=200),  # n_chars
+                st.sampled_from(["sa", "sb", "sc"]),
+            ),
+            min_size=2,
+            max_size=40,
+        )
+    )
+    def check(items):
+        rows = [(i, x, s) for i, (x, s) in enumerate(items)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, n_chars long, source string"
+        )
+        got = {
+            r["source"]: r["w1_chars_r6"]
+            for r in validation.wasserstein_length_by_source(
+                {"documents": df}
+            ).collect()
+        }
+        want = _w1_reference(rows)
+        assert set(got) == set(want)
+        for s in want:
+            assert abs(got[s] - want[s]) <= 1e-6, (s, got[s], want[s])
+
+    check()
