@@ -1209,6 +1209,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_vs_dim": _q(
             lambda t: similarity.ann_recall_vs_dim(t["embeddings"])
         ),
+        # multi-probe LSH radius curve: candidate volume + recall per
+        # probe radius from ONE persisted bucket relation
+        "lsh_probe_curve": _q(
+            lambda t: similarity.lsh_probe_curve(t["embeddings"])
+        ),
     }
 
 
@@ -2205,4 +2210,5 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip": _io.orc_roundtrip_summary_sql(),
         "xml_roundtrip": relational_ext.xml_roundtrip_stats_sql(),
         "ann_recall_vs_dim": similarity.ann_recall_vs_dim_sql(),
+        "lsh_probe_curve": similarity.lsh_probe_curve_sql(),
     }

@@ -231,6 +231,9 @@ NESTED_LOOP_OK = {
     # inherits brute_topk's broadcast fixed-query panel, once per
     # projection width (the ann_brute designed class)
     "ann_recall_vs_dim",
+    # brute truth panel + broadcast query vectors onto bucket-keyed
+    # candidates (the lsh_topk + ann_brute designed classes)
+    "lsh_probe_curve",
 }
 
 

@@ -587,3 +587,20 @@ def test_wasserstein_hypothesis_differential(spark):
             assert abs(got[s] - want[s]) <= 1e-6, (s, got[s], want[s])
 
     check()
+
+
+def test_lsh_probe_curve_monotone(tables):
+    """More probes can only ADD candidates, so candidate volume and
+    recall are non-decreasing in the radius; radius 1 must match the
+    production lsh_topk (multiprobe=True) recall shape."""
+    from training_etl_demo_2_spark.operators import similarity
+
+    out = {r["radius"]: r for r in similarity.lsh_probe_curve(
+        tables["embeddings"]
+    ).collect()}
+    radii = sorted(out)
+    assert [out[r]["n_probes_per_table"] for r in radii] == [1, 6, 16]
+    for a, b in zip(radii, radii[1:]):
+        assert out[a]["n_candidates"] <= out[b]["n_candidates"]
+        assert out[a]["recall_bp"] <= out[b]["recall_bp"]
+    assert out[radii[-1]]["recall_bp"] >= 9000  # radius 2 is near-exact

@@ -3916,3 +3916,215 @@ def ann_recall_vs_dim_sql(
     {union}
     ORDER BY out_dim
     """
+
+
+# ---------------------------------------------------------------------------
+# multi-probe LSH radius curve (round 8)
+# ---------------------------------------------------------------------------
+
+LSH_PROBE_RADII = (0, 1, 2)
+
+
+def _probe_masks(radius: int, nbits: int = LSH_NBITS) -> list[int]:
+    """XOR masks for all buckets within hamming ``radius`` of the
+    query bucket (popcount(mask) <= radius), ascending for determinism."""
+    return sorted(m for m in range(1 << nbits) if bin(m).count("1") <= radius)
+
+
+def lsh_probe_curve(
+    emb: DataFrame,
+    radii: tuple[int, ...] = LSH_PROBE_RADII,
+    k: int = 5,
+    query_pred: str = "vec_id < 20",
+    dim: int = 64,
+) -> DataFrame:
+    """The probe-budget OPERATING CURVE for multi-probe LSH (Lv et al.
+    2007) — the LSH sibling of ``ivf_nprobe_curve``: per probe radius
+    r ∈ {0 = single-probe, 1 = the production default, 2}, the
+    candidate volume actually paid and the top-k recall against the
+    exact brute-force truth. The radius is THE accuracy/cost knob of
+    the index; this measures both sides of the trade on your corpus.
+
+    Shared work: ONE persisted bucket relation (the hyperplane pass —
+    the dominant map cost — runs once, not |radii| times) and ONE
+    brute-force truth pass; each arm differs only in the query-side
+    probe explode (1, nbits+1, then +C(nbits,2) probes per table —
+    the corpus-side index is untouched at every radius, so candidate
+    cost is query-side-linear by construction).
+
+    Output: (radius, n_probes_per_table, n_candidates, recall_bp).
+    """
+    from ..functions import cosine
+
+    buckets = lsh_buckets(emb, dim).transform(tracked_persist)
+    truth = brute_topk(emb, k, query_pred).select(
+        "query_id", "neighbor_id", F.lit(1).alias("in_truth")
+    )
+    q_base = buckets.join(
+        emb.filter(query_pred).select("vec_id"), "vec_id", "semi"
+    ).select(F.col("vec_id").alias("query_id"), "table", "bucket")
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    cv = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    n_q = F.count_distinct("query_id")
+
+    arms = []
+    for r in radii:
+        masks = _probe_masks(r)
+        probes = F.array(
+            *[F.col("bucket").bitwiseXOR(F.lit(m)).cast("long") for m in masks]
+        )
+        qb = q_base.select(
+            "query_id", "table", F.explode(probes).alias("bucket")
+        )
+        cand = (
+            qb.join(
+                buckets.select(
+                    F.col("vec_id").alias("neighbor_id"), "table", "bucket"
+                ),
+                ["table", "bucket"],
+            )
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        pairs = (
+            cand.join(F.broadcast(qv), "query_id")
+            .join(cv, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine(F.col("q_emb"), F.col("c_emb")), ROUND).alias(
+                    "sim"
+                ),
+            )
+        )
+        topk = _ranked_topk(pairs, k)
+        scored = topk.join(truth, ["query_id", "neighbor_id"], "left")
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("nc")
+        )
+        arms.append(
+            scored.agg(
+                F.lit(int(r)).cast("long").alias("radius"),
+                F.lit(len(masks)).cast("long").alias("n_probes_per_table"),
+                F.sum(F.coalesce(F.col("in_truth"), F.lit(0)))
+                .cast("long")
+                .alias("hits"),
+                F.floor(
+                    F.sum(F.coalesce(F.col("in_truth"), F.lit(0)))
+                    * 10000.0
+                    / (n_q * k)
+                    + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("recall_bp"),
+            ).crossJoin(F.broadcast(n_cand)).select(
+                "radius",
+                "n_probes_per_table",
+                F.col("nc").alias("n_candidates"),
+                "hits",
+                "recall_bp",
+            )
+        )
+    res = arms[0]
+    for a in arms[1:]:
+        res = res.unionByName(a)
+    return res.orderBy("radius")
+
+
+def lsh_probe_curve_sql(
+    radii: tuple[int, ...] = LSH_PROBE_RADII,
+    k: int = 5,
+    query_pred: str = "vec_id < 20",
+    dim: int = 64,
+) -> str:
+    """Twin: shared plane-literal bucket CTE + brute truth, one probe
+    list per radius, same rank/tie-break and folds."""
+    planes = _planes(dim)
+    rows = []
+    for t in range(LSH_TABLES):
+        for b in range(LSH_NBITS):
+            vec = ", ".join(repr(float(x)) for x in planes[t, b])
+            rows.append(f"({t}, {b}, [{vec}]::DOUBLE[])")
+    plane_values = ",\n        ".join(rows)
+    ctes, arms = [], []
+    for r in radii:
+        masks = _probe_masks(r)
+        probes = ", ".join(f"xor(b.bucket, {m})" for m in masks)
+        ctes.append(f"""qb{r} AS (
+        SELECT b.vec_id AS query_id, b.tbl, pr.bucket
+        FROM buckets b, unnest([{probes}]) AS pr(bucket)
+        WHERE b.vec_id IN (SELECT vec_id FROM v WHERE {query_pred})
+    ),
+    cand{r} AS (
+        SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+        FROM qb{r} q JOIN buckets c
+          ON c.tbl = q.tbl AND c.bucket = q.bucket
+        WHERE c.vec_id <> q.query_id
+    ),
+    top{r} AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, p.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY round(list_cosine_similarity(qe.e, ce.e),
+                                      6) DESC,
+                                p.neighbor_id ASC
+                   ) AS rnk
+            FROM cand{r} p
+            JOIN v qe ON qe.vec_id = p.query_id
+            JOIN v ce ON ce.vec_id = p.neighbor_id
+        ) WHERE rnk <= {k}
+    )""")
+        arms.append(f"""
+    SELECT CAST({r} AS BIGINT) AS radius,
+           CAST({len(masks)} AS BIGINT) AS n_probes_per_table,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand{r}) AS n_candidates,
+           CAST(coalesce(sum(CASE WHEN t.query_id IS NOT NULL
+                             THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits,
+           CAST(floor(coalesce(sum(CASE WHEN t.query_id IS NOT NULL
+                               THEN 1 ELSE 0 END), 0) * 10000.0
+                / ((SELECT count(DISTINCT query_id) FROM top{r}) * {k})
+                + 0.5) AS BIGINT) AS recall_bp
+    FROM top{r} a
+    LEFT JOIN truth t
+      ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id""")
+    chain = ",\n    ".join(ctes)
+    union = "\n    UNION ALL\n    ".join(arms)
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    planes(tbl, bit, p) AS (VALUES
+        {plane_values}
+    ),
+    buckets AS (
+        SELECT v.vec_id, pl.tbl,
+               CAST(sum(CASE WHEN list_dot_product(v.e, pl.p) > 0
+                             THEN (1::BIGINT << pl.bit) ELSE 0 END)
+                    AS BIGINT) AS bucket
+        FROM v CROSS JOIN planes pl
+        GROUP BY v.vec_id, pl.tbl
+    ),
+    tp AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.e, c.e), 6) AS sim
+        FROM (SELECT * FROM v WHERE {query_pred}) q
+        JOIN v c ON q.vec_id <> c.vec_id
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY sim DESC,
+                                neighbor_id ASC
+                   ) AS rnk
+            FROM tp
+        ) WHERE rnk <= {k}
+    ),
+    {chain}
+    {union}
+    ORDER BY radius
+    """
