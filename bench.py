@@ -249,8 +249,16 @@ def main() -> None:
             stamp = max(before, calib())
             if stamp < calibs[nm] or (is_regressed(nm) and dt < timings[nm]):
                 # keep the cleaner/faster measurement: a transient spike
-                # re-times away; a genuine regression reproduces
-                timings[nm] = dt if stamp < calibs[nm] else min(dt, timings[nm])
+                # re-times away; a genuine regression reproduces. When
+                # BOTH stamps are clean, keep the min — a cleaner stamp
+                # must never overwrite an earlier, faster clean time.
+                both_clean = (
+                    stamp <= calib_thresh and calibs[nm] <= calib_thresh
+                )
+                if stamp < calibs[nm] and not both_clean:
+                    timings[nm] = dt
+                else:
+                    timings[nm] = min(dt, timings[nm])
                 calibs[nm] = min(stamp, calibs[nm])
 
     regressions = adjudicate_regressions(

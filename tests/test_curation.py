@@ -279,6 +279,44 @@ def test_curriculum_phases_balanced_and_ordered(tables):
     assert p1_min >= p4_max
 
 
+def test_curriculum_phases_stable_under_repartitioning(spark, tables):
+    """Round-9 re-base proof: the distributed exact-rank ntile must
+    assign IDENTICAL phases regardless of the input's physical layout
+    — the classic failure of a re-based ntile is ties straddling range
+    partitions. The rounded-6 score + doc_id tiebreak makes the order
+    total, so the (doc_id -> phase) map must be bit-stable under any
+    repartitioning, and must equal the single-task ntile reference.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from training_etl_demo_2_spark.operators.curation import (
+        curriculum_phases,
+    )
+    from training_etl_demo_2_spark.operators.text import unigram_logprob
+
+    docs = tables["documents"]
+    base = {
+        r.doc_id: r.phase for r in curriculum_phases(docs).collect()
+    }
+    for layout in (docs.repartition(7), docs.repartition(3, "lang"),
+                   docs.coalesce(1)):
+        got = {
+            r.doc_id: r.phase
+            for r in curriculum_phases(layout).collect()
+        }
+        assert got == base
+    # reference: the single-task global ntile the operator replaced
+    w = Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    ref = {
+        r.doc_id: r.phase
+        for r in unigram_logprob(docs)
+        .select("doc_id", F.ntile(4).over(w).alias("phase"))
+        .collect()
+    }
+    assert base == ref
+
+
 def test_soft_quality_sample_rate_tracks_score(tables):
     """Keep rate over the corpus ≈ mean quality prob (probability-
     proportional), deterministic per seed, different across seeds."""

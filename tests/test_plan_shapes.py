@@ -94,6 +94,10 @@ NESTED_LOOP_OK = {
     "bigram_kn_logprob",
     # ONE-ROW observation-edge broadcast (the decay anchor)
     "decayed_engagement",
+    # ONE-ROW recency-anchor (max order date) broadcast — round 9
+    # replaced an unpartitioned max() WINDOW over the customer-sized
+    # relation with this scalar-subquery crossJoin
+    "rfm_segments",
     # distinct-values × |sources| KS evaluation grid — METADATA ×
     # METADATA (bounded statistic domain × bounded source registry)
     "ks_drift_by_source",
@@ -244,13 +248,18 @@ def _plan(df) -> str:
 
 
 @pytest.fixture(scope="module")
-def plans(spark, sf_dir):
+def query_dfs(spark, sf_dir):
     out = {}
     for name, fn in entrymod.queries().items():
         if name in STREAMING:
             continue
-        out[name] = _plan(fn(spark, sf_dir))
+        out[name] = fn(spark, sf_dir)
     return out
+
+
+@pytest.fixture(scope="module")
+def plans(query_dfs):
+    return {name: _plan(df) for name, df in query_dfs.items()}
 
 
 def test_no_cartesian_product_anywhere(plans):
@@ -365,3 +374,121 @@ def test_quantization_curve_plan_stays_collapsed(plans):
     transforms = p.count("transform(")
     assert folds == 12, f"fold chain re-inlined: {folds} aggregate() nodes"
     assert transforms == 3, f"dequant transform duplicated: {transforms}"
+
+
+# Queries allowed to feed an Exchange SinglePartition into a Sort /
+# Window node — each sorts METADATA-sized relations only (calendar
+# series, source/type registries, fixed bucket grids, B-row bootstrap
+# replicates), never a data-sized relation. Same rationale-carrying
+# style as NESTED_LOOP_OK: a new entry here needs a written reason.
+# (This assertion exists because curriculum_phases shipped a
+# single-task global ntile over the whole corpus for eight rounds
+# before a manual plan read caught it.)
+SINGLE_PARTITION_WINDOW_OK = {
+    # calendar-day series (|days| rows, data-size invariant)
+    "daily_revenue_trend": "calendar-day revenue series",
+    "revenue_trailing_7d": "calendar-day series",
+    "cusum_changepoint": "calendar-day series",
+    "conformal_revenue_interval": "calendar-day series (5 windows)",
+    # registry / group-count relations (|sources|, |langs|, |nations|)
+    "corpus_mix": "min-over-window on the |groups|-row count relation",
+    "js_divergence_by_source": "|sources|-row totals window",
+    "jackknife_source_mean": "|sources|-row leave-one-out relation",
+    "stratified_kfold": "|langs|-row stratum-offset prefix sum",
+    "revenue_pareto_cumshare": "|nations|-row cumulative share",
+    "anova_bartlett_sources": "|sources|-row group stats",
+    "budget_waterfill_plan": "|sources|-row water-filling relation",
+    "wasserstein_length_by_source": "distinct-length value domain grid",
+    "fdr_bh_source_tests": "|sources|-row BH step-up + source-rank",
+    "transition_entropy": "event-type-registry rows",
+    "mutual_info_lang_source": "lang x source marginal grids",
+    "dp_noisy_counts": "lang x source cell grid",
+    "t_closeness_audit": "value-domain bin grid",
+    # fixed bucket / bin grids (size chosen at query-authoring time)
+    "corpus_shuffle": "prefix-sum over the <=256-row bucket counts",
+    "watermark_lateness_audit": "fixed lateness-bucket grid",
+    "pareto_skyline": "fixed bucket grid",
+    "benford_digit_audit": "9 leading-digit rows",
+    "isotonic_calibration": "B-bin (32) interval relation",
+    "gini_split_stump": "value-domain split-candidate bins",
+    "ngram_novelty_curve": "fixed bucket grid",
+    "normalization_dup_gain": "tier metadata rows",
+    # bounded statistic domains
+    "bootstrap_mean_ci": "B-row bootstrap-replicate relation",
+    "ab_uplift_bootstrap_ci": "B-row bootstrap-replicate relation",
+    "ab_test_zscore": "per-arm totals (2 rows)",
+    "rbo_rank_compare": "k-row depth relation",
+    "kaplan_meier_churn": "distinct whole-day durations (calendar-bounded)",
+    "nelson_aalen_churn": "distinct whole-day durations",
+    "file_compaction_plan": "file-registry metadata rows",
+}
+
+
+def _tree_depth(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def _single_partition_sort_window_nodes(plan: str) -> list[str]:
+    """Parent nodes of every `Exchange SinglePartition` in a physical
+    plan tree string, filtered to Sort / Window / WindowGroupLimit —
+    the shape that funnels a whole relation through one task."""
+    lines = plan.splitlines()
+    hits = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = _tree_depth(line)
+        for j in range(i - 1, -1, -1):
+            if _tree_depth(lines[j]) < d:
+                parent = lines[j].strip(" :+-")
+                if parent.startswith("*("):  # codegen stage marker
+                    parent = parent.split(") ", 1)[1]
+                if parent.startswith(
+                    ("Sort ", "Sort[", "Window ", "Window[",
+                     "WindowGroupLimit")
+                ):
+                    hits.append(parent[:80])
+                break
+    return hits
+
+
+@pytest.fixture(scope="module")
+def physical_plans(query_dfs):
+    return {
+        name: df._jdf.queryExecution().executedPlan().toString()
+        for name, df in query_dfs.items()
+    }
+
+
+def test_no_single_partition_window_sorts(physical_plans):
+    """No query may sort a data-sized relation through ONE task: an
+    `Exchange SinglePartition` feeding Sort/Window is only legal over
+    metadata-sized relations, declared (with rationale) above."""
+    offenders = {
+        n: nodes
+        for n, p in physical_plans.items()
+        if n not in SINGLE_PARTITION_WINDOW_OK
+        and (nodes := _single_partition_sort_window_nodes(p))
+    }
+    assert not offenders, (
+        "undeclared single-partition Sort/Window (use "
+        "distrank.with_global_order or a 1-row broadcast aggregate, "
+        f"or allowlist with rationale): {offenders}"
+    )
+
+
+def test_single_partition_detector_catches_global_ntile(spark, tables):
+    """The detector itself must flag the exact shape that shipped
+    silently for eight rounds: ntile over an un-partitioned window
+    (Exchange SinglePartition -> Sort -> Window)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = tables["customer"].select("c_custkey", "c_acctbal")
+    out = df.withColumn(
+        "q", F.ntile(4).over(Window.orderBy("c_acctbal"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert _single_partition_sort_window_nodes(plan), (
+        "detector missed a global-window ntile"
+    )

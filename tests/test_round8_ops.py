@@ -277,7 +277,6 @@ def test_stream_near_dup_equals_batch_incremental(spark, sf_dir):
     from training_etl_demo_2_spark.operators import dedup
     from training_etl_demo_2_spark.streaming import fixture_queries
 
-    docs = tables_docs = None
     from training_etl_demo_2_spark.io import load_tables
 
     docs = load_tables(spark, sf_dir)["documents"]

@@ -281,16 +281,30 @@ def build_replicated_dir(spark, sf_dir: str, n_rep: int, out_dir: str) -> str:
     return out_dir
 
 
-def _time_query(spark, fn, sf_dir: str, runs: int = 2) -> float:
+def _time_query(
+    spark, fn, sf_dir: str, runs: int = 2, partitions: int | None = None
+) -> float:
     """min-of-N wall seconds for one registered query (min damps
-    shared-host contention spikes; cache cleared between runs)."""
-    best = float("inf")
-    for _ in range(runs):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir)
-        best = min(best, time.perf_counter() - t0)
-        spark.catalog.clearCache()
-    return best
+    shared-host contention spikes; cache cleared between runs).
+    ``partitions`` applies the data-sized shuffle-partition rule
+    (session.sized_shuffle_partitions) for the duration of the timing —
+    the harness mirrors what a real cluster does (parallelism grows
+    with data) instead of holding the 1× local setting while the corpus
+    grows two decades; the original setting is restored afterwards."""
+    key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(key)
+    if partitions is not None:
+        spark.conf.set(key, str(partitions))
+    try:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir)
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        return best
+    finally:
+        spark.conf.set(key, prior)
 
 
 def measure(
@@ -341,13 +355,45 @@ def measure(
         if midpoints
         else None
     )
+    # Per-decade factor at MATCHED (data-sized) partitions: when the
+    # run spans two decades (n_rep >= 100), time a decade arm at
+    # n_rep/10 too — the knee_factor inflates in fixed-cost-dominated
+    # (1x, 3x) regimes (SCALING.md, tfidf), so every two-decade row
+    # carries ratio_decade2 = t_R / t_(R/10) to be read beside it.
+    decade_r = n_rep // 10 if n_rep >= 100 else None
+    dirD = (
+        build_replicated_dir(
+            spark, base_dir, decade_r, os.path.join(work_dir, f"x{decade_r}")
+        )
+        if decade_r
+        else None
+    )
+
+    # the data-sized shuffle-partition rule, per arm (SCALING.md:
+    # 512 at 100x over sf0.1 is the measured tfidf knee cure; the
+    # 1x/bench arms stay at the core-count floor)
+    from training_etl_demo_2_spark.session import (
+        dir_input_bytes,
+        sized_shuffle_partitions,
+    )
+
+    p1 = sized_shuffle_partitions(dir_input_bytes(dir1))
+    pR = sized_shuffle_partitions(dir_input_bytes(dirR))
+    pM = sized_shuffle_partitions(dir_input_bytes(dirM)) if dirM else None
+    pD = sized_shuffle_partitions(dir_input_bytes(dirD)) if dirD else None
+    print(
+        f"  shuffle partitions: 1x={p1} "
+        + (f"{decade_r}x={pD} " if decade_r else "")
+        + f"{n_rep}x={pR}",
+        flush=True,
+    )
 
     bound = n_rep**BOUND_EXP
     table = {}
     for name, (predicted, why) in (families or FAMILIES).items():
         fn = lambda s, d, _f=qs[name]: _f(s, d).count()
-        t1 = _time_query(spark, fn, dir1)
-        tR = _time_query(spark, fn, dirR)
+        t1 = _time_query(spark, fn, dir1, partitions=p1)
+        tR = _time_query(spark, fn, dirR, partitions=pR)
         ratio = tR / max(t1, 1e-9)
         table[name] = {
             "t_1x_s": round(t1, 3),
@@ -358,8 +404,16 @@ def measure(
             "predicted": predicted,
             "why": why,
         }
+        if decade_r:
+            tD = _time_query(spark, fn, dirD, partitions=pD)
+            table[name].update(
+                {
+                    f"t_{decade_r}x_s": round(tD, 3),
+                    "ratio_decade2": round(tR / max(tD, 1e-9), 2),
+                }
+            )
         if name in midpoints:
-            tM = _time_query(spark, fn, dirM)
+            tM = _time_query(spark, fn, dirM, partitions=pM)
             # linear model through (1, t1) and (MIDPOINT_R, tM):
             # t = a + b·R; the knee factor is measured-10x over the
             # line's prediction — ~1 means fixed-cost dilution, >>1
@@ -389,6 +443,11 @@ def measure(
         "n_rep": n_rep,
         "base_dir": base_dir,
         "bound_exponent": BOUND_EXP,
+        "shuffle_partitions": {
+            "1x": p1,
+            f"{n_rep}x": pR,
+            **({f"{decade_r}x": pD} if decade_r else {}),
+        },
         "candidate_pairs_1x": c1,
         f"candidate_pairs_{n_rep}x": cR,
         "candidate_growth": round(cR / max(c1, 1), 2),

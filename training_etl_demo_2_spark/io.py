@@ -549,8 +549,13 @@ def orc_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions import FNV_MOD, rolling_hash
 
     docs = load_tables(spark, sf_dir)["documents"]
+    # key the dir by applicationId too: two concurrent sessions on the
+    # same fixture (bench sweep + pytest) must never overwrite a
+    # round-trip directory the other is mid-read on
     out_dir = os.path.join(
-        ORC_ROUNDTRIP_DIR, os.path.basename(sf_dir.rstrip("/"))
+        ORC_ROUNDTRIP_DIR,
+        spark.sparkContext.applicationId,
+        os.path.basename(sf_dir.rstrip("/")),
     )
     docs.write.mode("overwrite").orc(out_dir)
     back = spark.read.orc(out_dir)

@@ -1439,8 +1439,7 @@ def rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
     from .distrank import with_global_order
 
     o = t["orders"]
-    w_all = Window.partitionBy()
-    per = (
+    grouped = (
         o.select(
             "o_custkey",
             F.date_trunc("day", "o_orderdate").alias("od"),
@@ -1454,7 +1453,13 @@ def rfm_segments(t: dict[str, DataFrame]) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("freq"),
             F.sum("cents").cast("long").alias("monetary_c"),
         )
-        .withColumn("anchor", F.max("last_od").over(w_all))
+    )
+    # the recency anchor is a ONE-ROW max broadcast (scalar-subquery
+    # class) — an unpartitioned max(...) WINDOW here would funnel the
+    # whole customer-sized relation through one task
+    anchor = grouped.agg(F.max("last_od").alias("anchor"))
+    per = (
+        grouped.crossJoin(F.broadcast(anchor))
         .select(
             "custkey",
             F.datediff("anchor", "last_od").cast("long").alias("rec_days"),

@@ -970,21 +970,46 @@ def curriculum_phases(
     into ``phases`` equal ntiles. Training consumes phase 1 first.
 
     Ordering uses the ROUNDED score with doc_id tiebreak, so phases
-    are engine-identical. The fixture-scale ntile is one global
-    window; at 100 TB swap it for the range-partitioned exact-rank
-    pattern (`corpus_shuffle`) — the phase rule (rank * phases / n)
-    is unchanged.
+    are engine-identical. The cut is an EXACT DISTRIBUTED ntile:
+    ``ntile(p) OVER (ORDER BY ...)`` would force the whole corpus
+    through one unpartitioned-window task, so the global rank comes
+    from ``distrank.with_global_order`` (range repartition on the
+    order key → per-partition row_number offset by P integers of
+    partition metadata — the ``customer_value_deciles`` /
+    ``perplexity_band_prune`` pattern) and the phase is ntile's
+    uneven-division rule as integer arithmetic on that rank: the
+    first ``n % p`` tiles take ``n//p + 1`` rows, the rest ``n//p``
+    — bit-identical to the SQL oracle's ``ntile(p)``.
     """
     from .text import unigram_logprob
+    from . import distrank
 
-    scored = unigram_logprob(df)
-    from pyspark.sql.window import Window
+    scored = unigram_logprob(df).select("doc_id", "avg_logprob")
+    ranked, n, _ = distrank.with_global_order(
+        scored, [F.desc("avg_logprob"), F.asc("doc_id")]
+    )
+    if ranked is None:
+        return scored.select(
+            "doc_id", "avg_logprob", F.lit(0).cast("int").alias("phase")
+        )
+    base, rem = divmod(n, phases)
+    cut = rem * (base + 1)
+    r = F.col("grank")
 
-    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id").asc())
-    return scored.select(
-        "doc_id",
-        "avg_logprob",
-        F.ntile(phases).over(w).cast("int").alias("phase"),
+    def _idiv(col, m: int):
+        # exact integer division on long columns (no double quotient)
+        return ((col - col % m) / m).cast("long")
+
+    if base == 0:
+        ph = r + 1  # n < phases: first n tiles of size 1
+    else:
+        ph = (
+            F.when(r < cut, _idiv(r, base + 1))
+            .otherwise(rem + _idiv(r - cut, base))
+            + 1
+        )
+    return ranked.select(
+        "doc_id", "avg_logprob", ph.cast("int").alias("phase")
     )
 
 

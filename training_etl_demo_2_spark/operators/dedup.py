@@ -2624,18 +2624,30 @@ def snm_fuzzy_pairs(
 
     Scale shape: runs on the distinct value domain (vocabulary-sized —
     the same ER reduction as fuzzy_name_pairs, collapsing 100 TB of
-    rows first), globally sorted once; the neighbor join is an
-    equi-ish join on rank distance ∈ [1, window-1] (each side
-    explodes the bounded window, never |names|²). At domains too big
-    for one sort task, range-partition by prefix and window within
-    partitions (boundary pairs via a prefix-overlap pass).
+    rows first). The global sort rank comes from
+    ``distrank.with_global_order`` (range repartition + per-partition
+    row_number offset by partition-count metadata), NOT a
+    single-task ``row_number() OVER (ORDER BY name)`` window — the
+    rank is exact and global, so the neighbor join needs no separate
+    boundary-pair pass: a pair straddling two range partitions still
+    meets through the rank equi-join. The join itself is an equi-join
+    on rank distance ∈ [1, window-1] (each side explodes the bounded
+    window, never |names|²).
 
     Output: (name_a, name_b, rank_gap, dist), name_a < name_b by sort
     order (= lexicographic, since the sort key is the name itself).
     """
+    from .distrank import with_global_order
+
     names = t[table].select(F.col(col).alias("name")).distinct()
-    w = Window.orderBy("name")
-    ranked = names.withColumn("rn", F.row_number().over(w))
+    granked, n_names, _ = with_global_order(names, ["name"])
+    if granked is None:
+        return names.sparkSession.createDataFrame(
+            [], "name_a string, name_b string, rank_gap long, dist long"
+        )
+    ranked = granked.select(
+        "name", (F.col("grank") + 1).cast("int").alias("rn")
+    )
     offsets = F.explode(
         F.sequence(F.lit(1), F.lit(window - 1))
     ).alias("off")

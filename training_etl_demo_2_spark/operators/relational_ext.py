@@ -416,8 +416,11 @@ def q11_important_parts(
 
 def q15_top_suppliers(t: dict[str, DataFrame]) -> DataFrame:
     """TPC-H Q15 shape: suppliers achieving the MAX quarterly revenue —
-    max-over-aggregate via a rank window (keeps ties, unlike a LIMIT),
-    the decorrelated form of ``WHERE rev = (SELECT max(rev) ...)``."""
+    max-over-aggregate, the decorrelated form of ``WHERE rev =
+    (SELECT max(rev) ...)``: the max rides in as a ONE-ROW broadcast
+    aggregate equi-joined back (keeps ties, unlike a LIMIT). A
+    ``rank() OVER (ORDER BY rev)`` window would sort the whole
+    per-supplier relation through one task for the same answer."""
     li, s = t["lineitem"], t["supplier"]
     term_t4 = F.floor(
         F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
@@ -430,8 +433,8 @@ def q15_top_suppliers(t: dict[str, DataFrame]) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(term_t4).alias("rev_t4"))
     )
-    w = Window.orderBy(F.desc("rev_t4"))
-    top = rev.withColumn("rnk", F.rank().over(w)).filter(F.col("rnk") == 1)
+    mx = rev.agg(F.max("rev_t4").alias("rev_t4"))
+    top = rev.join(F.broadcast(mx), "rev_t4")
     return (
         s.join(F.broadcast(top), F.col("s_suppkey") == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", (F.col("rev_t4") / 10000.0).alias("revenue"))

@@ -317,14 +317,15 @@ def vocab_coverage_curve(
     Physical shape: one corpus pass to the (term, cnt) vocabulary
     relation, a broadcast join against the tiny k-list, and a k-keyed
     aggregate; the corpus total rides in as a broadcast 1-row
-    aggregate. The rank window sorts only the VOCABULARY relation —
-    fine to ~1e8 distinct terms; past that swap the global window for
-    a range-partitioned rank (the curriculum_phases swap) or cut the
-    curve at a count threshold instead of a rank.
+    aggregate. The vocabulary rank is the exact DISTRIBUTED rank
+    (``distrank.with_global_order``: range repartition + per-partition
+    row_number + partition-count metadata offsets) — a global
+    ``row_number() OVER (ORDER BY cnt DESC)`` window would funnel the
+    whole vocabulary relation through one task.
 
     Output: (k, n_terms, covered_tokens, coverage_bp).
     """
-    from pyspark.sql import Window
+    from .distrank import with_global_order
 
     tf = (
         df.select(F.explode(_tokens(text_col)).alias("term"))
@@ -333,10 +334,12 @@ def vocab_coverage_curve(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
     tot = tf.agg(F.sum("cnt").cast("long").alias("total"))
-    ranked = tf.withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("term"))),
-    )
+    granked, _n, _ = with_global_order(tf, [F.desc("cnt"), F.asc("term")])
+    if granked is None:
+        return df.sparkSession.createDataFrame(
+            [], "k long, n_terms long, covered_tokens long, coverage_bp long"
+        )
+    ranked = granked.withColumn("rk", (F.col("grank") + 1).cast("int"))
     k_list = df.sparkSession.createDataFrame([(k,) for k in ks], "k long")
     return (
         ranked.join(F.broadcast(k_list), F.col("rk") <= F.col("k"))

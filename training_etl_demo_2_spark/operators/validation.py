@@ -4483,9 +4483,25 @@ def fdr_bh_source_tests(
         F.count(F.lit(1)).cast("long").alias("n"),
     )
     w_src = Window.orderBy("source")
+    # enforce the FDR_MAX_SOURCES stride bound instead of assuming it:
+    # a 65th source would silently collide permutation keys across
+    # documents (correlated permutations) — an error both engines would
+    # agree on, so the oracle gate could never catch the degradation
+    sidx_raw = (F.row_number().over(w_src) - 1).cast("long")
+    sidx_checked = F.when(
+        sidx_raw < F.lit(FDR_MAX_SOURCES), sidx_raw
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "fdr_bh_source_tests: corpus has more than "
+                f"{FDR_MAX_SOURCES} sources; permutation hash keys would "
+                "collide across documents — raise FDR_MAX_SOURCES"
+            )
+        ).cast("long")
+    )
     stats = (
         per_src.crossJoin(F.broadcast(tot))
-        .withColumn("sidx", (F.row_number().over(w_src) - 1).cast("long"))
+        .withColumn("sidx", sidx_checked)
         .withColumn("sb", (F.col("stot") - F.col("sa")).cast("long"))
         .withColumn("nb", (F.col("n") - F.col("na")).cast("long"))
         .select("source", "sidx", "sa", "na", "sb", "nb")

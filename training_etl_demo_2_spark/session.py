@@ -85,3 +85,67 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+# ---------------------------------------------------------------------------
+# shuffle-partition sizing (round 9)
+# ---------------------------------------------------------------------------
+
+# Input bytes each shuffle partition should own. 16 MiB of RAW input ≈
+# 128-256 MiB actually shuffled for the text families (the shingle /
+# posting explode fans raw bytes out ~an order of magnitude), which is
+# the standard per-partition shuffle target. The constant is anchored to
+# a measurement, not a guess: at R=100 over sf0.1 (~6 GB of documents)
+# this rule yields 512 partitions — exactly the setting SCALING.md
+# measured as the knee cure for tfidf_cosine_pairs (312.8 s at 32
+# partitions -> 96.4 s at 512, ratio vs 1x dropping to ~R^0.73) — while
+# at bench scale (~60 MB) it stays at the 32-partition floor, avoiding
+# the measured 1.8x blanket-high-default penalty.
+SHUFFLE_SIZING_BYTES_PER_PARTITION = 16 * 1024 * 1024
+SHUFFLE_SIZING_CAP = 16384
+
+
+def sized_shuffle_partitions(
+    n_input_bytes: int,
+    base: int | None = None,
+    bytes_per_partition: int = SHUFFLE_SIZING_BYTES_PER_PARTITION,
+    cap: int = SHUFFLE_SIZING_CAP,
+) -> int:
+    """``spark.sql.shuffle.partitions`` sized to the DATA — the rule
+    SCALING.md proves in numbers ("size it to the data, not set it
+    high"): per-partition working sets must stay constant as the corpus
+    grows, so the partition count grows with input bytes instead of
+    staying at the local default while data grows two decades.
+
+    Returns the power of two ≥ ``n_input_bytes / bytes_per_partition``,
+    floored at ``base`` (the core count — fewer partitions than cores
+    wastes the cluster) and capped at ``cap`` (a backstop against
+    pathological inputs; at 100 TB the cap is deliberately above the
+    ~800k-task scan so the SHUFFLE stages, which reduce, stay bounded).
+    Power-of-two snapping keeps repeated runs on slightly-different
+    inputs from thrashing between adjacent counts.
+    """
+    import math
+
+    if base is None:
+        base = DEFAULT_CPUS
+    if n_input_bytes <= 0:
+        return base
+    raw = n_input_bytes / bytes_per_partition
+    snapped = 2 ** math.ceil(math.log2(raw)) if raw > 1 else 1
+    return int(min(cap, max(base, snapped)))
+
+
+def dir_input_bytes(path: str) -> int:
+    """Total bytes under ``path`` (an sf_dir of parquet tables) — the
+    input-size estimate ``sized_shuffle_partitions`` consumes. On a
+    real cluster the same number comes from the catalog / object-store
+    listing; locally it is a directory walk."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
