@@ -1214,6 +1214,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_probe_curve": _q(
             lambda t: similarity.lsh_probe_curve(t["embeddings"])
         ),
+        # round 9: C4-style badword blocklist exposure per source
+        "blocklist_hit_report": _q(
+            lambda t: text.blocklist_hit_report(t["documents"])
+        ),
+        # trigram stupid-backoff LM scoring (Brants 2007)
+        "trigram_sb_logprob": _q(
+            lambda t: text.trigram_sb_logprob(t["documents"])
+        ),
+        # DP-style per-user daily contribution capping on events
+        "user_event_cap": _q(behavior.user_event_cap),
+        # centroid-proximity (prototype) quality filter tau-curve,
+        # integer-exact on the quantized lattice
+        "embedding_prototype_filter": _q(
+            lambda t: similarity.embedding_prototype_filter(t["embeddings"])
+        ),        # 3-gate majority-vote quality ensemble with per-source report
+        "quality_ensemble_gate": _q(
+            lambda t: curation.quality_ensemble_gate(t["documents"])
+        ),
+        # streaming blocklist ingest monitor (stateless fold telemetry)
+        "stream_blocklist_gate": fixture_queries.stream_blocklist_gate,
     }
 
 
@@ -2211,4 +2231,14 @@ def oracle_sql() -> dict[str, str]:
         "xml_roundtrip": relational_ext.xml_roundtrip_stats_sql(),
         "ann_recall_vs_dim": similarity.ann_recall_vs_dim_sql(),
         "lsh_probe_curve": similarity.lsh_probe_curve_sql(),
+        "blocklist_hit_report": text.blocklist_hit_report_sql(),
+        "trigram_sb_logprob": text.trigram_sb_logprob_sql(),
+        "user_event_cap": behavior.user_event_cap_sql(),
+        "embedding_prototype_filter": (
+            similarity.embedding_prototype_filter_sql()
+        ),
+        "quality_ensemble_gate": curation.quality_ensemble_gate_sql(),
+        "stream_blocklist_gate": (
+            fixture_queries.stream_blocklist_gate_oracle_sql()
+        ),
     }

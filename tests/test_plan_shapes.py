@@ -98,6 +98,9 @@ NESTED_LOOP_OK = {
     # replaced an unpartitioned max() WINDOW over the customer-sized
     # relation with this scalar-subquery crossJoin
     "rfm_segments",
+    # ONE-ROW corpus-token-total broadcast (the N in the alpha^2 tier),
+    # same designed class as unigram_logprob
+    "trigram_sb_logprob",
     # distinct-values × |sources| KS evaluation grid — METADATA ×
     # METADATA (bounded statistic domain × bounded source registry)
     "ks_drift_by_source",

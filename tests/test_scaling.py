@@ -67,3 +67,60 @@ def test_replicated_dir_is_content_disjoint(spark, tmp_path):
     assert docs.select("text").distinct().count() == docs.count()
     # ids stay unique across replicas
     assert docs.select("doc_id").distinct().count() == docs.count()
+
+
+def test_sized_shuffle_partitions_rule():
+    """The data-sized shuffle-partition rule, pinned to its measured
+    anchors: the R=100 replicated corpus (~450 MB of parquet) must get
+    512 partitions (the SCALING.md tfidf knee cure), bench scale
+    (~17 MB) must stay at the core-count floor (the measured 1.8x
+    blanket-high-default penalty), and the curve is a monotone,
+    power-of-two, capped step function."""
+    from training_etl_demo_2_spark.session import (
+        SHUFFLE_SIZING_CAP,
+        sized_shuffle_partitions,
+    )
+
+    assert sized_shuffle_partitions(450_000_000, base=32) == 512
+    assert sized_shuffle_partitions(17_000_000, base=32) == 32
+    assert sized_shuffle_partitions(0, base=32) == 32
+    assert sized_shuffle_partitions(-5, base=32) == 32
+    prev = 0
+    for b in (1, 10**6, 10**8, 10**10, 10**12, 10**15, 10**18):
+        p = sized_shuffle_partitions(b, base=32)
+        assert p >= 32 and p >= prev
+        assert p & (p - 1) == 0, f"not a power of two: {p}"
+        prev = p
+    assert sized_shuffle_partitions(10**18, base=32) == SHUFFLE_SIZING_CAP
+    # the floor is the caller's core count, not a constant
+    assert sized_shuffle_partitions(1, base=8) == 8
+
+
+def test_r100_committed_rows_decade_ratio_bounded():
+    """Static mirror over the committed R=100 artifact: every family
+    row must carry the per-decade factor ratio_decade2 (t_100x/t_10x at
+    data-sized partitions — the number that must be read beside the
+    knee_factor, which inflates in fixed-cost-dominated regimes), and
+    it must sit under the per-decade bound 10^1.5."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING_R100.json",
+    )
+    with open(path) as f:
+        d = json.load(f)
+    assert d["n_rep"] == 100
+    # the run was made through the sizing helper: the 100x arm must
+    # record a larger partition count than the 1x arm
+    sp = d["shuffle_partitions"]
+    assert sp["100x"] > sp["1x"] >= 32
+    assert set(d["families"]), "no families recorded"
+    for name, row in d["families"].items():
+        assert row["ok"], f"{name} over the R^1.5 bound: {row}"
+        assert "ratio_decade2" in row, f"{name} missing ratio_decade2"
+        assert 0 < row["ratio_decade2"] <= 10**1.5, (name, row)
+        # both graph families are present (round-9 ask)
+    assert "pagerank_near_dups" in d["families"]
+    assert "kcore_decomposition" in d["families"]

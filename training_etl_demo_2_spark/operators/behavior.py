@@ -2879,3 +2879,91 @@ def session_gap_curve_sql(
     {union}
     ORDER BY gap_minutes
     """
+
+
+# ---------------------------------------------------------------------------
+# user-level contribution capping (round 9)
+# ---------------------------------------------------------------------------
+
+USER_CAP_K = 3
+
+
+def user_event_cap(
+    t: dict[str, DataFrame], k: int = USER_CAP_K
+) -> DataFrame:
+    """Per-user contribution capping — the user-level bounding step of
+    DP-style pipelines (and of any training set that must not be
+    dominated by a single heavy account): keep each user's first ``k``
+    events per day (by timestamp, event_id tiebreak), drop the rest,
+    and report the per-day effect. Bounding per-user sensitivity is
+    the precondition for the DP noise calibration `dp_noisy_counts`
+    applies; it also caps the influence of bot/spam accounts on
+    anything trained downstream.
+
+    Deterministic: the keep rule is a total order (ts, event_id) so
+    both engines keep the identical event set.
+
+    Scale shape: ONE hash-partitioned window on (user, day) — millions
+    of small partitions, no global sort — then a |days|-row aggregate.
+    Output: (day, n_events, n_kept, n_dropped, n_users, capped_users)
+    where capped_users counts users who lost at least one event.
+    """
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+    )
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "kept", (F.row_number().over(w) <= k).cast("long")
+    )
+    per_user = flagged.groupBy("day", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        F.sum("kept").cast("long").alias("n_kp"),
+    )
+    return (
+        per_user.groupBy("day")
+        .agg(
+            F.sum("n_ev").cast("long").alias("n_events"),
+            F.sum("n_kp").cast("long").alias("n_kept"),
+            (F.sum("n_ev") - F.sum("n_kp")).cast("long").alias("n_dropped"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum((F.col("n_ev") > F.col("n_kp")).cast("long"))
+            .cast("long")
+            .alias("capped_users"),
+        )
+        .orderBy("day")
+    )
+
+
+def user_event_cap_sql(k: int = USER_CAP_K) -> str:
+    return f"""
+    WITH flagged AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               user_id,
+               CASE WHEN row_number() OVER (
+                        PARTITION BY user_id, date_trunc('day', ts)
+                        ORDER BY ts, event_id
+                    ) <= {k} THEN 1 ELSE 0 END AS kept
+        FROM events
+    ),
+    per_user AS (
+        SELECT day, user_id,
+               CAST(count(*) AS BIGINT) AS n_ev,
+               CAST(sum(kept) AS BIGINT) AS n_kp
+        FROM flagged GROUP BY day, user_id
+    )
+    SELECT day,
+           CAST(sum(n_ev) AS BIGINT) AS n_events,
+           CAST(sum(n_kp) AS BIGINT) AS n_kept,
+           CAST(sum(n_ev) - sum(n_kp) AS BIGINT) AS n_dropped,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN n_ev > n_kp THEN 1 ELSE 0 END) AS BIGINT)
+               AS capped_users
+    FROM per_user
+    GROUP BY day
+    ORDER BY day
+    """

@@ -4384,3 +4384,130 @@ def dup_loss_weights_sql() -> str:
     GROUP BY source
     ORDER BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# quality-gate ensemble (round 9)
+# ---------------------------------------------------------------------------
+
+
+def quality_ensemble_gate(df: DataFrame) -> DataFrame:
+    """Ensemble keep decision over three INDEPENDENT quality gates —
+    the Gopher rule battery (``text.gopher_quality_rules`` pass_all),
+    the linear classifier (``text.quality_classifier`` keep, the z>=0
+    logit rule), and the blocklist (zero ``text.BLOCKLIST`` hits) —
+    combined by majority vote (>=2 of 3). Production pipelines layer
+    heterogeneous gates exactly because each one's failure mode is
+    different (rules catch boilerplate the classifier scores well;
+    the classifier catches fluent garbage the rules pass; the
+    blocklist is policy, not quality); the per-source report shows
+    which gate drives the loss where, which is what gets tuned before
+    a 100 TB filtering run.
+
+    Determinism: pass_all and the blocklist count are exact-integer
+    rules; the classifier keep compares the raw logit (same IEEE op
+    sequence both engines) — so the majority vote is bit-identical.
+
+    Scale shape: three narrow per-row scoring scans joined on doc_id
+    (8-byte keys; none of the relations carries text past its own
+    scan), then a |sources|-row fold.
+
+    Output: (source, n_docs, pass_gopher, pass_classifier,
+    pass_blocklist, keep_majority, keep_bp).
+    """
+    from .text import (
+        BLOCKLIST,
+        gopher_quality_rules,
+        quality_classifier,
+        _tokens,
+    )
+
+    base = df.select("doc_id", "source")
+    g1 = gopher_quality_rules(df).select(
+        "doc_id", F.col("pass_all").cast("long").alias("p1")
+    )
+    g2 = quality_classifier(df).select(
+        "doc_id", F.col("keep").cast("long").alias("p2")
+    )
+    bl = F.array(*[F.lit(t) for t in BLOCKLIST])
+    g3 = df.select(
+        "doc_id",
+        (
+            F.size(F.filter(_tokens("text"), lambda x: F.array_contains(bl, x)))
+            == 0
+        )
+        .cast("long")
+        .alias("p3"),
+    )
+    voted = (
+        base.join(g1, "doc_id")
+        .join(g2, "doc_id")
+        .join(g3, "doc_id")
+        .withColumn(
+            "maj",
+            (
+                (F.col("p1") + F.col("p2") + F.col("p3")) >= 2
+            ).cast("long"),
+        )
+    )
+    n_docs = F.count(F.lit(1)).cast("long")
+    n_maj = F.sum("maj").cast("long")
+    return (
+        voted.groupBy("source")
+        .agg(
+            n_docs.alias("n_docs"),
+            F.sum("p1").cast("long").alias("pass_gopher"),
+            F.sum("p2").cast("long").alias("pass_classifier"),
+            F.sum("p3").cast("long").alias("pass_blocklist"),
+            n_maj.alias("keep_majority"),
+            F.floor(F.lit(1e4) * n_maj / n_docs + F.lit(0.5))
+            .cast("long")
+            .alias("keep_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def quality_ensemble_gate_sql() -> str:
+    from .text import (
+        BLOCKLIST,
+        gopher_quality_rules_sql,
+        quality_classifier_sql,
+    )
+
+    inlist = ", ".join(f"'{t}'" for t in BLOCKLIST)
+    return f"""
+    WITH g1 AS (
+        SELECT doc_id, CASE WHEN pass_all THEN 1 ELSE 0 END AS p1
+        FROM ({gopher_quality_rules_sql()})
+    ),
+    g2 AS (
+        SELECT doc_id, keep AS p2 FROM ({quality_classifier_sql()})
+    ),
+    g3 AS (
+        SELECT doc_id,
+               CASE WHEN len(list_filter(string_split(lower(text), ' '),
+                                          x -> x IN ({inlist}))) = 0
+                    THEN 1 ELSE 0 END AS p3
+        FROM documents
+    ),
+    voted AS (
+        SELECT d.source, g1.p1, g2.p2, g3.p3,
+               CASE WHEN g1.p1 + g2.p2 + g3.p3 >= 2 THEN 1 ELSE 0 END
+                   AS maj
+        FROM documents d
+        JOIN g1 USING (doc_id) JOIN g2 USING (doc_id)
+        JOIN g3 USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p1) AS BIGINT) AS pass_gopher,
+           CAST(sum(p2) AS BIGINT) AS pass_classifier,
+           CAST(sum(p3) AS BIGINT) AS pass_blocklist,
+           CAST(sum(maj) AS BIGINT) AS keep_majority,
+           CAST(floor(1e4 * sum(maj) / count(*) + 0.5) AS BIGINT)
+               AS keep_bp
+    FROM voted
+    GROUP BY source
+    ORDER BY source
+    """

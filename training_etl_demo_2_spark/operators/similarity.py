@@ -4128,3 +4128,147 @@ def lsh_probe_curve_sql(
     {union}
     ORDER BY radius
     """
+
+
+# ---------------------------------------------------------------------------
+# centroid-proximity quality filtering (round 9)
+# ---------------------------------------------------------------------------
+
+# L2-to-own-centroid thresholds, in quantized units of GRAM_SCALE^-1:
+# tau_q / GRAM_SCALE is the radius in embedding space. The fixture's
+# intra-label spread sits in a narrow shell (measured: 0% kept at
+# r=0.875, 74% at 1.0, 100% at 1.125), so the grid straddles that
+# knee to give the curve both selective and permissive arms.
+PROTO_TAUS_Q = (
+    int(0.90 * (1 << 15)),
+    int(0.95 * (1 << 15)),
+    int(1.00 * (1 << 15)),
+    int(1.05 * (1 << 15)),
+    int(1.10 * (1 << 15)),
+)
+
+
+def embedding_prototype_filter(
+    emb: DataFrame, taus_q: tuple[int, ...] = PROTO_TAUS_Q
+) -> DataFrame:
+    """Prototype-proximity quality filter curve: for each label, keep
+    the vectors within L2 radius τ of that label's centroid
+    (prototype), for a grid of τ — the embedding-space cousin of the
+    quality-classifier threshold curve. Web-scale image/text pairs are
+    routinely filtered by distance to a domain prototype (the
+    cluster-core side of SemDeDup: SemDeDup drops near-DUPLICATES;
+    this keeps the near-CORE), and the curve is what picks τ.
+
+    EXACT across engines: components quantize to the GRAM_SCALE
+    integer lattice q = floor(x·2^15); with per-label counts n and
+    component sums s_d = Σq_d, the comparison
+        Σ_d (n·q_d − s_d)²  ≤  τ_q² · n²
+    is all-integer (both sides exact BIGINTs — the centroid division
+    never happens), so the kept set is bit-identical on any engine
+    and any partitioning.
+
+    Scale shape: one posexplode to (label, dim, q) scalar triples, a
+    |labels|×dim partial aggregate broadcast back (metadata-sized), a
+    per-vector fold, then a per-row τ-grid explode (no join) into the
+    (τ, label) aggregate. Nothing driver-sized; no Python.
+
+    Output: (tau_q, label, n_vecs, n_kept, kept_bp).
+    """
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("val").cast("double") * GRAM_SCALE)
+        .cast("long")
+        .alias("q"),
+    )
+    cent = elems.groupBy("label", "dim").agg(
+        F.sum("q").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    # the residual fold runs in DECIMAL(38,0): (n·q − s)² reaches
+    # n²·2^38 per component, which outgrows int64 once a label holds
+    # ~2^12 vectors — real at 100 TB even though the fixture is safe
+    diff = (F.col("n") * F.col("q") - F.col("s")).cast("decimal(38,0)")
+    resid = (
+        elems.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(diff * diff).cast("decimal(38,0)").alias("r2"),
+            F.max("n").cast("long").alias("n"),
+        )
+    )
+    fanned = resid.select(
+        "label",
+        "r2",
+        "n",
+        F.explode(F.array(*[F.lit(t) for t in taus_q])).alias("tau_q"),
+    )
+    bound = (
+        F.col("tau_q").cast("decimal(38,0)")
+        * F.col("tau_q")
+        * F.col("n")
+        * F.col("n")
+    ).cast("decimal(38,0)")
+    kept = (F.col("r2") <= bound).cast("long")
+    n_vecs = F.count(F.lit(1)).cast("long")
+    n_kept = F.sum(kept).cast("long")
+    return (
+        fanned.groupBy("tau_q", "label")
+        .agg(
+            n_vecs.alias("n_vecs"),
+            n_kept.alias("n_kept"),
+            F.floor(F.lit(1e4) * n_kept / n_vecs + F.lit(0.5))
+            .cast("long")
+            .alias("kept_bp"),
+        )
+        .orderBy("tau_q", "label")
+    )
+
+
+def embedding_prototype_filter_sql(
+    taus_q: tuple[int, ...] = PROTO_TAUS_Q,
+) -> str:
+    tau_values = ", ".join(f"({t})" for t in taus_q)
+    return f"""
+    WITH elems AS (
+        SELECT vec_id, label, t.i AS dim,
+               CAST(floor(CAST(embedding[t.i] AS DOUBLE) * {GRAM_SCALE})
+                    AS BIGINT) AS q
+        FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    ),
+    cent AS (
+        SELECT label, dim,
+               CAST(sum(q) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n
+        FROM elems GROUP BY label, dim
+    ),
+    resid AS (
+        SELECT e.vec_id, e.label,
+               CAST(sum(CAST(c.n * e.q - c.s AS DECIMAL(38,0))
+                        * CAST(c.n * e.q - c.s AS DECIMAL(38,0)))
+                    AS DECIMAL(38,0)) AS r2,
+               CAST(max(c.n) AS BIGINT) AS n
+        FROM elems e JOIN cent c ON e.label = c.label AND e.dim = c.dim
+        GROUP BY e.vec_id, e.label
+    ),
+    taus(tau_q) AS (VALUES {tau_values})
+    SELECT CAST(t.tau_q AS BIGINT) AS tau_q,
+           r.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN r.r2 <= CAST(t.tau_q AS DECIMAL(38,0))
+                                      * t.tau_q * r.n * r.n
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(floor(1e4 * sum(CASE WHEN r.r2 <=
+                                         CAST(t.tau_q AS DECIMAL(38,0))
+                                         * t.tau_q * r.n * r.n
+                                     THEN 1 ELSE 0 END)
+                      / count(*) + 0.5) AS BIGINT) AS kept_bp
+    FROM resid r CROSS JOIN taus t
+    GROUP BY t.tau_q, r.label
+    ORDER BY tau_q, label
+    """

@@ -3656,3 +3656,244 @@ def negative_sampling_table_sql(
     WHERE rnk <= {k}
     ORDER BY rnk
     """
+
+
+# ---------------------------------------------------------------------------
+# blocklist filtering (round 9)
+# ---------------------------------------------------------------------------
+
+# The C4-style "bad words" gate: documents containing blocklisted terms
+# are flagged (and usually dropped or down-weighted) before training.
+# The list is a fixture-scale stand-in — real pipelines broadcast a
+# list of thousands of terms; the mechanism (map-side set membership,
+# no shuffle before the source fold) is identical at any list size
+# under the broadcast threshold.
+BLOCKLIST = ("slow", "dup", "stale", "corrupt")
+
+
+def blocklist_hit_report(
+    df: DataFrame,
+    terms: tuple[str, ...] = BLOCKLIST,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source blocklist exposure audit: how many documents contain
+    at least one blocklisted token, and the total hit volume — the
+    report a curation team reads before deciding drop-vs-scrub per
+    source (a source with 40% hit share gets different treatment than
+    one with 0.1%).
+
+    Scale shape: hit counting is a PURE per-row array fold
+    (``F.filter`` + ``F.size`` over the token array against an inlined
+    literal set — whole-stage codegen, zero Python, zero shuffle); the
+    only exchange is the |sources|-row final aggregate. A
+    thousands-of-terms production list swaps the literal array for a
+    broadcast join on token without changing the fold.
+
+    Output: (source, n_docs, docs_hit, total_hits, hit_bp) —
+    hit_bp = floor(1e4·docs_hit/n_docs + 0.5), exact integers.
+    """
+    bl = F.array(*[F.lit(t) for t in terms])
+    hits = F.size(
+        F.filter(_tokens(text_col), lambda x: F.array_contains(bl, x))
+    ).cast("long")
+    per_doc = df.select("source", hits.alias("hits"))
+    docs_hit = F.sum((F.col("hits") > 0).cast("long")).cast("long")
+    n_docs = F.count(F.lit(1)).cast("long")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            n_docs.alias("n_docs"),
+            docs_hit.alias("docs_hit"),
+            F.sum("hits").cast("long").alias("total_hits"),
+            F.floor(F.lit(1e4) * docs_hit / n_docs + F.lit(0.5))
+            .cast("long")
+            .alias("hit_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+def blocklist_hit_report_sql(terms: tuple[str, ...] = BLOCKLIST) -> str:
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x IN ({inlist}))) AS BIGINT)
+                   AS hits
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_hit,
+           CAST(sum(hits) AS BIGINT) AS total_hits,
+           CAST(floor(1e4 * sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END)
+                      / count(*) + 0.5) AS BIGINT) AS hit_bp
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+# ---------------------------------------------------------------------------
+# trigram stupid-backoff scoring (round 9)
+# ---------------------------------------------------------------------------
+
+SB_ALPHA = 0.4
+
+
+def trigram_sb_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Trigram language-model document scoring with STUPID BACKOFF
+    (Brants et al. 2007, "Large Language Models in Machine
+    Translation") — the web-scale quality signal between the unigram
+    LM (``unigram_logprob``) and Kneser-Ney (``bigram_kn_logprob``):
+    no discounting to tune, just score = c(w1w2w3)/c(w1w2), backing
+    off to α·c(w2w3)/c(w2), then α²·c(w3)/N, α=0.4. Brants showed it
+    matches KN at scale for a fraction of the cost, which is exactly
+    the trade a 100 TB curation pass wants.
+
+    avg_sb_logprob = mean over the document's trigram positions of
+    ln(score). Every score is a ratio of exact corpus counts (the
+    backoff chain never divides by zero: c3>0 ⇒ c12>0, c23>0 ⇒ c2>0),
+    so both engines compute ln of identical rationals; the per-doc
+    mean is round-6 like the other LM scores.
+
+    Scale shape: three count relations (trigram/bigram/unigram —
+    vocabulary-sized, partial-aggregated), each equi-joined back to
+    the document trigram stream on its gram key; the corpus token
+    total rides in as a ONE-ROW broadcast. No windows, no Python.
+
+    Output: (doc_id, n_trigrams, avg_sb_logprob) for docs with ≥1
+    trigram.
+    """
+    toks = _tokens(text_col)
+    tri_stream = df.select(
+        "doc_id", F.explode(word_ngrams(toks, 3)).alias("g3")
+    )
+    parts = F.split(F.col("g3"), " ")
+    stream = tri_stream.select(
+        "doc_id",
+        "g3",
+        F.concat_ws(" ", parts[0], parts[1]).alias("g12"),
+        F.concat_ws(" ", parts[1], parts[2]).alias("g23"),
+        parts[1].alias("w2"),
+        parts[2].alias("w3"),
+    )
+    uni = (
+        df.select(F.explode(toks).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    bi = (
+        df.select(F.explode(word_ngrams(toks, 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    tri = (
+        df.select(F.explode(word_ngrams(toks, 3)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c3"))
+    )
+    n_tot = uni.agg(F.sum("c1").cast("long").alias("n_total"))
+    scored = (
+        stream.join(tri.withColumnRenamed("g", "g3"), "g3")
+        .join(
+            bi.select(F.col("g").alias("g12"), F.col("c2").alias("c12")),
+            "g12",
+        )
+        .join(
+            bi.select(F.col("g").alias("g23"), F.col("c2").alias("c23")),
+            "g23",
+            "left",
+        )
+        .join(uni.select(F.col("w").alias("w2"), F.col("c1").alias("cw2")), "w2")
+        .join(uni.select(F.col("w").alias("w3"), F.col("c1").alias("cw3")), "w3")
+        .crossJoin(F.broadcast(n_tot))
+    )
+    # the trigram the doc CONTAINS always has c3 >= 1 (it is its own
+    # corpus evidence), so the first tier always fires here; the
+    # backoff tiers are exercised by the planted pytest with a held-out
+    # scorer. Keep the full chain so the operator is reusable on
+    # out-of-corpus streams.
+    score = (
+        F.when(
+            F.col("c3") > 0, F.col("c3") / F.col("c12")
+        )
+        .when(
+            F.coalesce(F.col("c23"), F.lit(0)) > 0,
+            F.lit(SB_ALPHA) * F.col("c23") / F.col("cw2"),
+        )
+        .otherwise(
+            F.lit(SB_ALPHA)
+            * F.lit(SB_ALPHA)
+            * F.col("cw3")
+            / F.col("n_total")
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.round(F.avg(F.log(score)), 6).alias("avg_sb_logprob"),
+        )
+    )
+
+
+TRIGRAM_SB_SQL_TEMPLATE = """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ),
+    tri_stream AS (
+        SELECT doc_id,
+               ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g3,
+               ts[i] || ' ' || ts[i+1] AS g12,
+               ts[i+1] || ' ' || ts[i+2] AS g23,
+               ts[i+1] AS w2, ts[i+2] AS w3
+        FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)
+        WHERE len(ts) >= 3
+    ),
+    uni AS (
+        SELECT w, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        WHERE w != '' GROUP BY w
+    ),
+    bi AS (
+        SELECT ts[i] || ' ' || ts[i+1] AS g,
+               CAST(count(*) AS BIGINT) AS c2
+        FROM toks, unnest(range(1, len(ts))) AS t(i)
+        WHERE len(ts) >= 2 GROUP BY 1
+    ),
+    tri AS (
+        SELECT g3 AS g, CAST(count(*) AS BIGINT) AS c3
+        FROM tri_stream GROUP BY 1
+    ),
+    n_tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n_total FROM uni),
+    scored AS (
+        SELECT s.doc_id,
+               CASE
+                   WHEN t.c3 > 0 THEN CAST(t.c3 AS DOUBLE) / b12.c2
+                   WHEN coalesce(b23.c2, 0) > 0
+                       THEN {alpha} * CAST(b23.c2 AS DOUBLE) / u2.c1
+                   ELSE {alpha} * {alpha} * CAST(u3.c1 AS DOUBLE) / n_total
+               END AS score
+        FROM tri_stream s
+        JOIN tri t ON t.g = s.g3
+        JOIN bi b12 ON b12.g = s.g12
+        LEFT JOIN bi b23 ON b23.g = s.g23
+        JOIN uni u2 ON u2.w = s.w2
+        JOIN uni u3 ON u3.w = s.w3
+        CROSS JOIN n_tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_trigrams,
+           round(avg(ln(score)), 6) AS avg_sb_logprob
+    FROM scored
+    GROUP BY doc_id
+"""
+
+
+def trigram_sb_logprob_sql() -> str:
+    return TRIGRAM_SB_SQL_TEMPLATE.format(alpha=SB_ALPHA)

@@ -91,17 +91,21 @@ def get_spark(
 # shuffle-partition sizing (round 9)
 # ---------------------------------------------------------------------------
 
-# Input bytes each shuffle partition should own. 16 MiB of RAW input ≈
-# 128-256 MiB actually shuffled for the text families (the shingle /
-# posting explode fans raw bytes out ~an order of magnitude), which is
-# the standard per-partition shuffle target. The constant is anchored to
-# a measurement, not a guess: at R=100 over sf0.1 (~6 GB of documents)
-# this rule yields 512 partitions — exactly the setting SCALING.md
-# measured as the knee cure for tfidf_cosine_pairs (312.8 s at 32
-# partitions -> 96.4 s at 512, ratio vs 1x dropping to ~R^0.73) — while
-# at bench scale (~60 MB) it stays at the 32-partition floor, avoiding
-# the measured 1.8x blanket-high-default penalty.
-SHUFFLE_SIZING_BYTES_PER_PARTITION = 16 * 1024 * 1024
+# ON-DISK parquet bytes each shuffle partition should own. Small on
+# purpose: snappy parquet of web-ish text compresses ~10-30x and the
+# text families fan raw tokens out another ~10x through shingle /
+# posting explodes, so 1 MiB on disk is ~100-300 MiB of in-flight
+# working set — the standard per-partition shuffle target. The
+# constant is anchored to a measurement, not a guess: the R=100
+# replicated corpus over sf0.1 is ~450 MB of parquet, for which this
+# rule yields 512 partitions — exactly the setting SCALING.md measured
+# as the knee cure for tfidf_cosine_pairs (312.8 s at 32 partitions ->
+# 96.4 s at 512, ratio vs 1x dropping to ~R^0.73) — while at bench
+# scale (~17 MB) it stays at the 32-partition floor, avoiding the
+# measured 1.8x blanket-high-default penalty. On a cluster whose scans
+# are less explosive, raise bytes_per_partition; the encoded RULE
+# (partitions ∝ input, floored at the core count) is the point.
+SHUFFLE_SIZING_BYTES_PER_PARTITION = 1024 * 1024
 SHUFFLE_SIZING_CAP = 16384
 
 

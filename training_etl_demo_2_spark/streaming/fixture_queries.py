@@ -1030,3 +1030,55 @@ STREAM_QUALITY_GATE_ORACLE_TEMPLATE = """
                AS n_pass_all
     FROM ({gopher_sql})
 """
+
+
+def stream_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming blocklist telemetry: the C4-style badword gate
+    (``text.blocklist_hit_report``'s per-row fold) as an always-on
+    ingest monitor — hit counting is a stateless row-local array fold,
+    so the only state is this ONE-ROW telemetry aggregate (docs seen,
+    docs with >=1 hit, total hits, clean docs), replayed to completion
+    and oracle-compared against the batch aggregate over the same
+    rule. The alerting row for a source starting to leak blocked
+    content mid-ingest.
+    """
+    from ..operators.text import BLOCKLIST, _tokens
+
+    docs = _read_documents_stream_fixture(spark, sf_dir)
+    bl = F.array(*[F.lit(t) for t in BLOCKLIST])
+    hits = F.size(
+        F.filter(_tokens("text"), lambda x: F.array_contains(bl, x))
+    ).cast("long")
+    agg = docs.select(hits.alias("hits")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("hits") > 0).cast("long")).cast("long").alias(
+            "docs_hit"
+        ),
+        F.sum("hits").cast("long").alias("total_hits"),
+        F.sum((F.col("hits") == 0).cast("long")).cast("long").alias(
+            "n_clean"
+        ),
+    )
+    _replay_to_table(agg, "gate_stream_blocklist_gate")
+    return spark.table("gate_stream_blocklist_gate")
+
+
+def stream_blocklist_gate_oracle_sql() -> str:
+    from ..operators.text import BLOCKLIST
+
+    inlist = ", ".join(f"'{t}'" for t in BLOCKLIST)
+    return f"""
+    WITH per_doc AS (
+        SELECT CAST(len(list_filter(string_split(lower(text), ' '),
+                                    x -> x IN ({inlist}))) AS BIGINT)
+                   AS hits
+        FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_hit,
+           CAST(sum(hits) AS BIGINT) AS total_hits,
+           CAST(sum(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clean
+    FROM per_doc
+    """
