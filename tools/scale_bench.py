@@ -419,7 +419,13 @@ def measure(
             # line's prediction — ~1 means fixed-cost dilution, >>1
             # means the working set crossed memory in (MIDPOINT_R, n_rep]
             b = (tM - t1) / (MIDPOINT_R - 1)
-            pred = max(t1 + b * (n_rep - 1), 1e-9)
+            # floor the prediction at t1: when host noise makes the
+            # midpoint arm measure at-or-under the 1x arm (tiny-time
+            # regimes), the raw line predicts <= 0 and the knee factor
+            # degenerates to nonsense (measured: 2.5e10 on a 25 s row);
+            # with the floor the knee honestly degrades to tR/t1 — read
+            # it beside ratio_decade2, which two-decade runs now carry
+            pred = max(t1 + b * (n_rep - 1), t1, 1e-9)
             table[name].update(
                 {
                     f"t_{MIDPOINT_R}x_s": round(tM, 3),
