@@ -172,6 +172,14 @@ FAMILIES: dict[str, tuple[str, str]] = {
         "relation (tf, vocabulary, ranks) grows R× with disjoint "
         "replicas",
     ),
+    # round-9 addition: the heaviest new operator gets a growth law in
+    # the round it ships
+    "trigram_sb_logprob": (
+        "~R (linear)",
+        "tri/bi/unigram count relations and the doc trigram stream all "
+        "grow R× under disjoint replicas; gram-keyed equi-joins, "
+        "ONE-ROW total broadcast",
+    ),
 }
 
 # Acceptance: observed wall ratio must stay under R^1.5 — geometric
