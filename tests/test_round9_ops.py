@@ -244,3 +244,48 @@ def test_stream_blocklist_gate_equals_batch(spark, sf_dir, tables):
         batch["n"], batch["h"], batch["t"]
     )
     assert r.n_clean == r.n_docs - r.docs_hit
+
+
+def test_quality_ensemble_gate_plan_is_single_scan(spark, tables):
+    """Round-9 review fix, pinned: all three gates are per-row
+    expressions, so the vote must be ONE projection of ONE corpus scan
+    — no doc_id re-joins (the first cut had 4 scans + 3 joins)."""
+    from training_etl_demo_2_spark.operators.curation import (
+        quality_ensemble_gate,
+    )
+
+    p = (
+        quality_ensemble_gate(tables["documents"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p.count("Scan parquet") == 1, "ensemble re-scans the corpus"
+    assert "Join" not in p, "ensemble re-joins per-row flags"
+
+
+def test_orc_roundtrip_tmp_dirs_are_bounded(spark, tmp_path, monkeypatch):
+    """Round-9 review fix, pinned: per-application ORC round-trip dirs
+    must not accumulate — the helper registers an atexit removal for
+    the live app's dir and sweeps sibling dirs older than the stale
+    threshold."""
+    import os
+    import time
+
+    from training_etl_demo_2_spark import io as io_mod
+
+    root = tmp_path / "orc_rt"
+    root.mkdir()
+    stale = root / "app-dead"
+    fresh = root / "app-live-other"
+    stale.mkdir()
+    fresh.mkdir()
+    old = time.time() - io_mod.ORC_ROUNDTRIP_STALE_S - 60
+    os.utime(stale, (old, old))
+    monkeypatch.setattr(io_mod, "ORC_ROUNDTRIP_DIR", str(root))
+    own = root / "app-own"
+    io_mod._orc_roundtrip_register_cleanup(str(own))
+    assert not stale.exists(), "stale sibling app dir not swept"
+    assert fresh.exists(), "recent sibling dir must survive (may be live)"
+    # the live app's subtree is registered for atexit removal, once
+    assert str(own) in io_mod._ORC_CLEANUP_REGISTERED

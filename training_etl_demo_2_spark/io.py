@@ -527,6 +527,35 @@ def read_jsonl_with_quarantine(
 # ---------------------------------------------------------------------------
 
 ORC_ROUNDTRIP_DIR = "/tmp/spark_graft_orc_roundtrip"
+ORC_ROUNDTRIP_STALE_S = 24 * 3600
+_ORC_CLEANUP_REGISTERED: set[str] = set()
+
+
+def _orc_roundtrip_register_cleanup(app_dir: str) -> None:
+    """Bound /tmp growth from per-application ORC round-trip dirs:
+    remove THIS app's subtree at interpreter exit (the summary
+    DataFrame is lazy, so removal must outlive the session) and sweep
+    sibling app dirs whose mtime is >1 day old (dead sessions)."""
+    import atexit
+    import shutil
+    import time
+
+    if app_dir not in _ORC_CLEANUP_REGISTERED:
+        _ORC_CLEANUP_REGISTERED.add(app_dir)
+        atexit.register(shutil.rmtree, app_dir, ignore_errors=True)
+    try:
+        now = time.time()
+        for name in os.listdir(ORC_ROUNDTRIP_DIR):
+            sib = os.path.join(ORC_ROUNDTRIP_DIR, name)
+            if sib == app_dir:
+                continue
+            try:
+                if now - os.path.getmtime(sib) > ORC_ROUNDTRIP_STALE_S:
+                    shutil.rmtree(sib, ignore_errors=True)
+            except OSError:
+                continue
+    except OSError:
+        pass
 
 
 def orc_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,12 +580,18 @@ def orc_roundtrip_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     # key the dir by applicationId too: two concurrent sessions on the
     # same fixture (bench sweep + pytest) must never overwrite a
-    # round-trip directory the other is mid-read on
-    out_dir = os.path.join(
-        ORC_ROUNDTRIP_DIR,
-        spark.sparkContext.applicationId,
-        os.path.basename(sf_dir.rstrip("/")),
+    # round-trip directory the other is mid-read on. Per-app keying
+    # would grow /tmp without bound (one documents copy per session,
+    # nothing deleting them), so each call also (a) registers an
+    # atexit removal of THIS app's subtree — deferred because the
+    # returned DataFrame lazily re-reads the ORC dir — and (b) sweeps
+    # sibling app dirs untouched for >1 day (dead sessions; a live
+    # concurrent session's dir is hours old at most).
+    app_dir = os.path.join(
+        ORC_ROUNDTRIP_DIR, spark.sparkContext.applicationId
     )
+    _orc_roundtrip_register_cleanup(app_dir)
+    out_dir = os.path.join(app_dir, os.path.basename(sf_dir.rstrip("/")))
     docs.write.mode("overwrite").orc(out_dir)
     back = spark.read.orc(out_dir)
     h = rolling_hash(

@@ -4408,47 +4408,27 @@ def quality_ensemble_gate(df: DataFrame) -> DataFrame:
     rules; the classifier keep compares the raw logit (same IEEE op
     sequence both engines) — so the majority vote is bit-identical.
 
-    Scale shape: three narrow per-row scoring scans joined on doc_id
-    (8-byte keys; none of the relations carries text past its own
-    scan), then a |sources|-row fold.
+    Scale shape: all three gates are PER-ROW expressions (the shared
+    Column builders ``text.gopher_pass_all`` / ``text.quality_logit``
+    / ``text.blocklist_hits``), so the whole vote is computed in ONE
+    projection of one corpus scan — no doc_id re-joins, nothing but
+    the |sources|-row fold ever shuffles. (The SQL twin keeps the
+    three-CTE join form for readability; DuckDB correctness, not
+    DuckDB speed, is its job.)
 
     Output: (source, n_docs, pass_gopher, pass_classifier,
     pass_blocklist, keep_majority, keep_bp).
     """
-    from .text import (
-        BLOCKLIST,
-        gopher_quality_rules,
-        quality_classifier,
-        _tokens,
-    )
+    from .text import blocklist_hits, gopher_pass_all, quality_logit
 
-    base = df.select("doc_id", "source")
-    g1 = gopher_quality_rules(df).select(
-        "doc_id", F.col("pass_all").cast("long").alias("p1")
-    )
-    g2 = quality_classifier(df).select(
-        "doc_id", F.col("keep").cast("long").alias("p2")
-    )
-    bl = F.array(*[F.lit(t) for t in BLOCKLIST])
-    g3 = df.select(
-        "doc_id",
-        (
-            F.size(F.filter(_tokens("text"), lambda x: F.array_contains(bl, x)))
-            == 0
-        )
-        .cast("long")
-        .alias("p3"),
-    )
-    voted = (
-        base.join(g1, "doc_id")
-        .join(g2, "doc_id")
-        .join(g3, "doc_id")
-        .withColumn(
-            "maj",
-            (
-                (F.col("p1") + F.col("p2") + F.col("p3")) >= 2
-            ).cast("long"),
-        )
+    voted = df.select(
+        "source",
+        gopher_pass_all("text").cast("long").alias("p1"),
+        (quality_logit("text") >= 0).cast("long").alias("p2"),
+        (blocklist_hits("text") == 0).cast("long").alias("p3"),
+    ).withColumn(
+        "maj",
+        ((F.col("p1") + F.col("p2") + F.col("p3")) >= 2).cast("long"),
     )
     n_docs = F.count(F.lit(1)).cast("long")
     n_maj = F.sum("maj").cast("long")
@@ -4470,12 +4450,11 @@ def quality_ensemble_gate(df: DataFrame) -> DataFrame:
 
 def quality_ensemble_gate_sql() -> str:
     from .text import (
-        BLOCKLIST,
+        blocklist_hits_sql,
         gopher_quality_rules_sql,
         quality_classifier_sql,
     )
 
-    inlist = ", ".join(f"'{t}'" for t in BLOCKLIST)
     return f"""
     WITH g1 AS (
         SELECT doc_id, CASE WHEN pass_all THEN 1 ELSE 0 END AS p1
@@ -4486,8 +4465,7 @@ def quality_ensemble_gate_sql() -> str:
     ),
     g3 AS (
         SELECT doc_id,
-               CASE WHEN len(list_filter(string_split(lower(text), ' '),
-                                          x -> x IN ({inlist}))) = 0
+               CASE WHEN {blocklist_hits_sql()} = 0
                     THEN 1 ELSE 0 END AS p3
         FROM documents
     ),

@@ -601,18 +601,11 @@ QC_WEIGHTS = {
 }
 
 
-def quality_classifier(
-    df: DataFrame, text_col: str = "text", carry: tuple = ()
-) -> DataFrame:
-    """Linear quality classifier: logistic score over the quality and
-    repetition features, with a hard keep/drop label — the
-    classifier-filter stage of an LLM pipeline with fixed, auditable
-    weights (``QC_WEIGHTS``).
-
-    keep = (z >= 0): the label compares the raw logit, which is the
-    same per-row IEEE op sequence on both engines — bit-identical, no
-    rounding boundary. Narrow per-row transform; the cost is the scan.
-    """
+def quality_logit(text_col: str = "text") -> Column:
+    """The classifier's raw logit z as a reusable Column — ONE
+    definition of the feature/weight arithmetic, shared by
+    ``quality_classifier`` and the ensemble gate's keep rule (z >= 0)
+    so the two can never diverge."""
     text = F.col(text_col)
     toks = _tokens(text_col)
     n_chars = F.length(text)
@@ -626,7 +619,7 @@ def quality_classifier(
         (n_tokens - F.size(F.array_distinct(toks))), n_tokens
     )
     w = QC_WEIGHTS
-    z = (
+    return (
         F.lit(w["bias"])
         + w["len"] * F.least(n_tokens.cast("double") / 50.0, F.lit(1.0))
         + w["alpha"] * safe(n_alpha, n_chars)
@@ -634,6 +627,21 @@ def quality_classifier(
         + w["punct"] * safe(n_punct, n_chars)
         + w["dup"] * dup_frac
     )
+
+
+def quality_classifier(
+    df: DataFrame, text_col: str = "text", carry: tuple = ()
+) -> DataFrame:
+    """Linear quality classifier: logistic score over the quality and
+    repetition features, with a hard keep/drop label — the
+    classifier-filter stage of an LLM pipeline with fixed, auditable
+    weights (``QC_WEIGHTS``).
+
+    keep = (z >= 0): the label compares the raw logit, which is the
+    same per-row IEEE op sequence on both engines — bit-identical, no
+    rounding boundary. Narrow per-row transform; the cost is the scan.
+    """
+    z = quality_logit(text_col)
     return df.select(
         "doc_id",
         # ``carry`` forwards input columns (e.g. source) through the
@@ -2697,21 +2705,12 @@ GOPHER_MAX_MEAN_WLEN = 10
 GOPHER_MIN_STOP_HITS = 2
 
 
-def gopher_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Gopher rule-based quality audit (Rae et al. 2021 §A1.1): the
-    standard pre-classifier document filters, each as an auditable flag
-    rather than a silent drop — word-count bounds, mean-word-length
-    bounds, symbol-to-word ratio, alphabetic-word fraction, and the
-    minimum-stopword-hits rule. ``clean_corpus``/``quality_classifier``
-    ACT on quality; this reports WHICH rule fires where, which is what
-    you tune against before a 100 TB filtering run.
-
-    Every flag compares exact integers (ratio bounds are cross-
-    multiplied: mean length in [3,10] ⇔ 3n ≤ Σlen ≤ 10n), so there is
-    no float anywhere — bit-identical across engines by construction.
-
-    Output per doc: counts + five rule flags + pass_all.
-    """
+def _gopher_rule_exprs(text_col: str = "text"):
+    """The Gopher rule battery as reusable Columns — ONE definition of
+    the integer cross-multiplied bounds, shared by the per-doc report
+    (``gopher_quality_rules``) and the ensemble gate's pass_all so the
+    two can never diverge. Returns (n_words, sum_len, n_alpha_words,
+    n_symbols, n_stop, ok_wc, ok_wl, ok_sym, ok_alpha, ok_stop)."""
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda t: t != ""
     )
@@ -2737,6 +2736,55 @@ def gopher_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
     ok_sym = n_symbols * 10 <= n_words  # symbol/word <= 0.1
     ok_alpha = n_alpha_words * 5 >= n_words * 4  # >= 80% alphabetic words
     ok_stop = n_stop >= GOPHER_MIN_STOP_HITS
+    return (
+        n_words,
+        sum_len,
+        n_alpha_words,
+        n_symbols,
+        n_stop,
+        ok_wc,
+        ok_wl,
+        ok_sym,
+        ok_alpha,
+        ok_stop,
+    )
+
+
+def gopher_pass_all(text_col: str = "text") -> Column:
+    """The combined Gopher keep decision as one reusable Column."""
+    *_counts, ok_wc, ok_wl, ok_sym, ok_alpha, ok_stop = _gopher_rule_exprs(
+        text_col
+    )
+    return ok_wc & ok_wl & ok_sym & ok_alpha & ok_stop
+
+
+def gopher_quality_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher rule-based quality audit (Rae et al. 2021 §A1.1): the
+    standard pre-classifier document filters, each as an auditable flag
+    rather than a silent drop — word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio, alphabetic-word fraction, and the
+    minimum-stopword-hits rule. ``clean_corpus``/``quality_classifier``
+    ACT on quality; this reports WHICH rule fires where, which is what
+    you tune against before a 100 TB filtering run.
+
+    Every flag compares exact integers (ratio bounds are cross-
+    multiplied: mean length in [3,10] ⇔ 3n ≤ Σlen ≤ 10n), so there is
+    no float anywhere — bit-identical across engines by construction.
+
+    Output per doc: counts + five rule flags + pass_all.
+    """
+    (
+        n_words,
+        sum_len,
+        n_alpha_words,
+        n_symbols,
+        n_stop,
+        ok_wc,
+        ok_wl,
+        ok_sym,
+        ok_alpha,
+        ok_stop,
+    ) = _gopher_rule_exprs(text_col)
     return df.select(
         "doc_id",
         n_words.alias("n_words"),
@@ -3671,6 +3719,32 @@ def negative_sampling_table_sql(
 BLOCKLIST = ("slow", "dup", "stale", "corrupt")
 
 
+def blocklist_hits(
+    text_col: str = "text", terms: tuple[str, ...] = BLOCKLIST
+) -> Column:
+    """Per-row blocklist hit count as a reusable Column — ONE
+    definition of the matching rule (lowercased whitespace tokens
+    against the inlined term set) shared by the batch report, the
+    quality ensemble, and the streaming gate, so the three can never
+    silently diverge."""
+    bl = F.array(*[F.lit(t) for t in terms])
+    return F.size(
+        F.filter(_tokens(text_col), lambda x: F.array_contains(bl, x))
+    ).cast("long")
+
+
+def blocklist_hits_sql(
+    terms: tuple[str, ...] = BLOCKLIST, text_expr: str = "text"
+) -> str:
+    """DuckDB twin of :func:`blocklist_hits` (a scalar SQL expression
+    over ``text_expr``), shared by the same three oracle strings."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return (
+        f"CAST(len(list_filter(string_split(lower({text_expr}), ' '), "
+        f"x -> x IN ({inlist}))) AS BIGINT)"
+    )
+
+
 def blocklist_hit_report(
     df: DataFrame,
     terms: tuple[str, ...] = BLOCKLIST,
@@ -3692,11 +3766,9 @@ def blocklist_hit_report(
     Output: (source, n_docs, docs_hit, total_hits, hit_bp) —
     hit_bp = floor(1e4·docs_hit/n_docs + 0.5), exact integers.
     """
-    bl = F.array(*[F.lit(t) for t in terms])
-    hits = F.size(
-        F.filter(_tokens(text_col), lambda x: F.array_contains(bl, x))
-    ).cast("long")
-    per_doc = df.select("source", hits.alias("hits"))
+    per_doc = df.select(
+        "source", blocklist_hits(text_col, terms).alias("hits")
+    )
     docs_hit = F.sum((F.col("hits") > 0).cast("long")).cast("long")
     n_docs = F.count(F.lit(1)).cast("long")
     return (
@@ -3714,13 +3786,9 @@ def blocklist_hit_report(
 
 
 def blocklist_hit_report_sql(terms: tuple[str, ...] = BLOCKLIST) -> str:
-    inlist = ", ".join(f"'{t}'" for t in terms)
     return f"""
     WITH per_doc AS (
-        SELECT source,
-               CAST(len(list_filter(string_split(lower(text), ' '),
-                                    x -> x IN ({inlist}))) AS BIGINT)
-                   AS hits
+        SELECT source, {blocklist_hits_sql(terms)} AS hits
         FROM documents
     )
     SELECT source,
@@ -3755,9 +3823,12 @@ def trigram_sb_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     avg_sb_logprob = mean over the document's trigram positions of
     ln(score). Every score is a ratio of exact corpus counts (the
-    backoff chain never divides by zero: c3>0 ⇒ c12>0, c23>0 ⇒ c2>0),
-    so both engines compute ln of identical rationals; the per-doc
-    mean is round-6 like the other LM scores.
+    backoff chain never divides by zero: c3>0 ⇒ c12>0, c23>0 ⇒ c2>0)
+    scaled by backoff constants that are emitted as SINGLE double
+    literals in both engines (α² is pre-multiplied in Python — a SQL
+    `0.4 * 0.4` would bind as exact DECIMAL 0.16 while IEEE gives
+    0.16000000000000003), so both engines run the identical IEEE op
+    sequence; the per-doc mean is round-6 like the other LM scores.
 
     Scale shape: three count relations (trigram/bigram/unigram —
     vocabulary-sized, partial-aggregated), each equi-joined back to
@@ -3826,8 +3897,12 @@ def trigram_sb_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.lit(SB_ALPHA) * F.col("c23") / F.col("cw2"),
         )
         .otherwise(
-            F.lit(SB_ALPHA)
-            * F.lit(SB_ALPHA)
+            # alpha^2 pre-multiplied in PYTHON and emitted as ONE
+            # double literal in both engines: DuckDB's `0.4 * 0.4`
+            # binds as exact DECIMAL 0.16 while IEEE gives
+            # 0.16000000000000003 — squaring engine-side would make
+            # the tier-3 scores differ in the last ulp
+            F.lit(SB_ALPHA * SB_ALPHA)
             * F.col("cw3")
             / F.col("n_total")
         )
@@ -3877,7 +3952,7 @@ TRIGRAM_SB_SQL_TEMPLATE = """
                    WHEN t.c3 > 0 THEN CAST(t.c3 AS DOUBLE) / b12.c2
                    WHEN coalesce(b23.c2, 0) > 0
                        THEN {alpha} * CAST(b23.c2 AS DOUBLE) / u2.c1
-                   ELSE {alpha} * {alpha} * CAST(u3.c1 AS DOUBLE) / n_total
+                   ELSE {alpha2} * CAST(u3.c1 AS DOUBLE) / n_total
                END AS score
         FROM tri_stream s
         JOIN tri t ON t.g = s.g3
@@ -3896,4 +3971,8 @@ TRIGRAM_SB_SQL_TEMPLATE = """
 
 
 def trigram_sb_logprob_sql() -> str:
-    return TRIGRAM_SB_SQL_TEMPLATE.format(alpha=SB_ALPHA)
+    # alpha2 formatted from the Python IEEE product (repr keeps every
+    # digit) so both engines consume the identical double literal
+    return TRIGRAM_SB_SQL_TEMPLATE.format(
+        alpha=SB_ALPHA, alpha2=repr(SB_ALPHA * SB_ALPHA)
+    )

@@ -1042,14 +1042,10 @@ def stream_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule. The alerting row for a source starting to leak blocked
     content mid-ingest.
     """
-    from ..operators.text import BLOCKLIST, _tokens
+    from ..operators.text import blocklist_hits
 
     docs = _read_documents_stream_fixture(spark, sf_dir)
-    bl = F.array(*[F.lit(t) for t in BLOCKLIST])
-    hits = F.size(
-        F.filter(_tokens("text"), lambda x: F.array_contains(bl, x))
-    ).cast("long")
-    agg = docs.select(hits.alias("hits")).agg(
+    agg = docs.select(blocklist_hits("text").alias("hits")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum((F.col("hits") > 0).cast("long")).cast("long").alias(
             "docs_hit"
@@ -1064,14 +1060,11 @@ def stream_blocklist_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_blocklist_gate_oracle_sql() -> str:
-    from ..operators.text import BLOCKLIST
+    from ..operators.text import blocklist_hits_sql
 
-    inlist = ", ".join(f"'{t}'" for t in BLOCKLIST)
     return f"""
     WITH per_doc AS (
-        SELECT CAST(len(list_filter(string_split(lower(text), ' '),
-                                    x -> x IN ({inlist}))) AS BIGINT)
-                   AS hits
+        SELECT {blocklist_hits_sql()} AS hits
         FROM documents
     )
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
