@@ -289,3 +289,87 @@ def test_orc_roundtrip_tmp_dirs_are_bounded(spark, tmp_path, monkeypatch):
     assert fresh.exists(), "recent sibling dir must survive (may be live)"
     # the live app's subtree is registered for atexit removal, once
     assert str(own) in io_mod._ORC_CLEANUP_REGISTERED
+
+
+# ---------------------------------------------------------------------------
+# hypothesis differential: stupid backoff vs a brute-force reference
+# ---------------------------------------------------------------------------
+
+
+def _sb_reference(texts, alpha):
+    """Brute-force stupid-backoff per-doc mean log score in plain
+    Python: exact corpus n-gram counts, the 3-tier chain, ln of the
+    same IEEE doubles."""
+    from collections import Counter
+
+    c1, c2, c3 = Counter(), Counter(), Counter()
+    for t in texts.values():
+        toks = [w for w in t.lower().split(" ")]
+        c1.update(w for w in toks if w != "")
+        c2.update(
+            " ".join(toks[i : i + 2]) for i in range(len(toks) - 1)
+        )
+        c3.update(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+    n_total = sum(c1.values())
+    out = {}
+    for doc_id, t in texts.items():
+        toks = t.lower().split(" ")
+        scores = []
+        for i in range(len(toks) - 2):
+            w1, w2, w3 = toks[i : i + 3]
+            g3, g12, g23 = f"{w1} {w2} {w3}", f"{w1} {w2}", f"{w2} {w3}"
+            if c3[g3] > 0:
+                s = c3[g3] / c2[g12]
+            elif c2[g23] > 0:
+                s = alpha * c2[g23] / c1[w2]
+            else:
+                s = (alpha * alpha) * c1[w3] / n_total
+            scores.append(math.log(s))
+        if scores:
+            out[doc_id] = (len(scores), round(sum(scores) / len(scores), 6))
+    return out
+
+
+def test_trigram_sb_hypothesis_differential(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from training_etl_demo_2_spark.operators.text import (
+        SB_ALPHA,
+        trigram_sb_logprob,
+    )
+
+    word = st.sampled_from(["a", "b", "c", "dd", "ee"])
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.lists(word, min_size=1, max_size=12).map(" ".join),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def check(doc_texts):
+        texts = {i: t for i, t in enumerate(doc_texts)}
+        df = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_trigrams, r.avg_sb_logprob)
+            for r in trigram_sb_logprob(df).collect()
+        }
+        want = _sb_reference(texts, SB_ALPHA)
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d][0] == want[d][0]
+            assert abs(got[d][1] - want[d][1]) <= 1e-6, (
+                d, got[d], want[d],
+            )
+
+    check()
