@@ -1234,6 +1234,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         # streaming blocklist ingest monitor (stateless fold telemetry)
         "stream_blocklist_gate": fixture_queries.stream_blocklist_gate,
+        # mergeable bottom-k quantile sketch with the rollup-merge
+        # proof (the distribution sibling of hll/cms_rollup_merge)
+        "quantile_bottomk_merge": _q(sketches.quantile_bottomk_merge),
     }
 
 
@@ -2241,4 +2244,5 @@ def oracle_sql() -> dict[str, str]:
         "stream_blocklist_gate": (
             fixture_queries.stream_blocklist_gate_oracle_sql()
         ),
+        "quantile_bottomk_merge": sketches.quantile_bottomk_merge_sql(),
     }

@@ -101,6 +101,9 @@ NESTED_LOOP_OK = {
     # ONE-ROW corpus-token-total broadcast (the N in the alpha^2 tier),
     # same designed class as unigram_logprob
     "trigram_sb_logprob",
+    # ONE-ROW sample-size (k) and mismatch-count broadcasts onto the
+    # 5-row q grid — sketch metadata only (hll_rollup_merge class)
+    "quantile_bottomk_merge",
     # distinct-values × |sources| KS evaluation grid — METADATA ×
     # METADATA (bounded statistic domain × bounded source registry)
     "ks_drift_by_source",

@@ -373,3 +373,52 @@ def test_trigram_sb_hypothesis_differential(spark):
             )
 
     check()
+
+
+def test_quantile_bottomk_merge_law_and_estimates(spark, tables):
+    """The merge law must hold exactly (bottom-k is a monoid) and the
+    estimates must be ordered and drawn from the value domain."""
+    from training_etl_demo_2_spark.operators.sketches import (
+        QSK_K,
+        quantile_bottomk_merge,
+    )
+
+    out = sorted(
+        quantile_bottomk_merge(tables).collect(), key=lambda r: r.q_bp
+    )
+    assert [r.q_bp for r in out] == [2500, 5000, 7500, 9000, 9900]
+    assert all(r.mismatched_rows == 0 for r in out), (
+        "daily sketches merged != direct global sketch"
+    )
+    n = tables["events"].count()
+    assert all(r.sketch_rows == min(QSK_K, n) for r in out)
+    ests = [r.est_c for r in out]
+    exacts = [r.exact_c for r in out]
+    assert ests == sorted(ests) and exacts == sorted(exacts)
+
+
+def test_quantile_bottomk_exact_when_sample_covers_input(spark):
+    """With n <= K the sketch IS the table, so every estimate must
+    equal the exact quantile and the merge law is trivially exact —
+    regardless of how the input is partitioned across days."""
+    from training_etl_demo_2_spark.operators.sketches import (
+        quantile_bottomk_merge,
+    )
+
+    rows = [
+        (i, f"2024-03-{(i % 5) + 1:02d} 10:00:00", i % 7, "c",
+         float(i), "{}")
+        for i in range(40)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for layout in (ev, ev.repartition(7)):
+        out = quantile_bottomk_merge({"events": layout}).collect()
+        assert all(r.mismatched_rows == 0 for r in out)
+        assert all(r.sketch_rows == 40 for r in out)
+        assert all(r.abs_err_c == 0 for r in out), (
+            "n <= K must be exact"
+        )

@@ -1643,3 +1643,211 @@ def hll_column_profile_sql(
     SELECT * FROM ({union})
     ORDER BY col_name
     """
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch: deterministic bottom-k sample (round 9)
+# ---------------------------------------------------------------------------
+
+# distinct avalanche seed for the quantile sample (same mix family as
+# the HLL seeds; sharing a seed with another sketch would correlate
+# the sample with that sketch's buckets)
+QSK_SEED = (421_867_441, 868_864_297, 1_013_904_223 % HLL_P1, 97_531_333)
+QSK_K = 256
+QSK_Q_BP = (2500, 5000, 7500, 9000, 9900)
+
+
+def quantile_bottomk_merge(t: dict[str, DataFrame]) -> DataFrame:
+    """Mergeable QUANTILE sketch, completing the sketch family's
+    rollup-merge proofs (HLL = distinct, CMS = frequency, KMV =
+    similarity, this = distribution): a deterministic uniform sample
+    of K rows taken as the BOTTOM-K by an avalanched hash of the row
+    id — the KMV idea pointed at values instead of set membership.
+    Bottom-k is a monoid (bottom-k of a union of per-partition
+    bottom-k's IS the global bottom-k: any globally-smallest-K element
+    is in particular among its own partition's smallest K), so daily
+    sketches merge EXACTLY — the query builds the per-day sketches,
+    merges them, builds the direct global sketch, and proves
+    mismatched_rows == 0, the same shape as ``hll_rollup_merge``.
+    Quantile estimates read the sample at rank ceil(q·k): the sample
+    is hash-uniform, so the sample quantile estimates the population
+    quantile with the standard bottom-k error; the exact quantiles
+    (via ``distrank.with_global_order`` at rank ceil(q·n)) sit beside
+    them with the realized error.
+
+    Determinism: hash, tiebreaks (h, event_id), cents rounding, and
+    both rank rules are total orders — bit-identical on both engines.
+
+    Scale shape: per-day bottom-k is a day-partitioned window (hash
+    partitioning, no global sort); the direct and merged global
+    bottom-k are sort+limit (TakeOrderedAndProject — K rows reach the
+    driver-side stage, never the data); everything after runs on
+    ≤ K·|days| rows of sketch metadata; exact quantiles use the
+    range-partitioned exact-rank pattern.
+
+    Output: one row per q_bp — (q_bp, sketch_rows, est_c, exact_c,
+    abs_err_c, mismatched_rows).
+    """
+    from pyspark.sql import Window
+
+    from .distrank import with_global_order
+
+    ev = t["events"]
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    base = ev.select(
+        F.to_date("ts").alias("d"),
+        F.col("event_id").cast("long").alias("rid"),
+        cents.alias("c"),
+    ).withColumn("h", _hll_mix_spark(F.col("rid"), QSK_SEED))
+
+    w_day = Window.partitionBy("d").orderBy("h", "rid")
+    per_day = base.withColumn("rn", F.row_number().over(w_day)).filter(
+        F.col("rn") <= QSK_K
+    ).select("h", "rid", "c")
+    merged = per_day.orderBy("h", "rid").limit(QSK_K)
+    direct = base.select("h", "rid", "c").orderBy("h", "rid").limit(QSK_K)
+
+    mism = (
+        merged.select("h", "rid", F.col("c").alias("ca"))
+        .join(
+            direct.select("h", "rid", F.col("c").alias("cb")),
+            ["h", "rid"],
+            "full",
+        )
+        .filter(
+            F.coalesce(F.col("ca"), F.lit(-(1 << 62)))
+            != F.coalesce(F.col("cb"), F.lit(-(1 << 62)))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("mismatched_rows"))
+    )
+
+    w_val = Window.orderBy("c", "rid")  # <= K rows: metadata window
+    sample = merged.withColumn("vr", F.row_number().over(w_val))
+    k_rel = sample.agg(F.count(F.lit(1)).cast("long").alias("k_rows"))
+    qs = ev.sparkSession.createDataFrame(
+        [(q,) for q in QSK_Q_BP], "q_bp long"
+    )
+    targets = qs.crossJoin(F.broadcast(k_rel)).select(
+        "q_bp",
+        "k_rows",
+        F.greatest(
+            F.lit(1),
+            F.floor((F.col("q_bp") * F.col("k_rows") + 9999) / 10000),
+        )
+        .cast("int")
+        .alias("vr"),
+    )
+    est = targets.join(sample.select("vr", F.col("c").alias("est_c")), "vr")
+
+    ranked, n, _ = with_global_order(
+        base.select("c", "rid"), ["c", "rid"]
+    )
+    if ranked is None:
+        return ev.sparkSession.createDataFrame(
+            [],
+            "q_bp long, sketch_rows long, est_c long, exact_c long, "
+            "abs_err_c long, mismatched_rows long",
+        )
+    exact_targets = {
+        q: max(1, (q * n + 9999) // 10000) for q in QSK_Q_BP
+    }
+    tmap = F.create_map(
+        *[F.lit(x) for q, r in sorted(exact_targets.items()) for x in (r, q)]
+    )
+    exact = (
+        ranked.filter(
+            (F.col("grank") + 1).isin(*exact_targets.values())
+        )
+        .select(
+            F.explode(tmap).alias("r", "q_bp"),
+            (F.col("grank") + 1).alias("gr"),
+            F.col("c").alias("exact_c"),
+        )
+        .filter(F.col("r") == F.col("gr"))
+        .select("q_bp", "exact_c")
+    )
+    out = (
+        est.join(exact, "q_bp")
+        .crossJoin(F.broadcast(mism))
+        .select(
+            "q_bp",
+            F.col("k_rows").alias("sketch_rows"),
+            "est_c",
+            "exact_c",
+            F.abs(F.col("est_c") - F.col("exact_c"))
+            .cast("long")
+            .alias("abs_err_c"),
+            "mismatched_rows",
+        )
+        .orderBy("q_bp")
+    )
+    return out
+
+
+def quantile_bottomk_merge_sql() -> str:
+    """Twin: identical hash, bottom-k, rank arithmetic at each level."""
+    h = _hll_mix_sql("rid", QSK_SEED)
+    q_values = ", ".join(f"({q})" for q in QSK_Q_BP)
+    return f"""
+    WITH base AS (
+        SELECT date_trunc('day', ts) AS d,
+               CAST(event_id AS BIGINT) AS rid,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    hashed AS (SELECT d, rid, c, {h} AS h FROM base),
+    per_day AS (
+        SELECT h, rid, c FROM (
+            SELECT h, rid, c,
+                   row_number() OVER (PARTITION BY d ORDER BY h, rid)
+                       AS rn
+            FROM hashed
+        ) WHERE rn <= {QSK_K}
+    ),
+    merged AS (
+        SELECT h, rid, c FROM per_day ORDER BY h, rid LIMIT {QSK_K}
+    ),
+    direct AS (
+        SELECT h, rid, c FROM hashed ORDER BY h, rid LIMIT {QSK_K}
+    ),
+    mism AS (
+        SELECT CAST(count(*) AS BIGINT) AS mismatched_rows
+        FROM merged m FULL JOIN direct x
+          ON m.h = x.h AND m.rid = x.rid
+        WHERE coalesce(m.c, -4611686018427387904)
+              != coalesce(x.c, -4611686018427387904)
+    ),
+    sample AS (
+        SELECT c, row_number() OVER (ORDER BY c, rid) AS vr FROM merged
+    ),
+    k_rel AS (SELECT CAST(count(*) AS BIGINT) AS k_rows FROM sample),
+    qs(q_bp) AS (VALUES {q_values}),
+    targets AS (
+        SELECT CAST(q_bp AS BIGINT) AS q_bp, k_rows,
+               greatest(1, (q_bp * k_rows + 9999) // 10000) AS vr
+        FROM qs CROSS JOIN k_rel
+    ),
+    est AS (
+        SELECT t.q_bp, t.k_rows, s.c AS est_c
+        FROM targets t JOIN sample s ON s.vr = t.vr
+    ),
+    ranked AS (
+        SELECT c, row_number() OVER (ORDER BY c, rid) AS gr FROM base
+    ),
+    n_rel AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    exact AS (
+        SELECT CAST(q.q_bp AS BIGINT) AS q_bp, r.c AS exact_c
+        FROM qs q CROSS JOIN n_rel
+        JOIN ranked r
+          ON r.gr = greatest(1, (q.q_bp * n + 9999) // 10000)
+    )
+    SELECT e.q_bp,
+           e.k_rows AS sketch_rows,
+           e.est_c,
+           x.exact_c,
+           CAST(abs(e.est_c - x.exact_c) AS BIGINT) AS abs_err_c,
+           m.mismatched_rows
+    FROM est e JOIN exact x ON e.q_bp = x.q_bp
+    CROSS JOIN mism m
+    ORDER BY e.q_bp
+    """
