@@ -422,3 +422,35 @@ def test_quantile_bottomk_exact_when_sample_covers_input(spark):
         assert all(r.abs_err_c == 0 for r in out), (
             "n <= K must be exact"
         )
+
+
+def test_quantile_bottomk_degenerate_duplicate_ranks(spark):
+    """ADVICE round-9 regression: with n small enough that two q_bp
+    values share the same exact rank (n=4 puts q=9000 and q=9900 both
+    at rank 4), the exact-quantile lookup must fan out like the SQL
+    twin's join — the old F.create_map literal threw under Spark's
+    default mapKeyDedupPolicy=EXCEPTION while DuckDB returned 5 rows,
+    an engine-divergent failure on degenerate inputs."""
+    from training_etl_demo_2_spark.operators.sketches import (
+        QSK_Q_BP,
+        quantile_bottomk_merge,
+    )
+
+    rows = [
+        (i, f"2024-03-{i + 1:02d} 10:00:00", i, "c", float(i), "{}")
+        for i in range(4)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sorted(
+        quantile_bottomk_merge({"events": ev}).collect(),
+        key=lambda r: r.q_bp,
+    )
+    assert [r.q_bp for r in out] == sorted(QSK_Q_BP)
+    # n <= K: sketch covers the input, every estimate exact; the two
+    # rank-4 quantiles both resolve to the max value (c = 300 cents).
+    assert all(r.abs_err_c == 0 for r in out)
+    assert out[-1].exact_c == out[-2].exact_c == 300

@@ -544,6 +544,16 @@ def _orc_roundtrip_register_cleanup(app_dir: str) -> None:
         _ORC_CLEANUP_REGISTERED.add(app_dir)
         atexit.register(shutil.rmtree, app_dir, ignore_errors=True)
     try:
+        # Refresh our own dir's mtime on every call: the staleness
+        # sweep below keys on mtime, which only updates when direct
+        # children are written — without this, a session alive past
+        # the stale window could have its early-written dir reaped by
+        # a newer session while the lazy summary DataFrame still
+        # references it.
+        os.utime(app_dir, None)
+    except OSError:
+        pass
+    try:
         now = time.time()
         for name in os.listdir(ORC_ROUNDTRIP_DIR):
             sib = os.path.join(ORC_ROUNDTRIP_DIR, name)

@@ -2646,7 +2646,7 @@ def snm_fuzzy_pairs(
             [], "name_a string, name_b string, rank_gap long, dist long"
         )
     ranked = granked.select(
-        "name", (F.col("grank") + 1).cast("int").alias("rn")
+        "name", (F.col("grank") + 1).alias("rn")
     )
     offsets = F.explode(
         F.sequence(F.lit(1), F.lit(window - 1))

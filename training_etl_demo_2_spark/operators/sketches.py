@@ -1751,21 +1751,18 @@ def quantile_bottomk_merge(t: dict[str, DataFrame]) -> DataFrame:
     exact_targets = {
         q: max(1, (q * n + 9999) // 10000) for q in QSK_Q_BP
     }
-    tmap = F.create_map(
-        *[F.lit(x) for q, r in sorted(exact_targets.items()) for x in (r, q)]
+    # A (rank, q_bp) relation, not a map literal: on tiny inputs two
+    # q_bp values can share the same exact rank, and a duplicate-keyed
+    # F.create_map throws under Spark's default
+    # spark.sql.mapKeyDedupPolicy=EXCEPTION while the SQL twin's join
+    # happily fans out — the join shape matches the oracle exactly.
+    tdf = ev.sparkSession.createDataFrame(
+        [(q, r) for q, r in sorted(exact_targets.items())],
+        "q_bp long, r long",
     )
-    exact = (
-        ranked.filter(
-            (F.col("grank") + 1).isin(*exact_targets.values())
-        )
-        .select(
-            F.explode(tmap).alias("r", "q_bp"),
-            (F.col("grank") + 1).alias("gr"),
-            F.col("c").alias("exact_c"),
-        )
-        .filter(F.col("r") == F.col("gr"))
-        .select("q_bp", "exact_c")
-    )
+    exact = ranked.join(
+        F.broadcast(tdf), (F.col("grank") + 1) == F.col("r")
+    ).select("q_bp", F.col("c").alias("exact_c"))
     out = (
         est.join(exact, "q_bp")
         .crossJoin(F.broadcast(mism))

@@ -339,7 +339,10 @@ def vocab_coverage_curve(
         return df.sparkSession.createDataFrame(
             [], "k long, n_terms long, covered_tokens long, coverage_bp long"
         )
-    ranked = granked.withColumn("rk", (F.col("grank") + 1).cast("int"))
+    # rk stays long: an int cast would silently overflow past ~2.1e9
+    # distinct terms, corrupting the k-threshold join below fixture
+    # scale claims but above what a 100 TB corpus vocabulary can hit.
+    ranked = granked.withColumn("rk", F.col("grank") + 1)
     k_list = df.sparkSession.createDataFrame([(k,) for k in ks], "k long")
     return (
         ranked.join(F.broadcast(k_list), F.col("rk") <= F.col("k"))
