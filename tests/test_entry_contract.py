@@ -138,3 +138,18 @@ def test_readme_headline_matches_registry():
         f"README headline says {m.groups()}, registry has "
         f"({total}, {oracled}, {total - oracled}) — update README.md"
     )
+
+
+def test_every_query_mapped_in_coverage():
+    """Every queries() name must be resolvable in COVERAGE.md — round 9
+    found six oracle-backed, fully-tested registry entries with no
+    coverage-map row (the map was incomplete, not the coverage); this
+    turns the map into a checked artifact like the README headline."""
+    from pathlib import Path
+
+    cov = (Path(__file__).parent.parent / "COVERAGE.md").read_text()
+    unmapped = [n for n in entrymod.queries() if n not in cov]
+    assert not unmapped, (
+        f"registry entries missing from COVERAGE.md: {unmapped} — "
+        "add a row (or name them in an existing grouped row)"
+    )
