@@ -1237,6 +1237,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mergeable bottom-k quantile sketch with the rollup-merge
         # proof (the distribution sibling of hll/cms_rollup_merge)
         "quantile_bottomk_merge": _q(sketches.quantile_bottomk_merge),
+        "paragraph_dedup": _q(
+            lambda t: dedup.paragraph_dedup(t["documents"])
+        ),
     }
 
 
@@ -2245,4 +2248,5 @@ def oracle_sql() -> dict[str, str]:
             fixture_queries.stream_blocklist_gate_oracle_sql()
         ),
         "quantile_bottomk_merge": sketches.quantile_bottomk_merge_sql(),
+        "paragraph_dedup": oracle.paragraph_dedup_sql(),
     }

@@ -254,6 +254,75 @@ def intra_doc_repetition(
     )
 
 
+PARA_SEG_WORDS = 3  # gate-entry segmenter: short enough that the
+# fixture corpus actually contains intra-doc repeats (at the default
+# 10-word grain the synthetic docs have none, so the removal rule
+# would be untestable end-to-end)
+
+
+def paragraph_dedup(
+    df: DataFrame, text_col: str = "text", seg_words: int = PARA_SEG_WORDS
+) -> DataFrame:
+    """Intra-document PARAGRAPH dedup — the REMOVAL half of
+    ``intra_doc_repetition`` (which only measures): MassiveText's
+    repetition treatment (Rae et al. 2021, Gopher appendix A) drops
+    repeated paragraphs/lines inside a document, keeping the FIRST
+    occurrence, because crawl artifacts (pagination echoes, template
+    loops, infinite-scroll duplication) repeat a page's own content.
+    Sits between ``line_dedup`` (cross-document segment removal) and
+    ``remove_duplicate_spans`` (corpus-wide substring removal) in the
+    dedup ladder: same positional segmenter, document-local rule.
+
+    Per doc: keep segment occurrence iff its position is the FIRST
+    with that segment hash in the same document; reassemble survivors
+    in original order; report MassiveText's two repetition metrics as
+    exact basis points (share of duplicate paragraphs; share of
+    characters inside duplicate paragraphs).
+
+    Output: (doc_id, clean_text, n_paras, n_dup_paras,
+    dup_para_share_bp, dup_char_share_bp) for EVERY input doc.
+
+    Scale shape: narrow segment explode → ONE hash-partitioned window
+    over (doc_id, segment-hash) for the keep-first rule (no global
+    sort; the min is per-key) → the unavoidable reassembly
+    groupBy(doc_id), which moves each surviving segment string exactly
+    once — identical exchange structure to ``line_dedup``, minus its
+    corpus-wide boilerplate join.
+    """
+    from pyspark.sql import Window
+
+    segs = df.select(
+        "doc_id",
+        F.posexplode(_fixed_segments(text_col, seg_words)).alias("pos", "seg"),
+    ).withColumn("h", rolling_hash(F.col("seg")))
+    w = Window.partitionBy("doc_id", "h")
+    flagged = segs.withColumn(
+        "dup", (F.col("pos") > F.min("pos").over(w)).cast("int")
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col("pos"), F.col("dup"), F.col("seg")))
+    )
+    kept = F.filter(ordered, lambda s: s["dup"] == 0)
+    n_paras = F.count(F.lit(1)).cast("long")
+    n_dup = F.sum("dup").cast("long")
+    dup_chars = F.sum(F.col("dup") * F.length("seg")).cast("long")
+    tot_chars = F.sum(F.length("seg")).cast("long")
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(F.transform(kept, lambda s: s["seg"]), " ").alias(
+            "clean_text"
+        ),
+        n_paras.alias("n_paras"),
+        n_dup.alias("n_dup_paras"),
+        F.floor(F.lit(10000) * n_dup / n_paras)
+        .cast("long")
+        .alias("dup_para_share_bp"),
+        F.when(tot_chars > 0, F.floor(F.lit(10000) * dup_chars / tot_chars))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_char_share_bp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingling (shared by Jaccard + MinHash)
 # ---------------------------------------------------------------------------

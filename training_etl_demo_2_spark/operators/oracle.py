@@ -159,6 +159,53 @@ def intra_doc_repetition_sql(seg_words: int = 10) -> str:
     """
 
 
+def paragraph_dedup_sql(seg_words: int = 3) -> str:
+    """Twin of dedup.paragraph_dedup: same positional segmenter as
+    line_dedup_sql, keep-first-occurrence rule per (doc, segment hash),
+    order-preserving reassembly, MassiveText repetition shares in bp."""
+    k = seg_words
+    h = ROLLING_HASH.format(s="seg")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, w,
+               CAST(ceil(len(w) / CAST({k} AS DOUBLE)) AS BIGINT) AS nseg
+        FROM toks
+    ),
+    segs AS (
+        SELECT doc_id,
+               unnest(range(0, nseg)) AS pos,
+               unnest(list_transform(
+                   range(0, nseg),
+                   i -> array_to_string(w[i*{k}+1 : i*{k}+{k}], ' ')
+               )) AS seg
+        FROM sized
+    ),
+    hashed AS (SELECT doc_id, pos, seg, {h} AS h FROM segs),
+    flagged AS (
+        SELECT doc_id, pos, seg,
+               CASE WHEN pos > min(pos) OVER (PARTITION BY doc_id, h)
+                    THEN 1 ELSE 0 END AS dup
+        FROM hashed
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN dup = 0 THEN seg END, ' '
+                               ORDER BY pos), '') AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(dup) AS BIGINT) AS n_dup_paras,
+           CAST(floor(10000 * sum(dup) / count(*)) AS BIGINT)
+               AS dup_para_share_bp,
+           CASE WHEN sum(length(seg)) > 0
+                THEN CAST(floor(10000 * sum(dup * length(seg))
+                                / sum(length(seg))) AS BIGINT)
+                ELSE 0 END AS dup_char_share_bp
+    FROM flagged
+    GROUP BY doc_id
+    """
+
+
 def _jaccard_sql(pairs_filter: str, threshold: float) -> str:
     return f"""
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
