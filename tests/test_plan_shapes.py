@@ -483,6 +483,209 @@ def test_no_single_partition_window_sorts(physical_plans):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-10: the blind spot the round-9 detector left open. That
+# detector keys on the `Exchange SinglePartition` NODE — but Spark only
+# inserts the exchange when the window's input is multi-partition. An
+# unpartitioned Window over a relation that is ALREADY single-partition
+# (post-limit, post-coalesce(1)) emits no exchange and shipped silently
+# (quantile_bottomk_merge's benign `WindowExec: No Partition Defined`
+# runtime warnings proved the class exists in-tree). This detector keys
+# on the WINDOW node itself: a windowspecdefinition whose first
+# argument is an ORDER column (`... ASC/DESC NULLS ...`) or directly a
+# specifiedwindowframe(...) has NO partition spec. Such a window is
+# auto-legal only when its input spine — walked through row-narrow
+# nodes (Project/Filter/Sort/Window/exchanges) — reaches a node that
+# BOUNDS the row count regardless of data size: TakeOrderedAndProject /
+# Global/LocalLimit (Catalyst pushes these below rank<=k windows),
+# LocalTableScan (literal rows), or a scalar (keys=[]) aggregate.
+# Anything else (a coalesce(1), a grouped aggregate, a join, a scan)
+# needs a written rationale below. Unpartitioned global Sorts are NOT
+# audited here: a global Sort self-heals at scale (Spark inserts an
+# Exchange rangepartitioning the moment the child is multi-partition),
+# while an unpartitioned Window NEVER distributes at any size.
+
+# Unpartitioned windows over metadata-sized relations that are not
+# produced by a limit spine (grouped aggregates over bounded key
+# domains). Entries in SINGLE_PARTITION_WINDOW_OK are honored too —
+# same relations, merely reached through an explicit exchange.
+PARTITIONLESS_WINDOW_OK = {
+    "acf_hourly": "calendar-hour series (|hours| rows; lag windows)",
+    "quantile_bottomk_merge": (
+        "bounded-K sketch relations: every window runs over a "
+        "TakeOrderedAndProject(K<=10k)-derived per-day or merged "
+        "sketch, grouped to |days| rows before the window"
+    ),
+}
+
+
+def _first_windowspec_arg(node: str) -> str | None:
+    """First top-level argument of the node's first
+    windowspecdefinition(...): a plain column means PARTITIONED; an
+    `X ASC/DESC NULLS ...` order column or a direct
+    specifiedwindowframe(...) means NO partition spec."""
+    key = "windowspecdefinition("
+    start = node.find(key)
+    if start < 0:
+        return None
+    depth = 0
+    buf = []
+    for ch in node[start + len(key):]:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            break
+        buf.append(ch)
+    return "".join(buf).strip()
+
+
+def _is_unpartitioned_window(node: str) -> bool:
+    arg = _first_windowspec_arg(node)
+    if arg is None:
+        return False
+    return arg.startswith("specifiedwindowframe(") or (
+        " ASC NULLS" in arg or " DESC NULLS" in arg
+    )
+
+
+_SPINE_PASS_THROUGH = (
+    "Project ", "Project[", "Filter ", "Filter(", "Sort ", "Sort[",
+    "Window ", "Window[", "WindowGroupLimit", "Exchange ",
+    "ReusedExchange", "ShuffleQueryStage", "AQEShuffleRead",
+    "ColumnarToRow", "InputAdapter", "AdaptiveSparkPlan",
+    "ResultQueryStage", "CollectMetrics",
+)
+_SPINE_BOUNDED = (
+    "TakeOrderedAndProject", "GlobalLimit", "LocalLimit",
+    "LocalTableScan",
+)
+
+
+def _strip_node(line: str) -> str:
+    node = line.strip(" :+-")
+    if node.startswith("*("):  # codegen stage marker
+        node = node.split(") ", 1)[1]
+    return node
+
+
+def _spine_is_bounded(lines: list[str], i: int) -> bool:
+    """Walk the first-child spine below ``lines[i]`` through row-narrow
+    nodes; True iff it reaches a bounded node before anything that can
+    be data-sized (join, grouped aggregate, Generate, Union, scan)."""
+    depth = _tree_depth(lines[i])
+    j = i
+    while True:
+        # in plan-tree toString a node's FIRST child is always the
+        # next line (deeper indent); a shallower next line = leaf
+        child = j + 1
+        if child >= len(lines) or _tree_depth(lines[child]) <= depth:
+            return False
+        node = _strip_node(lines[child])
+        if node.startswith(_SPINE_BOUNDED):
+            return True
+        if node.startswith(("HashAggregate(keys=[],",
+                            "SortAggregate(keys=[],",
+                            "ObjectHashAggregate(keys=[],")):
+            return True  # scalar aggregate: one row at any SF
+        if not node.startswith(_SPINE_PASS_THROUGH):
+            return False
+        j, depth = child, _tree_depth(lines[child])
+
+
+def _unbounded_partitionless_windows(plan: str) -> list[str]:
+    lines = plan.splitlines()
+    hits = []
+    for i, line in enumerate(lines):
+        node = _strip_node(line)
+        flagged = False
+        if node.startswith(("Window ", "Window[")):
+            flagged = _is_unpartitioned_window(node)
+        elif node.startswith("WindowGroupLimit"):
+            # WindowGroupLimit [part], [order], fn, k, mode — two
+            # top-level bracket groups when partitioned, one when not
+            depth = 0
+            groups = 0
+            for ch in node[len("WindowGroupLimit"):]:
+                if ch == "[":
+                    if depth == 0:
+                        groups += 1
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+            flagged = groups < 2
+        if flagged and not _spine_is_bounded(lines, i):
+            hits.append(node[:100])
+    return hits
+
+
+def test_no_unbounded_partitionless_windows(physical_plans):
+    """No query may run an UNPARTITIONED window over a relation that is
+    not provably bounded (limit spine / scalar aggregate) — even when
+    no `Exchange SinglePartition` node appears because the input is
+    already single-partition. Declared metadata-window queries are
+    allowlisted with rationale above."""
+    ok = set(SINGLE_PARTITION_WINDOW_OK) | set(PARTITIONLESS_WINDOW_OK)
+    offenders = {
+        n: nodes
+        for n, p in physical_plans.items()
+        if n not in ok and (nodes := _unbounded_partitionless_windows(p))
+    }
+    assert not offenders, (
+        "unpartitioned Window over an unbounded relation (partition it, "
+        "use distrank.with_global_order, or allowlist with rationale): "
+        f"{offenders}"
+    )
+
+
+def test_partitionless_detector_catches_coalesce1_window(spark, tables):
+    """The exact shape the round-9 detector was blind to: coalesce(1)
+    makes the window's input single-partition, so NO Exchange
+    SinglePartition is emitted — the old detector passes it, the new
+    one must flag it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = tables["customer"].select("c_custkey", "c_acctbal").coalesce(1)
+    out = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("c_acctbal"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert not _single_partition_sort_window_nodes(plan), (
+        "expected the round-9 exchange-keyed detector to be blind here"
+        " (if this fails, Spark started inserting an exchange and the"
+        " new detector is redundant — re-evaluate)"
+    )
+    assert _unbounded_partitionless_windows(plan), (
+        "detector missed a coalesce(1)-then-window over a data-sized"
+        " relation"
+    )
+
+
+def test_partitionless_detector_passes_bounded_spine(spark, tables):
+    """Catalyst rewrites rank<=k into TakeOrderedAndProject BELOW the
+    window; such bounded-input windows are legal and must NOT flag."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = tables["customer"].select("c_custkey", "c_acctbal")
+    out = (
+        df.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("c_acctbal"), "c_custkey")
+            ),
+        )
+        .where(F.col("rn") <= 10)
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+    assert not _unbounded_partitionless_windows(plan)
+
+
 def test_single_partition_detector_catches_global_ntile(spark, tables):
     """The detector itself must flag the exact shape that shipped
     silently for eight rounds: ntile over an un-partitioned window

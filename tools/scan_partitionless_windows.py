@@ -35,6 +35,39 @@ def _top_level_groups(s: str) -> int:
     return groups
 
 
+def _first_spec_arg(node: str) -> str | None:
+    """First top-level argument inside the node's first
+    windowspecdefinition(...) — a plain column means PARTITIONED; an
+    `X ASC/DESC NULLS ...` order column or a direct
+    specifiedwindowframe(...) means NO partition spec."""
+    key = "windowspecdefinition("
+    start = node.find(key)
+    if start < 0:
+        return None
+    depth = 0
+    buf = []
+    for ch in node[start + len(key):]:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            break
+        buf.append(ch)
+    return "".join(buf).strip()
+
+
+def _window_is_unpartitioned(node: str) -> bool:
+    arg = _first_spec_arg(node)
+    if arg is None:
+        return False
+    return arg.startswith("specifiedwindowframe(") or (
+        " ASC NULLS" in arg or " DESC NULLS" in arg
+    )
+
+
 def partitionless_window_sort_nodes(plan: str) -> list[str]:
     lines = plan.splitlines()
     hits = []
@@ -43,11 +76,11 @@ def partitionless_window_sort_nodes(plan: str) -> list[str]:
         if node.startswith("*("):
             node = node.split(") ", 1)[1]
         if node.startswith(("Window ", "Window[")):
-            if _top_level_groups(node[len("Window"):]) < 3:
-                hits.append("W: " + node[:100])
+            if _window_is_unpartitioned(node):
+                hits.append("W: " + node[:160])
         elif node.startswith("WindowGroupLimit"):
             if _top_level_groups(node[len("WindowGroupLimit"):]) < 2:
-                hits.append("WGL: " + node[:100])
+                hits.append("WGL: " + node[:160])
         elif node.startswith("Sort ") and ", true," in node:
             d = _tree_depth(line)
             child = None
@@ -59,7 +92,7 @@ def partitionless_window_sort_nodes(plan: str) -> list[str]:
                 ("Exchange ", "ReusedExchange", "ShuffleQueryStage",
                  "AQEShuffleRead")
             ):
-                hits.append(f"S: {node[:60]} <- {child[:60]}")
+                hits.append(f"S: {node[:80]} <- {child[:80]}")
     return hits
 
 
