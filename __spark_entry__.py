@@ -1240,6 +1240,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q(
             lambda t: dedup.paragraph_dedup(t["documents"])
         ),
+        # relative-error quantile digest with certified per-row bound
+        # (the 100 TB approximate tier beside the exact bottom-k)
+        "hdr_quantile_audit": _q(sketches.hdr_quantile_audit),
     }
 
 
@@ -2249,4 +2252,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "quantile_bottomk_merge": sketches.quantile_bottomk_merge_sql(),
         "paragraph_dedup": oracle.paragraph_dedup_sql(),
+        "hdr_quantile_audit": sketches.hdr_quantile_audit_sql(),
     }

@@ -104,6 +104,8 @@ NESTED_LOOP_OK = {
     # ONE-ROW sample-size (k) and mismatch-count broadcasts onto the
     # 5-row q grid — sketch metadata only (hll_rollup_merge class)
     "quantile_bottomk_merge",
+    # 5-row q grid × |buckets| digest + ONE-ROW mismatch fold
+    "hdr_quantile_audit",
     # distinct-values × |sources| KS evaluation grid — METADATA ×
     # METADATA (bounded statistic domain × bounded source registry)
     "ks_drift_by_source",

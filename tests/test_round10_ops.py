@@ -54,3 +54,70 @@ def test_paragraph_dedup_order_preserved_and_idempotent(spark):
     ).collect()[0]
     assert again.clean_text == first.clean_text
     assert again.n_dup_paras == 0
+
+
+def test_hdr_quantile_audit_planted(spark):
+    """Hand-computed two-sig-digit buckets, rank selection, and the
+    certified error bound on a 2-type, 2-day corpus."""
+    from datetime import datetime
+
+    from training_etl_demo_2_spark.operators.sketches import (
+        hdr_quantile_audit,
+    )
+
+    d1, d2 = datetime(2024, 1, 1, 8), datetime(2024, 1, 2, 9)
+    rows = [
+        # type a cents: 123, 345, 347, 12000, 12150 across two days
+        (d1, "a", 1.23), (d1, "a", 3.45), (d2, "a", 3.47),
+        (d2, "a", 120.00), (d2, "a", 121.50),
+        # type b: a zero and a one-digit value
+        (d1, "b", 0.0), (d2, "b", 0.05),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    )
+    out = {
+        (r.event_type, r.q_bp): r
+        for r in hdr_quantile_audit({"events": df}).collect()
+    }
+    assert all(r.mismatched_cells == 0 for r in out.values())
+    assert all(r.within_10pct for r in out.values())
+
+    # type a buckets: 120(n=1), 340(n=2), 12000(n=2); ranks 2,3,4,5,5
+    a = out[("a", 2500)]
+    assert (a.est_c, a.ub_c, a.rel_err_bp_bound) == (340, 349, 264)
+    assert out[("a", 5000)].est_c == 340
+    for q in (7500, 9000, 9900):
+        r = out[("a", q)]
+        assert (r.est_c, r.ub_c, r.rel_err_bp_bound) == (12000, 12999, 832)
+    # exact rank-2 value is 345 cents: inside the certified interval
+    assert a.est_c <= 345 <= a.ub_c
+
+    # type b: zero bucket is exact (divisor 1)
+    b = out[("b", 2500)]
+    assert (b.est_c, b.ub_c, b.rel_err_bp_bound) == (0, 0, 0)
+    assert out[("b", 9900)].est_c == 5 and out[("b", 9900)].ub_c == 5
+
+
+def test_hdr_quantile_audit_certifies_exact(spark, tables):
+    """On the real fixture, every row's certified interval
+    [est_c, ub_c] must contain the EXACT quantile at the same rank
+    rule — the property the rel_err_bp_bound column certifies."""
+    from training_etl_demo_2_spark.operators.sketches import (
+        hdr_quantile_audit,
+    )
+
+    ev = tables["events"].select("ts", "event_type", "value").toPandas()
+    ev["u"] = (ev["value"] * 100 + 0.5).astype("int64")
+    out = hdr_quantile_audit({"events": tables["events"]}).collect()
+    assert out, "empty audit"
+    for r in out:
+        assert r.mismatched_cells == 0
+        assert r.within_10pct, (r.event_type, r.q_bp, r.rel_err_bp_bound)
+        vals = sorted(ev.loc[ev.event_type == r.event_type, "u"])
+        assert r.n_total == len(vals)
+        rank = (r.q_bp * len(vals) + 9999) // 10000
+        exact = vals[rank - 1]
+        assert r.est_c <= exact <= r.ub_c, (
+            r.event_type, r.q_bp, r.est_c, exact, r.ub_c
+        )

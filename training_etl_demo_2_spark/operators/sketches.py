@@ -1848,3 +1848,213 @@ def quantile_bottomk_merge_sql() -> str:
     CROSS JOIN mism m
     ORDER BY e.q_bp
     """
+
+
+# two-significant-decimal-digit digest: bucket width = 10^(digits-2),
+# so every estimate's relative error is < 10% by construction
+HDR_Q_BP = (2500, 5000, 7500, 9000, 9900)
+
+
+def hdr_quantile_audit(t: dict[str, DataFrame]) -> DataFrame:
+    """HDR-histogram-style RELATIVE-error quantile digest with a
+    certified per-estimate error bound — the 100 TB default tier next
+    to the exact bottom-k sample (``quantile_bottomk_merge``) and the
+    fixed-absolute-width histogram (``events_histogram_quantiles``).
+    Fixed-width bins give absolute error (too coarse at the low end of
+    a multi-decade domain, or an exploding bin count); this digest
+    buckets the cents lattice by its top TWO significant decimal
+    digits — ``divisor = 10^max(digits-2, 0)``, ``lb = u - u mod
+    divisor`` — so bucket width is 10% of magnitude everywhere and the
+    grid stays <= 90 buckets per decade at ANY scale. Unlike
+    GK/t-digest/``percentile_approx`` (engine-specific internals, no
+    cross-engine twin possible), the bucket rule is pure integer/string
+    arithmetic — bit-identical on Spark and DuckDB, so the WHOLE digest
+    is oracle-gated, not just invariant-tested.
+
+    Mergeability proof, same shape as ``hll_rollup_merge`` /
+    ``cms_rollup_merge``: per-day digests merge by bucket-count SUM;
+    the query builds both the merged and the direct digest and emits
+    mismatched_cells (must be 0, full-outer cell compare). Quantile
+    reads take the lower edge of the first bucket whose cumulative
+    count reaches rank ceil(q_bp·n/10000) (exact integer arithmetic,
+    no doubles); since that rank falls INSIDE the chosen bucket, the
+    true quantile lies in [est_c, ub_c] and the emitted
+    rel_err_bp_bound = floor(10000·(divisor-1)/lb) < 1000 CERTIFIES
+    the <10% relative error per row — the audit needs no exact-tier
+    rescan.
+
+    Scale shape: one narrow scan -> (day, type, bucket) partial-agg
+    groupBys; every window is PARTITIONED by event_type over
+    |occupied buckets| rows (bounded by the grid, not the data); the
+    q relation and the 1-row mismatch count are broadcasts.
+
+    Output: (event_type, q_bp, n_total, est_c, ub_c, rel_err_bp_bound,
+    within_10pct, mismatched_cells) per type x quantile.
+    """
+    from pyspark.sql import Window
+
+    ev = t["events"]
+    base = ev.select(
+        F.to_date("ts").alias("d"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("u"),
+    )
+    bucketed = base.withColumn(
+        "divisor",
+        F.expr(
+            "CAST(concat('1', repeat('0', "
+            "greatest(length(CAST(u AS STRING)) - 2, 0))) AS BIGINT)"
+        ),
+    ).select(
+        "d",
+        "event_type",
+        (F.col("u") - F.col("u") % F.col("divisor")).alias("lb"),
+        "divisor",
+    )
+    per_day = bucketed.groupBy("d", "event_type", "lb", "divisor").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    merged = per_day.groupBy("event_type", "lb", "divisor").agg(
+        F.sum("n").cast("long").alias("n")
+    )
+    direct = bucketed.groupBy("event_type", "lb").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    mism = (
+        merged.select("event_type", "lb", F.col("n").alias("na"))
+        .join(direct.withColumnRenamed("n", "nb"), ["event_type", "lb"],
+              "full")
+        .filter(
+            F.coalesce(F.col("na"), F.lit(-1))
+            != F.coalesce(F.col("nb"), F.lit(-1))
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("mismatched_cells"))
+    )
+
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("lb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    cum = merged.select(
+        "event_type",
+        "lb",
+        "divisor",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("total"),
+    )
+    qdf = ev.sparkSession.createDataFrame(
+        [(q,) for q in HDR_Q_BP], "q_bp long"
+    )
+    sel = (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(
+            F.col("cum") >= F.expr("(q_bp * total + 9999) div 10000")
+        )
+        .groupBy("event_type", "q_bp")
+        .agg(F.min(F.struct("lb", "divisor", "total")).alias("s"))
+        .select(
+            "event_type",
+            "q_bp",
+            F.col("s.total").alias("n_total"),
+            F.col("s.lb").alias("est_c"),
+            (F.col("s.lb") + F.col("s.divisor") - 1).alias("ub_c"),
+            F.when(
+                F.col("s.lb") > 0,
+                F.floor(
+                    (F.col("s.divisor") - 1).cast("double")
+                    * 10000.0
+                    / F.col("s.lb")
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0))
+            .alias("rel_err_bp_bound"),
+        )
+        .withColumn("within_10pct", F.col("rel_err_bp_bound") < 1000)
+    )
+    return sel.crossJoin(F.broadcast(mism)).orderBy("event_type", "q_bp")
+
+
+def hdr_quantile_audit_sql() -> str:
+    """Twin: identical lattice, bucket rule, rank arithmetic, merge."""
+    q_values = ", ".join(f"({q})" for q in HDR_Q_BP)
+    return f"""
+    WITH base AS (
+        SELECT date_trunc('day', ts) AS d,
+               event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS u
+        FROM events
+    ),
+    bucketed AS (
+        SELECT d, event_type,
+               u - u % divisor AS lb, divisor
+        FROM (
+            SELECT d, event_type, u,
+                   CAST('1' || repeat('0',
+                        greatest(length(CAST(u AS VARCHAR)) - 2, 0))
+                        AS BIGINT) AS divisor
+            FROM base
+        )
+    ),
+    per_day AS (
+        SELECT d, event_type, lb, divisor,
+               CAST(count(*) AS BIGINT) AS n
+        FROM bucketed GROUP BY 1, 2, 3, 4
+    ),
+    merged AS (
+        SELECT event_type, lb, divisor, CAST(sum(n) AS BIGINT) AS n
+        FROM per_day GROUP BY 1, 2, 3
+    ),
+    direct AS (
+        SELECT event_type, lb, CAST(count(*) AS BIGINT) AS n
+        FROM bucketed GROUP BY 1, 2
+    ),
+    mism AS (
+        SELECT CAST(count(*) AS BIGINT) AS mismatched_cells
+        FROM merged m FULL JOIN direct g
+          ON m.event_type = g.event_type AND m.lb = g.lb
+        WHERE coalesce(m.n, -1) != coalesce(g.n, -1)
+    ),
+    cum AS (
+        SELECT event_type, lb, divisor,
+               sum(n) OVER (PARTITION BY event_type ORDER BY lb)
+                   AS cum,
+               sum(n) OVER (PARTITION BY event_type) AS total
+        FROM merged
+    ),
+    qs(q_bp) AS (VALUES {q_values}),
+    sel AS (
+        -- min(lb) picks the first qualifying bucket; its divisor is
+        -- re-derived from lb's digit count (truncation preserves the
+        -- digit count, so digits(lb) == digits(u))
+        SELECT event_type, CAST(q_bp AS BIGINT) AS q_bp,
+               CAST(min(total) AS BIGINT) AS n_total,
+               min(lb) AS est_c
+        FROM cum CROSS JOIN qs
+        WHERE cum >= (q_bp * total + 9999) // 10000
+        GROUP BY 1, 2
+    ),
+    sel2 AS (
+        SELECT event_type, q_bp, n_total, est_c,
+               CAST('1' || repeat('0',
+                    greatest(length(CAST(est_c AS VARCHAR)) - 2, 0))
+                    AS BIGINT) AS divisor
+        FROM sel
+    ),
+    sel3 AS (
+        SELECT event_type, q_bp, n_total, est_c,
+               est_c + divisor - 1 AS ub_c,
+               CASE WHEN est_c > 0
+                    THEN CAST(floor(CAST(divisor - 1 AS DOUBLE)
+                                    * 10000.0 / est_c) AS BIGINT)
+                    ELSE 0 END AS rel_err_bp_bound
+        FROM sel2
+    )
+    SELECT s.event_type, s.q_bp, s.n_total, s.est_c, s.ub_c,
+           s.rel_err_bp_bound,
+           s.rel_err_bp_bound < 1000 AS within_10pct,
+           m.mismatched_cells
+    FROM sel3 s CROSS JOIN mism m
+    ORDER BY s.event_type, s.q_bp
+    """
