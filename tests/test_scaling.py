@@ -124,3 +124,31 @@ def test_r100_committed_rows_decade_ratio_bounded():
         # both graph families are present (round-9 ask)
     assert "pagerank_near_dups" in d["families"]
     assert "kcore_decomposition" in d["families"]
+
+
+def test_r1000_committed_rows_third_decade_bounded():
+    """Static mirror over the committed R=1000 artifact (round-10 ask):
+    the two flagship corpus families carry a THIRD decade — the
+    1000×/100× factor (recorded as ratio_decade2 relative to n_rep)
+    must sit under the per-decade bound 10^1.5, and the deterministic
+    candidate anchor must stay linear at three decades."""
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING_R1000.json",
+    )
+    with open(path) as f:
+        d = json.load(f)
+    assert d["n_rep"] == 1000
+    sp = d["shuffle_partitions"]
+    assert sp["1000x"] > sp["100x"] > sp["1x"] >= 32
+    # banding candidate volume stays linear over three decades
+    assert d["candidate_growth"] <= 1.2 * 1000
+    assert d["candidate_growth"] >= 0.8 * 1000
+    for fam in ("dedup_minhash_lsh", "corpus_pipeline_e2e"):
+        row = d["families"][fam]
+        assert row["ok"], f"{fam} over the R^1.5 bound: {row}"
+        third_decade = row["t_1000x_s"] / row["t_100x_s"]
+        assert 0 < third_decade <= 10**1.5, (fam, third_decade)

@@ -180,6 +180,42 @@ FAMILIES: dict[str, tuple[str, str]] = {
         "grow R× under disjoint replicas; gram-keyed equi-joins, "
         "ONE-ROW total broadcast",
     ),
+    # round-10: the four bench-top-15 curve/audit compositions that had
+    # no growth row (their tiers are measured above, but the curve
+    # composition itself — shared persisted relations re-filtered per
+    # arm — was not), plus the two round-10 operators
+    "jaccard_threshold_curve": (
+        "~R (linear)",
+        "ONE persisted exact-pair ⋈ LSH-pair relation (near-dup-sized, "
+        "grows R×) re-filtered by |taus| one-row folds",
+    ),
+    "layout_skipping_audit": (
+        "~R (linear)",
+        "one range-repartition + per-partition rank per layout; stats "
+        "relations are file-cardinality-sized, predicate grid fixed",
+    ),
+    "lsh_recall_eval": (
+        "~R (linear)",
+        "exact shingle-join truth FULL OUTER banded candidates: both "
+        "pair relations grow R× under disjoint replicas, one-row fold",
+    ),
+    "dedup_quality_regret": (
+        "~R (linear)",
+        "near-dup cluster relation ⋈ per-doc quality scores (both grow "
+        "R×), one groupBy per cluster, one-row fold",
+    ),
+    "paragraph_dedup": (
+        "~R (linear)",
+        "intra-doc segment explode + (doc_id, hash)-partitioned "
+        "keep-first window + doc_id reassembly groupBy; every relation "
+        "grows R× with disjoint replicas",
+    ),
+    "hdr_quantile_audit": (
+        "~R (linear)",
+        "scan-side partial-agg onto the fixed sig-digit grid: the scan "
+        "grows R× (events now replicate), the shuffle stays grid-sized "
+        "(counts grow, cells don't)",
+    ),
 }
 
 # Acceptance: observed wall ratio must stay under R^1.5 — geometric
@@ -274,6 +310,21 @@ def build_replicated_dir(spark, sf_dir: str, n_rep: int, out_dir: str) -> str:
     )
     li.write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
 
+    # events replicate by event_id offset (ts/type/value/user_id
+    # verbatim): grid-sketch families over events see R× the rows on
+    # the SAME bucket cells — the shape a growing day's telemetry has
+    ev = (
+        t["events"]
+        .crossJoin(reps)
+        .select(
+            (F.col("event_id") + F.col("rep") * F.lit(_ID_STRIDE)).alias(
+                "event_id"
+            ),
+            *[c for c in t["events"].columns if c != "event_id"],
+        )
+    )
+    ev.write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
+
     for name in (
         "region",
         "nation",
@@ -281,7 +332,6 @@ def build_replicated_dir(spark, sf_dir: str, n_rep: int, out_dir: str) -> str:
         "supplier",
         "part",
         "orders",
-        "events",
     ):
         dst = os.path.join(out_dir, f"{name}.parquet")
         if not os.path.exists(dst):
