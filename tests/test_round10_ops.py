@@ -121,3 +121,24 @@ def test_hdr_quantile_audit_certifies_exact(spark, tables):
         assert r.est_c <= exact <= r.ub_c, (
             r.event_type, r.q_bp, r.est_c, exact, r.ub_c
         )
+
+
+def test_hdr_quantile_audit_drops_negative_and_null(spark):
+    """The digit-count bucket rule is sign-unaware and NULL lb would
+    order differently across engines — both engines drop those rows
+    identically, and n_total reflects the kept lattice only."""
+    from datetime import datetime
+
+    from training_etl_demo_2_spark.operators.sketches import (
+        hdr_quantile_audit,
+    )
+
+    d1 = datetime(2024, 1, 1, 8)
+    df = spark.createDataFrame(
+        [(d1, "a", 1.00), (d1, "a", -5.00), (d1, "a", None),
+         (d1, "a", 2.00)],
+        "ts timestamp, event_type string, value double",
+    )
+    out = hdr_quantile_audit({"events": df}).collect()
+    assert out and all(r.n_total == 2 for r in out)
+    assert all(r.est_c in (100, 200) for r in out)

@@ -1894,11 +1894,16 @@ def hdr_quantile_audit(t: dict[str, DataFrame]) -> DataFrame:
     from pyspark.sql import Window
 
     ev = t["events"]
+    # nonnegative lattice only: the digit-count bucket rule is
+    # sign-unaware (a '-' would inflate length and misplace the
+    # bucket), and a NULL lb would ORDER differently in the cumulative
+    # window (Spark NULLS FIRST vs DuckDB NULLS LAST) — both engines
+    # drop the same rows, so the digest stays oracle-gated
     base = ev.select(
         F.to_date("ts").alias("d"),
         "event_type",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("u"),
-    )
+    ).filter(F.col("u") >= 0)
     bucketed = base.withColumn(
         "divisor",
         F.expr(
@@ -1985,6 +1990,7 @@ def hdr_quantile_audit_sql() -> str:
                event_type,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS u
         FROM events
+        WHERE CAST(floor(value * 100 + 0.5) AS BIGINT) >= 0
     ),
     bucketed AS (
         SELECT d, event_type,
