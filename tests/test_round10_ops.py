@@ -142,3 +142,50 @@ def test_hdr_quantile_audit_drops_negative_and_null(spark):
     out = hdr_quantile_audit({"events": df}).collect()
     assert out and all(r.n_total == 2 for r in out)
     assert all(r.est_c in (100, 200) for r in out)
+
+
+def test_orc_roundtrip_sweep_spares_live_owner(tmp_path, monkeypatch):
+    """Round-10 review fix, pinned: a stale-mtime sibling dir whose
+    recorded owner pid is STILL ALIVE must survive the sweep (an idle
+    session's lazy DataFrame may still reference it); one with a dead
+    owner — or no pid record at all — is swept."""
+    import os
+    import time
+
+    from training_etl_demo_2_spark import io as io_mod
+
+    root = tmp_path / "orc_rt"
+    root.mkdir()
+    live_idle = root / "app-live-idle"
+    dead = root / "app-dead-pid"
+    legacy = root / "app-no-pid"
+    for d in (live_idle, dead, legacy):
+        d.mkdir()
+    (live_idle / "owner.pid").write_text(str(os.getpid()))
+    (dead / "owner.pid").write_text("999999999")
+    old = time.time() - io_mod.ORC_ROUNDTRIP_STALE_S - 60
+    for d in (live_idle, dead, legacy):
+        os.utime(d, (old, old))
+    monkeypatch.setattr(io_mod, "ORC_ROUNDTRIP_DIR", str(root))
+    own = root / "app-own"
+    io_mod._orc_roundtrip_register_cleanup(str(own))
+    assert live_idle.exists(), "idle-but-alive session's dir was reaped"
+    assert not dead.exists(), "dead-owner dir not swept"
+    assert not legacy.exists(), "legacy pid-less stale dir not swept"
+    # registration recorded our own pid for future sweeps to honor
+    assert (own / "owner.pid").read_text() == str(os.getpid())
+
+
+def test_paragraph_dedup_null_text_drops(spark):
+    """Contract pin: NULL text segments to nothing and the doc drops
+    out (same in the DuckDB twin); empty text survives as one empty
+    segment."""
+    from training_etl_demo_2_spark.operators.dedup import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(df).collect()}
+    assert set(out) == {2, 3}
+    assert out[2].clean_text == "" and out[2].n_paras == 1

@@ -1,11 +1,12 @@
 """One-off scanner for the round-10 plan-audit extension: find every
 registered query whose physical plan contains (a) a Window /
-WindowGroupLimit node with NO partition spec, or (b) a global Sort
-whose child is not a fresh Exchange — the shapes that funnel a whole
-relation through one task WITHOUT emitting the `Exchange
-SinglePartition` node the round-9 detector keys on (post-limit or
-post-coalesce(1) children are already single-partition, so no
-exchange is inserted and the round-9 audit is blind to them).
+WindowGroupLimit node with NO partition spec over a not-provably-
+bounded input, or (b) a global Sort whose child is not a fresh
+Exchange — the shapes that funnel a whole relation through one task
+WITHOUT emitting the `Exchange SinglePartition` node the round-9
+detector keys on (post-limit or post-coalesce(1) children are already
+single-partition, so no exchange is inserted and the round-9 audit is
+blind to them).
 """
 
 from __future__ import annotations
@@ -17,71 +18,25 @@ sys.path.insert(0, "/root/repo/tests")
 
 import __spark_entry__ as entrymod  # noqa: E402
 
-
-def _tree_depth(line: str) -> int:
-    return len(line) - len(line.lstrip(" :+-"))
-
-
-def _top_level_groups(s: str) -> int:
-    depth = 0
-    groups = 0
-    for ch in s:
-        if ch == "[":
-            if depth == 0:
-                groups += 1
-            depth += 1
-        elif ch == "]":
-            depth -= 1
-    return groups
-
-
-def _first_spec_arg(node: str) -> str | None:
-    """First top-level argument inside the node's first
-    windowspecdefinition(...) — a plain column means PARTITIONED; an
-    `X ASC/DESC NULLS ...` order column or a direct
-    specifiedwindowframe(...) means NO partition spec."""
-    key = "windowspecdefinition("
-    start = node.find(key)
-    if start < 0:
-        return None
-    depth = 0
-    buf = []
-    for ch in node[start + len(key):]:
-        if ch == "(":
-            depth += 1
-        elif ch == ")":
-            if depth == 0:
-                break
-            depth -= 1
-        elif ch == "," and depth == 0:
-            break
-        buf.append(ch)
-    return "".join(buf).strip()
-
-
-def _window_is_unpartitioned(node: str) -> bool:
-    arg = _first_spec_arg(node)
-    if arg is None:
-        return False
-    return arg.startswith("specifiedwindowframe(") or (
-        " ASC NULLS" in arg or " DESC NULLS" in arg
-    )
+# The Window/WindowGroupLimit discriminators live in the CI detector
+# (tests/test_plan_shapes.py) — import them so this one-off tool can
+# never diverge from the assertion it mirrors. The tool adds only the
+# broader global-Sort-without-exchange sweep the CI deliberately
+# omits (global Sorts self-heal at scale: Spark inserts a range
+# exchange the moment the child is multi-partition).
+from test_plan_shapes import (  # noqa: E402
+    _strip_node,
+    _tree_depth,
+    _unbounded_partitionless_windows,
+)
 
 
 def partitionless_window_sort_nodes(plan: str) -> list[str]:
+    hits = ["W: " + n[:160] for n in _unbounded_partitionless_windows(plan)]
     lines = plan.splitlines()
-    hits = []
     for i, line in enumerate(lines):
-        node = line.strip(" :+-")
-        if node.startswith("*("):
-            node = node.split(") ", 1)[1]
-        if node.startswith(("Window ", "Window[")):
-            if _window_is_unpartitioned(node):
-                hits.append("W: " + node[:160])
-        elif node.startswith("WindowGroupLimit"):
-            if _top_level_groups(node[len("WindowGroupLimit"):]) < 2:
-                hits.append("WGL: " + node[:160])
-        elif node.startswith("Sort ") and ", true," in node:
+        node = _strip_node(line)
+        if node.startswith("Sort ") and ", true," in node:
             d = _tree_depth(line)
             child = None
             for j in range(i + 1, len(lines)):

@@ -543,16 +543,39 @@ def _orc_roundtrip_register_cleanup(app_dir: str) -> None:
     if app_dir not in _ORC_CLEANUP_REGISTERED:
         _ORC_CLEANUP_REGISTERED.add(app_dir)
         atexit.register(shutil.rmtree, app_dir, ignore_errors=True)
+        try:
+            # Record the owning pid: the staleness sweep skips dirs
+            # whose owner is still alive on this host, so a session
+            # that goes IDLE past the stale window (mtime refresh only
+            # happens on calls) cannot have its dir reaped while its
+            # lazy summary DataFrame still references it. /tmp is
+            # host-local, so a live-pid check is authoritative.
+            os.makedirs(app_dir, exist_ok=True)
+            with open(os.path.join(app_dir, "owner.pid"), "w") as f:
+                f.write(str(os.getpid()))
+        except OSError:
+            pass
     try:
-        # Refresh our own dir's mtime on every call: the staleness
-        # sweep below keys on mtime, which only updates when direct
-        # children are written — without this, a session alive past
-        # the stale window could have its early-written dir reaped by
-        # a newer session while the lazy summary DataFrame still
-        # references it.
+        # Refresh our own dir's mtime on every call (fast path of the
+        # same protection for active sessions).
         os.utime(app_dir, None)
     except OSError:
         pass
+
+    def _owner_alive(d: str) -> bool:
+        try:
+            with open(os.path.join(d, "owner.pid")) as f:
+                pid = int(f.read().strip())
+        except (OSError, ValueError):
+            return False  # no/garbled pid record: legacy dir, sweepable
+        try:
+            os.kill(pid, 0)
+            return True
+        except ProcessLookupError:
+            return False
+        except OSError:
+            return True  # EPERM: pid exists under another uid — alive
+
     try:
         now = time.time()
         for name in os.listdir(ORC_ROUNDTRIP_DIR):
@@ -560,7 +583,10 @@ def _orc_roundtrip_register_cleanup(app_dir: str) -> None:
             if sib == app_dir:
                 continue
             try:
-                if now - os.path.getmtime(sib) > ORC_ROUNDTRIP_STALE_S:
+                if (
+                    now - os.path.getmtime(sib) > ORC_ROUNDTRIP_STALE_S
+                    and not _owner_alive(sib)
+                ):
                     shutil.rmtree(sib, ignore_errors=True)
             except OSError:
                 continue

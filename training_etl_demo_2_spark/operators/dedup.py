@@ -280,7 +280,9 @@ def paragraph_dedup(
     characters inside duplicate paragraphs).
 
     Output: (doc_id, clean_text, n_paras, n_dup_paras,
-    dup_para_share_bp, dup_char_share_bp) for EVERY input doc.
+    dup_para_share_bp, dup_char_share_bp) for every doc with non-NULL
+    text (a NULL text segments to nothing and drops out — identically
+    in the SQL twin, so the gate compares the same domain).
 
     Scale shape: narrow segment explode → ONE hash-partitioned window
     over (doc_id, segment-hash) for the keep-first rule (no global
