@@ -152,3 +152,33 @@ def test_r1000_committed_rows_third_decade_bounded():
         assert row["ok"], f"{fam} over the R^1.5 bound: {row}"
         third_decade = row["t_1000x_s"] / row["t_100x_s"]
         assert 0 < third_decade <= 10**1.5, (fam, third_decade)
+
+
+def test_bench_expensive_queries_have_growth_rows():
+    """Round-10 tripwire: every query that costs >= 4 s in the
+    committed bench must be a measured scale family or carry an
+    explicit adjudication below — so a future expensive query cannot
+    ship without a growth law (the round-9/10 verdict ask, pinned)."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH.json")) as f:
+        bench = json.load(f)
+    # adjudicated non-family rows (rationale in SCALING.md)
+    adjudicated = {
+        # exact count_distinct x16 IS the oracle tier; the measured
+        # 100 TB path is data_profile_lineitem_approx (a family)
+        "data_profile_lineitem",
+        # auto-dispatcher: exact O(n^2)-flop tier only below 200k
+        # vectors, LSH tier above (measured as ann_lsh_topk)
+        "embedding_near_pairs",
+    }
+    expensive = {
+        n for n, s in bench["queries"].items() if s >= 4.0
+    }
+    uncovered = expensive - set(FAMILIES) - adjudicated
+    assert not uncovered, (
+        "bench-expensive queries without a growth row (add a "
+        f"scale_bench family or an adjudication): {sorted(uncovered)}"
+    )
