@@ -92,6 +92,116 @@ def rolling_hash(col: str | Column, base: int = 31, mod: int = FNV_MOD) -> Colum
     )
 
 
+# --- composed shingle hashing (optimization round 10) -----------------------
+#
+# rolling_hash(word_ngram) via aggregate(split(s, "")) walks every CHARACTER
+# of every shingle through an interpreted lambda and allocates the joined
+# shingle string first — measured as the dominant map cost of the dedup
+# family. A polynomial hash composes over concatenation:
+#
+#   H(x ∥ y) = (H(x) * base^|y| + H(y)) mod p
+#
+# so the hash of the n-gram  t_i ∥ " " ∥ t_{i+1} ∥ ... ∥ " " ∥ t_{i+n-1}
+# can be folded from PER-TOKEN hashes: hash each token once per document
+# (instead of once per shingle it appears in), never materialize the joined
+# shingle string at all, and combine n per-token (h, 31^len) structs with
+# O(n) long multiply-adds per shingle. Values are bit-identical to
+# transform(word_ngrams(tokens, n), rolling_hash) — pinned by
+# tests and by every oracle twin that replays the character fold.
+
+_POW_TABLE_SIZE = 256
+_POW_TABLES: dict[tuple[int, int], list[int]] = {}
+
+
+def _pow_table(base: int, mod: int) -> list[int]:
+    """[base^0 % mod, ..., base^(SIZE-1) % mod] — literal lookup for
+    token lengths below _POW_TABLE_SIZE (folded fallback above)."""
+    tab = _POW_TABLES.get((base, mod))
+    if tab is None:
+        tab = [1]
+        for _ in range(_POW_TABLE_SIZE - 1):
+            tab.append(tab[-1] * base % mod)
+        _POW_TABLES[(base, mod)] = tab
+    return tab
+
+
+def _let(bound: Column, body) -> Column:
+    """Evaluate ``body(x)`` with ``x`` bound ONCE to ``bound``.
+
+    Spark expressions have no let-binding; referencing a subexpression
+    twice re-evaluates it. A 1-element ``transform`` gives the sharing:
+    the lambda variable is materialized once per row."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
+def token_hash_structs(
+    tokens: Column, base: int = 31, mod: int = FNV_MOD
+) -> Column:
+    """array<struct<h,pw>> per token: ``h`` = rolling_hash(token),
+    ``pw`` = base^length(token) % mod — the sufficient statistics for
+    composing any concatenation's rolling hash from its pieces."""
+    tab = _pow_table(base, mod)
+
+    def one(t: Column) -> Column:
+        ln = F.length(t)
+        pw = F.when(
+            ln < _POW_TABLE_SIZE,
+            F.element_at(F.array(*[F.lit(v) for v in tab]), ln + 1),
+        ).otherwise(
+            F.aggregate(
+                F.sequence(F.lit(1), ln),
+                F.lit(1).cast("long"),
+                lambda acc, _i: (acc * base) % mod,
+            )
+        )
+        return F.struct(
+            rolling_hash(t, base, mod).alias("h"), pw.alias("pw")
+        )
+
+    return F.transform(tokens, one)
+
+
+def word_ngram_hashes(
+    tokens: Column, n: int, base: int = 31, mod: int = FNV_MOD
+) -> Column:
+    """array<long>: ``rolling_hash`` of each word n-gram — value-
+    identical to ``transform(word_ngrams(tokens, n), rolling_hash)``
+    but computed WITHOUT building shingle strings: each token is
+    char-folded once (h, 31^len), then each shingle is n-1 long
+    multiply-adds composing  acc = (acc * 31^(len_k+1) + H(" " ∥ t_k))
+    with  H(" " ∥ t_k) = (32 * 31^len_k + H(t_k)) % p  (ascii(' ')=32).
+
+    Empty tokens round-trip exactly: rolling_hash("") folds one
+    phantom ""-element to 0 (ascii("") = 0) and length("") = 0 gives
+    pw = 1, so an empty token contributes exactly one ' ' character to
+    the composed hash — the same characters array_join produces.
+    """
+
+    def body(th: Column) -> Column:
+        def shingle(i: Column) -> Column:
+            e0 = F.element_at(th, i)
+            acc = e0.getField("h")
+            for k in range(1, n):
+                e = F.element_at(th, i + F.lit(k))
+                pw = e.getField("pw")
+                # (acc * 31^(len+1) + 32*31^len + h) % p — every factor
+                # is < p (~1e9) so the widest product stays ~1e18 < 2^63
+                acc = (
+                    acc * ((pw * base) % mod)
+                    + (F.lit(32) * pw + e.getField("h")) % mod
+                ) % mod
+            return acc
+
+        make = F.transform(
+            F.sequence(F.lit(1), F.size(th) - (n - 1)), shingle
+        )
+        return F.when(F.size(th) >= n, make).otherwise(
+            F.array().cast("array<long>")
+        )
+
+    return _let(token_hash_structs(tokens, base, mod), body)
+
+
 def stopword_ratio(tokens: Column, stopwords: list[str]) -> Column:
     """Fraction of tokens that are stopwords (0.0 for empty docs)."""
     hits = F.size(

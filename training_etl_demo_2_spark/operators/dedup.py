@@ -53,6 +53,7 @@ from ..functions import (
     normalize_text,
     rolling_hash,
     spread_scan,
+    word_ngram_hashes,
     word_ngrams,
 )
 
@@ -333,27 +334,39 @@ def paragraph_dedup(
 def shingle_hashes(
     df: DataFrame, text_col: str = "text", n: int = DEFAULT_NGRAM, distinct: bool = True
 ) -> DataFrame:
-    """(doc_id, h): word-n-gram shingles as 8-byte hashes.
-
-    ``distinct=True`` (set semantics, one shuffle) is required for
-    Jaccard set sizes; MinHash callers pass ``distinct=False`` — min()
-    is duplicate-insensitive, so they skip that shuffle entirely
-    (array_distinct already dedups within a doc; the global distinct
-    only guards cross-partition doc splits, impossible here).
+    """(doc_id, h): DISTINCT word-n-gram shingles as 8-byte hashes —
+    set semantics, as Jaccard set sizes require. The dedup is entirely
+    ROW-LOCAL (``array_distinct`` before the explode): each document is
+    one input row, so (doc_id, h) needs no global ``.distinct()``
+    shuffle — every caller passes the default ``distinct=True`` and the
+    parameter is kept only for signature stability.
 
     The input passes through :func:`spread_scan` first: the n-gram
     explode is the dominant map cost of the whole dedup family, and a
     single-file test input would otherwise run it on one core."""
     df = spread_scan(df)
     tokens = F.split(F.col(text_col), " ")
+    # Composed hashing (optimization r10): hash each token once and fold
+    # shingle hashes from per-token (h, 31^len) — bit-identical to
+    # hashing the joined shingle string (tests/test_ngram_hash_compose)
+    # without ever materializing it. array_distinct on the HASHES equals
+    # the old distinct-strings-then-hash set: duplicate strings hash
+    # equal, and the (vanishingly rare) distinct-string hash collision
+    # was collapsed by the old global distinct anyway. That global
+    # .distinct() shuffle is gone too: each doc is ONE input row, so
+    # (doc_id, h) is already unique after the row-local array_distinct.
     sh = df.select(
         "doc_id",
-        F.explode(F.array_distinct(word_ngrams(tokens, n))).alias("shingle"),
-    ).select("doc_id", rolling_hash(F.col("shingle")).alias("h"))
-    return sh.distinct() if distinct else sh
+        F.explode(F.array_distinct(word_ngram_hashes(tokens, n))).alias("h"),
+    )
+    return sh
 
 
-def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+def _pair_jaccard(
+    sh: DataFrame,
+    pairs: DataFrame | None = None,
+    sizes: DataFrame | None = None,
+) -> DataFrame:
     """Exact Jaccard per doc pair from a (doc_id, h) shingle relation.
 
     Without ``pairs``: all co-shingled pairs via the h-keyed self-join —
@@ -365,8 +378,14 @@ def _pair_jaccard(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     full self-join. This is what makes LSH banding actually pay off:
     the verify stage must scale with the candidate count, never with
     the corpus pair count.
+
+    ``sizes`` (optional, r10): a (doc_id, n) relation supplied by the
+    caller — callers holding the shingle-ARRAY relation pass
+    ``hs.select("doc_id", size("hs"))``, which is row-local and skips
+    the groupBy shuffle this fallback pays.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    if sizes is None:
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     if pairs is not None:
         a_sh = sh.select(F.col("doc_id").alias("doc_a"), "h")
         b_sh = sh.select(F.col("doc_id").alias("doc_b"), "h")
@@ -536,14 +555,14 @@ def _shingle_arrays_from_tokens(toks_df: DataFrame, n: int) -> DataFrame:
     # Catalyst evaluate the whole ngram+hash+distinct chain twice
     # (Filter and Project don't share the subexpression — measured ~2x
     # on the map stage)
+    # Composed hashing (optimization r10): fold shingle hashes from
+    # per-token (h, 31^len) structs — bit-identical to hashing the
+    # joined shingle strings (the old inner array_distinct on STRINGS
+    # is subsumed: duplicate strings produce duplicate hashes, which
+    # the outer array_distinct on hashes already collapsed).
     return toks_df.filter(F.size(tokens) >= n).select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.array_distinct(word_ngrams(tokens, n)),
-                lambda s: rolling_hash(s),
-            )
-        ).alias("hs"),
+        F.array_distinct(word_ngram_hashes(tokens, n)).alias("hs"),
     )
 
 
@@ -747,11 +766,14 @@ def hamming_band_pairs(
         .alias(f"bk{b}")
         for b in range(n_bands)
     ]
+    # persist (r10): BOTH sides of the bucket self-join read this
+    # relation — without the barrier the upstream fingerprint pass
+    # (SimHash bit sums / perceptual-hash Python pass) runs twice
     bands = fp.select(
         F.col(id_col).alias("id"),
         F.col(hash_col).alias("fpv"),
         F.posexplode(F.array(*band_cols)).alias("band", "bk"),
-    )
+    ).transform(tracked_persist)
     left = bands.select(
         F.col("id").alias("doc_a"), F.col("fpv").alias("fp_a"), "band", "bk"
     )
@@ -1011,10 +1033,15 @@ def substring_dup_stats(
     output (n_grams = 0, bp = 0).
     """
     toks = F.split(F.lower(F.col(text_col)), " ")
+    # composed per-token hashing (r10). Deliberately NOT persisted even
+    # though two branches consume it: the exploded gram relation is
+    # ~k× corpus-sized, so materializing it costs more than the second
+    # streaming pass at every scale (measured 0.68 vs 0.80 s at sf0.1;
+    # at 100 TB persisting a 5× corpus explode is memory-hostile).
     grams = spread_scan(df).select(
         "doc_id",
-        F.explode(word_ngrams(toks, k)).alias("gram"),
-    ).withColumn("h", rolling_hash(F.col("gram")))
+        F.explode(word_ngram_hashes(toks, k)).alias("h"),
+    )
     dup = (
         grams.select("doc_id", "h")
         .distinct()
@@ -1090,8 +1117,8 @@ def duplicate_spans(
     toks = F.split(F.lower(F.col(text_col)), " ")
     grams = spread_scan(df).select(
         "doc_id",
-        F.posexplode(word_ngrams(toks, k)).alias("pos", "gram"),
-    ).select("doc_id", "pos", rolling_hash(F.col("gram")).alias("h"))
+        F.posexplode(word_ngram_hashes(toks, k)).alias("pos", "h"),
+    )
     # both the dup-gram relation and the flag join consume grams: one
     # materialization instead of two explode+hash corpus passes
     grams = grams.transform(tracked_persist)
@@ -1248,16 +1275,20 @@ def pagerank_near_dup_graph(
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    # iterative plan reuse: the edge relation feeds every superstep
+    # iterative plan reuse: the edge relation feeds every superstep.
+    # deg is attached to the persisted edges ONCE (r10): each superstep
+    # was re-joining deg separately — 2 joins per superstep for a value
+    # that never changes. Persisting (src, dst, deg) halves the join
+    # count; pr/deg per edge is unchanged arithmetic.
     edges = edges.transform(tracked_persist)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    deg_edges = tracked_persist(edges.join(deg, "src"))
     ranks = deg.select(F.col("src").alias("doc_id"), F.lit(1.0).alias("pr"))
     for _ in range(iters):
         contribs = (
-            edges.join(
+            deg_edges.join(
                 ranks.withColumnRenamed("doc_id", "src"), "src"
             )
-            .join(deg, "src")
             .select("dst", (F.col("pr") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
@@ -1491,10 +1522,22 @@ def lsh_recall_eval(
     driver materialization) — at 100 TB you run it on a sampled slab
     to monitor banding health after any parameter change.
     """
-    exact = ngram_jaccard_pairs(df, text_col, n, threshold).select(
-        "doc_a", "doc_b", F.lit(1).alias("in_exact")
+    # ONE persisted shingle-array relation (r10) feeds BOTH tiers: the
+    # exploded exact-tier relation is derived by exploding the
+    # row-local distinct arrays (identical to the old globally-distinct
+    # exploded relation), so the corpus is tokenized+hashed once, not
+    # twice.
+    hs = _shingle_arrays(df, text_col, n).transform(tracked_persist)
+    sh = hs.select("doc_id", F.explode("hs").alias("h")).transform(
+        tracked_persist
     )
-    lsh = minhash_lsh_pairs(df, text_col, n, threshold).select(
+    row_sizes = hs.select("doc_id", F.size("hs").cast("long").alias("n"))
+    exact = (
+        _pair_jaccard(sh, sizes=row_sizes)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.lit(1).alias("in_exact"))
+    )
+    lsh = _minhash_pairs_from_arrays(hs, threshold).select(
         "doc_a", "doc_b", F.lit(1).alias("in_lsh")
     )
     both = exact.join(lsh, ["doc_a", "doc_b"], "full_outer")
@@ -1901,11 +1944,11 @@ def cdc_dup_chunks(
     tokens = F.split(F.col(text_col), " ")
     grams = spread_scan(df).select(
         "doc_id",
-        F.posexplode(word_ngrams(tokens, n)).alias("pos", "shingle"),
+        F.posexplode(word_ngram_hashes(tokens, n)).alias("pos", "h"),
     ).select(
         "doc_id",
         (F.col("pos") + 1).alias("pos"),  # 1-based, matches the oracle
-        rolling_hash(F.col("shingle")).alias("h"),
+        "h",
     )
     mask = (1 << mask_bits) - 1
     w_prev = (
@@ -1981,11 +2024,11 @@ def winnowing_fingerprints(
     tokens = F.split(F.col(text_col), " ")
     grams = spread_scan(df).select(
         "doc_id",
-        F.posexplode(word_ngrams(tokens, k)).alias("pos", "shingle"),
+        F.posexplode(word_ngram_hashes(tokens, k)).alias("pos", "h"),
     ).select(
         "doc_id",
         (F.col("pos") + 1).alias("pos"),
-        rolling_hash(F.col("shingle")).alias("h"),
+        "h",
     ).filter(F.col("pos") < pos_mod)
     n_grams = grams.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_grams")
@@ -2150,8 +2193,14 @@ def blocking_quality_eval(
     metadata class). Output: one row.
     """
     d = t["documents"]
-    sh = shingle_hashes(d, "text", n).transform(tracked_persist)
-    bands = _band_relation(_shingle_arrays(d, "text", n))
+    # ONE persisted shingle-array relation (r10): the band keys and the
+    # exploded exact-truth relation both derive from it — one corpus
+    # tokenize+hash pass, not two.
+    hs = _shingle_arrays(d, "text", n).transform(tracked_persist)
+    sh = hs.select("doc_id", F.explode("hs").alias("h")).transform(
+        tracked_persist
+    )
+    bands = _band_relation(hs)
     cand = (
         bands.select(F.col("doc_id").alias("doc_a"), "band", "bk")
         .join(
@@ -2164,7 +2213,9 @@ def blocking_quality_eval(
         .transform(tracked_persist)
     )
     truth = (
-        _pair_jaccard(sh)
+        _pair_jaccard(
+            sh, sizes=hs.select("doc_id", F.size("hs").cast("long").alias("n"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b")
         .transform(tracked_persist)
@@ -2556,15 +2607,20 @@ def bottomk_containment_pairs(
     with estimate + exact containment ≥ threshold.
     """
     d = t["documents"]
-    sh = shingle_hashes(d, "text", n).transform(tracked_persist)
-    sizes = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("sz")
+    # ONE persisted shingle-ARRAY relation (r10): the exploded
+    # relation, the set sizes, and the bottom-k sketch all derive
+    # row-locally from it — size(hs) replaces the sizes groupBy
+    # shuffle and slice(array_sort(hs), 1, k) replaces the per-doc
+    # row_number window (h values are distinct within a doc, so the
+    # k smallest array elements ARE the rn <= k window rows).
+    hs = _shingle_arrays(d, "text", n).transform(tracked_persist)
+    sh = hs.select("doc_id", F.explode("hs").alias("h")).transform(
+        tracked_persist
     )
-    w = Window.partitionBy("doc_id").orderBy("h")
-    sketch = (
-        sh.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select(F.col("doc_id").alias("doc_a"), "h")
+    sizes = hs.select("doc_id", F.size("hs").cast("long").alias("sz"))
+    sketch = hs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.explode(F.slice(F.array_sort("hs"), 1, k)).alias("h"),
     )
     m = (
         sketch.join(
@@ -2944,8 +3000,8 @@ def tfidf_cosine_pairs(
     """
     tokens = F.split(F.col(text_col), " ")
     occ = spread_scan(df).select(
-        "doc_id", F.explode(word_ngrams(tokens, n)).alias("shingle")
-    ).select("doc_id", rolling_hash(F.col("shingle")).alias("h"))
+        "doc_id", F.explode(word_ngram_hashes(tokens, n)).alias("h")
+    )
     # tf feeds the weight relation AND both sides of the candidate
     # self-join; dfreq feeds the weights and the stop-shingle cut —
     # persist both so the explode+hash scan and its groupBy run once
@@ -3256,8 +3312,13 @@ def minhash_estimate_error(
     doc-keyed; the 32 equality sums are one narrow projection. Output:
     one row — (n_pairs, mean_exact, mean_est, bias, mae).
     """
-    pairs = minhash_lsh_pairs(df, text_col, n, threshold)
-    sig = minhash_signatures(df, text_col, n)
+    # ONE persisted shingle-array relation (r10): the LSH tier and both
+    # signature sides derive from it — previously the corpus was
+    # tokenized+hashed three times (once inside minhash_lsh_pairs, once
+    # per unpersisted signature side).
+    hs = _shingle_arrays(df, text_col, n).transform(tracked_persist)
+    pairs = _minhash_pairs_from_arrays(hs, threshold)
+    sig = hs.select("doc_id", *_signature_cols())
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_PERM)],
@@ -3347,9 +3408,26 @@ def dedup_quality_regret(t: dict[str, DataFrame]) -> DataFrame:
     from .text import quality_classifier
 
     d = t["documents"]
-    members = near_dup_clusters(d)
+    # ONE cluster relation (r10): the representative election is inlined
+    # on the SAME members relation (identical max(struct) rule as
+    # dedup_representatives) instead of re-deriving clusters — the
+    # second union-find / LSH probe pass is gone.
+    members = tracked_persist(near_dup_clusters(d))
     q = quality_classifier(d).select("doc_id", "quality_prob")
-    reps = dedup_representatives(d).select("cluster_id", "rep_doc_id")
+    reps = (
+        members.join(d.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("rep")
+        )
+        .select(
+            "cluster_id", (-F.col("rep.neg_id")).cast("long").alias("rep_doc_id")
+        )
+    )
     best = (
         members.join(q, "doc_id")
         .groupBy("cluster_id")
@@ -3455,8 +3533,16 @@ def jaccard_threshold_curve(
     Output: (tau, n_exact, n_lsh, recall_bp).
     """
     lo = min(taus)
-    exact = ngram_jaccard_pairs(df, text_col, n, threshold=lo)
-    lsh = minhash_lsh_pairs(df, text_col, n, threshold=lo).select(
+    # ONE persisted shingle-array relation (r10) feeds the exact AND the
+    # LSH tier (see lsh_recall_eval) — one corpus scan, not two.
+    hs = _shingle_arrays(df, text_col, n).transform(tracked_persist)
+    sh = hs.select("doc_id", F.explode("hs").alias("h")).transform(
+        tracked_persist
+    )
+    exact = _pair_jaccard(
+        sh, sizes=hs.select("doc_id", F.size("hs").cast("long").alias("n"))
+    ).filter(F.col("jaccard") >= lo)
+    lsh = _minhash_pairs_from_arrays(hs, lo).select(
         "doc_a", "doc_b", F.lit(1).alias("in_lsh")
     )
     j = exact.join(lsh, ["doc_a", "doc_b"], "left").transform(tracked_persist)
@@ -3573,9 +3659,22 @@ def dedup_funnel_report(t: dict[str, DataFrame]) -> DataFrame:
         F.col("keep_id").alias("doc_id")
     )
     rows.append(_fold("exact", d.join(exact_keep, "doc_id", "semi"), ntok))
-    members = near_dup_clusters(d).select("doc_id")
-    reps = dedup_representatives(d).select(
-        F.col("rep_doc_id").alias("doc_id")
+    # ONE cluster relation (r10): representatives elected inline from
+    # the same persisted members (identical max(struct) rule as
+    # dedup_representatives) — no second union-find / LSH probe pass.
+    clusters = tracked_persist(near_dup_clusters(d))
+    members = clusters.select("doc_id")
+    reps = (
+        clusters.join(d.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("rep")
+        )
+        .select((-F.col("rep.neg_id")).cast("long").alias("doc_id"))
     )
     near_keep = d.join(members, "doc_id", "anti").select("doc_id").unionByName(
         reps
@@ -3690,8 +3789,11 @@ def minhash_perm_tradeoff(
     |ks| conditional one-row folds over one joined relation.
     Output: (n_perms, n_pairs, mean_exact, mean_est, bias, mae).
     """
-    pairs = minhash_lsh_pairs(df, text_col, n, threshold)
-    sig = minhash_signatures(df, text_col, n)
+    # ONE persisted shingle-array relation (r10), as in
+    # minhash_estimate_error: LSH tier + both signature sides share it.
+    hs = _shingle_arrays(df, text_col, n).transform(tracked_persist)
+    pairs = _minhash_pairs_from_arrays(hs, threshold)
+    sig = hs.select("doc_id", *_signature_cols())
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(NUM_PERM)],
@@ -4066,14 +4168,13 @@ def decontaminate_spans(
     train = d.filter(f"NOT ({probe_pred})")
     toks = F.split(F.lower(F.col(text_col)), " ")
     probe_h = (
-        probe.select(F.explode(word_ngrams(toks, k)).alias("gram"))
-        .select(rolling_hash(F.col("gram")).alias("h"))
+        probe.select(F.explode(word_ngram_hashes(toks, k)).alias("h"))
         .distinct()
     )
     grams = spread_scan(train).select(
         "doc_id",
-        F.posexplode(word_ngrams(toks, k)).alias("pos", "gram"),
-    ).select("doc_id", "pos", rolling_hash(F.col("gram")).alias("h"))
+        F.posexplode(word_ngram_hashes(toks, k)).alias("pos", "h"),
+    )
     flagged = grams.join(F.broadcast(probe_h), "h", "semi")
     return _cut_spans(train, _merge_flagged_spans(flagged, k), text_col)
 
@@ -4397,20 +4498,28 @@ def dedup_edit_distance(
     )
     ta = df.select(F.col("doc_id").alias("doc_a"), F.col(text_col).alias("ta"))
     tb = df.select(F.col("doc_id").alias("doc_b"), F.col(text_col).alias("tb"))
-    lev = F.levenshtein("ta", "tb")
-    return (
+    # Score each candidate ONCE, behind a persist barrier (r10): without
+    # it, filter pushdown substitutes the lev_bp alias into a Filter
+    # BELOW the projection and the O(|a|·|b|) levenshtein runs twice per
+    # candidate (Filter and Project don't share subexpressions). The
+    # persisted relation is candidate-sized — tiny next to the text it
+    # already carried to one row.
+    scored = tracked_persist(
         candidates.join(ta, "doc_a")
         .join(tb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            lev.cast("long").alias("lev"),
-            F.expr(
-                "(levenshtein(ta, tb) * 10000) div "
-                "greatest(length(ta), length(tb))"
-            )
-            .cast("long")
-            .alias("lev_bp"),
+            F.levenshtein("ta", "tb").cast("long").alias("lev"),
+            F.greatest(F.length("ta"), F.length("tb")).alias("mx"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_a",
+            "doc_b",
+            "lev",
+            F.expr("(lev * 10000) div mx").cast("long").alias("lev_bp"),
         )
         .filter(F.col("lev_bp") <= max_bp)
         .orderBy("doc_a", "doc_b")

@@ -2568,11 +2568,10 @@ def kcenter_coreset(
     emb = t["embeddings"]
     spark = emb.sparkSession
 
-    def _q_of(vid: int) -> np.ndarray:
-        row = emb.filter(F.col("vec_id") == vid).select("embedding").collect()
-        x = np.array(row[0][0], dtype=np.float64)
-        return np.floor(x * GRAM_SCALE).astype(np.int64)
-
+    # Each pick row carries its own quantized vector (r10): the old
+    # per-round _q_of lookup re-scanned the embedding table with a
+    # whole extra Spark job just to fetch the picked center — k extra
+    # jobs gone, selection and d2 values unchanged.
     def _norms(batches: Iterator) -> Iterator:
         for pdf in batches:
             if not len(pdf):
@@ -2580,12 +2579,16 @@ def kcenter_coreset(
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             q = np.floor(x * GRAM_SCALE).astype(np.int64)
             yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "n2": (q * q).sum(axis=1)}
+                {
+                    "vec_id": pdf["vec_id"],
+                    "n2": (q * q).sum(axis=1),
+                    "q": list(q),
+                }
             )
 
     seed = (
         emb.select("vec_id", "embedding")
-        .mapInPandas(_norms, "vec_id long, n2 long")
+        .mapInPandas(_norms, "vec_id long, n2 long, q array<long>")
         .orderBy(F.desc("n2"), F.asc("vec_id"))
         .limit(1)
         .collect()
@@ -2595,7 +2598,7 @@ def kcenter_coreset(
             [], "sel_rank long, vec_id long, d2_q long"
         )
     selected = [(0, int(seed[0]["vec_id"]), 0)]
-    centers = [_q_of(selected[0][1])]
+    centers = [np.array(seed[0]["q"], dtype=np.int64)]
     for r in range(1, k):
         c_mat = np.stack(centers)
 
@@ -2607,12 +2610,14 @@ def kcenter_coreset(
                 q = np.floor(x * GRAM_SCALE).astype(np.int64)
                 diff = q[:, None, :] - _c[None, :, :]
                 d2 = (diff * diff).sum(axis=2).min(axis=1)
-                yield pd.DataFrame({"vec_id": pdf["vec_id"], "d2": d2})
+                yield pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "d2": d2, "q": list(q)}
+                )
 
         taken = [s[1] for s in selected]
         pick = (
             emb.select("vec_id", "embedding")
-            .mapInPandas(_dmin, "vec_id long, d2 long")
+            .mapInPandas(_dmin, "vec_id long, d2 long, q array<long>")
             .filter(~F.col("vec_id").isin(taken))
             .orderBy(F.desc("d2"), F.asc("vec_id"))
             .limit(1)
@@ -2621,7 +2626,7 @@ def kcenter_coreset(
         if not pick:  # corpus smaller than k
             break
         selected.append((r, int(pick[0]["vec_id"]), int(pick[0]["d2"])))
-        centers.append(_q_of(selected[-1][1]))
+        centers.append(np.array(pick[0]["q"], dtype=np.int64))
     return spark.createDataFrame(
         selected, "sel_rank long, vec_id long, d2_q long"
     )
@@ -2973,9 +2978,14 @@ def lexical_semantic_agreement(
     lex = minhash_lsh_pairs(
         t["documents"], threshold=lex_threshold
     ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    sem = cosine_near_pairs(
-        t["embeddings"], threshold=sem_threshold
-    ).select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    # persist (r10): sem feeds the agreement join AND its own count —
+    # without the barrier the exact block-matmul tier runs twice
+    # (lex is already persisted inside minhash_lsh_pairs)
+    sem = tracked_persist(
+        cosine_near_pairs(
+            t["embeddings"], threshold=sem_threshold
+        ).select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
+    )
     both = lex.join(sem, ["a", "b"])
     counts = (
         lex.agg(F.count(F.lit(1)).cast("long").alias("n_lex"))

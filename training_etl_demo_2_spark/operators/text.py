@@ -21,6 +21,7 @@ from ..functions import (
     rolling_hash,
     spread_scan,
     tokens_regex,
+    word_ngram_hashes,
     word_ngrams,
 )
 
@@ -3081,9 +3082,8 @@ def token_loop_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     tri = (
         spread_scan(df).select(
             "doc_id",
-            F.explode(word_ngrams(_tokens(text_col), 3)).alias("g"),
+            F.explode(word_ngram_hashes(_tokens(text_col), 3)).alias("h"),
         )
-        .select("doc_id", rolling_hash(F.col("g")).alias("h"))
         .groupBy("doc_id", "h")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .groupBy("doc_id")
@@ -3272,8 +3272,8 @@ def ngram_novelty_curve(
     toks = F.split(F.col("text"), " ")
     grams = df.select(
         "doc_id",
-        F.explode(word_ngrams(toks, n)).alias("g"),
-    ).select("doc_id", rolling_hash(F.col("g")).alias("h"))
+        F.explode(word_ngram_hashes(toks, n)).alias("h"),
+    )
     grams = tracked_persist(grams)
 
     mx = df.agg(F.max("doc_id").alias("mx"))
@@ -3854,6 +3854,11 @@ def trigram_sb_logprob(df: DataFrame, text_col: str = "text") -> DataFrame:
         parts[1].alias("w2"),
         parts[2].alias("w3"),
     )
+    # uni/bi are consumed by multiple joins but deliberately NOT
+    # persisted: each consumer prunes to the same aggregate subtree and
+    # Spark's ReuseExchange computes the shared exchange once — an A/B
+    # at sf0.1 measured persist as neutral-to-slower (materialization
+    # latency, no recompute saved).
     uni = (
         df.select(F.explode(toks).alias("w"))
         .filter(F.col("w") != "")
