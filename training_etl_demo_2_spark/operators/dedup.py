@@ -614,6 +614,10 @@ def _band_relation(hs: DataFrame) -> DataFrame:
         ).alias(f"bk{b}")
         for b in range(BANDS)
     ]
+    # Deliberately NOT persisted (r10 A/B): both self-join sides hash-
+    # exchange on (band, bk) over an identical child, so ReuseExchange
+    # already computes the signature projection once — persist measured
+    # neutral at sf0.1 and only adds materialization latency.
     return sig.select(
         "doc_id",
         F.posexplode(F.array(*band_cols)).alias("band", "bk"),
