@@ -98,6 +98,35 @@ def adjudicate_regressions(
     }
 
 
+def chunk_per_query_lines(
+    queries: dict[str, float], sf_val, limit: int = 4000
+) -> list[dict]:
+    """Split the per-query timing table into JSON-line dicts that each
+    serialize under ``limit`` bytes. Merging every chunk's ``queries``
+    reconstructs the full table exactly."""
+    chunks: list[dict[str, float]] = [{}]
+    base = len(json.dumps({
+        "metric": "per_query_wall_seconds", "unit": "sec",
+        "sf": sf_val, "chunk": 99, "n_chunks": 99, "queries": {},
+    }))
+    size = base
+    for nm, t in queries.items():
+        entry = len(json.dumps({nm: t})) + 2
+        if chunks[-1] and size + entry > limit:
+            chunks.append({})
+            size = base
+        chunks[-1][nm] = t
+        size += entry
+    return [
+        {
+            "metric": "per_query_wall_seconds", "unit": "sec",
+            "sf": sf_val, "chunk": i + 1, "n_chunks": len(chunks),
+            "queries": part,
+        }
+        for i, part in enumerate(chunks)
+    ]
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from training_etl_demo_2_spark.session import get_spark
@@ -301,8 +330,18 @@ def main() -> None:
     # stdout tail window that clips the (large) per-query line still
     # ends with a complete, parseable summary line, and a head-biased
     # parser finds one up front too.
+    #
+    # Round-10 lesson: the single full per-query line (~12 KB at 389
+    # queries) outgrew the driver's bounded stdout tail, so PERF came
+    # back with per_query empty and the round lost its per-query and
+    # scaling adjudication. Additions-only fix: re-emit the per-query
+    # timings as several <=4 KB chunk lines immediately before the
+    # final compact summary line, so any tail window that captures the
+    # last few lines captures the complete per-query table too.
     print(json.dumps(compact))
     print(json.dumps(full))
+    for line in chunk_per_query_lines(timings, sf_val):
+        print(json.dumps(line))
     print(json.dumps(compact))
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH.json"), "w") as f:

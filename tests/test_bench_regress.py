@@ -73,3 +73,28 @@ def test_load_prior_ref_prefers_committed_blob(tmp_path):
     ref, src = load_prior_ref(str(tmp_path), 0.3)
     assert ref == {"q": 1.0}
     assert src == "HEAD:BENCH.json"
+
+
+def test_chunk_per_query_lines_bounded_and_lossless():
+    from bench import chunk_per_query_lines
+
+    queries = {f"query_name_number_{i:03d}": round(0.1 + i * 0.013, 3)
+               for i in range(389)}
+    lines = chunk_per_query_lines(queries, 0.1)
+    assert all(len(json.dumps(line)) <= 4000 for line in lines)
+    assert len(lines) > 1  # 389 queries cannot fit one 4 KB line
+    merged: dict[str, float] = {}
+    for line in lines:
+        assert line["metric"] == "per_query_wall_seconds"
+        assert line["n_chunks"] == len(lines)
+        merged.update(line["queries"])
+    assert merged == queries
+
+
+def test_chunk_per_query_lines_single_small_table():
+    from bench import chunk_per_query_lines
+
+    queries = {"a": 1.0, "b": 2.0}
+    lines = chunk_per_query_lines(queries, 0.001)
+    assert len(lines) == 1
+    assert lines[0]["queries"] == queries

@@ -173,9 +173,28 @@ def test_bench_expensive_queries_have_growth_rows():
         # auto-dispatcher: exact O(n^2)-flop tier only below 200k
         # vectors, LSH tier above (measured as ann_lsh_topk)
         "embedding_near_pairs",
+        # composition of two measured tiers (dedup_minhash_lsh family +
+        # the cosine pair dispatcher adjudicated via embedding_near_
+        # pairs) glued by a pair-keyed equi-join and three 1-row folds
+        "lexical_semantic_agreement",
+        # bounded-replay harness latency, not data growth: availableNow
+        # micro-batch + per-partition state-store commits dominate at
+        # fixture scale; the underlying watermarked plans shuffle
+        # (window, key)-keyed rows and scale like their batch twins
+        # (stream_near_dup's batch twin is the dedup_minhash_lsh family)
+        "stream_near_dup",
+        "stream_session_stats",
     }
+    # Only clean-calib-stamped timings classify as expensive: the r10
+    # round-close committed a contended run (223/389 probes over
+    # threshold) whose inflated stamps pushed arbitrary queries over
+    # the 4 s bar.
+    thresh = bench.get("calib_threshold_s", float("inf"))
+    calib = bench.get("calib", {})
     expensive = {
-        n for n, s in bench["queries"].items() if s >= 4.0
+        n
+        for n, s in bench["queries"].items()
+        if s >= 4.0 and calib.get(n, 0.0) <= thresh
     }
     uncovered = expensive - set(FAMILIES) - adjudicated
     assert not uncovered, (
