@@ -1,8 +1,10 @@
-"""Differential pin for the composed shingle hash (optimization r10).
+"""Differential pin for the composed shingle hash (optimization r10;
+r11 moved it to ``word_ngram_hashes_composed`` and reverted the default
+to the string fold — see the r11 A/B notes on the functions).
 
-``word_ngram_hashes(tokens, n)`` must be BIT-IDENTICAL to the original
-``transform(word_ngrams(tokens, n), rolling_hash)`` formulation on every
-input — the whole dedup/text shingle family (and its DuckDB twins, which
+``word_ngram_hashes_composed(tokens, n)`` must be BIT-IDENTICAL to the
+``transform(word_ngrams(tokens, n), rolling_hash)`` formulation (which
+is also what ``word_ngram_hashes`` now computes) on every input — the whole dedup/text shingle family (and its DuckDB twins, which
 replay the character fold) rides on that equality. The cases are chosen
 adversarially against the composition math:
 
@@ -23,6 +25,7 @@ from pyspark.sql import functions as F
 from training_etl_demo_2_spark.functions import (
     rolling_hash,
     word_ngram_hashes,
+    word_ngram_hashes_composed,
     word_ngrams,
 )
 
@@ -53,7 +56,7 @@ def test_composed_equals_string_fold(spark, n):
         F.transform(word_ngrams(toks, n), lambda s: rolling_hash(s)).alias(
             "via_strings"
         ),
-        word_ngram_hashes(toks, n).alias("via_compose"),
+        word_ngram_hashes_composed(toks, n).alias("via_compose"),
     ).collect()
     for r in out:
         assert r.via_compose == r.via_strings, (
@@ -71,9 +74,26 @@ def test_composed_equals_string_fold_on_fixture(spark, tables):
             F.transform(
                 word_ngrams(toks, 3), lambda s: rolling_hash(s)
             ).alias("a"),
-            word_ngram_hashes(toks, 3).alias("b"),
+            word_ngram_hashes_composed(toks, 3).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .count()
     )
     assert mism == 0
+
+
+@pytest.mark.parametrize("n", [1, 3])
+def test_default_is_string_fold(spark, n):
+    """word_ngram_hashes (the r11 default) equals the explicit
+    string-fold composition it documents."""
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(CASES)],
+                               ["doc_id", "text"])
+    toks = F.split(F.col("text"), " ")
+    out = df.select(
+        F.transform(word_ngrams(toks, n), lambda s: rolling_hash(s)).alias(
+            "a"
+        ),
+        word_ngram_hashes(toks, n).alias("b"),
+    ).collect()
+    for r in out:
+        assert r.a == r.b

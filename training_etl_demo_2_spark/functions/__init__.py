@@ -164,6 +164,30 @@ def token_hash_structs(
 def word_ngram_hashes(
     tokens: Column, n: int, base: int = 31, mod: int = FNV_MOD
 ) -> Column:
+    """array<long>: ``rolling_hash`` of each word n-gram, via the
+    joined shingle string.
+
+    r11 revert: this was the r10 composed per-token formulation
+    (:func:`word_ngram_hashes_composed`), but same-session alternated
+    A/Bs (plans/r11_ab_unproven.json, plans/r11_ab_minhash_hash.json)
+    measured the composed form 1.08–2.28× SLOWER on 7 of its 9 consumer
+    queries (token_loop_stats ×1.77, substring_dup_stats ×1.96,
+    decontaminate_spans ×2.28, winnowing ×1.27, cdc ×1.26, ngram_jaccard
+    ×1.14, jaccard_threshold_curve ×1.16) — the struct/let-binding
+    machinery costs more per shingle than re-folding the (short) token
+    characters saves. The two sites where composed measurably wins
+    (ngram_novelty_curve ×0.64, tfidf_cosine_pairs ×0.79) call the
+    composed variant explicitly. Both formulations are bit-identical
+    (pinned by tests/test_ngram_hash_compose.py).
+    """
+    return F.transform(
+        word_ngrams(tokens, n), lambda g: rolling_hash(g, base, mod)
+    )
+
+
+def word_ngram_hashes_composed(
+    tokens: Column, n: int, base: int = 31, mod: int = FNV_MOD
+) -> Column:
     """array<long>: ``rolling_hash`` of each word n-gram — value-
     identical to ``transform(word_ngrams(tokens, n), rolling_hash)``
     but computed WITHOUT building shingle strings: each token is
@@ -175,6 +199,11 @@ def word_ngram_hashes(
     phantom ""-element to 0 (ascii("") = 0) and length("") = 0 gives
     pw = 1, so an empty token contributes exactly one ' ' character to
     the composed hash — the same characters array_join produces.
+
+    Faster than the string fold only where per-token re-hashing
+    dominates (many arms over one token relation / high explode
+    volume); see :func:`word_ngram_hashes` for the r11 site-by-site
+    measurements.
     """
 
     def body(th: Column) -> Column:

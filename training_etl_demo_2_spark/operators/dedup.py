@@ -54,6 +54,7 @@ from ..functions import (
     rolling_hash,
     spread_scan,
     word_ngram_hashes,
+    word_ngram_hashes_composed,
     word_ngrams,
 )
 
@@ -332,14 +333,14 @@ def paragraph_dedup(
 
 
 def shingle_hashes(
-    df: DataFrame, text_col: str = "text", n: int = DEFAULT_NGRAM, distinct: bool = True
+    df: DataFrame, text_col: str = "text", n: int = DEFAULT_NGRAM
 ) -> DataFrame:
     """(doc_id, h): DISTINCT word-n-gram shingles as 8-byte hashes —
     set semantics, as Jaccard set sizes require. The dedup is entirely
     ROW-LOCAL (``array_distinct`` before the explode): each document is
     one input row, so (doc_id, h) needs no global ``.distinct()``
-    shuffle — every caller passes the default ``distinct=True`` and the
-    parameter is kept only for signature stability.
+    shuffle. (The vestigial ``distinct`` flag the r10 rewrite had
+    silently ignored was removed in r11 — no caller passed it.)
 
     The input passes through :func:`spread_scan` first: the n-gram
     explode is the dominant map cost of the whole dedup family, and a
@@ -1867,6 +1868,36 @@ def _prefix_candidates(
 # ---------------------------------------------------------------------------
 
 
+def _elect_representatives(members: DataFrame, sized: DataFrame) -> DataFrame:
+    """(cluster_id, n_docs, rep_doc_id, rep_n_chars): the canonical
+    representative election — longest text (n_chars) wins, ties to the
+    lowest doc_id, as one map-side-combinable ``max(struct)`` aggregate.
+    ``members`` is a (doc_id, cluster_id) relation, ``sized`` any
+    relation carrying (doc_id, n_chars). Single source of truth for the
+    rule shared by ``dedup_representatives``, ``dedup_quality_regret``,
+    ``dedup_funnel_report`` and the corpus pipeline (r11: previously
+    inlined at each site — a tie-break change could silently diverge).
+    """
+    return (
+        members.join(sized.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(
+                F.struct(
+                    F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")
+                )
+            ).alias("rep"),
+        )
+        .select(
+            "cluster_id",
+            "n_docs",
+            (-F.col("rep.neg_id")).cast("long").alias("rep_doc_id"),
+            F.col("rep.n_chars").cast("long").alias("rep_n_chars"),
+        )
+    )
+
+
 def dedup_representatives(
     df: DataFrame,
     text_col: str = "text",
@@ -1889,23 +1920,7 @@ def dedup_representatives(
     Output: (cluster_id, n_docs, rep_doc_id, rep_n_chars).
     """
     members = near_dup_clusters(df, text_col, n, threshold)
-    enriched = members.join(
-        df.select("doc_id", "n_chars"), "doc_id"
-    )
-    agg = enriched.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.max(
-            F.struct(
-                F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")
-            )
-        ).alias("rep"),
-    )
-    return agg.select(
-        "cluster_id",
-        "n_docs",
-        (-F.col("rep.neg_id")).cast("long").alias("rep_doc_id"),
-        F.col("rep.n_chars").cast("long").alias("rep_n_chars"),
-    )
+    return _elect_representatives(members, df)
 
 
 # ---------------------------------------------------------------------------
@@ -3003,8 +3018,10 @@ def tfidf_cosine_pairs(
     Output: (doc_a, doc_b, cosine) with cosine ≥ threshold.
     """
     tokens = F.split(F.col(text_col), " ")
+    # composed per-token hashing kept HERE (r11): this site measured
+    # 0.79x with it in the same-session A/B (plans/r11_ab_minhash_hash.json)
     occ = spread_scan(df).select(
-        "doc_id", F.explode(word_ngram_hashes(tokens, n)).alias("h")
+        "doc_id", F.explode(word_ngram_hashes_composed(tokens, n)).alias("h")
     )
     # tf feeds the weight relation AND both sides of the candidate
     # self-join; dfreq feeds the weights and the stop-shingle cut —
@@ -3418,19 +3435,8 @@ def dedup_quality_regret(t: dict[str, DataFrame]) -> DataFrame:
     # second union-find / LSH probe pass is gone.
     members = tracked_persist(near_dup_clusters(d))
     q = quality_classifier(d).select("doc_id", "quality_prob")
-    reps = (
-        members.join(d.select("doc_id", "n_chars"), "doc_id")
-        .groupBy("cluster_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")
-                )
-            ).alias("rep")
-        )
-        .select(
-            "cluster_id", (-F.col("rep.neg_id")).cast("long").alias("rep_doc_id")
-        )
+    reps = _elect_representatives(members, d).select(
+        "cluster_id", "rep_doc_id"
     )
     best = (
         members.join(q, "doc_id")
@@ -3668,17 +3674,8 @@ def dedup_funnel_report(t: dict[str, DataFrame]) -> DataFrame:
     # dedup_representatives) — no second union-find / LSH probe pass.
     clusters = tracked_persist(near_dup_clusters(d))
     members = clusters.select("doc_id")
-    reps = (
-        clusters.join(d.select("doc_id", "n_chars"), "doc_id")
-        .groupBy("cluster_id")
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")
-                )
-            ).alias("rep")
-        )
-        .select((-F.col("rep.neg_id")).cast("long").alias("doc_id"))
+    reps = _elect_representatives(clusters, d).select(
+        F.col("rep_doc_id").alias("doc_id")
     )
     near_keep = d.join(members, "doc_id", "anti").select("doc_id").unionByName(
         reps
@@ -4575,6 +4572,12 @@ def shingle_n_curve(
     arms = []
     for n in ns:
         hs = _shingle_arrays_from_tokens(toks, n).transform(tracked_persist)
+        # The two count_distincts in one aggregate DO force an Expand
+        # that doubles the exploded relation before the shuffle, but
+        # splitting them (single-distinct agg + row-count crossJoin)
+        # measured 1.11x SLOWER in a same-session A/B (r11,
+        # plans/r11_ab_kmeans_layout_shingle.json) — the extra
+        # aggregate action latency beats the Expand's cost. Kept as-is.
         stats = hs.select("doc_id", F.explode("hs").alias("h")).agg(
             F.count_distinct("doc_id").cast("long").alias("n_docs"),
             F.count_distinct("h").cast("long").alias("n_shingles"),

@@ -667,9 +667,19 @@ def layout_skipping_audit(
         ],
         "zorder": [F.asc("z"), F.asc("l_orderkey"), F.asc("l_linenumber")],
     }
-    doms = zt.agg(
-        F.max("l_partkey").cast("long").alias("max_part"),
-        F.max("l_suppkey").cast("long").alias("max_supp"),
+    # persist (r11): the 1-row domain relation is crossJoined into all
+    # six (layout, dim) arms — without the barrier each arm re-runs the
+    # full-table max scan (up to 6 corpus scans for one row of
+    # metadata; broadcast-exchange reuse recovers some arms, the cache
+    # guarantees ONE). Same-session A/B: neutral at sf0.1 (5.98 vs
+    # 5.85 s, within spread — plans/r11_ab_layout_arms.json); kept for
+    # the strictly-fewer-corpus-scans shape at 100 TB (1-row persist,
+    # no memory cost).
+    doms = tracked_cache(
+        zt.agg(
+            F.max("l_partkey").cast("long").alias("max_part"),
+            F.max("l_suppkey").cast("long").alias("max_supp"),
+        )
     )
 
     def _file_stats(order_cols) -> DataFrame:
@@ -699,6 +709,12 @@ def layout_skipping_audit(
         filed = ranged.withColumn(
             "file_id", ((rn - rn % rows_per_file) / rows_per_file).cast("long")
         )
+        # NOT persisted (r11 negative result): both predicate-dimension
+        # arms consume this relation, but a persist barrier measured
+        # 6.61 vs 5.85 s median in a 3-arm same-session A/B
+        # (plans/r11_ab_layout_arms.json) — the window pass it saves is
+        # cheaper than the materialization it adds (the `ranged` cache
+        # above already absorbs the range shuffle).
         return filed.groupBy("file_id").agg(
             F.min("l_partkey").alias("min_part"),
             F.max("l_partkey").alias("max_part_f"),

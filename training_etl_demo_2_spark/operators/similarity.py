@@ -1240,16 +1240,34 @@ def _assign_dists(elems: DataFrame, cent_df: DataFrame, top: int) -> DataFrame:
 
 
 def _lloyd_relations(
-    emb: DataFrame, k: int, iters: int
+    emb: DataFrame,
+    k: int,
+    iters: int,
+    elems: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The (vec, dim, val) element relation + the centroid relation
     after ``iters`` Lloyd updates — the shared core of
-    ``distributed_kmeans`` (membership/inertia) and
-    ``kmeans_silhouette`` (cluster-separation grade); both twins unroll
-    the identical recurrence in SQL."""
-    elems = emb.select(
-        "vec_id", F.posexplode("embedding").alias("dim", "val")
-    ).withColumn("val", F.col("val").cast("double"))
+    ``distributed_kmeans`` (membership/inertia), ``kmeans_silhouette``
+    (cluster-separation grade) and ``kmeans_elbow_curve`` (which passes
+    a shared persisted ``elems``); the twins unroll the identical
+    recurrence in SQL.
+
+    Deliberately the LAZY unrolled recurrence (r11 negative result):
+    ``cent_{i+1}`` references ``cent_i`` twice, so the plan doubles per
+    iteration (kmeans_elbow's initial plan is ~4.6k operator lines /
+    258 Exchanges) — but ReuseExchange computes each duplicated subtree
+    ONCE at runtime, and a same-session A/B of per-iteration centroid
+    ``collect()``-rebasing (MLlib-style; plans collapse to 24
+    Exchanges) measured SLOWER everywhere: clusters ×1.21, silhouette
+    ×1.95, elbow ×1.89 (plans/r11_ab_kmeans_layout_shingle.json) — the
+    3 extra action round-trips per k cost more than the big plan does.
+    At iters=3 planning stays cheap; revisit only if iters grows past
+    ~6 (2^iters planning) or a profiler shows planning time dominating.
+    """
+    if elems is None:
+        elems = emb.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "val")
+        ).withColumn("val", F.col("val").cast("double"))
     cent = (
         emb.filter(F.col("vec_id") < k)
         .select(
@@ -2978,14 +2996,16 @@ def lexical_semantic_agreement(
     lex = minhash_lsh_pairs(
         t["documents"], threshold=lex_threshold
     ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    # persist (r10): sem feeds the agreement join AND its own count —
-    # without the barrier the exact block-matmul tier runs twice
-    # (lex is already persisted inside minhash_lsh_pairs)
-    sem = tracked_persist(
-        cosine_near_pairs(
-            t["embeddings"], threshold=sem_threshold
-        ).select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
-    )
+    # NOT persisted (r11 revert of the r10 persist): sem feeds the
+    # agreement join and its own count, but the r10 barrier measured
+    # SLOWER in every window — committed bench +50%, driver 8-core run
+    # +95%, and a same-session alternated A/B (plans/r11_ab_unproven.json)
+    # 12.1 vs 7.7 s median. cosine_near_pairs persists its own bucket
+    # relation internally, so the expensive banded tier is already
+    # shared; the extra barrier only added materialization latency.
+    sem = cosine_near_pairs(
+        t["embeddings"], threshold=sem_threshold
+    ).select(F.col("vec_a").alias("a"), F.col("vec_b").alias("b"))
     both = lex.join(sem, ["a", "b"])
     counts = (
         lex.agg(F.count(F.lit(1)).cast("long").alias("n_lex"))
@@ -3653,25 +3673,10 @@ def kmeans_elbow_curve(
     )
     arms = []
     for k in ks:
-        cent = (
-            emb.filter(F.col("vec_id") < k)
-            .select(
-                F.col("vec_id").alias("cid"),
-                F.posexplode("embedding").alias("dim", "c"),
-            )
-            .withColumn("c", F.col("c").cast("double"))
-        )
-        for _ in range(iters):
-            a = _assign_dists(elems, cent, top=1)
-            means = (
-                a.select("vec_id", "cid")
-                .join(elems, "vec_id")
-                .groupBy("cid", "dim")
-                .agg(F.avg("val").alias("m"))
-            )
-            cent = cent.join(means, ["cid", "dim"], "left").select(
-                "cid", "dim", F.coalesce(F.col("m"), F.col("c")).alias("c")
-            )
+        # identical recurrence to distributed_kmeans (via the shared
+        # helper, r11 — previously an inline copy), over the shared
+        # persisted element relation
+        _, cent = _lloyd_relations(emb, k, iters, elems=elems)
         final = _assign_dists(elems, cent, top=1)
         arms.append(
             final.agg(

@@ -22,6 +22,7 @@ from ..functions import (
     spread_scan,
     tokens_regex,
     word_ngram_hashes,
+    word_ngram_hashes_composed,
     word_ngrams,
 )
 
@@ -3270,9 +3271,11 @@ def ngram_novelty_curve(
     from pyspark.sql import Window
 
     toks = F.split(F.col("text"), " ")
+    # composed per-token hashing kept HERE (r11): this site measured
+    # 0.64x with it in the same-session A/B (plans/r11_ab_minhash_hash.json)
     grams = df.select(
         "doc_id",
-        F.explode(word_ngram_hashes(toks, n)).alias("h"),
+        F.explode(word_ngram_hashes_composed(toks, n)).alias("h"),
     )
     grams = tracked_persist(grams)
 

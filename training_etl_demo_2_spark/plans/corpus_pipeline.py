@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from ..cache import tracked_persist
 from ..operators.curation import pack_sequences
 from ..operators.dedup import (
+    _elect_representatives,
     drop_exact_duplicates,
     near_dup_clusters,
     remove_duplicate_spans,
@@ -101,15 +102,8 @@ def corpus_pipeline_e2e(
     sized = s4.select(
         "doc_id", F.length("text").cast("long").alias("n_chars")
     )
-    reps = (
-        members.join(sized, "doc_id")
-        .groupBy("cluster_id")
-        .agg(
-            F.max(
-                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id"))
-            ).alias("rep")
-        )
-        .select((-F.col("rep.neg_id")).cast("long").alias("doc_id"))
+    reps = _elect_representatives(members, sized).select(
+        F.col("rep_doc_id").alias("doc_id")
     )
     survivors = (
         s4.join(members.select("doc_id"), "doc_id", "left_anti")
