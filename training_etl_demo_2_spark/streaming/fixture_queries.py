@@ -94,22 +94,56 @@ def _replay_partitions(spark: SparkSession):
         spark.conf.set(key, old)
 
 
-def _replay_to_table(result: DataFrame, name: str, timeout_s: float = 300.0) -> None:
+# Replay checkpoints live on tmpfs when available (r11): the bounded
+# availableNow drain to a memory sink needs NO checkpoint durability —
+# the checkpoint holds offsets/commits/state for exactly one replay and
+# is deleted on completion — while its per-micro-batch offset/commit/
+# state-file fsyncs sit on the drain's critical path (/tmp here is
+# disk-backed). Same-session A/B (plans/r11_ab_batch2.json):
+# 0.90/0.94/0.99/1.02x across four representative streams. On a real
+# cluster the sink is a durable table and the checkpoint a durable
+# store — like REPLAY_SHUFFLE_PARTITIONS, this binds only the replay
+# harness, never the operators. (A 8->4 state-partition cut was also
+# A/B'd: it helps small-state streams ~0.85x but penalizes
+# stream_near_dup's banded self-join 1.09x — rejected.)
+_REPLAY_CKPT_BASE = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
+def _replay_to_table(
+    result: DataFrame,
+    name: str,
+    timeout_s: float = 300.0,
+    output_mode: str = "complete",
+) -> None:
+    """Drain a streaming plan to the memory table ``name`` with
+    availableNow and the replay-harness bindings (state partitions,
+    tmpfs checkpoint) — the single replay path every fixture stream
+    uses (r11: previously 8 near-identical inline copies)."""
+    import shutil
+    import tempfile
+
     with _replay_partitions(result.sparkSession):
-        q = (
-            result.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
+        ckpt = tempfile.mkdtemp(
+            prefix=f"replay_{name}_", dir=_REPLAY_CKPT_BASE
         )
         try:
-            if not q.awaitTermination(timeout_s):
-                raise TimeoutError(
-                    f"stream {name} did not drain in {timeout_s}s"
-                )
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(timeout_s):
+                    raise TimeoutError(
+                        f"stream {name} did not drain in {timeout_s}s"
+                    )
+            finally:
+                q.stop()
         finally:
-            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def stream_hourly_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,19 +206,7 @@ def stream_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     # applyInPandasWithState(update) requires Update output mode; each
     # flagged row is emitted exactly once, so the memory table is the
     # plain union of alerts.
-    with _replay_partitions(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName("gate_stream_anomalies")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(300.0):
-                raise TimeoutError("anomaly stream did not drain")
-        finally:
-            q.stop()
+    _replay_to_table(out, "gate_stream_anomalies", output_mode="update")
     return spark.table("gate_stream_anomalies")
 
 
@@ -259,19 +281,7 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("purchase_t4"),
     )
-    with _replay_partitions(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName("gate_stream_attribution")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(300.0):
-                raise TimeoutError("attribution stream did not drain")
-        finally:
-            q.stop()
+    _replay_to_table(out, "gate_stream_attribution", output_mode="append")
     return spark.table("gate_stream_attribution")
 
 
@@ -492,15 +502,7 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .stateful import running_user_totals
 
     out = running_user_totals(read_events_stream_fixture(spark, sf_dir))
-    with _replay_partitions(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName("gate_stream_user_totals")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+    _replay_to_table(out, "gate_stream_user_totals", output_mode="update")
     from pyspark.sql import Window
 
     emitted = spark.table("gate_stream_user_totals")
@@ -530,19 +532,7 @@ def stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = read_events_stream_fixture(spark, sf_dir)
     out = cusum_alarm_stream(src)
-    with _replay_partitions(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName("gate_stream_cusum")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(300.0):
-                raise TimeoutError("cusum stream did not drain")
-        finally:
-            q.stop()
+    _replay_to_table(out, "gate_stream_cusum", output_mode="update")
     return spark.table("gate_stream_cusum")
 
 
@@ -605,19 +595,7 @@ def stream_click_funnel_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         (F.col("purchase_id").isNotNull()).cast("long").alias("matched"),
     )
-    with _replay_partitions(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName("gate_stream_funnel_loss")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(300.0):
-                raise TimeoutError("funnel-loss stream did not drain")
-        finally:
-            q.stop()
+    _replay_to_table(out, "gate_stream_funnel_loss", output_mode="append")
     return spark.table("gate_stream_funnel_loss")
 
 
@@ -794,19 +772,7 @@ def stream_funnel_two_sided(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("matched"),
     )
-    with _replay_partitions(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName("gate_stream_funnel_two_sided")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(300.0):
-                raise TimeoutError("two-sided funnel stream did not drain")
-        finally:
-            q.stop()
+    _replay_to_table(out, "gate_stream_funnel_two_sided", output_mode="append")
     return spark.table("gate_stream_funnel_two_sided")
 
 
@@ -867,19 +833,7 @@ def stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _read_documents_stream_fixture(spark, sf_dir)
     out = pack_stream(docs, budget=256, n_groups=8)
-    with _replay_partitions(spark):
-        q = (
-            out.writeStream.format("memory")
-            .queryName("gate_stream_pack")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(300.0):
-                raise TimeoutError("pack stream did not drain")
-        finally:
-            q.stop()
+    _replay_to_table(out, "gate_stream_pack", output_mode="update")
     return spark.table("gate_stream_pack")
 
 
